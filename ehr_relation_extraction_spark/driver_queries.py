@@ -1,0 +1,89 @@
+"""Engine-side callables for the driver contract (__spark_entry__.py).
+
+Each callable takes ``(spark, sf_dir)`` and returns a DataFrame whose
+columns/types/values match the DuckDB statement of the same key in
+``oracle.sqlgen.ORACLE`` (driver verifies at sf0.01).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from .plans.pipeline import build_from_documents
+from .operators import ner, triples as tri_op
+from .oracle.sqlgen import ORACLE
+
+
+def _frames(spark: SparkSession, sf_dir: str):
+    return build_from_documents(spark, sf_dir)
+
+
+def q_extract_text(spark, sf_dir) -> DataFrame:
+    p = _frames(spark, sf_dir).pages
+    return p.select(
+        "doc_id", "url",
+        F.sha2(F.col("text"), 256).alias("text_sha"),
+        F.length("text").alias("n_chars"),
+    )
+
+
+def q_tokenize(spark, sf_dir) -> DataFrame:
+    return ner.tokenize_df(_frames(spark, sf_dir).pages)
+
+
+def q_shards(spark, sf_dir) -> DataFrame:
+    return _frames(spark, sf_dir).shards
+
+
+def q_mentions(spark, sf_dir) -> DataFrame:
+    m = _frames(spark, sf_dir).mentions
+    return m.select("doc_id", "url", "ent_id", "ent_type", "start",
+                    F.col("end").alias("end"), "ent_text")
+
+
+def q_candidates(spark, sf_dir) -> DataFrame:
+    c = _frames(spark, sf_dir).candidates
+    return c.select("doc_id", "url", "shard_id", "rel_id", "rel_type",
+                    "hub_id", "hub_text", "hub_start", "hub_end",
+                    "attr_id", "attr_type", "attr_text", "attr_start",
+                    "attr_end", "gap")
+
+
+def q_relations(spark, sf_dir) -> DataFrame:
+    r = _frames(spark, sf_dir).relations
+    return r.select("doc_id", "url", "rel_id", "rel_type", "hub_id",
+                    "attr_id", "gap")
+
+
+def q_triples(spark, sf_dir) -> DataFrame:
+    return _frames(spark, sf_dir).triples.select(
+        "doc_id", "url", "subj_id", "subj", "pred", "obj")
+
+
+def q_wide_table(spark, sf_dir) -> DataFrame:
+    t = _frames(spark, sf_dir).triples
+    return tri_op.wide_table(t).select(
+        "url", "subj_id", "subj", "pred", "obj_texts", "n_objs")
+
+
+def q_distinct_subjects(spark, sf_dir) -> DataFrame:
+    return tri_op.distinct_subjects(_frames(spark, sf_dir).triples)
+
+
+QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
+    "extract_text": q_extract_text,
+    "tokenize": q_tokenize,
+    "shards": q_shards,
+    "mentions": q_mentions,
+    "candidates": q_candidates,
+    "relations": q_relations,
+    "triples": q_triples,
+    "wide_table": q_wide_table,
+    "distinct_subjects": q_distinct_subjects,
+}
+
+
+def oracle_sql() -> dict[str, str]:
+    return {k: ORACLE[k] for k in QUERIES if k in ORACLE}

@@ -1,0 +1,53 @@
+"""End-to-end lazy composition of the KG pipeline.
+
+One DataFrame DAG (SURVEY §3.1 Spark lifecycle):
+``pages -> extract_text -> shards / mentions (fused Arrow stages)
+-> window join -> pair self-join -> rule RE -> triples -> link ->
+canonicalize -> nodes/edges``.
+
+All functions here return lazy DataFrames; materialization/checkpointing
+lives in ``plans.stages``.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame, SparkSession
+
+from ..config import MAX_LEN_TOKENS, MAX_PAIR_GAP_CHARS
+from ..operators import ner, pairs as pairs_op, relations as rel_op, triples as tri_op
+from ..sources.pages import extract_text, pages_from_documents
+
+
+@dataclass
+class PipelineFrames:
+    pages: DataFrame
+    shards: DataFrame
+    mentions: DataFrame
+    windowed: DataFrame
+    candidates: DataFrame
+    relations: DataFrame
+    triples: DataFrame
+
+
+def build(pages_raw: DataFrame,
+          max_len: int = MAX_LEN_TOKENS,
+          max_gap: int = MAX_PAIR_GAP_CHARS) -> PipelineFrames:
+    pages = extract_text(pages_raw)
+    shards = ner.build_shards(pages, max_len=max_len)
+    mentions = ner.detect_mentions_df(pages)
+    windowed = pairs_op.shard_mentions(mentions, shards)
+    candidates = pairs_op.candidate_pairs(windowed)
+    classified = rel_op.classify_rule(candidates, max_gap=max_gap)
+    relations = rel_op.keep_positive(classified)
+    triples = tri_op.dedup_triples(tri_op.long_triple_table(relations))
+    return PipelineFrames(pages, shards, mentions, windowed,
+                          candidates, relations, triples)
+
+
+def build_from_documents(spark: SparkSession, sf_dir: str,
+                         max_len: int = MAX_LEN_TOKENS,
+                         max_gap: int = MAX_PAIR_GAP_CHARS) -> PipelineFrames:
+    return build(pages_from_documents(spark, sf_dir),
+                 max_len=max_len, max_gap=max_gap)
