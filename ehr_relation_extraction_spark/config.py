@@ -95,6 +95,21 @@ MAX_PAIR_GAP_CHARS = 60
 NEG_SAMPLE_PCT = 25
 
 # --------------------------------------------------------------------------
+# Evaluation fixtures: the "system under evaluation" for the E1-E6
+# operators is the same pipeline run with a perturbed gazetteer
+# (dropped aliases -> false negatives, added alias -> false positives),
+# evaluated against the full-gazetteer run as gold.
+# --------------------------------------------------------------------------
+EVAL_DROP_ALIASES = ("big", "row")
+EVAL_ADD_ALIASES = (("merge", "Topic", "topic:merge"),)
+
+
+def perturbed_gazetteer() -> tuple[tuple[str, str, str], ...]:
+    kept = tuple(g for g in GAZETTEER if g[0] not in EVAL_DROP_ALIASES)
+    return kept + EVAL_ADD_ALIASES
+
+
+# --------------------------------------------------------------------------
 # Dedup / similarity parameters
 # --------------------------------------------------------------------------
 SHINGLE_K = 3  # token n-gram size for minhash / jaccard

@@ -11,7 +11,10 @@ from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
+from .config import perturbed_gazetteer
 from .plans.pipeline import build_from_documents
+from .operators import evaluate as ev
+from .operators import linking as lk
 from .operators import ner, triples as tri_op
 from .oracle.sqlgen import ORACLE
 
@@ -72,6 +75,64 @@ def q_distinct_subjects(spark, sf_dir) -> DataFrame:
     return tri_op.distinct_subjects(_frames(spark, sf_dir).triples)
 
 
+def _linked(spark, sf_dir):
+    fr = _frames(spark, sf_dir)
+    gaz = lk.gazetteer_df(spark)
+    return fr, lk.link_mentions(fr.mentions, gaz), gaz
+
+
+def q_link_mentions(spark, sf_dir) -> DataFrame:
+    _, linked, _ = _linked(spark, sf_dir)
+    return linked.select("doc_id", "url", "ent_id", "ent_type", "start",
+                         "end", "ent_text", "canonical_id")
+
+
+def q_canonical_components(spark, sf_dir) -> DataFrame:
+    _, linked, _ = _linked(spark, sf_dir)
+    return lk.canonical_components(linked).select("node", "component")
+
+
+def q_graph_nodes(spark, sf_dir) -> DataFrame:
+    _, linked, _ = _linked(spark, sf_dir)
+    comps = lk.canonical_components(linked)
+    return lk.materialize_nodes(linked, comps).select(
+        "canonical_id", "component", "ent_type", "n_mentions")
+
+
+def q_graph_edges(spark, sf_dir) -> DataFrame:
+    fr, linked, gaz = _linked(spark, sf_dir)
+    comps = lk.canonical_components(linked)
+    return lk.materialize_edges(fr.triples, linked, comps, gaz).select(
+        "subj_node", "pred", "obj_node", "weight")
+
+
+def _eval_frames(spark, sf_dir):
+    gold = _frames(spark, sf_dir)
+    sys_ = build_from_documents(spark, sf_dir, gazetteer=perturbed_gazetteer())
+    return gold, sys_
+
+
+_PRF_COLS = ["tp", "n_gold", "n_pred", "fp", "fn",
+             "p_micro6", "r_micro6", "f1_micro6"]
+
+
+def q_eval_mentions(spark, sf_dir) -> DataFrame:
+    gold, sys_ = _eval_frames(spark, sf_dir)
+    return ev.prf_by_type(gold.mentions, sys_.mentions).select(
+        "ent_type", *_PRF_COLS)
+
+
+def q_eval_mentions_micro(spark, sf_dir) -> DataFrame:
+    gold, sys_ = _eval_frames(spark, sf_dir)
+    return ev.micro_totals(ev.prf_by_type(gold.mentions, sys_.mentions)) \
+             .select(*_PRF_COLS)
+
+
+def q_eval_triples(spark, sf_dir) -> DataFrame:
+    gold, sys_ = _eval_frames(spark, sf_dir)
+    return ev.prf_triples(gold.triples, sys_.triples).select(*_PRF_COLS)
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "extract_text": q_extract_text,
     "tokenize": q_tokenize,
@@ -82,6 +143,13 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "triples": q_triples,
     "wide_table": q_wide_table,
     "distinct_subjects": q_distinct_subjects,
+    "link_mentions": q_link_mentions,
+    "canonical_components": q_canonical_components,
+    "graph_nodes": q_graph_nodes,
+    "graph_edges": q_graph_edges,
+    "eval_mentions": q_eval_mentions,
+    "eval_mentions_micro": q_eval_mentions_micro,
+    "eval_triples": q_eval_triples,
 }
 
 

@@ -37,22 +37,23 @@ from ..config import GAZETTEER, PATTERN_RULES
 ALNUM_RE = re.compile(r"[0-9A-Za-z]")
 
 
-def _gazetteer_by_ngram() -> dict[int, dict[str, tuple[str, str]]]:
+def gazetteer_by_ngram(gazetteer=GAZETTEER) -> dict[int, dict[str, tuple[str, str]]]:
     """alias-token-count -> {alias_lower: (ent_type, canonical_id)}."""
     out: dict[int, dict[str, tuple[str, str]]] = {}
-    for alias, ent_type, canonical in GAZETTEER:
+    for alias, ent_type, canonical in gazetteer:
         n = len(alias.split(" "))
         out.setdefault(n, {})[alias.lower()] = (ent_type, canonical)
     return out
 
 
-_GAZ_BY_N = _gazetteer_by_ngram()
+_GAZ_BY_N = gazetteer_by_ngram()
 _PATTERNS = [(re.compile(pat, re.IGNORECASE), ent_type)
              for pat, ent_type in PATTERN_RULES]
 
 
 def detect_mentions(text: str,
-                    offsets: list[tuple[str, int, int]]
+                    offsets: list[tuple[str, int, int]],
+                    gaz_by_n: dict | None = None,
                     ) -> list[tuple[str, int, int, str]]:
     """Return mentions ``[(ent_type, start, end, ent_text), ...]``
     sorted by (start, end, ent_type)."""
@@ -60,7 +61,7 @@ def detect_mentions(text: str,
     found: set[tuple[str, int, int]] = set()
 
     # dictionary aliases via token n-gram alignment
-    for n, aliases in _GAZ_BY_N.items():
+    for n, aliases in (gaz_by_n or _GAZ_BY_N).items():
         for i in range(len(offsets) - n + 1):
             start = offsets[i][1]
             end = offsets[i + n - 1][2]

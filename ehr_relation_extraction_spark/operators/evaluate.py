@@ -1,0 +1,98 @@
+"""Evaluation operators (reference E1-E6, Track2-evaluate-ver4.py).
+
+- strict span match: exact (start, end) + type (``span_matches`` /
+  ``equals``, Track2-evaluate-ver4.py:52-67)
+- lenient: any overlap + type
+- multi-match pare-down: when several system spans match one gold span
+  keep the first (Track2-evaluate-ver4.py:281-294) — implemented as a
+  two-sided rank-1 filter so each gold and each system span is counted
+  at most once
+- TP/FP/FN counting (:296-299) and micro P/R/F1 (:457-463) with
+  zero-division guards (:201-257)
+
+Float note: P/R/F1 are also emitted as ``*_micro6`` integers
+(floor(x * 1e6)) so cross-engine value hashing never trips on float
+formatting; both engines compute the same IEEE double first.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window, functions as F
+
+
+def match_spans(gold: DataFrame, pred: DataFrame, strict: bool = True) -> DataFrame:
+    """Matched (gold, pred) span pairs on (url, ent_type)."""
+    g = gold.select("url", "ent_type",
+                    F.col("start").alias("g_start"),
+                    F.col("end").alias("g_end"))
+    p = pred.select("url", "ent_type",
+                    F.col("start").alias("p_start"),
+                    F.col("end").alias("p_end"))
+    if strict:
+        cond = (F.col("g_start") == F.col("p_start")) & (F.col("g_end") == F.col("p_end"))
+    else:
+        cond = (F.col("g_start") < F.col("p_end")) & (F.col("p_start") < F.col("g_end"))
+    return g.join(p, ["url", "ent_type"]).where(cond)
+
+
+def pare_down(matches: DataFrame) -> DataFrame:
+    """E3: rank-1 per gold span, then rank-1 per system span."""
+    by_gold = Window.partitionBy("url", "ent_type", "g_start", "g_end") \
+                    .orderBy("p_start", "p_end")
+    m = matches.withColumn("_rg", F.row_number().over(by_gold)) \
+               .where(F.col("_rg") == 1).drop("_rg")
+    by_pred = Window.partitionBy("url", "ent_type", "p_start", "p_end") \
+                    .orderBy("g_start", "g_end")
+    return m.withColumn("_rp", F.row_number().over(by_pred)) \
+            .where(F.col("_rp") == 1).drop("_rp")
+
+
+def prf_by_type(gold: DataFrame, pred: DataFrame,
+                strict: bool = True) -> DataFrame:
+    """Per-type strict/lenient TP/FP/FN + micro P/R/F1 (scaled ints)."""
+    tp = (pare_down(match_spans(gold, pred, strict))
+          .groupBy("ent_type").agg(F.count(F.lit(1)).cast("long").alias("tp")))
+    n_gold = gold.groupBy("ent_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n_gold"))
+    n_pred = pred.groupBy("ent_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n_pred"))
+    out = (n_gold.join(n_pred, "ent_type", "full")
+           .join(tp, "ent_type", "left")
+           .fillna(0, ["tp", "n_gold", "n_pred"]))
+    return _with_prf(out)
+
+
+def _with_prf(counts: DataFrame) -> DataFrame:
+    fp = F.col("n_pred") - F.col("tp")
+    fn = F.col("n_gold") - F.col("tp")
+    p = F.when(F.col("n_pred") > 0, F.col("tp") / F.col("n_pred")).otherwise(F.lit(0.0))
+    r = F.when(F.col("n_gold") > 0, F.col("tp") / F.col("n_gold")).otherwise(F.lit(0.0))
+    f1 = F.when((p + r) > 0, 2 * p * r / (p + r)).otherwise(F.lit(0.0))
+    return (counts
+            .withColumn("fp", fp.cast("long"))
+            .withColumn("fn", fn.cast("long"))
+            .withColumn("p_micro6", F.floor(p * 1000000).cast("long"))
+            .withColumn("r_micro6", F.floor(r * 1000000).cast("long"))
+            .withColumn("f1_micro6", F.floor(f1 * 1000000).cast("long")))
+
+
+def micro_totals(per_type: DataFrame) -> DataFrame:
+    """E6 micro roll-up: summed counts -> one row."""
+    tot = per_type.agg(F.sum("tp").cast("long").alias("tp"),
+                       F.sum("n_gold").cast("long").alias("n_gold"),
+                       F.sum("n_pred").cast("long").alias("n_pred"))
+    return _with_prf(tot)
+
+
+def prf_triples(gold_triples: DataFrame, pred_triples: DataFrame) -> DataFrame:
+    """Relation/triple-level eval on distinct (url, subj, pred, obj)
+    sets (reference E2 relation match reduced to the triple identity
+    the long table emits)."""
+    key = ["url", "subj", "pred", "obj"]
+    g = gold_triples.select(*key).dropDuplicates()
+    p = pred_triples.select(*key).dropDuplicates()
+    tp = g.join(p, key, "left_semi").count()
+    spark = gold_triples.sparkSession
+    return _with_prf(spark.createDataFrame(
+        [(int(tp), int(g.count()), int(p.count()))],
+        "tp long, n_gold long, n_pred long"))

@@ -1,0 +1,181 @@
+"""Entity linking + canonicalization (reference G5 generalized; SURVEY §7.1
+steps 4-5).
+
+The reference's only canonicalization is grouping all mention rows that
+share a ``drug_id`` into one graph node (utils.py:195-201).  At web
+scale that generalizes to:
+
+1. **link**: mention surface -> canonical_id via the broadcast alias
+   dictionary (exact lowercased match; the gazetteer is small, so Spark
+   picks a broadcast hash join — asserted in tests).  Unlinked mentions
+   get a deterministic surface id.
+2. **canonicalize**: connected components over an entity-similarity
+   edge set.  Here the edge source is span-overlap co-reference: two
+   mentions of different canonical entities whose spans overlap in the
+   same document (e.g. the Event bigram "fast key" overlapping the
+   Money unigram "key") assert that the entities refer to linked
+   surface forms and are merged — mirroring the reference's merging of
+   overlapping spans into one node.
+3. **materialize**: ``nodes`` (component representative per canonical
+   entity, with type + mention count) and ``edges`` (canonicalized
+   triple aggregates with weights).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+from ..config import GAZETTEER
+
+
+def gazetteer_df(spark) -> DataFrame:
+    return spark.createDataFrame(
+        [(a, t, c) for a, t, c in GAZETTEER],
+        "alias string, ent_type string, canonical_id string",
+    )
+
+
+def link_mentions(mentions: DataFrame, gaz: DataFrame) -> DataFrame:
+    """Attach canonical ids via a broadcast join on the lowercased
+    surface + type; unlinked mentions get ``surface:<lower>``."""
+    m = mentions.withColumn("_surface", F.lower(F.col("ent_text")))
+    g = F.broadcast(gaz.select(F.col("alias").alias("_surface"),
+                               F.col("ent_type"),
+                               F.col("canonical_id").alias("_canon")))
+    out = m.join(g, ["_surface", "ent_type"], "left")
+    return out.withColumn(
+        "canonical_id",
+        F.coalesce(F.col("_canon"), F.concat(F.lit("surface:"), F.col("_surface"))),
+    ).drop("_surface", "_canon")
+
+
+def overlap_edges(linked_mentions: DataFrame) -> DataFrame:
+    """Undirected similarity edges: overlapping spans in one doc that
+    link to different canonical entities.  Self-join on url with a
+    strict interval-overlap predicate; emitted once per unordered pair
+    (src < dst) and deduplicated globally."""
+    a = linked_mentions.alias("a")
+    b = linked_mentions.alias("b")
+    pairs = a.join(
+        b,
+        (F.col("a.url") == F.col("b.url"))
+        & (F.col("a.start") < F.col("b.end"))
+        & (F.col("b.start") < F.col("a.end"))
+        & (F.col("a.canonical_id") < F.col("b.canonical_id")),
+    ).select(
+        F.col("a.canonical_id").alias("src"),
+        F.col("b.canonical_id").alias("dst"),
+    )
+    return pairs.dropDuplicates(["src", "dst"])
+
+
+def connected_components(edges: DataFrame, nodes: DataFrame,
+                         max_iter: int = 25) -> DataFrame:
+    """Large-star / small-star connected components (Kiveris et al.,
+    "Connected Components in MapReduce and Beyond", SoCC'14) — the
+    O(log n)-round, shuffle-only formulation that survives web-scale
+    graphs, written as plain DataFrame joins (no GraphFrames jar
+    needed; SURVEY §4.2.3).
+
+    ``edges``: (src, dst) string node ids, undirected (either order).
+    ``nodes``: (node) — all node ids incl. isolated ones.
+    Returns (node, component) where component is the lexicographic
+    minimum node id of the component.
+
+    Each round materializes via ``localCheckpoint`` to cut lineage —
+    the iterative-join equivalent of checkpointed stage boundaries.
+    """
+    spark = edges.sparkSession
+    e = (edges.select("src", "dst")
+         .where(F.col("src") != F.col("dst"))
+         .dropDuplicates())
+
+    def sym(df: DataFrame) -> DataFrame:
+        return df.union(df.select(F.col("dst").alias("src"),
+                                  F.col("src").alias("dst"))).dropDuplicates()
+
+    def star(df: DataFrame, large: bool) -> DataFrame:
+        # m(u) = min over gamma+(u); attach neighbors to m(u)
+        g = sym(df)
+        m = (g.groupBy("src").agg(F.min("dst").alias("_mn"))
+             .select("src", F.least("_mn", F.col("src")).alias("m")))
+        joined = g.join(m, "src")
+        if large:
+            out = joined.where(F.col("dst") > F.col("src")).select(
+                F.col("dst").alias("src"), F.col("m").alias("dst"))
+        else:
+            out = joined.where(F.col("dst") <= F.col("src")).select(
+                F.col("dst").alias("src"), F.col("m").alias("dst"))
+            out = out.union(joined.select("src", F.col("m").alias("dst")))
+        return (out.where(F.col("src") != F.col("dst"))
+                .dropDuplicates())
+
+    def checksum(df: DataFrame) -> tuple[int, int]:
+        # modular sum: ANSI mode (Spark 4 default) raises on long overflow
+        h = F.pmod(F.xxhash64("src", "dst"), F.lit(1_000_000_007))
+        row = df.agg(F.count(F.lit(1)).alias("c"),
+                     F.coalesce(F.sum(h), F.lit(0)).alias("h")).first()
+        return int(row["c"]), int(row["h"])
+
+    prev = None
+    for _ in range(max_iter):
+        e = star(star(e, large=True), large=False).localCheckpoint()
+        cur = checksum(e)
+        if cur == prev:
+            break
+        prev = cur
+
+    comp = sym(e).groupBy("src").agg(F.min("dst").alias("component"))
+    comp = comp.select(F.col("src").alias("node"),
+                       F.least("component", "node").alias("component"))
+    return (nodes.select("node").dropDuplicates()
+            .join(comp, "node", "left")
+            .withColumn("component", F.coalesce("component", "node")))
+
+
+def canonical_components(linked_mentions: DataFrame) -> DataFrame:
+    nodes = linked_mentions.select(
+        F.col("canonical_id").alias("node")).dropDuplicates()
+    return connected_components(overlap_edges(linked_mentions), nodes)
+
+
+def materialize_nodes(linked_mentions: DataFrame,
+                      components: DataFrame) -> DataFrame:
+    """nodes table: one row per canonical entity with its component
+    representative, dominant type and mention count."""
+    m = linked_mentions.join(
+        components.withColumnRenamed("node", "canonical_id"), "canonical_id")
+    return (m.groupBy("canonical_id", "component")
+            .agg(F.min("ent_type").alias("ent_type"),
+                 F.count(F.lit(1)).cast("long").alias("n_mentions")))
+
+
+def materialize_edges(triples: DataFrame, linked_mentions: DataFrame,
+                      components: DataFrame, gaz: DataFrame) -> DataFrame:
+    """edges table: canonicalized triple aggregates.
+
+    The subject is re-linked through its mention's canonical id and
+    rewritten to the component representative.  The object has no
+    mention id in the long table (the reference keeps only its text,
+    utils.py:520-524), so it is linked by surface through the broadcast
+    dictionary, falling back to a surface node.  weight = triple count.
+    """
+    comp = components.withColumnRenamed("node", "canonical_id")
+    link = (linked_mentions.join(comp, "canonical_id")
+            .select("url", "ent_id", "component"))
+    t = triples.join(
+        link.withColumnRenamed("ent_id", "subj_id")
+            .withColumnRenamed("component", "subj_node"),
+        ["url", "subj_id"])
+    g = F.broadcast(
+        gaz.select(F.col("alias"), F.col("canonical_id").alias("_oc")))
+    t = (t.withColumn("_os", F.lower(F.col("obj")))
+         .join(g, F.col("_os") == F.col("alias"), "left")
+         .withColumn("_ocanon", F.coalesce(
+             F.col("_oc"), F.concat(F.lit("surface:"), F.col("_os")))))
+    t = (t.join(comp.withColumnRenamed("canonical_id", "_ocanon")
+                    .withColumnRenamed("component", "obj_node"),
+                "_ocanon", "left")
+         .withColumn("obj_node", F.coalesce("obj_node", "_ocanon")))
+    return (t.groupBy("subj_node", "pred", "obj_node")
+            .agg(F.count(F.lit(1)).cast("long").alias("weight")))

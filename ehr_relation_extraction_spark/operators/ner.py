@@ -31,7 +31,7 @@ from pyspark.sql import DataFrame, Window, functions as F
 from pyspark.sql.types import (IntegerType, LongType, StringType,
                                StructField, StructType)
 
-from ..functions.ner_kernel import detect_mentions
+from ..functions.ner_kernel import detect_mentions, gazetteer_by_ngram
 from ..functions.split import get_split_points, re_char_ranges, shard_token_ranges
 from ..functions.text import char_to_token_map, tokenize_with_offsets
 from ..config import MAX_LEN_TOKENS
@@ -116,21 +116,28 @@ def build_shards(pages: DataFrame, max_len: int = MAX_LEN_TOKENS) -> DataFrame:
     return src.mapInPandas(gen, SHARD_SCHEMA)
 
 
-def detect_mentions_df(pages: DataFrame) -> DataFrame:
+def detect_mentions_df(pages: DataFrame,
+                       gazetteer: tuple | None = None) -> DataFrame:
     """pages -> mention spans with deterministic T-ids.
+
+    ``gazetteer`` overrides the default dictionary (used by the eval
+    operators to build an imperfect "system" run).  The tuple is tiny
+    and is shipped in the UDF closure — the broadcast-variable analogue
+    for a dictionary this size (SURVEY N1 note).
 
     The window for T-ids shuffles by url once; mention rows are tiny
     (≈40 bytes) compared to page text, so this is the cheap place to
     pay a shuffle.
     """
     src = pages.select("doc_id", "url", "text")
+    gaz_by_n = gazetteer_by_ngram(gazetteer) if gazetteer is not None else None
 
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             rows = []
             for doc_id, url, text in zip(pdf["doc_id"], pdf["url"], pdf["text"]):
                 toks = tokenize_with_offsets(text)
-                for (ent_type, s, e, surf) in detect_mentions(text, toks):
+                for (ent_type, s, e, surf) in detect_mentions(text, toks, gaz_by_n):
                     rows.append((doc_id, url, ent_type, s, e, surf))
             yield pd.DataFrame(rows, columns=[f.name for f in MENTION_SCHEMA.fields])
 

@@ -16,27 +16,29 @@ oracles in pytest instead.
 
 All numeric outputs are cast to match the engine's Spark types
 (int32 offsets, int64 ids/counts) and every computed column is aliased
-identically on both sides.
+identically on both sides.  Floats are only ever emitted as
+floor-scaled integers (see operators/evaluate.py).
 """
 
 from __future__ import annotations
 
-from ..config import (GAZETTEER, MAX_LEN_TOKENS, MAX_PAIR_GAP_CHARS)
+from ..config import (GAZETTEER, MAX_LEN_TOKENS, MAX_PAIR_GAP_CHARS,
+                      perturbed_gazetteer)
 
 SEP_CLASS = "[\\n \\t]"
 
 
-def gaz_values() -> str:
+def gaz_values(name: str, gazetteer) -> str:
     rows = ",\n    ".join(
         f"('{alias}', '{etype}', '{canon}', {len(alias.split(' '))})"
-        for alias, etype, canon in GAZETTEER
+        for alias, etype, canon in gazetteer
     )
-    return ("gaz(alias, ent_type, canonical_id, n) AS (\n  SELECT * FROM (VALUES\n    "
+    return (f"{name}(alias, ent_type, canonical_id, n) AS (\n  SELECT * FROM (VALUES\n    "
             + rows + "\n  ) v(alias, ent_type, canonical_id, n)\n)")
 
 
-def base_ctes(max_len: int = MAX_LEN_TOKENS) -> str:
-    """Shared CTE chain: pages -> toks -> shards -> mentions."""
+def toks_ctes(max_len: int = MAX_LEN_TOKENS) -> str:
+    """pages -> toks -> shards (gazetteer-independent)."""
     return f"""
 pages AS (
   SELECT doc_id,
@@ -89,93 +91,221 @@ shards AS (
            LEAD(first_tok_end) OVER (PARTITION BY doc_id ORDER BY shard_id) AS lead_fte
     FROM shard0
   )
-),
-uni AS (
+)"""
+
+
+def mention_ctes(gaz: str, sfx: str = "") -> str:
+    """toks + {gaz} -> mentions{sfx} -> ... -> triples{sfx}."""
+    return f"""
+uni{sfx} AS (
   SELECT t.doc_id, t.url, g.ent_type, t.char_start AS start, t.char_end AS "end",
          t.token AS ent_text
-  FROM toks t JOIN gaz g ON g.n = 1 AND lower(t.token) = g.alias
+  FROM toks t JOIN {gaz} g ON g.n = 1 AND lower(t.token) = g.alias
   WHERE t.char_start > 0 AND t.char_end < t.text_len
 ),
-bi AS (
+bi{sfx} AS (
   SELECT t1.doc_id, t1.url, g.ent_type, t1.char_start AS start, t2.char_end AS "end",
          substr(t1.text, t1.char_start + 1, t2.char_end - t1.char_start) AS ent_text
   FROM toks t1
   JOIN toks t2 ON t1.doc_id = t2.doc_id AND t2.tok_idx = t1.tok_idx + 1
               AND t2.char_start = t1.char_end + 1
-  JOIN gaz g ON g.n = 2 AND lower(t1.token || ' ' || t2.token) = g.alias
+  JOIN {gaz} g ON g.n = 2 AND lower(t1.token || ' ' || t2.token) = g.alias
   WHERE t1.char_start > 0 AND t2.char_end < t1.text_len
     AND substr(t1.text, t1.char_end + 1, 1) = ' '
 ),
-mentions AS (
+mentions{sfx} AS (
   SELECT doc_id, url,
          'T' || CAST(ROW_NUMBER() OVER (
              PARTITION BY url ORDER BY start, "end", ent_type) AS VARCHAR) AS ent_id,
          ent_type, start, "end", ent_text
-  FROM (SELECT * FROM uni UNION ALL SELECT * FROM bi)
+  FROM (SELECT * FROM uni{sfx} UNION ALL SELECT * FROM bi{sfx})
   WHERE regexp_matches(ent_text, '[0-9A-Za-z]')
 ),
-winm AS (
+winm{sfx} AS (
   SELECT m.doc_id, m.url, m.ent_id, m.ent_type, m.start, m."end", m.ent_text,
          s.shard_id
-  FROM mentions m JOIN shards s
+  FROM mentions{sfx} m JOIN shards s
     ON m.url = s.url AND s.re_start IS NOT NULL
    AND m.start >= s.re_start AND m."end" < s.re_end
 ),
-pairs0 AS (
+pairs0{sfx} AS (
   SELECT h.doc_id, h.url, h.shard_id,
          a.ent_type || '-Topic' AS rel_type,
          h.ent_id AS hub_id, h.ent_text AS hub_text,
          h.start AS hub_start, h."end" AS hub_end,
          a.ent_id AS attr_id, a.ent_type AS attr_type, a.ent_text AS attr_text,
          a.start AS attr_start, a."end" AS attr_end
-  FROM winm h JOIN winm a ON h.url = a.url AND h.shard_id = a.shard_id
+  FROM winm{sfx} h JOIN winm{sfx} a ON h.url = a.url AND h.shard_id = a.shard_id
   WHERE h.ent_type = 'Topic' AND a.ent_type <> 'Topic'
 ),
-candidates AS (
+candidates{sfx} AS (
   SELECT *,
          CAST(greatest(greatest(hub_start, attr_start) - least(hub_end, attr_end), 0) AS INT) AS gap,
          'R' || CAST(ROW_NUMBER() OVER (PARTITION BY url ORDER BY
              shard_id, hub_start, hub_end, attr_start, attr_end, rel_type) AS VARCHAR) AS rel_id
-  FROM pairs0
+  FROM pairs0{sfx}
 ),
-relations AS (
+relations{sfx} AS (
   SELECT doc_id, url, shard_id, rel_type, hub_id, hub_text, hub_start, hub_end,
          attr_id, attr_type, attr_text, attr_start, attr_end, gap,
          'R' || CAST(ROW_NUMBER() OVER (PARTITION BY url ORDER BY
              shard_id, hub_start, hub_end, attr_start, attr_end, rel_type) AS VARCHAR) AS rel_id
-  FROM candidates WHERE gap <= {MAX_PAIR_GAP_CHARS}
+  FROM candidates{sfx} WHERE gap <= {MAX_PAIR_GAP_CHARS}
 ),
-triples AS (
+triples{sfx} AS (
   SELECT DISTINCT doc_id, url, hub_id AS subj_id, hub_text AS subj,
          attr_type AS pred, attr_text AS obj
-  FROM relations
+  FROM relations{sfx}
 )"""
 
 
-def with_base(select: str, max_len: int = MAX_LEN_TOKENS) -> str:
-    return f"WITH {gaz_values()},{base_ctes(max_len)}\n{select}"
+LINK_CTES = """
+linked AS (
+  SELECT m.doc_id, m.url, m.ent_id, m.ent_type, m.start, m."end", m.ent_text,
+         COALESCE(g.canonical_id, 'surface:' || lower(m.ent_text)) AS canonical_id
+  FROM mentions m LEFT JOIN gaz g
+    ON lower(m.ent_text) = g.alias AND m.ent_type = g.ent_type
+),
+cc_nodes AS (SELECT DISTINCT canonical_id AS node FROM linked),
+ov_edges AS (
+  SELECT DISTINCT a.canonical_id AS src, b.canonical_id AS dst
+  FROM linked a JOIN linked b
+    ON a.url = b.url AND a.start < b."end" AND b.start < a."end"
+   AND a.canonical_id < b.canonical_id
+),
+sym_edges AS (SELECT src, dst FROM ov_edges UNION SELECT dst AS src, src AS dst FROM ov_edges),
+reach(node, comp) AS (
+  SELECT node, node AS comp FROM cc_nodes
+  UNION
+  SELECT e.dst AS node, r.comp FROM reach r JOIN sym_edges e ON e.src = r.node
+),
+components AS (SELECT node, MIN(comp) AS component FROM reach GROUP BY node)"""
+
+
+EVAL_SPAN_CTES = """
+matches AS (
+  SELECT g.url, g.ent_type, g.start AS g_start, g."end" AS g_end,
+         p.start AS p_start, p."end" AS p_end
+  FROM mentions g JOIN mentions_sys p
+    ON g.url = p.url AND g.ent_type = p.ent_type
+   AND g.start = p.start AND g."end" = p."end"
+),
+pared AS (
+  SELECT * FROM (
+    SELECT *, ROW_NUMBER() OVER (
+        PARTITION BY url, ent_type, p_start, p_end ORDER BY g_start, g_end) AS _rp
+    FROM (
+      SELECT *, ROW_NUMBER() OVER (
+          PARTITION BY url, ent_type, g_start, g_end ORDER BY p_start, p_end) AS _rg
+      FROM matches) WHERE _rg = 1
+  ) WHERE _rp = 1
+),
+counts AS (
+  SELECT COALESCE(ng.ent_type, np.ent_type) AS ent_type,
+         CAST(COALESCE(t.tp, 0) AS BIGINT) AS tp,
+         CAST(COALESCE(ng.n_gold, 0) AS BIGINT) AS n_gold,
+         CAST(COALESCE(np.n_pred, 0) AS BIGINT) AS n_pred
+  FROM (SELECT ent_type, COUNT(*) AS n_gold FROM mentions GROUP BY 1) ng
+  FULL JOIN (SELECT ent_type, COUNT(*) AS n_pred FROM mentions_sys GROUP BY 1) np
+    ON ng.ent_type = np.ent_type
+  LEFT JOIN (SELECT ent_type, COUNT(*) AS tp FROM pared GROUP BY 1) t
+    ON COALESCE(ng.ent_type, np.ent_type) = t.ent_type
+)"""
+
+PRF_SELECT = """
+SELECT {dims} tp, n_gold, n_pred,
+       CAST(n_pred - tp AS BIGINT) AS fp,
+       CAST(n_gold - tp AS BIGINT) AS fn,
+       CAST(floor((CASE WHEN n_pred > 0 THEN tp / n_pred ELSE 0 END) * 1000000) AS BIGINT) AS p_micro6,
+       CAST(floor((CASE WHEN n_gold > 0 THEN tp / n_gold ELSE 0 END) * 1000000) AS BIGINT) AS r_micro6,
+       CAST(floor((CASE WHEN (CASE WHEN n_pred > 0 THEN tp / n_pred ELSE 0 END)
+                           + (CASE WHEN n_gold > 0 THEN tp / n_gold ELSE 0 END) > 0
+                   THEN 2 * (CASE WHEN n_pred > 0 THEN tp / n_pred ELSE 0 END)
+                          * (CASE WHEN n_gold > 0 THEN tp / n_gold ELSE 0 END)
+                          / ((CASE WHEN n_pred > 0 THEN tp / n_pred ELSE 0 END)
+                           + (CASE WHEN n_gold > 0 THEN tp / n_gold ELSE 0 END))
+                   ELSE 0 END) * 1000000) AS BIGINT) AS f1_micro6
+FROM {src}"""
+
+
+def _assemble(*blocks: str, select: str) -> str:
+    body = ",".join(b for b in blocks if b)
+    return f"WITH RECURSIVE {body}\n{select}"
+
+
+GAZ = gaz_values("gaz", GAZETTEER)
+GAZ_SYS = gaz_values("gaz_sys", perturbed_gazetteer())
+BASE = GAZ + "," + toks_ctes() + "," + mention_ctes("gaz")
+SYS = GAZ_SYS + "," + mention_ctes("gaz_sys", sfx="_sys")
+
+
+def _q(select: str, *extra: str) -> str:
+    return _assemble(BASE, *extra, select=select)
 
 
 ORACLE: dict[str, str] = {
-    "extract_text": with_base(
+    "extract_text": _q(
         "SELECT doc_id, url, sha256(text) AS text_sha, CAST(length(text) AS INT) AS n_chars FROM pages"),
-    "tokenize": with_base(
+    "tokenize": _q(
         "SELECT doc_id, url, tok_idx, token, char_start, char_end FROM toks"),
-    "shards": with_base(
+    "shards": _q(
         "SELECT doc_id, url, shard_id, tok_start, tok_end, char_start, char_end, "
         "re_start, re_end, n_tokens FROM shards"),
-    "mentions": with_base(
+    "mentions": _q(
         'SELECT doc_id, url, ent_id, ent_type, start, "end", ent_text FROM mentions'),
-    "candidates": with_base(
+    "candidates": _q(
         "SELECT doc_id, url, shard_id, rel_id, rel_type, hub_id, hub_text, hub_start, hub_end, "
         "attr_id, attr_type, attr_text, attr_start, attr_end, gap FROM candidates"),
-    "relations": with_base(
+    "relations": _q(
         "SELECT doc_id, url, rel_id, rel_type, hub_id, attr_id, gap FROM relations"),
-    "triples": with_base(
+    "triples": _q(
         "SELECT doc_id, url, subj_id, subj, pred, obj FROM triples"),
-    "wide_table": with_base(
+    "wide_table": _q(
         "SELECT url, subj_id, subj, pred, string_agg(obj, chr(10) ORDER BY obj) AS obj_texts, "
         "CAST(COUNT(*) AS BIGINT) AS n_objs FROM triples GROUP BY url, subj_id, subj, pred"),
-    "distinct_subjects": with_base(
+    "distinct_subjects": _q(
         "SELECT DISTINCT url, subj_id, subj FROM triples"),
+    "link_mentions": _q(
+        'SELECT doc_id, url, ent_id, ent_type, start, "end", ent_text, canonical_id FROM linked',
+        LINK_CTES),
+    "canonical_components": _q(
+        "SELECT node, component FROM components", LINK_CTES),
+    "graph_nodes": _q(
+        "SELECT l.canonical_id, c.component, MIN(l.ent_type) AS ent_type, "
+        "CAST(COUNT(*) AS BIGINT) AS n_mentions "
+        "FROM linked l JOIN components c ON l.canonical_id = c.node "
+        "GROUP BY l.canonical_id, c.component",
+        LINK_CTES),
+    "graph_edges": _q(
+        """SELECT s.component AS subj_node, t.pred,
+       COALESCE(oc.component, COALESCE(og.canonical_id, 'surface:' || lower(t.obj))) AS obj_node,
+       CAST(COUNT(*) AS BIGINT) AS weight
+FROM triples t
+JOIN linked l ON t.url = l.url AND t.subj_id = l.ent_id
+JOIN components s ON l.canonical_id = s.node
+LEFT JOIN gaz og ON lower(t.obj) = og.alias
+LEFT JOIN components oc
+       ON COALESCE(og.canonical_id, 'surface:' || lower(t.obj)) = oc.node
+GROUP BY 1, 2, 3""",
+        LINK_CTES),
+    "eval_mentions": _assemble(
+        BASE, SYS, EVAL_SPAN_CTES,
+        select=PRF_SELECT.format(dims="ent_type, ", src="counts")),
+    "eval_mentions_micro": _assemble(
+        BASE, SYS, EVAL_SPAN_CTES,
+        select=PRF_SELECT.format(
+            dims="",
+            src="(SELECT CAST(SUM(tp) AS BIGINT) AS tp, CAST(SUM(n_gold) AS BIGINT) AS n_gold, "
+                "CAST(SUM(n_pred) AS BIGINT) AS n_pred FROM counts)")),
+    "eval_triples": _assemble(
+        BASE, SYS,
+        select=PRF_SELECT.format(
+            dims="",
+            src="""(
+  SELECT CAST((SELECT COUNT(*) FROM
+          (SELECT DISTINCT url, subj, pred, obj FROM triples
+           INTERSECT SELECT DISTINCT url, subj, pred, obj FROM triples_sys)) AS BIGINT) AS tp,
+         CAST((SELECT COUNT(*) FROM (SELECT DISTINCT url, subj, pred, obj FROM triples)) AS BIGINT) AS n_gold,
+         CAST((SELECT COUNT(*) FROM (SELECT DISTINCT url, subj, pred, obj FROM triples_sys)) AS BIGINT) AS n_pred
+)""")),
 }

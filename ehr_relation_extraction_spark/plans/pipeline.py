@@ -33,10 +33,11 @@ class PipelineFrames:
 
 def build(pages_raw: DataFrame,
           max_len: int = MAX_LEN_TOKENS,
-          max_gap: int = MAX_PAIR_GAP_CHARS) -> PipelineFrames:
+          max_gap: int = MAX_PAIR_GAP_CHARS,
+          gazetteer: tuple | None = None) -> PipelineFrames:
     pages = extract_text(pages_raw)
     shards = ner.build_shards(pages, max_len=max_len)
-    mentions = ner.detect_mentions_df(pages)
+    mentions = ner.detect_mentions_df(pages, gazetteer=gazetteer)
     windowed = pairs_op.shard_mentions(mentions, shards)
     candidates = pairs_op.candidate_pairs(windowed)
     classified = rel_op.classify_rule(candidates, max_gap=max_gap)
@@ -48,6 +49,7 @@ def build(pages_raw: DataFrame,
 
 def build_from_documents(spark: SparkSession, sf_dir: str,
                          max_len: int = MAX_LEN_TOKENS,
-                         max_gap: int = MAX_PAIR_GAP_CHARS) -> PipelineFrames:
+                         max_gap: int = MAX_PAIR_GAP_CHARS,
+                         gazetteer: tuple | None = None) -> PipelineFrames:
     return build(pages_from_documents(spark, sf_dir),
-                 max_len=max_len, max_gap=max_gap)
+                 max_len=max_len, max_gap=max_gap, gazetteer=gazetteer)
