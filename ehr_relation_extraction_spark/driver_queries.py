@@ -12,10 +12,13 @@ from collections.abc import Callable
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
 from .config import perturbed_gazetteer
+from .functions import textstats as ts
 from .plans.pipeline import build_from_documents
+from .operators import dedup as dd
 from .operators import evaluate as ev
+from .operators import events as evt
 from .operators import linking as lk
-from .operators import ner, triples as tri_op
+from .operators import ner, similarity as sim, triples as tri_op
 from .oracle.sqlgen import ORACLE
 
 
@@ -133,6 +136,84 @@ def q_eval_triples(spark, sf_dir) -> DataFrame:
     return ev.prf_triples(gold.triples, sys_.triples).select(*_PRF_COLS)
 
 
+def _docs(spark, sf_dir):
+    return spark.read.parquet(f"{sf_dir}/documents.parquet")
+
+
+def _emb(spark, sf_dir):
+    return spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+
+
+def q_dedup_exact(spark, sf_dir) -> DataFrame:
+    return dd.exact_dedup(_docs(spark, sf_dir)).select(
+        "doc_id", "text_md5", "group_size", "is_canonical")
+
+
+def q_minhash_signatures(spark, sf_dir) -> DataFrame:
+    return dd.minhash_signatures(dd.shingles(_docs(spark, sf_dir))).select(
+        "doc_id", "seed", "minhash")
+
+
+def q_lsh_bands(spark, sf_dir) -> DataFrame:
+    sh = dd.shingles(_docs(spark, sf_dir))
+    return dd.lsh_bands(dd.minhash_signatures(sh)).select(
+        "doc_id", "band", "band_sig")
+
+
+def q_near_duplicates(spark, sf_dir) -> DataFrame:
+    sh = dd.shingles(_docs(spark, sf_dir))
+    pairs = dd.lsh_candidate_pairs(dd.lsh_bands(dd.minhash_signatures(sh)))
+    return dd.verify_jaccard(pairs, sh).select(
+        "doc_a", "doc_b", "n_inter", "n_union", "jaccard_pct")
+
+
+def q_simhash(spark, sf_dir) -> DataFrame:
+    return dd.simhash(_docs(spark, sf_dir)).select("doc_id", "simhash")
+
+
+def q_quality_features(spark, sf_dir) -> DataFrame:
+    return ts.quality_features(_docs(spark, sf_dir)).select(
+        "doc_id", "n_tokens", "n_chars", "n_distinct_tokens",
+        "n_stopwords", "avg_token_len_x100")
+
+
+def q_lang_id(spark, sf_dir) -> DataFrame:
+    return ts.lang_id(_docs(spark, sf_dir)).select(
+        "doc_id", "lang", "pred_lang", "is_match")
+
+
+def q_token_count_bpe(spark, sf_dir) -> DataFrame:
+    return ts.token_count_bpe(_docs(spark, sf_dir)).select(
+        "doc_id", "n_ws_tokens", "n_bpe_ish")
+
+
+def q_fingerprint(spark, sf_dir) -> DataFrame:
+    return ts.fingerprint(_docs(spark, sf_dir)).select(
+        "doc_id", "fingerprint", "n_shingles")
+
+
+def q_similarity_topk(spark, sf_dir) -> DataFrame:
+    return sim.brute_force_topk(_emb(spark, sf_dir)).select(
+        "query_id", "rank", "neighbor_id", "sim_micro6")
+
+
+def q_ann_buckets(spark, sf_dir) -> DataFrame:
+    return sim.sign_buckets(_emb(spark, sf_dir)).select(
+        "vec_id", "bucket", "bucket_size")
+
+
+def q_ann_topk(spark, sf_dir) -> DataFrame:
+    return sim.ann_topk(_emb(spark, sf_dir)).select(
+        "query_id", "rank", "neighbor_id", "sim_micro6")
+
+
+def q_events_hourly(spark, sf_dir) -> DataFrame:
+    ev_df = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return evt.hourly_rollup(ev_df).select(
+        "window_start", "event_type", "n", "sum_value_x100",
+        "min_value", "max_value")
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "extract_text": q_extract_text,
     "tokenize": q_tokenize,
@@ -150,6 +231,19 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "eval_mentions": q_eval_mentions,
     "eval_mentions_micro": q_eval_mentions_micro,
     "eval_triples": q_eval_triples,
+    "dedup_exact": q_dedup_exact,
+    "minhash_signatures": q_minhash_signatures,
+    "lsh_bands": q_lsh_bands,
+    "near_duplicates": q_near_duplicates,
+    "simhash": q_simhash,
+    "quality_features": q_quality_features,
+    "lang_id": q_lang_id,
+    "token_count_bpe": q_token_count_bpe,
+    "fingerprint": q_fingerprint,
+    "similarity_topk": q_similarity_topk,
+    "ann_buckets": q_ann_buckets,
+    "ann_topk": q_ann_topk,
+    "events_hourly": q_events_hourly,
 }
 
 

@@ -1,0 +1,139 @@
+"""Deduplication operators for training-data pipelines.
+
+Beyond the reference's single ``drop_duplicates`` (utils.py:553), a
+100 TB web corpus needs near-dup detection.  All hashing is md5-based
+(identical hex output in Spark and DuckDB) so every stage has an exact
+SQL oracle; everything is built-in JVM expressions — no Python in the
+hot path.
+
+Scale design:
+- exact dedup: one hash-aggregate (map-side partial) on ``md5(text)``.
+- minhash: explode shingles once, compute all K permutations as
+  ``min(md5(seed || shingle))`` in a single grouped aggregate (K
+  columns, not K passes).
+- LSH: band signatures -> self-join on (band, signature) — candidate
+  generation is an equi-join, never an all-pairs product; verification
+  (true Jaccard) runs only on candidates.
+- simhash: explode tokens, per-bit majority vote via sum of ±1
+  contributions from the token hash bits; one aggregate.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window, functions as F
+
+from ..config import (JACCARD_THRESHOLD_PCT, LSH_BANDS, MINHASH_PERMS,
+                      SHINGLE_K, SIMHASH_BITS)
+
+
+def exact_dedup(docs: DataFrame) -> DataFrame:
+    """(doc_id, text_md5, group_size, is_canonical) — canonical = min id."""
+    h = docs.select("doc_id", F.md5("text").alias("text_md5"))
+    w = Window.partitionBy("text_md5")
+    return (h.withColumn("group_size", F.count(F.lit(1)).over(w).cast("long"))
+             .withColumn("is_canonical",
+                         (F.col("doc_id") == F.min("doc_id").over(w)).cast("int")))
+
+
+def shingles(docs: DataFrame, k: int = SHINGLE_K) -> DataFrame:
+    """Distinct token k-gram shingles per doc (JVM-side: split +
+    transform over a sliding index range — no UDF)."""
+    toks = F.filter(F.split(F.col("text"), "[\n \t]"), lambda t: t != "")
+    n = F.size(toks)
+    # sequence(0, -1) would produce a DESCENDING range — guard short docs
+    idx = F.when(n >= k, F.sequence(F.lit(0), n - k)).otherwise(
+        F.array().cast("array<int>"))
+    grams = F.transform(idx, lambda i: F.array_join(F.slice(toks, i + 1, k), " "))
+    return (docs.select("doc_id", F.explode(grams).alias("shingle"))
+            .dropDuplicates(["doc_id", "shingle"]))
+
+
+def minhash_signatures(sh: DataFrame,
+                       perms: int = MINHASH_PERMS) -> DataFrame:
+    """(doc_id, seed, minhash): K md5-keyed min-hashes per doc.
+
+    Computed as one grouped aggregate with K min() columns, then
+    unpivoted — a single shuffle regardless of K.
+    """
+    aggs = [F.min(F.md5(F.concat(F.lit(f"{i}:"), F.col("shingle")))).alias(f"h{i}")
+            for i in range(perms)]
+    wide = sh.groupBy("doc_id").agg(*aggs)
+    pairs = F.array(*[
+        F.struct(F.lit(i).alias("seed"), F.col(f"h{i}").alias("minhash"))
+        for i in range(perms)])
+    return (wide.select("doc_id", F.explode(pairs).alias("p"))
+            .select("doc_id", F.col("p.seed").cast("int").alias("seed"),
+                    F.col("p.minhash").alias("minhash")))
+
+
+def lsh_bands(sigs: DataFrame, bands: int = LSH_BANDS,
+              perms: int = MINHASH_PERMS) -> DataFrame:
+    """(doc_id, band, band_sig): md5 of the concatenated band slice."""
+    rows = perms // bands
+    banded = sigs.withColumn("band", (F.col("seed") / rows).cast("int"))
+    return (banded.groupBy("doc_id", "band")
+            .agg(F.md5(F.concat_ws("|", F.array_sort(
+                F.collect_list(F.concat_ws(":", "seed", "minhash"))))).alias("band_sig")))
+
+
+def lsh_candidate_pairs(bands_df: DataFrame) -> DataFrame:
+    """Distinct (doc_a < doc_b) pairs sharing at least one band."""
+    a = bands_df.alias("a")
+    b = bands_df.alias("b")
+    return (a.join(b, (F.col("a.band") == F.col("b.band"))
+                   & (F.col("a.band_sig") == F.col("b.band_sig"))
+                   & (F.col("a.doc_id") < F.col("b.doc_id")))
+            .select(F.col("a.doc_id").alias("doc_a"),
+                    F.col("b.doc_id").alias("doc_b"))
+            .dropDuplicates())
+
+
+def verify_jaccard(pairs: DataFrame, sh: DataFrame,
+                   threshold_pct: int = JACCARD_THRESHOLD_PCT) -> DataFrame:
+    """True shingle-set Jaccard per candidate pair, integer outputs:
+    (doc_a, doc_b, n_inter, n_union, jaccard_pct); filtered to
+    jaccard_pct >= threshold."""
+    sa = sh.select(F.col("doc_id").alias("doc_a"), "shingle")
+    sb = sh.select(F.col("doc_id").alias("doc_b"), "shingle")
+    inter = (pairs.join(sa, "doc_a").join(sb, ["doc_b", "shingle"])
+             .groupBy("doc_a", "doc_b")
+             .agg(F.count(F.lit(1)).cast("long").alias("n_inter")))
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).cast("long").alias("n_sh"))
+    out = (pairs
+           .join(sizes.withColumnRenamed("doc_id", "doc_a")
+                      .withColumnRenamed("n_sh", "n_a"), "doc_a")
+           .join(sizes.withColumnRenamed("doc_id", "doc_b")
+                      .withColumnRenamed("n_sh", "n_b"), "doc_b")
+           .join(inter, ["doc_a", "doc_b"], "left")
+           .fillna(0, ["n_inter"])
+           .withColumn("n_union", (F.col("n_a") + F.col("n_b") - F.col("n_inter")).cast("long"))
+           .withColumn("jaccard_pct",
+                       F.floor(F.lit(100) * F.col("n_inter") / F.col("n_union")).cast("long")))
+    return (out.where(F.col("jaccard_pct") >= threshold_pct)
+            .select("doc_a", "doc_b", "n_inter", "n_union", "jaccard_pct"))
+
+
+def simhash(docs: DataFrame, bits: int = SIMHASH_BITS) -> DataFrame:
+    """(doc_id, simhash) — per-bit majority over token hashes.
+
+    Bit b of a token's hash = bit (b % 4) of hex nibble (b // 4) of
+    md5(token); contribution is +1/-1; simhash bit = (sum > 0).
+    Token multiplicity counts (multiset simhash).
+    """
+    tok = F.explode(F.filter(F.split(F.col("text"), "[\n \t]"), lambda t: t != ""))
+    t = docs.select("doc_id", tok.alias("token"))
+    t = t.withColumn("h", F.md5("token"))
+    nib = [F.conv(F.substring("h", i + 1, 1), 16, 10).cast("int").alias(f"n{i}")
+           for i in range((bits + 3) // 4)]
+    t = t.select("doc_id", *nib)
+    votes = [
+        F.sum(F.when(F.shiftright(F.col(f"n{b // 4}"), b % 4).bitwiseAND(1) == 1,
+                     1).otherwise(-1)).alias(f"v{b}")
+        for b in range(bits)
+    ]
+    agg = t.groupBy("doc_id").agg(*votes)
+    val = None
+    for b in range(bits):
+        bit = F.when(F.col(f"v{b}") > 0, F.lit(1)).otherwise(F.lit(0)) * F.lit(1 << b)
+        val = bit if val is None else val + bit
+    return agg.select("doc_id", val.cast("long").alias("simhash"))

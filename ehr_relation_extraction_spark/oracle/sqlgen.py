@@ -228,6 +228,92 @@ SELECT {dims} tp, n_gold, n_pred,
 FROM {src}"""
 
 
+from ..config import (JACCARD_THRESHOLD_PCT, LSH_BANDS, MINHASH_PERMS,
+                      SHINGLE_K, SIMHASH_BITS, STOPWORDS, TOPK_NEIGHBORS,
+                      ANN_SIGN_BITS)
+
+DEDUP_CTES = f"""
+sh AS (
+  SELECT DISTINCT doc_id, token || ' ' || t1 || ' ' || t2 AS shingle
+  FROM (SELECT doc_id, token,
+          LEAD(token, 1) OVER (PARTITION BY doc_id ORDER BY tok_idx) AS t1,
+          LEAD(token, 2) OVER (PARTITION BY doc_id ORDER BY tok_idx) AS t2
+        FROM toks)
+  WHERE t1 IS NOT NULL AND t2 IS NOT NULL
+),
+mh AS (
+  SELECT doc_id, seed,
+         MIN(md5(CAST(seed AS VARCHAR) || ':' || shingle)) AS minhash
+  FROM sh CROSS JOIN (SELECT unnest(range({MINHASH_PERMS})) AS seed)
+  GROUP BY doc_id, seed
+),
+bands AS (
+  SELECT doc_id, CAST(seed // {MINHASH_PERMS // LSH_BANDS} AS INT) AS band,
+         md5(string_agg(CAST(seed AS VARCHAR) || ':' || minhash, '|'
+             ORDER BY CAST(seed AS VARCHAR) || ':' || minhash)) AS band_sig
+  FROM mh GROUP BY doc_id, CAST(seed // {MINHASH_PERMS // LSH_BANDS} AS INT)
+),
+cand AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM bands a JOIN bands b
+    ON a.band = b.band AND a.band_sig = b.band_sig AND a.doc_id < b.doc_id
+),
+sh_sizes AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_sh FROM sh GROUP BY doc_id),
+inter AS (
+  SELECT c.doc_a, c.doc_b, CAST(COUNT(*) AS BIGINT) AS n_inter
+  FROM cand c
+  JOIN sh x ON x.doc_id = c.doc_a
+  JOIN sh y ON y.doc_id = c.doc_b AND y.shingle = x.shingle
+  GROUP BY c.doc_a, c.doc_b
+),
+near_dups AS (
+  SELECT c.doc_a, c.doc_b, COALESCE(i.n_inter, 0) AS n_inter,
+         CAST(sa.n_sh + sb.n_sh - COALESCE(i.n_inter, 0) AS BIGINT) AS n_union,
+         CAST(floor(100 * COALESCE(i.n_inter, 0) /
+              (sa.n_sh + sb.n_sh - COALESCE(i.n_inter, 0))) AS BIGINT) AS jaccard_pct
+  FROM cand c
+  JOIN sh_sizes sa ON sa.doc_id = c.doc_a
+  JOIN sh_sizes sb ON sb.doc_id = c.doc_b
+  LEFT JOIN inter i ON i.doc_a = c.doc_a AND i.doc_b = c.doc_b
+)"""
+
+SIMHASH_CTES = f"""
+simt AS (SELECT doc_id, md5(token) AS h FROM toks),
+votes AS (
+  SELECT doc_id, b,
+         SUM(CASE WHEN ((instr('0123456789abcdef',
+                  substr(h, CAST(b // 4 AS INT) + 1, 1)) - 1) >> CAST(b % 4 AS INT)) & 1 = 1
+                  THEN 1 ELSE -1 END) AS v
+  FROM simt CROSS JOIN (SELECT unnest(range({SIMHASH_BITS})) AS b)
+  GROUP BY doc_id, b
+)"""
+
+_STOP_IN = ", ".join(f"'{s}'" for s in STOPWORDS)
+
+QUALITY_CTES = f"""
+qual AS (
+  SELECT d.doc_id,
+         CAST(COALESCE(t.n_tokens, 0) AS BIGINT) AS n_tokens,
+         CAST(length(d.text) AS BIGINT) AS n_chars,
+         CAST(COALESCE(t.n_distinct_tokens, 0) AS BIGINT) AS n_distinct_tokens,
+         CAST(COALESCE(t.n_stopwords, 0) AS BIGINT) AS n_stopwords,
+         CAST(COALESCE(floor(100.0 * t.sum_len / t.n_tokens), 0) AS BIGINT) AS avg_token_len_x100
+  FROM documents d LEFT JOIN (
+    SELECT doc_id, COUNT(*) AS n_tokens, COUNT(DISTINCT token) AS n_distinct_tokens,
+           SUM(CASE WHEN lower(token) IN ({_STOP_IN}) THEN 1 ELSE 0 END) AS n_stopwords,
+           SUM(length(token)) AS sum_len
+    FROM toks GROUP BY doc_id) t ON d.doc_id = t.doc_id
+)"""
+
+SIM_CTES = f"""
+base AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+),
+normed AS (
+  SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nrm FROM base
+)"""
+
+
 def _assemble(*blocks: str, select: str) -> str:
     body = ",".join(b for b in blocks if b)
     return f"WITH RECURSIVE {body}\n{select}"
@@ -297,6 +383,89 @@ GROUP BY 1, 2, 3""",
             dims="",
             src="(SELECT CAST(SUM(tp) AS BIGINT) AS tp, CAST(SUM(n_gold) AS BIGINT) AS n_gold, "
                 "CAST(SUM(n_pred) AS BIGINT) AS n_pred FROM counts)")),
+    "dedup_exact": (
+        "SELECT doc_id, md5(text) AS text_md5,\n"
+        "  CAST(COUNT(*) OVER (PARTITION BY md5(text)) AS BIGINT) AS group_size,\n"
+        "  CAST(CASE WHEN doc_id = MIN(doc_id) OVER (PARTITION BY md5(text))\n"
+        "       THEN 1 ELSE 0 END AS INT) AS is_canonical\n"
+        "FROM documents"),
+    "minhash_signatures": _assemble(
+        GAZ, toks_ctes(), DEDUP_CTES,
+        select="SELECT doc_id, CAST(seed AS INT) AS seed, minhash FROM mh"),
+    "lsh_bands": _assemble(
+        GAZ, toks_ctes(), DEDUP_CTES,
+        select="SELECT doc_id, band, band_sig FROM bands"),
+    "near_duplicates": _assemble(
+        GAZ, toks_ctes(), DEDUP_CTES,
+        select=("SELECT doc_a, doc_b, n_inter, n_union, jaccard_pct FROM near_dups "
+                f"WHERE jaccard_pct >= {JACCARD_THRESHOLD_PCT}")),
+    "simhash": _assemble(
+        GAZ, toks_ctes(), SIMHASH_CTES,
+        select=("SELECT doc_id, CAST(SUM(CASE WHEN v > 0 THEN 1 << CAST(b AS INT) "
+                "ELSE 0 END) AS BIGINT) AS simhash FROM votes GROUP BY doc_id")),
+    "quality_features": _assemble(
+        GAZ, toks_ctes(), QUALITY_CTES,
+        select=("SELECT doc_id, n_tokens, n_chars, n_distinct_tokens, n_stopwords, "
+                "avg_token_len_x100 FROM qual")),
+    "lang_id": _assemble(
+        GAZ, toks_ctes(), QUALITY_CTES,
+        select=("SELECT d.doc_id, d.lang, "
+                "CASE WHEN 20 * q.n_stopwords >= q.n_tokens THEN 'en' ELSE 'unk' END AS pred_lang, "
+                "CAST(CASE WHEN (CASE WHEN 20 * q.n_stopwords >= q.n_tokens THEN 'en' ELSE 'unk' END) = d.lang "
+                "THEN 1 ELSE 0 END AS INT) AS is_match "
+                "FROM documents d JOIN qual q ON d.doc_id = q.doc_id")),
+    "token_count_bpe": _assemble(
+        GAZ, toks_ctes(),
+        select=("SELECT d.doc_id, CAST(COALESCE(t.n, 0) AS BIGINT) AS n_ws_tokens, "
+                "CAST(len(regexp_extract_all(d.text, '[0-9A-Za-z]+')) "
+                " + len(regexp_extract_all(d.text, '[^0-9A-Za-z \\n\\t]')) AS BIGINT) AS n_bpe_ish "
+                "FROM documents d LEFT JOIN "
+                "(SELECT doc_id, COUNT(*) AS n FROM toks GROUP BY doc_id) t "
+                "ON d.doc_id = t.doc_id")),
+    "fingerprint": _assemble(
+        GAZ, toks_ctes(), DEDUP_CTES,
+        select=("SELECT doc_id, MIN(md5(shingle)) AS fingerprint, "
+                "CAST(COUNT(*) AS BIGINT) AS n_shingles FROM sh GROUP BY doc_id")),
+    "similarity_topk": _assemble(
+        SIM_CTES.lstrip(",").strip(),
+        select=f"""
+SELECT query_id, rank, neighbor_id, sim_micro6 FROM (
+  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+         CAST(floor(1000000 * list_dot_product(q.v, c.v) / (q.nrm * c.nrm)) AS BIGINT) AS sim_micro6,
+         CAST(ROW_NUMBER() OVER (PARTITION BY q.vec_id ORDER BY
+              CAST(floor(1000000 * list_dot_product(q.v, c.v) / (q.nrm * c.nrm)) AS BIGINT) DESC,
+              c.vec_id) AS INT) AS rank
+  FROM normed q JOIN normed c ON q.vec_id <> c.vec_id
+  WHERE q.vec_id < 50
+) WHERE rank <= {TOPK_NEIGHBORS}"""),
+    "ann_buckets": _assemble(
+        SIM_CTES.lstrip(",").strip(),
+        select=("SELECT vec_id, bucket, CAST(COUNT(*) OVER (PARTITION BY bucket) AS BIGINT) AS bucket_size "
+                "FROM (SELECT vec_id, CAST(" + " + ".join(
+                    f"(CASE WHEN v[{i + 1}] >= 0 THEN {1 << i} ELSE 0 END)"
+                    for i in range(ANN_SIGN_BITS)) + " AS INT) AS bucket FROM base)")),
+    "ann_topk": _assemble(
+        SIM_CTES.lstrip(",").strip(),
+        select="""
+, bucketed AS (
+  SELECT n.vec_id, n.v, n.nrm, CAST(""" + " + ".join(
+            f"(CASE WHEN n.v[{i + 1}] >= 0 THEN {1 << i} ELSE 0 END)"
+            for i in range(ANN_SIGN_BITS)) + """ AS INT) AS bucket
+  FROM normed n)
+SELECT query_id, rank, neighbor_id, sim_micro6 FROM (
+  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+         CAST(floor(1000000 * list_dot_product(q.v, c.v) / (q.nrm * c.nrm)) AS BIGINT) AS sim_micro6,
+         CAST(ROW_NUMBER() OVER (PARTITION BY q.vec_id ORDER BY
+              CAST(floor(1000000 * list_dot_product(q.v, c.v) / (q.nrm * c.nrm)) AS BIGINT) DESC,
+              c.vec_id) AS INT) AS rank
+  FROM bucketed q JOIN bucketed c ON q.bucket = c.bucket AND q.vec_id <> c.vec_id
+) WHERE rank <= 3"""),
+    "events_hourly": (
+        "SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS window_start, "
+        "event_type, CAST(COUNT(*) AS BIGINT) AS n, "
+        "CAST(floor(SUM(value) * 100) AS BIGINT) AS sum_value_x100, "
+        "MIN(value) AS min_value, MAX(value) AS max_value "
+        "FROM events GROUP BY 1, 2"),
     "eval_triples": _assemble(
         BASE, SYS,
         select=PRF_SELECT.format(
