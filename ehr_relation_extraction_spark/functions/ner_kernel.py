@@ -1,31 +1,36 @@
 """Gazetteer + pattern mention detection kernel (reference N1/N2/N9).
 
-Semantics (documented deviations from rule_based_ner/dict_ner.py):
+DEFAULT BEHAVIOR IS REFERENCE-FAITHFUL, including the two quirks of
+rule_based_ner/dict_ner.py (the north rule grades triple parity against
+reference semantics, so the quirks are the spec):
 
-- A dictionary mention is an occurrence of an alias (case-insensitive,
-  dict_ner.py:107 ``re.IGNORECASE``) whose immediately preceding and
-  following characters are separator chars.  Because tokens are maximal
-  non-separator runs, this is exactly: the alias aligns to a token
-  n-gram whose char span satisfies ``start > 0 AND end < len(text)``
-  (the reference's regex requires a literal separator on both sides,
-  dict_ner.py:44-45, so document-initial/final words never match — we
-  keep that behavior for parity).
-- DEVIATION 1 (fixed bug): the reference's regex *consumes* the
-  surrounding separators, so in a run of adjacent same-type aliases
-  ``re.finditer`` only matches alternate occurrences.  We match every
-  boundary-valid occurrence.  (dict_ner.py:106-107)
-- DEVIATION 2 (fixed bug): the reference trims one char from both ends
-  of *every* match (dict_ner.py:106 ``m.start()+1, m.end()-1``) — which
-  is correct for dictionary matches (strips the consumed separators)
-  but also fires on the pattern rule whose regex has no separator
-  wrapper (dict_ner.py:78), corrupting those spans.  Our pattern
-  mentions get their true span, boundary-checked the same way.
-- Within one type, aliases never overlap (config.GAZETTEER invariant),
-  mirroring per-type non-overlapping ``finditer``.
-- Post-filter: drop spans with no alphanumeric char (predict.py:345-346).
+1. **Separator consumption / alternation** (dict_ner.py:106-107): the
+   reference regex is ``sep + alias + sep`` per type and ``finditer``
+   consumes the trailing separator, so in a run of *adjacent* same-type
+   matches only alternate occurrences fire.  Token-aligned equivalent
+   (proof in docstring of ``_alternate``): group candidates of one type
+   into islands where each next candidate starts exactly one char after
+   the previous ends, and keep the odd-ranked ones.
+2. **Pattern-rule trim** (dict_ner.py:78,106): the pattern regex has no
+   separator wrapper, yet every match is trimmed by one char on each
+   side — so pattern spans are emitted corrupted, with no boundary
+   requirement.  Replicated verbatim.
 
-The quirk-faithful behavior (alternation + trim) lives in
-``oracle.reference_quirks`` and is used only to measure P/R parity.
+Shared with the reference: matching is case-insensitive
+(dict_ner.py:107), dictionary matches require a separator on BOTH sides
+(document-initial/final words never match, dict_ner.py:44-45), and
+mentions whose text has no alphanumeric char are dropped
+(predict.py:345-346).
+
+``fixed_bugs=True`` switches to the sane semantics (every
+boundary-valid occurrence, true pattern spans) — documented deviation
+mode, not used in the parity-gated paths.
+
+Known edge (documented, untested-by-design): the reference separator
+class ``[\\n| |\\t]`` also contains a literal ``'|'``; a ``'|'``
+*inside* a token can therefore act as a boundary in the reference.  The
+token-aligned kernel does not replicate that; fixtures and corpus
+contain no ``'|'``.
 """
 
 from __future__ import annotations
@@ -51,14 +56,33 @@ _PATTERNS = [(re.compile(pat, re.IGNORECASE), ent_type)
              for pat, ent_type in PATTERN_RULES]
 
 
+def _alternate(cands: list[tuple[int, int]]) -> list[tuple[int, int]]:
+    """Greedy separator-consumption filter for one type.
+
+    finditer on ``sep+alias+sep`` keeps candidate c (span [s, e)) iff
+    its raw match [s-1, e+1) starts at or after the scan cursor, which
+    sits at ``last_kept.end + 1``; i.e. keep iff ``s - last_kept_end >=
+    2``.  For token-aligned, same-type-non-overlapping candidates that
+    is exactly: alternate within maximal chains of start == prev_end+1.
+    """
+    kept: list[tuple[int, int]] = []
+    last_end = None
+    for s, e in sorted(cands):
+        if last_end is None or s - last_end >= 2:
+            kept.append((s, e))
+            last_end = e
+    return kept
+
+
 def detect_mentions(text: str,
                     offsets: list[tuple[str, int, int]],
                     gaz_by_n: dict | None = None,
+                    fixed_bugs: bool = False,
                     ) -> list[tuple[str, int, int, str]]:
     """Return mentions ``[(ent_type, start, end, ent_text), ...]``
     sorted by (start, end, ent_type)."""
     n_text = len(text)
-    found: set[tuple[str, int, int]] = set()
+    by_type: dict[str, set[tuple[int, int]]] = {}
 
     # dictionary aliases via token n-gram alignment
     for n, aliases in (gaz_by_n or _GAZ_BY_N).items():
@@ -70,17 +94,27 @@ def detect_mentions(text: str,
             surface = text[start:end].lower()
             hit = aliases.get(surface)
             if hit is not None:
-                found.add((hit[0], start, end))
+                by_type.setdefault(hit[0], set()).add((start, end))
 
-    # pattern rules (full span, same boundary requirement)
+    found: set[tuple[str, int, int]] = set()
+    for ent_type, cands in by_type.items():
+        spans = sorted(cands) if fixed_bugs else _alternate(sorted(cands))
+        for s, e in spans:
+            found.add((ent_type, s, e))
+
+    # pattern rules
     for rx, ent_type in _PATTERNS:
         for m in rx.finditer(text):
             s, e = m.start(), m.end()
-            if s == 0 or e >= n_text:
-                continue
-            if text[s - 1] not in "\n \t" or text[e] not in "\n \t":
-                continue
-            found.add((ent_type, s, e))
+            if fixed_bugs:
+                if (s == 0 or e >= n_text or text[s - 1] not in "\n \t"
+                        or text[e] not in "\n \t"):
+                    continue
+                found.add((ent_type, s, e))
+            else:
+                # dict_ner.py:106 trims every match by one char per side
+                if e - 1 > s + 1:
+                    found.add((ent_type, s + 1, e - 1))
 
     out = [(t, s, e, text[s:e]) for (t, s, e) in found
            if ALNUM_RE.search(text[s:e])]

@@ -113,13 +113,30 @@ bi{sfx} AS (
   WHERE t1.char_start > 0 AND t2.char_end < t1.text_len
     AND substr(t1.text, t1.char_end + 1, 1) = ' '
 ),
+cands{sfx} AS (SELECT * FROM uni{sfx} UNION ALL SELECT * FROM bi{sfx}),
+-- separator-consumption alternation (dict_ner.py:106-107): within each
+-- (doc, type), candidates chained at start == prev_end + 1 form an
+-- island; finditer keeps the odd-ranked ones (see functions/ner_kernel)
+isl{sfx} AS (
+  SELECT *, SUM(new_isl) OVER (
+      PARTITION BY doc_id, ent_type ORDER BY start
+      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS isl_id
+  FROM (
+    SELECT *, CASE WHEN start - LAG("end") OVER (
+        PARTITION BY doc_id, ent_type ORDER BY start) = 1
+        THEN 0 ELSE 1 END AS new_isl
+    FROM cands{sfx})
+),
 mentions{sfx} AS (
   SELECT doc_id, url,
          'T' || CAST(ROW_NUMBER() OVER (
              PARTITION BY url ORDER BY start, "end", ent_type) AS VARCHAR) AS ent_id,
          ent_type, start, "end", ent_text
-  FROM (SELECT * FROM uni{sfx} UNION ALL SELECT * FROM bi{sfx})
-  WHERE regexp_matches(ent_text, '[0-9A-Za-z]')
+  FROM (
+    SELECT *, ROW_NUMBER() OVER (
+        PARTITION BY doc_id, ent_type, isl_id ORDER BY start) AS isl_rank
+    FROM isl{sfx})
+  WHERE isl_rank % 2 = 1 AND regexp_matches(ent_text, '[0-9A-Za-z]')
 ),
 winm{sfx} AS (
   SELECT m.doc_id, m.url, m.ent_id, m.ent_type, m.start, m."end", m.ent_text,

@@ -142,18 +142,42 @@ class TestNerKernel:
         # double space -> tokens not adjacent -> no Event match
         assert [m[0] for m in self.run("x fast  key y")] == ["Money"]
 
-    def test_adjacent_run_all_match(self):
-        # DEVIATION 1: every occurrence matches (reference alternates)
+    def test_adjacent_run_alternates(self):
+        # reference quirk (dict_ner.py:106-107): separator consumption
+        # makes adjacent same-type occurrences alternate
         out = self.run("x key key key y")
+        assert [(s, e) for _, s, e, _ in out] == [(2, 5), (10, 13)]
+
+    def test_adjacent_run_all_match_when_fixed(self):
+        from ehr_relation_extraction_spark.functions.text import tokenize_with_offsets
+
+        text = "x key key key y"
+        out = detect_mentions(text, tokenize_with_offsets(text), fixed_bugs=True)
         assert [(s, e) for _, s, e, _ in out] == [(2, 5), (6, 9), (10, 13)]
 
-    def test_pattern_full_span(self):
-        # DEVIATION 2: pattern mentions keep their true span
+    def test_double_space_breaks_island(self):
+        # two separators between occurrences -> both match (scan cursor
+        # has a free separator to consume)
+        out = self.run("x key  key y")
+        assert [(s, e) for _, s, e, _ in out] == [(2, 5), (7, 10)]
+
+    def test_pattern_trimmed_span(self):
+        # reference quirk (dict_ner.py:78,106): the +-1 trim corrupts
+        # pattern spans (no separator wrapper to strip)
         out = self.run("take 25 mg now")
+        assert ("Quantity", 6, 9, "5 m") in out
+
+    def test_pattern_full_span_when_fixed(self):
+        from ehr_relation_extraction_spark.functions.text import tokenize_with_offsets
+
+        text = "take 25 mg now"
+        out = detect_mentions(text, tokenize_with_offsets(text), fixed_bugs=True)
         assert ("Quantity", 5, 10, "25 mg") in out
 
-    def test_pattern_boundary(self):
-        assert all(t != "Quantity" for t, *_ in self.run("25 mg now"))
+    def test_pattern_no_boundary_requirement(self):
+        # faithful mode matches anywhere, trimmed
+        out = self.run("25 mg now")
+        assert ("Quantity", 1, 4, "5 m") in out
 
     def test_case_insensitive(self):
         out = self.run("x SPARK y")
