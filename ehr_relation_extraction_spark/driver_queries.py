@@ -22,8 +22,18 @@ from .operators import ner, similarity as sim, triples as tri_op
 from .oracle.sqlgen import ORACLE
 
 
-def _frames(spark: SparkSession, sf_dir: str):
-    return build_from_documents(spark, sf_dir)
+_FRAME_CACHE: dict[tuple[int, str, bool], object] = {}
+
+
+def _frames(spark: SparkSession, sf_dir: str, perturbed: bool = False):
+    """Per-session frame cache: the driver runs ~30 queries against the
+    same sf_dir; reusing the lazy frames lets Spark reuse the persisted
+    pairing input instead of re-running NER per query."""
+    key = (id(spark), sf_dir, perturbed)
+    if key not in _FRAME_CACHE:
+        gaz = perturbed_gazetteer() if perturbed else None
+        _FRAME_CACHE[key] = build_from_documents(spark, sf_dir, gazetteer=gaz)
+    return _FRAME_CACHE[key]
 
 
 def q_extract_text(spark, sf_dir) -> DataFrame:
@@ -65,6 +75,22 @@ def q_relations(spark, sf_dir) -> DataFrame:
 
 def q_triples(spark, sf_dir) -> DataFrame:
     return _frames(spark, sf_dir).triples.select(
+        "doc_id", "url", "subj_id", "subj", "pred", "obj")
+
+
+def q_relations_fused(spark, sf_dir) -> DataFrame:
+    """Single-Arrow-pass production path; same oracle as `relations`."""
+    from .plans.fused import fused_relations
+
+    return fused_relations(_frames(spark, sf_dir).pages).select(
+        "doc_id", "url", "rel_id", "rel_type", "hub_id", "attr_id", "gap")
+
+
+def q_triples_fused(spark, sf_dir) -> DataFrame:
+    """Single-Arrow-pass production path; same oracle as `triples`."""
+    from .plans.fused import fused_triples
+
+    return fused_triples(_frames(spark, sf_dir).pages).select(
         "doc_id", "url", "subj_id", "subj", "pred", "obj")
 
 
@@ -110,9 +136,7 @@ def q_graph_edges(spark, sf_dir) -> DataFrame:
 
 
 def _eval_frames(spark, sf_dir):
-    gold = _frames(spark, sf_dir)
-    sys_ = build_from_documents(spark, sf_dir, gazetteer=perturbed_gazetteer())
-    return gold, sys_
+    return _frames(spark, sf_dir), _frames(spark, sf_dir, perturbed=True)
 
 
 _PRF_COLS = ["tp", "n_gold", "n_pred", "fp", "fn",
@@ -222,6 +246,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "candidates": q_candidates,
     "relations": q_relations,
     "triples": q_triples,
+    "relations_fused": q_relations_fused,
+    "triples_fused": q_triples_fused,
     "wide_table": q_wide_table,
     "distinct_subjects": q_distinct_subjects,
     "link_mentions": q_link_mentions,

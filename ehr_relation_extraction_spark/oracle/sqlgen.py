@@ -363,6 +363,11 @@ ORACLE: dict[str, str] = {
         "SELECT doc_id, url, rel_id, rel_type, hub_id, attr_id, gap FROM relations"),
     "triples": _q(
         "SELECT doc_id, url, subj_id, subj, pred, obj FROM triples"),
+    # the fused single-pass path must satisfy the SAME oracle
+    "relations_fused": _q(
+        "SELECT doc_id, url, rel_id, rel_type, hub_id, attr_id, gap FROM relations"),
+    "triples_fused": _q(
+        "SELECT doc_id, url, subj_id, subj, pred, obj FROM triples"),
     "wide_table": _q(
         "SELECT url, subj_id, subj, pred, string_agg(obj, chr(10) ORDER BY obj) AS obj_texts, "
         "CAST(COUNT(*) AS BIGINT) AS n_objs FROM triples GROUP BY url, subj_id, subj, pred"),

@@ -34,11 +34,21 @@ class PipelineFrames:
 def build(pages_raw: DataFrame,
           max_len: int = MAX_LEN_TOKENS,
           max_gap: int = MAX_PAIR_GAP_CHARS,
-          gazetteer: tuple | None = None) -> PipelineFrames:
+          gazetteer: tuple | None = None,
+          persist_intermediates: bool = True) -> PipelineFrames:
     pages = extract_text(pages_raw)
     shards = ner.build_shards(pages, max_len=max_len)
     mentions = ner.detect_mentions_df(pages, gazetteer=gazetteer)
     windowed = pairs_op.shard_mentions(mentions, shards)
+    if persist_intermediates:
+        # the hub x attr pairing self-joins `windowed`; without a
+        # persist Catalyst duplicates the whole upstream subtree (two
+        # extra corpus scans + NER passes — fatal at 100 TB).  Mention
+        # rows are ~100x smaller than page text, so MEMORY_AND_DISK is
+        # cheap insurance.
+        from pyspark import StorageLevel
+
+        windowed = windowed.persist(StorageLevel.MEMORY_AND_DISK)
     candidates = pairs_op.candidate_pairs(windowed)
     classified = rel_op.classify_rule(candidates, max_gap=max_gap)
     relations = rel_op.keep_positive(classified)

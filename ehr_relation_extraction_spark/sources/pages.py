@@ -33,8 +33,20 @@ def pages_from_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Column pruning note: downstream stages select only what they need;
     keeping this a lazy projection lets Catalyst prune at the scan.
+
+    Partitioning note: the synthetic corpus ships as ONE parquet file,
+    which would pin every downstream Arrow stage to a single Python
+    worker.  When the scan has fewer splits than the cluster has slots,
+    hash-repartition on url (salted_repartition) so map work spreads —
+    the small-file analogue of the host-skew defeat (SURVEY §4.2.1).
+    At real scale the input has thousands of splits and this is a no-op.
     """
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    slots = spark.sparkContext.defaultParallelism
+    if docs.rdd.getNumPartitions() < slots:
+        from ..operators.skew import salted_repartition
+
+        docs = salted_repartition(docs, "doc_id", num_partitions=slots * 2)
     url = F.concat(F.lit("https://"), F.col("source"),
                    F.lit(".example.com/"), F.col("doc_id").cast("string"))
     warc_ts = F.timestamp_seconds(F.lit(1704067200) + F.col("doc_id"))
