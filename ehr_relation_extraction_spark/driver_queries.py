@@ -168,6 +168,36 @@ def _emb(spark, sf_dir):
     return spark.read.parquet(f"{sf_dir}/embeddings.parquet")
 
 
+def q_iob2_labels(spark, sf_dir) -> DataFrame:
+    from .operators.model_ner import iob2_labels_df
+
+    return iob2_labels_df(_frames(spark, sf_dir).pages).select(
+        "doc_id", "url", "tok_idx", "token", "label")
+
+
+def _labeled_candidates(spark, sf_dir):
+    from .operators import pairs as pairs_op
+
+    gold_frames = _frames(spark, sf_dir, perturbed=True)
+    gold = gold_frames.relations.select(
+        "url", "rel_type",
+        F.col("hub_start").alias("a_start"), F.col("hub_end").alias("a_end"),
+        F.col("attr_start").alias("b_start"), F.col("attr_end").alias("b_end"))
+    return pairs_op.flag_gold(_frames(spark, sf_dir).candidates, gold)
+
+
+def q_candidates_labeled(spark, sf_dir) -> DataFrame:
+    return _labeled_candidates(spark, sf_dir).select(
+        "doc_id", "url", "rel_id", "rel_type", "gap", "label")
+
+
+def q_candidates_sampled(spark, sf_dir) -> DataFrame:
+    from .operators import pairs as pairs_op
+
+    return pairs_op.sample_negatives(_labeled_candidates(spark, sf_dir)) \
+        .select("url", "rel_id", "rel_type", "label")
+
+
 def q_dedup_exact(spark, sf_dir) -> DataFrame:
     return dd.exact_dedup(_docs(spark, sf_dir)).select(
         "doc_id", "text_md5", "group_size", "is_canonical")
@@ -257,6 +287,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "eval_mentions": q_eval_mentions,
     "eval_mentions_micro": q_eval_mentions_micro,
     "eval_triples": q_eval_triples,
+    "iob2_labels": q_iob2_labels,
+    "candidates_labeled": q_candidates_labeled,
+    "candidates_sampled": q_candidates_sampled,
     "dedup_exact": q_dedup_exact,
     "minhash_signatures": q_minhash_signatures,
     "lsh_bands": q_lsh_bands,

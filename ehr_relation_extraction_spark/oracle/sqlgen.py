@@ -405,6 +405,68 @@ GROUP BY 1, 2, 3""",
             dims="",
             src="(SELECT CAST(SUM(tp) AS BIGINT) AS tp, CAST(SUM(n_gold) AS BIGINT) AS n_gold, "
                 "CAST(SUM(n_pred) AS BIGINT) AS n_pred FROM counts)")),
+    "iob2_labels": _q(
+        """
+SELECT t.doc_id, t.url, t.tok_idx, t.token,
+       CASE WHEN c.ent_type IS NULL THEN 'O'
+            WHEN t.char_start = c.first_ts THEN 'B-' || c.ent_type
+            ELSE 'I-' || c.ent_type END AS label
+FROM toks t LEFT JOIN (
+  SELECT * FROM (
+    SELECT t2.doc_id, t2.tok_idx, m.ent_type, m.first_ts,
+           ROW_NUMBER() OVER (PARTITION BY t2.doc_id, t2.tok_idx
+               ORDER BY m.start DESC, m."end" DESC) AS rn
+    FROM toks t2 JOIN (
+      SELECT m0.doc_id, m0.ent_type, m0.start, m0."end",
+             MIN(t3.char_start) AS first_ts
+      FROM mentions m0 JOIN toks t3
+        ON t3.doc_id = m0.doc_id
+       AND t3.char_start >= m0.start AND t3.char_end <= m0."end"
+      GROUP BY m0.doc_id, m0.ent_type, m0.start, m0."end") m
+      ON t2.doc_id = m.doc_id
+     AND t2.char_start >= m.start AND t2.char_end <= m."end")
+  WHERE rn = 1) c
+ON t.doc_id = c.doc_id AND t.tok_idx = c.tok_idx"""),
+    "candidates_labeled": _assemble(
+        BASE, SYS,
+        select="""
+SELECT c.doc_id, c.url, c.rel_id, c.rel_type, c.gap,
+       CAST(CASE WHEN g.url IS NOT NULL THEN 1 ELSE 0 END AS INT) AS label
+FROM candidates c LEFT JOIN (
+  SELECT DISTINCT url, rel_type,
+         least(hub_start, attr_start) AS lo_start,
+         least(hub_end, attr_end) AS lo_end,
+         greatest(hub_start, attr_start) AS hi_start,
+         greatest(hub_end, attr_end) AS hi_end
+  FROM relations_sys) g
+ON c.url = g.url AND c.rel_type = g.rel_type
+ AND least(c.hub_start, c.attr_start) = g.lo_start
+ AND least(c.hub_end, c.attr_end) = g.lo_end
+ AND greatest(c.hub_start, c.attr_start) = g.hi_start
+ AND greatest(c.hub_end, c.attr_end) = g.hi_end"""),
+    "candidates_sampled": _assemble(
+        BASE, SYS,
+        select="""
+SELECT url, rel_id, rel_type, label FROM (
+  SELECT c.url, c.rel_id, c.rel_type,
+         CAST(CASE WHEN g.url IS NOT NULL THEN 1 ELSE 0 END AS INT) AS label
+  FROM candidates c LEFT JOIN (
+    SELECT DISTINCT url, rel_type,
+           least(hub_start, attr_start) AS lo_start,
+           least(hub_end, attr_end) AS lo_end,
+           greatest(hub_start, attr_start) AS hi_start,
+           greatest(hub_end, attr_end) AS hi_end
+    FROM relations_sys) g
+  ON c.url = g.url AND c.rel_type = g.rel_type
+   AND least(c.hub_start, c.attr_start) = g.lo_start
+   AND least(c.hub_end, c.attr_end) = g.lo_end
+   AND greatest(c.hub_start, c.attr_start) = g.hi_start
+   AND greatest(c.hub_end, c.attr_end) = g.hi_end)
+WHERE label = 1
+   OR (16 * (instr('0123456789abcdef',
+            substr(md5(url || ':' || rel_id || ':' || rel_type), 31, 1)) - 1)
+       + (instr('0123456789abcdef',
+            substr(md5(url || ':' || rel_id || ':' || rel_type), 32, 1)) - 1)) < 64"""),
     "dedup_exact": (
         "SELECT doc_id, md5(text) AS text_md5,\n"
         "  CAST(COUNT(*) OVER (PARTITION BY md5(text)) AS BIGINT) AS group_size,\n"

@@ -1,0 +1,105 @@
+"""Model-NER stage (N5-N8): IOB2 labeling, chunk decode (with the
+reference's end-of-sequence quirk), span conversion, and the pluggable
+contract."""
+
+from __future__ import annotations
+
+from ehr_relation_extraction_spark.operators.model_ner import (
+    chunks_to_char_spans, decode_chunks, iob2_labels_for_doc)
+from ehr_relation_extraction_spark.functions.text import tokenize_with_offsets
+
+
+class TestDecodeChunks:
+    def test_simple(self):
+        assert decode_chunks(["O", "B-Topic", "I-Topic", "O"]) == [("Topic", 1, 3)]
+
+    def test_end_of_seq_quirk(self):
+        # predict.py:180-182 closes the last chunk with len(seq)
+        assert decode_chunks(["O", "B-Topic", "I-Topic"]) == [("Topic", 1, 3)]
+        assert decode_chunks(["B-Org"]) == [("Org", 0, 1)]
+
+    def test_b_starts_new_chunk(self):
+        assert decode_chunks(["B-Org", "B-Org"]) == [("Org", 0, 1), ("Org", 1, 2)]
+
+    def test_type_change_inside_i(self):
+        assert decode_chunks(["B-Org", "I-Date"]) == [("Org", 0, 1), ("Date", 1, 2)]
+
+    def test_i_without_b_starts_chunk(self):
+        # reference treats a bare I- as a chunk start (get_chunk_type
+        # only splits on '-'; chunk opens whenever none is open)
+        assert decode_chunks(["O", "I-Misc", "I-Misc"]) == [("Misc", 1, 3)]
+
+
+class TestIob2Labels:
+    def test_alignment(self):
+        text = "x fast key y"
+        toks = tokenize_with_offsets(text)
+        labels = iob2_labels_for_doc(text, toks, [("Event", 2, 10)])
+        assert labels == ["O", "B-Event", "I-Event", "O"]
+
+    def test_overwrite_order(self):
+        # later span (sorted by start,end) overwrites earlier on overlap
+        text = "x fast key y"
+        toks = tokenize_with_offsets(text)
+        labels = iob2_labels_for_doc(
+            text, toks, [("Event", 2, 10), ("Money", 7, 10)])
+        assert labels == ["O", "B-Event", "B-Money", "O"]
+
+    def test_roundtrip_chunks(self):
+        text = "a spark b value c"
+        toks = tokenize_with_offsets(text)
+        spans = [("Topic", 2, 7), ("Money", 10, 15)]
+        labels = iob2_labels_for_doc(text, toks, spans)
+        back = chunks_to_char_spans(toks, decode_chunks(labels))
+        assert back == spans
+
+
+def test_model_plumbing_exact_vs_kernel(spark):
+    """The Spark model path must emit exactly what the pure-Python
+    kernel chain (teacher labels -> decode -> spans) emits per doc —
+    this tests the distributed plumbing, not IOB2 expressiveness."""
+    from ehr_relation_extraction_spark.operators.model_ner import (
+        model_mentions_df, teacher_labels)
+    from ehr_relation_extraction_spark.oracle.fixtures import make_pages, pages_df
+    from ehr_relation_extraction_spark.sources.pages import extract_text
+
+    pages = extract_text(pages_df(spark, n_pages=60))
+    got = {(r["url"], r["ent_type"], r["start"], r["end"])
+           for r in model_mentions_df(pages).collect()}
+    want = set()
+    for p in make_pages(n_pages=60):
+        toks = tokenize_with_offsets(p["text"])
+        if not toks:
+            continue
+        chunks = decode_chunks(teacher_labels(p["text"], toks))
+        for (t, s, e) in chunks_to_char_spans(toks, chunks):
+            want.add((p["url"], t, s, e))
+    assert got == want
+
+
+def test_model_path_recall_on_encodable_mentions(spark):
+    """Where IOB2 *can* encode a mention (token-aligned, not involved
+    in a cross-type overlap), the model path must find it."""
+    from ehr_relation_extraction_spark.functions.ner_kernel import detect_mentions
+    from ehr_relation_extraction_spark.operators.model_ner import (
+        chunks_to_char_spans as to_spans, decode_chunks as dec, teacher_labels)
+    from ehr_relation_extraction_spark.oracle.fixtures import make_pages
+
+    missed = 0
+    total = 0
+    for p in make_pages(n_pages=60):
+        toks = tokenize_with_offsets(p["text"])
+        if not toks:
+            continue
+        gaz = [(t, s, e) for t, s, e, _ in detect_mentions(p["text"], toks)]
+        tok_bounds = {b for _, s0, e0 in toks for b in (s0, e0)}
+        model = set(to_spans(toks, dec(teacher_labels(p["text"], toks))))
+        for (t, s, e) in gaz:
+            aligned = s in tok_bounds and e in tok_bounds
+            overlapped = any(t2 != t and s < e2 and s2 < e
+                             for (t2, s2, e2) in gaz)
+            if aligned and not overlapped:
+                total += 1
+                if (t, s, e) not in model:
+                    missed += 1
+    assert total > 500 and missed == 0
