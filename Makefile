@@ -1,0 +1,34 @@
+# Build/test/bench targets for the PySpark KG-construction engine.
+
+PY ?= python
+DIST = dist/ehr_relation_extraction_spark.zip
+
+.PHONY: test bench scaling package submit-smoke clean
+
+test:
+	$(PY) -m pytest tests/ -x -q
+
+bench:
+	$(PY) bench.py
+
+scaling:
+	$(PY) bench.py --scaling
+
+package:
+	mkdir -p dist
+	rm -f $(DIST)
+	cd . && zip -qr $(DIST) ehr_relation_extraction_spark -x '*__pycache__*'
+
+# end-to-end spark-submit smoke: package the library, ship it with
+# --py-files, run the checkpointed pipeline on the sf0.001 corpus
+submit-smoke: package
+	rm -rf /tmp/kg_submit_smoke
+	spark-submit --master 'local[8]' \
+	  --conf spark.ui.enabled=false \
+	  --py-files $(DIST) \
+	  scripts/submit_pipeline.py \
+	  --from-documents /root/testdata/sf0.001 \
+	  --out /tmp/kg_submit_smoke --run-id smoke
+
+clean:
+	rm -rf dist

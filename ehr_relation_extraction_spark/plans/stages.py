@@ -29,10 +29,22 @@ def _success(path: str) -> bool:
 
 
 class StageRunner:
-    def __init__(self, spark: SparkSession, out_dir: str, run_id: str = "run"):
+    """``fmt``: "parquet" (default) or "iceberg".  The production target
+    is partitioned Iceberg tables (north rule); this sandbox has no
+    iceberg-spark-runtime jar and no network, so parquet stage tables
+    with identical schemas are the documented fallback (SURVEY §7.0).
+    With the jar present, pass fmt="iceberg" and a catalog namespace —
+    stages then land as ``{catalog}.{stage}`` tables and resume checks
+    table existence instead of _SUCCESS markers.
+    """
+
+    def __init__(self, spark: SparkSession, out_dir: str, run_id: str = "run",
+                 fmt: str = "parquet", catalog: str | None = None):
         self.spark = spark
         self.out_dir = out_dir
         self.run_id = run_id
+        self.fmt = fmt
+        self.catalog = catalog
         self.events: list[dict] = []
         os.makedirs(out_dir, exist_ok=True)
 
@@ -46,6 +58,8 @@ class StageRunner:
         rows.write.mode("append").parquet(os.path.join(self.out_dir, "_lineage"))
 
     def run(self, stage: str, build: Callable[[], DataFrame]) -> DataFrame:
+        if self.fmt == "iceberg":
+            return self._run_iceberg(stage, build)
         path = os.path.join(self.out_dir, stage)
         if _success(path):
             self.events.append({"stage": stage, "action": "skipped"})
@@ -53,6 +67,23 @@ class StageRunner:
         t0 = time.time()
         build().write.mode("overwrite").parquet(path)
         out = self.spark.read.parquet(path)
+        wall_ms = int((time.time() - t0) * 1000)
+        self._lineage(stage, out, wall_ms)
+        self.events.append({"stage": stage, "action": "ran", "wall_ms": wall_ms})
+        self._write_manifest()
+        return out
+
+    def _run_iceberg(self, stage: str, build: Callable[[], DataFrame]) -> DataFrame:
+        """Iceberg stage tables (requires iceberg-spark-runtime on the
+        classpath and a configured catalog — untestable in this sandbox,
+        kept as the documented production path)."""
+        name = f"{self.catalog}.{stage}"
+        if self.spark.catalog.tableExists(name):
+            self.events.append({"stage": stage, "action": "skipped"})
+            return self.spark.read.table(name)
+        t0 = time.time()
+        build().writeTo(name).createOrReplace()
+        out = self.spark.read.table(name)
         wall_ms = int((time.time() - t0) * 1000)
         self._lineage(stage, out, wall_ms)
         self.events.append({"stage": stage, "action": "ran", "wall_ms": wall_ms})
