@@ -261,6 +261,35 @@ def q_ann_topk(spark, sf_dir) -> DataFrame:
         "query_id", "rank", "neighbor_id", "sim_micro6")
 
 
+def q_eval_mentions_lenient(spark, sf_dir) -> DataFrame:
+    gold, sys_ = _eval_frames(spark, sf_dir)
+    return ev.prf_by_type(gold.mentions, sys_.mentions, strict=False).select(
+        "ent_type", *_PRF_COLS)
+
+
+def q_eval_mentions_macro(spark, sf_dir) -> DataFrame:
+    gold, sys_ = _eval_frames(spark, sf_dir)
+    return ev.macro_by_doc(gold.mentions, sys_.mentions).select(
+        "n_docs", "macro_f1_micro6")
+
+
+def q_sessionize(spark, sf_dir) -> DataFrame:
+    ev_df = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return evt.sessionize(ev_df).select(
+        "user_id", "session_id", "n_events", "first_ts", "last_ts",
+        "duration_sec")
+
+
+def q_embedding_near_dups(spark, sf_dir) -> DataFrame:
+    return sim.embedding_near_dups(_emb(spark, sf_dir)).select(
+        "vec_a", "vec_b", "sim_micro6")
+
+
+def q_ivf_assign(spark, sf_dir) -> DataFrame:
+    return sim.ivf_assign(_emb(spark, sf_dir)).select(
+        "vec_id", "cell", "cell_size")
+
+
 def q_events_hourly(spark, sf_dir) -> DataFrame:
     ev_df = spark.read.parquet(f"{sf_dir}/events.parquet")
     return evt.hourly_rollup(ev_df).select(
@@ -303,6 +332,11 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "ann_buckets": q_ann_buckets,
     "ann_topk": q_ann_topk,
     "events_hourly": q_events_hourly,
+    "eval_mentions_lenient": q_eval_mentions_lenient,
+    "eval_mentions_macro": q_eval_mentions_macro,
+    "sessionize": q_sessionize,
+    "embedding_near_dups": q_embedding_near_dups,
+    "ivf_assign": q_ivf_assign,
 }
 
 

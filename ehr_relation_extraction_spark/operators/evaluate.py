@@ -84,6 +84,25 @@ def micro_totals(per_type: DataFrame) -> DataFrame:
     return _with_prf(tot)
 
 
+def macro_by_doc(gold: DataFrame, pred: DataFrame,
+                 strict: bool = True) -> DataFrame:
+    """E6 macro roll-up: per-doc F1 averaged over gold docs
+    (Track2-evaluate-ver4.py:453-455 divides by the corpus doc count).
+    Output: one row (n_docs, macro_f1_micro6)."""
+    tp = (pare_down(match_spans(gold, pred, strict))
+          .groupBy("url").agg(F.count(F.lit(1)).cast("long").alias("tp")))
+    n_gold = gold.groupBy("url").agg(F.count(F.lit(1)).cast("long").alias("n_gold"))
+    n_pred = pred.groupBy("url").agg(F.count(F.lit(1)).cast("long").alias("n_pred"))
+    per_doc = (n_gold.join(n_pred, "url", "full").join(tp, "url", "left")
+               .fillna(0, ["tp", "n_gold", "n_pred"]))
+    p = F.when(F.col("n_pred") > 0, F.col("tp") / F.col("n_pred")).otherwise(F.lit(0.0))
+    r = F.when(F.col("n_gold") > 0, F.col("tp") / F.col("n_gold")).otherwise(F.lit(0.0))
+    f1 = F.when((p + r) > 0, 2 * p * r / (p + r)).otherwise(F.lit(0.0))
+    return (per_doc.withColumn("f1", f1)
+            .agg(F.count(F.lit(1)).cast("long").alias("n_docs"),
+                 F.floor(F.avg("f1") * 1000000).cast("long").alias("macro_f1_micro6")))
+
+
 def prf_triples(gold_triples: DataFrame, pred_triples: DataFrame) -> DataFrame:
     """Relation/triple-level eval on distinct (url, subj, pred, obj)
     sets (reference E2 relation match reduced to the triple identity

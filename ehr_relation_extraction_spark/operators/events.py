@@ -8,7 +8,36 @@ min/max are raw parquet values (no arithmetic), exact in any engine.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, functions as F
+from pyspark.sql import DataFrame, Window, functions as F
+
+
+def sessionize(events: DataFrame, gap_minutes: int = 30) -> DataFrame:
+    """Gap-based sessionization per user: a new session starts when the
+    time since the previous event exceeds the gap.  Classic running-sum
+    island detection — one shuffle on user_id.
+
+    Output: (user_id, session_id, n_events, first_ts, last_ts,
+    duration_sec) with session_id = 0-based per user.
+    """
+    # ANSI mode forbids timestamp->long casts; integer-exact epoch
+    # seconds via unix_micros (identical truncation to DuckDB's
+    # epoch_us // 1e6)
+    secs = F.expr("unix_micros(cast(ts as timestamp)) div 1000000")
+    events = events.withColumn("_sec", secs)
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap = F.lag("_sec").over(w)
+    new_sess = gap.isNull() | (F.col("_sec") - gap > gap_minutes * 60)
+    sess = (events
+            .withColumn("_new", new_sess.cast("int"))
+            .withColumn("session_id",
+                        (F.sum("_new").over(
+                            w.rowsBetween(Window.unboundedPreceding, 0)) - 1)
+                        .cast("int")))
+    return (sess.groupBy("user_id", "session_id")
+            .agg(F.count(F.lit(1)).cast("long").alias("n_events"),
+                 F.date_format(F.min("ts"), "yyyy-MM-dd HH:mm:ss").alias("first_ts"),
+                 F.date_format(F.max("ts"), "yyyy-MM-dd HH:mm:ss").alias("last_ts"),
+                 (F.max("_sec") - F.min("_sec")).cast("long").alias("duration_sec")))
 
 
 def hourly_rollup(events: DataFrame) -> DataFrame:

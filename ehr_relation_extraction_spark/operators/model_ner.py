@@ -94,6 +94,29 @@ def chunks_to_char_spans(toks: list[tuple[str, int, int]],
     return out
 
 
+def expand_wordpiece_labels(tokens: list[str],
+                            pred_labels: list[str]) -> list[str]:
+    """N6 (predict.py:242-252): re-expand flat predictions onto the
+    original token sequence when a wordpiece tokenizer split words —
+    ``##`` pieces inherit ``I-<type>`` of the previous non-O label.
+
+    ``tokens`` is the wordpiece sequence, ``pred_labels`` the labels of
+    the NON-## tokens in order; returns one label per wordpiece.
+    """
+    out: list[str] = []
+    it = iter(pred_labels)
+    for tok in tokens:
+        if tok.startswith("##") and out:
+            prev = out[-1]
+            if prev == "O":
+                out.append("O")
+            else:
+                out.append("I-" + prev.partition("-")[2])
+        else:
+            out.append(next(it))
+    return out
+
+
 def teacher_labels(text: str,
                    toks: list[tuple[str, int, int]]) -> list[str]:
     """Default label_fn: IOB2 labels derived from the deterministic

@@ -47,6 +47,17 @@ MASKED_SCHEMA = StructType([
 ])
 
 
+def collapse_consecutive_duplicates(tokens: list[str]) -> list[str]:
+    """T9 (biobert_re/utils_re.py:328-333): after masking, collapse
+    equal consecutive tokens (``@ADE$ @ADE$`` -> ``@ADE$``) — the ADE
+    corpus branch's cleanup, exposed for that input form."""
+    out: list[str] = []
+    for tok in tokens:
+        if not out or out[-1] != tok:
+            out.append(tok)
+    return out
+
+
 def _mask(text: str, s1: int, e1: int, t1: str, s2: int, e2: int, t2: str,
           offset: int) -> str:
     """T7: replace each arg span with @Type$, later span first so earlier

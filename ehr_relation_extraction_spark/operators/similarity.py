@@ -59,6 +59,55 @@ def brute_force_topk(emb: DataFrame, n_queries: int = 50,
             .select("query_id", "rank", "neighbor_id", "sim_micro6"))
 
 
+def embedding_near_dups(emb: DataFrame, bits: int = ANN_SIGN_BITS,
+                        threshold_micro6: int = 300000) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs: candidates from the sign
+    buckets (equi-join), verified by exact cosine >= threshold.
+    Output: (vec_a, vec_b, sim_micro6) with vec_a < vec_b.
+
+    Same candidate-generation-then-verify shape as minhash-LSH dedup —
+    the 100 TB plan never forms the all-pairs product."""
+    b = sign_buckets(emb, bits).select("vec_id", "bucket")
+    base = _with_norm(emb.select("vec_id", "embedding"), "embedding").join(b, "vec_id")
+    a = base.select(F.col("vec_id").alias("vec_a"), "bucket",
+                    F.col("_v").alias("_av"), F.col("_norm").alias("_an"))
+    c = base.select(F.col("vec_id").alias("vec_b"),
+                    F.col("bucket").alias("bucket_b"),
+                    F.col("_v").alias("_bv"), F.col("_norm").alias("_bn"))
+    pairs = a.join(c, (F.col("bucket") == F.col("bucket_b"))
+                   & (F.col("vec_a") < F.col("vec_b"))).select(
+        "vec_a", "vec_b",
+        F.floor(_dot(F.col("_av"), F.col("_bv")) / (F.col("_an") * F.col("_bn"))
+                * 1000000).cast("long").alias("sim_micro6"))
+    return pairs.where(F.col("sim_micro6") >= threshold_micro6)
+
+
+def ivf_assign(emb: DataFrame, n_cells: int = 8) -> DataFrame:
+    """IVF coarse quantization with deterministic centroids: the first
+    ``n_cells`` vectors (vec_id < n_cells) act as the codebook; every
+    vector is assigned to the centroid with the highest cosine.
+    Output: (vec_id, cell, cell_size).  The codebook is broadcast —
+    at scale this is a broadcast join + argmax, no shuffle of the
+    corpus side."""
+    base = _with_norm(emb.select("vec_id", "embedding"), "embedding")
+    cents = F.broadcast(
+        base.where(F.col("vec_id") < n_cells)
+        .select(F.col("vec_id").alias("cell"),
+                F.col("_v").alias("_cv"), F.col("_norm").alias("_cn")))
+    sims = base.join(cents).select(
+        "vec_id", "cell",
+        (_dot(F.col("_v"), F.col("_cv")) / (F.col("_norm") * F.col("_cn"))).alias("_s"))
+    sims = sims.withColumn("_s6", F.floor(F.col("_s") * 1000000).cast("long"))
+    w = Window.partitionBy("vec_id").orderBy(F.col("_s6").desc(), F.col("cell"))
+    assigned = (sims.withColumn("_r", F.row_number().over(w))
+                .where(F.col("_r") == 1).select("vec_id", "cell"))
+    wc = Window.partitionBy("cell")
+    return (assigned.withColumn("cell_size",
+                                F.count(F.lit(1)).over(wc).cast("long"))
+            .select("vec_id", F.col("cell").cast("int").alias("cell"),
+                    "cell_size"))
+
+
 def sign_buckets(emb: DataFrame, bits: int = ANN_SIGN_BITS) -> DataFrame:
     """(vec_id, bucket, bucket_size): bucket = sign bits of the first
     ``bits`` dimensions."""

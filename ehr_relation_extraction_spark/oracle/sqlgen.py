@@ -199,13 +199,19 @@ reach(node, comp) AS (
 components AS (SELECT node, MIN(comp) AS component FROM reach GROUP BY node)"""
 
 
-EVAL_SPAN_CTES = """
+def eval_span_ctes(strict: bool = True) -> str:
+    cond = ('g.start = p.start AND g."end" = p."end"' if strict
+            else 'g.start < p."end" AND p.start < g."end"')
+    return EVAL_SPAN_TMPL.replace("{MATCH_COND}", cond)
+
+
+EVAL_SPAN_TMPL = """
 matches AS (
   SELECT g.url, g.ent_type, g.start AS g_start, g."end" AS g_end,
          p.start AS p_start, p."end" AS p_end
   FROM mentions g JOIN mentions_sys p
     ON g.url = p.url AND g.ent_type = p.ent_type
-   AND g.start = p.start AND g."end" = p."end"
+   AND {MATCH_COND}
 ),
 pared AS (
   SELECT * FROM (
@@ -397,10 +403,10 @@ LEFT JOIN components oc
 GROUP BY 1, 2, 3""",
         LINK_CTES),
     "eval_mentions": _assemble(
-        BASE, SYS, EVAL_SPAN_CTES,
+        BASE, SYS, eval_span_ctes(True),
         select=PRF_SELECT.format(dims="ent_type, ", src="counts")),
     "eval_mentions_micro": _assemble(
-        BASE, SYS, EVAL_SPAN_CTES,
+        BASE, SYS, eval_span_ctes(True),
         select=PRF_SELECT.format(
             dims="",
             src="(SELECT CAST(SUM(tp) AS BIGINT) AS tp, CAST(SUM(n_gold) AS BIGINT) AS n_gold, "
@@ -544,6 +550,79 @@ SELECT query_id, rank, neighbor_id, sim_micro6 FROM (
               c.vec_id) AS INT) AS rank
   FROM bucketed q JOIN bucketed c ON q.bucket = c.bucket AND q.vec_id <> c.vec_id
 ) WHERE rank <= 3"""),
+    "eval_mentions_lenient": _assemble(
+        BASE, SYS, eval_span_ctes(False),
+        select=PRF_SELECT.format(dims="ent_type, ", src="counts")),
+    "eval_mentions_macro": _assemble(
+        BASE, SYS, eval_span_ctes(True),
+        select="""
+, per_doc AS (
+  SELECT COALESCE(ng.url, np.url) AS url,
+         CAST(COALESCE(t.tp, 0) AS BIGINT) AS tp,
+         CAST(COALESCE(ng.n_gold, 0) AS BIGINT) AS n_gold,
+         CAST(COALESCE(np.n_pred, 0) AS BIGINT) AS n_pred
+  FROM (SELECT url, COUNT(*) AS n_gold FROM mentions GROUP BY url) ng
+  FULL JOIN (SELECT url, COUNT(*) AS n_pred FROM mentions_sys GROUP BY url) np
+    ON ng.url = np.url
+  LEFT JOIN (SELECT url, COUNT(*) AS tp FROM pared GROUP BY url) t
+    ON COALESCE(ng.url, np.url) = t.url
+)
+SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(floor(AVG(CASE WHEN p + r > 0 THEN 2 * p * r / (p + r)
+                           ELSE 0 END) * 1000000) AS BIGINT) AS macro_f1_micro6
+FROM (SELECT CASE WHEN n_pred > 0 THEN tp / n_pred ELSE 0 END AS p,
+             CASE WHEN n_gold > 0 THEN tp / n_gold ELSE 0 END AS r
+      FROM per_doc)"""),
+    "sessionize": """
+WITH s0 AS (
+  SELECT user_id, event_id, ts,
+         CASE WHEN lag_ts IS NULL
+              OR (epoch_us(ts) // 1000000) - (epoch_us(lag_ts) // 1000000) > 1800
+              THEN 1 ELSE 0 END AS new_sess
+  FROM (SELECT user_id, event_id, ts,
+               LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS lag_ts
+        FROM events)
+),
+s1 AS (
+  SELECT *, CAST(SUM(new_sess) OVER (
+      PARTITION BY user_id ORDER BY ts, event_id
+      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - 1 AS INT) AS session_id
+  FROM s0
+)
+SELECT user_id, session_id, CAST(COUNT(*) AS BIGINT) AS n_events,
+       strftime(MIN(ts), '%Y-%m-%d %H:%M:%S') AS first_ts,
+       strftime(MAX(ts), '%Y-%m-%d %H:%M:%S') AS last_ts,
+       CAST((epoch_us(MAX(ts)) // 1000000) - (epoch_us(MIN(ts)) // 1000000) AS BIGINT) AS duration_sec
+FROM s1 GROUP BY user_id, session_id""",
+    "embedding_near_dups": _assemble(
+        SIM_CTES.lstrip(",").strip(),
+        select="""
+, bucketed AS (
+  SELECT n.vec_id, n.v, n.nrm, CAST(""" + " + ".join(
+            f"(CASE WHEN n.v[{i + 1}] >= 0 THEN {1 << i} ELSE 0 END)"
+            for i in range(ANN_SIGN_BITS)) + """ AS INT) AS bucket
+  FROM normed n)
+SELECT vec_a, vec_b, sim_micro6 FROM (
+  SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+         CAST(floor(1000000 * list_dot_product(a.v, b.v) / (a.nrm * b.nrm)) AS BIGINT) AS sim_micro6
+  FROM bucketed a JOIN bucketed b
+    ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+) WHERE sim_micro6 >= 300000"""),
+    "ivf_assign": _assemble(
+        SIM_CTES.lstrip(",").strip(),
+        select="""
+, cents AS (SELECT vec_id AS cell, v AS cv, nrm AS cn FROM normed WHERE vec_id < 8),
+scored AS (
+  SELECT n.vec_id, c.cell,
+         CAST(floor(1000000 * list_dot_product(n.v, c.cv) / (n.nrm * c.cn)) AS BIGINT) AS s6
+  FROM normed n CROSS JOIN cents c),
+asg AS (
+  SELECT vec_id, cell FROM (
+    SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY s6 DESC, cell) AS r
+    FROM scored) WHERE r = 1)
+SELECT vec_id, CAST(cell AS INT) AS cell,
+       CAST(COUNT(*) OVER (PARTITION BY cell) AS BIGINT) AS cell_size
+FROM asg"""),
     "events_hourly": (
         "SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS window_start, "
         "event_type, CAST(COUNT(*) AS BIGINT) AS n, "

@@ -103,3 +103,25 @@ def test_model_path_recall_on_encodable_mentions(spark):
                 if (t, s, e) not in model:
                     missed += 1
     assert total > 500 and missed == 0
+
+
+class TestSmallKernels:
+    def test_collapse_consecutive_duplicates(self):
+        from ehr_relation_extraction_spark.operators.relations import (
+            collapse_consecutive_duplicates)
+
+        assert collapse_consecutive_duplicates(
+            ["a", "@ADE$", "@ADE$", "b", "b", "@ADE$"]) == \
+            ["a", "@ADE$", "b", "@ADE$"]
+        assert collapse_consecutive_duplicates([]) == []
+
+    def test_expand_wordpiece_labels(self):
+        from ehr_relation_extraction_spark.operators.model_ner import (
+            expand_wordpiece_labels)
+
+        toks = ["aspi", "##rin", "daily", "head", "##ache"]
+        preds = ["B-Topic", "O", "B-Misc"]
+        assert expand_wordpiece_labels(toks, preds) == \
+            ["B-Topic", "I-Topic", "O", "B-Misc", "I-Misc"]
+        # ## after an O stays O (predict.py:247-249)
+        assert expand_wordpiece_labels(["x", "##y"], ["O"]) == ["O", "O"]
