@@ -126,6 +126,49 @@ def teacher_labels(text: str,
     return iob2_labels_for_doc(text, toks, spans)
 
 
+def wordpiece_split(tokens: list[str], max_piece: int = 4) -> list[str]:
+    """Deterministic wordpiece-ish splitter (T3 stand-in for the HF
+    tokenizer, generate_data.py:157-173): tokens longer than
+    ``max_piece`` chars split into fixed-size pieces, continuation
+    pieces prefixed ``##`` — enough structure to exercise N6
+    re-expansion and the feature builder without model downloads."""
+    out: list[str] = []
+    for tok in tokens:
+        if len(tok) <= max_piece:
+            out.append(tok)
+        else:
+            out.append(tok[:max_piece])
+            for i in range(max_piece, len(tok), max_piece):
+                out.append("##" + tok[i:i + max_piece])
+    return out
+
+
+def build_features(tokens: list[str], max_seq_length: int,
+                   vocab_hash_buckets: int = 30522,
+                   cls_id: int = 101, sep_id: int = 102,
+                   pad_id: int = 0) -> dict[str, list[int]]:
+    """N5/R7 feature builder (convert_examples_to_features,
+    biobert_ner/utils_ner.py:165-291): [CLS] tok_ids [SEP], truncate to
+    max_seq_length (utils_ner.py:209-212), pad to fixed length with an
+    attention mask.  Token ids come from a stable hash (no vocab file
+    ships here); a real tokenizer's ids drop in without changing the
+    fixed-length contract."""
+    import hashlib as _h
+
+    ids = [cls_id]
+    for tok in tokens:
+        hv = int(_h.md5(tok.encode()).hexdigest()[:8], 16)
+        ids.append(1000 + hv % (vocab_hash_buckets - 1000))
+    ids = ids[:max_seq_length - 1] + [sep_id]
+    mask = [1] * len(ids)
+    pad = max_seq_length - len(ids)
+    ids += [pad_id] * pad
+    mask += [0] * pad
+    assert len(ids) == max_seq_length and len(mask) == max_seq_length
+    return {"input_ids": ids, "attention_mask": mask,
+            "token_type_ids": [0] * max_seq_length}
+
+
 IOB2_SCHEMA = ("doc_id long, url string, tok_idx int, token string, "
                "label string")
 
