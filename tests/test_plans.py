@@ -1,0 +1,89 @@
+"""Physical-plan assertions: the optimizations the design depends on
+must actually appear in the plan (SURVEY §4 / task brief: check
+pushdown, pruning, broadcast)."""
+
+from __future__ import annotations
+
+import pytest
+
+
+def plan_of(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def formatted(df) -> str:
+    return df._jdf.queryExecution().explainString(
+        df.sparkSession._jvm.org.apache.spark.sql.execution.ExplainMode
+        .fromString("formatted"))
+
+
+def test_scan_prunes_columns(spark):
+    """extract_text over documents must read only the columns it needs
+    (doc_id, text, source) — not lang/n_chars."""
+    from ehr_relation_extraction_spark.sources.pages import (
+        extract_text, pages_from_documents)
+
+    df = extract_text(pages_from_documents(spark, "/root/testdata/sf0.001")) \
+        .select("doc_id", "url", "text")
+    plan = formatted(df)
+    assert "ReadSchema" in plan
+    read_schema = [ln for ln in plan.splitlines() if "ReadSchema" in ln][0]
+    assert "text" in read_schema and "doc_id" in read_schema
+    assert "n_chars" not in read_schema and "lang" not in read_schema
+
+
+def test_gazetteer_link_is_broadcast(spark):
+    """The alias dictionary must come in as a broadcast hash join."""
+    from ehr_relation_extraction_spark.operators.linking import (
+        gazetteer_df, link_mentions)
+    from ehr_relation_extraction_spark.operators.ner import detect_mentions_df
+    from ehr_relation_extraction_spark.oracle.fixtures import pages_df
+    from ehr_relation_extraction_spark.sources.pages import extract_text
+
+    pages = extract_text(pages_df(spark, n_pages=10))
+    linked = link_mentions(detect_mentions_df(pages), gazetteer_df(spark))
+    assert "BroadcastHashJoin" in plan_of(linked)
+
+
+def test_lsh_candidates_no_cartesian(spark):
+    """LSH candidate generation must be an equi-join on (band, sig) —
+    never a cartesian/BNLJ over documents."""
+    from ehr_relation_extraction_spark.operators import dedup as dd
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    pairs = dd.lsh_candidate_pairs(dd.lsh_bands(dd.minhash_signatures(
+        dd.shingles(docs))))
+    plan = plan_of(pairs)
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_ann_bucket_join_is_equi(spark):
+    from ehr_relation_extraction_spark.operators.similarity import ann_topk
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    plan = plan_of(ann_topk(emb))
+    assert "CartesianProduct" not in plan
+
+
+def test_filter_pushdown_to_scan(spark):
+    """A lang filter must reach the parquet scan as a pushed filter."""
+    from pyspark.sql import functions as F
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    df = docs.where(F.col("lang") == "en").select("doc_id")
+    plan = formatted(df)
+    pushed = [ln for ln in plan.splitlines() if "PushedFilters" in ln]
+    assert pushed and "lang" in pushed[0]
+
+
+def test_fused_path_single_python_stage(spark):
+    """The fused triple path must contain exactly ONE mapInPandas
+    (the whole point: one Arrow hop, then only the dedup exchange)."""
+    from ehr_relation_extraction_spark.plans.fused import fused_triples
+    from ehr_relation_extraction_spark.oracle.fixtures import pages_df
+    from ehr_relation_extraction_spark.sources.pages import extract_text
+
+    pages = extract_text(pages_df(spark, n_pages=10))
+    plan = plan_of(fused_triples(pages))
+    assert plan.count("MapInPandas") == 1
