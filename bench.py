@@ -40,12 +40,16 @@ def run_suite(sf_dir: str, master: str, shuffle: int) -> dict:
     # warm the JVM + python workers once (excluded from timings)
     dq.QUERIES["extract_text"](spark, sf_dir).count()
 
+    trials = int(os.environ.get("SPARK_GRAFT_BENCH_TRIALS", "2"))
     timings: dict[str, float] = {}
     counts: dict[str, int] = {}
-    for name in HEADLINE:
-        t0 = time.time()
-        counts[name] = dq.QUERIES[name](spark, sf_dir).count()
-        timings[name] = round(time.time() - t0, 3)
+    for _ in range(trials):  # best-of-K: the host VM is burstable
+        for name in HEADLINE:
+            t0 = time.time()
+            counts[name] = dq.QUERIES[name](spark, sf_dir).count()
+            dt = round(time.time() - t0, 3)
+            if name not in timings or dt < timings[name]:
+                timings[name] = dt
     spark.stop()
     return {"timings": timings, "counts": counts}
 

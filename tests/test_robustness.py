@@ -1,0 +1,56 @@
+"""Robustness: empty corpus, unicode text, html edge cases."""
+
+from __future__ import annotations
+
+import datetime
+
+from ehr_relation_extraction_spark.plans.fused import fused_triples
+from ehr_relation_extraction_spark.plans.pipeline import build
+from ehr_relation_extraction_spark.sources.pages import (
+    HTML_PREFIX, HTML_SUFFIX, extract_text)
+
+TS = datetime.datetime(2024, 1, 1)
+DDL = "doc_id long, url string, warc_ts timestamp, html binary, lang string"
+
+
+def _pages(spark, texts):
+    rows = [(i, f"https://x/{i}", TS,
+             (HTML_PREFIX + t + HTML_SUFFIX).encode("utf-8"), "en")
+            for i, t in enumerate(texts)]
+    return spark.createDataFrame(rows, DDL)
+
+
+def test_empty_corpus(spark):
+    pages = _pages(spark, [])
+    fr = build(pages)
+    assert fr.triples.count() == 0
+    assert fr.mentions.count() == 0
+    assert fused_triples(fr.pages).count() == 0
+
+
+def test_unicode_offsets_end_to_end(spark):
+    # multibyte chars before/inside tokens: char offsets (not bytes)
+    # must stay consistent through extraction, NER and pairing
+    texts = [
+        "héllo wörld spark Überraschung value naïve spark étude " +
+        "中文 spark 中文 value x " * 8,
+    ]
+    fr = build(_pages(spark, texts))
+    pages_row = fr.pages.select("text").first()
+    assert pages_row["text"] == texts[0]  # byte-identical through html
+    for m in fr.mentions.collect():
+        assert texts[0][m["start"]:m["end"]] == m["ent_text"]
+    # fused equals composed on unicode too
+    f = {(r["url"], r["subj"], r["pred"], r["obj"])
+         for r in fused_triples(fr.pages).collect()}
+    c = {(r["url"], r["subj"], r["pred"], r["obj"])
+         for r in fr.triples.collect()}
+    assert f == c and len(c) > 0
+
+
+def test_html_with_angle_noise(spark):
+    # text containing stray '<' and '>' (not matching the wrapper
+    # markers) must survive extraction byte-identically
+    t = "a < b value > c spark value spark more words here now " * 4
+    fr = build(_pages(spark, [t]))
+    assert fr.pages.select("text").first()["text"] == t
