@@ -241,6 +241,11 @@ def q_token_count_bpe(spark, sf_dir) -> DataFrame:
         "doc_id", "n_ws_tokens", "n_bpe_ish")
 
 
+def q_top_terms_tfidf(spark, sf_dir) -> DataFrame:
+    return ts.top_terms_tfidf(_docs(spark, sf_dir)).select(
+        "doc_id", "rank", "term", "tf", "df", "tfidf_micro6")
+
+
 def q_fingerprint(spark, sf_dir) -> DataFrame:
     return ts.fingerprint(_docs(spark, sf_dir)).select(
         "doc_id", "fingerprint", "n_shingles")
@@ -328,6 +333,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "lang_id": q_lang_id,
     "token_count_bpe": q_token_count_bpe,
     "fingerprint": q_fingerprint,
+    "top_terms_tfidf": q_top_terms_tfidf,
     "similarity_topk": q_similarity_topk,
     "ann_buckets": q_ann_buckets,
     "ann_topk": q_ann_topk,

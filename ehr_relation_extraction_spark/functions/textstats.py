@@ -65,6 +65,33 @@ def token_count_bpe(docs: DataFrame) -> DataFrame:
     )
 
 
+def top_terms_tfidf(docs: DataFrame, k: int = 5) -> DataFrame:
+    """Per-doc top-k terms by tf-idf:
+    (doc_id, rank, term, tf, df, tfidf_micro6).
+
+    tf = in-doc count, df = docs containing the term, idf = ln(N/df).
+    Two aggregates + a broadcast-sized term-df join; ranking uses the
+    floor-scaled score with the term as tie-break so ordering is
+    deterministic cross-engine."""
+    toks = docs.select("doc_id", F.explode(_toks()).alias("term"))
+    tf = toks.groupBy("doc_id", "term").agg(
+        F.count(F.lit(1)).cast("long").alias("tf"))
+    df_ = (toks.dropDuplicates(["doc_id", "term"])
+           .groupBy("term").agg(F.count(F.lit(1)).cast("long").alias("df")))
+    n_docs = docs.select(F.countDistinct("doc_id").alias("n")).first()["n"]
+    scored = tf.join(df_, "term").withColumn(
+        "tfidf_micro6",
+        F.floor(F.col("tf") * F.log(F.lit(float(n_docs)) / F.col("df"))
+                * 1000000).cast("long"))
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("doc_id").orderBy(
+        F.col("tfidf_micro6").desc(), F.col("term"))
+    return (scored.withColumn("rank", F.row_number().over(w).cast("int"))
+            .where(F.col("rank") <= k)
+            .select("doc_id", "rank", "term", "tf", "df", "tfidf_micro6"))
+
+
 def fingerprint(docs: DataFrame) -> DataFrame:
     """(doc_id, fingerprint, n_shingles): rolling-hash doc fingerprint =
     min md5 over token 3-gram shingles (minhash with one permutation),

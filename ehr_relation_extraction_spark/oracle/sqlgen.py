@@ -623,6 +623,23 @@ asg AS (
 SELECT vec_id, CAST(cell AS INT) AS cell,
        CAST(COUNT(*) OVER (PARTITION BY cell) AS BIGINT) AS cell_size
 FROM asg"""),
+    "top_terms_tfidf": _assemble(
+        GAZ, toks_ctes(),
+        select="""
+, tf AS (SELECT doc_id, token AS term, CAST(COUNT(*) AS BIGINT) AS tf
+         FROM toks GROUP BY doc_id, token),
+docfreq AS (SELECT term, CAST(COUNT(*) AS BIGINT) AS df
+            FROM (SELECT DISTINCT doc_id, token AS term FROM toks)
+            GROUP BY term),
+nd AS (SELECT CAST(COUNT(DISTINCT doc_id) AS DOUBLE) AS n FROM documents),
+scored AS (
+  SELECT tf.doc_id, tf.term, tf.tf, d.df,
+         CAST(floor(tf.tf * ln(nd.n / d.df) * 1000000) AS BIGINT) AS tfidf_micro6
+  FROM tf JOIN docfreq d ON tf.term = d.term CROSS JOIN nd)
+SELECT doc_id, rank, term, tf, df, tfidf_micro6 FROM (
+  SELECT *, CAST(ROW_NUMBER() OVER (PARTITION BY doc_id
+      ORDER BY tfidf_micro6 DESC, term) AS INT) AS rank
+  FROM scored) WHERE rank <= 5"""),
     "events_hourly": (
         "SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS window_start, "
         "event_type, CAST(COUNT(*) AS BIGINT) AS n, "
