@@ -198,6 +198,31 @@ def q_candidates_sampled(spark, sf_dir) -> DataFrame:
         .select("url", "rel_id", "rel_type", "label")
 
 
+def q_mentions_model(spark, sf_dir) -> DataFrame:
+    """Model-NER path (IOB2 teacher labels -> viterbi-free decode ->
+    spans); the SQL oracle mirrors the decode semantics."""
+    from .operators.model_ner import model_mentions_df
+
+    return model_mentions_df(_frames(spark, sf_dir).pages).select(
+        "doc_id", "url", "ent_id", "ent_type", "start", "end", "ent_text")
+
+
+def q_host_stats(spark, sf_dir) -> DataFrame:
+    fr = _frames(spark, sf_dir)
+    host = F.substring_index(F.substring_index("url", "//", -1), "/", 1)
+    m = fr.mentions.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_m"))
+    t = fr.triples.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_t"))
+    per_doc = (fr.pages.select("doc_id", host.alias("host"))
+               .join(m, "doc_id", "left").join(t, "doc_id", "left")
+               .fillna(0, ["n_m", "n_t"]))
+    return per_doc.groupBy("host").agg(
+        F.countDistinct("doc_id").cast("long").alias("n_docs"),
+        F.sum("n_m").cast("long").alias("n_mentions"),
+        F.sum("n_t").cast("long").alias("n_triples"))
+
+
 def q_dedup_exact(spark, sf_dir) -> DataFrame:
     return dd.exact_dedup(_docs(spark, sf_dir)).select(
         "doc_id", "text_md5", "group_size", "is_canonical")
@@ -322,6 +347,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "eval_mentions_micro": q_eval_mentions_micro,
     "eval_triples": q_eval_triples,
     "iob2_labels": q_iob2_labels,
+    "mentions_model": q_mentions_model,
+    "host_stats": q_host_stats,
     "candidates_labeled": q_candidates_labeled,
     "candidates_sampled": q_candidates_sampled,
     "dedup_exact": q_dedup_exact,

@@ -433,6 +433,74 @@ FROM toks t LEFT JOIN (
      AND t2.char_start >= m.start AND t2.char_end <= m."end")
   WHERE rn = 1) c
 ON t.doc_id = c.doc_id AND t.tok_idx = c.tok_idx"""),
+    # model-NER path (IOB2 labels -> chunk decode -> char spans): the
+    # SQL mirrors decode_chunks incl. the I-after-O chunk start and the
+    # type-change boundary; end-of-seq closure is implicit (chunks are
+    # groups of contiguous labeled tokens)
+    "mentions_model": _q(
+        """
+, lab AS (
+  SELECT t.doc_id, t.url, t.tok_idx, t.char_start, t.char_end, t.text,
+         CASE WHEN c.ent_type IS NULL THEN 'O'
+              WHEN t.char_start = c.first_ts THEN 'B-' || c.ent_type
+              ELSE 'I-' || c.ent_type END AS label
+  FROM toks t LEFT JOIN (
+    SELECT * FROM (
+      SELECT t2.doc_id, t2.tok_idx, m.ent_type, m.first_ts,
+             ROW_NUMBER() OVER (PARTITION BY t2.doc_id, t2.tok_idx
+                 ORDER BY m.start DESC, m."end" DESC) AS rn
+      FROM toks t2 JOIN (
+        SELECT m0.doc_id, m0.ent_type, m0.start, m0."end",
+               MIN(t3.char_start) AS first_ts
+        FROM mentions m0 JOIN toks t3
+          ON t3.doc_id = m0.doc_id
+         AND t3.char_start >= m0.start AND t3.char_end <= m0."end"
+        GROUP BY m0.doc_id, m0.ent_type, m0.start, m0."end") m
+        ON t2.doc_id = m.doc_id
+       AND t2.char_start >= m.start AND t2.char_end <= m."end")
+    WHERE rn = 1) c
+  ON t.doc_id = c.doc_id AND t.tok_idx = c.tok_idx
+),
+lab2 AS (
+  SELECT *, substr(label, 1, 1) AS tag, substr(label, 3) AS ltype,
+         LAG(label) OVER (PARTITION BY doc_id ORDER BY tok_idx) AS prev
+  FROM lab
+),
+chunk_toks AS (
+  SELECT *, CASE WHEN tag = 'B' OR prev IS NULL OR prev = 'O'
+                   OR substr(prev, 3) <> ltype THEN 1 ELSE 0 END AS is_start
+  FROM lab2 WHERE label <> 'O'
+),
+chunked AS (
+  SELECT *, SUM(is_start) OVER (PARTITION BY doc_id ORDER BY tok_idx
+      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS chunk_id
+  FROM chunk_toks
+),
+spans AS (
+  SELECT doc_id, url, MIN(ltype) AS ent_type,
+         CAST(MIN(char_start) AS INT) AS start,
+         CAST(MAX(char_end) AS INT) AS "end",
+         substr(MIN(text), MIN(char_start) + 1,
+                MAX(char_end) - MIN(char_start)) AS ent_text
+  FROM chunked GROUP BY doc_id, url, chunk_id
+)
+SELECT doc_id, url,
+       'T' || CAST(ROW_NUMBER() OVER (
+           PARTITION BY url ORDER BY start, "end", ent_type) AS VARCHAR) AS ent_id,
+       ent_type, start, "end", ent_text
+FROM spans"""),
+    "host_stats": _q(
+        """
+SELECT host, CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs,
+       CAST(SUM(n_mentions) AS BIGINT) AS n_mentions,
+       CAST(SUM(n_triples) AS BIGINT) AS n_triples
+FROM (
+  SELECT p.doc_id,
+         split_part(split_part(p.url, '//', 2), '/', 1) AS host,
+         (SELECT COUNT(*) FROM mentions m WHERE m.doc_id = p.doc_id) AS n_mentions,
+         (SELECT COUNT(*) FROM triples t WHERE t.doc_id = p.doc_id) AS n_triples
+  FROM pages p)
+GROUP BY host"""),
     "candidates_labeled": _assemble(
         BASE, SYS,
         select="""
