@@ -86,11 +86,25 @@ def detect_mentions(text: str,
 
     # dictionary aliases via token n-gram alignment
     for n, aliases in (gaz_by_n or _GAZ_BY_N).items():
+        if n == 1:
+            # unigram fast path: the token IS the surface (offset
+            # invariant text[start:end] == token), no slicing needed
+            for tok, start, end in offsets:
+                if start == 0 or end >= n_text:
+                    continue  # reference requires a separator both sides
+                hit = aliases.get(tok.lower())
+                if hit is not None:
+                    by_type.setdefault(hit[0], set()).add((start, end))
+            continue
+        # n-gram path: prefilter on the first word of each alias
+        firsts = {a.split(" ", 1)[0] for a in aliases}
         for i in range(len(offsets) - n + 1):
+            if offsets[i][0].lower() not in firsts:
+                continue
             start = offsets[i][1]
             end = offsets[i + n - 1][2]
             if start == 0 or end >= n_text:
-                continue  # reference requires a separator on both sides
+                continue
             surface = text[start:end].lower()
             hit = aliases.get(surface)
             if hit is not None:

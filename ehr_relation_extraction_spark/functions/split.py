@@ -22,6 +22,8 @@
 
 from __future__ import annotations
 
+from .text import char_to_token_map
+
 NEW_LINE_IND = ("[", "#", "-", ">", " ")
 SENT_END_IND = (".", "?", "!")
 
@@ -58,6 +60,26 @@ def get_split_points(text: str, tokens: list[tuple[str, int, int]],
 
     split_idx.append(len(tokens))
     return split_idx
+
+
+def split_points_for(text: str, tokens: list[tuple[str, int, int]],
+                     max_len: int,
+                     c2t: list[int] | None = None) -> list[int]:
+    """Split points with a newline-free fast path.
+
+    Every split trigger in the reference walk (ehr.py:403-430) is
+    anchored on a '\\n' character; without one, the walk provably
+    reduces to hard cuts at exactly ``max_len`` tokens — so we skip
+    building the char->token map entirely (it exists only to serve the
+    walk).  With newlines present, fall back to the verbatim port.
+    """
+    if "\n" not in text:
+        pts = list(range(0, len(tokens), max_len))
+        pts.append(len(tokens))
+        return pts
+    if c2t is None:
+        c2t = char_to_token_map(text, tokens)
+    return get_split_points(text, tokens, c2t, max_len)
 
 
 def shard_token_ranges(split_points: list[int]) -> list[tuple[int, int]]:

@@ -32,8 +32,8 @@ from pyspark.sql.types import (IntegerType, LongType, StringType,
                                StructField, StructType)
 
 from ..functions.ner_kernel import detect_mentions, gazetteer_by_ngram
-from ..functions.split import get_split_points, re_char_ranges, shard_token_ranges
-from ..functions.text import char_to_token_map, tokenize_with_offsets
+from ..functions.split import re_char_ranges, shard_token_ranges, split_points_for
+from ..functions.text import tokenize_with_offsets
 from ..config import MAX_LEN_TOKENS
 
 TOKEN_SCHEMA = StructType([
@@ -72,8 +72,7 @@ def _shard_rows(doc_id: int, url: str, text: str, max_len: int):
     toks = tokenize_with_offsets(text)
     if not toks:
         return
-    c2t = char_to_token_map(text, toks)
-    splits = get_split_points(text, toks, c2t, max_len)
+    splits = split_points_for(text, toks, max_len)
     ranges = shard_token_ranges(splits)
     re_ranges = re_char_ranges(splits, [t[2] for t in toks])
     n = len(toks)

@@ -33,8 +33,8 @@ from pyspark.sql.types import (IntegerType, LongType, StringType,
 
 from ..config import HUB_TYPE, MAX_LEN_TOKENS, MAX_PAIR_GAP_CHARS
 from ..functions.ner_kernel import detect_mentions
-from ..functions.split import get_split_points, re_char_ranges
-from ..functions.text import char_to_token_map, tokenize_with_offsets
+from ..functions.split import re_char_ranges, split_points_for
+from ..functions.text import tokenize_with_offsets
 
 RELATION_SCHEMA = StructType([
     StructField("doc_id", LongType()),
@@ -65,8 +65,7 @@ def relations_for_doc(doc_id: int, url: str, text: str,
     mentions = detect_mentions(text, toks)
     if not mentions:
         return []
-    c2t = char_to_token_map(text, toks)
-    splits = get_split_points(text, toks, c2t, max_len)
+    splits = split_points_for(text, toks, max_len)
     windows = re_char_ranges(splits, [e for _, _, e in toks])
     if not windows:
         return []

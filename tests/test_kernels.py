@@ -188,3 +188,30 @@ class TestNerKernel:
         # have them, so craft via pattern? covered by construction; just
         # assert no crash on punctuation soup
         assert self.run("x .. -- y") == []
+
+
+class TestSplitFastPath:
+    """split_points_for must equal the verbatim walk on random inputs."""
+
+    def test_equivalence_random(self):
+        import random
+
+        from ehr_relation_extraction_spark.functions.split import (
+            split_points_for)
+
+        rng = random.Random(3)
+        words = ["w", "xx", "yyy", "spark", "value.", "a!", "25"]
+        seps = [" ", "\n", "\t", "\n\n", " \n", "  ", ".\n"]
+        for _ in range(300):
+            parts = []
+            for _ in range(rng.randint(0, 50)):
+                parts.append(rng.choice(words))
+                parts.append(rng.choice(seps))
+            text = "".join(parts)
+            toks, c2t = toks_c2t(text)
+            if not toks:
+                continue
+            for ml in (4, 16):
+                want = get_split_points(text, toks, c2t, ml)
+                got = split_points_for(text, toks, ml)
+                assert got == want, (text[:80], ml, got, want)
