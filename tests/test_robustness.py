@@ -54,3 +54,26 @@ def test_html_with_angle_noise(spark):
     t = "a < b value > c spark value spark more words here now " * 4
     fr = build(_pages(spark, [t]))
     assert fr.pages.select("text").first()["text"] == t
+
+
+def test_predict_document_matches_pipeline(spark):
+    """The serving function must equal the distributed result for the
+    same text (one shared code path)."""
+    from ehr_relation_extraction_spark.oracle.fixtures import make_pages
+    from ehr_relation_extraction_spark.predict import predict_document
+
+    page = [p for p in make_pages(n_pages=30) if len(p["text"]) > 300][0]
+    local = predict_document(page["text"])
+    fr = build(_pages(spark, [page["text"]]))
+    spark_triples = {(r["subj"], r["pred"], r["obj"])
+                     for r in fr.triples.collect()}
+    local_triples = {(t["subj"], t["pred"], t["obj"])
+                     for t in local["triples"]}
+    assert local_triples == spark_triples and len(local_triples) > 0
+    spark_mentions = {(r["ent_type"], r["start"], r["end"])
+                      for r in fr.mentions.collect()}
+    local_mentions = {(m["ent_type"], m["start"], m["end"])
+                      for m in local["entities"]}
+    assert local_mentions == spark_mentions
+    # graph adjacency covers every triple subject
+    assert set(local["graph"]) == {t["subj"] for t in local["triples"]}
