@@ -320,6 +320,17 @@ def q_ivf_assign(spark, sf_dir) -> DataFrame:
         "vec_id", "cell", "cell_size")
 
 
+def q_pagerank(spark, sf_dir) -> DataFrame:
+    """Iterative fixpoint -> no SQL oracle (rows-only driver check, the
+    sanctioned category for iterative algorithms)."""
+    from .operators.graph_algos import pagerank
+
+    edges = q_graph_edges(spark, sf_dir).selectExpr(
+        "subj_node AS src", "obj_node AS dst",
+        "CAST(weight AS DOUBLE) AS weight")
+    return pagerank(edges, n_iter=5).select("node", "rank_micro6")
+
+
 def q_events_hourly(spark, sf_dir) -> DataFrame:
     ev_df = spark.read.parquet(f"{sf_dir}/events.parquet")
     return evt.hourly_rollup(ev_df).select(
@@ -368,6 +379,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "eval_mentions_lenient": q_eval_mentions_lenient,
     "eval_mentions_macro": q_eval_mentions_macro,
     "sessionize": q_sessionize,
+    "pagerank": q_pagerank,
     "embedding_near_dups": q_embedding_near_dups,
     "ivf_assign": q_ivf_assign,
 }

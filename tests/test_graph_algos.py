@@ -1,0 +1,57 @@
+"""PageRank vs a pure-Python reference power iteration."""
+
+from __future__ import annotations
+
+
+def reference_pagerank(edges, damping=0.85, n_iter=4):
+    nodes = sorted({n for e in edges for n in e[:2]})
+    n = len(nodes)
+    out_w = {}
+    for s, d, w in edges:
+        out_w[s] = out_w.get(s, 0.0) + w
+    rank = {v: 1.0 / n for v in nodes}
+    base = (1.0 - damping) / n
+    for _ in range(n_iter):
+        contrib = {v: 0.0 for v in nodes}
+        for s, d, w in edges:
+            contrib[d] += rank[s] * w / out_w[s]
+        dangling = sum(rank[v] for v in nodes if v not in out_w)
+        rank = {v: base + damping * (contrib[v] + dangling / n)
+                for v in nodes}
+    return rank
+
+
+def test_pagerank_matches_reference(spark):
+    from ehr_relation_extraction_spark.operators.graph_algos import pagerank
+
+    edges = [("a", "b", 1.0), ("b", "c", 1.0), ("c", "a", 1.0),
+             ("a", "c", 2.0), ("d", "a", 1.0), ("e", "a", 1.0)]
+    # note: no out-edges from nowhere -> d, e are sources; add a sink
+    edges.append(("c", "sink", 0.5))
+    df = spark.createDataFrame(edges, "src string, dst string, weight double")
+    got = {r["node"]: r["rank"] for r in pagerank(df, n_iter=4).collect()}
+    want = reference_pagerank(edges)
+    assert set(got) == set(want)
+    for v in want:
+        assert abs(got[v] - want[v]) < 1e-9, (v, got[v], want[v])
+    assert abs(sum(got.values()) - 1.0) < 1e-6  # mass conserved
+
+
+def test_pagerank_empty(spark):
+    from ehr_relation_extraction_spark.operators.graph_algos import pagerank
+
+    df = spark.createDataFrame([], "src string, dst string, weight double")
+    assert pagerank(df).count() == 0
+
+
+def test_pagerank_on_kg_edges(spark):
+    """Runs on the real materialized edges table."""
+    from ehr_relation_extraction_spark.operators.graph_algos import pagerank
+    from ehr_relation_extraction_spark import driver_queries as dq
+
+    edges = dq.QUERIES["graph_edges"](spark, "/root/testdata/sf0.001") \
+        .selectExpr("subj_node AS src", "obj_node AS dst",
+                    "CAST(weight AS DOUBLE) AS weight")
+    pr = pagerank(edges, n_iter=3).collect()
+    assert len(pr) > 5
+    assert abs(sum(r["rank"] for r in pr) - 1.0) < 1e-6
