@@ -320,6 +320,37 @@ def q_ivf_assign(spark, sf_dir) -> DataFrame:
         "vec_id", "cell", "cell_size")
 
 
+def q_graph_degrees(spark, sf_dir) -> DataFrame:
+    ge = q_graph_edges(spark, sf_dir)
+    nodes = (ge.select(F.col("subj_node").alias("node"))
+             .union(ge.select(F.col("obj_node").alias("node")))
+             .dropDuplicates())
+    o = ge.groupBy("subj_node").agg(
+        F.count(F.lit(1)).cast("long").alias("out_deg"),
+        F.sum("weight").cast("long").alias("out_weight"))
+    i = ge.groupBy("obj_node").agg(
+        F.count(F.lit(1)).cast("long").alias("in_deg"),
+        F.sum("weight").cast("long").alias("in_weight"))
+    return (nodes.join(o.withColumnRenamed("subj_node", "node"), "node", "left")
+            .join(i.withColumnRenamed("obj_node", "node"), "node", "left")
+            .fillna(0, ["out_deg", "in_deg", "out_weight", "in_weight"])
+            .select("node", "out_deg", "in_deg", "out_weight", "in_weight"))
+
+
+def q_related_topics(spark, sf_dir) -> DataFrame:
+    """Topic~Topic 2-hop through a shared attribute node (the KG is
+    bipartite, so this is the meaningful 2-path)."""
+    ge = q_graph_edges(spark, sf_dir).select("subj_node", "obj_node") \
+        .dropDuplicates()
+    a = ge.alias("a")
+    b = ge.alias("b")
+    return (a.join(b, F.col("a.obj_node") == F.col("b.obj_node"))
+            .where(F.col("a.subj_node") < F.col("b.subj_node"))
+            .groupBy(F.col("a.subj_node").alias("topic_a"),
+                     F.col("b.subj_node").alias("topic_b"))
+            .agg(F.count(F.lit(1)).cast("long").alias("n_shared")))
+
+
 def q_pagerank(spark, sf_dir) -> DataFrame:
     """Iterative fixpoint -> no SQL oracle (rows-only driver check, the
     sanctioned category for iterative algorithms)."""
@@ -380,6 +411,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "eval_mentions_macro": q_eval_mentions_macro,
     "sessionize": q_sessionize,
     "pagerank": q_pagerank,
+    "graph_degrees": q_graph_degrees,
+    "related_topics": q_related_topics,
     "embedding_near_dups": q_embedding_near_dups,
     "ivf_assign": q_ivf_assign,
 }

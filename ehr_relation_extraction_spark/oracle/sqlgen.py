@@ -501,6 +501,50 @@ FROM (
          (SELECT COUNT(*) FROM triples t WHERE t.doc_id = p.doc_id) AS n_triples
   FROM pages p)
 GROUP BY host"""),
+    "graph_degrees": _q(
+        """
+, ge AS (
+  SELECT s.component AS subj_node, t.pred,
+         COALESCE(oc.component, COALESCE(og.canonical_id, 'surface:' || lower(t.obj))) AS obj_node,
+         CAST(COUNT(*) AS BIGINT) AS weight
+  FROM triples t
+  JOIN linked l ON t.url = l.url AND t.subj_id = l.ent_id
+  JOIN components s ON l.canonical_id = s.node
+  LEFT JOIN gaz og ON lower(t.obj) = og.alias
+  LEFT JOIN components oc
+         ON COALESCE(og.canonical_id, 'surface:' || lower(t.obj)) = oc.node
+  GROUP BY 1, 2, 3)
+SELECT node,
+       CAST(COALESCE(o.out_deg, 0) AS BIGINT) AS out_deg,
+       CAST(COALESCE(i.in_deg, 0) AS BIGINT) AS in_deg,
+       CAST(COALESCE(o.out_w, 0) AS BIGINT) AS out_weight,
+       CAST(COALESCE(i.in_w, 0) AS BIGINT) AS in_weight
+FROM (SELECT subj_node AS node FROM ge UNION SELECT obj_node FROM ge) n
+LEFT JOIN (SELECT subj_node, COUNT(*) AS out_deg, SUM(weight) AS out_w
+           FROM ge GROUP BY subj_node) o ON n.node = o.subj_node
+LEFT JOIN (SELECT obj_node, COUNT(*) AS in_deg, SUM(weight) AS in_w
+           FROM ge GROUP BY obj_node) i ON n.node = i.obj_node""",
+        LINK_CTES),
+    # the KG is bipartite (Topic -> Attr), so directed 2-paths are empty;
+    # the meaningful 2-hop is Topic~Topic via a shared attribute node
+    "related_topics": _q(
+        """
+, ge AS (
+  SELECT s.component AS subj_node,
+         COALESCE(oc.component, COALESCE(og.canonical_id, 'surface:' || lower(t.obj))) AS obj_node
+  FROM triples t
+  JOIN linked l ON t.url = l.url AND t.subj_id = l.ent_id
+  JOIN components s ON l.canonical_id = s.node
+  LEFT JOIN gaz og ON lower(t.obj) = og.alias
+  LEFT JOIN components oc
+         ON COALESCE(og.canonical_id, 'surface:' || lower(t.obj)) = oc.node
+  GROUP BY 1, 2)
+SELECT a.subj_node AS topic_a, b.subj_node AS topic_b,
+       CAST(COUNT(*) AS BIGINT) AS n_shared
+FROM ge a JOIN ge b ON a.obj_node = b.obj_node
+WHERE a.subj_node < b.subj_node
+GROUP BY a.subj_node, b.subj_node""",
+        LINK_CTES),
     "candidates_labeled": _assemble(
         BASE, SYS,
         select="""
