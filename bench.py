@@ -138,7 +138,7 @@ def run_scaling(sf_dir: str, cpus: int) -> None:
     import shutil
     import subprocess
 
-    replicate = int(os.environ.get("SPARK_GRAFT_SCALE_REP", "48"))
+    replicate = int(os.environ.get("SPARK_GRAFT_SCALE_REP", "96"))
     trials = int(os.environ.get("SPARK_GRAFT_SCALE_TRIALS", "2"))
     # Default pair N=2 vs 4N=8: on this VM, per-core throughput decays
     # above ~8-16 active cores for memory-heavy text work (a raw
