@@ -101,6 +101,12 @@ NEG_SAMPLE_PCT = 25
 # evaluated against the full-gazetteer run as gold.
 # --------------------------------------------------------------------------
 EVAL_DROP_ALIASES = ("big", "row")
+
+#: Fuzzy alias discovery (SURVEY §7.1 step 4, the "long tail" linking
+#: path): out-of-gazetteer corpus tokens are matched to aliases via a
+#: character-trigram posting-list join; candidates kept at or above this
+#: trigram-Jaccard percentage (integers only — no float comparisons).
+MIN_FUZZY_JACCARD_PCT = 25
 EVAL_ADD_ALIASES = (("merge", "Topic", "topic:merge"),)
 
 

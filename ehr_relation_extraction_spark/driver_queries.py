@@ -116,6 +116,15 @@ def q_link_mentions(spark, sf_dir) -> DataFrame:
                          "end", "ent_text", "canonical_id")
 
 
+def q_fuzzy_alias_candidates(spark, sf_dir) -> DataFrame:
+    """Long-tail linking: trigram-blocked fuzzy match of out-of-gazetteer
+    corpus tokens to aliases (broadcast posting list, integer Jaccard)."""
+    toks = ner.tokenize_df(_frames(spark, sf_dir).pages)
+    return lk.fuzzy_alias_candidates(toks).select(
+        "surface", "n_occur", "alias", "ent_type", "canonical_id",
+        "n_inter", "n_union", "jaccard_micro6", "cand_rank")
+
+
 def q_canonical_components(spark, sf_dir) -> DataFrame:
     _, linked, _ = _linked(spark, sf_dir)
     return lk.canonical_components(linked).select("node", "component")
@@ -383,6 +392,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "distinct_subjects": q_distinct_subjects,
     "link_mentions": q_link_mentions,
     "canonical_components": q_canonical_components,
+    "fuzzy_alias_candidates": q_fuzzy_alias_candidates,
     "graph_nodes": q_graph_nodes,
     "graph_edges": q_graph_edges,
     "eval_mentions": q_eval_mentions,

@@ -25,7 +25,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, functions as F
 
-from ..config import GAZETTEER
+from ..config import GAZETTEER, MIN_FUZZY_JACCARD_PCT
 
 
 def gazetteer_df(spark) -> DataFrame:
@@ -47,6 +47,88 @@ def link_mentions(mentions: DataFrame, gaz: DataFrame) -> DataFrame:
         "canonical_id",
         F.coalesce(F.col("_canon"), F.concat(F.lit("surface:"), F.col("_surface"))),
     ).drop("_surface", "_canon")
+
+
+def _char_trigrams(s: str) -> list[str]:
+    return sorted({s[i:i + 3] for i in range(len(s) - 2)})
+
+
+def gazetteer_trigrams_df(spark, gazetteer=GAZETTEER) -> DataFrame:
+    """Gazetteer-side trigram posting list, built driver-side (the
+    dictionary is the small dimension) and broadcast into the join."""
+    rows = []
+    for alias, etype, canon in gazetteer:
+        tris = _char_trigrams(alias)
+        for t in tris:
+            rows.append((alias, etype, canon, t, len(tris)))
+    return spark.createDataFrame(
+        rows,
+        "alias string, ent_type string, canonical_id string, "
+        "tri string, n_gaz_tri int")
+
+
+def fuzzy_alias_candidates(tokens: DataFrame,
+                           gazetteer=GAZETTEER,
+                           min_jaccard_pct: int = MIN_FUZZY_JACCARD_PCT,
+                           ) -> DataFrame:
+    """Long-tail linking (SURVEY §7.1 step 4): discover out-of-gazetteer
+    corpus tokens that are near-matches of known aliases.
+
+    Blocking is a character-trigram posting-list equi-join (the
+    scalable standard for fuzzy string matching): the corpus vocabulary
+    shuffles once on the trigram key, the gazetteer side is a broadcast
+    posting list, so no O(vocab x aliases) cross product ever
+    materializes.  Scoring is exact trigram Jaccard in scaled integers
+    (floor(n_inter * 1e6 / n_union)) — deterministic on both engines.
+
+    Input: token rows from ``ner.tokenize_df`` (column ``token``).
+    Output: one row per (surface, alias) candidate at or above the
+    threshold, ranked per surface by score desc then alias asc.
+
+    All trigram generation is JVM-side (``sequence``/``transform``/
+    ``substring`` inside whole-stage codegen) — no Python in the path.
+    """
+    from pyspark.sql import Window
+
+    spark = tokens.sparkSession
+    vocab = (tokens.select(F.lower("token").alias("surface"))
+             .where(F.length("surface") >= 3)
+             .groupBy("surface")
+             .agg(F.count(F.lit(1)).cast("long").alias("n_occur")))
+    gaz_alias = spark.createDataFrame(
+        [(a,) for a, _, _ in gazetteer], "surface string")
+    tail = vocab.join(F.broadcast(gaz_alias), "surface", "left_anti")
+
+    tris = F.array_distinct(F.expr(
+        "transform(sequence(1, length(surface) - 2), "
+        "i -> substring(surface, i, 3))"))
+    tail_tri = (tail.select("surface", "n_occur", tris.alias("tris"))
+                .withColumn("n_tri", F.size("tris").cast("int"))
+                .select("surface", "n_occur", "n_tri",
+                        F.explode("tris").alias("tri")))
+
+    g = F.broadcast(gazetteer_trigrams_df(spark, gazetteer))
+    inter = (tail_tri.join(g, "tri")
+             .groupBy("surface", "n_occur", "n_tri",
+                      "alias", "ent_type", "canonical_id", "n_gaz_tri")
+             .agg(F.count(F.lit(1)).cast("int").alias("n_inter")))
+
+    scored = (inter
+              .withColumn("n_union",
+                          (F.col("n_tri") + F.col("n_gaz_tri")
+                           - F.col("n_inter")).cast("int"))
+              .withColumn("jaccard_micro6",
+                          F.floor(F.col("n_inter") * F.lit(1_000_000)
+                                  / F.col("n_union")).cast("long"))
+              .where(F.col("jaccard_micro6")
+                     >= F.lit(min_jaccard_pct * 10_000)))
+    w = Window.partitionBy("surface").orderBy(
+        F.col("jaccard_micro6").desc(), F.col("alias"))
+    return (scored
+            .withColumn("cand_rank", F.row_number().over(w).cast("int"))
+            .select("surface", "n_occur", "alias", "ent_type",
+                    "canonical_id", "n_inter", "n_union",
+                    "jaccard_micro6", "cand_rank"))
 
 
 def overlap_edges(linked_mentions: DataFrame) -> DataFrame:

@@ -23,7 +23,7 @@ floor-scaled integers (see operators/evaluate.py).
 from __future__ import annotations
 
 from ..config import (GAZETTEER, MAX_LEN_TOKENS, MAX_PAIR_GAP_CHARS,
-                      perturbed_gazetteer)
+                      MIN_FUZZY_JACCARD_PCT, perturbed_gazetteer)
 
 SEP_CLASS = "[\\n \\t]"
 
@@ -197,6 +197,57 @@ reach(node, comp) AS (
   SELECT e.dst AS node, r.comp FROM reach r JOIN sym_edges e ON e.src = r.node
 ),
 components AS (SELECT node, MIN(comp) AS component FROM reach GROUP BY node)"""
+
+
+# Fuzzy alias discovery (long-tail linking): trigram posting-list join
+# between out-of-gazetteer corpus tokens and aliases, integer Jaccard.
+FUZZY_CTES = f"""
+vocab AS (
+  SELECT lower(token) AS surface, CAST(COUNT(*) AS BIGINT) AS n_occur
+  FROM toks WHERE length(token) >= 3 GROUP BY 1
+),
+tail AS (
+  SELECT v.surface, v.n_occur FROM vocab v
+  LEFT JOIN gaz g ON v.surface = g.alias
+  WHERE g.alias IS NULL
+),
+tail_tri AS (
+  SELECT DISTINCT surface, substring(surface, CAST(i AS INT), 3) AS tri
+  FROM (SELECT surface, unnest(generate_series(1, length(surface) - 2)) AS i
+        FROM tail)
+),
+tail_n AS (SELECT surface, CAST(COUNT(*) AS INT) AS n_tri FROM tail_tri GROUP BY 1),
+gaz_tri AS (
+  SELECT DISTINCT alias, ent_type, canonical_id,
+         substring(alias, CAST(i AS INT), 3) AS tri
+  FROM (SELECT alias, ent_type, canonical_id,
+               unnest(generate_series(1, length(alias) - 2)) AS i
+        FROM gaz)
+),
+gaz_n AS (SELECT alias, CAST(COUNT(*) AS INT) AS n_gaz_tri FROM gaz_tri GROUP BY 1),
+fuzzy_inter AS (
+  SELECT t.surface, g.alias, g.ent_type, g.canonical_id,
+         CAST(COUNT(*) AS INT) AS n_inter
+  FROM tail_tri t JOIN gaz_tri g USING (tri)
+  GROUP BY 1, 2, 3, 4
+),
+fuzzy AS (
+  SELECT i.surface, v.n_occur, i.alias, i.ent_type, i.canonical_id,
+         i.n_inter,
+         CAST(tn.n_tri + gn.n_gaz_tri - i.n_inter AS INT) AS n_union,
+         CAST((i.n_inter * 1000000) // (tn.n_tri + gn.n_gaz_tri - i.n_inter) AS BIGINT) AS jaccard_micro6
+  FROM fuzzy_inter i
+  JOIN tail_n tn ON i.surface = tn.surface
+  JOIN gaz_n gn ON i.alias = gn.alias
+  JOIN tail v ON i.surface = v.surface
+)"""
+
+FUZZY_SELECT = f"""
+SELECT surface, n_occur, alias, ent_type, canonical_id, n_inter, n_union,
+       jaccard_micro6,
+       CAST(ROW_NUMBER() OVER (PARTITION BY surface
+            ORDER BY jaccard_micro6 DESC, alias) AS INT) AS cand_rank
+FROM fuzzy WHERE jaccard_micro6 >= {MIN_FUZZY_JACCARD_PCT * 10000}"""
 
 
 def eval_span_ctes(strict: bool = True) -> str:
@@ -384,6 +435,7 @@ ORACLE: dict[str, str] = {
         LINK_CTES),
     "canonical_components": _q(
         "SELECT node, component FROM components", LINK_CTES),
+    "fuzzy_alias_candidates": _q(FUZZY_SELECT, FUZZY_CTES),
     "graph_nodes": _q(
         "SELECT l.canonical_id, c.component, MIN(l.ent_type) AS ent_type, "
         "CAST(COUNT(*) AS BIGINT) AS n_mentions "

@@ -58,3 +58,42 @@ def test_cc_random_graphs(spark):
 def test_cc_isolated_nodes(spark):
     got = run_cc(spark, ["a", "b", "c"], [("a", "b")])
     assert got == {"a": "a", "b": "a", "c": "c"}
+
+
+# ---------------------------------------------------------------------------
+# fuzzy alias discovery (long-tail linking, trigram posting-list join)
+# ---------------------------------------------------------------------------
+
+def test_fuzzy_alias_candidates_hand_computed(spark):
+    from ehr_relation_extraction_spark.operators.linking import (
+        fuzzy_alias_candidates)
+
+    gaz = (("slow merge", "Event", "event:slowmerge"),
+           ("spark", "Topic", "topic:spark"))
+    toks = spark.createDataFrame(
+        [("merge",), ("merge",), ("sparks",), ("spark",), ("ab",), ("xyz",)],
+        "token string")
+    got = {(r["surface"], r["alias"]):
+           (r["n_occur"], r["n_inter"], r["n_union"],
+            r["jaccard_micro6"], r["cand_rank"])
+           for r in fuzzy_alias_candidates(toks, gazetteer=gaz,
+                                           min_jaccard_pct=25).collect()}
+    # "merge" {mer,erg,rge} vs "slow merge" (8 trigrams): 3/8 = 0.375
+    assert got[("merge", "slow merge")] == (2, 3, 8, 375000, 1)
+    # "sparks" {spa,par,ark,rks} vs "spark" {spa,par,ark}: 3/4 = 0.75
+    assert got[("sparks", "spark")] == (1, 3, 4, 750000, 1)
+    # exact aliases excluded (long tail only); len<3 and no-overlap dropped
+    assert set(got) == {("merge", "slow merge"), ("sparks", "spark")}
+
+
+def test_fuzzy_alias_candidates_rank_and_threshold(spark):
+    from ehr_relation_extraction_spark.operators.linking import (
+        fuzzy_alias_candidates)
+
+    gaz = (("abcd", "Topic", "t:abcd"), ("abce", "Topic", "t:abce"))
+    toks = spark.createDataFrame([("abcdx",)], "token string")
+    rows = (fuzzy_alias_candidates(toks, gazetteer=gaz, min_jaccard_pct=25)
+            .orderBy("cand_rank").collect())
+    # abcdx {abc,bcd,cdx} vs abcd {abc,bcd}: 2/3; vs abce {abc,bce}: 1/4
+    assert [(r["alias"], r["jaccard_micro6"], r["cand_rank"])
+            for r in rows] == [("abcd", 666666, 1), ("abce", 250000, 2)]
