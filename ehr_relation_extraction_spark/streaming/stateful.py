@@ -67,6 +67,94 @@ def dedup_triples_stateful(triples_stream: DataFrame) -> DataFrame:
                 timeoutConf=GroupStateTimeout.NoTimeout))
 
 
+DIFF_OUTPUT_DDL = ("url string, crawl_seq int, op string, "
+                   "subj string, pred string, obj string")
+DIFF_STATE_DDL = ("text_sha string, crawl_seq int, last_ts long, "
+                  "triples array<string>")
+
+_SEP = "\x1f"
+
+
+def _triple_keys(text: str) -> set[str]:
+    """Semantic (subj, pred, obj) set of one page — computed with the
+    SAME fused kernel the batch pipeline runs, so stream and batch can
+    never drift."""
+    from ..plans.fused import relations_for_doc
+
+    return {
+        f"{r[6]}{_SEP}{r[4].split('-')[0]}{_SEP}{r[11]}"
+        for r in relations_for_doc(0, "", text)
+    }
+
+
+def _diff_group(key: tuple, pdfs: Iterator[pd.DataFrame],
+                state: GroupState) -> Iterator[pd.DataFrame]:
+    if state.exists:
+        sha, seq, last_ts, kept = state.get
+        cur = set(kept)
+    else:
+        sha, seq, last_ts, cur = None, 0, None, set()
+    versions = pd.concat(list(pdfs), ignore_index=True)
+    versions = versions.sort_values("warc_ts", kind="mergesort")
+    out = []
+    for row in versions.itertuples(index=False):
+        ts = int(pd.Timestamp(row.warc_ts).timestamp())
+        if last_ts is not None and ts <= last_ts:
+            continue  # stale or duplicate crawl (out-of-order arrival)
+        last_ts = ts
+        new_sha = hashlib.sha256(row.text.encode()).hexdigest()
+        if new_sha == sha:
+            continue  # unchanged re-crawl: no work, no emissions
+        new = _triple_keys(row.text)
+        seq += 1
+        for k in sorted(cur - new):
+            out.append((key[0], seq, "-", *k.split(_SEP)))
+        for k in sorted(new - cur):
+            out.append((key[0], seq, "+", *k.split(_SEP)))
+        sha, cur = new_sha, new
+    state.update((sha, seq, last_ts, sorted(cur)))
+    if out:
+        yield pd.DataFrame(
+            out, columns=["url", "crawl_seq", "op", "subj", "pred", "obj"])
+
+
+def recrawl_diff(pages_stream: DataFrame) -> DataFrame:
+    """Streaming pages -> (+/-) triple deltas per re-crawl.
+
+    Per-url state holds (text sha, crawl seq, current triple keys).  A
+    re-crawled page whose text sha is unchanged is skipped outright
+    (the common case at web scale — the sha gate means zero extraction
+    work); a changed page emits ``op='-'`` retractions for triples no
+    longer supported and ``op='+'`` additions for new ones, so a
+    downstream graph store can be kept exactly consistent with the
+    live crawl without full rebuilds.
+    """
+    return (pages_stream
+            .select("url", "warc_ts", "text")
+            .groupBy("url")
+            .applyInPandasWithState(
+                _diff_group, DIFF_OUTPUT_DDL, DIFF_STATE_DDL,
+                outputMode="append",
+                timeoutConf=GroupStateTimeout.NoTimeout))
+
+
+def incremental_recrawl_diff(spark, pages_dir: str, out_dir: str,
+                             checkpoint_dir: str):
+    """pages stream -> per-url change detection -> triple delta sink."""
+    from ..sources.pages import extract_text
+    from .stream import PAGES_DDL
+
+    stream = (spark.readStream.schema(PAGES_DDL)
+              .option("maxFilesPerTrigger", 2)
+              .parquet(pages_dir))
+    deltas = recrawl_diff(extract_text(stream))
+    return (deltas.writeStream.outputMode("append")
+            .option("checkpointLocation", checkpoint_dir)
+            .trigger(availableNow=True)
+            .format("parquet").option("path", out_dir)
+            .start())
+
+
 def incremental_unique_triples(spark, pages_dir: str, out_dir: str,
                                checkpoint_dir: str):
     """pages stream -> fused extraction -> stateful cross-batch dedup.

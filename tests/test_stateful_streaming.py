@@ -28,3 +28,81 @@ def test_stateful_dedup_across_batches(spark, tmp_path):
             for r in fused_triples(extract_text(pages)).collect()}
     assert len(got) == len(set(got)), "stateful dedup emitted duplicates"
     assert set(got) == want and len(want) > 0
+
+
+def _triple_sets(pages):
+    from collections import defaultdict
+
+    d = defaultdict(set)
+    for r in fused_triples(extract_text(pages)).collect():
+        d[r["url"]].add((r["subj"], r["pred"], r["obj"]))
+    return d
+
+
+def test_recrawl_diff_emits_retractions_and_additions(spark, tmp_path):
+    from pyspark.sql import functions as F
+
+    from ehr_relation_extraction_spark.sources.pages import (HTML_PREFIX,
+                                                              HTML_SUFFIX)
+    from ehr_relation_extraction_spark.streaming.stateful import (
+        incremental_recrawl_diff)
+
+    v1 = pages_df(spark, n_pages=24)
+    changed = F.col("doc_id") % 3 == 0
+    # re-crawled version: body truncated to half (tail triples must be
+    # RETRACTED) plus a new phrase (new triples must be ADDED)
+    body = F.substring_index(
+        F.substring_index(F.decode("html", "utf-8"), HTML_SUFFIX, 1),
+        HTML_PREFIX, -1)
+    new_body = F.concat(
+        F.substring(body, 1, (F.length(body) / 2).cast("int")),
+        F.lit(" spark value"))
+    new_html = F.when(changed, F.encode(F.concat(
+        F.lit(HTML_PREFIX), new_body, F.lit(HTML_SUFFIX)), "utf-8")
+    ).otherwise(F.col("html"))
+    v2 = v1.select(
+        "doc_id", "url",
+        F.expr("warc_ts + INTERVAL 1 DAY").alias("warc_ts"),
+        new_html.alias("html"), "lang")
+
+    src = str(tmp_path / "crawl")
+    v1.repartition(4).write.mode("append").parquet(src)
+    v2.repartition(4).write.mode("append").parquet(src)
+
+    out, ck = str(tmp_path / "deltas"), str(tmp_path / "ck")
+    incremental_recrawl_diff(spark, src, out, ck).awaitTermination(300)
+
+    t1, t2 = _triple_sets(v1), _triple_sets(v2)
+    deltas = spark.read.parquet(out).collect()
+    by_url = {}
+    for r in deltas:
+        by_url.setdefault(r["url"], []).append(r)
+
+    changed_urls = {r["url"] for r in v1.where(changed).collect()}
+    for url in set(t1) | set(t2) | set(by_url):
+        rows = by_url.get(url, [])
+        plus1 = {(r["subj"], r["pred"], r["obj"])
+                 for r in rows if r["crawl_seq"] == 1 and r["op"] == "+"}
+        assert plus1 == t1.get(url, set()), f"{url}: first crawl adds"
+        assert not [r for r in rows
+                    if r["crawl_seq"] == 1 and r["op"] == "-"]
+        seq2 = [r for r in rows if r["crawl_seq"] == 2]
+        if url not in changed_urls:
+            assert not seq2, f"{url}: unchanged page must emit nothing"
+            continue
+        minus2 = {(r["subj"], r["pred"], r["obj"])
+                  for r in seq2 if r["op"] == "-"}
+        plus2 = {(r["subj"], r["pred"], r["obj"])
+                 for r in seq2 if r["op"] == "+"}
+        assert minus2 == t1.get(url, set()) - t2.get(url, set())
+        assert plus2 == t2.get(url, set()) - t1.get(url, set())
+        # replaying deltas over v1 reconstructs v2 exactly
+        assert (t1.get(url, set()) - minus2) | plus2 == t2.get(url, set())
+
+    # at least one url must have real retraction work, or the test is vacuous
+    assert any(r["op"] == "-" for r in deltas)
+
+    # restart on the same checkpoint + unchanged source: no new deltas
+    n_before = len(deltas)
+    incremental_recrawl_diff(spark, src, out, ck).awaitTermination(300)
+    assert spark.read.parquet(out).count() == n_before
