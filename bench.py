@@ -176,6 +176,68 @@ def run_scaling(sf_dir: str, cpus: int) -> None:
     }))
 
 
+def run_matrix(cpus: int) -> None:
+    """BENCH matrix (roadmap item): the fused triples job across sf
+    tiers x pinned core counts, per-cell best-of-K.  One JSON line with
+    the full grid + per-tier scaling efficiency, for round-over-round
+    regression tracking."""
+    import shutil
+    import subprocess
+
+    tiers = os.environ.get("SPARK_GRAFT_MATRIX_SFS", "0.001,0.01,0.1").split(",")
+    levels = [int(x) for x in
+              os.environ.get("SPARK_GRAFT_MATRIX_LEVELS", "2,8").split(",")]
+    # replicate each tier up to a fixed doc count so every cell measures
+    # steady-state throughput, not fixed startup overhead (a 4k-doc cell
+    # finishes in ~3 s and reads as 0.35 "efficiency" — that's JVM/stage
+    # setup amortization, not the plan; see BASELINE.md BENCH notes)
+    target_docs = int(os.environ.get("SPARK_GRAFT_MATRIX_TARGET_DOCS", "96000"))
+    trials = int(os.environ.get("SPARK_GRAFT_SCALE_TRIALS", "2"))
+    have_taskset = shutil.which("taskset") is not None
+
+    import pyarrow.parquet as pq
+
+    grid: dict[str, dict[str, dict]] = {}
+    reps: dict[str, int] = {}
+    for _ in range(trials):
+        for sf in tiers:
+            sf_dir = f"/root/testdata/sf{sf}"
+            if sf not in reps:
+                n_docs = pq.read_metadata(
+                    f"{sf_dir}/documents.parquet").num_rows
+                reps[sf] = max(1, target_docs // n_docs)
+            cell = grid.setdefault(sf, {})
+            for n in levels:
+                cmd = ["python", os.path.abspath(__file__), "--scaling-one",
+                       str(n), str(reps[sf])]
+                if have_taskset:
+                    cmd = ["taskset", "-c", f"0-{n - 1}"] + cmd
+                out = subprocess.run(
+                    cmd, capture_output=True, text=True,
+                    env={**os.environ, "SPARK_GRAFT_SF_DIR": sf_dir})
+                line = [ln for ln in out.stdout.splitlines()
+                        if ln.startswith("{")][-1]
+                r = json.loads(line)
+                k = str(n)
+                if k not in cell or r["sec"] < cell[k]["sec"]:
+                    cell[k] = r
+    eff = {}
+    lo_n, hi_n = min(levels), max(levels)
+    for sf, cell in grid.items():
+        lo, hi = cell[str(lo_n)], cell[str(hi_n)]
+        eff[sf] = round(
+            hi["triples_per_sec"] / ((hi_n / lo_n) * lo["triples_per_sec"]), 3)
+    print(json.dumps({
+        "metric": "bench_matrix", "value": eff.get("0.1", 0.0),
+        "unit": "ratio", "grid": grid, "scaling_eff_by_sf": eff,
+        "levels": levels, "replicate": reps,
+        "note": f"fused triples job; taskset-pinned; best of {trials} "
+                "interleaved trials per cell; cells include ~2s fixed "
+                "per-job setup — the headline scaling claim uses "
+                "--scaling at 480k docs where that amortizes to 0.999",
+    }))
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", os.cpu_count() or 32))
@@ -189,6 +251,10 @@ def main() -> None:
 
     if "--scaling" in sys.argv:
         run_scaling(sf_dir, cpus)
+        return
+
+    if "--matrix" in sys.argv:
+        run_matrix(cpus)
         return
 
     r = run_suite(sf_dir, master, cpus)
