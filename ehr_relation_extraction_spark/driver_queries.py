@@ -371,6 +371,26 @@ def q_pagerank(spark, sf_dir) -> DataFrame:
     return pagerank(edges, n_iter=5).select("node", "rank_micro6")
 
 
+def q_events_asof(spark, sf_dir) -> DataFrame:
+    """As-of join (last-touch attribution): purchases to most recent
+    prior click per user; window formulation, not a range join."""
+    ev_df = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return evt.asof_attribution(ev_df).select(
+        "purchase_id", "user_id", "purchase_us", "click_id", "click_us",
+        "lag_us")
+
+
+def q_cooccurrence_pmi(spark, sf_dir) -> DataFrame:
+    return ts.cooccurrence_pmi(_docs(spark, sf_dir)).select(
+        "tok_a", "tok_b", "n_docs_a", "n_docs_b", "n_docs_ab",
+        "pmi_ratio_micro6")
+
+
+def q_corpus_split(spark, sf_dir) -> DataFrame:
+    return ts.train_dev_test_split(_docs(spark, sf_dir)).select(
+        "doc_id", "bucket", "split")
+
+
 def q_events_hourly(spark, sf_dir) -> DataFrame:
     ev_df = spark.read.parquet(f"{sf_dir}/events.parquet")
     return evt.hourly_rollup(ev_df).select(
@@ -417,6 +437,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "ann_buckets": q_ann_buckets,
     "ann_topk": q_ann_topk,
     "events_hourly": q_events_hourly,
+    "events_asof": q_events_asof,
+    "cooccurrence_pmi": q_cooccurrence_pmi,
+    "corpus_split": q_corpus_split,
     "eval_mentions_lenient": q_eval_mentions_lenient,
     "eval_mentions_macro": q_eval_mentions_macro,
     "sessionize": q_sessionize,

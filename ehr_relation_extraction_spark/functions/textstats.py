@@ -92,6 +92,67 @@ def top_terms_tfidf(docs: DataFrame, k: int = 5) -> DataFrame:
             .select("doc_id", "rank", "term", "tf", "df", "tfidf_micro6"))
 
 
+def cooccurrence_pmi(docs: DataFrame, min_len: int = 3,
+                     min_docs_ab: int = 5) -> DataFrame:
+    """Document-level token co-occurrence with integer PMI-ratio
+    scoring: (tok_a, tok_b, n_docs_a, n_docs_b, n_docs_ab,
+    pmi_ratio_micro6) where pmi_ratio = P(a,b) / (P(a) P(b)) =
+    n_docs_ab * N / (n_docs_a * n_docs_b), floor-scaled by 1e6 with
+    exact integer division (``div``) — a monotonic transform of PMI,
+    so rankings match, with zero float drift cross-engine.
+
+    Scale shape: distinct-token explode (map-side), one self-join on
+    doc_id producing a<b pairs (bounded by per-doc distinct-token
+    count, like the reference's per-shard pair product), two joins
+    against the token document-frequency table, and the
+    ``min_docs_ab`` support filter pruning the long tail before any
+    wide output materializes.
+    """
+    toks = docs.select(
+        "doc_id",
+        F.explode(F.array_distinct(F.filter(
+            F.transform(_toks(), lambda t: F.lower(t)),
+            lambda t: F.length(t) >= min_len))).alias("tok"))
+    df_tok = toks.groupBy("tok").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs_tok"))
+    n_docs = docs.select(F.countDistinct("doc_id").alias("n")).first()["n"]
+    a, b = toks.alias("a"), toks.alias("b")
+    pairs = (a.join(b, (F.col("a.doc_id") == F.col("b.doc_id"))
+                    & (F.col("a.tok") < F.col("b.tok")))
+             .groupBy(F.col("a.tok").alias("tok_a"),
+                      F.col("b.tok").alias("tok_b"))
+             .agg(F.count(F.lit(1)).cast("long").alias("n_docs_ab"))
+             .where(F.col("n_docs_ab") >= min_docs_ab))
+    out = (pairs
+           .join(df_tok.select(F.col("tok").alias("tok_a"),
+                               F.col("n_docs_tok").alias("n_docs_a")), "tok_a")
+           .join(df_tok.select(F.col("tok").alias("tok_b"),
+                               F.col("n_docs_tok").alias("n_docs_b")), "tok_b"))
+    return out.select(
+        "tok_a", "tok_b", "n_docs_a", "n_docs_b", "n_docs_ab",
+        F.expr(f"(n_docs_ab * {n_docs} * 1000000) div (n_docs_a * n_docs_b)")
+         .cast("long").alias("pmi_ratio_micro6"))
+
+
+def train_dev_test_split(docs: DataFrame, train_pct: int = 80,
+                         dev_pct: int = 10) -> DataFrame:
+    """Deterministic corpus split (SURVEY §2.7: the reference's
+    order-dependent fractional slice, generate_data.py:204-206, made
+    partition-stable): md5 bucket of doc_id -> train/dev/test.  Never
+    ``randomSplit`` (non-reproducible across partitionings).
+    Output: (doc_id, bucket, split)."""
+    bucket = F.conv(
+        F.substring(F.md5(F.col("doc_id").cast("string")), 31, 2),
+        16, 10).cast("int")
+    tr = int(256 * train_pct / 100)
+    dv = int(256 * (train_pct + dev_pct) / 100)
+    split = (F.when(bucket < tr, F.lit("train"))
+             .when(bucket < dv, F.lit("dev"))
+             .otherwise(F.lit("test")))
+    return docs.select("doc_id", bucket.alias("bucket"),
+                       split.alias("split"))
+
+
 def fingerprint(docs: DataFrame) -> DataFrame:
     """(doc_id, fingerprint, n_shingles): rolling-hash doc fingerprint =
     min md5 over token 3-gram shingles (minhash with one permutation),

@@ -40,6 +40,44 @@ def sessionize(events: DataFrame, gap_minutes: int = 30) -> DataFrame:
                  (F.max("_sec") - F.min("_sec")).cast("long").alias("duration_sec")))
 
 
+def asof_attribution(events: DataFrame,
+                     left_type: str = "purchase",
+                     right_type: str = "click") -> DataFrame:
+    """As-of join: each ``left_type`` event attributed to the most
+    recent ``right_type`` event of the same user at-or-before it
+    (classic last-touch attribution).
+
+    Physical plan: NOT a range join (which explodes at scale) — the
+    union-tag + running ``last(..., ignorenulls)`` window formulation:
+    one shuffle on user_id, one sort, linear scan.  Tie-break on equal
+    timestamps is (ts, event_id) ascending, so results are exact and
+    partition-count-independent.
+
+    Output: (purchase_id, user_id, purchase_us, click_id, click_us,
+    lag_us) — microsecond epochs as integers; NULL click columns when
+    no prior right-side event exists.
+    """
+    # parquet ts is TIMESTAMP_NTZ; same cast idiom as sessionize —
+    # integer-exact micros matching DuckDB's epoch_us
+    ev = (events.where(F.col("event_type").isin(left_type, right_type))
+          .select("event_id", "user_id", "ts", "event_type",
+                  F.expr("unix_micros(cast(ts as timestamp))").alias("_us")))
+    w = (Window.partitionBy("user_id").orderBy("ts", "event_id")
+         .rowsBetween(Window.unboundedPreceding, 0))
+    right_id = F.when(F.col("event_type") == right_type, F.col("event_id"))
+    right_us = F.when(F.col("event_type") == right_type, F.col("_us"))
+    return (ev
+            .withColumn("click_id",
+                        F.last(right_id, ignorenulls=True).over(w))
+            .withColumn("click_us",
+                        F.last(right_us, ignorenulls=True).over(w))
+            .where(F.col("event_type") == left_type)
+            .select(F.col("event_id").alias("purchase_id"), "user_id",
+                    F.col("_us").alias("purchase_us"),
+                    "click_id", "click_us",
+                    (F.col("_us") - F.col("click_us")).alias("lag_us")))
+
+
 def hourly_rollup(events: DataFrame) -> DataFrame:
     win = F.date_trunc("hour", F.col("ts"))
     return (events.groupBy(

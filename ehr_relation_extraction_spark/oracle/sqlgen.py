@@ -737,6 +737,57 @@ SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
 FROM (SELECT CASE WHEN n_pred > 0 THEN tp / n_pred ELSE 0 END AS p,
              CASE WHEN n_gold > 0 THEN tp / n_gold ELSE 0 END AS r
       FROM per_doc)"""),
+    "events_asof": """
+WITH tagged AS (
+  SELECT event_id, user_id, ts, event_type, epoch_us(ts) AS us
+  FROM events WHERE event_type IN ('purchase', 'click')
+),
+w AS (
+  SELECT *,
+     last_value(CASE WHEN event_type = 'click' THEN event_id END IGNORE NULLS)
+        OVER (PARTITION BY user_id ORDER BY ts, event_id
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS click_id,
+     last_value(CASE WHEN event_type = 'click' THEN us END IGNORE NULLS)
+        OVER (PARTITION BY user_id ORDER BY ts, event_id
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS click_us
+  FROM tagged)
+SELECT event_id AS purchase_id, user_id, us AS purchase_us,
+       click_id, click_us, us - click_us AS lag_us
+FROM w WHERE event_type = 'purchase'""",
+    "cooccurrence_pmi": """
+WITH co_toks AS (
+  SELECT DISTINCT doc_id, lower(tok) AS tok FROM (
+    SELECT doc_id, unnest(string_split_regex(text, '[\\n \\t]')) AS tok
+    FROM documents)
+  WHERE length(tok) >= 3
+),
+co_df AS (SELECT tok, CAST(COUNT(*) AS BIGINT) AS n_docs_tok
+          FROM co_toks GROUP BY 1),
+co_n AS (SELECT COUNT(DISTINCT doc_id) AS n FROM documents),
+co_pairs AS (
+  SELECT a.tok AS tok_a, b.tok AS tok_b, CAST(COUNT(*) AS BIGINT) AS n_docs_ab
+  FROM co_toks a JOIN co_toks b ON a.doc_id = b.doc_id AND a.tok < b.tok
+  GROUP BY 1, 2 HAVING COUNT(*) >= 5
+)
+SELECT p.tok_a, p.tok_b,
+       da.n_docs_tok AS n_docs_a, db.n_docs_tok AS n_docs_b, p.n_docs_ab,
+       CAST((p.n_docs_ab * n.n * 1000000)
+            // (da.n_docs_tok * db.n_docs_tok) AS BIGINT) AS pmi_ratio_micro6
+FROM co_pairs p
+JOIN co_df da ON p.tok_a = da.tok
+JOIN co_df db ON p.tok_b = db.tok
+CROSS JOIN co_n n""",
+    "corpus_split": """
+SELECT doc_id, bucket,
+       CASE WHEN bucket < 204 THEN 'train'
+            WHEN bucket < 230 THEN 'dev' ELSE 'test' END AS split
+FROM (
+  SELECT doc_id,
+         CAST(16 * (instr('0123456789abcdef',
+                  substr(md5(CAST(doc_id AS VARCHAR)), 31, 1)) - 1)
+            + (instr('0123456789abcdef',
+                  substr(md5(CAST(doc_id AS VARCHAR)), 32, 1)) - 1) AS INT) AS bucket
+  FROM documents)""",
     "sessionize": """
 WITH s0 AS (
   SELECT user_id, event_id, ts,

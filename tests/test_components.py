@@ -97,3 +97,78 @@ def test_fuzzy_alias_candidates_rank_and_threshold(spark):
     # abcdx {abc,bcd,cdx} vs abcd {abc,bcd}: 2/3; vs abce {abc,bce}: 1/4
     assert [(r["alias"], r["jaccard_micro6"], r["cand_rank"])
             for r in rows] == [("abcd", 666666, 1), ("abce", 250000, 2)]
+
+
+# ---------------------------------------------------------------------------
+# as-of join / PMI co-occurrence / hash-stable corpus split
+# ---------------------------------------------------------------------------
+
+def test_asof_attribution_semantics(spark):
+    from ehr_relation_extraction_spark.operators.events import (
+        asof_attribution)
+
+    rows = [
+        # user 1: click @10, purchase @20 (attributed), click @30 (after,
+        # ignored), purchase @40 (attributed to @30)
+        (1, "2024-01-01 00:00:10", 1, "click"),
+        (2, "2024-01-01 00:00:20", 1, "purchase"),
+        (3, "2024-01-01 00:00:30", 1, "click"),
+        (4, "2024-01-01 00:00:40", 1, "purchase"),
+        # user 2: purchase with NO prior click -> NULLs
+        (5, "2024-01-01 00:00:15", 2, "purchase"),
+        # user 3: tie at the same ts — click has LOWER event_id, counts
+        (6, "2024-01-01 00:00:50", 3, "click"),
+        (7, "2024-01-01 00:00:50", 3, "purchase"),
+        # other types never interfere
+        (8, "2024-01-01 00:00:05", 1, "view"),
+    ]
+    ev = spark.createDataFrame(
+        rows, "event_id long, ts string, user_id long, event_type string"
+    ).selectExpr("event_id", "CAST(ts AS TIMESTAMP) AS ts", "user_id",
+                 "event_type")
+    got = {r["purchase_id"]: (r["click_id"], r["lag_us"])
+           for r in asof_attribution(ev).collect()}
+    assert got[2] == (1, 10_000_000)
+    assert got[4] == (3, 10_000_000)
+    assert got[5] == (None, None)
+    assert got[7] == (6, 0)
+
+
+def test_cooccurrence_pmi_hand_computed(spark):
+    from ehr_relation_extraction_spark.functions.textstats import (
+        cooccurrence_pmi)
+
+    # 4 docs; (aaa,bbb) together in 2, aaa in 3, bbb in 3
+    docs = spark.createDataFrame(
+        [(1, "aaa bbb xx"), (2, "aaa bbb"), (3, "aaa ccc"), (4, "bbb ccc")],
+        "doc_id long, text string")
+    got = {(r["tok_a"], r["tok_b"]): r
+           for r in cooccurrence_pmi(docs, min_docs_ab=1).collect()}
+    r = got[("aaa", "bbb")]
+    # ratio = 2*4 / (3*3) = 0.888...; floor-scaled and token 'xx' (len<3)
+    # never appears
+    assert (r["n_docs_a"], r["n_docs_b"], r["n_docs_ab"],
+            r["pmi_ratio_micro6"]) == (3, 3, 2, 888888)
+    assert not any("xx" in k for k in got)
+    # support filter prunes the long tail
+    assert ("aaa", "ccc") in got
+    docs2 = cooccurrence_pmi(docs, min_docs_ab=2).collect()
+    assert {(r["tok_a"], r["tok_b"]) for r in docs2} == {("aaa", "bbb")}
+
+
+def test_corpus_split_stable_and_bounded(spark):
+    from ehr_relation_extraction_spark.functions.textstats import (
+        train_dev_test_split)
+
+    docs = spark.createDataFrame([(i, "t") for i in range(400)],
+                                 "doc_id long, text string")
+    rows = train_dev_test_split(docs).collect()
+    assert all(0 <= r["bucket"] < 256 for r in rows)
+    by = {}
+    for r in rows:
+        by.setdefault(r["split"], set()).add(r["doc_id"])
+    assert set(by) == {"train", "dev", "test"}
+    # hash split is partition-stable: same assignment at any layout
+    rows2 = train_dev_test_split(docs.repartition(13)).collect()
+    assert {(r["doc_id"], r["split"]) for r in rows} == \
+           {(r["doc_id"], r["split"]) for r in rows2}
