@@ -87,3 +87,44 @@ def test_fused_path_single_python_stage(spark):
     pages = extract_text(pages_df(spark, n_pages=10))
     plan = plan_of(fused_triples(pages))
     assert plan.count("MapInPandas") == 1
+
+
+def test_fuzzy_alias_join_is_broadcast(spark):
+    """The gazetteer trigram posting list must arrive as a broadcast
+    hash join; the vocab side must never cartesian against it."""
+    from ehr_relation_extraction_spark.operators.linking import (
+        fuzzy_alias_candidates)
+    from ehr_relation_extraction_spark.operators.ner import tokenize_df
+    from ehr_relation_extraction_spark.oracle.fixtures import pages_df
+    from ehr_relation_extraction_spark.sources.pages import extract_text
+
+    toks = tokenize_df(extract_text(pages_df(spark, n_pages=10)))
+    plan = plan_of(fuzzy_alias_candidates(toks))
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_asof_is_window_not_range_join(spark):
+    """The as-of join must compile to ONE exchange on user_id + a sort
+    + a window — never a join (range joins explode at scale)."""
+    from ehr_relation_extraction_spark.operators.events import (
+        asof_attribution)
+
+    ev = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+    plan = plan_of(asof_attribution(ev))
+    assert "Window" in plan
+    for bad in ("SortMergeJoin", "BroadcastHashJoin", "CartesianProduct",
+                "BroadcastNestedLoopJoin", "ShuffledHashJoin"):
+        assert bad not in plan, f"as-of join compiled to {bad}"
+    # exactly one shuffle: the user_id partitioning for the window
+    assert plan.count("Exchange hashpartitioning") == 1
+
+
+def test_corpus_split_no_shuffle(spark):
+    """Hash-split is embarrassingly parallel: zero exchanges."""
+    from ehr_relation_extraction_spark.functions.textstats import (
+        train_dev_test_split)
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    assert "Exchange" not in plan_of(train_dev_test_split(docs))
