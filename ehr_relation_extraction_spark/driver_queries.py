@@ -391,6 +391,23 @@ def q_corpus_split(spark, sf_dir) -> DataFrame:
         "doc_id", "bucket", "split")
 
 
+def q_bigram_lm(spark, sf_dir) -> DataFrame:
+    return ts.bigram_lm(_docs(spark, sf_dir)).select(
+        "w1", "w2", "c_bigram", "c_w1", "p_micro6")
+
+
+def q_corpus_curation(spark, sf_dir) -> DataFrame:
+    return ts.corpus_curation(_docs(spark, sf_dir)).select(
+        "doc_id", "n_tokens", "keep", "reason")
+
+
+def q_candidates_balanced(spark, sf_dir) -> DataFrame:
+    from .operators import pairs as pairs_op
+
+    return pairs_op.balance_classes(_labeled_candidates(spark, sf_dir)) \
+        .select("url", "rel_id", "rel_type", "label", "class_rank")
+
+
 def q_events_hourly(spark, sf_dir) -> DataFrame:
     ev_df = spark.read.parquet(f"{sf_dir}/events.parquet")
     return evt.hourly_rollup(ev_df).select(
@@ -440,6 +457,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "events_asof": q_events_asof,
     "cooccurrence_pmi": q_cooccurrence_pmi,
     "corpus_split": q_corpus_split,
+    "bigram_lm": q_bigram_lm,
+    "corpus_curation": q_corpus_curation,
+    "candidates_balanced": q_candidates_balanced,
     "eval_mentions_lenient": q_eval_mentions_lenient,
     "eval_mentions_macro": q_eval_mentions_macro,
     "sessionize": q_sessionize,

@@ -153,6 +153,63 @@ def train_dev_test_split(docs: DataFrame, train_pct: int = 80,
                        split.alias("split"))
 
 
+def bigram_lm(docs: DataFrame, min_count: int = 5) -> DataFrame:
+    """Bigram language-model counts over the corpus:
+    (w1, w2, c_bigram, c_w1, p_micro6) with p(w2|w1) =
+    c(w1,w2) / c(w1 as predecessor), exact integer division.
+
+    Shape: per-doc adjacent pairs via a lead window on token position
+    (one shuffle on doc_id — at scale the tokens already arrive
+    partitioned by doc from the tokenize stage), then a global count
+    shuffle on the bigram key; ``min_count`` prunes the tail before
+    the output materializes."""
+    toks = docs.select(
+        "doc_id",
+        F.posexplode(F.transform(_toks(), lambda t: F.lower(t)))
+        .alias("tok_idx", "w1"))
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("doc_id").orderBy("tok_idx")
+    pairs = (toks.withColumn("w2", F.lead("w1").over(w))
+             .where(F.col("w2").isNotNull()))
+    big = pairs.groupBy("w1", "w2").agg(
+        F.count(F.lit(1)).cast("long").alias("c_bigram"))
+    uni = pairs.groupBy("w1").agg(
+        F.count(F.lit(1)).cast("long").alias("c_w1"))
+    return (big.where(F.col("c_bigram") >= min_count)
+            .join(uni, "w1")
+            .select("w1", "w2", "c_bigram", "c_w1",
+                    F.expr("(c_bigram * 1000000) div c_w1")
+                     .cast("long").alias("p_micro6")))
+
+
+def corpus_curation(docs: DataFrame) -> DataFrame:
+    """Training-data curation gate: compose the dedup canonical flag
+    with the quality/language heuristics into one keep/drop verdict
+    per document — the filter a 100 TB pre-training pipeline runs
+    before tokenization.  Rule precedence (first failure wins):
+    duplicate > too_short > low_diversity > not_english.
+
+    Output: (doc_id, n_tokens, keep, reason)."""
+    from ..operators.dedup import exact_dedup
+
+    q = quality_features(docs).select(
+        "doc_id", "n_tokens", "n_distinct_tokens", "n_stopwords")
+    canon = exact_dedup(docs).select("doc_id", "is_canonical")
+    j = q.join(canon, "doc_id")
+    reason = (F.when(F.col("is_canonical") == 0, F.lit("duplicate"))
+              .when(F.col("n_tokens") < 20, F.lit("too_short"))
+              .when(F.col("n_distinct_tokens") * 100
+                    < F.col("n_tokens") * 35, F.lit("low_diversity"))
+              .when(F.lit(20) * F.col("n_stopwords") < F.col("n_tokens"),
+                    F.lit("not_english"))
+              .otherwise(F.lit("ok")))
+    return j.select(
+        "doc_id", "n_tokens",
+        (reason == "ok").cast("int").alias("keep"),
+        reason.alias("reason"))
+
+
 def fingerprint(docs: DataFrame) -> DataFrame:
     """(doc_id, fingerprint, n_shingles): rolling-hash doc fingerprint =
     min md5 over token 3-gram shingles (minhash with one permutation),

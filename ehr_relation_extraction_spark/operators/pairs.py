@@ -110,6 +110,26 @@ def flag_gold(pairs: DataFrame, gold_relations: DataFrame) -> DataFrame:
     return joined.unionByName(rest)
 
 
+def balance_classes(pairs_with_label: DataFrame,
+                    per_class: int = 50) -> DataFrame:
+    """Stratified per-class downsampling for RE training: keep at most
+    ``per_class`` candidates per (rel_type, label) stratum, chosen by a
+    deterministic md5 ordering of the pair identity — partition-stable
+    (same rows at any parallelism), unlike seeded ``random``/
+    ``sampleBy``.  One shuffle on the stratum key; skewed strata are
+    bounded by the cap itself.
+
+    Output: (url, rel_id, rel_type, label, class_rank)."""
+    from pyspark.sql import Window
+
+    h = F.md5(F.concat_ws(":", "url", "rel_id"))
+    w = Window.partitionBy("rel_type", "label").orderBy(h)
+    return (pairs_with_label
+            .withColumn("class_rank", F.row_number().over(w).cast("int"))
+            .where(F.col("class_rank") <= per_class)
+            .select("url", "rel_id", "rel_type", "label", "class_rank"))
+
+
 def sample_negatives(pairs_with_label: DataFrame,
                      keep_pct: int = NEG_SAMPLE_PCT) -> DataFrame:
     """R4 (training path only): keep negatives with p=keep_pct/100 via a

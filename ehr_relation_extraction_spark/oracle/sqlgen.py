@@ -637,6 +637,29 @@ WHERE label = 1
             substr(md5(url || ':' || rel_id || ':' || rel_type), 31, 1)) - 1)
        + (instr('0123456789abcdef',
             substr(md5(url || ':' || rel_id || ':' || rel_type), 32, 1)) - 1)) < 64"""),
+    "candidates_balanced": _assemble(
+        BASE, SYS,
+        select="""
+SELECT url, rel_id, rel_type, label, class_rank FROM (
+  SELECT url, rel_id, rel_type, label,
+         CAST(ROW_NUMBER() OVER (PARTITION BY rel_type, label
+              ORDER BY md5(url || ':' || rel_id)) AS INT) AS class_rank
+  FROM (
+    SELECT c.url, c.rel_id, c.rel_type,
+           CAST(CASE WHEN g.url IS NOT NULL THEN 1 ELSE 0 END AS INT) AS label
+    FROM candidates c LEFT JOIN (
+      SELECT DISTINCT url, rel_type,
+             least(hub_start, attr_start) AS lo_start,
+             least(hub_end, attr_end) AS lo_end,
+             greatest(hub_start, attr_start) AS hi_start,
+             greatest(hub_end, attr_end) AS hi_end
+      FROM relations_sys) g
+    ON c.url = g.url AND c.rel_type = g.rel_type
+     AND least(c.hub_start, c.attr_start) = g.lo_start
+     AND least(c.hub_end, c.attr_end) = g.lo_end
+     AND greatest(c.hub_start, c.attr_start) = g.hi_start
+     AND greatest(c.hub_end, c.attr_end) = g.hi_end))
+WHERE class_rank <= 50"""),
     "dedup_exact": (
         "SELECT doc_id, md5(text) AS text_md5,\n"
         "  CAST(COUNT(*) OVER (PARTITION BY md5(text)) AS BIGINT) AS group_size,\n"
@@ -777,6 +800,53 @@ FROM co_pairs p
 JOIN co_df da ON p.tok_a = da.tok
 JOIN co_df db ON p.tok_b = db.tok
 CROSS JOIN co_n n""",
+    "bigram_lm": """
+WITH lm_toks AS (
+  SELECT doc_id, lower(tok) AS w1,
+         ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY piece_idx) AS pos
+  FROM (SELECT doc_id,
+               unnest(string_split_regex(text, '[\\n \\t]')) AS tok,
+               generate_subscripts(string_split_regex(text, '[\\n \\t]'), 1)
+                 AS piece_idx
+        FROM documents)
+  WHERE tok <> ''
+),
+lm_pairs AS (
+  SELECT w1, LEAD(w1) OVER (PARTITION BY doc_id ORDER BY pos) AS w2
+  FROM lm_toks
+),
+lm_big AS (SELECT w1, w2, CAST(COUNT(*) AS BIGINT) AS c_bigram
+           FROM lm_pairs WHERE w2 IS NOT NULL GROUP BY 1, 2),
+lm_uni AS (SELECT w1, CAST(COUNT(*) AS BIGINT) AS c_w1
+           FROM lm_pairs WHERE w2 IS NOT NULL GROUP BY 1)
+SELECT b.w1, b.w2, b.c_bigram, u.c_w1,
+       CAST((b.c_bigram * 1000000) // u.c_w1 AS BIGINT) AS p_micro6
+FROM lm_big b JOIN lm_uni u ON b.w1 = u.w1
+WHERE b.c_bigram >= 5""",
+    "corpus_curation": """
+WITH cq AS (
+  SELECT doc_id, text,
+         len(list_filter(string_split_regex(text, '[\\n \\t]'),
+             x -> x <> '')) AS n_tokens,
+         len(list_distinct(list_filter(string_split_regex(text, '[\\n \\t]'),
+             x -> x <> ''))) AS n_distinct,
+         len(list_filter(string_split_regex(text, '[\\n \\t]'),
+             x -> lower(x) IN ('the','a','of','and','to','in'))) AS n_stop,
+         CASE WHEN doc_id = MIN(doc_id) OVER (PARTITION BY md5(text))
+              THEN 1 ELSE 0 END AS is_canonical
+  FROM documents),
+cr AS (
+  SELECT doc_id, CAST(n_tokens AS BIGINT) AS n_tokens,
+         CASE WHEN is_canonical = 0 THEN 'duplicate'
+              WHEN n_tokens < 20 THEN 'too_short'
+              WHEN n_distinct * 100 < n_tokens * 35 THEN 'low_diversity'
+              WHEN 20 * n_stop < n_tokens THEN 'not_english'
+              ELSE 'ok' END AS reason
+  FROM cq)
+SELECT doc_id, n_tokens,
+       CAST(CASE WHEN reason = 'ok' THEN 1 ELSE 0 END AS INT) AS keep,
+       reason
+FROM cr""",
     "corpus_split": """
 SELECT doc_id, bucket,
        CASE WHEN bucket < 204 THEN 'train'

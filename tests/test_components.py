@@ -172,3 +172,57 @@ def test_corpus_split_stable_and_bounded(spark):
     rows2 = train_dev_test_split(docs.repartition(13)).collect()
     assert {(r["doc_id"], r["split"]) for r in rows} == \
            {(r["doc_id"], r["split"]) for r in rows2}
+
+
+def test_bigram_lm_hand_computed(spark):
+    from ehr_relation_extraction_spark.functions.textstats import bigram_lm
+
+    docs = spark.createDataFrame(
+        [(1, "a b a b c"), (2, "a b")], "doc_id long, text string")
+    got = {(r["w1"], r["w2"]): (r["c_bigram"], r["c_w1"], r["p_micro6"])
+           for r in bigram_lm(docs, min_count=1).collect()}
+    # 'a b' x3 of c(a)=3; 'b' precedes something twice (doc2's trailing
+    # 'b' has no successor; doc boundaries never pair)
+    assert got[("a", "b")] == (3, 3, 1_000_000)
+    assert got[("b", "a")] == (1, 2, 500_000)
+    assert got[("b", "c")] == (1, 2, 500_000)
+    assert set(got) == {("a", "b"), ("b", "a"), ("b", "c")}
+
+
+def test_corpus_curation_reasons(spark):
+    from ehr_relation_extraction_spark.functions.textstats import (
+        corpus_curation)
+
+    long_ok = " ".join(
+        ["the", "a", "of", "and"] * 2 + [f"w{i}" for i in range(16)])
+    dup = "the a of w1 w2 w3 " * 4  # 24 tokens but only 6 distinct (25%)
+    docs = spark.createDataFrame(
+        [(1, long_ok), (2, long_ok),      # 2 = exact duplicate of 1
+         (3, "short doc here"),           # too_short
+         (4, dup),                        # low_diversity
+         (5, " ".join(f"u{i}" for i in range(30)))],  # not_english
+        "doc_id long, text string")
+    got = {r["doc_id"]: (r["keep"], r["reason"])
+           for r in corpus_curation(docs).collect()}
+    assert got[1] == (1, "ok")
+    assert got[2] == (0, "duplicate")
+    assert got[3] == (0, "too_short")
+    assert got[4] == (0, "low_diversity")
+    assert got[5] == (0, "not_english")
+
+
+def test_balance_classes_cap_and_stability(spark):
+    from ehr_relation_extraction_spark.operators.pairs import balance_classes
+
+    rows = [(f"u{i}", f"R{i}", "Money-Topic", i % 2) for i in range(40)]
+    df = spark.createDataFrame(
+        rows, "url string, rel_id string, rel_type string, label int")
+    kept = balance_classes(df, per_class=5).collect()
+    by_class = {}
+    for r in kept:
+        by_class.setdefault((r["rel_type"], r["label"]), []).append(r)
+    assert all(len(v) == 5 for v in by_class.items() and by_class.values())
+    # deterministic under repartition
+    kept2 = balance_classes(df.repartition(7), per_class=5).collect()
+    assert {(r["url"], r["rel_id"]) for r in kept} == \
+           {(r["url"], r["rel_id"]) for r in kept2}
