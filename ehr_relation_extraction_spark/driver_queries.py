@@ -216,6 +216,24 @@ def q_mentions_model(spark, sf_dir) -> DataFrame:
         "doc_id", "url", "ent_id", "ent_type", "start", "end", "ent_text")
 
 
+def q_mentions_perceptron(spark, sf_dir) -> DataFrame:
+    """Learned model stage (averaged structured perceptron + CRF
+    viterbi, functions/perceptron.py): trained driver-side on a bounded
+    sample against the rule teacher, batched Arrow inference on
+    executors.  Learned weights -> no SQL oracle (rows-only driver
+    check, the sanctioned category); span-level quality vs the teacher
+    is pytest-gated at F1 >= 0.95 on held-out docs."""
+    from .functions.perceptron import train_on_teacher
+    from .operators.model_ner import model_mentions_df
+
+    pages = _frames(spark, sf_dir).pages
+    sample = [(r["text"],) for r in
+              pages.select("text").orderBy("doc_id").limit(200).collect()]
+    model = train_on_teacher(sample, epochs=5)
+    return model_mentions_df(pages, model.label_fn()).select(
+        "doc_id", "url", "ent_id", "ent_type", "start", "end", "ent_text")
+
+
 def q_host_stats(spark, sf_dir) -> DataFrame:
     fr = _frames(spark, sf_dir)
     host = F.substring_index(F.substring_index("url", "//", -1), "/", 1)
@@ -437,6 +455,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "eval_triples": q_eval_triples,
     "iob2_labels": q_iob2_labels,
     "mentions_model": q_mentions_model,
+    "mentions_perceptron": q_mentions_perceptron,
     "host_stats": q_host_stats,
     "candidates_labeled": q_candidates_labeled,
     "candidates_sampled": q_candidates_sampled,

@@ -125,3 +125,81 @@ class TestSmallKernels:
             ["B-Topic", "I-Topic", "O", "B-Misc", "I-Misc"]
         # ## after an O stays O (predict.py:247-249)
         assert expand_wordpiece_labels(["x", "##y"], ["O"]) == ["O", "O"]
+
+
+# ---------------------------------------------------------------------------
+# learned model stage: averaged structured perceptron + CRF viterbi
+# ---------------------------------------------------------------------------
+
+def _fixture_texts(n=120):
+    from ehr_relation_extraction_spark.oracle.fixtures import make_pages
+
+    return [p["text"] for p in make_pages(42, n)]
+
+
+def test_perceptron_heldout_f1():
+    """Train on 90 fixture docs against the rule-teacher labels; the
+    learned tagger must generalize to 30 HELD-OUT docs (span F1 >= 0.95
+    — measured 0.995; fully deterministic so no flake margin needed)."""
+    from ehr_relation_extraction_spark.functions.perceptron import (
+        train_on_teacher)
+    from ehr_relation_extraction_spark.functions.text import (
+        tokenize_with_offsets)
+    from ehr_relation_extraction_spark.operators.model_ner import (
+        decode_chunks, teacher_labels)
+
+    texts = _fixture_texts()
+    model = train_on_teacher([(t,) for t in texts[:90]], epochs=5)
+    tp = fp = fn = 0
+    for text in texts[90:]:
+        toks = tokenize_with_offsets(text)
+        gold = set(map(tuple, decode_chunks(teacher_labels(text, toks))))
+        pred = set(map(tuple, decode_chunks(
+            model.predict([t for t, _, _ in toks]))))
+        tp += len(gold & pred)
+        fp += len(pred - gold)
+        fn += len(gold - pred)
+    f1 = 2 * tp / (2 * tp + fp + fn)
+    assert f1 >= 0.95, f"held-out span F1 {f1:.4f}"
+
+
+def test_perceptron_training_is_deterministic():
+    import numpy as np
+
+    from ehr_relation_extraction_spark.functions.perceptron import (
+        train_on_teacher)
+
+    texts = [(t,) for t in _fixture_texts(30)]
+    a = train_on_teacher(texts, epochs=2)
+    b = train_on_teacher(texts, epochs=2)
+    assert np.array_equal(a.avg_em, b.avg_em)
+    assert np.array_equal(a.avg_tr, b.avg_tr)
+
+
+def test_perceptron_spark_stage_matches_teacher_path(spark):
+    """The learned label_fn plugged into model_mentions_df must
+    reproduce the teacher-label model path on HELD-OUT pages at
+    F1 >= 0.95 (same span-encoding path on both sides, so the gap
+    measured is pure learning error — the gazetteer-kernel comparison
+    with its non-token-aligned trim quirks lives in
+    test_model_path_recall_on_encodable_mentions)."""
+    from ehr_relation_extraction_spark.functions.perceptron import (
+        train_on_teacher)
+    from ehr_relation_extraction_spark.operators.model_ner import (
+        model_mentions_df)
+    from ehr_relation_extraction_spark.oracle.fixtures import pages_df
+    from ehr_relation_extraction_spark.sources.pages import extract_text
+
+    texts = _fixture_texts()
+    model = train_on_teacher([(t,) for t in texts[:90]], epochs=5)
+
+    pages = extract_text(pages_df(spark, n_pages=120)).where(
+        "doc_id >= 90")
+    key = ["url", "ent_type", "start", "end"]
+    pred = {tuple(r[k] for k in key)
+            for r in model_mentions_df(pages, model.label_fn()).collect()}
+    gold = {tuple(r[k] for k in key)
+            for r in model_mentions_df(pages).collect()}  # teacher labels
+    tp = len(gold & pred)
+    f1 = 2 * tp / (len(gold) + len(pred))
+    assert f1 >= 0.95, f"spark-stage F1 {f1:.4f}"
