@@ -160,6 +160,77 @@ class PerceptronTagger:
         return fn
 
 
+class PairClassifier:
+    """Averaged binary perceptron for the RE stage (reference R8,
+    biobert_re sequence classifier) — the learned counterpart of
+    ``operators.relations.classify_rule``, behind the same contract
+    (candidate row -> pred in {0, 1}).
+
+    Features are hashed strings of the pair row (types, exact and
+    bucketed gap, surfaces, argument order); weights are one (D,)
+    vector.  Deterministic training (fixed order, no RNG) with the
+    same lazy-averaging trick as the tagger."""
+
+    FIELDS = ("rel_type", "gap", "hub_text", "attr_text",
+              "hub_start", "attr_start")
+
+    def __init__(self):
+        self.w = np.zeros(D_BUCKETS)
+        self._u = np.zeros(D_BUCKETS)
+        self._q = 0
+        self.avg: np.ndarray | None = None
+
+    @staticmethod
+    def pair_features(rel_type: str, gap: int, hub_text: str,
+                      attr_text: str, hub_start: int,
+                      attr_start: int) -> list[int]:
+        feats = [
+            "rt=" + rel_type,
+            "g=" + str(gap),
+            "gb=" + str(gap // 10),
+            "ht=" + hub_text.lower(),
+            "at=" + attr_text.lower(),
+            "ord=" + ("ha" if hub_start < attr_start else "ah"),
+        ]
+        return [_bucket(f) for f in feats]
+
+    def _score(self, fs: list[int], w: np.ndarray) -> float:
+        return float(w[fs].sum())
+
+    def train(self, rows: list[tuple], labels: list[int],
+              epochs: int = 5) -> "PairClassifier":
+        """rows: tuples in FIELDS order; labels: teacher 0/1."""
+        for _ in range(epochs):
+            for row, y in zip(rows, labels):
+                fs = self.pair_features(*row)
+                self._q += 1
+                pred = 1 if self._score(fs, self.w) > 0 else 0
+                if pred != y:
+                    v = 1.0 if y == 1 else -1.0
+                    self.w[fs] += v
+                    self._u[fs] += self._q * v
+        self.avg = self.w - self._u / max(self._q, 1)
+        return self
+
+    def predict(self, row: tuple) -> int:
+        w = self.avg if self.avg is not None else self.w
+        return 1 if self._score(self.pair_features(*row), w) > 0 else 0
+
+
+def train_pair_classifier(candidates_rows: list[dict], epochs: int = 5
+                          ) -> PairClassifier:
+    """Train from candidate-row dicts against the rule teacher
+    (gap <= MAX_PAIR_GAP_CHARS) — the distillation setup for the RE
+    stage; sampled driver-side exactly like the tagger."""
+    from ..config import MAX_PAIR_GAP_CHARS
+
+    rows = [tuple(r[f] for f in PairClassifier.FIELDS)
+            for r in candidates_rows]
+    labels = [1 if r["gap"] <= MAX_PAIR_GAP_CHARS else 0
+              for r in candidates_rows]
+    return PairClassifier().train(rows, labels, epochs=epochs)
+
+
 def train_on_teacher(pages_rows: list[tuple[str]], epochs: int = 5
                      ) -> PerceptronTagger:
     """Train from raw texts against the deterministic teacher labels

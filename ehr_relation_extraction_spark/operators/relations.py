@@ -29,6 +29,36 @@ def classify_rule(pairs: DataFrame,
         "pred", (F.col("gap") <= F.lit(max_gap)).cast("int"))
 
 
+def classify_learned(pairs: DataFrame, model) -> DataFrame:
+    """Learned RE classifier (reference R8 contract): scores candidate
+    rows with a trained ``functions.perceptron.PairClassifier`` in one
+    Arrow pass — the weights (a few hundred KB used) ship in the
+    closure; schema = input columns + ``pred`` int, so it drops into
+    ``keep_positive`` exactly like ``classify_rule``."""
+    from collections.abc import Iterator
+
+    import pandas as pd
+
+    from pyspark.sql.types import IntegerType, StructField, StructType
+
+    from ..functions.perceptron import PairClassifier
+
+    fields = list(PairClassifier.FIELDS)
+    schema = StructType(pairs.schema.fields
+                        + [StructField("pred", IntegerType())])
+    cols = [f.name for f in pairs.schema.fields]
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            preds = [model.predict(row) for row in
+                     zip(*(pdf[f] for f in fields))]
+            out = pdf[cols].copy()
+            out["pred"] = pd.Series(preds, dtype="int32")
+            yield out
+
+    return pairs.mapInPandas(gen, schema)
+
+
 def keep_positive(classified: DataFrame) -> DataFrame:
     """R9: keep pred==1, reassign R%d sequentially per url in position
     order (predict.py:379-387 reassigns in candidate order)."""

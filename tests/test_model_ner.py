@@ -228,3 +228,40 @@ def test_cascade_end_to_end_triple_parity(spark):
     sys_ = build_cascade(held_out, model.label_fn()).triples
     row = prf_triples(gold, sys_).first()
     assert row["f1_micro6"] >= 850_000, dict(row.asDict())
+
+
+def test_learned_re_classifier_matches_rule_heldout(spark):
+    """Learned RE stage (PairClassifier) behind the classify contract:
+    trained against a gap<=30 teacher on 300 docs, it must agree with
+    classify_rule on 100 HELD-OUT docs at >= 0.95 on a real class mix
+    (measured 1.0; the default gap<=60 teacher is vacuous on this
+    fixture — 99.8% positive — so the test uses 30)."""
+    from ehr_relation_extraction_spark.functions.perceptron import (
+        PairClassifier)
+    from ehr_relation_extraction_spark.operators.relations import (
+        classify_learned, classify_rule)
+    from ehr_relation_extraction_spark.oracle.fixtures import pages_df
+    from ehr_relation_extraction_spark.plans.pipeline import build
+
+    pages = pages_df(spark, n_pages=400)
+    tr = build(pages.where("doc_id < 300")).candidates.collect()
+    rows = [tuple(r[f] for f in PairClassifier.FIELDS) for r in tr]
+    labels = [1 if r["gap"] <= 30 else 0 for r in tr]
+    model = PairClassifier().train(rows, labels, epochs=5)
+
+    cand = build(pages.where("doc_id >= 300")).candidates
+    key = ["url", "rel_id"]
+    rule = {tuple(r[k] for k in key): r["pred"]
+            for r in classify_rule(cand, max_gap=30).collect()}
+    learned = {tuple(r[k] for k in key): r["pred"]
+               for r in classify_learned(cand, model).collect()}
+    assert set(rule) == set(learned)
+    classes = set(rule.values())
+    assert classes == {0, 1}, "held-out set must contain both classes"
+    agree = sum(rule[k] == learned[k] for k in rule) / len(rule)
+    assert agree >= 0.95, f"agreement {agree:.4f}"
+
+    # deterministic retrain
+    model2 = PairClassifier().train(rows, labels, epochs=5)
+    import numpy as np
+    assert np.array_equal(model.avg, model2.avg)
