@@ -81,3 +81,21 @@ def test_mention_spans_valid(text):
         assert 0 <= s < e <= len(text)
         assert text[s:e] == surf
         assert any(ch.isalnum() for ch in surf)
+
+
+@given(st.lists(st.text(alphabet="ab kx9", min_size=1, max_size=8),
+                min_size=1, max_size=12))
+@settings(max_examples=30, deadline=None)
+def test_perceptron_predictions_obey_iob2_grammar(tokens):
+    """Whatever the (even untrained) weights, the grammar-masked
+    viterbi may never emit I-X after anything but B-X/I-X."""
+    from ehr_relation_extraction_spark.functions.perceptron import (
+        PerceptronTagger)
+
+    labels = PerceptronTagger().predict(tokens)
+    assert len(labels) == len(tokens)
+    prev = "O"
+    for lab in labels:
+        if lab.startswith("I-"):
+            assert prev in (f"B-{lab[2:]}", f"I-{lab[2:]}"), (prev, lab)
+        prev = lab

@@ -77,3 +77,40 @@ def test_predict_document_matches_pipeline(spark):
     assert local_mentions == spark_mentions
     # graph adjacency covers every triple subject
     assert set(local["graph"]) == {t["subj"] for t in local["triples"]}
+
+
+def test_new_operators_on_degenerate_docs(spark):
+    """Every corpus-level operator added in the round-1 continuation
+    must handle an empty corpus and single/empty-text docs without
+    crashing (zero or well-formed rows)."""
+    from ehr_relation_extraction_spark.functions.textstats import (
+        bigram_lm, cooccurrence_pmi, corpus_curation, train_dev_test_split)
+    from ehr_relation_extraction_spark.operators.linking import (
+        fuzzy_alias_candidates)
+
+    empty = spark.createDataFrame([], "doc_id long, text string")
+    weird = spark.createDataFrame(
+        [(1, ""), (2, "x"), (3, "the the the")], "doc_id long, text string")
+    for docs in (empty, weird):
+        assert bigram_lm(docs, min_count=1).count() >= 0
+        assert cooccurrence_pmi(docs, min_docs_ab=1).count() >= 0
+        assert corpus_curation(docs).count() == docs.count()
+        assert train_dev_test_split(docs).count() == docs.count()
+
+    toks_empty = spark.createDataFrame([], "token string")
+    assert fuzzy_alias_candidates(toks_empty).count() == 0
+
+
+def test_asof_empty_and_single_type(spark):
+    from ehr_relation_extraction_spark.operators.events import (
+        asof_attribution)
+
+    empty = spark.createDataFrame(
+        [], "event_id long, ts timestamp, user_id long, event_type string")
+    assert asof_attribution(empty).count() == 0
+    only_clicks = spark.createDataFrame(
+        [(1, "2024-01-01 00:00:01", 7, "click")],
+        "event_id long, ts string, user_id long, event_type string"
+    ).selectExpr("event_id", "CAST(ts AS TIMESTAMP) ts", "user_id",
+                 "event_type")
+    assert asof_attribution(only_clicks).count() == 0
