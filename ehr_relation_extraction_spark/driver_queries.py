@@ -378,6 +378,19 @@ def q_related_topics(spark, sf_dir) -> DataFrame:
             .agg(F.count(F.lit(1)).cast("long").alias("n_shared")))
 
 
+def q_graph_bfs(spark, sf_dir) -> DataFrame:
+    """BFS hop distances from the lexicographically smallest graph node
+    — an ITERATIVE algorithm with an exact recursive-CTE oracle."""
+    from .operators.graph_algos import bfs_distances
+
+    ge = q_graph_edges(spark, sf_dir)
+    source = ge.select(
+        F.least(F.min("subj_node"), F.min("obj_node")).alias("s")
+    ).first()["s"]
+    edges = ge.selectExpr("subj_node AS src", "obj_node AS dst")
+    return bfs_distances(edges, source).select("node", "dist")
+
+
 def q_pagerank(spark, sf_dir) -> DataFrame:
     """Iterative fixpoint -> no SQL oracle (rows-only driver check, the
     sanctioned category for iterative algorithms)."""
@@ -483,6 +496,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "eval_mentions_macro": q_eval_mentions_macro,
     "sessionize": q_sessionize,
     "pagerank": q_pagerank,
+    "graph_bfs": q_graph_bfs,
     "graph_degrees": q_graph_degrees,
     "related_topics": q_related_topics,
     "embedding_near_dups": q_embedding_near_dups,

@@ -15,6 +15,44 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, functions as F
 
 
+def bfs_distances(edges: DataFrame, source: str,
+                  max_iter: int = 50) -> DataFrame:
+    """Unweighted shortest-hop distances from ``source`` over the
+    UNDIRECTED edge set — frontier-expansion BFS as iterative joins
+    (the GraphFrames-free form), ``localCheckpoint`` per level.
+
+    Unlike PageRank this iterative algorithm IS exactly
+    SQL-expressible (bounded recursive CTE), so the driver checks it
+    against a DuckDB oracle value-for-value — the stronger check for
+    an iterative operator.
+
+    Returns (node, dist) for REACHABLE nodes only (dist 0 = source).
+    Each level is one join + anti-join against the settled set; at
+    scale the frontier is partitioned on node and the settled set
+    stays partitioned alike, so levels are single-shuffle.
+    """
+    spark = edges.sparkSession
+    sym = (edges.select("src", "dst")
+           .union(edges.select(F.col("dst").alias("src"),
+                               F.col("src").alias("dst")))
+           .where(F.col("src") != F.col("dst"))
+           .dropDuplicates().localCheckpoint())
+    dist = spark.createDataFrame([(source, 0)], "node string, dist int")
+    frontier = dist
+    for level in range(1, max_iter + 1):
+        nxt = (frontier.join(sym, frontier["node"] == sym["src"])
+               .select(F.col("dst").alias("node"))
+               .dropDuplicates()
+               .join(dist, "node", "left_anti")
+               .withColumn("dist", F.lit(level).cast("int"))
+               .localCheckpoint())
+        if nxt.isEmpty():
+            break
+        dist = dist.union(nxt).localCheckpoint()
+        frontier = nxt
+    return dist
+
+
 def pagerank(edges: DataFrame, damping: float = 0.85,
              n_iter: int = 10) -> DataFrame:
     """edges (src, dst[, weight]) directed -> (node, rank_micro6, rank).

@@ -597,6 +597,33 @@ FROM ge a JOIN ge b ON a.obj_node = b.obj_node
 WHERE a.subj_node < b.subj_node
 GROUP BY a.subj_node, b.subj_node""",
         LINK_CTES),
+    # BFS hop distances — iterative in Spark, exact bounded recursive
+    # CTE in DuckDB (the stronger check for an iterative operator)
+    "graph_bfs": _q(
+        """
+, ge2 AS MATERIALIZED (
+  SELECT s.component AS subj_node,
+         COALESCE(oc.component, COALESCE(og.canonical_id, 'surface:' || lower(t.obj))) AS obj_node
+  FROM triples t
+  JOIN linked l ON t.url = l.url AND t.subj_id = l.ent_id
+  JOIN components s ON l.canonical_id = s.node
+  LEFT JOIN gaz og ON lower(t.obj) = og.alias
+  LEFT JOIN components oc
+         ON COALESCE(og.canonical_id, 'surface:' || lower(t.obj)) = oc.node
+  GROUP BY 1, 2),
+gnodes AS MATERIALIZED (
+  SELECT subj_node AS node FROM ge2 UNION SELECT obj_node FROM ge2),
+gsym AS MATERIALIZED (
+  SELECT subj_node AS src, obj_node AS dst FROM ge2 WHERE subj_node <> obj_node
+  UNION
+  SELECT obj_node, subj_node FROM ge2 WHERE subj_node <> obj_node),
+bfs(node, d) AS (
+  SELECT (SELECT MIN(node) FROM gnodes) AS node, 0 AS d
+  UNION
+  SELECT e.dst, b.d + 1 FROM bfs b JOIN gsym e ON e.src = b.node
+  WHERE b.d < (SELECT COUNT(*) FROM gnodes))
+SELECT node, CAST(MIN(d) AS INT) AS dist FROM bfs GROUP BY node""",
+        LINK_CTES),
     "candidates_labeled": _assemble(
         BASE, SYS,
         select="""

@@ -55,3 +55,42 @@ def test_pagerank_on_kg_edges(spark):
     pr = pagerank(edges, n_iter=3).collect()
     assert len(pr) > 5
     assert abs(sum(r["rank"] for r in pr) - 1.0) < 1e-6
+
+
+def test_bfs_distances_vs_reference(spark):
+    import collections
+    import random
+
+    from ehr_relation_extraction_spark.operators.graph_algos import (
+        bfs_distances)
+
+    rng = random.Random(11)
+    nodes = [f"n{i:02d}" for i in range(25)]
+    edges = [(rng.choice(nodes), rng.choice(nodes)) for _ in range(30)]
+    src = min(nodes)
+
+    adj = collections.defaultdict(set)
+    for a, b in edges:
+        if a != b:
+            adj[a].add(b)
+            adj[b].add(a)
+    want, frontier, d = {src: 0}, {src}, 0
+    while frontier:
+        d += 1
+        frontier = {y for x in frontier for y in adj[x] if y not in want}
+        for y in frontier:
+            want[y] = d
+
+    e_df = spark.createDataFrame(edges, "src string, dst string")
+    got = {r["node"]: r["dist"]
+           for r in bfs_distances(e_df, src).collect()}
+    assert got == want
+
+
+def test_bfs_distances_isolated_source(spark):
+    from ehr_relation_extraction_spark.operators.graph_algos import (
+        bfs_distances)
+
+    e_df = spark.createDataFrame([("a", "b")], "src string, dst string")
+    got = {r["node"]: r["dist"] for r in bfs_distances(e_df, "z").collect()}
+    assert got == {"z": 0}
