@@ -137,11 +137,23 @@ def q_graph_nodes(spark, sf_dir) -> DataFrame:
         "canonical_id", "component", "ent_type", "n_mentions")
 
 
+_GRAPH_CACHE: dict[tuple[int, str], DataFrame] = {}
+
+
 def q_graph_edges(spark, sf_dir) -> DataFrame:
-    fr, linked, gaz = _linked(spark, sf_dir)
-    comps = lk.canonical_components(linked)
-    return lk.materialize_edges(fr.triples, linked, comps, gaz).select(
-        "subj_node", "pred", "obj_node", "weight")
+    """Materialized once per (session, sf_dir): the CC fixpoint loop is
+    the expensive part and five downstream graph queries (degrees,
+    related topics, pagerank, bfs, edges) all start from this table —
+    exactly the stage-checkpoint pattern the production pipeline uses
+    (plans/stages.py), applied to the driver-contract path."""
+    key = (id(spark), sf_dir)
+    if key not in _GRAPH_CACHE:
+        fr, linked, gaz = _linked(spark, sf_dir)
+        comps = lk.canonical_components(linked)
+        _GRAPH_CACHE[key] = lk.materialize_edges(
+            fr.triples, linked, comps, gaz).select(
+            "subj_node", "pred", "obj_node", "weight").localCheckpoint()
+    return _GRAPH_CACHE[key]
 
 
 def _eval_frames(spark, sf_dir):
