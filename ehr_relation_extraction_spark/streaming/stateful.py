@@ -21,7 +21,7 @@ from collections.abc import Iterator
 
 import pandas as pd
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, functions as F
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
 OUTPUT_DDL = ("url string, subj_id string, subj string, pred string, "
@@ -136,6 +136,30 @@ def recrawl_diff(pages_stream: DataFrame) -> DataFrame:
                 _diff_group, DIFF_OUTPUT_DDL, DIFF_STATE_DDL,
                 outputMode="append",
                 timeoutConf=GroupStateTimeout.NoTimeout))
+
+
+def apply_triple_deltas(store: DataFrame, deltas: DataFrame) -> DataFrame:
+    """Apply (+/-) re-crawl deltas to a triple store — the MERGE that
+    keeps a materialized KG consistent with the live crawl without
+    full rebuilds.
+
+    Per (url, triple) the LAST op by crawl_seq wins: '+' means present,
+    '-' means retracted; triples never mentioned by a delta keep their
+    store row.  One window over the delta keys + one join against the
+    store — at scale both sides are partitioned on url.  Composes:
+    ``apply_triple_deltas(v1_store, recrawl_diff deltas) == v2 store``
+    (asserted in tests).
+    """
+    from pyspark.sql import Window
+
+    key = ["url", "subj", "pred", "obj"]
+    w = Window.partitionBy(*key).orderBy(F.col("crawl_seq").desc())
+    last = (deltas.withColumn("_rn", F.row_number().over(w))
+            .where(F.col("_rn") == 1))
+    adds = last.where(F.col("op") == "+").select(*key)
+    dels = last.where(F.col("op") == "-").select(*key)
+    kept = store.select(*key).join(dels, key, "left_anti")
+    return kept.unionByName(adds).dropDuplicates(key)
 
 
 def incremental_recrawl_diff(spark, pages_dir: str, out_dir: str,

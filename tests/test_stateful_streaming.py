@@ -106,3 +106,16 @@ def test_recrawl_diff_emits_retractions_and_additions(spark, tmp_path):
     n_before = len(deltas)
     incremental_recrawl_diff(spark, src, out, ck).awaitTermination(300)
     assert spark.read.parquet(out).count() == n_before
+
+    # MERGE closes the loop: applying ALL deltas to an empty store must
+    # reconstruct exactly the v2 triple store (last op per key wins)
+    from ehr_relation_extraction_spark.streaming.stateful import (
+        apply_triple_deltas)
+
+    empty = spark.createDataFrame(
+        [], "url string, subj string, pred string, obj string")
+    merged = {(r["url"], r["subj"], r["pred"], r["obj"])
+              for r in apply_triple_deltas(
+                  empty, spark.read.parquet(out)).collect()}
+    want = {(u, s, p, o) for u, ts in t2.items() for (s, p, o) in ts}
+    assert merged == want
