@@ -59,7 +59,7 @@ toks0 AS (
               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS INT) AS char_start
   FROM raw_toks
 ),
-toks AS (
+toks AS MATERIALIZED (
   SELECT doc_id, url, text, tok AS token,
          CAST(ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY piece_idx) - 1 AS INT) AS tok_idx,
          char_start,
@@ -78,7 +78,7 @@ shard0 AS (
          MIN(n_tokens) AS n_tokens
   FROM toks GROUP BY doc_id, url, CAST(tok_idx // {max_len} AS INT)
 ),
-shards AS (
+shards AS MATERIALIZED (
   SELECT doc_id, url, shard_id, tok_start, tok_end, char_start, char_end,
          CASE WHEN m = 1 THEN 0
               WHEN lead_fte IS NULL THEN NULL
@@ -127,7 +127,7 @@ isl{sfx} AS (
         THEN 0 ELSE 1 END AS new_isl
     FROM cands{sfx})
 ),
-mentions{sfx} AS (
+mentions{sfx} AS MATERIALIZED (
   SELECT doc_id, url,
          'T' || CAST(ROW_NUMBER() OVER (
              PARTITION BY url ORDER BY start, "end", ent_type) AS VARCHAR) AS ent_id,
@@ -138,7 +138,7 @@ mentions{sfx} AS (
     FROM isl{sfx})
   WHERE isl_rank % 2 = 1 AND regexp_matches(ent_text, '[0-9A-Za-z]')
 ),
-winm{sfx} AS (
+winm{sfx} AS MATERIALIZED (
   SELECT m.doc_id, m.url, m.ent_id, m.ent_type, m.start, m."end", m.ent_text,
          s.shard_id
   FROM mentions{sfx} m JOIN shards s
@@ -177,14 +177,14 @@ triples{sfx} AS (
 
 
 LINK_CTES = """
-linked AS (
+linked AS MATERIALIZED (
   SELECT m.doc_id, m.url, m.ent_id, m.ent_type, m.start, m."end", m.ent_text,
          COALESCE(g.canonical_id, 'surface:' || lower(m.ent_text)) AS canonical_id
   FROM mentions m LEFT JOIN gaz g
     ON lower(m.ent_text) = g.alias AND m.ent_type = g.ent_type
 ),
 cc_nodes AS (SELECT DISTINCT canonical_id AS node FROM linked),
-ov_edges AS (
+ov_edges AS MATERIALIZED (
   SELECT DISTINCT a.canonical_id AS src, b.canonical_id AS dst
   FROM linked a JOIN linked b
     ON a.url = b.url AND a.start < b."end" AND b.start < a."end"
@@ -196,7 +196,8 @@ reach(node, comp) AS (
   UNION
   SELECT e.dst AS node, r.comp FROM reach r JOIN sym_edges e ON e.src = r.node
 ),
-components AS (SELECT node, MIN(comp) AS component FROM reach GROUP BY node)"""
+components AS MATERIALIZED (
+  SELECT node, MIN(comp) AS component FROM reach GROUP BY node)"""
 
 
 # Fuzzy alias discovery (long-tail linking): trigram posting-list join
