@@ -104,10 +104,26 @@ def q_distinct_subjects(spark, sf_dir) -> DataFrame:
     return tri_op.distinct_subjects(_frames(spark, sf_dir).triples)
 
 
+_LINK_CACHE: dict[tuple[int, str], tuple] = {}
+
+
 def _linked(spark, sf_dir):
     fr = _frames(spark, sf_dir)
     gaz = lk.gazetteer_df(spark)
     return fr, lk.link_mentions(fr.mentions, gaz), gaz
+
+
+def _linked_components(spark, sf_dir):
+    """linked mentions + CC components, materialized once per session —
+    the CC fixpoint loop feeds four queries (components, nodes, edges,
+    and everything downstream of edges)."""
+    key = (id(spark), sf_dir)
+    if key not in _LINK_CACHE:
+        fr, linked, gaz = _linked(spark, sf_dir)
+        linked = linked.localCheckpoint()
+        comps = lk.canonical_components(linked).localCheckpoint()
+        _LINK_CACHE[key] = (fr, linked, gaz, comps)
+    return _LINK_CACHE[key]
 
 
 def q_link_mentions(spark, sf_dir) -> DataFrame:
@@ -126,13 +142,12 @@ def q_fuzzy_alias_candidates(spark, sf_dir) -> DataFrame:
 
 
 def q_canonical_components(spark, sf_dir) -> DataFrame:
-    _, linked, _ = _linked(spark, sf_dir)
-    return lk.canonical_components(linked).select("node", "component")
+    _, _, _, comps = _linked_components(spark, sf_dir)
+    return comps.select("node", "component")
 
 
 def q_graph_nodes(spark, sf_dir) -> DataFrame:
-    _, linked, _ = _linked(spark, sf_dir)
-    comps = lk.canonical_components(linked)
+    _, linked, _, comps = _linked_components(spark, sf_dir)
     return lk.materialize_nodes(linked, comps).select(
         "canonical_id", "component", "ent_type", "n_mentions")
 
@@ -148,8 +163,7 @@ def q_graph_edges(spark, sf_dir) -> DataFrame:
     (plans/stages.py), applied to the driver-contract path."""
     key = (id(spark), sf_dir)
     if key not in _GRAPH_CACHE:
-        fr, linked, gaz = _linked(spark, sf_dir)
-        comps = lk.canonical_components(linked)
+        fr, linked, gaz, comps = _linked_components(spark, sf_dir)
         _GRAPH_CACHE[key] = lk.materialize_edges(
             fr.triples, linked, comps, gaz).select(
             "subj_node", "pred", "obj_node", "weight").localCheckpoint()
