@@ -465,6 +465,23 @@ def q_candidates_balanced(spark, sf_dir) -> DataFrame:
         .select("url", "rel_id", "rel_type", "label", "class_rank")
 
 
+def q_triples_daily(spark, sf_dir) -> DataFrame:
+    """Temporal KG analytics: triples per predicate per crawl day
+    (warc_ts day index) — the partition key a 10^12-doc Iceberg layout
+    uses (`days(warc_ts)`, SURVEY §7.0).  Integer day index keeps the
+    oracle timezone-proof."""
+    fr = _frames(spark, sf_dir)
+    pages_day = fr.pages.select(
+        "doc_id",
+        ((F.lit(1704067200) + F.col("doc_id")) / 86400)
+        .cast("int").alias("day_idx"))
+    return (fr.triples.join(pages_day, "doc_id")
+            .groupBy("day_idx", "pred")
+            .agg(F.count(F.lit(1)).cast("long").alias("n_triples"),
+                 F.countDistinct("url").cast("long").alias("n_pages"),
+                 F.countDistinct("subj").cast("long").alias("n_subjects")))
+
+
 def q_events_hourly(spark, sf_dir) -> DataFrame:
     ev_df = spark.read.parquet(f"{sf_dir}/events.parquet")
     return evt.hourly_rollup(ev_df).select(
@@ -512,6 +529,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "ann_buckets": q_ann_buckets,
     "ann_topk": q_ann_topk,
     "events_hourly": q_events_hourly,
+    "triples_daily": q_triples_daily,
     "events_asof": q_events_asof,
     "cooccurrence_pmi": q_cooccurrence_pmi,
     "corpus_split": q_corpus_split,

@@ -600,6 +600,15 @@ GROUP BY a.subj_node, b.subj_node""",
         LINK_CTES),
     # BFS hop distances — iterative in Spark, exact bounded recursive
     # CTE in DuckDB (the stronger check for an iterative operator)
+    "triples_daily": _q(
+        """
+SELECT CAST((1704067200 + t.doc_id) // 86400 AS INT) AS day_idx,
+       t.pred,
+       CAST(COUNT(*) AS BIGINT) AS n_triples,
+       CAST(COUNT(DISTINCT t.url) AS BIGINT) AS n_pages,
+       CAST(COUNT(DISTINCT t.subj) AS BIGINT) AS n_subjects
+FROM triples t
+GROUP BY 1, 2"""),
     "graph_bfs": _q(
         """
 , ge2 AS MATERIALIZED (
