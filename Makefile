@@ -14,6 +14,9 @@ bench:
 scaling:
 	$(PY) bench.py --scaling
 
+matrix:
+	$(PY) bench.py --matrix
+
 package:
 	mkdir -p dist
 	rm -f $(DIST)
