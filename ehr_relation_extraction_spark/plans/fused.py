@@ -57,12 +57,19 @@ RELATION_SCHEMA = StructType([
 
 def relations_for_doc(doc_id: int, url: str, text: str,
                       max_len: int = MAX_LEN_TOKENS,
-                      max_gap: int = MAX_PAIR_GAP_CHARS) -> list[tuple]:
-    """Per-document kernel: the whole reference pipeline, doc-locally."""
+                      max_gap: int = MAX_PAIR_GAP_CHARS,
+                      mentions: list[tuple] | None = None) -> list[tuple]:
+    """Per-document kernel: the whole reference pipeline, doc-locally.
+
+    ``mentions`` (optional): precomputed (type, start, end, surface)
+    list — lets a model detector (e.g. the perceptron) feed the same
+    pairing/RE stages, mirroring the reference's model_choice cascade
+    (fast_api.py:29-56).  Default: the gazetteer detector."""
     toks = tokenize_with_offsets(text)
     if not toks:
         return []
-    mentions = detect_mentions(text, toks)
+    if mentions is None:
+        mentions = detect_mentions(text, toks)
     if not mentions:
         return []
     splits = split_points_for(text, toks, max_len)

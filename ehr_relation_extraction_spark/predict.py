@@ -22,16 +22,42 @@ from .plans.fused import relations_for_doc
 
 def predict_document(text: str,
                      max_len: int = MAX_LEN_TOKENS,
-                     max_gap: int = MAX_PAIR_GAP_CHARS) -> dict:
+                     max_gap: int = MAX_PAIR_GAP_CHARS,
+                     model_choice: str = "rule",
+                     model=None) -> dict:
+    """``model_choice`` mirrors the reference API's (ehr_text,
+    model_choice) request shape (fast_api.py:29-56, front-end POST):
+
+    - "rule" (default): the deterministic gazetteer detector.
+    - "model": a learned detector — pass a trained
+      ``functions.perceptron.PerceptronTagger`` as ``model`` (or any
+      object with a ``label_fn()``); mentions come from its labels via
+      the shared chunk-decode path, and the SAME pairing/RE stages run
+      downstream (the cascade, biobert_re/README.md:66).
+    """
     from .functions.ner_kernel import detect_mentions
 
     toks = tokenize_with_offsets(text)
+    if model_choice == "rule":
+        raw = detect_mentions(text, toks)
+    elif model_choice == "model":
+        from .operators.model_ner import (chunks_to_char_spans,
+                                          decode_chunks, teacher_labels)
+
+        fn = model.label_fn() if model is not None else teacher_labels
+        spans = chunks_to_char_spans(toks, decode_chunks(fn(text, toks)))
+        # T-id parity with the Spark model path: (start, end, type) order
+        raw = sorted(((t, s, e, text[s:e]) for (t, s, e) in spans),
+                     key=lambda m: (m[1], m[2], m[0]))
+    else:
+        raise ValueError(f"unknown model_choice: {model_choice!r}")
     mentions = [
         {"ent_id": f"T{i + 1}", "ent_type": t, "start": s, "end": e,
          "text": surf}
-        for i, (t, s, e, surf) in enumerate(detect_mentions(text, toks))
+        for i, (t, s, e, surf) in enumerate(raw)
     ]
-    rel_rows = relations_for_doc(0, "local", text, max_len, max_gap)
+    rel_rows = relations_for_doc(0, "local", text, max_len, max_gap,
+                                 mentions=raw)
     relations = [
         {"rel_id": r[3], "rel_type": r[4], "arg1_id": r[5], "arg2_id": r[9]}
         for r in rel_rows

@@ -265,3 +265,42 @@ def test_learned_re_classifier_matches_rule_heldout(spark):
     model2 = PairClassifier().train(rows, labels, epochs=5)
     import numpy as np
     assert np.array_equal(model.avg, model2.avg)
+
+
+def test_predict_document_model_choice_matches_cascade(spark):
+    """The serving API's model_choice='model' (reference fast_api
+    request shape) must emit exactly the cascade pipeline's triples for
+    the same document; 'rule' must be unchanged by the refactor."""
+    from ehr_relation_extraction_spark.functions.perceptron import (
+        train_on_teacher)
+    from ehr_relation_extraction_spark.oracle.fixtures import pages_df
+    from ehr_relation_extraction_spark.plans.pipeline import (
+        build, build_cascade)
+    from ehr_relation_extraction_spark.predict import predict_document
+    from ehr_relation_extraction_spark.sources.pages import extract_text
+
+    texts = _fixture_texts()
+    model = train_on_teacher([(t,) for t in texts[:90]], epochs=5)
+
+    held_out = pages_df(spark, n_pages=120).where("doc_id >= 110")
+    url_text = {r["url"]: r["text"]
+                for r in extract_text(held_out).collect()}
+
+    for choice, frames in (("rule", build(held_out)),
+                           ("model", build_cascade(held_out,
+                                                   model.label_fn()))):
+        spark_triples = {}
+        for r in frames.triples.collect():
+            spark_triples.setdefault(r["url"], set()).add(
+                (r["subj"], r["pred"], r["obj"]))
+        for url, text in url_text.items():
+            served = predict_document(text, model_choice=choice,
+                                      model=model)
+            got = {(t["subj"], t["pred"], t["obj"])
+                   for t in served["triples"]}
+            assert got == spark_triples.get(url, set()), (choice, url)
+
+    import pytest
+
+    with pytest.raises(ValueError):
+        predict_document("x", model_choice="nope")
