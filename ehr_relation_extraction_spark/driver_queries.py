@@ -195,6 +195,12 @@ def q_eval_triples(spark, sf_dir) -> DataFrame:
     return ev.prf_triples(gold.triples, sys_.triples).select(*_PRF_COLS)
 
 
+def q_eval_triples_by_pred(spark, sf_dir) -> DataFrame:
+    gold, sys_ = _eval_frames(spark, sf_dir)
+    return ev.prf_triples_by_pred(gold.triples, sys_.triples).select(
+        "pred", *_PRF_COLS)
+
+
 def _docs(spark, sf_dir):
     return spark.read.parquet(f"{sf_dir}/documents.parquet")
 
@@ -509,6 +515,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "eval_mentions": q_eval_mentions,
     "eval_mentions_micro": q_eval_mentions_micro,
     "eval_triples": q_eval_triples,
+    "eval_triples_by_pred": q_eval_triples_by_pred,
     "iob2_labels": q_iob2_labels,
     "mentions_model": q_mentions_model,
     "mentions_perceptron": q_mentions_perceptron,

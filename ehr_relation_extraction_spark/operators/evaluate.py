@@ -103,6 +103,28 @@ def macro_by_doc(gold: DataFrame, pred: DataFrame,
                  F.floor(F.avg("f1") * 1000000).cast("long").alias("macro_f1_micro6")))
 
 
+def prf_triples_by_pred(gold_triples: DataFrame,
+                        pred_triples: DataFrame) -> DataFrame:
+    """Per-relation-type triple P/R/F1 (the reference's per-relation
+    table, Track2-evaluate-ver4.py:466-589 / biobert_re/README.md:44-51)
+    — one row per pred with the same counts algebra as the micro
+    roll-up.  Distributed: two distinct + one semi-join + grouped
+    counts, all keyed on pred."""
+    key = ["url", "subj", "pred", "obj"]
+    g = gold_triples.select(*key).dropDuplicates()
+    p = pred_triples.select(*key).dropDuplicates()
+    tp = (g.join(p, key, "left_semi").groupBy("pred")
+          .agg(F.count(F.lit(1)).cast("long").alias("tp")))
+    ng = g.groupBy("pred").agg(
+        F.count(F.lit(1)).cast("long").alias("n_gold"))
+    np_ = p.groupBy("pred").agg(
+        F.count(F.lit(1)).cast("long").alias("n_pred"))
+    counts = (ng.join(np_, "pred", "full")
+              .join(tp, "pred", "left")
+              .fillna(0, ["tp", "n_gold", "n_pred"]))
+    return _with_prf(counts)
+
+
 def prf_triples(gold_triples: DataFrame, pred_triples: DataFrame) -> DataFrame:
     """Relation/triple-level eval on distinct (url, subj, pred, obj)
     sets (reference E2 relation match reduced to the triple identity

@@ -968,6 +968,26 @@ SELECT doc_id, rank, term, tf, df, tfidf_micro6 FROM (
         "CAST(floor(SUM(value) * 100) AS BIGINT) AS sum_value_x100, "
         "MIN(value) AS min_value, MAX(value) AS max_value "
         "FROM events GROUP BY 1, 2"),
+    "eval_triples_by_pred": _assemble(
+        BASE, SYS,
+        select=PRF_SELECT.format(
+            dims="pred, ",
+            src="""(
+  SELECT COALESCE(g.pred, p.pred) AS pred,
+         CAST(COALESCE(t.tp, 0) AS BIGINT) AS tp,
+         CAST(COALESCE(g.n_gold, 0) AS BIGINT) AS n_gold,
+         CAST(COALESCE(p.n_pred, 0) AS BIGINT) AS n_pred
+  FROM (SELECT pred, COUNT(*) AS n_gold FROM
+        (SELECT DISTINCT url, subj, pred, obj FROM triples) GROUP BY pred) g
+  FULL JOIN (SELECT pred, COUNT(*) AS n_pred FROM
+        (SELECT DISTINCT url, subj, pred, obj FROM triples_sys) GROUP BY pred) p
+    ON g.pred = p.pred
+  LEFT JOIN (SELECT pred, COUNT(*) AS tp FROM
+        (SELECT DISTINCT url, subj, pred, obj FROM triples
+         INTERSECT SELECT DISTINCT url, subj, pred, obj FROM triples_sys)
+        GROUP BY pred) t
+    ON COALESCE(g.pred, p.pred) = t.pred
+)""")),
     "eval_triples": _assemble(
         BASE, SYS,
         select=PRF_SELECT.format(
