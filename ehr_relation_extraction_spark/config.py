@@ -107,6 +107,11 @@ EVAL_DROP_ALIASES = ("big", "row")
 #: character-trigram posting-list join; candidates kept at or above this
 #: trigram-Jaccard percentage (integers only — no float comparisons).
 MIN_FUZZY_JACCARD_PCT = 25
+#: Acceptance gate for the second linking pass: rank-1 fuzzy candidates
+#: at/above this Jaccard percentage are fed back into the gazetteer as
+#: new aliases (the "human-in-the-loop accept" reduced to a
+#: deterministic rule so the oracle can replicate it).
+ACCEPT_FUZZY_JACCARD_PCT = 30
 EVAL_ADD_ALIASES = (("merge", "Topic", "topic:merge"),)
 
 

@@ -141,6 +141,22 @@ def q_fuzzy_alias_candidates(spark, sf_dir) -> DataFrame:
         "n_inter", "n_union", "jaccard_micro6", "cand_rank")
 
 
+def q_mentions_second_pass(spark, sf_dir) -> DataFrame:
+    """Second linking pass: accepted fuzzy aliases (rank-1, Jaccard >=
+    ACCEPT_FUZZY_JACCARD_PCT) extend the gazetteer, then mention
+    detection re-runs with the expanded dictionary — new long-tail
+    surfaces become first-class mentions.  Same quirk-faithful kernel;
+    the oracle replicates the greedy separator-consumption scan with a
+    recursive CTE because expanded aliases can overlap base aliases of
+    the same type (unigram shadows the bigram it prefixes)."""
+    fr = _frames(spark, sf_dir)
+    toks = ner.tokenize_df(fr.pages)
+    gaz2 = lk.expanded_gazetteer(lk.fuzzy_alias_candidates(toks))
+    m = ner.detect_mentions_df(fr.pages, gazetteer=gaz2)
+    return m.select("doc_id", "url", "ent_id", "ent_type", "start",
+                    F.col("end").alias("end"), "ent_text")
+
+
 def q_canonical_components(spark, sf_dir) -> DataFrame:
     _, _, _, comps = _linked_components(spark, sf_dir)
     return comps.select("node", "component")
@@ -510,6 +526,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "link_mentions": q_link_mentions,
     "canonical_components": q_canonical_components,
     "fuzzy_alias_candidates": q_fuzzy_alias_candidates,
+    "mentions_second_pass": q_mentions_second_pass,
     "graph_nodes": q_graph_nodes,
     "graph_edges": q_graph_edges,
     "eval_mentions": q_eval_mentions,

@@ -25,7 +25,8 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, functions as F
 
-from ..config import GAZETTEER, MIN_FUZZY_JACCARD_PCT
+from ..config import (ACCEPT_FUZZY_JACCARD_PCT, GAZETTEER,
+                      MIN_FUZZY_JACCARD_PCT)
 
 
 def gazetteer_df(spark) -> DataFrame:
@@ -129,6 +130,41 @@ def fuzzy_alias_candidates(tokens: DataFrame,
             .select("surface", "n_occur", "alias", "ent_type",
                     "canonical_id", "n_inter", "n_union",
                     "jaccard_micro6", "cand_rank"))
+
+
+def accepted_fuzzy_aliases(fuzzy: DataFrame,
+                           accept_pct: int = ACCEPT_FUZZY_JACCARD_PCT,
+                           ) -> DataFrame:
+    """The accept gate of the second linking pass: keep each surface's
+    rank-1 fuzzy candidate when its trigram Jaccard clears the
+    acceptance threshold.  Deterministic (rank ties broken by alias
+    order inside ``fuzzy_alias_candidates``) so the DuckDB oracle can
+    replicate the exact accepted set."""
+    return (fuzzy
+            .where((F.col("cand_rank") == 1)
+                   & (F.col("jaccard_micro6") >= accept_pct * 10_000))
+            .select("surface", "ent_type", "canonical_id"))
+
+
+def expanded_gazetteer(fuzzy: DataFrame,
+                       base=GAZETTEER,
+                       accept_pct: int = ACCEPT_FUZZY_JACCARD_PCT,
+                       ) -> tuple:
+    """Feed accepted fuzzy aliases back into the gazetteer (the second
+    linking pass of SURVEY §7.1 step 4 / roadmap item 4).
+
+    The accepted set is a tiny dimension — bounded by the number of
+    distinct corpus surfaces near a gazetteer alias, i.e. gazetteer-
+    sized, not corpus-sized — so collecting it driver-side is the same
+    broadcast-dictionary pattern the base gazetteer uses (reference
+    DictNER.fit builds its alternation from a driver-local dict,
+    rule_based_ner/dict_ner.py:48-80).  Surfaces are single corpus
+    tokens by construction, so each new entry is a unigram alias.
+    """
+    rows = accepted_fuzzy_aliases(fuzzy, accept_pct).collect()
+    extra = tuple(sorted((r["surface"], r["ent_type"], r["canonical_id"])
+                         for r in rows))
+    return tuple(base) + extra
 
 
 def overlap_edges(linked_mentions: DataFrame) -> DataFrame:

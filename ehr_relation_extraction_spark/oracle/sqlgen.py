@@ -22,8 +22,9 @@ floor-scaled integers (see operators/evaluate.py).
 
 from __future__ import annotations
 
-from ..config import (GAZETTEER, MAX_LEN_TOKENS, MAX_PAIR_GAP_CHARS,
-                      MIN_FUZZY_JACCARD_PCT, perturbed_gazetteer)
+from ..config import (ACCEPT_FUZZY_JACCARD_PCT, GAZETTEER, MAX_LEN_TOKENS,
+                      MAX_PAIR_GAP_CHARS, MIN_FUZZY_JACCARD_PCT,
+                      perturbed_gazetteer)
 
 SEP_CLASS = "[\\n \\t]"
 
@@ -251,6 +252,75 @@ SELECT surface, n_occur, alias, ent_type, canonical_id, n_inter, n_union,
 FROM fuzzy WHERE jaccard_micro6 >= {MIN_FUZZY_JACCARD_PCT * 10000}"""
 
 
+# Second linking pass: accepted fuzzy aliases (rank-1 at/above the
+# acceptance Jaccard) join the gazetteer; mention detection re-runs with
+# the expanded dictionary.  Expanded unigram aliases can OVERLAP base
+# bigram aliases of the same type, where the island/alternation window
+# trick of mention_ctes no longer equals the kernel's greedy
+# separator-consumption scan (keep iff start - last_kept_end >= 2) — so
+# this oracle runs the exact greedy scan as a per-(doc, type) linear
+# recursion over rank-ordered candidates.
+SECOND_PASS_CTES = f"""
+accepted AS (
+  SELECT surface, ent_type, canonical_id FROM (
+    SELECT surface, ent_type, canonical_id, alias, jaccard_micro6,
+           ROW_NUMBER() OVER (PARTITION BY surface
+               ORDER BY jaccard_micro6 DESC, alias) AS cand_rank
+    FROM fuzzy WHERE jaccard_micro6 >= {MIN_FUZZY_JACCARD_PCT * 10000})
+  WHERE cand_rank = 1
+    AND jaccard_micro6 >= {ACCEPT_FUZZY_JACCARD_PCT * 10000}
+),
+gaz2 AS (
+  SELECT alias, ent_type, canonical_id, n FROM gaz
+  UNION ALL
+  SELECT surface AS alias, ent_type, canonical_id, 1 AS n FROM accepted
+),
+uni2 AS (
+  SELECT t.doc_id, t.url, g.ent_type, t.char_start AS start,
+         t.char_end AS "end", t.token AS ent_text
+  FROM toks t JOIN gaz2 g ON g.n = 1 AND lower(t.token) = g.alias
+  WHERE t.char_start > 0 AND t.char_end < t.text_len
+),
+bi2 AS (
+  SELECT t1.doc_id, t1.url, g.ent_type, t1.char_start AS start,
+         t2.char_end AS "end",
+         substr(t1.text, t1.char_start + 1, t2.char_end - t1.char_start) AS ent_text
+  FROM toks t1
+  JOIN toks t2 ON t1.doc_id = t2.doc_id AND t2.tok_idx = t1.tok_idx + 1
+              AND t2.char_start = t1.char_end + 1
+  JOIN gaz2 g ON g.n = 2 AND lower(t1.token || ' ' || t2.token) = g.alias
+  WHERE t1.char_start > 0 AND t2.char_end < t1.text_len
+    AND substr(t1.text, t1.char_end + 1, 1) = ' '
+),
+cand2 AS MATERIALIZED (
+  SELECT doc_id, url, ent_type, start, "end", ent_text,
+         CAST(ROW_NUMBER() OVER (PARTITION BY doc_id, ent_type
+             ORDER BY start, "end") AS INT) AS rn
+  FROM (SELECT DISTINCT doc_id, url, ent_type, start, "end", ent_text
+        FROM (SELECT * FROM uni2 UNION ALL SELECT * FROM bi2))
+),
+greedy2(doc_id, url, ent_type, rn, start, "end", ent_text, kept, last_end) AS (
+  SELECT doc_id, url, ent_type, rn, start, "end", ent_text,
+         TRUE AS kept, "end" AS last_end
+  FROM cand2 WHERE rn = 1
+  UNION ALL
+  SELECT c.doc_id, c.url, c.ent_type, c.rn, c.start, c."end", c.ent_text,
+         (c.start - g.last_end >= 2) AS kept,
+         CASE WHEN c.start - g.last_end >= 2
+              THEN c."end" ELSE g.last_end END AS last_end
+  FROM greedy2 g JOIN cand2 c
+    ON c.doc_id = g.doc_id AND c.ent_type = g.ent_type AND c.rn = g.rn + 1
+)"""
+
+SECOND_PASS_SELECT = """
+SELECT doc_id, url,
+       'T' || CAST(ROW_NUMBER() OVER (PARTITION BY url
+           ORDER BY start, "end", ent_type) AS VARCHAR) AS ent_id,
+       ent_type, start, "end", ent_text
+FROM greedy2
+WHERE kept AND regexp_matches(ent_text, '[0-9A-Za-z]')"""
+
+
 def eval_span_ctes(strict: bool = True) -> str:
     cond = ('g.start = p.start AND g."end" = p."end"' if strict
             else 'g.start < p."end" AND p.start < g."end"')
@@ -437,6 +507,8 @@ ORACLE: dict[str, str] = {
     "canonical_components": _q(
         "SELECT node, component FROM components", LINK_CTES),
     "fuzzy_alias_candidates": _q(FUZZY_SELECT, FUZZY_CTES),
+    "mentions_second_pass": _q(SECOND_PASS_SELECT, FUZZY_CTES,
+                               SECOND_PASS_CTES),
     "graph_nodes": _q(
         "SELECT l.canonical_id, c.component, MIN(l.ent_type) AS ent_type, "
         "CAST(COUNT(*) AS BIGINT) AS n_mentions "

@@ -183,6 +183,39 @@ class TestNerKernel:
         out = self.run("x SPARK y")
         assert out == [("Topic", 2, 7, "SPARK")]
 
+    def test_expanded_unigram_shadows_same_type_bigram(self):
+        # second linking pass: an accepted fuzzy alias ("fast", Event)
+        # prefixes the base bigram ("fast key", Event).  The greedy
+        # separator-consumption scan keeps the shorter span first
+        # (sorted by (start, end)) and its consumed separator shadows
+        # the bigram: start(2) - last_end(6) < 2.
+        from ehr_relation_extraction_spark.config import GAZETTEER
+        from ehr_relation_extraction_spark.functions.ner_kernel import (
+            gazetteer_by_ngram)
+
+        gaz2 = gazetteer_by_ngram(
+            tuple(GAZETTEER) + (("fast", "Event", "event:fast-key"),))
+        text = "x fast key y"
+        out = detect_mentions(text, tokenize_with_offsets(text), gaz_by_n=gaz2)
+        events = [(s, e) for t, s, e, _ in out if t == "Event"]
+        assert events == [(2, 6)]
+        # cross-type overlap still allowed
+        assert ("Money", 7, 10, "key") in out
+
+    def test_expanded_greedy_chain_recovers_after_gap(self):
+        from ehr_relation_extraction_spark.config import GAZETTEER
+        from ehr_relation_extraction_spark.functions.ner_kernel import (
+            gazetteer_by_ngram)
+
+        gaz2 = gazetteer_by_ngram(
+            tuple(GAZETTEER) + (("fast", "Event", "event:fast-key"),))
+        text = "x fast key fast key y"
+        out = detect_mentions(text, tokenize_with_offsets(text), gaz_by_n=gaz2)
+        events = [(s, e) for t, s, e, _ in out if t == "Event"]
+        # both unigrams survive (gap >= 2 after the shadowed bigram);
+        # both bigrams shadowed
+        assert events == [(2, 6), (11, 15)]
+
     def test_non_alnum_filter(self):
         # predict.py:345-346 — needs an alnum char; gazetteer words all
         # have them, so craft via pattern? covered by construction; just
