@@ -211,6 +211,16 @@ def q_eval_triples(spark, sf_dir) -> DataFrame:
     return ev.prf_triples(gold.triples, sys_.triples).select(*_PRF_COLS)
 
 
+def q_eval_relations_lenient(spark, sf_dir) -> DataFrame:
+    """E2 relation match on arg spans, lenient (overlap) mode, with the
+    E3 pare-down — the span-level complement of the triple-identity
+    eval (a system relation with drifted-but-overlapping arg spans
+    still scores)."""
+    gold, sys_ = _eval_frames(spark, sf_dir)
+    return ev.prf_relations(gold.relations, sys_.relations,
+                            strict=False).select("rel_type", *_PRF_COLS)
+
+
 def q_eval_triples_by_pred(spark, sf_dir) -> DataFrame:
     gold, sys_ = _eval_frames(spark, sf_dir)
     return ev.prf_triples_by_pred(gold.triples, sys_.triples).select(
@@ -531,6 +541,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "graph_edges": q_graph_edges,
     "eval_mentions": q_eval_mentions,
     "eval_mentions_micro": q_eval_mentions_micro,
+    "eval_relations_lenient": q_eval_relations_lenient,
     "eval_triples": q_eval_triples,
     "eval_triples_by_pred": q_eval_triples_by_pred,
     "iob2_labels": q_iob2_labels,

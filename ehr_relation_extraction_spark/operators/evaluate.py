@@ -103,6 +103,56 @@ def macro_by_doc(gold: DataFrame, pred: DataFrame,
                  F.floor(F.avg("f1") * 1000000).cast("long").alias("macro_f1_micro6")))
 
 
+def prf_relations(gold_rel: DataFrame, pred_rel: DataFrame,
+                  strict: bool = False) -> DataFrame:
+    """E2 relation match on the ARG SPANS (Relation.equals,
+    Track2-evaluate-ver4.py:86-93): both args match — strict: exact
+    (start, end); lenient: any overlap — plus same rel_type, with the
+    E3 two-sided pare-down (:322-333) so each gold and each system
+    relation is counted at most once.  Per-rel_type counts + P/R/F1.
+
+    This is the span-level complement of ``prf_triples`` (which matches
+    on the emitted triple text identity): a system relation whose arg
+    spans drift but overlap still scores under lenient."""
+    cols = ["url", "rel_type", "hub_start", "hub_end",
+            "attr_start", "attr_end"]
+    g = gold_rel.select(*cols).dropDuplicates().select(
+        "url", "rel_type",
+        F.col("hub_start").alias("g_hs"), F.col("hub_end").alias("g_he"),
+        F.col("attr_start").alias("g_as"), F.col("attr_end").alias("g_ae"))
+    p = pred_rel.select(*cols).dropDuplicates().select(
+        "url", "rel_type",
+        F.col("hub_start").alias("p_hs"), F.col("hub_end").alias("p_he"),
+        F.col("attr_start").alias("p_as"), F.col("attr_end").alias("p_ae"))
+    if strict:
+        cond = ((F.col("g_hs") == F.col("p_hs")) & (F.col("g_he") == F.col("p_he"))
+                & (F.col("g_as") == F.col("p_as")) & (F.col("g_ae") == F.col("p_ae")))
+    else:
+        cond = ((F.col("g_hs") < F.col("p_he")) & (F.col("p_hs") < F.col("g_he"))
+                & (F.col("g_as") < F.col("p_ae")) & (F.col("p_as") < F.col("g_ae")))
+    m = g.join(p, ["url", "rel_type"]).where(cond)
+    by_gold = Window.partitionBy("url", "rel_type", "g_hs", "g_he",
+                                 "g_as", "g_ae") \
+                    .orderBy("p_hs", "p_he", "p_as", "p_ae")
+    by_pred = Window.partitionBy("url", "rel_type", "p_hs", "p_he",
+                                 "p_as", "p_ae") \
+                    .orderBy("g_hs", "g_he", "g_as", "g_ae")
+    pared = (m.withColumn("_rg", F.row_number().over(by_gold))
+             .where(F.col("_rg") == 1)
+             .withColumn("_rp", F.row_number().over(by_pred))
+             .where(F.col("_rp") == 1))
+    tp = pared.groupBy("rel_type").agg(
+        F.count(F.lit(1)).cast("long").alias("tp"))
+    ng = g.groupBy("rel_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n_gold"))
+    np_ = p.groupBy("rel_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n_pred"))
+    counts = (ng.join(np_, "rel_type", "full")
+              .join(tp, "rel_type", "left")
+              .fillna(0, ["tp", "n_gold", "n_pred"]))
+    return _with_prf(counts)
+
+
 def prf_triples_by_pred(gold_triples: DataFrame,
                         pred_triples: DataFrame) -> DataFrame:
     """Per-relation-type triple P/R/F1 (the reference's per-relation

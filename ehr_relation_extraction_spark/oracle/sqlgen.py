@@ -252,6 +252,53 @@ SELECT surface, n_occur, alias, ent_type, canonical_id, n_inter, n_union,
 FROM fuzzy WHERE jaccard_micro6 >= {MIN_FUZZY_JACCARD_PCT * 10000}"""
 
 
+def eval_rel_ctes(strict: bool = False) -> str:
+    """E2 relation match on arg spans (strict/lenient) + E3 pare-down,
+    mirroring operators/evaluate.prf_relations."""
+    cond = ("g.hub_start = p.hub_start AND g.hub_end = p.hub_end AND "
+            "g.attr_start = p.attr_start AND g.attr_end = p.attr_end"
+            if strict else
+            "g.hub_start < p.hub_end AND p.hub_start < g.hub_end AND "
+            "g.attr_start < p.attr_end AND p.attr_start < g.attr_end")
+    return f"""
+grel AS (SELECT DISTINCT url, rel_type, hub_start, hub_end, attr_start, attr_end
+         FROM relations),
+prel AS (SELECT DISTINCT url, rel_type, hub_start, hub_end, attr_start, attr_end
+         FROM relations_sys),
+rmatch AS (
+  SELECT g.url, g.rel_type,
+         g.hub_start AS g_hs, g.hub_end AS g_he,
+         g.attr_start AS g_as, g.attr_end AS g_ae,
+         p.hub_start AS p_hs, p.hub_end AS p_he,
+         p.attr_start AS p_as, p.attr_end AS p_ae
+  FROM grel g JOIN prel p
+    ON g.url = p.url AND g.rel_type = p.rel_type AND {cond}
+),
+rpared AS (
+  SELECT * FROM (
+    SELECT *, ROW_NUMBER() OVER (
+        PARTITION BY url, rel_type, p_hs, p_he, p_as, p_ae
+        ORDER BY g_hs, g_he, g_as, g_ae) AS _rp
+    FROM (
+      SELECT *, ROW_NUMBER() OVER (
+          PARTITION BY url, rel_type, g_hs, g_he, g_as, g_ae
+          ORDER BY p_hs, p_he, p_as, p_ae) AS _rg
+      FROM rmatch) WHERE _rg = 1
+  ) WHERE _rp = 1
+),
+rcounts AS (
+  SELECT COALESCE(ng.rel_type, np.rel_type) AS rel_type,
+         CAST(COALESCE(t.tp, 0) AS BIGINT) AS tp,
+         CAST(COALESCE(ng.n_gold, 0) AS BIGINT) AS n_gold,
+         CAST(COALESCE(np.n_pred, 0) AS BIGINT) AS n_pred
+  FROM (SELECT rel_type, COUNT(*) AS n_gold FROM grel GROUP BY 1) ng
+  FULL JOIN (SELECT rel_type, COUNT(*) AS n_pred FROM prel GROUP BY 1) np
+    ON ng.rel_type = np.rel_type
+  LEFT JOIN (SELECT rel_type, COUNT(*) AS tp FROM rpared GROUP BY 1) t
+    ON COALESCE(ng.rel_type, np.rel_type) = t.rel_type
+)"""
+
+
 # Second linking pass: accepted fuzzy aliases (rank-1 at/above the
 # acceptance Jaccard) join the gazetteer; mention detection re-runs with
 # the expanded dictionary.  Expanded unigram aliases can OVERLAP base
@@ -1040,6 +1087,9 @@ SELECT doc_id, rank, term, tf, df, tfidf_micro6 FROM (
         "CAST(floor(SUM(value) * 100) AS BIGINT) AS sum_value_x100, "
         "MIN(value) AS min_value, MAX(value) AS max_value "
         "FROM events GROUP BY 1, 2"),
+    "eval_relations_lenient": _assemble(
+        BASE, SYS, eval_rel_ctes(strict=False),
+        select=PRF_SELECT.format(dims="rel_type, ", src="rcounts")),
     "eval_triples_by_pred": _assemble(
         BASE, SYS,
         select=PRF_SELECT.format(
