@@ -55,16 +55,16 @@ RELATION_SCHEMA = StructType([
 ])
 
 
-def relations_for_doc(doc_id: int, url: str, text: str,
-                      max_len: int = MAX_LEN_TOKENS,
-                      max_gap: int = MAX_PAIR_GAP_CHARS,
-                      mentions: list[tuple] | None = None) -> list[tuple]:
-    """Per-document kernel: the whole reference pipeline, doc-locally.
-
-    ``mentions`` (optional): precomputed (type, start, end, surface)
-    list — lets a model detector (e.g. the perceptron) feed the same
-    pairing/RE stages, mirroring the reference's model_choice cascade
-    (fast_api.py:29-56).  Default: the gazetteer detector."""
+def candidate_pairs_for_doc(text: str,
+                            max_len: int = MAX_LEN_TOKENS,
+                            mentions: list[tuple] | None = None,
+                            ) -> list[tuple]:
+    """Pre-classification candidate set of one page: every windowed
+    hub x attr pair with its char gap, as ``(window_id, hub, attr,
+    gap)`` where hub/attr are ``(T-id, type, start, end, surface)``.
+    The RE classification (rule: gap <= max_gap) is deliberately NOT
+    applied — incremental consumers (streaming negative cache) gate it
+    per pair."""
     toks = tokenize_with_offsets(text)
     if not toks:
         return []
@@ -81,7 +81,7 @@ def relations_for_doc(doc_id: int, url: str, text: str,
     ments = [(f"T{i + 1}", t, s, e, surf)
              for i, (t, s, e, surf) in enumerate(mentions)]
 
-    kept = []
+    pairs = []
     for wid, (ws, we) in enumerate(windows):
         in_win = [m for m in ments if m[2] >= ws and m[3] < we]
         hubs = [m for m in in_win if m[1] == HUB_TYPE]
@@ -89,8 +89,22 @@ def relations_for_doc(doc_id: int, url: str, text: str,
         for h in hubs:
             for a in attrs:
                 gap = max(max(h[2], a[2]) - min(h[3], a[3]), 0)
-                if gap <= max_gap:
-                    kept.append((wid, h, a, gap))
+                pairs.append((wid, h, a, gap))
+    return pairs
+
+
+def relations_for_doc(doc_id: int, url: str, text: str,
+                      max_len: int = MAX_LEN_TOKENS,
+                      max_gap: int = MAX_PAIR_GAP_CHARS,
+                      mentions: list[tuple] | None = None) -> list[tuple]:
+    """Per-document kernel: the whole reference pipeline, doc-locally.
+
+    ``mentions`` (optional): precomputed (type, start, end, surface)
+    list — lets a model detector (e.g. the perceptron) feed the same
+    pairing/RE stages, mirroring the reference's model_choice cascade
+    (fast_api.py:29-56).  Default: the gazetteer detector."""
+    kept = [p for p in candidate_pairs_for_doc(text, max_len, mentions)
+            if p[3] <= max_gap]
 
     # R-ids: same ordering as the window-function path
     kept.sort(key=lambda k: (k[0], k[1][2], k[1][3], k[2][2], k[2][3],

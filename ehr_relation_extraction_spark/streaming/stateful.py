@@ -70,30 +70,70 @@ def dedup_triples_stateful(triples_stream: DataFrame) -> DataFrame:
 DIFF_OUTPUT_DDL = ("url string, crawl_seq int, op string, "
                    "subj string, pred string, obj string")
 DIFF_STATE_DDL = ("text_sha string, crawl_seq int, last_ts long, "
-                  "triples array<string>")
+                  "triples array<string>, neg array<string>")
 
 _SEP = "\x1f"
 
+#: Negative-cache bound per url — dropping entries only costs a
+#: re-classification, never correctness, so any deterministic cap is
+#: safe.  Per-url negatives are small (pairs of one page); the cap
+#: guards pathological pages.
+NEG_CACHE_MAX = 4096
+
+
+def _classify_pair(gap: int, max_gap: int) -> bool:
+    """The rule RE stage of the fused kernel (R8 rule v1), isolated so
+    incremental consumers can gate it per pair."""
+    return gap <= max_gap
+
+
+def _pair_cache_key(h: tuple, a: tuple, gap: int) -> str:
+    """Identity of the classifier INPUT for one candidate pair.  The
+    rule stage is a pure function of (texts, rel_type, gap), so equal
+    keys are guaranteed equal classifications even as spans shift
+    between crawls.  A learned RE stage must swap this for the sha of
+    its masked sentence (its full input) — same contract."""
+    return hashlib.md5(
+        f"{h[4]}{_SEP}{a[1]}{_SEP}{a[4]}{_SEP}{gap}".encode()).hexdigest()
+
+
+def _page_triples(text: str, neg: set[str]) -> tuple[set[str], int]:
+    """Semantic (subj, pred, obj) set of one page via the SAME fused
+    kernel the batch pipeline runs (stream and batch can never drift),
+    with a pair-level NEGATIVE CACHE: pairs whose classifier-input key
+    is a known negative skip classification entirely.  Positives are
+    always re-derived (they must contribute to the current triple
+    set); fresh negatives are added to ``neg``.  Returns (triples,
+    n_classified) — the count is the work the cache did NOT save."""
+    from ..config import MAX_PAIR_GAP_CHARS
+    from ..plans.fused import candidate_pairs_for_doc
+
+    trips: set[str] = set()
+    n_classified = 0
+    for _wid, h, a, gap in candidate_pairs_for_doc(text):
+        ck = _pair_cache_key(h, a, gap)
+        if ck in neg:
+            continue  # cached negative: zero classification work
+        n_classified += 1
+        if _classify_pair(gap, MAX_PAIR_GAP_CHARS):
+            trips.add(f"{h[4]}{_SEP}{a[1]}{_SEP}{a[4]}")
+        else:
+            neg.add(ck)
+    return trips, n_classified
+
 
 def _triple_keys(text: str) -> set[str]:
-    """Semantic (subj, pred, obj) set of one page — computed with the
-    SAME fused kernel the batch pipeline runs, so stream and batch can
-    never drift."""
-    from ..plans.fused import relations_for_doc
-
-    return {
-        f"{r[6]}{_SEP}{r[4].split('-')[0]}{_SEP}{r[11]}"
-        for r in relations_for_doc(0, "", text)
-    }
+    """Cache-free form (kept for batch-parity tests)."""
+    return _page_triples(text, set())[0]
 
 
 def _diff_group(key: tuple, pdfs: Iterator[pd.DataFrame],
                 state: GroupState) -> Iterator[pd.DataFrame]:
     if state.exists:
-        sha, seq, last_ts, kept = state.get
-        cur = set(kept)
+        sha, seq, last_ts, kept, neg_l = state.get
+        cur, neg = set(kept), set(neg_l)
     else:
-        sha, seq, last_ts, cur = None, 0, None, set()
+        sha, seq, last_ts, cur, neg = None, 0, None, set(), set()
     versions = pd.concat(list(pdfs), ignore_index=True)
     versions = versions.sort_values("warc_ts", kind="mergesort")
     out = []
@@ -105,14 +145,15 @@ def _diff_group(key: tuple, pdfs: Iterator[pd.DataFrame],
         new_sha = hashlib.sha256(row.text.encode()).hexdigest()
         if new_sha == sha:
             continue  # unchanged re-crawl: no work, no emissions
-        new = _triple_keys(row.text)
+        new, _ = _page_triples(row.text, neg)
         seq += 1
         for k in sorted(cur - new):
             out.append((key[0], seq, "-", *k.split(_SEP)))
         for k in sorted(new - cur):
             out.append((key[0], seq, "+", *k.split(_SEP)))
         sha, cur = new_sha, new
-    state.update((sha, seq, last_ts, sorted(cur)))
+    state.update((sha, seq, last_ts, sorted(cur),
+                  sorted(neg)[:NEG_CACHE_MAX]))
     if out:
         yield pd.DataFrame(
             out, columns=["url", "crawl_seq", "op", "subj", "pred", "obj"])

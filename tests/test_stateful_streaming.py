@@ -30,6 +30,41 @@ def test_stateful_dedup_across_batches(spark, tmp_path):
     assert set(got) == want and len(want) > 0
 
 
+def test_pair_negative_cache_skips_reclassification():
+    """Roadmap item 5: the recrawl path caches NEGATIVE pair
+    classifications per url, so a re-crawled page re-classifies only
+    pairs it has not already rejected — with zero effect on the
+    emitted triple set."""
+    from ehr_relation_extraction_spark.plans.fused import (
+        candidate_pairs_for_doc)
+    from ehr_relation_extraction_spark.streaming.stateful import (
+        _page_triples, _triple_keys)
+
+    # multi-shard text: a Topic hub, one near Money attr (positive,
+    # gap <= 60) and one far Money attr (negative, gap > 60) inside
+    # the same pairing window; fillers are out-of-gazetteer
+    f1 = " ".join(f"zz{i:02d}xx" for i in range(9))
+    f2 = " ".join(f"qq{i:02d}xx" for i in range(31))
+    text = f"pad spark value {f1} key {f2} tail"
+    pairs = candidate_pairs_for_doc(text)
+    gaps = [g for _, _, _, g in pairs]
+    assert any(g <= 60 for g in gaps) and any(g > 60 for g in gaps), gaps
+
+    neg: set[str] = set()
+    t1, n1 = _page_triples(text, neg)
+    assert n1 == len(pairs)            # cold cache: everything classified
+    n_neg = len(neg)
+    assert n_neg == sum(g > 60 for g in gaps) > 0
+
+    t2, n2 = _page_triples(text, neg)  # re-crawl of an edited page that
+    assert t2 == t1                    # re-derives the same pairs
+    assert n2 == n1 - n_neg            # cached negatives skipped
+    assert len(neg) == n_neg           # no duplicate cache growth
+
+    # cache-free reference: identical triples
+    assert _triple_keys(text) == t1
+
+
 def _triple_sets(pages):
     from collections import defaultdict
 
