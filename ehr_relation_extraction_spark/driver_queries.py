@@ -480,6 +480,20 @@ def q_corpus_split(spark, sf_dir) -> DataFrame:
         "doc_id", "bucket", "split")
 
 
+def q_repetition_features(spark, sf_dir) -> DataFrame:
+    """Gopher-style duplicate-3-gram repetition signal per doc."""
+    return ts.repetition_features(_docs(spark, sf_dir)).select(
+        "doc_id", "n_grams", "n_distinct_grams", "dup_frac_micro6")
+
+
+def q_decontaminate(spark, sf_dir) -> DataFrame:
+    """Train/test 8-gram decontamination: per train-split doc, count
+    shingles shared with any test-split doc (eval-leakage filter)."""
+    return ts.decontaminate(_docs(spark, sf_dir)).select(
+        "doc_id", "n_ngrams", "n_contaminated", "n_test_docs",
+        "contaminated")
+
+
 def q_bigram_lm(spark, sf_dir) -> DataFrame:
     return ts.bigram_lm(_docs(spark, sf_dir)).select(
         "w1", "w2", "c_bigram", "c_w1", "p_micro6")
@@ -568,6 +582,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "events_asof": q_events_asof,
     "cooccurrence_pmi": q_cooccurrence_pmi,
     "corpus_split": q_corpus_split,
+    "decontaminate": q_decontaminate,
+    "repetition_features": q_repetition_features,
     "bigram_lm": q_bigram_lm,
     "corpus_curation": q_corpus_curation,
     "candidates_balanced": q_candidates_balanced,

@@ -210,6 +210,77 @@ def corpus_curation(docs: DataFrame) -> DataFrame:
         reason.alias("reason"))
 
 
+def repetition_features(docs: DataFrame, k: int = 3) -> DataFrame:
+    """Repetition quality signal (the Gopher-style duplicate-n-gram
+    filter): per doc, total vs distinct token k-grams and the
+    duplicate fraction as a scaled integer.  Highly repetitive pages
+    (boilerplate, keyword stuffing, generation loops) score high and
+    get dropped by curation.
+
+    All JVM-side (split + transform + one groupBy on doc_id — at scale
+    this is a map-side-combinable aggregation, no wide shuffle).
+    Output: (doc_id, n_grams, n_distinct_grams, dup_frac_micro6)."""
+    toks = _toks()
+    n = F.size(toks)
+    idx = F.when(n >= k, F.sequence(F.lit(0), n - k)).otherwise(
+        F.array().cast("array<int>"))
+    grams = F.transform(
+        idx, lambda i: F.array_join(F.slice(toks, i + 1, k), " "))
+    g = docs.select("doc_id", F.explode(grams).alias("gram"))
+    agg = g.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_grams"),
+        F.countDistinct("gram").cast("long").alias("n_distinct_grams"))
+    return (docs.select("doc_id").join(agg, "doc_id", "left")
+            .fillna(0, ["n_grams", "n_distinct_grams"])
+            .withColumn(
+                "dup_frac_micro6",
+                F.when(F.col("n_grams") > 0,
+                       F.expr("((n_grams - n_distinct_grams) * 1000000)"
+                              " div n_grams"))
+                .otherwise(F.lit(0)).cast("long")))
+
+
+def decontaminate(docs: DataFrame, k: int = 8,
+                  train_pct: int = 80, dev_pct: int = 10) -> DataFrame:
+    """Train/test n-gram decontamination — the eval-leakage filter a
+    pre-training pipeline runs before export (GPT-3 appendix C style:
+    a train document is contaminated if it shares any k-token n-gram
+    with an eval/test document).
+
+    Shape at scale: both sides reduce to DISTINCT (doc, shingle) rows,
+    then one hash join on the shingle key aggregated immediately per
+    train doc.  The test split is the small side (~10%) — Spark/AQE
+    broadcasts it when it fits, else it's a plain shuffle join keyed
+    by shingle; no doc x doc pair set ever materializes.
+
+    Output per TRAIN doc: (doc_id, n_ngrams, n_contaminated,
+    n_test_docs, contaminated)."""
+    from ..operators.dedup import shingles
+
+    split = train_dev_test_split(docs, train_pct, dev_pct).select(
+        "doc_id", "split")
+    sh = shingles(docs, k).join(split, "doc_id")
+    train_sh = sh.where(F.col("split") == "train").select(
+        "doc_id", "shingle")
+    test_sh = sh.where(F.col("split") == "test").select(
+        F.col("doc_id").alias("test_doc"), "shingle")
+    hits = (train_sh.join(test_sh, "shingle")
+            .groupBy("doc_id")
+            .agg(F.countDistinct("shingle").cast("long")
+                 .alias("n_contaminated"),
+                 F.countDistinct("test_doc").cast("long")
+                 .alias("n_test_docs")))
+    totals = train_sh.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_ngrams"))
+    train_docs = split.where(F.col("split") == "train").select("doc_id")
+    return (train_docs
+            .join(totals, "doc_id", "left")
+            .join(hits, "doc_id", "left")
+            .fillna(0, ["n_ngrams", "n_contaminated", "n_test_docs"])
+            .withColumn("contaminated",
+                        (F.col("n_contaminated") > 0).cast("int")))
+
+
 def fingerprint(docs: DataFrame) -> DataFrame:
     """(doc_id, fingerprint, n_shingles): rolling-hash doc fingerprint =
     min md5 over token 3-gram shingles (minhash with one permutation),

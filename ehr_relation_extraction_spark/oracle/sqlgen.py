@@ -1003,6 +1003,85 @@ SELECT doc_id, n_tokens,
        CAST(CASE WHEN reason = 'ok' THEN 1 ELSE 0 END AS INT) AS keep,
        reason
 FROM cr""",
+    "repetition_features": """
+WITH rtoks AS (
+  SELECT doc_id, tok,
+         ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY piece_idx) AS pos
+  FROM (SELECT doc_id,
+               unnest(string_split_regex(text, '[\\n \\t]')) AS tok,
+               generate_subscripts(string_split_regex(text, '[\\n \\t]'), 1)
+                 AS piece_idx
+        FROM documents)
+  WHERE tok <> ''
+),
+rg AS (
+  SELECT doc_id, l0 || ' ' || l1 || ' ' || l2 AS gram
+  FROM (SELECT doc_id, tok AS l0,
+               LEAD(tok, 1) OVER w AS l1, LEAD(tok, 2) OVER w AS l2
+        FROM rtoks WINDOW w AS (PARTITION BY doc_id ORDER BY pos))
+  WHERE l2 IS NOT NULL
+),
+ragg AS (
+  SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_grams,
+         CAST(COUNT(DISTINCT gram) AS BIGINT) AS n_distinct_grams
+  FROM rg GROUP BY 1)
+SELECT d.doc_id,
+       CAST(COALESCE(a.n_grams, 0) AS BIGINT) AS n_grams,
+       CAST(COALESCE(a.n_distinct_grams, 0) AS BIGINT) AS n_distinct_grams,
+       CAST(CASE WHEN COALESCE(a.n_grams, 0) > 0
+                 THEN ((a.n_grams - a.n_distinct_grams) * 1000000) // a.n_grams
+                 ELSE 0 END AS BIGINT) AS dup_frac_micro6
+FROM documents d LEFT JOIN ragg a USING (doc_id)""",
+    "decontaminate": (lambda k=8: f"""
+WITH dsplit AS (
+  SELECT doc_id,
+         CASE WHEN bucket < 204 THEN 'train'
+              WHEN bucket < 230 THEN 'dev' ELSE 'test' END AS split
+  FROM (
+    SELECT doc_id,
+           CAST(16 * (instr('0123456789abcdef',
+                    substr(md5(CAST(doc_id AS VARCHAR)), 31, 1)) - 1)
+              + (instr('0123456789abcdef',
+                    substr(md5(CAST(doc_id AS VARCHAR)), 32, 1)) - 1) AS INT)
+             AS bucket
+    FROM documents)
+),
+dtoks AS (
+  SELECT doc_id, tok,
+         ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY piece_idx) AS pos
+  FROM (SELECT doc_id,
+               unnest(string_split_regex(text, '[\\n \\t]')) AS tok,
+               generate_subscripts(string_split_regex(text, '[\\n \\t]'), 1)
+                 AS piece_idx
+        FROM documents)
+  WHERE tok <> ''
+),
+dsh AS (
+  SELECT DISTINCT doc_id,
+         {' || '.join("' '" if i % 2 else f"l{i // 2}" for i in range(2 * k - 1))} AS shingle
+  FROM (SELECT doc_id, tok AS l0,
+               {', '.join(f"LEAD(tok, {i}) OVER w AS l{i}" for i in range(1, k))}
+        FROM dtoks WINDOW w AS (PARTITION BY doc_id ORDER BY pos))
+  WHERE l{k - 1} IS NOT NULL
+),
+tr_sh AS (SELECT s.doc_id, s.shingle FROM dsh s
+          JOIN dsplit p USING (doc_id) WHERE p.split = 'train'),
+te_sh AS (SELECT s.doc_id AS test_doc, s.shingle FROM dsh s
+          JOIN dsplit p USING (doc_id) WHERE p.split = 'test'),
+dhits AS (
+  SELECT t.doc_id,
+         CAST(COUNT(DISTINCT t.shingle) AS BIGINT) AS n_contaminated,
+         CAST(COUNT(DISTINCT e.test_doc) AS BIGINT) AS n_test_docs
+  FROM tr_sh t JOIN te_sh e USING (shingle) GROUP BY 1),
+dtot AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_ngrams
+         FROM tr_sh GROUP BY 1)
+SELECT d.doc_id,
+       CAST(COALESCE(t.n_ngrams, 0) AS BIGINT) AS n_ngrams,
+       CAST(COALESCE(h.n_contaminated, 0) AS BIGINT) AS n_contaminated,
+       CAST(COALESCE(h.n_test_docs, 0) AS BIGINT) AS n_test_docs,
+       CAST(COALESCE(h.n_contaminated, 0) > 0 AS INT) AS contaminated
+FROM dsplit d LEFT JOIN dtot t USING (doc_id) LEFT JOIN dhits h USING (doc_id)
+WHERE d.split = 'train'""")(),
     "corpus_split": """
 SELECT doc_id, bucket,
        CASE WHEN bucket < 204 THEN 'train'
