@@ -134,13 +134,10 @@ def cooccurrence_pmi(docs: DataFrame, min_len: int = 3,
          .cast("long").alias("pmi_ratio_micro6"))
 
 
-def train_dev_test_split(docs: DataFrame, train_pct: int = 80,
-                         dev_pct: int = 10) -> DataFrame:
-    """Deterministic corpus split (SURVEY §2.7: the reference's
-    order-dependent fractional slice, generate_data.py:204-206, made
-    partition-stable): md5 bucket of doc_id -> train/dev/test.  Never
-    ``randomSplit`` (non-reproducible across partitionings).
-    Output: (doc_id, bucket, split)."""
+def split_expr(train_pct: int = 80, dev_pct: int = 10):
+    """The split as a pure COLUMN EXPRESSION of doc_id — attach it
+    anywhere without a join or an extra scan (it's a deterministic
+    hash, not a lookup)."""
     bucket = F.conv(
         F.substring(F.md5(F.col("doc_id").cast("string")), 31, 2),
         16, 10).cast("int")
@@ -149,6 +146,17 @@ def train_dev_test_split(docs: DataFrame, train_pct: int = 80,
     split = (F.when(bucket < tr, F.lit("train"))
              .when(bucket < dv, F.lit("dev"))
              .otherwise(F.lit("test")))
+    return bucket, split
+
+
+def train_dev_test_split(docs: DataFrame, train_pct: int = 80,
+                         dev_pct: int = 10) -> DataFrame:
+    """Deterministic corpus split (SURVEY §2.7: the reference's
+    order-dependent fractional slice, generate_data.py:204-206, made
+    partition-stable): md5 bucket of doc_id -> train/dev/test.  Never
+    ``randomSplit`` (non-reproducible across partitionings).
+    Output: (doc_id, bucket, split)."""
+    bucket, split = split_expr(train_pct, dev_pct)
     return docs.select("doc_id", bucket.alias("bucket"),
                        split.alias("split"))
 
@@ -248,34 +256,36 @@ def decontaminate(docs: DataFrame, k: int = 8,
     with an eval/test document).
 
     Shape at scale: both sides reduce to DISTINCT (doc, shingle) rows,
-    then one hash join on the shingle key aggregated immediately per
-    train doc.  The test split is the small side (~10%) — Spark/AQE
-    broadcasts it when it fits, else it's a plain shuffle join keyed
-    by shingle; no doc x doc pair set ever materializes.
+    then ONE left hash join on the shingle key with totals and hits
+    fused into a single per-train-doc aggregation.  The split is a
+    pure hash of doc_id (``split_expr``), attached as a column — no
+    split join, no extra scan.  The test split is the small side
+    (~10%) — Spark/AQE broadcasts it when it fits, else it's a plain
+    shuffle join keyed by shingle; no doc x doc pair set ever
+    materializes.
 
     Output per TRAIN doc: (doc_id, n_ngrams, n_contaminated,
     n_test_docs, contaminated)."""
     from ..operators.dedup import shingles
 
-    split = train_dev_test_split(docs, train_pct, dev_pct).select(
-        "doc_id", "split")
-    sh = shingles(docs, k).join(split, "doc_id")
-    train_sh = sh.where(F.col("split") == "train").select(
+    _, split = split_expr(train_pct, dev_pct)
+    sh = shingles(docs, k).withColumn("_split", split)
+    train_sh = sh.where(F.col("_split") == "train").select(
         "doc_id", "shingle")
-    test_sh = sh.where(F.col("split") == "test").select(
+    test_sh = sh.where(F.col("_split") == "test").select(
         F.col("doc_id").alias("test_doc"), "shingle")
-    hits = (train_sh.join(test_sh, "shingle")
-            .groupBy("doc_id")
-            .agg(F.countDistinct("shingle").cast("long")
-                 .alias("n_contaminated"),
-                 F.countDistinct("test_doc").cast("long")
-                 .alias("n_test_docs")))
-    totals = train_sh.groupBy("doc_id").agg(
-        F.count(F.lit(1)).cast("long").alias("n_ngrams"))
-    train_docs = split.where(F.col("split") == "train").select("doc_id")
+    agg = (train_sh.join(test_sh, "shingle", "left")
+           .groupBy("doc_id")
+           .agg(F.countDistinct("shingle").cast("long").alias("n_ngrams"),
+                F.countDistinct(
+                    F.when(F.col("test_doc").isNotNull(),
+                           F.col("shingle"))).cast("long")
+                .alias("n_contaminated"),
+                F.countDistinct("test_doc").cast("long")
+                .alias("n_test_docs")))
+    train_docs = docs.select("doc_id").where(split == "train")
     return (train_docs
-            .join(totals, "doc_id", "left")
-            .join(hits, "doc_id", "left")
+            .join(agg, "doc_id", "left")
             .fillna(0, ["n_ngrams", "n_contaminated", "n_test_docs"])
             .withColumn("contaminated",
                         (F.col("n_contaminated") > 0).cast("int")))

@@ -128,3 +128,19 @@ def test_corpus_split_no_shuffle(spark):
 
     docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
     assert "Exchange" not in plan_of(train_dev_test_split(docs))
+
+
+def test_decontaminate_plan_is_two_joins_three_scans(spark):
+    """The split is a hash of doc_id attached as a column — NOT a
+    join — and totals+hits fuse into one aggregation, so the whole
+    query is: shingle join (train x test) + one train-docs left join,
+    over at most 3 scans of the documents table."""
+    from ehr_relation_extraction_spark.functions.textstats import (
+        decontaminate)
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    plan = plan_of(decontaminate(docs))
+    n_joins = plan.count("SortMergeJoin") + plan.count("BroadcastHashJoin")
+    assert n_joins == 2, plan
+    assert plan.count("Scan parquet") <= 3, plan
+    assert "CartesianProduct" not in plan
