@@ -494,6 +494,13 @@ def q_decontaminate(spark, sf_dir) -> DataFrame:
         "contaminated")
 
 
+def q_corpus_export(spark, sf_dir) -> DataFrame:
+    """The final export gate: train-split docs pass curation AND
+    decontamination; one keep/reason verdict per train doc."""
+    return ts.corpus_export(_docs(spark, sf_dir)).select(
+        "doc_id", "n_tokens", "keep", "reason")
+
+
 def q_bigram_lm(spark, sf_dir) -> DataFrame:
     return ts.bigram_lm(_docs(spark, sf_dir)).select(
         "w1", "w2", "c_bigram", "c_w1", "p_micro6")
@@ -584,6 +591,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "corpus_split": q_corpus_split,
     "decontaminate": q_decontaminate,
     "repetition_features": q_repetition_features,
+    "corpus_export": q_corpus_export,
     "bigram_lm": q_bigram_lm,
     "corpus_curation": q_corpus_curation,
     "candidates_balanced": q_candidates_balanced,

@@ -291,6 +291,24 @@ def decontaminate(docs: DataFrame, k: int = 8,
                         (F.col("n_contaminated") > 0).cast("int")))
 
 
+def corpus_export(docs: DataFrame, k: int = 8) -> DataFrame:
+    """The final export gate of the training-data pipeline: a
+    TRAIN-split document ships iff it passes the curation rules
+    (duplicate > too_short > low_diversity > not_english) AND shares
+    no k-gram with the eval split.  Rule precedence: curation reason
+    first, then 'contaminated', else 'ok' — one verdict row per train
+    doc: (doc_id, n_tokens, keep, reason)."""
+    cur = corpus_curation(docs)
+    dec = decontaminate(docs, k).select("doc_id", "contaminated")
+    j = cur.join(dec, "doc_id")  # inner: decontaminate is train-only
+    reason = (F.when(F.col("reason") != "ok", F.col("reason"))
+              .when(F.col("contaminated") == 1, F.lit("contaminated"))
+              .otherwise(F.lit("ok")))
+    return j.select("doc_id", "n_tokens",
+                    (reason == "ok").cast("int").alias("keep"),
+                    reason.alias("reason"))
+
+
 def fingerprint(docs: DataFrame) -> DataFrame:
     """(doc_id, fingerprint, n_shingles): rolling-hash doc fingerprint =
     min md5 over token 3-gram shingles (minhash with one permutation),

@@ -368,6 +368,77 @@ FROM greedy2
 WHERE kept AND regexp_matches(ent_text, '[0-9A-Za-z]')"""
 
 
+CURATION_CTES = """
+cq AS (
+  SELECT doc_id, text,
+         len(list_filter(string_split_regex(text, '[\\n \\t]'),
+             x -> x <> '')) AS n_tokens,
+         len(list_distinct(list_filter(string_split_regex(text, '[\\n \\t]'),
+             x -> x <> ''))) AS n_distinct,
+         len(list_filter(string_split_regex(text, '[\\n \\t]'),
+             x -> lower(x) IN ('the','a','of','and','to','in'))) AS n_stop,
+         CASE WHEN doc_id = MIN(doc_id) OVER (PARTITION BY md5(text))
+              THEN 1 ELSE 0 END AS is_canonical
+  FROM documents),
+cr AS (
+  SELECT doc_id, CAST(n_tokens AS BIGINT) AS n_tokens,
+         CASE WHEN is_canonical = 0 THEN 'duplicate'
+              WHEN n_tokens < 20 THEN 'too_short'
+              WHEN n_distinct * 100 < n_tokens * 35 THEN 'low_diversity'
+              WHEN 20 * n_stop < n_tokens THEN 'not_english'
+              ELSE 'ok' END AS reason
+  FROM cq)"""
+
+
+def decontam_ctes(k: int = 8) -> str:
+    """Shared CTE block: split + k-gram shingles + train/test
+    contamination hits + per-train-doc totals."""
+    shingle = ' || '.join(
+        "' '" if i % 2 else f"l{i // 2}" for i in range(2 * k - 1))
+    leads = ', '.join(f"LEAD(tok, {i}) OVER w AS l{i}" for i in range(1, k))
+    return f"""
+dsplit AS (
+  SELECT doc_id,
+         CASE WHEN bucket < 204 THEN 'train'
+              WHEN bucket < 230 THEN 'dev' ELSE 'test' END AS split
+  FROM (
+    SELECT doc_id,
+           CAST(16 * (instr('0123456789abcdef',
+                    substr(md5(CAST(doc_id AS VARCHAR)), 31, 1)) - 1)
+              + (instr('0123456789abcdef',
+                    substr(md5(CAST(doc_id AS VARCHAR)), 32, 1)) - 1) AS INT)
+             AS bucket
+    FROM documents)
+),
+dtoks AS (
+  SELECT doc_id, tok,
+         ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY piece_idx) AS pos
+  FROM (SELECT doc_id,
+               unnest(string_split_regex(text, '[\\n \\t]')) AS tok,
+               generate_subscripts(string_split_regex(text, '[\\n \\t]'), 1)
+                 AS piece_idx
+        FROM documents)
+  WHERE tok <> ''
+),
+dsh AS (
+  SELECT DISTINCT doc_id, {shingle} AS shingle
+  FROM (SELECT doc_id, tok AS l0, {leads}
+        FROM dtoks WINDOW w AS (PARTITION BY doc_id ORDER BY pos))
+  WHERE l{k - 1} IS NOT NULL
+),
+tr_sh AS (SELECT s.doc_id, s.shingle FROM dsh s
+          JOIN dsplit p USING (doc_id) WHERE p.split = 'train'),
+te_sh AS (SELECT s.doc_id AS test_doc, s.shingle FROM dsh s
+          JOIN dsplit p USING (doc_id) WHERE p.split = 'test'),
+dhits AS (
+  SELECT t.doc_id,
+         CAST(COUNT(DISTINCT t.shingle) AS BIGINT) AS n_contaminated,
+         CAST(COUNT(DISTINCT e.test_doc) AS BIGINT) AS n_test_docs
+  FROM tr_sh t JOIN te_sh e USING (shingle) GROUP BY 1),
+dtot AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_ngrams
+         FROM tr_sh GROUP BY 1)"""
+
+
 def eval_span_ctes(strict: bool = True) -> str:
     cond = ('g.start = p.start AND g."end" = p."end"' if strict
             else 'g.start < p."end" AND p.start < g."end"')
@@ -979,30 +1050,24 @@ SELECT b.w1, b.w2, b.c_bigram, u.c_w1,
        CAST((b.c_bigram * 1000000) // u.c_w1 AS BIGINT) AS p_micro6
 FROM lm_big b JOIN lm_uni u ON b.w1 = u.w1
 WHERE b.c_bigram >= 5""",
-    "corpus_curation": """
-WITH cq AS (
-  SELECT doc_id, text,
-         len(list_filter(string_split_regex(text, '[\\n \\t]'),
-             x -> x <> '')) AS n_tokens,
-         len(list_distinct(list_filter(string_split_regex(text, '[\\n \\t]'),
-             x -> x <> ''))) AS n_distinct,
-         len(list_filter(string_split_regex(text, '[\\n \\t]'),
-             x -> lower(x) IN ('the','a','of','and','to','in'))) AS n_stop,
-         CASE WHEN doc_id = MIN(doc_id) OVER (PARTITION BY md5(text))
-              THEN 1 ELSE 0 END AS is_canonical
-  FROM documents),
-cr AS (
-  SELECT doc_id, CAST(n_tokens AS BIGINT) AS n_tokens,
-         CASE WHEN is_canonical = 0 THEN 'duplicate'
-              WHEN n_tokens < 20 THEN 'too_short'
-              WHEN n_distinct * 100 < n_tokens * 35 THEN 'low_diversity'
-              WHEN 20 * n_stop < n_tokens THEN 'not_english'
-              ELSE 'ok' END AS reason
-  FROM cq)
+    "corpus_curation": "WITH " + CURATION_CTES + """
 SELECT doc_id, n_tokens,
        CAST(CASE WHEN reason = 'ok' THEN 1 ELSE 0 END AS INT) AS keep,
        reason
 FROM cr""",
+    "corpus_export": "WITH " + CURATION_CTES + "," + decontam_ctes(8) + """
+SELECT c.doc_id, c.n_tokens,
+       CAST(CASE WHEN reason2 = 'ok' THEN 1 ELSE 0 END AS INT) AS keep,
+       reason2 AS reason
+FROM (
+  SELECT c.doc_id, c.n_tokens,
+         CASE WHEN c.reason <> 'ok' THEN c.reason
+              WHEN COALESCE(h.n_contaminated, 0) > 0 THEN 'contaminated'
+              ELSE 'ok' END AS reason2
+  FROM cr c
+  JOIN dsplit d USING (doc_id)
+  LEFT JOIN dhits h USING (doc_id)
+  WHERE d.split = 'train') c""",
     "repetition_features": """
 WITH rtoks AS (
   SELECT doc_id, tok,
@@ -1032,56 +1097,14 @@ SELECT d.doc_id,
                  THEN ((a.n_grams - a.n_distinct_grams) * 1000000) // a.n_grams
                  ELSE 0 END AS BIGINT) AS dup_frac_micro6
 FROM documents d LEFT JOIN ragg a USING (doc_id)""",
-    "decontaminate": (lambda k=8: f"""
-WITH dsplit AS (
-  SELECT doc_id,
-         CASE WHEN bucket < 204 THEN 'train'
-              WHEN bucket < 230 THEN 'dev' ELSE 'test' END AS split
-  FROM (
-    SELECT doc_id,
-           CAST(16 * (instr('0123456789abcdef',
-                    substr(md5(CAST(doc_id AS VARCHAR)), 31, 1)) - 1)
-              + (instr('0123456789abcdef',
-                    substr(md5(CAST(doc_id AS VARCHAR)), 32, 1)) - 1) AS INT)
-             AS bucket
-    FROM documents)
-),
-dtoks AS (
-  SELECT doc_id, tok,
-         ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY piece_idx) AS pos
-  FROM (SELECT doc_id,
-               unnest(string_split_regex(text, '[\\n \\t]')) AS tok,
-               generate_subscripts(string_split_regex(text, '[\\n \\t]'), 1)
-                 AS piece_idx
-        FROM documents)
-  WHERE tok <> ''
-),
-dsh AS (
-  SELECT DISTINCT doc_id,
-         {' || '.join("' '" if i % 2 else f"l{i // 2}" for i in range(2 * k - 1))} AS shingle
-  FROM (SELECT doc_id, tok AS l0,
-               {', '.join(f"LEAD(tok, {i}) OVER w AS l{i}" for i in range(1, k))}
-        FROM dtoks WINDOW w AS (PARTITION BY doc_id ORDER BY pos))
-  WHERE l{k - 1} IS NOT NULL
-),
-tr_sh AS (SELECT s.doc_id, s.shingle FROM dsh s
-          JOIN dsplit p USING (doc_id) WHERE p.split = 'train'),
-te_sh AS (SELECT s.doc_id AS test_doc, s.shingle FROM dsh s
-          JOIN dsplit p USING (doc_id) WHERE p.split = 'test'),
-dhits AS (
-  SELECT t.doc_id,
-         CAST(COUNT(DISTINCT t.shingle) AS BIGINT) AS n_contaminated,
-         CAST(COUNT(DISTINCT e.test_doc) AS BIGINT) AS n_test_docs
-  FROM tr_sh t JOIN te_sh e USING (shingle) GROUP BY 1),
-dtot AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_ngrams
-         FROM tr_sh GROUP BY 1)
+    "decontaminate": "WITH " + decontam_ctes(8) + """
 SELECT d.doc_id,
        CAST(COALESCE(t.n_ngrams, 0) AS BIGINT) AS n_ngrams,
        CAST(COALESCE(h.n_contaminated, 0) AS BIGINT) AS n_contaminated,
        CAST(COALESCE(h.n_test_docs, 0) AS BIGINT) AS n_test_docs,
        CAST(COALESCE(h.n_contaminated, 0) > 0 AS INT) AS contaminated
 FROM dsplit d LEFT JOIN dtot t USING (doc_id) LEFT JOIN dhits h USING (doc_id)
-WHERE d.split = 'train'""")(),
+WHERE d.split = 'train'""",
     "corpus_split": """
 SELECT doc_id, bucket,
        CASE WHEN bucket < 204 THEN 'train'
