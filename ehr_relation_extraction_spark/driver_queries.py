@@ -494,6 +494,14 @@ def q_decontaminate(spark, sf_dir) -> DataFrame:
         "contaminated")
 
 
+def q_pack_sequences(spark, sf_dir) -> DataFrame:
+    """GPT-style packing of each source's docs into 128-token training
+    sequences (per-source cumsum + explode; no sequential loop)."""
+    return ts.pack_sequences(_docs(spark, sf_dir), 128).select(
+        "source", "seq_id", "doc_id", "doc_tok_start", "doc_tok_end",
+        "seq_tok_start", "seq_tok_end", "n_tokens")
+
+
 def q_corpus_export(spark, sf_dir) -> DataFrame:
     """The final export gate: train-split docs pass curation AND
     decontamination; one keep/reason verdict per train doc."""
@@ -592,6 +600,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "decontaminate": q_decontaminate,
     "repetition_features": q_repetition_features,
     "corpus_export": q_corpus_export,
+    "pack_sequences": q_pack_sequences,
     "bigram_lm": q_bigram_lm,
     "corpus_curation": q_corpus_curation,
     "candidates_balanced": q_candidates_balanced,

@@ -291,6 +291,48 @@ def decontaminate(docs: DataFrame, k: int = 8,
                         (F.col("n_contaminated") > 0).cast("int")))
 
 
+def pack_sequences(docs: DataFrame, seq_len: int = 128) -> DataFrame:
+    """GPT-style sequence packing: concatenate each source's documents
+    (ordered by doc_id) into one token stream and cut it into
+    fixed-length training sequences, docs spanning cuts split across
+    them.  Closed form — per-source cumulative token offsets map every
+    doc onto the absolute stream, and the sequences a doc touches are
+    floor(start/L)..floor((end-1)/L) — so packing is a window cumsum +
+    an explode, never a sequential loop.
+
+    Scale shape: the cumsum window partitions by ``source`` (the
+    natural pack unit — a 100 TB corpus packs per source/shard, a
+    single global order would serialize); everything else is
+    per-row arithmetic in codegen.
+
+    Output: one row per (doc, sequence) overlap with both coordinate
+    systems — (source, seq_id, doc_id, doc_tok_start, doc_tok_end,
+    seq_tok_start, seq_tok_end, n_tokens)."""
+    from pyspark.sql import Window
+
+    n = F.size(_toks())
+    w = (Window.partitionBy("source").orderBy("doc_id")
+         .rowsBetween(Window.unboundedPreceding, -1))
+    d = (docs.select("source", "doc_id", n.alias("n_doc"))
+         .withColumn("start", F.coalesce(F.sum("n_doc").over(w),
+                                         F.lit(0)).cast("long"))
+         .withColumn("end", (F.col("start") + F.col("n_doc")).cast("long"))
+         .where(F.col("n_doc") > 0))
+    seqs = F.sequence((F.col("start") / seq_len).cast("long"),
+                      ((F.col("end") - 1) / seq_len).cast("long"))
+    e = d.select("source", "doc_id", "n_doc", "start", "end",
+                 F.explode(seqs).alias("seq_id"))
+    lo = F.greatest(F.col("start"), F.col("seq_id") * seq_len)
+    hi = F.least(F.col("end"), (F.col("seq_id") + 1) * seq_len)
+    return e.select(
+        "source", F.col("seq_id").cast("long").alias("seq_id"), "doc_id",
+        (lo - F.col("start")).cast("long").alias("doc_tok_start"),
+        (hi - F.col("start")).cast("long").alias("doc_tok_end"),
+        (lo - F.col("seq_id") * seq_len).cast("long").alias("seq_tok_start"),
+        (hi - F.col("seq_id") * seq_len).cast("long").alias("seq_tok_end"),
+        (hi - lo).cast("long").alias("n_tokens"))
+
+
 def corpus_export(docs: DataFrame, k: int = 8) -> DataFrame:
     """The final export gate of the training-data pipeline: a
     TRAIN-split document ships iff it passes the curation rules

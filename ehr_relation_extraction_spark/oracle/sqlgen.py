@@ -1068,6 +1068,34 @@ FROM (
   JOIN dsplit d USING (doc_id)
   LEFT JOIN dhits h USING (doc_id)
   WHERE d.split = 'train') c""",
+    "pack_sequences": """
+WITH pn AS (
+  SELECT source, doc_id,
+         CAST(len(list_filter(string_split_regex(text, '[\\n \\t]'),
+             x -> x <> '')) AS BIGINT) AS n_doc
+  FROM documents),
+pd AS (
+  SELECT source, doc_id, n_doc,
+         CAST(COALESCE(SUM(n_doc) OVER (
+             PARTITION BY source ORDER BY doc_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+           AS BIGINT) AS start
+  FROM pn),
+pe AS (
+  SELECT source, doc_id, n_doc, start, start + n_doc AS "end",
+         unnest(generate_series(start // 128, (start + n_doc - 1) // 128))
+           AS seq_id
+  FROM pd WHERE n_doc > 0)
+SELECT source, CAST(seq_id AS BIGINT) AS seq_id, doc_id,
+       CAST(greatest(start, seq_id * 128) - start AS BIGINT) AS doc_tok_start,
+       CAST(least("end", (seq_id + 1) * 128) - start AS BIGINT) AS doc_tok_end,
+       CAST(greatest(start, seq_id * 128) - seq_id * 128 AS BIGINT)
+         AS seq_tok_start,
+       CAST(least("end", (seq_id + 1) * 128) - seq_id * 128 AS BIGINT)
+         AS seq_tok_end,
+       CAST(least("end", (seq_id + 1) * 128)
+          - greatest(start, seq_id * 128) AS BIGINT) AS n_tokens
+FROM pe""",
     "repetition_features": """
 WITH rtoks AS (
   SELECT doc_id, tok,

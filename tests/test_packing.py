@@ -1,0 +1,50 @@
+"""Sequence-packing invariants (GPT-style fixed-length training
+sequences): the driver contract exact-checks values; these pin the
+structural properties packing must satisfy."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from ehr_relation_extraction_spark.functions.textstats import pack_sequences
+
+L = 16
+
+
+def _docs(spark):
+    rows = [(i, " ".join(f"w{j}" for j in range(n)), "en", src, 0)
+            for i, (n, src) in enumerate([
+                (5, "a"), (20, "a"), (16, "a"), (0, "a"), (3, "a"),
+                (40, "b"), (1, "b")])]
+    return spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long")
+
+
+def test_every_nonfinal_sequence_is_full(spark):
+    out = pack_sequences(_docs(spark), L)
+    s = out.groupBy("source", "seq_id").agg(F.sum("n_tokens").alias("t"))
+    mx = s.groupBy("source").agg(F.max("seq_id").alias("m"))
+    assert s.join(mx, "source").where(
+        (F.col("seq_id") < F.col("m")) & (F.col("t") != L)).count() == 0
+
+
+def test_token_conservation_and_doc_splits(spark):
+    out = pack_sequences(_docs(spark), L)
+    # every token of every non-empty doc lands in exactly one sequence
+    per_doc = {r["doc_id"]: r["t"] for r in
+               out.groupBy("doc_id").agg(F.sum("n_tokens").alias("t")).collect()}
+    assert per_doc == {0: 5, 1: 20, 2: 16, 4: 3, 5: 40, 6: 1}  # doc 3 empty
+    # doc 1 (20 tokens starting at offset 5) spans sequences 0 and 1
+    rows = sorted((r["seq_id"], r["doc_tok_start"], r["doc_tok_end"],
+                   r["seq_tok_start"], r["seq_tok_end"])
+                  for r in out.where("doc_id = 1").collect())
+    assert rows == [(0, 0, 11, 5, 16), (1, 11, 20, 0, 9)]
+
+
+def test_coordinates_are_consistent(spark):
+    out = pack_sequences(_docs(spark), L)
+    assert out.where(
+        "doc_tok_end - doc_tok_start <> n_tokens"
+        " OR seq_tok_end - seq_tok_start <> n_tokens"
+        " OR seq_tok_start < 0 OR seq_tok_end > 16"
+        " OR n_tokens <= 0").count() == 0
