@@ -134,6 +134,13 @@ ANN_SIGN_BITS = 8  # sign-of-first-k-dims bucketing for ANN
 #: Stopword list for quality scoring / language-id heuristics.
 STOPWORDS = ("the", "a", "of", "and", "to", "in")
 
+#: Training-mixture rates: per-source keep percentage for the corpus
+#: sampler (sources not listed use the default).  Deterministic
+#: md5-bucket sampling — never rand() — so the mixture is stable under
+#: repartition and re-runs.
+MIXTURE_RATES: dict[str, int] = {"src0": 100, "src1": 50, "src2": 10}
+MIXTURE_DEFAULT_PCT = 30
+
 # --------------------------------------------------------------------------
 # Table names for checkpointed stage boundaries (reference's pickle
 # caches utils.py:644-677 become write-once stage tables).

@@ -494,6 +494,13 @@ def q_decontaminate(spark, sf_dir) -> DataFrame:
         "contaminated")
 
 
+def q_mixture_sample(spark, sf_dir) -> DataFrame:
+    """Per-source training-mixture sampling (stable md5 buckets, no
+    rand()); every doc with its auditable (bucket, rate, kept)."""
+    return ts.mixture_sample(_docs(spark, sf_dir)).select(
+        "doc_id", "source", "bucket", "rate_pct", "kept")
+
+
 def q_pack_sequences(spark, sf_dir) -> DataFrame:
     """GPT-style packing of each source's docs into 128-token training
     sequences (per-source cumsum + explode; no sequential loop)."""
@@ -601,6 +608,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "repetition_features": q_repetition_features,
     "corpus_export": q_corpus_export,
     "pack_sequences": q_pack_sequences,
+    "mixture_sample": q_mixture_sample,
     "bigram_lm": q_bigram_lm,
     "corpus_curation": q_corpus_curation,
     "candidates_balanced": q_candidates_balanced,

@@ -291,6 +291,34 @@ def decontaminate(docs: DataFrame, k: int = 8,
                         (F.col("n_contaminated") > 0).cast("int")))
 
 
+def mixture_sample(docs: DataFrame, rates: dict | None = None,
+                   default_pct: int | None = None) -> DataFrame:
+    """Training-mixture sampling: keep each source's documents at its
+    configured mixture percentage (MIXTURE_RATES) via a stable md5
+    bucket of (source, doc_id) — the deterministic form of the "30%
+    web, 50% books" mixture weights a pre-training run pins.  Never
+    ``rand()``: the sample is identical under repartition, retries and
+    re-runs, and fully map-side (no shuffle at all).
+
+    Output: every doc with its (bucket, rate_pct, kept) verdict so the
+    realized mixture is auditable."""
+    from ..config import MIXTURE_DEFAULT_PCT, MIXTURE_RATES
+
+    rates = MIXTURE_RATES if rates is None else rates
+    default_pct = MIXTURE_DEFAULT_PCT if default_pct is None else default_pct
+    bucket = F.conv(
+        F.substring(F.md5(F.concat_ws(
+            ":", F.col("source"), F.col("doc_id").cast("string"))), 31, 2),
+        16, 10).cast("int")
+    rate = F.lit(default_pct)
+    for s, p in sorted(rates.items()):
+        rate = F.when(F.col("source") == s, F.lit(p)).otherwise(rate)
+    return docs.select(
+        "doc_id", "source", bucket.alias("bucket"),
+        rate.cast("int").alias("rate_pct"),
+        (bucket < F.floor(rate * 256 / 100)).cast("int").alias("kept"))
+
+
 def pack_sequences(docs: DataFrame, seq_len: int = 128) -> DataFrame:
     """GPT-style sequence packing: concatenate each source's documents
     (ordered by doc_id) into one token stream and cut it into

@@ -24,6 +24,7 @@ from __future__ import annotations
 
 from ..config import (ACCEPT_FUZZY_JACCARD_PCT, GAZETTEER, MAX_LEN_TOKENS,
                       MAX_PAIR_GAP_CHARS, MIN_FUZZY_JACCARD_PCT,
+                      MIXTURE_DEFAULT_PCT, MIXTURE_RATES,
                       perturbed_gazetteer)
 
 SEP_CLASS = "[\\n \\t]"
@@ -1068,6 +1069,19 @@ FROM (
   JOIN dsplit d USING (doc_id)
   LEFT JOIN dhits h USING (doc_id)
   WHERE d.split = 'train') c""",
+    "mixture_sample": f"""
+SELECT doc_id, source, bucket, rate_pct,
+       CAST(bucket < (rate_pct * 256) // 100 AS INT) AS kept
+FROM (
+  SELECT doc_id, source,
+         CAST(16 * (instr('0123456789abcdef',
+                  substr(md5(source || ':' || CAST(doc_id AS VARCHAR)), 31, 1)) - 1)
+            + (instr('0123456789abcdef',
+                  substr(md5(source || ':' || CAST(doc_id AS VARCHAR)), 32, 1)) - 1)
+           AS INT) AS bucket,
+         CAST(CASE {' '.join(f"WHEN source = '{s}' THEN {p}" for s, p in sorted(MIXTURE_RATES.items()))}
+              ELSE {MIXTURE_DEFAULT_PCT} END AS INT) AS rate_pct
+  FROM documents)""",
     "pack_sequences": """
 WITH pn AS (
   SELECT source, doc_id,
