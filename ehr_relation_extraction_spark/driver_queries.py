@@ -382,6 +382,14 @@ def q_eval_mentions_lenient(spark, sf_dir) -> DataFrame:
         "ent_type", *_PRF_COLS)
 
 
+def q_eval_mentions_by_doc(spark, sf_dir) -> DataFrame:
+    """Per-document eval table (the evaluator's per-doc pass before
+    the corpus roll-up)."""
+    gold, sys_ = _eval_frames(spark, sf_dir)
+    return ev.prf_by_doc(gold.mentions, sys_.mentions).select(
+        "url", *_PRF_COLS)
+
+
 def q_eval_mentions_macro(spark, sf_dir) -> DataFrame:
     gold, sys_ = _eval_frames(spark, sf_dir)
     return ev.macro_by_doc(gold.mentions, sys_.mentions).select(
@@ -614,6 +622,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "candidates_balanced": q_candidates_balanced,
     "eval_mentions_lenient": q_eval_mentions_lenient,
     "eval_mentions_macro": q_eval_mentions_macro,
+    "eval_mentions_by_doc": q_eval_mentions_by_doc,
     "sessionize": q_sessionize,
     "pagerank": q_pagerank,
     "graph_bfs": q_graph_bfs,

@@ -84,6 +84,22 @@ def micro_totals(per_type: DataFrame) -> DataFrame:
     return _with_prf(tot)
 
 
+def prf_by_doc(gold: DataFrame, pred: DataFrame,
+               strict: bool = True) -> DataFrame:
+    """Per-document score table (the reference's SingleEvaluator runs
+    per doc before the corpus roll-up, Track2-evaluate-ver4.py:261-344):
+    one row per url with TP/FP/FN + P/R/F1."""
+    tp = (pare_down(match_spans(gold, pred, strict))
+          .groupBy("url").agg(F.count(F.lit(1)).cast("long").alias("tp")))
+    n_gold = gold.groupBy("url").agg(
+        F.count(F.lit(1)).cast("long").alias("n_gold"))
+    n_pred = pred.groupBy("url").agg(
+        F.count(F.lit(1)).cast("long").alias("n_pred"))
+    counts = (n_gold.join(n_pred, "url", "full").join(tp, "url", "left")
+              .fillna(0, ["tp", "n_gold", "n_pred"]))
+    return _with_prf(counts)
+
+
 def macro_by_doc(gold: DataFrame, pred: DataFrame,
                  strict: bool = True) -> DataFrame:
     """E6 macro roll-up: per-doc F1 averaged over gold docs

@@ -968,6 +968,20 @@ SELECT query_id, rank, neighbor_id, sim_micro6 FROM (
     "eval_mentions_lenient": _assemble(
         BASE, SYS, eval_span_ctes(False),
         select=PRF_SELECT.format(dims="ent_type, ", src="counts")),
+    "eval_mentions_by_doc": _assemble(
+        BASE, SYS, eval_span_ctes(True),
+        select="""
+, per_doc AS (
+  SELECT COALESCE(ng.url, np.url) AS url,
+         CAST(COALESCE(t.tp, 0) AS BIGINT) AS tp,
+         CAST(COALESCE(ng.n_gold, 0) AS BIGINT) AS n_gold,
+         CAST(COALESCE(np.n_pred, 0) AS BIGINT) AS n_pred
+  FROM (SELECT url, COUNT(*) AS n_gold FROM mentions GROUP BY url) ng
+  FULL JOIN (SELECT url, COUNT(*) AS n_pred FROM mentions_sys GROUP BY url) np
+    ON ng.url = np.url
+  LEFT JOIN (SELECT url, COUNT(*) AS tp FROM pared GROUP BY url) t
+    ON COALESCE(ng.url, np.url) = t.url
+)""" + PRF_SELECT.format(dims="url, ", src="per_doc")),
     "eval_mentions_macro": _assemble(
         BASE, SYS, eval_span_ctes(True),
         select="""
