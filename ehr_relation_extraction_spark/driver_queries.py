@@ -517,6 +517,13 @@ def q_pack_sequences(spark, sf_dir) -> DataFrame:
         "seq_tok_start", "seq_tok_end", "n_tokens")
 
 
+def q_lm_quality(spark, sf_dir) -> DataFrame:
+    """CCNet-style LM quality score: mean corpus-bigram-LM probability
+    per doc (integer-exact; pruned/OOV bigrams contribute 0)."""
+    return ts.lm_quality(_docs(spark, sf_dir)).select(
+        "doc_id", "n_pairs", "n_oov", "lm_score_micro6")
+
+
 def q_corpus_export(spark, sf_dir) -> DataFrame:
     """The final export gate: train-split docs pass curation AND
     decontamination; one keep/reason verdict per train doc."""
@@ -617,6 +624,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "corpus_export": q_corpus_export,
     "pack_sequences": q_pack_sequences,
     "mixture_sample": q_mixture_sample,
+    "lm_quality": q_lm_quality,
     "bigram_lm": q_bigram_lm,
     "corpus_curation": q_corpus_curation,
     "candidates_balanced": q_candidates_balanced,

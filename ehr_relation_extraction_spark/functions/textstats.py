@@ -161,6 +161,20 @@ def train_dev_test_split(docs: DataFrame, train_pct: int = 80,
                        split.alias("split"))
 
 
+def _bigram_pairs(docs: DataFrame) -> DataFrame:
+    """(doc_id, w1, w2) adjacent lowercased token pairs, one row per
+    occurrence (one shuffle on doc_id for the lead window)."""
+    toks = docs.select(
+        "doc_id",
+        F.posexplode(F.transform(_toks(), lambda t: F.lower(t)))
+        .alias("tok_idx", "w1"))
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("doc_id").orderBy("tok_idx")
+    return (toks.withColumn("w2", F.lead("w1").over(w))
+            .where(F.col("w2").isNotNull()))
+
+
 def bigram_lm(docs: DataFrame, min_count: int = 5) -> DataFrame:
     """Bigram language-model counts over the corpus:
     (w1, w2, c_bigram, c_w1, p_micro6) with p(w2|w1) =
@@ -171,15 +185,7 @@ def bigram_lm(docs: DataFrame, min_count: int = 5) -> DataFrame:
     partitioned by doc from the tokenize stage), then a global count
     shuffle on the bigram key; ``min_count`` prunes the tail before
     the output materializes."""
-    toks = docs.select(
-        "doc_id",
-        F.posexplode(F.transform(_toks(), lambda t: F.lower(t)))
-        .alias("tok_idx", "w1"))
-    from pyspark.sql import Window
-
-    w = Window.partitionBy("doc_id").orderBy("tok_idx")
-    pairs = (toks.withColumn("w2", F.lead("w1").over(w))
-             .where(F.col("w2").isNotNull()))
+    pairs = _bigram_pairs(docs)
     big = pairs.groupBy("w1", "w2").agg(
         F.count(F.lit(1)).cast("long").alias("c_bigram"))
     uni = pairs.groupBy("w1").agg(
@@ -189,6 +195,37 @@ def bigram_lm(docs: DataFrame, min_count: int = 5) -> DataFrame:
             .select("w1", "w2", "c_bigram", "c_w1",
                     F.expr("(c_bigram * 1000000) div c_w1")
                      .cast("long").alias("p_micro6")))
+
+
+def lm_quality(docs: DataFrame, min_count: int = 5) -> DataFrame:
+    """LM-based quality scoring (the CCNet-style filter, float-free):
+    score each document by the MEAN corpus-bigram-LM probability of
+    its adjacent token pairs — fluent in-distribution text scores
+    high, gibberish and OOV-heavy text scores low.  Bigrams pruned
+    from the LM (count < min_count) contribute 0.  Exact integers
+    throughout (mean of p_micro6 by integer division) so both engines
+    agree bit-for-bit — a deliberate alternative to log-perplexity,
+    whose libm ln() is not cross-engine stable.
+
+    Shape: the pruned LM is vocabulary-sized — broadcast side of the
+    join; pairs aggregate per doc immediately.
+    Output: (doc_id, n_pairs, n_oov, lm_score_micro6)."""
+    lm = bigram_lm(docs, min_count).select("w1", "w2", "p_micro6")
+    pairs = _bigram_pairs(docs)
+    scored = pairs.join(F.broadcast(lm), ["w1", "w2"], "left")
+    agg = (scored.groupBy("doc_id")
+           .agg(F.count(F.lit(1)).cast("long").alias("n_pairs"),
+                F.count(F.when(F.col("p_micro6").isNull(), 1))
+                .cast("long").alias("n_oov"),
+                F.sum(F.coalesce("p_micro6", F.lit(0)))
+                .cast("long").alias("_sum")))
+    return (docs.select("doc_id").join(agg, "doc_id", "left")
+            .fillna(0, ["n_pairs", "n_oov", "_sum"])
+            .withColumn("lm_score_micro6",
+                        F.when(F.col("n_pairs") > 0,
+                               F.expr("_sum div n_pairs"))
+                        .otherwise(F.lit(0)).cast("long"))
+            .drop("_sum"))
 
 
 def corpus_curation(docs: DataFrame) -> DataFrame:

@@ -1065,6 +1065,45 @@ SELECT b.w1, b.w2, b.c_bigram, u.c_w1,
        CAST((b.c_bigram * 1000000) // u.c_w1 AS BIGINT) AS p_micro6
 FROM lm_big b JOIN lm_uni u ON b.w1 = u.w1
 WHERE b.c_bigram >= 5""",
+    "lm_quality": """
+WITH lmq_toks AS (
+  SELECT doc_id, lower(tok) AS w1,
+         ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY piece_idx) AS pos
+  FROM (SELECT doc_id,
+               unnest(string_split_regex(text, '[\\n \\t]')) AS tok,
+               generate_subscripts(string_split_regex(text, '[\\n \\t]'), 1)
+                 AS piece_idx
+        FROM documents)
+  WHERE tok <> ''
+),
+lmq_pairs AS (
+  SELECT doc_id, w1, w2 FROM (
+    SELECT doc_id, w1,
+           LEAD(w1) OVER (PARTITION BY doc_id ORDER BY pos) AS w2
+    FROM lmq_toks)
+  WHERE w2 IS NOT NULL
+),
+lmq_big AS (SELECT w1, w2, CAST(COUNT(*) AS BIGINT) AS c_bigram
+            FROM lmq_pairs GROUP BY 1, 2),
+lmq_uni AS (SELECT w1, CAST(COUNT(*) AS BIGINT) AS c_w1
+            FROM lmq_pairs GROUP BY 1),
+lmq_lm AS (
+  SELECT b.w1, b.w2,
+         CAST((b.c_bigram * 1000000) // u.c_w1 AS BIGINT) AS p_micro6
+  FROM lmq_big b JOIN lmq_uni u USING (w1)
+  WHERE b.c_bigram >= 5),
+lmq_sc AS (
+  SELECT p.doc_id, CAST(COUNT(*) AS BIGINT) AS n_pairs,
+         CAST(COUNT(*) FILTER (WHERE l.p_micro6 IS NULL) AS BIGINT) AS n_oov,
+         CAST(COALESCE(SUM(l.p_micro6), 0) AS BIGINT) AS s
+  FROM lmq_pairs p LEFT JOIN lmq_lm l ON p.w1 = l.w1 AND p.w2 = l.w2
+  GROUP BY 1)
+SELECT d.doc_id,
+       CAST(COALESCE(c.n_pairs, 0) AS BIGINT) AS n_pairs,
+       CAST(COALESCE(c.n_oov, 0) AS BIGINT) AS n_oov,
+       CAST(CASE WHEN COALESCE(c.n_pairs, 0) > 0 THEN c.s // c.n_pairs
+                 ELSE 0 END AS BIGINT) AS lm_score_micro6
+FROM documents d LEFT JOIN lmq_sc c USING (doc_id)""",
     "corpus_curation": "WITH " + CURATION_CTES + """
 SELECT doc_id, n_tokens,
        CAST(CASE WHEN reason = 'ok' THEN 1 ELSE 0 END AS INT) AS keep,
