@@ -517,6 +517,12 @@ def q_pack_sequences(spark, sf_dir) -> DataFrame:
         "seq_tok_start", "seq_tok_end", "n_tokens")
 
 
+def q_source_stats(spark, sf_dir) -> DataFrame:
+    """Per-source doc/token totals + exact p50/p90 token counts."""
+    return ts.source_stats(_docs(spark, sf_dir)).select(
+        "source", "n_docs", "total_tokens", "p50_tokens", "p90_tokens")
+
+
 def q_lm_quality(spark, sf_dir) -> DataFrame:
     """CCNet-style LM quality score: mean corpus-bigram-LM probability
     per doc (integer-exact; pruned/OOV bigrams contribute 0)."""
@@ -625,6 +631,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "pack_sequences": q_pack_sequences,
     "mixture_sample": q_mixture_sample,
     "lm_quality": q_lm_quality,
+    "source_stats": q_source_stats,
     "bigram_lm": q_bigram_lm,
     "corpus_curation": q_corpus_curation,
     "candidates_balanced": q_candidates_balanced,

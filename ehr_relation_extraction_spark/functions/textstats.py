@@ -197,6 +197,31 @@ def bigram_lm(docs: DataFrame, min_count: int = 5) -> DataFrame:
                      .cast("long").alias("p_micro6")))
 
 
+def source_stats(docs: DataFrame) -> DataFrame:
+    """Per-source corpus statistics with EXACT discrete percentiles:
+    doc count, total tokens, p50/p90 token counts.  The percentile is
+    the value at sorted index floor((n-1)*q) — selected by window rank,
+    never a float `percentile()` (not cross-engine stable) and never a
+    per-source collect (a 100 TB source has billions of docs; the
+    window sort is a shuffle, not a driver materialization).
+    Output: (source, n_docs, total_tokens, p50_tokens, p90_tokens)."""
+    from pyspark.sql import Window
+
+    d = docs.select("source", F.size(_toks()).cast("long").alias("n_tok"))
+    w = Window.partitionBy("source").orderBy("n_tok")
+    wa = Window.partitionBy("source")
+    r = (d.withColumn("rn", F.row_number().over(w) - 1)
+         .withColumn("cnt", F.count(F.lit(1)).over(wa))
+         .withColumn("tot", F.sum("n_tok").over(wa)))
+    return (r.groupBy("source")
+            .agg(F.max("cnt").cast("long").alias("n_docs"),
+                 F.max("tot").cast("long").alias("total_tokens"),
+                 F.max(F.when(F.col("rn") == F.expr("((cnt - 1) * 50) div 100"),
+                              F.col("n_tok"))).cast("long").alias("p50_tokens"),
+                 F.max(F.when(F.col("rn") == F.expr("((cnt - 1) * 90) div 100"),
+                              F.col("n_tok"))).cast("long").alias("p90_tokens")))
+
+
 def lm_quality(docs: DataFrame, min_count: int = 5) -> DataFrame:
     """LM-based quality scoring (the CCNet-style filter, float-free):
     score each document by the MEAN corpus-bigram-LM probability of

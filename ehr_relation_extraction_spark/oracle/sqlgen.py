@@ -1065,6 +1065,26 @@ SELECT b.w1, b.w2, b.c_bigram, u.c_w1,
        CAST((b.c_bigram * 1000000) // u.c_w1 AS BIGINT) AS p_micro6
 FROM lm_big b JOIN lm_uni u ON b.w1 = u.w1
 WHERE b.c_bigram >= 5""",
+    "source_stats": """
+WITH ss AS (
+  SELECT source,
+         CAST(len(list_filter(string_split_regex(text, '[\\n \\t]'),
+             x -> x <> '')) AS BIGINT) AS n_tok
+  FROM documents),
+sr AS (
+  SELECT source, n_tok,
+         ROW_NUMBER() OVER (PARTITION BY source ORDER BY n_tok) - 1 AS rn,
+         COUNT(*) OVER (PARTITION BY source) AS cnt,
+         SUM(n_tok) OVER (PARTITION BY source) AS tot
+  FROM ss)
+SELECT source,
+       CAST(MAX(cnt) AS BIGINT) AS n_docs,
+       CAST(MAX(tot) AS BIGINT) AS total_tokens,
+       CAST(MAX(CASE WHEN rn = ((cnt - 1) * 50) // 100 THEN n_tok END)
+         AS BIGINT) AS p50_tokens,
+       CAST(MAX(CASE WHEN rn = ((cnt - 1) * 90) // 100 THEN n_tok END)
+         AS BIGINT) AS p90_tokens
+FROM sr GROUP BY source""",
     "lm_quality": """
 WITH lmq_toks AS (
   SELECT doc_id, lower(tok) AS w1,
