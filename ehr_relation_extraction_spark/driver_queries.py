@@ -444,6 +444,17 @@ def q_related_topics(spark, sf_dir) -> DataFrame:
             .agg(F.count(F.lit(1)).cast("long").alias("n_shared")))
 
 
+def q_component_sizes(spark, sf_dir) -> DataFrame:
+    """Component-size histogram over the canonicalized entity graph —
+    the standard health check for entity resolution (a giant component
+    signals over-merging)."""
+    _, _, _, comps = _linked_components(spark, sf_dir)
+    sz = comps.groupBy("component").agg(
+        F.count(F.lit(1)).cast("long").alias("size"))
+    return sz.groupBy("size").agg(
+        F.count(F.lit(1)).cast("long").alias("n_components"))
+
+
 def q_graph_bfs(spark, sf_dir) -> DataFrame:
     """BFS hop distances from the lexicographically smallest graph node
     — an ITERATIVE algorithm with an exact recursive-CTE oracle."""
@@ -643,6 +654,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "graph_bfs": q_graph_bfs,
     "graph_degrees": q_graph_degrees,
     "related_topics": q_related_topics,
+    "component_sizes": q_component_sizes,
     "embedding_near_dups": q_embedding_near_dups,
     "ivf_assign": q_ivf_assign,
 }

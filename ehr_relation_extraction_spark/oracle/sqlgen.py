@@ -771,6 +771,13 @@ LEFT JOIN (SELECT obj_node, COUNT(*) AS in_deg, SUM(weight) AS in_w
         LINK_CTES),
     # the KG is bipartite (Topic -> Attr), so directed 2-paths are empty;
     # the meaningful 2-hop is Topic~Topic via a shared attribute node
+    "component_sizes": _q(
+        """
+SELECT size, CAST(COUNT(*) AS BIGINT) AS n_components
+FROM (SELECT component, CAST(COUNT(*) AS BIGINT) AS size
+      FROM components GROUP BY 1)
+GROUP BY size""",
+        LINK_CTES),
     "related_topics": _q(
         """
 , ge AS (
