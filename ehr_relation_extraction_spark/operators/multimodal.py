@@ -7,9 +7,12 @@ because the image/audio libraries are not in this container:
 
 - ``decode_features`` uses a deterministic fake featurizer (md5-derived
   doubles) so the distributed plumbing has an exact oracle;
-- ``decode_image`` / ``resample_audio`` / ``sample_frames`` raise
-  ``NotImplementedError`` unless the optional lib imports succeed
-  (import-try gate), with the batch contract documented.
+- ``decode_image`` / ``resample_audio`` / ``sample_frames`` run the
+  full mapInPandas plumbing (fixed-shape thumbnails, per-chunk audio
+  explode, per-frame video explode) with an injectable ``codec``:
+  ``codec=None`` requires the real lib (import-try gate ->
+  ``NotImplementedError`` here); the ``fake_*_codec`` stand-ins are
+  pure functions of the payload so the plumbing is exactly testable.
 
 At scale, payloads stay in the executor (never collected); feature
 vectors are ~100x smaller than payloads, so the expensive binary
@@ -79,24 +82,143 @@ def _require(modname: str):
     except ImportError as exc:  # pragma: no cover - libs absent here
         raise NotImplementedError(
             f"{modname} is not installed in this environment; "
-            f"this operator defines the Spark-side contract only. "
-            f"Batch contract: mapInPandas over (media_id, payload), "
-            f"one decoded record per input row.") from exc
+            f"pass an explicit codec= to run the (real, tested) Spark "
+            f"plumbing with a stand-in decoder.") from exc
 
 
-def decode_image(media: DataFrame, size: tuple[int, int] = (224, 224)) -> DataFrame:
-    """STUB: real image decode+resize (PIL) behind an import gate."""
-    _require("PIL")
-    raise NotImplementedError("unreachable in this container")
+# ---------------------------------------------------------------------------
+# Deterministic stand-in codecs (STUBS for the real decoders, which
+# need PIL / soundfile / av — absent in this container).  Each is a
+# pure function of the payload bytes so every test and re-run agrees.
+# ---------------------------------------------------------------------------
+
+def fake_image_codec(payload: bytes, size: tuple[int, int]) -> bytes:
+    """Stand-in decode+resize: w*h*3 RGB bytes stretched from the md5
+    of the payload (same output shape as a real thumbnail)."""
+    w, h = size
+    need = w * h * 3
+    d = hashlib.md5(payload or b"").digest()
+    return (d * (need // len(d) + 1))[:need]
 
 
-def resample_audio(media: DataFrame, rate: int = 16000) -> DataFrame:
-    """STUB: audio resample (soundfile/librosa) behind an import gate."""
-    _require("soundfile")
-    raise NotImplementedError("unreachable in this container")
+def fake_audio_codec(payload: bytes) -> tuple[int, bytes]:
+    """Stand-in audio decode: pretend the payload IS 44.1 kHz 8-bit
+    PCM — (orig_rate, sample_bytes)."""
+    return 44100, payload or b""
 
 
-def sample_frames(media: DataFrame, every_n: int = 30) -> DataFrame:
-    """STUB: video frame sampling (av/ffmpeg) behind an import gate."""
-    _require("av")
-    raise NotImplementedError("unreachable in this container")
+def fake_video_codec(payload: bytes) -> int:
+    """Stand-in demux: frame count derived from payload length (one
+    'frame' per 100 bytes)."""
+    return len(payload or b"") // 100
+
+
+IMAGE_SCHEMA = StructType([
+    StructField("media_id", LongType()),
+    StructField("width", LongType()),
+    StructField("height", LongType()),
+    StructField("n_channels", LongType()),
+    StructField("pixels", BinaryType()),
+])
+
+
+def decode_image(media: DataFrame, size: tuple[int, int] = (224, 224),
+                 codec=None) -> DataFrame:
+    """Decode + resize images to fixed w x h x 3 thumbnails, one
+    ``mapInPandas`` hop (payloads never leave the executor; the output
+    row is exactly w*h*3 bytes regardless of input size, so downstream
+    stages see a fixed batch shape).  ``codec=None`` requires PIL;
+    ``fake_image_codec`` drives the same plumbing deterministically."""
+    if codec is None:
+        _require("PIL")  # pragma: no cover - lib absent here
+    fn = codec
+    src = media.select("media_id", "payload")
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        w, h = size
+        for pdf in batches:
+            rows = [(mid, w, h, 3, fn(p, size))
+                    for mid, p in zip(pdf["media_id"], pdf["payload"])]
+            yield pd.DataFrame(
+                rows, columns=["media_id", "width", "height",
+                               "n_channels", "pixels"])
+
+    return src.mapInPandas(gen, IMAGE_SCHEMA)
+
+
+AUDIO_CHUNK_SCHEMA = StructType([
+    StructField("media_id", LongType()),
+    StructField("chunk_idx", LongType()),
+    StructField("rate", LongType()),
+    StructField("n_samples", LongType()),
+    StructField("energy_x1000", LongType()),
+])
+
+
+def resample_audio(media: DataFrame, rate: int = 16000,
+                   chunk_s: int = 1, codec=None) -> DataFrame:
+    """Decode, resample to ``rate`` and chunk into ``chunk_s``-second
+    windows — one output ROW PER CHUNK (the explode that lets a 3-hour
+    recording parallelize downstream instead of riding in one row).
+    Integer energy per chunk so the plumbing has an exact expectation.
+    ``codec=None`` requires soundfile; ``fake_audio_codec`` is the
+    deterministic stand-in."""
+    if codec is None:
+        _require("soundfile")  # pragma: no cover - lib absent here
+    fn = codec
+    src = media.select("media_id", "payload")
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        win = rate * chunk_s
+        for pdf in batches:
+            rows = []
+            for mid, p in zip(pdf["media_id"], pdf["payload"]):
+                orig_rate, samples = fn(p)
+                # nearest-sample decimation to the target rate
+                n_out = (len(samples) * rate) // orig_rate
+                res = bytes(samples[(i * orig_rate) // rate]
+                            for i in range(n_out))
+                for ci in range(0, max(n_out, 1), win):
+                    chunk = res[ci:ci + win]
+                    energy = (sum(b * b for b in chunk) * 1000
+                              // max(len(chunk), 1))
+                    rows.append((mid, ci // win, rate, len(chunk), energy))
+            yield pd.DataFrame(
+                rows, columns=["media_id", "chunk_idx", "rate",
+                               "n_samples", "energy_x1000"])
+
+    return src.mapInPandas(gen, AUDIO_CHUNK_SCHEMA)
+
+
+FRAME_SCHEMA = StructType([
+    StructField("media_id", LongType()),
+    StructField("frame_idx", LongType()),
+    StructField("ts_ms", LongType()),
+    StructField("frame", BinaryType()),
+])
+
+
+def sample_frames(media: DataFrame, every_n: int = 30, fps: int = 30,
+                  codec=None) -> DataFrame:
+    """Demux + sample every ``every_n``-th frame — one output row per
+    SAMPLED frame with its timestamp (the video analogue of the audio
+    chunk explode).  ``codec=None`` requires av; ``fake_video_codec``
+    stands in (frame bytes = md5(payload, frame_idx))."""
+    if codec is None:
+        _require("av")  # pragma: no cover - lib absent here
+    fn = codec
+    src = media.select("media_id", "payload")
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for mid, p in zip(pdf["media_id"], pdf["payload"]):
+                n_frames = fn(p)
+                for fi in range(0, n_frames, every_n):
+                    frame = hashlib.md5(
+                        (p or b"") + fi.to_bytes(4, "big")).digest()
+                    rows.append((mid, fi, fi * 1000 // fps, frame))
+            yield pd.DataFrame(
+                rows, columns=["media_id", "frame_idx", "ts_ms", "frame"])
+
+    return src.mapInPandas(gen, FRAME_SCHEMA)

@@ -107,3 +107,58 @@ def test_multimodal_stubs_raise(spark):
     for fn in (mm.decode_image, mm.resample_audio, mm.sample_frames):
         with pytest.raises(NotImplementedError):
             fn(media)
+
+
+def _media(spark):
+    from ehr_relation_extraction_spark.operators import multimodal as mm
+
+    return mm, spark.createDataFrame(
+        [(1, "u1", "image", b"\x89PNG" + b"a" * 200),
+         (2, "u2", "audio", bytes(range(256)) * 400),   # 102400 "samples"
+         (3, "u3", "video", b"v" * 9000),               # 90 fake frames
+         (4, "u4", "video", None)],                     # degenerate
+        "media_id long, url string, media_type string, payload binary"
+    ).repartition(3)  # plumbing must be partition-invariant
+
+
+def test_decode_image_fixed_shape(spark):
+    mm, media = _media(spark)
+    out = {r["media_id"]: r for r in
+           mm.decode_image(media, size=(8, 8),
+                           codec=mm.fake_image_codec).collect()}
+    assert len(out) == 4
+    for r in out.values():
+        assert (r["width"], r["height"], r["n_channels"]) == (8, 8, 3)
+        assert len(r["pixels"]) == 8 * 8 * 3  # fixed batch shape
+    assert out[1]["pixels"] == mm.fake_image_codec(b"\x89PNG" + b"a" * 200,
+                                                   (8, 8))
+
+
+def test_resample_audio_chunk_explode(spark):
+    mm, media = _media(spark)
+    out = mm.resample_audio(media, rate=16000, chunk_s=1,
+                            codec=mm.fake_audio_codec)
+    rows = sorted((r["media_id"], r["chunk_idx"], r["n_samples"])
+                  for r in out.where("media_id = 2").collect())
+    # 102400 samples @44100 -> 37151 @16000 -> chunks 16000/16000/5151
+    assert rows == [(2, 0, 16000), (2, 1, 16000), (2, 2, 5151)]
+    # every media row yields at least one chunk row (even empty payloads)
+    assert out.select("media_id").distinct().count() == 4
+    # exact deterministic energy
+    again = mm.resample_audio(media, rate=16000, chunk_s=1,
+                              codec=mm.fake_audio_codec)
+    assert sorted(map(tuple, out.collect())) == sorted(map(tuple, again.collect()))
+
+
+def test_sample_frames_explode_and_timestamps(spark):
+    mm, media = _media(spark)
+    out = mm.sample_frames(media, every_n=30, fps=30,
+                           codec=mm.fake_video_codec)
+    rows = sorted((r["frame_idx"], r["ts_ms"]) for r in
+                  out.where("media_id = 3").collect())
+    assert rows == [(0, 0), (30, 1000), (60, 2000)]  # 90 frames, every 30th
+    assert out.where("media_id = 4").count() == 0    # no frames, no rows
+    frames = {r["frame_idx"]: r["frame"] for r in
+              out.where("media_id = 3").collect()}
+    assert len(set(frames.values())) == 3            # per-frame distinct bytes
+    assert all(len(f) == 16 for f in frames.values())
