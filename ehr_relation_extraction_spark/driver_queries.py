@@ -528,6 +528,20 @@ def q_pack_sequences(spark, sf_dir) -> DataFrame:
         "seq_tok_start", "seq_tok_end", "n_tokens")
 
 
+def q_media_features(spark, sf_dir) -> DataFrame:
+    """Binary-column featurization through the Arrow/mapInPandas path:
+    documents stand in as media (payload = utf-8 bytes), the stub
+    featurizer emits one u16 feature row per (media, index) — exactly
+    reproducible in SQL, so the multimodal plumbing is oracle-checked."""
+    from .operators.multimodal import media_u16_features
+
+    media = _docs(spark, sf_dir).select(
+        F.col("doc_id").alias("media_id"),
+        F.encode("text", "utf-8").alias("payload"))
+    return media_u16_features(media).select(
+        "media_id", "n_bytes", "feat_idx", "feat_u16")
+
+
 def q_source_stats(spark, sf_dir) -> DataFrame:
     """Per-source doc/token totals + exact p50/p90 token counts."""
     return ts.source_stats(_docs(spark, sf_dir)).select(
@@ -643,6 +657,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "mixture_sample": q_mixture_sample,
     "lm_quality": q_lm_quality,
     "source_stats": q_source_stats,
+    "media_features": q_media_features,
     "bigram_lm": q_bigram_lm,
     "corpus_curation": q_corpus_curation,
     "candidates_balanced": q_candidates_balanced,

@@ -76,6 +76,35 @@ def decode_features(media: DataFrame) -> DataFrame:
     return src.mapInPandas(gen, FEATURE_SCHEMA)
 
 
+U16_FEATURE_SCHEMA = StructType([
+    StructField("media_id", LongType()),
+    StructField("n_bytes", LongType()),
+    StructField("feat_idx", LongType()),
+    StructField("feat_u16", LongType()),
+])
+
+
+def media_u16_features(media: DataFrame) -> DataFrame:
+    """Integer twin of ``decode_features`` for the driver contract:
+    one row per (media, feature index) with the raw u16 feature value
+    (4 md5 hex chars), so the binary-column Arrow path has an EXACT
+    DuckDB oracle (no floats anywhere)."""
+    src = media.select("media_id", "payload")
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for mid, p in zip(pdf["media_id"], pdf["payload"]):
+                h = hashlib.md5(p or b"").hexdigest()
+                rows.extend(
+                    (mid, len(p or b""), i, int(h[i * 4:(i + 1) * 4], 16))
+                    for i in range(N_FEATURES))
+            yield pd.DataFrame(
+                rows, columns=["media_id", "n_bytes", "feat_idx", "feat_u16"])
+
+    return src.mapInPandas(gen, U16_FEATURE_SCHEMA)
+
+
 def _require(modname: str):
     try:
         return __import__(modname)

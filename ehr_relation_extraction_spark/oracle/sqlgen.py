@@ -1072,6 +1072,23 @@ SELECT b.w1, b.w2, b.c_bigram, u.c_w1,
        CAST((b.c_bigram * 1000000) // u.c_w1 AS BIGINT) AS p_micro6
 FROM lm_big b JOIN lm_uni u ON b.w1 = u.w1
 WHERE b.c_bigram >= 5""",
+    "media_features": """
+WITH mh AS (
+  SELECT doc_id AS media_id,
+         CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+         md5(text) AS h
+  FROM documents),
+mi AS (
+  SELECT media_id, n_bytes, h,
+         CAST(unnest(generate_series(0, 7)) AS BIGINT) AS feat_idx
+  FROM mh)
+SELECT media_id, n_bytes, feat_idx,
+       CAST(4096 * (instr('0123456789abcdef', substr(h, CAST(feat_idx * 4 + 1 AS INT), 1)) - 1)
+          +  256 * (instr('0123456789abcdef', substr(h, CAST(feat_idx * 4 + 2 AS INT), 1)) - 1)
+          +   16 * (instr('0123456789abcdef', substr(h, CAST(feat_idx * 4 + 3 AS INT), 1)) - 1)
+          +        (instr('0123456789abcdef', substr(h, CAST(feat_idx * 4 + 4 AS INT), 1)) - 1)
+         AS BIGINT) AS feat_u16
+FROM mi""",
     "source_stats": """
 WITH ss AS (
   SELECT source,
