@@ -11,9 +11,11 @@ sys.path.insert(0, str(REPO / "tests"))
 
 
 @pytest.fixture(scope="session")
-def spark():
+def spark(tmp_path_factory):
     from ehr_relation_extraction_spark.session import get_spark
 
-    s = get_spark(app_name="tests", master="local[4]", shuffle_partitions=4)
+    wh = str(tmp_path_factory.mktemp("spark-warehouse"))
+    s = get_spark(app_name="tests", master="local[4]", shuffle_partitions=4,
+                  extra_conf={"spark.sql.warehouse.dir": wh})
     yield s
     s.stop()

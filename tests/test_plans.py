@@ -130,6 +130,35 @@ def test_corpus_split_no_shuffle(spark):
     assert "Exchange" not in plan_of(train_dev_test_split(docs))
 
 
+def test_bucketed_join_has_no_exchange(spark, tmp_path):
+    """bucketBy(N, key) + sortBy persists the hash partitioning in the
+    table layout: a join of two same-bucketed tables is a SortMergeJoin
+    over co-located buckets — ZERO Exchange (the scale property that
+    lets url-keyed stages join repeatedly without re-shuffling)."""
+    from ehr_relation_extraction_spark.plans.bucketed import (
+        colocated_join, write_bucketed)
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    a = docs.selectExpr("doc_id", "source", "n_chars")
+    b = docs.selectExpr("doc_id", "lang")
+    write_bucketed(a, "bk_a", ["doc_id"], str(tmp_path), n_buckets=4)
+    write_bucketed(b, "bk_b", ["doc_id"], str(tmp_path), n_buckets=4)
+    thr = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        j = colocated_join(spark, "bk_a", "bk_b", ["doc_id"])
+        plan = plan_of(j)
+        assert "SortMergeJoin" in plan, plan
+        assert "Exchange" not in plan, plan
+        # and it computes the same rows as a plain join
+        plain = a.join(b, "doc_id")
+        assert sorted(map(tuple, j.collect())) == sorted(map(tuple, plain.collect()))
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", thr)
+        spark.sql("DROP TABLE IF EXISTS bk_a")
+        spark.sql("DROP TABLE IF EXISTS bk_b")
+
+
 def test_decontaminate_plan_is_two_joins_three_scans(spark):
     """The split is a hash of doc_id attached as a column — NOT a
     join — and totals+hits fuse into one aggregation, so the whole
