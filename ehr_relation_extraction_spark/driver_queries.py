@@ -603,6 +603,14 @@ def q_events_hourly(spark, sf_dir) -> DataFrame:
         "min_value", "max_value")
 
 
+def q_retention_cohorts(spark, sf_dir) -> DataFrame:
+    """Cohort retention over the events table: first-active-day
+    cohorts x day offset -> distinct active users."""
+    ev_df = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return evt.retention_cohorts(ev_df).select(
+        "cohort_day", "day_offset", "n_users")
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "extract_text": q_extract_text,
     "tokenize": q_tokenize,
@@ -646,6 +654,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "ann_buckets": q_ann_buckets,
     "ann_topk": q_ann_topk,
     "events_hourly": q_events_hourly,
+    "retention_cohorts": q_retention_cohorts,
     "triples_daily": q_triples_daily,
     "events_asof": q_events_asof,
     "cooccurrence_pmi": q_cooccurrence_pmi,

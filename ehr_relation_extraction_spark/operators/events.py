@@ -78,6 +78,25 @@ def asof_attribution(events: DataFrame,
                     (F.col("_us") - F.col("click_us")).alias("lag_us")))
 
 
+def retention_cohorts(events: DataFrame) -> DataFrame:
+    """Cohort retention: users grouped by first-active day, counted on
+    each later active day — (cohort_day, day_offset, n_users).  Two
+    keyed aggregations + one join on user_id (the natural partitioning
+    for per-user state at scale); days as exact integer epoch days
+    (ts is TIMESTAMP_NTZ, session tz UTC — unix_micros matches DuckDB
+    epoch_us)."""
+    day = F.expr(
+        "unix_micros(cast(ts as timestamp)) div 86400000000").cast("int")
+    d = events.select("user_id", day.alias("day"))
+    cohort = d.groupBy("user_id").agg(F.min("day").alias("cohort_day"))
+    active = d.dropDuplicates(["user_id", "day"])
+    return (active.join(cohort, "user_id")
+            .groupBy("cohort_day",
+                     (F.col("day") - F.col("cohort_day"))
+                     .cast("int").alias("day_offset"))
+            .agg(F.count_distinct("user_id").cast("long").alias("n_users")))
+
+
 def hourly_rollup(events: DataFrame) -> DataFrame:
     win = F.date_trunc("hour", F.col("ts"))
     return (events.groupBy(

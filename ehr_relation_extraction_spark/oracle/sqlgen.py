@@ -1322,6 +1322,17 @@ SELECT doc_id, rank, term, tf, df, tfidf_micro6 FROM (
   SELECT *, CAST(ROW_NUMBER() OVER (PARTITION BY doc_id
       ORDER BY tfidf_micro6 DESC, term) AS INT) AS rank
   FROM scored) WHERE rank <= 5"""),
+    "retention_cohorts": """
+WITH red AS (
+  SELECT user_id, CAST(epoch_us(ts) // 86400000000 AS INT) AS day
+  FROM events),
+rco AS (SELECT user_id, MIN(day) AS cohort_day FROM red GROUP BY 1),
+rac AS (SELECT DISTINCT user_id, day FROM red)
+SELECT CAST(c.cohort_day AS INT) AS cohort_day,
+       CAST(a.day - c.cohort_day AS INT) AS day_offset,
+       CAST(COUNT(DISTINCT a.user_id) AS BIGINT) AS n_users
+FROM rac a JOIN rco c USING (user_id)
+GROUP BY 1, 2""",
     "events_hourly": (
         "SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS window_start, "
         "event_type, CAST(COUNT(*) AS BIGINT) AS n, "
