@@ -57,16 +57,36 @@ class StageRunner:
                 .select("run_id", "stage", "partition_id", "n_rows", "wall_ms"))
         rows.write.mode("append").parquet(os.path.join(self.out_dir, "_lineage"))
 
-    def run(self, stage: str, build: Callable[[], DataFrame]) -> DataFrame:
+    def run(self, stage: str, build: Callable[[], DataFrame],
+            bucket_keys: list[str] | None = None,
+            n_buckets: int = 32) -> DataFrame:
+        """``bucket_keys``: write this stage as a BUCKETED table
+        (bucketBy + sortBy on those keys) so downstream equi-joins on
+        the stage key read co-located buckets with zero Exchange
+        (plans/bucketed.py; the parquet form of Iceberg bucket(N, k)).
+        Resume still keys off the _SUCCESS marker at the stage path."""
         if self.fmt == "iceberg":
             return self._run_iceberg(stage, build)
         path = os.path.join(self.out_dir, stage)
+        table = f"stage_{self.run_id}_{stage}"
         if _success(path):
             self.events.append({"stage": stage, "action": "skipped"})
+            if bucket_keys and self.spark.catalog.tableExists(table):
+                return self.spark.table(table)  # bucketing spec intact
+            # resumed in a fresh session: plain read (data identical;
+            # the bucket spec needs a persistent metastore/Iceberg to
+            # survive sessions — documented limitation)
             return self.spark.read.parquet(path)
         t0 = time.time()
-        build().write.mode("overwrite").parquet(path)
-        out = self.spark.read.parquet(path)
+        if bucket_keys:
+            self.spark.sql(f"DROP TABLE IF EXISTS {table}")
+            (build().write.bucketBy(n_buckets, *bucket_keys)
+             .sortBy(*bucket_keys).option("path", path)
+             .mode("overwrite").saveAsTable(table))
+            out = self.spark.table(table)
+        else:
+            build().write.mode("overwrite").parquet(path)
+            out = self.spark.read.parquet(path)
         wall_ms = int((time.time() - t0) * 1000)
         self._lineage(stage, out, wall_ms)
         self.events.append({"stage": stage, "action": "ran", "wall_ms": wall_ms})
@@ -114,8 +134,12 @@ def run_pipeline(spark: SparkSession, pages_raw: DataFrame, out_dir: str,
 
     r = StageRunner(spark, out_dir, run_id)
     pages = r.run("pages", lambda: extract_text(pages_raw))
-    shards = r.run("shards", lambda: ner.build_shards(pages))
-    mentions = r.run("mentions", lambda: ner.detect_mentions_df(pages))
+    # url-keyed stages land BUCKETED so the pairing join (and any later
+    # url-keyed join in the same session) reads co-located buckets
+    shards = r.run("shards", lambda: ner.build_shards(pages),
+                   bucket_keys=["url"])
+    mentions = r.run("mentions", lambda: ner.detect_mentions_df(pages),
+                     bucket_keys=["url"])
     candidates = r.run("candidates", lambda: pairs_op.candidate_pairs(
         pairs_op.shard_mentions(mentions, shards)))
     relations = r.run("relations", lambda: rel_op.keep_positive(
