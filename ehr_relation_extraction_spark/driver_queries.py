@@ -603,6 +603,13 @@ def q_events_hourly(spark, sf_dir) -> DataFrame:
         "min_value", "max_value")
 
 
+def q_session_funnel(spark, sf_dir) -> DataFrame:
+    """Two-step in-session funnel (click -> later purchase)."""
+    ev_df = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return evt.session_funnel(ev_df).select(
+        "n_sessions", "n_with_first", "n_converted", "conv_pct_x10000")
+
+
 def q_retention_cohorts(spark, sf_dir) -> DataFrame:
     """Cohort retention over the events table: first-active-day
     cohorts x day offset -> distinct active users."""
@@ -655,6 +662,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "ann_topk": q_ann_topk,
     "events_hourly": q_events_hourly,
     "retention_cohorts": q_retention_cohorts,
+    "session_funnel": q_session_funnel,
     "triples_daily": q_triples_daily,
     "events_asof": q_events_asof,
     "cooccurrence_pmi": q_cooccurrence_pmi,

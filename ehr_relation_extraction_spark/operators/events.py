@@ -78,6 +78,47 @@ def asof_attribution(events: DataFrame,
                     (F.col("_us") - F.col("click_us")).alias("lag_us")))
 
 
+def session_funnel(events: DataFrame, gap_minutes: int = 30,
+                   first_step: str = "click",
+                   second_step: str = "purchase") -> DataFrame:
+    """Two-step in-session funnel: of all sessions, how many contain a
+    ``first_step`` event, and how many of those convert (a
+    ``second_step`` event strictly LATER in the session).  Ordering is
+    by within-session event position (row_number over (ts, event_id))
+    so both engines compare identical small integers — no
+    timestamp-tiebreak encoding tricks.
+    Output: one row (n_sessions, n_with_first, n_converted,
+    conv_pct_x10000)."""
+    secs = F.expr("unix_micros(cast(ts as timestamp)) div 1000000")
+    ev = events.withColumn("_sec", secs)
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap = F.lag("_sec").over(w)
+    new_sess = (gap.isNull()
+                | (F.col("_sec") - gap > gap_minutes * 60)).cast("int")
+    ev = ev.withColumn("session_id", (F.sum(new_sess).over(
+        w.rowsBetween(Window.unboundedPreceding, 0)) - 1).cast("int"))
+    pos_w = Window.partitionBy("user_id", "session_id").orderBy(
+        "ts", "event_id")
+    ev = ev.withColumn("_pos", F.row_number().over(pos_w))
+    per = (ev.groupBy("user_id", "session_id")
+           .agg(F.min(F.when(F.col("event_type") == first_step,
+                             F.col("_pos"))).alias("first_pos"),
+                F.max(F.when(F.col("event_type") == second_step,
+                             F.col("_pos"))).alias("second_pos")))
+    conv = (F.col("first_pos").isNotNull()
+            & F.col("second_pos").isNotNull()
+            & (F.col("first_pos") < F.col("second_pos"))).cast("long")
+    agg = per.agg(
+        F.count(F.lit(1)).cast("long").alias("n_sessions"),
+        F.count("first_pos").cast("long").alias("n_with_first"),
+        F.sum(conv).cast("long").alias("n_converted"))
+    return agg.withColumn(
+        "conv_pct_x10000",
+        F.when(F.col("n_with_first") > 0,
+               F.expr("(n_converted * 10000) div n_with_first"))
+        .otherwise(F.lit(0)).cast("long"))
+
+
 def retention_cohorts(events: DataFrame) -> DataFrame:
     """Cohort retention: users grouped by first-active day, counted on
     each later active day — (cohort_day, day_offset, n_users).  Two

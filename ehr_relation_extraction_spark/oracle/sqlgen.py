@@ -1322,6 +1322,46 @@ SELECT doc_id, rank, term, tf, df, tfidf_micro6 FROM (
   SELECT *, CAST(ROW_NUMBER() OVER (PARTITION BY doc_id
       ORDER BY tfidf_micro6 DESC, term) AS INT) AS rank
   FROM scored) WHERE rank <= 5"""),
+    "session_funnel": """
+WITH f0 AS (
+  SELECT user_id, event_id, ts, event_type,
+         CASE WHEN lag_ts IS NULL
+              OR (epoch_us(ts) // 1000000) - (epoch_us(lag_ts) // 1000000) > 1800
+              THEN 1 ELSE 0 END AS new_sess
+  FROM (SELECT user_id, event_id, ts, event_type,
+               LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS lag_ts
+        FROM events)
+),
+f1 AS (
+  SELECT *, CAST(SUM(new_sess) OVER (
+      PARTITION BY user_id ORDER BY ts, event_id
+      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - 1 AS INT) AS session_id
+  FROM f0
+),
+f2 AS (
+  SELECT *, ROW_NUMBER() OVER (
+      PARTITION BY user_id, session_id ORDER BY ts, event_id) AS pos
+  FROM f1
+),
+f3 AS (
+  SELECT user_id, session_id,
+         MIN(CASE WHEN event_type = 'click' THEN pos END) AS first_pos,
+         MAX(CASE WHEN event_type = 'purchase' THEN pos END) AS second_pos
+  FROM f2 GROUP BY 1, 2
+),
+f4 AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n_sessions,
+         CAST(COUNT(first_pos) AS BIGINT) AS n_with_first,
+         CAST(COALESCE(SUM(CASE WHEN first_pos IS NOT NULL
+                              AND second_pos IS NOT NULL
+                              AND first_pos < second_pos
+                             THEN 1 ELSE 0 END), 0) AS BIGINT) AS n_converted
+  FROM f3)
+SELECT n_sessions, n_with_first, n_converted,
+       CAST(CASE WHEN n_with_first > 0
+                 THEN (n_converted * 10000) // n_with_first
+                 ELSE 0 END AS BIGINT) AS conv_pct_x10000
+FROM f4""",
     "retention_cohorts": """
 WITH red AS (
   SELECT user_id, CAST(epoch_us(ts) // 86400000000 AS INT) AS day

@@ -41,6 +41,45 @@ def test_token_conservation_and_doc_splits(spark):
     assert rows == [(0, 0, 11, 5, 16), (1, 11, 20, 0, 9)]
 
 
+def _pack_reference(n_toks: list[int], L: int) -> list[tuple]:
+    """Pure-Python packing reference: walk the concatenated stream."""
+    out, start = [], 0
+    for doc_id, n in enumerate(n_toks):
+        if n == 0:
+            continue
+        end = start + n
+        s = start
+        while s < end:
+            seq = s // L
+            e = min(end, (seq + 1) * L)
+            out.append((seq, doc_id, s - start, e - start,
+                        s - seq * L, e - seq * L, e - s))
+            s = e
+        start = end
+    return sorted(out)
+
+
+def test_packing_matches_reference_on_random_corpora(spark):
+    from hypothesis import given, settings, strategies as st
+
+    @settings(max_examples=12, deadline=None)
+    @given(st.lists(st.integers(0, 40), min_size=1, max_size=12),
+           st.integers(4, 24))
+    def check(n_toks, L):
+        rows = [(i, " ".join(f"w{j}" for j in range(n)), "en", "s", 0)
+                for i, n in enumerate(n_toks)]
+        docs = spark.createDataFrame(
+            rows, "doc_id long, text string, lang string, "
+                  "source string, n_chars long")
+        got = sorted((r["seq_id"], r["doc_id"], r["doc_tok_start"],
+                      r["doc_tok_end"], r["seq_tok_start"],
+                      r["seq_tok_end"], r["n_tokens"])
+                     for r in pack_sequences(docs, L).collect())
+        assert got == _pack_reference(n_toks, L)
+
+    check()
+
+
 def test_coordinates_are_consistent(spark):
     out = pack_sequences(_docs(spark), L)
     assert out.where(
