@@ -220,6 +220,104 @@ def incremental_recrawl_diff(spark, pages_dir: str, out_dir: str,
             .start())
 
 
+GATE_OUTPUT_DDL = ("doc_id long, url string, is_first int")
+GATE_STATE_DDL = "seen_sha array<string>"
+
+
+def _first_seen_group(key: tuple, pdfs: Iterator[pd.DataFrame],
+                      state: GroupState) -> Iterator[pd.DataFrame]:
+    """Cross-batch exact-dup gate keyed on text sha: the FIRST arrival
+    of a sha is canonical (is_first=1); every later arrival — same or
+    later micro-batch — is flagged a duplicate."""
+    seen = bool(state.get[0]) if state.exists else False
+    out = []
+    for pdf in pdfs:
+        for row in pdf.sort_values(["doc_id"]).itertuples(index=False):
+            out.append((row.doc_id, row.url, 0 if seen else 1))
+            seen = True
+    state.update((["y"] if seen else [],))
+    if out:
+        yield pd.DataFrame(out, columns=["doc_id", "url", "is_first"])
+
+
+def incremental_corpus_gate(spark, pages_dir: str, ref_docs: DataFrame,
+                            out_dir: str, checkpoint_dir: str,
+                            k: int = 8):
+    """Streaming corpus export gate: the batch curation verdict
+    (duplicate > too_short > low_diversity > not_english >
+    contaminated > ok), applied CONTINUOUSLY to a crawl stream.
+
+    - duplicate: cross-batch stateful first-seen-sha gate
+      (``applyInPandasWithState`` keyed on the text sha — per-key
+      state is one bit).
+    - quality rules: stateless column expressions (identical
+      constants to ``textstats.corpus_curation``).
+    - contaminated: STREAM-STATIC join — the eval reference
+      (``ref_docs``'s test split) is a static shingle table computed
+      once and joined against each micro-batch's shingles.
+
+    Sink: one verdict row per incoming page (doc_id, url, keep,
+    reason), append-only parquet.
+    """
+    from ..functions.textstats import quality_features, split_expr
+    from ..operators.dedup import shingles
+    from ..sources.pages import extract_text
+    from .stream import PAGES_DDL
+
+    _, split = split_expr()
+    ref_test_sh = (shingles(ref_docs, k).withColumn("_split", split)
+                   .where(F.col("_split") == "test")
+                   .select("shingle").dropDuplicates())
+
+    stream = (spark.readStream.schema(PAGES_DDL)
+              .option("maxFilesPerTrigger", 2)
+              .parquet(pages_dir))
+    pages = extract_text(stream).select(
+        "doc_id", "url", "text", F.sha2("text", 256).alias("_sha"))
+    firsts = (pages.groupBy("_sha")
+              .applyInPandasWithState(
+                  _first_seen_group, GATE_OUTPUT_DDL, GATE_STATE_DDL,
+                  outputMode="append",
+                  timeoutConf=GroupStateTimeout.NoTimeout))
+
+    def process(batch_df: DataFrame, batch_id: int) -> None:
+        # batch_df: (doc_id, url, is_first) for this micro-batch; the
+        # text re-derives from the page store (pure function of doc_id
+        # in this fixture world) — join back on doc_id against the
+        # micro-batch's pages via the static source dir
+        src = extract_text(spark.read.schema(PAGES_DDL).parquet(pages_dir))
+        b = batch_df.join(src.select("doc_id", "text"), "doc_id")
+        q = quality_features(b.select("doc_id", "text")).select(
+            "doc_id", "n_tokens", "n_distinct_tokens", "n_stopwords")
+        b = b.join(q, "doc_id")
+        contaminated = (shingles(b.select("doc_id", "text"), k)
+                        .join(ref_test_sh, "shingle", "left_semi")
+                        .select("doc_id").dropDuplicates()
+                        .withColumn("_cont", F.lit(1)))
+        b = b.join(contaminated, "doc_id", "left")
+        # identical constants + precedence to textstats.corpus_curation,
+        # with the streaming 'duplicate' (first-seen sha) and the
+        # decontamination step appended before 'ok'
+        reason = (F.when(F.col("is_first") == 0, F.lit("duplicate"))
+                  .when(F.col("n_tokens") < 20, F.lit("too_short"))
+                  .when(F.col("n_distinct_tokens") * 100
+                        < F.col("n_tokens") * 35, F.lit("low_diversity"))
+                  .when(F.lit(20) * F.col("n_stopwords")
+                        < F.col("n_tokens"), F.lit("not_english"))
+                  .when(F.col("_cont") == 1, F.lit("contaminated"))
+                  .otherwise(F.lit("ok")))
+        (b.select("doc_id", "url",
+                  (reason == "ok").cast("int").alias("keep"),
+                  reason.alias("reason"))
+         .write.mode("append").parquet(out_dir))
+
+    return (firsts.writeStream
+            .foreachBatch(process)
+            .option("checkpointLocation", checkpoint_dir)
+            .trigger(availableNow=True)
+            .start())
+
+
 def incremental_unique_triples(spark, pages_dir: str, out_dir: str,
                                checkpoint_dir: str):
     """pages stream -> fused extraction -> stateful cross-batch dedup.

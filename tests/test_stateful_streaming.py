@@ -154,3 +154,55 @@ def test_recrawl_diff_emits_retractions_and_additions(spark, tmp_path):
                   empty, spark.read.parquet(out)).collect()}
     want = {(u, s, p, o) for u, ts in t2.items() for (s, p, o) in ts}
     assert merged == want
+
+
+def test_incremental_corpus_gate(spark, tmp_path):
+    """Streaming corpus export gate: first-seen sha dedup across
+    micro-batches + batch-identical quality rules + stream-static
+    decontamination join; idempotent under checkpoint restart."""
+    from pyspark.sql import functions as F
+
+    from ehr_relation_extraction_spark.sources.pages import (HTML_PREFIX,
+                                                              HTML_SUFFIX)
+    from ehr_relation_extraction_spark.streaming.stateful import (
+        incremental_corpus_gate)
+
+    def page(doc_id, text):
+        html = (HTML_PREFIX + text + HTML_SUFFIX).encode()
+        return (doc_id, f"https://h.example.com/{doc_id}",
+                None, html, "en")
+
+    good = ("the quick brown fox jumps over a lazy dog and then "
+            "the small grey cat walks under a tall green tree today")
+    contaminated = ("we observe that the model of the corpus and the "
+                    "gate of a pipeline are in the table of a report "
+                    "with the value of a key in the line of a row")
+    pages1 = [page(100, good), page(101, "tiny doc"),
+              page(102, contaminated)]
+    pages2 = [page(200, good)]  # exact dup of 100, later batch
+    schema = ("doc_id long, url string, warc_ts timestamp, "
+              "html binary, lang string")
+    src = str(tmp_path / "gate_src")
+    spark.createDataFrame(pages1, schema).write.mode("append").parquet(src)
+    spark.createDataFrame(pages2, schema).write.mode("append").parquet(src)
+
+    # contamination reference: doc_id=3 hashes into the TEST split and
+    # carries the contaminated text, so its 8-grams are the eval set
+    ref = spark.createDataFrame(
+        [(3, contaminated, "en", "src0", 0)],
+        "doc_id long, text string, lang string, source string, n_chars long")
+
+    out, ck = str(tmp_path / "gate_out"), str(tmp_path / "gate_ck")
+    incremental_corpus_gate(spark, src, ref, out, ck).awaitTermination(300)
+
+    got = {r["doc_id"]: (r["keep"], r["reason"])
+           for r in spark.read.parquet(out).collect()}
+    assert got[100] == (1, "ok")
+    assert got[101] == (0, "too_short")
+    assert got[102] == (0, "contaminated")
+    assert got[200] == (0, "duplicate")   # cross-batch first-seen gate
+
+    # restart on the same checkpoint: no re-emission
+    n = spark.read.parquet(out).count()
+    incremental_corpus_gate(spark, src, ref, out, ck).awaitTermination(300)
+    assert spark.read.parquet(out).count() == n
