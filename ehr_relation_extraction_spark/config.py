@@ -131,6 +131,19 @@ SIMHASH_BITS = 16
 TOPK_NEIGHBORS = 5
 ANN_SIGN_BITS = 8  # sign-of-first-k-dims bucketing for ANN
 
+
+def srp_planes(bits: int = ANN_SIGN_BITS, dim: int = 64) -> list[list[int]]:
+    """Deterministic signed-random-projection hyperplanes: integer
+    weights in [-8, 8] derived from md5(plane:dim) — the proper
+    data-independent SRP family (generalizes the axis-aligned
+    sign-bucket 'planes').  Driver-side and tiny (bits x dim ints),
+    shipped as literals into both engines."""
+    import hashlib
+
+    return [[int(hashlib.md5(f"{i}:{d}".encode()).hexdigest()[:4], 16)
+             % 17 - 8 for d in range(dim)]
+            for i in range(bits)]
+
 #: Stopword list for quality scoring / language-id heuristics.
 STOPWORDS = ("the", "a", "of", "and", "to", "in")
 

@@ -371,6 +371,13 @@ def q_ann_buckets(spark, sf_dir) -> DataFrame:
         "vec_id", "bucket", "bucket_size")
 
 
+def q_srp_buckets(spark, sf_dir) -> DataFrame:
+    """Signed-random-projection LSH buckets (md5-derived hyperplanes,
+    same contract as sign_buckets)."""
+    return sim.srp_buckets(_emb(spark, sf_dir)).select(
+        "vec_id", "bucket", "bucket_size")
+
+
 def q_ann_topk(spark, sf_dir) -> DataFrame:
     return sim.ann_topk(_emb(spark, sf_dir)).select(
         "query_id", "rank", "neighbor_id", "sim_micro6")
@@ -659,6 +666,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "top_terms_tfidf": q_top_terms_tfidf,
     "similarity_topk": q_similarity_topk,
     "ann_buckets": q_ann_buckets,
+    "srp_buckets": q_srp_buckets,
     "ann_topk": q_ann_topk,
     "events_hourly": q_events_hourly,
     "retention_cohorts": q_retention_cohorts,

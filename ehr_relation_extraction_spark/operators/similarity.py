@@ -19,7 +19,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, Window, functions as F
 
-from ..config import ANN_SIGN_BITS, TOPK_NEIGHBORS
+from ..config import ANN_SIGN_BITS, TOPK_NEIGHBORS, srp_planes
 
 
 def _dot(a, b):
@@ -120,6 +120,29 @@ def sign_buckets(emb: DataFrame, bits: int = ANN_SIGN_BITS) -> DataFrame:
     b = e.withColumn("bucket", bucket.cast("int"))
     w = Window.partitionBy("bucket")
     return (b.withColumn("bucket_size", F.count(F.lit(1)).over(w).cast("long"))
+            .select("vec_id", "bucket", "bucket_size"))
+
+
+def srp_buckets(emb: DataFrame, bits: int = ANN_SIGN_BITS,
+                dim: int = 64) -> DataFrame:
+    """SRP-LSH bucketing: bucket bit i = sign of dot(v, plane_i).
+    Same output contract as ``sign_buckets`` — (vec_id, bucket,
+    bucket_size) — so the ann_topk join pattern composes unchanged;
+    SRP spreads mass far better than leading-dim signs when early
+    dimensions are correlated."""
+    e = emb.select("vec_id",
+                   F.transform("embedding",
+                               lambda x: x.cast("double")).alias("_v"))
+    bucket = None
+    for i, plane in enumerate(srp_planes(bits, dim)):
+        p = F.array(*[F.lit(float(w)) for w in plane])
+        bit = (F.when(_dot(F.col("_v"), p) >= 0, F.lit(1))
+               .otherwise(F.lit(0)) * F.lit(1 << i))
+        bucket = bit if bucket is None else bucket + bit
+    b = e.withColumn("bucket", bucket.cast("int"))
+    w = Window.partitionBy("bucket")
+    return (b.withColumn("bucket_size",
+                         F.count(F.lit(1)).over(w).cast("long"))
             .select("vec_id", "bucket", "bucket_size"))
 
 

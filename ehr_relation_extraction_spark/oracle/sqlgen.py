@@ -25,7 +25,7 @@ from __future__ import annotations
 from ..config import (ACCEPT_FUZZY_JACCARD_PCT, GAZETTEER, MAX_LEN_TOKENS,
                       MAX_PAIR_GAP_CHARS, MIN_FUZZY_JACCARD_PCT,
                       MIXTURE_DEFAULT_PCT, MIXTURE_RATES,
-                      perturbed_gazetteer)
+                      perturbed_gazetteer, srp_planes)
 
 SEP_CLASS = "[\\n \\t]"
 
@@ -956,6 +956,13 @@ SELECT query_id, rank, neighbor_id, sim_micro6 FROM (
                 "FROM (SELECT vec_id, CAST(" + " + ".join(
                     f"(CASE WHEN v[{i + 1}] >= 0 THEN {1 << i} ELSE 0 END)"
                     for i in range(ANN_SIGN_BITS)) + " AS INT) AS bucket FROM base)")),
+    "srp_buckets": _assemble(
+        SIM_CTES.lstrip(",").strip(),
+        select=("SELECT vec_id, bucket, CAST(COUNT(*) OVER (PARTITION BY bucket) AS BIGINT) AS bucket_size "
+                "FROM (SELECT vec_id, CAST(" + " + ".join(
+                    f"(CASE WHEN list_dot_product(v, {plane}::DOUBLE[]) >= 0 THEN {1 << i} ELSE 0 END)"
+                    for i, plane in enumerate(srp_planes()))
+                + " AS INT) AS bucket FROM base)")),
     "ann_topk": _assemble(
         SIM_CTES.lstrip(",").strip(),
         select="""
