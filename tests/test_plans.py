@@ -159,6 +159,42 @@ def test_bucketed_join_has_no_exchange(spark, tmp_path):
         spark.sql("DROP TABLE IF EXISTS bk_b")
 
 
+def test_day_partitioned_scan_prunes(spark, tmp_path):
+    """A day_idx = N filter over a day-partitioned table must appear
+    as a PartitionFilter (pruned at planning time), and compaction
+    must bound the file count without changing a single row."""
+    import glob
+
+    from ehr_relation_extraction_spark.oracle.fixtures import pages_df
+    from ehr_relation_extraction_spark.plans.partitioned import (
+        compact_partitions, read_day, with_day_idx, write_day_partitioned)
+    from ehr_relation_extraction_spark.sources.pages import extract_text
+
+    pages = with_day_idx(extract_text(pages_df(spark, n_pages=40)))
+    days = sorted(r["day_idx"] for r in
+                  pages.select("day_idx").distinct().collect())
+    path = str(tmp_path / "pages_daily")
+    write_day_partitioned(pages.repartition(4), path)
+
+    one = read_day(spark, path, days[0])
+    plan = formatted(one)
+    assert "PartitionFilters" in plan and "day_idx" in plan.split(
+        "PartitionFilters")[1].split("]")[0], plan
+    want = {r["url"] for r in pages.where(
+        pages["day_idx"] == days[0]).collect()}
+    assert {r["url"] for r in one.collect()} == want
+
+    before = {tuple(r) for r in spark.read.parquet(path).collect()}
+    compact_partitions(spark, path, target_files_per_day=1)
+    after_files = glob.glob(f"{path}/day_idx=*/*.parquet")
+    per_day = {}
+    for f in after_files:
+        d = f.split("day_idx=")[1].split("/")[0]
+        per_day[d] = per_day.get(d, 0) + 1
+    assert per_day and all(n == 1 for n in per_day.values()), per_day
+    assert {tuple(r) for r in spark.read.parquet(path).collect()} == before
+
+
 def test_decontaminate_plan_is_two_joins_three_scans(spark):
     """The split is a hash of doc_id attached as a column — NOT a
     join — and totals+hits fuse into one aggregation, so the whole
