@@ -191,7 +191,12 @@ def _eval_frames(spark, sf_dir):
 
 
 _PRF_COLS = ["tp", "n_gold", "n_pred", "fp", "fn",
-             "p_micro6", "r_micro6", "f1_micro6"]
+             "p_micro6", "r_micro6", "f1_micro6",
+             # E5 completion (Track2-evaluate-ver4.py:244-257): tn is 0
+             # by construction for tags/relations (:299,:338), so
+             # specificity degenerates to 0 and auc to recall/2 —
+             # replicated, not "fixed".
+             "tn", "specificity_micro6", "auc_micro6"]
 
 
 def q_eval_mentions(spark, sf_dir) -> DataFrame:
@@ -256,6 +261,18 @@ def _labeled_candidates(spark, sf_dir):
 def q_candidates_labeled(spark, sf_dir) -> DataFrame:
     return _labeled_candidates(spark, sf_dir).select(
         "doc_id", "url", "rel_id", "rel_type", "gap", "label")
+
+
+def q_eval_re_accuracy(spark, sf_dir) -> DataFrame:
+    """E8 (biobert_re/metrics.py:14-29): binary classification metrics
+    for the RE stage over teacher-labeled candidate pairs — accuracy,
+    binary F1, acc_and_f1, plus non-degenerate specificity/AUC (tn is
+    real here, unlike the span evals)."""
+    return ev.re_classification_metrics(
+        _labeled_candidates(spark, sf_dir)).select(
+        "n", "tp", "tn", "n_pred", "n_gold", "fp", "fn",
+        "p_micro6", "r_micro6", "f1_micro6", "specificity_micro6",
+        "auc_micro6", "acc_micro6", "acc_and_f1_micro6")
 
 
 def q_candidates_sampled(spark, sf_dir) -> DataFrame:
@@ -654,6 +671,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "host_stats": q_host_stats,
     "candidates_labeled": q_candidates_labeled,
     "candidates_sampled": q_candidates_sampled,
+    "eval_re_accuracy": q_eval_re_accuracy,
     "dedup_exact": q_dedup_exact,
     "minhash_signatures": q_minhash_signatures,
     "lsh_bands": q_lsh_bands,

@@ -63,25 +63,42 @@ def prf_by_type(gold: DataFrame, pred: DataFrame,
 
 
 def _with_prf(counts: DataFrame) -> DataFrame:
+    """E5 score block (Measures, Track2-evaluate-ver4.py:201-257):
+    P/R/F1 plus specificity = tn/(fp+tn) and auc = (recall+spec)/2.
+    The reference hard-codes tn = 0 for tags and relations
+    (Track2-evaluate-ver4.py:299,338), so specificity degenerates to 0
+    and auc to recall/2 — replicated faithfully here; a caller with a
+    real tn column (the binary RE track, :375-394) gets the full
+    formulas."""
+    if "tn" not in counts.columns:
+        counts = counts.withColumn("tn", F.lit(0).cast("long"))
     fp = F.col("n_pred") - F.col("tp")
     fn = F.col("n_gold") - F.col("tp")
     p = F.when(F.col("n_pred") > 0, F.col("tp") / F.col("n_pred")).otherwise(F.lit(0.0))
     r = F.when(F.col("n_gold") > 0, F.col("tp") / F.col("n_gold")).otherwise(F.lit(0.0))
     f1 = F.when((p + r) > 0, 2 * p * r / (p + r)).otherwise(F.lit(0.0))
+    spec = F.when((fp + F.col("tn")) > 0,
+                  F.col("tn") / (fp + F.col("tn"))).otherwise(F.lit(0.0))
+    auc = (r + spec) / 2
     return (counts
             .withColumn("fp", fp.cast("long"))
             .withColumn("fn", fn.cast("long"))
             .withColumn("p_micro6", F.floor(p * 1000000).cast("long"))
             .withColumn("r_micro6", F.floor(r * 1000000).cast("long"))
-            .withColumn("f1_micro6", F.floor(f1 * 1000000).cast("long")))
+            .withColumn("f1_micro6", F.floor(f1 * 1000000).cast("long"))
+            .withColumn("specificity_micro6",
+                        F.floor(spec * 1000000).cast("long"))
+            .withColumn("auc_micro6", F.floor(auc * 1000000).cast("long")))
 
 
 def micro_totals(per_type: DataFrame) -> DataFrame:
     """E6 micro roll-up: summed counts -> one row."""
-    tot = per_type.agg(F.sum("tp").cast("long").alias("tp"),
-                       F.sum("n_gold").cast("long").alias("n_gold"),
-                       F.sum("n_pred").cast("long").alias("n_pred"))
-    return _with_prf(tot)
+    aggs = [F.sum("tp").cast("long").alias("tp"),
+            F.sum("n_gold").cast("long").alias("n_gold"),
+            F.sum("n_pred").cast("long").alias("n_pred")]
+    if "tn" in per_type.columns:
+        aggs.append(F.sum("tn").cast("long").alias("tn"))
+    return _with_prf(per_type.agg(*aggs))
 
 
 def prf_by_doc(gold: DataFrame, pred: DataFrame,
@@ -189,6 +206,45 @@ def prf_triples_by_pred(gold_triples: DataFrame,
               .join(tp, "pred", "left")
               .fillna(0, ["tp", "n_gold", "n_pred"]))
     return _with_prf(counts)
+
+
+def re_classification_metrics(labeled: DataFrame,
+                              pred: "F.Column | None" = None) -> DataFrame:
+    """E8 (biobert_re/metrics.py:14-29 acc_and_f1): binary
+    sequence-classification metrics over labeled candidate pairs —
+    simple_accuracy, binary F1 on the positive class, and
+    acc_and_f1 = (acc + f1) / 2.  Unlike the span evals, tn here is
+    REAL (pairs both sides call negative), so the E5 specificity and
+    AUC formulas (Track2-evaluate-ver4.py:244-257) are non-degenerate.
+
+    ``labeled`` needs a gold ``label`` column (0/1); ``pred`` defaults
+    to the rule classifier's decision (gap <= MAX_PAIR_GAP_CHARS,
+    operators/relations.classify_rule)."""
+    from ..config import MAX_PAIR_GAP_CHARS
+
+    if pred is None:
+        pred = (F.col("gap") <= MAX_PAIR_GAP_CHARS).cast("int")
+    y, yh = F.col("label"), pred
+    counts = labeled.agg(
+        F.sum(((y == 1) & (yh == 1)).cast("long")).cast("long").alias("tp"),
+        F.sum(((y == 0) & (yh == 0)).cast("long")).cast("long").alias("tn"),
+        F.sum(((y == 0) & (yh == 1)).cast("long")).cast("long").alias("_fp"),
+        F.sum(((y == 1) & (yh == 0)).cast("long")).cast("long").alias("_fn"),
+        F.count(F.lit(1)).cast("long").alias("n"))
+    counts = counts.select(
+        "n", "tp", "tn",
+        (F.col("tp") + F.col("_fp")).cast("long").alias("n_pred"),
+        (F.col("tp") + F.col("_fn")).cast("long").alias("n_gold"))
+    out = _with_prf(counts)
+    acc = (F.col("tp") + F.col("tn")) / F.col("n")
+    # f1 recomputed as a double (f1_micro6 is already floored)
+    p = F.when(F.col("n_pred") > 0, F.col("tp") / F.col("n_pred")).otherwise(F.lit(0.0))
+    r = F.when(F.col("n_gold") > 0, F.col("tp") / F.col("n_gold")).otherwise(F.lit(0.0))
+    f1 = F.when((p + r) > 0, 2 * p * r / (p + r)).otherwise(F.lit(0.0))
+    return (out
+            .withColumn("acc_micro6", F.floor(acc * 1000000).cast("long"))
+            .withColumn("acc_and_f1_micro6",
+                        F.floor((acc + f1) / 2 * 1000000).cast("long")))
 
 
 def prf_triples(gold_triples: DataFrame, pred_triples: DataFrame) -> DataFrame:

@@ -488,7 +488,11 @@ SELECT {dims} tp, n_gold, n_pred,
                           * (CASE WHEN n_gold > 0 THEN tp / n_gold ELSE 0 END)
                           / ((CASE WHEN n_pred > 0 THEN tp / n_pred ELSE 0 END)
                            + (CASE WHEN n_gold > 0 THEN tp / n_gold ELSE 0 END))
-                   ELSE 0 END) * 1000000) AS BIGINT) AS f1_micro6
+                   ELSE 0 END) * 1000000) AS BIGINT) AS f1_micro6,
+       CAST(0 AS BIGINT) AS tn,
+       CAST(0 AS BIGINT) AS specificity_micro6,
+       CAST(floor(((CASE WHEN n_gold > 0 THEN tp / n_gold ELSE 0 END) + 0.0)
+                  / 2 * 1000000) AS BIGINT) AS auc_micro6
 FROM {src}"""
 
 
@@ -849,6 +853,61 @@ ON c.url = g.url AND c.rel_type = g.rel_type
  AND least(c.hub_end, c.attr_end) = g.lo_end
  AND greatest(c.hub_start, c.attr_start) = g.hi_start
  AND greatest(c.hub_end, c.attr_end) = g.hi_end"""),
+    "eval_re_accuracy": _assemble(
+        BASE, SYS,
+        select=f"""
+, labeled AS (
+  SELECT c.gap,
+         CAST(CASE WHEN g.url IS NOT NULL THEN 1 ELSE 0 END AS INT) AS label,
+         CAST(CASE WHEN c.gap <= {MAX_PAIR_GAP_CHARS} THEN 1 ELSE 0 END AS INT) AS pred
+  FROM candidates c LEFT JOIN (
+    SELECT DISTINCT url, rel_type,
+           least(hub_start, attr_start) AS lo_start,
+           least(hub_end, attr_end) AS lo_end,
+           greatest(hub_start, attr_start) AS hi_start,
+           greatest(hub_end, attr_end) AS hi_end
+    FROM relations_sys) g
+  ON c.url = g.url AND c.rel_type = g.rel_type
+   AND least(c.hub_start, c.attr_start) = g.lo_start
+   AND least(c.hub_end, c.attr_end) = g.lo_end
+   AND greatest(c.hub_start, c.attr_start) = g.hi_start
+   AND greatest(c.hub_end, c.attr_end) = g.hi_end),
+conf AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(CASE WHEN label = 1 AND pred = 1 THEN 1 ELSE 0 END) AS BIGINT) AS tp,
+         CAST(SUM(CASE WHEN label = 0 AND pred = 0 THEN 1 ELSE 0 END) AS BIGINT) AS tn,
+         CAST(SUM(CASE WHEN pred = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_pred,
+         CAST(SUM(CASE WHEN label = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_gold
+  FROM labeled)
+SELECT n, tp, tn, n_pred, n_gold,
+       CAST(n_pred - tp AS BIGINT) AS fp,
+       CAST(n_gold - tp AS BIGINT) AS fn,
+       CAST(floor((CASE WHEN n_pred > 0 THEN tp / n_pred ELSE 0 END) * 1000000) AS BIGINT) AS p_micro6,
+       CAST(floor((CASE WHEN n_gold > 0 THEN tp / n_gold ELSE 0 END) * 1000000) AS BIGINT) AS r_micro6,
+       CAST(floor((CASE WHEN (CASE WHEN n_pred > 0 THEN tp / n_pred ELSE 0 END)
+                           + (CASE WHEN n_gold > 0 THEN tp / n_gold ELSE 0 END) > 0
+                   THEN 2 * (CASE WHEN n_pred > 0 THEN tp / n_pred ELSE 0 END)
+                          * (CASE WHEN n_gold > 0 THEN tp / n_gold ELSE 0 END)
+                          / ((CASE WHEN n_pred > 0 THEN tp / n_pred ELSE 0 END)
+                           + (CASE WHEN n_gold > 0 THEN tp / n_gold ELSE 0 END))
+                   ELSE 0 END) * 1000000) AS BIGINT) AS f1_micro6,
+       CAST(floor((CASE WHEN (n_pred - tp + tn) > 0
+                   THEN tn / (n_pred - tp + tn) ELSE 0 END) * 1000000) AS BIGINT)
+         AS specificity_micro6,
+       CAST(floor(((CASE WHEN n_gold > 0 THEN tp / n_gold ELSE 0 END)
+                 + (CASE WHEN (n_pred - tp + tn) > 0
+                    THEN tn / (n_pred - tp + tn) ELSE 0 END))
+                  / 2 * 1000000) AS BIGINT) AS auc_micro6,
+       CAST(floor((tp + tn) / n * 1000000) AS BIGINT) AS acc_micro6,
+       CAST(floor(((tp + tn) / n
+                 + (CASE WHEN (CASE WHEN n_pred > 0 THEN tp / n_pred ELSE 0 END)
+                           + (CASE WHEN n_gold > 0 THEN tp / n_gold ELSE 0 END) > 0
+                    THEN 2 * (CASE WHEN n_pred > 0 THEN tp / n_pred ELSE 0 END)
+                           * (CASE WHEN n_gold > 0 THEN tp / n_gold ELSE 0 END)
+                           / ((CASE WHEN n_pred > 0 THEN tp / n_pred ELSE 0 END)
+                            + (CASE WHEN n_gold > 0 THEN tp / n_gold ELSE 0 END))
+                    ELSE 0 END)) / 2 * 1000000) AS BIGINT) AS acc_and_f1_micro6
+FROM conf"""),
     "candidates_sampled": _assemble(
         BASE, SYS,
         select="""
