@@ -493,14 +493,15 @@ def q_graph_bfs(spark, sf_dir) -> DataFrame:
 
 
 def q_pagerank(spark, sf_dir) -> DataFrame:
-    """Iterative fixpoint -> no SQL oracle (rows-only driver check, the
-    sanctioned category for iterative algorithms)."""
-    from .operators.graph_algos import pagerank
+    """Integer fixed-point PageRank (graph_algos.pagerank_fixed): the
+    fixed-round recurrence is pure BIGINT arithmetic, so the DuckDB
+    oracle (rounds unrolled as chained CTEs) matches bit-exactly —
+    this moved from a rows-only check to a full value check."""
+    from .operators.graph_algos import pagerank_fixed
 
     edges = q_graph_edges(spark, sf_dir).selectExpr(
-        "subj_node AS src", "obj_node AS dst",
-        "CAST(weight AS DOUBLE) AS weight")
-    return pagerank(edges, n_iter=5).select("node", "rank_micro6")
+        "subj_node AS src", "obj_node AS dst", "weight")
+    return pagerank_fixed(edges, n_iter=5).select("node", "rank_micro6")
 
 
 def q_events_asof(spark, sf_dir) -> DataFrame:

@@ -4,10 +4,11 @@ PageRank as iterative DataFrame joins (the GraphFrames-free form):
 deterministic fixed-iteration power method with localCheckpoint per
 round (same lineage-cutting discipline as connected components).
 
-This is the designated "genuinely non-SQL-expressible" operator class
-(iterative fixpoint) — exposed to the driver as a rows-only-checked
-query, in contrast to connected components which carries a full
-recursive-CTE oracle.
+Two PageRank forms: the float power method (:func:`pagerank`, textbook
+semantics, rows-only checkable — float sums are summation-order
+dependent) and the integer fixed-point form (:func:`pagerank_fixed`)
+whose fixed-round recurrence a DuckDB oracle unrolls into chained CTEs
+and matches bit-exactly — the driver checks that one value-for-value.
 """
 
 from __future__ import annotations
@@ -51,6 +52,70 @@ def bfs_distances(edges: DataFrame, source: str,
         dist = dist.union(nxt).localCheckpoint()
         frontier = nxt
     return dist
+
+
+def pagerank_fixed(edges: DataFrame, damping_pct: int = 85,
+                   n_iter: int = 5, scale: int = 10**12) -> DataFrame:
+    """Integer fixed-point PageRank — the ORACLE-EXACT variant.
+
+    Same power-method recurrence as :func:`pagerank`, but every
+    quantity is a non-negative BIGINT in units of 1/scale and every
+    division is an integer floor-division:
+
+        r0        = scale // n
+        contrib_u = sum over in-edges of (rank_u * w) // out_w
+        dang_u    = sum of rank_u over dangling nodes
+        rank_u'   = base_u + (damping_pct * (contrib_u + dang_u // n)) // 100
+        base_u    = (((100 - damping_pct) * scale) // 100) // n
+
+    Integer addition is associative, so the result is independent of
+    partitioning/summation order — a DuckDB oracle that unrolls the
+    fixed n_iter rounds as chained CTEs reproduces it bit-exactly
+    (floats would drift by summation order).  Max magnitude is
+    scale * max_weight ≈ 1e12 * 1e6, far inside int64.
+
+    Values differ from the float variant by O(n_terms / scale)
+    truncation — ~1e-9 per rank at the default scale.
+    """
+    spark = edges.sparkSession
+    e = edges.select("src", "dst",
+                     (F.col("weight") if "weight" in edges.columns
+                      else F.lit(1)).cast("long").alias("w"))
+    nodes = (e.select(F.col("src").alias("node"))
+             .union(e.select(F.col("dst").alias("node")))
+             .dropDuplicates()).localCheckpoint()
+    n = nodes.count()
+    if n == 0:
+        return spark.createDataFrame([], "node string, rank_u long, rank_micro6 long")
+
+    out_w = e.groupBy("src").agg(
+        F.sum("w").cast("long").alias("out_w")).localCheckpoint()
+    base_u = (((100 - damping_pct) * scale) // 100) // n
+    ranks = nodes.withColumn("rank_u", F.lit(scale // n).cast("long"))
+    for _ in range(n_iter):
+        contribs = (e.join(out_w, "src")
+                    .join(ranks.withColumnRenamed("node", "src"), "src")
+                    .select("dst",
+                            F.expr("(rank_u * w) DIV out_w").alias("c"))
+                    .groupBy("dst")
+                    .agg(F.sum("c").cast("long").alias("in_u")))
+        dang = (ranks.join(out_w.withColumnRenamed("src", "node"),
+                           "node", "left_anti")
+                .agg(F.coalesce(F.sum("rank_u"), F.lit(0))
+                     .cast("long").alias("dang")))
+        ranks = (nodes.join(contribs.withColumnRenamed("dst", "node"),
+                            "node", "left")
+                 .crossJoin(dang)  # 1-row frame: stays fully lazy/distributed
+                 .select("node",
+                         (F.lit(base_u).cast("long")
+                          + F.expr(f"({damping_pct} * (coalesce(in_u, "
+                                   f"CAST(0 AS BIGINT)) + (dang DIV {n})))"
+                                   f" DIV 100"))
+                         .cast("long").alias("rank_u"))
+                 ).localCheckpoint()
+    return ranks.select(
+        "node", "rank_u",
+        F.expr("rank_u DIV 1000000").cast("long").alias("rank_micro6"))
 
 
 def pagerank(edges: DataFrame, damping: float = 0.85,

@@ -597,6 +597,63 @@ def _q(select: str, *extra: str) -> str:
     return _assemble(BASE, *extra, select=select)
 
 
+def _pagerank_sql(n_iter: int = 5, damping_pct: int = 85,
+                  scale: int = 10**12) -> str:
+    """Exact oracle for graph_algos.pagerank_fixed: the fixed-round
+    integer recurrence unrolled as chained CTEs (pr0 -> pr{n_iter}).
+    Every quantity is BIGINT and every division floors, so this matches
+    the Spark side bit-exactly regardless of summation order."""
+    base_u = f"(SELECT ((({100 - damping_pct} * {scale}) // 100)) // n FROM gcnt)"
+    rounds = []
+    prev = "pr0"
+    for i in range(1, n_iter + 1):
+        rounds.append(f"""
+d{i} AS MATERIALIZED (
+  SELECT CAST(COALESCE(SUM(r.rank_u), 0) AS BIGINT) AS dang
+  FROM {prev} r WHERE r.node NOT IN (SELECT src FROM gout)),
+pr{i} AS MATERIALIZED (
+  SELECT n2.node,
+         CAST({base_u}
+              + (({damping_pct} * (COALESCE(c.in_u, 0)
+                   + (SELECT (SELECT dang FROM d{i}) // n FROM gcnt))) // 100)
+           AS BIGINT) AS rank_u
+  FROM gn n2 LEFT JOIN (
+    SELECT e.obj_node AS node,
+           CAST(SUM((r.rank_u * e.weight) // o.out_w) AS BIGINT) AS in_u
+    FROM ge e JOIN gout o ON e.subj_node = o.src
+    JOIN {prev} r ON r.node = e.subj_node
+    GROUP BY 1) c ON n2.node = c.node)""")
+        prev = f"pr{i}"
+    return f"""
+, ge AS MATERIALIZED (
+  -- one edge ROW per (subj, pred, obj) exactly like graph_edges: the
+  -- Spark side floors (rank_u * w) // out_w per edge row, so pred-split
+  -- parallel edges must NOT be collapsed here
+  SELECT s.component AS subj_node, t.pred,
+         COALESCE(oc.component, COALESCE(og.canonical_id, 'surface:' || lower(t.obj))) AS obj_node,
+         CAST(COUNT(*) AS BIGINT) AS weight
+  FROM triples t
+  JOIN linked l ON t.url = l.url AND t.subj_id = l.ent_id
+  JOIN components s ON l.canonical_id = s.node
+  LEFT JOIN gaz og ON lower(t.obj) = og.alias
+  LEFT JOIN components oc
+         ON COALESCE(og.canonical_id, 'surface:' || lower(t.obj)) = oc.node
+  GROUP BY 1, 2, 3),
+gn AS MATERIALIZED (
+  -- explicit DISTINCT: UNION inside a WITH RECURSIVE + MATERIALIZED
+  -- block behaved as UNION ALL here (observed DuckDB 1.x)
+  SELECT DISTINCT node FROM (
+    SELECT subj_node AS node FROM ge UNION ALL SELECT obj_node FROM ge)),
+gcnt AS MATERIALIZED (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM gn),
+gout AS MATERIALIZED (
+  SELECT subj_node AS src, CAST(SUM(weight) AS BIGINT) AS out_w
+  FROM ge GROUP BY 1),
+pr0 AS MATERIALIZED (
+  SELECT node, CAST((SELECT {scale} // n FROM gcnt) AS BIGINT) AS rank_u
+  FROM gn),{",".join(rounds)}
+SELECT node, CAST(rank_u // 1000000 AS BIGINT) AS rank_micro6 FROM {prev}"""
+
+
 ORACLE: dict[str, str] = {
     "extract_text": _q(
         "SELECT doc_id, url, sha256(text) AS text_sha, CAST(length(text) AS INT) AS n_chars FROM pages"),
@@ -836,6 +893,7 @@ bfs(node, d) AS (
   WHERE b.d < (SELECT COUNT(*) FROM gnodes))
 SELECT node, CAST(MIN(d) AS INT) AS dist FROM bfs GROUP BY node""",
         LINK_CTES),
+    "pagerank": _q(_pagerank_sql(), LINK_CTES),
     "candidates_labeled": _assemble(
         BASE, SYS,
         select="""

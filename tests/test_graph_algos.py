@@ -94,3 +94,49 @@ def test_bfs_distances_isolated_source(spark):
     e_df = spark.createDataFrame([("a", "b")], "src string, dst string")
     got = {r["node"]: r["dist"] for r in bfs_distances(e_df, "z").collect()}
     assert got == {"z": 0}
+
+
+def test_pagerank_fixed_tracks_float_variant(spark):
+    """The oracle-exact integer fixed-point form must agree with the
+    float power method to fixed-point truncation error (~1e-9/rank at
+    scale=1e12) and conserve mass up to the same truncation."""
+    from ehr_relation_extraction_spark.operators.graph_algos import (
+        pagerank, pagerank_fixed)
+
+    edges = [("a", "b", 1.0), ("b", "c", 1.0), ("c", "a", 1.0),
+             ("a", "c", 2.0), ("d", "a", 1.0), ("e", "a", 1.0),
+             ("c", "sink", 0.5)]
+    # fixed-point needs integer weights; scale by 2 (ratios unchanged
+    # except vs the 0.5 edge, so compare against float on the SAME ints)
+    int_edges = [(s, d, int(w * 2)) for s, d, w in edges]
+    df_f = spark.createDataFrame(
+        int_edges, "src string, dst string, weight long")
+    got_fx = {r["node"]: r["rank_u"] / 1e12
+              for r in pagerank_fixed(df_f, n_iter=4).collect()}
+    got_fl = {r["node"]: r["rank"]
+              for r in pagerank(
+                  df_f.withColumn("weight", df_f.weight.cast("double")),
+                  n_iter=4).collect()}
+    assert set(got_fx) == set(got_fl)
+    for v in got_fl:
+        assert abs(got_fx[v] - got_fl[v]) < 1e-8, (v, got_fx[v], got_fl[v])
+    assert abs(sum(got_fx.values()) - 1.0) < 1e-6
+
+
+def test_pagerank_fixed_partition_invariant(spark):
+    """Integer arithmetic => identical rank_u under different
+    parallelism (the property the float variant cannot give)."""
+    from ehr_relation_extraction_spark.operators.graph_algos import (
+        pagerank_fixed)
+
+    import random
+    rng = random.Random(7)
+    nodes = [f"n{i}" for i in range(20)]
+    edges = [(rng.choice(nodes), rng.choice(nodes), rng.randint(1, 5))
+             for _ in range(40)]
+    df = spark.createDataFrame(edges, "src string, dst string, weight long")
+    a = {(r["node"], r["rank_u"])
+         for r in pagerank_fixed(df.repartition(1), n_iter=4).collect()}
+    b = {(r["node"], r["rank_u"])
+         for r in pagerank_fixed(df.repartition(13), n_iter=4).collect()}
+    assert a == b
