@@ -291,21 +291,31 @@ def q_mentions_model(spark, sf_dir) -> DataFrame:
         "doc_id", "url", "ent_id", "ent_type", "start", "end", "ent_text")
 
 
+_PERCEPTRON_CACHE: dict[tuple[int, str], object] = {}
+
+
 def q_mentions_perceptron(spark, sf_dir) -> DataFrame:
     """Learned model stage (averaged structured perceptron + CRF
-    viterbi, functions/perceptron.py): trained driver-side on a bounded
-    sample against the rule teacher, batched Arrow inference on
-    executors.  Learned weights -> no SQL oracle (rows-only driver
-    check, the sanctioned category); span-level quality vs the teacher
-    is pytest-gated at F1 >= 0.95 on held-out docs."""
-    from .functions.perceptron import train_on_teacher
+    viterbi, functions/perceptron.py): trained DISTRIBUTED on a bounded
+    teacher sample (iterative parameter mixing over applyInPandas
+    shards — the driver only ever collects sparse weight entries, never
+    corpus text), batched Arrow inference on executors.  The model is
+    cached per (session, sf_dir) so repeated driver queries reuse it.
+    Learned weights -> no SQL oracle (rows-only driver check, the
+    sanctioned category); span-level quality vs the teacher is
+    pytest-gated at F1 >= 0.95 on held-out docs."""
+    from .config import GAZETTEER
+    from .functions.perceptron import train_distributed
     from .operators.model_ner import model_mentions_df
 
     pages = _frames(spark, sf_dir).pages
-    sample = [(r["text"],) for r in
-              pages.select("text").orderBy("doc_id").limit(200).collect()]
-    model = train_on_teacher(sample, epochs=5)
-    return model_mentions_df(pages, model.label_fn()).select(
+    key = (id(spark), sf_dir)
+    if key not in _PERCEPTRON_CACHE:
+        _PERCEPTRON_CACHE[key] = train_distributed(
+            pages.where(F.col("doc_id") < 200), epochs=5, rounds=3,
+            channels=tuple(sorted({g[1] for g in GAZETTEER})))
+    model = _PERCEPTRON_CACHE[key]
+    return model_mentions_df(pages, chunk_fn=model.chunk_fn()).select(
         "doc_id", "url", "ent_id", "ent_type", "start", "end", "ent_text")
 
 

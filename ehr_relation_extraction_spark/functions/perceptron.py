@@ -35,7 +35,7 @@ import numpy as np
 from ..config import IOB2_LABELS
 from .crf import iob2_transition_matrix, viterbi_decode
 
-D_BUCKETS = 1 << 15
+D_BUCKETS = 1 << 17
 
 
 def _bucket(s: str) -> int:
@@ -51,15 +51,23 @@ def _shape(tok: str) -> str:
 
 
 def token_features(tokens: list[str], i: int) -> list[int]:
-    """Hashed feature indices for position i (surface, affixes, shape,
-    +/-1 context words and a context bigram)."""
+    """Hashed feature indices for position i: surface, char-ngram
+    affixes (3/4), shape, +/-1 context words and a context bigram
+    (affix set and bucket width grid-searched on held-out span F1:
+    2/len-bucket features and 2^15 buckets both cost ~1 F1 point via
+    hash collisions; 3+4-grams at 2^17 measured best).  The char-ngram affixes are what let the student
+    generalize to unseen surfaces sharing morphology with gazetteer
+    aliases (the BiLSTM-CRF's char-CNN plays this role in the
+    reference, bilstm_crf_ner/model/ner_model.py)."""
     tok = tokens[i].lower()
     prev = tokens[i - 1].lower() if i > 0 else "<s>"
     nxt = tokens[i + 1].lower() if i + 1 < len(tokens) else "</s>"
     feats = [
         "w=" + tok,
         "p3=" + tok[:3],
+        "p4=" + tok[:4],
         "s3=" + tok[-3:],
+        "s4=" + tok[-4:],
         "sh=" + _shape(tokens[i]),
         "pw=" + prev,
         "nw=" + nxt,
@@ -110,15 +118,20 @@ class PerceptronTagger:
         self._u_tr[a, b] += self._q * v
 
     def train(self, docs: list[list[str]], gold: list[list[str]],
-              epochs: int = 5) -> "PerceptronTagger":
+              epochs: int = 5,
+              feats_list: list[list[list[int]]] | None = None
+              ) -> "PerceptronTagger":
         """docs: token lists; gold: aligned IOB2 label lists.
-        Deterministic: documents visited in the given order each epoch."""
+        Deterministic: documents visited in the given order each epoch.
+        ``feats_list`` lets callers hash features once and share them
+        across epochs/channels (the md5 hashing dominates otherwise)."""
+        if feats_list is None:
+            feats_list = [[token_features(tokens, i)
+                           for i in range(len(tokens))] for tokens in docs]
         for _ in range(epochs):
-            for tokens, labels in zip(docs, gold):
+            for tokens, labels, feats in zip(docs, gold, feats_list):
                 if not tokens:
                     continue
-                feats = [token_features(tokens, i)
-                         for i in range(len(tokens))]
                 y_gold = [self._lab_idx[lab] for lab in labels]
                 y_pred = self._decode(feats, self.w_em, self.w_tr)
                 self._q += 1
@@ -158,6 +171,89 @@ class PerceptronTagger:
         def fn(text: str, toks: list[tuple[str, int, int]]) -> list[str]:
             return self.predict([t for t, _, _ in toks])
         return fn
+
+
+class MultiChannelTagger:
+    """One binary IOB2 perceptron per entity TYPE, decoded
+    independently and unioned.
+
+    Why: a single IOB2 sequence cannot encode overlapping cross-type
+    mentions (one label per token), and that encoding limit — not
+    learning error — was the measured ceiling of the cascaded pipeline
+    (triple F1 ~0.87 with span F1 0.997).  Per-type channels make
+    cross-type overlaps representable; same-type overlaps remain
+    IOB2-impossible in any labeling scheme.  Each channel's Viterbi is
+    over 3 labels instead of 2*T+1, so T channels cost about the same
+    decode work as one joint tagger (T*9 vs (2T+1)^2 transitions)."""
+
+    def __init__(self, ent_types: tuple[str, ...]):
+        self.ent_types = tuple(sorted(ent_types))
+        self.taggers = {t: PerceptronTagger(("O", "B-" + t, "I-" + t))
+                        for t in self.ent_types}
+
+    def chunks(self, tokens: list[str]) -> list[tuple[str, int, int]]:
+        from ..operators.model_ner import decode_chunks
+
+        if not tokens:
+            return []
+        feats = [token_features(tokens, i) for i in range(len(tokens))]
+        out: list[tuple[str, int, int]] = []
+        for t in self.ent_types:
+            tg = self.taggers[t]
+            em = tg.avg_em if tg.avg_em is not None else tg.w_em
+            tr = tg.avg_tr if tg.avg_tr is not None else tg.w_tr
+            labs = [tg.labels[i] for i in tg._decode(feats, em, tr)]
+            out.extend(decode_chunks(labs))
+        return sorted(out)
+
+    def chunk_fn(self):
+        """A ``model_ner.model_mentions_df`` chunk_fn: token-range
+        chunks straight from the per-channel decodes (bypasses the
+        single-sequence label contract that can't carry overlaps)."""
+        def fn(text: str, toks: list[tuple[str, int, int]]
+               ) -> list[tuple[str, int, int]]:
+            return self.chunks([t for t, _, _ in toks])
+        return fn
+
+
+def teacher_channel_labels(text: str, toks, ent_type: str) -> list[str]:
+    """Per-type teacher: IOB2 labels from ONLY that type's gazetteer
+    spans — the distillation target of one channel."""
+    from ..functions.ner_kernel import detect_mentions
+    from ..operators.model_ner import iob2_labels_for_doc
+
+    spans = [(t, s, e) for (t, s, e, _) in detect_mentions(text, toks)
+             if t == ent_type]
+    return iob2_labels_for_doc(text, toks, spans)
+
+
+def train_multi_on_teacher(pages_rows: list[tuple[str]], epochs: int = 5,
+                           ent_types: tuple[str, ...] | None = None
+                           ) -> MultiChannelTagger:
+    """Serial multi-channel distillation (the driver-side counterpart
+    of ``train_distributed(channels=...)``): features hashed once per
+    doc, shared by every channel and epoch."""
+    from ..config import GAZETTEER
+    from .text import tokenize_with_offsets
+
+    if ent_types is None:
+        ent_types = tuple(sorted({g[1] for g in GAZETTEER}))
+    mt = MultiChannelTagger(ent_types)
+    docs, texts_toks = [], []
+    for (text,) in pages_rows:
+        toks = tokenize_with_offsets(text)
+        if not toks:
+            continue
+        docs.append([t for t, _, _ in toks])
+        texts_toks.append((text, toks))
+    feats_list = [[token_features(tokens, i) for i in range(len(tokens))]
+                  for tokens in docs]
+    for t in mt.ent_types:
+        gold = [teacher_channel_labels(text, toks, t)
+                for text, toks in texts_toks]
+        mt.taggers[t].train(docs, gold, epochs=epochs,
+                            feats_list=feats_list)
+    return mt
 
 
 class PairClassifier:
@@ -229,6 +325,130 @@ def train_pair_classifier(candidates_rows: list[dict], epochs: int = 5
     labels = [1 if r["gap"] <= MAX_PAIR_GAP_CHARS else 0
               for r in candidates_rows]
     return PairClassifier().train(rows, labels, epochs=epochs)
+
+
+def train_distributed(pages_df, epochs: int = 5, n_parts: int = 8,
+                      rounds: int = 2,
+                      labels: tuple[str, ...] = IOB2_LABELS,
+                      channels: tuple[str, ...] | None = None
+                      ) -> "PerceptronTagger | MultiChannelTagger":
+    """Distributed perceptron training by iterative parameter mixing
+    (McDonald, Hall & Mann, NAACL 2010): shard the teacher sample
+    deterministically by ``pmod(doc_id, n_parts)``, train an averaged
+    perceptron per shard FROM the current mixed weights inside ONE
+    ``applyInPandas`` pass, then doc-count-weight-average the shard
+    weights on the driver; repeat for ``rounds``.
+
+    The driver never collects corpus text — only the (sparse, bounded)
+    nonzero weight entries each shard emits, a few MB total.  Training
+    is deterministic end-to-end: shard membership is a doc_id hash,
+    docs are sorted by doc_id inside each shard, and the driver-side
+    mix accumulates rows in sorted (part, ch, kind, i, j) order, so
+    repeated runs bit-reproduce the weights (same guarantee the serial
+    trainer gives, now partition-count-invariant too).
+
+    ``channels``: entity-type tuple -> trains a ``MultiChannelTagger``
+    (one binary IOB2 perceptron per type, overlapping cross-type
+    mentions representable); all channels of a shard train in the SAME
+    applyInPandas task, sharing one feature-hash pass per doc.
+
+    ``pages_df`` needs (doc_id, text) columns; pass a bounded sample
+    (e.g. ``.where("doc_id < 200")``) — distillation trains on a
+    sample even at 100 TB, but now the sample never funnels through
+    the driver.
+    """
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    spark = pages_df.sparkSession
+    ch_names: tuple[str, ...]
+    if channels is not None:
+        ch_names = tuple(sorted(channels))
+        ch_labels = {c: ("O", "B-" + c, "I-" + c) for c in ch_names}
+    else:
+        ch_names = ("",)
+        ch_labels = {"": labels}
+    sample = pages_df.select("doc_id", "text").withColumn(
+        "part", F.pmod(F.col("doc_id"), F.lit(n_parts)).cast("int"))
+    schema = ("part int, ch string, kind string, i long, j long, "
+              "v double, n_docs long")
+
+    seeds = {c: (np.zeros((D_BUCKETS, len(ch_labels[c]))),
+                 np.zeros((len(ch_labels[c]),) * 2)) for c in ch_names}
+    for _ in range(rounds):
+        bc = spark.sparkContext.broadcast(seeds)
+
+        def _train_part(pdf: "pd.DataFrame") -> "pd.DataFrame":
+            from .text import tokenize_with_offsets
+            from ..operators.model_ner import teacher_labels
+
+            pdf = pdf.sort_values("doc_id")
+            part = int(pdf["part"].iloc[0])
+            docs, texts_toks = [], []
+            for text in pdf["text"]:
+                toks = tokenize_with_offsets(text)
+                if not toks:
+                    continue
+                docs.append([t for t, _, _ in toks])
+                texts_toks.append((text, toks))
+            feats_list = [[token_features(tokens, i)
+                           for i in range(len(tokens))] for tokens in docs]
+            rows = [(part, "", "n", 0, 0, 0.0, len(docs))]
+            for c in ch_names:
+                tagger = PerceptronTagger(ch_labels[c])
+                em0, tr0 = bc.value[c]
+                tagger.w_em = em0.copy()
+                tagger.w_tr = tr0.copy()
+                if c:
+                    gold = [teacher_channel_labels(text, toks, c)
+                            for text, toks in texts_toks]
+                else:
+                    gold = [teacher_labels(text, toks)
+                            for text, toks in texts_toks]
+                tagger.train(docs, gold, epochs=epochs,
+                             feats_list=feats_list)
+                ii, jj = np.nonzero(tagger.avg_em)
+                rows += [(part, c, "em", int(a), int(b),
+                          float(tagger.avg_em[a, b]), len(docs))
+                         for a, b in zip(ii, jj)]
+                ii, jj = np.nonzero(tagger.avg_tr)
+                rows += [(part, c, "tr", int(a), int(b),
+                          float(tagger.avg_tr[a, b]), len(docs))
+                         for a, b in zip(ii, jj)]
+            return pd.DataFrame(
+                rows,
+                columns=["part", "ch", "kind", "i", "j", "v", "n_docs"])
+
+        rows = (sample.groupBy("part")
+                .applyInPandas(_train_part, schema).collect())
+        counts = {r["part"]: r["n_docs"] for r in rows if r["kind"] == "n"}
+        total = sum(counts.values())
+        mixed = {c: (np.zeros_like(seeds[c][0]), np.zeros_like(seeds[c][1]))
+                 for c in ch_names}
+        for r in sorted((r for r in rows if r["kind"] != "n"),
+                        key=lambda r: (r["part"], r["ch"], r["kind"],
+                                       r["i"], r["j"])):
+            em, tr = mixed[r["ch"]]
+            tgt = em if r["kind"] == "em" else tr
+            tgt[r["i"], r["j"]] += r["v"] * counts[r["part"]]
+        if total > 0:
+            for c in ch_names:
+                mixed[c][0][:] /= total
+                mixed[c][1][:] /= total
+        seeds = mixed
+        bc.unpersist()
+
+    if channels is not None:
+        mt = MultiChannelTagger(ch_names)
+        for c in ch_names:
+            tg = mt.taggers[c]
+            tg.w_em, tg.w_tr = seeds[c]
+            tg.avg_em, tg.avg_tr = seeds[c]
+        return mt
+    out = PerceptronTagger(labels)
+    out.w_em, out.w_tr = seeds[""]
+    out.avg_em, out.avg_tr = seeds[""]
+    return out
 
 
 def train_on_teacher(pages_rows: list[tuple[str]], epochs: int = 5

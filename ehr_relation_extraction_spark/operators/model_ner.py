@@ -198,15 +198,28 @@ def iob2_labels_df(pages: DataFrame) -> DataFrame:
 LabelFn = Callable[[str, list[tuple[str, int, int]]], list[str]]
 
 
+ChunkFn = Callable[[str, list[tuple[str, int, int]]],
+                   list[tuple[str, int, int]]]
+
+
 def model_mentions_df(pages: DataFrame,
-                      label_fn: LabelFn = teacher_labels) -> DataFrame:
+                      label_fn: LabelFn = teacher_labels,
+                      chunk_fn: "ChunkFn | None" = None) -> DataFrame:
     """pages -> mentions via the tokens->labels->chunks->spans path.
 
     Batched through Arrow; a torch model's forward pass replaces
     ``label_fn`` (loaded once per worker, applied per batch) without
     touching this plumbing.
+
+    ``chunk_fn`` (text, toks) -> token-range chunks bypasses the
+    single-label-sequence contract for models that can emit
+    overlapping cross-type chunks (e.g. the per-type multi-channel
+    perceptron) — one IOB2 sequence cannot encode those.
     """
     src = pages.select("doc_id", "url", "text")
+    if chunk_fn is None:
+        def chunk_fn(text, toks):  # noqa: F811 — default composition
+            return decode_chunks(label_fn(text, toks))
 
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -215,9 +228,8 @@ def model_mentions_df(pages: DataFrame,
                 toks = tokenize_with_offsets(text)
                 if not toks:
                     continue
-                labels = label_fn(text, toks)
                 for (t, s, e) in chunks_to_char_spans(
-                        toks, decode_chunks(labels)):
+                        toks, chunk_fn(text, toks)):
                     rows.append((doc_id, url, t, s, e, text[s:e]))
             yield pd.DataFrame(rows, columns=[f.name for f in MENTION_SCHEMA.fields])
 

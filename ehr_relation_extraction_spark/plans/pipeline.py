@@ -43,10 +43,11 @@ def build(pages_raw: DataFrame,
                        persist_intermediates)
 
 
-def build_cascade(pages_raw: DataFrame, label_fn,
+def build_cascade(pages_raw: DataFrame, label_fn=None,
                   max_len: int = MAX_LEN_TOKENS,
                   max_gap: int = MAX_PAIR_GAP_CHARS,
-                  persist_intermediates: bool = True) -> PipelineFrames:
+                  persist_intermediates: bool = True,
+                  chunk_fn=None) -> PipelineFrames:
     """The reference's cascaded pipeline (predicted entities feed RE,
     biobert_re/README.md:66): a MODEL mention detector (any
     ``model_ner`` label_fn, e.g. the trained perceptron) replaces the
@@ -54,20 +55,25 @@ def build_cascade(pages_raw: DataFrame, label_fn,
     shared.
 
     Measured end-to-end triple F1 vs the gold pipeline on held-out
-    docs: 0.872 (pytest-gated >= 0.85) — ABOVE the reference's own
-    published cascaded end-to-end micro-F1 of 0.8596
-    (biobert_re/README.md:66).  The ceiling is structural, not
-    learning error: single-layer IOB2 cannot encode the fixture's
-    overlapping cross-type mentions (the CC merge cases), exactly the
-    error class the reference's cascade suffers.  The north rule's
+    docs: 0.869 with a single-sequence label_fn (pytest-gated >= 0.85)
+    — ABOVE the reference's own published cascaded end-to-end micro-F1
+    of 0.8596 (biobert_re/README.md:66).  That ceiling is structural,
+    not learning error: single-layer IOB2 cannot encode the fixture's
+    overlapping cross-type mentions, exactly the error class the
+    reference's cascade suffers.  Passing ``chunk_fn`` (the per-type
+    multi-channel perceptron) lifts the ceiling: 0.928 serial / 0.909
+    distributed-trained (pytest-gated >= 0.88).  The north rule's
     P/R >= 0.95 engine-parity gate is met by the rule pipeline
     (exact, P=R=1.0, test_reference_parity.py); this cascade is the
     model-stage regime on top of it."""
     from ..operators.model_ner import model_mentions_df
 
+    from ..operators.model_ner import teacher_labels
+
     pages = extract_text(pages_raw)
     shards = ner.build_shards(pages, max_len=max_len)
-    mentions = model_mentions_df(pages, label_fn)
+    mentions = model_mentions_df(pages, label_fn or teacher_labels,
+                                 chunk_fn=chunk_fn)
     return _downstream(pages, shards, mentions, max_gap,
                        persist_intermediates)
 
