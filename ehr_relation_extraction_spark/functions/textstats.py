@@ -381,7 +381,8 @@ def mixture_sample(docs: DataFrame, rates: dict | None = None,
         (bucket < F.floor(rate * 256 / 100)).cast("int").alias("kept"))
 
 
-def pack_sequences(docs: DataFrame, seq_len: int = 128) -> DataFrame:
+def pack_sequences(docs: DataFrame, seq_len: int = 128,
+                   shard_docs: int = 65536) -> DataFrame:
     """GPT-style sequence packing: concatenate each source's documents
     (ordered by doc_id) into one token stream and cut it into
     fixed-length training sequences, docs spanning cuts split across
@@ -390,10 +391,19 @@ def pack_sequences(docs: DataFrame, seq_len: int = 128) -> DataFrame:
     floor(start/L)..floor((end-1)/L) — so packing is a window cumsum +
     an explode, never a sequential loop.
 
-    Scale shape: the cumsum window partitions by ``source`` (the
-    natural pack unit — a 100 TB corpus packs per source/shard, a
-    single global order would serialize); everything else is
-    per-row arithmetic in codegen.
+    Scale shape: TWO-LEVEL cumsum.  A single per-source window would
+    sort-serialize the realistic case where one source dominates (a
+    web crawl is one "source"), so the stream is cut into contiguous
+    doc_id blocks of ``shard_docs`` (shard = doc_id // shard_docs —
+    monotone in doc_id, so (shard, doc_id) order IS doc_id order and
+    the output is bit-identical to the single-window form):
+
+      level 1: cumsum within (source, shard) — parallel across shards;
+      level 2: per-source running offset over the per-shard totals
+               (#shards rows, tiny) joined back on (source, shard),
+               the same keys level 1 shuffled on — no extra exchange.
+
+    Everything else is per-row arithmetic in codegen.
 
     Output: one row per (doc, sequence) overlap with both coordinate
     systems — (source, seq_id, doc_id, doc_tok_start, doc_tok_end,
@@ -401,11 +411,26 @@ def pack_sequences(docs: DataFrame, seq_len: int = 128) -> DataFrame:
     from pyspark.sql import Window
 
     n = F.size(_toks())
-    w = (Window.partitionBy("source").orderBy("doc_id")
-         .rowsBetween(Window.unboundedPreceding, -1))
-    d = (docs.select("source", "doc_id", n.alias("n_doc"))
-         .withColumn("start", F.coalesce(F.sum("n_doc").over(w),
-                                         F.lit(0)).cast("long"))
+    base = (docs.select("source", "doc_id", n.alias("n_doc"))
+            .withColumn("shard",
+                        F.floor(F.col("doc_id") / shard_docs).cast("long")))
+    w_local = (Window.partitionBy("source", "shard").orderBy("doc_id")
+               .rowsBetween(Window.unboundedPreceding, -1))
+    w_shard = (Window.partitionBy("source").orderBy("shard")
+               .rowsBetween(Window.unboundedPreceding, -1))
+    shard_off = (base.groupBy("source", "shard")
+                 .agg(F.sum("n_doc").cast("long").alias("shard_n"))
+                 .withColumn("shard_off",
+                             F.coalesce(F.sum("shard_n").over(w_shard),
+                                        F.lit(0)).cast("long"))
+                 .select("source", "shard", "shard_off"))
+    d = (base
+         .withColumn("local_start",
+                     F.coalesce(F.sum("n_doc").over(w_local),
+                                F.lit(0)).cast("long"))
+         .join(shard_off, ["source", "shard"])
+         .withColumn("start",
+                     (F.col("shard_off") + F.col("local_start")).cast("long"))
          .withColumn("end", (F.col("start") + F.col("n_doc")).cast("long"))
          .where(F.col("n_doc") > 0))
     seqs = F.sequence((F.col("start") / seq_len).cast("long"),

@@ -87,3 +87,28 @@ def test_coordinates_are_consistent(spark):
         " OR seq_tok_end - seq_tok_start <> n_tokens"
         " OR seq_tok_start < 0 OR seq_tok_end > 16"
         " OR n_tokens <= 0").count() == 0
+
+
+def test_two_level_cumsum_is_shard_invariant_and_parallel(spark):
+    """The two-level cumsum must (a) produce bit-identical output for
+    any shard size — shards are contiguous doc_id blocks, so (shard,
+    doc_id) order IS doc_id order — and (b) spread a SINGLE-source
+    corpus across >1 level-1 window partition (the scale fix: one
+    dominant source must not serialize the pack)."""
+    rows = [(i, " ".join(f"w{j}" for j in range(1 + i % 7)), "en", "crawl", 0)
+            for i in range(200)]
+    docs = spark.createDataFrame(
+        rows,
+        "doc_id long, text string, lang string, source string, n_chars long")
+    key = ["source", "seq_id", "doc_id", "doc_tok_start", "doc_tok_end",
+           "seq_tok_start", "seq_tok_end", "n_tokens"]
+    big = {tuple(r[k] for k in key)
+           for r in pack_sequences(docs, L, shard_docs=10**9).collect()}
+    sharded = {tuple(r[k] for k in key)
+               for r in pack_sequences(docs, L, shard_docs=16).collect()}
+    assert big == sharded
+    # level-1 parallelism: distinct (source, shard) groups > 1
+    from pyspark.sql import functions as F2
+    n_shards = (docs.select(
+        F2.floor(F2.col("doc_id") / 16).alias("s")).distinct().count())
+    assert n_shards > 1
