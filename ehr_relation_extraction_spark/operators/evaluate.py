@@ -144,6 +144,20 @@ def prf_relations(gold_rel: DataFrame, pred_rel: DataFrame,
     E3 two-sided pare-down (:322-333) so each gold and each system
     relation is counted at most once.  Per-rel_type counts + P/R/F1.
 
+    DOCUMENTED DEVIATION (pare-down tie-break): the reference keeps
+    the FIRST matching system relation in its dict-iteration order
+    (insertion order of the .ann file) and discards later ones that
+    match an already-matched gold; this implementation ranks by
+    (span-start, span-end) per gold, then dedups per system relation.
+    Both count each gold/system relation at most once, but in
+    multi-overlap LENIENT cases the chosen pairing — and so the TP
+    count — can differ from reference-published scores by the
+    tie-break.  Span order is kept deliberately: it is deterministic
+    under any row order (a distributed engine has no file order),
+    whereas insertion order is an artifact of the reference's
+    single-file parse.  Spark and the DuckDB oracle implement the
+    same rule and agree exactly.
+
     This is the span-level complement of ``prf_triples`` (which matches
     on the emitted triple text identity): a system relation whose arg
     spans drift but overlap still scores under lenient."""

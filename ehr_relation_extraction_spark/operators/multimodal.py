@@ -10,9 +10,10 @@ because the image/audio libraries are not in this container:
 - ``decode_image`` / ``resample_audio`` / ``sample_frames`` run the
   full mapInPandas plumbing (fixed-shape thumbnails, per-chunk audio
   explode, per-frame video explode) with an injectable ``codec``:
-  ``codec=None`` requires the real lib (import-try gate ->
-  ``NotImplementedError`` here); the ``fake_*_codec`` stand-ins are
-  pure functions of the payload so the plumbing is exactly testable.
+  ``codec=None`` uses the REAL library when it imports (PIL /
+  soundfile / av) and raises ``NotImplementedError`` otherwise; the
+  ``fake_*_codec`` stand-ins are pure functions of the payload so the
+  plumbing is exactly testable without the libs.
 
 At scale, payloads stay in the executor (never collected); feature
 vectors are ~100x smaller than payloads, so the expensive binary
@@ -136,10 +137,13 @@ def fake_audio_codec(payload: bytes) -> tuple[int, bytes]:
     return 44100, payload or b""
 
 
-def fake_video_codec(payload: bytes) -> int:
-    """Stand-in demux: frame count derived from payload length (one
-    'frame' per 100 bytes)."""
-    return len(payload or b"") // 100
+def fake_video_codec(payload: bytes) -> list[bytes]:
+    """Stand-in demux+decode: one 16-byte md5 'frame' per 100 payload
+    bytes (same contract as the real codec: payload -> frame bytes
+    list)."""
+    p = payload or b""
+    return [hashlib.md5(p + i.to_bytes(4, "big")).digest()
+            for i in range(len(p) // 100)]
 
 
 IMAGE_SCHEMA = StructType([
@@ -156,10 +160,19 @@ def decode_image(media: DataFrame, size: tuple[int, int] = (224, 224),
     """Decode + resize images to fixed w x h x 3 thumbnails, one
     ``mapInPandas`` hop (payloads never leave the executor; the output
     row is exactly w*h*3 bytes regardless of input size, so downstream
-    stages see a fixed batch shape).  ``codec=None`` requires PIL;
+    stages see a fixed batch shape).  ``codec=None`` decodes with PIL
+    when installed (and raises NotImplementedError when not);
     ``fake_image_codec`` drives the same plumbing deterministically."""
     if codec is None:
         _require("PIL")  # pragma: no cover - lib absent here
+
+        def codec(payload: bytes, sz: tuple[int, int]) -> bytes:
+            import io
+
+            from PIL import Image
+
+            img = Image.open(io.BytesIO(payload or b"")).convert("RGB")
+            return img.resize(sz).tobytes()
     fn = codec
     src = media.select("media_id", "payload")
 
@@ -190,10 +203,24 @@ def resample_audio(media: DataFrame, rate: int = 16000,
     windows — one output ROW PER CHUNK (the explode that lets a 3-hour
     recording parallelize downstream instead of riding in one row).
     Integer energy per chunk so the plumbing has an exact expectation.
-    ``codec=None`` requires soundfile; ``fake_audio_codec`` is the
-    deterministic stand-in."""
+    ``codec=None`` decodes with soundfile when installed (mono-mixed,
+    u8-quantized) and raises NotImplementedError when not;
+    ``fake_audio_codec`` is the deterministic stand-in."""
     if codec is None:
         _require("soundfile")  # pragma: no cover - lib absent here
+
+        def codec(payload: bytes) -> tuple[int, bytes]:
+            import io
+
+            import numpy as _np
+            import soundfile as _sf
+
+            data, orig_rate = _sf.read(io.BytesIO(payload or b""),
+                                       dtype="float32", always_2d=True)
+            mono = data.mean(axis=1)
+            samples = ((_np.clip(mono, -1.0, 1.0) + 1.0)
+                       * 127.5).astype("uint8").tobytes()
+            return int(orig_rate), samples
     fn = codec
     src = media.select("media_id", "payload")
 
@@ -231,10 +258,23 @@ def sample_frames(media: DataFrame, every_n: int = 30, fps: int = 30,
                   codec=None) -> DataFrame:
     """Demux + sample every ``every_n``-th frame — one output row per
     SAMPLED frame with its timestamp (the video analogue of the audio
-    chunk explode).  ``codec=None`` requires av; ``fake_video_codec``
-    stands in (frame bytes = md5(payload, frame_idx))."""
+    chunk explode).  ``codec`` maps payload -> list of raw frame
+    bytes; ``codec=None`` demuxes+decodes with av when installed (RGB24
+    frames) and raises NotImplementedError when not; ``fake_video_codec``
+    stands in (16-byte md5 frames)."""
     if codec is None:
         _require("av")  # pragma: no cover - lib absent here
+
+        def codec(payload: bytes) -> list[bytes]:
+            import io
+
+            import av as _av
+
+            out = []
+            with _av.open(io.BytesIO(payload or b"")) as container:
+                for frame in container.decode(video=0):
+                    out.append(frame.to_ndarray(format="rgb24").tobytes())
+            return out
     fn = codec
     src = media.select("media_id", "payload")
 
@@ -242,11 +282,9 @@ def sample_frames(media: DataFrame, every_n: int = 30, fps: int = 30,
         for pdf in batches:
             rows = []
             for mid, p in zip(pdf["media_id"], pdf["payload"]):
-                n_frames = fn(p)
-                for fi in range(0, n_frames, every_n):
-                    frame = hashlib.md5(
-                        (p or b"") + fi.to_bytes(4, "big")).digest()
-                    rows.append((mid, fi, fi * 1000 // fps, frame))
+                frames = fn(p)
+                for fi in range(0, len(frames), every_n):
+                    rows.append((mid, fi, fi * 1000 // fps, frames[fi]))
             yield pd.DataFrame(
                 rows, columns=["media_id", "frame_idx", "ts_ms", "frame"])
 

@@ -47,14 +47,25 @@ def compact_partitions(spark: SparkSession, path: str,
                        target_files_per_day: int = 1) -> None:
     """Rewrite each day partition down to a bounded file count (the
     small-files maintenance job).  Data is bit-identical afterwards;
-    only the file layout changes."""
+    only the file layout changes.
+
+    Repartitioning hashes on (day_idx, bucket) where bucket spreads
+    each day's rows over ``target_files_per_day`` deterministic hash
+    buckets — hashing on day_idx alone would land every day in ONE
+    task and silently ignore targets > 1.  The swap parks the old tree
+    aside before promoting the compacted one, so a crash between the
+    two steps leaves a recoverable copy (``._old``) instead of no
+    table; object stores would use a manifest/catalog swap instead —
+    Iceberg does this natively."""
     df = spark.read.parquet(path)
-    (df.repartition(target_files_per_day, "day_idx")
+    bucket = F.pmod(F.xxhash64(*[c for c in df.columns if c != "day_idx"]),
+                    F.lit(target_files_per_day))
+    n_days = max(df.select("day_idx").distinct().count(), 1)
+    (df.repartition(n_days * target_files_per_day, "day_idx", bucket)
      .write.mode("overwrite").partitionBy("day_idx")
      .parquet(path + "._compacted"))
-    # atomic-ish swap (POSIX rename; object stores would use a
-    # manifest/catalog swap instead — Iceberg does this natively)
     import shutil
 
-    shutil.rmtree(path)
-    shutil.move(path + "._compacted", path)
+    shutil.move(path, path + "._old")          # park, don't destroy
+    shutil.move(path + "._compacted", path)    # promote
+    shutil.rmtree(path + "._old")              # cleanup last

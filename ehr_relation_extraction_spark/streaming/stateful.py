@@ -135,16 +135,22 @@ def _diff_group(key: tuple, pdfs: Iterator[pd.DataFrame],
     else:
         sha, seq, last_ts, cur, neg = None, 0, None, set(), set()
     versions = pd.concat(list(pdfs), ignore_index=True)
-    versions = versions.sort_values("warc_ts", kind="mergesort")
+    # nanosecond timestamps: whole-second truncation silently dropped a
+    # genuinely newer re-crawl landing in the same second; the text
+    # column tie-breaks EQUAL timestamps deterministically
+    versions = versions.sort_values(["warc_ts", "text"], kind="mergesort")
     out = []
     for row in versions.itertuples(index=False):
-        ts = int(pd.Timestamp(row.warc_ts).timestamp())
-        if last_ts is not None and ts <= last_ts:
-            continue  # stale or duplicate crawl (out-of-order arrival)
-        last_ts = ts
+        ts = int(pd.Timestamp(row.warc_ts).value)
+        if last_ts is not None and ts < last_ts:
+            continue  # stale crawl (out-of-order arrival)
         new_sha = hashlib.sha256(row.text.encode()).hexdigest()
         if new_sha == sha:
+            last_ts = ts
             continue  # unchanged re-crawl: no work, no emissions
+        # same-instant different content (ts == last_ts) is processed,
+        # never dropped — ordered by the deterministic sort above
+        last_ts = ts
         new, _ = _page_triples(row.text, neg)
         seq += 1
         for k in sorted(cur - new):
@@ -220,7 +226,7 @@ def incremental_recrawl_diff(spark, pages_dir: str, out_dir: str,
             .start())
 
 
-GATE_OUTPUT_DDL = ("doc_id long, url string, is_first int")
+GATE_OUTPUT_DDL = "doc_id long, url string, text string, is_first int"
 GATE_STATE_DDL = "seen_sha array<string>"
 
 
@@ -228,16 +234,20 @@ def _first_seen_group(key: tuple, pdfs: Iterator[pd.DataFrame],
                       state: GroupState) -> Iterator[pd.DataFrame]:
     """Cross-batch exact-dup gate keyed on text sha: the FIRST arrival
     of a sha is canonical (is_first=1); every later arrival — same or
-    later micro-batch — is flagged a duplicate."""
+    later micro-batch — is flagged a duplicate.  Text rides through
+    the output so downstream quality rules never re-read the source
+    (a per-trigger full source rescan, and a fan-out risk when the
+    source holds multiple versions of one doc_id)."""
     seen = bool(state.get[0]) if state.exists else False
     out = []
     for pdf in pdfs:
         for row in pdf.sort_values(["doc_id"]).itertuples(index=False):
-            out.append((row.doc_id, row.url, 0 if seen else 1))
+            out.append((row.doc_id, row.url, row.text, 0 if seen else 1))
             seen = True
     state.update((["y"] if seen else [],))
     if out:
-        yield pd.DataFrame(out, columns=["doc_id", "url", "is_first"])
+        yield pd.DataFrame(
+            out, columns=["doc_id", "url", "text", "is_first"])
 
 
 def incremental_corpus_gate(spark, pages_dir: str, ref_docs: DataFrame,
@@ -281,12 +291,11 @@ def incremental_corpus_gate(spark, pages_dir: str, ref_docs: DataFrame,
                   timeoutConf=GroupStateTimeout.NoTimeout))
 
     def process(batch_df: DataFrame, batch_id: int) -> None:
-        # batch_df: (doc_id, url, is_first) for this micro-batch; the
-        # text re-derives from the page store (pure function of doc_id
-        # in this fixture world) — join back on doc_id against the
-        # micro-batch's pages via the static source dir
-        src = extract_text(spark.read.schema(PAGES_DDL).parquet(pages_dir))
-        b = batch_df.join(src.select("doc_id", "text"), "doc_id")
+        # batch_df: (doc_id, url, text, is_first) for this micro-batch
+        # — text rode through the stateful gate, so there is NO
+        # per-trigger source rescan and no join-back fan-out when the
+        # source holds re-crawled versions of a doc_id
+        b = batch_df
         q = quality_features(b.select("doc_id", "text")).select(
             "doc_id", "n_tokens", "n_distinct_tokens", "n_stopwords")
         b = b.join(q, "doc_id")

@@ -209,3 +209,31 @@ def test_decontaminate_plan_is_two_joins_three_scans(spark):
     assert n_joins == 2, plan
     assert plan.count("Scan parquet") <= 3, plan
     assert "CartesianProduct" not in plan
+
+
+def test_compaction_honors_target_above_one(spark, tmp_path):
+    """Regression: repartition(N, day_idx) alone hashes only on the
+    day, so every day landed in ONE task and target_files_per_day > 1
+    silently produced 1 file; the (day_idx, hash-bucket) key must
+    actually spread each day over up to N files."""
+    import glob
+
+    from ehr_relation_extraction_spark.oracle.fixtures import pages_df
+    from ehr_relation_extraction_spark.plans.partitioned import (
+        compact_partitions, with_day_idx, write_day_partitioned)
+    from ehr_relation_extraction_spark.sources.pages import extract_text
+
+    pages = with_day_idx(extract_text(pages_df(spark, n_pages=200)))
+    path = str(tmp_path / "pages_daily3")
+    write_day_partitioned(pages.repartition(8), path)
+    before = {tuple(r) for r in spark.read.parquet(path).collect()}
+
+    compact_partitions(spark, path, target_files_per_day=3)
+    per_day = {}
+    for f in glob.glob(f"{path}/day_idx=*/*.parquet"):
+        d = f.split("day_idx=")[1].split("/")[0]
+        per_day[d] = per_day.get(d, 0) + 1
+    assert per_day and all(1 <= n <= 3 for n in per_day.values()), per_day
+    # with 3 buckets over ~86k-row days, at least one day actually splits
+    assert any(n > 1 for n in per_day.values()), per_day
+    assert {tuple(r) for r in spark.read.parquet(path).collect()} == before

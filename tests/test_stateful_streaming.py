@@ -206,3 +206,42 @@ def test_incremental_corpus_gate(spark, tmp_path):
     n = spark.read.parquet(out).count()
     incremental_corpus_gate(spark, src, ref, out, ck).awaitTermination(300)
     assert spark.read.parquet(out).count() == n
+
+
+def test_recrawl_diff_same_second_version_not_dropped():
+    """Regression: two re-crawls inside the same SECOND must both be
+    processed (whole-second truncation used to drop the newer one and
+    its deltas forever).  Exercised at the group-kernel level with a
+    fake GroupState."""
+    import pandas as pd
+
+    from ehr_relation_extraction_spark.streaming import stateful as st
+
+    class FakeState:
+        exists = False
+
+        def update(self, v):
+            self.exists, self._v = True, v
+
+        @property
+        def get(self):
+            return self._v
+
+    from ehr_relation_extraction_spark.oracle.fixtures import make_pages
+
+    pages = make_pages(42, 4)   # docs 2 and 3 emit triples
+    t1, t2 = pages[2]["text"], pages[3]["text"]
+    base = pd.Timestamp("2024-01-03 10:00:00.250")
+    later = pd.Timestamp("2024-01-03 10:00:00.750")  # same whole second
+    state = FakeState()
+    out1 = list(st._diff_group(
+        ("u",), iter([pd.DataFrame({"url": ["u"], "warc_ts": [base],
+                                    "text": [t1]})]), state))
+    assert out1 and (out1[0]["op"] == "+").any()
+    out2 = list(st._diff_group(
+        ("u",), iter([pd.DataFrame({"url": ["u"], "warc_ts": [later],
+                                    "text": [t2]})]), state))
+    ops = pd.concat(out2) if out2 else pd.DataFrame(columns=["op"])
+    # the changed same-second version must emit +/- deltas
+    assert len(ops) > 0, "same-second re-crawl was silently dropped"
+    assert set(ops["op"]) <= {"+", "-"} and (ops["crawl_seq"] == 2).all()
