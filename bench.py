@@ -56,7 +56,54 @@ def run_suite(sf_dir: str, master: str, shuffle: int) -> dict:
     return {"timings": timings, "counts": counts}
 
 
-def scaling_job(sf_dir: str, n_cores: int, replicate: int) -> dict:
+def _materialize(spark, sf_dir: str, replicate: int, skew: bool) -> str:
+    """Materialize the replicated corpus ONCE as a multi-file parquet —
+    otherwise the expansion (one-file scan -> crossJoin -> html encode)
+    runs as a single serial task at the head of every measured run and
+    caps throughput regardless of core count.
+
+    ``skew=True`` builds the SURVEY §5.2 worst case: ONE host owns 50%
+    of the docs AND its pages are contiguous on disk
+    (repartitionByRange on url), so the natural file partitioning is
+    maximally imbalanced — the fixture the salted repartition exists
+    for."""
+    from pyspark.sql import functions as F
+
+    from ehr_relation_extraction_spark.sources.pages import (
+        HTML_PREFIX, HTML_SUFFIX)
+
+    suffix = "_skew" if skew else ""
+    src = (f"/tmp/spark_graft_scale_{os.path.basename(sf_dir)}"
+           f"_x{replicate}{suffix}.parquet")
+    if os.path.exists(os.path.join(src, "_SUCCESS")):
+        return src
+    docs0 = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    big = (docs0.crossJoin(spark.range(replicate).withColumnRenamed("id", "rep"))
+           .select((F.col("doc_id") + F.col("rep") * 10_000_000).alias("doc_id"),
+                   "text", "source"))
+    if skew:
+        host = (F.when(F.pmod(F.col("doc_id"), F.lit(2)) == 0,
+                       F.lit("megahost"))
+                .otherwise(F.concat(F.col("source"),
+                                    F.lit(".example.com"))))
+    else:
+        host = F.concat(F.col("source"), F.lit(".example.com"))
+    big = big.select(
+        "doc_id",
+        F.concat(F.lit("https://"), host, F.lit("/"),
+                 F.col("doc_id").cast("string")).alias("url"),
+        F.encode(F.concat(F.lit(HTML_PREFIX), F.col("text"),
+                          F.lit(HTML_SUFFIX)), "utf-8").alias("html"))
+    if skew:
+        big = big.repartitionByRange(96, "url")  # megahost contiguous
+    else:
+        big = big.repartition(96)
+    big.write.mode("overwrite").parquet(src)
+    return src
+
+
+def scaling_job(sf_dir: str, n_cores: int, replicate: int,
+                skew: bool = False, salt: bool = True) -> dict:
     """One compute-bound flagship job (pages -> triples) on the sf
     corpus replicated ``replicate``x with distinct doc_ids.  This is
     the two-cluster-size proxy: identical input + identical code at two
@@ -80,28 +127,12 @@ def scaling_job(sf_dir: str, n_cores: int, replicate: int) -> dict:
                       extra_conf={
                           "spark.sql.adaptive.coalescePartitions.enabled": "false",
                       })
-    # Materialize the replicated corpus ONCE as a multi-file parquet —
-    # otherwise the expansion (one-file scan -> crossJoin -> html
-    # encode) runs as a single serial task at the head of every
-    # measured run and caps throughput regardless of core count.
-    src = f"/tmp/spark_graft_scale_{os.path.basename(sf_dir)}_x{replicate}.parquet"
-    if not os.path.exists(os.path.join(src, "_SUCCESS")):
-        docs0 = spark.read.parquet(f"{sf_dir}/documents.parquet")
-        big = (docs0.crossJoin(spark.range(replicate).withColumnRenamed("id", "rep"))
-               .select((F.col("doc_id") + F.col("rep") * 10_000_000).alias("doc_id"),
-                       "text", "source"))
-        (big.select(
-            "doc_id",
-            F.concat(F.lit("https://"), F.col("source"), F.lit(".example.com/"),
-                     F.col("doc_id").cast("string")).alias("url"),
-            F.encode(F.concat(F.lit(HTML_PREFIX), F.col("text"),
-                              F.lit(HTML_SUFFIX)), "utf-8").alias("html"))
-         .repartition(96).write.mode("overwrite").parquet(src))
-
+    src = _materialize(spark, sf_dir, replicate, skew=skew)
     from ehr_relation_extraction_spark.operators.skew import salted_repartition
 
-    pages = salted_repartition(spark.read.parquet(src), "url",
-                               num_partitions=n_cores * 3)
+    pages = spark.read.parquet(src)
+    if salt:
+        pages = salted_repartition(pages, "url", num_partitions=n_cores * 3)
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
     from ehr_relation_extraction_spark.plans.fused import fused_triples
     from ehr_relation_extraction_spark.sources.pages import extract_text
@@ -120,7 +151,7 @@ def scaling_job(sf_dir: str, n_cores: int, replicate: int) -> dict:
     wall = _t.time() - t0
     spark.stop()
     return {"cores": n_cores, "docs": n_docs, "triples": n_triples,
-            "sec": round(wall, 2),
+            "sec": round(wall, 2), "skew": skew, "salt": salt,
             "docs_per_sec": round(n_docs / wall, 1),
             "triples_per_sec": round(n_triples / wall, 1)}
 
@@ -238,6 +269,57 @@ def run_matrix(cpus: int) -> None:
     }))
 
 
+def run_skew(sf_dir: str, cpus: int) -> None:
+    """Skewed-host robustness bench (SURVEY §5.2 item 4): the fused
+    triples job on a uniform corpus vs one where a single host owns
+    50% of the docs and sits contiguously on disk.  Three variants,
+    interleaved best-of-K, all taskset-pinned:
+
+      uniform+salt  — the production path on even data (baseline)
+      skew+salt     — the production path on the worst case
+      skew+nosalt   — the worst case WITHOUT the salted repartition
+                      (shows what the salt buys)
+
+    Headline value: thr(skew+salt) / thr(uniform+salt); >= 0.8 means
+    host skew costs the production plan less than 20%."""
+    import shutil
+    import subprocess
+
+    replicate = int(os.environ.get("SPARK_GRAFT_SCALE_REP", "96"))
+    trials = int(os.environ.get("SPARK_GRAFT_SCALE_TRIALS", "2"))
+    n = int(os.environ.get("SPARK_GRAFT_SCALE_HI", min(8, cpus)))
+    have_taskset = shutil.which("taskset") is not None
+    variants = [("uniform_salt", 0, 1), ("skew_salt", 1, 1),
+                ("skew_nosalt", 1, 0)]
+    best: dict[str, dict] = {}
+    for _ in range(trials):
+        for name, sk, sa in variants:
+            cmd = ["python", os.path.abspath(__file__), "--skew-one",
+                   str(n), str(replicate), str(sk), str(sa)]
+            if have_taskset:
+                cmd = ["taskset", "-c", f"0-{n - 1}"] + cmd
+            out = subprocess.run(cmd, capture_output=True, text=True,
+                                 env={**os.environ,
+                                      "SPARK_GRAFT_SF_DIR": sf_dir})
+            line = [ln for ln in out.stdout.splitlines()
+                    if ln.startswith("{")][-1]
+            r = json.loads(line)
+            if name not in best or r["sec"] < best[name]["sec"]:
+                best[name] = r
+    ratio = round(best["skew_salt"]["triples_per_sec"]
+                  / best["uniform_salt"]["triples_per_sec"], 3)
+    ratio_nosalt = round(best["skew_nosalt"]["triples_per_sec"]
+                         / best["uniform_salt"]["triples_per_sec"], 3)
+    print(json.dumps({
+        "metric": "skew_robustness", "value": ratio, "unit": "ratio",
+        "ratio_without_salt": ratio_nosalt,
+        "variants": best, "sf": sf_of(sf_dir),
+        "note": f"one host owns 50% of docs, contiguous on disk; "
+                f"taskset-pinned {n} cpus; best of {trials} interleaved "
+                f"trials per variant",
+    }))
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", os.cpu_count() or 32))
@@ -247,6 +329,17 @@ def main() -> None:
         i = sys.argv.index("--scaling-one")
         n, rep = int(sys.argv[i + 1]), int(sys.argv[i + 2])
         print(json.dumps(scaling_job(sf_dir, n, rep)))
+        return
+
+    if "--skew-one" in sys.argv:
+        i = sys.argv.index("--skew-one")
+        n, rep = int(sys.argv[i + 1]), int(sys.argv[i + 2])
+        sk, sa = bool(int(sys.argv[i + 3])), bool(int(sys.argv[i + 4]))
+        print(json.dumps(scaling_job(sf_dir, n, rep, skew=sk, salt=sa)))
+        return
+
+    if "--skew" in sys.argv:
+        run_skew(sf_dir, cpus)
         return
 
     if "--scaling" in sys.argv:

@@ -37,6 +37,56 @@ def write_day_partitioned(df: DataFrame, path: str) -> None:
     df.write.mode("overwrite").partitionBy("day_idx").parquet(path)
 
 
+def with_url_bucket(df: DataFrame, n_buckets: int = 16,
+                    url_col: str = "url") -> DataFrame:
+    """Materialize the ``bucket(N, url)`` partition key (parquet form
+    of the Iceberg bucket transform, SURVEY §7.0).  Deterministic
+    xxhash64 mod N, so the same url lands in the same bucket across
+    writes — point lookups and url-keyed incremental merges touch
+    1/N of each day."""
+    return df.withColumn(
+        "url_bucket",
+        F.pmod(F.xxhash64(F.col(url_col)), F.lit(n_buckets)).cast("int"))
+
+
+def write_composite_partitioned(df: DataFrame, path: str,
+                                n_buckets: int = 16) -> None:
+    """Write the production composite layout ``days(warc_ts) x
+    bucket(N, url)``: directory tree ``day_idx=D/url_bucket=B/``.
+
+    Two independent pruning axes at scan-planning time:
+
+    - time-ranged queries prune to the matching day directories;
+    - url-targeted queries (lookups, re-crawl merges) additionally
+      prune to ONE bucket directory per day — at 10^12 docs the
+      difference between reading a whole day (~TBs) and 1/N of it.
+
+    The bucket count is a layout constant: pick N so a single
+    (day, bucket) cell stays in the 100 MB–1 GB parquet sweet spot at
+    the target scale, same sizing rule as Iceberg's bucket transform.
+    """
+    out = df if "url_bucket" in df.columns else with_url_bucket(df, n_buckets)
+    (out.write.mode("overwrite")
+     .partitionBy("day_idx", "url_bucket").parquet(path))
+
+
+def read_url_days(spark: SparkSession, path: str, url: str,
+                  day_lo: int, day_hi: int,
+                  n_buckets: int = 16) -> DataFrame:
+    """Point-lookup over a composite table: all rows for ``url``
+    within [day_lo, day_hi].  The day range AND the url's bucket both
+    become PartitionFilters (directory pruning); the url equality is
+    additionally pushed down into the parquet row-group scan."""
+    df = spark.read.parquet(path)
+    bucket = (df.sparkSession.range(1)
+              .select(F.pmod(F.xxhash64(F.lit(url)), F.lit(n_buckets))
+                      .cast("int").alias("b")).first()["b"])
+    return df.where((F.col("day_idx") >= day_lo)
+                    & (F.col("day_idx") <= day_hi)
+                    & (F.col("url_bucket") == bucket)
+                    & (F.col("url") == url))
+
+
 def read_day(spark: SparkSession, path: str, day_idx: int) -> DataFrame:
     """Read one crawl day; the filter becomes a PartitionFilter, so
     only that day's directory is listed/scanned."""

@@ -237,3 +237,39 @@ def test_compaction_honors_target_above_one(spark, tmp_path):
     # with 3 buckets over ~86k-row days, at least one day actually splits
     assert any(n > 1 for n in per_day.values()), per_day
     assert {tuple(r) for r in spark.read.parquet(path).collect()} == before
+
+
+def test_composite_bucket_day_scan_prunes_both_axes(spark, tmp_path):
+    """The days(warc_ts) x bucket(N, url) composite layout (SURVEY
+    §7.0 production spec; parquet form of the Iceberg transforms) must
+    prune BOTH axes at planning time: a url + day-range lookup shows
+    day_idx AND url_bucket in PartitionFilters, url in PushedFilters,
+    and returns exactly the rows a full-scan filter would."""
+    from ehr_relation_extraction_spark.oracle.fixtures import pages_df
+    from ehr_relation_extraction_spark.plans.partitioned import (
+        read_url_days, with_day_idx, with_url_bucket,
+        write_composite_partitioned)
+    from ehr_relation_extraction_spark.sources.pages import extract_text
+
+    n_buckets = 4
+    pages = with_url_bucket(
+        with_day_idx(extract_text(pages_df(spark, n_pages=60))), n_buckets)
+    days = sorted(r["day_idx"] for r in
+                  pages.select("day_idx").distinct().collect())
+    path = str(tmp_path / "pages_composite")
+    write_composite_partitioned(pages.repartition(4), path, n_buckets)
+
+    target = pages.where(pages["day_idx"] == days[0]).select("url").first()["url"]
+    got = read_url_days(spark, path, target, days[0], days[0],
+                        n_buckets=n_buckets)
+    plan = formatted(got)
+    pf = plan.split("PartitionFilters")[1].split("]")[0]
+    assert "day_idx" in pf and "url_bucket" in pf, plan
+    pushed = plan.split("PushedFilters")[1].split("]")[0]
+    assert "url" in pushed, plan
+
+    want = {tuple(r) for r in pages.where(
+        (pages["url"] == target) & (pages["day_idx"] == days[0]))
+        .drop("day_idx", "url_bucket").collect()}
+    assert {tuple(r) for r in got.drop("day_idx", "url_bucket").collect()} == want
+    assert len(want) >= 1
