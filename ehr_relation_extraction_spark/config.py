@@ -167,3 +167,4 @@ def hub_aliases() -> list[tuple[str, str, str]]:
 
 def attr_aliases() -> list[tuple[str, str, str]]:
     return [g for g in GAZETTEER if g[1] != HUB_TYPE]
+CONTAINMENT_THRESHOLD_PCT = 80  # shingle-containment near-dup verify threshold (percent)

@@ -447,6 +447,50 @@ def q_ivf_assign(spark, sf_dir) -> DataFrame:
         "vec_id", "cell", "cell_size")
 
 
+def q_dup_clusters(spark, sf_dir) -> DataFrame:
+    """Near-dup pairs -> connected components -> keep/drop verdict;
+    the is_canonical = 1 rows are the deduplicated corpus."""
+    return dd.dup_clusters(_docs(spark, sf_dir)).select(
+        "doc_id", "cluster_id", "cluster_size", "is_canonical")
+
+
+def q_containment_dups(spark, sf_dir) -> DataFrame:
+    """Asymmetric containment over the same LSH candidates — catches
+    short-doc-inside-long-doc boilerplate that Jaccard misses."""
+    sh = dd.shingles(_docs(spark, sf_dir))
+    pairs = dd.lsh_candidate_pairs(dd.lsh_bands(dd.minhash_signatures(sh)))
+    return dd.verify_containment(pairs, sh).select(
+        "doc_a", "doc_b", "n_inter", "n_small", "containment_pct")
+
+
+def q_ivf_centroids(spark, sf_dir) -> DataFrame:
+    """One k-means Lloyd step (the IVF codebook trainer): quantized
+    integer per-cell mean embedding, order-independent sums."""
+    return sim.ivf_centroid_update(_emb(spark, sf_dir)).select(
+        "cell", "dim", "n_vecs", "sum_q6", "mean_q6")
+
+
+def q_url_canonical(spark, sf_dir) -> DataFrame:
+    """Deterministically-messy urls -> normalize -> canonical groups."""
+    from .functions.urls import canonical_url_groups
+
+    return canonical_url_groups(_docs(spark, sf_dir)).select(
+        "doc_id", "url_raw", "url_norm", "n_variants", "is_canonical")
+
+
+def q_quality_model(spark, sf_dir) -> DataFrame:
+    """Learned quality classifier distilled from the rule gate —
+    trains INSIDE the query (bit-deterministic distributed full-batch
+    GD, functions/quality_model.py).  Rows-only driver check (learned
+    weights aren't SQL-expressible without circular training); the
+    pytest gate asserts held-out agreement >= 0.85 and beats the
+    majority-class baseline."""
+    from .functions.quality_model import quality_model_verdicts
+
+    return quality_model_verdicts(_docs(spark, sf_dir)).select(
+        "doc_id", "label", "pred_keep", "margin_micro6", "is_train")
+
+
 def q_graph_degrees(spark, sf_dir) -> DataFrame:
     ge = q_graph_edges(spark, sf_dir)
     nodes = (ge.select(F.col("subj_node").alias("node"))
@@ -726,6 +770,11 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "component_sizes": q_component_sizes,
     "embedding_near_dups": q_embedding_near_dups,
     "ivf_assign": q_ivf_assign,
+    "dup_clusters": q_dup_clusters,
+    "containment_dups": q_containment_dups,
+    "ivf_centroids": q_ivf_centroids,
+    "url_canonical": q_url_canonical,
+    "quality_model": q_quality_model,
 }
 
 

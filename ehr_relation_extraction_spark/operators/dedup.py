@@ -137,3 +137,75 @@ def simhash(docs: DataFrame, bits: int = SIMHASH_BITS) -> DataFrame:
         bit = F.when(F.col(f"v{b}") > 0, F.lit(1)).otherwise(F.lit(0)) * F.lit(1 << b)
         val = bit if val is None else val + bit
     return agg.select("doc_id", val.cast("long").alias("simhash"))
+
+
+def verify_containment(pairs: DataFrame, sh: DataFrame,
+                       threshold_pct: int = 80) -> DataFrame:
+    """Shingle-set CONTAINMENT per candidate pair:
+    ``containment_pct = floor(100 * |A∩B| / min(|A|, |B|))``.
+
+    Symmetric Jaccard misses the quote/boilerplate case — a short doc
+    fully embedded in a long one scores low Jaccard but containment
+    100.  Same candidate set as :func:`verify_jaccard` (LSH-bounded
+    equi-join, never all-pairs); only the verification ratio differs.
+    Output: (doc_a, doc_b, n_inter, n_small, containment_pct) filtered
+    to >= threshold.
+    """
+    sa = sh.select(F.col("doc_id").alias("doc_a"), "shingle")
+    sb = sh.select(F.col("doc_id").alias("doc_b"), "shingle")
+    inter = (pairs.join(sa, "doc_a").join(sb, ["doc_b", "shingle"])
+             .groupBy("doc_a", "doc_b")
+             .agg(F.count(F.lit(1)).cast("long").alias("n_inter")))
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).cast("long").alias("n_sh"))
+    out = (pairs
+           .join(sizes.withColumnRenamed("doc_id", "doc_a")
+                      .withColumnRenamed("n_sh", "n_a"), "doc_a")
+           .join(sizes.withColumnRenamed("doc_id", "doc_b")
+                      .withColumnRenamed("n_sh", "n_b"), "doc_b")
+           .join(inter, ["doc_a", "doc_b"], "left")
+           .fillna(0, ["n_inter"])
+           .withColumn("n_small", F.least("n_a", "n_b").cast("long"))
+           .withColumn("containment_pct",
+                       F.floor(F.lit(100) * F.col("n_inter") / F.col("n_small"))
+                       .cast("long")))
+    return (out.where(F.col("containment_pct") >= threshold_pct)
+            .select("doc_a", "doc_b", "n_inter", "n_small", "containment_pct"))
+
+
+def dup_clusters(docs: DataFrame,
+                 threshold_pct: int = JACCARD_THRESHOLD_PCT) -> DataFrame:
+    """Near-duplicate CLUSTERS — the actionable dedup unit a pair list
+    is not: (doc_id, cluster_id, cluster_size, is_canonical), where
+    cluster_id = min doc_id of the connected component of verified
+    near-dup pairs and the canonical doc (keep) is that minimum.
+    ``is_canonical = 1`` rows ARE the deduplicated corpus view.
+
+    Scale: edges are verified near-dup pairs only (LSH candidate
+    generation, never all-pairs); components via the same O(log n)
+    large-star/small-star rounds as entity canonicalization
+    (operators/linking.connected_components); docs with no dup edge
+    short-circuit through the left join as singleton clusters.  Node
+    ids travel as zero-padded strings so the CC's lexicographic MIN
+    is the numeric MIN.
+    """
+    from .linking import connected_components
+
+    sh = shingles(docs)
+    pairs = verify_jaccard(
+        lsh_candidate_pairs(lsh_bands(minhash_signatures(sh))), sh,
+        threshold_pct)
+
+    def pad(c: str):
+        return F.lpad(F.col(c).cast("string"), 12, "0")
+
+    edges = pairs.select(pad("doc_a").alias("src"), pad("doc_b").alias("dst"))
+    nodes = docs.select(pad("doc_id").alias("node"))
+    comp = connected_components(edges, nodes)
+    out = comp.select(F.col("node").cast("long").alias("doc_id"),
+                      F.col("component").cast("long").alias("cluster_id"))
+    w = Window.partitionBy("cluster_id")
+    return (out
+            .withColumn("cluster_size",
+                        F.count(F.lit(1)).over(w).cast("long"))
+            .withColumn("is_canonical",
+                        (F.col("doc_id") == F.col("cluster_id")).cast("int")))

@@ -169,3 +169,42 @@ def ann_topk(emb: DataFrame, bits: int = ANN_SIGN_BITS,
     return (sims.withColumn("rank", F.row_number().over(w).cast("int"))
             .where(F.col("rank") <= k)
             .select("query_id", "rank", "neighbor_id", "sim_micro6"))
+
+
+def ivf_centroid_update(emb: DataFrame, n_cells: int = 8) -> DataFrame:
+    """One Lloyd (k-means) update step for the IVF codebook — the
+    training half of :func:`ivf_assign`: assign every vector to its
+    nearest seed centroid, then recompute each cell's mean embedding.
+
+    Floats are quantized to integer micro-units (floor(x * 1e6)) BEFORE
+    summing, so the per-cell sums are order-independent — bit-identical
+    under any partitioning and exactly reproducible in the SQL oracle
+    (float accumulation order would not be).  Output is the flat
+    (cell, dim, n_vecs, sum_q6, mean_q6) table; mean_q6 = sum_q6 //
+    n_vecs is the quantized centroid coordinate.
+
+    Scale: assignment is a broadcast join + argmax (no corpus
+    shuffle); the update is posexplode + ONE hash-aggregate on
+    (cell, dim) — partial map-side combine, a single shuffle of
+    n_cells x dim x partitions partial rows, independent of corpus
+    size.
+    """
+    assigned = ivf_assign(emb, n_cells).select("vec_id", "cell")
+    v = emb.select(
+        "vec_id",
+        F.col("embedding").cast("array<double>").alias("_v"))
+    q = v.select(
+        "vec_id",
+        F.posexplode(F.transform(
+            "_v", lambda x: F.floor(x * 1000000).cast("long")))
+        .alias("dim", "q6"))
+    return (assigned.join(q, "vec_id")
+            .groupBy("cell", "dim")
+            .agg(F.count(F.lit(1)).cast("long").alias("n_vecs"),
+                 F.sum("q6").cast("long").alias("sum_q6"))
+            .withColumn("mean_q6",
+                        F.floor(F.col("sum_q6") / F.col("n_vecs"))
+                        .cast("long"))
+            .select(F.col("cell").cast("int").alias("cell"),
+                    F.col("dim").cast("int").alias("dim"),
+                    "n_vecs", "sum_q6", "mean_q6"))

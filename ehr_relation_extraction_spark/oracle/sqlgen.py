@@ -1538,3 +1538,104 @@ GROUP BY 1, 2""",
          CAST((SELECT COUNT(*) FROM (SELECT DISTINCT url, subj, pred, obj FROM triples_sys)) AS BIGINT) AS n_pred
 )""")),
 }
+
+
+# ---- round-2 additions: dup clusters, containment, IVF Lloyd step,
+# ---- canonical urls ------------------------------------------------
+
+from ..config import CONTAINMENT_THRESHOLD_PCT  # noqa: E402
+
+ORACLE["dup_clusters"] = _assemble(
+    GAZ, toks_ctes(), DEDUP_CTES,
+    select=f"""
+, dup_edges AS MATERIALIZED (
+  SELECT doc_a AS src, doc_b AS dst FROM near_dups
+  WHERE jaccard_pct >= {JACCARD_THRESHOLD_PCT}),
+dup_sym AS (SELECT src, dst FROM dup_edges
+            UNION SELECT dst AS src, src AS dst FROM dup_edges),
+dup_reach(node, comp) AS (
+  SELECT doc_id AS node, doc_id AS comp FROM documents
+  UNION
+  SELECT e.dst AS node, r.comp
+  FROM dup_reach r JOIN dup_sym e ON e.src = r.node),
+dup_comp AS MATERIALIZED (
+  SELECT node AS doc_id, MIN(comp) AS cluster_id
+  FROM dup_reach GROUP BY node)
+SELECT doc_id, cluster_id,
+       CAST(COUNT(*) OVER (PARTITION BY cluster_id) AS BIGINT) AS cluster_size,
+       CAST(CASE WHEN doc_id = cluster_id THEN 1 ELSE 0 END AS INT) AS is_canonical
+FROM dup_comp""")
+
+ORACLE["containment_dups"] = _assemble(
+    GAZ, toks_ctes(), DEDUP_CTES,
+    select=f"""
+SELECT c.doc_a, c.doc_b,
+       CAST(COALESCE(i.n_inter, 0) AS BIGINT) AS n_inter,
+       CAST(least(sa.n_sh, sb.n_sh) AS BIGINT) AS n_small,
+       CAST(floor(100 * COALESCE(i.n_inter, 0) / least(sa.n_sh, sb.n_sh)) AS BIGINT) AS containment_pct
+FROM cand c
+JOIN sh_sizes sa ON sa.doc_id = c.doc_a
+JOIN sh_sizes sb ON sb.doc_id = c.doc_b
+LEFT JOIN inter i ON i.doc_a = c.doc_a AND i.doc_b = c.doc_b
+WHERE floor(100 * COALESCE(i.n_inter, 0) / least(sa.n_sh, sb.n_sh)) >= {CONTAINMENT_THRESHOLD_PCT}""")
+
+ORACLE["ivf_centroids"] = _assemble(
+    SIM_CTES.lstrip(",").strip(),
+    select="""
+, cents AS (SELECT vec_id AS cell, v AS cv, nrm AS cn FROM normed WHERE vec_id < 8),
+scored AS (
+  SELECT n.vec_id, c.cell,
+         CAST(floor(1000000 * list_dot_product(n.v, c.cv) / (n.nrm * c.cn)) AS BIGINT) AS s6
+  FROM normed n CROSS JOIN cents c),
+asg AS (
+  SELECT vec_id, cell FROM (
+    SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY s6 DESC, cell) AS r
+    FROM scored) WHERE r = 1),
+qdims AS (
+  SELECT b.vec_id, CAST(i - 1 AS INT) AS dim,
+         CAST(floor(b.v[CAST(i AS INT)] * 1000000) AS BIGINT) AS q6
+  FROM base b, unnest(generate_series(1, len(b.v))) AS t(i))
+SELECT CAST(a.cell AS INT) AS cell, q.dim,
+       CAST(COUNT(*) AS BIGINT) AS n_vecs,
+       CAST(SUM(q.q6) AS BIGINT) AS sum_q6,
+       CAST(floor(SUM(q.q6) / COUNT(*)) AS BIGINT) AS mean_q6
+FROM asg a JOIN qdims q ON a.vec_id = q.vec_id
+GROUP BY a.cell, q.dim""")
+
+ORACLE["url_canonical"] = """
+WITH messy AS (
+  SELECT doc_id,
+    CASE CAST(doc_id % 6 AS INT)
+      WHEN 0 THEN 'https://' || source || '.example.com/p/' || CAST(doc_id // 6 AS VARCHAR)
+      WHEN 1 THEN 'HTTPS://' || upper(source) || '.Example.COM:443/p/' || CAST(doc_id // 6 AS VARCHAR)
+      WHEN 2 THEN 'https://' || source || '.example.com/p/' || CAST(doc_id // 6 AS VARCHAR) || '/'
+      WHEN 3 THEN 'https://' || source || '.example.com/p/' || CAST(doc_id // 6 AS VARCHAR) || '?utm_source=feed&utm_campaign=x'
+      WHEN 4 THEN 'https://' || source || '.example.com/p/' || CAST(doc_id // 6 AS VARCHAR) || '?fbclid=abc'
+      ELSE 'https://' || source || '.example.com/p/' || CAST(doc_id // 6 AS VARCHAR) || '#section-2'
+    END AS url_raw
+  FROM documents),
+u0 AS (SELECT doc_id, url_raw, string_split(url_raw, '#')[1] AS u FROM messy),
+u1 AS (SELECT *, lower(regexp_extract(u, '^([A-Za-z][A-Za-z0-9+.-]*)://', 1)) AS scheme,
+              regexp_replace(u, '^[A-Za-z][A-Za-z0-9+.-]*://', '') AS rest FROM u0),
+u2 AS (SELECT *, lower(regexp_extract(rest, '^([^/?]*)', 1)) AS hostport,
+              regexp_replace(rest, '^[^/?]*', '') AS pathq FROM u1),
+u3 AS (SELECT *,
+        CASE WHEN scheme = 'http' THEN regexp_replace(hostport, ':80$', '')
+             WHEN scheme = 'https' THEN regexp_replace(hostport, ':443$', '')
+             ELSE hostport END AS host,
+        string_split(pathq, '?')[1] AS path0,
+        CASE WHEN instr(pathq, '?') > 0 THEN string_split(pathq, '?')[2] ELSE '' END AS query FROM u2),
+u4 AS (SELECT *,
+        CASE WHEN regexp_replace(path0, '/+$', '') = '' THEN '/'
+             ELSE regexp_replace(path0, '/+$', '') END AS path,
+        list_sort(list_filter(string_split(query, '&'),
+          p -> p <> '' AND NOT regexp_matches(p, '^(utm_[^=]*|fbclid|gclid|ref)='))) AS params FROM u3),
+normu AS (
+  SELECT doc_id, url_raw,
+         scheme || '://' || host || path ||
+         CASE WHEN len(params) > 0 THEN '?' || array_to_string(params, '&') ELSE '' END AS url_norm
+  FROM u4)
+SELECT doc_id, url_raw, url_norm,
+       CAST(COUNT(*) OVER (PARTITION BY url_norm) AS BIGINT) AS n_variants,
+       CAST(CASE WHEN doc_id = MIN(doc_id) OVER (PARTITION BY url_norm) THEN 1 ELSE 0 END AS INT) AS is_canonical
+FROM normu"""
