@@ -93,6 +93,75 @@ def read_day(spark: SparkSession, path: str, day_idx: int) -> DataFrame:
     return spark.read.parquet(path).where(F.col("day_idx") == day_idx)
 
 
+def merge_composite(spark: SparkSession, path: str, deltas: DataFrame,
+                    n_buckets: int = 16) -> list[tuple[int, int]]:
+    """Partition-scoped MERGE of re-crawl triple deltas into a
+    composite ``day_idx x url_bucket`` store: rewrite ONLY the cells
+    the deltas touch, never the whole table — at 10^12 docs a daily
+    re-crawl touches a handful of (day, bucket) cells and this is the
+    difference between rewriting gigabytes and rewriting the table.
+
+    ``deltas``: (url, subj, pred, obj, op '+'/'-', crawl_seq,
+    day_idx) — day_idx names the store partition the row lands in /
+    is retracted from (recrawl_diff's per-url state knows it).  Per
+    (day_idx, key) the LAST op by crawl_seq wins, same semantics as
+    streaming/stateful.apply_triple_deltas.
+
+    Mechanics: the touched-cell list is collected (bounded: one row
+    per touched partition, NOT per delta); the store scan is pruned to
+    those cells; the rewrite uses dynamic partition overwrite so
+    untouched directories' files are never opened or replaced.  Cells
+    whose rows are ALL retracted produce no output rows — dynamic
+    overwrite skips them, so their directories are removed explicitly.
+    Iceberg does this swap transactionally (RewriteFiles); the parquet
+    stand-in documents the non-atomic window instead of hiding it.
+
+    Returns the touched (day_idx, url_bucket) list (lineage row).
+    """
+    import shutil
+
+    key = ["url", "subj", "pred", "obj"]
+    d = deltas if "url_bucket" in deltas.columns \
+        else with_url_bucket(deltas, n_buckets)
+    cells = sorted({(r["day_idx"], r["url_bucket"])
+                    for r in d.select("day_idx", "url_bucket")
+                    .distinct().collect()})
+    if not cells:
+        return []
+    cond = None
+    for day, bucket in cells:
+        c = (F.col("day_idx") == day) & (F.col("url_bucket") == bucket)
+        cond = c if cond is None else cond | c
+    affected = spark.read.parquet(path).where(cond)
+
+    from pyspark.sql import Window
+
+    w = (Window.partitionBy("day_idx", *key)
+         .orderBy(F.col("crawl_seq").desc()))
+    last = (d.withColumn("_rn", F.row_number().over(w))
+            .where(F.col("_rn") == 1))
+    adds = last.where(F.col("op") == "+") \
+        .select("day_idx", "url_bucket", *key)
+    dels = last.where(F.col("op") == "-") \
+        .select("day_idx", *key)
+    kept = (affected.select("day_idx", "url_bucket", *key)
+            .join(dels, ["day_idx", *key], "left_anti"))
+    merged = kept.unionByName(adds) \
+        .dropDuplicates(["day_idx", *key]).localCheckpoint()
+
+    (merged.write.mode("overwrite")
+     .option("partitionOverwriteMode", "dynamic")
+     .partitionBy("day_idx", "url_bucket").parquet(path))
+
+    nonempty = {(r["day_idx"], r["url_bucket"]) for r in
+                merged.select("day_idx", "url_bucket").distinct().collect()}
+    for day, bucket in cells:
+        if (day, bucket) not in nonempty:
+            shutil.rmtree(f"{path}/day_idx={day}/url_bucket={bucket}",
+                          ignore_errors=True)
+    return cells
+
+
 def compact_partitions(spark: SparkSession, path: str,
                        target_files_per_day: int = 1) -> None:
     """Rewrite each day partition down to a bounded file count (the

@@ -273,3 +273,68 @@ def test_composite_bucket_day_scan_prunes_both_axes(spark, tmp_path):
         .drop("day_idx", "url_bucket").collect()}
     assert {tuple(r) for r in got.drop("day_idx", "url_bucket").collect()} == want
     assert len(want) >= 1
+
+
+def test_merge_composite_rewrites_only_touched_cells(spark, tmp_path):
+    """Partition-scoped MERGE: result rows equal a full-table merge,
+    untouched cell files are byte-identical (never rewritten), and a
+    fully-retracted cell's directory disappears."""
+    import glob
+    import os
+
+    from ehr_relation_extraction_spark.plans.partitioned import (
+        merge_composite, with_url_bucket)
+
+    n_buckets = 2
+    rows = [(f"https://h{i % 4}.ex/{i}", f"S{i}", "pred", f"O{i}",
+             1000 + i % 3) for i in range(40)]
+    store = with_url_bucket(spark.createDataFrame(
+        rows, "url string, subj string, pred string, obj string, day_idx int"),
+        n_buckets)
+    path = str(tmp_path / "composite_store")
+    store.write.partitionBy("day_idx", "url_bucket").parquet(path)
+
+    before = {f: (os.path.getmtime(f), os.path.getsize(f))
+              for f in glob.glob(f"{path}/day_idx=*/url_bucket=*/*.parquet")}
+    full_before = {tuple(r) for r in spark.read.parquet(path)
+                   .select("url", "subj", "pred", "obj", "day_idx").collect()}
+
+    # retract one existing triple, add one new, and retract EVERY row
+    # of one specific cell
+    sample = store.collect()
+    victim = sample[0]
+    cell_day, cell_bucket = 1002, 1
+    cell_rows = [r for r in sample
+                 if r["day_idx"] == cell_day and r["url_bucket"] == cell_bucket]
+    assert cell_rows, "fixture must populate the victim cell"
+    deltas = [(victim["url"], victim["subj"], "pred", victim["obj"], "-",
+               5, victim["day_idx"])]
+    deltas += [(r["url"], r["subj"], "pred", r["obj"], "-", 5, cell_day)
+               for r in cell_rows]
+    deltas += [("https://h9.ex/new", "SN", "pred", "ON", "+", 5, 1000)]
+    ddf = spark.createDataFrame(
+        deltas, "url string, subj string, pred string, obj string, "
+                "op string, crawl_seq int, day_idx int")
+
+    touched = merge_composite(spark, path, ddf, n_buckets)
+    assert (cell_day, cell_bucket) in touched
+
+    got = {tuple(r) for r in spark.read.parquet(path)
+           .select("url", "subj", "pred", "obj", "day_idx").collect()}
+    dropped = {(victim["url"], victim["subj"], "pred", victim["obj"],
+                victim["day_idx"])}
+    dropped |= {(r["url"], r["subj"], "pred", r["obj"], cell_day)
+                for r in cell_rows}
+    want = (full_before - dropped) | {("https://h9.ex/new", "SN", "pred",
+                                       "ON", 1000)}
+    assert got == want
+
+    # untouched cells: same files, same mtime+size
+    touched_dirs = {f"day_idx={d}/url_bucket={b}" for d, b in touched}
+    for f, sig in before.items():
+        rel = "/".join(f.split("/")[-3:-1])
+        if rel not in touched_dirs:
+            assert os.path.exists(f) and (
+                os.path.getmtime(f), os.path.getsize(f)) == sig, f
+    # fully-retracted cell directory is gone
+    assert not os.path.exists(f"{path}/day_idx={cell_day}/url_bucket={cell_bucket}")
