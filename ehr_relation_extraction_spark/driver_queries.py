@@ -478,6 +478,30 @@ def q_url_canonical(spark, sf_dir) -> DataFrame:
         "doc_id", "url_raw", "url_norm", "n_variants", "is_canonical")
 
 
+def q_boilerplate_strip(spark, sf_dir) -> DataFrame:
+    """Host-level line dedup over deterministically synthesized
+    nav/footer lines (fixture text has no newlines)."""
+    return ts.boilerplate_strip(ts.with_synth_lines(
+        _docs(spark, sf_dir))).select(
+        "doc_id", "n_lines", "n_boiler_lines", "text_clean")
+
+
+def q_kg_support(spark, sf_dir) -> DataFrame:
+    """Evidence aggregation per canonical triple (docs, hosts, crawl
+    day range)."""
+    return tri_op.kg_support(_frames(spark, sf_dir).triples).select(
+        "subj", "pred", "obj", "n_docs", "n_hosts", "first_day",
+        "last_day")
+
+
+def q_entity_centroids(spark, sf_dir) -> DataFrame:
+    """Quantized mean doc embedding per canonical entity (KG <->
+    vector-index bridge)."""
+    _, linked, _ = _linked(spark, sf_dir)
+    return lk.entity_centroids(linked, _emb(spark, sf_dir)).select(
+        "canonical_id", "dim", "n_docs", "sum_q6", "mean_q6")
+
+
 def q_quality_model(spark, sf_dir) -> DataFrame:
     """Learned quality classifier distilled from the rule gate —
     trains INSIDE the query (bit-deterministic distributed full-batch
@@ -775,6 +799,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "ivf_centroids": q_ivf_centroids,
     "url_canonical": q_url_canonical,
     "quality_model": q_quality_model,
+    "boilerplate_strip": q_boilerplate_strip,
+    "kg_support": q_kg_support,
+    "entity_centroids": q_entity_centroids,
 }
 
 

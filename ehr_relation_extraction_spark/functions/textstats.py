@@ -476,3 +476,59 @@ def fingerprint(docs: DataFrame) -> DataFrame:
     return (sh.groupBy("doc_id")
             .agg(F.min(F.md5("shingle")).alias("fingerprint"),
                  F.count(F.lit(1)).cast("long").alias("n_shingles")))
+
+
+def with_synth_lines(docs: DataFrame) -> DataFrame:
+    """Wrap each doc's text in deterministic host-level nav/footer
+    lines (the fixture corpus has no newlines, so the driver query
+    synthesizes the line structure — both engines identically, like
+    url_canonical's messy urls)."""
+    wrapped = F.concat(
+        F.lit("HOME | "), F.col("source"), F.lit(" | NAV\n"),
+        F.col("text"),
+        F.lit("\nCopyright 2024 "), F.col("source"), F.lit(" footer"))
+    return docs.withColumn("text", wrapped)
+
+
+def boilerplate_strip(docs: DataFrame, min_docs: int = 3,
+                      frac_pct: int = 50) -> DataFrame:
+    """Host-level line dedup — the CCNet/RefinedWeb boilerplate
+    remover: a line occurring in >= ``min_docs`` docs AND >=
+    ``frac_pct``% of a host's docs (nav bars, footers, cookie
+    banners) is stripped from every doc of that host.
+
+    Output: (doc_id, n_lines, n_boiler_lines, text_clean) where
+    text_clean rejoins the surviving lines in order.
+
+    Scale: two hash-aggregates (per-host doc counts, per-(host, line)
+    doc counts — both map-side combinable) + one anti-join of the
+    exploded lines against the boilerplate set, which is small (it is
+    capped by lines shared across >= frac_pct of a host) and
+    broadcastable per host at 100 TB; the rebuild is one grouped
+    sort_array, shuffled once on doc_id.
+    """
+    lines = docs.select(
+        "doc_id", "source",
+        F.posexplode(F.split("text", "\n")).alias("line_idx", "line"))
+    host_docs = docs.groupBy("source").agg(
+        F.countDistinct("doc_id").alias("_host_n"))
+    line_counts = lines.groupBy("source", "line").agg(
+        F.countDistinct("doc_id").alias("_line_n"))
+    boiler = (line_counts.join(host_docs, "source")
+              .where((F.col("_line_n") >= min_docs)
+                     & (F.lit(100) * F.col("_line_n")
+                        >= F.lit(frac_pct) * F.col("_host_n")))
+              .select("source", "line"))
+    flagged = lines.join(F.broadcast(boiler.withColumn("_is_boiler", F.lit(1))),
+                         ["source", "line"], "left")
+    return (flagged.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_lines"),
+        F.sum(F.coalesce("_is_boiler", F.lit(0))).cast("long")
+            .alias("n_boiler_lines"),
+        F.array_join(
+            F.transform(
+                F.sort_array(F.collect_list(F.when(
+                    F.col("_is_boiler").isNull(),
+                    F.struct("line_idx", "line")))),
+                lambda s: s["line"]),
+            "\n").alias("text_clean")))

@@ -297,3 +297,36 @@ def materialize_edges(triples: DataFrame, linked_mentions: DataFrame,
          .withColumn("obj_node", F.coalesce("obj_node", "_ocanon")))
     return (t.groupBy("subj_node", "pred", "obj_node")
             .agg(F.count(F.lit(1)).cast("long").alias("weight")))
+
+
+def entity_centroids(linked_mentions: DataFrame, emb: DataFrame) -> DataFrame:
+    """Mean document embedding per canonical entity — the bridge
+    between the KG and the vector index: an entity's centroid is the
+    quantized mean of the embeddings of the docs that mention it
+    (vec_id keys the same corpus ids as doc_id, TESTDATA.md).
+
+    Integer micro-unit quantization BEFORE summing makes the per-dim
+    sums order-independent (exact under any partitioning, exact SQL
+    oracle) — same contract as similarity.ivf_centroid_update.
+    Output: (canonical_id, dim, n_docs, sum_q6, mean_q6).
+
+    Scale: mention->doc pairs are distinct-projected before the join
+    (one row per (entity, doc)); the explode emits dim rows per pair
+    and the aggregate is map-side combinable on (canonical_id, dim).
+    """
+    pairs = linked_mentions.select("canonical_id", "doc_id").dropDuplicates()
+    q = emb.select(
+        F.col("vec_id").alias("doc_id"),
+        F.posexplode(F.transform(
+            F.col("embedding").cast("array<double>"),
+            lambda x: F.floor(x * 1000000).cast("long")))
+        .alias("dim", "q6"))
+    return (pairs.join(q, "doc_id")
+            .groupBy("canonical_id", "dim")
+            .agg(F.count(F.lit(1)).cast("long").alias("n_docs"),
+                 F.sum("q6").cast("long").alias("sum_q6"))
+            .withColumn("mean_q6",
+                        F.floor(F.col("sum_q6") / F.col("n_docs"))
+                        .cast("long"))
+            .select("canonical_id", F.col("dim").cast("int").alias("dim"),
+                    "n_docs", "sum_q6", "mean_q6"))

@@ -44,3 +44,25 @@ def wide_table(triples: DataFrame) -> DataFrame:
 def distinct_subjects(triples: DataFrame) -> DataFrame:
     """G4: sorted distinct subject ids (utils.py:185)."""
     return triples.select("url", "subj_id", "subj").distinct()
+
+
+def kg_support(triples: DataFrame) -> DataFrame:
+    """Evidence scoring per canonical triple — the KG-construction
+    step after dedup: how broadly is (subj, pred, obj) attested?
+    (n_docs, n_hosts, first_day, last_day) per triple; n_hosts is the
+    anti-spam signal (one host repeating a claim 1M times is weaker
+    evidence than 100 hosts saying it once).
+
+    day derives from the synthetic crawl clock (warc_ts = CRAWL_EPOCH
+    + doc_id seconds, sources/pages.py) so the aggregate needs no side
+    join.  One hash-aggregate, map-side combinable, single shuffle on
+    the triple key.
+    """
+    host = F.regexp_extract("url", r"^https?://([^/]*)", 1)
+    day = F.expr("(1704067200 + doc_id) div 86400")
+    return (triples
+            .groupBy("subj", "pred", "obj")
+            .agg(F.countDistinct("doc_id").cast("long").alias("n_docs"),
+                 F.countDistinct(host).cast("long").alias("n_hosts"),
+                 F.min(day).cast("long").alias("first_day"),
+                 F.max(day).cast("long").alias("last_day")))

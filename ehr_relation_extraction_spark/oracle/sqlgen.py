@@ -1639,3 +1639,54 @@ SELECT doc_id, url_raw, url_norm,
        CAST(COUNT(*) OVER (PARTITION BY url_norm) AS BIGINT) AS n_variants,
        CAST(CASE WHEN doc_id = MIN(doc_id) OVER (PARTITION BY url_norm) THEN 1 ELSE 0 END AS INT) AS is_canonical
 FROM normu"""
+
+ORACLE["boilerplate_strip"] = """
+WITH wrapped AS (
+  SELECT doc_id, source,
+         'HOME | ' || source || ' | NAV' || chr(10) || text || chr(10) ||
+         'Copyright 2024 ' || source || ' footer' AS text
+  FROM documents),
+lines AS (
+  SELECT doc_id, source,
+         unnest(string_split(text, chr(10))) AS line,
+         generate_subscripts(string_split(text, chr(10)), 1) AS line_idx
+  FROM wrapped),
+host_docs AS (SELECT source, COUNT(DISTINCT doc_id) AS host_n
+              FROM wrapped GROUP BY source),
+line_counts AS (SELECT source, line, COUNT(DISTINCT doc_id) AS line_n
+                FROM lines GROUP BY source, line),
+boiler AS (
+  SELECT lc.source, lc.line
+  FROM line_counts lc JOIN host_docs h ON lc.source = h.source
+  WHERE lc.line_n >= 3 AND 100 * lc.line_n >= 50 * h.host_n),
+flagged AS (
+  SELECT l.doc_id, l.line_idx, l.line,
+         CASE WHEN b.line IS NOT NULL THEN 1 ELSE 0 END AS is_b
+  FROM lines l LEFT JOIN boiler b
+    ON l.source = b.source AND l.line = b.line)
+SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_lines,
+       CAST(SUM(is_b) AS BIGINT) AS n_boiler_lines,
+       COALESCE(string_agg(CASE WHEN is_b = 0 THEN line END, chr(10)
+                           ORDER BY line_idx), '') AS text_clean
+FROM flagged GROUP BY doc_id"""
+
+ORACLE["kg_support"] = _q("""
+SELECT subj, pred, obj,
+       CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs,
+       CAST(COUNT(DISTINCT regexp_extract(url, '^https?://([^/]*)', 1)) AS BIGINT) AS n_hosts,
+       CAST(MIN((1704067200 + doc_id) // 86400) AS BIGINT) AS first_day,
+       CAST(MAX((1704067200 + doc_id) // 86400) AS BIGINT) AS last_day
+FROM triples GROUP BY subj, pred, obj""")
+
+ORACLE["entity_centroids"] = _q("""
+, epairs AS (SELECT DISTINCT canonical_id, doc_id FROM linked),
+eq AS (
+  SELECT e.vec_id AS doc_id, CAST(i - 1 AS INT) AS dim,
+         CAST(floor((CAST(e.embedding AS DOUBLE[]))[CAST(i AS INT)] * 1000000) AS BIGINT) AS q6
+  FROM embeddings e, unnest(generate_series(1, len(e.embedding))) AS t(i))
+SELECT p.canonical_id, q.dim,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(q.q6) AS BIGINT) AS sum_q6,
+       CAST(floor(SUM(q.q6) / COUNT(*)) AS BIGINT) AS mean_q6
+FROM epairs p JOIN eq q ON p.doc_id = q.doc_id
+GROUP BY p.canonical_id, q.dim""", LINK_CTES)

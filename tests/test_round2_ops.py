@@ -168,3 +168,61 @@ def test_quality_model_learns_the_gate(spark):
     v2 = quality_model_verdicts(docs.repartition(3))
     assert (sorted(map(tuple, v.collect()))
             == sorted(map(tuple, v2.collect())))
+
+
+def test_boilerplate_strip_removes_host_nav(spark):
+    """Nav/footer lines shared by >= 3 docs (>= 50% of host) vanish;
+    unique content lines survive in order; a rare shared line below
+    the doc-count floor survives."""
+    from ehr_relation_extraction_spark.functions.textstats import (
+        boilerplate_strip)
+
+    nav, foot = "HOME | NAV", "(c) footer"
+    rows = [(i, f"{nav}\ncontent {i} line one\nsecond {i}\n{foot}", "h1")
+            for i in range(4)]
+    rows += [(10, "rare\nunique ten", "h2"), (11, "rare\nunique eleven", "h2")]
+    docs = spark.createDataFrame(rows, "doc_id long, text string, source string")
+    got = {r["doc_id"]: r for r in boilerplate_strip(docs).collect()}
+    for i in range(4):
+        assert got[i]["text_clean"] == f"content {i} line one\nsecond {i}"
+        assert got[i]["n_lines"] == 4 and got[i]["n_boiler_lines"] == 2
+    # 'rare' is 100% of h2 but only 2 docs < min_docs=3 -> kept
+    assert got[10]["text_clean"] == "rare\nunique ten"
+    assert got[10]["n_boiler_lines"] == 0
+
+
+def test_kg_support_counts(spark):
+    from ehr_relation_extraction_spark.operators.triples import kg_support
+
+    rows = [
+        (0, "https://a.ex/0", "S", "p", "O"),
+        (1, "https://a.ex/1", "S", "p", "O"),
+        (2, "https://b.ex/2", "S", "p", "O"),
+        (3, "https://b.ex/3", "X", "p", "Y"),
+    ]
+    t = spark.createDataFrame(
+        rows, "doc_id long, url string, subj string, pred string, obj string")
+    got = {(r["subj"], r["pred"], r["obj"]): r for r in kg_support(t).collect()}
+    spo = got[("S", "p", "O")]
+    assert spo["n_docs"] == 3 and spo["n_hosts"] == 2
+    assert spo["first_day"] == 1704067200 // 86400
+    assert got[("X", "p", "Y")]["n_docs"] == 1
+
+
+def test_entity_centroids_match_numpy(spark):
+    from ehr_relation_extraction_spark.operators.linking import (
+        entity_centroids)
+
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    linked = spark.createDataFrame(
+        [("E1", 0), ("E1", 1), ("E1", 1), ("E2", 2)],
+        "canonical_id string, doc_id long")
+    got = {(r["canonical_id"], r["dim"]): (r["n_docs"], r["sum_q6"], r["mean_q6"])
+           for r in entity_centroids(linked, emb).collect()}
+    vecs = {r["vec_id"]: np.array(r["embedding"], dtype=np.float64)
+            for r in emb.where(F.col("vec_id") < 3).collect()}
+    for ent, ids in (("E1", [0, 1]), ("E2", [2])):
+        q = np.stack([np.floor(vecs[i] * 1e6).astype(np.int64) for i in ids])
+        for d in range(q.shape[1]):
+            s = int(q[:, d].sum())
+            assert got[(ent, d)] == (len(ids), s, int(np.floor(s / len(ids))))
