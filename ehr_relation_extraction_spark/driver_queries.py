@@ -502,6 +502,13 @@ def q_entity_centroids(spark, sf_dir) -> DataFrame:
         "canonical_id", "dim", "n_docs", "sum_q6", "mean_q6")
 
 
+def q_passage_dups(spark, sf_dir) -> DataFrame:
+    """Windowed exact passage dedup over the synthesized shared-quote
+    fixture (every 7th doc carries the quote)."""
+    return ts.passage_dups(ts.with_synth_quote(_docs(spark, sf_dir))).select(
+        "doc_id", "win_start", "passage_hash", "n_docs_sharing")
+
+
 def q_quality_model(spark, sf_dir) -> DataFrame:
     """Learned quality classifier distilled from the rule gate —
     trains INSIDE the query (bit-deterministic distributed full-batch
@@ -802,6 +809,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "boilerplate_strip": q_boilerplate_strip,
     "kg_support": q_kg_support,
     "entity_centroids": q_entity_centroids,
+    "passage_dups": q_passage_dups,
 }
 
 

@@ -532,3 +532,60 @@ def boilerplate_strip(docs: DataFrame, min_docs: int = 3,
                     F.struct("line_idx", "line")))),
                 lambda s: s["line"]),
             "\n").alias("text_clean")))
+
+
+#: deterministic 22-token shared passage for the passage-dedup fixture
+#: (the synthetic corpus has no naturally repeated 20-token windows)
+SYNTH_QUOTE = ("in the beginning the web was small and pages were few "
+               "but crawlers grew and the corpus swelled beyond measure "
+               "every day")
+
+
+def with_synth_quote(docs: DataFrame) -> DataFrame:
+    """Prepend the shared quote to every 7th doc — the deterministic
+    duplicated-passage fixture (both engines wrap identically)."""
+    return docs.withColumn(
+        "text",
+        F.when(F.pmod(F.col("doc_id"), F.lit(7)) == 0,
+               F.concat(F.lit(SYNTH_QUOTE + " "), F.col("text")))
+        .otherwise(F.col("text")))
+
+
+def passage_dups(docs: DataFrame, win: int = 20,
+                 stride: int = 10) -> DataFrame:
+    """Passage-level exact dedup (the windowed form of Lee et al.'s
+    substring deduplication): hash every ``win``-token window at
+    ``stride`` offsets; windows whose hash occurs in >= 2 docs are
+    duplicated passages — quotes, syndicated paragraphs, licenses —
+    that document-level near-dup misses because the surrounding text
+    differs.
+
+    Output: one row per occurrence of a duplicated window
+    (doc_id, win_start, passage_hash, n_docs_sharing).
+
+    Scale: windows are built from the token array per doc (no join);
+    the only shuffle is the hash-count aggregate + the count-back
+    join, both keyed on the 32-byte hash.  Window count is
+    n_tokens/stride per doc — linear in corpus size with a small
+    constant, the standard trade against full suffix arrays.
+    """
+    toks = _toks()
+    n = F.size(toks)
+    starts = F.when(n >= win,
+                    F.sequence(F.lit(0), n - win, F.lit(stride))) \
+        .otherwise(F.array().cast("array<int>"))
+    wins = F.transform(
+        starts,
+        lambda s: F.struct(
+            s.alias("win_start"),
+            F.md5(F.array_join(F.slice(toks, s + 1, win), " "))
+            .alias("passage_hash")))
+    wh = (docs.select("doc_id", F.explode(wins).alias("w"))
+          .select("doc_id", F.col("w.win_start").cast("int").alias("win_start"),
+                  F.col("w.passage_hash").alias("passage_hash")))
+    cnt = (wh.groupBy("passage_hash")
+           .agg(F.countDistinct("doc_id").cast("long")
+                .alias("n_docs_sharing"))
+           .where(F.col("n_docs_sharing") >= 2))
+    return wh.join(cnt, "passage_hash").select(
+        "doc_id", "win_start", "passage_hash", "n_docs_sharing")

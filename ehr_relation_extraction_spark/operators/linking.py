@@ -167,6 +167,53 @@ def expanded_gazetteer(fuzzy: DataFrame,
     return tuple(base) + extra
 
 
+def review_queue(fuzzy: DataFrame,
+                 accept_pct: int = ACCEPT_FUZZY_JACCARD_PCT,
+                 band_pct: int = 15) -> DataFrame:
+    """The human-review queue for the second linking pass: rank-1
+    fuzzy candidates in the GRAY band just below the auto-accept
+    threshold — high enough to be plausible, too low to auto-accept.
+    Auto-accepted and clearly-rejected pairs never reach a human.
+    Output: (surface, alias, ent_type, canonical_id, jaccard_micro6),
+    ordered for triage by descending score."""
+    lo = (accept_pct - band_pct) * 10_000
+    hi = accept_pct * 10_000
+    return (fuzzy
+            .where((F.col("cand_rank") == 1)
+                   & (F.col("jaccard_micro6") >= lo)
+                   & (F.col("jaccard_micro6") < hi))
+            .select("surface", "alias", "ent_type", "canonical_id",
+                    "jaccard_micro6")
+            .orderBy(F.col("jaccard_micro6").desc(), "surface"))
+
+
+def apply_alias_reviews(fuzzy: DataFrame, decisions: DataFrame,
+                        base=GAZETTEER,
+                        accept_pct: int = ACCEPT_FUZZY_JACCARD_PCT,
+                        ) -> tuple:
+    """Merge human review decisions into the expanded gazetteer:
+    ``decisions`` is (surface, ent_type, decision 'accept'|'reject').
+    A reviewed 'accept' joins the gazetteer even below the auto
+    threshold; a reviewed 'reject' removes the pair even when the
+    automatic rule would accept it; unreviewed surfaces fall back to
+    the automatic rank-1 + threshold gate.  Same bounded-broadcast
+    contract as expanded_gazetteer (decisions are human-sized)."""
+    auto = accepted_fuzzy_aliases(fuzzy, accept_pct)
+    d = decisions.select("surface", "ent_type", "decision")
+    rejected = d.where(F.col("decision") == "reject") \
+        .select("surface", "ent_type")
+    kept_auto = auto.join(rejected, ["surface", "ent_type"], "left_anti")
+    accepted_rows = (d.where(F.col("decision") == "accept")
+                     .join(fuzzy.where(F.col("cand_rank") == 1)
+                           .select("surface", "ent_type", "canonical_id"),
+                           ["surface", "ent_type"])
+                     .select("surface", "ent_type", "canonical_id"))
+    rows = kept_auto.unionByName(accepted_rows).dropDuplicates().collect()
+    extra = tuple(sorted((r["surface"], r["ent_type"], r["canonical_id"])
+                         for r in rows))
+    return tuple(base) + extra
+
+
 def overlap_edges(linked_mentions: DataFrame) -> DataFrame:
     """Undirected similarity edges: overlapping spans in one doc that
     link to different canonical entities.  Self-join on url with a

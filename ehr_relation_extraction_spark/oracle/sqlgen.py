@@ -1690,3 +1690,40 @@ SELECT p.canonical_id, q.dim,
        CAST(floor(SUM(q.q6) / COUNT(*)) AS BIGINT) AS mean_q6
 FROM epairs p JOIN eq q ON p.doc_id = q.doc_id
 GROUP BY p.canonical_id, q.dim""", LINK_CTES)
+
+from ..functions.textstats import SYNTH_QUOTE as _SYNTH_QUOTE  # noqa: E402
+
+ORACLE["passage_dups"] = f"""
+WITH wrapped AS (
+  SELECT doc_id,
+         CASE WHEN doc_id % 7 = 0 THEN '{_SYNTH_QUOTE} ' || text
+              ELSE text END AS text
+  FROM documents),
+rt AS (
+  SELECT doc_id,
+         unnest(string_split_regex(text, '{SEP_CLASS}')) AS tok,
+         generate_subscripts(string_split_regex(text, '{SEP_CLASS}'), 1) AS piece_idx
+  FROM wrapped),
+tk AS (
+  SELECT doc_id, tok AS token,
+         CAST(ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY piece_idx) - 1 AS INT) AS tok_idx,
+         CAST(COUNT(*) OVER (PARTITION BY doc_id) AS INT) AS n_tokens
+  FROM rt WHERE tok <> ''),
+wstarts AS (
+  SELECT doc_id, tok_idx AS win_start
+  FROM tk WHERE tok_idx % 10 = 0 AND tok_idx + 20 <= n_tokens),
+wintoks AS (
+  SELECT s.doc_id, s.win_start, t.token, t.tok_idx
+  FROM wstarts s JOIN tk t ON t.doc_id = s.doc_id
+   AND t.tok_idx >= s.win_start AND t.tok_idx < s.win_start + 20),
+wh AS (
+  SELECT doc_id, win_start,
+         md5(string_agg(token, ' ' ORDER BY tok_idx)) AS passage_hash
+  FROM wintoks GROUP BY doc_id, win_start),
+cnt AS (
+  SELECT passage_hash, CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs_sharing
+  FROM wh GROUP BY passage_hash)
+SELECT w.doc_id, CAST(w.win_start AS INT) AS win_start, w.passage_hash,
+       c.n_docs_sharing
+FROM wh w JOIN cnt c USING (passage_hash)
+WHERE c.n_docs_sharing >= 2"""

@@ -226,3 +226,59 @@ def test_entity_centroids_match_numpy(spark):
         for d in range(q.shape[1]):
             s = int(q[:, d].sum())
             assert got[(ent, d)] == (len(ids), s, int(np.floor(s / len(ids))))
+
+
+def test_passage_dups_finds_shared_window(spark):
+    """Two docs sharing an aligned 20-token passage are flagged at
+    exactly that window; unique windows never appear."""
+    from ehr_relation_extraction_spark.functions.textstats import (
+        passage_dups)
+
+    shared = " ".join(f"w{i}" for i in range(20))
+    docs = spark.createDataFrame(
+        [(0, shared + " " + " ".join(f"a{i}" for i in range(20)), "s"),
+         (1, shared + " " + " ".join(f"b{i}" for i in range(20)), "s"),
+         (2, " ".join(f"c{i}" for i in range(40)), "s")],
+        "doc_id long, text string, source string")
+    rows = passage_dups(docs).collect()
+    assert {(r["doc_id"], r["win_start"]) for r in rows} == {(0, 0), (1, 0)}
+    assert all(r["n_docs_sharing"] == 2 for r in rows)
+
+
+def test_alias_review_queue_and_decisions(spark):
+    """Review queue holds only the gray band; decisions override the
+    automatic gate in both directions."""
+    from ehr_relation_extraction_spark.operators.linking import (
+        apply_alias_reviews, review_queue)
+    from ehr_relation_extraction_spark.config import (
+        ACCEPT_FUZZY_JACCARD_PCT, GAZETTEER)
+
+    hi = ACCEPT_FUZZY_JACCARD_PCT * 10_000
+    rows = [
+        ("autoacc", 1000, "aliasA", "T", "C1", 9, 10, hi + 5, 1),
+        ("grayone", 1000, "aliasB", "T", "C2", 8, 11, hi - 5, 1),
+        ("tooweak", 1000, "aliasC", "T", "C3", 2, 20,
+         (ACCEPT_FUZZY_JACCARD_PCT - 20) * 10_000, 1),
+    ]
+    fuzzy = spark.createDataFrame(
+        rows, "surface string, n_occur long, alias string, ent_type string, "
+              "canonical_id string, n_inter int, n_union int, "
+              "jaccard_micro6 long, cand_rank int")
+
+    q = review_queue(fuzzy)
+    assert [r["surface"] for r in q.collect()] == ["grayone"]
+
+    decisions = spark.createDataFrame(
+        [("grayone", "T", "accept"), ("autoacc", "T", "reject")],
+        "surface string, ent_type string, decision string")
+    gaz = apply_alias_reviews(fuzzy, decisions)
+    extra = set(gaz) - set(GAZETTEER)
+    assert ("grayone", "T", "C2") in extra      # human accept wins
+    assert ("autoacc", "T", "C1") not in extra  # human reject wins
+    assert ("tooweak", "T", "C3") not in extra  # unreviewed weak stays out
+
+    # no decisions -> exactly the automatic gate
+    none = spark.createDataFrame(
+        [], "surface string, ent_type string, decision string")
+    auto = set(apply_alias_reviews(fuzzy, none)) - set(GAZETTEER)
+    assert auto == {("autoacc", "T", "C1")}
