@@ -509,6 +509,24 @@ def q_passage_dups(spark, sf_dir) -> DataFrame:
         "doc_id", "win_start", "passage_hash", "n_docs_sharing")
 
 
+def q_entity_neighbors(spark, sf_dir) -> DataFrame:
+    """Top-5 related entities per entity by centroid cosine (integer
+    dot products; float only in the rank ORDER, identical IEEE ops
+    both engines)."""
+    _, linked, _ = _linked(spark, sf_dir)
+    cents = lk.entity_centroids(linked, _emb(spark, sf_dir))
+    return lk.entity_neighbors(cents).select(
+        "ent_a", "ent_b", "dot_q", "norm_a_q", "norm_b_q", "rank")
+
+
+def q_triple_history(spark, sf_dir) -> DataFrame:
+    """SCD2 versioned KG over a deterministic synthetic crawl-delta
+    stream (operators/triples.synth_crawl_deltas)."""
+    t = _frames(spark, sf_dir).triples
+    return tri_op.triple_history(tri_op.synth_crawl_deltas(t)).select(
+        "url", "subj", "pred", "obj", "seq_from", "seq_to", "is_current")
+
+
 def q_quality_model(spark, sf_dir) -> DataFrame:
     """Learned quality classifier distilled from the rule gate —
     trains INSIDE the query (bit-deterministic distributed full-batch
@@ -810,6 +828,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "kg_support": q_kg_support,
     "entity_centroids": q_entity_centroids,
     "passage_dups": q_passage_dups,
+    "entity_neighbors": q_entity_neighbors,
+    "triple_history": q_triple_history,
 }
 
 

@@ -377,3 +377,49 @@ def entity_centroids(linked_mentions: DataFrame, emb: DataFrame) -> DataFrame:
                         .cast("long"))
             .select("canonical_id", F.col("dim").cast("int").alias("dim"),
                     "n_docs", "sum_q6", "mean_q6"))
+
+
+def entity_neighbors(centroids: DataFrame, top_k: int = 5) -> DataFrame:
+    """Top-k most similar entities per entity by centroid cosine —
+    'related entities' for KG curation/entity-resolution review.
+
+    All similarity math is INTEGER (dot products and squared norms of
+    the quantized mean_q6 centroids are exact in int64), so the SQL
+    oracle matches bit-for-bit; only the final rank ORDER uses the
+    float cosine, computed identically in both engines from the same
+    integers (IEEE division of exact ints), with (cos desc, ent_b)
+    tie-break.
+
+    Scale note: this is the exact all-pairs form for REVIEW-sized
+    entity sets (the canonical-entity dimension, gazetteer-bounded —
+    not corpus-sized).  For open-domain entity counts, route through
+    the ANN bucket path (operators/similarity.srp_buckets) instead.
+    Output: (ent_a, ent_b, dot_q, norm_a_q, norm_b_q, rank).
+    """
+    from pyspark.sql import Window
+
+    vec = (centroids.groupBy("canonical_id")
+           .agg(F.transform(
+               F.sort_array(F.collect_list(F.struct("dim", "mean_q6"))),
+               lambda s: s["mean_q6"]).alias("_v")))
+    a = vec.select(F.col("canonical_id").alias("ent_a"),
+                   F.col("_v").alias("_va"))
+    b = vec.select(F.col("canonical_id").alias("ent_b"),
+                   F.col("_v").alias("_vb"))
+    dot = F.aggregate(F.zip_with("_va", "_vb", lambda x, y: x * y),
+                      F.lit(0).cast("long"), lambda acc, v: acc + v)
+    nrm = lambda c: F.aggregate(  # noqa: E731
+        F.transform(c, lambda x: x * x),
+        F.lit(0).cast("long"), lambda acc, v: acc + v)
+    pairs = (a.join(b, F.col("ent_a") != F.col("ent_b"))
+             .select("ent_a", "ent_b", dot.alias("dot_q"),
+                     nrm(F.col("_va")).alias("norm_a_q"),
+                     nrm(F.col("_vb")).alias("norm_b_q")))
+    cos = (F.col("dot_q")
+           / F.sqrt(F.col("norm_a_q").cast("double")
+                    * F.col("norm_b_q").cast("double")))
+    w = Window.partitionBy("ent_a").orderBy(cos.desc(), F.col("ent_b"))
+    return (pairs.withColumn("rank", F.row_number().over(w).cast("int"))
+            .where(F.col("rank") <= top_k)
+            .select("ent_a", "ent_b", "dot_q", "norm_a_q", "norm_b_q",
+                    "rank"))

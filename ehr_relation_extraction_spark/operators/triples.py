@@ -66,3 +66,51 @@ def kg_support(triples: DataFrame) -> DataFrame:
                  F.countDistinct(host).cast("long").alias("n_hosts"),
                  F.min(day).cast("long").alias("first_day"),
                  F.max(day).cast("long").alias("last_day")))
+
+
+def triple_history(deltas: DataFrame) -> DataFrame:
+    """SCD2 validity intervals for a versioned KG: fold the (+/-)
+    delta stream (streaming/stateful.recrawl_diff's output contract)
+    into one row per presence interval of each triple —
+    (url, subj, pred, obj, seq_from, seq_to, is_current), seq_to = -1
+    for intervals still open.
+
+    recrawl_diff emits only STATE CHANGES per key (a '+' is always
+    followed by '-' or nothing), so each '+' pairs with the next event
+    on its key: a single window lead() per key, one shuffle, no
+    interval self-join.
+    """
+    from pyspark.sql import Window
+
+    key = ["url", "subj", "pred", "obj"]
+    w = Window.partitionBy(*key).orderBy("crawl_seq")
+    ev = (deltas
+          .withColumn("_nop", F.lead("op").over(w))
+          .withColumn("_nseq", F.lead("crawl_seq").over(w)))
+    return (ev.where(F.col("op") == "+")
+            .select(*key,
+                    F.col("crawl_seq").cast("long").alias("seq_from"),
+                    F.when(F.col("_nop") == "-", F.col("_nseq"))
+                    .otherwise(F.lit(-1)).cast("long").alias("seq_to"))
+            .withColumn("is_current",
+                        (F.col("seq_to") == -1).cast("int")))
+
+
+def synth_crawl_deltas(triples: DataFrame) -> DataFrame:
+    """Deterministic delta fixture for triple_history's oracle: every
+    distinct triple appears ('+') at seq = min(doc_id) % 5; the
+    quarter of triples whose key-md5 starts with 0-3 is retracted
+    ('-') two crawls later.  Both engines synthesize identically."""
+    base = (triples.groupBy("url", "subj", "pred", "obj")
+            .agg(F.min("doc_id").alias("_d")))
+    keymd5 = F.md5(F.concat_ws("|", "url", "subj", "pred", "obj"))
+    base = base.withColumn("_seq0", F.pmod(F.col("_d"), F.lit(5)).cast("int")) \
+               .withColumn("_retract", F.substring(keymd5, 1, 1)
+                           .isin("0", "1", "2", "3"))
+    plus = base.select("url", "subj", "pred", "obj",
+                       F.lit("+").alias("op"),
+                       F.col("_seq0").alias("crawl_seq"))
+    minus = base.where("_retract").select(
+        "url", "subj", "pred", "obj", F.lit("-").alias("op"),
+        (F.col("_seq0") + 2).cast("int").alias("crawl_seq"))
+    return plus.unionByName(minus)

@@ -1727,3 +1727,53 @@ SELECT w.doc_id, CAST(w.win_start AS INT) AS win_start, w.passage_hash,
        c.n_docs_sharing
 FROM wh w JOIN cnt c USING (passage_hash)
 WHERE c.n_docs_sharing >= 2"""
+
+ORACLE["entity_neighbors"] = _q("""
+, epairs AS (SELECT DISTINCT canonical_id, doc_id FROM linked),
+eq AS (
+  SELECT e.vec_id AS doc_id, CAST(i - 1 AS INT) AS dim,
+         CAST(floor((CAST(e.embedding AS DOUBLE[]))[CAST(i AS INT)] * 1000000) AS BIGINT) AS q6
+  FROM embeddings e, unnest(generate_series(1, len(e.embedding))) AS t(i)),
+cents AS (
+  SELECT p.canonical_id, q.dim,
+         CAST(floor(SUM(q.q6) / COUNT(*)) AS BIGINT) AS mean_q6
+  FROM epairs p JOIN eq q ON p.doc_id = q.doc_id
+  GROUP BY p.canonical_id, q.dim),
+vecs AS (
+  SELECT canonical_id, CAST(list(mean_q6 ORDER BY dim) AS DOUBLE[]) AS v
+  FROM cents GROUP BY canonical_id),
+pp AS (
+  SELECT a.canonical_id AS ent_a, b.canonical_id AS ent_b,
+         CAST(list_dot_product(a.v, b.v) AS BIGINT) AS dot_q,
+         CAST(list_dot_product(a.v, a.v) AS BIGINT) AS norm_a_q,
+         CAST(list_dot_product(b.v, b.v) AS BIGINT) AS norm_b_q
+  FROM vecs a JOIN vecs b ON a.canonical_id <> b.canonical_id),
+rk AS (
+  SELECT *, CAST(ROW_NUMBER() OVER (PARTITION BY ent_a ORDER BY
+       dot_q / sqrt(CAST(norm_a_q AS DOUBLE) * CAST(norm_b_q AS DOUBLE)) DESC,
+       ent_b) AS INT) AS "rank"
+  FROM pp)
+SELECT ent_a, ent_b, dot_q, norm_a_q, norm_b_q, "rank" FROM rk
+WHERE "rank" <= 5""", LINK_CTES)
+
+ORACLE["triple_history"] = _q("""
+, tbase AS (
+  SELECT url, subj, pred, obj, MIN(doc_id) AS d,
+         CAST(MIN(doc_id) % 5 AS INT) AS seq0,
+         substring(md5(url || '|' || subj || '|' || pred || '|' || obj), 1, 1)
+           IN ('0','1','2','3') AS retract
+  FROM triples GROUP BY url, subj, pred, obj),
+ev AS (
+  SELECT url, subj, pred, obj, '+' AS op, seq0 AS crawl_seq FROM tbase
+  UNION ALL
+  SELECT url, subj, pred, obj, '-' AS op, seq0 + 2 AS crawl_seq
+  FROM tbase WHERE retract),
+led AS (
+  SELECT *, LEAD(op) OVER (PARTITION BY url, subj, pred, obj ORDER BY crawl_seq) AS nop,
+         LEAD(crawl_seq) OVER (PARTITION BY url, subj, pred, obj ORDER BY crawl_seq) AS nseq
+  FROM ev)
+SELECT url, subj, pred, obj,
+       CAST(crawl_seq AS BIGINT) AS seq_from,
+       CAST(CASE WHEN nop = '-' THEN nseq ELSE -1 END AS BIGINT) AS seq_to,
+       CAST(CASE WHEN COALESCE(nop, '') = '-' THEN 0 ELSE 1 END AS INT) AS is_current
+FROM led WHERE op = '+'""")

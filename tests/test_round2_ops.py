@@ -282,3 +282,42 @@ def test_alias_review_queue_and_decisions(spark):
         [], "surface string, ent_type string, decision string")
     auto = set(apply_alias_reviews(fuzzy, none)) - set(GAZETTEER)
     assert auto == {("autoacc", "T", "C1")}
+
+
+def test_triple_history_intervals(spark):
+    """+/-/+ on one key yields two intervals (closed then open);
+    never-retracted keys stay current."""
+    from ehr_relation_extraction_spark.operators.triples import (
+        triple_history)
+
+    rows = [
+        ("u1", "S", "p", "O", "+", 1), ("u1", "S", "p", "O", "-", 3),
+        ("u1", "S", "p", "O", "+", 5),
+        ("u2", "X", "p", "Y", "+", 2),
+    ]
+    d = spark.createDataFrame(
+        rows, "url string, subj string, pred string, obj string, "
+              "op string, crawl_seq int")
+    got = {(r["url"], r["seq_from"]): (r["seq_to"], r["is_current"])
+           for r in triple_history(d).collect()}
+    assert got == {("u1", 1): (3, 0), ("u1", 5): (-1, 1),
+                   ("u2", 2): (-1, 1)}
+
+
+def test_entity_neighbors_rank_matches_numpy(spark):
+    from ehr_relation_extraction_spark.operators.linking import (
+        entity_neighbors)
+
+    # 3 entities on 2 dims: A ~ B (same direction), C orthogonal-ish
+    cents = spark.createDataFrame(
+        [("A", 0, 100), ("A", 1, 10), ("B", 0, 90), ("B", 1, 12),
+         ("C", 0, 5), ("C", 1, 200)],
+        "canonical_id string, dim int, mean_q6 long")
+    got = {(r["ent_a"], r["rank"]): r["ent_b"]
+           for r in entity_neighbors(cents, top_k=2).collect()}
+    assert got[("A", 1)] == "B" and got[("A", 2)] == "C"
+    assert got[("B", 1)] == "A"
+    vals = {r["ent_b"]: r for r in entity_neighbors(cents, top_k=2)
+            .where(F.col("ent_a") == "A").collect()}
+    assert vals["B"]["dot_q"] == 100 * 90 + 10 * 12
+    assert vals["B"]["norm_a_q"] == 100 * 100 + 10 * 10
