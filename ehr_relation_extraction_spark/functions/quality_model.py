@@ -41,6 +41,16 @@ _FEATS = (
 )
 
 
+def with_features(df: DataFrame) -> DataFrame:
+    """Append the margin feature columns to any frame that carries
+    (n_tokens, n_distinct_tokens, n_stopwords) — batch or streaming
+    (pure column expressions, streaming-safe)."""
+    out = df
+    for name, expr in _FEATS:
+        out = out.withColumn(name, F.expr(expr).cast("double"))
+    return out
+
+
 def quality_training_frame(docs: DataFrame) -> DataFrame:
     """Features + rule label per doc.  Label = the QUALITY subset of
     the curation gate (1 = passes too_short + low_diversity +
@@ -53,10 +63,7 @@ def quality_training_frame(docs: DataFrame) -> DataFrame:
         & (F.col("n_distinct_tokens") * 100 >= F.col("n_tokens") * 35)
         & (F.lit(20) * F.col("n_stopwords") >= F.col("n_tokens")),
         F.lit(1)).otherwise(F.lit(0))
-    out = q.withColumn("label", label.cast("int"))
-    for name, expr in _FEATS:
-        out = out.withColumn(name, F.expr(expr).cast("double"))
-    return out
+    return with_features(q.withColumn("label", label.cast("int")))
 
 
 def train_quality_classifier(train: DataFrame, epochs: int = 60,

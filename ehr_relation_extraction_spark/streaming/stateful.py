@@ -252,7 +252,7 @@ def _first_seen_group(key: tuple, pdfs: Iterator[pd.DataFrame],
 
 def incremental_corpus_gate(spark, pages_dir: str, ref_docs: DataFrame,
                             out_dir: str, checkpoint_dir: str,
-                            k: int = 8):
+                            k: int = 8, model_weights=None):
     """Streaming corpus export gate: the batch curation verdict
     (duplicate > too_short > low_diversity > not_english >
     contaminated > ok), applied CONTINUOUSLY to a crawl stream.
@@ -268,6 +268,14 @@ def incremental_corpus_gate(spark, pages_dir: str, ref_docs: DataFrame,
 
     Sink: one verdict row per incoming page (doc_id, url, keep,
     reason), append-only parquet.
+
+    ``model_weights``: optional frozen weights from
+    ``functions.quality_model.train_quality_classifier`` (train in
+    batch, score in stream — the standard deployment split).  When
+    given, each verdict row also carries the LEARNED verdict
+    (model_pred_keep, model_margin_micro6); scoring is the same pure
+    codegen expression as batch, so stream and batch scores are
+    bit-identical for the same text.
     """
     from ..functions.textstats import quality_features, split_expr
     from ..operators.dedup import shingles
@@ -315,10 +323,22 @@ def incremental_corpus_gate(spark, pages_dir: str, ref_docs: DataFrame,
                         < F.col("n_tokens"), F.lit("not_english"))
                   .when(F.col("_cont") == 1, F.lit("contaminated"))
                   .otherwise(F.lit("ok")))
-        (b.select("doc_id", "url",
-                  (reason == "ok").cast("int").alias("keep"),
-                  reason.alias("reason"))
-         .write.mode("append").parquet(out_dir))
+        out = b.select("doc_id", "url", "n_tokens",
+                       "n_distinct_tokens", "n_stopwords",
+                       (reason == "ok").cast("int").alias("keep"),
+                       reason.alias("reason"))
+        if model_weights is not None:
+            from ..functions.quality_model import (score_quality,
+                                                   with_features)
+
+            out = (score_quality(with_features(out), model_weights)
+                   .withColumnRenamed("pred_keep", "model_pred_keep")
+                   .withColumnRenamed("margin_micro6",
+                                      "model_margin_micro6"))
+        cols = ["doc_id", "url", "keep", "reason"]
+        if model_weights is not None:
+            cols += ["model_pred_keep", "model_margin_micro6"]
+        out.select(*cols).write.mode("append").parquet(out_dir)
 
     return (firsts.writeStream
             .foreachBatch(process)

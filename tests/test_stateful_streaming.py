@@ -245,3 +245,48 @@ def test_recrawl_diff_same_second_version_not_dropped():
     # the changed same-second version must emit +/- deltas
     assert len(ops) > 0, "same-second re-crawl was silently dropped"
     assert set(ops["op"]) <= {"+", "-"} and (ops["crawl_seq"] == 2).all()
+
+
+def test_corpus_gate_with_frozen_model_weights(spark, tmp_path):
+    """Train-in-batch / score-in-stream: the gate's learned verdict
+    columns are bit-identical to batch score_quality on the same
+    text."""
+    from ehr_relation_extraction_spark.functions.quality_model import (
+        quality_training_frame, score_quality, train_quality_classifier,
+        with_features)
+    from ehr_relation_extraction_spark.functions.textstats import (
+        quality_features)
+    from ehr_relation_extraction_spark.sources.pages import (HTML_PREFIX,
+                                                              HTML_SUFFIX)
+    from ehr_relation_extraction_spark.streaming.stateful import (
+        incremental_corpus_gate)
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    w = train_quality_classifier(quality_training_frame(docs), epochs=10)
+
+    good = ("the quick brown fox jumps over a lazy dog and then "
+            "the small grey cat walks under a tall green tree today")
+    texts = {300: good, 301: "tiny doc"}
+    pages = [(d, f"https://h.example.com/{d}", None,
+              (HTML_PREFIX + t + HTML_SUFFIX).encode(), "en")
+             for d, t in texts.items()]
+    src = str(tmp_path / "mgate_src")
+    spark.createDataFrame(
+        pages, "doc_id long, url string, warc_ts timestamp, "
+               "html binary, lang string").write.parquet(src)
+    ref = spark.createDataFrame(
+        [], "doc_id long, text string, lang string, source string, "
+            "n_chars long")
+    out, ck = str(tmp_path / "mgate_out"), str(tmp_path / "mgate_ck")
+    incremental_corpus_gate(spark, src, ref, out, ck,
+                            model_weights=w).awaitTermination(300)
+
+    got = {r["doc_id"]: (r["model_pred_keep"], r["model_margin_micro6"])
+           for r in spark.read.parquet(out).collect()}
+    batch = spark.createDataFrame(
+        [(d, t) for d, t in texts.items()], "doc_id long, text string")
+    want = {r["doc_id"]: (r["pred_keep"], r["margin_micro6"])
+            for r in score_quality(
+                with_features(quality_features(batch)), w).collect()}
+    assert got == want
+    assert got[301][0] == 0  # the learned gate also rejects tiny docs
