@@ -338,3 +338,29 @@ def test_merge_composite_rewrites_only_touched_cells(spark, tmp_path):
                 os.path.getmtime(f), os.path.getsize(f)) == sig, f
     # fully-retracted cell directory is gone
     assert not os.path.exists(f"{path}/day_idx={cell_day}/url_bucket={cell_bucket}")
+
+
+def test_boilerplate_strip_plan_broadcasts_boiler_set(spark):
+    """The boilerplate set join must be a broadcast (the set is
+    bounded by lines shared across >= frac% of a host), and the whole
+    query must stay free of cartesian products."""
+    from ehr_relation_extraction_spark.functions.textstats import (
+        boilerplate_strip, with_synth_lines)
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    plan = plan_of(boilerplate_strip(with_synth_lines(docs)))
+    assert "BroadcastHashJoin" in plan, plan
+    assert "CartesianProduct" not in plan
+
+
+def test_passage_dups_plan_no_cartesian_one_wide_join(spark):
+    """Windows come from the per-doc token array (no join to build
+    them); the only join is the hash-keyed count-back."""
+    from ehr_relation_extraction_spark.functions.textstats import (
+        passage_dups, with_synth_quote)
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    plan = plan_of(passage_dups(with_synth_quote(docs)))
+    assert "CartesianProduct" not in plan
+    n_joins = plan.count("SortMergeJoin") + plan.count("BroadcastHashJoin")
+    assert n_joins == 1, plan
