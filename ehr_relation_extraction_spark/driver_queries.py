@@ -527,6 +527,34 @@ def q_triple_history(spark, sf_dir) -> DataFrame:
         "url", "subj", "pred", "obj", "seq_from", "seq_to", "is_current")
 
 
+def q_simhash_near_dups(spark, sf_dir) -> DataFrame:
+    """Hamming-ball near-dup pairs via simhash bit-band blocking."""
+    return dd.simhash_near_dups(_docs(spark, sf_dir)).select(
+        "doc_a", "doc_b", "hamming")
+
+
+def q_graph_triangles(spark, sf_dir) -> DataFrame:
+    """Per-node triangle counts over the entity CO-MENTION graph
+    (entities sharing a document) — denser than the triple graph, the
+    standard cohesion check for canonicalization quality."""
+    from .operators.graph_algos import triangle_counts
+
+    _, linked, _ = _linked(spark, sf_dir)
+    a = linked.select("doc_id", F.col("canonical_id").alias("src"))
+    b = linked.select("doc_id", F.col("canonical_id").alias("dst"))
+    edges = (a.join(b, "doc_id")
+             .where(F.col("src") < F.col("dst"))
+             .select("src", "dst").dropDuplicates())
+    return triangle_counts(edges).select("node", "n_triangles")
+
+
+def q_entity_first_seen(spark, sf_dir) -> DataFrame:
+    """KG growth curve: new canonical entities per crawl day."""
+    _, linked, _ = _linked(spark, sf_dir)
+    return lk.entity_first_seen(linked).select(
+        "first_day", "n_new_entities")
+
+
 def q_quality_model(spark, sf_dir) -> DataFrame:
     """Learned quality classifier distilled from the rule gate —
     trains INSIDE the query (bit-deterministic distributed full-batch
@@ -830,6 +858,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "passage_dups": q_passage_dups,
     "entity_neighbors": q_entity_neighbors,
     "triple_history": q_triple_history,
+    "simhash_near_dups": q_simhash_near_dups,
+    "graph_triangles": q_graph_triangles,
+    "entity_first_seen": q_entity_first_seen,
 }
 
 

@@ -209,3 +209,41 @@ def dup_clusters(docs: DataFrame,
                         F.count(F.lit(1)).over(w).cast("long"))
             .withColumn("is_canonical",
                         (F.col("doc_id") == F.col("cluster_id")).cast("int")))
+
+
+def simhash_near_dups(docs: DataFrame, bits: int = SIMHASH_BITS,
+                      bands: int = 4, max_hamming: int = 3) -> DataFrame:
+    """Hamming-ball near-dup pairs over simhash — the cheap
+    complement to minhash LSH for boilerplate-ish near-identity:
+    block on ``bands`` equal-width bit-bands (a pair within hamming
+    distance < bands shares at least one exact band by pigeonhole),
+    then verify popcount(xor) <= max_hamming.  Never all-pairs; the
+    candidate join is an equi-join on (band, band_bits).  Band width
+    scales with SIMHASH_BITS (production: 64-bit simhash, 4x16-bit
+    bands).
+
+    Output: (doc_a, doc_b, hamming) for verified pairs.
+    """
+    width = bits // bands
+    mask = (1 << width) - 1
+    sh = simhash(docs, bits)
+    bandrows = F.array(*[
+        F.struct(F.lit(b).alias("band"),
+                 F.shiftright(F.col("simhash"), b * width)
+                 .bitwiseAND(mask).alias("band_bits"))
+        for b in range(bands)])
+    banded = sh.select("doc_id", "simhash",
+                       F.explode(bandrows).alias("b")) \
+        .select("doc_id", "simhash", "b.band", "b.band_bits")
+    a = banded.select(F.col("doc_id").alias("doc_a"),
+                      F.col("simhash").alias("_sa"), "band", "band_bits")
+    b = banded.select(F.col("doc_id").alias("doc_b"),
+                      F.col("simhash").alias("_sb"), "band", "band_bits")
+    cand = (a.join(b, ["band", "band_bits"])
+            .where(F.col("doc_a") < F.col("doc_b"))
+            .select("doc_a", "doc_b", "_sa", "_sb").dropDuplicates(
+                ["doc_a", "doc_b"]))
+    ham = F.bit_count(F.col("_sa").bitwiseXOR(F.col("_sb")))
+    return (cand.withColumn("hamming", ham.cast("int"))
+            .where(F.col("hamming") <= max_hamming)
+            .select("doc_a", "doc_b", "hamming"))

@@ -164,3 +164,28 @@ def pagerank(edges: DataFrame, damping: float = 0.85,
     return ranks.select(
         "node", F.floor(F.col("rank") * 1000000).cast("long").alias("rank_micro6"),
         "rank")
+
+
+def triangle_counts(edges: DataFrame) -> DataFrame:
+    """Per-node triangle counts over the undirected simple graph —
+    the standard cohesion signal for entity-graph quality (a
+    canonicalization that merges unrelated entities collapses
+    triangle structure).
+
+    Classic two-join formulation on ordered edges (a<b<c): each
+    triangle is enumerated exactly once, then credited to its three
+    corners.  Both joins are equi-joins on node ids; no enumeration
+    of open wedges ever leaves the join.  Output: (node,
+    n_triangles) for nodes in >= 1 triangle.
+    """
+    und = (edges.select(F.least("src", "dst").alias("a"),
+                        F.greatest("src", "dst").alias("b"))
+           .where(F.col("a") != F.col("b")).dropDuplicates())
+    e1 = und.select(F.col("a").alias("x"), F.col("b").alias("y"))
+    e2 = und.select(F.col("a").alias("y"), F.col("b").alias("z"))
+    e3 = und.select(F.col("a").alias("x"), F.col("b").alias("z"))
+    tri = (e1.join(e2, "y").join(e3, ["x", "z"])
+           .select("x", "y", "z"))
+    corners = tri.select(F.explode(F.array("x", "y", "z")).alias("node"))
+    return (corners.groupBy("node")
+            .agg(F.count(F.lit(1)).cast("long").alias("n_triangles")))

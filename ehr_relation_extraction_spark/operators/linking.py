@@ -423,3 +423,15 @@ def entity_neighbors(centroids: DataFrame, top_k: int = 5) -> DataFrame:
             .where(F.col("rank") <= top_k)
             .select("ent_a", "ent_b", "dot_q", "norm_a_q", "norm_b_q",
                     "rank"))
+
+
+def entity_first_seen(linked_mentions: DataFrame) -> DataFrame:
+    """New canonical entities per crawl day — the KG growth curve
+    (day from the synthetic crawl clock, warc_ts = CRAWL_EPOCH +
+    doc_id seconds).  Output: (first_day, n_new_entities)."""
+    day = F.expr("(1704067200 + doc_id) div 86400")
+    first = (linked_mentions
+             .groupBy("canonical_id")
+             .agg(F.min(day).cast("long").alias("first_day")))
+    return (first.groupBy("first_day")
+            .agg(F.count(F.lit(1)).cast("long").alias("n_new_entities")))

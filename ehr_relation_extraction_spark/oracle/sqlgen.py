@@ -1777,3 +1777,49 @@ SELECT url, subj, pred, obj,
        CAST(CASE WHEN nop = '-' THEN nseq ELSE -1 END AS BIGINT) AS seq_to,
        CAST(CASE WHEN COALESCE(nop, '') = '-' THEN 0 ELSE 1 END AS INT) AS is_current
 FROM led WHERE op = '+'""")
+
+ORACLE["simhash_near_dups"] = _assemble(
+    GAZ, toks_ctes(), SIMHASH_CTES,
+    select=f"""
+, shv AS (
+  SELECT doc_id,
+         CAST(SUM(CASE WHEN v > 0 THEN 1 << CAST(b AS INT) ELSE 0 END) AS BIGINT) AS simhash
+  FROM votes GROUP BY doc_id),
+banded AS (
+  SELECT doc_id, simhash, bb.band,
+         (simhash >> (bb.band * {SIMHASH_BITS // 4})) & {(1 << (SIMHASH_BITS // 4)) - 1} AS band_bits
+  FROM shv CROSS JOIN (SELECT unnest(range(4)) AS band) bb),
+scand AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         a.simhash AS sa, b.simhash AS sb
+  FROM banded a JOIN banded b
+    ON a.band = b.band AND a.band_bits = b.band_bits
+   AND a.doc_id < b.doc_id)
+SELECT doc_a, doc_b, CAST(bit_count(xor(sa, sb)) AS INT) AS hamming
+FROM scand WHERE bit_count(xor(sa, sb)) <= 3""")
+
+ORACLE["graph_triangles"] = _q("""
+, comention AS (
+  SELECT DISTINCT x.canonical_id AS src, y.canonical_id AS dst
+  FROM linked x JOIN linked y
+    ON x.doc_id = y.doc_id AND x.canonical_id < y.canonical_id),
+und AS (
+  SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
+  FROM comention WHERE src <> dst),
+tri AS (
+  SELECT e1.a AS x, e1.b AS y, e2.b AS z
+  FROM und e1
+  JOIN und e2 ON e2.a = e1.b
+  JOIN und e3 ON e3.a = e1.a AND e3.b = e2.b),
+corners AS (
+  SELECT x AS node FROM tri UNION ALL SELECT y FROM tri
+  UNION ALL SELECT z FROM tri)
+SELECT node, CAST(COUNT(*) AS BIGINT) AS n_triangles
+FROM corners GROUP BY node""", LINK_CTES)
+
+ORACLE["entity_first_seen"] = _q("""
+SELECT first_day, CAST(COUNT(*) AS BIGINT) AS n_new_entities
+FROM (SELECT canonical_id,
+             CAST(MIN((1704067200 + doc_id) // 86400) AS BIGINT) AS first_day
+      FROM linked GROUP BY canonical_id)
+GROUP BY first_day""", LINK_CTES)

@@ -321,3 +321,48 @@ def test_entity_neighbors_rank_matches_numpy(spark):
             .where(F.col("ent_a") == "A").collect()}
     assert vals["B"]["dot_q"] == 100 * 90 + 10 * 12
     assert vals["B"]["norm_a_q"] == 100 * 100 + 10 * 10
+
+
+def test_triangle_counts_hand_graph(spark):
+    """K4 minus an edge: two triangles; shared-edge nodes sit in
+    both."""
+    from ehr_relation_extraction_spark.operators.graph_algos import (
+        triangle_counts)
+
+    edges = spark.createDataFrame(
+        [("a", "b"), ("b", "c"), ("a", "c"), ("b", "d"), ("c", "d"),
+         ("c", "b")],  # duplicate reversed edge must not double-count
+        "src string, dst string")
+    got = {r["node"]: r["n_triangles"] for r in
+           triangle_counts(edges).collect()}
+    assert got == {"a": 1, "b": 2, "c": 2, "d": 1}
+
+
+def test_simhash_near_dups_identical_docs(spark):
+    """Identical texts have hamming 0 and are always candidates
+    (pigeonhole guarantees a shared band)."""
+    from ehr_relation_extraction_spark.operators import dedup as dd
+
+    t = "the quick brown fox jumps over the lazy dog near a barn"
+    docs = spark.createDataFrame(
+        [(0, t, "s"), (1, t, "s"),
+         (2, "completely different words about spark plans and shuffles "
+             "in a large distributed analytics engine", "s")],
+        "doc_id long, text string, source string")
+    got = {(r["doc_a"], r["doc_b"]): r["hamming"]
+           for r in dd.simhash_near_dups(docs).collect()}
+    assert got.get((0, 1)) == 0
+    assert (0, 2) not in got and (1, 2) not in got
+
+
+def test_entity_first_seen_hand(spark):
+    from ehr_relation_extraction_spark.operators.linking import (
+        entity_first_seen)
+
+    day0 = 1704067200 // 86400
+    linked = spark.createDataFrame(
+        [("E1", 0), ("E1", 86400 * 2), ("E2", 86400 * 2), ("E3", 86400 * 2)],
+        "canonical_id string, doc_id long")
+    got = {r["first_day"]: r["n_new_entities"]
+           for r in entity_first_seen(linked).collect()}
+    assert got == {day0: 1, day0 + 2: 2}
