@@ -366,3 +366,35 @@ def test_entity_first_seen_hand(spark):
     got = {r["first_day"]: r["n_new_entities"]
            for r in entity_first_seen(linked).collect()}
     assert got == {day0: 1, day0 + 2: 2}
+
+
+def test_url_normalize_idempotent(spark):
+    """normalize(normalize(u)) == normalize(u) over a messy grab-bag
+    (idempotence is the canonicalization contract)."""
+    from ehr_relation_extraction_spark.functions.urls import url_normalize
+
+    urls = [
+        "HTTP://Host.EX:80/a/b/?z=1&utm_x=2#f",
+        "https://h.ex//a//",
+        "https://h.ex:443",
+        "http://h.ex/?b=2&a=1&a=0",
+        "ftp://H.EX:21/x/",
+        "https://h.ex/p?ref=spam&gclid=g",
+        "https://h.ex/p?",
+        "https://h.ex/#only-frag",
+    ]
+    df = spark.createDataFrame([(u,) for u in urls], "url_raw string")
+    once = url_normalize(df).select(
+        F.col("url_norm").alias("url_raw"))
+    twice = url_normalize(once)
+    for r in twice.collect():
+        assert r["url_norm"] == r["url_raw"], r
+
+
+def test_dup_clusters_partition_invariant(spark):
+    from ehr_relation_extraction_spark.operators import dedup as dd
+
+    docs = _mini_docs(spark)
+    a = sorted(map(tuple, dd.dup_clusters(docs).collect()))
+    b = sorted(map(tuple, dd.dup_clusters(docs.repartition(5)).collect()))
+    assert a == b
