@@ -398,3 +398,36 @@ def test_dup_clusters_partition_invariant(spark):
     a = sorted(map(tuple, dd.dup_clusters(docs).collect()))
     b = sorted(map(tuple, dd.dup_clusters(docs.repartition(5)).collect()))
     assert a == b
+
+
+def test_new_ops_degenerate_inputs(spark):
+    """Empty/tiny inputs must not crash and must return the right
+    empty/singleton shapes."""
+    from ehr_relation_extraction_spark.functions.textstats import (
+        boilerplate_strip, passage_dups)
+    from ehr_relation_extraction_spark.operators import dedup as dd
+    from ehr_relation_extraction_spark.operators.graph_algos import (
+        triangle_counts)
+    from ehr_relation_extraction_spark.operators.triples import (
+        triple_history)
+
+    one = spark.createDataFrame(
+        [(0, "just a few short tokens", "h")],
+        "doc_id long, text string, source string")
+    # shorter than the window -> no passages at all
+    assert passage_dups(one).count() == 0
+    # single doc: its lines are 100% of the host but < min_docs
+    got = boilerplate_strip(one).first()
+    assert got["n_boiler_lines"] == 0 and got["text_clean"] == one.first()["text"]
+    # no near-dup pairs -> every doc is its own singleton cluster
+    rows = dd.dup_clusters(one).collect()
+    assert rows[0]["cluster_size"] == 1 and rows[0]["is_canonical"] == 1
+    # graph with no triangles -> empty
+    e = spark.createDataFrame([("a", "b")], "src string, dst string")
+    assert triangle_counts(e).count() == 0
+    # delta stream with only retractions -> no intervals
+    d = spark.createDataFrame(
+        [("u", "s", "p", "o", "-", 1)],
+        "url string, subj string, pred string, obj string, "
+        "op string, crawl_seq int")
+    assert triple_history(d).count() == 0
