@@ -3,7 +3,7 @@
 PY ?= python
 DIST = dist/ehr_relation_extraction_spark.zip
 
-.PHONY: test bench scaling package submit-smoke clean
+.PHONY: test bench scaling package submit-smoke curate-smoke clean
 
 test:
 	$(PY) -m pytest tests/ -x -q
@@ -35,3 +35,9 @@ submit-smoke: package
 
 clean:
 	rm -rf dist
+
+curate-smoke:
+	rm -rf /tmp/curate_smoke
+	python scripts/curate_corpus.py \
+	  --documents /root/testdata/sf0.001/documents.parquet \
+	  --out /tmp/curate_smoke --seq-len 256 --epochs 10

@@ -24,12 +24,13 @@ TRACKING_PARAM_RE = "^(utm_[^=]*|fbclid|gclid|ref)="
 
 
 def synth_messy_urls(docs: DataFrame) -> DataFrame:
-    """(doc_id, url_raw): deterministic messy url per doc.  Six docs
-    share each logical page (path keys on doc_id div 6); doc_id % 6
+    """(doc_id, url_raw): deterministic messy url per doc.  Docs of
+    one source sharing a doc_id-div-120 bucket share a logical page
+    (so real multi-variant groups exist at every SF); doc_id % 6
     picks the mess class — clean, shouty-host+default-port, trailing
     slash, tracking params (two kinds), fragment — all six normalize to the
     same canonical url."""
-    page = F.concat(F.lit("/p/"), F.expr("doc_id div 6").cast("string"))
+    page = F.concat(F.lit("/p/"), F.expr("doc_id div 120").cast("string"))
     variant = F.pmod(F.col("doc_id"), F.lit(6))
     host = F.concat(F.col("source"), F.lit(".example.com"))
     url = (

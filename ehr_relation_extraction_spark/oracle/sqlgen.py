@@ -1606,12 +1606,12 @@ ORACLE["url_canonical"] = """
 WITH messy AS (
   SELECT doc_id,
     CASE CAST(doc_id % 6 AS INT)
-      WHEN 0 THEN 'https://' || source || '.example.com/p/' || CAST(doc_id // 6 AS VARCHAR)
-      WHEN 1 THEN 'HTTPS://' || upper(source) || '.Example.COM:443/p/' || CAST(doc_id // 6 AS VARCHAR)
-      WHEN 2 THEN 'https://' || source || '.example.com/p/' || CAST(doc_id // 6 AS VARCHAR) || '/'
-      WHEN 3 THEN 'https://' || source || '.example.com/p/' || CAST(doc_id // 6 AS VARCHAR) || '?utm_source=feed&utm_campaign=x'
-      WHEN 4 THEN 'https://' || source || '.example.com/p/' || CAST(doc_id // 6 AS VARCHAR) || '?fbclid=abc'
-      ELSE 'https://' || source || '.example.com/p/' || CAST(doc_id // 6 AS VARCHAR) || '#section-2'
+      WHEN 0 THEN 'https://' || source || '.example.com/p/' || CAST(doc_id // 120 AS VARCHAR)
+      WHEN 1 THEN 'HTTPS://' || upper(source) || '.Example.COM:443/p/' || CAST(doc_id // 120 AS VARCHAR)
+      WHEN 2 THEN 'https://' || source || '.example.com/p/' || CAST(doc_id // 120 AS VARCHAR) || '/'
+      WHEN 3 THEN 'https://' || source || '.example.com/p/' || CAST(doc_id // 120 AS VARCHAR) || '?utm_source=feed&utm_campaign=x'
+      WHEN 4 THEN 'https://' || source || '.example.com/p/' || CAST(doc_id // 120 AS VARCHAR) || '?fbclid=abc'
+      ELSE 'https://' || source || '.example.com/p/' || CAST(doc_id // 120 AS VARCHAR) || '#section-2'
     END AS url_raw
   FROM documents),
 u0 AS (SELECT doc_id, url_raw, string_split(url_raw, '#')[1] AS u FROM messy),

@@ -431,3 +431,31 @@ def test_new_ops_degenerate_inputs(spark):
         "url string, subj string, pred string, obj string, "
         "op string, crawl_seq int")
     assert triple_history(d).count() == 0
+
+
+def test_curate_corpus_end_to_end(spark):
+    """The full curation cascade: every doc gets exactly one verdict,
+    every drop stage fires on the fixture, kept docs and only kept
+    docs feed the packed sequences."""
+    import sys
+
+    sys.path.insert(0, "/root/repo/scripts")
+    from curate_corpus import curate
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    verdicts, sequences, summary = curate(spark, docs, seq_len=256,
+                                          epochs=5)
+    assert summary["n_docs"] == 500
+    assert summary["kept"] == verdicts.where(F.col("keep") == 1).count()
+    for stage in ("url_duplicate", "near_duplicate", "too_short",
+                  "low_diversity", "not_english"):
+        assert summary["dropped_by_reason"].get(stage, 0) > 0, stage
+    assert summary["kept"] + sum(
+        summary["dropped_by_reason"].values()) == 500
+    # sequences only contain kept docs, and all kept docs are packed
+    kept_ids = {r["doc_id"] for r in verdicts.where(F.col("keep") == 1)
+                .collect()}
+    seq_ids = {r["doc_id"] for r in
+               sequences.select("doc_id").dropDuplicates().collect()}
+    assert seq_ids == kept_ids
+    assert summary["n_sequences"] > 0
