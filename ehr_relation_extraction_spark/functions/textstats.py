@@ -551,6 +551,28 @@ def with_synth_quote(docs: DataFrame) -> DataFrame:
         .otherwise(F.col("text")))
 
 
+def passage_windows(docs: DataFrame, win: int = 20,
+                    stride: int = 10) -> DataFrame:
+    """(doc_id, win_start, passage_hash): md5 of every win-token
+    window at stride offsets, built from the per-doc token array —
+    no join, streaming-safe (pure column expressions)."""
+    toks = _toks()
+    n = F.size(toks)
+    starts = F.when(n >= win,
+                    F.sequence(F.lit(0), n - win, F.lit(stride))) \
+        .otherwise(F.array().cast("array<int>"))
+    wins = F.transform(
+        starts,
+        lambda s: F.struct(
+            s.alias("win_start"),
+            F.md5(F.array_join(F.slice(toks, s + 1, win), " "))
+            .alias("passage_hash")))
+    return (docs.select("doc_id", F.explode(wins).alias("w"))
+            .select("doc_id",
+                    F.col("w.win_start").cast("int").alias("win_start"),
+                    F.col("w.passage_hash").alias("passage_hash")))
+
+
 def passage_dups(docs: DataFrame, win: int = 20,
                  stride: int = 10) -> DataFrame:
     """Passage-level exact dedup (the windowed form of Lee et al.'s
@@ -569,20 +591,7 @@ def passage_dups(docs: DataFrame, win: int = 20,
     n_tokens/stride per doc — linear in corpus size with a small
     constant, the standard trade against full suffix arrays.
     """
-    toks = _toks()
-    n = F.size(toks)
-    starts = F.when(n >= win,
-                    F.sequence(F.lit(0), n - win, F.lit(stride))) \
-        .otherwise(F.array().cast("array<int>"))
-    wins = F.transform(
-        starts,
-        lambda s: F.struct(
-            s.alias("win_start"),
-            F.md5(F.array_join(F.slice(toks, s + 1, win), " "))
-            .alias("passage_hash")))
-    wh = (docs.select("doc_id", F.explode(wins).alias("w"))
-          .select("doc_id", F.col("w.win_start").cast("int").alias("win_start"),
-                  F.col("w.passage_hash").alias("passage_hash")))
+    wh = passage_windows(docs, win, stride)
     cnt = (wh.groupBy("passage_hash")
            .agg(F.countDistinct("doc_id").cast("long")
                 .alias("n_docs_sharing"))

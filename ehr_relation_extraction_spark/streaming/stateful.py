@@ -372,3 +372,61 @@ def incremental_unique_triples(spark, pages_dir: str, out_dir: str,
             .trigger(availableNow=True)
             .format("parquet").option("path", out_dir)
             .start())
+
+
+PASSAGE_OUTPUT_DDL = "doc_id long, win_start int, is_first int"
+PASSAGE_STATE_DDL = "seen array<string>"
+
+
+def _passage_first_seen(key: tuple, pdfs: Iterator[pd.DataFrame],
+                        state: GroupState) -> Iterator[pd.DataFrame]:
+    """Cross-batch passage gate keyed on passage_hash: the first
+    window carrying a hash is canonical; every later occurrence (any
+    doc, any micro-batch) is a duplicated passage.  Per-key state is
+    one bit."""
+    seen = bool(state.get[0]) if state.exists else False
+    out = []
+    for pdf in pdfs:
+        for row in pdf.sort_values(["doc_id", "win_start"]) \
+                      .itertuples(index=False):
+            out.append((row.doc_id, row.win_start, 0 if seen else 1))
+            seen = True
+    state.update((["y"] if seen else [],))
+    if out:
+        yield pd.DataFrame(out, columns=["doc_id", "win_start",
+                                         "is_first"])
+
+
+def incremental_passage_dedup(spark, pages_dir: str, out_dir: str,
+                              checkpoint_dir: str, win: int = 20,
+                              stride: int = 10):
+    """Streaming form of textstats.passage_dups: windows hash inside
+    the streaming DAG (pure column expressions, no join), then a
+    stateful first-seen gate keyed on passage_hash suppresses
+    duplicated passages ACROSS micro-batches — syndicated paragraphs
+    arriving days after the original are still caught, which the
+    batch operator only sees when both docs share a run.
+
+    Sink rows: (doc_id, win_start, is_first) per window; is_first=0
+    windows are the duplicated-passage spans to mask at training
+    time.  State shuffles once per micro-batch on the hash key.
+    """
+    from ..functions.textstats import passage_windows
+    from ..sources.pages import extract_text
+    from .stream import PAGES_DDL
+
+    stream = (spark.readStream.schema(PAGES_DDL)
+              .option("maxFilesPerTrigger", 2)
+              .parquet(pages_dir))
+    wh = passage_windows(extract_text(stream).select("doc_id", "text"),
+                         win, stride)
+    flagged = (wh.groupBy("passage_hash")
+               .applyInPandasWithState(
+                   _passage_first_seen, PASSAGE_OUTPUT_DDL,
+                   PASSAGE_STATE_DDL, outputMode="append",
+                   timeoutConf=GroupStateTimeout.NoTimeout))
+    return (flagged.writeStream.outputMode("append")
+            .option("checkpointLocation", checkpoint_dir)
+            .trigger(availableNow=True)
+            .format("parquet").option("path", out_dir)
+            .start())

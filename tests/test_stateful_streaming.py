@@ -290,3 +290,45 @@ def test_corpus_gate_with_frozen_model_weights(spark, tmp_path):
                 with_features(quality_features(batch)), w).collect()}
     assert got == want
     assert got[301][0] == 0  # the learned gate also rejects tiny docs
+
+
+def test_incremental_passage_dedup(spark, tmp_path):
+    """A passage syndicated in a LATER micro-batch is flagged
+    duplicate; unique passages stay canonical; restart on the same
+    checkpoint re-emits nothing."""
+    from ehr_relation_extraction_spark.sources.pages import (HTML_PREFIX,
+                                                              HTML_SUFFIX)
+    from ehr_relation_extraction_spark.streaming.stateful import (
+        incremental_passage_dedup)
+
+    shared = " ".join(f"w{i}" for i in range(20))
+    uniq_a = " ".join(f"a{i}" for i in range(20))
+    uniq_b = " ".join(f"b{i}" for i in range(20))
+
+    def page(doc_id, text):
+        html = (HTML_PREFIX + text + HTML_SUFFIX).encode()
+        return (doc_id, f"https://h.example.com/{doc_id}", None, html, "en")
+
+    schema = ("doc_id long, url string, warc_ts timestamp, "
+              "html binary, lang string")
+    src = str(tmp_path / "pd_src")
+    spark.createDataFrame([page(0, shared + " " + uniq_a)],
+                          schema).write.mode("append").parquet(src)
+    spark.createDataFrame([page(1, shared + " " + uniq_b)],
+                          schema).write.mode("append").parquet(src)
+
+    out, ck = str(tmp_path / "pd_out"), str(tmp_path / "pd_ck")
+    incremental_passage_dedup(spark, src, out, ck).awaitTermination(300)
+
+    got = {(r["doc_id"], r["win_start"]): r["is_first"]
+           for r in spark.read.parquet(out).collect()}
+    firsts = {k for k, v in got.items() if v == 1}
+    dups = {k for k, v in got.items() if v == 0}
+    # exactly one of the two window-0 (shared passage) rows is first
+    assert ({(0, 0), (1, 0)} & firsts) and ({(0, 0), (1, 0)} & dups)
+    # the doc-unique windows are all canonical
+    assert got[(0, 20)] == 1 and got[(1, 20)] == 1
+
+    n = spark.read.parquet(out).count()
+    incremental_passage_dedup(spark, src, out, ck).awaitTermination(300)
+    assert spark.read.parquet(out).count() == n
