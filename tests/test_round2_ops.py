@@ -459,3 +459,48 @@ def test_curate_corpus_end_to_end(spark):
                sequences.select("doc_id").dropDuplicates().collect()}
     assert seq_ids == kept_ids
     assert summary["n_sequences"] > 0
+
+
+def test_url_normalize_combinatorial_invariants(spark):
+    """One job over the full mess lattice (scheme case x host case x
+    port x path slashes x param order/tracking x fragment): output is
+    idempotent, fragment-free, lowercase-host, tracking-free, and
+    params arrive sorted."""
+    import itertools
+
+    from ehr_relation_extraction_spark.functions.urls import url_normalize
+
+    urls = []
+    for scheme, host, port, path, query, frag in itertools.product(
+            ["https", "HTTPS", "http"],
+            ["a.ex", "A.Ex", "WWW.A.EX"],
+            ["", ":443", ":80", ":8080"],
+            ["", "/", "/p", "/p/", "/p//", "/p/q"],
+            ["", "?b=2&a=1", "?utm_source=x", "?a=1&utm_x=2&fbclid=f",
+             "?ref=r&keep=1"],
+            ["", "#frag"]):
+        urls.append(f"{scheme}://{host}{port}{path}{query}{frag}")
+    df = spark.createDataFrame([(u,) for u in urls], "url_raw string")
+    once = url_normalize(df).select("url_raw", "url_norm")
+    rows = once.collect()
+    for r in rows:
+        n = r["url_norm"]
+        assert "#" not in n, r
+        assert "utm_" not in n and "fbclid" not in n and "ref=" not in n, r
+        host_part = n.split("://")[1].split("/")[0]
+        assert host_part == host_part.lower(), r
+        scheme_out = n.split("://")[0]
+        # only the SCHEME-DEFAULT port is stripped; :80 on https (a
+        # real non-default port) must survive
+        if scheme_out == "https":
+            assert ":443" not in n, r
+        if scheme_out == "http":
+            assert not host_part.endswith(":80"), r
+        if "?" in n:
+            params = n.split("?", 1)[1].split("&")
+            assert params == sorted(params), r
+    # idempotence over the whole lattice in one second job
+    again = url_normalize(
+        once.select(F.col("url_norm").alias("url_raw")))
+    bad = again.where(F.col("url_norm") != F.col("url_raw")).collect()
+    assert not bad, bad[:5]
