@@ -3,7 +3,7 @@
 PY ?= python
 DIST = dist/ehr_relation_extraction_spark.zip
 
-.PHONY: test bench scaling package submit-smoke curate-smoke clean
+.PHONY: test bench scaling package submit-smoke curate-smoke store-smoke clean
 
 test:
 	$(PY) -m pytest tests/ -x -q
@@ -41,3 +41,9 @@ curate-smoke:
 	python scripts/curate_corpus.py \
 	  --documents /root/testdata/sf0.001/documents.parquet \
 	  --out /tmp/curate_smoke --seq-len 256 --epochs 10
+
+store-smoke:
+	rm -rf /tmp/kg_store_smoke
+	python scripts/maintain_store.py \
+	  --from-documents /root/testdata/sf0.001 \
+	  --store /tmp/kg_store_smoke --n-buckets 4 --demo-deltas
