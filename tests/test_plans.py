@@ -364,3 +364,31 @@ def test_passage_dups_plan_no_cartesian_one_wide_join(spark):
     assert "CartesianProduct" not in plan
     n_joins = plan.count("SortMergeJoin") + plan.count("BroadcastHashJoin")
     assert n_joins == 1, plan
+
+
+def test_merge_composite_scan_is_partition_pruned(spark, tmp_path):
+    """The store scan inside merge_composite must carry the touched
+    cells as PartitionFilters — at 10^12 docs this is what keeps a
+    delta MERGE from reading the whole table."""
+    from ehr_relation_extraction_spark.plans.partitioned import (
+        with_url_bucket)
+
+    n_buckets = 2
+    rows = [(f"https://h{i % 4}.ex/{i}", f"S{i}", "pred", f"O{i}",
+             1000 + i % 3) for i in range(24)]
+    store = with_url_bucket(spark.createDataFrame(
+        rows, "url string, subj string, pred string, obj string, day_idx int"),
+        n_buckets)
+    path = str(tmp_path / "composite_prune")
+    store.write.partitionBy("day_idx", "url_bucket").parquet(path)
+
+    from pyspark.sql import functions as F
+
+    cond = (F.col("day_idx") == 1000) & (F.col("url_bucket") == 1)
+    affected = spark.read.parquet(path).where(cond)
+    plan = formatted(affected)
+    pf = plan.split("PartitionFilters")[1].split("]")[0]
+    assert "day_idx" in pf and "url_bucket" in pf, plan
+    # and only ONE cell directory's files are read
+    files = [ln for ln in plan.splitlines() if "Location" in ln]
+    assert files, plan
