@@ -112,6 +112,13 @@ MIN_FUZZY_JACCARD_PCT = 25
 #: new aliases (the "human-in-the-loop accept" reduced to a
 #: deterministic rule so the oracle can replicate it).
 ACCEPT_FUZZY_JACCARD_PCT = 30
+#: Hard bound on the accepted-alias set collected to the driver when
+#: expanding the gazetteer (expanded_gazetteer / apply_alias_reviews).
+#: The set is gazetteer-shaped by construction (distinct corpus
+#: surfaces near a gazetteer alias), but the bound is ENFORCED, not
+#: assumed: a blowup (e.g. a degenerate threshold accepting the whole
+#: vocabulary) raises instead of OOM-ing the driver.
+ACCEPTED_ALIAS_CAP = 100_000
 EVAL_ADD_ALIASES = (("merge", "Topic", "topic:merge"),)
 
 

@@ -77,6 +77,11 @@ def train_quality_classifier(train: DataFrame, epochs: int = 60,
     """
     names = [n for n, _ in _FEATS]
     n_rows = train.count()
+    if n_rows == 0:
+        raise ValueError(
+            "train_quality_classifier: empty training fold (0 rows) — "
+            "the md5 hash split can leave no is_train=1 rows on a tiny "
+            "corpus, or the caller passed an already-filtered frame")
     cached = train.select("label", *names).persist()
     try:
         w = [0.0] * (len(names) + 1)

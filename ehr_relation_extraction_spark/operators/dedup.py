@@ -22,8 +22,8 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, Window, functions as F
 
-from ..config import (JACCARD_THRESHOLD_PCT, LSH_BANDS, MINHASH_PERMS,
-                      SHINGLE_K, SIMHASH_BITS)
+from ..config import (CONTAINMENT_THRESHOLD_PCT, JACCARD_THRESHOLD_PCT,
+                      LSH_BANDS, MINHASH_PERMS, SHINGLE_K, SIMHASH_BITS)
 
 
 def exact_dedup(docs: DataFrame) -> DataFrame:
@@ -140,7 +140,8 @@ def simhash(docs: DataFrame, bits: int = SIMHASH_BITS) -> DataFrame:
 
 
 def verify_containment(pairs: DataFrame, sh: DataFrame,
-                       threshold_pct: int = 80) -> DataFrame:
+                       threshold_pct: int = CONTAINMENT_THRESHOLD_PCT
+                       ) -> DataFrame:
     """Shingle-set CONTAINMENT per candidate pair:
     ``containment_pct = floor(100 * |A∩B| / min(|A|, |B|))``.
 

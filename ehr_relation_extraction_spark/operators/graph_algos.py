@@ -125,6 +125,11 @@ def pagerank(edges: DataFrame, damping: float = 0.85,
     Weighted out-degree normalization; dangling mass redistributed
     uniformly each round (standard formulation).  Fixed iteration count
     keeps the computation deterministic and resume-friendly.
+
+    The dangling-mass scalar stays a lazy 1-row frame joined in via
+    crossJoin — same shape as :func:`pagerank_fixed` — so no iteration
+    syncs to the driver (an N-round job used to pay N collect round
+    trips; at cluster scale each is a full-stage barrier).
     """
     spark = edges.sparkSession
     e = edges.select("src", "dst",
@@ -152,14 +157,15 @@ def pagerank(edges: DataFrame, damping: float = 0.85,
         # dangling nodes (no out-edges) leak rank; redistribute uniformly
         dangling = (ranks.join(out_w.withColumnRenamed("src", "node"),
                                "node", "left_anti")
-                    .agg(F.coalesce(F.sum("rank"), F.lit(0.0)).alias("d"))
-                    .first()["d"])
+                    .agg(F.coalesce(F.sum("rank"), F.lit(0.0)).alias("d")))
         ranks = (nodes.join(contribs.withColumnRenamed("dst", "node"),
                             "node", "left")
+                 .crossJoin(dangling)  # 1-row frame: stays fully lazy
                  .select("node",
                          (F.lit(base)
                           + F.lit(damping) * (F.coalesce(F.col("in_rank"), F.lit(0.0))
-                                              + F.lit(dangling / n))).alias("rank"))
+                                              + F.col("d") / F.lit(float(n))))
+                         .alias("rank"))
                  ).localCheckpoint()
     return ranks.select(
         "node", F.floor(F.col("rank") * 1000000).cast("long").alias("rank_micro6"),

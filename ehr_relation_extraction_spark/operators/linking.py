@@ -25,8 +25,22 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, functions as F
 
-from ..config import (ACCEPT_FUZZY_JACCARD_PCT, GAZETTEER,
-                      MIN_FUZZY_JACCARD_PCT)
+from ..config import (ACCEPT_FUZZY_JACCARD_PCT, ACCEPTED_ALIAS_CAP,
+                      GAZETTEER, MIN_FUZZY_JACCARD_PCT)
+
+
+def _collect_bounded_aliases(df: DataFrame, cap: int = ACCEPTED_ALIAS_CAP):
+    """Collect an alias dimension with the bound ENFORCED: fetch at
+    most cap+1 rows and raise if the cap is exceeded, so a degenerate
+    acceptance threshold fails loudly instead of OOM-ing the driver.
+    (Round-2 review asked for the bound to be checked, not argued.)"""
+    rows = df.limit(cap + 1).collect()
+    if len(rows) > cap:
+        raise ValueError(
+            f"accepted-alias set exceeds ACCEPTED_ALIAS_CAP={cap}; "
+            "the acceptance threshold is admitting a corpus-sized set "
+            "— raise the threshold or the cap before broadcasting")
+    return rows
 
 
 def gazetteer_df(spark) -> DataFrame:
@@ -160,8 +174,9 @@ def expanded_gazetteer(fuzzy: DataFrame,
     DictNER.fit builds its alternation from a driver-local dict,
     rule_based_ner/dict_ner.py:48-80).  Surfaces are single corpus
     tokens by construction, so each new entry is a unigram alias.
+    The bound is enforced (ACCEPTED_ALIAS_CAP), not assumed.
     """
-    rows = accepted_fuzzy_aliases(fuzzy, accept_pct).collect()
+    rows = _collect_bounded_aliases(accepted_fuzzy_aliases(fuzzy, accept_pct))
     extra = tuple(sorted((r["surface"], r["ent_type"], r["canonical_id"])
                          for r in rows))
     return tuple(base) + extra
@@ -208,7 +223,8 @@ def apply_alias_reviews(fuzzy: DataFrame, decisions: DataFrame,
                            .select("surface", "ent_type", "canonical_id"),
                            ["surface", "ent_type"])
                      .select("surface", "ent_type", "canonical_id"))
-    rows = kept_auto.unionByName(accepted_rows).dropDuplicates().collect()
+    rows = _collect_bounded_aliases(
+        kept_auto.unionByName(accepted_rows).dropDuplicates())
     extra = tuple(sorted((r["surface"], r["ent_type"], r["canonical_id"])
                          for r in rows))
     return tuple(base) + extra

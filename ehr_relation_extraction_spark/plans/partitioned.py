@@ -163,25 +163,39 @@ def merge_composite(spark: SparkSession, path: str, deltas: DataFrame,
 
 
 def compact_partitions(spark: SparkSession, path: str,
-                       target_files_per_day: int = 1) -> None:
-    """Rewrite each day partition down to a bounded file count (the
+                       target_files_per_cell: int = 1) -> None:
+    """Rewrite each partition down to a bounded file count (the
     small-files maintenance job).  Data is bit-identical afterwards;
     only the file layout changes.
 
-    Repartitioning hashes on (day_idx, bucket) where bucket spreads
-    each day's rows over ``target_files_per_day`` deterministic hash
-    buckets — hashing on day_idx alone would land every day in ONE
-    task and silently ignore targets > 1.  The swap parks the old tree
-    aside before promoting the compacted one, so a crash between the
-    two steps leaves a recoverable copy (``._old``) instead of no
-    table; object stores would use a manifest/catalog swap instead —
-    Iceberg does this natively."""
+    The rewrite PRESERVES the store's existing partition scheme: a
+    composite ``day_idx x url_bucket`` store stays composite (the
+    partition columns are detected from the schema).  Compacting a
+    composite store down to day-level directories would demote
+    url_bucket to a data column — a later ``merge_composite`` (which
+    writes ``day_idx=D/url_bucket=B/`` with dynamic overwrite) could
+    then never replace the old day-level files, resurrecting retracted
+    triples and leaving a mixed-depth tree that breaks partition
+    discovery.  ``scripts/maintain_store.py`` chains merge -> compact
+    -> merge on one store, so this is load-bearing, not cosmetic
+    (tests/test_plans.py::test_merge_compact_merge_roundtrip).
+
+    Repartitioning hashes on (partition cols, spread) where spread
+    distributes each cell's rows over ``target_files_per_cell``
+    deterministic hash buckets — hashing on the partition columns
+    alone would land every cell in ONE task and silently ignore
+    targets > 1.  The swap parks the old tree aside before promoting
+    the compacted one, so a crash between the two steps leaves a
+    recoverable copy (``._old``) instead of no table; object stores
+    would use a manifest/catalog swap instead — Iceberg does this
+    natively."""
     df = spark.read.parquet(path)
-    bucket = F.pmod(F.xxhash64(*[c for c in df.columns if c != "day_idx"]),
-                    F.lit(target_files_per_day))
-    n_days = max(df.select("day_idx").distinct().count(), 1)
-    (df.repartition(n_days * target_files_per_day, "day_idx", bucket)
-     .write.mode("overwrite").partitionBy("day_idx")
+    part_cols = [c for c in ("day_idx", "url_bucket") if c in df.columns]
+    data_cols = [c for c in df.columns if c not in part_cols]
+    spread = F.pmod(F.xxhash64(*data_cols), F.lit(target_files_per_cell))
+    n_cells = max(df.select(*part_cols).distinct().count(), 1)
+    (df.repartition(n_cells * target_files_per_cell, *part_cols, spread)
+     .write.mode("overwrite").partitionBy(*part_cols)
      .parquet(path + "._compacted"))
     import shutil
 

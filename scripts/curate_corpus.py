@@ -11,8 +11,14 @@ Usage (cluster):
 Stage order (each stage's verdict lands in the output so drops are
 auditable, never silent):
 
-1. url dedup        canonical_url_groups — collapse tracking-param /
-                    case / slash variants before touching text.
+1. url dedup        url_normalize over the corpus's OWN url column —
+                    collapse tracking-param / case / slash variants
+                    before touching text.  SKIPPED (and flagged in the
+                    summary) when the input has no url column: the
+                    driver-query fixture synthesizes urls from
+                    (doc_id, source) for oracle purposes, and dropping
+                    distinct-content docs on such synthetic keys would
+                    be wrong in a production curation run.
 2. exact + near dup dup_clusters — minhash-LSH + connected components;
                     only cluster canonicals survive.
 3. boilerplate      boilerplate_strip — host-level nav/footer lines out.
@@ -44,20 +50,32 @@ def curate(spark, docs, seq_len: int = 512, epochs: int = 60):
     """Run the full curation cascade; returns (verdicts, sequences,
     summary_dict).  All joins are on doc_id (narrow after the first
     shuffle); every heavy stage is the already-benchmarked operator."""
-    from pyspark.sql import functions as F
+    from pyspark.sql import Window, functions as F
 
     from ehr_relation_extraction_spark.functions.quality_model import (
         quality_model_verdicts)
     from ehr_relation_extraction_spark.functions.textstats import (
         decontaminate, pack_sequences)
-    from ehr_relation_extraction_spark.functions.urls import (
-        canonical_url_groups)
+    from ehr_relation_extraction_spark.functions.urls import url_normalize
     from ehr_relation_extraction_spark.functions.textstats import (
         corpus_curation)
     from ehr_relation_extraction_spark.operators.dedup import dup_clusters
 
-    url_canon = canonical_url_groups(docs).select(
-        "doc_id", F.col("is_canonical").alias("_url_keep"))
+    # url dedup runs ONLY on a real url column — synthesizing keys
+    # from doc_id would collapse distinct-content documents (the
+    # driver-query fixture does that deliberately, as an oracle
+    # fixture; a curation entry point must not).
+    url_stage = "ran" if "url" in docs.columns else "skipped_no_url_column"
+    if url_stage == "ran":
+        w = Window.partitionBy("url_norm")
+        url_canon = (url_normalize(docs.select("doc_id", "url"),
+                                   url_col="url")
+                     .withColumn("_url_keep",
+                                 (F.col("doc_id")
+                                  == F.min("doc_id").over(w)).cast("int"))
+                     .select("doc_id", "_url_keep"))
+    else:
+        url_canon = docs.select("doc_id", F.lit(1).alias("_url_keep"))
     clusters = dup_clusters(docs).select(
         "doc_id", F.col("is_canonical").alias("_dup_keep"), "cluster_id")
     rule = corpus_curation(docs).select(
@@ -97,6 +115,7 @@ def curate(spark, docs, seq_len: int = 512, epochs: int = 60):
                  verdicts.groupBy("reason")
                  .agg(F.count(F.lit(1)).alias("n")).collect()}
     summary = {
+        "url_stage": url_stage,
         "n_docs": docs.count(),
         "kept": by_reason.get("ok", 0),
         "dropped_by_reason": {k: v for k, v in sorted(by_reason.items())

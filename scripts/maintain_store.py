@@ -19,7 +19,7 @@ Steps (each emits a lineage line in the summary):
             synthesizes a deterministic delta batch (retract one
             existing triple per bucket, add one new) so the smoke run
             exercises the path without a crawl.
-3. compact  compact_partitions bounds files per day.
+3. compact  compact_partitions bounds files per cell (partition scheme preserved).
 4. audit    read back through the pruned point-lookup path
             (read_url_days) for one url and report the row count.
 """
@@ -98,7 +98,7 @@ def main() -> None:
         summary["events"].append({"stage": "merge", "action": "ran",
                                   "touched_cells": len(touched)})
 
-    compact_partitions(spark, args.store, target_files_per_day=2)
+    compact_partitions(spark, args.store, target_files_per_cell=2)
     summary["events"].append({"stage": "compact", "action": "ran"})
 
     probe = spark.read.parquet(args.store).select("url").first()["url"]

@@ -185,7 +185,7 @@ def test_day_partitioned_scan_prunes(spark, tmp_path):
     assert {r["url"] for r in one.collect()} == want
 
     before = {tuple(r) for r in spark.read.parquet(path).collect()}
-    compact_partitions(spark, path, target_files_per_day=1)
+    compact_partitions(spark, path, target_files_per_cell=1)
     after_files = glob.glob(f"{path}/day_idx=*/*.parquet")
     per_day = {}
     for f in after_files:
@@ -213,7 +213,7 @@ def test_decontaminate_plan_is_two_joins_three_scans(spark):
 
 def test_compaction_honors_target_above_one(spark, tmp_path):
     """Regression: repartition(N, day_idx) alone hashes only on the
-    day, so every day landed in ONE task and target_files_per_day > 1
+    day, so every day landed in ONE task and target_files_per_cell > 1
     silently produced 1 file; the (day_idx, hash-bucket) key must
     actually spread each day over up to N files."""
     import glob
@@ -228,7 +228,7 @@ def test_compaction_honors_target_above_one(spark, tmp_path):
     write_day_partitioned(pages.repartition(8), path)
     before = {tuple(r) for r in spark.read.parquet(path).collect()}
 
-    compact_partitions(spark, path, target_files_per_day=3)
+    compact_partitions(spark, path, target_files_per_cell=3)
     per_day = {}
     for f in glob.glob(f"{path}/day_idx=*/*.parquet"):
         d = f.split("day_idx=")[1].split("/")[0]
@@ -392,3 +392,60 @@ def test_merge_composite_scan_is_partition_pruned(spark, tmp_path):
     # and only ONE cell directory's files are read
     files = [ln for ln in plan.splitlines() if "Location" in ln]
     assert files, plan
+
+
+def test_merge_compact_merge_roundtrip(spark, tmp_path):
+    """Regression for the round-2 advisory HIGH: compaction of a
+    composite store must PRESERVE the day_idx x url_bucket partition
+    scheme.  A day-only compaction demotes url_bucket to a data
+    column; the next merge_composite (dynamic overwrite at
+    day_idx=D/url_bucket=B/) then cannot replace the old day-level
+    files — retracted triples resurrect as duplicates and the
+    mixed-depth tree breaks partition discovery.  Chain
+    build -> merge -> compact -> merge (the maintain_store.py order,
+    re-runnable) and assert exact row sets at every step."""
+    import glob
+
+    from ehr_relation_extraction_spark.plans.partitioned import (
+        compact_partitions, merge_composite, with_url_bucket)
+
+    n_buckets = 2
+    rows = [(f"https://h{i % 4}.ex/{i}", f"S{i}", "pred", f"O{i}",
+             1000 + i % 3) for i in range(30)]
+    store = with_url_bucket(spark.createDataFrame(
+        rows, "url string, subj string, pred string, obj string, day_idx int"),
+        n_buckets)
+    path = str(tmp_path / "roundtrip_store")
+    store.write.partitionBy("day_idx", "url_bucket").parquet(path)
+
+    def snapshot():
+        return {tuple(r) for r in spark.read.parquet(path)
+                .select("url", "subj", "pred", "obj", "day_idx").collect()}
+
+    def deltas(victim, seq):
+        return spark.createDataFrame(
+            [(victim[0], victim[1], victim[2], victim[3], "-", seq,
+              victim[4]),
+             (f"https://new.ex/{seq}", f"NEW{seq}", "pred", "VAL", "+",
+              seq, 1000)],
+            "url string, subj string, pred string, obj string, "
+            "op string, crawl_seq int, day_idx int")
+
+    base = snapshot()
+    v1 = sorted(base)[0]
+    merge_composite(spark, path, deltas(v1, 2), n_buckets)
+    want = (base - {v1}) | {("https://new.ex/2", "NEW2", "pred", "VAL", 1000)}
+    assert snapshot() == want
+
+    compact_partitions(spark, path, target_files_per_cell=1)
+    assert snapshot() == want
+    # partition scheme preserved: every file still two directories deep
+    files = glob.glob(f"{path}/**/*.parquet", recursive=True)
+    assert files and all("/day_idx=" in f and "/url_bucket=" in f
+                         for f in files), files
+
+    # the second merge must still retract cleanly post-compaction
+    v2 = sorted(want)[0]
+    merge_composite(spark, path, deltas(v2, 3), n_buckets)
+    want2 = (want - {v2}) | {("https://new.ex/3", "NEW3", "pred", "VAL", 1000)}
+    assert snapshot() == want2
