@@ -447,6 +447,14 @@ def q_ivf_assign(spark, sf_dir) -> DataFrame:
         "vec_id", "cell", "cell_size")
 
 
+def q_ivf_topk(spark, sf_dir) -> DataFrame:
+    """IVF nprobe search: coarse-assign the corpus, probe each query's
+    top-2 cells, exact-cosine rerank — the query half of the IVF index
+    (completes ivf_assign + ivf_centroids into a usable ANN path)."""
+    return sim.ivf_topk(_emb(spark, sf_dir)).select(
+        "query_id", "rank", "neighbor_id", "sim_micro6")
+
+
 def q_dup_clusters(spark, sf_dir) -> DataFrame:
     """Near-dup pairs -> connected components -> keep/drop verdict;
     the is_canonical = 1 rows are the deduplicated corpus."""
@@ -633,6 +641,21 @@ def q_pagerank(spark, sf_dir) -> DataFrame:
     edges = q_graph_edges(spark, sf_dir).selectExpr(
         "subj_node AS src", "obj_node AS dst", "weight")
     return pagerank_fixed(edges, n_iter=5).select("node", "rank_micro6")
+
+
+def q_graph_ppr(spark, sf_dir) -> DataFrame:
+    """Personalized PageRank (random walk with restart) from the
+    lexicographically smallest node — BFS's seed rule — giving a
+    principled related-entity ranking that decays with hop distance.
+    Integer fixed-point like pagerank, so the oracle is value-exact."""
+    from .operators.graph_algos import ppr_fixed
+
+    ge = q_graph_edges(spark, sf_dir)
+    source = ge.select(
+        F.least(F.min("subj_node"), F.min("obj_node")).alias("s")
+    ).first()["s"]
+    edges = ge.selectExpr("subj_node AS src", "obj_node AS dst", "weight")
+    return ppr_fixed(edges, source, n_iter=5).select("node", "rank_micro6")
 
 
 def q_events_asof(spark, sf_dir) -> DataFrame:
@@ -841,6 +864,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "eval_mentions_by_doc": q_eval_mentions_by_doc,
     "sessionize": q_sessionize,
     "pagerank": q_pagerank,
+    "graph_ppr": q_graph_ppr,
     "graph_bfs": q_graph_bfs,
     "graph_degrees": q_graph_degrees,
     "related_topics": q_related_topics,
@@ -850,6 +874,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dup_clusters": q_dup_clusters,
     "containment_dups": q_containment_dups,
     "ivf_centroids": q_ivf_centroids,
+    "ivf_topk": q_ivf_topk,
     "url_canonical": q_url_canonical,
     "quality_model": q_quality_model,
     "boilerplate_strip": q_boilerplate_strip,

@@ -118,6 +118,70 @@ def pagerank_fixed(edges: DataFrame, damping_pct: int = 85,
         F.expr("rank_u DIV 1000000").cast("long").alias("rank_micro6"))
 
 
+def ppr_fixed(edges: DataFrame, source: str, damping_pct: int = 85,
+              n_iter: int = 5, scale: int = 10**12) -> DataFrame:
+    """Personalized PageRank / random-walk-with-restart from ``source``
+    — the related-entity ranking primitive (a 2-hop neighborhood query
+    with principled weighting).  Same integer fixed-point discipline
+    as :func:`pagerank_fixed`, so a DuckDB oracle that unrolls the
+    fixed rounds matches bit-exactly:
+
+        r0_u      = scale if u == source else 0
+        contrib_u = sum over in-edges of (rank_v * w) // out_w
+        dang      = sum of rank over dangling nodes  (returned to seed)
+        rank_u'   = restart_u + (damping_pct * (contrib_u + seed_dang_u)) // 100
+        restart_u = ((100 - damping_pct) * scale) // 100  for the seed, else 0
+
+    All mass flows back to the seed (standard RWR), so ranks decay
+    with hop distance from it.  Scale shape is identical to
+    pagerank_fixed: per round one join + one aggregate, the dangling
+    scalar stays a lazy 1-row crossJoin — no driver syncs.
+    """
+    spark = edges.sparkSession
+    e = edges.select("src", "dst",
+                     (F.col("weight") if "weight" in edges.columns
+                      else F.lit(1)).cast("long").alias("w"))
+    nodes = (e.select(F.col("src").alias("node"))
+             .union(e.select(F.col("dst").alias("node")))
+             .dropDuplicates()).localCheckpoint()
+    if nodes.isEmpty():
+        return spark.createDataFrame([], "node string, rank_u long, rank_micro6 long")
+
+    out_w = e.groupBy("src").agg(
+        F.sum("w").cast("long").alias("out_w")).localCheckpoint()
+    restart = ((100 - damping_pct) * scale) // 100
+    zero = F.lit(0).cast("long")
+    ranks = nodes.withColumn(
+        "rank_u", F.when(F.col("node") == source, F.lit(scale))
+        .otherwise(zero).cast("long"))
+    for _ in range(n_iter):
+        contribs = (e.join(out_w, "src")
+                    .join(ranks.withColumnRenamed("node", "src"), "src")
+                    .select("dst",
+                            F.expr("(rank_u * w) DIV out_w").alias("c"))
+                    .groupBy("dst")
+                    .agg(F.sum("c").cast("long").alias("in_u")))
+        dang = (ranks.join(out_w.withColumnRenamed("src", "node"),
+                           "node", "left_anti")
+                .agg(F.coalesce(F.sum("rank_u"), F.lit(0))
+                     .cast("long").alias("dang")))
+        ranks = (nodes.join(contribs.withColumnRenamed("dst", "node"),
+                            "node", "left")
+                 .crossJoin(dang)  # 1-row frame: stays fully lazy
+                 .withColumn("_m", F.coalesce(F.col("in_u"), zero)
+                             + F.when(F.col("node") == source,
+                                      F.col("dang")).otherwise(zero))
+                 .select("node",
+                         (F.when(F.col("node") == source,
+                                 F.lit(restart)).otherwise(zero).cast("long")
+                          + F.expr(f"({damping_pct} * _m) DIV 100")
+                          .cast("long")).alias("rank_u"))
+                 ).localCheckpoint()
+    return ranks.select(
+        "node", "rank_u",
+        F.expr("rank_u DIV 1000000").cast("long").alias("rank_micro6"))
+
+
 def pagerank(edges: DataFrame, damping: float = 0.85,
              n_iter: int = 10) -> DataFrame:
     """edges (src, dst[, weight]) directed -> (node, rank_micro6, rank).

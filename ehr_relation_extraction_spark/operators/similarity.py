@@ -171,6 +171,67 @@ def ann_topk(emb: DataFrame, bits: int = ANN_SIGN_BITS,
             .select("query_id", "rank", "neighbor_id", "sim_micro6"))
 
 
+def ivf_topk(emb: DataFrame, n_cells: int = 8, nprobe: int = 2,
+             k: int = 3, n_queries: int = 50) -> DataFrame:
+    """The IVF SEARCH path (completes ivf_assign/ivf_centroid_update
+    into a usable ANN query): assign the corpus to cells, probe each
+    query's top-``nprobe`` cells, exact-cosine rerank the candidates.
+    Output: (query_id, rank, neighbor_id, sim_micro6) — the same
+    contract as :func:`ann_topk` / :func:`brute_force_topk`.
+
+    Deterministic & oracle-exact: probe selection orders by the SAME
+    quantized centroid similarity (floor(sim*1e6), ties by cell) the
+    assignment uses, and the rerank quantizes before ranking with ties
+    by neighbor_id — no float-order dependence anywhere.
+
+    Scale: the codebook is broadcast (n_cells rows), so probe
+    selection never shuffles the query side; candidate generation is
+    an equi-join on cell — each corpus vector lives in exactly ONE
+    cell, so a query meets at most nprobe/n_cells of the corpus and
+    each (query, neighbor) pair is produced at most once.  Recall
+    improves with nprobe at linearly-bounded cost, the standard IVF
+    trade — brute force would shuffle O(n * queries).
+    """
+    base = _with_norm(emb.select("vec_id", "embedding"), "embedding")
+    cents = F.broadcast(
+        base.where(F.col("vec_id") < n_cells)
+        .select(F.col("vec_id").alias("cell"),
+                F.col("_v").alias("_cv"), F.col("_norm").alias("_cn")))
+    assigned = ivf_assign(emb, n_cells).select(
+        F.col("vec_id").alias("neighbor_id"), "cell")
+
+    q = base.where(F.col("vec_id") < n_queries).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("_v").alias("_qv"), F.col("_norm").alias("_qn"))
+    probe_scores = q.join(cents).select(
+        "query_id", "cell",
+        F.floor(_dot(F.col("_qv"), F.col("_cv"))
+                / (F.col("_qn") * F.col("_cn")) * 1000000)
+        .cast("long").alias("_s6"))
+    wp = Window.partitionBy("query_id").orderBy(
+        F.col("_s6").desc(), F.col("cell"))
+    probes = (probe_scores.withColumn("_r", F.row_number().over(wp))
+              .where(F.col("_r") <= nprobe).select("query_id", "cell"))
+
+    cand = probes.join(assigned, "cell") \
+        .where(F.col("neighbor_id") != F.col("query_id")) \
+        .select("query_id", "neighbor_id")
+    qv = base.select(F.col("vec_id").alias("query_id"),
+                     F.col("_v").alias("_qv"), F.col("_norm").alias("_qn"))
+    cv = base.select(F.col("vec_id").alias("neighbor_id"),
+                     F.col("_v").alias("_cv"), F.col("_norm").alias("_cn"))
+    sims = (cand.join(qv, "query_id").join(cv, "neighbor_id")
+            .select("query_id", "neighbor_id",
+                    F.floor(_dot(F.col("_qv"), F.col("_cv"))
+                            / (F.col("_qn") * F.col("_cn")) * 1000000)
+                    .cast("long").alias("sim_micro6")))
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("sim_micro6").desc(), F.col("neighbor_id"))
+    return (sims.withColumn("rank", F.row_number().over(w).cast("int"))
+            .where(F.col("rank") <= k)
+            .select("query_id", "rank", "neighbor_id", "sim_micro6"))
+
+
 def ivf_centroid_update(emb: DataFrame, n_cells: int = 8) -> DataFrame:
     """One Lloyd (k-means) update step for the IVF codebook — the
     training half of :func:`ivf_assign`: assign every vector to its

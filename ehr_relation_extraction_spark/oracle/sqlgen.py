@@ -654,6 +654,48 @@ pr0 AS MATERIALIZED (
 SELECT node, CAST(rank_u // 1000000 AS BIGINT) AS rank_micro6 FROM {prev}"""
 
 
+def _ppr_sql(n_iter: int = 5, damping_pct: int = 85,
+             scale: int = 10**12) -> str:
+    """Exact oracle for graph_algos.ppr_fixed: personalized PageRank
+    from the lexicographically smallest graph node (the same seed rule
+    graph_bfs uses), fixed rounds unrolled as chained CTEs.  All-BIGINT
+    arithmetic with floor divisions on non-negative values — matches
+    the Spark side bit-exactly.  Reuses _pagerank_sql's graph prelude
+    (ge/gn/gcnt/gout) by slicing it off that generator, so the two
+    oracles can never drift apart on graph construction."""
+    restart = ((100 - damping_pct) * scale) // 100
+    seed = "(SELECT MIN(node) FROM gn)"
+    rounds = []
+    prev = "ppr0"
+    for i in range(1, n_iter + 1):
+        rounds.append(f"""
+pd{i} AS MATERIALIZED (
+  SELECT CAST(COALESCE(SUM(r.rank_u), 0) AS BIGINT) AS dang
+  FROM {prev} r WHERE r.node NOT IN (SELECT src FROM gout)),
+ppr{i} AS MATERIALIZED (
+  SELECT n2.node,
+         CAST(CASE WHEN n2.node = {seed} THEN {restart} ELSE 0 END
+              + (({damping_pct} * (COALESCE(c.in_u, 0)
+                   + CASE WHEN n2.node = {seed}
+                          THEN (SELECT dang FROM pd{i}) ELSE 0 END)) // 100)
+           AS BIGINT) AS rank_u
+  FROM gn n2 LEFT JOIN (
+    SELECT e.obj_node AS node,
+           CAST(SUM((r.rank_u * e.weight) // o.out_w) AS BIGINT) AS in_u
+    FROM ge e JOIN gout o ON e.subj_node = o.src
+    JOIN {prev} r ON r.node = e.subj_node
+    GROUP BY 1) c ON n2.node = c.node)""")
+        prev = f"ppr{i}"
+    # graph prelude = everything in _pagerank_sql up to (excluding) pr0
+    prelude = _pagerank_sql(n_iter=1).split("pr0 AS MATERIALIZED")[0].rstrip()
+    assert prelude.endswith(","), "prelude slice must end at a CTE comma"
+    return f"""{prelude}
+ppr0 AS MATERIALIZED (
+  SELECT node, CAST(CASE WHEN node = {seed} THEN {scale} ELSE 0 END AS BIGINT) AS rank_u
+  FROM gn),{",".join(rounds)}
+SELECT node, CAST(rank_u // 1000000 AS BIGINT) AS rank_micro6 FROM {prev}"""
+
+
 ORACLE: dict[str, str] = {
     "extract_text": _q(
         "SELECT doc_id, url, sha256(text) AS text_sha, CAST(length(text) AS INT) AS n_chars FROM pages"),
@@ -894,6 +936,7 @@ bfs(node, d) AS (
 SELECT node, CAST(MIN(d) AS INT) AS dist FROM bfs GROUP BY node""",
         LINK_CTES),
     "pagerank": _q(_pagerank_sql(), LINK_CTES),
+    "graph_ppr": _q(_ppr_sql(), LINK_CTES),
     "candidates_labeled": _assemble(
         BASE, SYS,
         select="""
@@ -1429,6 +1472,34 @@ asg AS (
 SELECT vec_id, CAST(cell AS INT) AS cell,
        CAST(COUNT(*) OVER (PARTITION BY cell) AS BIGINT) AS cell_size
 FROM asg"""),
+    "ivf_topk": _assemble(
+        SIM_CTES.lstrip(",").strip(),
+        select="""
+, cents AS (SELECT vec_id AS cell, v AS cv, nrm AS cn FROM normed WHERE vec_id < 8),
+scored AS (
+  SELECT n.vec_id, c.cell,
+         CAST(floor(1000000 * list_dot_product(n.v, c.cv) / (n.nrm * c.cn)) AS BIGINT) AS s6
+  FROM normed n CROSS JOIN cents c),
+asg AS (
+  SELECT vec_id AS neighbor_id, cell FROM (
+    SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY s6 DESC, cell) AS r
+    FROM scored) WHERE r = 1),
+probes AS (
+  SELECT vec_id AS query_id, cell FROM (
+    SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY s6 DESC, cell) AS r
+    FROM scored WHERE vec_id < 50) WHERE r <= 2),
+cand AS (
+  SELECT p.query_id, a.neighbor_id FROM probes p JOIN asg a USING (cell)
+  WHERE a.neighbor_id <> p.query_id)
+SELECT query_id, rank, neighbor_id, sim_micro6 FROM (
+  SELECT cand.query_id, cand.neighbor_id,
+         CAST(floor(1000000 * list_dot_product(q.v, c.v) / (q.nrm * c.nrm)) AS BIGINT) AS sim_micro6,
+         CAST(ROW_NUMBER() OVER (PARTITION BY cand.query_id ORDER BY
+              CAST(floor(1000000 * list_dot_product(q.v, c.v) / (q.nrm * c.nrm)) AS BIGINT) DESC,
+              cand.neighbor_id) AS INT) AS rank
+  FROM cand JOIN normed q ON q.vec_id = cand.query_id
+            JOIN normed c ON c.vec_id = cand.neighbor_id
+) WHERE rank <= 3"""),
     "top_terms_tfidf": _assemble(
         GAZ, toks_ctes(),
         select="""

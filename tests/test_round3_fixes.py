@@ -91,3 +91,59 @@ def test_curation_cli_url_stage_on_real_urls(spark):
     dup = verdicts.where(F.col("reason") == "url_duplicate") \
         .select("doc_id").collect()
     assert sorted(r["doc_id"] for r in dup) == [1, 2]
+
+
+def test_ivf_topk_candidates_and_recall(spark):
+    """ivf_topk's neighbors must come from the probed cells only, and
+    with nprobe == n_cells it must EQUAL brute force restricted to the
+    same k (probing every cell = no approximation)."""
+    from ehr_relation_extraction_spark.operators import similarity as sim
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    full = sim.ivf_topk(emb, n_cells=4, nprobe=4, k=3, n_queries=12)
+    brute = sim.brute_force_topk(emb, n_queries=12, k=3)
+    got = {(r["query_id"], r["rank"], r["neighbor_id"])
+           for r in full.collect()}
+    want = {(r["query_id"], r["rank"], r["neighbor_id"])
+            for r in brute.collect()}
+    assert got == want
+
+    # nprobe < n_cells: every neighbor's cell is one of the query's
+    # probed cells (the candidate-generation invariant)
+    res = sim.ivf_topk(emb, n_cells=4, nprobe=2, k=3, n_queries=12)
+    asg = {r["vec_id"]: r["cell"]
+           for r in sim.ivf_assign(emb, 4).collect()}
+    probed = {}
+    for r in res.collect():
+        probed.setdefault(r["query_id"], set()).add(asg[r["neighbor_id"]])
+    assert all(len(cells) <= 2 for cells in probed.values())
+
+
+def test_ppr_fixed_seed_locality(spark):
+    """PPR sanity on a hand chain a->b->c (c dangling, mass returns
+    to the seed): the seed outranks everything, rank decays with hop
+    distance, and nodes unreachable from the seed get zero.  (A cycle
+    would NOT decay monotonically — mass rotates; 60 rounds damp
+    the impulse-start transient to ~0.85^60.)"""
+    from ehr_relation_extraction_spark.operators.graph_algos import ppr_fixed
+
+    edges = spark.createDataFrame(
+        [("a", "b"), ("b", "c"), ("x", "y")],
+        "src string, dst string")
+    r = {row["node"]: row["rank_u"]
+         for row in ppr_fixed(edges, "a", n_iter=60).collect()}
+    assert r["a"] > r["b"] > r["c"] > 0
+    assert r["x"] == 0 and r["y"] == 0
+
+
+def test_ppr_fixed_repartition_deterministic(spark):
+    """Integer fixed-point: identical output under different
+    partitionings (the property the exact oracle relies on)."""
+    from ehr_relation_extraction_spark.operators.graph_algos import ppr_fixed
+
+    rows = [(f"n{i}", f"n{(i * 7 + 3) % 20}") for i in range(40)]
+    edges = spark.createDataFrame(rows, "src string, dst string")
+    a = sorted(map(tuple, ppr_fixed(edges, "n0").collect()))
+    b = sorted(map(tuple,
+                   ppr_fixed(edges.repartition(13), "n0").collect()))
+    assert a == b
