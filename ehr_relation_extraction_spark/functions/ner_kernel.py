@@ -74,6 +74,32 @@ def _alternate(cands: list[tuple[int, int]]) -> list[tuple[int, int]]:
     return kept
 
 
+def pattern_spans(text: str,
+                  fixed_bugs: bool = False) -> set[tuple[str, int, int]]:
+    """The PATTERN-RULE half of the detector on its own: regex matches
+    with the reference's one-char-per-side trim quirk (dict_ner.py:78,
+    106).  Exposed separately because these spans are CHAR-level and
+    routinely mid-token ('0 k' out of '30 km') — no token-aligned
+    sequence model can emit them, so the model cascade unions them in
+    alongside the learned chunks, exactly as the reference runs its
+    strength regex alongside the dictionary/neural NER."""
+    n_text = len(text)
+    found: set[tuple[str, int, int]] = set()
+    for rx, ent_type in _PATTERNS:
+        for m in rx.finditer(text):
+            s, e = m.start(), m.end()
+            if fixed_bugs:
+                if (s == 0 or e >= n_text or text[s - 1] not in "\n \t"
+                        or text[e] not in "\n \t"):
+                    continue
+                found.add((ent_type, s, e))
+            else:
+                # dict_ner.py:106 trims every match by one char per side
+                if e - 1 > s + 1:
+                    found.add((ent_type, s + 1, e - 1))
+    return found
+
+
 def detect_mentions(text: str,
                     offsets: list[tuple[str, int, int]],
                     gaz_by_n: dict | None = None,
@@ -116,19 +142,7 @@ def detect_mentions(text: str,
         for s, e in spans:
             found.add((ent_type, s, e))
 
-    # pattern rules
-    for rx, ent_type in _PATTERNS:
-        for m in rx.finditer(text):
-            s, e = m.start(), m.end()
-            if fixed_bugs:
-                if (s == 0 or e >= n_text or text[s - 1] not in "\n \t"
-                        or text[e] not in "\n \t"):
-                    continue
-                found.add((ent_type, s, e))
-            else:
-                # dict_ner.py:106 trims every match by one char per side
-                if e - 1 > s + 1:
-                    found.add((ent_type, s + 1, e - 1))
+    found |= pattern_spans(text, fixed_bugs)
 
     out = [(t, s, e, text[s:e]) for (t, s, e) in found
            if ALNUM_RE.search(text[s:e])]

@@ -173,23 +173,61 @@ class PerceptronTagger:
         return fn
 
 
+def channel_names(ent_types: tuple[str, ...],
+                  n_layers: int = 1) -> tuple[str, ...]:
+    """Channel naming: plain type names for single-layer taggers
+    (back-compat), ``Type#k`` for layered nested-NER channels."""
+    types = sorted(ent_types)
+    if n_layers == 1:
+        return tuple(types)
+    return tuple(f"{t}#{k}" for t in types for k in range(n_layers))
+
+
+def channel_base_type(channel: str) -> str:
+    return channel.partition("#")[0]
+
+
+def split_span_layers(spans: list[tuple[str, int, int]],
+                      n_layers: int) -> list[list[tuple[str, int, int]]]:
+    """Greedy interval layering (the classic nested-NER reduction):
+    sort spans by (start, end), place each in the LOWEST layer whose
+    previous span it doesn't overlap.  Every layer is overlap-free, so
+    each projects losslessly into one IOB2 sequence; spans nested
+    deeper than ``n_layers`` are dropped (the only remaining encoding
+    loss).  Deterministic — pure sorted-order greedy."""
+    layers: list[list[tuple[str, int, int]]] = [[] for _ in range(n_layers)]
+    last_end = [-1] * n_layers
+    for sp in sorted(spans, key=lambda x: (x[1], x[2])):
+        for k in range(n_layers):
+            if sp[1] >= last_end[k]:
+                layers[k].append(sp)
+                last_end[k] = sp[2]
+                break
+    return layers
+
+
 class MultiChannelTagger:
-    """One binary IOB2 perceptron per entity TYPE, decoded
-    independently and unioned.
+    """One binary IOB2 perceptron per CHANNEL — a channel is an entity
+    type, or a (type, layer) pair for nested same-type mentions.
 
     Why: a single IOB2 sequence cannot encode overlapping cross-type
     mentions (one label per token), and that encoding limit — not
     learning error — was the measured ceiling of the cascaded pipeline
     (triple F1 ~0.87 with span F1 0.997).  Per-type channels make
-    cross-type overlaps representable; same-type overlaps remain
-    IOB2-impossible in any labeling scheme.  Each channel's Viterbi is
-    over 3 labels instead of 2*T+1, so T channels cost about the same
-    decode work as one joint tagger (T*9 vs (2T+1)^2 transitions)."""
+    cross-type overlaps representable (measured ceiling 0.958);
+    same-type overlaps are recovered by LAYERED channels (``Type#k``,
+    :func:`split_span_layers`) — each layer is overlap-free, so two
+    layers encode any depth-2 nesting and lift the ceiling to 1.0 on
+    the fixture.  Each channel's Viterbi is over 3 labels instead of
+    2*T+1, so T channels cost about the same decode work as one joint
+    tagger (T*9 vs (2T+1)^2 transitions)."""
 
-    def __init__(self, ent_types: tuple[str, ...]):
-        self.ent_types = tuple(sorted(ent_types))
-        self.taggers = {t: PerceptronTagger(("O", "B-" + t, "I-" + t))
-                        for t in self.ent_types}
+    def __init__(self, channels: tuple[str, ...]):
+        self.ent_types = tuple(sorted(channels))
+        self.taggers = {
+            c: PerceptronTagger(
+                ("O", "B-" + channel_base_type(c), "I-" + channel_base_type(c)))
+            for c in self.ent_types}
 
     def chunks(self, tokens: list[str]) -> list[tuple[str, int, int]]:
         from ..operators.model_ner import decode_chunks
@@ -197,13 +235,13 @@ class MultiChannelTagger:
         if not tokens:
             return []
         feats = [token_features(tokens, i) for i in range(len(tokens))]
-        out: list[tuple[str, int, int]] = []
+        out: set[tuple[str, int, int]] = set()
         for t in self.ent_types:
             tg = self.taggers[t]
             em = tg.avg_em if tg.avg_em is not None else tg.w_em
             tr = tg.avg_tr if tg.avg_tr is not None else tg.w_tr
             labs = [tg.labels[i] for i in tg._decode(feats, em, tr)]
-            out.extend(decode_chunks(labs))
+            out.update(decode_chunks(labs))
         return sorted(out)
 
     def chunk_fn(self):
@@ -216,29 +254,38 @@ class MultiChannelTagger:
         return fn
 
 
-def teacher_channel_labels(text: str, toks, ent_type: str) -> list[str]:
-    """Per-type teacher: IOB2 labels from ONLY that type's gazetteer
-    spans — the distillation target of one channel."""
+def teacher_channel_labels(text: str, toks, channel: str,
+                           n_layers: int = 1) -> list[str]:
+    """Per-channel teacher: IOB2 labels from that channel's gazetteer
+    spans — the distillation target.  A plain type name takes ALL the
+    type's spans (overlaps overwrite in sorted order, the original
+    single-layer behavior); a layered ``Type#k`` channel takes layer k
+    of the overlap-free greedy layering, so the projection is
+    lossless within the layer."""
     from ..functions.ner_kernel import detect_mentions
     from ..operators.model_ner import iob2_labels_for_doc
 
+    base, _, layer = channel.partition("#")
     spans = [(t, s, e) for (t, s, e, _) in detect_mentions(text, toks)
-             if t == ent_type]
+             if t == base]
+    if layer:
+        spans = split_span_layers(spans, n_layers)[int(layer)]
     return iob2_labels_for_doc(text, toks, spans)
 
 
 def train_multi_on_teacher(pages_rows: list[tuple[str]], epochs: int = 5,
-                           ent_types: tuple[str, ...] | None = None
-                           ) -> MultiChannelTagger:
+                           ent_types: tuple[str, ...] | None = None,
+                           n_layers: int = 1) -> MultiChannelTagger:
     """Serial multi-channel distillation (the driver-side counterpart
     of ``train_distributed(channels=...)``): features hashed once per
-    doc, shared by every channel and epoch."""
+    doc, shared by every channel and epoch.  ``n_layers >= 2`` trains
+    layered ``Type#k`` channels (nested same-type mentions)."""
     from ..config import GAZETTEER
     from .text import tokenize_with_offsets
 
     if ent_types is None:
         ent_types = tuple(sorted({g[1] for g in GAZETTEER}))
-    mt = MultiChannelTagger(ent_types)
+    mt = MultiChannelTagger(channel_names(ent_types, n_layers))
     docs, texts_toks = [], []
     for (text,) in pages_rows:
         toks = tokenize_with_offsets(text)
@@ -249,7 +296,7 @@ def train_multi_on_teacher(pages_rows: list[tuple[str]], epochs: int = 5,
     feats_list = [[token_features(tokens, i) for i in range(len(tokens))]
                   for tokens in docs]
     for t in mt.ent_types:
-        gold = [teacher_channel_labels(text, toks, t)
+        gold = [teacher_channel_labels(text, toks, t, n_layers)
                 for text, toks in texts_toks]
         mt.taggers[t].train(docs, gold, epochs=epochs,
                             feats_list=feats_list)
@@ -330,7 +377,8 @@ def train_pair_classifier(candidates_rows: list[dict], epochs: int = 5
 def train_distributed(pages_df, epochs: int = 5, n_parts: int = 8,
                       rounds: int = 2,
                       labels: tuple[str, ...] = IOB2_LABELS,
-                      channels: tuple[str, ...] | None = None
+                      channels: tuple[str, ...] | None = None,
+                      n_layers: int = 1
                       ) -> "PerceptronTagger | MultiChannelTagger":
     """Distributed perceptron training by iterative parameter mixing
     (McDonald, Hall & Mann, NAACL 2010): shard the teacher sample
@@ -363,8 +411,9 @@ def train_distributed(pages_df, epochs: int = 5, n_parts: int = 8,
     spark = pages_df.sparkSession
     ch_names: tuple[str, ...]
     if channels is not None:
-        ch_names = tuple(sorted(channels))
-        ch_labels = {c: ("O", "B-" + c, "I-" + c) for c in ch_names}
+        ch_names = channel_names(channels, n_layers)
+        ch_labels = {c: ("O", "B-" + channel_base_type(c),
+                         "I-" + channel_base_type(c)) for c in ch_names}
     else:
         ch_names = ("",)
         ch_labels = {"": labels}
@@ -400,7 +449,7 @@ def train_distributed(pages_df, epochs: int = 5, n_parts: int = 8,
                 tagger.w_em = em0.copy()
                 tagger.w_tr = tr0.copy()
                 if c:
-                    gold = [teacher_channel_labels(text, toks, c)
+                    gold = [teacher_channel_labels(text, toks, c, n_layers)
                             for text, toks in texts_toks]
                 else:
                     gold = [teacher_labels(text, toks)

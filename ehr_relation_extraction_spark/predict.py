@@ -41,11 +41,17 @@ def predict_document(text: str,
     if model_choice == "rule":
         raw = detect_mentions(text, toks)
     elif model_choice == "model":
+        from .functions.ner_kernel import ALNUM_RE, pattern_spans
         from .operators.model_ner import (chunks_to_char_spans,
                                           decode_chunks, teacher_labels)
 
         fn = model.label_fn() if model is not None else teacher_labels
-        spans = chunks_to_char_spans(toks, decode_chunks(fn(text, toks)))
+        spans = set(chunks_to_char_spans(toks, decode_chunks(fn(text, toks))))
+        # the deterministic pattern rules run BESIDE the model, exactly
+        # as in the Spark cascade (mid-token quirk spans are
+        # unlearnable by any token-aligned tagger)
+        spans |= {(t, s, e) for (t, s, e) in pattern_spans(text)
+                  if ALNUM_RE.search(text[s:e])}
         # T-id parity with the Spark model path: (start, end, type) order
         raw = sorted(((t, s, e, text[s:e]) for (t, s, e) in spans),
                      key=lambda m: (m[1], m[2], m[0]))

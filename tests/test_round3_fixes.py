@@ -147,3 +147,53 @@ def test_ppr_fixed_repartition_deterministic(spark):
     b = sorted(map(tuple,
                    ppr_fixed(edges.repartition(13), "n0").collect()))
     assert a == b
+
+
+def test_split_span_layers_properties():
+    """Greedy layering: layers are overlap-free, order-deterministic,
+    and depth-2 nesting fits in 2 layers."""
+    from ehr_relation_extraction_spark.functions.perceptron import (
+        split_span_layers)
+
+    spans = [("T", 0, 5), ("T", 3, 8), ("T", 8, 12), ("T", 20, 25),
+             ("T", 22, 30)]
+    layers = split_span_layers(spans, 2)
+    assert sorted(layers[0] + layers[1]) == sorted(spans)  # none dropped
+    for lay in layers:
+        for (_, s1, e1), (_, s2, e2) in zip(lay, lay[1:]):
+            assert s2 >= e1  # overlap-free within a layer
+
+
+def test_cascade_pattern_union_restores_quirk_spans(spark):
+    """The pattern-rule union must restore the mid-token regex spans
+    ('0 k' out of '30 km') that token-aligned chunks cannot encode:
+    with it, the perfect-teacher cascade reproduces the rule pipeline
+    EXACTLY (F1 = 1.0); without it, recall drops below 1."""
+    from ehr_relation_extraction_spark.config import GAZETTEER
+    from ehr_relation_extraction_spark.functions.perceptron import (
+        channel_names, teacher_channel_labels)
+    from ehr_relation_extraction_spark.operators.evaluate import prf_triples
+    from ehr_relation_extraction_spark.operators.model_ner import (
+        decode_chunks)
+    from ehr_relation_extraction_spark.oracle.fixtures import pages_df
+    from ehr_relation_extraction_spark.plans.pipeline import (
+        build, build_cascade)
+
+    chs = channel_names(tuple(sorted({g[1] for g in GAZETTEER})))
+
+    def perfect_channels(text, toks):
+        out = set()
+        for c in chs:
+            out.update(decode_chunks(teacher_channel_labels(text, toks, c)))
+        return sorted(out)
+
+    held_out = pages_df(spark, n_pages=120).where("doc_id >= 90")
+    gold = build(held_out).triples.localCheckpoint()
+    with_rules = prf_triples(
+        gold, build_cascade(held_out, chunk_fn=perfect_channels)
+        .triples).first()
+    assert with_rules["f1_micro6"] == 1_000_000
+    without = prf_triples(
+        gold, build_cascade(held_out, chunk_fn=perfect_channels,
+                            include_pattern_rules=False).triples).first()
+    assert without["r_micro6"] < 1_000_000
