@@ -269,6 +269,93 @@ def run_matrix(cpus: int) -> None:
     }))
 
 
+def _materialize_docs(spark, sf_dir: str, replicate: int) -> str:
+    """Replicate the documents table ``replicate``x with distinct
+    doc_ids, materialized once as multi-file parquet (same reasoning
+    as _materialize: the expansion must not serialize the timed runs).
+    The clones are EXACT text duplicates — deliberately: the dedup
+    suite then runs against a corpus with real duplicate structure."""
+    from pyspark.sql import functions as F
+
+    src = (f"/tmp/spark_graft_curation_{os.path.basename(sf_dir)}"
+           f"_x{replicate}.parquet")
+    if os.path.exists(os.path.join(src, "_SUCCESS")):
+        return src
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    big = (docs.crossJoin(
+        spark.range(replicate).withColumnRenamed("id", "rep"))
+        .select((F.col("doc_id") + F.col("rep") * 10_000_000)
+                .alias("doc_id"),
+                "text", "lang", "source", "n_chars"))
+    big.repartition(32).write.mode("overwrite").parquet(src)
+    return src
+
+
+def run_curation(sf_dir: str, cpus: int) -> None:
+    """LLM-data-curation suite bench (round-2 judge item 6): times the
+    dedup/curation operators — the non-KG half of the engine — so
+    regressions there are tracked round-over-round like the triple
+    path.  Runs each op to completion (count) on the replicated
+    documents corpus, best-of-K per op on one session."""
+    import time as _t
+
+    from ehr_relation_extraction_spark.session import get_spark
+    from ehr_relation_extraction_spark.operators import dedup as dd
+    from ehr_relation_extraction_spark.functions import textstats as ts
+
+    replicate = int(os.environ.get("SPARK_GRAFT_CURATION_REP", "12"))
+    trials = int(os.environ.get("SPARK_GRAFT_BENCH_TRIALS", "2"))
+    spark = get_spark(app_name="bench-curation", master=f"local[{cpus}]",
+                      shuffle_partitions=cpus)
+    from pyspark.sql import functions as F
+
+    src = _materialize_docs(spark, sf_dir, replicate)
+    docs = spark.read.parquet(src)
+    n_docs = docs.count()  # also warms the JVM
+    # near-dup PAIR ops run on the exact-deduped canonicals — the
+    # production cascade order (curate_corpus.py).  Pairwise output is
+    # quadratic within duplicate clusters, so running simhash/minhash
+    # pair emission BEFORE exact dedup on a clone-heavy corpus measures
+    # the pathological fixture, not the operator (rep=4 emitted 25M
+    # pairs from 20k docs).  Exact dedup first is also what a 100 TB
+    # pipeline does: it's one cheap hash-aggregate that shrinks
+    # everything downstream.
+    canon = (docs.join(dd.exact_dedup(docs)
+                       .where(F.col("is_canonical") == 1)
+                       .select("doc_id"), "doc_id")
+             .localCheckpoint())
+
+    ops = {
+        "exact_dedup": lambda: dd.exact_dedup(docs),
+        "dup_clusters": lambda: dd.dup_clusters(canon),
+        "simhash_near_dups": lambda: dd.simhash_near_dups(canon),
+        "passage_dups": lambda: ts.passage_dups(ts.with_synth_quote(docs)),
+        "boilerplate_strip": lambda: ts.boilerplate_strip(
+            ts.with_synth_lines(docs)),
+        "decontaminate": lambda: ts.decontaminate(docs),
+        "pack_sequences": lambda: ts.pack_sequences(docs, seq_len=512),
+    }
+    timings: dict[str, float] = {}
+    counts: dict[str, int] = {}
+    for _ in range(trials):
+        for name, fn in ops.items():
+            t0 = _t.time()
+            counts[name] = fn().count()
+            dt = round(_t.time() - t0, 3)
+            if name not in timings or dt < timings[name]:
+                timings[name] = dt
+    spark.stop()
+    total = round(sum(timings.values()), 3)
+    print(json.dumps({
+        "metric": "curation_suite_sec", "value": total, "unit": "sec",
+        "ops": timings, "counts": counts, "docs": n_docs,
+        "docs_per_sec_total": round(len(ops) * n_docs / max(total, 1e-9), 1),
+        "sf": sf_of(sf_dir), "replicate": replicate,
+        "note": f"documents x{replicate} with exact-duplicate clones; "
+                f"best of {trials} trials per op, local[{cpus}]",
+    }))
+
+
 def run_skew(sf_dir: str, cpus: int) -> None:
     """Skewed-host robustness bench (SURVEY §5.2 item 4): the fused
     triples job on a uniform corpus vs one where a single host owns
@@ -348,6 +435,10 @@ def main() -> None:
 
     if "--matrix" in sys.argv:
         run_matrix(cpus)
+        return
+
+    if "--curation" in sys.argv:
+        run_curation(sf_dir, cpus)
         return
 
     r = run_suite(sf_dir, master, cpus)
