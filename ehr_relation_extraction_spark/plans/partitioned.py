@@ -162,6 +162,170 @@ def merge_composite(spark: SparkSession, path: str, deltas: DataFrame,
     return cells
 
 
+# ---------------------------------------------------------------------------
+# Manifest store: generation directories + atomic pointer swap
+# ---------------------------------------------------------------------------
+#
+# The in-place merge/compact above document a non-atomic window (the
+# shutil.move swap).  The manifest store closes it the way Iceberg
+# does — data files are immutable, committed state is a POINTER:
+#
+#   <root>/_MANIFEST.json     {"generation": N, "dir": "gen-%06d", ...}
+#   <root>/gen-000001/day_idx=D/url_bucket=B/part-*.parquet
+#   <root>/gen-000002/...
+#
+# Writers build the NEXT generation directory (hardlinking every
+# untouched file — an O(files) metadata op, no data copied; Iceberg's
+# "new snapshot references old files" reduced to the local-FS form),
+# then promote with os.replace of the manifest — atomic on POSIX.  A
+# crash mid-build leaves an orphan gen directory that no reader ever
+# resolves; promote GCs all non-current generations.  Readers resolve
+# through the manifest, so they see exactly one committed generation.
+
+MANIFEST = "_MANIFEST.json"
+
+
+def _manifest(root: str) -> dict:
+    import json
+
+    with open(f"{root}/{MANIFEST}") as f:
+        return json.load(f)
+
+
+def store_resolve(root: str) -> str:
+    """Current committed generation's data directory."""
+    return f"{root}/{_manifest(root)['dir']}"
+
+
+def store_read(spark: SparkSession, root: str) -> DataFrame:
+    return spark.read.parquet(store_resolve(root))
+
+
+def _promote(root: str, gen: int, lineage: dict) -> None:
+    """Atomically commit generation ``gen`` (os.replace of the
+    manifest), then GC every other generation directory."""
+    import json
+    import os
+    import shutil
+
+    tmp = f"{root}/{MANIFEST}.tmp"
+    cur = f"gen-{gen:06d}"
+    with open(tmp, "w") as f:
+        json.dump({"generation": gen, "dir": cur, "lineage": lineage}, f)
+    os.replace(tmp, f"{root}/{MANIFEST}")  # the atomic commit point
+    for d in os.listdir(root):
+        if d.startswith("gen-") and d != cur:
+            shutil.rmtree(f"{root}/{d}", ignore_errors=True)
+
+
+def store_init(df: DataFrame, root: str, n_buckets: int = 16) -> None:
+    """Create a manifest store from a triples frame (composite
+    day_idx x url_bucket layout inside generation 1)."""
+    import os
+
+    os.makedirs(root, exist_ok=True)
+    write_composite_partitioned(df, f"{root}/gen-000001", n_buckets)
+    _promote(root, 1, {"op": "init"})
+
+
+def _link_tree(src: str, dst: str, skip_cells: set) -> None:
+    """Hardlink src's partition tree into dst, skipping the touched
+    (day_idx, url_bucket) cell directories.  Metadata-only: no bytes
+    are copied, and the linked files stay immutable (parquet files are
+    never appended in place)."""
+    import os
+
+    for day_d in os.listdir(src):
+        if not day_d.startswith("day_idx="):
+            continue
+        day = int(day_d.split("=")[1])
+        for buck_d in os.listdir(f"{src}/{day_d}"):
+            if not buck_d.startswith("url_bucket="):
+                continue
+            if (day, int(buck_d.split("=")[1])) in skip_cells:
+                continue
+            os.makedirs(f"{dst}/{day_d}/{buck_d}", exist_ok=True)
+            for fn in os.listdir(f"{src}/{day_d}/{buck_d}"):
+                os.link(f"{src}/{day_d}/{buck_d}/{fn}",
+                        f"{dst}/{day_d}/{buck_d}/{fn}")
+
+
+def store_merge(spark: SparkSession, root: str, deltas: DataFrame,
+                n_buckets: int = 16) -> list[tuple[int, int]]:
+    """Partition-scoped MERGE with an ATOMIC commit: same delta
+    semantics as :func:`merge_composite` (per (day, key) last op by
+    crawl_seq wins), but the result lands as a new generation —
+    untouched cells hardlinked (no rewrite, no copy), touched cells
+    rewritten — and becomes visible only at the manifest os.replace.
+    A reader concurrent with the merge sees entirely-old or
+    entirely-new state, never a mix; a crash leaves the old generation
+    committed.  Returns the touched-cell lineage list."""
+    import os
+
+    from pyspark.sql import Window
+
+    man = _manifest(root)
+    cur_dir = f"{root}/{man['dir']}"
+    gen = man["generation"] + 1
+    new_dir = f"{root}/gen-{gen:06d}"
+
+    key = ["url", "subj", "pred", "obj"]
+    d = deltas if "url_bucket" in deltas.columns \
+        else with_url_bucket(deltas, n_buckets)
+    cells = sorted({(r["day_idx"], r["url_bucket"])
+                    for r in d.select("day_idx", "url_bucket")
+                    .distinct().collect()})
+    if not cells:
+        return []
+    cond = None
+    for day, bucket in cells:
+        c = (F.col("day_idx") == day) & (F.col("url_bucket") == bucket)
+        cond = c if cond is None else cond | c
+    affected = spark.read.parquet(cur_dir).where(cond)
+
+    w = (Window.partitionBy("day_idx", *key)
+         .orderBy(F.col("crawl_seq").desc()))
+    last = (d.withColumn("_rn", F.row_number().over(w))
+            .where(F.col("_rn") == 1))
+    adds = last.where(F.col("op") == "+") \
+        .select("day_idx", "url_bucket", *key)
+    dels = last.where(F.col("op") == "-") \
+        .select("day_idx", *key)
+    kept = (affected.select("day_idx", "url_bucket", *key)
+            .join(dels, ["day_idx", *key], "left_anti"))
+    merged = kept.unionByName(adds) \
+        .dropDuplicates(["day_idx", *key]).localCheckpoint()
+
+    os.makedirs(new_dir, exist_ok=True)
+    _link_tree(cur_dir, new_dir, skip_cells=set(cells))
+    # touched cells only; fully-retracted cells simply write no rows
+    # (their directory never appears in the new generation)
+    (merged.write.mode("append")
+     .partitionBy("day_idx", "url_bucket").parquet(new_dir))
+    _promote(root, gen, {"op": "merge", "cells": [list(c) for c in cells]})
+    return cells
+
+
+def store_compact(spark: SparkSession, root: str,
+                  target_files_per_cell: int = 1) -> None:
+    """Small-files compaction as a new generation + atomic promote —
+    the manifest-store counterpart of :func:`compact_partitions`,
+    preserving the composite partition scheme and leaving no crash
+    window (the old generation stays committed until the manifest
+    swap)."""
+    man = _manifest(root)
+    gen = man["generation"] + 1
+    df = spark.read.parquet(f"{root}/{man['dir']}")
+    part_cols = [c for c in ("day_idx", "url_bucket") if c in df.columns]
+    data_cols = [c for c in df.columns if c not in part_cols]
+    spread = F.pmod(F.xxhash64(*data_cols), F.lit(target_files_per_cell))
+    n_cells = max(df.select(*part_cols).distinct().count(), 1)
+    (df.repartition(n_cells * target_files_per_cell, *part_cols, spread)
+     .write.mode("overwrite").partitionBy(*part_cols)
+     .parquet(f"{root}/gen-{gen:06d}"))
+    _promote(root, gen, {"op": "compact"})
+
+
 def compact_partitions(spark: SparkSession, path: str,
                        target_files_per_cell: int = 1) -> None:
     """Rewrite each partition down to a bounded file count (the

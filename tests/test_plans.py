@@ -449,3 +449,94 @@ def test_merge_compact_merge_roundtrip(spark, tmp_path):
     merge_composite(spark, path, deltas(v2, 3), n_buckets)
     want2 = (want - {v2}) | {("https://new.ex/3", "NEW3", "pred", "VAL", 1000)}
     assert snapshot() == want2
+
+
+def test_manifest_store_atomic_merge_compact(spark, tmp_path):
+    """Manifest store (round-3: closes the local-FS swap caveat):
+    build -> merge -> compact -> merge with exact row sets at every
+    step; untouched cells are HARDLINKED into the new generation
+    (same inode — no data copied); commit is an atomic manifest
+    os.replace, so an orphan generation from a simulated crash is
+    never resolved and is GC'd by the next promote; scans through the
+    resolved directory still carry both partition axes as
+    PartitionFilters."""
+    import json
+    import os
+
+    from ehr_relation_extraction_spark.plans.partitioned import (
+        store_compact, store_init, store_merge, store_read,
+        store_resolve, with_url_bucket)
+
+    n_buckets = 2
+    rows = [(f"https://h{i % 4}.ex/{i}", f"S{i}", "pred", f"O{i}",
+             1000 + i % 3) for i in range(30)]
+    store = with_url_bucket(spark.createDataFrame(
+        rows, "url string, subj string, pred string, obj string, day_idx int"),
+        n_buckets)
+    root = str(tmp_path / "manifest_store")
+    store_init(store, root, n_buckets)
+
+    def snapshot():
+        return {tuple(r) for r in store_read(spark, root)
+                .select("url", "subj", "pred", "obj", "day_idx").collect()}
+
+    def deltas(victim, seq):
+        return spark.createDataFrame(
+            [(victim[0], victim[1], victim[2], victim[3], "-", seq,
+              victim[4]),
+             (f"https://new.ex/{seq}", f"NEW{seq}", "pred", "VAL", "+",
+              seq, 1000)],
+            "url string, subj string, pred string, obj string, "
+            "op string, crawl_seq int, day_idx int")
+
+    base = snapshot()
+    assert base == {tuple(r) for r in
+                    store.select("url", "subj", "pred", "obj",
+                                 "day_idx").collect()}
+
+    # inodes of gen-1 files, keyed by relative path
+    g1 = store_resolve(root)
+    inodes = {}
+    for day_d in os.listdir(g1):
+        if day_d.startswith("day_idx="):
+            for b_d in os.listdir(f"{g1}/{day_d}"):
+                for fn in os.listdir(f"{g1}/{day_d}/{b_d}"):
+                    rel = f"{day_d}/{b_d}/{fn}"
+                    inodes[rel] = os.stat(f"{g1}/{day_d}/{b_d}/{fn}").st_ino
+
+    v1 = sorted(base)[0]
+    cells = store_merge(spark, root, deltas(v1, 2), n_buckets)
+    want = (base - {v1}) | {("https://new.ex/2", "NEW2", "pred", "VAL", 1000)}
+    assert snapshot() == want
+    # old generation GC'd; untouched files hardlinked (same inode)
+    assert not os.path.exists(g1)
+    g2 = store_resolve(root)
+    touched_dirs = {f"day_idx={d}/url_bucket={b}" for d, b in cells}
+    n_linked = 0
+    for rel, ino in inodes.items():
+        if "/".join(rel.split("/")[:2]) not in touched_dirs:
+            assert os.stat(f"{g2}/{rel}").st_ino == ino, rel
+            n_linked += 1
+    assert n_linked > 0
+
+    # simulated crash: an orphan generation directory is never resolved
+    os.makedirs(f"{root}/gen-000999/day_idx=1/url_bucket=0", exist_ok=True)
+    assert snapshot() == want
+    store_compact(spark, root, target_files_per_cell=1)
+    assert snapshot() == want
+    assert not os.path.exists(f"{root}/gen-000999")  # GC'd at promote
+    man = json.load(open(f"{root}/_MANIFEST.json"))
+    assert man["lineage"]["op"] == "compact"
+
+    v2 = sorted(want)[0]
+    store_merge(spark, root, deltas(v2, 3), n_buckets)
+    want2 = (want - {v2}) | {("https://new.ex/3", "NEW3", "pred", "VAL", 1000)}
+    assert snapshot() == want2
+
+    # pruning still intact through the resolved path
+    from pyspark.sql import functions as F
+    plan = (store_read(spark, root)
+            .where((F.col("day_idx") == 1000) & (F.col("url_bucket") == 0))
+            ._jdf.queryExecution().executedPlan().toString())
+    pf = plan.split("PartitionFilters")[1].split("]")[0]
+    assert "day_idx" in pf and "url_bucket" in pf, plan
