@@ -309,10 +309,15 @@ class PairClassifier:
     ``operators.relations.classify_rule``, behind the same contract
     (candidate row -> pred in {0, 1}).
 
-    Features are hashed strings of the pair row (types, exact and
-    bucketed gap, surfaces, argument order); weights are one (D,)
-    vector.  Deterministic training (fixed order, no RNG) with the
-    same lazy-averaging trick as the tagger."""
+    Features are hashed strings of the pair row: types, exact and
+    bucketed gap, full surfaces, argument order, PLUS char-ngram
+    affixes and shapes of both surfaces (round-2 roadmap thread —
+    the same morphology features that let the NER perceptron
+    generalize; a surface-dependent teacher rule transfers to UNSEEN
+    surfaces sharing affixes, which full-surface features cannot do,
+    tests/test_round3_fixes.py).  Weights are one (D,) vector.
+    Deterministic training (fixed order, no RNG) with the same
+    lazy-averaging trick as the tagger."""
 
     FIELDS = ("rel_type", "gap", "hub_text", "attr_text",
               "hub_start", "attr_start")
@@ -334,7 +339,13 @@ class PairClassifier:
             "ht=" + hub_text.lower(),
             "at=" + attr_text.lower(),
             "ord=" + ("ha" if hub_start < attr_start else "ah"),
+            "rtgb=" + rel_type + "|" + str(gap // 10),
         ]
+        for t, pre in ((hub_text, "h"), (attr_text, "a")):
+            tl = t.lower()
+            feats += [pre + "p3=" + tl[:3], pre + "p4=" + tl[:4],
+                      pre + "s3=" + tl[-3:], pre + "s4=" + tl[-4:],
+                      pre + "sh=" + _shape(t)]
         return [_bucket(f) for f in feats]
 
     def _score(self, fs: list[int], w: np.ndarray) -> float:

@@ -99,3 +99,74 @@ def canonical_url_groups(docs: DataFrame) -> DataFrame:
                         .cast("int"))
             .select("doc_id", "url_raw", "url_norm", "n_variants",
                     "is_canonical"))
+
+
+def resolve_redirect_chains(redirects: DataFrame,
+                            max_doubling: int = 16) -> DataFrame:
+    """(src_url, dst_url) redirect edges -> (url, final_url): follow
+    each chain to its sink by POINTER DOUBLING — each round joins the
+    mapping with itself, squaring the resolved hop distance, so a
+    chain of length L settles in ceil(log2 L) rounds (16 rounds cover
+    chains of 65k hops; real redirect chains are < 10).  O(log L)
+    shuffles of the edge table instead of O(L) — the same round
+    discipline as the connected-components operator, localCheckpoint
+    per round to cut lineage.
+
+    Early-exits when a round changes nothing (one count per round —
+    driver-side scalar, not data).  Redirect CYCLES are malformed
+    crawl data: rows whose final_url still has an outgoing edge after
+    the rounds are flagged ``unresolved=1`` (callers keep or drop;
+    resolution never loops forever).
+    """
+    # one out-edge per src; min(dst) deterministically breaks the
+    # (malformed) multi-target case — dropDuplicates on a subset would
+    # keep a partition-order-dependent row
+    m = (redirects.select(F.col("src_url").alias("src"),
+                          F.col("dst_url").alias("dst"))
+         .where(F.col("src") != F.col("dst"))
+         .groupBy("src").agg(F.min("dst").alias("dst"))
+         .localCheckpoint())
+    for _ in range(max_doubling):
+        a, b = m.alias("a"), m.alias("b")
+        m2 = (a.join(b, F.col("a.dst") == F.col("b.src"), "left")
+              .select(F.col("a.src").alias("src"),
+                      F.coalesce(F.col("b.dst"), F.col("a.dst"))
+                      .alias("dst"))
+              .localCheckpoint())
+        changed = (m2.alias("n")
+                   .join(m.alias("o"), "src")
+                   .where(F.col("n.dst") != F.col("o.dst")).count())
+        m = m2
+        if changed == 0:
+            break
+    sinks_with_out = m.select(F.col("src").alias("dst")).dropDuplicates()
+    return (m.join(sinks_with_out.withColumn("_cyc", F.lit(1)),
+                   "dst", "left")
+            .select(F.col("src").alias("url"),
+                    F.col("dst").alias("final_url"),
+                    F.coalesce(F.col("_cyc"), F.lit(0)).cast("int")
+                    .alias("unresolved")))
+
+
+def canonical_url_groups_with_redirects(docs_with_url: DataFrame,
+                                        redirects: DataFrame) -> DataFrame:
+    """Cross-host canonical-url dedup (round-2 roadmap thread): urls
+    normalize (tracking params, case, ports, slashes), then resolve
+    through the redirect graph, so content reached via chains of
+    301s — including cross-host moves — collapses to ONE canonical
+    group.  (doc_id, url_norm, final_url, is_canonical); canonical =
+    min doc_id per final target.  Redirect edges are given on
+    NORMALIZED urls; unresolved (cyclic) urls stay their own group."""
+    normed = url_normalize(docs_with_url.select("doc_id", "url"),
+                           url_col="url")
+    resolved = resolve_redirect_chains(redirects)
+    j = (normed.join(resolved.where(F.col("unresolved") == 0),
+                     normed["url_norm"] == resolved["url"], "left")
+         .select("doc_id", "url_norm",
+                 F.coalesce(F.col("final_url"), F.col("url_norm"))
+                 .alias("final_url")))
+    w = Window.partitionBy("final_url")
+    return (j.withColumn("is_canonical",
+                         (F.col("doc_id") == F.min("doc_id").over(w))
+                         .cast("int"))
+            .select("doc_id", "url_norm", "final_url", "is_canonical"))

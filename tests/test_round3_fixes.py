@@ -197,3 +197,76 @@ def test_cascade_pattern_union_restores_quirk_spans(spark):
         gold, build_cascade(held_out, chunk_fn=perfect_channels,
                             include_pattern_rules=False).triples).first()
     assert without["r_micro6"] < 1_000_000
+
+
+def test_pair_classifier_generalizes_via_affixes():
+    """Char-ngram affix features (round-2 roadmap thread): a teacher
+    whose rule depends on surface MORPHOLOGY (attr suffix) must
+    transfer to held-out pairs with surfaces never seen in training —
+    exactly what full-surface features alone cannot do."""
+    from ehr_relation_extraction_spark.functions.perceptron import (
+        PairClassifier)
+
+    def rows_for(stems):
+        out = []
+        for i, stem in enumerate(stems):
+            # positive: attr carries the 'ment' suffix; negative: 'able'
+            out.append(("Topic-Money", 10 + i % 5, "spark",
+                        stem + "ment", 0, 20))
+            out.append(("Topic-Money", 10 + i % 5, "spark",
+                        stem + "able", 0, 20))
+        return out
+
+    train_stems = [f"alpha{i}" for i in range(40)]
+    test_stems = [f"zz{i}q" for i in range(20)]  # disjoint surfaces
+    tr = rows_for(train_stems)
+    labels = [1 if r[3].endswith("ment") else 0 for r in tr]
+    model = PairClassifier().train(tr, labels, epochs=5)
+
+    te = rows_for(test_stems)
+    want = [1 if r[3].endswith("ment") else 0 for r in te]
+    got = [model.predict(r) for r in te]
+    acc = sum(a == b for a, b in zip(got, want)) / len(want)
+    assert acc >= 0.95, f"held-out unseen-surface accuracy {acc:.3f}"
+
+
+def test_redirect_chain_resolution_pointer_doubling(spark):
+    """Redirect chains resolve to their sink in O(log L) rounds; a
+    cycle is flagged unresolved instead of looping; cross-host chains
+    collapse url groups through the redirect graph."""
+    from pyspark.sql import functions as F
+
+    from ehr_relation_extraction_spark.functions.urls import (
+        canonical_url_groups_with_redirects, resolve_redirect_chains)
+
+    # one 12-hop chain, one 2-hop chain, one 2-cycle
+    chain = [(f"https://h.ex/{i}", f"https://h.ex/{i + 1}")
+             for i in range(12)]
+    edges = chain + [("https://a.ex/x", "https://b.ex/y"),
+                     ("https://c.ex/1", "https://c.ex/2"),
+                     ("https://c.ex/2", "https://c.ex/1")]
+    rdf = spark.createDataFrame(edges, "src_url string, dst_url string")
+    res = {r["url"]: (r["final_url"], r["unresolved"])
+           for r in resolve_redirect_chains(rdf).collect()}
+    assert res["https://h.ex/0"] == ("https://h.ex/12", 0)
+    assert res["https://h.ex/5"] == ("https://h.ex/12", 0)
+    assert res["https://a.ex/x"] == ("https://b.ex/y", 0)
+    assert res["https://c.ex/1"][1] == 1  # cycle flagged
+    assert res["https://c.ex/2"][1] == 1
+
+    # cross-host dedup: two docs under different hosts + one under the
+    # chain head all collapse onto the chain sink's group
+    docs = spark.createDataFrame(
+        [(1, "https://h.ex/0?utm_source=x"),   # normalizes to chain head
+         (2, "HTTPS://H.EX:443/12"),           # already the sink
+         (3, "https://a.ex/x/"),               # cross-host redirect
+         (4, "https://b.ex/y"),                # the cross-host target
+         (5, "https://other.ex/solo")],
+        "doc_id long, url string")
+    g = {r["doc_id"]: (r["final_url"], r["is_canonical"])
+         for r in canonical_url_groups_with_redirects(docs, rdf).collect()}
+    assert g[1] == ("https://h.ex/12", 1)
+    assert g[2] == ("https://h.ex/12", 0)
+    assert g[3] == ("https://b.ex/y", 1)
+    assert g[4] == ("https://b.ex/y", 0)
+    assert g[5][1] == 1
