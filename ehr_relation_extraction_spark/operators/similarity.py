@@ -213,7 +213,11 @@ def ivf_topk(emb: DataFrame, n_cells: int = 8, nprobe: int = 2,
     probes = (probe_scores.withColumn("_r", F.row_number().over(wp))
               .where(F.col("_r") <= nprobe).select("query_id", "cell"))
 
-    cand = probes.join(assigned, "cell") \
+    # probes is (n_queries * nprobe) rows; BROADCAST it so the corpus
+    # side never shuffles — `cell` has only n_cells distinct values, so
+    # a shuffle join here would hash 100 TB onto n_cells reducers
+    # (catastrophic skew); broadcast keeps the corpus map-side only
+    cand = F.broadcast(probes).join(assigned, "cell") \
         .where(F.col("neighbor_id") != F.col("query_id")) \
         .select("query_id", "neighbor_id")
     qv = base.select(F.col("vec_id").alias("query_id"),
