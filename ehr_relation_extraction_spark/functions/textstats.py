@@ -598,3 +598,39 @@ def passage_dups(docs: DataFrame, win: int = 20,
            .where(F.col("n_docs_sharing") >= 2))
     return wh.join(cnt, "passage_hash").select(
         "doc_id", "win_start", "passage_hash", "n_docs_sharing")
+
+
+def duplicated_spans(docs: DataFrame, win: int = 20,
+                     stride: int = 10) -> DataFrame:
+    """Maximal duplicated TOKEN SPANS per doc — the span-merge step of
+    Lee et al.'s substring dedup on top of :func:`passage_dups`:
+    adjacent/overlapping duplicated windows of one doc coalesce into
+    one maximal [span_start, span_end) token range, which is the unit
+    a training pipeline actually masks or cuts (window-granular holes
+    would shred the text).
+
+    Gaps-and-islands over (doc_id, win_start): consecutive duplicated
+    windows sit exactly ``stride`` apart, so
+    ``win_start - stride * row_number()`` is constant within an island
+    — one window function + one aggregate, both keyed on doc_id.  The
+    flagged windows are a small fraction of the corpus (only
+    duplicated ones), so this is a cheap postpass on passage_dups'
+    output.
+
+    Output: (doc_id, span_start, span_end, n_windows) with span_end =
+    last win_start + win (token-exclusive end).
+    """
+    from pyspark.sql import Window
+
+    dup = passage_dups(docs, win, stride).select("doc_id", "win_start") \
+        .dropDuplicates()
+    w = Window.partitionBy("doc_id").orderBy("win_start")
+    grp = (F.col("win_start")
+           - F.lit(stride) * F.row_number().over(w)).alias("_island")
+    return (dup.withColumn("_island", grp)
+            .groupBy("doc_id", "_island")
+            .agg(F.min("win_start").cast("int").alias("span_start"),
+                 (F.max("win_start") + F.lit(win)).cast("int")
+                 .alias("span_end"),
+                 F.count(F.lit(1)).cast("long").alias("n_windows"))
+            .select("doc_id", "span_start", "span_end", "n_windows"))

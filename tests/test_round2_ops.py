@@ -447,7 +447,13 @@ def test_curate_corpus_end_to_end(spark):
                                           epochs=5)
     assert summary["n_docs"] == 500
     assert summary["kept"] == verdicts.where(F.col("keep") == 1).count()
-    for stage in ("url_duplicate", "near_duplicate", "too_short",
+    # round-3: the documents fixture has NO url column, so the url
+    # stage is skipped+flagged instead of dropping docs on synthetic
+    # keys (round-2 advisory); the real-url path is covered in
+    # tests/test_round3_fixes.py
+    assert summary["url_stage"] == "skipped_no_url_column"
+    assert "url_duplicate" not in summary["dropped_by_reason"]
+    for stage in ("near_duplicate", "too_short",
                   "low_diversity", "not_english"):
         assert summary["dropped_by_reason"].get(stage, 0) > 0, stage
     assert summary["kept"] + sum(

@@ -270,3 +270,38 @@ def test_redirect_chain_resolution_pointer_doubling(spark):
     assert g[3] == ("https://b.ex/y", 1)
     assert g[4] == ("https://b.ex/y", 0)
     assert g[5][1] == 1
+
+
+def test_duplicated_spans_merges_adjacent_windows(spark):
+    """The span-merge postpass: two docs sharing a 40-token passage
+    (3 overlapping duplicated windows at stride 10) report ONE maximal
+    span covering it, not 3 window fragments; non-adjacent duplicated
+    regions stay separate spans."""
+    from ehr_relation_extraction_spark.functions.textstats import (
+        duplicated_spans)
+
+    shared_a = " ".join(f"aa{i:02d}" for i in range(40))
+    shared_b = " ".join(f"bb{i:02d}" for i in range(20))
+    # NOTE: exact window dedup matches only stride-congruent offsets
+    # (the Lee-et-al trade); the fixture keeps both occurrences
+    # stride-aligned
+    uniq = lambda tag, n: " ".join(f"{tag}{i:03d}" for i in range(n))
+    # doc 1: sharedA at tokens [0,40) and sharedB at [70,90)
+    # doc 2: same passages at different offsets
+    docs = spark.createDataFrame(
+        [(1, shared_a + " " + uniq("u", 30) + " " + shared_b),
+         (2, uniq("v", 10) + " " + shared_a + " " + uniq("w", 20)
+          + " " + shared_b)],
+        "doc_id long, text string")
+    spans = {(r["doc_id"], r["span_start"], r["span_end"])
+             for r in duplicated_spans(docs, win=20, stride=10).collect()}
+    by_doc = {}
+    for d, s, e in spans:
+        by_doc.setdefault(d, []).append((s, e))
+    # doc 1: sharedA -> one span starting at 0 covering ~40 tokens;
+    # sharedB starts at 70 and is 20 tokens -> its own span
+    d1 = sorted(by_doc[1])
+    assert d1[0][0] == 0 and d1[0][1] >= 40
+    assert len(d1) == 2 and d1[1][0] >= 60
+    # doc 2 has both spans too, shifted
+    assert len(sorted(by_doc[2])) == 2
