@@ -3,7 +3,7 @@
 PY ?= python
 DIST = dist/ehr_relation_extraction_spark.zip
 
-.PHONY: test bench scaling package submit-smoke curate-smoke store-smoke clean
+.PHONY: test bench scaling matrix curation-bench package submit-smoke curate-smoke store-smoke store-smoke-manifest clean
 
 test:
 	$(PY) -m pytest tests/ -x -q
@@ -16,6 +16,9 @@ scaling:
 
 matrix:
 	$(PY) bench.py --matrix
+
+curation-bench:
+	$(PY) bench.py --curation
 
 package:
 	mkdir -p dist
@@ -47,3 +50,10 @@ store-smoke:
 	python scripts/maintain_store.py \
 	  --from-documents /root/testdata/sf0.001 \
 	  --store /tmp/kg_store_smoke --n-buckets 4 --demo-deltas
+
+store-smoke-manifest:
+	rm -rf /tmp/kg_store_smoke_manifest
+	python scripts/maintain_store.py \
+	  --from-documents /root/testdata/sf0.001 \
+	  --store /tmp/kg_store_smoke_manifest --n-buckets 4 \
+	  --demo-deltas --manifest
