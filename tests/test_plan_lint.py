@@ -1,0 +1,71 @@
+"""Plan-hygiene lint over the ENTIRE driver-query registry: no query
+may plan a CartesianProduct or BroadcastNestedLoopJoin except the
+allowlisted bounded-dimension cases.  This is the regression net for
+the class of bug fixed in round 3 (ivf_topk's probes⋈assigned planned
+as a SortMergeJoin on an n_cells-ary key — at scale that funnels the
+corpus onto n_cells reducers): any NEW non-equi/cartesian join in any
+of the 88 queries turns the build red with the query named.
+
+The allowlist is TIGHT (exact expected counts): removing a flagged
+join must update this file too, so the list can never rot into "it's
+probably fine".
+"""
+
+from __future__ import annotations
+
+import pytest
+
+SF = "/root/testdata/sf0.001"
+
+#: (cartesian_count, bnlj_count) -> why it is correct at 100 TB
+ALLOWED = {
+    # corpus x 8-row broadcast codebook: every vector scores against
+    # every centroid; BNLJ over a broadcast dimension IS the right
+    # plan (an equi-join key does not exist for argmax scoring)
+    "ivf_assign": (0, 1),
+    "ivf_centroids": (0, 1),
+    # assign (1 BNLJ) + probe scoring vs the same broadcast codebook
+    "ivf_topk": (0, 2),
+    # bounded-query-set brute force (vec_id < 50): the labeled
+    # correctness BASELINE for the ANN paths, not the scale path —
+    # its docstring says exactly that
+    "similarity_topk": (0, 1),
+    # entity-centroid self-pairing: entities are a bounded dimension
+    # (gazetteer-sized canonical set), not corpus-sized
+    "entity_neighbors": (1, 0),
+}
+
+
+def _counts(plan: str) -> tuple[int, int]:
+    return (plan.count("CartesianProduct"),
+            plan.count("BroadcastNestedLoopJoin"))
+
+
+def test_registry_plans_have_no_unsanctioned_cartesians(spark):
+    from ehr_relation_extraction_spark.driver_queries import QUERIES
+
+    flagged = {}
+    for name, fn in QUERIES.items():
+        plan = fn(spark, SF)._jdf.queryExecution().executedPlan().toString()
+        c = _counts(plan)
+        if c != (0, 0):
+            flagged[name] = c
+    assert flagged == ALLOWED, (
+        f"plan lint drift: flagged={flagged} allowed={ALLOWED} — a new "
+        "cartesian/NL join appeared (fix the plan or justify it here)")
+
+
+@pytest.mark.parametrize("name", ["ivf_topk", "mentions", "candidates",
+                                  "triples_fused", "dup_clusters"])
+def test_key_joins_are_hash_or_broadcast(spark, name):
+    """The hot-path queries must plan their equi-joins as broadcast or
+    shuffled-hash/sort-merge on HIGH-cardinality keys; specifically,
+    ivf_topk's cell join must be the broadcast (regression for the
+    round-3 fix)."""
+    from ehr_relation_extraction_spark.driver_queries import QUERIES
+
+    plan = QUERIES[name](spark, SF)._jdf.queryExecution() \
+        .executedPlan().toString()
+    if name == "ivf_topk":
+        assert not any("SortMergeJoin" in ln and "cell" in ln
+                       for ln in plan.splitlines()), plan

@@ -305,3 +305,45 @@ def test_duplicated_spans_merges_adjacent_windows(spark):
     assert len(d1) == 2 and d1[1][0] >= 60
     # doc 2 has both spans too, shifted
     assert len(sorted(by_doc[2])) == 2
+
+
+def test_trained_ivf_codebook_improves_quantization(spark):
+    """Lloyd-trained codebook (NEXT.md thread): training is
+    partition-deterministic (bit-identical codebook after
+    repartition), the update loop only ships n_cells x dim quantized
+    means to the driver, and the trained codebook's quantization
+    objective (sum of best-centroid cosine, the thing Lloyd descends)
+    is at least the seeded codebook's.  ivf_topk composes with the
+    trained codebook unchanged."""
+    from pyspark.sql import functions as F
+
+    from ehr_relation_extraction_spark.operators import similarity as sim
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    cb = sim.train_ivf_codebook(emb, n_cells=4, rounds=3)
+    cb2 = sim.train_ivf_codebook(emb.repartition(7), n_cells=4, rounds=3)
+    assert cb == cb2  # bit-deterministic under repartitioning
+
+    def objective(codebook=None):
+        a = sim.ivf_assign(emb, 4, codebook=codebook) \
+            .select("vec_id", "cell")
+        base = sim._with_norm(emb.select("vec_id", "embedding"),
+                              "embedding")
+        if codebook is None:
+            cents = (base.where(F.col("vec_id") < 4)
+                     .select(F.col("vec_id").alias("cell"),
+                             F.col("_v").alias("_cv"),
+                             F.col("_norm").alias("_cn")))
+        else:
+            cents = sim._codebook_frame(spark, codebook)
+        j = (a.join(base, "vec_id").join(cents, "cell")
+             .select((sim._dot(F.col("_v"), F.col("_cv"))
+                      / (F.col("_norm") * F.col("_cn"))).alias("s")))
+        return j.agg(F.sum("s")).first()[0]
+
+    assert objective(cb) >= objective(None) - 1e-9
+
+    res = sim.ivf_topk(emb, n_cells=4, nprobe=2, k=3, n_queries=12,
+                       codebook=cb)
+    assert res.count() > 0 and res.columns == [
+        "query_id", "rank", "neighbor_id", "sim_micro6"]
