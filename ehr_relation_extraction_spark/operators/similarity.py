@@ -324,3 +324,73 @@ def train_ivf_codebook(emb: DataFrame, n_cells: int = 8,
             nxt[r["cell"]][r["dim"]] = r["mean_q6"] / 1e6
         codebook = nxt
     return codebook
+
+
+def build_ivf_index(emb: DataFrame, path: str,
+                    codebook: "list[list[float]]") -> None:
+    """Materialize the IVF index as a ``cell``-partitioned parquet
+    table: (vec_id, embedding, norm) under ``path/cell=C/``.  This is
+    the Spark-native form of an ANN index — at query time the probed
+    cells become PartitionFilters, so a search touches nprobe/n_cells
+    of the index FILES at scan-planning time (directory pruning), not
+    just of the rows.  The codebook travels beside the data as the
+    index metadata (``path/_codebook.json``)."""
+    import json
+    import os
+
+    assigned = ivf_assign(emb, len(codebook), codebook=codebook) \
+        .select("vec_id", "cell")
+    base = _with_norm(emb.select("vec_id", "embedding"), "embedding")
+    (base.join(assigned, "vec_id")
+     .select("vec_id", "cell", F.col("_v").alias("embedding"),
+             F.col("_norm").alias("norm"))
+     .write.mode("overwrite").partitionBy("cell").parquet(path))
+    with open(os.path.join(path, "_codebook.json"), "w") as f:
+        json.dump(codebook, f)
+
+
+def ivf_topk_indexed(spark, path: str, queries: DataFrame,
+                     nprobe: int = 2, k: int = 3) -> DataFrame:
+    """Search a :func:`build_ivf_index` table: score each query
+    against the stored codebook (broadcast literals), prune the index
+    SCAN to the probed cells — the cell predicate is a partition
+    filter, so unprobed cells' files are never opened (asserted in
+    tests/test_round3_fixes.py) — then exact-rerank.  ``queries``:
+    (query_id, embedding).  Same output contract as :func:`ivf_topk`.
+    """
+    import json
+    import os
+
+    with open(os.path.join(path, "_codebook.json")) as f:
+        codebook = json.load(f)
+    cents = F.broadcast(_codebook_frame(spark, codebook))
+    q = _with_norm(queries.select(F.col("query_id"), "embedding"),
+                   "embedding").select(
+        "query_id", F.col("_v").alias("_qv"), F.col("_norm").alias("_qn"))
+    probe_scores = q.join(cents).select(
+        "query_id", "cell",
+        F.floor(_dot(F.col("_qv"), F.col("_cv"))
+                / (F.col("_qn") * F.col("_cn")) * 1000000)
+        .cast("long").alias("_s6"))
+    wp = Window.partitionBy("query_id").orderBy(
+        F.col("_s6").desc(), F.col("cell"))
+    probes = (probe_scores.withColumn("_r", F.row_number().over(wp))
+              .where(F.col("_r") <= nprobe).select("query_id", "cell"))
+    cells = sorted({r["cell"] for r in probes.collect()})
+
+    idx = spark.read.parquet(path).where(F.col("cell").isin(cells))
+    cand = (F.broadcast(probes)
+            .join(idx, "cell")
+            .select("query_id", F.col("vec_id").alias("neighbor_id"),
+                    "embedding", "norm"))
+    sims = (cand.join(F.broadcast(q), "query_id")
+            .where(F.col("neighbor_id") != F.col("query_id"))
+            .select("query_id", "neighbor_id",
+                    F.floor(_dot(F.col("_qv"), F.col("embedding"))
+                            / (F.col("_qn") * F.col("norm")) * 1000000)
+                    .cast("long").alias("sim_micro6")))
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("sim_micro6").desc(), F.col("neighbor_id"))
+    return (sims.withColumn("rank", F.row_number().over(w).cast("int"))
+            .where(F.col("rank") <= k)
+            .select("query_id", "rank", "neighbor_id", "sim_micro6"))

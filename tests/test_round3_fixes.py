@@ -347,3 +347,31 @@ def test_trained_ivf_codebook_improves_quantization(spark):
                        codebook=cb)
     assert res.count() > 0 and res.columns == [
         "query_id", "rank", "neighbor_id", "sim_micro6"]
+
+
+def test_ivf_index_prunes_partitions_and_matches_inline(spark, tmp_path):
+    """The persisted IVF index: probed cells land in PartitionFilters
+    (unprobed cells' files never open), and the indexed search returns
+    EXACTLY what the inline ivf_topk computes with the same codebook."""
+    from pyspark.sql import functions as F
+
+    from ehr_relation_extraction_spark.operators import similarity as sim
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    cb = sim.train_ivf_codebook(emb, n_cells=4, rounds=2)
+    path = str(tmp_path / "ivf_index")
+    sim.build_ivf_index(emb, path, cb)
+
+    queries = emb.where(F.col("vec_id") < 12).select(
+        F.col("vec_id").alias("query_id"), "embedding")
+    got = sim.ivf_topk_indexed(spark, path, queries, nprobe=2, k=3)
+    want = sim.ivf_topk(emb, n_cells=4, nprobe=2, k=3, n_queries=12,
+                        codebook=cb)
+    assert sorted(map(tuple, got.collect())) \
+        == sorted(map(tuple, want.collect()))
+
+    # partition pruning: the index scan carries cell as a
+    # PartitionFilter (directory-level pruning of unprobed cells)
+    plan = got._jdf.queryExecution().executedPlan().toString()
+    pf = [seg.split("]")[0] for seg in plan.split("PartitionFilters")[1:]]
+    assert any("cell" in seg for seg in pf), plan
