@@ -634,3 +634,64 @@ def duplicated_spans(docs: DataFrame, win: int = 20,
                  .alias("span_end"),
                  F.count(F.lit(1)).cast("long").alias("n_windows"))
             .select("doc_id", "span_start", "span_end", "n_windows"))
+
+
+def cut_duplicated_spans(docs: DataFrame, win: int = 20,
+                         stride: int = 10) -> DataFrame:
+    """The CUT step of Lee-et-al substring dedup: rebuild each doc's
+    text with its duplicated passages REMOVED, keeping each passage's
+    globally-first occurrence (min doc_id per passage_hash) intact —
+    dropping whole documents over one shared paragraph wastes data;
+    cutting only the repeated span keeps the unique remainder.
+
+    Mechanics (all JVM-side): per duplicated window, the min-doc_id
+    holder is the keeper (one aggregate on passage_hash); non-keeper
+    occurrences merge into maximal token spans per doc
+    (gaps-and-islands, as :func:`duplicated_spans`); the rebuild
+    filters each doc's token array by the cut ranges with a single
+    higher-order ``filter`` over a collected ranges literal per doc
+    (one groupBy doc_id + one join back — no per-row Python).
+
+    Output: (doc_id, text_clean, n_cut_tokens); docs with nothing cut
+    pass through with n_cut_tokens = 0.
+    """
+    from pyspark.sql import Window
+
+    wh = passage_windows(docs, win, stride)
+    keeper = wh.groupBy("passage_hash").agg(
+        F.min("doc_id").alias("_keep_doc"),
+        F.countDistinct("doc_id").alias("_n_docs"))
+    cut_wins = (wh.join(keeper, "passage_hash")
+                .where((F.col("_n_docs") >= 2)
+                       & (F.col("doc_id") != F.col("_keep_doc")))
+                .select("doc_id", "win_start").dropDuplicates())
+    w = Window.partitionBy("doc_id").orderBy("win_start")
+    spans = (cut_wins
+             .withColumn("_island",
+                         F.col("win_start")
+                         - F.lit(stride) * F.row_number().over(w))
+             .groupBy("doc_id", "_island")
+             .agg(F.min("win_start").alias("s"),
+                  (F.max("win_start") + F.lit(win)).alias("e"))
+             .groupBy("doc_id")
+             .agg(F.array_sort(F.collect_list(F.struct("s", "e")))
+                  .alias("_cuts")))
+    toks = _toks()
+    with_cuts = docs.join(spans, "doc_id", "left")
+    kept = F.filter(
+        F.zip_with(toks,
+                   F.sequence(F.lit(0), F.size(toks) - 1),
+                   lambda t, i: F.struct(t.alias("t"), i.alias("i"))),
+        lambda p: ~F.exists(F.col("_cuts"),
+                            lambda c: (p["i"] >= c["s"])
+                            & (p["i"] < c["e"])))
+    return (with_cuts.withColumn(
+        "_cuts", F.coalesce(F.col("_cuts"),
+                            F.array().cast(
+                                "array<struct<s:int,e:int>>")))
+        .select("doc_id",
+                F.array_join(F.transform(kept, lambda p: p["t"]), " ")
+                .alias("text_clean"),
+                F.aggregate(F.col("_cuts"), F.lit(0),
+                            lambda acc, c: acc + (c["e"] - c["s"]))
+                .cast("long").alias("n_cut_tokens")))

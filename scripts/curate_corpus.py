@@ -29,7 +29,11 @@ auditable, never silent):
                     disagreements with the rule gate are KEPT but
                     flagged for review (model_disagrees=1).
 6. decontaminate    k-gram eval-leakage filter vs the held-out split.
-7. pack             pack_sequences — fixed-length training sequences.
+7. cut spans        (--cut-spans) cut_duplicated_spans — surviving
+                    docs lose REPEATED passages (first occurrence
+                    kept globally), so a shared paragraph costs its
+                    copies, not whole documents.
+8. pack             pack_sequences — fixed-length training sequences.
 
 Writes:  <out>/verdicts.parquet   one row per input doc, keep + reason
          <out>/sequences.parquet  packed training sequences (kept docs)
@@ -46,7 +50,8 @@ import sys
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
-def curate(spark, docs, seq_len: int = 512, epochs: int = 60):
+def curate(spark, docs, seq_len: int = 512, epochs: int = 60,
+           cut_spans: bool = False):
     """Run the full curation cascade; returns (verdicts, sequences,
     summary_dict).  All joins are on doc_id (narrow after the first
     shuffle); every heavy stage is the already-benchmarked operator."""
@@ -109,6 +114,17 @@ def curate(spark, docs, seq_len: int = 512, epochs: int = 60):
 
     kept = docs.join(verdicts.where(F.col("keep") == 1)
                      .select("doc_id"), "doc_id")
+    n_cut_tokens = 0
+    if cut_spans:
+        from ehr_relation_extraction_spark.functions.textstats import (
+            cut_duplicated_spans)
+
+        cut = cut_duplicated_spans(kept)
+        n_cut_tokens = int(cut.agg(F.sum("n_cut_tokens")).first()[0] or 0)
+        kept = (kept.drop("text")
+                .join(cut.select("doc_id",
+                                 F.col("text_clean").alias("text")),
+                      "doc_id"))
     sequences = pack_sequences(kept, seq_len=seq_len)
 
     by_reason = {r["reason"]: r["n"] for r in
@@ -124,6 +140,7 @@ def curate(spark, docs, seq_len: int = 512, epochs: int = 60):
             F.col("model_disagrees") == 1).count(),
         "n_sequences": sequences.count(),
         "seq_len": seq_len,
+        "span_cut_tokens": n_cut_tokens,
     }
     return verdicts, sequences, summary
 
@@ -135,6 +152,9 @@ def main() -> None:
     ap.add_argument("--out", required=True)
     ap.add_argument("--seq-len", type=int, default=512)
     ap.add_argument("--epochs", type=int, default=60)
+    ap.add_argument("--cut-spans", action="store_true",
+                    help="cut duplicated passages from kept docs "
+                         "(first occurrence kept) before packing")
     args = ap.parse_args()
 
     from ehr_relation_extraction_spark.session import get_spark
@@ -142,7 +162,8 @@ def main() -> None:
     spark = get_spark(app_name="curate-corpus")
     docs = spark.read.parquet(args.documents)
     verdicts, sequences, summary = curate(
-        spark, docs, seq_len=args.seq_len, epochs=args.epochs)
+        spark, docs, seq_len=args.seq_len, epochs=args.epochs,
+        cut_spans=args.cut_spans)
     verdicts.write.mode("overwrite").parquet(f"{args.out}/verdicts.parquet")
     sequences.write.mode("overwrite").parquet(f"{args.out}/sequences.parquet")
     with open(f"{args.out}/summary.json", "w") as f:

@@ -375,3 +375,45 @@ def test_ivf_index_prunes_partitions_and_matches_inline(spark, tmp_path):
     plan = got._jdf.queryExecution().executedPlan().toString()
     pf = [seg.split("]")[0] for seg in plan.split("PartitionFilters")[1:]]
     assert any("cell" in seg for seg in pf), plan
+
+
+def test_cut_duplicated_spans_keeps_first_occurrence(spark):
+    """Span cutting: the globally-first holder of a shared passage
+    keeps its text intact; later holders lose exactly the duplicated
+    token range; unique docs pass through untouched."""
+    from ehr_relation_extraction_spark.functions.textstats import (
+        cut_duplicated_spans)
+
+    shared = " ".join(f"aa{i:02d}" for i in range(20))
+    uniq = lambda tag, n: " ".join(f"{tag}{i:03d}" for i in range(n))
+    docs = spark.createDataFrame(
+        [(1, shared + " " + uniq("u", 15)),
+         (2, shared + " " + uniq("v", 10)),   # loses the shared head
+         (3, uniq("w", 25))],                 # untouched
+        "doc_id long, text string")
+    out = {r["doc_id"]: (r["text_clean"], r["n_cut_tokens"])
+           for r in cut_duplicated_spans(docs, win=20, stride=10).collect()}
+    assert out[1][1] == 0 and out[1][0].startswith("aa00")
+    assert out[2][1] == 20 and out[2][0] == uniq("v", 10)
+    assert out[3][1] == 0 and out[3][0] == uniq("w", 25)
+
+
+def test_curation_cut_spans_stage_fires_on_shared_passages(spark):
+    """--cut-spans end-to-end: on a corpus where kept docs share a
+    long passage (the synthetic quote), the stage removes tokens from
+    every holder but the first and reports the count; without the
+    flag, texts pass through intact."""
+    from pyspark.sql import functions as F
+
+    from ehr_relation_extraction_spark.functions.textstats import (
+        with_synth_quote)
+    from scripts.curate_corpus import curate
+
+    docs = with_synth_quote(
+        spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+        .limit(120))
+    _, _, summary = curate(spark, docs, seq_len=256, epochs=3,
+                           cut_spans=True)
+    assert summary["span_cut_tokens"] > 0
+    _, _, plain = curate(spark, docs, seq_len=256, epochs=3)
+    assert plain["span_cut_tokens"] == 0
