@@ -65,6 +65,34 @@ def _timeout_conf(ttl_ms: "int | None") -> str:
             else GroupStateTimeout.ProcessingTimeTimeout)
 
 
+def _with_event_ttl(group_fn, lateness_ms: int):
+    """Wrap a stateful group function with EVENT-TIME eviction: the
+    state of a key whose newest event is ``lateness_ms`` behind the
+    stream's watermark is removed.  Unlike the processing-time TTL
+    this is data-driven — the timer only fires as the watermark
+    advances, so an availableNow catch-up run terminates normally
+    (no wall-clock timers pending), and "quiet" is measured against
+    crawl progress, not against how fast the job happens to run.
+    Requires ``withWatermark`` on the input and EventTimeTimeout."""
+
+    def fn(key: tuple, pdfs: Iterator[pd.DataFrame],
+           state: GroupState) -> Iterator[pd.DataFrame]:
+        if state.hasTimedOut:
+            state.remove()
+            return
+        frames = list(pdfs)
+        max_ts = 0
+        for pdf in frames:
+            if len(pdf) and "warc_ts" in pdf.columns:
+                ts = int(pd.to_datetime(pdf["warc_ts"]).max().value
+                         // 1_000_000)
+                max_ts = max(max_ts, ts)
+        yield from group_fn(key, iter(frames), state)
+        if max_ts:
+            state.setTimeoutTimestamp(max_ts + lateness_ms)
+    return fn
+
+
 def _trigger(ttl_ms: "int | None") -> dict:
     """availableNow for exact finite catch-up runs; a continuous
     processing-time trigger when TTL eviction is armed.  The two are
@@ -219,7 +247,8 @@ def _diff_group(key: tuple, pdfs: Iterator[pd.DataFrame],
 
 
 def recrawl_diff(pages_stream: DataFrame,
-                 ttl_ms: "int | None" = None) -> DataFrame:
+                 ttl_ms: "int | None" = None,
+                 event_lateness_ms: "int | None" = None) -> DataFrame:
     """Streaming pages -> (+/-) triple deltas per re-crawl.
 
     Per-url state holds (text sha, crawl seq, current triple keys).  A
@@ -231,18 +260,28 @@ def recrawl_diff(pages_stream: DataFrame,
     live crawl without full rebuilds.
 
     State: per url (sha, seq, ts, triple keys, bounded neg cache).
-    ``ttl_ms`` evicts quiet urls; an evicted url re-baselines on its
-    next crawl and last-op-wins delta application converges to the
-    same store (module docstring).
+    ``ttl_ms`` evicts quiet urls by WALL CLOCK; ``event_lateness_ms``
+    evicts them by EVENT TIME instead — a url whose newest crawl is
+    that far behind the stream watermark drops its state, and rows
+    older than the watermark are filtered by Spark before they reach
+    the operator (the late-crawl guard with watermark backing; the
+    caller must put ``withWatermark("warc_ts", ...)`` on the input).
+    Either way an evicted url re-baselines on its next crawl and
+    last-op-wins delta application converges to the same store
+    (module docstring).
     """
+    if event_lateness_ms is not None:
+        fn = _with_event_ttl(_diff_group, event_lateness_ms)
+        conf = GroupStateTimeout.EventTimeTimeout
+    else:
+        fn = _with_ttl(_diff_group, ttl_ms)
+        conf = _timeout_conf(ttl_ms)
     return (pages_stream
             .select("url", "warc_ts", "text")
             .groupBy("url")
             .applyInPandasWithState(
-                _with_ttl(_diff_group, ttl_ms),
-                DIFF_OUTPUT_DDL, DIFF_STATE_DDL,
-                outputMode="append",
-                timeoutConf=_timeout_conf(ttl_ms)))
+                fn, DIFF_OUTPUT_DDL, DIFF_STATE_DDL,
+                outputMode="append", timeoutConf=conf))
 
 
 def apply_triple_deltas(store: DataFrame, deltas: DataFrame) -> DataFrame:
@@ -271,15 +310,27 @@ def apply_triple_deltas(store: DataFrame, deltas: DataFrame) -> DataFrame:
 
 def incremental_recrawl_diff(spark, pages_dir: str, out_dir: str,
                              checkpoint_dir: str,
-                             ttl_ms: "int | None" = None):
-    """pages stream -> per-url change detection -> triple delta sink."""
+                             ttl_ms: "int | None" = None,
+                             event_lateness: "str | None" = None):
+    """pages stream -> per-url change detection -> delta sink.
+    ``event_lateness`` (e.g. "2 hours") arms watermark-driven state
+    eviction + late-row filtering; availableNow still terminates
+    (event-time timers are data-driven, unlike the wall-clock TTL)."""
     from ..sources.pages import extract_text
     from .stream import PAGES_DDL
 
     stream = (spark.readStream.schema(PAGES_DDL)
               .option("maxFilesPerTrigger", 2)
               .parquet(pages_dir))
-    deltas = recrawl_diff(extract_text(stream), ttl_ms=ttl_ms)
+    ev_ms = None
+    if event_lateness is not None:
+        stream = stream.withWatermark("warc_ts", event_lateness)
+        n, unit = event_lateness.split()
+        ev_ms = int(n) * {"seconds": 1, "second": 1, "minutes": 60,
+                          "minute": 60, "hours": 3600, "hour": 3600,
+                          "days": 86400, "day": 86400}[unit] * 1000
+    deltas = recrawl_diff(extract_text(stream), ttl_ms=ttl_ms,
+                          event_lateness_ms=ev_ms)
     return (deltas.writeStream.outputMode("append")
             .option("checkpointLocation", checkpoint_dir)
             .trigger(**_trigger(ttl_ms))
