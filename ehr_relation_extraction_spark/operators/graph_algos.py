@@ -259,3 +259,41 @@ def triangle_counts(edges: DataFrame) -> DataFrame:
     corners = tri.select(F.explode(F.array("x", "y", "z")).alias("node"))
     return (corners.groupBy("node")
             .agg(F.count(F.lit(1)).cast("long").alias("n_triangles")))
+
+
+def update_components(assign: DataFrame, new_edges: DataFrame,
+                      new_nodes: DataFrame | None = None,
+                      max_iter: int = 25) -> DataFrame:
+    """INCREMENTAL connected-components maintenance — canonicalization
+    under a live crawl: fold a batch of NEW edges into an existing
+    (node, component) assignment without re-running CC over the full
+    edge set.
+
+    Correctness reduction: the old assignment is itself a spanning
+    certificate of the old connectivity — encode each (node,
+    component) row as an edge node—component, union the NEW edges,
+    and run the same large-star/small-star CC on that.  The label
+    edges are a STAR per old component (diameter 2), so convergence
+    needs O(log of the merged-component count) rounds over an input
+    of |nodes| + |new_edges| rows — independent of how many original
+    edges built the assignment (at 10^12 docs the original edge set
+    dwarfs the node set; never touching it is the point).  Component
+    ids stay the lexicographic min node id, so unmerged components
+    keep their id and downstream references stay valid.
+
+    ``new_nodes``: optional (node) frame for isolated new nodes.
+    Returns the full updated (node, component) assignment.
+    """
+    from .linking import connected_components
+
+    label_edges = assign.select(F.col("node").alias("src"),
+                                F.col("component").alias("dst"))
+    edges = label_edges.unionByName(
+        new_edges.select("src", "dst")).dropDuplicates()
+    nodes = (assign.select("node")
+             .union(new_edges.select(F.col("src").alias("node")))
+             .union(new_edges.select(F.col("dst").alias("node"))))
+    if new_nodes is not None:
+        nodes = nodes.union(new_nodes.select("node"))
+    return connected_components(edges, nodes.dropDuplicates(),
+                                max_iter=max_iter)

@@ -417,3 +417,39 @@ def test_curation_cut_spans_stage_fires_on_shared_passages(spark):
     assert summary["span_cut_tokens"] > 0
     _, _, plain = curate(spark, docs, seq_len=256, epochs=3)
     assert plain["span_cut_tokens"] == 0
+
+
+def test_incremental_cc_matches_full_recompute(spark):
+    """update_components folds new edges into an existing assignment
+    via label-star edges — result must EQUAL full CC over (old ∪ new)
+    edges, including merges of previously-separate components and
+    isolated new nodes; unmerged components keep their id."""
+    from ehr_relation_extraction_spark.operators.graph_algos import (
+        update_components)
+    from ehr_relation_extraction_spark.operators.linking import (
+        connected_components)
+
+    old_edges = spark.createDataFrame(
+        [("a", "b"), ("b", "c"), ("d", "e"), ("f", "g"), ("h", "h2")],
+        "src string, dst string")
+    old_nodes = spark.createDataFrame(
+        [("a",), ("b",), ("c",), ("d",), ("e",), ("f",), ("g",),
+         ("h",), ("h2",), ("iso",)], "node string")
+    assign = connected_components(old_edges, old_nodes)
+
+    # merge {a,b,c} with {d,e}; attach brand-new node x to {f,g};
+    # leave {h,h2} and iso untouched
+    new_edges = spark.createDataFrame(
+        [("c", "d"), ("x", "f")], "src string, dst string")
+    upd = {r["node"]: r["component"]
+           for r in update_components(assign, new_edges).collect()}
+
+    full = {r["node"]: r["component"] for r in connected_components(
+        old_edges.unionByName(new_edges),
+        old_nodes.union(spark.createDataFrame([("x",)], "node string"))
+    ).collect()}
+    assert upd == full
+    assert upd["a"] == upd["e"] == "a"      # merged, min-id kept
+    assert upd["x"] == upd["f"] == "f"      # new node joined
+    assert upd["h"] == upd["h2"] == "h"     # untouched id stable
+    assert upd["iso"] == "iso"
