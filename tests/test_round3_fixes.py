@@ -453,3 +453,50 @@ def test_incremental_cc_matches_full_recompute(spark):
     assert upd["x"] == upd["f"] == "f"      # new node joined
     assert upd["h"] == upd["h2"] == "h"     # untouched id stable
     assert upd["iso"] == "iso"
+
+
+def test_round3_ops_degenerate_inputs(spark):
+    """Degenerate-input hardening for the round-3 operators: empty
+    frames, sub-codebook-size corpora, cycle-only redirect graphs,
+    and span ops on empty text must return empty/sane results, never
+    raise."""
+    from pyspark.sql import functions as F
+
+    from ehr_relation_extraction_spark.functions.textstats import (
+        cut_duplicated_spans, duplicated_spans)
+    from ehr_relation_extraction_spark.functions.urls import (
+        resolve_redirect_chains)
+    from ehr_relation_extraction_spark.operators import similarity as sim
+    from ehr_relation_extraction_spark.operators.graph_algos import (
+        ppr_fixed, update_components)
+
+    empty_docs = spark.createDataFrame([], "doc_id long, text string")
+    assert duplicated_spans(empty_docs).count() == 0
+    assert cut_duplicated_spans(empty_docs).count() == 0
+
+    one_doc = spark.createDataFrame([(1, "")], "doc_id long, text string")
+    out = cut_duplicated_spans(one_doc).collect()
+    assert out[0]["n_cut_tokens"] == 0
+
+    empty_redirects = spark.createDataFrame(
+        [], "src_url string, dst_url string")
+    assert resolve_redirect_chains(empty_redirects).count() == 0
+    cycle_only = spark.createDataFrame(
+        [("https://a/1", "https://a/2"), ("https://a/2", "https://a/1")],
+        "src_url string, dst_url string")
+    rows = resolve_redirect_chains(cycle_only).collect()
+    assert rows and all(r["unresolved"] == 1 for r in rows)
+
+    # corpus smaller than the codebook: every vector still assigned
+    tiny = spark.read.parquet(
+        "/root/testdata/sf0.001/embeddings.parquet").where("vec_id < 3")
+    assert sim.ivf_assign(tiny, n_cells=8).count() == 3
+    cb = sim.train_ivf_codebook(tiny, n_cells=8, rounds=1)
+    # seed truncates to the available vectors
+    assert len(cb) == 3
+
+    empty_edges = spark.createDataFrame([], "src string, dst string")
+    assert ppr_fixed(empty_edges, "nope").count() == 0
+    empty_assign = spark.createDataFrame(
+        [], "node string, component string")
+    assert update_components(empty_assign, empty_edges).count() == 0
