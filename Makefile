@@ -3,7 +3,7 @@
 PY ?= python
 DIST = dist/ehr_relation_extraction_spark.zip
 
-.PHONY: test bench scaling matrix curation-bench package submit-smoke curate-smoke store-smoke store-smoke-manifest clean
+.PHONY: test bench scaling matrix curation-bench package submit-smoke curate-smoke train-cascade-smoke store-smoke store-smoke-manifest clean
 
 test:
 	$(PY) -m pytest tests/ -x -q
@@ -50,6 +50,11 @@ store-smoke:
 	python scripts/maintain_store.py \
 	  --from-documents /root/testdata/sf0.001 \
 	  --store /tmp/kg_store_smoke --n-buckets 4 --demo-deltas
+
+train-cascade-smoke:
+	rm -rf /tmp/cascade_smoke
+	python scripts/train_cascade.py \
+	  --documents /root/testdata/sf0.001 --out /tmp/cascade_smoke
 
 store-smoke-manifest:
 	rm -rf /tmp/kg_store_smoke_manifest

@@ -527,3 +527,37 @@ def train_on_teacher(pages_rows: list[tuple[str]], epochs: int = 5
         docs.append([t for t, _, _ in toks])
         gold.append(teacher_labels(text, toks))
     return PerceptronTagger().train(docs, gold, epochs=epochs)
+
+
+def save_multichannel(mt: MultiChannelTagger, path: str) -> None:
+    """Persist a trained multi-channel tagger as one .npz: per channel
+    the SPARSE nonzero (i, j, v) triplets of the averaged emission
+    matrix plus the dense (K, K) transitions — a few MB, the artifact
+    a cluster training job ships to the serving/inference job."""
+    arrs: dict[str, np.ndarray] = {
+        "channels": np.array(list(mt.ent_types), dtype=object)}
+    for c, tg in mt.taggers.items():
+        em = tg.avg_em if tg.avg_em is not None else tg.w_em
+        tr = tg.avg_tr if tg.avg_tr is not None else tg.w_tr
+        ii, jj = np.nonzero(em)
+        arrs[f"{c}__i"] = ii
+        arrs[f"{c}__j"] = jj
+        arrs[f"{c}__v"] = em[ii, jj]
+        arrs[f"{c}__tr"] = tr
+    np.savez_compressed(path, **arrs)
+
+
+def load_multichannel(path: str) -> MultiChannelTagger:
+    """Rebuild a :func:`save_multichannel` artifact; the loaded tagger
+    predicts BIT-IDENTICALLY to the saved one (dense arrays are
+    reconstructed exactly from the sparse triplets)."""
+    data = np.load(path, allow_pickle=True)
+    channels = tuple(str(c) for c in data["channels"])
+    mt = MultiChannelTagger(channels)
+    for c in channels:
+        tg = mt.taggers[c]
+        em = np.zeros_like(tg.w_em)
+        em[data[f"{c}__i"], data[f"{c}__j"]] = data[f"{c}__v"]
+        tg.avg_em = em
+        tg.avg_tr = data[f"{c}__tr"]
+    return mt

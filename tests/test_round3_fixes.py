@@ -500,3 +500,31 @@ def test_round3_ops_degenerate_inputs(spark):
     empty_assign = spark.createDataFrame(
         [], "node string, component string")
     assert update_components(empty_assign, empty_edges).count() == 0
+
+
+def test_multichannel_save_load_roundtrip(tmp_path):
+    """The saved model artifact reloads to a BIT-IDENTICAL predictor
+    (sparse emission triplets reconstruct the dense arrays exactly)."""
+    import numpy as np
+
+    from ehr_relation_extraction_spark.functions.perceptron import (
+        load_multichannel, save_multichannel, train_multi_on_teacher)
+
+    texts = [
+        "pad spark value zz01xx zz02xx key tail",
+        "pad vector line qq01xx qq02xx row tail",
+        "pad slow merge dup order 2 k tail",
+    ] * 10
+    mt = train_multi_on_teacher([(t,) for t in texts], epochs=3)
+    p = str(tmp_path / "model.npz")
+    save_multichannel(mt, p)
+    mt2 = load_multichannel(p)
+    assert mt2.ent_types == mt.ent_types
+    for c in mt.ent_types:
+        a, b = mt.taggers[c], mt2.taggers[c]
+        assert np.array_equal(
+            a.avg_em if a.avg_em is not None else a.w_em, b.avg_em)
+        assert np.array_equal(
+            a.avg_tr if a.avg_tr is not None else a.w_tr, b.avg_tr)
+    toks = "pad spark value zz01xx key tail".split()
+    assert mt.chunks(toks) == mt2.chunks(toks)
