@@ -600,6 +600,22 @@ def passage_dups(docs: DataFrame, win: int = 20,
         "doc_id", "win_start", "passage_hash", "n_docs_sharing")
 
 
+def _island_id(w, win: int):
+    """Island id for window-merge: running count of breaks, where a
+    break is a gap >= ``win`` tokens to the previous duplicated window
+    (i.e. the windows do not overlap).  Spans built from these islands
+    are disjoint by construction: a break at gap >= win puts the next
+    span's start at or past the previous span's end."""
+    from pyspark.sql import Window as _W
+
+    prev = F.lag("win_start").over(w)
+    brk = F.when(prev.isNull()
+                 | (F.col("win_start") - prev >= F.lit(win)), 1) \
+        .otherwise(0)
+    return F.sum(brk).over(
+        w.rowsBetween(_W.unboundedPreceding, _W.currentRow))
+
+
 def duplicated_spans(docs: DataFrame, win: int = 20,
                      stride: int = 10) -> DataFrame:
     """Maximal duplicated TOKEN SPANS per doc — the span-merge step of
@@ -609,10 +625,14 @@ def duplicated_spans(docs: DataFrame, win: int = 20,
     a training pipeline actually masks or cuts (window-granular holes
     would shred the text).
 
-    Gaps-and-islands over (doc_id, win_start): consecutive duplicated
-    windows sit exactly ``stride`` apart, so
-    ``win_start - stride * row_number()`` is constant within an island
-    — one window function + one aggregate, both keyed on doc_id.  The
+    Gaps-and-islands over (doc_id, win_start): an island BREAK happens
+    when the gap to the previous duplicated window is >= ``win`` (the
+    windows no longer overlap), computed as a lag + running sum of
+    break flags — two window functions + one aggregate, all keyed on
+    doc_id.  This merges ALL strictly-overlapping windows regardless
+    of the win/stride ratio (with win <= 2*stride it reduces to the
+    classic consecutive-stride rule), so emitted spans never overlap
+    and token counts derived from them never double-count.  The
     flagged windows are a small fraction of the corpus (only
     duplicated ones), so this is a cheap postpass on passage_dups'
     output.
@@ -625,9 +645,7 @@ def duplicated_spans(docs: DataFrame, win: int = 20,
     dup = passage_dups(docs, win, stride).select("doc_id", "win_start") \
         .dropDuplicates()
     w = Window.partitionBy("doc_id").orderBy("win_start")
-    grp = (F.col("win_start")
-           - F.lit(stride) * F.row_number().over(w)).alias("_island")
-    return (dup.withColumn("_island", grp)
+    return (dup.withColumn("_island", _island_id(w, win))
             .groupBy("doc_id", "_island")
             .agg(F.min("win_start").cast("int").alias("span_start"),
                  (F.max("win_start") + F.lit(win)).cast("int")
@@ -667,9 +685,7 @@ def cut_duplicated_spans(docs: DataFrame, win: int = 20,
                 .select("doc_id", "win_start").dropDuplicates())
     w = Window.partitionBy("doc_id").orderBy("win_start")
     spans = (cut_wins
-             .withColumn("_island",
-                         F.col("win_start")
-                         - F.lit(stride) * F.row_number().over(w))
+             .withColumn("_island", _island_id(w, win))
              .groupBy("doc_id", "_island")
              .agg(F.min("win_start").alias("s"),
                   (F.max("win_start") + F.lit(win)).alias("e"))

@@ -52,6 +52,47 @@ def synth_messy_urls(docs: DataFrame) -> DataFrame:
     return docs.select("doc_id", url.alias("url_raw"))
 
 
+def synth_redirect_edges(docs: DataFrame) -> DataFrame:
+    """(src_url, dst_url): deterministic redirect-edge fixture built
+    from doc_id alone (testdata has no redirect table — same trick as
+    :func:`synth_messy_urls`; the DuckDB oracle synthesizes the
+    identical edges).  Covers every chain-resolution case:
+
+    - chains: docs with doc_id % 5 != 0 redirect ``r/<d> -> r/<d-1>``,
+      so chains of 1..4 hops end at the multiple-of-5 sinks;
+    - malformed multi-target: every doc_id % 20 == 7 adds a second
+      out-edge ``r/<d> -> r/x<d>`` (resolution must pick min(dst)
+      deterministically);
+    - 3-cycles: doc_ids 9,10,11 mod 50 wire ``c/9 -> c/10 -> c/11 ->
+      c/9`` (per 50-block) — malformed crawl data the resolver must
+      flag, not loop on;
+    - chain INTO a cycle: doc_id % 50 == 12 points ``c/12 -> c/9``.
+    """
+    d = F.col("doc_id")
+
+    def r(x):
+        return F.concat(F.lit("http://r/"), x.cast("string"))
+
+    def c(x):
+        return F.concat(F.lit("http://c/"), x.cast("string"))
+
+    def edge(cond, src, dst):
+        return F.when(cond, F.struct(src.alias("src_url"),
+                                     dst.alias("dst_url")))
+
+    edges = F.array(
+        edge(F.pmod(d, 5) != 0, r(d), r(d - 1)),
+        edge(F.pmod(d, 20) == 7, r(d),
+             F.concat(F.lit("http://r/x"), d.cast("string"))),
+        edge(F.pmod(d, 50).isin(9, 10), c(d), c(d + 1)),
+        edge(F.pmod(d, 50) == 11, c(d), c(d - 2)),
+        edge(F.pmod(d, 50) == 12, c(d), c(d - 3)),
+    )
+    return (docs.select(F.explode(edges).alias("e"))
+            .where(F.col("e").isNotNull())
+            .select("e.src_url", "e.dst_url"))
+
+
 def url_normalize(df: DataFrame, url_col: str = "url_raw",
                   out_col: str = "url_norm") -> DataFrame:
     """Append the normalized url: strip fragment, lowercase

@@ -1764,8 +1764,10 @@ GROUP BY p.canonical_id, q.dim""", LINK_CTES)
 
 from ..functions.textstats import SYNTH_QUOTE as _SYNTH_QUOTE  # noqa: E402
 
-ORACLE["passage_dups"] = f"""
-WITH wrapped AS (
+# Shared CTE block for the Lee-et-al windowed-substring-dedup family
+# (passage_dups / duplicated_spans / cut_spans): synth-quote wrap,
+# tokenize, win=20/stride=10 window hashes.
+_PASSAGE_CTES = f"""wrapped AS (
   SELECT doc_id,
          CASE WHEN doc_id % 7 = 0 THEN '{_SYNTH_QUOTE} ' || text
               ELSE text END AS text
@@ -1790,7 +1792,10 @@ wintoks AS (
 wh AS (
   SELECT doc_id, win_start,
          md5(string_agg(token, ' ' ORDER BY tok_idx)) AS passage_hash
-  FROM wintoks GROUP BY doc_id, win_start),
+  FROM wintoks GROUP BY doc_id, win_start)"""
+
+ORACLE["passage_dups"] = f"""
+WITH {_PASSAGE_CTES},
 cnt AS (
   SELECT passage_hash, CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs_sharing
   FROM wh GROUP BY passage_hash)
@@ -1798,6 +1803,118 @@ SELECT w.doc_id, CAST(w.win_start AS INT) AS win_start, w.passage_hash,
        c.n_docs_sharing
 FROM wh w JOIN cnt c USING (passage_hash)
 WHERE c.n_docs_sharing >= 2"""
+
+# Islands over a set of duplicated windows: break when the gap to the
+# previous window is >= win (windows no longer overlap) — same rule as
+# textstats._island_id, so merged spans are disjoint by construction.
+_ISLAND_CTES = """lagd AS (
+  SELECT doc_id, win_start,
+         lag(win_start) OVER (PARTITION BY doc_id ORDER BY win_start) AS prev
+  FROM dupw),
+isl AS (
+  SELECT doc_id, win_start,
+         SUM(CASE WHEN prev IS NULL OR win_start - prev >= 20
+                  THEN 1 ELSE 0 END)
+           OVER (PARTITION BY doc_id ORDER BY win_start
+                 ROWS UNBOUNDED PRECEDING) AS island
+  FROM lagd),
+spans AS (
+  SELECT doc_id, island, MIN(win_start) AS s, MAX(win_start) + 20 AS e,
+         COUNT(*) AS n_windows
+  FROM isl GROUP BY doc_id, island)"""
+
+ORACLE["duplicated_spans"] = f"""
+WITH {_PASSAGE_CTES},
+cnt AS (
+  SELECT passage_hash, COUNT(DISTINCT doc_id) AS n_docs
+  FROM wh GROUP BY passage_hash),
+dupw AS (
+  SELECT DISTINCT w.doc_id, w.win_start
+  FROM wh w JOIN cnt c USING (passage_hash) WHERE c.n_docs >= 2),
+{_ISLAND_CTES}
+SELECT doc_id, CAST(s AS INT) AS span_start, CAST(e AS INT) AS span_end,
+       CAST(n_windows AS BIGINT) AS n_windows
+FROM spans"""
+
+ORACLE["cut_spans"] = f"""
+WITH {_PASSAGE_CTES},
+keeper AS (
+  SELECT passage_hash, MIN(doc_id) AS keep_doc,
+         COUNT(DISTINCT doc_id) AS n_docs
+  FROM wh GROUP BY passage_hash),
+dupw AS (
+  SELECT DISTINCT w.doc_id, w.win_start
+  FROM wh w JOIN keeper k USING (passage_hash)
+  WHERE k.n_docs >= 2 AND w.doc_id <> k.keep_doc),
+{_ISLAND_CTES},
+cuts AS (SELECT doc_id, SUM(e - s) AS n_cut FROM spans GROUP BY doc_id),
+kept AS (
+  SELECT t.doc_id, t.token, t.tok_idx FROM tk t
+  WHERE NOT EXISTS (
+    SELECT 1 FROM spans sp
+    WHERE sp.doc_id = t.doc_id
+      AND t.tok_idx >= sp.s AND t.tok_idx < sp.e)),
+rebuilt AS (
+  SELECT doc_id, string_agg(token, ' ' ORDER BY tok_idx) AS text_clean
+  FROM kept GROUP BY doc_id)
+SELECT d.doc_id, COALESCE(r.text_clean, '') AS text_clean,
+       CAST(COALESCE(c.n_cut, 0) AS BIGINT) AS n_cut_tokens
+FROM documents d
+LEFT JOIN rebuilt r ON d.doc_id = r.doc_id
+LEFT JOIN cuts c ON d.doc_id = c.doc_id"""
+
+# Redirect-chain resolution over the synthesized edge fixture
+# (functions/urls.synth_redirect_edges — identical synthesis here).
+# The walk follows the min-dst out-edge per src up to 64 hops; a walk
+# that exhausts the cap is on/into a cycle -> unresolved (the Spark
+# side flags exactly those rows: final dst still has an out-edge after
+# pointer doubling).  Chains in the fixture are <= 4 hops, so resolved
+# walks terminate far below the cap.
+ORACLE["url_redirects"] = """
+WITH RECURSIVE redirects AS (
+  SELECT 'http://r/' || CAST(doc_id AS VARCHAR) AS src_url,
+         'http://r/' || CAST(doc_id - 1 AS VARCHAR) AS dst_url
+  FROM documents WHERE doc_id % 5 <> 0
+  UNION ALL
+  SELECT 'http://r/' || CAST(doc_id AS VARCHAR),
+         'http://r/x' || CAST(doc_id AS VARCHAR)
+  FROM documents WHERE doc_id % 20 = 7
+  UNION ALL
+  SELECT 'http://c/' || CAST(doc_id AS VARCHAR),
+         'http://c/' || CAST(doc_id + 1 AS VARCHAR)
+  FROM documents WHERE doc_id % 50 IN (9, 10)
+  UNION ALL
+  SELECT 'http://c/' || CAST(doc_id AS VARCHAR),
+         'http://c/' || CAST(doc_id - 2 AS VARCHAR)
+  FROM documents WHERE doc_id % 50 = 11
+  UNION ALL
+  SELECT 'http://c/' || CAST(doc_id AS VARCHAR),
+         'http://c/' || CAST(doc_id - 3 AS VARCHAR)
+  FROM documents WHERE doc_id % 50 = 12),
+m AS (
+  SELECT src_url AS src, MIN(dst_url) AS dst
+  FROM redirects WHERE src_url <> dst_url GROUP BY src_url),
+walk(src, cur, hops) AS (
+  SELECT src, dst, 0 FROM m
+  UNION ALL
+  SELECT w.src, m2.dst, w.hops + 1
+  FROM walk w JOIN m m2 ON w.cur = m2.src
+  WHERE w.hops < 64),
+fin AS (
+  SELECT src, arg_max(cur, hops) AS final, MAX(hops) AS maxh
+  FROM walk GROUP BY src)
+SELECT src AS url,
+       CASE WHEN maxh >= 64 THEN src ELSE final END AS final_url,
+       CAST(CASE WHEN maxh >= 64 THEN 1 ELSE 0 END AS INT) AS unresolved
+FROM fin"""
+
+# Incremental-CC maintenance check: the Spark side splits the entity
+# overlap edges, runs CC on the "old" part, then folds the "new" part
+# in with update_components; the final assignment must equal full CC
+# over ALL edges (component id = lexicographic min node) — which is
+# exactly the canonical_components oracle.
+ORACLE["cc_update"] = _q("SELECT node, component FROM components",
+                         LINK_CTES)
 
 ORACLE["entity_neighbors"] = _q("""
 , epairs AS (SELECT DISTINCT canonical_id, doc_id FROM linked),
