@@ -203,7 +203,13 @@ def store_read(spark: SparkSession, root: str) -> DataFrame:
 
 def _promote(root: str, gen: int, lineage: dict) -> None:
     """Atomically commit generation ``gen`` (os.replace of the
-    manifest), then GC every other generation directory."""
+    manifest), then GC stale generation directories — EXCEPT the
+    immediately-previous generation, which is retained for one grace
+    window: a reader that resolved the old generation via
+    :func:`store_resolve` just before this commit can still finish its
+    scan; the old dir is GC'd by the promote after next.  (Iceberg
+    solves the same race with snapshot expiry retention; a single
+    grace generation is the parquet-manifest equivalent.)"""
     import json
     import os
     import shutil
@@ -213,8 +219,9 @@ def _promote(root: str, gen: int, lineage: dict) -> None:
     with open(tmp, "w") as f:
         json.dump({"generation": gen, "dir": cur, "lineage": lineage}, f)
     os.replace(tmp, f"{root}/{MANIFEST}")  # the atomic commit point
+    keep = {cur, f"gen-{gen - 1:06d}"}
     for d in os.listdir(root):
-        if d.startswith("gen-") and d != cur:
+        if d.startswith("gen-") and d not in keep:
             shutil.rmtree(f"{root}/{d}", ignore_errors=True)
 
 
@@ -258,8 +265,13 @@ def store_merge(spark: SparkSession, root: str, deltas: DataFrame,
     untouched cells hardlinked (no rewrite, no copy), touched cells
     rewritten — and becomes visible only at the manifest os.replace.
     A reader concurrent with the merge sees entirely-old or
-    entirely-new state, never a mix; a crash leaves the old generation
-    committed.  Returns the touched-cell lineage list."""
+    entirely-new state, never a mix: the previous generation directory
+    is retained for one grace promote (see :func:`_promote`), so a
+    reader that resolved it just before the commit finishes its scan
+    against intact files — the guarantee holds as long as a scan does
+    not span TWO subsequent maintenance promotes.  A crash leaves the
+    old generation committed.  Returns the touched-cell lineage
+    list."""
     import os
 
     from pyspark.sql import Window

@@ -88,8 +88,15 @@ def _with_event_ttl(group_fn, lateness_ms: int):
                          // 1_000_000)
                 max_ts = max(max_ts, ts)
         yield from group_fn(key, iter(frames), state)
-        if max_ts:
-            state.setTimeoutTimestamp(max_ts + lateness_ms)
+        # Malformed-data fallback: a key whose batches carry no
+        # parseable warc_ts (missing column / all-null / epoch-zero)
+        # must still get a timer, or its state lives forever — exactly
+        # the case eviction is meant to bound.  Anchor it to the
+        # current watermark instead; max() also keeps the timestamp
+        # strictly ahead of the watermark (Spark rejects timers at or
+        # behind it).
+        wm = state.getCurrentWatermarkMs()
+        state.setTimeoutTimestamp(max(max_ts, wm) + lateness_ms)
     return fn
 
 
@@ -308,6 +315,26 @@ def apply_triple_deltas(store: DataFrame, deltas: DataFrame) -> DataFrame:
     return kept.unionByName(adds).dropDuplicates(key)
 
 
+_LATENESS_UNITS_MS = {"second": 1_000, "seconds": 1_000,
+                      "minute": 60_000, "minutes": 60_000,
+                      "hour": 3_600_000, "hours": 3_600_000,
+                      "day": 86_400_000, "days": 86_400_000}
+
+
+def _parse_lateness_ms(spec: str) -> int:
+    """'<int> <unit>' -> milliseconds; the single source of truth for
+    event-time lateness (both the watermark string and the eviction
+    timer derive from this value).  Raises ValueError on anything
+    else — including forms withWatermark itself would accept."""
+    parts = spec.split()
+    if len(parts) != 2 or not parts[0].isdigit() \
+            or parts[1] not in _LATENESS_UNITS_MS:
+        raise ValueError(
+            f"event_lateness {spec!r}: expected '<int> "
+            f"<{'|'.join(sorted(set(_LATENESS_UNITS_MS)))}>'")
+    return int(parts[0]) * _LATENESS_UNITS_MS[parts[1]]
+
+
 def incremental_recrawl_diff(spark, pages_dir: str, out_dir: str,
                              checkpoint_dir: str,
                              ttl_ms: "int | None" = None,
@@ -324,11 +351,13 @@ def incremental_recrawl_diff(spark, pages_dir: str, out_dir: str,
               .parquet(pages_dir))
     ev_ms = None
     if event_lateness is not None:
-        stream = stream.withWatermark("warc_ts", event_lateness)
-        n, unit = event_lateness.split()
-        ev_ms = int(n) * {"seconds": 1, "second": 1, "minutes": 60,
-                          "minute": 60, "hours": 3600, "hour": 3600,
-                          "days": 86400, "day": 86400}[unit] * 1000
+        # Parse the lateness to ms ONCE and derive the watermark string
+        # from that value: withWatermark accepts more interval forms
+        # than we evict on ("90 min", "1.5 hours"), and any divergence
+        # would silently desync eviction lateness from the watermark.
+        # Unsupported forms fail fast here, before the stream exists.
+        ev_ms = _parse_lateness_ms(event_lateness)
+        stream = stream.withWatermark("warc_ts", f"{ev_ms} milliseconds")
     deltas = recrawl_diff(extract_text(stream), ttl_ms=ttl_ms,
                           event_lateness_ms=ev_ms)
     return (deltas.writeStream.outputMode("append")

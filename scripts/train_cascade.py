@@ -63,15 +63,20 @@ def main() -> None:
 
     pages_raw = pages_from_documents(spark, args.documents)
     n_docs = pages_raw.count()
-    split_id = n_docs * args.train_frac_pct // 100
-    train_pages = extract_text(pages_raw.where(F.col("doc_id") < split_id))
-    held_out_raw = pages_raw.where(F.col("doc_id") >= split_id)
+    # Hash split, not a doc_id range: deterministic AND independent of
+    # the id distribution (a range split on sparse/offset ids can
+    # silently yield a 0% or 100% train fraction).
+    in_train = F.pmod(F.xxhash64(F.col("doc_id").cast("string")),
+                      F.lit(100)) < args.train_frac_pct
+    train_pages = extract_text(pages_raw.where(in_train))
+    held_out_raw = pages_raw.where(~in_train)
+    n_train = train_pages.count()
 
     types = tuple(sorted({g[1] for g in GAZETTEER}))
     model = train_distributed(train_pages, epochs=args.epochs,
                               rounds=args.rounds, channels=types)
     summary["events"].append({"stage": "train", "action": "ran",
-                              "train_docs": split_id,
+                              "train_docs": n_train,
                               "channels": len(types),
                               "rounds": args.rounds})
 
@@ -87,7 +92,7 @@ def main() -> None:
     n_triples = spark.read.parquet(
         os.path.join(args.out, "triples.parquet")).count()
     summary["events"].append({"stage": "infer", "action": "ran",
-                              "held_out_docs": n_docs - split_id,
+                              "held_out_docs": n_docs - n_train,
                               "triples": n_triples})
 
     gold = build(held_out_raw).triples

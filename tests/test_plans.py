@@ -508,8 +508,15 @@ def test_manifest_store_atomic_merge_compact(spark, tmp_path):
     cells = store_merge(spark, root, deltas(v1, 2), n_buckets)
     want = (base - {v1}) | {("https://new.ex/2", "NEW2", "pred", "VAL", 1000)}
     assert snapshot() == want
-    # old generation GC'd; untouched files hardlinked (same inode)
-    assert not os.path.exists(g1)
+    # grace window: the immediately-previous generation survives this
+    # promote — a reader that resolved g1 just before the commit can
+    # finish an entirely-old scan — and is GC'd by the promote after
+    # next.  Untouched files in the new generation are hardlinks
+    # (same inode).
+    assert os.path.exists(g1)
+    old_scan = {tuple(r) for r in spark.read.parquet(g1)
+                .select("url", "subj", "pred", "obj", "day_idx").collect()}
+    assert old_scan == base
     g2 = store_resolve(root)
     touched_dirs = {f"day_idx={d}/url_bucket={b}" for d, b in cells}
     n_linked = 0
@@ -525,6 +532,8 @@ def test_manifest_store_atomic_merge_compact(spark, tmp_path):
     store_compact(spark, root, target_files_per_cell=1)
     assert snapshot() == want
     assert not os.path.exists(f"{root}/gen-000999")  # GC'd at promote
+    assert not os.path.exists(g1)  # grace window expired (2 promotes)
+    assert os.path.exists(g2)      # new previous generation retained
     man = json.load(open(f"{root}/_MANIFEST.json"))
     assert man["lineage"]["op"] == "compact"
 
