@@ -42,7 +42,10 @@ def run_suite(sf_dir: str, master: str, shuffle: int) -> dict:
     # warm the JVM + python workers once (excluded from timings)
     dq.QUERIES["extract_text"](spark, sf_dir).count()
 
-    trials = int(os.environ.get("SPARK_GRAFT_BENCH_TRIALS", "2"))
+    # best-of-4 by default: round-3 showed best-of-2 is not enough on
+    # this burstable box (one pass read 0.719 efficiency vs 0.856 the
+    # same hour); the committed artifact must be throttle-proof
+    trials = int(os.environ.get("SPARK_GRAFT_BENCH_TRIALS", "4"))
     timings: dict[str, float] = {}
     counts: dict[str, int] = {}
     for _ in range(trials):  # best-of-K: the host VM is burstable
@@ -172,7 +175,7 @@ def run_scaling(sf_dir: str, cpus: int) -> None:
     import subprocess
 
     replicate = int(os.environ.get("SPARK_GRAFT_SCALE_REP", "96"))
-    trials = int(os.environ.get("SPARK_GRAFT_SCALE_TRIALS", "2"))
+    trials = int(os.environ.get("SPARK_GRAFT_SCALE_TRIALS", "4"))
     # Default pair N=2 vs 4N=8: on this VM, per-core throughput decays
     # above ~8-16 active cores for memory-heavy text work (a raw
     # multiprocessing sha256 probe tops out at 0.82 efficiency for
@@ -304,7 +307,10 @@ def run_curation(sf_dir: str, cpus: int) -> None:
     from ehr_relation_extraction_spark.functions import textstats as ts
 
     replicate = int(os.environ.get("SPARK_GRAFT_CURATION_REP", "12"))
-    trials = int(os.environ.get("SPARK_GRAFT_BENCH_TRIALS", "2"))
+    # best-of-4 by default: round-3 showed best-of-2 is not enough on
+    # this burstable box (one pass read 0.719 efficiency vs 0.856 the
+    # same hour); the committed artifact must be throttle-proof
+    trials = int(os.environ.get("SPARK_GRAFT_BENCH_TRIALS", "4"))
     spark = get_spark(app_name="bench-curation", master=f"local[{cpus}]",
                       shuffle_partitions=cpus)
     from pyspark.sql import functions as F

@@ -602,15 +602,17 @@ def passage_dups(docs: DataFrame, win: int = 20,
 
 def _island_id(w, win: int):
     """Island id for window-merge: running count of breaks, where a
-    break is a gap >= ``win`` tokens to the previous duplicated window
-    (i.e. the windows do not overlap).  Spans built from these islands
-    are disjoint by construction: a break at gap >= win puts the next
-    span's start at or past the previous span's end."""
+    break is a gap > ``win`` tokens to the previous duplicated window
+    (i.e. the two windows neither overlap nor touch).  Within an
+    island the covered positions are therefore CONTIGUOUS, so each
+    island is exactly one maximal duplicated region; islands are
+    strictly disjoint (a break at gap > win puts the next span's
+    start past the previous span's end)."""
     from pyspark.sql import Window as _W
 
     prev = F.lag("win_start").over(w)
     brk = F.when(prev.isNull()
-                 | (F.col("win_start") - prev >= F.lit(win)), 1) \
+                 | (F.col("win_start") - prev > F.lit(win)), 1) \
         .otherwise(0)
     return F.sum(brk).over(
         w.rowsBetween(_W.unboundedPreceding, _W.currentRow))
@@ -626,13 +628,16 @@ def duplicated_spans(docs: DataFrame, win: int = 20,
     would shred the text).
 
     Gaps-and-islands over (doc_id, win_start): an island BREAK happens
-    when the gap to the previous duplicated window is >= ``win`` (the
-    windows no longer overlap), computed as a lag + running sum of
-    break flags — two window functions + one aggregate, all keyed on
-    doc_id.  This merges ALL strictly-overlapping windows regardless
-    of the win/stride ratio (with win <= 2*stride it reduces to the
-    classic consecutive-stride rule), so emitted spans never overlap
-    and token counts derived from them never double-count.  The
+    when the gap to the previous duplicated window is > ``win`` (the
+    windows neither overlap nor touch), computed as a lag + running
+    sum of break flags — two window functions + one aggregate, all
+    keyed on doc_id.  Each emitted span is thus exactly one MAXIMAL
+    CONTIGUOUS region of positions covered by duplicated windows, for
+    ANY win/stride ratio: overlapping and abutting windows merge
+    (round-4 fix — the old constant-stride rule both emitted
+    overlapping spans for win > 2*stride and split abutting regions),
+    so spans are strictly disjoint and token counts derived from them
+    never double-count.  The
     flagged windows are a small fraction of the corpus (only
     duplicated ones), so this is a cheap postpass on passage_dups'
     output.

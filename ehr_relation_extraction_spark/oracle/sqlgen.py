@@ -1805,15 +1805,16 @@ FROM wh w JOIN cnt c USING (passage_hash)
 WHERE c.n_docs_sharing >= 2"""
 
 # Islands over a set of duplicated windows: break when the gap to the
-# previous window is >= win (windows no longer overlap) — same rule as
-# textstats._island_id, so merged spans are disjoint by construction.
+# previous window is > win (the windows neither overlap nor touch) —
+# same rule as textstats._island_id, so each island is one maximal
+# contiguous duplicated region and merged spans are strictly disjoint.
 _ISLAND_CTES = """lagd AS (
   SELECT doc_id, win_start,
          lag(win_start) OVER (PARTITION BY doc_id ORDER BY win_start) AS prev
   FROM dupw),
 isl AS (
   SELECT doc_id, win_start,
-         SUM(CASE WHEN prev IS NULL OR win_start - prev >= 20
+         SUM(CASE WHEN prev IS NULL OR win_start - prev > 20
                   THEN 1 ELSE 0 END)
            OVER (PARTITION BY doc_id ORDER BY win_start
                  ROWS UNBOUNDED PRECEDING) AS island
