@@ -702,6 +702,8 @@ def q_graph_ppr(spark, sf_dir) -> DataFrame:
     from .operators.graph_algos import ppr_fixed
 
     ge = q_graph_edges(spark, sf_dir)
+    # bounded driver collect: a 1-row global-min aggregate (the seed
+    # node id), same cap class as graph_bfs's seed pick
     source = ge.select(
         F.least(F.min("subj_node"), F.min("obj_node")).alias("s")
     ).first()["s"]

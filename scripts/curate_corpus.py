@@ -32,7 +32,12 @@ auditable, never silent):
 7. cut spans        (--cut-spans) cut_duplicated_spans — surviving
                     docs lose REPEATED passages (first occurrence
                     kept globally), so a shared paragraph costs its
-                    copies, not whole documents.
+                    copies, not whole documents.  --exact-substr L
+                    upgrades this stage to the stride-1 EXACT form
+                    (operators/substrings.cut_substring_dups):
+                    every cross-doc repeat of >= L tokens is cut at
+                    exact boundaries, not just stride-aligned
+                    windows — Lee-et-al ExactSubstr semantics.
 8. pack             pack_sequences — fixed-length training sequences.
 
 Writes:  <out>/verdicts.parquet   one row per input doc, keep + reason
@@ -51,7 +56,7 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
 def curate(spark, docs, seq_len: int = 512, epochs: int = 60,
-           cut_spans: bool = False):
+           cut_spans: bool = False, exact_substr: int = 0):
     """Run the full curation cascade; returns (verdicts, sequences,
     summary_dict).  All joins are on doc_id (narrow after the first
     shuffle); every heavy stage is the already-benchmarked operator."""
@@ -115,11 +120,17 @@ def curate(spark, docs, seq_len: int = 512, epochs: int = 60,
     kept = docs.join(verdicts.where(F.col("keep") == 1)
                      .select("doc_id"), "doc_id")
     n_cut_tokens = 0
-    if cut_spans:
-        from ehr_relation_extraction_spark.functions.textstats import (
-            cut_duplicated_spans)
+    if cut_spans or exact_substr:
+        if exact_substr:
+            from ehr_relation_extraction_spark.operators.substrings import (
+                cut_substring_dups)
 
-        cut = cut_duplicated_spans(kept)
+            cut = cut_substring_dups(kept, min_len=exact_substr)
+        else:
+            from ehr_relation_extraction_spark.functions.textstats import (
+                cut_duplicated_spans)
+
+            cut = cut_duplicated_spans(kept)
         n_cut_tokens = int(cut.agg(F.sum("n_cut_tokens")).first()[0] or 0)
         kept = (kept.drop("text")
                 .join(cut.select("doc_id",
@@ -141,6 +152,8 @@ def curate(spark, docs, seq_len: int = 512, epochs: int = 60,
         "n_sequences": sequences.count(),
         "seq_len": seq_len,
         "span_cut_tokens": n_cut_tokens,
+        "cut_mode": (f"exact_substr_{exact_substr}" if exact_substr
+                     else ("windowed" if cut_spans else "off")),
     }
     return verdicts, sequences, summary
 
@@ -155,6 +168,11 @@ def main() -> None:
     ap.add_argument("--cut-spans", action="store_true",
                     help="cut duplicated passages from kept docs "
                          "(first occurrence kept) before packing")
+    ap.add_argument("--exact-substr", type=int, default=0,
+                    metavar="L",
+                    help="exact substring-dedup cut at threshold L "
+                         "tokens (stride-1 windows; implies the cut "
+                         "stage, supersedes --cut-spans)")
     args = ap.parse_args()
 
     from ehr_relation_extraction_spark.session import get_spark
@@ -163,7 +181,7 @@ def main() -> None:
     docs = spark.read.parquet(args.documents)
     verdicts, sequences, summary = curate(
         spark, docs, seq_len=args.seq_len, epochs=args.epochs,
-        cut_spans=args.cut_spans)
+        cut_spans=args.cut_spans, exact_substr=args.exact_substr)
     verdicts.write.mode("overwrite").parquet(f"{args.out}/verdicts.parquet")
     sequences.write.mode("overwrite").parquet(f"{args.out}/sequences.parquet")
     with open(f"{args.out}/summary.json", "w") as f:
