@@ -111,6 +111,15 @@ def suffix_ranks(docs: DataFrame, max_rounds: int = 20) -> DataFrame:
     rows; localCheckpoint per round cuts the iterative-join lineage
     exactly like connected_components does.
     """
+    final, _ = _suffix_rank_rounds(docs, max_rounds)
+    return final
+
+
+def _suffix_rank_rounds(docs: DataFrame, max_rounds: int = 20):
+    """Run prefix doubling; return (final_ranks, tables) where tables
+    is [(plen, rank_df), ...] ascending — rank_df's classes equal iff
+    the suffixes' first ``plen`` tokens (sentinel-aware) are equal.
+    The per-round tables feed :func:`adjacent_lcp`'s binary lifting."""
     from ..operators.ner import tokenize_df
 
     pages = docs if "url" in docs.columns else docs.select(
@@ -122,6 +131,7 @@ def suffix_ranks(docs: DataFrame, max_rounds: int = 20) -> DataFrame:
     cur = (toks.join(r0, "token")
            .select("doc_id", "tok_idx", "rank")
            .localCheckpoint())
+    tables = [(1, cur)]
 
     step = 1
     for _ in range(max_rounds):
@@ -142,6 +152,121 @@ def suffix_ranks(docs: DataFrame, max_rounds: int = 20) -> DataFrame:
         n_new = nxt.select("rank").dropDuplicates().count()
         cur = nxt
         step *= 2
+        tables.append((step, cur))
         if n_new == n_old:
             break
-    return cur.select("doc_id", "tok_idx", "rank")
+    return cur.select("doc_id", "tok_idx", "rank"), tables
+
+
+def adjacent_lcp(docs: DataFrame, max_rounds: int = 20) -> DataFrame:
+    """LCP of every ADJACENT pair in generalized-suffix-array order —
+    the structure Lee et al. mine for maximal repeats of ANY length
+    (filter ``lcp >= L`` for threshold L; no re-run per threshold,
+    unlike the windowed form).
+
+    Output: (doc_a, idx_a, doc_b, idx_b, lcp), one row per adjacent
+    pair under the total order (suffix content, doc_id, tok_idx) —
+    equal-content ties ordered by (doc_id, tok_idx), so the pair set
+    is deterministic.
+
+    Two scale-safe constructions on top of :func:`suffix_ranks`:
+
+    - ADJACENCY without a global window: range-partition by (rank,
+      doc_id, tok_idx), pair consecutive rows with a PER-PARTITION
+      lead() (Window.partitionBy(spark_partition_id()) — no
+      single-partition exchange), then stitch the partition
+      boundaries from the per-partition first/last rows — a
+      #partitions-sized table, the same bounded-collect class as the
+      graph seeds.
+    - LCP by BINARY LIFTING over the saved doubling tables: greedily
+      descend plen = 2^K..1; if both suffixes' classes at the current
+      offsets match, the first plen tokens match — advance both
+      offsets.  Distinct suffixes always have lcp < 2^K at the
+      fixpoint table (same 2^K-class there would mean identical), so
+      the greedy powers cover every possible value; identical-content
+      pairs overshoot and are capped to the true remainder length.
+      Each level is two equi-joins of the n-row pair table against a
+      rank table — O(log maxlen) rounds, localCheckpoint each, the
+      same shuffle discipline as the ranking itself.
+    """
+    from pyspark.sql import Window
+
+    final, tables = _suffix_rank_rounds(docs, max_rounds)
+    lens = (final.groupBy("doc_id")
+            .agg((F.max("tok_idx") + 1).alias("doc_len")))
+
+    key = ["rank", "doc_id", "tok_idx"]
+    rows = (final.repartitionByRange(*key)
+            .sortWithinPartitions(*key)
+            .withColumn("pid", F.spark_partition_id())
+            .localCheckpoint())
+    w = Window.partitionBy("pid").orderBy(*key)
+    nxt = [F.lead(c).over(w).alias(f"n_{c}") for c in key]
+    inner = (rows.select(*key, "pid", *nxt)
+             .where(F.col("n_rank").isNotNull()))
+    # partition-boundary pairs: last row of pid i with first row of
+    # the next NON-EMPTY pid — the firsts/lasts table has one row per
+    # partition, so the single-partition lead window over it is a
+    # bounded scalar op, not a data-sized exchange
+    fl = (rows.groupBy("pid")
+          .agg(F.min(F.struct(*key)).alias("first"),
+               F.max(F.struct(*key)).alias("last")))
+    wb = Window.orderBy("pid")
+    bnd = (fl.select("pid", "last",
+                     F.lead("first").over(wb).alias("nfirst"))
+           .where(F.col("nfirst").isNotNull())
+           .select(F.col("last.rank").alias("rank"),
+                   F.col("last.doc_id").alias("doc_id"),
+                   F.col("last.tok_idx").alias("tok_idx"),
+                   F.col("nfirst.rank").alias("n_rank"),
+                   F.col("nfirst.doc_id").alias("n_doc_id"),
+                   F.col("nfirst.tok_idx").alias("n_tok_idx")))
+    pairs = (inner.select(*key, "n_rank", "n_doc_id", "n_tok_idx")
+             .unionByName(bnd)
+             .select(F.col("doc_id").alias("doc_a"),
+                     F.col("tok_idx").alias("idx_a"),
+                     F.col("n_doc_id").alias("doc_b"),
+                     F.col("n_tok_idx").alias("idx_b"))
+             .withColumn("lcp", F.lit(0))
+             .localCheckpoint())
+
+    for plen, tab in sorted(tables, key=lambda t: -t[0]):
+        ra = tab.select(F.col("doc_id").alias("doc_a"),
+                        F.col("tok_idx").alias("ja"),
+                        F.col("rank").alias("ra"))
+        rb = tab.select(F.col("doc_id").alias("doc_b"),
+                        F.col("tok_idx").alias("jb"),
+                        F.col("rank").alias("rb"))
+        j = (pairs.withColumn("ja", F.col("idx_a") + F.col("lcp"))
+             .withColumn("jb", F.col("idx_b") + F.col("lcp"))
+             .join(ra, ["doc_a", "ja"], "left")
+             .join(rb, ["doc_b", "jb"], "left"))
+        adv = (F.col("ra").isNotNull() & F.col("rb").isNotNull()
+               & (F.col("ra") == F.col("rb")))
+        pairs = (j.withColumn(
+            "lcp", F.when(adv, F.col("lcp") + F.lit(plen))
+            .otherwise(F.col("lcp")))
+            .select("doc_a", "idx_a", "doc_b", "idx_b", "lcp")
+            .localCheckpoint())
+
+    # identical-content pairs overshoot; cap to the true remainders
+    la = lens.select(F.col("doc_id").alias("doc_a"),
+                     F.col("doc_len").alias("len_a"))
+    lb = lens.select(F.col("doc_id").alias("doc_b"),
+                     F.col("doc_len").alias("len_b"))
+    return (pairs.join(la, "doc_a").join(lb, "doc_b")
+            .select("doc_a", "idx_a", "doc_b", "idx_b",
+                    F.least(F.col("lcp"),
+                            F.col("len_a") - F.col("idx_a"),
+                            F.col("len_b") - F.col("idx_b"))
+                    .cast("int").alias("lcp")))
+
+
+def maximal_repeats(docs: DataFrame, min_len: int = 50,
+                    max_rounds: int = 20) -> DataFrame:
+    """Suffix pairs whose common prefix is >= min_len tokens — the
+    suffix-array route to the same repeats :func:`substring_dups`
+    finds, but computed once for ALL thresholds (filter, don't
+    re-run)."""
+    return adjacent_lcp(docs, max_rounds).where(
+        F.col("lcp") >= F.lit(min_len))
