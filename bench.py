@@ -304,6 +304,7 @@ def run_curation(sf_dir: str, cpus: int) -> None:
 
     from ehr_relation_extraction_spark.session import get_spark
     from ehr_relation_extraction_spark.operators import dedup as dd
+    from ehr_relation_extraction_spark.operators import substrings as sub
     from ehr_relation_extraction_spark.functions import textstats as ts
 
     replicate = int(os.environ.get("SPARK_GRAFT_CURATION_REP", "12"))
@@ -340,6 +341,11 @@ def run_curation(sf_dir: str, cpus: int) -> None:
             ts.with_synth_lines(docs)),
         "decontaminate": lambda: ts.decontaminate(docs),
         "pack_sequences": lambda: ts.pack_sequences(docs, seq_len=512),
+        # stride-1 exact substring cut (operators/substrings) on the
+        # deduped canonicals: n_tokens windows/doc instead of
+        # n_tokens/stride — the measured cost of threshold-exactness
+        "cut_substring_dups": lambda: sub.cut_substring_dups(
+            ts.with_synth_quote(canon), min_len=20),
     }
     timings: dict[str, float] = {}
     counts: dict[str, int] = {}

@@ -134,6 +134,7 @@ def _suffix_rank_rounds(docs: DataFrame, max_rounds: int = 20):
     tables = [(1, cur)]
 
     step = 1
+    n_old = cur.select("rank").dropDuplicates().count()
     for _ in range(max_rounds):
         ahead = cur.select(F.col("doc_id"),
                            (F.col("tok_idx") - F.lit(step)).alias("tok_idx"),
@@ -147,14 +148,16 @@ def _suffix_rank_rounds(docs: DataFrame, max_rounds: int = 20):
                        F.col("new_rank").alias("rank"))
                .localCheckpoint())
         # fixpoint: doubling changed nothing iff the number of distinct
-        # ranks stopped growing (ranks only ever split, never merge)
-        n_old = cur.select("rank").dropDuplicates().count()
+        # ranks stopped growing (ranks only ever split, never merge);
+        # the previous round's count carries forward — one count job
+        # per round, not two
         n_new = nxt.select("rank").dropDuplicates().count()
         cur = nxt
         step *= 2
         tables.append((step, cur))
         if n_new == n_old:
             break
+        n_old = n_new
     return cur.select("doc_id", "tok_idx", "rank"), tables
 
 

@@ -211,3 +211,26 @@ def test_maximal_repeats_finds_planted_passage(spark):
     # suffix structure sees ALL repeats, incl. same-doc ones the
     # cross-doc window dedup deliberately skips
     assert any(a == b == 5 and l >= 14 for a, _, b, _, l in hits)
+
+
+def test_substrings_plans_have_no_cartesians(spark):
+    """Plan hygiene for the (unregistered) substrings operators, same
+    rule as the registry-wide lint: no CartesianProduct or
+    BroadcastNestedLoopJoin — every join is an equi-join by
+    construction.  (The window ops' plans are checked end-to-end; the
+    suffix path's per-round plans sit behind localCheckpoint
+    boundaries, so for adjacent_lcp this covers the pairing + lifting
+    tail, the only stages with joins beyond the ranking rounds'
+    already-identical join shape.)"""
+    from ehr_relation_extraction_spark.operators.substrings import (
+        adjacent_lcp, cut_substring_dups, substring_dups)
+
+    texts = _fixture_texts()
+    docs = spark.createDataFrame(list(texts.items()),
+                                 "doc_id long, text string")
+    for frame in (substring_dups(docs, min_len=10),
+                  cut_substring_dups(docs, min_len=10),
+                  adjacent_lcp(docs)):
+        plan = frame._jdf.queryExecution().executedPlan().toString()
+        assert "CartesianProduct" not in plan, plan
+        assert "BroadcastNestedLoopJoin" not in plan, plan
