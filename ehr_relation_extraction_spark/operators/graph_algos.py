@@ -297,3 +297,53 @@ def update_components(assign: DataFrame, new_edges: DataFrame,
         nodes = nodes.union(new_nodes.select("node"))
     return connected_components(edges, nodes.dropDuplicates(),
                                 max_iter=max_iter)
+
+
+def label_propagation(edges: DataFrame, nodes: DataFrame,
+                      n_rounds: int = 5) -> DataFrame:
+    """Community detection by SYNCHRONOUS label propagation (the
+    GraphFrames-free form of its labelPropagation): every node starts
+    as its own label; each round, a node adopts the most frequent
+    label among its neighbors, ties broken by the lexicographically
+    smallest label — a fully deterministic variant of LPA (classic
+    async LPA is run-order dependent; sync + stable tie-break makes
+    the result a pure function of the graph, so it is testable against
+    a serial replica and, rounds unrolled, oracle-expressible).
+
+    Fixed ``n_rounds`` rather than convergence detection: sync LPA can
+    2-cycle on bipartite-ish regions, so a fixpoint test may never
+    fire; bounded rounds are the standard remedy (GraphFrames' maxIter
+    contract) and keep the plan a fixed-depth chain of joins.
+
+    ``edges``: (src, dst) undirected (either order); ``nodes``: (node)
+    including isolated ones (they keep their own label).
+    Returns (node, label) — communities are equal-label groups.
+
+    Scale: per round, one shuffle to count (node, label) frequencies
+    over the symmetrized edge list and one per-node window to pick the
+    winner; localCheckpoint per round cuts lineage like the other
+    iterative operators.
+    """
+    from pyspark.sql import Window
+
+    und = (edges.select("src", "dst")
+           .where(F.col("src") != F.col("dst")).dropDuplicates())
+    sym = und.union(und.select(F.col("dst").alias("src"),
+                               F.col("src").alias("dst")))
+    labels = nodes.select("node", F.col("node").alias("label")) \
+        .localCheckpoint()
+    w = (Window.partitionBy("node")
+         .orderBy(F.col("n").desc(), F.col("label").asc()))
+    for _ in range(n_rounds):
+        nbr = (sym.join(labels.withColumnRenamed("node", "dst"), "dst")
+               .select(F.col("src").alias("node"), "label"))
+        freq = nbr.groupBy("node", "label").agg(
+            F.count(F.lit(1)).alias("n"))
+        winner = (freq.withColumn("_rk", F.row_number().over(w))
+                  .where(F.col("_rk") == 1)
+                  .select("node", "label"))
+        labels = (nodes.select("node")
+                  .join(winner, "node", "left")
+                  .withColumn("label", F.coalesce("label", "node"))
+                  .localCheckpoint())
+    return labels.select("node", "label")

@@ -140,3 +140,52 @@ def test_pagerank_fixed_partition_invariant(spark):
     b = {(r["node"], r["rank_u"])
          for r in pagerank_fixed(df.repartition(13), n_iter=4).collect()}
     assert a == b
+
+
+def test_label_propagation_matches_serial_replica(spark):
+    """Sync LPA with min-label tie-break vs a serial Python replica on
+    a two-community graph with a weak bridge — deterministic round for
+    round."""
+    from collections import Counter
+
+    from ehr_relation_extraction_spark.operators.graph_algos import (
+        label_propagation)
+
+    # K4 on a..d, K4 on w..z, one bridge d-w, isolated node q
+    cliq1 = ["a", "b", "c", "d"]
+    cliq2 = ["w", "x", "y", "z"]
+    e = [(u, v) for i, u in enumerate(cliq1) for v in cliq1[i + 1:]]
+    e += [(u, v) for i, u in enumerate(cliq2) for v in cliq2[i + 1:]]
+    e += [("d", "w")]
+    ns = cliq1 + cliq2 + ["q"]
+    adj: dict[str, set] = {n: set() for n in ns}
+    for u, v in e:
+        adj[u].add(v)
+        adj[v].add(u)
+
+    def serial(n_rounds):
+        lab = {n: n for n in ns}
+        for _ in range(n_rounds):
+            new = {}
+            for n in ns:
+                if not adj[n]:
+                    new[n] = lab[n]
+                    continue
+                cnt = Counter(lab[m] for m in adj[n])
+                best = max(cnt.values())
+                new[n] = min(l for l, c in cnt.items() if c == best)
+            lab = new
+        return lab
+
+    edges = spark.createDataFrame(e, "src string, dst string")
+    nodes = spark.createDataFrame([(n,) for n in ns], "node string")
+    for rounds in (1, 3, 5):
+        got = {r["node"]: r["label"]
+               for r in label_propagation(edges, nodes, rounds).collect()}
+        assert got == serial(rounds), rounds
+    # at 5 rounds the two cliques hold distinct communities and the
+    # isolated node keeps its own label
+    lab5 = serial(5)
+    assert len({lab5[n] for n in cliq1}) == 1
+    assert len({lab5[n] for n in cliq2}) == 1
+    assert lab5["a"] != lab5["w"] and lab5["q"] == "q"

@@ -234,3 +234,35 @@ def test_substrings_plans_have_no_cartesians(spark):
         plan = frame._jdf.queryExecution().executedPlan().toString()
         assert "CartesianProduct" not in plan, plan
         assert "BroadcastNestedLoopJoin" not in plan, plan
+
+
+def test_suffix_ranks_pathological_repetition(spark):
+    """Termination + correctness on maximally repetitive input: one
+    doc of a single repeated token (every suffix a prefix of every
+    longer one) and a second doc sharing the repeated block — prefix
+    doubling must rank all suffixes strictly by length without
+    blowing the round budget."""
+    from ehr_relation_extraction_spark.operators.substrings import (
+        suffix_ranks)
+
+    texts = {1: " ".join(["rep"] * 200),
+             2: " ".join(["rep"] * 50) + " tail"}
+    docs = spark.createDataFrame(list(texts.items()),
+                                 "doc_id long, text string")
+    rows = suffix_ranks(docs).collect()
+    assert len(rows) == 200 + 51
+    rank_of = {(r["doc_id"], r["tok_idx"]): r["rank"] for r in rows}
+    # doc 1: strictly shorter all-'rep' suffix sorts strictly first
+    for i in range(199):
+        assert rank_of[(1, i)] > rank_of[(1, i + 1)]
+    # ordering across docs: 'rep...tail' sorts after the same-count
+    # all-rep prefix (end-of-doc < any token), and since 'rep' < 'tail'
+    # it also sorts after EVERY all-rep suffix regardless of length
+    assert rank_of[(2, 0)] > rank_of[(1, 150)]  # 50 reps+tail > 50 reps
+    assert rank_of[(2, 0)] > rank_of[(1, 0)]    # ... > 200 reps too
+    # doc 2's own suffixes: strictly longer rep-runs before tail sort
+    # LATER ('rep' < 'tail' puts the extra rep first)? no — shorter
+    # rep-run means 'tail' arrives earlier, and 'rep' < 'tail', so
+    # more leading reps sorts FIRST:
+    for i in range(49):
+        assert rank_of[(2, i)] < rank_of[(2, i + 1)]
