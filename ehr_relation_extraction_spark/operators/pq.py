@@ -1,0 +1,179 @@
+"""Product quantization (PQ) for the embedding stack — the
+memory-side complement to IVF (operators/similarity.py): vectors
+compress to ``m`` one-byte codes (one per subspace), and search runs
+over the CODES via asymmetric distance computation (ADC, Jegou et al.,
+"Product Quantization for Nearest Neighbor Search", PAMI'11) — at
+10^12 vectors the index is m bytes/vector instead of 4*dim, and the
+scan never touches raw embeddings.
+
+Spark-first shapes, mirroring the IVF discipline:
+
+- codebooks are a bounded broadcast dimension (m * k rows); training
+  collects only quantized means per round (m * k * dsub longs), never
+  vectors;
+- assignment/encode joins the corpus's subvectors against the
+  broadcast codebook on the subspace id — an equi-join, k candidate
+  rows per subvector, argmin by (quantized distance, code);
+- ADC search explodes codes to (vec_id, sub, code) and equi-joins the
+  per-query lookup table on (sub, code), then one sum aggregate per
+  (query, vector) — no raw-vector product anywhere.
+
+Everything is integer-quantized (floor(x * 1e6)) at the decision
+points, so training and search are bit-deterministic under any
+partitioning and exactly reproducible by the serial numpy replica in
+tests/test_pq.py.
+
+Reference analogue: none (single-document service); this is the
+training-data/serving side of the brief, same family as
+similarity.py's IVF thread.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window, functions as F
+
+
+def _subvectors(emb: DataFrame, m: int) -> DataFrame:
+    """(vec_id, sub, _sv): split each embedding into m contiguous
+    subvectors (dim must divide evenly; checked lazily by slice
+    semantics — a ragged final slice would change lengths)."""
+    v = F.transform(F.col("embedding"), lambda x: x.cast("double"))
+    d = F.size(v)
+    dsub = (d / m).cast("int")
+    subs = F.transform(
+        F.sequence(F.lit(0), F.lit(m - 1)),
+        lambda s: F.struct(
+            s.cast("int").alias("sub"),
+            F.slice(v, s * dsub + 1, dsub).alias("_sv")))
+    return (emb.select("vec_id", F.explode(subs).alias("e"))
+            .select("vec_id", F.col("e.sub").alias("sub"),
+                    F.col("e._sv").alias("_sv")))
+
+
+def _codebook_frame(spark, codebooks: "list[list[list[float]]]"):
+    """(sub, code, _cv) broadcast dimension from nested codebooks
+    [m][k][dsub]."""
+    rows = [(s, c, [float(x) for x in vec])
+            for s, cb in enumerate(codebooks)
+            for c, vec in enumerate(cb)]
+    return spark.createDataFrame(
+        rows, "sub int, code int, _cv array<double>")
+
+
+def _l2_q6(a, b):
+    """floor(1e6 * sum (a_i - b_i)^2), folded in index order — the
+    quantized L2 both engines (Spark and the numpy replica) reproduce
+    bit-exactly."""
+    return F.floor(
+        F.aggregate(F.zip_with(a, b, lambda x, y: (x - y) * (x - y)),
+                    F.lit(0.0), lambda acc, v: acc + v) * 1000000
+    ).cast("long")
+
+
+def _assign_codes(sv: DataFrame, cents: DataFrame) -> DataFrame:
+    """(vec_id, sub, code): argmin quantized-L2 centroid per
+    subvector, ties to the smallest code.  Equi-join on sub (k rows
+    per subvector), then min_by over a (dist, code) struct — one
+    aggregate, no window."""
+    scored = (sv.join(F.broadcast(cents), "sub")
+              .select("vec_id", "sub",
+                      F.struct(
+                          _l2_q6(F.col("_sv"), F.col("_cv")).alias("d"),
+                          F.col("code").alias("code")).alias("_sc")))
+    return (scored.groupBy("vec_id", "sub")
+            .agg(F.min("_sc").alias("_best"))
+            .select("vec_id", "sub", F.col("_best.code").alias("code")))
+
+
+def train_pq_codebooks(emb: DataFrame, m: int = 8, k: int = 16,
+                       rounds: int = 3) -> "list[list[list[float]]]":
+    """Per-subspace Lloyd with the IVF codebook's determinism
+    contract: seed = subvectors of the first k vec_ids; each round
+    assigns (equi-join + min_by) and updates centroids as
+    floor-quantized means (order-independent integer sums); empty
+    codes keep their centroid.  Driver traffic per round is the
+    m * k * dsub mean table — codebook-sized, never corpus-sized."""
+    spark = emb.sparkSession
+    seed = (emb.where(F.col("vec_id") < k).orderBy("vec_id")
+            .select(F.col("embedding").cast("array<double>").alias("v"))
+            .collect())
+    dim = len(seed[0]["v"])
+    dsub = dim // m
+    codebooks = [[list(r["v"][s * dsub:(s + 1) * dsub]) for r in seed]
+                 for s in range(m)]
+    sv = _subvectors(emb, m).localCheckpoint()
+    for _ in range(rounds):
+        cents = _codebook_frame(spark, codebooks)
+        codes = _assign_codes(sv, cents)
+        q = sv.select(
+            "vec_id", "sub",
+            F.posexplode(F.transform(
+                "_sv", lambda x: F.floor(x * 1000000).cast("long")))
+            .alias("dim", "q6"))
+        upd = (codes.join(q, ["vec_id", "sub"])
+               .groupBy("sub", "code", "dim")
+               .agg(F.count(F.lit(1)).alias("n"),
+                    F.sum("q6").alias("s"))
+               .select("sub", "code", "dim",
+                       F.floor(F.col("s") / F.col("n")).alias("mean_q6"))
+               .collect())
+        nxt = [[list(c) for c in cb] for cb in codebooks]
+        for r in upd:
+            nxt[r["sub"]][r["code"]][r["dim"]] = r["mean_q6"] / 1e6
+        codebooks = nxt
+    return codebooks
+
+
+def pq_encode(emb: DataFrame,
+              codebooks: "list[list[list[float]]]") -> DataFrame:
+    """(vec_id, codes array<int>): the compressed corpus — m small
+    ints per vector, the table an ADC scan reads instead of raw
+    embeddings."""
+    spark = emb.sparkSession
+    cents = _codebook_frame(spark, codebooks)
+    codes = _assign_codes(_subvectors(emb, len(codebooks)), cents)
+    return (codes.groupBy("vec_id")
+            .agg(F.transform(
+                F.array_sort(F.collect_list(
+                    F.struct("sub", "code"))),
+                lambda p: p["code"]).alias("codes")))
+
+
+def pq_topk(emb: DataFrame, codebooks: "list[list[list[float]]]",
+            n_queries: int = 20, k: int = 5) -> DataFrame:
+    """ADC top-k: approximate L2 distance of query q to vector x =
+    sum over subspaces of ||q_sub - centroid(code_x_sub)||^2 — the
+    per-query lookup table (m * k quantized distances) is built by an
+    equi-join of query subvectors against the broadcast codebook, the
+    scan is an equi-join of the CODE table against that LUT on
+    (sub, code), and one sum-aggregate ranks candidates.  Raw
+    embeddings appear only on the (bounded) query side.
+
+    Output: (query_id, rank, neighbor_id, adist_q6) — adist_q6 is the
+    integer-quantized approximate distance, rank 1 = nearest."""
+    spark = emb.sparkSession
+    m = len(codebooks)
+    cents = _codebook_frame(spark, codebooks)
+    qsv = (_subvectors(
+        emb.where(F.col("vec_id") < n_queries), m)
+        .withColumnRenamed("vec_id", "query_id"))
+    lut = (qsv.join(F.broadcast(cents), "sub")
+           .select("query_id", "sub", "code",
+                   _l2_q6(F.col("_sv"), F.col("_cv")).alias("d_q6")))
+    enc = pq_encode(emb, codebooks)
+    exploded = enc.select(
+        F.col("vec_id").alias("neighbor_id"),
+        F.posexplode("codes").alias("sub", "code"))
+    dists = (exploded.join(F.broadcast(lut), ["sub", "code"])
+             .where(F.col("neighbor_id") != F.col("query_id"))
+             .groupBy("query_id", "neighbor_id")
+             .agg(F.sum("d_q6").cast("long").alias("adist_q6"),
+                  F.count(F.lit(1)).alias("_m")))
+    # a candidate must have all m subspace terms (always true by
+    # construction; the guard keeps the contract explicit)
+    dists = dists.where(F.col("_m") == m).drop("_m")
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("adist_q6").asc(), F.col("neighbor_id"))
+    return (dists.withColumn("rank", F.row_number().over(w).cast("int"))
+            .where(F.col("rank") <= k)
+            .select("query_id", "rank", "neighbor_id", "adist_q6"))
