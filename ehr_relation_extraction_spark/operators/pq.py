@@ -177,3 +177,148 @@ def pq_topk(emb: DataFrame, codebooks: "list[list[list[float]]]",
     return (dists.withColumn("rank", F.row_number().over(w).cast("int"))
             .where(F.col("rank") <= k)
             .select("query_id", "rank", "neighbor_id", "adist_q6"))
+
+
+# ---------------------------------------------------------------------------
+# IVF-PQ: coarse cells + PQ over residuals (the Faiss IndexIVFPQ shape)
+# ---------------------------------------------------------------------------
+
+
+def _residuals(emb: DataFrame, assigned: DataFrame,
+               coarse: "list[list[float]]") -> DataFrame:
+    """(vec_id, cell, embedding): vector minus its coarse centroid —
+    the residual PQ quantizes.  Centroids join in as a broadcast
+    (cell, _cc) dimension; the subtraction is a zip_with."""
+    spark = emb.sparkSession
+    rows = [(i, [float(x) for x in v]) for i, v in enumerate(coarse)]
+    cents = F.broadcast(spark.createDataFrame(
+        rows, "cell int, _cc array<double>"))
+    v = F.transform(F.col("embedding"), lambda x: x.cast("double"))
+    return (emb.select("vec_id", v.alias("_v"))
+            .join(assigned.select("vec_id", "cell"), "vec_id")
+            .join(cents, "cell")
+            .select("vec_id", "cell",
+                    F.zip_with("_v", "_cc",
+                               lambda x, c: x - c).alias("embedding")))
+
+
+def train_ivfpq(emb: DataFrame, n_cells: int = 8, m: int = 8,
+                k: int = 16, rounds: int = 2):
+    """Train the composed index: IVF coarse codebook (cosine Lloyd,
+    similarity.train_ivf_codebook) + ONE shared PQ codebook set over
+    the coarse residuals (the standard IVF-PQ layout — per-cell
+    codebooks multiply index metadata by n_cells for marginal gain).
+    Returns (coarse, pq_codebooks)."""
+    from .similarity import ivf_assign, train_ivf_codebook
+
+    coarse = train_ivf_codebook(emb, n_cells, rounds)
+    assigned = ivf_assign(emb, n_cells, codebook=coarse)
+    resid = _residuals(emb, assigned, coarse).localCheckpoint()
+    return coarse, train_pq_codebooks(resid, m=m, k=k, rounds=rounds)
+
+
+def ivfpq_encode(emb: DataFrame, coarse: "list[list[float]]",
+                 pq_codebooks) -> DataFrame:
+    """(vec_id, cell, codes): the full compressed index row — a coarse
+    cell id + m residual codes per vector (m+1 small ints instead of
+    4*dim bytes)."""
+    from .similarity import ivf_assign
+
+    assigned = ivf_assign(emb, len(coarse), codebook=coarse) \
+        .select("vec_id", "cell")
+    resid = _residuals(emb, assigned, coarse)
+    codes = pq_encode(resid.select("vec_id", "embedding"), pq_codebooks)
+    return assigned.join(codes, "vec_id").select("vec_id", "cell", "codes")
+
+
+def ivfpq_topk(emb: DataFrame, coarse: "list[list[float]]",
+               pq_codebooks, n_queries: int = 20, nprobe: int = 2,
+               k: int = 5) -> DataFrame:
+    """IVF-PQ search: probe the ``nprobe`` coarse cells with the
+    highest query-centroid cosine (same scoring as ivf_topk), then ADC
+    over the probed candidates' residual codes with a PER-(query,
+    cell) lookup table — the LUT is built on the query's residual
+    against EACH probed cell's centroid, so the asymmetric distance is
+    to q - c_cell exactly as the encoded residuals are x - c_cell.
+
+    All joins are equi-joins; the LUT (n_queries * nprobe * m * k
+    rows) and probe list are broadcast dimensions; candidate rows are
+    only the probed cells' code rows.
+
+    Output: (query_id, rank, neighbor_id, adist_q6)."""
+    from .similarity import _codebook_frame as _coarse_frame
+    from .similarity import _dot, _with_norm
+
+    spark = emb.sparkSession
+    m = len(pq_codebooks)
+    enc = ivfpq_encode(emb, coarse, pq_codebooks).localCheckpoint()
+
+    qv = _with_norm(
+        emb.where(F.col("vec_id") < n_queries)
+        .select(F.col("vec_id").alias("query_id"), "embedding"),
+        "embedding").select("query_id", F.col("_v").alias("_qv"),
+                            F.col("_norm").alias("_qn"))
+    cents = F.broadcast(_coarse_frame(spark, coarse))
+    scores = qv.join(cents).select(
+        "query_id", "cell",
+        F.floor(_dot(F.col("_qv"), F.col("_cv"))
+                / (F.col("_qn") * F.col("_cn")) * 1000000)
+        .cast("long").alias("_s6"))
+    wp = Window.partitionBy("query_id").orderBy(
+        F.col("_s6").desc(), F.col("cell"))
+    probes = (scores.withColumn("_r", F.row_number().over(wp))
+              .where(F.col("_r") <= nprobe)
+              .select("query_id", F.col("cell").cast("int").alias("cell")))
+
+    # per-(query, probed-cell) residual LUT
+    qres = (qv.select("query_id", "_qv")
+            .join(probes, "query_id")
+            .select(F.col("query_id").alias("vec_id"), "cell", "_qv"))
+    rows = [(i, [float(x) for x in v]) for i, v in enumerate(coarse)]
+    cframe = F.broadcast(spark.createDataFrame(
+        rows, "cell int, _cc array<double>"))
+    qres = (qres.join(cframe, "cell")
+            .select("vec_id", "cell",
+                    F.zip_with("_qv", "_cc",
+                               lambda x, c: x - c).alias("embedding")))
+    qsv = _residual_subvectors(qres, m)
+    lut = (qsv.join(F.broadcast(_codebook_frame(spark, pq_codebooks)),
+                    "sub")
+           .select(F.col("vec_id").alias("query_id"), "cell", "sub",
+                   "code", _l2_q6(F.col("_sv"), F.col("_cv"))
+                   .alias("d_q6")))
+
+    # the (cell, sub, code) equi-join against the LUT is ALSO the
+    # probe filter: the LUT only holds probed (query, cell) pairs, so
+    # un-probed cells' code rows match nothing for that query
+    exploded = (enc.select(F.col("vec_id").alias("neighbor_id"),
+                           "cell", F.posexplode("codes")
+                           .alias("sub", "code")))
+    dists = (exploded.join(F.broadcast(lut), ["cell", "sub", "code"])
+             .where(F.col("neighbor_id") != F.col("query_id"))
+             .groupBy("query_id", "neighbor_id")
+             .agg(F.sum("d_q6").cast("long").alias("adist_q6"),
+                  F.count(F.lit(1)).alias("_m"))
+             .where(F.col("_m") == m).drop("_m"))
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("adist_q6").asc(), F.col("neighbor_id"))
+    return (dists.withColumn("rank", F.row_number().over(w).cast("int"))
+            .where(F.col("rank") <= k)
+            .select("query_id", "rank", "neighbor_id", "adist_q6"))
+
+
+def _residual_subvectors(qres: DataFrame, m: int) -> DataFrame:
+    """(vec_id, cell, sub, _sv): subvector split that CARRIES the cell
+    column (the per-(query, cell) residual identity the IVF-PQ LUT
+    needs)."""
+    v = F.transform(F.col("embedding"), lambda x: x.cast("double"))
+    d = F.size(v)
+    dsub = (d / m).cast("int")
+    subs = F.transform(
+        F.sequence(F.lit(0), F.lit(m - 1)),
+        lambda s: F.struct(
+            s.cast("int").alias("sub"),
+            F.slice(v, s * dsub + 1, dsub).alias("_sv")))
+    return (qres.select("vec_id", "cell", F.explode(subs).alias("e"))
+            .select("vec_id", "cell", F.col("e.sub").alias("sub"),
+                    F.col("e._sv").alias("_sv")))

@@ -118,3 +118,70 @@ def test_pq_plans_have_no_cartesians(spark):
         plan = frame._jdf.queryExecution().executedPlan().toString()
         assert "CartesianProduct" not in plan, plan
         assert "BroadcastNestedLoopJoin" not in plan, plan
+
+
+def _cos6(a, b):
+    dot = 0.0
+    na = 0.0
+    nb = 0.0
+    for x, y in zip(a, b):
+        dot += x * y
+        na += x * x
+        nb += y * y
+    return math.floor(dot / (math.sqrt(na) * math.sqrt(nb)) * 1000000)
+
+
+def test_ivfpq_encode_and_search_match_replica(spark):
+    """Full IVF-PQ path vs a serial replica GIVEN the Spark-trained
+    codebooks (training equality is covered piecewise by the PQ tests
+    here and the IVF codebook tests): coarse assign (argmax quantized
+    cosine, tie->cell), residual encode (argmin quantized L2,
+    tie->code), probe (top-nprobe cells), ADC over probed candidates —
+    every row must match bit-for-bit."""
+    from ehr_relation_extraction_spark.operators.pq import (
+        ivfpq_encode, ivfpq_topk, train_ivfpq)
+
+    n_cells, nprobe, n_queries, topk = 8, 2, 10, 5
+    emb = spark.read.parquet(EMB)
+    coarse, pq_cb = train_ivfpq(emb, n_cells=n_cells, m=M, k=K,
+                                rounds=1)
+    vecs = _load_vecs(spark)
+    dsub = len(vecs[0]) // M
+
+    cell_of = {vid: min(range(n_cells),
+                        key=lambda c: (-_cos6(v, coarse[c]), c))
+               for vid, v in vecs.items()}
+    resid = {vid: [x - c for x, c in zip(v, coarse[cell_of[vid]])]
+             for vid, v in vecs.items()}
+
+    def sub(v, s):
+        return v[s * dsub:(s + 1) * dsub]
+
+    codes = {vid: [min((_l2_q6(sub(r, s), pq_cb[s][c]), c)
+                       for c in range(K))[1] for s in range(M)]
+             for vid, r in resid.items()}
+
+    got_enc = {r["vec_id"]: (r["cell"], list(r["codes"]))
+               for r in ivfpq_encode(emb, coarse, pq_cb).collect()}
+    assert got_enc == {vid: (cell_of[vid], codes[vid]) for vid in vecs}
+
+    want = set()
+    for q in range(n_queries):
+        probed = sorted(range(n_cells),
+                        key=lambda c: (-_cos6(vecs[q], coarse[c]), c)
+                        )[:nprobe]
+        cands = []
+        for n, v in vecs.items():
+            if n == q or cell_of[n] not in probed:
+                continue
+            qr = [x - c for x, c in zip(vecs[q], coarse[cell_of[n]])]
+            d = sum(_l2_q6(sub(qr, s), pq_cb[s][codes[n][s]])
+                    for s in range(M))
+            cands.append((d, n))
+        for rank, (d, n) in enumerate(sorted(cands)[:topk], 1):
+            want.add((q, rank, n, d))
+    got = {(r["query_id"], r["rank"], r["neighbor_id"], r["adist_q6"])
+           for r in ivfpq_topk(emb, coarse, pq_cb,
+                               n_queries=n_queries, nprobe=nprobe,
+                               k=topk).collect()}
+    assert got == want
