@@ -368,6 +368,60 @@ def run_curation(sf_dir: str, cpus: int) -> None:
     }))
 
 
+def run_ann(sf_dir: str, cpus: int) -> None:
+    """ANN-stack bench: the five similarity paths (exact brute force,
+    SRP buckets, IVF, PQ/ADC, IVF-PQ) answering the same 50-query
+    top-5 workload over the sf embeddings table, best-of-K per path on
+    one session.  The point of the comparison is the SHAPE cost:
+    brute force scales with corpus x queries, the index paths with
+    candidates only."""
+    import time as _t
+
+    from ehr_relation_extraction_spark.session import get_spark
+    from ehr_relation_extraction_spark.operators import similarity as sim
+    from ehr_relation_extraction_spark.operators import pq as pqm
+
+    trials = int(os.environ.get("SPARK_GRAFT_BENCH_TRIALS", "4"))
+    nq, topk = 50, 5
+    spark = get_spark(app_name="bench-ann", master=f"local[{cpus}]",
+                      shuffle_partitions=cpus)
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")         .localCheckpoint()  # also warms the JVM
+    n_vecs = emb.count()
+    coarse = sim.train_ivf_codebook(emb, n_cells=8, rounds=2)
+    pq_cb = pqm.train_pq_codebooks(emb, m=8, k=16, rounds=2)
+    coarse2, res_cb = pqm.train_ivfpq(emb, n_cells=8, m=8, k=16,
+                                      rounds=1)
+    ops = {
+        "brute_force": lambda: sim.brute_force_topk(emb, nq, topk),
+        # srp answers ALL vectors (bucket self-join), not 50 queries
+        "srp_ann": lambda: sim.ann_topk(emb, k=topk),
+        "ivf": lambda: sim.ivf_topk(emb, n_queries=nq, k=topk,
+                                    codebook=coarse),
+        "pq_adc": lambda: pqm.pq_topk(emb, pq_cb, n_queries=nq,
+                                      k=topk),
+        "ivfpq": lambda: pqm.ivfpq_topk(emb, coarse2, res_cb,
+                                        n_queries=nq, k=topk),
+    }
+    timings: dict[str, float] = {}
+    counts: dict[str, int] = {}
+    for _ in range(trials):
+        for name, fn in ops.items():
+            t0 = _t.time()
+            counts[name] = fn().count()
+            dt = round(_t.time() - t0, 3)
+            if name not in timings or dt < timings[name]:
+                timings[name] = dt
+    spark.stop()
+    print(json.dumps({
+        "metric": "ann_suite_sec",
+        "value": round(sum(timings.values()), 3), "unit": "sec",
+        "ops": timings, "counts": counts, "vectors": n_vecs,
+        "queries": nq, "k": topk, "sf": sf_of(sf_dir),
+        "note": f"best of {trials} trials per path, local[{cpus}]; "
+                "training time excluded (one-off, codebook-sized)",
+    }))
+
+
 def run_skew(sf_dir: str, cpus: int) -> None:
     """Skewed-host robustness bench (SURVEY §5.2 item 4): the fused
     triples job on a uniform corpus vs one where a single host owns
@@ -451,6 +505,10 @@ def main() -> None:
 
     if "--curation" in sys.argv:
         run_curation(sf_dir, cpus)
+        return
+
+    if "--ann" in sys.argv:
+        run_ann(sf_dir, cpus)
         return
 
     r = run_suite(sf_dir, master, cpus)
