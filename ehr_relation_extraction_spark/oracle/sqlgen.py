@@ -1765,9 +1765,11 @@ GROUP BY p.canonical_id, q.dim""", LINK_CTES)
 from ..functions.textstats import SYNTH_QUOTE as _SYNTH_QUOTE  # noqa: E402
 
 # Shared CTE block for the Lee-et-al windowed-substring-dedup family
-# (passage_dups / duplicated_spans / cut_spans): synth-quote wrap,
-# tokenize, win=20/stride=10 window hashes.
-_PASSAGE_CTES = f"""wrapped AS (
+# (passage_dups / duplicated_spans / cut_spans at win=20/stride=10;
+# the stride-1 EXACT form reuses the same generator): synth-quote
+# wrap, tokenize, window hashes.
+def _passage_ctes(win: int = 20, stride: int = 10) -> str:
+    return f"""wrapped AS (
   SELECT doc_id,
          CASE WHEN doc_id % 7 = 0 THEN '{_SYNTH_QUOTE} ' || text
               ELSE text END AS text
@@ -1784,15 +1786,18 @@ tk AS (
   FROM rt WHERE tok <> ''),
 wstarts AS (
   SELECT doc_id, tok_idx AS win_start
-  FROM tk WHERE tok_idx % 10 = 0 AND tok_idx + 20 <= n_tokens),
+  FROM tk WHERE tok_idx % {stride} = 0 AND tok_idx + {win} <= n_tokens),
 wintoks AS (
   SELECT s.doc_id, s.win_start, t.token, t.tok_idx
   FROM wstarts s JOIN tk t ON t.doc_id = s.doc_id
-   AND t.tok_idx >= s.win_start AND t.tok_idx < s.win_start + 20),
+   AND t.tok_idx >= s.win_start AND t.tok_idx < s.win_start + {win}),
 wh AS (
   SELECT doc_id, win_start,
          md5(string_agg(token, ' ' ORDER BY tok_idx)) AS passage_hash
   FROM wintoks GROUP BY doc_id, win_start)"""
+
+
+_PASSAGE_CTES = _passage_ctes()
 
 ORACLE["passage_dups"] = f"""
 WITH {_PASSAGE_CTES},
@@ -1808,21 +1813,25 @@ WHERE c.n_docs_sharing >= 2"""
 # previous window is > win (the windows neither overlap nor touch) —
 # same rule as textstats._island_id, so each island is one maximal
 # contiguous duplicated region and merged spans are strictly disjoint.
-_ISLAND_CTES = """lagd AS (
+def _island_ctes(win: int = 20) -> str:
+    return f"""lagd AS (
   SELECT doc_id, win_start,
          lag(win_start) OVER (PARTITION BY doc_id ORDER BY win_start) AS prev
   FROM dupw),
 isl AS (
   SELECT doc_id, win_start,
-         SUM(CASE WHEN prev IS NULL OR win_start - prev > 20
+         SUM(CASE WHEN prev IS NULL OR win_start - prev > {win}
                   THEN 1 ELSE 0 END)
            OVER (PARTITION BY doc_id ORDER BY win_start
                  ROWS UNBOUNDED PRECEDING) AS island
   FROM lagd),
 spans AS (
-  SELECT doc_id, island, MIN(win_start) AS s, MAX(win_start) + 20 AS e,
+  SELECT doc_id, island, MIN(win_start) AS s, MAX(win_start) + {win} AS e,
          COUNT(*) AS n_windows
   FROM isl GROUP BY doc_id, island)"""
+
+
+_ISLAND_CTES = _island_ctes()
 
 ORACLE["duplicated_spans"] = f"""
 WITH {_PASSAGE_CTES},
@@ -2012,3 +2021,127 @@ FROM (SELECT canonical_id,
              CAST(MIN((1704067200 + doc_id) // 86400) AS BIGINT) AS first_day
       FROM linked GROUP BY canonical_id)
 GROUP BY first_day""", LINK_CTES)
+
+
+# ---------------------------------------------------------------------------
+# STAGED ORACLES (round-5 registration queue).  These keys are NOT in
+# driver_queries.QUERIES yet — the registry froze early in round 4 per
+# the snapshot-sync protocol — so oracle_sql() filters them out of the
+# driver contract.  They are pytest-verified against the Spark
+# operators NOW (tests/test_round5_oracles.py) so registering them
+# next round is a two-line diff with zero correctness risk.
+# ---------------------------------------------------------------------------
+
+# Threshold-exact Lee-et-al spans: the stride-1 form of
+# duplicated_spans (operators/substrings.substring_dups at min_len=20).
+ORACLE["substring_spans"] = f"""
+WITH {_passage_ctes(win=20, stride=1)},
+cnt AS (
+  SELECT passage_hash, COUNT(DISTINCT doc_id) AS n_docs
+  FROM wh GROUP BY passage_hash),
+dupw AS (
+  SELECT DISTINCT w.doc_id, w.win_start
+  FROM wh w JOIN cnt c USING (passage_hash) WHERE c.n_docs >= 2),
+{_island_ctes(win=20)}
+SELECT doc_id, CAST(s AS INT) AS span_start, CAST(e AS INT) AS span_end,
+       CAST(n_windows AS BIGINT) AS n_windows
+FROM spans"""
+
+# Threshold-exact cut (operators/substrings.cut_substring_dups).
+ORACLE["cut_substrings"] = f"""
+WITH {_passage_ctes(win=20, stride=1)},
+keeper AS (
+  SELECT passage_hash, MIN(doc_id) AS keep_doc,
+         COUNT(DISTINCT doc_id) AS n_docs
+  FROM wh GROUP BY passage_hash),
+dupw AS (
+  SELECT DISTINCT w.doc_id, w.win_start
+  FROM wh w JOIN keeper k USING (passage_hash)
+  WHERE k.n_docs >= 2 AND w.doc_id <> k.keep_doc),
+{_island_ctes(win=20)},
+cuts AS (SELECT doc_id, SUM(e - s) AS n_cut FROM spans GROUP BY doc_id),
+kept AS (
+  SELECT t.doc_id, t.token, t.tok_idx FROM tk t
+  WHERE NOT EXISTS (
+    SELECT 1 FROM spans sp
+    WHERE sp.doc_id = t.doc_id
+      AND t.tok_idx >= sp.s AND t.tok_idx < sp.e)),
+rebuilt AS (
+  SELECT doc_id, string_agg(token, ' ' ORDER BY tok_idx) AS text_clean
+  FROM kept GROUP BY doc_id)
+SELECT d.doc_id, COALESCE(r.text_clean, '') AS text_clean,
+       CAST(COALESCE(c.n_cut, 0) AS BIGINT) AS n_cut_tokens
+FROM documents d
+LEFT JOIN rebuilt r ON d.doc_id = r.doc_id
+LEFT JOIN cuts c ON d.doc_id = c.doc_id"""
+
+# Suffix-array maximal repeats (operators/substrings.maximal_repeats,
+# min_len=20): suffixes as space-joined strings sort identically to
+# token-sequence order because the separator (0x20) is strictly below
+# every token byte (tokens are split ON whitespace) and end-of-doc
+# sorts below the separator; LCP by first-mismatch scan over the doc
+# token lists.  All-integer outputs — no float-order hazards.
+ORACLE["maximal_repeats"] = f"""
+WITH rt AS (
+  SELECT doc_id,
+         unnest(string_split_regex(text, '{SEP_CLASS}')) AS tok,
+         generate_subscripts(string_split_regex(text, '{SEP_CLASS}'), 1) AS piece_idx
+  FROM documents),
+tk AS (
+  SELECT doc_id, tok AS token,
+         CAST(ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY piece_idx) - 1 AS INT) AS tok_idx
+  FROM rt WHERE tok <> ''),
+docarr AS (
+  SELECT doc_id, list(token ORDER BY tok_idx) AS toks,
+         COUNT(*) AS n FROM tk GROUP BY doc_id),
+suf AS (
+  SELECT t.doc_id, t.tok_idx,
+         array_to_string(a.toks[t.tok_idx + 1:], ' ') AS sstr
+  FROM tk t JOIN docarr a USING (doc_id)),
+ord_ AS (
+  SELECT doc_id, tok_idx,
+         lead(doc_id) OVER w AS nd, lead(tok_idx) OVER w AS ni
+  FROM suf WINDOW w AS (ORDER BY sstr, doc_id, tok_idx)),
+pairs AS (
+  SELECT doc_id AS doc_a, tok_idx AS idx_a, nd AS doc_b, ni AS idx_b
+  FROM ord_ WHERE nd IS NOT NULL),
+lcps AS (
+  SELECT p.doc_a, p.idx_a, p.doc_b, p.idx_b,
+         (SELECT COALESCE(MIN(i),
+                 least(la.n - p.idx_a, lb.n - p.idx_b) + 1) - 1
+          FROM unnest(generate_series(
+                 1, least(la.n - p.idx_a, lb.n - p.idx_b))) t(i)
+          WHERE la.toks[p.idx_a + i] <> lb.toks[p.idx_b + i]) AS lcp
+  FROM pairs p
+  JOIN docarr la ON la.doc_id = p.doc_a
+  JOIN docarr lb ON lb.doc_id = p.doc_b)
+SELECT doc_a, CAST(idx_a AS INT) AS idx_a, doc_b,
+       CAST(idx_b AS INT) AS idx_b, CAST(lcp AS INT) AS lcp
+FROM lcps WHERE lcp >= 20"""
+
+
+def _lpa_sql(n_rounds: int = 5) -> str:
+    """Sync label propagation over the entity co-occurrence graph,
+    rounds unrolled as chained CTEs (graph_algos.label_propagation's
+    exact semantics: most-frequent neighbor label, min-label
+    tie-break, isolated nodes keep their own label)."""
+    blocks = ["lab0 AS (SELECT node, node AS label FROM cc_nodes)"]
+    for r in range(1, n_rounds + 1):
+        blocks.append(f"""freq{r} AS (
+  SELECT e.src AS node, l.label, COUNT(*) AS n
+  FROM sym_edges e JOIN lab{r - 1} l ON e.dst = l.node
+  GROUP BY e.src, l.label),
+pick{r} AS (
+  SELECT node, label FROM (
+    SELECT node, label,
+           ROW_NUMBER() OVER (PARTITION BY node
+                              ORDER BY n DESC, label ASC) AS rk
+    FROM freq{r}) WHERE rk = 1),
+lab{r} AS (
+  SELECT c.node, COALESCE(p.label, c.node) AS label
+  FROM cc_nodes c LEFT JOIN pick{r} p ON c.node = p.node)""")
+    return ",\n".join(blocks)
+
+
+ORACLE["lpa_communities"] = _q("SELECT node, label FROM lab5",
+                               LINK_CTES, _lpa_sql(5))
