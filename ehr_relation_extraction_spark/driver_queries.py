@@ -572,6 +572,57 @@ def q_cut_spans(spark, sf_dir) -> DataFrame:
         "doc_id", "text_clean", "n_cut_tokens")
 
 
+def q_substring_spans(spark, sf_dir) -> DataFrame:
+    """THRESHOLD-EXACT substring-dedup spans: the stride-1 form of
+    duplicated_spans (operators/substrings.substring_dups, min_len=20)
+    — every >=L-token cross-doc repeat is covered exactly, the
+    ExactSubstr guarantee of Lee et al. at threshold L."""
+    from .operators.substrings import substring_dups
+
+    return substring_dups(ts.with_synth_quote(_docs(spark, sf_dir)),
+                          min_len=20).select(
+        "doc_id", "span_start", "span_end", "n_windows")
+
+
+def q_cut_substrings(spark, sf_dir) -> DataFrame:
+    """The CUT step at stride 1 (operators/substrings.
+    cut_substring_dups): rebuild each doc with every
+    non-first-occurrence >=L-token repeat removed — threshold-exact,
+    unlike the strided q_cut_spans approximation."""
+    from .operators.substrings import cut_substring_dups
+
+    return cut_substring_dups(ts.with_synth_quote(_docs(spark, sf_dir)),
+                              min_len=20).select(
+        "doc_id", "text_clean", "n_cut_tokens")
+
+
+def q_maximal_repeats(spark, sf_dir) -> DataFrame:
+    """Suffix-array repeat mining (operators/substrings.
+    maximal_repeats): distributed prefix-doubling suffix ranks +
+    binary-lifting LCP over SA-adjacent suffix pairs, emitting every
+    adjacent pair whose LCP >= 20 tokens — the any-threshold path the
+    windowed-exact operators cannot express."""
+    from .operators.substrings import maximal_repeats
+
+    return maximal_repeats(_docs(spark, sf_dir), min_len=20).select(
+        "doc_a", F.col("idx_a").cast("int").alias("idx_a"),
+        "doc_b", F.col("idx_b").cast("int").alias("idx_b"), "lcp")
+
+
+def q_lpa_communities(spark, sf_dir) -> DataFrame:
+    """Community detection over the entity co-occurrence graph:
+    deterministic synchronous label propagation
+    (operators/graph_algos.label_propagation, 5 rounds, min-label
+    tie-break), oracle = the rounds unrolled as chained CTEs."""
+    from .operators.graph_algos import label_propagation
+
+    _, linked, _ = _linked(spark, sf_dir)
+    edges = lk.overlap_edges(linked)
+    nodes = linked.select(
+        F.col("canonical_id").alias("node")).dropDuplicates()
+    return label_propagation(edges, nodes, n_rounds=5)
+
+
 def q_url_redirects(spark, sf_dir) -> DataFrame:
     """Redirect-chain resolution (pointer doubling) over the
     synthesized redirect fixture — chains, a multi-target malformed
@@ -852,62 +903,17 @@ def q_retention_cohorts(spark, sf_dir) -> DataFrame:
 
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # ORDER IS LOAD-BEARING: the driver snapshot verifies exactly
-    # list(QUERIES)[:50] in insertion order.  Rounds 1-3 always
-    # snapshotted the same ~50-key prefix, so the tail was only
-    # ever judge-verified; round 4 rotates the never-snapshotted
-    # keys (plus the 4 new queries) to the front, with 9 headline
-    # anchors closing the prefix.  Keys 51+ were driver-verified
-    # green in rounds 1-3.
-    "duplicated_spans": q_duplicated_spans,
-    "cut_spans": q_cut_spans,
-    "url_redirects": q_url_redirects,
-    "cc_update": q_cc_update,
-    "repetition_features": q_repetition_features,
-    "corpus_export": q_corpus_export,
-    "pack_sequences": q_pack_sequences,
-    "mixture_sample": q_mixture_sample,
-    "lm_quality": q_lm_quality,
-    "source_stats": q_source_stats,
-    "media_features": q_media_features,
-    "bigram_lm": q_bigram_lm,
-    "corpus_curation": q_corpus_curation,
-    "candidates_balanced": q_candidates_balanced,
-    "eval_mentions_lenient": q_eval_mentions_lenient,
-    "eval_mentions_macro": q_eval_mentions_macro,
-    "eval_mentions_by_doc": q_eval_mentions_by_doc,
-    "sessionize": q_sessionize,
-    "pagerank": q_pagerank,
-    "graph_ppr": q_graph_ppr,
-    "graph_bfs": q_graph_bfs,
-    "graph_degrees": q_graph_degrees,
-    "related_topics": q_related_topics,
-    "component_sizes": q_component_sizes,
-    "embedding_near_dups": q_embedding_near_dups,
-    "ivf_assign": q_ivf_assign,
-    "dup_clusters": q_dup_clusters,
-    "containment_dups": q_containment_dups,
-    "ivf_centroids": q_ivf_centroids,
-    "ivf_topk": q_ivf_topk,
-    "url_canonical": q_url_canonical,
-    "quality_model": q_quality_model,
-    "boilerplate_strip": q_boilerplate_strip,
-    "kg_support": q_kg_support,
-    "entity_centroids": q_entity_centroids,
-    "passage_dups": q_passage_dups,
-    "entity_neighbors": q_entity_neighbors,
-    "triple_history": q_triple_history,
-    "simhash_near_dups": q_simhash_near_dups,
-    "graph_triangles": q_graph_triangles,
-    "entity_first_seen": q_entity_first_seen,
-    "extract_text": q_extract_text,
-    "tokenize": q_tokenize,
-    "shards": q_shards,
-    "mentions": q_mentions,
-    "candidates": q_candidates,
-    "relations": q_relations,
-    "triples": q_triples,
-    "triples_fused": q_triples_fused,
-    "dedup_exact": q_dedup_exact,
+    # list(QUERIES)[:50] in insertion order (pinned by
+    # tests/test_registry_order.py).  Round-5 rotation: the 4 new
+    # round-5 queries lead, then the 42 keys that sat past round 4's
+    # snapshot (driver-green in r01-r03), then quality_model (value
+    # oracle upgraded this round) and 3 headline anchors close the
+    # prefix.  Keys 51+ all have green driver rows in
+    # CORRECTNESS_r04.json.
+    "substring_spans": q_substring_spans,
+    "cut_substrings": q_cut_substrings,
+    "maximal_repeats": q_maximal_repeats,
+    "lpa_communities": q_lpa_communities,
     "relations_fused": q_relations_fused,
     "wide_table": q_wide_table,
     "distinct_subjects": q_distinct_subjects,
@@ -950,6 +956,56 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "cooccurrence_pmi": q_cooccurrence_pmi,
     "corpus_split": q_corpus_split,
     "decontaminate": q_decontaminate,
+    "quality_model": q_quality_model,
+    "triples_fused": q_triples_fused,
+    "mentions": q_mentions,
+    "extract_text": q_extract_text,
+    "duplicated_spans": q_duplicated_spans,
+    "cut_spans": q_cut_spans,
+    "url_redirects": q_url_redirects,
+    "cc_update": q_cc_update,
+    "repetition_features": q_repetition_features,
+    "corpus_export": q_corpus_export,
+    "pack_sequences": q_pack_sequences,
+    "mixture_sample": q_mixture_sample,
+    "lm_quality": q_lm_quality,
+    "source_stats": q_source_stats,
+    "media_features": q_media_features,
+    "bigram_lm": q_bigram_lm,
+    "corpus_curation": q_corpus_curation,
+    "candidates_balanced": q_candidates_balanced,
+    "eval_mentions_lenient": q_eval_mentions_lenient,
+    "eval_mentions_macro": q_eval_mentions_macro,
+    "eval_mentions_by_doc": q_eval_mentions_by_doc,
+    "sessionize": q_sessionize,
+    "pagerank": q_pagerank,
+    "graph_ppr": q_graph_ppr,
+    "graph_bfs": q_graph_bfs,
+    "graph_degrees": q_graph_degrees,
+    "related_topics": q_related_topics,
+    "component_sizes": q_component_sizes,
+    "embedding_near_dups": q_embedding_near_dups,
+    "ivf_assign": q_ivf_assign,
+    "dup_clusters": q_dup_clusters,
+    "containment_dups": q_containment_dups,
+    "ivf_centroids": q_ivf_centroids,
+    "ivf_topk": q_ivf_topk,
+    "url_canonical": q_url_canonical,
+    "boilerplate_strip": q_boilerplate_strip,
+    "kg_support": q_kg_support,
+    "entity_centroids": q_entity_centroids,
+    "passage_dups": q_passage_dups,
+    "entity_neighbors": q_entity_neighbors,
+    "triple_history": q_triple_history,
+    "simhash_near_dups": q_simhash_near_dups,
+    "graph_triangles": q_graph_triangles,
+    "entity_first_seen": q_entity_first_seen,
+    "tokenize": q_tokenize,
+    "shards": q_shards,
+    "candidates": q_candidates,
+    "relations": q_relations,
+    "triples": q_triples,
+    "dedup_exact": q_dedup_exact,
 }
 
 

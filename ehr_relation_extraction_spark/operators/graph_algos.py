@@ -326,7 +326,12 @@ def label_propagation(edges: DataFrame, nodes: DataFrame,
     """
     from pyspark.sql import Window
 
-    und = (edges.select("src", "dst")
+    # Canonicalize orientation BEFORE symmetrizing: the contract says
+    # "(src, dst) undirected (either order)", so an edge supplied in
+    # both orientations must count as ONE neighbor relation, exactly
+    # like the oracle's SQL UNION (which dedups across orientations).
+    und = (edges.select(F.least("src", "dst").alias("src"),
+                        F.greatest("src", "dst").alias("dst"))
            .where(F.col("src") != F.col("dst")).dropDuplicates())
     sym = und.union(und.select(F.col("dst").alias("src"),
                                F.col("src").alias("dst")))

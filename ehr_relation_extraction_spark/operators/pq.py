@@ -50,6 +50,17 @@ def _subvectors(emb: DataFrame, m: int) -> DataFrame:
                     F.col("e._sv").alias("_sv")))
 
 
+def _query_side(emb: DataFrame, n_queries: int) -> DataFrame:
+    """The benchmark query workload: the ``n_queries`` SMALLEST actual
+    vec_ids (not ``vec_id < n_queries`` — sparse/offset id spaces must
+    still yield exactly n_queries rows).  The id list is collected
+    (bounded by n_queries, a benchmark knob ~20) and inlined as a
+    literal filter so the corpus scan stays a pushed-down IN."""
+    ids = [r["vec_id"] for r in
+           emb.select("vec_id").orderBy("vec_id").limit(n_queries).collect()]
+    return emb.where(F.col("vec_id").isin(ids))
+
+
 def _codebook_frame(spark, codebooks: "list[list[list[float]]]"):
     """(sub, code, _cv) broadcast dimension from nested codebooks
     [m][k][dsub]."""
@@ -94,10 +105,19 @@ def train_pq_codebooks(emb: DataFrame, m: int = 8, k: int = 16,
     codes keep their centroid.  Driver traffic per round is the
     m * k * dsub mean table — codebook-sized, never corpus-sized."""
     spark = emb.sparkSession
-    seed = (emb.where(F.col("vec_id") < k).orderBy("vec_id")
+    # Seed from the k SMALLEST actual ids (not `vec_id < k`): sparse
+    # or offset id spaces must still yield exactly k seed rows.
+    seed = (emb.orderBy("vec_id").limit(k)
             .select(F.col("embedding").cast("array<double>").alias("v"))
             .collect())
+    if len(seed) < k:
+        raise ValueError(
+            f"need >= k={k} vectors to seed PQ codebooks, got {len(seed)}")
     dim = len(seed[0]["v"])
+    if dim % m != 0:
+        raise ValueError(
+            f"embedding dim {dim} not divisible by m={m}: the trailing "
+            f"{dim % m} dims would be silently dropped from every distance")
     dsub = dim // m
     codebooks = [[list(r["v"][s * dsub:(s + 1) * dsub]) for r in seed]
                  for s in range(m)]
@@ -154,8 +174,7 @@ def pq_topk(emb: DataFrame, codebooks: "list[list[list[float]]]",
     spark = emb.sparkSession
     m = len(codebooks)
     cents = _codebook_frame(spark, codebooks)
-    qsv = (_subvectors(
-        emb.where(F.col("vec_id") < n_queries), m)
+    qsv = (_subvectors(_query_side(emb, n_queries), m)
         .withColumnRenamed("vec_id", "query_id"))
     lut = (qsv.join(F.broadcast(cents), "sub")
            .select("query_id", "sub", "code",
@@ -254,7 +273,7 @@ def ivfpq_topk(emb: DataFrame, coarse: "list[list[float]]",
     enc = ivfpq_encode(emb, coarse, pq_codebooks).localCheckpoint()
 
     qv = _with_norm(
-        emb.where(F.col("vec_id") < n_queries)
+        _query_side(emb, n_queries)
         .select(F.col("vec_id").alias("query_id"), "embedding"),
         "embedding").select("query_id", F.col("_v").alias("_qv"),
                             F.col("_norm").alias("_qn"))

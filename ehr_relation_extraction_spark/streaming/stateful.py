@@ -328,9 +328,13 @@ def _parse_lateness_ms(spec: str) -> int:
     else — including forms withWatermark itself would accept."""
     parts = spec.split()
     if len(parts) != 2 or not parts[0].isdigit() \
+            or int(parts[0]) <= 0 \
             or parts[1] not in _LATENESS_UNITS_MS:
+        # '0 seconds' must fail HERE, not at runtime: lateness 0 means
+        # an early batch with watermark 0 would arm an event timer at
+        # timestamp 0, which setTimeoutTimestamp rejects mid-query.
         raise ValueError(
-            f"event_lateness {spec!r}: expected '<int> "
+            f"event_lateness {spec!r}: expected '<positive int> "
             f"<{'|'.join(sorted(set(_LATENESS_UNITS_MS)))}>'")
     return int(parts[0]) * _LATENESS_UNITS_MS[parts[1]]
 

@@ -4,7 +4,7 @@ allowlisted bounded-dimension cases.  This is the regression net for
 the class of bug fixed in round 3 (ivf_topk's probes⋈assigned planned
 as a SortMergeJoin on an n_cells-ary key — at scale that funnels the
 corpus onto n_cells reducers): any NEW non-equi/cartesian join in any
-of the 92 queries turns the build red with the query named.
+of the 96 queries turns the build red with the query named.
 
 The allowlist is TIGHT (exact expected counts): removing a flagged
 join must update this file too, so the list can never rot into "it's
