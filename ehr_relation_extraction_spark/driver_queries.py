@@ -668,10 +668,13 @@ def q_entity_first_seen(spark, sf_dir) -> DataFrame:
 def q_quality_model(spark, sf_dir) -> DataFrame:
     """Learned quality classifier distilled from the rule gate —
     trains INSIDE the query (bit-deterministic distributed full-batch
-    GD, functions/quality_model.py).  Rows-only driver check (learned
-    weights aren't SQL-expressible without circular training); the
-    pytest gate asserts held-out agreement >= 0.85 and beats the
-    majority-class baseline."""
+    GD, functions/quality_model.py).  VALUE-EXACT driver check as of
+    round 5: the oracle unrolls all 60 GD epochs as chained DuckDB
+    CTEs (oracle/sqlgen._quality_model_sql), replicating the
+    integer-quantized gradient aggregate and the exact IEEE fold order
+    of the float weight updates; the pytest gate additionally asserts
+    held-out agreement >= 0.85 and beats the majority-class
+    baseline."""
     from .functions.quality_model import quality_model_verdicts
 
     return quality_model_verdicts(_docs(spark, sf_dir)).select(

@@ -2145,3 +2145,95 @@ lab{r} AS (
 
 ORACLE["lpa_communities"] = _q("SELECT node, label FROM lab5",
                                LINK_CTES, _lpa_sql(5))
+
+
+# ---------------------------------------------------------------------------
+# quality_model: the learned quality classifier's full-batch GD unrolled
+# as chained CTEs (the pagerank/graph_ppr/cc_update pattern applied to
+# training) — upgrades the last-but-one rows-only driver check to a
+# value-exact oracle.  Every cross-engine hazard is controlled: the
+# per-row gradient contributions are floor-quantized to integer
+# micro-units BEFORE summing (order-independent), the float weight
+# updates replicate train_quality_classifier's exact expression order
+# (w - (lr * (g / 1e6)) / n, IEEE doubles fold identically when both
+# engines fold in the same order), and the feature expressions are the
+# same integer-ratio arithmetic both sides.  exp() is the one libm
+# call; the 1e-6 quantization floor absorbs sub-ulp divergence
+# (verified empirically at sf0.001/sf0.01/sf0.1).
+# ---------------------------------------------------------------------------
+
+_QM_FEATS = [
+    ("m_short", "least(greatest((n_tokens - 20) / 20, -1.0), 1.0)"),
+    ("m_divers", "least(greatest((n_distinct_tokens / greatest(n_tokens, 1)"
+                 " - 0.35) / 0.35, -1.0), 1.0)"),
+    ("m_stop", "least(greatest(20 * n_stopwords / greatest(n_tokens, 1)"
+               " - 1.0, -1.0), 1.0)"),
+    ("m_min", "least(m_short, m_divers, m_stop)"),
+]
+
+
+def _qm_hex6(expr: str) -> str:
+    """First-6-hex-chars-of-md5 -> integer (Spark's conv(substr(md5(x),
+    1,6),16,10)) as digit-position arithmetic."""
+    digit = ("(instr('0123456789abcdef', "
+             "substr(md5({e}), {i}, 1)) - 1)")
+    terms = [f"{16 ** (6 - i)} * " + digit.format(e=expr, i=i)
+             for i in range(1, 7)]
+    return "(" + " + ".join(terms) + ")"
+
+
+def _quality_model_sql(epochs: int = 60, lr: float = 8.0) -> str:
+    """feats (MATERIALIZED — referenced once per epoch) -> 60 chained
+    (grad, weights) CTE pairs -> final scoring."""
+    z = ("(((w.b + w.w1 * t.m_short) + w.w2 * t.m_divers)"
+         " + w.w3 * t.m_stop) + w.w4 * t.m_min")
+    err = f"(1.0 / (1.0 + exp(-({z}))) - t.label)"
+    blocks = [f"""feat0 AS (
+  SELECT q.doc_id,
+         {_QM_FEATS[0][1]} AS m_short,
+         {_QM_FEATS[1][1]} AS m_divers,
+         {_QM_FEATS[2][1]} AS m_stop,
+         CASE WHEN n_tokens >= 20
+                   AND n_distinct_tokens * 100 >= n_tokens * 35
+                   AND 20 * n_stopwords >= n_tokens
+              THEN 1 ELSE 0 END AS label,
+         CASE WHEN {_qm_hex6('CAST(q.doc_id AS VARCHAR)')} % 100 < 80
+              THEN 1 ELSE 0 END AS is_train
+  FROM qual q),
+feats AS MATERIALIZED (
+  SELECT doc_id, m_short, m_divers, m_stop,
+         least(m_short, m_divers, m_stop) AS m_min, label, is_train
+  FROM feat0),
+tr AS MATERIALIZED (SELECT * FROM feats WHERE is_train = 1),
+ntr AS (SELECT COUNT(*) AS n FROM tr),
+w0 AS (SELECT 0.0 AS b, 0.0 AS w1, 0.0 AS w2, 0.0 AS w3, 0.0 AS w4)"""]
+    for e in range(1, epochs + 1):
+        blocks.append(f"""g{e} AS MATERIALIZED (
+  SELECT SUM(CAST(floor({err} * 1000000.0) AS BIGINT)) AS g0,
+         SUM(CAST(floor({err} * t.m_short * 1000000.0) AS BIGINT)) AS g1,
+         SUM(CAST(floor({err} * t.m_divers * 1000000.0) AS BIGINT)) AS g2,
+         SUM(CAST(floor({err} * t.m_stop * 1000000.0) AS BIGINT)) AS g3,
+         SUM(CAST(floor({err} * t.m_min * 1000000.0) AS BIGINT)) AS g4
+  FROM tr t, w{e - 1} w),
+w{e} AS MATERIALIZED (
+  SELECT w.b - ({lr} * (g.g0 / 1000000.0)) / ntr.n AS b,
+         w.w1 - ({lr} * (g.g1 / 1000000.0)) / ntr.n AS w1,
+         w.w2 - ({lr} * (g.g2 / 1000000.0)) / ntr.n AS w2,
+         w.w3 - ({lr} * (g.g3 / 1000000.0)) / ntr.n AS w3,
+         w.w4 - ({lr} * (g.g4 / 1000000.0)) / ntr.n AS w4
+  FROM w{e - 1} w, g{e} g, ntr)""")
+    zs = z.replace("t.", "f.")
+    blocks.append(f"""scored AS (
+  SELECT f.doc_id, f.label,
+         CAST(floor(({zs}) * 1000000.0) AS BIGINT) AS margin_micro6,
+         f.is_train
+  FROM feats f, w{epochs} w)""")
+    return ",\n".join(blocks)
+
+
+ORACLE["quality_model"] = _assemble(
+    GAZ, toks_ctes(), QUALITY_CTES, _quality_model_sql(60, 8.0),
+    select=("SELECT doc_id, CAST(label AS INT) AS label, "
+            "CAST(CASE WHEN margin_micro6 >= 0 THEN 1 ELSE 0 END AS INT)"
+            " AS pred_keep, margin_micro6, CAST(is_train AS INT) AS is_train "
+            "FROM scored"))

@@ -65,7 +65,7 @@ def test_full_registry_order_pinned():
 def test_prefix_oracle_coverage():
     """Every prefix key the driver will value-compare has its oracle
     registered (rows-only keys are the explicitly sanctioned set)."""
-    sanctioned_rows_only = {"mentions_perceptron", "quality_model"}
+    sanctioned_rows_only = {"mentions_perceptron"}
     oracles = set(oracle_sql())
     missing = [k for k in EXPECTED_PREFIX
                if k not in oracles and k not in sanctioned_rows_only]
