@@ -2237,3 +2237,178 @@ ORACLE["quality_model"] = _assemble(
             "CAST(CASE WHEN margin_micro6 >= 0 THEN 1 ELSE 0 END AS INT)"
             " AS pred_keep, margin_micro6, CAST(is_train AS INT) AS is_train "
             "FROM scored"))
+
+
+# ---------------------------------------------------------------------------
+# mentions_perceptron: the batch-perceptron learned NER stage
+# (functions/batch_perceptron.py) with training unrolled as chained
+# MATERIALIZED CTEs — the LAST rows-only driver key upgraded to a
+# value-exact oracle.  Every training decision is integer arithmetic
+# (integer weights, integer scores, argmax ties to the smallest label
+# index), so the unrolled epochs bit-reproduce the Spark weights; the
+# span decode reuses the mentions_model chunk machinery over the
+# PREDICTED labels.
+# ---------------------------------------------------------------------------
+
+def _bp_bucket(expr: str) -> str:
+    """int(md5(x)[:8], 16) % 2**17 as digit-position arithmetic (the
+    perceptron.token_features hash, D_BUCKETS = 131072)."""
+    digit = ("(instr('0123456789abcdef', "
+             "substr(md5({e}), {i}, 1)) - 1)")
+    terms = [f"{16 ** (8 - i)} * " + digit.format(e=expr, i=i)
+             for i in range(1, 9)]
+    return "((" + " + ".join(terms) + ") % 131072)"
+
+
+#: identical template to batch_perceptron.FEATURE_EXPRS, with
+#: DuckDB's regexp_matches in place of Spark's regexp_like (same
+#: anchored-ASCII semantics).
+_BP_FEATURE_EXPRS = [
+    "'w=' || ltok",
+    "'p3=' || substr(ltok, 1, 3)",
+    "'p4=' || substr(ltok, 1, 4)",
+    "'s3=' || CASE WHEN length(ltok) <= 3 THEN ltok"
+    " ELSE substr(ltok, length(ltok) - 2, 3) END",
+    "'s4=' || CASE WHEN length(ltok) <= 4 THEN ltok"
+    " ELSE substr(ltok, length(ltok) - 3, 4) END",
+    "'sh=' || CASE WHEN regexp_matches(token, '^[0-9]+$') THEN 'd'"
+    " WHEN regexp_matches(token, '^[a-z]+$') THEN 'a'"
+    " WHEN regexp_matches(token, '^[A-Za-z]+$') THEN 'A'"
+    " ELSE 'x' END",
+    "'pw=' || ptok",
+    "'nw=' || ntok",
+    "'pb=' || ptok || '|' || ltok",
+]
+
+
+def _batch_perceptron_sql(epochs: int = 3,
+                          train_docs_below: int = 200) -> str:
+    from ..config import IOB2_LABELS
+
+    labels = list(IOB2_LABELS)
+    labidx_rows = ", ".join(f"({i}, '{lab}')"
+                            for i, lab in enumerate(labels))
+    feat_list = ", ".join(_BP_FEATURE_EXPRS)
+    blocks = [f"""labidx AS (
+  SELECT * FROM (VALUES {labidx_rows}) AS t(y, label)),
+bp_feats AS MATERIALIZED (
+  SELECT doc_id, tok_idx, {_bp_bucket('fs')} AS f
+  FROM (
+    SELECT doc_id, tok_idx, unnest([{feat_list}]) AS fs
+    FROM (
+      SELECT doc_id, tok_idx, token, lower(token) AS ltok,
+             COALESCE(lag(lower(token)) OVER w, '<s>') AS ptok,
+             COALESCE(lead(lower(token)) OVER w, '</s>') AS ntok
+      FROM toks
+      WINDOW w AS (PARTITION BY doc_id ORDER BY tok_idx)))),
+bp_ftr AS MATERIALIZED (
+  SELECT * FROM bp_feats WHERE doc_id < {train_docs_below}),
+bp_lab_tr AS (
+  SELECT t.doc_id, t.tok_idx,
+         CASE WHEN c.ent_type IS NULL THEN 'O'
+              WHEN t.char_start = c.first_ts THEN 'B-' || c.ent_type
+              ELSE 'I-' || c.ent_type END AS label
+  FROM toks t LEFT JOIN (
+    SELECT * FROM (
+      SELECT t2.doc_id, t2.tok_idx, m.ent_type, m.first_ts,
+             ROW_NUMBER() OVER (PARTITION BY t2.doc_id, t2.tok_idx
+                 ORDER BY m.start DESC, m."end" DESC) AS rn
+      FROM toks t2 JOIN (
+        SELECT m0.doc_id, m0.ent_type, m0.start, m0."end",
+               MIN(t3.char_start) AS first_ts
+        FROM mentions m0 JOIN toks t3
+          ON t3.doc_id = m0.doc_id
+         AND t3.char_start >= m0.start AND t3.char_end <= m0."end"
+        GROUP BY m0.doc_id, m0.ent_type, m0.start, m0."end") m
+        ON t2.doc_id = m.doc_id
+       AND t2.char_start >= m.start AND t2.char_end <= m."end")
+    WHERE rn = 1) c
+  ON t.doc_id = c.doc_id AND t.tok_idx = c.tok_idx
+  WHERE t.doc_id < {train_docs_below}),
+bp_gold AS MATERIALIZED (
+  SELECT g.doc_id, g.tok_idx, l.y AS y_gold
+  FROM bp_lab_tr g JOIN labidx l ON g.label = l.label),
+bp_grid AS MATERIALIZED (
+  SELECT g.doc_id, g.tok_idx, l.y FROM bp_gold g CROSS JOIN labidx l),
+bpw0 AS (SELECT CAST(NULL AS BIGINT) AS f, CAST(NULL AS INT) AS y,
+                CAST(NULL AS BIGINT) AS wt WHERE false)"""]
+    for e in range(1, epochs + 1):
+        blocks.append(f"""bpsc{e} AS MATERIALIZED (
+  SELECT t.doc_id, t.tok_idx, w.y, SUM(w.wt) AS s
+  FROM bp_ftr t JOIN bpw{e - 1} w ON t.f = w.f
+  GROUP BY t.doc_id, t.tok_idx, w.y),
+bpmis{e} AS MATERIALIZED (
+  SELECT p.doc_id, p.tok_idx, p.y_pred, g.y_gold
+  FROM (
+    SELECT doc_id, tok_idx, y AS y_pred FROM (
+      SELECT g.doc_id, g.tok_idx, g.y,
+             ROW_NUMBER() OVER (PARTITION BY g.doc_id, g.tok_idx
+                 ORDER BY COALESCE(s.s, 0) DESC, g.y ASC) AS rk
+      FROM bp_grid g LEFT JOIN bpsc{e} s
+        ON g.doc_id = s.doc_id AND g.tok_idx = s.tok_idx
+       AND g.y = s.y)
+    WHERE rk = 1) p
+  JOIN bp_gold g ON p.doc_id = g.doc_id AND p.tok_idx = g.tok_idx
+  WHERE p.y_pred <> g.y_gold),
+bpw{e} AS MATERIALIZED (
+  SELECT f, y, SUM(wt) AS wt FROM (
+    SELECT f, y, wt FROM bpw{e - 1}
+    UNION ALL
+    SELECT t.f, m.y_gold AS y, 1 AS wt
+    FROM bp_ftr t JOIN bpmis{e} m
+      ON t.doc_id = m.doc_id AND t.tok_idx = m.tok_idx
+    UNION ALL
+    SELECT t.f, m.y_pred AS y, -1 AS wt
+    FROM bp_ftr t JOIN bpmis{e} m
+      ON t.doc_id = m.doc_id AND t.tok_idx = m.tok_idx)
+  GROUP BY f, y HAVING SUM(wt) <> 0)""")
+    blocks.append(f"""bpscf AS MATERIALIZED (
+  SELECT t.doc_id, t.tok_idx, w.y, SUM(w.wt) AS s
+  FROM bp_feats t JOIN bpw{epochs} w ON t.f = w.f
+  GROUP BY t.doc_id, t.tok_idx, w.y),
+bp_pred AS MATERIALIZED (
+  SELECT doc_id, tok_idx, y AS y_pred FROM (
+    SELECT g.doc_id, g.tok_idx, g.y,
+           ROW_NUMBER() OVER (PARTITION BY g.doc_id, g.tok_idx
+               ORDER BY COALESCE(s.s, 0) DESC, g.y ASC) AS rk
+    FROM (SELECT t.doc_id, t.tok_idx, l.y
+          FROM toks t CROSS JOIN labidx l) g
+    LEFT JOIN bpscf s
+      ON g.doc_id = s.doc_id AND g.tok_idx = s.tok_idx AND g.y = s.y)
+  WHERE rk = 1),
+bp_plab AS (
+  SELECT t.doc_id, t.url, t.tok_idx, t.char_start, t.char_end, t.text,
+         l.label
+  FROM toks t
+  JOIN bp_pred p ON t.doc_id = p.doc_id AND t.tok_idx = p.tok_idx
+  JOIN labidx l ON p.y_pred = l.y),
+bp_lab2 AS (
+  SELECT *, substr(label, 1, 1) AS tag, substr(label, 3) AS ltype,
+         LAG(label) OVER (PARTITION BY doc_id ORDER BY tok_idx) AS prev
+  FROM bp_plab),
+bp_chunk_toks AS (
+  SELECT *, CASE WHEN tag = 'B' OR prev IS NULL OR prev = 'O'
+                   OR substr(prev, 3) <> ltype THEN 1 ELSE 0 END AS is_start
+  FROM bp_lab2 WHERE label <> 'O'),
+bp_chunked AS (
+  SELECT *, SUM(is_start) OVER (PARTITION BY doc_id ORDER BY tok_idx
+      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS chunk_id
+  FROM bp_chunk_toks),
+bp_spans AS (
+  SELECT doc_id, url, MIN(ltype) AS ent_type,
+         CAST(MIN(char_start) AS INT) AS start,
+         CAST(MAX(char_end) AS INT) AS "end",
+         substr(MIN(text), MIN(char_start) + 1,
+                MAX(char_end) - MIN(char_start)) AS ent_text
+  FROM bp_chunked GROUP BY doc_id, url, chunk_id)""")
+    return ",\n".join(blocks)
+
+
+ORACLE["mentions_perceptron"] = _q(
+    """
+SELECT doc_id, url,
+       'T' || CAST(ROW_NUMBER() OVER (
+           PARTITION BY url ORDER BY start, "end", ent_type) AS VARCHAR) AS ent_id,
+       ent_type, CAST(start AS INT) AS start, CAST("end" AS INT) AS "end", ent_text
+FROM bp_spans""",
+    _batch_perceptron_sql(3, 200))

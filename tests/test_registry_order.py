@@ -63,10 +63,10 @@ def test_full_registry_order_pinned():
 
 
 def test_prefix_oracle_coverage():
-    """Every prefix key the driver will value-compare has its oracle
-    registered (rows-only keys are the explicitly sanctioned set)."""
-    sanctioned_rows_only = {"mentions_perceptron"}
+    """Every registry key has a value-exact oracle — round 5 closed
+    the last two rows-only keys (quality_model unrolled-GD oracle,
+    mentions_perceptron batch-perceptron oracle)."""
     oracles = set(oracle_sql())
-    missing = [k for k in EXPECTED_PREFIX
-               if k not in oracles and k not in sanctioned_rows_only]
-    assert missing == [], f"prefix keys without oracle SQL: {missing}"
+    missing = [k for k in EXPECTED_PREFIX + EXPECTED_TAIL
+               if k not in oracles]
+    assert missing == [], f"registry keys without oracle SQL: {missing}"
