@@ -159,8 +159,39 @@ def pq_encode(emb: DataFrame,
                 lambda p: p["code"]).alias("codes")))
 
 
+def _exact_rerank(shortlist: DataFrame, emb: DataFrame,
+                  k: int) -> DataFrame:
+    """Exact-cosine rerank of an ADC shortlist — the standard PQ
+    accuracy recovery (Jégou et al.'s IVFADC+R): raw vectors are
+    touched ONLY for the (n_queries * R) shortlist rows, never for the
+    corpus scan, so the 100 TB shape is unchanged while recall@k
+    approaches the shortlist's recall@R.  Same similarity quantization
+    and tie-break as brute_force_topk, so results are engine-exact.
+
+    Output: (query_id, rank, neighbor_id, sim_micro6)."""
+    from .similarity import _dot, _with_norm
+
+    base = _with_norm(emb.select("vec_id", "embedding"), "embedding")
+    q = base.select(F.col("vec_id").alias("query_id"),
+                    F.col("_v").alias("_qv"), F.col("_norm").alias("_qn"))
+    c = base.select(F.col("vec_id").alias("neighbor_id"),
+                    F.col("_v").alias("_cv"), F.col("_norm").alias("_cn"))
+    scored = (shortlist.select("query_id", "neighbor_id")
+              .join(q, "query_id").join(c, "neighbor_id")
+              .select("query_id", "neighbor_id",
+                      F.floor(_dot(F.col("_qv"), F.col("_cv"))
+                              / (F.col("_qn") * F.col("_cn")) * 1000000)
+                      .cast("long").alias("sim_micro6")))
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("sim_micro6").desc(), F.col("neighbor_id"))
+    return (scored.withColumn("rank", F.row_number().over(w).cast("int"))
+            .where(F.col("rank") <= k)
+            .select("query_id", "rank", "neighbor_id", "sim_micro6"))
+
+
 def pq_topk(emb: DataFrame, codebooks: "list[list[list[float]]]",
-            n_queries: int = 20, k: int = 5) -> DataFrame:
+            n_queries: int = 20, k: int = 5,
+            rerank: "int | None" = None) -> DataFrame:
     """ADC top-k: approximate L2 distance of query q to vector x =
     sum over subspaces of ||q_sub - centroid(code_x_sub)||^2 — the
     per-query lookup table (m * k quantized distances) is built by an
@@ -170,7 +201,14 @@ def pq_topk(emb: DataFrame, codebooks: "list[list[list[float]]]",
     embeddings appear only on the (bounded) query side.
 
     Output: (query_id, rank, neighbor_id, adist_q6) — adist_q6 is the
-    integer-quantized approximate distance, rank 1 = nearest."""
+    integer-quantized approximate distance, rank 1 = nearest.
+
+    ``rerank=R``: return the exact-cosine rerank of the ADC top-R
+    shortlist instead (output ends in sim_micro6) — the accuracy mode
+    the ANN bench records recall for."""
+    if rerank is not None:
+        shortlist = pq_topk(emb, codebooks, n_queries, k=rerank)
+        return _exact_rerank(shortlist, emb, k)
     spark = emb.sparkSession
     m = len(codebooks)
     cents = _codebook_frame(spark, codebooks)
@@ -252,7 +290,7 @@ def ivfpq_encode(emb: DataFrame, coarse: "list[list[float]]",
 
 def ivfpq_topk(emb: DataFrame, coarse: "list[list[float]]",
                pq_codebooks, n_queries: int = 20, nprobe: int = 2,
-               k: int = 5) -> DataFrame:
+               k: int = 5, rerank: "int | None" = None) -> DataFrame:
     """IVF-PQ search: probe the ``nprobe`` coarse cells with the
     highest query-centroid cosine (same scoring as ivf_topk), then ADC
     over the probed candidates' residual codes with a PER-(query,
@@ -264,10 +302,17 @@ def ivfpq_topk(emb: DataFrame, coarse: "list[list[float]]",
     rows) and probe list are broadcast dimensions; candidate rows are
     only the probed cells' code rows.
 
-    Output: (query_id, rank, neighbor_id, adist_q6)."""
+    Output: (query_id, rank, neighbor_id, adist_q6).
+
+    ``rerank=R``: exact-cosine rerank of the ADC top-R shortlist
+    (output ends in sim_micro6), see :func:`_exact_rerank`."""
     from .similarity import _codebook_frame as _coarse_frame
     from .similarity import _dot, _with_norm
 
+    if rerank is not None:
+        shortlist = ivfpq_topk(emb, coarse, pq_codebooks, n_queries,
+                               nprobe, k=rerank)
+        return _exact_rerank(shortlist, emb, k)
     spark = emb.sparkSession
     m = len(pq_codebooks)
     enc = ivfpq_encode(emb, coarse, pq_codebooks).localCheckpoint()

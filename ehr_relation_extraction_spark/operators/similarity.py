@@ -394,3 +394,20 @@ def ivf_topk_indexed(spark, path: str, queries: DataFrame,
     return (sims.withColumn("rank", F.row_number().over(w).cast("int"))
             .where(F.col("rank") <= k)
             .select("query_id", "rank", "neighbor_id", "sim_micro6"))
+
+
+def recall_at_k(approx: DataFrame, exact: DataFrame) -> DataFrame:
+    """(query_id, n_hit, n_exact): per-query top-k set intersection of
+    an approximate ANN result against the exact baseline — the
+    accuracy axis of the ANN bench (round-4 verdict item 4: record
+    recall, not just runtime).  Pure integer counts (one equi-join +
+    two aggregates), so the number is engine-exact and cheap at any
+    scale: both inputs are (n_queries * k)-row frames."""
+    a = approx.select("query_id", "neighbor_id")
+    e = exact.select("query_id", "neighbor_id")
+    hits = (e.join(a, ["query_id", "neighbor_id"])
+            .groupBy("query_id").agg(F.count(F.lit(1)).alias("n_hit")))
+    tot = e.groupBy("query_id").agg(F.count(F.lit(1)).alias("n_exact"))
+    return (tot.join(hits, "query_id", "left").fillna({"n_hit": 0})
+            .select("query_id", F.col("n_hit").cast("long").alias("n_hit"),
+                    F.col("n_exact").cast("long").alias("n_exact")))
