@@ -477,6 +477,48 @@ def q_ivf_centroids(spark, sf_dir) -> DataFrame:
         "cell", "dim", "n_vecs", "sum_q6", "mean_q6")
 
 
+def _pq_codebooks_r1(spark, sf_dir):
+    """PQ codebooks after exactly ONE Lloyd round (m=8, k=16) — the
+    driver-verifiable training depth: the oracle unrolls seed ->
+    assign -> quantized-mean update in SQL.  Deeper training keeps its
+    serial-replica bit-parity gate in tests/test_pq.py."""
+    from .operators import pq
+
+    return pq.train_pq_codebooks(_emb(spark, sf_dir), m=8, k=16, rounds=1)
+
+
+def q_pq_codebook(spark, sf_dir) -> DataFrame:
+    """One per-subspace Lloyd update step from the PQ seed codebooks
+    (the product-quantization twin of ivf_centroids): integer
+    micro-unit sums per (sub, code, dim), order-independent."""
+    from .operators import pq
+
+    return pq.pq_centroid_update(_emb(spark, sf_dir)).select(
+        "sub", "code", "dim", "n_subvecs", "sum_q6", "mean_q6")
+
+
+def q_pq_codes(spark, sf_dir) -> DataFrame:
+    """The compressed corpus: every vector's m one-byte PQ codes under
+    the round-1 codebooks (long form — one row per subspace), the
+    table an ADC scan reads instead of raw embeddings."""
+    from .operators import pq
+
+    enc = pq.pq_encode(_emb(spark, sf_dir), _pq_codebooks_r1(spark, sf_dir))
+    return enc.select("vec_id",
+                      F.posexplode("codes").alias("sub", "code"))
+
+
+def q_pq_search(spark, sf_dir) -> DataFrame:
+    """ADC top-k over the PQ codes: per-query LUT equi-join + one sum
+    aggregate — the scan never touches raw embeddings (Jegou et al.
+    PAMI'11); 20 queries, k=5, quantized distances exact cross-engine."""
+    from .operators import pq
+
+    return pq.pq_topk(_emb(spark, sf_dir), _pq_codebooks_r1(spark, sf_dir),
+                      n_queries=20, k=5).select(
+        "query_id", "rank", "neighbor_id", "adist_q6")
+
+
 def q_url_canonical(spark, sf_dir) -> DataFrame:
     """Deterministically-messy urls -> normalize -> canonical groups."""
     from .functions.urls import canonical_url_groups
@@ -906,12 +948,15 @@ def q_retention_cohorts(spark, sf_dir) -> DataFrame:
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # ORDER IS LOAD-BEARING: the driver snapshot verifies exactly
     # list(QUERIES)[:50] in insertion order (pinned by
-    # tests/test_registry_order.py).  Round-5 rotation: the 4 new
-    # round-5 queries lead, then the 42 keys that sat past round 4's
-    # snapshot (driver-green in r01-r03), then quality_model (value
-    # oracle upgraded this round) and 3 headline anchors close the
-    # prefix.  Keys 51+ all have green driver rows in
-    # CORRECTNESS_r04.json.
+    # tests/test_registry_order.py).  Round-5 rotation: the 3 PQ
+    # queries (registered this round) and the 4 round-5 staged queries
+    # lead, then the 42 keys that sat past round 4's snapshot
+    # (driver-green in r01-r03), then quality_model (value oracle
+    # upgraded this round) closes the prefix.  Keys 51+ all have green
+    # driver rows in CORRECTNESS_r04.json.
+    "pq_codebook": q_pq_codebook,
+    "pq_codes": q_pq_codes,
+    "pq_search": q_pq_search,
     "substring_spans": q_substring_spans,
     "cut_substrings": q_cut_substrings,
     "maximal_repeats": q_maximal_repeats,

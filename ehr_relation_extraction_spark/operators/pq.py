@@ -96,17 +96,13 @@ def _assign_codes(sv: DataFrame, cents: DataFrame) -> DataFrame:
             .select("vec_id", "sub", F.col("_best.code").alias("code")))
 
 
-def train_pq_codebooks(emb: DataFrame, m: int = 8, k: int = 16,
-                       rounds: int = 3) -> "list[list[list[float]]]":
-    """Per-subspace Lloyd with the IVF codebook's determinism
-    contract: seed = subvectors of the first k vec_ids; each round
-    assigns (equi-join + min_by) and updates centroids as
-    floor-quantized means (order-independent integer sums); empty
-    codes keep their centroid.  Driver traffic per round is the
-    m * k * dsub mean table — codebook-sized, never corpus-sized."""
-    spark = emb.sparkSession
-    # Seed from the k SMALLEST actual ids (not `vec_id < k`): sparse
-    # or offset id spaces must still yield exactly k seed rows.
+def _seed_codebooks(emb: DataFrame, m: int,
+                    k: int) -> "list[list[list[float]]]":
+    """Deterministic PQ seed: the subvectors of the k SMALLEST actual
+    vec_ids (not ``vec_id < k`` — sparse or offset id spaces must
+    still yield exactly k seed rows).  Validates dim % m == 0 up
+    front: a ragged final slice would silently drop the trailing dims
+    from every distance."""
     seed = (emb.orderBy("vec_id").limit(k)
             .select(F.col("embedding").cast("array<double>").alias("v"))
             .collect())
@@ -119,18 +115,73 @@ def train_pq_codebooks(emb: DataFrame, m: int = 8, k: int = 16,
             f"embedding dim {dim} not divisible by m={m}: the trailing "
             f"{dim % m} dims would be silently dropped from every distance")
     dsub = dim // m
-    codebooks = [[list(r["v"][s * dsub:(s + 1) * dsub]) for r in seed]
-                 for s in range(m)]
+    return [[list(r["v"][s * dsub:(s + 1) * dsub]) for r in seed]
+            for s in range(m)]
+
+
+def _subvec_q6(sv: DataFrame) -> DataFrame:
+    """(vec_id, sub, dim, q6): per-dimension integer micro-units of
+    each subvector — quantize BEFORE summing so Lloyd means are
+    order-independent (bit-identical under any partitioning and in
+    the SQL oracle; float accumulation order would not be)."""
+    return sv.select(
+        "vec_id", "sub",
+        F.posexplode(F.transform(
+            "_sv", lambda x: F.floor(x * 1000000).cast("long")))
+        .alias("dim", "q6"))
+
+
+def pq_centroid_update(emb: DataFrame, m: int = 8,
+                       k: int = 16) -> DataFrame:
+    """One Lloyd update step for the PQ codebooks — the per-subspace
+    twin of similarity.ivf_centroid_update and the unit the driver
+    oracle verifies value-exactly: assign every subvector to its
+    nearest SEED centroid (quantized L2, ties to the smallest code),
+    then recompute each (sub, code) centroid as the floor-quantized
+    per-dimension mean.
+
+    Output: (sub, code, dim, n_subvecs, sum_q6, mean_q6); mean_q6 =
+    floor(sum_q6 / n_subvecs) is the quantized centroid coordinate.
+    Codes with no members emit no rows (train_pq_codebooks keeps the
+    seed centroid for those).
+
+    Scale: assignment is a broadcast equi-join + one min_by aggregate
+    (k candidate rows per subvector, no corpus shuffle); the update is
+    ONE hash-aggregate on (sub, code, dim) — partial map-side combine,
+    the shuffle is m * k * dsub partial rows per partition,
+    independent of corpus size."""
+    spark = emb.sparkSession
+    cents = _codebook_frame(spark, _seed_codebooks(emb, m, k))
+    sv = _subvectors(emb, m)
+    codes = _assign_codes(sv, cents)
+    return (codes.join(_subvec_q6(sv), ["vec_id", "sub"])
+            .groupBy("sub", "code", "dim")
+            .agg(F.count(F.lit(1)).cast("long").alias("n_subvecs"),
+                 F.sum("q6").cast("long").alias("sum_q6"))
+            .withColumn("mean_q6",
+                        F.floor(F.col("sum_q6") / F.col("n_subvecs"))
+                        .cast("long"))
+            .select(F.col("sub").cast("int").alias("sub"),
+                    F.col("code").cast("int").alias("code"),
+                    F.col("dim").cast("int").alias("dim"),
+                    "n_subvecs", "sum_q6", "mean_q6"))
+
+
+def train_pq_codebooks(emb: DataFrame, m: int = 8, k: int = 16,
+                       rounds: int = 3) -> "list[list[list[float]]]":
+    """Per-subspace Lloyd with the IVF codebook's determinism
+    contract: seed = subvectors of the first k vec_ids; each round
+    assigns (equi-join + min_by) and updates centroids as
+    floor-quantized means (order-independent integer sums); empty
+    codes keep their centroid.  Driver traffic per round is the
+    m * k * dsub mean table — codebook-sized, never corpus-sized."""
+    spark = emb.sparkSession
+    codebooks = _seed_codebooks(emb, m, k)
     sv = _subvectors(emb, m).localCheckpoint()
     for _ in range(rounds):
         cents = _codebook_frame(spark, codebooks)
         codes = _assign_codes(sv, cents)
-        q = sv.select(
-            "vec_id", "sub",
-            F.posexplode(F.transform(
-                "_sv", lambda x: F.floor(x * 1000000).cast("long")))
-            .alias("dim", "q6"))
-        upd = (codes.join(q, ["vec_id", "sub"])
+        upd = (codes.join(_subvec_q6(sv), ["vec_id", "sub"])
                .groupBy("sub", "code", "dim")
                .agg(F.count(F.lit(1)).alias("n"),
                     F.sum("q6").alias("s"))

@@ -2412,3 +2412,102 @@ SELECT doc_id, url,
        ent_type, CAST(start AS INT) AS start, CAST("end" AS INT) AS "end", ent_text
 FROM bp_spans""",
     _batch_perceptron_sql(3, 200))
+
+
+# ---- round-5 registrations: product quantization (operators/pq.py) -------
+#
+# The PQ chain is integer-quantized at every decision point
+# (floor(x * 1e6) distances, quantized-mean Lloyd updates, integer ADC
+# sums), so the oracle replays seed -> assign -> update -> encode ->
+# search exactly.  The only float folds are the per-subvector L2
+# distances, computed on BOTH engines as an in-index-order dot product
+# of the elementwise difference with itself (Spark zip_with+aggregate
+# == DuckDB list_dot_product — the same cross-engine-exact fold the
+# embedding similarity oracles rely on).  m=8, k=16, dsub=8 matches
+# the driver queries (fixture embeddings are dim 64 at every SF).
+
+
+def _pq_ctes(m: int = 8, k: int = 16, dsub: int = 8,
+             n_queries: int = 20) -> str:
+    dist = ("CAST(floor(1000000 * list_dot_product("
+            "list_transform(list_zip(s.sv, c.cv), x -> x[1] - x[2]), "
+            "list_transform(list_zip(s.sv, c.cv), x -> x[1] - x[2])))"
+            " AS BIGINT)")
+    return f"""
+pqbase AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+pqsv AS MATERIALIZED (
+  SELECT vec_id, CAST(s AS INT) AS sub,
+         list_slice(v, s * {dsub} + 1, s * {dsub} + {dsub}) AS sv
+  FROM pqbase, unnest(generate_series(0, {m - 1})) AS t(s)),
+pqseed AS MATERIALIZED (
+  SELECT sub,
+         CAST(ROW_NUMBER() OVER (PARTITION BY sub ORDER BY vec_id) - 1
+              AS INT) AS code,
+         sv AS cv
+  FROM pqsv
+  WHERE vec_id IN (SELECT vec_id FROM pqbase ORDER BY vec_id LIMIT {k})),
+pqasg0 AS MATERIALIZED (
+  SELECT vec_id, sub, code FROM (
+    SELECT s.vec_id, s.sub, c.code,
+           ROW_NUMBER() OVER (PARTITION BY s.vec_id, s.sub
+               ORDER BY {dist}, c.code) AS r
+    FROM pqsv s JOIN pqseed c USING (sub))
+  WHERE r = 1),
+pqq6 AS (
+  SELECT vec_id, sub, CAST(i - 1 AS INT) AS dim,
+         CAST(floor(sv[CAST(i AS INT)] * 1000000) AS BIGINT) AS q6
+  FROM pqsv, unnest(generate_series(1, {dsub})) AS t(i)),
+pqupd AS MATERIALIZED (
+  SELECT a.sub, a.code, q.dim,
+         CAST(COUNT(*) AS BIGINT) AS n_subvecs,
+         CAST(SUM(q.q6) AS BIGINT) AS sum_q6,
+         CAST(floor(CAST(SUM(q.q6) AS DOUBLE) / COUNT(*)) AS BIGINT)
+           AS mean_q6
+  FROM pqasg0 a JOIN pqq6 q ON a.vec_id = q.vec_id AND a.sub = q.sub
+  GROUP BY 1, 2, 3),
+pqseedd AS (
+  SELECT sub, code, CAST(i - 1 AS INT) AS dim, cv[CAST(i AS INT)] AS sval
+  FROM pqseed, unnest(generate_series(1, {dsub})) AS t(i)),
+pqcb1 AS MATERIALIZED (
+  SELECT s.sub, s.code,
+         list(COALESCE(CAST(u.mean_q6 AS DOUBLE) / 1000000.0, s.sval)
+              ORDER BY s.dim) AS cv
+  FROM pqseedd s LEFT JOIN pqupd u
+    ON u.sub = s.sub AND u.code = s.code AND u.dim = s.dim
+  GROUP BY 1, 2),
+pqasg1 AS MATERIALIZED (
+  SELECT vec_id, sub, code FROM (
+    SELECT s.vec_id, s.sub, c.code,
+           ROW_NUMBER() OVER (PARTITION BY s.vec_id, s.sub
+               ORDER BY {dist}, c.code) AS r
+    FROM pqsv s JOIN pqcb1 c USING (sub))
+  WHERE r = 1),
+pqlut AS MATERIALIZED (
+  SELECT s.vec_id AS query_id, s.sub, c.code, {dist} AS d_q6
+  FROM pqsv s JOIN pqcb1 c USING (sub)
+  WHERE s.vec_id IN
+    (SELECT vec_id FROM pqbase ORDER BY vec_id LIMIT {n_queries}))"""
+
+
+ORACLE["pq_codebook"] = "WITH " + _pq_ctes() + """
+SELECT CAST(sub AS INT) AS sub, CAST(code AS INT) AS code, dim,
+       n_subvecs, sum_q6, mean_q6
+FROM pqupd"""
+
+ORACLE["pq_codes"] = "WITH " + _pq_ctes() + """
+SELECT vec_id, CAST(sub AS INT) AS sub, CAST(code AS INT) AS code
+FROM pqasg1"""
+
+ORACLE["pq_search"] = "WITH " + _pq_ctes() + """
+SELECT query_id, rank, neighbor_id, adist_q6 FROM (
+  SELECT query_id, neighbor_id, adist_q6,
+         CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+             ORDER BY adist_q6, neighbor_id) AS INT) AS rank
+  FROM (
+    SELECT l.query_id, a.vec_id AS neighbor_id,
+           CAST(SUM(l.d_q6) AS BIGINT) AS adist_q6
+    FROM pqasg1 a JOIN pqlut l ON l.sub = a.sub AND l.code = a.code
+    WHERE a.vec_id <> l.query_id
+    GROUP BY 1, 2))
+WHERE rank <= 5"""

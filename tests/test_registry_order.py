@@ -11,12 +11,13 @@ from __future__ import annotations
 
 from ehr_relation_extraction_spark.driver_queries import QUERIES, oracle_sql
 
-# Round-5 rotation: 4 new round-5 queries lead; then the 42 keys that
-# sat past round 4's 50-key snapshot (driver-green in r01-r03); then
-# quality_model (value-oracle upgrade) + 3 headline anchors close the
-# prefix.  Everything at position 51+ has a green driver row in
-# CORRECTNESS_r04.json.
+# Round-5 rotation: the 3 PQ queries (registered in-round) and the 4
+# round-5 staged queries lead; then the 42 keys that sat past round
+# 4's 50-key snapshot (driver-green in r01-r03); then quality_model
+# (value-oracle upgrade) closes the prefix.  Everything at position
+# 51+ has a green driver row in CORRECTNESS_r04.json.
 EXPECTED_PREFIX = [
+    "pq_codebook", "pq_codes", "pq_search",
     "substring_spans", "cut_substrings", "maximal_repeats",
     "lpa_communities",
     "relations_fused", "wide_table", "distinct_subjects",
@@ -32,10 +33,11 @@ EXPECTED_PREFIX = [
     "ann_topk", "events_hourly", "retention_cohorts", "session_funnel",
     "triples_daily", "events_asof", "cooccurrence_pmi", "corpus_split",
     "decontaminate",
-    "quality_model", "triples_fused", "mentions", "extract_text",
+    "quality_model",
 ]
 
 EXPECTED_TAIL = [
+    "triples_fused", "mentions", "extract_text",
     "duplicated_spans", "cut_spans", "url_redirects", "cc_update",
     "repetition_features", "corpus_export", "pack_sequences",
     "mixture_sample", "lm_quality", "source_stats", "media_features",
