@@ -659,44 +659,30 @@ def duplicated_spans(docs: DataFrame, win: int = 20,
             .select("doc_id", "span_start", "span_end", "n_windows"))
 
 
-def cut_duplicated_spans(docs: DataFrame, win: int = 20,
-                         stride: int = 10) -> DataFrame:
-    """The CUT step of Lee-et-al substring dedup: rebuild each doc's
-    text with its duplicated passages REMOVED, keeping each passage's
-    globally-first occurrence (min doc_id per passage_hash) intact —
-    dropping whole documents over one shared paragraph wastes data;
-    cutting only the repeated span keeps the unique remainder.
-
-    Mechanics (all JVM-side): per duplicated window, the min-doc_id
-    holder is the keeper (one aggregate on passage_hash); non-keeper
-    occurrences merge into maximal token spans per doc
-    (gaps-and-islands, as :func:`duplicated_spans`); the rebuild
-    filters each doc's token array by the cut ranges with a single
-    higher-order ``filter`` over a collected ranges literal per doc
-    (one groupBy doc_id + one join back — no per-row Python).
-
-    Output: (doc_id, text_clean, n_cut_tokens); docs with nothing cut
-    pass through with n_cut_tokens = 0.
-    """
+def merge_cut_windows(cut_wins: DataFrame, win: int) -> DataFrame:
+    """(doc_id, win_start) cut windows -> (doc_id, _cuts) with _cuts a
+    sorted array<struct<s,e>> of disjoint maximal token ranges — the
+    gaps-and-islands merge of :func:`duplicated_spans`, packaged so
+    the batch cut and its streaming twin share one span algebra."""
     from pyspark.sql import Window
 
-    wh = passage_windows(docs, win, stride)
-    keeper = wh.groupBy("passage_hash").agg(
-        F.min("doc_id").alias("_keep_doc"),
-        F.countDistinct("doc_id").alias("_n_docs"))
-    cut_wins = (wh.join(keeper, "passage_hash")
-                .where((F.col("_n_docs") >= 2)
-                       & (F.col("doc_id") != F.col("_keep_doc")))
-                .select("doc_id", "win_start").dropDuplicates())
     w = Window.partitionBy("doc_id").orderBy("win_start")
-    spans = (cut_wins
-             .withColumn("_island", _island_id(w, win))
-             .groupBy("doc_id", "_island")
-             .agg(F.min("win_start").alias("s"),
-                  (F.max("win_start") + F.lit(win)).alias("e"))
-             .groupBy("doc_id")
-             .agg(F.array_sort(F.collect_list(F.struct("s", "e")))
-                  .alias("_cuts")))
+    return (cut_wins
+            .withColumn("_island", _island_id(w, win))
+            .groupBy("doc_id", "_island")
+            .agg(F.min("win_start").alias("s"),
+                 (F.max("win_start") + F.lit(win)).alias("e"))
+            .groupBy("doc_id")
+            .agg(F.array_sort(F.collect_list(F.struct("s", "e")))
+                 .alias("_cuts")))
+
+
+def apply_cut_spans(docs: DataFrame, spans: DataFrame) -> DataFrame:
+    """Rebuild (doc_id, text) with the token ranges in ``spans``
+    (doc_id, _cuts from :func:`merge_cut_windows`) removed: a single
+    higher-order ``filter`` over the token array against the per-doc
+    ranges literal (one left join — no per-row Python).  Docs with no
+    spans pass through with n_cut_tokens = 0."""
     toks = _toks()
     with_cuts = docs.join(spans, "doc_id", "left")
     kept = F.filter(
@@ -716,3 +702,31 @@ def cut_duplicated_spans(docs: DataFrame, win: int = 20,
                 F.aggregate(F.col("_cuts"), F.lit(0),
                             lambda acc, c: acc + (c["e"] - c["s"]))
                 .cast("long").alias("n_cut_tokens")))
+
+
+def cut_duplicated_spans(docs: DataFrame, win: int = 20,
+                         stride: int = 10) -> DataFrame:
+    """The CUT step of Lee-et-al substring dedup: rebuild each doc's
+    text with its duplicated passages REMOVED, keeping each passage's
+    globally-first occurrence (min doc_id per passage_hash) intact —
+    dropping whole documents over one shared paragraph wastes data;
+    cutting only the repeated span keeps the unique remainder.
+
+    Mechanics (all JVM-side): per duplicated window, the min-doc_id
+    holder is the keeper (one aggregate on passage_hash); non-keeper
+    occurrences merge into maximal token spans per doc
+    (gaps-and-islands via :func:`merge_cut_windows`); the rebuild is
+    :func:`apply_cut_spans`.
+
+    Output: (doc_id, text_clean, n_cut_tokens); docs with nothing cut
+    pass through with n_cut_tokens = 0.
+    """
+    wh = passage_windows(docs, win, stride)
+    keeper = wh.groupBy("passage_hash").agg(
+        F.min("doc_id").alias("_keep_doc"),
+        F.countDistinct("doc_id").alias("_n_docs"))
+    cut_wins = (wh.join(keeper, "passage_hash")
+                .where((F.col("_n_docs") >= 2)
+                       & (F.col("doc_id") != F.col("_keep_doc")))
+                .select("doc_id", "win_start").dropDuplicates())
+    return apply_cut_spans(docs, merge_cut_windows(cut_wins, win))

@@ -332,3 +332,62 @@ def test_incremental_passage_dedup(spark, tmp_path):
     n = spark.read.parquet(out).count()
     incremental_passage_dedup(spark, src, out, ck).awaitTermination(300)
     assert spark.read.parquet(out).count() == n
+
+
+def test_incremental_substring_cut(spark, tmp_path):
+    """The streaming stride-1 exact cut (round-4 verdict item 6): an
+    L-token block syndicated in a LATER run (fresh process, state
+    restored from checkpoint) is cut from the late arrival while the
+    first holder stays intact; verdicts equal the batch operator's;
+    restart with no new files re-emits nothing."""
+    from ehr_relation_extraction_spark.operators.substrings import (
+        cut_substring_dups)
+    from ehr_relation_extraction_spark.sources.pages import (HTML_PREFIX,
+                                                              HTML_SUFFIX)
+    from ehr_relation_extraction_spark.streaming.stateful import (
+        incremental_substring_cut)
+
+    block = " ".join(f"q{i}" for i in range(25))
+    uniq_a = " ".join(f"a{i}" for i in range(10))
+    uniq_b = " ".join(f"b{i}" for i in range(10))
+    text0 = block + " " + uniq_a
+    text1 = uniq_b + " " + block
+
+    def page(doc_id, text):
+        html = (HTML_PREFIX + text + HTML_SUFFIX).encode()
+        return (doc_id, f"https://h.example.com/{doc_id}", None, html, "en")
+
+    schema = ("doc_id long, url string, warc_ts timestamp, "
+              "html binary, lang string")
+    src = str(tmp_path / "sc_src")
+    out, ck = str(tmp_path / "sc_out"), str(tmp_path / "sc_ck")
+
+    # run 1: only the original holder exists
+    spark.createDataFrame([page(0, text0)], schema) \
+        .write.mode("append").parquet(src)
+    incremental_substring_cut(spark, src, out, ck).awaitTermination(300)
+    got = {r["doc_id"]: (r["text_clean"], r["n_cut_tokens"])
+           for r in spark.read.parquet(out).collect()}
+    assert got == {0: (text0, 0)}
+
+    # run 2 (the "days later" recrawl): doc 1 syndicates the block —
+    # cut via state restored from the checkpoint, doc 0 not re-emitted
+    spark.createDataFrame([page(1, text1)], schema) \
+        .write.mode("append").parquet(src)
+    incremental_substring_cut(spark, src, out, ck).awaitTermination(300)
+    got = {r["doc_id"]: (r["text_clean"], r["n_cut_tokens"])
+           for r in spark.read.parquet(out).collect()}
+    assert got[1] == (uniq_b, 25)
+
+    # stream == batch: same verdicts as the batch exact cut over the
+    # union corpus (keeper = min doc_id = arrival order here)
+    batch = spark.createDataFrame(
+        [(0, text0), (1, text1)], "doc_id long, text string")
+    want = {r["doc_id"]: (r["text_clean"], r["n_cut_tokens"])
+            for r in cut_substring_dups(batch, min_len=20).collect()}
+    assert got == want
+
+    # idempotent restart: no new files -> no new rows
+    n = spark.read.parquet(out).count()
+    incremental_substring_cut(spark, src, out, ck).awaitTermination(300)
+    assert spark.read.parquet(out).count() == n
