@@ -445,6 +445,98 @@ def run_ann(sf_dir: str, cpus: int) -> None:
     }))
 
 
+def _materialize_suffix_docs(spark, sf_dir: str, replicate: int) -> str:
+    """Replicated documents table for the suffix-path scaling point:
+    replica r > 0 tags every token with ``~r`` so the 5x corpus has 5x
+    DISTINCT suffixes (pure cloning would measure tie-depth, not
+    scale — identical replicas never separate under prefix doubling).
+    Materialized once as multi-file parquet so expansion cost stays
+    out of the timings."""
+    from pyspark.sql import functions as F
+
+    src = (f"/tmp/spark_graft_suffix_{os.path.basename(sf_dir)}"
+           f"_x{replicate}.parquet")
+    if os.path.exists(os.path.join(src, "_SUCCESS")):
+        return src
+    docs0 = spark.read.parquet(f"{sf_dir}/documents.parquet") \
+        .select("doc_id", "text")
+    rep = spark.range(replicate).withColumnRenamed("id", "rep")
+    toks = F.filter(F.split(F.col("text"), "[\n \t]"),
+                    lambda t: t != "")
+    tagged = F.when(F.col("rep") == 0, F.col("text")).otherwise(
+        F.array_join(
+            F.transform(toks,
+                        lambda t: F.concat(t, F.lit("~"),
+                                           F.col("rep").cast("string"))),
+            " "))
+    (docs0.crossJoin(rep)
+     .select((F.col("doc_id") + F.col("rep") * 10_000_000)
+             .alias("doc_id"),
+             tagged.alias("text"))
+     .repartition(64).write.mode("overwrite").parquet(src))
+    return src
+
+
+def run_suffix_scale(sf_dir: str, cpus: int) -> None:
+    """Scaling point for the suffix-array path (round-4 verdict item
+    5): time suffix_ranks / adjacent_lcp / the windowed-exact
+    substring_dups(20) on the sf corpus AND on a 5x replica-tagged
+    corpus (>= 5x the doc count, distinct suffixes), interleaved
+    best-of-K, one JSON line with per-size timings and the 5x/1x cost
+    ratios — the evidence behind the "windowed-exact for fixed
+    thresholds, SA only for all-thresholds mining" crossover
+    guidance in BASELINE.md."""
+    import time as _t
+
+    from ehr_relation_extraction_spark.session import get_spark
+    from ehr_relation_extraction_spark.operators.substrings import (
+        adjacent_lcp, substring_dups, suffix_ranks)
+
+    trials = int(os.environ.get("SPARK_GRAFT_SUFFIX_TRIALS", "2"))
+    reps = [int(x) for x in
+            os.environ.get("SPARK_GRAFT_SUFFIX_REPS", "1,5").split(",")]
+    spark = get_spark(app_name="suffix-scale", master=f"local[{cpus}]",
+                      shuffle_partitions=cpus)
+    paths = {r: _materialize_suffix_docs(spark, sf_dir, r) for r in reps}
+    ops = [("suffix_ranks", lambda d: suffix_ranks(d)),
+           ("adjacent_lcp", lambda d: adjacent_lcp(d)),
+           ("substring_dups20", lambda d: substring_dups(d, min_len=20))]
+    timings: dict[int, dict[str, float]] = {r: {} for r in reps}
+    counts: dict[int, dict[str, int]] = {r: {} for r in reps}
+    suffixes: dict[int, int] = {}
+    for _ in range(trials):
+        for r in reps:
+            docs = spark.read.parquet(paths[r])
+            if r not in suffixes:
+                from pyspark.sql import functions as F
+                suffixes[r] = docs.select(
+                    F.sum(F.size(F.filter(
+                        F.split("text", "[\n \t]"),
+                        lambda t: t != "")))).first()[0]
+            for name, fn in ops:
+                t0 = _t.time()
+                counts[r][name] = fn(docs).count()
+                dt = round(_t.time() - t0, 3)
+                if name not in timings[r] or dt < timings[r][name]:
+                    timings[r][name] = dt
+    spark.stop()
+    lo, hi = min(reps), max(reps)
+    ratios = {name: round(timings[hi][name] / timings[lo][name], 2)
+              for name, _ in ops}
+    print(json.dumps({
+        "metric": "suffix_scale_sec",
+        "value": round(sum(timings[hi].values()), 3), "unit": "sec",
+        "reps": reps, "suffixes": suffixes,
+        "timings": {str(r): timings[r] for r in reps},
+        "counts": {str(r): counts[r] for r in reps},
+        "cost_ratio_hi_over_lo": ratios,
+        "sf": sf_of(sf_dir),
+        "note": f"best of {trials} interleaved trials, local[{cpus}]; "
+                "replica tokens tagged per-rep so suffixes are "
+                "distinct (scale, not tie-depth)",
+    }))
+
+
 def run_skew(sf_dir: str, cpus: int) -> None:
     """Skewed-host robustness bench (SURVEY §5.2 item 4): the fused
     triples job on a uniform corpus vs one where a single host owns
@@ -532,6 +624,10 @@ def main() -> None:
 
     if "--ann" in sys.argv:
         run_ann(sf_dir, cpus)
+        return
+
+    if "--suffix-scale" in sys.argv:
+        run_suffix_scale(sf_dir, cpus)
         return
 
     r = run_suite(sf_dir, master, cpus)
