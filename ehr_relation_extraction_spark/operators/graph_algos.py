@@ -352,3 +352,60 @@ def label_propagation(edges: DataFrame, nodes: DataFrame,
                   .withColumn("label", F.coalesce("label", "node"))
                   .localCheckpoint())
     return labels.select("node", "label")
+
+
+def k_core(edges: DataFrame, nodes: DataFrame, k: int = 2,
+           n_rounds: "int | None" = None,
+           max_iter: int = 50) -> DataFrame:
+    """k-core membership: iteratively PEEL nodes whose degree among
+    surviving nodes is < k until no node is removed — the classic
+    dense-subgraph filter (Seidman '83; Batagelj-Zaversnik is the
+    serial form) a KG pipeline uses to separate well-supported entity
+    neighborhoods from crawl noise before expensive downstream steps.
+
+    Deterministic (a pure function of the graph: the peel set per
+    round is exactly {alive nodes with alive-degree < k}, no
+    ordering), so it is testable against a serial replica and, rounds
+    unrolled, oracle-expressible — ``n_rounds`` runs EXACTLY that many
+    peels with no driver-side convergence sync (the fixed-depth chain
+    the pagerank_fixed/lpa oracles use; extra rounds past convergence
+    are no-ops since peeling a stable set removes nothing), while
+    ``n_rounds=None`` iterates to the fixpoint with a 1-row count
+    check per round (the connected_components pattern).
+
+    ``edges``: (src, dst) undirected (either order, self-loops
+    ignored); ``nodes``: (node) incl. isolated ones.
+    Returns (node, in_core int) for every input node.
+
+    Scale: per round one equi-join of the symmetrized edge list
+    against the alive set (shrinks monotonically), one degree
+    aggregate, localCheckpoint to cut lineage; rounds needed =
+    longest peel cascade, typically << diameter.
+    """
+    und = (edges.select(F.least("src", "dst").alias("src"),
+                        F.greatest("src", "dst").alias("dst"))
+           .where(F.col("src") != F.col("dst")).dropDuplicates())
+    sym = und.union(und.select(F.col("dst").alias("src"),
+                               F.col("src").alias("dst"))) \
+        .localCheckpoint()
+    all_nodes = nodes.select("node").dropDuplicates().localCheckpoint()
+    alive = all_nodes
+    n_alive = None if n_rounds is not None else alive.count()
+    rounds = n_rounds if n_rounds is not None else max_iter
+    for _ in range(rounds):
+        deg = (sym.join(alive.withColumnRenamed("node", "dst"), "dst")
+               .join(alive.withColumnRenamed("node", "src"), "src")
+               .groupBy("src")
+               .agg(F.count(F.lit(1)).alias("_deg")))
+        alive = (deg.where(F.col("_deg") >= k)
+                 .select(F.col("src").alias("node"))
+                 .localCheckpoint())
+        if n_rounds is None:
+            n_keep = alive.count()
+            if n_keep == n_alive:
+                break
+            n_alive = n_keep
+    return (all_nodes
+            .join(alive.withColumn("in_core", F.lit(1)), "node", "left")
+            .select("node", F.coalesce("in_core", F.lit(0))
+                    .cast("int").alias("in_core")))

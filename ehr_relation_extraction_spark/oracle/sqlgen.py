@@ -2511,3 +2511,69 @@ SELECT query_id, rank, neighbor_id, adist_q6 FROM (
     WHERE a.vec_id <> l.query_id
     GROUP BY 1, 2))
 WHERE rank <= 5"""
+
+
+# ---- STAGED round-6 oracles (NOT registered: the round-5 registry is
+# ---- frozen; tests/test_round6_oracles.py verifies these cross-engine
+# ---- now so next round's registration is a two-line diff) ------------
+
+
+def _kcore_sql(n_rounds: int = 8, k: int = 2) -> str:
+    """k-core peel over the entity co-occurrence graph, rounds
+    unrolled as chained MATERIALIZED CTEs (graph_algos.k_core's exact
+    semantics: drop alive nodes with alive-degree < k each round;
+    rounds past convergence are no-ops).  Each alive{r} is referenced
+    twice by round r+1, so materialization is load-bearing (chained
+    re-evaluation is exponential otherwise)."""
+    blocks = ["alive0 AS MATERIALIZED (SELECT node FROM cc_nodes)"]
+    for r in range(1, n_rounds + 1):
+        blocks.append(f"""alive{r} AS MATERIALIZED (
+  SELECT e.src AS node
+  FROM sym_edges e
+  JOIN alive{r - 1} a ON e.dst = a.node
+  JOIN alive{r - 1} b ON e.src = b.node
+  GROUP BY e.src HAVING COUNT(*) >= {k})""")
+    return ",\n".join(blocks)
+
+
+KCORE_ROUNDS = 8
+
+ORACLE["kcore_nodes"] = _q(
+    f"""
+SELECT c.node,
+       CAST(CASE WHEN a.node IS NOT NULL THEN 1 ELSE 0 END AS INT)
+         AS in_core
+FROM cc_nodes c LEFT JOIN alive{KCORE_ROUNDS} a ON c.node = a.node""",
+    LINK_CTES, _kcore_sql(KCORE_ROUNDS, 2))
+
+# pq_rerank: exact-cosine rerank of the ADC top-50 shortlist
+# (IVFADC+R accuracy mode of operators/pq.pq_topk(rerank=50)) — the
+# shortlist comes from the registered PQ chain's CTEs, the rerank uses
+# the same quantized-cosine expression as the ivf_topk/similarity
+# oracles (cross-engine exact on this fold order).
+_RERANK_SIM = ("CAST(floor(1000000 * list_dot_product(q.v, c.v) "
+               "/ (q.nrm * c.nrm)) AS BIGINT)")
+
+ORACLE["pq_rerank"] = _assemble(
+    SIM_CTES.lstrip(",").strip(), _pq_ctes(),
+    select=f"""
+, pqadc_r AS MATERIALIZED (
+  SELECT l.query_id, a.vec_id AS neighbor_id,
+         CAST(SUM(l.d_q6) AS BIGINT) AS adist_q6
+  FROM pqasg1 a JOIN pqlut l ON l.sub = a.sub AND l.code = a.code
+  WHERE a.vec_id <> l.query_id
+  GROUP BY 1, 2),
+pqshort AS (
+  SELECT query_id, neighbor_id FROM (
+    SELECT query_id, neighbor_id,
+           ROW_NUMBER() OVER (PARTITION BY query_id
+               ORDER BY adist_q6, neighbor_id) AS r
+    FROM pqadc_r) WHERE r <= 50)
+SELECT query_id, rank, neighbor_id, sim_micro6 FROM (
+  SELECT s.query_id, s.neighbor_id, {_RERANK_SIM} AS sim_micro6,
+         CAST(ROW_NUMBER() OVER (PARTITION BY s.query_id
+             ORDER BY {_RERANK_SIM} DESC, s.neighbor_id) AS INT) AS rank
+  FROM pqshort s
+  JOIN normed q ON q.vec_id = s.query_id
+  JOIN normed c ON c.vec_id = s.neighbor_id
+) WHERE rank <= 5""")

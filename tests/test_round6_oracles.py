@@ -1,0 +1,108 @@
+"""STAGED round-6 oracles vs their Spark operators — cross-engine
+parity for the round-5 pytest-only ops (k-core membership, PQ
+exact-rerank search), verified NOW so registering them next round
+(the round-5 registry is frozen per the snapshot-sync protocol) is a
+two-line diff with zero correctness risk.  Same compare as the driver
+replica.  Also the k_core serial-replica and fixed-rounds==fixpoint
+gates."""
+
+from __future__ import annotations
+
+import pytest
+
+from pyspark.sql import functions as F
+
+from compare_util import compare, duck_con
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def con():
+    c = duck_con(SF)
+    yield c
+    c.close()
+
+
+def _entity_graph(spark):
+    from ehr_relation_extraction_spark import driver_queries as dq
+    from ehr_relation_extraction_spark.operators import linking as lk
+
+    _, linked, _ = dq._linked(spark, SF)
+    edges = lk.overlap_edges(linked)
+    nodes = linked.select(
+        F.col("canonical_id").alias("node")).dropDuplicates()
+    return edges, nodes
+
+
+def test_kcore_oracle(spark, con):
+    from ehr_relation_extraction_spark.operators.graph_algos import k_core
+    from ehr_relation_extraction_spark.oracle.sqlgen import (KCORE_ROUNDS,
+                                                             ORACLE)
+
+    edges, nodes = _entity_graph(spark)
+    got = k_core(edges, nodes, k=2, n_rounds=KCORE_ROUNDS)
+    ok, msg = compare(got, con.sql(ORACLE["kcore_nodes"]).df())
+    assert ok, msg
+
+
+def test_pq_rerank_oracle(spark, con):
+    from ehr_relation_extraction_spark import driver_queries as dq
+    from ehr_relation_extraction_spark.operators import pq
+
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    got = pq.pq_topk(emb, dq._pq_codebooks_r1(spark, SF),
+                     n_queries=20, k=5, rerank=50).select(
+        "query_id", "rank", "neighbor_id", "sim_micro6")
+    ok, msg = compare(got, con.sql(dq.ORACLE["pq_rerank"]).df())
+    assert ok, msg
+
+
+def _serial_kcore(edges: "list[tuple]", nodes: "list", k: int) -> dict:
+    """Reference peel: canonical undirected edge set, drop nodes with
+    alive-degree < k until stable."""
+    und = {(min(a, b), max(a, b)) for a, b in edges if a != b}
+    alive = set(nodes)
+    while True:
+        deg: dict = {}
+        for a, b in und:
+            if a in alive and b in alive:
+                deg[a] = deg.get(a, 0) + 1
+                deg[b] = deg.get(b, 0) + 1
+        nxt = {n for n in alive if deg.get(n, 0) >= k}
+        if nxt == alive:
+            return {n: int(n in alive) for n in nodes}
+        alive = nxt
+
+
+def test_kcore_serial_replica(spark):
+    """Triangle survives k=2, pendant chain peels in cascade, isolated
+    node drops, and a both-orientations duplicate edge counts as ONE
+    neighbor relation (the lpa round-4 advisory class)."""
+    from ehr_relation_extraction_spark.operators.graph_algos import k_core
+
+    edges = [("a", "b"), ("b", "c"), ("c", "a"),   # triangle
+             ("c", "d"), ("d", "e"), ("e", "f"),   # pendant chain
+             ("b", "a")]                            # duplicate orientation
+    nodes = ["a", "b", "c", "d", "e", "f", "iso"]
+    want = _serial_kcore(edges, nodes, 2)
+    assert want == {"a": 1, "b": 1, "c": 1, "d": 0, "e": 0,
+                    "f": 0, "iso": 0}  # pin the fixture's truth
+    e = spark.createDataFrame(edges, "src string, dst string")
+    n = spark.createDataFrame([(x,) for x in nodes], "node string")
+    got = {r["node"]: r["in_core"]
+           for r in k_core(e, n, k=2).collect()}
+    assert got == want
+
+
+def test_kcore_fixed_rounds_match_fixpoint(spark):
+    """n_rounds past convergence == the converging form (extra peels
+    are no-ops) — the property the unrolled oracle relies on."""
+    from ehr_relation_extraction_spark.operators.graph_algos import k_core
+
+    edges, nodes = _entity_graph(spark)
+    fixed = {(r["node"], r["in_core"])
+             for r in k_core(edges, nodes, k=2, n_rounds=8).collect()}
+    conv = {(r["node"], r["in_core"])
+            for r in k_core(edges, nodes, k=2).collect()}
+    assert fixed == conv and len(fixed) > 0
