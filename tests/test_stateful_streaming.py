@@ -391,3 +391,63 @@ def test_incremental_substring_cut(spark, tmp_path):
     n = spark.read.parquet(out).count()
     incremental_substring_cut(spark, src, out, ck).awaitTermination(300)
     assert spark.read.parquet(out).count() == n
+
+
+def test_substring_cut_ttl_evicts_idle_hashes(spark, tmp_path):
+    """Processing-time TTL on the streaming substring cut: window-hash
+    state idle past the TTL is evicted by the running query's timers,
+    so a block syndicated AFTER a long quiet period is re-admitted
+    uncut (the documented bounded-staleness contract — state is the
+    active-hash set, not hashes-ever-seen)."""
+    import glob
+    import time
+
+    from pyspark.errors.exceptions.captured import AnalysisException
+    from ehr_relation_extraction_spark.sources.pages import (HTML_PREFIX,
+                                                              HTML_SUFFIX)
+    from ehr_relation_extraction_spark.streaming.stateful import (
+        incremental_substring_cut)
+
+    block = " ".join(f"t{i}" for i in range(25))
+    text0 = block + " " + " ".join(f"a{i}" for i in range(10))
+    text1 = " ".join(f"b{i}" for i in range(10)) + " " + block
+
+    def page(doc_id, text):
+        html = (HTML_PREFIX + text + HTML_SUFFIX).encode()
+        return (doc_id, f"https://h.example.com/{doc_id}", None, html, "en")
+
+    schema = ("doc_id long, url string, warc_ts timestamp, "
+              "html binary, lang string")
+    src = str(tmp_path / "scttl_src")
+    out = str(tmp_path / "scttl_out")
+
+    def rows(expect, deadline=120):
+        t0 = time.time()
+        while time.time() - t0 < deadline:
+            if glob.glob(f"{out}/*.parquet"):
+                try:
+                    got = {r["doc_id"]: (r["text_clean"],
+                                         r["n_cut_tokens"])
+                           for r in spark.read.parquet(out).collect()}
+                except AnalysisException:
+                    got = {}
+                if len(got) >= expect:
+                    return got
+            time.sleep(1)
+        raise AssertionError(f"timed out waiting for {expect} docs")
+
+    spark.createDataFrame([page(0, text0)], schema) \
+        .write.mode("append").parquet(src)
+    q = incremental_substring_cut(spark, src, out,
+                                  str(tmp_path / "scttl_ck"),
+                                  ttl_ms=100)
+    try:
+        assert rows(1)[0] == (text0, 0)
+        time.sleep(3)  # idle >> TTL: the window hashes evict
+        spark.createDataFrame([page(1, text1)], schema) \
+            .write.mode("append").parquet(src)
+        got = rows(2)
+        # evicted hashes re-admit the repeat: doc 1 arrives UNCUT
+        assert got[1] == (text1, 0)
+    finally:
+        q.stop()
