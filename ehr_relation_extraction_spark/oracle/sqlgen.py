@@ -2428,14 +2428,23 @@ FROM bp_spans""",
 
 
 def _pq_ctes(m: int = 8, k: int = 16, dsub: int = 8,
-             n_queries: int = 20) -> str:
+             n_queries: int = 20,
+             base_select: "str | None" = None) -> str:
+    """The PQ chain CTEs (seed -> assign -> quantized-mean update ->
+    round-1 codebook -> encode -> query LUT).  ``base_select``
+    overrides the (vec_id, v DOUBLE[]) source — the IVF-PQ staged
+    oracle points it at the coarse-residual CTE instead of the raw
+    embeddings table."""
+    base = (base_select or
+            "SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v"
+            " FROM embeddings")
     dist = ("CAST(floor(1000000 * list_dot_product("
             "list_transform(list_zip(s.sv, c.cv), x -> x[1] - x[2]), "
             "list_transform(list_zip(s.sv, c.cv), x -> x[1] - x[2])))"
             " AS BIGINT)")
     return f"""
 pqbase AS (
-  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+  {base}),
 pqsv AS MATERIALIZED (
   SELECT vec_id, CAST(s AS INT) AS sub,
          list_slice(v, s * {dsub} + 1, s * {dsub} + {dsub}) AS sv
@@ -2577,3 +2586,36 @@ SELECT query_id, rank, neighbor_id, sim_micro6 FROM (
   JOIN normed q ON q.vec_id = s.query_id
   JOIN normed c ON c.vec_id = s.neighbor_id
 ) WHERE rank <= 5""")
+
+
+# ivfpq_codes: the composed index row (coarse cell + m residual PQ
+# codes) — coarse assignment is the registered ivf_assign chain (seed
+# centroids = first n_cells vectors, cosine argmax), residuals are an
+# elementwise list subtraction, and the PQ chain runs UNCHANGED over
+# the residual frame via _pq_ctes(base_select=...).
+_IVF_RES_CTES = """
+ivfcents AS (SELECT vec_id AS cell, v AS cv, nrm AS cn
+             FROM normed WHERE vec_id < 8),
+ivfscored AS (
+  SELECT n.vec_id, c.cell,
+         CAST(floor(1000000 * list_dot_product(n.v, c.cv)
+              / (n.nrm * c.cn)) AS BIGINT) AS s6
+  FROM normed n CROSS JOIN ivfcents c),
+ivfasg AS MATERIALIZED (
+  SELECT vec_id, cell FROM (
+    SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id
+        ORDER BY s6 DESC, cell) AS r
+    FROM ivfscored) WHERE r = 1),
+ivfresid AS MATERIALIZED (
+  SELECT b.vec_id, a.cell,
+         list_transform(list_zip(b.v, cb.v), x -> x[1] - x[2]) AS v
+  FROM base b JOIN ivfasg a USING (vec_id)
+  JOIN base cb ON cb.vec_id = a.cell)"""
+
+ORACLE["ivfpq_codes"] = _assemble(
+    SIM_CTES.lstrip(",").strip(), _IVF_RES_CTES.strip(),
+    _pq_ctes(base_select="SELECT vec_id, v FROM ivfresid"),
+    select="""
+SELECT p.vec_id, CAST(a.cell AS INT) AS cell,
+       CAST(p.sub AS INT) AS sub, CAST(p.code AS INT) AS code
+FROM pqasg1 p JOIN ivfasg a USING (vec_id)""")

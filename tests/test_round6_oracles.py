@@ -1,6 +1,7 @@
 """STAGED round-6 oracles vs their Spark operators — cross-engine
 parity for the round-5 pytest-only ops (k-core membership, PQ
-exact-rerank search), verified NOW so registering them next round
+exact-rerank search, IVF-PQ composed index rows), verified NOW so
+registering them next round
 (the round-5 registry is frozen per the snapshot-sync protocol) is a
 two-line diff with zero correctness risk.  Same compare as the driver
 replica.  Also the k_core serial-replica and fixed-rounds==fixpoint
@@ -55,6 +56,29 @@ def test_pq_rerank_oracle(spark, con):
                      n_queries=20, k=5, rerank=50).select(
         "query_id", "rank", "neighbor_id", "sim_micro6")
     ok, msg = compare(got, con.sql(dq.ORACLE["pq_rerank"]).df())
+    assert ok, msg
+
+
+def test_ivfpq_codes_oracle(spark, con):
+    """The composed IVF-PQ index row (coarse cell + m residual PQ
+    codes) vs the DuckDB oracle that chains the registered ivf_assign
+    seed-centroid assignment, an elementwise residual subtraction, and
+    the registered PQ round-1 chain re-pointed at the residual frame
+    (``_pq_ctes(base_select=...)``)."""
+    from ehr_relation_extraction_spark.operators import pq
+    from ehr_relation_extraction_spark.operators import similarity as sim
+    from ehr_relation_extraction_spark.oracle.sqlgen import ORACLE
+
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    seed = [[float(x) for x in r["embedding"]]
+            for r in emb.orderBy("vec_id").limit(8).collect()]
+    assigned = sim.ivf_assign(emb, 8).select("vec_id", "cell")
+    resid = pq._residuals(emb, assigned, seed).localCheckpoint()
+    cb1 = pq.train_pq_codebooks(resid.select("vec_id", "embedding"),
+                                m=8, k=16, rounds=1)
+    got = pq.ivfpq_encode(emb, seed, cb1).select(
+        "vec_id", "cell", F.posexplode("codes").alias("sub", "code"))
+    ok, msg = compare(got, con.sql(ORACLE["ivfpq_codes"]).df())
     assert ok, msg
 
 
