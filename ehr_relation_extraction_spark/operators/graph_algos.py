@@ -409,3 +409,114 @@ def k_core(edges: DataFrame, nodes: DataFrame, k: int = 2,
             .join(alive.withColumn("in_core", F.lit(1)), "node", "left")
             .select("node", F.coalesce("in_core", F.lit(0))
                     .cast("int").alias("in_core")))
+
+
+def k_truss(edges: DataFrame, k: int = 3,
+            n_rounds: "int | None" = None,
+            max_iter: int = 30) -> DataFrame:
+    """k-truss edge peel over the undirected simple graph — the
+    edge-level cohesion filter one notch stronger than k-core: an
+    edge survives iff it participates in >= k-2 triangles whose other
+    two edges also survive.  KG hygiene use: k-truss(3+) keeps only
+    relation edges corroborated by a closed co-occurrence triangle,
+    cutting promiscuous hub links that degree-based peels (k-core)
+    cannot see.
+
+    Each round re-counts per-edge support via the same two-equi-join
+    ordered triangle enumeration as :func:`triangle_counts` restricted
+    to alive edges (a<b<c, each triangle once, credited to its three
+    edges), then drops alive edges with support < k-2.  ``n_rounds``
+    fixes the peel depth (rounds past convergence are no-ops — the
+    unrolled DuckDB oracle's form); ``None`` iterates to fixpoint
+    with a bounded per-round count() sync.
+
+    Scale: per round two equi-joins on node ids over the (shrinking)
+    alive edge set plus one aggregate — no open-wedge enumeration
+    leaves the joins; localCheckpoint cuts lineage.  Output: every
+    input canonical edge as (src, dst, in_truss 0/1).
+    """
+    und = (edges.select(F.least("src", "dst").alias("a"),
+                        F.greatest("src", "dst").alias("b"))
+           .where(F.col("a") != F.col("b")).dropDuplicates()
+           .localCheckpoint())
+    alive = und
+    n_alive = None if n_rounds is not None else alive.count()
+    rounds = n_rounds if n_rounds is not None else max_iter
+    for _ in range(rounds):
+        e1 = alive.select(F.col("a").alias("x"), F.col("b").alias("y"))
+        e2 = alive.select(F.col("a").alias("y"), F.col("b").alias("z"))
+        e3 = alive.select(F.col("a").alias("x"), F.col("b").alias("z"))
+        tri = e1.join(e2, "y").join(e3, ["x", "z"]).select("x", "y", "z")
+        sup = (tri.select(F.explode(F.array(
+            F.struct(F.col("x").alias("a"), F.col("y").alias("b")),
+            F.struct(F.col("y").alias("a"), F.col("z").alias("b")),
+            F.struct(F.col("x").alias("a"), F.col("z").alias("b"))))
+            .alias("e"))
+            .select("e.a", "e.b")
+            .groupBy("a", "b").agg(F.count(F.lit(1)).alias("_sup")))
+        alive = (alive.join(sup, ["a", "b"])
+                 .where(F.col("_sup") >= k - 2)
+                 .select("a", "b").localCheckpoint())
+        if n_rounds is None:
+            n_keep = alive.count()
+            if n_keep == n_alive:
+                break
+            n_alive = n_keep
+    return (und.join(alive.withColumn("in_truss", F.lit(1)),
+                     ["a", "b"], "left")
+            .select(F.col("a").alias("src"), F.col("b").alias("dst"),
+                    F.coalesce("in_truss", F.lit(0))
+                    .cast("int").alias("in_truss")))
+
+
+def random_walks(edges: DataFrame, nodes: DataFrame,
+                 walk_len: int = 4,
+                 walks_per_node: int = 2) -> DataFrame:
+    """DeepWalk-style walk corpus over the entity graph — the
+    embedding-training precursor (Perozzi et al., KDD'14): for every
+    node, ``walks_per_node`` truncated walks of up to ``walk_len``
+    steps.  The next hop is DETERMINISTIC — the neighbor minimizing
+    md5(start:walk:step:neighbor) — so the walk table is reproducible
+    across engines, partitionings, and reruns (the md5 argmin IS the
+    per-(walk, step) uniform draw; no RNG state).
+
+    Scale: step t is one equi-join of the current frontier (<=
+    |nodes| * walks_per_node rows) against the symmetrized edge list
+    on the current node, then a per-(start, walk) argmin — walk
+    state never exceeds one row per active walk, and the edge list is
+    never materialized per-walk.  Dead-end walks stop early (their
+    later-step rows are simply absent).  Output: (start, walk, step,
+    node) with step 0 = the start node itself.
+    """
+    from pyspark.sql import Window
+
+    und = (edges.select(F.least("src", "dst").alias("src"),
+                        F.greatest("src", "dst").alias("dst"))
+           .where(F.col("src") != F.col("dst")).dropDuplicates())
+    sym = und.union(und.select(F.col("dst").alias("src"),
+                               F.col("src").alias("dst"))) \
+        .localCheckpoint()
+    cur = (nodes.select(F.col("node").alias("start"))
+           .dropDuplicates()
+           .select("start", F.explode(F.sequence(
+               F.lit(0), F.lit(walks_per_node - 1))).alias("walk"))
+           .select("start", F.col("walk").cast("int").alias("walk"),
+                   F.lit(0).alias("step"),
+                   F.col("start").alias("node")))
+    out = cur
+    for t in range(1, walk_len + 1):
+        hop = (cur.select("start", "walk", "node")
+               .join(sym, cur["node"] == sym["src"])
+               .select("start", "walk", "dst",
+                       F.md5(F.concat_ws(
+                           ":", "start", "walk", F.lit(t), "dst"))
+                       .alias("_h")))
+        w = Window.partitionBy("start", "walk").orderBy("_h", "dst")
+        cur = (hop.withColumn("_r", F.row_number().over(w))
+               .where(F.col("_r") == 1)
+               .select("start", "walk", F.lit(t).alias("step"),
+                       F.col("dst").alias("node"))
+               .localCheckpoint())
+        out = out.unionByName(cur)
+    return out.select("start", "walk",
+                      F.col("step").cast("int").alias("step"), "node")

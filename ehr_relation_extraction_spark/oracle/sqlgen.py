@@ -2619,3 +2619,82 @@ ORACLE["ivfpq_codes"] = _assemble(
 SELECT p.vec_id, CAST(a.cell AS INT) AS cell,
        CAST(p.sub AS INT) AS sub, CAST(p.code AS INT) AS code
 FROM pqasg1 p JOIN ivfasg a USING (vec_id)""")
+
+
+def _ktruss_sql(n_rounds: int = 6, k: int = 3) -> str:
+    """k-truss edge peel, rounds unrolled as chained MATERIALIZED
+    CTEs (graph_algos.k_truss semantics: each round counts per-edge
+    triangle support over alive edges via the ordered a<b<c
+    enumeration, then drops edges with support < k-2; rounds past
+    convergence are no-ops).  Each truss{r} is referenced three times
+    by round r+1's triangle join, so materialization is load-bearing."""
+    blocks = ["truss0 AS MATERIALIZED (SELECT src AS a, dst AS b FROM comention)"]
+    for r in range(1, n_rounds + 1):
+        p = r - 1
+        blocks.append(f"""tri{r} AS MATERIALIZED (
+  SELECT e1.a AS x, e1.b AS y, e2.b AS z
+  FROM truss{p} e1
+  JOIN truss{p} e2 ON e2.a = e1.b
+  JOIN truss{p} e3 ON e3.a = e1.a AND e3.b = e2.b),
+truss{r} AS MATERIALIZED (
+  SELECT a, b FROM (
+    SELECT x AS a, y AS b FROM tri{r}
+    UNION ALL SELECT y AS a, z AS b FROM tri{r}
+    UNION ALL SELECT x AS a, z AS b FROM tri{r})
+  GROUP BY a, b HAVING COUNT(*) >= {k - 2})""")
+    return ",\n".join(blocks)
+
+
+KTRUSS_ROUNDS = 6
+# k=13 on the near-clique co-mention fixture: the 13-truss keeps
+# the dense entity core (90 edges) and peels the 11 rare-entity
+# periphery edges; smaller k is non-discriminating (the whole
+# graph survives its own triangle support).
+KTRUSS_K = 13
+
+COMENTION_CTES = """
+comention AS MATERIALIZED (
+  SELECT DISTINCT x.canonical_id AS src, y.canonical_id AS dst
+  FROM linked x JOIN linked y
+    ON x.doc_id = y.doc_id AND x.canonical_id < y.canonical_id),
+com_sym AS (SELECT src, dst FROM comention
+            UNION SELECT dst AS src, src AS dst FROM comention)"""
+
+ORACLE["ktruss_edges"] = _q(
+    f"""
+SELECT e.src, e.dst,
+       CAST(CASE WHEN t.a IS NOT NULL THEN 1 ELSE 0 END AS INT)
+         AS in_truss
+FROM comention e LEFT JOIN truss{KTRUSS_ROUNDS} t
+  ON t.a = e.src AND t.b = e.dst""",
+    LINK_CTES, COMENTION_CTES.strip(), _ktruss_sql(KTRUSS_ROUNDS, KTRUSS_K))
+
+
+def _walks_sql(walk_len: int = 4, walks_per_node: int = 2) -> str:
+    """Deterministic DeepWalk corpus, steps unrolled as chained CTEs
+    (graph_algos.random_walks semantics: next hop = the neighbor
+    minimizing md5(start:walk:step:neighbor), ties by neighbor id;
+    dead-end walks stop — their later steps are absent)."""
+    blocks = [f"""walk0 AS MATERIALIZED (
+  SELECT node AS start, CAST(w AS INT) AS walk, 0 AS step, node
+  FROM cc_nodes,
+    unnest(generate_series(0, {walks_per_node - 1})) AS t(w))"""]
+    for t in range(1, walk_len + 1):
+        blocks.append(f"""walk{t} AS MATERIALIZED (
+  SELECT start, walk, {t} AS step, node FROM (
+    SELECT p.start, p.walk, e.dst AS node,
+           ROW_NUMBER() OVER (PARTITION BY p.start, p.walk
+             ORDER BY md5(p.start || ':' || CAST(p.walk AS VARCHAR)
+                          || ':' || '{t}' || ':' || e.dst), e.dst) AS r
+    FROM walk{t - 1} p JOIN com_sym e ON e.src = p.node)
+  WHERE r = 1)""")
+    return ",\n".join(blocks)
+
+
+WALK_LEN, WALKS_PER_NODE = 4, 2
+
+ORACLE["entity_walks"] = _q(
+    "SELECT start, walk, CAST(step AS INT) AS step, node FROM ("
+    + "\nUNION ALL ".join(f"SELECT * FROM walk{t}"
+                          for t in range(WALK_LEN + 1)) + ")",
+    LINK_CTES, COMENTION_CTES.strip(), _walks_sql(WALK_LEN, WALKS_PER_NODE))

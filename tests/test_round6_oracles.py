@@ -59,6 +59,100 @@ def test_pq_rerank_oracle(spark, con):
     assert ok, msg
 
 
+def _comention_graph(spark):
+    """The entity CO-MENTION graph (entities sharing a document) —
+    the same edge set as the registered graph_triangles query; denser
+    than the overlap graph, so truss/walk structure is non-trivial."""
+    from ehr_relation_extraction_spark import driver_queries as dq
+
+    _, linked, _ = dq._linked(spark, SF)
+    a = linked.select("doc_id", F.col("canonical_id").alias("src"))
+    b = linked.select("doc_id", F.col("canonical_id").alias("dst"))
+    edges = (a.join(b, "doc_id").where(F.col("src") < F.col("dst"))
+             .select("src", "dst").dropDuplicates())
+    nodes = linked.select(
+        F.col("canonical_id").alias("node")).dropDuplicates()
+    return edges, nodes
+
+
+def test_ktruss_oracle(spark, con):
+    """k-truss edge peel vs the unrolled-rounds DuckDB oracle on the
+    co-mention graph — k=13 discriminates on this near-clique fixture
+    (90 core edges survive, 11 rare-entity periphery edges peel)."""
+    from ehr_relation_extraction_spark.operators.graph_algos import k_truss
+    from ehr_relation_extraction_spark.oracle.sqlgen import (
+        KTRUSS_K, KTRUSS_ROUNDS, ORACLE)
+
+    edges, _ = _comention_graph(spark)
+    got = k_truss(edges, k=KTRUSS_K, n_rounds=KTRUSS_ROUNDS)
+    ok, msg = compare(got, con.sql(ORACLE["ktruss_edges"]).df())
+    assert ok, msg
+    kept = {r["in_truss"] for r in got.collect()}
+    assert kept == {0, 1}  # the peel actually discriminates
+
+
+def test_entity_walks_oracle(spark, con):
+    """Deterministic DeepWalk corpus vs the unrolled-steps DuckDB
+    oracle (md5-argmin next hop) on the co-mention graph."""
+    from ehr_relation_extraction_spark.operators.graph_algos import (
+        random_walks)
+    from ehr_relation_extraction_spark.oracle.sqlgen import (
+        ORACLE, WALK_LEN, WALKS_PER_NODE)
+
+    edges, nodes = _comention_graph(spark)
+    got = random_walks(edges, nodes, walk_len=WALK_LEN,
+                       walks_per_node=WALKS_PER_NODE)
+    ok, msg = compare(got, con.sql(ORACLE["entity_walks"]).df())
+    assert ok, msg
+
+
+def test_ktruss_serial_replica(spark):
+    """K4 survives 4-truss, a pendant triangle survives only 3-truss,
+    a tail edge peels immediately; fixed rounds == fixpoint."""
+    from ehr_relation_extraction_spark.operators.graph_algos import k_truss
+
+    edges = [("a", "b"), ("a", "c"), ("a", "d"), ("b", "c"), ("b", "d"),
+             ("c", "d"), ("d", "e"), ("e", "f"), ("d", "f"), ("f", "g")]
+    e = spark.createDataFrame(edges, "src string, dst string")
+    want = {3: {e_ for e_ in map(tuple, map(sorted, edges))
+                if e_ != ("f", "g")},
+            4: {("a", "b"), ("a", "c"), ("a", "d"),
+                ("b", "c"), ("b", "d"), ("c", "d")}}
+    for k, w in want.items():
+        got = {(r["src"], r["dst"])
+               for r in k_truss(e, k=k).collect() if r["in_truss"]}
+        assert got == w, (k, got)
+    fixed = sorted(map(tuple, k_truss(e, k=3, n_rounds=6).collect()))
+    conv = sorted(map(tuple, k_truss(e, k=3).collect()))
+    assert fixed == conv
+
+
+def test_random_walks_structure(spark):
+    """Walks are deterministic across reruns, start at their seed,
+    and every hop follows a real (symmetrized) edge; dead ends stop."""
+    from ehr_relation_extraction_spark.operators.graph_algos import (
+        random_walks)
+
+    edges = [("a", "b"), ("b", "c"), ("c", "a"), ("c", "d"), ("e", "f")]
+    e = spark.createDataFrame(edges, "src string, dst string")
+    n = spark.createDataFrame(
+        [(x,) for x in "abcdefz"], "node string")  # z isolated
+    w1 = sorted(map(tuple, random_walks(e, n, 3, 2).collect()))
+    w2 = sorted(map(tuple, random_walks(e, n, 3, 2).collect()))
+    assert w1 == w2 and w1
+    adj = {}
+    for (a, b) in edges:
+        adj.setdefault(a, set()).add(b)
+        adj.setdefault(b, set()).add(a)
+    rows = {(s, w, t): nd for (s, w, t, nd) in w1}
+    for (s, w, t), nd in rows.items():
+        if t == 0:
+            assert nd == s
+        else:
+            assert nd in adj[rows[(s, w, t - 1)]]
+    assert not any(s == "z" and t > 0 for (s, w, t) in rows)  # isolated
+
+
 def test_ivfpq_codes_oracle(spark, con):
     """The composed IVF-PQ index row (coarse cell + m residual PQ
     codes) vs the DuckDB oracle that chains the registered ivf_assign
