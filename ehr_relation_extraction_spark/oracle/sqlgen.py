@@ -2698,3 +2698,40 @@ ORACLE["entity_walks"] = _q(
     + "\nUNION ALL ".join(f"SELECT * FROM walk{t}"
                           for t in range(WALK_LEN + 1)) + ")",
     LINK_CTES, COMENTION_CTES.strip(), _walks_sql(WALK_LEN, WALKS_PER_NODE))
+
+
+# hll_shingles: the deterministic-HyperLogLog register table of the
+# per-doc-distinct 3-gram shingle stream (functions/sketches.
+# hll_shingle_sketch over operators/dedup.shingles) — same
+# md5-hex-nibble arithmetic as the Spark side: register = first 2
+# nibbles (256 registers), rho = 1 + leading zero bits of the next 12
+# nibbles (all-zero tail => 49).
+_HLL_TAIL = "substring(_h, 3, 12)"
+ORACLE["hll_shingles"] = f"""
+WITH hllts AS (
+  SELECT doc_id, list_filter(string_split_regex(text, '[\\n \\t]'),
+                             t -> t <> '') AS ts
+  FROM documents),
+hllsh AS (
+  SELECT DISTINCT doc_id,
+         ts[CAST(i AS INT)] || ' ' || ts[CAST(i AS INT) + 1] || ' '
+           || ts[CAST(i AS INT) + 2] AS shingle
+  FROM hllts, unnest(generate_series(1, len(ts) - 2)) AS t(i)),
+hllh AS (SELECT md5(CAST(shingle AS VARCHAR)) AS _h FROM hllsh),
+hlld AS (
+  SELECT CAST((strpos('0123456789abcdef', substring(_h, 1, 1)) - 1) * 16
+            + (strpos('0123456789abcdef', substring(_h, 2, 1)) - 1)
+         AS INT) AS register,
+         CASE WHEN length(ltrim({_HLL_TAIL}, '0')) = 0 THEN 49
+              ELSE (12 - length(ltrim({_HLL_TAIL}, '0'))) * 4
+                   + (CASE WHEN strpos('0123456789abcdef',
+                            substring(ltrim({_HLL_TAIL}, '0'), 1, 1)) - 1 >= 8 THEN 0
+                           WHEN strpos('0123456789abcdef',
+                            substring(ltrim({_HLL_TAIL}, '0'), 1, 1)) - 1 >= 4 THEN 1
+                           WHEN strpos('0123456789abcdef',
+                            substring(ltrim({_HLL_TAIL}, '0'), 1, 1)) - 1 >= 2 THEN 2
+                           ELSE 3 END) + 1
+         END AS rho
+  FROM hllh)
+SELECT register, CAST(MAX(rho) AS INT) AS max_rho
+FROM hlld GROUP BY register"""
