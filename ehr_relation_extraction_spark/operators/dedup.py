@@ -35,17 +35,22 @@ def exact_dedup(docs: DataFrame) -> DataFrame:
                          (F.col("doc_id") == F.min("doc_id").over(w)).cast("int")))
 
 
-def shingles(docs: DataFrame, k: int = SHINGLE_K) -> DataFrame:
+def shingles(docs: DataFrame, k: int = SHINGLE_K,
+             distinct: bool = True) -> DataFrame:
     """Distinct token k-gram shingles per doc (JVM-side: split +
-    transform over a sliding index range — no UDF)."""
+    transform over a sliding index range — no UDF).
+
+    ``distinct=False`` skips the per-doc dedup shuffle — for
+    idempotent consumers (the HLL sketch's max aggregate, streaming
+    sources where dropDuplicates would pin unbounded state)."""
     toks = F.filter(F.split(F.col("text"), "[\n \t]"), lambda t: t != "")
     n = F.size(toks)
     # sequence(0, -1) would produce a DESCENDING range — guard short docs
     idx = F.when(n >= k, F.sequence(F.lit(0), n - k)).otherwise(
         F.array().cast("array<int>"))
     grams = F.transform(idx, lambda i: F.array_join(F.slice(toks, i + 1, k), " "))
-    return (docs.select("doc_id", F.explode(grams).alias("shingle"))
-            .dropDuplicates(["doc_id", "shingle"]))
+    out = docs.select("doc_id", F.explode(grams).alias("shingle"))
+    return out.dropDuplicates(["doc_id", "shingle"]) if distinct else out
 
 
 def minhash_signatures(sh: DataFrame,

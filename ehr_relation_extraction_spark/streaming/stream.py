@@ -70,3 +70,38 @@ def windowed_event_counts(spark: SparkSession, events_dir: str,
             .trigger(availableNow=True)
             .format("parquet").option("path", out_dir)
             .start())
+
+
+DOCS_DDL = ("doc_id long, text string, lang string, source string, "
+            "n_chars long")
+
+
+def incremental_hll_sketch(spark: SparkSession, docs_dir: str,
+                           checkpoint_dir: str,
+                           query_name: str = "hll_sketch"):
+    """Streaming distinct-shingle cardinality sketch: the SAME
+    register/rank decomposition as ``functions.sketches``
+    (md5-hex-nibble, cross-engine exact) as a streaming groupBy-max.
+
+    This is why HLL is THE streaming cardinality structure: state is
+    one row per register — <= 256 rows TOTAL however long the stream
+    runs (a streaming COUNT(DISTINCT) or dropDuplicates would pin one
+    state row per distinct item, unbounded on a crawl).  The shingle
+    stream deliberately skips the per-doc dedup (``distinct=False``)
+    — max is idempotent, so duplicates cost nothing and no extra
+    state is kept.  Complete-mode memory sink named ``query_name``;
+    restarting on the same checkpoint resumes the register state, so
+    the sketch keeps absorbing new crawl files incrementally.
+
+    Returns the StreamingQuery (caller awaits termination)."""
+    from ..functions.sketches import hll_registers
+    from ..operators.dedup import shingles
+
+    stream = spark.readStream.schema(DOCS_DDL).parquet(docs_dir)
+    sk = hll_registers(
+        shingles(stream, distinct=False).select("shingle"), "shingle")
+    return (sk.writeStream.outputMode("complete")
+            .format("memory").queryName(query_name)
+            .option("checkpointLocation", checkpoint_dir)
+            .trigger(availableNow=True)
+            .start())

@@ -46,3 +46,36 @@ def test_windowed_event_counts(spark, tmp_path):
     # append mode emits only windows older than the watermark; all
     # emitted rows must match the batch oracle exactly
     assert g <= w and len(g) > 0
+
+
+def test_incremental_hll_sketch(spark, tmp_path):
+    """Streaming sketch == batch sketch after each incremental feed:
+    first over the initial crawl files, then — restarting on the same
+    checkpoint — over the union once late files land.  State is the
+    register table itself (bounded at 256 rows)."""
+    from ehr_relation_extraction_spark.functions.sketches import (
+        hll_shingle_sketch)
+    from ehr_relation_extraction_spark.streaming.stream import (
+        incremental_hll_sketch)
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    a = docs.where("doc_id % 2 = 0")
+    b = docs.where("doc_id % 2 = 1")
+    src = str(tmp_path / "docs_src")
+    ckpt = str(tmp_path / "hll_ckpt")
+    a.repartition(4).write.mode("append").parquet(src)
+
+    q = incremental_hll_sketch(spark, src, ckpt, query_name="hll_t1")
+    q.awaitTermination(300)
+    got = sorted(map(tuple, spark.sql(
+        "SELECT register, max_rho FROM hll_t1").collect()))
+    assert got == sorted(map(tuple, hll_shingle_sketch(a).collect()))
+
+    # a later crawl batch lands; restart on the same checkpoint —
+    # the register state resumes and absorbs only the new files
+    b.repartition(3).write.mode("append").parquet(src)
+    q2 = incremental_hll_sketch(spark, src, ckpt, query_name="hll_t2")
+    q2.awaitTermination(300)
+    got2 = sorted(map(tuple, spark.sql(
+        "SELECT register, max_rho FROM hll_t2").collect()))
+    assert got2 == sorted(map(tuple, hll_shingle_sketch(docs).collect()))
