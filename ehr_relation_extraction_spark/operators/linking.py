@@ -451,3 +451,82 @@ def entity_first_seen(linked_mentions: DataFrame) -> DataFrame:
              .agg(F.min(day).cast("long").alias("first_day")))
     return (first.groupBy("first_day")
             .agg(F.count(F.lit(1)).cast("long").alias("n_new_entities")))
+
+
+def synth_typo_surfaces(spark, gazetteer=GAZETTEER) -> DataFrame:
+    """Deterministically-synthesized typo'd OOV surfaces derived from
+    the gazetteer — the fixture-gap pattern (url_canonical,
+    boilerplate_strip): the corpus vocabulary contains no typo-class
+    neighbors of any alias, so the edit-distance linking stage
+    synthesizes its observations IN THE QUERY from md5 arithmetic the
+    DuckDB oracle replays bit-for-bit.  Two single-edit corruptions
+    per alias: delete the character at the md5-chosen position, and
+    duplicate it (one deletion typo, one insertion typo — both at
+    levenshtein distance exactly 1 from the source alias).
+    Output: (surface) — distinct, >= 3 chars, never an exact alias.
+    """
+    gaz = spark.createDataFrame([(a,) for a, _, _ in gazetteer],
+                                "alias string")
+    pos = ("((instr('0123456789abcdef', substring(md5(alias), 1, 1)) - 1)"
+           " % length(alias)) + 1")
+    dele = F.expr(f"concat(substring(alias, 1, {pos} - 1),"
+                  f" substring(alias, {pos} + 1))")
+    dupe = F.expr(f"concat(substring(alias, 1, {pos}),"
+                  f" substring(alias, {pos}, 1),"
+                  f" substring(alias, {pos} + 1))")
+    out = (gaz.select(F.explode(F.array(dele, dupe)).alias("surface"))
+           .where(F.length("surface") >= 3)
+           .dropDuplicates())
+    return out.join(gaz.select(F.col("alias").alias("surface")),
+                    "surface", "left_anti")
+
+
+def edit_verified_aliases(tokens: DataFrame,
+                          gazetteer=GAZETTEER,
+                          max_dist: int = 1) -> DataFrame:
+    """Edit-distance alias linking: candidate-then-verify with
+    levenshtein as the verifier (the second opinion to trigram
+    Jaccard — Jaccard scores n-gram overlap, edit distance scores
+    typo closeness; a transposed/dropped character can score low
+    Jaccard yet be one edit away).
+
+    Observed OOV surfaces = the corpus tail vocabulary (lowercased
+    tokens >= 3 chars not in the gazetteer) UNION the deterministic
+    synthetic typos of :func:`synth_typo_surfaces`.  Blocking is the
+    same broadcast character-trigram posting-list equi-join as
+    ``fuzzy_alias_candidates`` — levenshtein runs ONLY on blocked
+    (surface, alias) pairs, never the vocab x gazetteer product.
+    ASCII surfaces only: Spark's levenshtein counts codepoints,
+    DuckDB's counts bytes — identical on ASCII, so the guard pins
+    both engines to the shared domain.
+
+    Output: (surface, alias, ent_type, canonical_id, edit_dist),
+    one row per verified link with edit_dist <= ``max_dist``.
+    """
+    spark = tokens.sparkSession
+    gaz_alias = spark.createDataFrame(
+        [(a,) for a, _, _ in gazetteer], "surface string")
+    vocab = (tokens.select(F.lower("token").alias("surface"))
+             .where(F.length("surface") >= 3)
+             .dropDuplicates()
+             .join(F.broadcast(gaz_alias), "surface", "left_anti"))
+    surfaces = (vocab.unionByName(synth_typo_surfaces(spark, gazetteer))
+                .dropDuplicates()
+                .where(F.col("surface").rlike("^[ -~]+$")))
+
+    tris = F.array_distinct(F.expr(
+        "transform(sequence(1, length(surface) - 2), "
+        "i -> substring(surface, i, 3))"))
+    s_tri = surfaces.select(
+        "surface", F.explode(tris).alias("tri"))
+    g = F.broadcast(gazetteer_trigrams_df(spark, gazetteer)
+                    .select("tri", "alias", "ent_type", "canonical_id"))
+    cand = (s_tri.join(g, "tri")
+            .select("surface", "alias", "ent_type", "canonical_id")
+            .dropDuplicates())
+    return (cand
+            .withColumn("edit_dist",
+                        F.levenshtein("surface", "alias").cast("int"))
+            .where(F.col("edit_dist") <= max_dist)
+            .select("surface", "alias", "ent_type", "canonical_id",
+                    "edit_dist"))

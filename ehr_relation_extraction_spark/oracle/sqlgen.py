@@ -2735,3 +2735,51 @@ hlld AS (
   FROM hllh)
 SELECT register, CAST(MAX(rho) AS INT) AS max_rho
 FROM hlld GROUP BY register"""
+
+
+# alias_edit_links: edit-distance alias linking
+# (operators/linking.edit_verified_aliases) — observed OOV surfaces =
+# corpus tail vocab UNION deterministic md5-derived typos of the
+# gazetteer (one deletion + one char-duplication per alias, both
+# levenshtein distance 1); trigram blocking; levenshtein verify.
+# ASCII guard keeps Spark (codepoints) and DuckDB (bytes) identical.
+_TYPO_POS = ("((strpos('0123456789abcdef', substring(md5(alias), 1, 1)) - 1)"
+             " % length(alias)) + 1")
+EDIT_LINK_CTES = f"""
+typo AS (
+  SELECT DISTINCT surface FROM (
+    SELECT substring(alias, 1, {_TYPO_POS} - 1)
+           || substring(alias, {_TYPO_POS} + 1) AS surface FROM gaz
+    UNION ALL
+    SELECT substring(alias, 1, {_TYPO_POS})
+           || substring(alias, {_TYPO_POS}, 1)
+           || substring(alias, {_TYPO_POS} + 1) AS surface FROM gaz)
+  WHERE length(surface) >= 3
+    AND surface NOT IN (SELECT alias FROM gaz)),
+ev_vocab AS (
+  SELECT DISTINCT lower(token) AS surface FROM toks
+  WHERE length(lower(token)) >= 3
+    AND lower(token) NOT IN (SELECT alias FROM gaz)),
+ev_surfaces AS (
+  SELECT surface FROM (
+    SELECT surface FROM ev_vocab UNION SELECT surface FROM typo)
+  WHERE regexp_matches(surface, '^[ -~]+$')),
+ev_tri AS (
+  SELECT DISTINCT surface, substring(surface, CAST(i AS INT), 3) AS tri
+  FROM (SELECT surface, unnest(generate_series(1, length(surface) - 2)) AS i
+        FROM ev_surfaces)),
+ev_gaz_tri AS (
+  SELECT DISTINCT alias, ent_type, canonical_id,
+         substring(alias, CAST(i AS INT), 3) AS tri
+  FROM (SELECT alias, ent_type, canonical_id,
+               unnest(generate_series(1, length(alias) - 2)) AS i
+        FROM gaz)),
+ev_cand AS (
+  SELECT DISTINCT s.surface, g.alias, g.ent_type, g.canonical_id
+  FROM ev_tri s JOIN ev_gaz_tri g USING (tri))"""
+
+ORACLE["alias_edit_links"] = _q("""
+SELECT surface, alias, ent_type, canonical_id,
+       CAST(levenshtein(surface, alias) AS INT) AS edit_dist
+FROM ev_cand
+WHERE levenshtein(surface, alias) <= 1""", EDIT_LINK_CTES)

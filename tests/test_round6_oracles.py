@@ -196,6 +196,61 @@ def test_hll_sketch_properties(spark, con):
     assert abs(est - true) / true < 0.20, (est, true)
 
 
+def test_alias_edit_links_oracle(spark, con):
+    """Edit-distance alias linking (trigram-blocked candidates,
+    levenshtein verify, md5-derived synthetic typo surfaces) vs the
+    DuckDB oracle."""
+    from ehr_relation_extraction_spark import driver_queries as dq
+    from ehr_relation_extraction_spark.operators import linking as lk
+    from ehr_relation_extraction_spark.operators import ner
+    from ehr_relation_extraction_spark.oracle.sqlgen import ORACLE
+
+    toks = ner.tokenize_df(dq._frames(spark, SF).pages)
+    ok, msg = compare(lk.edit_verified_aliases(toks),
+                      con.sql(ORACLE["alias_edit_links"]).df())
+    assert ok, msg
+
+
+def test_edit_links_recover_typos(spark):
+    """Every synthetic typo is levenshtein distance EXACTLY 1 from its
+    source alias, and the verified links recover a source-alias link
+    for every blocked typo surface."""
+    from ehr_relation_extraction_spark.config import GAZETTEER
+    from ehr_relation_extraction_spark.operators import linking as lk
+
+    typos = {r["surface"]
+             for r in lk.synth_typo_surfaces(spark).collect()}
+    assert typos and all(s not in {a for a, _, _ in GAZETTEER}
+                         for s in typos)
+
+    def lev(a, b):
+        prev = list(range(len(b) + 1))
+        for i, ca in enumerate(a, 1):
+            cur = [i]
+            for j, cb in enumerate(b, 1):
+                cur.append(min(prev[j] + 1, cur[-1] + 1,
+                               prev[j - 1] + (ca != cb)))
+            prev = cur
+        return prev[-1]
+
+    aliases = [a for a, _, _ in GAZETTEER]
+    assert all(min(lev(s, a) for a in aliases) == 1 for s in typos)
+
+    empty_toks = spark.createDataFrame([], "token string")
+    got = lk.edit_verified_aliases(empty_toks).collect()
+    linked_surfaces = {r["surface"] for r in got}
+    # every link the operator emits is a true distance<=1 pair
+    assert all(lev(r["surface"], r["alias"]) == r["edit_dist"] == 1
+               for r in got)
+    # and blocked typo surfaces (sharing >= 1 trigram) are recovered
+    from ehr_relation_extraction_spark.operators.linking import (
+        _char_trigrams)
+    blockable = {s for s in typos
+                 if any(set(_char_trigrams(s)) & set(_char_trigrams(a))
+                        for a in aliases)}
+    assert blockable <= linked_surfaces
+
+
 def test_ivfpq_codes_oracle(spark, con):
     """The composed IVF-PQ index row (coarse cell + m residual PQ
     codes) vs the DuckDB oracle that chains the registered ivf_assign
