@@ -537,6 +537,113 @@ def run_suffix_scale(sf_dir: str, cpus: int) -> None:
     }))
 
 
+def run_graph(sf_dir: str, cpus: int) -> None:
+    """Graph-stack bench: the nine graph algorithms, best-of-K per op
+    on one session.  The production entity graph is gazetteer-bounded
+    (15 canonical nodes at every sf — its cost is the LINKING
+    fixpoint, reported once as entity_graph_build_sec), so algorithm
+    cost is measured on a deterministic synthetic link graph sized
+    from the corpus: n = doc_count x SPARK_GRAFT_GRAPH_REP nodes,
+    out_deg md5-derived out-edges per node (90% uniform targets, 10%
+    into a n/64 hub set, giving web-like skewed in-degree and real
+    triangle structure).  Every op is shuffle-bounded (log-round CC,
+    fixed-round peels/propagation, per-step joins for BFS/walks); the
+    table records per-round cost at a real edge count."""
+    import time as _t
+
+    from pyspark.sql import functions as F
+
+    from ehr_relation_extraction_spark import driver_queries as dq
+    from ehr_relation_extraction_spark.operators import linking as lk
+    from ehr_relation_extraction_spark.operators.graph_algos import (
+        bfs_distances, k_core, k_truss, label_propagation,
+        pagerank_fixed, random_walks, triangle_counts,
+        update_components)
+    from ehr_relation_extraction_spark.session import get_spark
+
+    trials = int(os.environ.get("SPARK_GRAFT_BENCH_TRIALS", "4"))
+    rep = int(os.environ.get("SPARK_GRAFT_GRAPH_REP", "20"))
+    out_deg = int(os.environ.get("SPARK_GRAFT_GRAPH_DEG", "8"))
+    spark = get_spark(app_name="bench-graph", master=f"local[{cpus}]",
+                      shuffle_partitions=cpus)
+
+    # the production path, timed once: linking fixpoint -> entity graph
+    t0 = _t.time()
+    _, linked, _ = dq._linked(spark, sf_dir)
+    ent_edges = lk.overlap_edges(linked)
+    ent_nodes = linked.select(
+        F.col("canonical_id").alias("node")).dropDuplicates()
+    ent_sizes = {"nodes": ent_nodes.count(),
+                 "edges": ent_edges.count()}
+    build_sec = round(_t.time() - t0, 3)
+
+    n_docs = spark.read.parquet(f"{sf_dir}/documents.parquet").count()
+    n = n_docs * rep
+    hubs = max(n // 64, 1)
+    dst = F.when(
+        F.pmod(F.xxhash64(F.col("id"), F.col("j"), F.lit("hub")),
+               F.lit(10)) == 0,
+        F.abs(F.xxhash64(F.col("id"), F.col("j"), F.lit("t"))) % hubs
+    ).otherwise(F.abs(F.xxhash64(F.col("id"), F.col("j"))) % n)
+    # node ids as strings — the production node type (canonical_id)
+    directed = (spark.range(n)
+                .select("id", F.explode(F.sequence(
+                    F.lit(0), F.lit(out_deg - 1))).alias("j"))
+                .select(F.col("id").alias("s"), dst.alias("d"))
+                .where(F.col("s") != F.col("d"))
+                .select(F.col("s").cast("string").alias("src"),
+                        F.col("d").cast("string").alias("dst"))
+                .repartition(cpus).localCheckpoint())
+    und = (directed.select(F.least("src", "dst").alias("src"),
+                           F.greatest("src", "dst").alias("dst"))
+           .dropDuplicates().localCheckpoint())
+    nodes = spark.range(n).select(
+        F.col("id").cast("string").alias("node")).localCheckpoint()
+    sizes = {"nodes": n, "directed_edges": directed.count(),
+             "und_edges": und.count(), "hubs": hubs}
+    is_new = F.pmod(F.xxhash64("src", "dst"), F.lit(4)) == 0
+    old_assign = lk.connected_components(
+        und.where(~is_new), nodes).localCheckpoint()
+    ops = {
+        "cc": lambda: lk.connected_components(und, nodes),
+        # incremental maintenance only: fold the new 1/4 into the
+        # prebuilt old-3/4 assignment (the steady-state daily cost)
+        "cc_update": lambda: update_components(
+            old_assign, und.where(is_new)),
+        "lpa5": lambda: label_propagation(und, nodes, n_rounds=5),
+        "pagerank5": lambda: pagerank_fixed(directed, n_iter=5),
+        "bfs": lambda: bfs_distances(directed, "0"),
+        "triangles": lambda: triangle_counts(und),
+        "kcore8": lambda: k_core(und, nodes, k=out_deg, n_rounds=8),
+        "ktruss3": lambda: k_truss(und, k=3, n_rounds=3),
+        "walks": lambda: random_walks(directed, nodes, walk_len=4,
+                                      walks_per_node=2),
+    }
+    timings: dict[str, float] = {}
+    counts: dict[str, int] = {}
+    for _ in range(trials):
+        for name, fn in ops.items():
+            t0 = _t.time()
+            counts[name] = fn().count()
+            dt = round(_t.time() - t0, 3)
+            if name not in timings or dt < timings[name]:
+                timings[name] = dt
+    spark.stop()
+    print(json.dumps({
+        "metric": "graph_suite_sec",
+        "value": round(sum(timings.values()), 3), "unit": "sec",
+        "ops": timings, "counts": counts, "graph": sizes,
+        "entity_graph": ent_sizes,
+        "entity_graph_build_sec": build_sec, "sf": sf_of(sf_dir),
+        "note": f"best of {trials} trials per op, local[{cpus}]; "
+                f"synthetic md5-derived link graph, rep={rep}, "
+                f"out_deg={out_deg}; cc_update times the incremental "
+                "fold only (old-3/4 assignment prebuilt); entity "
+                "graph (gazetteer-bounded) timed once in "
+                "entity_graph_build_sec",
+    }))
+
+
 def run_skew(sf_dir: str, cpus: int) -> None:
     """Skewed-host robustness bench (SURVEY §5.2 item 4): the fused
     triples job on a uniform corpus vs one where a single host owns
@@ -628,6 +735,10 @@ def main() -> None:
 
     if "--suffix-scale" in sys.argv:
         run_suffix_scale(sf_dir, cpus)
+        return
+
+    if "--graph" in sys.argv:
+        run_graph(sf_dir, cpus)
         return
 
     r = run_suite(sf_dir, master, cpus)

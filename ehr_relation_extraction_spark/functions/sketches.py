@@ -1,4 +1,4 @@
-"""Mergeable cardinality sketches — deterministic HyperLogLog.
+"""Mergeable sketches — deterministic HyperLogLog + count-min.
 
 HyperLogLog (Flajolet et al., AofA'07) over a DETERMINISTIC
 md5-derived (register, rank) decomposition, so unlike Spark's
@@ -34,7 +34,20 @@ import math
 from pyspark.sql import DataFrame, functions as F
 
 HLL_NIBBLES = 2  # 256 registers; standard error ~1.04/sqrt(256) = 6.5%
+CM_DEPTH = 4     # count-min hash rows
+CM_NIBBLES = 2   # 256 columns per row -> 1024 counters total
 _HEX = "0123456789abcdef"
+
+
+def _nibble_value(h_col: str, start: int, n_nib: int):
+    """Integer value of ``n_nib`` hex nibbles of column ``h_col``
+    starting at 1-based position ``start`` — the shared md5-hex
+    arithmetic both engines reproduce byte-for-byte."""
+    v = None
+    for i in range(start, start + n_nib):
+        nib = F.expr(f"instr('{_HEX}', substring({h_col}, {i}, 1)) - 1")
+        v = nib if v is None else v * 16 + nib
+    return v
 
 
 def hll_registers(items: DataFrame, col: str,
@@ -47,10 +60,7 @@ def hll_registers(items: DataFrame, col: str,
     """
     h = F.md5(F.col(col).cast("string")).alias("_h")
     d = items.where(F.col(col).isNotNull()).select(h)
-    reg = None
-    for i in range(1, n_nib + 1):
-        v = F.expr(f"instr('{_HEX}', substring(_h, {i}, 1)) - 1")
-        reg = v if reg is None else reg * 16 + v
+    reg = _nibble_value("_h", 1, n_nib)
     tail = f"substring(_h, {n_nib + 1}, 12)"
     z = F.expr(f"trim(LEADING '0' FROM {tail})")
     first = F.expr(
@@ -116,3 +126,106 @@ def hll_shingle_sketch(docs: DataFrame,
 
     return hll_registers(shingles(docs).select("shingle"),
                          "shingle", n_nib)
+
+
+def cm_registers(items: DataFrame, col: str, depth: int = CM_DEPTH,
+                 n_nib: int = CM_NIBBLES) -> DataFrame:
+    """Count-min sketch (Cormode & Muthukrishnan, J.Alg'05) of the
+    ``items[col]`` stream as a (cm_row, cm_col, cnt) TABLE of at most
+    depth * 16^n_nib rows.
+
+    Each item lands in one column per hash row; the column is the
+    first ``n_nib`` nibbles of the SALTED hash md5(row || ':' ||
+    item), so the rows are independent hash functions derived from
+    the same deterministic primitive the HLL/minhash oracles replay.
+    Plan shape: a ``depth``-way explode (sequence, no shuffle) into
+    ONE hash-aggregate with map-side combine — the only reduced state
+    is the <=1024-row counter table, which per-shard sketches merge
+    into by elementwise addition (:func:`cm_merge`).  NULL items are
+    dropped; every item counts 1 (pre-weight upstream if needed).
+    """
+    d = items.where(F.col(col).isNotNull()).select(
+        F.col(col).cast("string").alias("_it"),
+        F.explode(F.sequence(F.lit(0), F.lit(depth - 1))).alias("cm_row"))
+    h = F.md5(F.concat(F.col("cm_row").cast("string"),
+                       F.lit(":"), F.col("_it")))
+    return (d.select(F.col("cm_row").cast("int"), h.alias("_h"))
+            .select("cm_row",
+                    _nibble_value("_h", 1, n_nib).cast("int").alias("cm_col"))
+            .groupBy("cm_row", "cm_col")
+            .agg(F.count(F.lit(1)).alias("cnt")))
+
+
+def cm_merge(*sketches: DataFrame) -> DataFrame:
+    """Union counters, sum per cell — sketch(A) merge sketch(B) ==
+    sketch(A ++ B) exactly (sums are associative/commutative).  The
+    shard-combine step: one tiny aggregate over <=1024-row tables."""
+    out = sketches[0]
+    for s in sketches[1:]:
+        out = out.unionByName(s)
+    return (out.groupBy("cm_row", "cm_col")
+            .agg(F.sum("cnt").cast("long").alias("cnt")))
+
+
+def cm_lookup(sketch: DataFrame, probes: DataFrame, col: str,
+              depth: int = CM_DEPTH,
+              n_nib: int = CM_NIBBLES) -> DataFrame:
+    """Point-query the sketch for every probe item: est_cnt =
+    min over hash rows of the counter each salted hash hits (0 if a
+    row's cell is absent).  Never underestimates the true count;
+    overestimates only on column collisions (bounded by the classic
+    eps = e/width guarantee at the default 4x256 geometry).
+
+    The sketch side is <= depth * 16^n_nib rows by construction, so
+    it is explicitly broadcast — probing N items is a map-side join +
+    one (item) min-aggregate, no matter how large the probe set."""
+    from pyspark.sql.functions import broadcast
+
+    d = probes.where(F.col(col).isNotNull()).select(
+        F.col(col).alias("item"),
+        F.explode(F.sequence(F.lit(0), F.lit(depth - 1))).alias("cm_row"))
+    h = F.md5(F.concat(F.col("cm_row").cast("string"), F.lit(":"),
+                       F.col("item").cast("string")))
+    keyed = d.select("item", F.col("cm_row").cast("int"),
+                     h.alias("_h")).select(
+        "item", "cm_row",
+        _nibble_value("_h", 1, n_nib).cast("int").alias("cm_col"))
+    return (keyed.join(broadcast(sketch), ["cm_row", "cm_col"], "left")
+            .groupBy("item")
+            .agg(F.min(F.coalesce(F.col("cnt"), F.lit(0)))
+                 .cast("long").alias("est_cnt")))
+
+
+def cm_token_sketch(docs: DataFrame, depth: int = CM_DEPTH,
+                    n_nib: int = CM_NIBBLES) -> DataFrame:
+    """Token-frequency sketch of a corpus: the whitespace token
+    stream (same split as the quality features) counted into a
+    count-min table.  The 100 TB question this answers without a
+    full token groupBy: "roughly how often does token X appear in
+    shard/day Y" for ANY X chosen later, from <=1024 stored rows per
+    shard."""
+    toks = (docs.select(F.explode(
+        F.filter(F.split(F.col("text"), "[\n \t]"),
+                 lambda t: t != "")).alias("tok")))
+    return cm_registers(toks, "tok", depth, n_nib)
+
+
+def cm_token_estimates(docs: DataFrame, depth: int = CM_DEPTH,
+                       n_nib: int = CM_NIBBLES) -> DataFrame:
+    """Sketch-vs-truth audit row per distinct token: build the token
+    sketch, point-query it for every distinct token, and join the
+    true corpus count — (item, est_cnt, true_cnt) with est_cnt >=
+    true_cnt guaranteed.  This is the accuracy-evidence query for the
+    sketch (and, at scale, the audit you run on one shard before
+    trusting merged sketches corpus-wide; the probe set is
+    vocabulary-sized, and cm_lookup stays map-side however large it
+    grows)."""
+    toks = (docs.select(F.explode(
+        F.filter(F.split(F.col("text"), "[\n \t]"),
+                 lambda t: t != "")).alias("tok")))
+    sketch = cm_registers(toks, "tok", depth, n_nib)
+    probes = toks.select(F.col("tok").alias("item")).dropDuplicates()
+    est = cm_lookup(sketch, probes, "item", depth, n_nib)
+    true_cnt = (toks.groupBy(F.col("tok").alias("item"))
+                .agg(F.count(F.lit(1)).cast("long").alias("true_cnt")))
+    return est.join(true_cnt, "item")

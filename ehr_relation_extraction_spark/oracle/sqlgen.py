@@ -2737,6 +2737,80 @@ SELECT register, CAST(MAX(rho) AS INT) AS max_rho
 FROM hlld GROUP BY register"""
 
 
+# cm_tokens: the count-min sketch counter table of the whitespace
+# token stream (functions/sketches.cm_token_sketch, depth 4 x 256
+# cols) — salted hash md5(row || ':' || tok), column = first 2
+# nibbles, same hex arithmetic as the HLL/minhash oracles.
+ORACLE["cm_tokens"] = """
+WITH cmts AS (
+  SELECT list_filter(string_split_regex(text, '[\\n \\t]'),
+                     t -> t <> '') AS ts
+  FROM documents),
+cmtok AS (
+  SELECT ts[CAST(i AS INT)] AS tok
+  FROM cmts, unnest(generate_series(1, len(ts))) AS t(i)),
+cmrows AS (
+  SELECT tok, CAST(r AS INT) AS cm_row
+  FROM cmtok, unnest(generate_series(0, 3)) AS g(r)),
+cmh AS (
+  SELECT cm_row,
+         md5(CAST(cm_row AS VARCHAR) || ':' || tok) AS _h
+  FROM cmrows)
+SELECT cm_row,
+       CAST((strpos('0123456789abcdef', substring(_h, 1, 1)) - 1) * 16
+          + (strpos('0123456789abcdef', substring(_h, 2, 1)) - 1)
+       AS INT) AS cm_col,
+       CAST(COUNT(*) AS BIGINT) AS cnt
+FROM cmh GROUP BY 1, 2"""
+
+
+# cm_token_est: point-queries of the cm_tokens sketch for every
+# distinct token (a vocabulary-sized deterministic probe set),
+# alongside the true corpus count — est_cnt = min over the 4 hash
+# rows, so est_cnt >= true_cnt always and equality whenever no other
+# token collides into all four of a token's cells.
+ORACLE["cm_token_est"] = """
+WITH cmts AS (
+  SELECT list_filter(string_split_regex(text, '[\\n \\t]'),
+                     t -> t <> '') AS ts
+  FROM documents),
+cmtok AS (
+  SELECT ts[CAST(i AS INT)] AS tok
+  FROM cmts, unnest(generate_series(1, len(ts))) AS t(i)),
+cmrows AS (
+  SELECT tok, CAST(r AS INT) AS cm_row
+  FROM cmtok, unnest(generate_series(0, 3)) AS g(r)),
+cmcells AS (
+  SELECT cm_row,
+         CAST((strpos('0123456789abcdef', substring(_h, 1, 1)) - 1) * 16
+            + (strpos('0123456789abcdef', substring(_h, 2, 1)) - 1)
+         AS INT) AS cm_col,
+         CAST(COUNT(*) AS BIGINT) AS cnt
+  FROM (SELECT cm_row,
+               md5(CAST(cm_row AS VARCHAR) || ':' || tok) AS _h
+        FROM cmrows)
+  GROUP BY 1, 2),
+probes AS (
+  SELECT DISTINCT tok AS item FROM cmtok),
+pcells AS (
+  SELECT item, cm_row,
+         CAST((strpos('0123456789abcdef', substring(_h, 1, 1)) - 1) * 16
+            + (strpos('0123456789abcdef', substring(_h, 2, 1)) - 1)
+         AS INT) AS cm_col
+  FROM (SELECT item, CAST(r AS INT) AS cm_row,
+               md5(CAST(r AS VARCHAR) || ':' || item) AS _h
+        FROM probes, unnest(generate_series(0, 3)) AS g(r))),
+est AS (
+  SELECT item, CAST(MIN(COALESCE(c.cnt, 0)) AS BIGINT) AS est_cnt
+  FROM pcells p LEFT JOIN cmcells c USING (cm_row, cm_col)
+  GROUP BY item),
+truec AS (
+  SELECT tok AS item, CAST(COUNT(*) AS BIGINT) AS true_cnt
+  FROM cmtok GROUP BY tok)
+SELECT e.item, e.est_cnt, t.true_cnt
+FROM est e JOIN truec t USING (item)"""
+
+
 # alias_edit_links: edit-distance alias linking
 # (operators/linking.edit_verified_aliases) — observed OOV surfaces =
 # corpus tail vocab UNION deterministic md5-derived typos of the

@@ -196,6 +196,61 @@ def test_hll_sketch_properties(spark, con):
     assert abs(est - true) / true < 0.20, (est, true)
 
 
+def test_cm_tokens_oracle(spark, con):
+    """Count-min counter table of the whitespace token stream vs the
+    DuckDB oracle replaying the salted md5(row || ':' || tok) column
+    arithmetic."""
+    from ehr_relation_extraction_spark.functions.sketches import (
+        cm_token_sketch)
+    from ehr_relation_extraction_spark.oracle.sqlgen import ORACLE
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    ok, msg = compare(cm_token_sketch(docs),
+                      con.sql(ORACLE["cm_tokens"]).df())
+    assert ok, msg
+
+
+def test_cm_token_est_oracle(spark, con):
+    """Point-query audit (est_cnt vs true_cnt for every distinct
+    token) matches the DuckDB oracle value-exact."""
+    from ehr_relation_extraction_spark.functions.sketches import (
+        cm_token_estimates)
+    from ehr_relation_extraction_spark.oracle.sqlgen import ORACLE
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    ok, msg = compare(cm_token_estimates(docs),
+                      con.sql(ORACLE["cm_token_est"]).df())
+    assert ok, msg
+
+
+def test_cm_sketch_properties(spark):
+    """The sketch is a real count-min: shard sketches MERGE to
+    exactly the full-corpus sketch (union+sum), the counter table is
+    partition-invariant and <= depth*256 rows, total mass = depth *
+    token count, est_cnt never underestimates, and at the 4x256
+    geometry the vast majority of rare probes resolve exactly."""
+    from ehr_relation_extraction_spark.functions.sketches import (
+        cm_merge, cm_token_estimates, cm_token_sketch)
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    full = sorted(map(tuple, cm_token_sketch(docs).collect()))
+    assert full and len(full) <= 4 * 256
+    n_toks = docs.selectExpr(
+        "size(filter(split(text, '[\\n \\t]'), t -> t <> '')) AS n"
+    ).groupBy().sum("n").collect()[0][0]
+    assert sum(c for _, _, c in full) == 4 * n_toks
+    halves = cm_merge(
+        cm_token_sketch(docs.where("doc_id % 2 = 0")),
+        cm_token_sketch(docs.where("doc_id % 2 = 1")))
+    assert sorted(map(tuple, halves.collect())) == full
+    assert sorted(map(tuple, cm_token_sketch(
+        docs.repartition(7)).collect())) == full
+    audit = cm_token_estimates(docs).collect()
+    assert audit and all(r.est_cnt >= r.true_cnt for r in audit)
+    exact = sum(1 for r in audit if r.est_cnt == r.true_cnt)
+    assert exact / len(audit) >= 0.9, (exact, len(audit))
+
+
 def test_alias_edit_links_oracle(spark, con):
     """Edit-distance alias linking (trigram-blocked candidates,
     levenshtein verify, md5-derived synthetic typo surfaces) vs the
