@@ -730,3 +730,46 @@ def cut_duplicated_spans(docs: DataFrame, win: int = 20,
                        & (F.col("doc_id") != F.col("_keep_doc")))
                 .select("doc_id", "win_start").dropDuplicates())
     return apply_cut_spans(docs, merge_cut_windows(cut_wins, win))
+
+
+def textrank_keywords(docs: DataFrame, window: int = 2,
+                      n_iter: int = 5,
+                      damping_pct: int = 85) -> DataFrame:
+    """TextRank keyword scores (Mihalcea & Tarau, EMNLP'04): PageRank
+    over the token co-occurrence graph — token nodes, an undirected
+    edge per pair of tokens within ``window`` positions, edge weight =
+    corpus-wide co-occurrence count.
+
+    Composition, not a new engine: the co-occurrence edges come from
+    ``lead()`` windows (one doc_id shuffle, NO token self-join), then
+    :func:`..operators.graph_algos.pagerank_fixed` runs its integer
+    fixed-point recurrence, so the score table is bit-exact
+    cross-engine (the DuckDB oracle unrolls the same rounds) and
+    partition-invariant.  Returns (token, rank_micro6) — corpus
+    keywords are the top rank_micro6 rows; at 100 TB the graph is
+    vocabulary-sized (edges bounded by distinct co-occurring pairs),
+    tiny next to the corpus that produced it.
+    """
+    from pyspark.sql import Window
+
+    from ..operators.graph_algos import pagerank_fixed
+
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    toks = docs.select(
+        "doc_id", F.posexplode(_toks()).alias("pos", "tok"))
+    nbrs = toks.select("tok", F.array(
+        *[F.lead("tok", k).over(w) for k in range(1, window + 1)]
+    ).alias("_nbrs"))
+    pair = (nbrs.select("tok", F.explode("_nbrs").alias("nbr"))
+            .where(F.col("nbr").isNotNull()
+                   & (F.col("nbr") != F.col("tok"))))
+    und = (pair.select(F.least("tok", "nbr").alias("a"),
+                       F.greatest("tok", "nbr").alias("b"))
+           .groupBy("a", "b")
+           .agg(F.count(F.lit(1)).cast("long").alias("weight")))
+    sym = (und.select(F.col("a").alias("src"), F.col("b").alias("dst"),
+                      "weight")
+           .union(und.select(F.col("b").alias("src"),
+                             F.col("a").alias("dst"), "weight")))
+    return (pagerank_fixed(sym, damping_pct=damping_pct, n_iter=n_iter)
+            .select(F.col("node").alias("token"), "rank_micro6"))

@@ -2670,6 +2670,107 @@ FROM comention e LEFT JOIN truss{KTRUSS_ROUNDS} t
     LINK_CTES, COMENTION_CTES.strip(), _ktruss_sql(KTRUSS_ROUNDS, KTRUSS_K))
 
 
+def _pr_chain(p: str, n_iter: int = 5, damping_pct: int = 85,
+              scale: int = 10**12) -> str:
+    """The pagerank_fixed integer recurrence unrolled as chained CTEs
+    over an ARBITRARY prelude edge table ``{p}e(src, dst, weight)`` —
+    the _pagerank_sql recurrence with prefixed CTE names, so any
+    operator that composes pagerank_fixed over its own graph (e.g.
+    textrank) gets an exact oracle by concatenation.  Emits
+    {p}n/{p}cnt/{p}out/{p}pr0..{p}pr{n_iter}; the caller selects from
+    {p}pr{n_iter}."""
+    base_u = (f"(SELECT ((({100 - damping_pct} * {scale}) // 100)) // n"
+              f" FROM {p}cnt)")
+    blocks = [f"""{p}n AS MATERIALIZED (
+  SELECT DISTINCT node FROM (
+    SELECT src AS node FROM {p}e UNION ALL SELECT dst FROM {p}e)),
+{p}cnt AS MATERIALIZED (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM {p}n),
+{p}out AS MATERIALIZED (
+  SELECT src, CAST(SUM(weight) AS BIGINT) AS out_w FROM {p}e GROUP BY 1),
+{p}pr0 AS MATERIALIZED (
+  SELECT node, CAST((SELECT {scale} // n FROM {p}cnt) AS BIGINT) AS rank_u
+  FROM {p}n)"""]
+    for i in range(1, n_iter + 1):
+        blocks.append(f"""{p}d{i} AS MATERIALIZED (
+  SELECT CAST(COALESCE(SUM(r.rank_u), 0) AS BIGINT) AS dang
+  FROM {p}pr{i - 1} r WHERE r.node NOT IN (SELECT src FROM {p}out)),
+{p}pr{i} AS MATERIALIZED (
+  SELECT n2.node,
+         CAST({base_u}
+              + (({damping_pct} * (COALESCE(c.in_u, 0)
+                   + (SELECT (SELECT dang FROM {p}d{i}) // n
+                      FROM {p}cnt))) // 100)
+           AS BIGINT) AS rank_u
+  FROM {p}n n2 LEFT JOIN (
+    SELECT e.dst AS node,
+           CAST(SUM((r.rank_u * e.weight) // o.out_w) AS BIGINT) AS in_u
+    FROM {p}e e JOIN {p}out o ON e.src = o.src
+    JOIN {p}pr{i - 1} r ON r.node = e.src
+    GROUP BY 1) c ON n2.node = c.node)""")
+    return ",\n".join(blocks)
+
+
+# textrank_tokens: TextRank keyword scores — integer fixed-point
+# PageRank (the pagerank_fixed recurrence, rounds unrolled via
+# _pr_chain) over the token co-occurrence graph (undirected edge per
+# token pair within 2 positions, weight = corpus co-occurrence count;
+# lead() windows both sides, no token self-join).
+ORACLE["textrank_tokens"] = f"""
+WITH tr_ts AS (
+  SELECT doc_id, list_filter(string_split_regex(text, '[\\n \\t]'),
+                             t -> t <> '') AS ts
+  FROM documents),
+tr_tok AS (
+  SELECT doc_id, CAST(i AS INT) AS pos, ts[CAST(i AS INT)] AS tok
+  FROM tr_ts, unnest(generate_series(1, len(ts))) AS t(i)),
+tr_nbr AS (
+  SELECT tok, lead(tok, 1) OVER w AS l1, lead(tok, 2) OVER w AS l2
+  FROM tr_tok WINDOW w AS (PARTITION BY doc_id ORDER BY pos)),
+tr_pair AS (
+  SELECT least(tok, nbr) AS a, greatest(tok, nbr) AS b
+  FROM (SELECT tok, l1 AS nbr FROM tr_nbr
+        UNION ALL SELECT tok, l2 FROM tr_nbr)
+  WHERE nbr IS NOT NULL AND nbr <> tok),
+tr_und AS MATERIALIZED (
+  SELECT a, b, CAST(COUNT(*) AS BIGINT) AS weight
+  FROM tr_pair GROUP BY 1, 2),
+tr_e AS MATERIALIZED (
+  SELECT a AS src, b AS dst, weight FROM tr_und
+  UNION ALL SELECT b AS src, a AS dst, weight FROM tr_und),
+{_pr_chain('tr_')}
+SELECT node AS token, CAST(rank_u // 1000000 AS BIGINT) AS rank_micro6
+FROM tr_pr5"""
+
+
+# link_pred: link-prediction scores over the entity co-mention graph
+# (graph_algos.link_prediction) — every non-edge 2-hop pair with its
+# common-neighbor count and floor-scaled neighborhood Jaccard; the
+# wedge join / anti-join / degree arithmetic replayed in SQL, all
+# BIGINT so the // matches Spark's DIV exactly.
+ORACLE["link_pred"] = _q(
+    """
+SELECT n.src, n.dst, n.cn,
+       CAST((n.cn * 1000000) // (da.deg + db.deg - n.cn) AS BIGINT)
+         AS jaccard_micro6
+FROM lpnon n
+JOIN lpdeg da ON n.src = da.node
+JOIN lpdeg db ON n.dst = db.node""",
+    LINK_CTES, COMENTION_CTES.strip(), """
+lpdeg AS MATERIALIZED (
+  SELECT src AS node, CAST(COUNT(*) AS BIGINT) AS deg
+  FROM com_sym GROUP BY src),
+lpcand AS MATERIALIZED (
+  SELECT e1.dst AS src, e2.dst AS dst, CAST(COUNT(*) AS BIGINT) AS cn
+  FROM com_sym e1 JOIN com_sym e2
+    ON e1.src = e2.src AND e1.dst < e2.dst
+  GROUP BY 1, 2),
+lpnon AS (
+  SELECT c.src, c.dst, c.cn
+  FROM lpcand c LEFT JOIN comention e
+    ON c.src = e.src AND c.dst = e.dst
+  WHERE e.src IS NULL)""".strip())
+
+
 def _walks_sql(walk_len: int = 4, walks_per_node: int = 2) -> str:
     """Deterministic DeepWalk corpus, steps unrolled as chained CTEs
     (graph_algos.random_walks semantics: next hop = the neighbor

@@ -105,3 +105,34 @@ def incremental_hll_sketch(spark: SparkSession, docs_dir: str,
             .option("checkpointLocation", checkpoint_dir)
             .trigger(availableNow=True)
             .start())
+
+
+def incremental_cm_sketch(spark: SparkSession, docs_dir: str,
+                          checkpoint_dir: str,
+                          query_name: str = "cm_sketch"):
+    """Streaming token-frequency count-min sketch: the SAME salted
+    md5 counter decomposition as ``functions.sketches.cm_registers``
+    as a streaming groupBy-count.
+
+    The frequency-side twin of :func:`incremental_hll_sketch`: state
+    is one row per (hash row, column) — <= 1024 rows TOTAL however
+    long the crawl runs, where a streaming per-token groupBy would
+    pin one state row per distinct token.  Counts are additive, so
+    restarting on the same checkpoint resumes the counter state and
+    absorbs only new crawl files; the resumed sketch equals the batch
+    sketch over the union exactly.  Complete-mode memory sink named
+    ``query_name``.
+
+    Returns the StreamingQuery (caller awaits termination)."""
+    from ..functions.sketches import cm_registers
+
+    stream = spark.readStream.schema(DOCS_DDL).parquet(docs_dir)
+    toks = stream.select(F.explode(
+        F.filter(F.split(F.col("text"), "[\n \t]"),
+                 lambda t: t != "")).alias("tok"))
+    sk = cm_registers(toks, "tok")
+    return (sk.writeStream.outputMode("complete")
+            .format("memory").queryName(query_name)
+            .option("checkpointLocation", checkpoint_dir)
+            .trigger(availableNow=True)
+            .start())

@@ -196,6 +196,75 @@ def test_hll_sketch_properties(spark, con):
     assert abs(est - true) / true < 0.20, (est, true)
 
 
+def test_link_pred_oracle(spark, con):
+    """Link-prediction scores (non-edge 2-hop pairs: common-neighbor
+    count + floor-scaled Jaccard) over the co-mention graph vs the
+    DuckDB wedge-join replay."""
+    from ehr_relation_extraction_spark.operators.graph_algos import (
+        link_prediction)
+    from ehr_relation_extraction_spark.oracle.sqlgen import ORACLE
+
+    edges, _ = _comention_graph(spark)
+    ok, msg = compare(link_prediction(edges),
+                      con.sql(ORACLE["link_pred"]).df())
+    assert ok, msg
+
+
+def test_link_prediction_semantics(spark):
+    """Hand-checked graph: path a-b-c-d plus hub h wired to all.
+    Candidates are exactly the non-edges with a shared neighbor;
+    max_deg drops wedges THROUGH hubs but hub degrees still count."""
+    from ehr_relation_extraction_spark.operators.graph_algos import (
+        link_prediction)
+
+    edges = spark.createDataFrame(
+        [("a", "b"), ("b", "c"), ("c", "d"),
+         ("h", "a"), ("h", "b"), ("h", "c"), ("h", "d")],
+        "src string, dst string")
+    got = {(r.src, r.dst): (r.cn, r.jaccard_micro6)
+           for r in link_prediction(edges).collect()}
+    # a: {b,h}, b: {a,c,h}, c: {b,d,h}, d: {c,h}
+    # non-edges: (a,c) cn={b,h}=2 deg 2+3 -> 2e6//3
+    #            (a,d) cn={h}=1  deg 2+2 -> 1e6//3
+    #            (b,d) cn={c,h}=2 deg 3+2 -> 2e6//3
+    assert got == {("a", "c"): (2, 2000000 // 3),
+                   ("a", "d"): (1, 1000000 // 3),
+                   ("b", "d"): (2, 2000000 // 3)}
+    # cap at deg<=2: only a and d survive as pivots -> wedges through
+    # b, c, h vanish; (a,d) keeps no pivot (its only common nbr is h)
+    got_cap = {(r.src, r.dst) for r in
+               link_prediction(edges, max_deg=2).collect()}
+    assert got_cap == set()
+
+
+def test_textrank_oracle(spark, con):
+    """TextRank keyword scores (integer fixed-point PageRank over the
+    token co-occurrence graph) vs the DuckDB oracle unrolling the
+    same 5 rounds over the same lead()-window edges."""
+    from ehr_relation_extraction_spark.functions.textstats import (
+        textrank_keywords)
+    from ehr_relation_extraction_spark.oracle.sqlgen import ORACLE
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    ok, msg = compare(textrank_keywords(docs),
+                      con.sql(ORACLE["textrank_tokens"]).df())
+    assert ok, msg
+
+
+def test_textrank_partition_invariance(spark):
+    """The score table is a pure function of the corpus: identical
+    under repartitioning, and every token of the corpus gets a row."""
+    from ehr_relation_extraction_spark.functions.textstats import (
+        textrank_keywords)
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    a = sorted(map(tuple, textrank_keywords(docs).collect()))
+    b = sorted(map(tuple, textrank_keywords(
+        docs.repartition(7)).collect()))
+    assert a == b and len(a) > 0
+    assert len({t for t, _ in a}) == len(a)  # one row per token
+
+
 def test_cm_tokens_oracle(spark, con):
     """Count-min counter table of the whitespace token stream vs the
     DuckDB oracle replaying the salted md5(row || ':' || tok) column

@@ -79,3 +79,34 @@ def test_incremental_hll_sketch(spark, tmp_path):
     got2 = sorted(map(tuple, spark.sql(
         "SELECT register, max_rho FROM hll_t2").collect()))
     assert got2 == sorted(map(tuple, hll_shingle_sketch(docs).collect()))
+
+
+def test_incremental_cm_sketch(spark, tmp_path):
+    """Streaming count-min sketch == batch sketch after each
+    incremental feed: counts are additive, so the checkpoint-resumed
+    stream over crawl files a then a+b equals the batch sketch over
+    the union.  State is the counter table itself (<= 1024 rows)."""
+    from ehr_relation_extraction_spark.functions.sketches import (
+        cm_token_sketch)
+    from ehr_relation_extraction_spark.streaming.stream import (
+        incremental_cm_sketch)
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    a = docs.where("doc_id % 2 = 0")
+    b = docs.where("doc_id % 2 = 1")
+    src = str(tmp_path / "docs_src")
+    ckpt = str(tmp_path / "cm_ckpt")
+    a.repartition(4).write.mode("append").parquet(src)
+
+    q = incremental_cm_sketch(spark, src, ckpt, query_name="cm_t1")
+    q.awaitTermination(300)
+    got = sorted(map(tuple, spark.sql(
+        "SELECT cm_row, cm_col, cnt FROM cm_t1").collect()))
+    assert got == sorted(map(tuple, cm_token_sketch(a).collect()))
+
+    b.repartition(3).write.mode("append").parquet(src)
+    q2 = incremental_cm_sketch(spark, src, ckpt, query_name="cm_t2")
+    q2.awaitTermination(300)
+    got2 = sorted(map(tuple, spark.sql(
+        "SELECT cm_row, cm_col, cnt FROM cm_t2").collect()))
+    assert got2 == sorted(map(tuple, cm_token_sketch(docs).collect()))
