@@ -945,6 +945,199 @@ def q_retention_cohorts(spark, sf_dir) -> DataFrame:
         "cohort_day", "day_offset", "n_users")
 
 
+def _overlap_graph(spark, sf_dir):
+    """Entity OVERLAP graph (shared canonicalization edges) — the
+    sparse graph lpa_communities already runs on."""
+    _, linked, _ = _linked(spark, sf_dir)
+    edges = lk.overlap_edges(linked)
+    nodes = linked.select(
+        F.col("canonical_id").alias("node")).dropDuplicates()
+    return edges, nodes
+
+
+def _comention_graph(spark, sf_dir):
+    """Entity CO-MENTION graph (entities sharing a document) — the
+    same edge set as q_graph_triangles; denser than the overlap
+    graph, so truss/walk structure is non-trivial."""
+    _, linked, _ = _linked(spark, sf_dir)
+    a = linked.select("doc_id", F.col("canonical_id").alias("src"))
+    b = linked.select("doc_id", F.col("canonical_id").alias("dst"))
+    edges = (a.join(b, "doc_id").where(F.col("src") < F.col("dst"))
+             .select("src", "dst").dropDuplicates())
+    nodes = linked.select(
+        F.col("canonical_id").alias("node")).dropDuplicates()
+    return edges, nodes
+
+
+def q_kcore_nodes(spark, sf_dir) -> DataFrame:
+    """k-core membership over the entity overlap graph: fixed-round
+    degree peel (rounds chosen past the fixpoint, pinned by
+    tests/test_round6_oracles.py), oracle = the peel rounds unrolled
+    as chained CTEs."""
+    from .operators.graph_algos import k_core
+    from .oracle.sqlgen import KCORE_ROUNDS
+
+    edges, nodes = _overlap_graph(spark, sf_dir)
+    return k_core(edges, nodes, k=2, n_rounds=KCORE_ROUNDS)
+
+
+def q_ktruss_edges(spark, sf_dir) -> DataFrame:
+    """k-truss edge peel over the entity co-mention graph (edge
+    survives iff in >= k-2 surviving triangles); k picked so the peel
+    discriminates on the near-clique fixture."""
+    from .operators.graph_algos import k_truss
+    from .oracle.sqlgen import KTRUSS_K, KTRUSS_ROUNDS
+
+    edges, _ = _comention_graph(spark, sf_dir)
+    return k_truss(edges, k=KTRUSS_K, n_rounds=KTRUSS_ROUNDS)
+
+
+def q_entity_walks(spark, sf_dir) -> DataFrame:
+    """Deterministic DeepWalk corpus over the co-mention graph
+    (md5-argmin next hop), oracle = the steps unrolled in SQL."""
+    from .operators.graph_algos import random_walks
+    from .oracle.sqlgen import WALK_LEN, WALKS_PER_NODE
+
+    edges, nodes = _comention_graph(spark, sf_dir)
+    return random_walks(edges, nodes, walk_len=WALK_LEN,
+                        walks_per_node=WALKS_PER_NODE)
+
+
+def q_link_pred(spark, sf_dir) -> DataFrame:
+    """Link-prediction scores (common-neighbor count + floor-scaled
+    Jaccard) for every non-edge 2-hop pair of the co-mention graph."""
+    from .operators.graph_algos import link_prediction
+
+    edges, _ = _comention_graph(spark, sf_dir)
+    return link_prediction(edges)
+
+
+def q_pq_rerank(spark, sf_dir) -> DataFrame:
+    """IVFADC+R-style search: exact-cosine rerank of the ADC top-50
+    shortlist — raw vectors touched only for the 50 candidates/query,
+    never in the corpus scan."""
+    from .operators import pq
+
+    return pq.pq_topk(_emb(spark, sf_dir), _pq_codebooks_r1(spark, sf_dir),
+                      n_queries=20, k=5, rerank=50).select(
+        "query_id", "rank", "neighbor_id", "sim_micro6")
+
+
+def q_ivfpq_codes(spark, sf_dir) -> DataFrame:
+    """The composed IVF-PQ index row (coarse cell + m residual PQ
+    codes): oracle chains the ivf_assign seed assignment, an
+    elementwise residual subtraction, and the PQ round-1 chain
+    re-pointed at the residual frame."""
+    from .operators import pq
+    from .operators import similarity as sim_op
+
+    emb = _emb(spark, sf_dir)
+    seed = [[float(x) for x in r["embedding"]]
+            for r in emb.orderBy("vec_id").limit(8).collect()]
+    assigned = sim_op.ivf_assign(emb, 8).select("vec_id", "cell")
+    resid = pq._residuals(emb, assigned, seed).localCheckpoint()
+    cb1 = pq.train_pq_codebooks(resid.select("vec_id", "embedding"),
+                                m=8, k=16, rounds=1)
+    return pq.ivfpq_encode(emb, seed, cb1).select(
+        "vec_id", "cell", F.posexplode("codes").alias("sub", "code"))
+
+
+def q_textrank_tokens(spark, sf_dir) -> DataFrame:
+    """TextRank keyword scores: integer fixed-point PageRank over the
+    token co-occurrence (window) graph, 5 rounds unrolled in SQL."""
+    return ts.textrank_keywords(_docs(spark, sf_dir))
+
+
+def q_hll_shingles(spark, sf_dir) -> DataFrame:
+    """Deterministic-HyperLogLog register table of the 3-gram shingle
+    stream (256 registers, md5-hex-nibble rank arithmetic) — the
+    mergeable distinct-shingle sketch."""
+    from .functions.sketches import hll_shingle_sketch
+
+    return hll_shingle_sketch(_docs(spark, sf_dir))
+
+
+def q_cm_tokens(spark, sf_dir) -> DataFrame:
+    """Count-min sketch counter table (depth 4 x width 256) of the
+    whitespace token stream — salted md5 column arithmetic."""
+    from .functions.sketches import cm_token_sketch
+
+    return cm_token_sketch(_docs(spark, sf_dir))
+
+
+def q_cm_token_est(spark, sf_dir) -> DataFrame:
+    """Point-query audit of the count-min sketch: est_cnt (min over
+    depth rows) vs true_cnt for every distinct token."""
+    from .functions.sketches import cm_token_estimates
+
+    return cm_token_estimates(_docs(spark, sf_dir))
+
+
+def q_triple_snapshots(spark, sf_dir) -> DataFrame:
+    """SCD2 validity intervals for every (url, subj, pred, obj) across
+    a 3-snapshot recrawl schedule (operators/triples.triple_intervals —
+    the SNAPSHOT-form twin of triple_history's delta-stream fold:
+    timestamps instead of crawl seqs, intervals closed by the url's
+    next-scheduled crawl).
+
+    Recrawls are synthesized deterministically (single-crawl corpus):
+    the url's crawl g happens at epoch 1704067200 + doc_id + g*604800
+    (the established synthetic crawl clock, one week apart), and the
+    triple is OBSERVED at crawl g iff the first nibble of
+    md5(g|subj|pred|obj|url) >= 3 (~81%) — the same md5-presence
+    device as the negative-sampling oracle.  Consecutive-crawl runs
+    collapse to intervals; valid_to NULL = current."""
+    from .operators.triples import triple_intervals
+
+    tri = (_frames(spark, sf_dir).triples
+           .select("doc_id", "url", "subj", "pred", "obj")
+           .dropDuplicates(["url", "subj", "pred", "obj"]))
+    gens = F.explode(F.sequence(F.lit(0), F.lit(2))).alias("snap_id")
+    nib = F.expr(
+        "instr('0123456789abcdef', substring(md5(concat("
+        "CAST(snap_id AS STRING), '|', subj, '|', pred, '|', obj, '|',"
+        " url)), 1, 1)) - 1")
+    obs = (tri.select("url", "subj", "pred", "obj", gens)
+           .where(nib >= 3)
+           .select("url", F.col("snap_id").cast("int").alias("snap_id"),
+                   "subj", "pred", "obj"))
+    snaps = (tri.select("doc_id", "url").dropDuplicates()
+             .select("doc_id", "url",
+                     F.explode(F.sequence(F.lit(0), F.lit(2)))
+                     .alias("snap_id"))
+             .select("url", F.col("snap_id").cast("int").alias("snap_id"),
+                     (F.lit(1704067200) + F.col("doc_id")
+                      + F.col("snap_id") * 604800)
+                     .cast("long").alias("snap_ts")))
+    return triple_intervals(obs, snaps)
+
+
+def q_bloom_bits(spark, sf_dir) -> DataFrame:
+    """The eval-set Bloom filter word table: 3-gram shingles of the
+    doc_id % 17 == 0 held-out split packed into a (word, bits) table
+    (2^20 bits, 32 bits/BIGINT word) — the stored/broadcast artifact
+    of a 100 TB decontamination pass."""
+    from .functions.sketches import bloom_eval_sketch
+
+    return bloom_eval_sketch(_docs(spark, sf_dir))
+
+
+def q_bloom_decontam(spark, sf_dir) -> DataFrame:
+    """Per-training-doc decontamination verdict vs the eval Bloom
+    filter, with the exact truth as the audit columns: n_flagged >=
+    n_true_hits always (Bloom never false-negatives)."""
+    from .functions.sketches import bloom_decontaminate
+
+    return bloom_decontaminate(_docs(spark, sf_dir))
+
+
+def q_alias_edit_links(spark, sf_dir) -> DataFrame:
+    """Edit-distance alias linking: trigram-blocked candidate pairs +
+    levenshtein verify over md5-derived synthetic typo surfaces."""
+    toks = ner.tokenize_df(_frames(spark, sf_dir).pages)
+    return lk.edit_verified_aliases(toks)
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # ORDER IS LOAD-BEARING: the driver snapshot verifies exactly
     # list(QUERIES)[:50] in insertion order (pinned by
@@ -1053,6 +1246,25 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "relations": q_relations,
     "triples": q_triples,
     "dedup_exact": q_dedup_exact,
+    # Round-5 continuation: the staged round-6 oracles, registered at
+    # the TAIL — appends past position 50 leave the driver's
+    # snapshot prefix bit-identical (the freeze protects the prefix),
+    # while giving the full-registry sweep value-exact rows for the
+    # round-5 pytest-only ops.
+    "kcore_nodes": q_kcore_nodes,
+    "ktruss_edges": q_ktruss_edges,
+    "entity_walks": q_entity_walks,
+    "link_pred": q_link_pred,
+    "pq_rerank": q_pq_rerank,
+    "ivfpq_codes": q_ivfpq_codes,
+    "textrank_tokens": q_textrank_tokens,
+    "hll_shingles": q_hll_shingles,
+    "cm_tokens": q_cm_tokens,
+    "cm_token_est": q_cm_token_est,
+    "alias_edit_links": q_alias_edit_links,
+    "bloom_bits": q_bloom_bits,
+    "bloom_decontam": q_bloom_decontam,
+    "triple_snapshots": q_triple_snapshots,
 }
 
 

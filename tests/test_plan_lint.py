@@ -4,7 +4,7 @@ allowlisted bounded-dimension cases.  This is the regression net for
 the class of bug fixed in round 3 (ivf_topk's probes⋈assigned planned
 as a SortMergeJoin on an n_cells-ary key — at scale that funnels the
 corpus onto n_cells reducers): any NEW non-equi/cartesian join in any
-of the 96 queries turns the build red with the query named.
+of the 110 queries turns the build red with the query named.
 
 The allowlist is TIGHT (exact expected counts): removing a flagged
 join must update this file too, so the list can never rot into "it's
@@ -26,6 +26,11 @@ ALLOWED = {
     "ivf_centroids": (0, 1),
     # assign (1 BNLJ) + probe scoring vs the same broadcast codebook
     "ivf_topk": (0, 2),
+    # composed index build: coarse assign vs the 8-row broadcast seed
+    # (1 BNLJ) + residual sub-vector scoring vs the broadcast PQ
+    # sub-codebooks (1 BNLJ) — both are bounded broadcast dimensions,
+    # identical in class to ivf_assign
+    "ivfpq_codes": (0, 2),
     # bounded-query-set brute force (vec_id < 50): the labeled
     # correctness BASELINE for the ANN paths, not the scale path —
     # its docstring says exactly that

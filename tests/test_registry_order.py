@@ -52,6 +52,14 @@ EXPECTED_TAIL = [
     "simhash_near_dups", "graph_triangles", "entity_first_seen",
     "tokenize", "shards", "candidates", "relations", "triples",
     "dedup_exact",
+    # Round-5 continuation: staged round-6 oracles registered at the
+    # tail (appends past position 50 leave the driver snapshot prefix
+    # bit-identical; each key was cross-engine green in
+    # tests/test_round6_oracles.py before registration).
+    "kcore_nodes", "ktruss_edges", "entity_walks", "link_pred",
+    "pq_rerank", "ivfpq_codes", "textrank_tokens", "hll_shingles",
+    "cm_tokens", "cm_token_est", "alias_edit_links",
+    "bloom_bits", "bloom_decontam", "triple_snapshots",
 ]
 
 
