@@ -229,3 +229,142 @@ def cm_token_estimates(docs: DataFrame, depth: int = CM_DEPTH,
     true_cnt = (toks.groupBy(F.col("tok").alias("item"))
                 .agg(F.count(F.lit(1)).cast("long").alias("true_cnt")))
     return est.join(true_cnt, "item")
+
+
+BLOOM_K = 4      # salted probes per item
+BLOOM_NIB = 5    # 16^5 = 1,048,576 bits -> <= 32,768 words of 32 bits
+_BLOOM_BITS = 16 ** BLOOM_NIB
+_WORD_BITS = 32  # bits per bigint word (<<31 max keeps shifts exact)
+
+
+def bloom_words(items: DataFrame, col: str, k: int = BLOOM_K,
+                n_nib: int = BLOOM_NIB) -> DataFrame:
+    """Bloom filter (Bloom, CACM'70) of ``items[col]`` as a
+    (word, bits) TABLE of at most 16^n_nib / 32 rows (<= 32,768
+    BIGINTs = a 256 KB broadcast at the default geometry) — the third
+    mergeable sketch of the family (HLL answers "how many distinct",
+    count-min "how often", Bloom "have we seen THIS").
+
+    Each item sets ``k`` bits; bit j lives at position
+    nibble_value(md5(j || ':' || item), n_nib) — the same salted
+    deterministic primitive as the count-min rows, so the DuckDB
+    oracle replays it byte-for-byte.  The bit array is packed into
+    32-bits-per-bigint words (shift <= 31 stays exact in BOTH
+    engines' signed arithmetic); words no item hit are absent
+    (lookups treat absent as all-zero).
+
+    Plan shape: a k-way explode (sequence, no shuffle) into ONE
+    (word) hash-aggregate with map-side ``bit_or`` combine — the only
+    reduced state is the <=128-row word table.  At 100 TB this is
+    the decontamination operating mode: keep one Bloom table per
+    benchmark/eval set (tiny), broadcast it, and flag training-set
+    n-grams map-side (:func:`bloom_lookup`) without ever shuffling
+    the corpus against the eval corpus.  Duplicate items are free
+    (bit_or is idempotent); NULL items are dropped.
+    """
+    d = items.where(F.col(col).isNotNull()).select(
+        F.col(col).cast("string").alias("_it"),
+        F.explode(F.sequence(F.lit(0), F.lit(k - 1))).alias("probe"))
+    h = F.md5(F.concat(F.col("probe").cast("string"),
+                       F.lit(":"), F.col("_it")))
+    pos = _nibble_value("_h", 1, n_nib)
+    return (d.select(h.alias("_h"))
+            .select(pos.cast("int").alias("_pos"))
+            .select((F.col("_pos") / _WORD_BITS).cast("int").alias("word"),
+                    (F.col("_pos") % _WORD_BITS).cast("int").alias("_bit"))
+            .groupBy("word")
+            .agg(F.expr("bit_or(shiftleft(CAST(1 AS BIGINT), _bit))")
+                 .alias("bits")))
+
+
+def bloom_merge(*sketches: DataFrame) -> DataFrame:
+    """Union words, bit_or per word — sketch(A) merge sketch(B) ==
+    sketch(A union B) exactly (bit_or is associative/commutative/
+    idempotent).  The shard-combine step over <=128-row tables."""
+    out = sketches[0]
+    for s in sketches[1:]:
+        out = out.unionByName(s)
+    return out.groupBy("word").agg(
+        F.expr("bit_or(bits)").alias("bits"))
+
+
+def bloom_lookup(sketch: DataFrame, probes: DataFrame, col: str,
+                 k: int = BLOOM_K, n_nib: int = BLOOM_NIB) -> DataFrame:
+    """Membership test per probe row: maybe = 1 iff ALL k salted bits
+    are set (min over probes of the tested bit).  NO false negatives
+    ever; false positives at the classic (1 - e^{-kn/m})^k rate.
+
+    The sketch is <=16^n_nib/32 rows by construction, so it is
+    explicitly broadcast — probing N items is a map-side join + one
+    (item) min-aggregate regardless of probe-set size."""
+    from pyspark.sql.functions import broadcast
+
+    d = probes.where(F.col(col).isNotNull()).select(
+        F.col(col).alias("item"),
+        F.explode(F.sequence(F.lit(0), F.lit(k - 1))).alias("probe"))
+    h = F.md5(F.concat(F.col("probe").cast("string"), F.lit(":"),
+                       F.col("item").cast("string")))
+    pos = _nibble_value("_h", 1, n_nib)
+    keyed = (d.select("item", h.alias("_h"))
+             .select("item", pos.cast("int").alias("_pos"))
+             .select("item",
+                     (F.col("_pos") / _WORD_BITS).cast("int").alias("word"),
+                     (F.col("_pos") % _WORD_BITS).cast("int").alias("_bit")))
+    hit = F.expr(
+        "CAST((shiftright(CAST(COALESCE(bits, 0) AS BIGINT), _bit) & 1)"
+        " AS INT)")
+    return (keyed.join(broadcast(sketch), ["word"], "left")
+            .groupBy("item")
+            .agg(F.min(hit).cast("int").alias("maybe")))
+
+
+def bloom_eval_sketch(docs: DataFrame, modulus: int = 17,
+                      k: int = BLOOM_K,
+                      n_nib: int = BLOOM_NIB) -> DataFrame:
+    """The eval-set Bloom table: 3-gram shingles of the held-out
+    docs (doc_id % modulus == 0 — the same deterministic hash-split
+    convention as corpus_split) packed into a (word, bits) filter.
+    This is the artifact a 100 TB decontamination pass stores and
+    broadcasts."""
+    from ..operators.dedup import shingles
+
+    ev = docs.where(F.col("doc_id") % modulus == 0)
+    return bloom_words(shingles(ev).select("shingle"), "shingle",
+                       k, n_nib)
+
+
+def bloom_decontaminate(docs: DataFrame, modulus: int = 17,
+                        k: int = BLOOM_K,
+                        n_nib: int = BLOOM_NIB) -> DataFrame:
+    """Per-TRAINING-doc decontamination verdict against the eval-set
+    Bloom filter, with the exact truth alongside as the audit
+    column: (doc_id, n_shingles, n_flagged, n_true_hits, flagged).
+
+    n_flagged >= n_true_hits ALWAYS (no false negatives); the gap is
+    the false-positive cost of the 16^n_nib-bit geometry.  flagged =
+    1 iff any shingle tests positive — the drop verdict a curation
+    pipeline acts on.  The truth join exists for the audit/driver
+    oracle and is a plain (shingle) equi-join — the eval shingle set
+    is corpus-sized, so it is NOT broadcast; the production path is
+    the Bloom side alone (map-side broadcast test, no eval-corpus
+    shuffle)."""
+    from ..operators.dedup import shingles
+
+    sketch = bloom_eval_sketch(docs, modulus, k, n_nib)
+    ev_sh = (shingles(docs.where(F.col("doc_id") % modulus == 0))
+             .select("shingle").dropDuplicates()
+             .withColumn("in_eval", F.lit(1)))
+    train_sh = shingles(docs.where(F.col("doc_id") % modulus != 0))
+    tested = bloom_lookup(sketch, train_sh.select("doc_id", "shingle"),
+                          "shingle", k, n_nib)
+    # bloom_lookup keys on the probe VALUE; re-join the doc ids so the
+    # verdict aggregates per doc (distinct shingles per doc).
+    per_sh = (train_sh
+              .join(tested.withColumnRenamed("item", "shingle"), "shingle")
+              .join(ev_sh, "shingle", "left"))
+    return (per_sh.groupBy("doc_id")
+            .agg(F.count(F.lit(1)).cast("long").alias("n_shingles"),
+                 F.sum("maybe").cast("long").alias("n_flagged"),
+                 F.sum(F.coalesce(F.col("in_eval"), F.lit(0)))
+                 .cast("long").alias("n_true_hits"),
+                 F.max("maybe").cast("int").alias("flagged")))

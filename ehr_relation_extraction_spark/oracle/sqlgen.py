@@ -2958,3 +2958,109 @@ SELECT surface, alias, ent_type, canonical_id,
        CAST(levenshtein(surface, alias) AS INT) AS edit_dist
 FROM ev_cand
 WHERE levenshtein(surface, alias) <= 1""", EDIT_LINK_CTES)
+
+
+# bloom_bits / bloom_decontam: the eval-set Bloom filter
+# (functions/sketches.bloom_words over the doc_id % 17 == 0 held-out
+# split's 3-gram shingles) and the per-training-doc decontamination
+# verdict + exact-truth audit (bloom_decontaminate).  Same salted
+# md5(probe || ':' || item) primitive as the count-min oracle; bit
+# position = first 5 nibbles (2^20 bits), packed 32 bits per BIGINT
+# word.  Integer division is `//` (DuckDB CAST of a double ROUNDS —
+# the usual floor-scaled-int discipline).
+def _nib5(h: str) -> str:
+    terms = " + ".join(
+        f"(strpos('0123456789abcdef', substring({h}, {i + 1}, 1)) - 1)"
+        f" * {16 ** (4 - i)}" for i in range(5))
+    return f"CAST(({terms}) AS INT)"
+
+
+_BLOOM_CTES = f"""
+WITH bl_ts AS (
+  SELECT doc_id, list_filter(string_split_regex(text, '[\\n \\t]'),
+                             t -> t <> '') AS ts
+  FROM documents),
+bl_sh AS (
+  SELECT DISTINCT doc_id,
+         ts[CAST(i AS INT)] || ' ' || ts[CAST(i AS INT) + 1] || ' '
+           || ts[CAST(i AS INT) + 2] AS shingle
+  FROM bl_ts, unnest(generate_series(1, len(ts) - 2)) AS t(i)),
+bl_eval AS (
+  SELECT DISTINCT shingle FROM bl_sh WHERE doc_id % 17 = 0),
+bl_words AS (
+  SELECT pos // 32 AS word,
+         bit_or(CAST(1 AS BIGINT) << (pos % 32)) AS bits
+  FROM (SELECT {_nib5('_h')} AS pos
+        FROM (SELECT md5(CAST(p AS VARCHAR) || ':' || shingle) AS _h
+              FROM bl_eval,
+                   unnest(generate_series(0, 3)) AS g(p)))
+  GROUP BY 1)"""
+
+ORACLE["bloom_bits"] = _BLOOM_CTES + """
+SELECT CAST(word AS INT) AS word, CAST(bits AS BIGINT) AS bits
+FROM bl_words"""
+
+ORACLE["bloom_decontam"] = _BLOOM_CTES + f""",
+bl_train AS (
+  SELECT doc_id, shingle FROM bl_sh WHERE doc_id % 17 <> 0),
+bl_probe AS (
+  SELECT doc_id, shingle, {_nib5('_h')} AS pos
+  FROM (SELECT doc_id, shingle,
+               md5(CAST(p AS VARCHAR) || ':' || shingle) AS _h
+        FROM bl_train, unnest(generate_series(0, 3)) AS g(p))),
+bl_hit AS (
+  SELECT doc_id, shingle,
+         MIN(CASE WHEN (COALESCE(w.bits, 0) >> (pos % 32)) & 1 = 1
+                  THEN 1 ELSE 0 END) AS maybe
+  FROM (SELECT doc_id, shingle, pos, pos // 32 AS word FROM bl_probe) p
+  LEFT JOIN bl_words w USING (word)
+  GROUP BY 1, 2)
+SELECT h.doc_id,
+       CAST(COUNT(*) AS BIGINT) AS n_shingles,
+       CAST(SUM(h.maybe) AS BIGINT) AS n_flagged,
+       CAST(SUM(CASE WHEN e.shingle IS NOT NULL THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_true_hits,
+       CAST(MAX(h.maybe) AS INT) AS flagged
+FROM bl_hit h LEFT JOIN bl_eval e USING (shingle)
+GROUP BY h.doc_id"""
+
+
+# triple_snapshots: SCD2 validity intervals per (url, subj, pred,
+# obj) across a synthesized 3-snapshot recrawl schedule
+# (operators/triples.triple_intervals) — crawl g of a url happens at
+# epoch 1704067200 + doc_id + g*604800; the triple is observed at
+# crawl g iff the first nibble of md5(g|subj|pred|obj|url) >= 3.
+# Gaps-and-islands (snap_id - row_number), run bounds joined back to
+# the schedule; valid_to NULL = the run reaches the latest crawl.
+ORACLE["triple_snapshots"] = _q("""
+SELECT r.url, r.subj, r.pred, r.obj,
+       CAST(f.snap_ts AS BIGINT) AS valid_from,
+       CAST(t2.snap_ts AS BIGINT) AS valid_to,
+       CAST(r.n_snaps AS BIGINT) AS n_snaps
+FROM th_runs r
+JOIN th_snap f ON r.url = f.url AND r.g0 = f.snap_id
+LEFT JOIN th_snap t2 ON r.url = t2.url AND r.g1 + 1 = t2.snap_id""", """
+th_tri AS (
+  SELECT MIN(doc_id) AS doc_id, url, subj, pred, obj
+  FROM triples GROUP BY url, subj, pred, obj),
+th_obs AS (
+  SELECT url, subj, pred, obj, CAST(g AS INT) AS snap_id
+  FROM th_tri, unnest(generate_series(0, 2)) AS gg(g)
+  WHERE strpos('0123456789abcdef',
+               substring(md5(CAST(g AS VARCHAR) || '|' || subj || '|'
+                             || pred || '|' || obj || '|' || url),
+                         1, 1)) - 1 >= 3),
+th_runs AS (
+  SELECT url, subj, pred, obj,
+         MIN(snap_id) AS g0, MAX(snap_id) AS g1,
+         COUNT(*) AS n_snaps
+  FROM (SELECT *, snap_id - ROW_NUMBER() OVER (
+              PARTITION BY url, subj, pred, obj ORDER BY snap_id)
+              AS _isl
+        FROM th_obs)
+  GROUP BY url, subj, pred, obj, _isl),
+th_snap AS (
+  SELECT url, CAST(g AS INT) AS snap_id,
+         CAST(1704067200 + doc_id + g * 604800 AS BIGINT) AS snap_ts
+  FROM (SELECT DISTINCT url, doc_id FROM th_tri),
+       unnest(generate_series(0, 2)) AS gg(g))""")

@@ -107,6 +107,40 @@ def incremental_hll_sketch(spark: SparkSession, docs_dir: str,
             .start())
 
 
+def incremental_bloom_filter(spark: SparkSession, docs_dir: str,
+                             checkpoint_dir: str,
+                             query_name: str = "bloom_filter"):
+    """Streaming eval-set Bloom filter: the SAME salted-md5 bit
+    decomposition as ``functions.sketches.bloom_words`` as a
+    streaming groupBy-bit_or over the held-out split's shingles.
+
+    The membership-side twin of the HLL/count-min streams: state is
+    one row per 32-bit word — <= 2^20/32 rows TOTAL however long the
+    eval corpus grows.  bit_or is idempotent, so the per-doc shingle
+    dedup is skipped (``distinct=False``) and duplicate shingles cost
+    nothing; restarting on the same checkpoint resumes the word state
+    and absorbs only new eval files, equal to the batch filter over
+    the union exactly.  At 100 TB this keeps the decontamination
+    filter CURRENT as eval sets grow — recrawl a benchmark dump, the
+    filter updates in place, training-side lookups keep broadcasting
+    the same tiny table.  Complete-mode memory sink named
+    ``query_name``.
+
+    Returns the StreamingQuery (caller awaits termination)."""
+    from ..functions.sketches import bloom_words
+    from ..operators.dedup import shingles
+
+    stream = (spark.readStream.schema(DOCS_DDL).parquet(docs_dir)
+              .where(F.col("doc_id") % 17 == 0))
+    sk = bloom_words(
+        shingles(stream, distinct=False).select("shingle"), "shingle")
+    return (sk.writeStream.outputMode("complete")
+            .format("memory").queryName(query_name)
+            .option("checkpointLocation", checkpoint_dir)
+            .trigger(availableNow=True)
+            .start())
+
+
 def incremental_cm_sketch(spark: SparkSession, docs_dir: str,
                           checkpoint_dir: str,
                           query_name: str = "cm_sketch"):

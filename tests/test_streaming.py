@@ -110,3 +110,35 @@ def test_incremental_cm_sketch(spark, tmp_path):
     got2 = sorted(map(tuple, spark.sql(
         "SELECT cm_row, cm_col, cnt FROM cm_t2").collect()))
     assert got2 == sorted(map(tuple, cm_token_sketch(docs).collect()))
+
+
+def test_incremental_bloom_filter(spark, tmp_path):
+    """Streaming Bloom filter == batch eval-set filter after each
+    incremental feed: bit_or is idempotent/associative, so the
+    checkpoint-resumed stream over eval files a then a+b equals the
+    batch filter over the union.  State is the word table itself
+    (<= 2^20/32 rows)."""
+    from ehr_relation_extraction_spark.functions.sketches import (
+        bloom_eval_sketch)
+    from ehr_relation_extraction_spark.streaming.stream import (
+        incremental_bloom_filter)
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    a = docs.where("doc_id % 2 = 0")
+    b = docs.where("doc_id % 2 = 1")
+    src = str(tmp_path / "docs_src")
+    ckpt = str(tmp_path / "bloom_ckpt")
+    a.repartition(4).write.mode("append").parquet(src)
+
+    q = incremental_bloom_filter(spark, src, ckpt, query_name="bloom_t1")
+    q.awaitTermination(300)
+    got = sorted(map(tuple, spark.sql(
+        "SELECT word, bits FROM bloom_t1").collect()))
+    assert got == sorted(map(tuple, bloom_eval_sketch(a).collect()))
+
+    b.repartition(3).write.mode("append").parquet(src)
+    q2 = incremental_bloom_filter(spark, src, ckpt, query_name="bloom_t2")
+    q2.awaitTermination(300)
+    got2 = sorted(map(tuple, spark.sql(
+        "SELECT word, bits FROM bloom_t2").collect()))
+    assert got2 == sorted(map(tuple, bloom_eval_sketch(docs).collect()))
