@@ -114,3 +114,49 @@ def synth_crawl_deltas(triples: DataFrame) -> DataFrame:
         "url", "subj", "pred", "obj", F.lit("-").alias("op"),
         (F.col("_seq0") + 2).cast("int").alias("crawl_seq"))
     return plus.unionByName(minus)
+
+
+def triple_intervals(obs: DataFrame, snapshots: DataFrame) -> DataFrame:
+    """SCD2 validity intervals across crawl snapshots — the temporal-KG
+    step after dedup: WHEN was each (url, subj, pred, obj) claim live?
+
+    ``obs``: one row per triple observation per crawl snapshot
+    (url, snap_id, subj, pred, obj); ``snap_id`` is the url's dense
+    crawl index (0, 1, 2, ...).  ``snapshots``: the url's full crawl
+    schedule (url, snap_id, snap_ts) — needed to CLOSE an interval
+    when the next recrawl no longer emits the triple.
+
+    Runs of consecutive snapshots collapse to one interval row
+    (gaps-and-islands: island = snap_id - row_number per triple key):
+    valid_from = ts of the run's first snapshot, valid_to = ts of the
+    url's next snapshot after the run (NULL = the run reaches the
+    url's latest crawl = the triple is CURRENT), n_snaps = run length.
+    A triple that disappears and later returns gets two rows — that is
+    SCD2, not a bug.
+
+    Plan: one window + one aggregate partitioned by the triple key,
+    then two (url, snap_id) equi-joins against the schedule — every
+    shuffle is on a high-cardinality key, nothing driver-side, so the
+    shape survives a 10^12-page crawl history.
+    """
+    from pyspark.sql import Window
+
+    w = (Window.partitionBy("url", "subj", "pred", "obj")
+         .orderBy("snap_id"))
+    isl = obs.withColumn(
+        "_isl", F.col("snap_id") - F.row_number().over(w))
+    runs = (isl.groupBy("url", "subj", "pred", "obj", "_isl")
+            .agg(F.min("snap_id").alias("_g0"),
+                 F.max("snap_id").alias("_g1"),
+                 F.count(F.lit(1)).cast("long").alias("n_snaps")))
+    s_from = snapshots.select(
+        "url", F.col("snap_id").alias("_g0"),
+        F.col("snap_ts").alias("valid_from"))
+    s_to = snapshots.select(
+        "url", (F.col("snap_id") - 1).alias("_g1"),
+        F.col("snap_ts").alias("valid_to"))
+    return (runs.join(s_from, ["url", "_g0"])
+            .join(s_to, ["url", "_g1"], "left")
+            .select("url", "subj", "pred", "obj",
+                    F.col("valid_from").cast("long"),
+                    F.col("valid_to").cast("long"), "n_snaps"))
