@@ -1112,6 +1112,29 @@ def q_triple_snapshots(spark, sf_dir) -> DataFrame:
     return triple_intervals(obs, snaps)
 
 
+def q_entity_salience(spark, sf_dir) -> DataFrame:
+    """Which entities each page is ABOUT: share-of-doc-mentions x
+    earliness, floor-scaled (operators/linking.entity_salience)."""
+    fr, linked, _ = _linked(spark, sf_dir)
+    return lk.entity_salience(linked, fr.pages)
+
+
+def q_pred_lift(spark, sf_dir) -> DataFrame:
+    """Schema induction over the emitted KG: predicate-pair
+    co-occurrence lift per subject (operators/triples.
+    pred_cooccurrence)."""
+    return tri_op.pred_cooccurrence(_frames(spark, sf_dir).triples)
+
+
+def q_bm25_entities(spark, sf_dir) -> DataFrame:
+    """BM25 document ranking for the gazetteer surface forms — which
+    docs best attest each KG entity (functions/textstats.
+    bm25_entity_retrieval; exact-rational k1/b, single-ln idf)."""
+    gaz = lk.gazetteer_df(spark)
+    return ts.bm25_entity_retrieval(_docs(spark, sf_dir),
+                                    gaz.select("alias"))
+
+
 def q_bloom_bits(spark, sf_dir) -> DataFrame:
     """The eval-set Bloom filter word table: 3-gram shingles of the
     doc_id % 17 == 0 held-out split packed into a (word, bits) table
@@ -1265,6 +1288,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "bloom_bits": q_bloom_bits,
     "bloom_decontam": q_bloom_decontam,
     "triple_snapshots": q_triple_snapshots,
+    "bm25_entities": q_bm25_entities,
+    "entity_salience": q_entity_salience,
+    "pred_lift": q_pred_lift,
 }
 
 

@@ -773,3 +773,70 @@ def textrank_keywords(docs: DataFrame, window: int = 2,
                              F.col("a").alias("dst"), "weight")))
     return (pagerank_fixed(sym, damping_pct=damping_pct, n_iter=n_iter)
             .select(F.col("node").alias("token"), "rank_micro6"))
+
+
+def bm25_entity_retrieval(docs: DataFrame, terms: DataFrame,
+                          k: int = 10) -> DataFrame:
+    """BM25 (Robertson et al., TREC-3) document ranking for a bounded
+    probe-term set — entity retrieval: "which documents best attest
+    this KG surface form?"  (term, rank, doc_id, tf, dl,
+    score_micro6), top-``k`` docs per term.
+
+    k1 = 1.2 and b = 0.75 are kept as EXACT rationals (6/5, 3/4), so
+    the tf saturation term needs no floats: with T = total corpus
+    tokens and N = n_docs,
+
+        tf_part = tf*(k1+1) / (tf + k1*(1 - b + b*dl/avgdl))
+                = 44*T*tf / (20*T*tf + 6*T + 18*dl*N)      (avgdl = T/N)
+
+    and score_micro6 = idf_micro6 * 44*T*tf DIV (20*T*tf + 6*T +
+    18*dl*N) — one exact integer division.  The only float op is the
+    idf log, idf_micro6 = floor(ln((2N+2)/(2df+1)) * 1e6), the same
+    single-ln device as top_terms_tfidf (BM25+ style floor at the
+    +0.5-smoothed Robertson idf).  Terms and tokens are matched
+    case-folded.
+
+    Magnitude bound: idf_micro6 * 44 * T * tf stays inside int64 up
+    to T*tf ~ 2e10 (e.g. 10^10 corpus tokens at tf <= 10^3 per doc);
+    past that, run per-shard and merge, or swap the exact form for
+    the avgdl-normalized DECIMAL form — the fixture/oracle contract
+    here is the exact-rational one.
+
+    Plan: tf/dl/df are one explode + three hash-aggregates; the probe
+    set joins broadcast (bounded by construction); T and N are one
+    bounded 1-row aggregate collected on the driver (the
+    top_terms_tfidf pattern); ranking is one window per term.
+    """
+    from pyspark.sql import Window
+    from pyspark.sql.functions import broadcast
+
+    toks = docs.select("doc_id",
+                       F.explode(_toks()).alias("_raw")).select(
+        "doc_id", F.lower(F.col("_raw")).alias("term"))
+    dl = toks.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("long").alias("dl"))
+    probe = broadcast(terms.select(
+        F.lower(F.col(terms.columns[0])).alias("term")).dropDuplicates())
+    tf = (toks.join(probe, "term")
+          .groupBy("doc_id", "term")
+          .agg(F.count(F.lit(1)).cast("long").alias("tf")))
+    df_ = (toks.join(probe, "term").dropDuplicates(["doc_id", "term"])
+           .groupBy("term")
+           .agg(F.count(F.lit(1)).cast("long").alias("df")))
+    tot = dl.agg(F.sum("dl").alias("t"),
+                 F.count(F.lit(1)).alias("n")).first()
+    T, N = int(tot["t"]), int(tot["n"])
+    idf = df_.withColumn(
+        "idf_micro6",
+        F.floor(F.log(F.lit(float(2 * N + 2)) / (2 * F.col("df") + 1))
+                * 1000000).cast("long"))
+    scored = (tf.join(broadcast(idf), "term").join(dl, "doc_id")
+              .withColumn(
+        "score_micro6",
+        F.expr(f"CAST(idf_micro6 * (44 * {T} * tf) DIV "
+               f"(20 * {T} * tf + 6 * {T} + 18 * dl * {N}) AS BIGINT)")))
+    w = Window.partitionBy("term").orderBy(
+        F.col("score_micro6").desc(), F.col("doc_id"))
+    return (scored.withColumn("rank", F.row_number().over(w).cast("int"))
+            .where(F.col("rank") <= k)
+            .select("term", "rank", "doc_id", "tf", "dl", "score_micro6"))

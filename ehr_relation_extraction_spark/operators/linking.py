@@ -530,3 +530,35 @@ def edit_verified_aliases(tokens: DataFrame,
             .where(F.col("edit_dist") <= max_dist)
             .select("surface", "alias", "ent_type", "canonical_id",
                     "edit_dist"))
+
+
+def entity_salience(linked: DataFrame, pages: DataFrame) -> DataFrame:
+    """Per-(doc, canonical entity) salience — which entities a page is
+    ABOUT, the gate that decides what enters the KG node table vs what
+    was mentioned in passing.  Integer early-and-often score:
+
+        salience_micro6 = n_mentions * (text_len - first_start) * 1e6
+                          DIV (n_doc_mentions * text_len)
+
+    = (share of the doc's mentions) x (how early the entity first
+    appears), floor-scaled — deterministic, no floats.  Output:
+    (doc_id, url, canonical_id, n_mentions, first_start, last_end,
+    text_len, salience_micro6).
+
+    Plan: two hash-aggregates over the linked-mention table (both on
+    doc-keyed groupings, map-side combinable) + one join against the
+    page-length projection — no new scan of text beyond length()."""
+    per = (linked.groupBy("doc_id", "url", "canonical_id")
+           .agg(F.count(F.lit(1)).cast("long").alias("n_mentions"),
+                F.min("start").cast("int").alias("first_start"),
+                F.max("end").cast("int").alias("last_end")))
+    tot = (linked.groupBy("doc_id")
+           .agg(F.count(F.lit(1)).cast("long").alias("n_doc_mentions")))
+    lens = pages.select("doc_id",
+                        F.length("text").cast("int").alias("text_len"))
+    return (per.join(tot, "doc_id").join(lens, "doc_id")
+            .select("doc_id", "url", "canonical_id", "n_mentions",
+                    "first_start", "last_end", "text_len",
+                    F.expr("CAST((n_mentions * (text_len - first_start)"
+                           " * 1000000) DIV (n_doc_mentions * text_len)"
+                           " AS BIGINT)").alias("salience_micro6")))

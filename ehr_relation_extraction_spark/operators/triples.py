@@ -160,3 +160,45 @@ def triple_intervals(obs: DataFrame, snapshots: DataFrame) -> DataFrame:
             .select("url", "subj", "pred", "obj",
                     F.col("valid_from").cast("long"),
                     F.col("valid_to").cast("long"), "n_snaps"))
+
+
+def pred_cooccurrence(triples: DataFrame,
+                      min_subjects_ab: int = 1) -> DataFrame:
+    """Predicate co-occurrence lift — schema induction over the
+    emitted KG: which predicate PAIRS attach to the same subject more
+    often than chance?  (pred_a, pred_b, n_subj_a, n_subj_b,
+    n_subj_ab, lift_micro6) with lift = P(a,b)/(P(a)P(b)) =
+    n_subj_ab * N / (n_subj_a * n_subj_b) over N distinct (url, subj)
+    subjects, floor-scaled by exact integer division (the
+    cooccurrence_pmi device applied to the triple table).
+
+    Scale shape: one distinct projection, a per-subject a<b pair
+    self-join (bounded by the per-subject distinct-predicate count —
+    single digits in any real schema), two joins against the
+    per-predicate subject counts, and the support filter pruning the
+    tail before the wide output."""
+    subs = triples.select(
+        F.concat_ws("\t", "url", "subj").alias("sid"),
+        "pred").dropDuplicates()
+    n_pred = subs.groupBy("pred").agg(
+        F.count(F.lit(1)).cast("long").alias("n_subj"))
+    n = subs.select(F.countDistinct("sid").alias("n")).first()["n"]
+    a, b = subs.alias("a"), subs.alias("b")
+    pairs = (a.join(b, (F.col("a.sid") == F.col("b.sid"))
+                    & (F.col("a.pred") < F.col("b.pred")))
+             .groupBy(F.col("a.pred").alias("pred_a"),
+                      F.col("b.pred").alias("pred_b"))
+             .agg(F.count(F.lit(1)).cast("long").alias("n_subj_ab"))
+             .where(F.col("n_subj_ab") >= min_subjects_ab))
+    out = (pairs
+           .join(n_pred.select(F.col("pred").alias("pred_a"),
+                               F.col("n_subj").alias("n_subj_a")),
+                 "pred_a")
+           .join(n_pred.select(F.col("pred").alias("pred_b"),
+                               F.col("n_subj").alias("n_subj_b")),
+                 "pred_b"))
+    return out.select(
+        "pred_a", "pred_b", "n_subj_a", "n_subj_b", "n_subj_ab",
+        F.expr(f"CAST((n_subj_ab * {n} * 1000000)"
+               " DIV (n_subj_a * n_subj_b) AS BIGINT)")
+        .alias("lift_micro6"))

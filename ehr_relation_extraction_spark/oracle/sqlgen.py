@@ -3064,3 +3064,105 @@ th_snap AS (
          CAST(1704067200 + doc_id + g * 604800 AS BIGINT) AS snap_ts
   FROM (SELECT DISTINCT url, doc_id FROM th_tri),
        unnest(generate_series(0, 2)) AS gg(g))""")
+
+
+# bm25_entities: BM25 document ranking for the gazetteer surface
+# forms (functions/textstats.bm25_entity_retrieval) — k1=6/5 and
+# b=3/4 kept as exact rationals so the tf saturation term is one
+# exact integer division; the only float op is the idf ln (the
+# top_terms_tfidf device): idf_micro6 = floor(ln((2N+2)/(2df+1))*1e6),
+# score_micro6 = idf_micro6 * 44*T*tf // (20*T*tf + 6*T + 18*dl*N).
+ORACLE["bm25_entities"] = _q("""
+SELECT term, CAST(rank AS INT) AS rank, doc_id, tf, dl, score_micro6
+FROM (
+  SELECT s.*, ROW_NUMBER() OVER (PARTITION BY term
+             ORDER BY score_micro6 DESC, doc_id) AS rank
+  FROM bm_scored s)
+WHERE rank <= 10""", """
+bm_ts AS (
+  SELECT doc_id, list_filter(string_split_regex(text, '[\\n \\t]'),
+                             t -> t <> '') AS ts
+  FROM documents),
+bm_toks AS (
+  SELECT doc_id, lower(ts[CAST(i AS INT)]) AS term
+  FROM bm_ts, unnest(generate_series(1, len(ts))) AS t(i)),
+bm_dl AS (
+  SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS dl
+  FROM bm_toks GROUP BY doc_id),
+bm_tot AS (
+  SELECT CAST(SUM(dl) AS BIGINT) AS t, CAST(COUNT(*) AS BIGINT) AS n
+  FROM bm_dl),
+bm_probe AS (
+  SELECT DISTINCT lower(alias) AS term FROM gaz),
+bm_tf AS (
+  SELECT doc_id, term, CAST(COUNT(*) AS BIGINT) AS tf
+  FROM bm_toks JOIN bm_probe USING (term)
+  GROUP BY doc_id, term),
+bm_idf AS (
+  SELECT term, CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS df,
+         CAST(FLOOR(ln(CAST(2 * (SELECT n FROM bm_tot) + 2 AS DOUBLE)
+                       / (2 * COUNT(DISTINCT doc_id) + 1)) * 1000000)
+              AS BIGINT) AS idf_micro6
+  FROM bm_toks JOIN bm_probe USING (term)
+  GROUP BY term),
+bm_scored AS (
+  SELECT f.term, f.doc_id, f.tf, d.dl,
+         CAST(i.idf_micro6 * (44 * (SELECT t FROM bm_tot) * f.tf)
+              // (20 * (SELECT t FROM bm_tot) * f.tf
+                  + 6 * (SELECT t FROM bm_tot)
+                  + 18 * d.dl * (SELECT n FROM bm_tot))
+              AS BIGINT) AS score_micro6
+  FROM bm_tf f JOIN bm_idf i USING (term) JOIN bm_dl d USING (doc_id))""")
+
+
+# entity_salience: per-(doc, canonical entity) early-and-often score
+# (operators/linking.entity_salience) — share of the doc's mentions x
+# earliness of first appearance, floor-scaled integer division.
+ORACLE["entity_salience"] = _q("""
+SELECT p.doc_id, p.url, p.canonical_id,
+       CAST(p.n_mentions AS BIGINT) AS n_mentions,
+       CAST(p.first_start AS INT) AS first_start,
+       CAST(p.last_end AS INT) AS last_end,
+       CAST(l.text_len AS INT) AS text_len,
+       CAST((p.n_mentions * (l.text_len - p.first_start) * 1000000)
+            // (t.n_doc_mentions * l.text_len) AS BIGINT)
+           AS salience_micro6
+FROM sal_per p
+JOIN sal_tot t USING (doc_id)
+JOIN sal_len l USING (doc_id)""", LINK_CTES, """
+sal_per AS (
+  SELECT doc_id, url, canonical_id, COUNT(*) AS n_mentions,
+         MIN(start) AS first_start, MAX("end") AS last_end
+  FROM linked GROUP BY doc_id, url, canonical_id),
+sal_tot AS (
+  SELECT doc_id, COUNT(*) AS n_doc_mentions FROM linked GROUP BY doc_id),
+sal_len AS (
+  SELECT doc_id, length(text) AS text_len FROM pages)""")
+
+
+# pred_lift: predicate co-occurrence lift over the emitted KG
+# (operators/triples.pred_cooccurrence) — schema induction: predicate
+# pairs attaching to the same (url, subj) subject vs chance, exact
+# integer-division lift (the cooccurrence_pmi device).
+ORACLE["pred_lift"] = _q("""
+SELECT pred_a, pred_b, n_subj_a, n_subj_b, n_subj_ab,
+       CAST((n_subj_ab * (SELECT n FROM pl_n) * 1000000)
+            // (n_subj_a * n_subj_b) AS BIGINT) AS lift_micro6
+FROM pl_pairs
+JOIN (SELECT pred AS pred_a, n_subj AS n_subj_a FROM pl_pred)
+     USING (pred_a)
+JOIN (SELECT pred AS pred_b, n_subj AS n_subj_b FROM pl_pred)
+     USING (pred_b)""", """
+pl_subs AS (
+  SELECT DISTINCT url || chr(9) || subj AS sid, pred FROM triples),
+pl_pred AS (
+  SELECT pred, CAST(COUNT(*) AS BIGINT) AS n_subj
+  FROM pl_subs GROUP BY pred),
+pl_n AS (
+  SELECT CAST(COUNT(DISTINCT sid) AS BIGINT) AS n FROM pl_subs),
+pl_pairs AS (
+  SELECT a.pred AS pred_a, b.pred AS pred_b,
+         CAST(COUNT(*) AS BIGINT) AS n_subj_ab
+  FROM pl_subs a JOIN pl_subs b
+       ON a.sid = b.sid AND a.pred < b.pred
+  GROUP BY a.pred, b.pred)""")

@@ -1,0 +1,104 @@
+"""Round-5 continuation KG analytics: BM25 entity retrieval, entity
+salience, predicate co-occurrence lift — hand-checked semantics +
+cross-engine oracle parity + partition invariance."""
+
+from __future__ import annotations
+
+import math
+
+import pytest
+
+from compare_util import compare, duck_con
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def con():
+    c = duck_con(SF)
+    yield c
+    c.close()
+
+
+@pytest.mark.parametrize("key", ["bm25_entities", "entity_salience",
+                                 "pred_lift"])
+def test_kg_analytics_oracles(spark, con, key):
+    from ehr_relation_extraction_spark.driver_queries import (
+        ORACLE, QUERIES)
+
+    ok, msg = compare(QUERIES[key](spark, SF), con.sql(ORACLE[key]).df())
+    assert ok, msg
+
+
+def test_bm25_hand_checked(spark):
+    """Two docs, one probe term: the shorter doc with equal tf ranks
+    first (length normalization), and score_micro6 matches the exact
+    rational formula recomputed in plain Python."""
+    from ehr_relation_extraction_spark.functions.textstats import (
+        bm25_entity_retrieval)
+
+    docs = spark.createDataFrame(
+        [(1, "cat dog cat"), (2, "cat dog mouse fish bird lion")],
+        "doc_id long, text string")
+    terms = spark.createDataFrame([("cat",)], "alias string")
+    rows = {r.doc_id: r for r in
+            bm25_entity_retrieval(docs, terms, k=10).collect()}
+    # doc 1: tf=2 dl=3; doc 2: tf=1 dl=6; T=9, N=2, df=2
+    T, N = 9, 2
+    idf = math.floor(math.log((2 * N + 2) / (2 * 2 + 1)) * 1_000_000)
+    exp1 = idf * (44 * T * 2) // (20 * T * 2 + 6 * T + 18 * 3 * N)
+    exp2 = idf * (44 * T * 1) // (20 * T * 1 + 6 * T + 18 * 6 * N)
+    assert rows[1].score_micro6 == exp1
+    assert rows[2].score_micro6 == exp2
+    assert rows[1].rank == 1 and rows[2].rank == 2
+
+
+def test_salience_hand_checked(spark):
+    """An entity holding 2 of a doc's 4 mentions starting at char 0 of
+    a 100-char page scores exactly 500000 (half the mentions, maximal
+    earliness)."""
+    from ehr_relation_extraction_spark.operators.linking import (
+        entity_salience)
+
+    linked = spark.createDataFrame(
+        [(1, "u", "e1", "T", 0, 5, "x", "c1"),
+         (1, "u", "e2", "T", 50, 55, "x", "c1"),
+         (1, "u", "e3", "T", 20, 25, "y", "c2"),
+         (1, "u", "e4", "T", 80, 85, "z", "c3")],
+        "doc_id long, url string, ent_id string, ent_type string, "
+        "start int, end int, ent_text string, canonical_id string")
+    pages = spark.createDataFrame([(1, "a" * 100)],
+                                  "doc_id long, text string")
+    got = {r.canonical_id: r.salience_micro6
+           for r in entity_salience(linked, pages).collect()}
+    assert got["c1"] == 2 * 100 * 1_000_000 // (4 * 100)  # 500000
+    assert got["c2"] == 1 * 80 * 1_000_000 // (4 * 100)   # 200000
+    assert got["c3"] == 1 * 20 * 1_000_000 // (4 * 100)   # 50000
+
+
+def test_pred_lift_hand_checked(spark):
+    """Perfectly co-occurring predicate pair over 2 of 2 subjects has
+    lift exactly 1.0 (1000000 scaled); a pair seen on 1 of 2 subjects
+    where each pred covers both has lift 0.5."""
+    from ehr_relation_extraction_spark.operators.triples import (
+        pred_cooccurrence)
+
+    t = spark.createDataFrame(
+        [("u1", "s", "A", "o"), ("u1", "s", "B", "o"),
+         ("u2", "s", "A", "o"), ("u2", "s", "B", "o"),
+         ("u1", "s", "C", "o")],
+        "url string, subj string, pred string, obj string")
+    got = {(r.pred_a, r.pred_b): r.lift_micro6
+           for r in pred_cooccurrence(t).collect()}
+    assert got[("A", "B")] == 2 * 2 * 1_000_000 // (2 * 2)  # 1.0
+    assert got[("A", "C")] == 1 * 2 * 1_000_000 // (2 * 1)  # 1.0
+    assert got[("B", "C")] == 1 * 2 * 1_000_000 // (2 * 1)
+
+
+def test_kg_analytics_partition_invariance(spark):
+    from ehr_relation_extraction_spark.driver_queries import QUERIES
+
+    df = QUERIES["bm25_entities"](spark, SF)
+    a = sorted(map(tuple, df.collect()))
+    b = sorted(map(tuple, df.repartition(13).collect()))
+    assert a == b

@@ -60,6 +60,7 @@ EXPECTED_TAIL = [
     "pq_rerank", "ivfpq_codes", "textrank_tokens", "hll_shingles",
     "cm_tokens", "cm_token_est", "alias_edit_links",
     "bloom_bits", "bloom_decontam", "triple_snapshots",
+    "bm25_entities", "entity_salience", "pred_lift",
 ]
 
 
