@@ -644,6 +644,44 @@ def run_graph(sf_dir: str, cpus: int) -> None:
     }))
 
 
+def run_sketch(sf_dir: str, cpus: int) -> None:
+    """Sketch/retrieval-stack bench: the three mergeable sketches
+    (HLL registers, count-min counters, Bloom words), their audit
+    queries, and BM25 entity retrieval, best-of-K on one session —
+    every op is one or two hash-aggregates over the token/shingle
+    stream, so these timings ARE the corpus-scan cost; the reduced
+    state per op is <= 32k rows regardless of corpus size."""
+    import time as _t
+
+    from ehr_relation_extraction_spark import driver_queries as dq
+    from ehr_relation_extraction_spark.session import get_spark
+
+    trials = int(os.environ.get("SPARK_GRAFT_BENCH_TRIALS", "4"))
+    spark = get_spark(app_name="bench-sketch", master=f"local[{cpus}]",
+                      shuffle_partitions=cpus)
+    keys = ["hll_shingles", "cm_tokens", "cm_token_est",
+            "bloom_bits", "bloom_decontam", "bm25_entities"]
+    timings: dict[str, float] = {}
+    counts: dict[str, int] = {}
+    for _ in range(trials):
+        for name in keys:
+            t0 = _t.time()
+            counts[name] = dq.QUERIES[name](spark, sf_dir).count()
+            dt = round(_t.time() - t0, 3)
+            if name not in timings or dt < timings[name]:
+                timings[name] = dt
+    spark.stop()
+    print(json.dumps({
+        "metric": "sketch_suite_sec",
+        "value": round(sum(timings.values()), 3), "unit": "sec",
+        "ops": timings, "counts": counts, "sf": sf_of(sf_dir),
+        "note": f"best of {trials} trials per op, local[{cpus}]; "
+                "cm_token_est/bloom_decontam include the exact-truth "
+                "audit join (the production path is the sketch side "
+                "alone)",
+    }))
+
+
 def run_skew(sf_dir: str, cpus: int) -> None:
     """Skewed-host robustness bench (SURVEY §5.2 item 4): the fused
     triples job on a uniform corpus vs one where a single host owns
@@ -739,6 +777,10 @@ def main() -> None:
 
     if "--graph" in sys.argv:
         run_graph(sf_dir, cpus)
+        return
+
+    if "--sketch" in sys.argv:
+        run_sketch(sf_dir, cpus)
         return
 
     r = run_suite(sf_dir, master, cpus)
