@@ -1135,6 +1135,14 @@ def q_bm25_entities(spark, sf_dir) -> DataFrame:
                                     gaz.select("alias"))
 
 
+def q_doclen_hist(spark, sf_dir) -> DataFrame:
+    """Per-source doc-length histogram sketch — the distribution axis
+    of the sketch family (functions/sketches.doclen_hist)."""
+    from .functions.sketches import doclen_hist
+
+    return doclen_hist(_docs(spark, sf_dir))
+
+
 def q_bloom_bits(spark, sf_dir) -> DataFrame:
     """The eval-set Bloom filter word table: 3-gram shingles of the
     doc_id % 17 == 0 held-out split packed into a (word, bits) table
@@ -1291,6 +1299,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "bm25_entities": q_bm25_entities,
     "entity_salience": q_entity_salience,
     "pred_lift": q_pred_lift,
+    "doclen_hist": q_doclen_hist,
 }
 
 

@@ -368,3 +368,71 @@ def bloom_decontaminate(docs: DataFrame, modulus: int = 17,
                  F.sum(F.coalesce(F.col("in_eval"), F.lit(0)))
                  .cast("long").alias("n_true_hits"),
                  F.max("maybe").cast("int").alias("flagged")))
+
+
+HIST_WIDTH = 64  # default bucket width (chars) for length histograms
+
+
+def hist_registers(items: DataFrame, col: str,
+                   width: int = HIST_WIDTH) -> DataFrame:
+    """Fixed-width histogram sketch of ``items[col]`` as a
+    (bucket, cnt) TABLE — the distribution axis of the sketch family
+    (HLL: distinct, count-min: frequency, Bloom: membership,
+    histogram: quantiles).  bucket = value // width (floor division
+    toward -inf for negatives is avoided by contract: callers feed
+    non-negative measures), so the table is cross-engine exact,
+    mergeable by union+sum, and <= max(value)/width rows however many
+    items stream through.  NULLs dropped.
+
+    Plan: one projection + one bucket hash-aggregate, map-side
+    combinable — per-shard/day histograms merge instead of rescanning,
+    and any quantile is answerable later from the merged table
+    (:func:`hist_quantile`)."""
+    d = items.where(F.col(col).isNotNull())
+    return (d.select(F.expr(f"CAST(CAST({col} AS BIGINT) DIV {width}"
+                            " AS BIGINT)").alias("bucket"))
+            .groupBy("bucket")
+            .agg(F.count(F.lit(1)).cast("long").alias("cnt")))
+
+
+def hist_merge(*sketches: DataFrame) -> DataFrame:
+    """Union buckets, sum per bucket — sketch(A) merge sketch(B) ==
+    sketch(A ++ B) exactly."""
+    out = sketches[0]
+    for s in sketches[1:]:
+        out = out.unionByName(s)
+    return (out.groupBy("bucket")
+            .agg(F.sum("cnt").cast("long").alias("cnt")))
+
+
+def hist_quantile(bucket_rows, q_pct: int, width: int = HIST_WIDTH) -> int:
+    """Quantile estimate from a collected (bucket, cnt) table: the
+    upper edge of the bucket holding the q-th percentile rank —
+    integer, deterministic, error bounded by the bucket width.  Runs
+    on the driver over the bounded table, never in the plan."""
+    rows = sorted((int(r[0]), int(r[1])) for r in bucket_rows)
+    total = sum(c for _, c in rows)
+    target = (total * q_pct + 99) // 100  # ceil rank
+    seen = 0
+    for b, c in rows:
+        seen += c
+        if seen >= target:
+            return (b + 1) * width - 1
+    return (rows[-1][0] + 1) * width - 1 if rows else 0
+
+
+def doclen_hist(docs: DataFrame, width: int = HIST_WIDTH) -> DataFrame:
+    """Per-source doc-length histogram: (source, bucket, cnt) with
+    bucket = n_chars // width — the grouped form of
+    :func:`hist_registers` (same single aggregate, source added to
+    the key).  The 100 TB question: "what does the length
+    distribution of shard/source X look like" from a bounded table
+    per source, merged across days without rescans; exact percentiles
+    (source_stats) need a full sort-based aggregate per question,
+    this answers EVERY quantile from one stored table."""
+    return (docs.where(F.col("n_chars").isNotNull())
+            .select("source",
+                    F.expr(f"CAST(CAST(n_chars AS BIGINT) DIV {width}"
+                           " AS BIGINT)").alias("bucket"))
+            .groupBy("source", "bucket")
+            .agg(F.count(F.lit(1)).cast("long").alias("cnt")))

@@ -3166,3 +3166,14 @@ pl_pairs AS (
   FROM pl_subs a JOIN pl_subs b
        ON a.sid = b.sid AND a.pred < b.pred
   GROUP BY a.pred, b.pred)""")
+
+
+# doclen_hist: per-source doc-length histogram sketch
+# (functions/sketches.doclen_hist) — bucket = n_chars // 64, the
+# mergeable distribution table of the sketch family.
+ORACLE["doclen_hist"] = """
+SELECT source, CAST(n_chars // 64 AS BIGINT) AS bucket,
+       CAST(COUNT(*) AS BIGINT) AS cnt
+FROM documents
+WHERE n_chars IS NOT NULL
+GROUP BY source, CAST(n_chars // 64 AS BIGINT)"""
