@@ -1135,6 +1135,13 @@ def q_bm25_entities(spark, sf_dir) -> DataFrame:
                                     gaz.select("alias"))
 
 
+def q_kg_neg_samples(spark, sf_dir) -> DataFrame:
+    """Filtered negative samples for KG-embedding training — the
+    corrupt-the-object device, bucketed md5 draw, true triples
+    anti-joined away (operators/triples.kg_negative_samples)."""
+    return tri_op.kg_negative_samples(_frames(spark, sf_dir).triples)
+
+
 def q_doclen_hist(spark, sf_dir) -> DataFrame:
     """Per-source doc-length histogram sketch — the distribution axis
     of the sketch family (functions/sketches.doclen_hist)."""
@@ -1300,6 +1307,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "entity_salience": q_entity_salience,
     "pred_lift": q_pred_lift,
     "doclen_hist": q_doclen_hist,
+    "kg_neg_samples": q_kg_neg_samples,
 }
 
 

@@ -202,3 +202,65 @@ def pred_cooccurrence(triples: DataFrame,
         F.expr(f"CAST((n_subj_ab * {n} * 1000000)"
                " DIV (n_subj_a * n_subj_b) AS BIGINT)")
         .alias("lift_micro6"))
+
+
+def kg_negative_samples(triples: DataFrame, n_neg: int = 2,
+                        n_nib: int = 1) -> DataFrame:
+    """Filtered negative sampling for KG-embedding training (the
+    corrupt-the-object device of TransE-style trainers, Bordes et al.
+    NIPS'13), fully deterministic and bucketed — no cross product.
+
+    For each (url, subj, pred, obj) and each j in [0, n_neg): the
+    corruption target bucket is the first ``n_nib`` md5 nibbles of
+    (j|subj|pred|obj); candidates are the DISTINCT corpus objects
+    hashing into that bucket (equi-join on the bucket key, so the
+    triple stream meets 1/16^n_nib of the object vocabulary, never
+    all of it); the winner is the md5-argmin candidate (the hash IS
+    the uniform draw — the random_walks device).  Negatives equal to
+    the true object are excluded in-bucket, and candidates that form
+    a TRUE corpus triple (same subj, pred) are anti-joined away —
+    "filtered" sampling, so no false negatives reach the trainer.
+    A (triple, j) whose bucket holds no admissible candidate emits
+    nothing (deterministic; the oracle replays it).
+
+    Output: (url, subj, pred, obj, neg_j, neg_obj).
+
+    Plan: one distinct-object projection + bucket equi-join + one
+    per-(triple, j) argmin window + one anti-join — every shuffle is
+    keyed (bucket, triple key, or (subj, pred, obj)), and the window
+    partition count is n_neg x |triples|, never |vocab|."""
+    from pyspark.sql import Window
+
+    hexpr = ("instr('0123456789abcdef', substring(md5({v}), {i}, 1)) - 1")
+
+    def _nib(v: str, n: int):
+        out = None
+        for i in range(1, n + 1):
+            t = F.expr(hexpr.format(v=v, i=i))
+            out = t if out is None else out * 16 + t
+        return out.cast("int")
+
+    pool = (triples.select(F.col("obj").alias("neg_obj")).dropDuplicates()
+            .withColumn("bucket", _nib("neg_obj", n_nib)))
+    tj = (triples.select("url", "subj", "pred", "obj")
+          .dropDuplicates()
+          .select("*", F.explode(F.sequence(
+              F.lit(0), F.lit(n_neg - 1))).alias("neg_j"))
+          .withColumn("bucket", _nib(
+              "concat(neg_j, '|', subj, '|', pred, '|', obj)", n_nib)))
+    cand = (tj.join(pool, "bucket")
+            .where(F.col("neg_obj") != F.col("obj"))
+            .withColumn("_draw", F.md5(F.concat_ws(
+                "|", "neg_obj", "neg_j", "subj", "pred", "obj"))))
+    w = Window.partitionBy("url", "subj", "pred", "obj", "neg_j") \
+        .orderBy("_draw")
+    picked = (cand.withColumn("_rn", F.row_number().over(w))
+              .where(F.col("_rn") == 1)
+              .select("url", "subj", "pred", "obj",
+                      F.col("neg_j").cast("int").alias("neg_j"),
+                      "neg_obj"))
+    truth = (triples.select("subj", "pred",
+                            F.col("obj").alias("neg_obj"))
+             .dropDuplicates())
+    return picked.join(truth, ["subj", "pred", "neg_obj"], "left_anti") \
+        .select("url", "subj", "pred", "obj", "neg_j", "neg_obj")

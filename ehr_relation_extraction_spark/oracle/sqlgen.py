@@ -3177,3 +3177,42 @@ SELECT source, CAST(n_chars // 64 AS BIGINT) AS bucket,
 FROM documents
 WHERE n_chars IS NOT NULL
 GROUP BY source, CAST(n_chars // 64 AS BIGINT)"""
+
+
+# kg_neg_samples: filtered negative sampling for KG-embedding
+# training (operators/triples.kg_negative_samples) — bucketed md5
+# corruption draw, argmin winner, true-triple anti-join.
+ORACLE["kg_neg_samples"] = _q("""
+SELECT url, subj, pred, obj, CAST(neg_j AS INT) AS neg_j, neg_obj
+FROM ns_picked p
+WHERE NOT EXISTS (SELECT 1 FROM ns_truth t
+                  WHERE t.subj = p.subj AND t.pred = p.pred
+                    AND t.neg_obj = p.neg_obj)""", """
+ns_pool AS (
+  SELECT DISTINCT obj AS neg_obj,
+         CAST(strpos('0123456789abcdef', substring(md5(obj), 1, 1)) - 1
+              AS INT) AS bucket
+  FROM triples),
+ns_tj AS (
+  SELECT url, subj, pred, obj, CAST(j AS INT) AS neg_j,
+         CAST(strpos('0123456789abcdef',
+                     substring(md5(j || '|' || subj || '|' || pred
+                                   || '|' || obj), 1, 1)) - 1
+              AS INT) AS bucket
+  FROM (SELECT DISTINCT url, subj, pred, obj FROM triples),
+       unnest(generate_series(0, 1)) AS g(j)),
+ns_cand AS (
+  SELECT t.url, t.subj, t.pred, t.obj, t.neg_j, p.neg_obj,
+         md5(p.neg_obj || '|' || t.neg_j || '|' || t.subj || '|'
+             || t.pred || '|' || t.obj) AS _draw
+  FROM ns_tj t JOIN ns_pool p USING (bucket)
+  WHERE p.neg_obj <> t.obj),
+ns_picked AS (
+  SELECT url, subj, pred, obj, neg_j, neg_obj
+  FROM (SELECT *, ROW_NUMBER() OVER (
+            PARTITION BY url, subj, pred, obj, neg_j
+            ORDER BY _draw) AS rn
+        FROM ns_cand)
+  WHERE rn = 1),
+ns_truth AS (
+  SELECT DISTINCT subj, pred, obj AS neg_obj FROM triples)""")
