@@ -1135,6 +1135,13 @@ def q_bm25_entities(spark, sf_dir) -> DataFrame:
                                     gaz.select("alias"))
 
 
+def q_pred_signatures(spark, sf_dir) -> DataFrame:
+    """Domain-constraint induction: per-predicate subject-type
+    distribution (operators/triples.pred_signatures)."""
+    fr, linked, _ = _linked(spark, sf_dir)
+    return tri_op.pred_signatures(fr.triples, linked)
+
+
 def q_kg_neg_samples(spark, sf_dir) -> DataFrame:
     """Filtered negative samples for KG-embedding training — the
     corrupt-the-object device, bucketed md5 draw, true triples
@@ -1308,6 +1315,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "pred_lift": q_pred_lift,
     "doclen_hist": q_doclen_hist,
     "kg_neg_samples": q_kg_neg_samples,
+    "pred_signatures": q_pred_signatures,
 }
 
 

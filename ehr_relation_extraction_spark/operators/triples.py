@@ -264,3 +264,32 @@ def kg_negative_samples(triples: DataFrame, n_neg: int = 2,
              .dropDuplicates())
     return picked.join(truth, ["subj", "pred", "neg_obj"], "left_anti") \
         .select("url", "subj", "pred", "obj", "neg_j", "neg_obj")
+
+
+def pred_signatures(triples: DataFrame, linked: DataFrame) -> DataFrame:
+    """Predicate type signatures — domain-constraint induction over
+    the emitted KG: for each predicate, the distribution of SUBJECT
+    entity types it attaches to.  (pred, subj_type, n_triples,
+    share_micro6) with share = n_triples / total-per-pred,
+    floor-scaled.  A predicate whose signature concentrates on one
+    type yields a domain constraint ("Date attaches to Topic
+    subjects"); drift in the signature across crawls is a schema-
+    quality alarm.
+
+    Plan: one (url, subj_id) equi-join against the linked-mention
+    table (both sides doc-keyed), one hash-aggregate, one per-pred
+    window sum — the window partition count is the predicate
+    vocabulary, single digits in any real schema."""
+    from pyspark.sql import Window
+
+    j = triples.join(
+        linked.select("url", F.col("ent_id").alias("subj_id"),
+                      F.col("ent_type").alias("subj_type")),
+        ["url", "subj_id"])
+    per = (j.groupBy("pred", "subj_type")
+           .agg(F.count(F.lit(1)).cast("long").alias("n_triples")))
+    w = Window.partitionBy("pred")
+    return (per.withColumn("_tot", F.sum("n_triples").over(w))
+            .select("pred", "subj_type", "n_triples",
+                    F.expr("CAST(n_triples * 1000000 DIV _tot"
+                           " AS BIGINT)").alias("share_micro6")))

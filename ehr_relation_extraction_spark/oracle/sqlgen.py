@@ -3216,3 +3216,20 @@ ns_picked AS (
   WHERE rn = 1),
 ns_truth AS (
   SELECT DISTINCT subj, pred, obj AS neg_obj FROM triples)""")
+
+
+# pred_signatures: predicate type signatures (operators/triples.
+# pred_signatures) — per-predicate subject-type distribution, the
+# domain-constraint induction table.
+ORACLE["pred_signatures"] = _q("""
+SELECT pred, subj_type, n_triples,
+       CAST(n_triples * 1000000 // tot AS BIGINT) AS share_micro6
+FROM (SELECT pred, subj_type, n_triples,
+             SUM(n_triples) OVER (PARTITION BY pred) AS tot
+      FROM ps_counts)""", LINK_CTES, """
+ps_counts AS (
+  SELECT t.pred, l.ent_type AS subj_type,
+         CAST(COUNT(*) AS BIGINT) AS n_triples
+  FROM triples t
+  JOIN linked l ON t.url = l.url AND t.subj_id = l.ent_id
+  GROUP BY 1, 2)""")

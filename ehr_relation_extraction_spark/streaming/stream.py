@@ -141,6 +141,35 @@ def incremental_bloom_filter(spark: SparkSession, docs_dir: str,
             .start())
 
 
+def incremental_doclen_hist(spark: SparkSession, docs_dir: str,
+                            checkpoint_dir: str,
+                            query_name: str = "doclen_hist"):
+    """Streaming per-source doc-length histogram: the SAME exact
+    integer-DIV bucket decomposition as ``functions.sketches.
+    doclen_hist`` as a streaming groupBy-count — the distribution-axis
+    twin of the HLL/count-min/Bloom streams.  Counts are additive, so
+    the checkpoint-resumed complete-mode stream equals the batch
+    histogram over the union; state is one row per (source, bucket) —
+    bounded by max(n_chars)/width per source however long the crawl
+    runs.  Complete-mode memory sink named ``query_name``.
+
+    Returns the StreamingQuery (caller awaits termination)."""
+    from ..functions.sketches import HIST_WIDTH
+
+    stream = spark.readStream.schema(DOCS_DDL).parquet(docs_dir)
+    sk = (stream.where(F.col("n_chars").isNotNull())
+          .select("source",
+                  F.expr(f"CAST(CAST(n_chars AS BIGINT) DIV {HIST_WIDTH}"
+                         " AS BIGINT)").alias("bucket"))
+          .groupBy("source", "bucket")
+          .agg(F.count(F.lit(1)).cast("long").alias("cnt")))
+    return (sk.writeStream.outputMode("complete")
+            .format("memory").queryName(query_name)
+            .option("checkpointLocation", checkpoint_dir)
+            .trigger(availableNow=True)
+            .start())
+
+
 def incremental_cm_sketch(spark: SparkSession, docs_dir: str,
                           checkpoint_dir: str,
                           query_name: str = "cm_sketch"):

@@ -102,3 +102,33 @@ def test_kg_analytics_partition_invariance(spark):
     a = sorted(map(tuple, df.collect()))
     b = sorted(map(tuple, df.repartition(13).collect()))
     assert a == b
+
+
+def test_pred_signatures_oracle(spark, con):
+    from ehr_relation_extraction_spark.driver_queries import (
+        ORACLE, QUERIES)
+
+    ok, msg = compare(QUERIES["pred_signatures"](spark, SF),
+                      con.sql(ORACLE["pred_signatures"]).df())
+    assert ok, msg
+
+
+def test_pred_signatures_hand_checked(spark):
+    """A predicate split 3-to-1 across two subject types carries
+    shares 750000/250000; a single-type predicate carries 1000000."""
+    from ehr_relation_extraction_spark.operators.triples import (
+        pred_signatures)
+
+    triples = spark.createDataFrame(
+        [("u1", "e1", "P", "o1"), ("u1", "e1", "P", "o2"),
+         ("u2", "e1", "P", "o3"), ("u2", "e2", "P", "o4"),
+         ("u1", "e1", "Q", "o5")],
+        "url string, subj_id string, pred string, obj string")
+    linked = spark.createDataFrame(
+        [("u1", "e1", "A"), ("u2", "e1", "A"), ("u2", "e2", "B")],
+        "url string, ent_id string, ent_type string")
+    got = {(r.pred, r.subj_type): (r.n_triples, r.share_micro6)
+           for r in pred_signatures(triples, linked).collect()}
+    assert got[("P", "A")] == (3, 750000)
+    assert got[("P", "B")] == (1, 250000)
+    assert got[("Q", "A")] == (1, 1000000)

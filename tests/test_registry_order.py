@@ -61,7 +61,7 @@ EXPECTED_TAIL = [
     "cm_tokens", "cm_token_est", "alias_edit_links",
     "bloom_bits", "bloom_decontam", "triple_snapshots",
     "bm25_entities", "entity_salience", "pred_lift",
-    "doclen_hist", "kg_neg_samples",
+    "doclen_hist", "kg_neg_samples", "pred_signatures",
 ]
 
 

@@ -142,3 +142,33 @@ def test_incremental_bloom_filter(spark, tmp_path):
     got2 = sorted(map(tuple, spark.sql(
         "SELECT word, bits FROM bloom_t2").collect()))
     assert got2 == sorted(map(tuple, bloom_eval_sketch(docs).collect()))
+
+
+def test_incremental_doclen_hist(spark, tmp_path):
+    """Streaming histogram == batch histogram after each incremental
+    feed (counts additive; checkpoint-resumed).  State is the
+    (source, bucket) table itself."""
+    from ehr_relation_extraction_spark.functions.sketches import (
+        doclen_hist)
+    from ehr_relation_extraction_spark.streaming.stream import (
+        incremental_doclen_hist)
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    a = docs.where("doc_id % 2 = 0")
+    b = docs.where("doc_id % 2 = 1")
+    src = str(tmp_path / "docs_src")
+    ckpt = str(tmp_path / "hist_ckpt")
+    a.repartition(4).write.mode("append").parquet(src)
+
+    q = incremental_doclen_hist(spark, src, ckpt, query_name="hist_t1")
+    q.awaitTermination(300)
+    got = sorted(map(tuple, spark.sql(
+        "SELECT source, bucket, cnt FROM hist_t1").collect()))
+    assert got == sorted(map(tuple, doclen_hist(a).collect()))
+
+    b.repartition(3).write.mode("append").parquet(src)
+    q2 = incremental_doclen_hist(spark, src, ckpt, query_name="hist_t2")
+    q2.awaitTermination(300)
+    got2 = sorted(map(tuple, spark.sql(
+        "SELECT source, bucket, cnt FROM hist_t2").collect()))
+    assert got2 == sorted(map(tuple, doclen_hist(docs).collect()))
