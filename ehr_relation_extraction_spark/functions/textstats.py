@@ -802,8 +802,10 @@ def bm25_entity_retrieval(docs: DataFrame, terms: DataFrame,
     the avgdl-normalized DECIMAL form — the fixture/oracle contract
     here is the exact-rational one.
 
-    Plan: tf/dl/df are one explode + three hash-aggregates; the probe
-    set joins broadcast (bounded by construction); T and N are one
+    Plan: ONE pass over the token stream — dl and tf are the only
+    aggregates that see it (the probe set joins broadcast, bounded by
+    construction), and df derives from the materialized tf table
+    (df = docs with tf > 0), so no second scan; T and N are one
     bounded 1-row aggregate collected on the driver (the
     top_terms_tfidf pattern); ranking is one window per term.
     """
@@ -819,9 +821,12 @@ def bm25_entity_retrieval(docs: DataFrame, terms: DataFrame,
         F.lower(F.col(terms.columns[0])).alias("term")).dropDuplicates())
     tf = (toks.join(probe, "term")
           .groupBy("doc_id", "term")
-          .agg(F.count(F.lit(1)).cast("long").alias("tf")))
-    df_ = (toks.join(probe, "term").dropDuplicates(["doc_id", "term"])
-           .groupBy("term")
+          .agg(F.count(F.lit(1)).cast("long").alias("tf"))
+          .localCheckpoint())
+    # df derives FROM the tf aggregate (df = docs where tf > 0) — the
+    # token stream is scanned once, not twice; localCheckpoint stops
+    # Catalyst re-running the scan into both consumers
+    df_ = (tf.groupBy("term")
            .agg(F.count(F.lit(1)).cast("long").alias("df")))
     tot = dl.agg(F.sum("dl").alias("t"),
                  F.count(F.lit(1)).alias("n")).first()
