@@ -1142,6 +1142,14 @@ def q_pred_signatures(spark, sf_dir) -> DataFrame:
     return tri_op.pred_signatures(fr.triples, linked)
 
 
+def q_pred_obj_linkage(spark, sf_dir) -> DataFrame:
+    """Range-side schema induction: per-predicate share of objects
+    that link into the entity dictionary (operators/triples.
+    pred_obj_linkage)."""
+    return tri_op.pred_obj_linkage(_frames(spark, sf_dir).triples,
+                                   lk.gazetteer_df(spark))
+
+
 def q_kg_neg_samples(spark, sf_dir) -> DataFrame:
     """Filtered negative samples for KG-embedding training — the
     corrupt-the-object device, bucketed md5 draw, true triples
@@ -1316,6 +1324,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "doclen_hist": q_doclen_hist,
     "kg_neg_samples": q_kg_neg_samples,
     "pred_signatures": q_pred_signatures,
+    "pred_obj_linkage": q_pred_obj_linkage,
 }
 
 

@@ -293,3 +293,31 @@ def pred_signatures(triples: DataFrame, linked: DataFrame) -> DataFrame:
             .select("pred", "subj_type", "n_triples",
                     F.expr("CAST(n_triples * 1000000 DIV _tot"
                            " AS BIGINT)").alias("share_micro6")))
+
+
+def pred_obj_linkage(triples: DataFrame, gaz: DataFrame) -> DataFrame:
+    """Range-side schema induction, the object twin of
+    :func:`pred_signatures`: per predicate, how often the OBJECT
+    surface links into the entity dictionary (an entity-valued
+    predicate) vs staying a literal string.  (pred, n_triples,
+    n_linked_obj, linked_share_micro6), share floor-scaled.
+
+    A share near 1e6 marks an object-property (both ends are KG
+    nodes — edges the graph materializer canonicalizes); near 0 a
+    data-property (literal attributes).  Plan: one broadcast left
+    join on the lowercased object surface + one per-pred aggregate —
+    map-side combinable, single keyed shuffle."""
+    from pyspark.sql.functions import broadcast
+
+    g = broadcast(gaz.select(F.lower(F.col("alias")).alias("_obj_l"))
+                  .dropDuplicates()
+                  .withColumn("_hit", F.lit(1)))
+    t = triples.select("pred", F.lower(F.col("obj")).alias("_obj_l"))
+    return (t.join(g, "_obj_l", "left")
+            .groupBy("pred")
+            .agg(F.count(F.lit(1)).cast("long").alias("n_triples"),
+                 F.sum(F.coalesce(F.col("_hit"), F.lit(0)))
+                 .cast("long").alias("n_linked_obj"))
+            .select("pred", "n_triples", "n_linked_obj",
+                    F.expr("CAST(n_linked_obj * 1000000 DIV n_triples"
+                           " AS BIGINT)").alias("linked_share_micro6")))

@@ -3233,3 +3233,17 @@ ps_counts AS (
   FROM triples t
   JOIN linked l ON t.url = l.url AND t.subj_id = l.ent_id
   GROUP BY 1, 2)""")
+
+
+# pred_obj_linkage: range-side schema induction (operators/triples.
+# pred_obj_linkage) — per-predicate share of objects that link into
+# the entity dictionary (object-property vs data-property).
+ORACLE["pred_obj_linkage"] = _q("""
+SELECT pred, CAST(COUNT(*) AS BIGINT) AS n_triples,
+       CAST(SUM(CASE WHEN g.alias IS NOT NULL THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_linked_obj,
+       CAST(SUM(CASE WHEN g.alias IS NOT NULL THEN 1 ELSE 0 END)
+            * 1000000 // COUNT(*) AS BIGINT) AS linked_share_micro6
+FROM triples t
+LEFT JOIN (SELECT DISTINCT alias FROM gaz) g ON lower(t.obj) = g.alias
+GROUP BY pred""")

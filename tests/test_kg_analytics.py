@@ -132,3 +132,31 @@ def test_pred_signatures_hand_checked(spark):
     assert got[("P", "A")] == (3, 750000)
     assert got[("P", "B")] == (1, 250000)
     assert got[("Q", "A")] == (1, 1000000)
+
+
+def test_pred_obj_linkage_oracle(spark, con):
+    from ehr_relation_extraction_spark.driver_queries import (
+        ORACLE, QUERIES)
+
+    ok, msg = compare(QUERIES["pred_obj_linkage"](spark, SF),
+                      con.sql(ORACLE["pred_obj_linkage"]).df())
+    assert ok, msg
+
+
+def test_pred_obj_linkage_hand_checked(spark):
+    """A predicate whose objects link 1-of-4 into the dictionary
+    carries share 250000; matching is case-folded."""
+    from ehr_relation_extraction_spark.operators.triples import (
+        pred_obj_linkage)
+
+    triples = spark.createDataFrame(
+        [("P", "Spark"), ("P", "12mg"), ("P", "42"), ("P", "blue"),
+         ("Q", "TABLE")],
+        "pred string, obj string")
+    gaz = spark.createDataFrame(
+        [("spark", "Topic", "topic:spark"), ("table", "Org", "org:table")],
+        "alias string, ent_type string, canonical_id string")
+    got = {r.pred: (r.n_triples, r.n_linked_obj, r.linked_share_micro6)
+           for r in pred_obj_linkage(triples, gaz).collect()}
+    assert got["P"] == (4, 1, 250000)
+    assert got["Q"] == (1, 1, 1000000)
