@@ -1142,6 +1142,13 @@ def q_pred_signatures(spark, sf_dir) -> DataFrame:
     return tri_op.pred_signatures(fr.triples, linked)
 
 
+def q_entity_assoc(spark, sf_dir) -> DataFrame:
+    """Entity association mining: document-level canonical-entity
+    co-occurrence lift (operators/linking.entity_associations)."""
+    _, linked, _ = _linked(spark, sf_dir)
+    return lk.entity_associations(linked)
+
+
 def q_pred_obj_linkage(spark, sf_dir) -> DataFrame:
     """Range-side schema induction: per-predicate share of objects
     that link into the entity dictionary (operators/triples.
@@ -1325,6 +1332,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "kg_neg_samples": q_kg_neg_samples,
     "pred_signatures": q_pred_signatures,
     "pred_obj_linkage": q_pred_obj_linkage,
+    "entity_assoc": q_entity_assoc,
 }
 
 

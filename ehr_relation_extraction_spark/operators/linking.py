@@ -562,3 +562,44 @@ def entity_salience(linked: DataFrame, pages: DataFrame) -> DataFrame:
                     F.expr("CAST((n_mentions * (text_len - first_start)"
                            " * 1000000) DIV (n_doc_mentions * text_len)"
                            " AS BIGINT)").alias("salience_micro6")))
+
+
+def entity_associations(linked: DataFrame,
+                        min_docs_ab: int = 3) -> DataFrame:
+    """Entity association mining over the linked-mention table: which
+    canonical entities co-occur in documents more often than chance?
+    (ent_a, ent_b, n_docs_a, n_docs_b, n_docs_ab, lift_micro6) with
+    lift = n_docs_ab * N / (n_docs_a * n_docs_b) over the N documents
+    carrying at least one mention — the exact-integer-division PMI
+    device (cooccurrence_pmi / pred_cooccurrence) applied to the
+    entity layer; the statistical sibling of the co-mention graph's
+    raw edge counts.
+
+    Plan shape: one distinct (doc, entity) projection, a per-doc a<b
+    pair self-join (bounded by per-doc distinct-entity count), two
+    joins against the per-entity doc counts, and the ``min_docs_ab``
+    support filter pruning the tail before the wide output."""
+    de = (linked.select("doc_id", F.col("canonical_id").alias("ent"))
+          .dropDuplicates())
+    df_ent = de.groupBy("ent").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs_ent"))
+    n = de.select(F.countDistinct("doc_id").alias("n")).first()["n"]
+    a, b = de.alias("a"), de.alias("b")
+    pairs = (a.join(b, (F.col("a.doc_id") == F.col("b.doc_id"))
+                    & (F.col("a.ent") < F.col("b.ent")))
+             .groupBy(F.col("a.ent").alias("ent_a"),
+                      F.col("b.ent").alias("ent_b"))
+             .agg(F.count(F.lit(1)).cast("long").alias("n_docs_ab"))
+             .where(F.col("n_docs_ab") >= min_docs_ab))
+    out = (pairs
+           .join(df_ent.select(F.col("ent").alias("ent_a"),
+                               F.col("n_docs_ent").alias("n_docs_a")),
+                 "ent_a")
+           .join(df_ent.select(F.col("ent").alias("ent_b"),
+                               F.col("n_docs_ent").alias("n_docs_b")),
+                 "ent_b"))
+    return out.select(
+        "ent_a", "ent_b", "n_docs_a", "n_docs_b", "n_docs_ab",
+        F.expr(f"CAST((n_docs_ab * {n} * 1000000)"
+               " DIV (n_docs_a * n_docs_b) AS BIGINT)")
+        .alias("lift_micro6"))

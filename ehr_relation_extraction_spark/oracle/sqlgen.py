@@ -3247,3 +3247,31 @@ SELECT pred, CAST(COUNT(*) AS BIGINT) AS n_triples,
 FROM triples t
 LEFT JOIN (SELECT DISTINCT alias FROM gaz) g ON lower(t.obj) = g.alias
 GROUP BY pred""")
+
+
+# entity_assoc: entity association mining (operators/linking.
+# entity_associations) — document-level canonical-entity
+# co-occurrence lift, exact integer division.
+ORACLE["entity_assoc"] = _q("""
+SELECT ent_a, ent_b, n_docs_a, n_docs_b, n_docs_ab,
+       CAST((n_docs_ab * (SELECT n FROM ea_n) * 1000000)
+            // (n_docs_a * n_docs_b) AS BIGINT) AS lift_micro6
+FROM ea_pairs
+JOIN (SELECT ent AS ent_a, n_docs_ent AS n_docs_a FROM ea_df)
+     USING (ent_a)
+JOIN (SELECT ent AS ent_b, n_docs_ent AS n_docs_b FROM ea_df)
+     USING (ent_b)""", LINK_CTES, """
+ea_de AS (
+  SELECT DISTINCT doc_id, canonical_id AS ent FROM linked),
+ea_df AS (
+  SELECT ent, CAST(COUNT(*) AS BIGINT) AS n_docs_ent
+  FROM ea_de GROUP BY ent),
+ea_n AS (
+  SELECT CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n FROM ea_de),
+ea_pairs AS (
+  SELECT a.ent AS ent_a, b.ent AS ent_b,
+         CAST(COUNT(*) AS BIGINT) AS n_docs_ab
+  FROM ea_de a JOIN ea_de b
+       ON a.doc_id = b.doc_id AND a.ent < b.ent
+  GROUP BY a.ent, b.ent
+  HAVING COUNT(*) >= 3)""")

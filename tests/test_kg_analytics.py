@@ -160,3 +160,37 @@ def test_pred_obj_linkage_hand_checked(spark):
            for r in pred_obj_linkage(triples, gaz).collect()}
     assert got["P"] == (4, 1, 250000)
     assert got["Q"] == (1, 1, 1000000)
+
+
+def test_entity_assoc_oracle(spark, con):
+    from ehr_relation_extraction_spark.driver_queries import (
+        ORACLE, QUERIES)
+
+    ok, msg = compare(QUERIES["entity_assoc"](spark, SF),
+                      con.sql(ORACLE["entity_assoc"]).df())
+    assert ok, msg
+
+
+def test_entity_assoc_hand_checked(spark):
+    """Two entities sharing both their docs in a 4-doc corpus carry
+    lift 4/(2*2) = 1.0; a pair sharing 1 doc where one entity covers
+    all 4 docs carries lift 4/(4*1) = 1.0; support filter prunes."""
+    from ehr_relation_extraction_spark.operators.linking import (
+        entity_associations)
+
+    rows = []
+    for d in (1, 2, 3, 4):
+        rows.append((d, "everywhere"))
+    for d in (1, 2):
+        rows.append((d, "pair1"))
+        rows.append((d, "pair2"))
+    linked = spark.createDataFrame(
+        [(d, e) for d, e in rows],
+        "doc_id long, canonical_id string")
+    got = {(r.ent_a, r.ent_b): r.lift_micro6
+           for r in entity_associations(linked, min_docs_ab=2).collect()}
+    assert got[("pair1", "pair2")] == 4 * 2 * 1_000_000 // (2 * 2)  # 2.0
+    assert got[("everywhere", "pair1")] == 4 * 2 * 1_000_000 // (4 * 2)
+    # support filter: nothing with n_docs_ab < 2 appears
+    assert all(k in {("pair1", "pair2"), ("everywhere", "pair1"),
+                     ("everywhere", "pair2")} for k in got)
