@@ -1012,6 +1012,19 @@ def q_link_pred(spark, sf_dir) -> DataFrame:
     return link_prediction(edges)
 
 
+def q_walk_centrality(spark, sf_dir) -> DataFrame:
+    """Walk-visit centrality from the deterministic DeepWalk corpus
+    (operators/graph_algos.walk_centrality over q_entity_walks'
+    walk table)."""
+    from .operators.graph_algos import random_walks, walk_centrality
+    from .oracle.sqlgen import WALK_LEN, WALKS_PER_NODE
+
+    edges, nodes = _comention_graph(spark, sf_dir)
+    return walk_centrality(random_walks(edges, nodes,
+                                        walk_len=WALK_LEN,
+                                        walks_per_node=WALKS_PER_NODE))
+
+
 def q_pq_rerank(spark, sf_dir) -> DataFrame:
     """IVFADC+R-style search: exact-cosine rerank of the ADC top-50
     shortlist — raw vectors touched only for the 50 candidates/query,
@@ -1333,6 +1346,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "pred_signatures": q_pred_signatures,
     "pred_obj_linkage": q_pred_obj_linkage,
     "entity_assoc": q_entity_assoc,
+    "walk_centrality": q_walk_centrality,
 }
 
 

@@ -575,3 +575,29 @@ def link_prediction(edges: DataFrame,
                     # (never a float): exact cross-engine vs DuckDB //
                     F.expr("(cn * 1000000) DIV (_da + _db - cn)")
                     .cast("long").alias("jaccard_micro6")))
+
+
+def walk_centrality(walks: DataFrame) -> DataFrame:
+    """Walk-visit centrality — the deterministic approximate
+    centrality the DeepWalk corpus gives for free: how often each
+    node is VISITED across all truncated walks (visit frequency
+    approximates the degree-biased stationary distribution the walks
+    sample; nodes bridging many walks score high).  Input is
+    :func:`random_walks` output (start, walk, step, node); output
+    (node, n_visits, n_walks_through, n_starts) where
+    n_walks_through counts distinct (start, walk) passages and
+    n_starts the step-0 rows (walks the node itself launched).
+
+    Plan: two hash-aggregates over the walk table (the distinct
+    passage count pre-aggregates per (node, start, walk) — both
+    map-side combinable, keyed shuffles only."""
+    visits = (walks.groupBy("node")
+              .agg(F.count(F.lit(1)).cast("long").alias("n_visits"),
+                   F.sum(F.when(F.col("step") == 0, 1).otherwise(0))
+                   .cast("long").alias("n_starts")))
+    through = (walks.select("node", "start", "walk").dropDuplicates()
+               .groupBy("node")
+               .agg(F.count(F.lit(1)).cast("long")
+                    .alias("n_walks_through")))
+    return (visits.join(through, "node")
+            .select("node", "n_visits", "n_walks_through", "n_starts"))

@@ -3275,3 +3275,21 @@ ea_pairs AS (
        ON a.doc_id = b.doc_id AND a.ent < b.ent
   GROUP BY a.ent, b.ent
   HAVING COUNT(*) >= 3)""")
+
+
+# walk_centrality: walk-visit centrality over the deterministic
+# DeepWalk corpus (operators/graph_algos.walk_centrality) — aggregates
+# over the same unrolled walk CTEs as entity_walks.
+ORACLE["walk_centrality"] = _q(
+    """SELECT v.node, v.n_visits, t.n_walks_through, v.n_starts
+FROM (SELECT node, CAST(COUNT(*) AS BIGINT) AS n_visits,
+             CAST(SUM(CASE WHEN step = 0 THEN 1 ELSE 0 END) AS BIGINT)
+                 AS n_starts
+      FROM wc_all GROUP BY node) v
+JOIN (SELECT node, CAST(COUNT(*) AS BIGINT) AS n_walks_through
+      FROM (SELECT DISTINCT node, start, walk FROM wc_all)
+      GROUP BY node) t USING (node)""",
+    LINK_CTES, COMENTION_CTES.strip(), _walks_sql(WALK_LEN, WALKS_PER_NODE),
+    f"""wc_all AS (
+  SELECT start, walk, CAST(step AS INT) AS step, node FROM (
+    {" UNION ALL ".join(f"SELECT * FROM walk{t}" for t in range(WALK_LEN + 1))}))""")

@@ -194,3 +194,34 @@ def test_entity_assoc_hand_checked(spark):
     # support filter: nothing with n_docs_ab < 2 appears
     assert all(k in {("pair1", "pair2"), ("everywhere", "pair1"),
                      ("everywhere", "pair2")} for k in got)
+
+
+def test_walk_centrality_oracle(spark, con):
+    from ehr_relation_extraction_spark.driver_queries import (
+        ORACLE, QUERIES)
+
+    ok, msg = compare(QUERIES["walk_centrality"](spark, SF),
+                      con.sql(ORACLE["walk_centrality"]).df())
+    assert ok, msg
+
+
+def test_walk_centrality_hand_checked(spark):
+    """On a path a-b-c, b is on every walk that moves (the bridge):
+    visit counts follow directly from the deterministic hops, and
+    n_starts is walks_per_node for every node."""
+    from ehr_relation_extraction_spark.operators.graph_algos import (
+        random_walks, walk_centrality)
+
+    edges = spark.createDataFrame([("a", "b"), ("b", "c")],
+                                  "src string, dst string")
+    nodes = spark.createDataFrame([("a",), ("b",), ("c",)],
+                                  "node string")
+    walks = random_walks(edges, nodes, walk_len=2, walks_per_node=1)
+    got = {r.node: (r.n_visits, r.n_walks_through, r.n_starts)
+           for r in walk_centrality(walks).collect()}
+    # every node starts exactly 1 walk; totals must be conserved
+    assert all(v[2] == 1 for v in got.values())
+    assert sum(v[0] for v in got.values()) == walks.count()
+    # b is adjacent to both ends, so every moving walk passes it:
+    # all 3 walks touch b (its own + both neighbors' first hop)
+    assert got["b"][1] == 3

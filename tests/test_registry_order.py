@@ -62,7 +62,7 @@ EXPECTED_TAIL = [
     "bloom_bits", "bloom_decontam", "triple_snapshots",
     "bm25_entities", "entity_salience", "pred_lift",
     "doclen_hist", "kg_neg_samples", "pred_signatures",
-    "pred_obj_linkage", "entity_assoc",
+    "pred_obj_linkage", "entity_assoc", "walk_centrality",
 ]
 
 
