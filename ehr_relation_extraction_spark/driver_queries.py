@@ -1012,6 +1012,15 @@ def q_link_pred(spark, sf_dir) -> DataFrame:
     return link_prediction(edges)
 
 
+def q_degree_dist(spark, sf_dir) -> DataFrame:
+    """Degree distribution of the entity co-mention graph — the KG
+    health metric (operators/graph_algos.degree_distribution)."""
+    from .operators.graph_algos import degree_distribution
+
+    edges, _ = _comention_graph(spark, sf_dir)
+    return degree_distribution(edges)
+
+
 def q_walk_centrality(spark, sf_dir) -> DataFrame:
     """Walk-visit centrality from the deterministic DeepWalk corpus
     (operators/graph_algos.walk_centrality over q_entity_walks'
@@ -1347,6 +1356,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "pred_obj_linkage": q_pred_obj_linkage,
     "entity_assoc": q_entity_assoc,
     "walk_centrality": q_walk_centrality,
+    "degree_dist": q_degree_dist,
 }
 
 

@@ -601,3 +601,23 @@ def walk_centrality(walks: DataFrame) -> DataFrame:
                     .alias("n_walks_through")))
     return (visits.join(through, "node")
             .select("node", "n_visits", "n_walks_through", "n_starts"))
+
+
+def degree_distribution(edges: DataFrame) -> DataFrame:
+    """Degree distribution of an undirected graph — the standard KG
+    health metric (power-law tail = hub formation, mass at degree 1 =
+    fragmentation): (degree, n_nodes) from (src, dst) edges supplied
+    in either orientation.  Canonical-orient + dedup first (the
+    round-4 LPA fix), symmetrize, one degree aggregate, one
+    distribution aggregate — two keyed shuffles total, each
+    map-side combinable; isolated nodes are absent by construction
+    (degree >= 1), callers union a zero bucket if they track them."""
+    und = (edges.select(F.least("src", "dst").alias("a"),
+                        F.greatest("src", "dst").alias("b"))
+           .where(F.col("a") != F.col("b")).dropDuplicates())
+    sym = und.select(F.col("a").alias("node")).unionAll(
+        und.select(F.col("b").alias("node")))
+    deg = sym.groupBy("node").agg(
+        F.count(F.lit(1)).cast("long").alias("degree"))
+    return (deg.groupBy("degree")
+            .agg(F.count(F.lit(1)).cast("long").alias("n_nodes")))

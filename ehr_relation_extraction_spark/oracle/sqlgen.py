@@ -3293,3 +3293,14 @@ JOIN (SELECT node, CAST(COUNT(*) AS BIGINT) AS n_walks_through
     f"""wc_all AS (
   SELECT start, walk, CAST(step AS INT) AS step, node FROM (
     {" UNION ALL ".join(f"SELECT * FROM walk{t}" for t in range(WALK_LEN + 1))}))""")
+
+
+# degree_dist: degree distribution of the entity co-mention graph
+# (operators/graph_algos.degree_distribution) — the KG health metric.
+ORACLE["degree_dist"] = _q("""
+SELECT degree, CAST(COUNT(*) AS BIGINT) AS n_nodes
+FROM (SELECT node, CAST(COUNT(*) AS BIGINT) AS degree
+      FROM (SELECT src AS node FROM comention
+            UNION ALL SELECT dst FROM comention)
+      GROUP BY node)
+GROUP BY degree""", LINK_CTES, COMENTION_CTES.strip())

@@ -225,3 +225,27 @@ def test_walk_centrality_hand_checked(spark):
     # b is adjacent to both ends, so every moving walk passes it:
     # all 3 walks touch b (its own + both neighbors' first hop)
     assert got["b"][1] == 3
+
+
+def test_degree_dist_oracle(spark, con):
+    from ehr_relation_extraction_spark.driver_queries import (
+        ORACLE, QUERIES)
+
+    ok, msg = compare(QUERIES["degree_dist"](spark, SF),
+                      con.sql(ORACLE["degree_dist"]).df())
+    assert ok, msg
+
+
+def test_degree_dist_hand_checked(spark):
+    """A star K1,3 plus a duplicate-orientation edge: the hub has
+    degree 3, the three leaves degree 1, and the reversed duplicate
+    edge counts ONCE (canonical orientation before symmetrize)."""
+    from ehr_relation_extraction_spark.operators.graph_algos import (
+        degree_distribution)
+
+    edges = spark.createDataFrame(
+        [("h", "a"), ("h", "b"), ("h", "c"), ("a", "h")],
+        "src string, dst string")
+    got = {r.degree: r.n_nodes
+           for r in degree_distribution(edges).collect()}
+    assert got == {3: 1, 1: 3}
