@@ -1012,6 +1012,16 @@ def q_link_pred(spark, sf_dir) -> DataFrame:
     return link_prediction(edges)
 
 
+def q_rrf_fusion(spark, sf_dir) -> DataFrame:
+    """Hybrid-retrieval fusion: reciprocal-rank fusion of the exact
+    cosine top-k and the sign-bucket ANN top-3 for the shared query
+    set (operators/similarity.rrf_fusion)."""
+    emb = _emb(spark, sf_dir)
+    exact = sim.brute_force_topk(emb)
+    ann = sim.ann_topk(emb).where(F.col("query_id") < 50)
+    return sim.rrf_fusion([exact, ann])
+
+
 def q_degree_dist(spark, sf_dir) -> DataFrame:
     """Degree distribution of the entity co-mention graph — the KG
     health metric (operators/graph_algos.degree_distribution)."""
@@ -1357,6 +1367,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "entity_assoc": q_entity_assoc,
     "walk_centrality": q_walk_centrality,
     "degree_dist": q_degree_dist,
+    "rrf_fusion": q_rrf_fusion,
 }
 
 

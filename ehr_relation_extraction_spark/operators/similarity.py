@@ -411,3 +411,37 @@ def recall_at_k(approx: DataFrame, exact: DataFrame) -> DataFrame:
     return (tot.join(hits, "query_id", "left").fillna({"n_hit": 0})
             .select("query_id", F.col("n_hit").cast("long").alias("n_hit"),
                     F.col("n_exact").cast("long").alias("n_exact")))
+
+
+def rrf_fusion(rankings: "list[DataFrame]", k: int = 5,
+               k_rrf: int = 60) -> DataFrame:
+    """Reciprocal-rank fusion (Cormack et al., SIGIR'09) of multiple
+    (query_id, rank, neighbor_id) rankings — the standard hybrid-
+    retrieval combiner (exact + ANN, lexical + dense): per candidate,
+    rrf_micro6 = sum over lists of 1e6 DIV (k_rrf + rank), exact
+    integer division so the fused ordering is deterministic
+    cross-engine; n_lists counts how many rankings surfaced the
+    candidate (consensus evidence).  Re-ranked top-``k`` per query,
+    ties broken by neighbor_id.
+
+    Plan: a unionAll of the (already tiny, top-k-bounded) ranking
+    tables, one (query, neighbor) hash-aggregate, one per-query
+    window — nothing here ever touches raw vectors."""
+    from pyspark.sql import Window
+
+    parts = [r.select("query_id", "neighbor_id",
+                      F.expr(f"CAST(1000000 DIV ({k_rrf} + rank)"
+                             " AS BIGINT)").alias("_contrib"))
+             for r in rankings]
+    u = parts[0]
+    for p in parts[1:]:
+        u = u.unionAll(p)
+    agg = (u.groupBy("query_id", "neighbor_id")
+           .agg(F.sum("_contrib").cast("long").alias("rrf_micro6"),
+                F.count(F.lit(1)).cast("long").alias("n_lists")))
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("rrf_micro6").desc(), F.col("neighbor_id"))
+    return (agg.withColumn("rank", F.row_number().over(w).cast("int"))
+            .where(F.col("rank") <= k)
+            .select("query_id", "rank", "neighbor_id",
+                    "rrf_micro6", "n_lists"))

@@ -3304,3 +3304,53 @@ FROM (SELECT node, CAST(COUNT(*) AS BIGINT) AS degree
             UNION ALL SELECT dst FROM comention)
       GROUP BY node)
 GROUP BY degree""", LINK_CTES, COMENTION_CTES.strip())
+
+
+# rrf_fusion: reciprocal-rank fusion of the exact cosine top-k and
+# the sign-bucket ANN top-3 for the shared query set (vec_id < 50) —
+# operators/similarity.rrf_fusion; contributions are exact integer
+# divisions, so the fused ordering is cross-engine deterministic.
+_RRF_SIM = ("CAST(floor(1000000 * list_dot_product(q.v, c.v)"
+            " / (q.nrm * c.nrm)) AS BIGINT)")
+ORACLE["rrf_fusion"] = _assemble(
+    SIM_CTES.lstrip(",").strip(),
+    select=f"""
+, rrf_bucketed AS (
+  SELECT n.vec_id, n.v, n.nrm, CAST("""
+    + " + ".join(f"(CASE WHEN n.v[{i + 1}] >= 0 THEN {1 << i} ELSE 0 END)"
+                 for i in range(ANN_SIGN_BITS)) + f""" AS INT) AS bucket
+  FROM normed n),
+rrf_exact AS (
+  SELECT query_id, rank, neighbor_id FROM (
+    SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+           ROW_NUMBER() OVER (PARTITION BY q.vec_id
+               ORDER BY {_RRF_SIM} DESC, c.vec_id) AS rank
+    FROM normed q JOIN normed c ON q.vec_id <> c.vec_id
+    WHERE q.vec_id < 50) WHERE rank <= {TOPK_NEIGHBORS}),
+rrf_ann AS (
+  SELECT query_id, rank, neighbor_id FROM (
+    SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+           ROW_NUMBER() OVER (PARTITION BY q.vec_id
+               ORDER BY {_RRF_SIM} DESC, c.vec_id) AS rank
+    FROM rrf_bucketed q JOIN rrf_bucketed c
+      ON q.bucket = c.bucket AND q.vec_id <> c.vec_id
+    WHERE q.vec_id < 50) WHERE rank <= 3),
+rrf_u AS (
+  SELECT query_id, neighbor_id,
+         CAST(1000000 // (60 + rank) AS BIGINT) AS contrib
+  FROM rrf_exact
+  UNION ALL
+  SELECT query_id, neighbor_id,
+         CAST(1000000 // (60 + rank) AS BIGINT) AS contrib
+  FROM rrf_ann),
+rrf_s AS (
+  SELECT query_id, neighbor_id,
+         CAST(SUM(contrib) AS BIGINT) AS rrf_micro6,
+         CAST(COUNT(*) AS BIGINT) AS n_lists
+  FROM rrf_u GROUP BY query_id, neighbor_id)
+SELECT query_id, CAST(rank AS INT) AS rank, neighbor_id,
+       rrf_micro6, n_lists
+FROM (SELECT s.*, ROW_NUMBER() OVER (PARTITION BY query_id
+          ORDER BY rrf_micro6 DESC, neighbor_id) AS rank
+      FROM rrf_s s)
+WHERE rank <= 5""")

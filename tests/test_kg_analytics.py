@@ -249,3 +249,30 @@ def test_degree_dist_hand_checked(spark):
     got = {r.degree: r.n_nodes
            for r in degree_distribution(edges).collect()}
     assert got == {3: 1, 1: 3}
+
+
+def test_rrf_fusion_oracle(spark, con):
+    from ehr_relation_extraction_spark.driver_queries import (
+        ORACLE, QUERIES)
+
+    ok, msg = compare(QUERIES["rrf_fusion"](spark, SF),
+                      con.sql(ORACLE["rrf_fusion"]).df())
+    assert ok, msg
+
+
+def test_rrf_fusion_hand_checked(spark):
+    """A candidate ranked 2nd by BOTH lists outranks the candidates
+    each list put 1st (the consensus property RRF exists for), and
+    the contributions are the exact integer divisions."""
+    from ehr_relation_extraction_spark.operators.similarity import (
+        rrf_fusion)
+
+    a = spark.createDataFrame([(0, 1, "x"), (0, 2, "c")],
+                              "query_id long, rank int, neighbor_id string")
+    b = spark.createDataFrame([(0, 1, "y"), (0, 2, "c")],
+                              "query_id long, rank int, neighbor_id string")
+    got = {r.neighbor_id: (r.rank, r.rrf_micro6, r.n_lists)
+           for r in rrf_fusion([a, b], k=5).collect()}
+    assert got["c"] == (1, 2 * (1_000_000 // 62), 2)
+    assert got["x"] == (2, 1_000_000 // 61, 1)   # tie with y -> id order
+    assert got["y"] == (3, 1_000_000 // 61, 1)

@@ -63,7 +63,7 @@ EXPECTED_TAIL = [
     "bm25_entities", "entity_salience", "pred_lift",
     "doclen_hist", "kg_neg_samples", "pred_signatures",
     "pred_obj_linkage", "entity_assoc", "walk_centrality",
-    "degree_dist",
+    "degree_dist", "rrf_fusion",
 ]
 
 
