@@ -35,6 +35,10 @@ ALLOWED = {
     # correctness BASELINE for the ANN paths, not the scale path —
     # its docstring says exactly that
     "similarity_topk": (0, 1),
+    # inherits similarity_topk's one BNLJ through its exact-ranking
+    # input; the fusion itself is union + aggregate + window over
+    # top-k-bounded tables
+    "rrf_fusion": (0, 1),
     # entity-centroid self-pairing: entities are a bounded dimension
     # (gazetteer-sized canonical set), not corpus-sized
     "entity_neighbors": (1, 0),
