@@ -3354,3 +3354,113 @@ FROM (SELECT s.*, ROW_NUMBER() OVER (PARTITION BY query_id
           ORDER BY rrf_micro6 DESC, neighbor_id) AS rank
       FROM rrf_s s)
 WHERE rank <= 5""")
+
+
+# ---------------------------------------------------------------------------
+# Round-5 continuation, batch 2: schema enforcement, temporal drift,
+# RDF export, and per-node clustering — the KG-quality layer over the
+# induced schema (pred_signatures) and the co-mention graph.
+# ---------------------------------------------------------------------------
+
+# clustering_coeff: local clustering coefficient per node of the
+# entity co-mention graph (operators/graph_algos.
+# clustering_coefficients) — Watts-Strogatz, floor-scaled micro6.
+ORACLE["clustering_coeff"] = _q("""
+, ccund AS MATERIALIZED (
+  SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
+  FROM comention WHERE src <> dst),
+ccdeg AS (
+  SELECT node, CAST(COUNT(*) AS BIGINT) AS degree
+  FROM (SELECT a AS node FROM ccund UNION ALL SELECT b FROM ccund)
+  GROUP BY node),
+cctri AS (
+  SELECT e1.a AS x, e1.b AS y, e2.b AS z
+  FROM ccund e1 JOIN ccund e2 ON e2.a = e1.b
+  JOIN ccund e3 ON e3.a = e1.a AND e3.b = e2.b),
+cccnt AS (
+  SELECT node, CAST(COUNT(*) AS BIGINT) AS n_triangles
+  FROM (SELECT x AS node FROM cctri UNION ALL SELECT y FROM cctri
+        UNION ALL SELECT z FROM cctri)
+  GROUP BY node)
+SELECT d.node, d.degree,
+       CAST(COALESCE(t.n_triangles, 0) AS BIGINT) AS n_triangles,
+       CAST(2000000 * COALESCE(t.n_triangles, 0)
+            // (d.degree * (d.degree - 1)) AS BIGINT) AS cc_micro6
+FROM ccdeg d LEFT JOIN cccnt t USING (node)
+WHERE d.degree >= 2""", LINK_CTES, COMENTION_CTES.strip())
+
+
+# pred_violations: majority-subject-type election per predicate +
+# violation share (operators/triples.pred_violations); majority tie
+# broken by type name, all divisions floored.
+ORACLE["pred_violations"] = _q("""
+SELECT m.pred, m.major_type, t.n_triples,
+       CAST(t.n_triples - m.n_major AS BIGINT) AS n_violations,
+       CAST((t.n_triples - m.n_major) * 1000000 // t.n_triples
+            AS BIGINT) AS viol_micro6
+FROM pv_major m JOIN pv_tot t USING (pred)""", LINK_CTES, """
+pv_counts AS MATERIALIZED (
+  SELECT t.pred, l.ent_type AS subj_type, CAST(COUNT(*) AS BIGINT) AS n
+  FROM triples t
+  JOIN linked l ON t.url = l.url AND t.subj_id = l.ent_id
+  GROUP BY 1, 2),
+pv_tot AS (
+  SELECT pred, CAST(SUM(n) AS BIGINT) AS n_triples
+  FROM pv_counts GROUP BY pred),
+pv_major AS (
+  SELECT pred, subj_type AS major_type, n AS n_major
+  FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY pred
+            ORDER BY n DESC, subj_type) AS rk
+        FROM pv_counts)
+  WHERE rk = 1)""")
+
+
+# pred_drift: predicate mix per crawl micro-batch (batch = doc_id
+# // 50) vs the corpus-wide mix (operators/triples.pred_drift);
+# every share floors to micro6 BEFORE the drift subtraction, so the
+# absolute difference is cross-engine exact.
+ORACLE["pred_drift"] = _q("""
+SELECT c.batch, c.pred, c.n_triples,
+       CAST(c.n_triples * 1000000 // b.b_tot AS BIGINT)
+           AS share_batch_micro6,
+       CAST(p.p_tot * 1000000 // a.n_all AS BIGINT) AS share_all_micro6,
+       CAST(abs(c.n_triples * 1000000 // b.b_tot
+                - p.p_tot * 1000000 // a.n_all) AS BIGINT)
+           AS drift_micro6
+FROM pd_cnt c
+JOIN pd_btot b USING (batch)
+JOIN pd_ptot p USING (pred)
+CROSS JOIN pd_all a""", """
+pd_cnt AS MATERIALIZED (
+  SELECT CAST(doc_id // 50 AS INT) AS batch, pred,
+         CAST(COUNT(*) AS BIGINT) AS n_triples
+  FROM triples GROUP BY 1, 2),
+pd_btot AS (
+  SELECT batch, CAST(SUM(n_triples) AS BIGINT) AS b_tot
+  FROM pd_cnt GROUP BY 1),
+pd_ptot AS (
+  SELECT pred, CAST(SUM(n_triples) AS BIGINT) AS p_tot
+  FROM pd_cnt GROUP BY 1),
+pd_all AS (
+  SELECT CAST(SUM(n_triples) AS BIGINT) AS n_all FROM pd_cnt)""")
+
+
+# ntriples_export: RDF 1.1 N-Triples serialization of the distinct
+# triple set with provenance breadth (operators/triples.
+# ntriples_export).  DuckDB string literals are escape-free, so '\'
+# below is ONE backslash; regexp_replace needs the 'g' flag (DuckDB
+# replaces first match only by default — Spark replaces all).
+ORACLE["ntriples_export"] = _q(r"""
+SELECT nt, CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs
+FROM (SELECT doc_id,
+             '<http://kg.example/e/'
+             || regexp_replace(lower(subj), '[^a-z0-9]+', '_', 'g')
+             || '> <http://kg.example/p/'
+             || regexp_replace(lower(pred), '[^a-z0-9]+', '_', 'g')
+             || '> "'
+             || replace(replace(replace(replace(replace(obj,
+                    '\', '\\'), '"', '\"'),
+                    chr(10), '\n'), chr(13), '\r'), chr(9), '\t')
+             || '" .' AS nt
+      FROM triples)
+GROUP BY nt""")

@@ -64,6 +64,11 @@ EXPECTED_TAIL = [
     "doclen_hist", "kg_neg_samples", "pred_signatures",
     "pred_obj_linkage", "entity_assoc", "walk_centrality",
     "degree_dist", "rrf_fusion",
+    # Continuation batch 2: KG-quality layer (schema enforcement,
+    # temporal drift, RDF export, per-node clustering) — appended
+    # past position 50, prefix untouched.
+    "clustering_coeff", "pred_violations", "pred_drift",
+    "ntriples_export",
 ]
 
 
