@@ -1260,6 +1260,69 @@ def q_ntriples_export(spark, sf_dir) -> DataFrame:
     return tri_op.ntriples_export(_frames(spark, sf_dir).triples)
 
 
+def q_pred_cardinality(spark, sf_dir) -> DataFrame:
+    """Functional-vs-multi predicate cardinality profile — the schema
+    constraint every KG validator and AMIE-style miner keys its
+    pruning on (operators/triples.pred_cardinality)."""
+    return tri_op.pred_cardinality(_frames(spark, sf_dir).triples)
+
+
+def q_object_rules(spark, sf_dir) -> DataFrame:
+    """AMIE-style shared-object Horn rules p1(x,o) AND p2(z,o) =>
+    comention(x,z), with the frequent-object fanout cap as the skew
+    guard (operators/triples.shared_object_rules)."""
+    return tri_op.shared_object_rules(_frames(spark, sf_dir).triples)
+
+
+def q_entity_jaccard(spark, sf_dir) -> DataFrame:
+    """Exact attribute-set Jaccard between subjects over the fanout-
+    pruned (pred, obj) universe — blocked candidate generation, never
+    all-pairs (operators/triples.entity_attr_jaccard)."""
+    return tri_op.entity_attr_jaccard(_frames(spark, sf_dir).triples)
+
+
+def q_hits_scores(spark, sf_dir) -> DataFrame:
+    """Integer fixed-point HITS hubs & authorities over the directed
+    KG edge graph — the companion centrality to pagerank_fixed, same
+    unrolled-CTE oracle discipline (graph_algos.hits_fixed)."""
+    from .operators.graph_algos import hits_fixed
+
+    edges = q_graph_edges(spark, sf_dir).selectExpr(
+        "subj_node AS src", "obj_node AS dst")
+    return hits_fixed(edges, n_iter=5)
+
+
+def q_kg_asof(spark, sf_dir) -> DataFrame:
+    """Point-in-time KG reconstruction: the facts live one week after
+    the crawl epoch, read off the SCD2 validity intervals
+    (operators/triples.kg_asof over triple_intervals)."""
+    return tri_op.kg_asof(q_triple_snapshots(spark, sf_dir), 1704672000)
+
+
+def q_interval_conflicts(spark, sf_dir) -> DataFrame:
+    """Temporal conflict detection: different object values for the
+    same (url, subj, pred) whose validity windows overlap — the
+    range-join consistency check (operators/triples.
+    interval_conflicts)."""
+    return tri_op.interval_conflicts(q_triple_snapshots(spark, sf_dir))
+
+
+def q_entity_types(spark, sf_dir) -> DataFrame:
+    """Node typing by majority vote over linked mentions, purity
+    scored; ties break on type name (operators/linking.
+    entity_type_election)."""
+    _, linked, _ = _linked(spark, sf_dir)
+    return lk.entity_type_election(linked)
+
+
+def q_star_query(spark, sf_dir) -> DataFrame:
+    """Conjunctive (star-shaped) pattern coverage — the SPARQL-BGP
+    read path: subjects matching >= 2 of the top-10 most-attested
+    (pred, obj) patterns, matched via a k-row broadcast
+    (operators/triples.star_query_coverage)."""
+    return tri_op.star_query_coverage(_frames(spark, sf_dir).triples)
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # ORDER IS LOAD-BEARING: the driver snapshot verifies exactly
     # list(QUERIES)[:50] in insertion order (pinned by
@@ -1402,6 +1465,14 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "pred_violations": q_pred_violations,
     "pred_drift": q_pred_drift,
     "ntriples_export": q_ntriples_export,
+    "pred_cardinality": q_pred_cardinality,
+    "object_rules": q_object_rules,
+    "entity_jaccard": q_entity_jaccard,
+    "hits_scores": q_hits_scores,
+    "kg_asof": q_kg_asof,
+    "interval_conflicts": q_interval_conflicts,
+    "entity_types": q_entity_types,
+    "star_query": q_star_query,
 }
 
 

@@ -657,3 +657,69 @@ def clustering_coefficients(edges: DataFrame) -> DataFrame:
                     F.expr("CAST(2000000 * coalesce(n_triangles, 0) DIV "
                            "(degree * (degree - 1)) AS BIGINT)")
                     .alias("cc_micro6")))
+
+
+def hits_fixed(edges: DataFrame, n_iter: int = 5,
+               scale: int = 10**6) -> DataFrame:
+    """Integer fixed-point HITS (Kleinberg hubs & authorities) over
+    the directed KG edge table — the companion centrality to
+    :func:`pagerank_fixed`: a subject that points at many
+    well-attested object entities is a hub; an object entity cited by
+    many good hubs is an authority.
+
+    Same oracle-exact discipline as ``pagerank_fixed``: every score is
+    a non-negative BIGINT in units of 1/scale, sums are integer (so
+    partition/summation order can't drift the result), and the
+    per-round normalization divides by the round MAX with floor —
+
+        hub_0    = scale everywhere
+        auth_i   = (sum over in-edges of hub_{i-1}) * scale // max
+        hub_i    = (sum over out-edges of auth_i)   * scale // max
+
+    Overflow bound: a round sum is <= scale * max_degree and the
+    normalization multiplies by scale before dividing, so the biggest
+    intermediate is scale^2 * max_degree = 1e12 * max_degree — int64-
+    safe to ~9e6 in-degree at the default scale (document-entity KG
+    degrees; raise via salted pre-aggregation before going past that).
+
+    Plan: per round, two equi-joins of the edge list against a
+    node-score table plus two 1-row MAX aggregates kept lazy as
+    crossJoins (the pagerank dangling-mass device) — no driver sync
+    inside the loop; ``localCheckpoint`` per round caps lineage."""
+    spark = edges.sparkSession
+    e = edges.select("src", "dst").dropDuplicates().localCheckpoint()
+    nodes = (e.select(F.col("src").alias("node"))
+             .union(e.select(F.col("dst").alias("node")))
+             .dropDuplicates()).localCheckpoint()
+    if nodes.isEmpty():
+        return spark.createDataFrame(
+            [], "node string, auth_u long, hub_u long")
+    hub = nodes.withColumn("hub_u", F.lit(scale).cast("long"))
+    auth = nodes.withColumn("auth_u", F.lit(0).cast("long"))
+    for _ in range(n_iter):
+        a_raw = (e.join(hub.withColumnRenamed("node", "src"), "src")
+                 .groupBy("dst")
+                 .agg(F.sum("hub_u").cast("long").alias("raw")))
+        a_all = (nodes.join(a_raw.withColumnRenamed("dst", "node"),
+                            "node", "left")
+                 .select("node", F.coalesce("raw", F.lit(0))
+                         .cast("long").alias("raw")))
+        a_mx = a_all.agg(F.max("raw").alias("mx"))
+        auth = (a_all.crossJoin(a_mx)  # 1-row frame: stays lazy
+                .select("node",
+                        F.expr(f"CAST((raw * {scale}) DIV mx AS BIGINT)")
+                        .alias("auth_u"))).localCheckpoint()
+        h_raw = (e.join(auth.withColumnRenamed("node", "dst"), "dst")
+                 .groupBy("src")
+                 .agg(F.sum("auth_u").cast("long").alias("raw")))
+        h_all = (nodes.join(h_raw.withColumnRenamed("src", "node"),
+                            "node", "left")
+                 .select("node", F.coalesce("raw", F.lit(0))
+                         .cast("long").alias("raw")))
+        h_mx = h_all.agg(F.max("raw").alias("mx"))
+        hub = (h_all.crossJoin(h_mx)
+               .select("node",
+                       F.expr(f"CAST((raw * {scale}) DIV mx AS BIGINT)")
+                       .alias("hub_u"))).localCheckpoint()
+    return (auth.join(hub, "node")
+            .select("node", "auth_u", "hub_u"))

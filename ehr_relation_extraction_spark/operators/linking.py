@@ -603,3 +603,33 @@ def entity_associations(linked: DataFrame,
         F.expr(f"CAST((n_docs_ab * {n} * 1000000)"
                " DIV (n_docs_a * n_docs_b) AS BIGINT)")
         .alias("lift_micro6"))
+
+
+def entity_type_election(linked: DataFrame) -> DataFrame:
+    """Node typing by majority vote — every canonical entity gets the
+    type most of its linked mentions carry (the node-level counterpart
+    of the predicate-domain election in triples.pred_violations), with
+    a purity score flagging entities whose mention types disagree —
+    the canonicalization-quality alarm at the node granularity.
+
+    Ties break on the type NAME (deterministic, oracle-exact).  Plan:
+    one (canonical_id, ent_type) aggregate, one canonical_id roll-up,
+    one row_number window partitioned by canonical_id — every shuffle
+    on the entity key, bounded state per key (the type alphabet)."""
+    from pyspark.sql import Window
+
+    cnt = linked.groupBy("canonical_id", "ent_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n"))
+    tot = cnt.groupBy("canonical_id").agg(
+        F.sum("n").cast("long").alias("n_mentions"))
+    w = (Window.partitionBy("canonical_id")
+         .orderBy(F.desc("n"), "ent_type"))
+    major = (cnt.withColumn("_rk", F.row_number().over(w))
+             .where(F.col("_rk") == 1))
+    return (major.join(tot, "canonical_id")
+            .select("canonical_id",
+                    F.col("ent_type").alias("major_type"),
+                    "n_mentions",
+                    F.col("n").alias("n_major"),
+                    F.expr("CAST(n * 1000000 DIV n_mentions AS BIGINT)")
+                    .alias("purity_micro6")))

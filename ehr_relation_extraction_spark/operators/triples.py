@@ -432,3 +432,227 @@ def ntriples_export(triples: DataFrame) -> DataFrame:
     return (triples.select(F.col("doc_id"), nt.alias("nt"))
             .groupBy("nt")
             .agg(F.countDistinct("doc_id").cast("long").alias("n_docs")))
+
+
+def pred_cardinality(triples: DataFrame) -> DataFrame:
+    """Cardinality profile per predicate — the functional-vs-multi
+    classification every KG schema validator starts from (a predicate
+    whose subjects each carry exactly one object is a functional
+    property; AMIE and PARIS both key their pruning on this).  Over
+    the DISTINCT fact set (subj, pred, obj):
+
+        n_subjs           distinct subjects carrying the predicate
+        n_objs            distinct object values
+        n_facts           distinct (subj, obj) instantiations
+        max_objs_per_subj the cardinality bound actually observed
+        avg_objs_micro6   n_facts * 1e6 DIV n_subjs (floor)
+        is_functional     1 iff max_objs_per_subj == 1
+
+    Plan: one distinct projection, one (pred, subj) aggregate, one
+    pred roll-up — two shuffles on low-cardinality keys, all counts
+    map-side combinable; no joins against the fact table itself."""
+    facts = triples.select("subj", "pred", "obj").dropDuplicates()
+    per_subj = facts.groupBy("pred", "subj").agg(
+        F.count(F.lit(1)).cast("long").alias("n_o"),
+        F.countDistinct("obj").cast("long").alias("n_do"))
+    return (per_subj.groupBy("pred")
+            .agg(F.count(F.lit(1)).cast("long").alias("n_subjs"),
+                 F.sum("n_o").cast("long").alias("n_facts"),
+                 F.max("n_do").cast("long").alias("max_objs_per_subj"))
+            .join(facts.groupBy("pred").agg(
+                F.countDistinct("obj").cast("long").alias("n_objs")),
+                "pred")
+            .select("pred", "n_subjs", "n_objs", "n_facts",
+                    "max_objs_per_subj",
+                    F.expr("CAST(n_facts * 1000000 DIV n_subjs AS BIGINT)")
+                    .alias("avg_objs_micro6"),
+                    F.expr("CAST(CASE WHEN max_objs_per_subj = 1 "
+                           "THEN 1 ELSE 0 END AS INT)")
+                    .alias("is_functional")))
+
+
+def shared_object_rules(triples: DataFrame,
+                        max_obj_fanout: int = 50,
+                        min_body: int = 2) -> DataFrame:
+    """AMIE-style rule mining, shaped for attribute-valued KGs: mine
+    rules  p1(x, o) AND p2(z, o)  =>  comention(x, z)  — "two subjects
+    sharing an object value under (p1, p2) tend to co-occur in a
+    document".  Classic chain rules (p1(x,y) AND p2(y,z) => p3(x,z))
+    are empty here because objects are literals (dates/money/percent)
+    that never re-appear as subjects, so the object-mediated form IS
+    the meaningful Horn rule family for this schema; the head relation
+    is the co-mention evidence the canonicalizer already trusts.
+
+    Per unordered predicate pair (pred_a <= pred_b):
+        n_body     distinct subject pairs (x < z) sharing >=1 object
+                   value under the pair
+        n_supported  of those, pairs also attested as subjects in one
+                   common document (the head)
+        conf_micro6  n_supported * 1e6 DIV n_body
+
+    Skew guard (the AMIE functionality-pruning device): object values
+    carried by more than ``max_obj_fanout`` distinct subjects are
+    dropped BEFORE the pair join — a heavy literal like a bare year
+    would otherwise square into fanout^2 pair rows per value.  With
+    the cap, the self-join output is bounded by n_objs * cap^2 and
+    every join is a hash/sort-merge equi-join; nothing is all-pairs."""
+    facts = triples.select("subj", "pred", "obj").dropDuplicates()
+    ok = (facts.groupBy("obj")
+          .agg(F.countDistinct("subj").cast("long").alias("fan"))
+          .where(F.col("fan") <= max_obj_fanout)
+          .select("obj"))
+    f = facts.join(ok, "obj")
+    a, b = f.alias("a"), f.alias("b")
+    body = (a.join(b, (F.col("a.obj") == F.col("b.obj"))
+                   & (F.col("a.subj") < F.col("b.subj")))
+            .select(F.least("a.pred", "b.pred").alias("pred_a"),
+                    F.greatest("a.pred", "b.pred").alias("pred_b"),
+                    F.col("a.subj").alias("x"),
+                    F.col("b.subj").alias("z"))
+            .dropDuplicates())
+    ds = triples.select("doc_id", "subj").dropDuplicates()
+    da, db = ds.alias("da"), ds.alias("db")
+    head = (da.join(db, (F.col("da.doc_id") == F.col("db.doc_id"))
+                    & (F.col("da.subj") < F.col("db.subj")))
+            .select(F.col("da.subj").alias("x"),
+                    F.col("db.subj").alias("z"))
+            .dropDuplicates())
+    sup = (body.join(head, ["x", "z"], "left_semi")
+           .groupBy("pred_a", "pred_b")
+           .agg(F.count(F.lit(1)).cast("long").alias("n_supported")))
+    return (body.groupBy("pred_a", "pred_b")
+            .agg(F.count(F.lit(1)).cast("long").alias("n_body"))
+            .where(F.col("n_body") >= min_body)
+            .join(sup, ["pred_a", "pred_b"], "left")
+            .select("pred_a", "pred_b", "n_body",
+                    F.coalesce("n_supported", F.lit(0))
+                    .cast("long").alias("n_supported"))
+            .withColumn("conf_micro6",
+                        F.expr("CAST(n_supported * 1000000 DIV n_body"
+                               " AS BIGINT)")))
+
+
+def entity_attr_jaccard(triples: DataFrame,
+                        max_attr_fanout: int = 50) -> DataFrame:
+    """Entity similarity by attribute overlap — exact Jaccard over
+    each subject's set of (pred, obj) attribute pairs, the structured
+    cousin of the text-shingle near-dup pass (two subjects with the
+    same dates/amounts/locations are merge candidates the surface-form
+    linker can't see).
+
+    Candidate generation is BLOCKED, never all-pairs: only subject
+    pairs sharing >=1 attribute meet, via an equi-join on the
+    (pred, obj) key.  Attributes carried by more than
+    ``max_attr_fanout`` subjects are dropped from the universe FIRST
+    (both from blocking and from set sizes), so the join output is
+    bounded by n_attrs * cap^2 and the Jaccard stays exact over the
+    pruned attribute universe — the frequency cap is part of the
+    similarity's definition, not a silent approximation.
+
+    Output per (subj_a < subj_b): n_inter, n_union, jac_micro6 =
+    n_inter * 1e6 DIV n_union."""
+    attrs = triples.select("subj", "pred", "obj").dropDuplicates()
+    ok = (attrs.groupBy("pred", "obj")
+          .agg(F.countDistinct("subj").cast("long").alias("fan"))
+          .where(F.col("fan") <= max_attr_fanout)
+          .select("pred", "obj"))
+    f = attrs.join(ok, ["pred", "obj"])
+    sizes = f.groupBy("subj").agg(
+        F.count(F.lit(1)).cast("long").alias("n_attrs"))
+    a, b = f.alias("a"), f.alias("b")
+    inter = (a.join(b, (F.col("a.pred") == F.col("b.pred"))
+                    & (F.col("a.obj") == F.col("b.obj"))
+                    & (F.col("a.subj") < F.col("b.subj")))
+             .groupBy(F.col("a.subj").alias("subj_a"),
+                      F.col("b.subj").alias("subj_b"))
+             .agg(F.count(F.lit(1)).cast("long").alias("n_inter")))
+    return (inter
+            .join(sizes.select(F.col("subj").alias("subj_a"),
+                               F.col("n_attrs").alias("na")), "subj_a")
+            .join(sizes.select(F.col("subj").alias("subj_b"),
+                               F.col("n_attrs").alias("nb")), "subj_b")
+            .select("subj_a", "subj_b", "n_inter",
+                    F.expr("CAST(na + nb - n_inter AS BIGINT)")
+                    .alias("n_union"))
+            .withColumn("jac_micro6",
+                        F.expr("CAST(n_inter * 1000000 DIV n_union"
+                               " AS BIGINT)")))
+
+
+def kg_asof(intervals: DataFrame, ts: int) -> DataFrame:
+    """Point-in-time KG reconstruction — the temporal-KG read path
+    over the SCD2 intervals :func:`triple_intervals` emits: the facts
+    LIVE at timestamp ``ts`` are exactly the rows whose validity
+    window contains it (valid_from <= ts < valid_to, NULL valid_to =
+    still current).  One codegen filter over the interval table — at
+    10^12 scale the intervals live in a partitioned store and this
+    predicate prunes on the partition column before scanning."""
+    return (intervals
+            .where((F.col("valid_from") <= ts)
+                   & (F.col("valid_to").isNull()
+                      | (F.col("valid_to") > ts)))
+            .select("url", "subj", "pred", "obj", "n_snaps"))
+
+
+def interval_conflicts(intervals: DataFrame) -> DataFrame:
+    """Temporal conflict detection — concurrent contradictory claims:
+    pairs of DIFFERENT object values for the same (url, subj, pred)
+    whose validity windows OVERLAP (both were live at once).  This is
+    the range-join form of KG consistency checking: the join is an
+    EQUI-join on the (url, subj, pred) claim key with the interval
+    overlap as a post-filter, so the shuffle key is high-cardinality
+    and the per-key pair fanout is bounded by the url's snapshot count
+    — never an all-pairs interval product.
+
+    Output per conflicting pair (obj_a < obj_b): the overlap window
+    (overlap_to NULL = both claims still current)."""
+    inf = 1 << 62
+    cols = ["url", "subj", "pred", "obj", "valid_from", "valid_to"]
+    a = intervals.select(*cols).alias("a")
+    b = intervals.select(*cols).alias("b")
+    a_to = F.coalesce(F.col("a.valid_to"), F.lit(inf))
+    b_to = F.coalesce(F.col("b.valid_to"), F.lit(inf))
+    return (a.join(b, (F.col("a.url") == F.col("b.url"))
+                   & (F.col("a.subj") == F.col("b.subj"))
+                   & (F.col("a.pred") == F.col("b.pred"))
+                   & (F.col("a.obj") < F.col("b.obj"))
+                   & (F.col("a.valid_from") < b_to)
+                   & (F.col("b.valid_from") < a_to))
+            .select(F.col("a.url").alias("url"),
+                    F.col("a.subj").alias("subj"),
+                    F.col("a.pred").alias("pred"),
+                    F.col("a.obj").alias("obj_a"),
+                    F.col("b.obj").alias("obj_b"),
+                    F.greatest("a.valid_from", "b.valid_from")
+                    .cast("long").alias("overlap_from"),
+                    F.when(F.col("a.valid_to").isNull()
+                           & F.col("b.valid_to").isNull(), F.lit(None))
+                    .otherwise(F.least(a_to, b_to))
+                    .cast("long").alias("overlap_to")))
+
+
+def star_query_coverage(triples: DataFrame, top_k: int = 10,
+                        min_match: int = 2) -> DataFrame:
+    """Conjunctive (star-shaped) pattern coverage — the SPARQL-BGP
+    read path over the attribute KG: take the ``top_k`` globally
+    most-attested (pred, obj) attribute patterns (ties broken by
+    name), then return every subject matching at least ``min_match``
+    of them with its match count and provenance breadth.
+
+    Plan: the pattern table is a distributed top-k
+    (TakeOrderedAndProject — never a global single-partition window),
+    then a BROADCAST equi-join of the fact stream against the k-row
+    pattern side and one subject aggregate.  At 10^12 scale the
+    broadcast side stays k rows no matter the corpus."""
+    facts = triples.select("subj", "pred", "obj").dropDuplicates()
+    pat = (facts.groupBy("pred", "obj")
+           .agg(F.count(F.lit(1)).cast("long").alias("n"))
+           .orderBy(F.desc("n"), "pred", "obj")
+           .limit(top_k)
+           .select("pred", "obj"))
+    return (triples.join(F.broadcast(pat), ["pred", "obj"])
+            .groupBy("subj")
+            .agg(F.countDistinct("pred", "obj").cast("long")
+                 .alias("n_matched"),
+                 F.countDistinct("doc_id").cast("long").alias("n_docs"))
+            .where(F.col("n_matched") >= min_match))

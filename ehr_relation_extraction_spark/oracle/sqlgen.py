@@ -3464,3 +3464,218 @@ FROM (SELECT doc_id,
              || '" .' AS nt
       FROM triples)
 GROUP BY nt""")
+
+
+# ---------------------------------------------------------------------------
+# Continuation batch 3: rule mining, cardinality schema, attribute
+# Jaccard, HITS.
+# ---------------------------------------------------------------------------
+
+# pred_cardinality: functional-vs-multi predicate profile over the
+# distinct fact set (operators/triples.pred_cardinality); on a
+# distinct (subj, pred, obj) universe COUNT(*) per (pred, subj) ==
+# COUNT(DISTINCT obj), matching the Spark aggregate exactly.
+ORACLE["pred_cardinality"] = _q("""
+SELECT p.pred, p.n_subjs, o.n_objs, p.n_facts, p.max_objs_per_subj,
+       CAST(p.n_facts * 1000000 // p.n_subjs AS BIGINT)
+           AS avg_objs_micro6,
+       CAST(CASE WHEN p.max_objs_per_subj = 1 THEN 1 ELSE 0 END
+            AS INT) AS is_functional
+FROM (SELECT pred, CAST(COUNT(*) AS BIGINT) AS n_subjs,
+             CAST(SUM(n_o) AS BIGINT) AS n_facts,
+             CAST(MAX(n_do) AS BIGINT) AS max_objs_per_subj
+      FROM (SELECT pred, subj, CAST(COUNT(*) AS BIGINT) AS n_o,
+                   CAST(COUNT(DISTINCT obj) AS BIGINT) AS n_do
+            FROM pcf GROUP BY 1, 2)
+      GROUP BY 1) p
+JOIN (SELECT pred, CAST(COUNT(DISTINCT obj) AS BIGINT) AS n_objs
+      FROM pcf GROUP BY 1) o USING (pred)""", """
+pcf AS MATERIALIZED (SELECT DISTINCT subj, pred, obj FROM triples)""")
+
+
+# object_rules: AMIE-style shared-object Horn rules
+# p1(x,o) AND p2(z,o) => comention(x,z) with the frequent-object
+# fanout cap (operators/triples.shared_object_rules); EXISTS is the
+# left-semi head join.
+ORACLE["object_rules"] = _q("""
+SELECT t.pred_a, t.pred_b, t.n_body,
+       CAST(COALESCE(s.n_supported, 0) AS BIGINT) AS n_supported,
+       CAST(COALESCE(s.n_supported, 0) * 1000000 // t.n_body
+            AS BIGINT) AS conf_micro6
+FROM (SELECT pred_a, pred_b, CAST(COUNT(*) AS BIGINT) AS n_body
+      FROM sor_body GROUP BY 1, 2 HAVING COUNT(*) >= 2) t
+LEFT JOIN (SELECT pred_a, pred_b,
+                  CAST(COUNT(*) AS BIGINT) AS n_supported
+           FROM sor_body b
+           WHERE EXISTS (SELECT 1 FROM sor_head h
+                         WHERE h.x = b.x AND h.z = b.z)
+           GROUP BY 1, 2) s USING (pred_a, pred_b)""", """
+sor_f AS MATERIALIZED (SELECT DISTINCT subj, pred, obj FROM triples),
+sor_fp AS MATERIALIZED (
+  SELECT f.* FROM sor_f f
+  JOIN (SELECT obj FROM (SELECT obj, COUNT(DISTINCT subj) AS fan
+                         FROM sor_f GROUP BY 1)
+        WHERE fan <= 50) ok USING (obj)),
+sor_body AS MATERIALIZED (
+  SELECT DISTINCT least(a.pred, b.pred) AS pred_a,
+         greatest(a.pred, b.pred) AS pred_b,
+         a.subj AS x, b.subj AS z
+  FROM sor_fp a JOIN sor_fp b
+    ON a.obj = b.obj AND a.subj < b.subj),
+sor_head AS MATERIALIZED (
+  SELECT DISTINCT da.subj AS x, db.subj AS z
+  FROM (SELECT DISTINCT doc_id, subj FROM triples) da
+  JOIN (SELECT DISTINCT doc_id, subj FROM triples) db
+    ON da.doc_id = db.doc_id AND da.subj < db.subj)""")
+
+
+# entity_jaccard: exact attribute-set Jaccard over the fanout-pruned
+# (pred, obj) universe (operators/triples.entity_attr_jaccard).
+ORACLE["entity_jaccard"] = _q("""
+SELECT i.subj_a, i.subj_b, i.n_inter,
+       CAST(sa.n_attrs + sb.n_attrs - i.n_inter AS BIGINT) AS n_union,
+       CAST(i.n_inter * 1000000
+            // (sa.n_attrs + sb.n_attrs - i.n_inter) AS BIGINT)
+           AS jac_micro6
+FROM (SELECT a.subj AS subj_a, b.subj AS subj_b,
+             CAST(COUNT(*) AS BIGINT) AS n_inter
+      FROM ejf a JOIN ejf b
+        ON a.pred = b.pred AND a.obj = b.obj AND a.subj < b.subj
+      GROUP BY 1, 2) i
+JOIN ejsz sa ON sa.subj = i.subj_a
+JOIN ejsz sb ON sb.subj = i.subj_b""", """
+eja AS MATERIALIZED (SELECT DISTINCT subj, pred, obj FROM triples),
+ejf AS MATERIALIZED (
+  SELECT a.* FROM eja a
+  JOIN (SELECT pred, obj
+        FROM (SELECT pred, obj, COUNT(DISTINCT subj) AS fan
+              FROM eja GROUP BY 1, 2)
+        WHERE fan <= 50) ok USING (pred, obj)),
+ejsz AS MATERIALIZED (
+  SELECT subj, CAST(COUNT(*) AS BIGINT) AS n_attrs
+  FROM ejf GROUP BY 1)""")
+
+
+def _hits_sql(n_iter: int = 5, scale: int = 10**6) -> str:
+    """Exact oracle for graph_algos.hits_fixed: the integer max-
+    normalized hub/authority recurrence unrolled as chained CTEs over
+    the DISTINCT (subj_node, obj_node) edge set of the pagerank graph.
+    Reuses _pagerank_sql's graph prelude (ge/gn) by the same slice
+    device as _ppr_sql, so graph construction can never drift."""
+    rounds = []
+    prev = "hh0"
+    for i in range(1, n_iter + 1):
+        rounds.append(f"""
+har{i} AS MATERIALIZED (
+  SELECT n.node, CAST(COALESCE(s.r, 0) AS BIGINT) AS raw
+  FROM gn n LEFT JOIN (
+    SELECT e.dst AS node, CAST(SUM(h.hub_u) AS BIGINT) AS r
+    FROM he e JOIN {prev} h ON h.node = e.src GROUP BY 1) s
+    ON n.node = s.node),
+ha{i} AS MATERIALIZED (
+  SELECT node, CAST((raw * {scale})
+                    // (SELECT MAX(raw) FROM har{i}) AS BIGINT)
+             AS auth_u
+  FROM har{i}),
+hhr{i} AS MATERIALIZED (
+  SELECT n.node, CAST(COALESCE(s.r, 0) AS BIGINT) AS raw
+  FROM gn n LEFT JOIN (
+    SELECT e.src AS node, CAST(SUM(a.auth_u) AS BIGINT) AS r
+    FROM he e JOIN ha{i} a ON a.node = e.dst GROUP BY 1) s
+    ON n.node = s.node),
+hh{i} AS MATERIALIZED (
+  SELECT node, CAST((raw * {scale})
+                    // (SELECT MAX(raw) FROM hhr{i}) AS BIGINT)
+             AS hub_u
+  FROM hhr{i})""")
+        prev = f"hh{i}"
+    prelude = _pagerank_sql(n_iter=1).split("pr0 AS MATERIALIZED")[0].rstrip()
+    assert prelude.endswith(","), "prelude slice must end at a CTE comma"
+    return f"""{prelude}
+he AS MATERIALIZED (
+  SELECT DISTINCT subj_node AS src, obj_node AS dst FROM ge),
+hh0 AS MATERIALIZED (
+  SELECT node, CAST({scale} AS BIGINT) AS hub_u FROM gn),{",".join(rounds)}
+SELECT n.node, a.auth_u, h.hub_u
+FROM gn n JOIN ha{n_iter} a USING (node)
+JOIN hh{n_iter} h USING (node)"""
+
+
+ORACLE["hits_scores"] = _q(_hits_sql(), LINK_CTES)
+
+
+# ---------------------------------------------------------------------------
+# Continuation batch 4: temporal-KG read paths, node typing, BGP
+# coverage.
+# ---------------------------------------------------------------------------
+
+_ASOF_TS = 1704672000  # epoch + 1 week: cuts mid-snapshot-1
+_IV_INF = 1 << 62
+
+# kg_asof: point-in-time KG reconstruction at _ASOF_TS over the SCD2
+# intervals (operators/triples.kg_asof) — wraps the triple_snapshots
+# oracle verbatim as a derived table so interval construction can
+# never drift between the two.
+ORACLE["kg_asof"] = f"""
+SELECT url, subj, pred, obj, n_snaps
+FROM ({ORACLE["triple_snapshots"]}) iv
+WHERE valid_from <= {_ASOF_TS}
+  AND (valid_to IS NULL OR valid_to > {_ASOF_TS})"""
+
+# interval_conflicts: concurrent contradictory claims — pairs of
+# different object values for the same (url, subj, pred) with
+# overlapping validity windows (operators/triples.interval_conflicts).
+ORACLE["interval_conflicts"] = f"""
+WITH iv AS MATERIALIZED ({ORACLE["triple_snapshots"]})
+SELECT a.url, a.subj, a.pred, a.obj AS obj_a, b.obj AS obj_b,
+       CAST(greatest(a.valid_from, b.valid_from) AS BIGINT)
+           AS overlap_from,
+       CAST(CASE WHEN a.valid_to IS NULL AND b.valid_to IS NULL
+                 THEN NULL
+                 ELSE least(COALESCE(a.valid_to, {_IV_INF}),
+                            COALESCE(b.valid_to, {_IV_INF})) END
+            AS BIGINT) AS overlap_to
+FROM iv a JOIN iv b
+  ON a.url = b.url AND a.subj = b.subj AND a.pred = b.pred
+ AND a.obj < b.obj
+ AND a.valid_from < COALESCE(b.valid_to, {_IV_INF})
+ AND b.valid_from < COALESCE(a.valid_to, {_IV_INF})"""
+
+# entity_types: node typing by majority vote over linked mentions
+# (operators/linking.entity_type_election); ties break on type name.
+ORACLE["entity_types"] = _q("""
+SELECT m.canonical_id, m.major_type, t.n_mentions, m.n_major,
+       CAST(m.n_major * 1000000 // t.n_mentions AS BIGINT)
+           AS purity_micro6
+FROM etc_major m JOIN etc_tot t USING (canonical_id)""", LINK_CTES, """
+etc_cnt AS MATERIALIZED (
+  SELECT canonical_id, ent_type, CAST(COUNT(*) AS BIGINT) AS n
+  FROM linked GROUP BY 1, 2),
+etc_tot AS (
+  SELECT canonical_id, CAST(SUM(n) AS BIGINT) AS n_mentions
+  FROM etc_cnt GROUP BY 1),
+etc_major AS (
+  SELECT canonical_id, ent_type AS major_type, n AS n_major
+  FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY canonical_id
+            ORDER BY n DESC, ent_type) AS rk
+        FROM etc_cnt)
+  WHERE rk = 1)""")
+
+# star_query: conjunctive-pattern (SPARQL-BGP) coverage — subjects
+# matching >= 2 of the top-10 most-attested (pred, obj) patterns
+# (operators/triples.star_query_coverage).
+ORACLE["star_query"] = _q("""
+SELECT t.subj,
+       CAST(COUNT(DISTINCT (t.pred, t.obj)) AS BIGINT) AS n_matched,
+       CAST(COUNT(DISTINCT t.doc_id) AS BIGINT) AS n_docs
+FROM triples t JOIN sq_pat p ON t.pred = p.pred AND t.obj = p.obj
+GROUP BY t.subj
+HAVING COUNT(DISTINCT (t.pred, t.obj)) >= 2""", """
+sq_f AS MATERIALIZED (SELECT DISTINCT subj, pred, obj FROM triples),
+sq_pat AS MATERIALIZED (
+  SELECT pred, obj
+  FROM (SELECT pred, obj, CAST(COUNT(*) AS BIGINT) AS n,
+               ROW_NUMBER() OVER (ORDER BY COUNT(*) DESC, pred, obj)
+                   AS rk
+        FROM sq_f GROUP BY 1, 2)
+  WHERE rk <= 10)""")

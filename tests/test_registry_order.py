@@ -69,6 +69,14 @@ EXPECTED_TAIL = [
     # past position 50, prefix untouched.
     "clustering_coeff", "pred_violations", "pred_drift",
     "ntriples_export",
+    # Continuation batch 3: rule mining + schema cardinality +
+    # attribute Jaccard + HITS — appended past position 50.
+    "pred_cardinality", "object_rules", "entity_jaccard",
+    "hits_scores",
+    # Continuation batch 4: temporal-KG read paths (as-of, interval
+    # conflicts), node typing, BGP coverage — appended past position
+    # 50.
+    "kg_asof", "interval_conflicts", "entity_types", "star_query",
 ]
 
 
