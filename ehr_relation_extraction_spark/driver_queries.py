@@ -1323,6 +1323,23 @@ def q_star_query(spark, sf_dir) -> DataFrame:
     return tri_op.star_query_coverage(_frames(spark, sf_dir).triples)
 
 
+def q_attr_merge_clusters(spark, sf_dir) -> DataFrame:
+    """Attribute-based entity merging: connected components over the
+    jac >= 0.5 attribute-Jaccard graph (operators/triples.
+    attr_merge_clusters)."""
+    return tri_op.attr_merge_clusters(_frames(spark, sf_dir).triples)
+
+
+def q_wl_labels(spark, sf_dir) -> DataFrame:
+    """Weisfeiler-Lehman structural-role fingerprints (3 rounds) over
+    the entity co-mention graph, with role-class populations
+    (operators/graph_algos.wl_labels)."""
+    from .operators.graph_algos import wl_labels
+
+    edges, nodes = _comention_graph(spark, sf_dir)
+    return wl_labels(edges, nodes, n_rounds=3)
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # ORDER IS LOAD-BEARING: the driver snapshot verifies exactly
     # list(QUERIES)[:50] in insertion order (pinned by
@@ -1473,6 +1490,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "interval_conflicts": q_interval_conflicts,
     "entity_types": q_entity_types,
     "star_query": q_star_query,
+    "attr_merge_clusters": q_attr_merge_clusters,
+    "wl_labels": q_wl_labels,
 }
 
 

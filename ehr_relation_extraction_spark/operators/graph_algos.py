@@ -723,3 +723,52 @@ def hits_fixed(edges: DataFrame, n_iter: int = 5,
                        .alias("hub_u"))).localCheckpoint()
     return (auth.join(hub, "node")
             .select("node", "auth_u", "hub_u"))
+
+
+def wl_labels(edges: DataFrame, nodes: DataFrame,
+              n_rounds: int = 3) -> DataFrame:
+    """Weisfeiler-Lehman label refinement — every node's structural-
+    role fingerprint after ``n_rounds`` of neighborhood hashing
+    (Shervashidze et al., JMLR 2011; the WL-kernel relabeling), plus
+    the population of its role class.  Two nodes get the same final
+    label iff WL cannot distinguish their rooted neighborhoods — the
+    cheap structural-equivalence sketch used for graph dedup, role
+    discovery, and isomorphism pre-filtering.
+
+        lbl_0 = str(degree)
+        lbl_i = md5(lbl_{i-1} || '|' || sorted ','-join of
+                    neighbors' lbl_{i-1})
+
+    Deterministic and oracle-exact: the sorted join makes the relabel
+    independent of partitioning, and md5 hex agrees across engines.
+    Plan per round: one equi-join of the symmetric edge list against
+    the label table + one sorted-list aggregate — state per node is
+    its neighbor-label list, bounded by degree; ``localCheckpoint``
+    per round caps lineage.  Output (node, wl_label, n_role)."""
+    und = (edges.select(F.least("src", "dst").alias("a"),
+                        F.greatest("src", "dst").alias("b"))
+           .where(F.col("a") != F.col("b")).dropDuplicates())
+    sym = (und.select(F.col("a").alias("src"), F.col("b").alias("dst"))
+           .union(und.select(F.col("b").alias("src"),
+                             F.col("a").alias("dst")))).localCheckpoint()
+    deg = sym.groupBy("src").agg(
+        F.count(F.lit(1)).cast("long").alias("deg"))
+    lbl = (nodes.join(deg.withColumnRenamed("src", "node"),
+                      "node", "left")
+           .select("node", F.coalesce("deg", F.lit(0))
+                   .cast("string").alias("lbl"))).localCheckpoint()
+    for _ in range(n_rounds):
+        nbs = (sym.join(lbl.withColumnRenamed("node", "dst"), "dst")
+               .groupBy("src")
+               .agg(F.array_join(F.array_sort(F.collect_list("lbl")),
+                                 ",").alias("nbs")))
+        lbl = (lbl.join(nbs.withColumnRenamed("src", "node"),
+                        "node", "left")
+               .select("node",
+                       F.md5(F.concat(F.col("lbl"), F.lit("|"),
+                                      F.coalesce("nbs", F.lit(""))))
+                       .alias("lbl"))).localCheckpoint()
+    hist = lbl.groupBy("lbl").agg(
+        F.count(F.lit(1)).cast("long").alias("n_role"))
+    return (lbl.join(hist, "lbl")
+            .select("node", F.col("lbl").alias("wl_label"), "n_role"))

@@ -656,3 +656,37 @@ def star_query_coverage(triples: DataFrame, top_k: int = 10,
                  .alias("n_matched"),
                  F.countDistinct("doc_id").cast("long").alias("n_docs"))
             .where(F.col("n_matched") >= min_match))
+
+
+def attr_merge_clusters(triples: DataFrame,
+                        min_jac_micro6: int = 500000,
+                        max_attr_fanout: int = 50) -> DataFrame:
+    """Attribute-based entity merging — the similarity pass promoted
+    to a merge PROPOSAL: connected components over the
+    :func:`entity_attr_jaccard` graph thresholded at ``min_jac``
+    (default 0.5), so subjects whose attribute sets substantially
+    agree land in one cluster even when their surface forms share no
+    alias.  This closes the canonicalization loop the alias linker
+    starts: surface-form CC merges spellings, attribute CC merges
+    co-referent entities with different names.
+
+    Output (subj, cluster): cluster = lexicographic min subject of the
+    component (the same convention as canonical_components).  Plan:
+    the blocked Jaccard join (never all-pairs), one filter, then the
+    log-round large/small-star CC — every round a key equi-join."""
+    from .linking import connected_components
+
+    jac = entity_attr_jaccard(triples, max_attr_fanout=max_attr_fanout)
+    edges = (jac.where(F.col("jac_micro6") >= min_jac_micro6)
+             .select(F.col("subj_a").alias("src"),
+                     F.col("subj_b").alias("dst")))
+    facts = triples.select("subj", "pred", "obj").dropDuplicates()
+    ok = (facts.groupBy("pred", "obj")
+          .agg(F.countDistinct("subj").cast("long").alias("fan"))
+          .where(F.col("fan") <= max_attr_fanout)
+          .select("pred", "obj"))
+    nodes = (facts.join(ok, ["pred", "obj"])
+             .select(F.col("subj").alias("node")).dropDuplicates())
+    return (connected_components(edges, nodes)
+            .select(F.col("node").alias("subj"),
+                    F.col("component").alias("cluster")))

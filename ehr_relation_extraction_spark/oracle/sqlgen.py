@@ -3531,19 +3531,9 @@ sor_head AS MATERIALIZED (
 
 # entity_jaccard: exact attribute-set Jaccard over the fanout-pruned
 # (pred, obj) universe (operators/triples.entity_attr_jaccard).
-ORACLE["entity_jaccard"] = _q("""
-SELECT i.subj_a, i.subj_b, i.n_inter,
-       CAST(sa.n_attrs + sb.n_attrs - i.n_inter AS BIGINT) AS n_union,
-       CAST(i.n_inter * 1000000
-            // (sa.n_attrs + sb.n_attrs - i.n_inter) AS BIGINT)
-           AS jac_micro6
-FROM (SELECT a.subj AS subj_a, b.subj AS subj_b,
-             CAST(COUNT(*) AS BIGINT) AS n_inter
-      FROM ejf a JOIN ejf b
-        ON a.pred = b.pred AND a.obj = b.obj AND a.subj < b.subj
-      GROUP BY 1, 2) i
-JOIN ejsz sa ON sa.subj = i.subj_a
-JOIN ejsz sb ON sb.subj = i.subj_b""", """
+# Shared as a CTE block so attr_merge_clusters builds on the SAME
+# pair table and can never drift on the similarity definition.
+_EJ_CTES = """
 eja AS MATERIALIZED (SELECT DISTINCT subj, pred, obj FROM triples),
 ejf AS MATERIALIZED (
   SELECT a.* FROM eja a
@@ -3553,7 +3543,24 @@ ejf AS MATERIALIZED (
         WHERE fan <= 50) ok USING (pred, obj)),
 ejsz AS MATERIALIZED (
   SELECT subj, CAST(COUNT(*) AS BIGINT) AS n_attrs
-  FROM ejf GROUP BY 1)""")
+  FROM ejf GROUP BY 1),
+ej_pairs AS MATERIALIZED (
+  SELECT i.subj_a, i.subj_b, i.n_inter,
+         CAST(sa.n_attrs + sb.n_attrs - i.n_inter AS BIGINT) AS n_union,
+         CAST(i.n_inter * 1000000
+              // (sa.n_attrs + sb.n_attrs - i.n_inter) AS BIGINT)
+             AS jac_micro6
+  FROM (SELECT a.subj AS subj_a, b.subj AS subj_b,
+               CAST(COUNT(*) AS BIGINT) AS n_inter
+        FROM ejf a JOIN ejf b
+          ON a.pred = b.pred AND a.obj = b.obj AND a.subj < b.subj
+        GROUP BY 1, 2) i
+  JOIN ejsz sa ON sa.subj = i.subj_a
+  JOIN ejsz sb ON sb.subj = i.subj_b)"""
+
+ORACLE["entity_jaccard"] = _q(
+    "SELECT subj_a, subj_b, n_inter, n_union, jac_micro6 FROM ej_pairs",
+    _EJ_CTES)
 
 
 def _hits_sql(n_iter: int = 5, scale: int = 10**6) -> str:
@@ -3679,3 +3686,65 @@ sq_pat AS MATERIALIZED (
                    AS rk
         FROM sq_f GROUP BY 1, 2)
   WHERE rk <= 10)""")
+
+
+# ---------------------------------------------------------------------------
+# Continuation batch 5: attribute-based entity merging + WL structural
+# roles.
+# ---------------------------------------------------------------------------
+
+# attr_merge_clusters: connected components over the jac >= 0.5
+# attribute-Jaccard graph (operators/triples.attr_merge_clusters) —
+# the similarity pass promoted to an entity-merge proposal, same
+# recursive-reach CC device as canonical_components.
+ORACLE["attr_merge_clusters"] = _q("""
+SELECT node AS subj, MIN(comp) AS cluster
+FROM am_reach GROUP BY node""", _EJ_CTES, """
+am_edges AS MATERIALIZED (
+  SELECT subj_a AS src, subj_b AS dst FROM ej_pairs
+  WHERE jac_micro6 >= 500000),
+am_nodes AS (SELECT DISTINCT subj AS node FROM ejf),
+am_sym AS (SELECT src, dst FROM am_edges
+           UNION SELECT dst AS src, src AS dst FROM am_edges),
+am_reach(node, comp) AS (
+  SELECT node, node AS comp FROM am_nodes
+  UNION
+  SELECT e.dst AS node, r.comp
+  FROM am_reach r JOIN am_sym e ON e.src = r.node)""")
+
+
+def _wl_sql(n_rounds: int = 3) -> str:
+    """Exact oracle for graph_algos.wl_labels: Weisfeiler-Lehman label
+    refinement over the entity co-mention graph, rounds unrolled as
+    chained CTEs.  The per-round relabel is md5(old || '|' || sorted
+    comma-joined neighbor labels) — string_agg(... ORDER BY lbl)
+    matches Spark's array_join(array_sort(collect_list(...)), ',')
+    exactly, and md5 hex is identical across engines."""
+    rounds = []
+    prev = "wl0"
+    for i in range(1, n_rounds + 1):
+        rounds.append(f"""
+wl{i} AS MATERIALIZED (
+  SELECT p.node,
+         md5(p.lbl || '|' || COALESCE(a.nbs, '')) AS lbl
+  FROM {prev} p LEFT JOIN (
+    SELECT s.src AS node, string_agg(q.lbl, ',' ORDER BY q.lbl) AS nbs
+    FROM com_sym s JOIN {prev} q ON q.node = s.dst
+    GROUP BY 1) a ON a.node = p.node)""")
+        prev = f"wl{i}"
+    return f"""
+, wl0 AS MATERIALIZED (
+  SELECT n.node, CAST(COALESCE(d.deg, 0) AS VARCHAR) AS lbl
+  FROM cc_nodes n LEFT JOIN (
+    SELECT src AS node, CAST(COUNT(*) AS BIGINT) AS deg
+    FROM com_sym GROUP BY 1) d ON d.node = n.node),{",".join(rounds)},
+wl_hist AS (
+  SELECT lbl, CAST(COUNT(*) AS BIGINT) AS n_role
+  FROM {prev} GROUP BY 1)
+SELECT w.node, w.lbl AS wl_label, h.n_role
+FROM {prev} w JOIN wl_hist h ON h.lbl = w.lbl"""
+
+
+# wl_labels: 3-round WL refinement — every node's structural-role
+# fingerprint plus the population of its role class.
+ORACLE["wl_labels"] = _q(_wl_sql(), LINK_CTES, COMENTION_CTES.strip())

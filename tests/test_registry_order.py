@@ -77,6 +77,9 @@ EXPECTED_TAIL = [
     # conflicts), node typing, BGP coverage — appended past position
     # 50.
     "kg_asof", "interval_conflicts", "entity_types", "star_query",
+    # Continuation batch 5: attribute-based entity merging + WL
+    # structural roles — appended past position 50.
+    "attr_merge_clusters", "wl_labels",
 ]
 
 
