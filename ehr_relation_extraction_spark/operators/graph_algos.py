@@ -772,3 +772,52 @@ def wl_labels(edges: DataFrame, nodes: DataFrame,
         F.count(F.lit(1)).cast("long").alias("n_role"))
     return (lbl.join(hist, "lbl")
             .select("node", F.col("lbl").alias("wl_label"), "n_role"))
+
+
+def bellman_ford_fixed(edges: DataFrame, source: str,
+                       n_rounds: int = 5) -> DataFrame:
+    """Weighted shortest paths by fixed-round min-plus relaxation
+    (Bellman-Ford) — the weighted companion to :func:`bfs_levels`:
+    hop count treats a 1-document co-mention like a 1000-document one;
+    here stronger edges are cheaper, cost = 1e6 DIV weight, so the
+    distance ranks entities by evidence-weighted proximity.
+
+    All-integer min-plus algebra (sums and MINs of BIGINTs), so the
+    result is partition-order independent and a DuckDB oracle that
+    unrolls the rounds matches bit-exactly.  After k rounds the
+    distances are exact for all shortest paths of <= k edges — the
+    bounded-horizon contract, same as ppr_fixed's fixed rounds.
+
+    Plan per round: one edge-list equi-join against the current
+    distance table + one MIN aggregate; localCheckpoint caps lineage.
+    Output: (node, dist_cost) for nodes reached within ``n_rounds``
+    edges."""
+    inf = 1 << 60
+    e = (edges.select("src", "dst",
+                      (F.col("weight") if "weight" in edges.columns
+                       else F.lit(1)).cast("long").alias("w"))
+         .groupBy("src", "dst")
+         .agg(F.sum("w").cast("long").alias("w"))
+         .select("src", "dst",
+                 F.expr("CAST(1000000 DIV w AS BIGINT)").alias("cost"))
+         .localCheckpoint())
+    nodes = (e.select(F.col("src").alias("node"))
+             .union(e.select(F.col("dst").alias("node")))
+             .dropDuplicates()).localCheckpoint()
+    dist = nodes.withColumn(
+        "d", F.when(F.col("node") == source, F.lit(0))
+        .otherwise(F.lit(inf)).cast("long"))
+    for _ in range(n_rounds):
+        relax = (e.join(dist.withColumnRenamed("node", "src"), "src")
+                 .where(F.col("d") < inf)
+                 .select(F.col("dst").alias("node"),
+                         (F.col("d") + F.col("cost")).alias("nd"))
+                 .groupBy("node")
+                 .agg(F.min("nd").cast("long").alias("nd")))
+        dist = (dist.join(relax, "node", "left")
+                .select("node",
+                        F.least(F.col("d"),
+                                F.coalesce("nd", F.lit(inf)))
+                        .cast("long").alias("d"))).localCheckpoint()
+    return (dist.where(F.col("d") < inf)
+            .select("node", F.col("d").alias("dist_cost")))

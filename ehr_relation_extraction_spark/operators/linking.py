@@ -633,3 +633,84 @@ def entity_type_election(linked: DataFrame) -> DataFrame:
                     F.col("n").alias("n_major"),
                     F.expr("CAST(n * 1000000 DIV n_mentions AS BIGINT)")
                     .alias("purity_micro6")))
+
+
+def schema_graph(edges: DataFrame, linked: DataFrame,
+                 components: DataFrame) -> DataFrame:
+    """Ontology induction by graph summarization (the SNAP-style
+    typed quotient graph): collapse the node-level KG edge table onto
+    TYPE-level edges (subj_type, pred, obj_type) with edge and weight
+    totals — the schema a 10^12-triple KG actually exhibits, readable
+    at a glance and the input to domain/range constraint mining.
+
+    A component's type is elected by majority vote over its members'
+    linked mentions (ties on the type name — the entity_type_election
+    device lifted to components); object nodes without a component
+    type (surface literals) summarize as 'literal'.
+
+    Plan: one (component, ent_type) aggregate + per-component window
+    for the election, then the edge table joins the (small) component-
+    type side twice and collapses onto the type triple — output rows
+    are bounded by |types|^2 * |preds| no matter the corpus size."""
+    from pyspark.sql import Window
+
+    cnt = (linked.join(components.withColumnRenamed("node",
+                                                    "canonical_id"),
+                       "canonical_id")
+           .groupBy("component", "ent_type")
+           .agg(F.count(F.lit(1)).cast("long").alias("n")))
+    w = (Window.partitionBy("component")
+         .orderBy(F.desc("n"), "ent_type"))
+    ctype = (cnt.withColumn("_rk", F.row_number().over(w))
+             .where(F.col("_rk") == 1)
+             .select("component", F.col("ent_type").alias("major_type")))
+    st = ctype.select(F.col("component").alias("subj_node"),
+                      F.col("major_type").alias("subj_type"))
+    ot = ctype.select(F.col("component").alias("obj_node"),
+                      F.col("major_type").alias("_ot"))
+    return (edges.join(st, "subj_node")
+            .join(ot, "obj_node", "left")
+            .groupBy("subj_type", "pred",
+                     F.coalesce("_ot", F.lit("literal")).alias("obj_type"))
+            .agg(F.count(F.lit(1)).cast("long").alias("n_edges"),
+                 F.sum("weight").cast("long").alias("w_sum")))
+
+
+def trending_entities(linked: DataFrame, batch_docs: int = 50,
+                      top_k: int = 3) -> DataFrame:
+    """Per-crawl-batch trending entities — the entity-level twin of
+    the predicate drift report: within each micro-batch (batch =
+    doc_id DIV ``batch_docs``, the synthetic crawl clock), the
+    ``top_k`` most-mentioned canonical entities, each with its burst
+    lift vs the corpus-wide mention share:
+
+        lift = (n / b_tot) / (e_tot / n_all)
+        lift_micro6 = n * n_all * 1e6 DIV (b_tot * e_tot)   (floor)
+
+    Plan: one (batch, entity) count, one batch total, one entity
+    total, one 1-row corpus total kept lazy as a crossJoin, then a
+    per-batch row_number window for the top-k — bounded state per
+    batch, every shuffle on a real key."""
+    from pyspark.sql import Window
+
+    cnt = (linked
+           .select(F.expr(f"CAST(doc_id DIV {batch_docs} AS INT)")
+                   .alias("batch"), "canonical_id")
+           .groupBy("batch", "canonical_id")
+           .agg(F.count(F.lit(1)).cast("long").alias("n_mentions")))
+    b_tot = cnt.groupBy("batch").agg(
+        F.sum("n_mentions").cast("long").alias("b_tot"))
+    e_tot = cnt.groupBy("canonical_id").agg(
+        F.sum("n_mentions").cast("long").alias("e_tot"))
+    n_all = cnt.agg(F.sum("n_mentions").cast("long").alias("n_all"))
+    w = (Window.partitionBy("batch")
+         .orderBy(F.desc("n_mentions"), "canonical_id"))
+    return (cnt.withColumn("rank", F.row_number().over(w))
+            .where(F.col("rank") <= top_k)
+            .join(b_tot, "batch").join(e_tot, "canonical_id")
+            .crossJoin(n_all)  # 1-row frame: stays lazy/distributed
+            .select("batch", "canonical_id", "n_mentions",
+                    F.col("rank").cast("int").alias("rank"),
+                    F.expr("CAST(n_mentions * n_all * 1000000"
+                           " DIV (b_tot * e_tot) AS BIGINT)")
+                    .alias("lift_micro6")))

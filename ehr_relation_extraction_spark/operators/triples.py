@@ -690,3 +690,88 @@ def attr_merge_clusters(triples: DataFrame,
     return (connected_components(edges, nodes)
             .select(F.col("node").alias("subj"),
                     F.col("component").alias("cluster")))
+
+
+def kg_churn(intervals: DataFrame, ts1: int, ts2: int) -> DataFrame:
+    """KG churn between two point-in-time cuts — per predicate, how
+    many claims were ADDED, REMOVED, and STABLE between the KGs live
+    at ``ts1`` and ``ts2``: the drift report a recrawl pipeline emits
+    per crawl generation.
+
+    A fact is live at a cut iff ANY of its SCD2 interval rows contains
+    it (a fact can have several runs).  Plan: one pass over the
+    interval table computing both liveness flags per row, one
+    fact-level max-aggregate, one predicate roll-up — two shuffles,
+    both map-side combinable."""
+    def live(ts: int):
+        return F.when((F.col("valid_from") <= ts)
+                      & (F.col("valid_to").isNull()
+                         | (F.col("valid_to") > ts)), 1).otherwise(0)
+
+    per_fact = (intervals
+                .select("url", "subj", "pred", "obj",
+                        live(ts1).alias("l1"), live(ts2).alias("l2"))
+                .groupBy("url", "subj", "pred", "obj")
+                .agg(F.max("l1").alias("l1"), F.max("l2").alias("l2")))
+    return (per_fact.groupBy("pred")
+            .agg(F.sum(F.expr("CASE WHEN l1 = 0 AND l2 = 1 THEN 1 "
+                              "ELSE 0 END")).cast("long").alias("n_added"),
+                 F.sum(F.expr("CASE WHEN l1 = 1 AND l2 = 0 THEN 1 "
+                              "ELSE 0 END")).cast("long")
+                 .alias("n_removed"),
+                 F.sum(F.expr("CASE WHEN l1 = 1 AND l2 = 1 THEN 1 "
+                              "ELSE 0 END")).cast("long")
+                 .alias("n_stable")))
+
+
+def hapax_objects(triples: DataFrame) -> DataFrame:
+    """Open-IE noise indicator per predicate: the share of object
+    values attested by exactly ONE distinct fact (hapax legomena of
+    the object vocabulary).  A predicate whose objects are mostly
+    hapax is extraction noise or free text; one whose objects repeat
+    is a real vocabulary.  (pred, n_objs, n_hapax,
+    hapax_share_micro6) — two hash-aggregates over the distinct fact
+    set, no joins against the corpus."""
+    facts = triples.select("subj", "pred", "obj").dropDuplicates()
+    per_obj = facts.groupBy("pred", "obj").agg(
+        F.count(F.lit(1)).cast("long").alias("n"))
+    return (per_obj.groupBy("pred")
+            .agg(F.count(F.lit(1)).cast("long").alias("n_objs"),
+                 F.sum(F.expr("CASE WHEN n = 1 THEN 1 ELSE 0 END"))
+                 .cast("long").alias("n_hapax"))
+            .withColumn("hapax_share_micro6",
+                        F.expr("CAST(n_hapax * 1000000 DIV n_objs"
+                               " AS BIGINT)")))
+
+
+def jaccard_best_match(triples: DataFrame,
+                       max_attr_fanout: int = 50) -> DataFrame:
+    """Reciprocal-best-match entity alignment — the classic entity-
+    resolution acceptance rule on top of :func:`entity_attr_jaccard`:
+    keep a candidate pair only when each side is the OTHER's single
+    best match (ties broken by neighbor name), the mutual-argmax
+    filter that turns a similarity table into high-precision merge
+    proposals without any threshold tuning.
+
+    Plan: symmetrize the (already blocked) pair table, one per-node
+    row_number window to pick each node's best neighbor, then a
+    self-equi-join on the ordered pair key to keep mutual winners —
+    no new join class over the Jaccard pass itself."""
+    from pyspark.sql import Window
+
+    jac = entity_attr_jaccard(triples, max_attr_fanout=max_attr_fanout)
+    sym = (jac.select(F.col("subj_a").alias("me"),
+                      F.col("subj_b").alias("other"), "jac_micro6")
+           .union(jac.select(F.col("subj_b").alias("me"),
+                             F.col("subj_a").alias("other"),
+                             "jac_micro6")))
+    w = Window.partitionBy("me").orderBy(F.desc("jac_micro6"), "other")
+    best = (sym.withColumn("_rk", F.row_number().over(w))
+            .where(F.col("_rk") == 1)
+            .select("me", "other", "jac_micro6"))
+    a = best.where(F.col("me") < F.col("other"))
+    b = best.select(F.col("other").alias("me"),
+                    F.col("me").alias("other"))
+    return (a.join(b, ["me", "other"], "left_semi")
+            .select(F.col("me").alias("subj_a"),
+                    F.col("other").alias("subj_b"), "jac_micro6"))

@@ -3748,3 +3748,162 @@ FROM {prev} w JOIN wl_hist h ON h.lbl = w.lbl"""
 # wl_labels: 3-round WL refinement — every node's structural-role
 # fingerprint plus the population of its role class.
 ORACLE["wl_labels"] = _q(_wl_sql(), LINK_CTES, COMENTION_CTES.strip())
+
+
+# ---------------------------------------------------------------------------
+# Continuation batch 6: typed schema summary, KG churn, hapax noise.
+# ---------------------------------------------------------------------------
+
+# schema_graph: SNAP-style typed quotient of the KG edge table
+# (operators/linking.schema_graph) — component types elected by
+# majority vote (ties on type name), literal objects as 'literal'.
+# Reuses _pagerank_sql's graph prelude slice for the ge edge CTE.
+_SG_PRELUDE = _pagerank_sql(n_iter=1).split("pr0 AS MATERIALIZED")[0].rstrip()
+assert _SG_PRELUDE.endswith(","), "prelude slice must end at a CTE comma"
+ORACLE["schema_graph"] = _q(f"""{_SG_PRELUDE}
+sg_cnt AS MATERIALIZED (
+  SELECT c.component, l.ent_type, CAST(COUNT(*) AS BIGINT) AS n
+  FROM linked l JOIN components c ON l.canonical_id = c.node
+  GROUP BY 1, 2),
+sg_type AS MATERIALIZED (
+  SELECT component, ent_type AS major_type
+  FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY component
+            ORDER BY n DESC, ent_type) AS rk
+        FROM sg_cnt)
+  WHERE rk = 1)
+SELECT st.major_type AS subj_type, e.pred,
+       COALESCE(ot.major_type, 'literal') AS obj_type,
+       CAST(COUNT(*) AS BIGINT) AS n_edges,
+       CAST(SUM(e.weight) AS BIGINT) AS w_sum
+FROM ge e
+JOIN sg_type st ON st.component = e.subj_node
+LEFT JOIN sg_type ot ON ot.component = e.obj_node
+GROUP BY 1, 2, 3""", LINK_CTES)
+
+# kg_churn: per-predicate added/removed/stable claim counts between
+# the week-1 and week-2 point-in-time cuts
+# (operators/triples.kg_churn over the SCD2 intervals).
+_CHURN_T1 = 1704672000
+_CHURN_T2 = _CHURN_T1 + 604800
+ORACLE["kg_churn"] = f"""
+WITH iv AS MATERIALIZED ({ORACLE["triple_snapshots"]}),
+ch_fact AS (
+  SELECT url, subj, pred, obj,
+         MAX(CASE WHEN valid_from <= {_CHURN_T1}
+                   AND (valid_to IS NULL OR valid_to > {_CHURN_T1})
+                  THEN 1 ELSE 0 END) AS l1,
+         MAX(CASE WHEN valid_from <= {_CHURN_T2}
+                   AND (valid_to IS NULL OR valid_to > {_CHURN_T2})
+                  THEN 1 ELSE 0 END) AS l2
+  FROM iv GROUP BY 1, 2, 3, 4)
+SELECT pred,
+       CAST(SUM(CASE WHEN l1 = 0 AND l2 = 1 THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_added,
+       CAST(SUM(CASE WHEN l1 = 1 AND l2 = 0 THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_removed,
+       CAST(SUM(CASE WHEN l1 = 1 AND l2 = 1 THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_stable
+FROM ch_fact GROUP BY pred"""
+
+# hapax_objects: per-predicate share of single-attestation object
+# values (operators/triples.hapax_objects).
+ORACLE["hapax_objects"] = _q("""
+SELECT pred, CAST(COUNT(*) AS BIGINT) AS n_objs,
+       CAST(SUM(CASE WHEN n = 1 THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_hapax,
+       CAST(SUM(CASE WHEN n = 1 THEN 1 ELSE 0 END) * 1000000
+            // COUNT(*) AS BIGINT) AS hapax_share_micro6
+FROM (SELECT pred, obj, CAST(COUNT(*) AS BIGINT) AS n
+      FROM (SELECT DISTINCT subj, pred, obj FROM triples)
+      GROUP BY 1, 2)
+GROUP BY pred""")
+
+
+# ---------------------------------------------------------------------------
+# Continuation batch 7: trending entities, weighted shortest paths,
+# reciprocal best-match alignment.
+# ---------------------------------------------------------------------------
+
+# trending_entities: per-crawl-batch top-3 entities by mention count
+# with burst lift vs the corpus share (operators/linking.
+# trending_entities); batch = doc_id DIV 50 (the pred_drift clock).
+ORACLE["trending_entities"] = _q("""
+SELECT r.batch, r.canonical_id, r.n_mentions,
+       CAST(r.rank AS INT) AS rank,
+       CAST(r.n_mentions * a.n_all * 1000000
+            // (b.b_tot * e.e_tot) AS BIGINT) AS lift_micro6
+FROM tr_rk r
+JOIN tr_btot b USING (batch)
+JOIN tr_etot e USING (canonical_id)
+CROSS JOIN tr_all a
+WHERE r.rank <= 3""", LINK_CTES, """
+tr_cnt AS MATERIALIZED (
+  SELECT CAST(doc_id // 50 AS INT) AS batch, canonical_id,
+         CAST(COUNT(*) AS BIGINT) AS n_mentions
+  FROM linked GROUP BY 1, 2),
+tr_btot AS (
+  SELECT batch, CAST(SUM(n_mentions) AS BIGINT) AS b_tot
+  FROM tr_cnt GROUP BY 1),
+tr_etot AS (
+  SELECT canonical_id, CAST(SUM(n_mentions) AS BIGINT) AS e_tot
+  FROM tr_cnt GROUP BY 1),
+tr_all AS (
+  SELECT CAST(SUM(n_mentions) AS BIGINT) AS n_all FROM tr_cnt),
+tr_rk AS (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY batch
+        ORDER BY n_mentions DESC, canonical_id) AS rank
+  FROM tr_cnt)""")
+
+
+def _bf_sql(n_rounds: int = 5, inf: int = 1 << 60) -> str:
+    """Exact oracle for graph_algos.bellman_ford_fixed over the KG
+    edge graph: min-plus relaxation rounds unrolled as chained CTEs,
+    seed = MIN(node) (the BFS/PPR seed rule), cost = 1e6 // summed
+    edge weight.  All-BIGINT min-plus — bit-exact across engines."""
+    rounds = []
+    prev = "bf0"
+    for i in range(1, n_rounds + 1):
+        rounds.append(f"""
+bf{i} AS MATERIALIZED (
+  SELECT n.node,
+         CAST(least(p.d, COALESCE(r.nd, {inf})) AS BIGINT) AS d
+  FROM gn n JOIN {prev} p ON p.node = n.node
+  LEFT JOIN (
+    SELECT e.dst AS node, CAST(MIN(q.d + e.cost) AS BIGINT) AS nd
+    FROM bf_e e JOIN {prev} q ON q.node = e.src AND q.d < {inf}
+    GROUP BY 1) r ON r.node = n.node)""")
+        prev = f"bf{i}"
+    prelude = _pagerank_sql(n_iter=1).split("pr0 AS MATERIALIZED")[0].rstrip()
+    assert prelude.endswith(","), "prelude slice must end at a CTE comma"
+    return f"""{prelude}
+bf_e AS MATERIALIZED (
+  SELECT subj_node AS src, obj_node AS dst,
+         CAST(1000000 // SUM(weight) AS BIGINT) AS cost
+  FROM ge GROUP BY subj_node, obj_node),
+bf0 AS MATERIALIZED (
+  SELECT node, CAST(CASE WHEN node = (SELECT MIN(node) FROM gn)
+                         THEN 0 ELSE {inf} END AS BIGINT) AS d
+  FROM gn),{",".join(rounds)}
+SELECT node, d AS dist_cost FROM {prev} WHERE d < {inf}"""
+
+
+ORACLE["graph_distances"] = _q(_bf_sql(), LINK_CTES)
+
+# jaccard_best_match: reciprocal-best-match alignment over the
+# blocked Jaccard pair table (operators/triples.jaccard_best_match).
+ORACLE["jaccard_best_match"] = _q("""
+SELECT a.me AS subj_a, a.other AS subj_b, a.jac_micro6
+FROM bm_best a
+WHERE a.me < a.other
+  AND EXISTS (SELECT 1 FROM bm_best b
+              WHERE b.me = a.other AND b.other = a.me)""", _EJ_CTES, """
+bm_sym AS (
+  SELECT subj_a AS me, subj_b AS other, jac_micro6 FROM ej_pairs
+  UNION ALL
+  SELECT subj_b AS me, subj_a AS other, jac_micro6 FROM ej_pairs),
+bm_best AS MATERIALIZED (
+  SELECT me, other, jac_micro6
+  FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY me
+            ORDER BY jac_micro6 DESC, other) AS rk
+        FROM bm_sym)
+  WHERE rk = 1)""")

@@ -42,6 +42,11 @@ ALLOWED = {
     # entity-centroid self-pairing: entities are a bounded dimension
     # (gazetteer-sized canonical set), not corpus-sized
     "entity_neighbors": (1, 0),
+    # 1-row corpus-total aggregate joined as a lazy scalar (the
+    # pagerank dangling-mass device, outside a checkpointed loop so
+    # it stays visible in the plan): a BNLJ over a 1-row broadcast
+    # side is exactly the right plan
+    "trending_entities": (0, 1),
 }
 
 

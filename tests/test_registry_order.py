@@ -80,6 +80,13 @@ EXPECTED_TAIL = [
     # Continuation batch 5: attribute-based entity merging + WL
     # structural roles — appended past position 50.
     "attr_merge_clusters", "wl_labels",
+    # Continuation batch 6: typed schema summary, KG churn, hapax
+    # noise — appended past position 50.
+    "schema_graph", "kg_churn", "hapax_objects",
+    # Continuation batch 7: trending entities, weighted shortest
+    # paths, reciprocal best-match alignment — appended past
+    # position 50.
+    "trending_entities", "graph_distances", "jaccard_best_match",
 ]
 
 
