@@ -691,13 +691,23 @@ def trending_entities(linked: DataFrame, batch_docs: int = 50,
     total, one 1-row corpus total kept lazy as a crossJoin, then a
     per-batch row_number window for the top-k — bounded state per
     batch, every shuffle on a real key."""
-    from pyspark.sql import Window
-
     cnt = (linked
            .select(F.expr(f"CAST(doc_id DIV {batch_docs} AS INT)")
                    .alias("batch"), "canonical_id")
            .groupBy("batch", "canonical_id")
            .agg(F.count(F.lit(1)).cast("long").alias("n_mentions")))
+    return trending_from_counts(cnt, top_k=top_k)
+
+
+def trending_from_counts(cnt: DataFrame, top_k: int = 3) -> DataFrame:
+    """The ranking/lift half of :func:`trending_entities`, split out
+    so the STREAMING twin can reuse it verbatim: the stream maintains
+    the additive (batch, canonical_id, n_mentions) counts as its
+    bounded state, and this pure batch post-process turns any such
+    counts table — batch-built or stream-built — into the same top-k
+    + burst-lift report."""
+    from pyspark.sql import Window
+
     b_tot = cnt.groupBy("batch").agg(
         F.sum("n_mentions").cast("long").alias("b_tot"))
     e_tot = cnt.groupBy("canonical_id").agg(

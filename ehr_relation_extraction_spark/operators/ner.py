@@ -116,7 +116,8 @@ def build_shards(pages: DataFrame, max_len: int = MAX_LEN_TOKENS) -> DataFrame:
 
 
 def detect_mentions_df(pages: DataFrame,
-                       gazetteer: tuple | None = None) -> DataFrame:
+                       gazetteer: tuple | None = None,
+                       with_ids: bool = True) -> DataFrame:
     """pages -> mention spans with deterministic T-ids.
 
     ``gazetteer`` overrides the default dictionary (used by the eval
@@ -141,6 +142,12 @@ def detect_mentions_df(pages: DataFrame,
             yield pd.DataFrame(rows, columns=[f.name for f in MENTION_SCHEMA.fields])
 
     raw = src.mapInPandas(gen, MENTION_SCHEMA)
+    if not with_ids:
+        # streaming callers: the per-url T-id row_number window is not
+        # streaming-legal and id-free consumers (trending counts)
+        # don't need it — the kernel output alone is a pure per-page
+        # function, so the plan stays a legal streaming aggregation.
+        return raw
     w = Window.partitionBy("url").orderBy("start", "end", "ent_type")
     return raw.withColumn(
         "ent_id", F.concat(F.lit("T"), F.row_number().over(w).cast("string"))

@@ -199,3 +199,44 @@ def incremental_cm_sketch(spark: SparkSession, docs_dir: str,
             .option("checkpointLocation", checkpoint_dir)
             .trigger(availableNow=True)
             .start())
+
+
+def incremental_trending(spark: SparkSession, pages_dir: str,
+                         checkpoint_dir: str, batch_docs: int = 50,
+                         query_name: str = "trending"):
+    """Streaming trending-entity counts: the full mention pipeline
+    (text extraction -> Arrow NER kernel -> broadcast gazetteer link)
+    runs INSIDE the stream — every stage is a pure per-page function,
+    so the plan is streaming-legal without foreachBatch — and the
+    state is the additive (batch, canonical_id, n_mentions) count
+    table, bounded by (crawl batches x entity vocabulary) however
+    long the crawl runs.
+
+    The ranking/lift half lives in ``operators.linking.
+    trending_from_counts``: a pure batch post-process over the memory
+    sink (read the sink with ``spark.sql(...).localCheckpoint()`` —
+    the memory-sink relation shares expression ids across the
+    self-joins inside the ranking step, and the checkpoint gives the
+    post-process a fresh lineage), so the checkpoint-resumed stream's
+    report equals the batch
+    :func:`~..operators.linking.trending_entities` over the union
+    exactly (counts are additive; the stream==batch test asserts it).
+    Complete-mode memory sink named ``query_name``."""
+    from ..operators import ner
+    from ..operators.linking import gazetteer_df, link_mentions
+    from ..sources.pages import extract_text
+
+    stream = spark.readStream.schema(PAGES_DDL).parquet(pages_dir)
+    pages = extract_text(stream)
+    mentions = ner.detect_mentions_df(pages, with_ids=False)
+    linked = link_mentions(mentions, gazetteer_df(spark))
+    cnt = (linked
+           .select(F.expr(f"CAST(doc_id DIV {batch_docs} AS INT)")
+                   .alias("batch"), "canonical_id")
+           .groupBy("batch", "canonical_id")
+           .agg(F.count(F.lit(1)).cast("long").alias("n_mentions")))
+    return (cnt.writeStream.outputMode("complete")
+            .format("memory").queryName(query_name)
+            .option("checkpointLocation", checkpoint_dir)
+            .trigger(availableNow=True)
+            .start())

@@ -172,3 +172,46 @@ def test_incremental_doclen_hist(spark, tmp_path):
     got2 = sorted(map(tuple, spark.sql(
         "SELECT source, bucket, cnt FROM hist_t2").collect()))
     assert got2 == sorted(map(tuple, doclen_hist(docs).collect()))
+
+
+def test_incremental_trending(spark, tmp_path):
+    """Streaming trending counts == batch counts after each
+    incremental feed (the full NER+link pipeline runs in-stream;
+    counts additive; checkpoint-resumed), and trending_from_counts
+    over the stream state equals the batch trending_entities report."""
+    from ehr_relation_extraction_spark.operators.linking import (
+        gazetteer_df, link_mentions, trending_entities,
+        trending_from_counts)
+    from ehr_relation_extraction_spark.operators import ner
+    from ehr_relation_extraction_spark.sources.pages import (
+        extract_text, pages_from_documents)
+    from ehr_relation_extraction_spark.streaming.stream import (
+        incremental_trending)
+
+    raw = pages_from_documents(spark, "/root/testdata/sf0.001")
+    a = raw.where("doc_id % 2 = 0")
+    b = raw.where("doc_id % 2 = 1")
+    src = str(tmp_path / "pages_src")
+    ckpt = str(tmp_path / "trend_ckpt")
+    a.repartition(4).write.mode("append").parquet(src)
+
+    def batch_trending(pages_raw):
+        linked = link_mentions(
+            ner.detect_mentions_df(extract_text(pages_raw)),
+            gazetteer_df(spark))
+        return trending_entities(linked)
+
+    q = incremental_trending(spark, src, ckpt, query_name="trend_t1")
+    q.awaitTermination(300)
+    got = sorted(map(tuple, trending_from_counts(
+        spark.sql("SELECT * FROM trend_t1").localCheckpoint()).collect()))
+    assert got == sorted(map(tuple, batch_trending(a).collect()))
+    assert got
+
+    b.repartition(3).write.mode("append").parquet(src)
+    q2 = incremental_trending(spark, src, ckpt, query_name="trend_t2")
+    q2.awaitTermination(300)
+    got2 = sorted(map(tuple, trending_from_counts(
+        spark.sql("SELECT * FROM trend_t2").localCheckpoint()).collect()))
+    assert got2 == sorted(map(tuple, batch_trending(raw).collect()))
+    assert got2
