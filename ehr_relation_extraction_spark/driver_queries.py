@@ -1391,6 +1391,31 @@ def q_jaccard_best_match(spark, sf_dir) -> DataFrame:
     return tri_op.jaccard_best_match(_frames(spark, sf_dir).triples)
 
 
+def q_warc_roundtrip(spark, sf_dir) -> DataFrame:
+    """WARC/1.0 serialize -> parse round trip over the pages table
+    (sources/warc.py): every header field, the ISO-28500 byte-length
+    contract, and byte-identical payload recovery, checked per record
+    against the page it came from."""
+    from .sources.pages import pages_from_documents
+    from .sources.warc import parse_warc_records, warc_records
+
+    pages = pages_from_documents(spark, sf_dir)
+    parsed = parse_warc_records(warc_records(pages))
+    orig = pages.select("doc_id",
+                        F.decode(F.col("html"), "utf-8").alias("_orig"))
+    return (parsed.join(orig, "doc_id")
+            .select("doc_id", "warc_type", "url",
+                    F.unix_timestamp("warc_ts").cast("long")
+                    .alias("ts_epoch"),
+                    "record_id", "content_length",
+                    F.sha2(F.col("payload"), 256).alias("payload_sha"),
+                    F.length("payload").cast("long")
+                    .alias("n_payload_chars"),
+                    F.col("payload_ok").cast("int").alias("payload_ok"),
+                    (F.col("payload") == F.col("_orig")).cast("int")
+                    .alias("text_match")))
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # ORDER IS LOAD-BEARING: the driver snapshot verifies exactly
     # list(QUERIES)[:50] in insertion order (pinned by
@@ -1549,6 +1574,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "trending_entities": q_trending_entities,
     "graph_distances": q_graph_distances,
     "jaccard_best_match": q_jaccard_best_match,
+    "warc_roundtrip": q_warc_roundtrip,
 }
 
 

@@ -3907,3 +3907,33 @@ bm_best AS MATERIALIZED (
             ORDER BY jac_micro6 DESC, other) AS rk
         FROM bm_sym)
   WHERE rk = 1)""")
+
+
+# ---------------------------------------------------------------------------
+# Continuation batch 8: WARC record source round trip.
+# ---------------------------------------------------------------------------
+
+# warc_roundtrip: serialize -> parse identity over the pages table
+# (sources/warc.py).  The oracle derives every output column straight
+# from the source document (url/epoch/id are pure doc_id functions,
+# payload is the html wrapper string), so any corruption the Spark
+# parser introduced — truncated payload, mis-anchored header regex,
+# byte-length drift — shows up as a sha/length/flag mismatch.
+ORACLE["warc_roundtrip"] = _q("""
+SELECT doc_id,
+       'response' AS warc_type,
+       url,
+       CAST(1704067200 + doc_id AS BIGINT) AS ts_epoch,
+       'urn:doc:' || CAST(doc_id AS VARCHAR) AS record_id,
+       CAST(octet_length(encode(
+                '<html><head><meta charset="utf-8"></head>'
+                || '<body>' || text || '</body></html>'))
+            AS BIGINT) AS content_length,
+       sha256('<html><head><meta charset="utf-8"></head><body>'
+              || text || '</body></html>') AS payload_sha,
+       CAST(length('<html><head><meta charset="utf-8"></head><body>'
+                   || text || '</body></html>') AS BIGINT)
+           AS n_payload_chars,
+       CAST(1 AS INT) AS payload_ok,
+       CAST(1 AS INT) AS text_match
+FROM pages""")

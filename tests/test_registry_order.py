@@ -87,6 +87,9 @@ EXPECTED_TAIL = [
     # paths, reciprocal best-match alignment — appended past
     # position 50.
     "trending_entities", "graph_distances", "jaccard_best_match",
+    # Continuation batch 8: WARC/1.0 record source round trip —
+    # appended past position 50.
+    "warc_roundtrip",
 ]
 
 
