@@ -1416,6 +1416,23 @@ def q_warc_roundtrip(spark, sf_dir) -> DataFrame:
                     .alias("text_match")))
 
 
+def q_pred_jaccard(spark, sf_dir) -> DataFrame:
+    """Predicate similarity by exact subject-set Jaccard — the
+    ontology-alignment companion to pred_cooccurrence's lift
+    (operators/triples.pred_jaccard)."""
+    return tri_op.pred_jaccard(_frames(spark, sf_dir).triples)
+
+
+def q_degree_assortativity(spark, sf_dir) -> DataFrame:
+    """Degree-assortativity sufficient statistics (exact BIGINT
+    moments; r needs a sqrt so the sums are the oracle surface) over
+    the co-mention graph (graph_algos.degree_assortativity_stats)."""
+    from .operators.graph_algos import degree_assortativity_stats
+
+    edges, _ = _comention_graph(spark, sf_dir)
+    return degree_assortativity_stats(edges)
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # ORDER IS LOAD-BEARING: the driver snapshot verifies exactly
     # list(QUERIES)[:50] in insertion order (pinned by
@@ -1575,6 +1592,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "graph_distances": q_graph_distances,
     "jaccard_best_match": q_jaccard_best_match,
     "warc_roundtrip": q_warc_roundtrip,
+    "pred_jaccard": q_pred_jaccard,
+    "degree_assortativity": q_degree_assortativity,
 }
 
 

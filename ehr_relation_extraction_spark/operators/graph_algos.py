@@ -821,3 +821,39 @@ def bellman_ford_fixed(edges: DataFrame, source: str,
                         .cast("long").alias("d"))).localCheckpoint()
     return (dist.where(F.col("d") < inf)
             .select("node", F.col("d").alias("dist_cost")))
+
+
+def degree_assortativity_stats(edges: DataFrame) -> DataFrame:
+    """Degree-assortativity SUFFICIENT STATISTICS — the exact-integer
+    form of Newman's degree correlation: over every undirected edge
+    (counted once per orientation, the standard convention), the six
+    sums Pearson's r needs on the endpoint-degree pairs (x, y):
+
+        n, sx, sy, sxy, sxx, syy       (all BIGINT, exact)
+
+    Emitting the sums instead of r keeps the operator value-exact
+    across engines (r itself needs a sqrt); any client computes
+    r = (n*sxy - sx*sy) / sqrt((n*sxx - sx^2) * (n*syy - sy^2)) from
+    the one output row.  Plan: one degree aggregate, two equi-joins to
+    attach endpoint degrees, one global 1-row sum — the classic
+    two-pass distributed moment computation, no driver loops."""
+    und = (edges.select(F.least("src", "dst").alias("a"),
+                        F.greatest("src", "dst").alias("b"))
+           .where(F.col("a") != F.col("b")).dropDuplicates())
+    sym = und.select(F.col("a").alias("src"), F.col("b").alias("dst")) \
+        .union(und.select(F.col("b").alias("src"),
+                          F.col("a").alias("dst")))
+    deg = sym.groupBy("src").agg(
+        F.count(F.lit(1)).cast("long").alias("deg"))
+    pairs = (sym
+             .join(deg.select(F.col("src"), F.col("deg").alias("x")),
+                   "src")
+             .join(deg.select(F.col("src").alias("dst"),
+                              F.col("deg").alias("y")), "dst"))
+    return pairs.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("x").cast("long").alias("sx"),
+        F.sum("y").cast("long").alias("sy"),
+        F.sum(F.expr("x * y")).cast("long").alias("sxy"),
+        F.sum(F.expr("x * x")).cast("long").alias("sxx"),
+        F.sum(F.expr("y * y")).cast("long").alias("syy"))

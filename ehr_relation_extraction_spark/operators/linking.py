@@ -267,9 +267,16 @@ def connected_components(edges: DataFrame, nodes: DataFrame,
     the iterative-join equivalent of checkpointed stage boundaries.
     """
     spark = edges.sparkSession
+    # Checkpoint the INPUT edge set before the loop (the same
+    # discipline as hits_fixed / bellman_ford_fixed): star() self-joins
+    # its frame and the first round nests two stars, so an
+    # uncheckpointed upstream — e.g. attr_merge_clusters' blocked
+    # Jaccard over the NER pipeline — would be re-evaluated 4+ times in
+    # round 1 alone (observed: 51k tasks and a 1g-heap OOM on a 500-doc
+    # fixture before this cut).
     e = (edges.select("src", "dst")
          .where(F.col("src") != F.col("dst"))
-         .dropDuplicates())
+         .dropDuplicates()).localCheckpoint()
 
     def sym(df: DataFrame) -> DataFrame:
         return df.union(df.select(F.col("dst").alias("src"),

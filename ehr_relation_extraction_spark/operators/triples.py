@@ -775,3 +775,37 @@ def jaccard_best_match(triples: DataFrame,
     return (a.join(b, ["me", "other"], "left_semi")
             .select(F.col("me").alias("subj_a"),
                     F.col("other").alias("subj_b"), "jac_micro6"))
+
+
+def pred_jaccard(triples: DataFrame) -> DataFrame:
+    """Predicate similarity by SUBJECT-set overlap — the schema-
+    matching companion to :func:`pred_cooccurrence` (which scores
+    lift): exact Jaccard between the sets of subjects each predicate
+    attaches to, the signal ontology-alignment uses to propose that
+    two predicates mean the same thing.
+
+    Candidates are blocked on the shared subject (per-subject distinct
+    predicate count is single digits in any real schema, so the
+    self-join is bounded per subject, never |preds|^2 over the
+    vocabulary).  Output per (pred_a < pred_b): n_inter, n_union,
+    jac_micro6."""
+    ps = triples.select("subj", "pred").dropDuplicates()
+    sizes = ps.groupBy("pred").agg(
+        F.count(F.lit(1)).cast("long").alias("n_subj"))
+    a, b = ps.alias("a"), ps.alias("b")
+    inter = (a.join(b, (F.col("a.subj") == F.col("b.subj"))
+                    & (F.col("a.pred") < F.col("b.pred")))
+             .groupBy(F.col("a.pred").alias("pred_a"),
+                      F.col("b.pred").alias("pred_b"))
+             .agg(F.count(F.lit(1)).cast("long").alias("n_inter")))
+    return (inter
+            .join(sizes.select(F.col("pred").alias("pred_a"),
+                               F.col("n_subj").alias("na")), "pred_a")
+            .join(sizes.select(F.col("pred").alias("pred_b"),
+                               F.col("n_subj").alias("nb")), "pred_b")
+            .select("pred_a", "pred_b", "n_inter",
+                    F.expr("CAST(na + nb - n_inter AS BIGINT)")
+                    .alias("n_union"))
+            .withColumn("jac_micro6",
+                        F.expr("CAST(n_inter * 1000000 DIV n_union"
+                               " AS BIGINT)")))

@@ -3937,3 +3937,47 @@ SELECT doc_id,
        CAST(1 AS INT) AS payload_ok,
        CAST(1 AS INT) AS text_match
 FROM pages""")
+
+
+# ---------------------------------------------------------------------------
+# Continuation batch 9: predicate Jaccard + assortativity moments.
+# ---------------------------------------------------------------------------
+
+# pred_jaccard: exact subject-set Jaccard between predicates
+# (operators/triples.pred_jaccard) — blocked on the shared subject.
+ORACLE["pred_jaccard"] = _q("""
+SELECT i.pred_a, i.pred_b, i.n_inter,
+       CAST(sa.n_subj + sb.n_subj - i.n_inter AS BIGINT) AS n_union,
+       CAST(i.n_inter * 1000000
+            // (sa.n_subj + sb.n_subj - i.n_inter) AS BIGINT)
+           AS jac_micro6
+FROM (SELECT a.pred AS pred_a, b.pred AS pred_b,
+             CAST(COUNT(*) AS BIGINT) AS n_inter
+      FROM pj_ps a JOIN pj_ps b
+        ON a.subj = b.subj AND a.pred < b.pred
+      GROUP BY 1, 2) i
+JOIN pj_sz sa ON sa.pred = i.pred_a
+JOIN pj_sz sb ON sb.pred = i.pred_b""", """
+pj_ps AS MATERIALIZED (SELECT DISTINCT subj, pred FROM triples),
+pj_sz AS (SELECT pred, CAST(COUNT(*) AS BIGINT) AS n_subj
+          FROM pj_ps GROUP BY 1)""")
+
+# degree_assortativity: the six exact-integer sums Pearson's degree
+# correlation needs, over the co-mention graph (operators/graph_algos.
+# degree_assortativity_stats); r itself needs a sqrt, so the sums ARE
+# the oracle-exact surface.
+ORACLE["degree_assortativity"] = _q("""
+SELECT CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(SUM(x) AS BIGINT) AS sx,
+       CAST(SUM(y) AS BIGINT) AS sy,
+       CAST(SUM(x * y) AS BIGINT) AS sxy,
+       CAST(SUM(x * x) AS BIGINT) AS sxx,
+       CAST(SUM(y * y) AS BIGINT) AS syy
+FROM (SELECT dx.deg AS x, dy.deg AS y
+      FROM com_sym s
+      JOIN da_deg dx ON dx.node = s.src
+      JOIN da_deg dy ON dy.node = s.dst)""", LINK_CTES,
+COMENTION_CTES.strip(), """
+da_deg AS MATERIALIZED (
+  SELECT src AS node, CAST(COUNT(*) AS BIGINT) AS deg
+  FROM com_sym GROUP BY 1)""")

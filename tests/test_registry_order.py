@@ -90,6 +90,9 @@ EXPECTED_TAIL = [
     # Continuation batch 8: WARC/1.0 record source round trip —
     # appended past position 50.
     "warc_roundtrip",
+    # Continuation batch 9: predicate subject-set Jaccard +
+    # assortativity moments — appended past position 50.
+    "pred_jaccard", "degree_assortativity",
 ]
 
 
