@@ -1433,6 +1433,20 @@ def q_degree_assortativity(spark, sf_dir) -> DataFrame:
     return degree_assortativity_stats(edges)
 
 
+def q_community_stats(spark, sf_dir) -> DataFrame:
+    """Community-quality report over the LPA partition of the entity
+    co-occurrence graph: size, internal/cut edges, volume, exact
+    integer conductance (graph_algos.community_stats)."""
+    from .operators.graph_algos import community_stats, label_propagation
+
+    _, linked, _ = _linked(spark, sf_dir)
+    edges = lk.overlap_edges(linked)
+    nodes = linked.select(
+        F.col("canonical_id").alias("node")).dropDuplicates()
+    labels = label_propagation(edges, nodes, n_rounds=5)
+    return community_stats(edges, labels)
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # ORDER IS LOAD-BEARING: the driver snapshot verifies exactly
     # list(QUERIES)[:50] in insertion order (pinned by
@@ -1594,6 +1608,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "warc_roundtrip": q_warc_roundtrip,
     "pred_jaccard": q_pred_jaccard,
     "degree_assortativity": q_degree_assortativity,
+    "community_stats": q_community_stats,
 }
 
 

@@ -857,3 +857,66 @@ def degree_assortativity_stats(edges: DataFrame) -> DataFrame:
         F.sum(F.expr("x * y")).cast("long").alias("sxy"),
         F.sum(F.expr("x * x")).cast("long").alias("sxx"),
         F.sum(F.expr("y * y")).cast("long").alias("syy"))
+
+
+def community_stats(edges: DataFrame, labels: DataFrame) -> DataFrame:
+    """Community-quality report over a node partition (e.g. the LPA
+    labels): per community, its size, internal-edge count, cut-edge
+    count, volume, and CONDUCTANCE — cut / min(vol, 2m - vol), the
+    standard "is this community real or an artifact" score a
+    canonicalization pipeline gates merges on (low conductance = the
+    cluster is denser inside than at its boundary).
+
+    Conductance is an exact integer ratio (cut * 1e6 DIV min(vol,
+    2m - vol), both operands non-negative BIGINTs), so the DuckDB
+    oracle matches bit-exactly; communities whose denominator is 0
+    (isolated nodes, or one community owning every edge endpoint) are
+    filtered — conductance is undefined there.
+
+    Plan: two equi-joins to attach endpoint labels, three grouped
+    counts, and ONE 1-row total-edge aggregate kept lazy as a
+    crossJoin (the pagerank dangling-mass device) — every other
+    shuffle is on the community key."""
+    und = (edges.select(F.least("src", "dst").alias("a"),
+                        F.greatest("src", "dst").alias("b"))
+           .where(F.col("a") != F.col("b")).dropDuplicates())
+    lab = labels.select("node", "label")
+    e2 = (und.join(lab.select(F.col("node").alias("a"),
+                              F.col("label").alias("la")), "a")
+          .join(lab.select(F.col("node").alias("b"),
+                           F.col("label").alias("lb")), "b"))
+    e_in = (e2.where(F.col("la") == F.col("lb"))
+            .groupBy(F.col("la").alias("label"))
+            .agg(F.count(F.lit(1)).cast("long").alias("n_internal")))
+    cut_sides = (e2.where(F.col("la") != F.col("lb"))
+                 .select(F.col("la").alias("label"))
+                 .unionAll(e2.where(F.col("la") != F.col("lb"))
+                           .select(F.col("lb").alias("label"))))
+    cut = cut_sides.groupBy("label").agg(
+        F.count(F.lit(1)).cast("long").alias("n_cut"))
+    sym = und.select(F.col("a").alias("node")).unionAll(
+        und.select(F.col("b").alias("node")))
+    deg = sym.groupBy("node").agg(
+        F.count(F.lit(1)).cast("long").alias("deg"))
+    per_lab = (lab.join(deg, "node", "left")
+               .groupBy("label")
+               .agg(F.count(F.lit(1)).cast("long").alias("n_nodes"),
+                    F.coalesce(F.sum("deg"), F.lit(0)).cast("long")
+                    .alias("vol")))
+    m_tot = und.agg(F.count(F.lit(1)).cast("long").alias("m2")) \
+        .select((F.col("m2") * 2).alias("two_m"))
+    return (per_lab
+            .join(e_in, "label", "left")
+            .join(cut, "label", "left")
+            .crossJoin(m_tot)  # 1-row frame: stays lazy/distributed
+            .select("label", "n_nodes",
+                    F.coalesce("n_internal", F.lit(0)).cast("long")
+                    .alias("n_internal"),
+                    F.coalesce("n_cut", F.lit(0)).cast("long")
+                    .alias("n_cut"),
+                    "vol", "two_m")
+            .where(F.expr("least(vol, two_m - vol) > 0"))
+            .select("label", "n_nodes", "n_internal", "n_cut", "vol",
+                    F.expr("CAST(n_cut * 1000000"
+                           " DIV least(vol, two_m - vol) AS BIGINT)")
+                    .alias("cond_micro6")))

@@ -3981,3 +3981,53 @@ COMENTION_CTES.strip(), """
 da_deg AS MATERIALIZED (
   SELECT src AS node, CAST(COUNT(*) AS BIGINT) AS deg
   FROM com_sym GROUP BY 1)""")
+
+
+# ---------------------------------------------------------------------------
+# Continuation batch 10: community-quality report over the LPA
+# partition.
+# ---------------------------------------------------------------------------
+
+# community_stats: per-LPA-community size / internal / cut / volume /
+# conductance over the entity co-occurrence (overlap) graph
+# (operators/graph_algos.community_stats over label_propagation's
+# lab5); conductance = cut * 1e6 // min(vol, 2m - vol), undefined
+# denominators filtered.
+ORACLE["community_stats"] = _q("""
+SELECT p.label, p.n_nodes,
+       CAST(COALESCE(i.n_internal, 0) AS BIGINT) AS n_internal,
+       CAST(COALESCE(c.n_cut, 0) AS BIGINT) AS n_cut,
+       p.vol,
+       CAST(COALESCE(c.n_cut, 0) * 1000000
+            // least(p.vol, (SELECT two_m FROM cs_m) - p.vol)
+            AS BIGINT) AS cond_micro6
+FROM cs_lab_stats p
+LEFT JOIN cs_in i USING (label)
+LEFT JOIN cs_cut c USING (label)
+WHERE least(p.vol, (SELECT two_m FROM cs_m) - p.vol) > 0""",
+LINK_CTES, _lpa_sql(5), """
+cs_e2 AS MATERIALIZED (
+  SELECT e.src AS a, e.dst AS b, la.label AS la, lb.label AS lb
+  FROM ov_edges e
+  JOIN lab5 la ON la.node = e.src
+  JOIN lab5 lb ON lb.node = e.dst),
+cs_in AS (
+  SELECT la AS label, CAST(COUNT(*) AS BIGINT) AS n_internal
+  FROM cs_e2 WHERE la = lb GROUP BY 1),
+cs_cut AS (
+  SELECT label, CAST(COUNT(*) AS BIGINT) AS n_cut
+  FROM (SELECT la AS label FROM cs_e2 WHERE la <> lb
+        UNION ALL SELECT lb FROM cs_e2 WHERE la <> lb)
+  GROUP BY 1),
+cs_deg AS (
+  SELECT node, CAST(COUNT(*) AS BIGINT) AS deg
+  FROM (SELECT src AS node FROM ov_edges
+        UNION ALL SELECT dst FROM ov_edges)
+  GROUP BY 1),
+cs_lab_stats AS MATERIALIZED (
+  SELECT l.label, CAST(COUNT(*) AS BIGINT) AS n_nodes,
+         CAST(COALESCE(SUM(d.deg), 0) AS BIGINT) AS vol
+  FROM lab5 l LEFT JOIN cs_deg d ON d.node = l.node
+  GROUP BY 1),
+cs_m AS (
+  SELECT CAST(2 * COUNT(*) AS BIGINT) AS two_m FROM ov_edges)""")

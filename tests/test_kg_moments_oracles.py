@@ -82,3 +82,45 @@ def test_assortativity_moments_vs_serial(spark):
             (row.n * row.sxx - row.sx ** 2)
             * (row.n * row.syy - row.sy ** 2))
         assert -1.0 - 1e-9 <= r <= 1.0 + 1e-9
+
+
+def test_community_stats_oracle_parity(spark, con):
+    from ehr_relation_extraction_spark.driver_queries import QUERIES
+    from ehr_relation_extraction_spark.oracle.sqlgen import ORACLE
+
+    ok, msg = compare(QUERIES["community_stats"](spark, SF),
+                      con.sql(ORACLE["community_stats"]).df())
+    assert ok, f"community_stats: {msg}"
+
+
+def test_community_stats_edge_accounting(spark):
+    """Internal edges count once, cut edges count once per side:
+    sum(n_internal) + sum(n_cut)/2 == m over communities with defined
+    conductance plus the filtered rest — verified against the raw
+    overlap graph; volumes obey vol == 2*n_internal + n_cut when the
+    community's nodes only touch counted edges."""
+    from ehr_relation_extraction_spark import driver_queries as dq
+    from ehr_relation_extraction_spark.operators import linking as lk
+    from ehr_relation_extraction_spark.operators.graph_algos import (
+        label_propagation)
+
+    _, linked, _ = dq._linked(spark, SF)
+    edges = lk.overlap_edges(linked)
+    und = {(min(r.src, r.dst), max(r.src, r.dst))
+           for r in edges.collect() if r.src != r.dst}
+    nodes_df = linked.select("canonical_id").dropDuplicates()
+    labels = {r.node: r.label for r in label_propagation(
+        edges, nodes_df.selectExpr("canonical_id AS node"),
+        n_rounds=5).collect()}
+    rows = dq.QUERIES["community_stats"](spark, SF).collect()
+    assert rows
+    for r in rows:
+        assert r.vol == 2 * r.n_internal + r.n_cut
+        assert 0 <= r.cond_micro6 <= 1_000_000
+        members = {n for n, l in labels.items() if l == r.label}
+        assert r.n_nodes == len(members)
+        n_int = sum(1 for a, b in und
+                    if a in members and b in members)
+        n_cut = sum(1 for a, b in und
+                    if (a in members) != (b in members))
+        assert (r.n_internal, r.n_cut) == (n_int, n_cut)

@@ -47,6 +47,9 @@ ALLOWED = {
     # it stays visible in the plan): a BNLJ over a 1-row broadcast
     # side is exactly the right plan
     "trending_entities": (0, 1),
+    # same class: the 1-row total-edge-count (two_m) scalar that
+    # conductance's min(vol, 2m - vol) denominator needs
+    "community_stats": (0, 1),
 }
 
 

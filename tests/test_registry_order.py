@@ -93,6 +93,9 @@ EXPECTED_TAIL = [
     # Continuation batch 9: predicate subject-set Jaccard +
     # assortativity moments — appended past position 50.
     "pred_jaccard", "degree_assortativity",
+    # Continuation batch 10: LPA community-quality report — appended
+    # past position 50.
+    "community_stats",
 ]
 
 
