@@ -1447,6 +1447,21 @@ def q_community_stats(spark, sf_dir) -> DataFrame:
     return community_stats(edges, labels)
 
 
+def q_pred_ifp(spark, sf_dir) -> DataFrame:
+    """Inverse-functional predicate detection (identity keys, OWL
+    IFP) — the transpose of pred_cardinality
+    (operators/triples.pred_ifp)."""
+    return tri_op.pred_ifp(_frames(spark, sf_dir).triples)
+
+
+def q_shingle_novelty(spark, sf_dir) -> DataFrame:
+    """Per-doc first-occurrence shingle novelty — the crawl-batch
+    value metric (functions/textstats.shingle_novelty)."""
+    from .functions.textstats import shingle_novelty
+
+    return shingle_novelty(_docs(spark, sf_dir))
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # ORDER IS LOAD-BEARING: the driver snapshot verifies exactly
     # list(QUERIES)[:50] in insertion order (pinned by
@@ -1609,6 +1624,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "pred_jaccard": q_pred_jaccard,
     "degree_assortativity": q_degree_assortativity,
     "community_stats": q_community_stats,
+    "pred_ifp": q_pred_ifp,
+    "shingle_novelty": q_shingle_novelty,
 }
 
 

@@ -845,3 +845,34 @@ def bm25_entity_retrieval(docs: DataFrame, terms: DataFrame,
     return (scored.withColumn("rank", F.row_number().over(w).cast("int"))
             .where(F.col("rank") <= k)
             .select("term", "rank", "doc_id", "tf", "dl", "score_micro6"))
+
+
+def shingle_novelty(docs: DataFrame, k: int = 3) -> DataFrame:
+    """Per-document content novelty — the share of a doc's distinct
+    token k-gram shingles whose FIRST corpus occurrence (minimum
+    doc_id, the synthetic crawl order) is this document.  The
+    curation metric for crawl-batch value: a recrawl that adds
+    near-zero novel shingles is not worth storing, and per-batch
+    novelty roll-ups fall out of this table by one more aggregate.
+
+    Plan: one shingle explode (JVM-side), one (shingle -> min doc_id)
+    aggregate, one per-doc count, one equi-join on doc_id — the
+    shingle table is corpus-sized but every shuffle is keyed, nothing
+    pairwise.  Docs with fewer than k tokens have no shingles and no
+    row (novelty undefined)."""
+    from ..operators.dedup import shingles
+
+    sh = shingles(docs, k)
+    tot = sh.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_shingles"))
+    novel = (sh.groupBy("shingle")
+             .agg(F.min("doc_id").alias("doc_id"))
+             .groupBy("doc_id")
+             .agg(F.count(F.lit(1)).cast("long").alias("n_novel")))
+    return (tot.join(novel, "doc_id", "left")
+            .select("doc_id", "n_shingles",
+                    F.coalesce("n_novel", F.lit(0)).cast("long")
+                    .alias("n_novel"))
+            .withColumn("novelty_micro6",
+                        F.expr("CAST(n_novel * 1000000 DIV n_shingles"
+                               " AS BIGINT)")))

@@ -809,3 +809,39 @@ def pred_jaccard(triples: DataFrame) -> DataFrame:
             .withColumn("jac_micro6",
                         F.expr("CAST(n_inter * 1000000 DIV n_union"
                                " AS BIGINT)")))
+
+
+def pred_ifp(triples: DataFrame) -> DataFrame:
+    """Inverse-functional predicate detection — the transpose of
+    :func:`pred_cardinality`: a predicate whose object values each
+    belong to exactly ONE subject is an identity KEY (OWL's
+    InverseFunctionalProperty — emails, registration numbers), the
+    strongest entity-resolution signal a KG carries: two subjects
+    sharing an IFP object ARE the same entity.
+
+        n_objs                distinct object values
+        n_subjs               distinct subjects
+        n_facts               distinct (subj, obj) instantiations
+        max_subjs_per_obj     the observed key violation bound
+        avg_subjs_micro6      n_facts * 1e6 DIV n_objs (floor)
+        is_inverse_functional 1 iff max_subjs_per_obj == 1
+
+    Same two-aggregate plan shape as pred_cardinality."""
+    facts = triples.select("subj", "pred", "obj").dropDuplicates()
+    per_obj = facts.groupBy("pred", "obj").agg(
+        F.count(F.lit(1)).cast("long").alias("n_s"),
+        F.countDistinct("subj").cast("long").alias("n_ds"))
+    return (per_obj.groupBy("pred")
+            .agg(F.count(F.lit(1)).cast("long").alias("n_objs"),
+                 F.sum("n_s").cast("long").alias("n_facts"),
+                 F.max("n_ds").cast("long").alias("max_subjs_per_obj"))
+            .join(facts.groupBy("pred").agg(
+                F.countDistinct("subj").cast("long").alias("n_subjs")),
+                "pred")
+            .select("pred", "n_objs", "n_subjs", "n_facts",
+                    "max_subjs_per_obj",
+                    F.expr("CAST(n_facts * 1000000 DIV n_objs AS BIGINT)")
+                    .alias("avg_subjs_micro6"),
+                    F.expr("CAST(CASE WHEN max_subjs_per_obj = 1 "
+                           "THEN 1 ELSE 0 END AS INT)")
+                    .alias("is_inverse_functional")))

@@ -4031,3 +4031,43 @@ cs_lab_stats AS MATERIALIZED (
   GROUP BY 1),
 cs_m AS (
   SELECT CAST(2 * COUNT(*) AS BIGINT) AS two_m FROM ov_edges)""")
+
+
+# ---------------------------------------------------------------------------
+# Continuation batch 11: inverse-functional keys + shingle novelty.
+# ---------------------------------------------------------------------------
+
+# pred_ifp: inverse-functional predicate detection — the transpose of
+# pred_cardinality (operators/triples.pred_ifp).
+ORACLE["pred_ifp"] = _q("""
+SELECT p.pred, o.n_objs, p.n_subjs, o.n_facts, o.max_subjs_per_obj,
+       CAST(o.n_facts * 1000000 // o.n_objs AS BIGINT)
+           AS avg_subjs_micro6,
+       CAST(CASE WHEN o.max_subjs_per_obj = 1 THEN 1 ELSE 0 END
+            AS INT) AS is_inverse_functional
+FROM (SELECT pred, CAST(COUNT(*) AS BIGINT) AS n_objs,
+             CAST(SUM(n_s) AS BIGINT) AS n_facts,
+             CAST(MAX(n_ds) AS BIGINT) AS max_subjs_per_obj
+      FROM (SELECT pred, obj, CAST(COUNT(*) AS BIGINT) AS n_s,
+                   CAST(COUNT(DISTINCT subj) AS BIGINT) AS n_ds
+            FROM ifpf GROUP BY 1, 2)
+      GROUP BY 1) o
+JOIN (SELECT pred, CAST(COUNT(DISTINCT subj) AS BIGINT) AS n_subjs
+      FROM ifpf GROUP BY 1) p USING (pred)""", """
+ifpf AS MATERIALIZED (SELECT DISTINCT subj, pred, obj FROM triples)""")
+
+# shingle_novelty: per-doc share of 3-gram shingles first seen in
+# this doc (functions/textstats.shingle_novelty); reuses the
+# decontamination shingle CTEs at k=3 (only dsh is referenced — the
+# split CTEs are never evaluated).
+ORACLE["shingle_novelty"] = _q("""
+SELECT d.doc_id, d.n_shingles,
+       CAST(COALESCE(nv.n_novel, 0) AS BIGINT) AS n_novel,
+       CAST(COALESCE(nv.n_novel, 0) * 1000000 // d.n_shingles
+            AS BIGINT) AS novelty_micro6
+FROM (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_shingles
+      FROM dsh GROUP BY 1) d
+LEFT JOIN (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_novel
+           FROM (SELECT shingle, MIN(doc_id) AS doc_id
+                 FROM dsh GROUP BY 1)
+           GROUP BY 1) nv USING (doc_id)""", decontam_ctes(3).strip())

@@ -124,3 +124,50 @@ def test_community_stats_edge_accounting(spark):
         n_cut = sum(1 for a, b in und
                     if (a in members) != (b in members))
         assert (r.n_internal, r.n_cut) == (n_int, n_cut)
+
+
+@pytest.mark.parametrize("name", ["pred_ifp", "shingle_novelty"])
+def test_batch11_oracle_parity(spark, con, name):
+    from ehr_relation_extraction_spark.driver_queries import QUERIES
+    from ehr_relation_extraction_spark.oracle.sqlgen import ORACLE
+
+    ok, msg = compare(QUERIES[name](spark, SF),
+                      con.sql(ORACLE[name]).df())
+    assert ok, f"{name}: {msg}"
+
+
+def test_pred_ifp_is_transpose_of_cardinality(spark):
+    """IFP totals agree with pred_cardinality on the shared axes
+    (n_facts, n_subjs/n_objs swap roles) and the flags are honest."""
+    from ehr_relation_extraction_spark.driver_queries import QUERIES
+
+    card = {r.pred: r for r in
+            QUERIES["pred_cardinality"](spark, SF).collect()}
+    rows = QUERIES["pred_ifp"](spark, SF).collect()
+    assert rows
+    for r in rows:
+        c = card[r.pred]
+        assert r.n_facts == c.n_facts
+        assert r.n_subjs == c.n_subjs
+        assert r.n_objs == c.n_objs
+        assert (r.is_inverse_functional == 1) == \
+            (r.max_subjs_per_obj == 1)
+
+
+def test_shingle_novelty_semantics(spark):
+    """First doc (min doc_id with shingles) is 100% novel; novelty is
+    a proper fraction; total novel count equals the distinct shingle
+    vocabulary size."""
+    from ehr_relation_extraction_spark import driver_queries as dq
+    from ehr_relation_extraction_spark.operators.dedup import shingles
+
+    rows = dq.QUERIES["shingle_novelty"](spark, SF).collect()
+    assert rows
+    first = min(r.doc_id for r in rows)
+    by_doc = {r.doc_id: r for r in rows}
+    assert by_doc[first].novelty_micro6 == 1_000_000
+    vocab = (shingles(dq._docs(spark, SF), 3)
+             .select("shingle").distinct().count())
+    assert sum(r.n_novel for r in rows) == vocab
+    for r in rows:
+        assert 0 <= r.n_novel <= r.n_shingles

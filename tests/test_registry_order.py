@@ -96,6 +96,9 @@ EXPECTED_TAIL = [
     # Continuation batch 10: LPA community-quality report — appended
     # past position 50.
     "community_stats",
+    # Continuation batch 11: inverse-functional keys + shingle
+    # novelty — appended past position 50.
+    "pred_ifp", "shingle_novelty",
 ]
 
 
