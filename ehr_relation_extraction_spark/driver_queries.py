@@ -1462,6 +1462,20 @@ def q_shingle_novelty(spark, sf_dir) -> DataFrame:
     return shingle_novelty(_docs(spark, sf_dir))
 
 
+def q_host_entity_overlap(spark, sf_dir) -> DataFrame:
+    """Host-pair correlation by shared canonical entities — the
+    mirror/syndication/spam-farm detector, entity-fanout capped
+    (operators/linking.host_entity_overlap)."""
+    _, linked, _ = _linked(spark, sf_dir)
+    return lk.host_entity_overlap(linked)
+
+
+def q_url_recrawl_priority(spark, sf_dir) -> DataFrame:
+    """Churn-driven recrawl scheduling per url over the SCD2
+    intervals (operators/triples.url_recrawl_priority)."""
+    return tri_op.url_recrawl_priority(q_triple_snapshots(spark, sf_dir))
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # ORDER IS LOAD-BEARING: the driver snapshot verifies exactly
     # list(QUERIES)[:50] in insertion order (pinned by
@@ -1626,6 +1640,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "community_stats": q_community_stats,
     "pred_ifp": q_pred_ifp,
     "shingle_novelty": q_shingle_novelty,
+    "host_entity_overlap": q_host_entity_overlap,
+    "url_recrawl_priority": q_url_recrawl_priority,
 }
 
 

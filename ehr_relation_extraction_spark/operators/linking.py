@@ -731,3 +731,47 @@ def trending_from_counts(cnt: DataFrame, top_k: int = 3) -> DataFrame:
                     F.expr("CAST(n_mentions * n_all * 1000000"
                            " DIV (b_tot * e_tot) AS BIGINT)")
                     .alias("lift_micro6")))
+
+
+def host_entity_overlap(linked: DataFrame,
+                        max_entity_fanout: int = 50) -> DataFrame:
+    """Host-pair correlation by shared canonical entities — the
+    source-level projection of the KG: two hosts whose entity sets
+    overlap heavily are mirrors, syndicators, or spam farms; crawl
+    dedup and source weighting both key on this table.
+
+    Blocked candidate generation (the entity_jaccard device lifted to
+    hosts): hosts meet ONLY through a shared canonical entity, and
+    entities present on more than ``max_entity_fanout`` hosts are
+    dropped from the universe first — a celebrity entity would
+    otherwise square into fanout^2 host pairs.  Jaccard is exact over
+    the pruned entity universe.  Output per (host_a < host_b):
+    n_shared, n_union, jac_micro6."""
+    he = (linked.select(
+        F.regexp_extract("url", r"^https?://([^/]*)", 1).alias("host"),
+        "canonical_id").dropDuplicates())
+    ok = (he.groupBy("canonical_id")
+          .agg(F.count(F.lit(1)).cast("long").alias("fan"))
+          .where(F.col("fan") <= max_entity_fanout)
+          .select("canonical_id"))
+    f = he.join(ok, "canonical_id")
+    sizes = f.groupBy("host").agg(
+        F.count(F.lit(1)).cast("long").alias("n_ents"))
+    a, b = f.alias("a"), f.alias("b")
+    inter = (a.join(b, (F.col("a.canonical_id")
+                        == F.col("b.canonical_id"))
+                    & (F.col("a.host") < F.col("b.host")))
+             .groupBy(F.col("a.host").alias("host_a"),
+                      F.col("b.host").alias("host_b"))
+             .agg(F.count(F.lit(1)).cast("long").alias("n_shared")))
+    return (inter
+            .join(sizes.select(F.col("host").alias("host_a"),
+                               F.col("n_ents").alias("na")), "host_a")
+            .join(sizes.select(F.col("host").alias("host_b"),
+                               F.col("n_ents").alias("nb")), "host_b")
+            .select("host_a", "host_b", "n_shared",
+                    F.expr("CAST(na + nb - n_shared AS BIGINT)")
+                    .alias("n_union"))
+            .withColumn("jac_micro6",
+                        F.expr("CAST(n_shared * 1000000 DIV n_union"
+                               " AS BIGINT)")))

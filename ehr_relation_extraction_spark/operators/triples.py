@@ -845,3 +845,31 @@ def pred_ifp(triples: DataFrame) -> DataFrame:
                     F.expr("CAST(CASE WHEN max_subjs_per_obj = 1 "
                            "THEN 1 ELSE 0 END AS INT)")
                     .alias("is_inverse_functional")))
+
+
+def url_recrawl_priority(intervals: DataFrame) -> DataFrame:
+    """Churn-driven recrawl scheduling — per url, how often do its
+    claims change across crawl snapshots?  A url whose SCD2 intervals
+    keep CLOSING (claims appearing/disappearing between crawls) earns
+    recrawl budget; a url whose intervals all run to the latest crawl
+    is static and can be demoted.  The crawl-ops read path over the
+    temporal KG:
+
+        n_claims      distinct (subj, pred, obj) ever observed
+        n_intervals   SCD2 interval rows (>= n_claims; re-appearing
+                      claims add rows)
+        n_closed      intervals closed by a later crawl (= changes)
+        churn_micro6  n_closed * 1e6 DIV n_intervals
+
+    One grouped aggregate over the interval table — the shape that
+    survives a 10^12-url crawl history."""
+    return (intervals.groupBy("url")
+            .agg(F.countDistinct("subj", "pred", "obj").cast("long")
+                 .alias("n_claims"),
+                 F.count(F.lit(1)).cast("long").alias("n_intervals"),
+                 F.sum(F.expr("CASE WHEN valid_to IS NULL THEN 0 "
+                              "ELSE 1 END")).cast("long")
+                 .alias("n_closed"))
+            .withColumn("churn_micro6",
+                        F.expr("CAST(n_closed * 1000000 DIV n_intervals"
+                               " AS BIGINT)")))

@@ -4071,3 +4071,49 @@ LEFT JOIN (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_novel
            FROM (SELECT shingle, MIN(doc_id) AS doc_id
                  FROM dsh GROUP BY 1)
            GROUP BY 1) nv USING (doc_id)""", decontam_ctes(3).strip())
+
+
+# ---------------------------------------------------------------------------
+# Continuation batch 12: host correlation + recrawl scheduling.
+# ---------------------------------------------------------------------------
+
+# host_entity_overlap: host pairs by shared canonical entities,
+# entity-fanout capped (operators/linking.host_entity_overlap).
+ORACLE["host_entity_overlap"] = _q("""
+SELECT i.host_a, i.host_b, i.n_shared,
+       CAST(sa.n_ents + sb.n_ents - i.n_shared AS BIGINT) AS n_union,
+       CAST(i.n_shared * 1000000
+            // (sa.n_ents + sb.n_ents - i.n_shared) AS BIGINT)
+           AS jac_micro6
+FROM (SELECT a.host AS host_a, b.host AS host_b,
+             CAST(COUNT(*) AS BIGINT) AS n_shared
+      FROM heo_f a JOIN heo_f b
+        ON a.canonical_id = b.canonical_id AND a.host < b.host
+      GROUP BY 1, 2) i
+JOIN heo_sz sa ON sa.host = i.host_a
+JOIN heo_sz sb ON sb.host = i.host_b""", LINK_CTES, """
+heo AS MATERIALIZED (
+  SELECT DISTINCT regexp_extract(url, '^https?://([^/]*)', 1) AS host,
+         canonical_id
+  FROM linked),
+heo_f AS MATERIALIZED (
+  SELECT h.* FROM heo h
+  JOIN (SELECT canonical_id FROM (
+          SELECT canonical_id, COUNT(*) AS fan FROM heo GROUP BY 1)
+        WHERE fan <= 50) ok USING (canonical_id)),
+heo_sz AS (
+  SELECT host, CAST(COUNT(*) AS BIGINT) AS n_ents
+  FROM heo_f GROUP BY 1)""")
+
+# url_recrawl_priority: per-url churn over the SCD2 intervals
+# (operators/triples.url_recrawl_priority).
+ORACLE["url_recrawl_priority"] = f"""
+WITH iv AS MATERIALIZED ({ORACLE["triple_snapshots"]})
+SELECT url,
+       CAST(COUNT(DISTINCT (subj, pred, obj)) AS BIGINT) AS n_claims,
+       CAST(COUNT(*) AS BIGINT) AS n_intervals,
+       CAST(SUM(CASE WHEN valid_to IS NULL THEN 0 ELSE 1 END)
+            AS BIGINT) AS n_closed,
+       CAST(SUM(CASE WHEN valid_to IS NULL THEN 0 ELSE 1 END)
+            * 1000000 // COUNT(*) AS BIGINT) AS churn_micro6
+FROM iv GROUP BY url"""

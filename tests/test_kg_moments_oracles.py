@@ -171,3 +171,61 @@ def test_shingle_novelty_semantics(spark):
     assert sum(r.n_novel for r in rows) == vocab
     for r in rows:
         assert 0 <= r.n_novel <= r.n_shingles
+
+
+@pytest.mark.parametrize("name", ["host_entity_overlap",
+                                  "url_recrawl_priority"])
+def test_batch12_oracle_parity(spark, con, name):
+    from ehr_relation_extraction_spark.driver_queries import QUERIES
+    from ehr_relation_extraction_spark.oracle.sqlgen import ORACLE
+
+    ok, msg = compare(QUERIES[name](spark, SF),
+                      con.sql(ORACLE[name]).df())
+    assert ok, f"{name}: {msg}"
+
+
+def test_url_recrawl_priority_bounds(spark):
+    """Interval accounting: n_intervals >= n_claims, n_closed <
+    n_intervals (every url's LAST run is open — the synthetic
+    schedule always crawls through generation 2), churn is the exact
+    floored ratio."""
+    from ehr_relation_extraction_spark.driver_queries import QUERIES
+
+    rows = QUERIES["url_recrawl_priority"](spark, SF).collect()
+    assert rows
+    for r in rows:
+        assert r.n_intervals >= r.n_claims
+        assert 0 <= r.n_closed <= r.n_intervals
+        assert r.churn_micro6 == r.n_closed * 1_000_000 // r.n_intervals
+
+
+def test_host_entity_overlap_symmetric_ground_truth(spark):
+    """The blocked host Jaccard equals a driver-side set computation
+    over the same fanout-pruned entity universe."""
+    from ehr_relation_extraction_spark import driver_queries as dq
+
+    _, linked, _ = dq._linked(spark, SF)
+    import re
+    pairs = {(re.match(r"^https?://([^/]*)", r.url).group(1),
+              r.canonical_id)
+             for r in linked.select("url", "canonical_id").collect()}
+    fan = {}
+    for h, c in pairs:
+        fan.setdefault(c, set()).add(h)
+    ents = {}
+    for h, c in pairs:
+        if len(fan[c]) <= 50:
+            ents.setdefault(h, set()).add(c)
+    hosts = sorted(ents)
+    expect = {}
+    for i, a in enumerate(hosts):
+        for b in hosts[i + 1:]:
+            inter = len(ents[a] & ents[b])
+            if inter:
+                union = len(ents[a] | ents[b])
+                expect[(a, b)] = (inter, union,
+                                  inter * 1_000_000 // union)
+    got = {(r.host_a, r.host_b): (r.n_shared, r.n_union, r.jac_micro6)
+           for r in dq.QUERIES["host_entity_overlap"](spark, SF)
+           .collect()}
+    assert got == expect and got

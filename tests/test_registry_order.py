@@ -99,6 +99,9 @@ EXPECTED_TAIL = [
     # Continuation batch 11: inverse-functional keys + shingle
     # novelty — appended past position 50.
     "pred_ifp", "shingle_novelty",
+    # Continuation batch 12: host correlation + recrawl scheduling —
+    # appended past position 50.
+    "host_entity_overlap", "url_recrawl_priority",
 ]
 
 
