@@ -1476,6 +1476,23 @@ def q_url_recrawl_priority(spark, sf_dir) -> DataFrame:
     return tri_op.url_recrawl_priority(q_triple_snapshots(spark, sf_dir))
 
 
+def q_merge_cluster_stats(spark, sf_dir) -> DataFrame:
+    """Merge-proposal quality: conductance/volume accounting over the
+    thresholded Jaccard graph under the attr_merge_clusters partition
+    (operators/triples.merge_cluster_stats — community_stats applied
+    to a second graph+partition pair)."""
+    return tri_op.merge_cluster_stats(_frames(spark, sf_dir).triples)
+
+
+def q_doclen_percentiles(spark, sf_dir) -> DataFrame:
+    """Exact nearest-rank p50/p90/p99 doc length per source —
+    positive-only integer ceil, per-source windows
+    (functions/textstats.doclen_percentiles)."""
+    from .functions.textstats import doclen_percentiles
+
+    return doclen_percentiles(_docs(spark, sf_dir))
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # ORDER IS LOAD-BEARING: the driver snapshot verifies exactly
     # list(QUERIES)[:50] in insertion order (pinned by
@@ -1642,6 +1659,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "shingle_novelty": q_shingle_novelty,
     "host_entity_overlap": q_host_entity_overlap,
     "url_recrawl_priority": q_url_recrawl_priority,
+    "merge_cluster_stats": q_merge_cluster_stats,
+    "doclen_percentiles": q_doclen_percentiles,
 }
 
 

@@ -876,3 +876,43 @@ def shingle_novelty(docs: DataFrame, k: int = 3) -> DataFrame:
             .withColumn("novelty_micro6",
                         F.expr("CAST(n_novel * 1000000 DIV n_shingles"
                                " AS BIGINT)")))
+
+
+def doclen_percentiles(docs: DataFrame) -> DataFrame:
+    """Exact per-source doc-length percentiles by rank selection —
+    the ops dashboard companion to the mergeable histogram sketch
+    (sketches.doclen_hist): p50/p90/p99 defined as the value at rank
+    max(1, ceil(q * n)) within each source's ascending length order
+    (the classic nearest-rank definition — pure integers, no
+    interpolation, so the DuckDB oracle matches bit-exactly).
+
+    Plan: one per-source window (row_number over n_chars, doc_id) —
+    partitions are per-source, never a global single-partition sort —
+    then a conditional aggregate picking the three ranks."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("source").orderBy("n_chars", "doc_id")
+    ranked = (docs.select("source",
+                          F.col("n_chars").cast("long").alias("n_chars"),
+                          "doc_id")
+              .withColumn("_rk", F.row_number().over(w)))
+    n = ranked.groupBy("source").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"))
+
+    def pick(q_num: int, q_den: int, alias: str):
+        # rank = max(1, ceil(q*n)) with the POSITIVE-only ceil form
+        # (q*n + d - 1) DIV d: Spark DIV truncates toward zero while
+        # DuckDB // floors, so they diverge on negatives — never feed
+        # this device a negative numerator.
+        return F.max(F.when(
+            F.col("_rk") == F.greatest(
+                F.lit(1).cast("long"),
+                F.expr(f"({q_num} * n_docs + {q_den} - 1)"
+                       f" DIV {q_den}")),
+            F.col("n_chars"))).cast("long").alias(alias)
+
+    return (ranked.join(n, "source")
+            .groupBy("source")
+            .agg(F.max("n_docs").cast("long").alias("n_docs"),
+                 pick(1, 2, "p50"), pick(9, 10, "p90"),
+                 pick(99, 100, "p99")))

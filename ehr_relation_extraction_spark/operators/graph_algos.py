@@ -870,8 +870,9 @@ def community_stats(edges: DataFrame, labels: DataFrame) -> DataFrame:
     Conductance is an exact integer ratio (cut * 1e6 DIV min(vol,
     2m - vol), both operands non-negative BIGINTs), so the DuckDB
     oracle matches bit-exactly; communities whose denominator is 0
-    (isolated nodes, or one community owning every edge endpoint) are
-    filtered — conductance is undefined there.
+    (isolated nodes, or one community owning every edge endpoint)
+    keep their row with a NULL conductance — sizes and edge counts
+    are still meaningful there, only the ratio is undefined.
 
     Plan: two equi-joins to attach endpoint labels, three grouped
     counts, and ONE 1-row total-edge aggregate kept lazy as a
@@ -915,8 +916,9 @@ def community_stats(edges: DataFrame, labels: DataFrame) -> DataFrame:
                     F.coalesce("n_cut", F.lit(0)).cast("long")
                     .alias("n_cut"),
                     "vol", "two_m")
-            .where(F.expr("least(vol, two_m - vol) > 0"))
             .select("label", "n_nodes", "n_internal", "n_cut", "vol",
-                    F.expr("CAST(n_cut * 1000000"
-                           " DIV least(vol, two_m - vol) AS BIGINT)")
+                    F.expr("CAST(CASE WHEN least(vol, two_m - vol) > 0"
+                           " THEN n_cut * 1000000"
+                           " DIV least(vol, two_m - vol)"
+                           " ELSE NULL END AS BIGINT)")
                     .alias("cond_micro6")))

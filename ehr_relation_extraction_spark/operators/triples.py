@@ -873,3 +873,29 @@ def url_recrawl_priority(intervals: DataFrame) -> DataFrame:
             .withColumn("churn_micro6",
                         F.expr("CAST(n_closed * 1000000 DIV n_intervals"
                                " AS BIGINT)")))
+
+
+def merge_cluster_stats(triples: DataFrame,
+                        min_jac_micro6: int = 500000,
+                        max_attr_fanout: int = 50) -> DataFrame:
+    """Quality report for the ATTRIBUTE-merge proposal: the
+    community_stats conductance/volume accounting applied to the
+    thresholded Jaccard graph under the :func:`attr_merge_clusters`
+    partition — low conductance means the proposed merge cluster is
+    denser inside than at its boundary and is safe to apply; a
+    high-conductance cluster is a chaining artifact the pipeline
+    should hold for review.  The same generic operator serves both
+    the LPA communities and this merge partition — graph + labels in,
+    quality out."""
+    from .graph_algos import community_stats
+
+    jac = entity_attr_jaccard(triples, max_attr_fanout=max_attr_fanout)
+    edges = (jac.where(F.col("jac_micro6") >= min_jac_micro6)
+             .select(F.col("subj_a").alias("src"),
+                     F.col("subj_b").alias("dst")))
+    labels = (attr_merge_clusters(triples,
+                                  min_jac_micro6=min_jac_micro6,
+                                  max_attr_fanout=max_attr_fanout)
+              .select(F.col("subj").alias("node"),
+                      F.col("cluster").alias("label")))
+    return community_stats(edges, labels)

@@ -3697,9 +3697,7 @@ sq_pat AS MATERIALIZED (
 # attribute-Jaccard graph (operators/triples.attr_merge_clusters) —
 # the similarity pass promoted to an entity-merge proposal, same
 # recursive-reach CC device as canonical_components.
-ORACLE["attr_merge_clusters"] = _q("""
-SELECT node AS subj, MIN(comp) AS cluster
-FROM am_reach GROUP BY node""", _EJ_CTES, """
+_AM_CTES = """
 am_edges AS MATERIALIZED (
   SELECT subj_a AS src, subj_b AS dst FROM ej_pairs
   WHERE jac_micro6 >= 500000),
@@ -3710,7 +3708,13 @@ am_reach(node, comp) AS (
   SELECT node, node AS comp FROM am_nodes
   UNION
   SELECT e.dst AS node, r.comp
-  FROM am_reach r JOIN am_sym e ON e.src = r.node)""")
+  FROM am_reach r JOIN am_sym e ON e.src = r.node),
+am_labels AS MATERIALIZED (
+  SELECT node, MIN(comp) AS label FROM am_reach GROUP BY node)"""
+
+ORACLE["attr_merge_clusters"] = _q(
+    "SELECT node AS subj, label AS cluster FROM am_labels",
+    _EJ_CTES, _AM_CTES)
 
 
 def _wl_sql(n_rounds: int = 3) -> str:
@@ -3998,13 +4002,15 @@ SELECT p.label, p.n_nodes,
        CAST(COALESCE(i.n_internal, 0) AS BIGINT) AS n_internal,
        CAST(COALESCE(c.n_cut, 0) AS BIGINT) AS n_cut,
        p.vol,
-       CAST(COALESCE(c.n_cut, 0) * 1000000
-            // least(p.vol, (SELECT two_m FROM cs_m) - p.vol)
-            AS BIGINT) AS cond_micro6
+       CAST(CASE WHEN least(p.vol,
+                      (SELECT two_m FROM cs_m) - p.vol) > 0
+                 THEN COALESCE(c.n_cut, 0) * 1000000
+                      // least(p.vol,
+                               (SELECT two_m FROM cs_m) - p.vol)
+                 ELSE NULL END AS BIGINT) AS cond_micro6
 FROM cs_lab_stats p
 LEFT JOIN cs_in i USING (label)
-LEFT JOIN cs_cut c USING (label)
-WHERE least(p.vol, (SELECT two_m FROM cs_m) - p.vol) > 0""",
+LEFT JOIN cs_cut c USING (label)""",
 LINK_CTES, _lpa_sql(5), """
 cs_e2 AS MATERIALIZED (
   SELECT e.src AS a, e.dst AS b, la.label AS la, lb.label AS lb
@@ -4117,3 +4123,73 @@ SELECT url,
        CAST(SUM(CASE WHEN valid_to IS NULL THEN 0 ELSE 1 END)
             * 1000000 // COUNT(*) AS BIGINT) AS churn_micro6
 FROM iv GROUP BY url"""
+
+
+# ---------------------------------------------------------------------------
+# Continuation batch 13: merge-proposal quality + exact percentiles.
+# ---------------------------------------------------------------------------
+
+# merge_cluster_stats: the community_stats accounting over the
+# thresholded Jaccard graph under the attr_merge_clusters partition
+# (operators/triples.merge_cluster_stats) — conductance as the
+# merge-safety gate.
+ORACLE["merge_cluster_stats"] = _q("""
+SELECT p.label, p.n_nodes,
+       CAST(COALESCE(i.n_internal, 0) AS BIGINT) AS n_internal,
+       CAST(COALESCE(c.n_cut, 0) AS BIGINT) AS n_cut,
+       p.vol,
+       CAST(CASE WHEN least(p.vol,
+                      (SELECT two_m FROM ms_m) - p.vol) > 0
+                 THEN COALESCE(c.n_cut, 0) * 1000000
+                      // least(p.vol,
+                               (SELECT two_m FROM ms_m) - p.vol)
+                 ELSE NULL END AS BIGINT) AS cond_micro6
+FROM ms_lab_stats p
+LEFT JOIN ms_in i USING (label)
+LEFT JOIN ms_cut c USING (label)""",
+_EJ_CTES, _AM_CTES, """
+ms_e2 AS MATERIALIZED (
+  SELECT la.label AS la, lb.label AS lb
+  FROM am_edges e
+  JOIN am_labels la ON la.node = e.src
+  JOIN am_labels lb ON lb.node = e.dst),
+ms_in AS (
+  SELECT la AS label, CAST(COUNT(*) AS BIGINT) AS n_internal
+  FROM ms_e2 WHERE la = lb GROUP BY 1),
+ms_cut AS (
+  SELECT label, CAST(COUNT(*) AS BIGINT) AS n_cut
+  FROM (SELECT la AS label FROM ms_e2 WHERE la <> lb
+        UNION ALL SELECT lb FROM ms_e2 WHERE la <> lb)
+  GROUP BY 1),
+ms_deg AS (
+  SELECT node, CAST(COUNT(*) AS BIGINT) AS deg
+  FROM (SELECT src AS node FROM am_edges
+        UNION ALL SELECT dst FROM am_edges)
+  GROUP BY 1),
+ms_lab_stats AS MATERIALIZED (
+  SELECT l.label, CAST(COUNT(*) AS BIGINT) AS n_nodes,
+         CAST(COALESCE(SUM(d.deg), 0) AS BIGINT) AS vol
+  FROM am_labels l LEFT JOIN ms_deg d ON d.node = l.node
+  GROUP BY 1),
+ms_m AS (
+  SELECT CAST(2 * COUNT(*) AS BIGINT) AS two_m FROM am_edges)""")
+
+# doclen_percentiles: exact nearest-rank p50/p90/p99 per source
+# (functions/textstats.doclen_percentiles); ceil uses the
+# POSITIVE-only (q*n + d - 1) // d form — Spark DIV truncates toward
+# zero while DuckDB // floors, so the negative-ceil trick would
+# diverge.
+ORACLE["doclen_percentiles"] = _q("""
+SELECT source, CAST(MAX(n_docs) AS BIGINT) AS n_docs,
+       CAST(MAX(CASE WHEN rk = greatest(1, (1 * n_docs + 1) // 2)
+                     THEN n_chars END) AS BIGINT) AS p50,
+       CAST(MAX(CASE WHEN rk = greatest(1, (9 * n_docs + 9) // 10)
+                     THEN n_chars END) AS BIGINT) AS p90,
+       CAST(MAX(CASE WHEN rk = greatest(1, (99 * n_docs + 99) // 100)
+                     THEN n_chars END) AS BIGINT) AS p99
+FROM (SELECT source, CAST(n_chars AS BIGINT) AS n_chars,
+             ROW_NUMBER() OVER (PARTITION BY source
+                  ORDER BY n_chars, doc_id) AS rk,
+             COUNT(*) OVER (PARTITION BY source) AS n_docs
+      FROM documents)
+GROUP BY source""")

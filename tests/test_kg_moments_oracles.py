@@ -114,9 +114,14 @@ def test_community_stats_edge_accounting(spark):
         n_rounds=5).collect()}
     rows = dq.QUERIES["community_stats"](spark, SF).collect()
     assert rows
+    assert any(r.cond_micro6 is not None for r in rows)
     for r in rows:
         assert r.vol == 2 * r.n_internal + r.n_cut
-        assert 0 <= r.cond_micro6 <= 1_000_000
+        if r.cond_micro6 is None:
+            # undefined denominator: isolated cluster or whole graph
+            assert min(r.vol, sum(x.vol for x in rows) - r.vol) == 0
+        else:
+            assert 0 <= r.cond_micro6 <= 1_000_000
         members = {n for n, l in labels.items() if l == r.label}
         assert r.n_nodes == len(members)
         n_int = sum(1 for a, b in und
@@ -229,3 +234,53 @@ def test_host_entity_overlap_symmetric_ground_truth(spark):
            for r in dq.QUERIES["host_entity_overlap"](spark, SF)
            .collect()}
     assert got == expect and got
+
+
+@pytest.mark.parametrize("name", ["merge_cluster_stats",
+                                  "doclen_percentiles"])
+def test_batch13_oracle_parity(spark, con, name):
+    from ehr_relation_extraction_spark.driver_queries import QUERIES
+    from ehr_relation_extraction_spark.oracle.sqlgen import ORACLE
+
+    ok, msg = compare(QUERIES[name](spark, SF),
+                      con.sql(ORACLE[name]).df())
+    assert ok, f"{name}: {msg}"
+
+
+def test_doclen_percentiles_vs_numpy_nearest_rank(spark):
+    """p50/p90/p99 equal the nearest-rank definition computed
+    driver-side, and are monotone."""
+    from ehr_relation_extraction_spark import driver_queries as dq
+
+    docs = {}
+    for r in dq._docs(spark, SF).select("source", "n_chars").collect():
+        docs.setdefault(r.source, []).append(r.n_chars)
+    rows = dq.QUERIES["doclen_percentiles"](spark, SF).collect()
+    assert rows
+    for r in rows:
+        xs = sorted(docs[r.source])
+        n = len(xs)
+        assert r.n_docs == n
+
+        def nr(qn, qd):
+            return xs[max(1, (qn * n + qd - 1) // qd) - 1]
+
+        assert (r.p50, r.p90, r.p99) == (nr(1, 2), nr(9, 10),
+                                         nr(99, 100))
+        assert r.p50 <= r.p90 <= r.p99
+
+
+def test_merge_cluster_stats_consistent_with_partition(spark):
+    """Every reported label is a real attr-merge cluster id, and its
+    node count matches the partition."""
+    from ehr_relation_extraction_spark import driver_queries as dq
+
+    part = {}
+    for r in dq.QUERIES["attr_merge_clusters"](spark, SF).collect():
+        part.setdefault(r.cluster, set()).add(r.subj)
+    rows = dq.QUERIES["merge_cluster_stats"](spark, SF).collect()
+    assert rows
+    for r in rows:
+        assert r.label in part
+        assert r.n_nodes == len(part[r.label])
+        assert r.vol == 2 * r.n_internal + r.n_cut

@@ -50,6 +50,8 @@ ALLOWED = {
     # same class: the 1-row total-edge-count (two_m) scalar that
     # conductance's min(vol, 2m - vol) denominator needs
     "community_stats": (0, 1),
+    # inherits community_stats's two_m scalar over the Jaccard graph
+    "merge_cluster_stats": (0, 1),
 }
 
 

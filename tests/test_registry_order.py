@@ -102,6 +102,9 @@ EXPECTED_TAIL = [
     # Continuation batch 12: host correlation + recrawl scheduling —
     # appended past position 50.
     "host_entity_overlap", "url_recrawl_priority",
+    # Continuation batch 13: merge-proposal quality + exact
+    # percentiles — appended past position 50.
+    "merge_cluster_stats", "doclen_percentiles",
 ]
 
 
