@@ -1493,6 +1493,14 @@ def q_doclen_percentiles(spark, sf_dir) -> DataFrame:
     return doclen_percentiles(_docs(spark, sf_dir))
 
 
+def q_postings_lists(spark, sf_dir) -> DataFrame:
+    """Inverted-index materialization: per-term delta-encoded posting
+    lists with df/tf totals (functions/textstats.postings_lists)."""
+    from .functions.textstats import postings_lists
+
+    return postings_lists(_docs(spark, sf_dir))
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # ORDER IS LOAD-BEARING: the driver snapshot verifies exactly
     # list(QUERIES)[:50] in insertion order (pinned by
@@ -1661,6 +1669,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "url_recrawl_priority": q_url_recrawl_priority,
     "merge_cluster_stats": q_merge_cluster_stats,
     "doclen_percentiles": q_doclen_percentiles,
+    "postings_lists": q_postings_lists,
 }
 
 

@@ -916,3 +916,39 @@ def doclen_percentiles(docs: DataFrame) -> DataFrame:
             .agg(F.max("n_docs").cast("long").alias("n_docs"),
                  pick(1, 2, "p50"), pick(9, 10, "p90"),
                  pick(99, 100, "p99")))
+
+
+def postings_lists(docs: DataFrame, min_df: int = 2) -> DataFrame:
+    """Inverted-index materialization — the IR-index build step that
+    turns the corpus into a postings table: per term, its document
+    frequency, total term frequency, and the posting list itself as
+    DELTA-encoded doc-id gaps (ascending doc order, first gap from 0),
+    comma-joined — the textbook index compression layout (gaps are
+    small ints; a varint writer consumes exactly this column).
+
+    Deterministic and oracle-exact: the list order is the doc_id
+    order, the encoding is pure integer subtraction, and the join to
+    one string makes the row hashable cross-engine.  ``min_df`` prunes
+    hapax terms (half the vocabulary, useless postings of length 1).
+
+    Plan: one tokenize-explode, one (term, doc) count, one per-term
+    sorted-list aggregate — the same two-shuffle shape as the BM25 tf
+    build; per-term state is bounded by document frequency."""
+    toks = docs.select(
+        "doc_id",
+        F.explode(F.filter(F.split(F.col("text"), "[\n \t]"),
+                           lambda t: t != "")).alias("tok"))
+    tf = (toks.select("doc_id", F.lower("tok").alias("term"))
+          .groupBy("term", "doc_id")
+          .agg(F.count(F.lit(1)).cast("long").alias("tf")))
+    return (tf.groupBy("term")
+            .agg(F.count(F.lit(1)).cast("long").alias("df"),
+                 F.sum("tf").cast("long").alias("total_tf"),
+                 F.array_sort(F.collect_list("doc_id")).alias("_ds"))
+            .where(F.col("df") >= min_df)
+            .select("term", "df", "total_tf",
+                    F.array_join(F.expr(
+                        "transform(_ds, (x, i) -> CAST("
+                        "CASE WHEN i = 0 THEN x"
+                        " ELSE x - _ds[i - 1] END AS STRING))"), ",")
+                    .alias("postings_deltas")))

@@ -4193,3 +4193,30 @@ FROM (SELECT source, CAST(n_chars AS BIGINT) AS n_chars,
              COUNT(*) OVER (PARTITION BY source) AS n_docs
       FROM documents)
 GROUP BY source""")
+
+
+# ---------------------------------------------------------------------------
+# Continuation batch 14: inverted-index postings.
+# ---------------------------------------------------------------------------
+
+# postings_lists: per-term delta-encoded posting lists
+# (functions/textstats.postings_lists); first gap is from doc_id 0,
+# list order = ascending doc_id.
+ORACLE["postings_lists"] = _q("""
+SELECT term, CAST(COUNT(*) AS BIGINT) AS df,
+       CAST(SUM(tf) AS BIGINT) AS total_tf,
+       string_agg(CAST(delta AS VARCHAR), ',' ORDER BY doc_id)
+           AS postings_deltas
+FROM (SELECT term, doc_id, tf,
+             doc_id - COALESCE(LAG(doc_id) OVER (
+                 PARTITION BY term ORDER BY doc_id), 0) AS delta
+      FROM (SELECT lower(tok) AS term, doc_id,
+                   CAST(COUNT(*) AS BIGINT) AS tf
+            FROM (SELECT doc_id,
+                         unnest(string_split_regex(text, '[\\n \\t]'))
+                             AS tok
+                  FROM documents)
+            WHERE tok <> ''
+            GROUP BY 1, 2))
+GROUP BY term
+HAVING COUNT(*) >= 2""")

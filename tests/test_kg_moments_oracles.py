@@ -284,3 +284,36 @@ def test_merge_cluster_stats_consistent_with_partition(spark):
         assert r.label in part
         assert r.n_nodes == len(part[r.label])
         assert r.vol == 2 * r.n_internal + r.n_cut
+
+
+def test_postings_lists_oracle_parity(spark, con):
+    from ehr_relation_extraction_spark.driver_queries import QUERIES
+    from ehr_relation_extraction_spark.oracle.sqlgen import ORACLE
+
+    ok, msg = compare(QUERIES["postings_lists"](spark, SF),
+                      con.sql(ORACLE["postings_lists"]).df())
+    assert ok, f"postings_lists: {msg}"
+
+
+def test_postings_deltas_decode_to_doc_ids(spark):
+    """Cumulative sums of the gap encoding recover the ascending
+    doc_id list, df matches its length, and the decoded ids really
+    contain the term."""
+    from ehr_relation_extraction_spark import driver_queries as dq
+
+    docs = {r.doc_id: set(t.lower() for t in r.text.split())
+            for r in dq._docs(spark, SF).select("doc_id", "text")
+            .collect()}
+    rows = dq.QUERIES["postings_lists"](spark, SF).collect()
+    assert rows
+    for r in rows[:200]:
+        gaps = [int(x) for x in r.postings_deltas.split(",")]
+        ids = []
+        acc = 0
+        for g in gaps:
+            acc += g
+            ids.append(acc)
+        assert len(ids) == r.df >= 2
+        assert ids == sorted(ids)
+        for d in ids:
+            assert r.term in docs[d]

@@ -105,6 +105,9 @@ EXPECTED_TAIL = [
     # Continuation batch 13: merge-proposal quality + exact
     # percentiles — appended past position 50.
     "merge_cluster_stats", "doclen_percentiles",
+    # Continuation batch 14: inverted-index postings — appended past
+    # position 50.
+    "postings_lists",
 ]
 
 
