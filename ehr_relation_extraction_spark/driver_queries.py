@@ -1501,6 +1501,23 @@ def q_postings_lists(spark, sf_dir) -> DataFrame:
     return postings_lists(_docs(spark, sf_dir))
 
 
+def q_partition_agreement(spark, sf_dir) -> DataFrame:
+    """Clustering-agreement evaluation: pair-level Rand decomposition
+    of the LPA communities vs the connected components over the same
+    overlap graph (graph_algos.partition_agreement) — recall < 1
+    measures how much LPA splits components."""
+    from .operators.graph_algos import (label_propagation,
+                                        partition_agreement)
+
+    _, linked, _, comps = _linked_components(spark, sf_dir)
+    edges = lk.overlap_edges(linked)
+    nodes = linked.select(
+        F.col("canonical_id").alias("node")).dropDuplicates()
+    lpa = label_propagation(edges, nodes, n_rounds=5)
+    cc = comps.select("node", F.col("component").alias("label"))
+    return partition_agreement(lpa, cc)
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # ORDER IS LOAD-BEARING: the driver snapshot verifies exactly
     # list(QUERIES)[:50] in insertion order (pinned by
@@ -1670,6 +1687,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "merge_cluster_stats": q_merge_cluster_stats,
     "doclen_percentiles": q_doclen_percentiles,
     "postings_lists": q_postings_lists,
+    "partition_agreement": q_partition_agreement,
 }
 
 

@@ -922,3 +922,55 @@ def community_stats(edges: DataFrame, labels: DataFrame) -> DataFrame:
                            " DIV least(vol, two_m - vol)"
                            " ELSE NULL END AS BIGINT)")
                     .alias("cond_micro6")))
+
+
+def partition_agreement(labels_a: DataFrame,
+                        labels_b: DataFrame) -> DataFrame:
+    """Pair-level agreement between two node partitions — the Rand-
+    index decomposition every clustering evaluation starts from,
+    computed WITHOUT enumerating pairs: with contingency cells
+    n_{ij} = |cluster_i(A) ∩ cluster_j(B)| and C2(n) = n*(n-1)/2,
+
+        pairs_both = Σ_ij C2(n_ij)        same cluster in A AND B
+        pairs_a    = Σ_i  C2(n_i·)        same cluster in A
+        pairs_b    = Σ_j  C2(n_·j)        same cluster in B
+        precision  = pairs_both / pairs_a   (A's merges confirmed by B)
+        recall     = pairs_both / pairs_b   (B's pairs found by A)
+
+    All counts are exact BIGINTs (n*(n-1) is always even, so the DIV 2
+    is exact) and the ratios floor to micro6 — value-exact cross-
+    engine.  Used here to score the LPA communities against the
+    connected components of the same graph (CC = the connectivity
+    ground truth; LPA refines it, so recall < 1 measures how much LPA
+    splits components).
+
+    Plan: one equi-join on node, three grouped sums — no pair
+    enumeration anywhere, so a 10^9-node partition costs three
+    aggregates."""
+    j = (labels_a.select("node", F.col("label").alias("_la"))
+         .join(labels_b.select("node", F.col("label").alias("_lb")),
+               "node"))
+    cells = j.groupBy("_la", "_lb").agg(
+        F.count(F.lit(1)).cast("long").alias("n"))
+
+    def c2(col):
+        return F.sum(F.expr(f"({col} * ({col} - 1)) DIV 2")) \
+            .cast("long")
+
+    both = cells.agg(F.sum(F.lit(0) + F.col("n")).cast("long")
+                     .alias("n_nodes"),
+                     c2("n").alias("pairs_both"))
+    pa = (cells.groupBy("_la").agg(F.sum("n").cast("long").alias("n"))
+          .agg(c2("n").alias("pairs_a")))
+    pb = (cells.groupBy("_lb").agg(F.sum("n").cast("long").alias("n"))
+          .agg(c2("n").alias("pairs_b")))
+    return (both.crossJoin(pa).crossJoin(pb)  # three 1-row frames
+            .select("n_nodes", "pairs_both", "pairs_a", "pairs_b",
+                    F.expr("CAST(CASE WHEN pairs_a > 0 THEN"
+                           " pairs_both * 1000000 DIV pairs_a"
+                           " ELSE NULL END AS BIGINT)")
+                    .alias("precision_micro6"),
+                    F.expr("CAST(CASE WHEN pairs_b > 0 THEN"
+                           " pairs_both * 1000000 DIV pairs_b"
+                           " ELSE NULL END AS BIGINT)")
+                    .alias("recall_micro6")))

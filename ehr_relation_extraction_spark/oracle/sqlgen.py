@@ -4220,3 +4220,40 @@ FROM (SELECT term, doc_id, tf,
             GROUP BY 1, 2))
 GROUP BY term
 HAVING COUNT(*) >= 2""")
+
+
+# ---------------------------------------------------------------------------
+# Continuation batch 15: clustering-agreement evaluation.
+# ---------------------------------------------------------------------------
+
+# partition_agreement: pair-level Rand decomposition of the LPA
+# communities vs the connected components over the SAME overlap graph
+# (operators/graph_algos.partition_agreement); n*(n-1) is even so the
+# // 2 is exact.
+ORACLE["partition_agreement"] = _q("""
+SELECT n_nodes, pairs_both, pairs_a, pairs_b,
+       CAST(CASE WHEN pairs_a > 0
+                 THEN pairs_both * 1000000 // pairs_a
+                 ELSE NULL END AS BIGINT) AS precision_micro6,
+       CAST(CASE WHEN pairs_b > 0
+                 THEN pairs_both * 1000000 // pairs_b
+                 ELSE NULL END AS BIGINT) AS recall_micro6
+FROM pa_both CROSS JOIN pa_a CROSS JOIN pa_b""",
+LINK_CTES, _lpa_sql(5), """
+pa_cells AS MATERIALIZED (
+  SELECT l.label AS la, c.component AS lb,
+         CAST(COUNT(*) AS BIGINT) AS n
+  FROM lab5 l JOIN components c ON c.node = l.node
+  GROUP BY 1, 2),
+pa_both AS (
+  SELECT CAST(SUM(n) AS BIGINT) AS n_nodes,
+         CAST(SUM((n * (n - 1)) // 2) AS BIGINT) AS pairs_both
+  FROM pa_cells),
+pa_a AS (
+  SELECT CAST(SUM((n * (n - 1)) // 2) AS BIGINT) AS pairs_a
+  FROM (SELECT la, CAST(SUM(n) AS BIGINT) AS n
+        FROM pa_cells GROUP BY 1)),
+pa_b AS (
+  SELECT CAST(SUM((n * (n - 1)) // 2) AS BIGINT) AS pairs_b
+  FROM (SELECT lb, CAST(SUM(n) AS BIGINT) AS n
+        FROM pa_cells GROUP BY 1))""")

@@ -317,3 +317,43 @@ def test_postings_deltas_decode_to_doc_ids(spark):
         assert ids == sorted(ids)
         for d in ids:
             assert r.term in docs[d]
+
+
+def test_partition_agreement_oracle_parity(spark, con):
+    from ehr_relation_extraction_spark.driver_queries import QUERIES
+    from ehr_relation_extraction_spark.oracle.sqlgen import ORACLE
+
+    ok, msg = compare(QUERIES["partition_agreement"](spark, SF),
+                      con.sql(ORACLE["partition_agreement"]).df())
+    assert ok, f"partition_agreement: {msg}"
+
+
+def test_partition_agreement_vs_brute_force(spark):
+    """The cell-based pair counts equal a brute-force pair
+    enumeration, and LPA refines CC (precision == 1: every LPA pair
+    is a CC pair, since labels only propagate along edges)."""
+    from ehr_relation_extraction_spark import driver_queries as dq
+    from ehr_relation_extraction_spark.operators import linking as lk
+    from ehr_relation_extraction_spark.operators.graph_algos import (
+        label_propagation)
+
+    _, linked, _, comps = dq._linked_components(spark, SF)
+    edges = lk.overlap_edges(linked)
+    nodes = linked.select("canonical_id").dropDuplicates() \
+        .selectExpr("canonical_id AS node")
+    la = {r.node: r.label
+          for r in label_propagation(edges, nodes, n_rounds=5).collect()}
+    lb = {r.node: r.component for r in comps.collect()}
+    ns = sorted(la)
+    pb = pa_ = pb_ = 0
+    for i, x in enumerate(ns):
+        for y in ns[i + 1:]:
+            sa, sb = la[x] == la[y], lb[x] == lb[y]
+            pa_ += sa
+            pb_ += sb
+            pb += sa and sb
+    row = dq.QUERIES["partition_agreement"](spark, SF).collect()[0]
+    assert (row.n_nodes, row.pairs_both, row.pairs_a, row.pairs_b) == \
+        (len(ns), pb, pa_, pb_)
+    if row.pairs_a:
+        assert row.precision_micro6 == 1_000_000

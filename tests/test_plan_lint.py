@@ -52,6 +52,9 @@ ALLOWED = {
     "community_stats": (0, 1),
     # inherits community_stats's two_m scalar over the Jaccard graph
     "merge_cluster_stats": (0, 1),
+    # three 1-row Rand-decomposition totals composed by crossJoin —
+    # the whole output is ONE row, both BNLJ sides are 1-row frames
+    "partition_agreement": (0, 2),
 }
 
 

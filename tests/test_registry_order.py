@@ -108,6 +108,9 @@ EXPECTED_TAIL = [
     # Continuation batch 14: inverted-index postings — appended past
     # position 50.
     "postings_lists",
+    # Continuation batch 15: clustering-agreement evaluation —
+    # appended past position 50.
+    "partition_agreement",
 ]
 
 
