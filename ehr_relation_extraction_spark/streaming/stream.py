@@ -240,3 +240,45 @@ def incremental_trending(spark: SparkSession, pages_dir: str,
             .option("checkpointLocation", checkpoint_dir)
             .trigger(availableNow=True)
             .start())
+
+
+EVENTS_DDL = ("event_id long, ts timestamp, user_id long, "
+              "event_type string, value double, props string")
+
+
+def incremental_sessions(spark: SparkSession, events_dir: str,
+                         out_dir: str, checkpoint_dir: str,
+                         gap: str = "30 minutes",
+                         watermark: str = "2 hours"):
+    """Watermarked SESSION-window aggregation of the events stream —
+    the dynamic-gap counterpart of :func:`windowed_event_counts`'s
+    tumbling windows: a session extends while events keep arriving
+    within ``gap`` of each other and closes once the watermark passes
+    the gap, so per-user state is bounded by the user's OPEN sessions
+    only (Spark merges overlapping session windows in the state
+    store; this is exactly the engine feature a custom
+    applyInPandasWithState sessionizer would re-implement).
+
+    Append-mode parquet sink: only WATERMARK-CLOSED sessions are
+    emitted, which makes re-runs idempotent — the batch/stream parity
+    test replays the same fixture and compares against the batch
+    session_window aggregate (identical function, identical gap).
+    Output: (user_id, session_start, session_end, n_events,
+    sum_value_x100)."""
+    events = (spark.readStream.schema(EVENTS_DDL).parquet(events_dir))
+    agg = (events.withWatermark("ts", watermark)
+           .groupBy(F.session_window("ts", gap).alias("w"), "user_id")
+           .agg(F.count(F.lit(1)).cast("long").alias("n_events"),
+                F.floor(F.sum("value") * 100).cast("long")
+                .alias("sum_value_x100"))
+           .select("user_id",
+                   F.date_format("w.start", "yyyy-MM-dd HH:mm:ss")
+                   .alias("session_start"),
+                   F.date_format("w.end", "yyyy-MM-dd HH:mm:ss")
+                   .alias("session_end"),
+                   "n_events", "sum_value_x100"))
+    return (agg.writeStream.outputMode("append")
+            .option("checkpointLocation", checkpoint_dir)
+            .trigger(availableNow=True)
+            .format("parquet").option("path", out_dir)
+            .start())

@@ -215,3 +215,64 @@ def test_incremental_trending(spark, tmp_path):
         spark.sql("SELECT * FROM trend_t2").localCheckpoint()).collect()))
     assert got2 == sorted(map(tuple, batch_trending(raw).collect()))
     assert got2
+
+
+def test_incremental_sessions(spark, tmp_path):
+    """Streaming session windows: append mode emits exactly the
+    WATERMARK-CLOSED sessions (session_end <= max(ts) - watermark);
+    advancing the watermark with a later event on the SAME checkpoint
+    flushes the remainder, and the union equals the batch
+    session_window aggregate — the closure semantics, tested rather
+    than assumed."""
+    import datetime as dt
+
+    from pyspark.sql import functions as F
+
+    from ehr_relation_extraction_spark.streaming.stream import (
+        incremental_sessions)
+
+    events = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+    src = str(tmp_path / "events_src")
+    out = str(tmp_path / "sessions_out")
+    ckpt = str(tmp_path / "sess_ckpt")
+    events.repartition(4).write.mode("append").parquet(src)
+
+    def batch_sessions(ev):
+        return (ev.groupBy(
+            F.session_window("ts", "30 minutes").alias("w"), "user_id")
+            .agg(F.count(F.lit(1)).cast("long").alias("n_events"),
+                 F.floor(F.sum("value") * 100).cast("long")
+                 .alias("sum_value_x100"))
+            .select("user_id",
+                    F.date_format("w.start", "yyyy-MM-dd HH:mm:ss")
+                    .alias("session_start"),
+                    F.date_format("w.end", "yyyy-MM-dd HH:mm:ss")
+                    .alias("session_end"),
+                    "n_events", "sum_value_x100"))
+
+    q = incremental_sessions(spark, src, out, ckpt)
+    q.awaitTermination(300)
+
+    max_ts = events.agg(F.max("ts")).first()[0]
+    wm = max_ts - dt.timedelta(hours=2)
+    all_sessions = batch_sessions(events).collect()
+    closed = sorted(tuple(r) for r in all_sessions
+                    if dt.datetime.strptime(
+                        r.session_end, "%Y-%m-%d %H:%M:%S") <= wm)
+    got1 = sorted(map(tuple, spark.read.parquet(out).collect()))
+    assert got1 == closed and got1
+
+    # a later sentinel event advances the watermark past every
+    # original session; resume on the same checkpoint flushes them
+    sentinel = spark.createDataFrame(
+        [(10**9, max_ts + dt.timedelta(days=2), 10**6, "sentinel",
+          0.0, "")],
+        "event_id long, ts timestamp, user_id long, event_type string,"
+        " value double, props string")
+    sentinel.write.mode("append").parquet(src)
+    q2 = incremental_sessions(spark, src, out, ckpt)
+    q2.awaitTermination(300)
+    got2 = sorted(t for t in map(tuple,
+                                 spark.read.parquet(out).collect())
+                  if t[0] != 10**6)
+    assert got2 == sorted(map(tuple, all_sessions))
