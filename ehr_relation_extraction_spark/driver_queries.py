@@ -1518,6 +1518,21 @@ def q_partition_agreement(spark, sf_dir) -> DataFrame:
     return partition_agreement(lpa, cc)
 
 
+def q_claim_beliefs(spark, sf_dir) -> DataFrame:
+    """Truth finding: claim-belief side of the fixed-round source-
+    trust <-> claim-belief propagation over the host-claim bipartite
+    graph (operators/triples.truth_finding)."""
+    beliefs, _ = tri_op.truth_finding(_frames(spark, sf_dir).triples)
+    return beliefs
+
+
+def q_source_trust(spark, sf_dir) -> DataFrame:
+    """Truth finding: source-trust side (operators/triples.
+    truth_finding)."""
+    _, trust = tri_op.truth_finding(_frames(spark, sf_dir).triples)
+    return trust
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # ORDER IS LOAD-BEARING: the driver snapshot verifies exactly
     # list(QUERIES)[:50] in insertion order (pinned by
@@ -1688,6 +1703,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "doclen_percentiles": q_doclen_percentiles,
     "postings_lists": q_postings_lists,
     "partition_agreement": q_partition_agreement,
+    "claim_beliefs": q_claim_beliefs,
+    "source_trust": q_source_trust,
 }
 
 

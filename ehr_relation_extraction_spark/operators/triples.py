@@ -899,3 +899,64 @@ def merge_cluster_stats(triples: DataFrame,
               .select(F.col("subj").alias("node"),
                       F.col("cluster").alias("label")))
     return community_stats(edges, labels)
+
+
+def truth_finding(triples: DataFrame, n_rounds: int = 3,
+                  scale: int = 10**6) -> "tuple[DataFrame, DataFrame]":
+    """Truth finding / knowledge fusion (the Sums device of
+    TruthFinder-family data fusion, Yin et al. / Dong et al.): iterate
+    SOURCE TRUST <-> CLAIM BELIEF over the bipartite host-claim
+    attestation graph —
+
+        trust_i(host)   = (Σ belief of its claims) * scale // max
+        belief_i(claim) = (Σ trust of attesting hosts) * scale // max
+
+    A claim attested by many trusted hosts is believable; a host whose
+    claims are believable is trusted — the circular definition the
+    fixed-point resolves, and the principled replacement for raw
+    attestation counts when sources copy each other or spam.
+
+    Same integer max-normalized discipline as hits_fixed (sums of
+    BIGINTs, floor divisions, localCheckpoint per round) so the
+    unrolled-CTE DuckDB oracle matches bit-exactly.  Returns
+    (claim_beliefs, source_trust): (subj, pred, obj, belief_u) and
+    (host, trust_u), both in units of 1/scale with column max = scale.
+
+    Plan per round: two bipartite equi-joins + two grouped sums + two
+    lazy 1-row MAX scalars — no driver sync in the loop."""
+    host = F.regexp_extract("url", r"^https?://([^/]*)", 1)
+    e = (triples.select(host.alias("host"), "subj", "pred", "obj")
+         .dropDuplicates()).localCheckpoint()
+    claims = e.select("subj", "pred", "obj").dropDuplicates() \
+        .localCheckpoint()
+    hosts = e.select("host").dropDuplicates().localCheckpoint()
+    belief = claims.withColumn("b", F.lit(scale).cast("long"))
+    trust = None
+    key = ["subj", "pred", "obj"]
+    for _ in range(n_rounds):
+        t_raw = (e.join(belief, key)
+                 .groupBy("host")
+                 .agg(F.sum("b").cast("long").alias("raw")))
+        t_all = (hosts.join(t_raw, "host", "left")
+                 .select("host", F.coalesce("raw", F.lit(0))
+                         .cast("long").alias("raw")))
+        t_mx = t_all.agg(F.max("raw").alias("mx"))
+        trust = (t_all.crossJoin(t_mx)  # 1-row frame: stays lazy
+                 .select("host",
+                         F.expr(f"CAST((raw * {scale}) DIV mx"
+                                " AS BIGINT)").alias("t"))
+                 ).localCheckpoint()
+        b_raw = (e.join(trust, "host")
+                 .groupBy(*key)
+                 .agg(F.sum("t").cast("long").alias("raw")))
+        b_all = (claims.join(b_raw, key, "left")
+                 .select(*key, F.coalesce("raw", F.lit(0))
+                         .cast("long").alias("raw")))
+        b_mx = b_all.agg(F.max("raw").alias("mx"))
+        belief = (b_all.crossJoin(b_mx)
+                  .select(*key,
+                          F.expr(f"CAST((raw * {scale}) DIV mx"
+                                 " AS BIGINT)").alias("b"))
+                  ).localCheckpoint()
+    return (belief.select(*key, F.col("b").alias("belief_u")),
+            trust.select("host", F.col("t").alias("trust_u")))

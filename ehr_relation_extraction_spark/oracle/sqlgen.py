@@ -4257,3 +4257,64 @@ pa_b AS (
   SELECT CAST(SUM((n * (n - 1)) // 2) AS BIGINT) AS pairs_b
   FROM (SELECT lb, CAST(SUM(n) AS BIGINT) AS n
         FROM pa_cells GROUP BY 1))""")
+
+
+# ---------------------------------------------------------------------------
+# Continuation batch 17: truth finding (knowledge fusion).
+# ---------------------------------------------------------------------------
+
+def _truth_sql(n_rounds: int = 3, scale: int = 10**6) -> str:
+    """Shared unrolled-CTE prelude for operators/triples.truth_finding:
+    emits tfh{i} (host trust) and tfb{i} (claim belief) per round over
+    the bipartite host-claim attestation edges; the caller selects
+    from tfb{n_rounds} or tfh{n_rounds}."""
+    rounds = []
+    prev_b = "tfb0"
+    prev_t = None
+    for i in range(1, n_rounds + 1):
+        rounds.append(f"""
+tfhr{i} AS MATERIALIZED (
+  SELECT h.host, CAST(COALESCE(s.r, 0) AS BIGINT) AS raw
+  FROM tf_hosts h LEFT JOIN (
+    SELECT e.host, CAST(SUM(b.b) AS BIGINT) AS r
+    FROM tf_e e JOIN {prev_b} b
+      ON b.subj = e.subj AND b.pred = e.pred AND b.obj = e.obj
+    GROUP BY 1) s ON s.host = h.host),
+tfh{i} AS MATERIALIZED (
+  SELECT host, CAST((raw * {scale})
+                    // (SELECT MAX(raw) FROM tfhr{i}) AS BIGINT) AS t
+  FROM tfhr{i}),
+tfbr{i} AS MATERIALIZED (
+  SELECT c.subj, c.pred, c.obj,
+         CAST(COALESCE(s.r, 0) AS BIGINT) AS raw
+  FROM tf_claims c LEFT JOIN (
+    SELECT e.subj, e.pred, e.obj, CAST(SUM(t.t) AS BIGINT) AS r
+    FROM tf_e e JOIN tfh{i} t ON t.host = e.host
+    GROUP BY 1, 2, 3) s
+    ON s.subj = c.subj AND s.pred = c.pred AND s.obj = c.obj),
+tfb{i} AS MATERIALIZED (
+  SELECT subj, pred, obj,
+         CAST((raw * {scale})
+              // (SELECT MAX(raw) FROM tfbr{i}) AS BIGINT) AS b
+  FROM tfbr{i})""")
+        prev_b, prev_t = f"tfb{i}", f"tfh{i}"
+    return f"""
+, tf_e AS MATERIALIZED (
+  SELECT DISTINCT regexp_extract(url, '^https?://([^/]*)', 1) AS host,
+         subj, pred, obj
+  FROM triples),
+tf_claims AS MATERIALIZED (
+  SELECT DISTINCT subj, pred, obj FROM tf_e),
+tf_hosts AS MATERIALIZED (SELECT DISTINCT host FROM tf_e),
+tfb0 AS MATERIALIZED (
+  SELECT subj, pred, obj, CAST({scale} AS BIGINT) AS b
+  FROM tf_claims),{",".join(rounds)}"""
+
+
+_TF_N = 3
+ORACLE["claim_beliefs"] = _q(
+    f"""{_truth_sql(_TF_N)}
+SELECT subj, pred, obj, b AS belief_u FROM tfb{_TF_N}""")
+ORACLE["source_trust"] = _q(
+    f"""{_truth_sql(_TF_N)}
+SELECT host, t AS trust_u FROM tfh{_TF_N}""")

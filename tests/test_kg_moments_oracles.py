@@ -357,3 +357,48 @@ def test_partition_agreement_vs_brute_force(spark):
         (len(ns), pb, pa_, pb_)
     if row.pairs_a:
         assert row.precision_micro6 == 1_000_000
+
+
+@pytest.mark.parametrize("name", ["claim_beliefs", "source_trust"])
+def test_truth_finding_oracle_parity(spark, con, name):
+    from ehr_relation_extraction_spark.driver_queries import QUERIES
+    from ehr_relation_extraction_spark.oracle.sqlgen import ORACLE
+
+    ok, msg = compare(QUERIES[name](spark, SF),
+                      con.sql(ORACLE[name]).df())
+    assert ok, f"{name}: {msg}"
+
+
+def test_truth_finding_vs_serial_replica(spark):
+    """The distributed trust/belief propagation bit-equals a serial
+    integer replica of the same recurrence."""
+    import re
+
+    from ehr_relation_extraction_spark import driver_queries as dq
+
+    tri = dq._frames(spark, SF).triples
+    edges = {(re.match(r"^https?://([^/]*)", r.url).group(1),
+              (r.subj, r.pred, r.obj))
+             for r in tri.select("url", "subj", "pred", "obj")
+             .collect()}
+    hosts = sorted({h for h, _ in edges})
+    claims = sorted({c for _, c in edges})
+    scale = 10**6
+    b = {c: scale for c in claims}
+    t = {}
+    for _ in range(3):
+        raw_t = {h: sum(b[c] for hh, c in edges if hh == h)
+                 for h in hosts}
+        mx = max(raw_t.values())
+        t = {h: raw_t[h] * scale // mx for h in hosts}
+        raw_b = {c: sum(t[h] for h, cc in edges if cc == c)
+                 for c in claims}
+        mx = max(raw_b.values())
+        b = {c: raw_b[c] * scale // mx for c in claims}
+    got_b = {(r.subj, r.pred, r.obj): r.belief_u
+             for r in dq.QUERIES["claim_beliefs"](spark, SF).collect()}
+    got_t = {r.host: r.trust_u
+             for r in dq.QUERIES["source_trust"](spark, SF).collect()}
+    assert got_b == b and got_t == t
+    assert max(got_b.values()) == scale
+    assert max(got_t.values()) == scale

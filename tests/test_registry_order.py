@@ -111,6 +111,9 @@ EXPECTED_TAIL = [
     # Continuation batch 15: clustering-agreement evaluation —
     # appended past position 50.
     "partition_agreement",
+    # Continuation batch 17: truth finding (knowledge fusion) —
+    # appended past position 50.
+    "claim_beliefs", "source_trust",
 ]
 
 
