@@ -1533,6 +1533,13 @@ def q_source_trust(spark, sf_dir) -> DataFrame:
     return trust
 
 
+def q_kg_resolved(spark, sf_dir) -> DataFrame:
+    """Conflict-resolved single-valued KG: belief-argmax per
+    (subj, pred) slot over the truth-finding scores
+    (operators/triples.kg_resolved)."""
+    return tri_op.kg_resolved(_frames(spark, sf_dir).triples)
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # ORDER IS LOAD-BEARING: the driver snapshot verifies exactly
     # list(QUERIES)[:50] in insertion order (pinned by
@@ -1705,6 +1712,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "partition_agreement": q_partition_agreement,
     "claim_beliefs": q_claim_beliefs,
     "source_trust": q_source_trust,
+    "kg_resolved": q_kg_resolved,
 }
 
 

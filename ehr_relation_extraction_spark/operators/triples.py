@@ -960,3 +960,32 @@ def truth_finding(triples: DataFrame, n_rounds: int = 3,
                   ).localCheckpoint()
     return (belief.select(*key, F.col("b").alias("belief_u")),
             trust.select("host", F.col("t").alias("trust_u")))
+
+
+def kg_resolved(triples: DataFrame, n_rounds: int = 3) -> DataFrame:
+    """Conflict-resolved KG — the truth-finding capstone: for every
+    (subj, pred) slot, elect the object value with the HIGHEST fused
+    belief (ties on the object value), replacing the naive
+    majority-vote resolution with source-trust-weighted evidence.
+    This is the step that turns the long attestation table into the
+    single-valued KG a downstream application reads.
+
+        (subj, pred, obj, belief_u, n_alternatives)
+
+    n_alternatives counts the competing object values the winner beat
+    (1 = uncontested).  Plan: the truth_finding rounds, then one
+    per-(subj, pred) row_number window over the belief table — the
+    window partitions are slot-sized (a handful of candidate values),
+    never corpus-wide."""
+    from pyspark.sql import Window
+
+    beliefs, _ = truth_finding(triples, n_rounds=n_rounds)
+    w = (Window.partitionBy("subj", "pred")
+         .orderBy(F.desc("belief_u"), "obj"))
+    n = (beliefs.groupBy("subj", "pred")
+         .agg(F.count(F.lit(1)).cast("long").alias("n_alternatives")))
+    return (beliefs.withColumn("_rk", F.row_number().over(w))
+            .where(F.col("_rk") == 1)
+            .join(n, ["subj", "pred"])
+            .select("subj", "pred", "obj", "belief_u",
+                    "n_alternatives"))

@@ -4318,3 +4318,18 @@ SELECT subj, pred, obj, b AS belief_u FROM tfb{_TF_N}""")
 ORACLE["source_trust"] = _q(
     f"""{_truth_sql(_TF_N)}
 SELECT host, t AS trust_u FROM tfh{_TF_N}""")
+
+
+# kg_resolved: belief-argmax conflict resolution per (subj, pred)
+# slot over the fused beliefs (operators/triples.kg_resolved).
+ORACLE["kg_resolved"] = _q(
+    f"""{_truth_sql(_TF_N)},
+kr_n AS (
+  SELECT subj, pred, CAST(COUNT(*) AS BIGINT) AS n_alternatives
+  FROM tfb{_TF_N} GROUP BY 1, 2)
+SELECT w.subj, w.pred, w.obj, w.b AS belief_u, n.n_alternatives
+FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY subj, pred
+          ORDER BY b DESC, obj) AS rk
+      FROM tfb{_TF_N}) w
+JOIN kr_n n ON n.subj = w.subj AND n.pred = w.pred
+WHERE w.rk = 1""")

@@ -402,3 +402,32 @@ def test_truth_finding_vs_serial_replica(spark):
     assert got_b == b and got_t == t
     assert max(got_b.values()) == scale
     assert max(got_t.values()) == scale
+
+
+def test_kg_resolved_oracle_parity(spark, con):
+    from ehr_relation_extraction_spark.driver_queries import QUERIES
+    from ehr_relation_extraction_spark.oracle.sqlgen import ORACLE
+
+    ok, msg = compare(QUERIES["kg_resolved"](spark, SF),
+                      con.sql(ORACLE["kg_resolved"]).df())
+    assert ok, f"kg_resolved: {msg}"
+
+
+def test_kg_resolved_is_belief_argmax(spark):
+    """One row per (subj, pred) slot; the winner's belief is the slot
+    maximum (ties by obj); n_alternatives matches the candidate
+    count."""
+    from ehr_relation_extraction_spark import driver_queries as dq
+
+    beliefs = {}
+    for r in dq.QUERIES["claim_beliefs"](spark, SF).collect():
+        beliefs.setdefault((r.subj, r.pred), []).append(
+            (r.obj, r.belief_u))
+    rows = dq.QUERIES["kg_resolved"](spark, SF).collect()
+    assert rows
+    assert len(rows) == len(beliefs)
+    for r in rows:
+        cands = beliefs[(r.subj, r.pred)]
+        assert r.n_alternatives == len(cands)
+        win = min(cands, key=lambda c: (-c[1], c[0]))
+        assert (r.obj, r.belief_u) == win

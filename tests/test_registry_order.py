@@ -114,6 +114,9 @@ EXPECTED_TAIL = [
     # Continuation batch 17: truth finding (knowledge fusion) —
     # appended past position 50.
     "claim_beliefs", "source_trust",
+    # Continuation batch 18: belief-argmax conflict resolution —
+    # appended past position 50.
+    "kg_resolved",
 ]
 
 
