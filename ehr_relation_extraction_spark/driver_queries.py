@@ -1540,6 +1540,13 @@ def q_kg_resolved(spark, sf_dir) -> DataFrame:
     return tri_op.kg_resolved(_frames(spark, sf_dir).triples)
 
 
+def q_host_error_rate(spark, sf_dir) -> DataFrame:
+    """Source error rate: per-host share of attestations that lost
+    the belief-argmax — the fusion diagnostic feeding blocklists
+    (operators/triples.host_error_rate)."""
+    return tri_op.host_error_rate(_frames(spark, sf_dir).triples)
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # ORDER IS LOAD-BEARING: the driver snapshot verifies exactly
     # list(QUERIES)[:50] in insertion order (pinned by
@@ -1713,6 +1720,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "claim_beliefs": q_claim_beliefs,
     "source_trust": q_source_trust,
     "kg_resolved": q_kg_resolved,
+    "host_error_rate": q_host_error_rate,
 }
 
 

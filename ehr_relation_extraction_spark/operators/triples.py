@@ -989,3 +989,33 @@ def kg_resolved(triples: DataFrame, n_rounds: int = 3) -> DataFrame:
             .join(n, ["subj", "pred"])
             .select("subj", "pred", "obj", "belief_u",
                     "n_alternatives"))
+
+
+def host_error_rate(triples: DataFrame, n_rounds: int = 3) -> DataFrame:
+    """Source error rate — the fusion diagnostic that closes the
+    truth-finding loop: for every host, the share of its attestations
+    whose object value LOST the belief-argmax for its (subj, pred)
+    slot.  A high error rate marks a host that systematically asserts
+    values the trusted consensus rejects — the input to crawl
+    blocklisting and source weighting.
+
+        (host, n_attested, n_wrong, err_micro6)
+
+    n_attested counts the host's distinct claim attestations; n_wrong
+    those whose object differs from the resolved winner.  Plan: the
+    truth_finding rounds, the slot-argmax window, then ONE equi-join
+    of the attestation edges against the winner table on the slot key
+    and a host roll-up."""
+    winners = (kg_resolved(triples, n_rounds=n_rounds)
+               .select("subj", "pred", F.col("obj").alias("_win")))
+    host = F.regexp_extract("url", r"^https?://([^/]*)", 1)
+    e = (triples.select(host.alias("host"), "subj", "pred", "obj")
+         .dropDuplicates())
+    return (e.join(winners, ["subj", "pred"])
+            .groupBy("host")
+            .agg(F.count(F.lit(1)).cast("long").alias("n_attested"),
+                 F.sum(F.expr("CASE WHEN obj = _win THEN 0 ELSE 1 END"))
+                 .cast("long").alias("n_wrong"))
+            .withColumn("err_micro6",
+                        F.expr("CAST(n_wrong * 1000000 DIV n_attested"
+                               " AS BIGINT)")))

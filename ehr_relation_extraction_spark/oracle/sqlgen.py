@@ -4333,3 +4333,22 @@ FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY subj, pred
       FROM tfb{_TF_N}) w
 JOIN kr_n n ON n.subj = w.subj AND n.pred = w.pred
 WHERE w.rk = 1""")
+
+
+# host_error_rate: per-host share of attestations that lost the
+# belief-argmax (operators/triples.host_error_rate).
+ORACLE["host_error_rate"] = _q(
+    f"""{_truth_sql(_TF_N)},
+her_win AS MATERIALIZED (
+  SELECT subj, pred, obj AS win
+  FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY subj, pred
+            ORDER BY b DESC, obj) AS rk
+        FROM tfb{_TF_N})
+  WHERE rk = 1)
+SELECT e.host, CAST(COUNT(*) AS BIGINT) AS n_attested,
+       CAST(SUM(CASE WHEN e.obj = w.win THEN 0 ELSE 1 END)
+            AS BIGINT) AS n_wrong,
+       CAST(SUM(CASE WHEN e.obj = w.win THEN 0 ELSE 1 END) * 1000000
+            // COUNT(*) AS BIGINT) AS err_micro6
+FROM tf_e e JOIN her_win w ON w.subj = e.subj AND w.pred = e.pred
+GROUP BY e.host""")

@@ -431,3 +431,38 @@ def test_kg_resolved_is_belief_argmax(spark):
         assert r.n_alternatives == len(cands)
         win = min(cands, key=lambda c: (-c[1], c[0]))
         assert (r.obj, r.belief_u) == win
+
+
+def test_host_error_rate_oracle_parity(spark, con):
+    from ehr_relation_extraction_spark.driver_queries import QUERIES
+    from ehr_relation_extraction_spark.oracle.sqlgen import ORACLE
+
+    ok, msg = compare(QUERIES["host_error_rate"](spark, SF),
+                      con.sql(ORACLE["host_error_rate"]).df())
+    assert ok, f"host_error_rate: {msg}"
+
+
+def test_host_error_rate_accounting(spark):
+    """Total attested == total host-claim edges; wrong counts agree
+    with a driver-side recomputation against kg_resolved winners."""
+    import re
+
+    from ehr_relation_extraction_spark import driver_queries as dq
+
+    tri = dq._frames(spark, SF).triples
+    edges = {(re.match(r"^https?://([^/]*)", r.url).group(1),
+              r.subj, r.pred, r.obj)
+             for r in tri.select("url", "subj", "pred", "obj")
+             .collect()}
+    win = {(r.subj, r.pred): r.obj
+           for r in dq.QUERIES["kg_resolved"](spark, SF).collect()}
+    expect = {}
+    for h, s_, p_, o in edges:
+        n, w = expect.get(h, (0, 0))
+        expect[h] = (n + 1, w + (0 if win[(s_, p_)] == o else 1))
+    rows = dq.QUERIES["host_error_rate"](spark, SF).collect()
+    assert rows
+    got = {r.host: (r.n_attested, r.n_wrong) for r in rows}
+    assert got == expect
+    for r in rows:
+        assert r.err_micro6 == r.n_wrong * 1_000_000 // r.n_attested

@@ -117,6 +117,9 @@ EXPECTED_TAIL = [
     # Continuation batch 18: belief-argmax conflict resolution —
     # appended past position 50.
     "kg_resolved",
+    # Continuation batch 19: source error rate — appended past
+    # position 50.
+    "host_error_rate",
 ]
 
 
