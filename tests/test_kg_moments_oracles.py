@@ -466,3 +466,29 @@ def test_host_error_rate_accounting(spark):
     assert got == expect
     for r in rows:
         assert r.err_micro6 == r.n_wrong * 1_000_000 // r.n_attested
+
+
+def test_fanout_cap_defeats_heavy_object_skew(spark):
+    """The AMIE fanout-cap skew guard, exercised: one object value
+    shared by 1000 subjects (the bare-year pathology) must be pruned
+    BEFORE the pair join — object_rules and entity_attr_jaccard stay
+    bounded by the benign tail instead of squaring the hot value."""
+    from ehr_relation_extraction_spark.operators.triples import (
+        entity_attr_jaccard, shared_object_rules)
+
+    rows = [(i, f"u{i}", f"s{i}", "P", "HOT") for i in range(1000)]
+    rows += [(2000 + i, f"u{2000 + i}", f"t{i % 4}", "Q", f"cold{i % 2}")
+             for i in range(8)]
+    tri = spark.createDataFrame(
+        rows, "doc_id long, url string, subj string, pred string,"
+        " obj string")
+    jac = entity_attr_jaccard(tri, max_attr_fanout=50).collect()
+    # only the cold values (fanout 2 each) may pair: C(2,2) per value
+    assert len(jac) <= 8
+    for r in jac:
+        assert not r.subj_a.startswith("s") and not \
+            r.subj_b.startswith("s")
+    rules = shared_object_rules(tri, max_obj_fanout=50,
+                                min_body=1).collect()
+    assert all(r.pred_a == "Q" and r.pred_b == "Q" for r in rules)
+    assert sum(r.n_body for r in rules) <= 8
