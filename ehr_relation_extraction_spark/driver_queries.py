@@ -1547,6 +1547,13 @@ def q_host_error_rate(spark, sf_dir) -> DataFrame:
     return tri_op.host_error_rate(_frames(spark, sf_dir).triples)
 
 
+def q_literal_profiles(spark, sf_dir) -> DataFrame:
+    """Numeric-literal range induction per predicate — exact
+    micro-integer magnitudes, no floats
+    (operators/triples.literal_profiles)."""
+    return tri_op.literal_profiles(_frames(spark, sf_dir).triples)
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # ORDER IS LOAD-BEARING: the driver snapshot verifies exactly
     # list(QUERIES)[:50] in insertion order (pinned by
@@ -1721,6 +1728,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "source_trust": q_source_trust,
     "kg_resolved": q_kg_resolved,
     "host_error_rate": q_host_error_rate,
+    "literal_profiles": q_literal_profiles,
 }
 
 

@@ -1019,3 +1019,40 @@ def host_error_rate(triples: DataFrame, n_rounds: int = 3) -> DataFrame:
             .withColumn("err_micro6",
                         F.expr("CAST(n_wrong * 1000000 DIV n_attested"
                                " AS BIGINT)")))
+
+
+def literal_profiles(triples: DataFrame) -> DataFrame:
+    """Numeric-literal range induction per predicate — the
+    literal-side schema profile: parse the first numeric magnitude
+    out of each object literal ("$1,234.56" -> 1234560000 micro) and
+    aggregate min/max/sum per predicate, plus the numeric share.  The
+    validator this feeds flags a claim whose magnitude falls outside
+    its predicate's observed range (a Percent of 4,700 is extraction
+    noise).
+
+    Parsing is pure string algebra so both engines agree exactly:
+    integer part = first [0-9][0-9,]* run (commas stripped),
+    fraction = the following .[0-9]+ if present, micro value =
+    int * 1e6 + first-6-digits-right-padded fraction.  No float ever
+    materializes.
+
+    Output: (pred, n_values, n_numeric, min_micro, max_micro,
+    sum_micro) over the distinct fact set; min/max/sum are NULL for
+    predicates with no numeric literal."""
+    facts = triples.select("pred", "obj").dropDuplicates()
+    intpart = F.regexp_replace(
+        F.regexp_extract("obj", r"([0-9][0-9,]*)(\.[0-9]+)?", 1),
+        ",", "")
+    frac = F.regexp_extract("obj", r"([0-9][0-9,]*)(\.[0-9]+)?", 2)
+    frac6 = F.substring(F.rpad(F.regexp_replace(frac, r"\.", ""),
+                               6, "0"), 1, 6)
+    micro = F.when(
+        intpart != "",
+        intpart.cast("long") * 1000000 + frac6.cast("long"))
+    return (facts.select("pred", micro.alias("_m"))
+            .groupBy("pred")
+            .agg(F.count(F.lit(1)).cast("long").alias("n_values"),
+                 F.count("_m").cast("long").alias("n_numeric"),
+                 F.min("_m").cast("long").alias("min_micro"),
+                 F.max("_m").cast("long").alias("max_micro"),
+                 F.sum("_m").cast("long").alias("sum_micro")))

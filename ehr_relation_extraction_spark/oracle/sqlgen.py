@@ -4352,3 +4352,28 @@ SELECT e.host, CAST(COUNT(*) AS BIGINT) AS n_attested,
             // COUNT(*) AS BIGINT) AS err_micro6
 FROM tf_e e JOIN her_win w ON w.subj = e.subj AND w.pred = e.pred
 GROUP BY e.host""")
+
+
+# literal_profiles: numeric-literal range induction per predicate
+# (operators/triples.literal_profiles); parsing is pure string
+# algebra (regexp groups + rpad), no float ever materializes.
+ORACLE["literal_profiles"] = _q(r"""
+SELECT pred, CAST(COUNT(*) AS BIGINT) AS n_values,
+       CAST(COUNT(m) AS BIGINT) AS n_numeric,
+       CAST(MIN(m) AS BIGINT) AS min_micro,
+       CAST(MAX(m) AS BIGINT) AS max_micro,
+       CAST(SUM(m) AS BIGINT) AS sum_micro
+FROM (
+  SELECT pred,
+         CASE WHEN ip <> ''
+              THEN CAST(ip AS BIGINT) * 1000000
+                   + CAST(substr(rpad(replace(fr, '.', ''), 6, '0'),
+                                 1, 6) AS BIGINT)
+         END AS m
+  FROM (SELECT pred,
+               replace(regexp_extract(obj,
+                   '([0-9][0-9,]*)(\.[0-9]+)?', 1), ',', '') AS ip,
+               regexp_extract(obj,
+                   '([0-9][0-9,]*)(\.[0-9]+)?', 2) AS fr
+        FROM (SELECT DISTINCT pred, obj FROM triples)))
+GROUP BY pred""")

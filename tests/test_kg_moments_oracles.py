@@ -492,3 +492,35 @@ def test_fanout_cap_defeats_heavy_object_skew(spark):
                                 min_body=1).collect()
     assert all(r.pred_a == "Q" and r.pred_b == "Q" for r in rules)
     assert sum(r.n_body for r in rules) <= 8
+
+
+def test_literal_profiles_oracle_parity(spark, con):
+    from ehr_relation_extraction_spark.driver_queries import QUERIES
+    from ehr_relation_extraction_spark.oracle.sqlgen import ORACLE
+
+    ok, msg = compare(QUERIES["literal_profiles"](spark, SF),
+                      con.sql(ORACLE["literal_profiles"]).df())
+    assert ok, f"literal_profiles: {msg}"
+
+
+def test_literal_profiles_parse_rules(spark):
+    """Unit cases for the micro parser: commas stripped, fractions
+    right-padded/truncated to 6 digits, non-numeric -> NULL column
+    aggregates only."""
+    from ehr_relation_extraction_spark.operators.triples import (
+        literal_profiles)
+
+    tri = spark.createDataFrame(
+        [(0, "u", "s", "Money", "$1,234.56"),
+         (1, "u", "s", "Money", "7"),
+         (2, "u", "s", "Money", "0.1234567"),
+         (3, "u", "s", "Loc", "nowhere"),
+         (4, "u", "s", "Pct", "12.5% of it")],
+        "doc_id long, url string, subj string, pred string, obj string")
+    rows = {r.pred: r for r in literal_profiles(tri).collect()}
+    assert rows["Money"].n_numeric == 3
+    assert rows["Money"].min_micro == 123456  # 0.123456(7 truncated)
+    assert rows["Money"].max_micro == 1_234_560_000
+    assert rows["Money"].sum_micro == 1_234_560_000 + 7_000_000 + 123456
+    assert rows["Loc"].n_numeric == 0 and rows["Loc"].min_micro is None
+    assert rows["Pct"].min_micro == 12_500_000

@@ -120,6 +120,9 @@ EXPECTED_TAIL = [
     # Continuation batch 19: source error rate — appended past
     # position 50.
     "host_error_rate",
+    # Continuation batch 20: numeric-literal range induction —
+    # appended past position 50.
+    "literal_profiles",
 ]
 
 
