@@ -836,7 +836,13 @@ def degree_assortativity_stats(edges: DataFrame) -> DataFrame:
     r = (n*sxy - sx*sy) / sqrt((n*sxx - sx^2) * (n*syy - sy^2)) from
     the one output row.  Plan: one degree aggregate, two equi-joins to
     attach endpoint degrees, one global 1-row sum — the classic
-    two-pass distributed moment computation, no driver loops."""
+    two-pass distributed moment computation, no driver loops.
+
+    Numeric envelope: sxy/sxx sum deg_a * deg_b per edge row —
+    int64-safe while n_edges * max_deg^2 <= 9.2e18 (e.g. 1e10 edges
+    at max degree 3e4).  Past that, compute the moments per partition
+    into DECIMAL(38,0) or subtract per-group means first; Spark ANSI
+    mode raises on overflow rather than wrapping silently."""
     und = (edges.select(F.least("src", "dst").alias("a"),
                         F.greatest("src", "dst").alias("b"))
            .where(F.col("a") != F.col("b")).dropDuplicates())

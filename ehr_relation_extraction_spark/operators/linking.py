@@ -697,7 +697,15 @@ def trending_entities(linked: DataFrame, batch_docs: int = 50,
     Plan: one (batch, entity) count, one batch total, one entity
     total, one 1-row corpus total kept lazy as a crossJoin, then a
     per-batch row_number window for the top-k — bounded state per
-    batch, every shuffle on a real key."""
+    batch, every shuffle on a real key.
+
+    Numeric envelope: the lift numerator is n_mentions * n_all * 1e6,
+    int64-safe while n_mentions * n_all <= 9.2e12 (comfortable for
+    any per-batch top-k at crawl-batch granularity; a corpus where a
+    single entity's batch count times the GLOBAL mention total passes
+    1e13 should promote the expression to DECIMAL(38,0) — Spark's ANSI
+    mode raises on overflow rather than wrapping, so the failure is
+    loud)."""
     cnt = (linked
            .select(F.expr(f"CAST(doc_id DIV {batch_docs} AS INT)")
                    .alias("batch"), "canonical_id")
