@@ -1518,18 +1518,33 @@ def q_partition_agreement(spark, sf_dir) -> DataFrame:
     return partition_agreement(lpa, cc)
 
 
+_TRUTH_CACHE: dict[tuple[int, str], tuple] = {}
+
+
+def _truth(spark, sf_dir):
+    """truth_finding materialized once per (session, sf_dir): the
+    propagation rounds feed four queries (beliefs, trust, resolved,
+    error rate) and the outputs are already localCheckpointed — the
+    same stage-checkpoint pattern as _linked_components."""
+    key = (id(spark), sf_dir)
+    if key not in _TRUTH_CACHE:
+        _TRUTH_CACHE[key] = tri_op.truth_finding(
+            _frames(spark, sf_dir).triples)
+    return _TRUTH_CACHE[key]
+
+
 def q_claim_beliefs(spark, sf_dir) -> DataFrame:
     """Truth finding: claim-belief side of the fixed-round source-
     trust <-> claim-belief propagation over the host-claim bipartite
     graph (operators/triples.truth_finding)."""
-    beliefs, _ = tri_op.truth_finding(_frames(spark, sf_dir).triples)
+    beliefs, _ = _truth(spark, sf_dir)
     return beliefs
 
 
 def q_source_trust(spark, sf_dir) -> DataFrame:
     """Truth finding: source-trust side (operators/triples.
     truth_finding)."""
-    _, trust = tri_op.truth_finding(_frames(spark, sf_dir).triples)
+    _, trust = _truth(spark, sf_dir)
     return trust
 
 
@@ -1537,14 +1552,18 @@ def q_kg_resolved(spark, sf_dir) -> DataFrame:
     """Conflict-resolved single-valued KG: belief-argmax per
     (subj, pred) slot over the truth-finding scores
     (operators/triples.kg_resolved)."""
-    return tri_op.kg_resolved(_frames(spark, sf_dir).triples)
+    beliefs, _ = _truth(spark, sf_dir)
+    return tri_op.kg_resolved(_frames(spark, sf_dir).triples,
+                              beliefs=beliefs)
 
 
 def q_host_error_rate(spark, sf_dir) -> DataFrame:
     """Source error rate: per-host share of attestations that lost
     the belief-argmax — the fusion diagnostic feeding blocklists
     (operators/triples.host_error_rate)."""
-    return tri_op.host_error_rate(_frames(spark, sf_dir).triples)
+    beliefs, _ = _truth(spark, sf_dir)
+    return tri_op.host_error_rate(_frames(spark, sf_dir).triples,
+                                  beliefs=beliefs)
 
 
 def q_literal_profiles(spark, sf_dir) -> DataFrame:

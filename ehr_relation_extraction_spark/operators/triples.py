@@ -962,7 +962,8 @@ def truth_finding(triples: DataFrame, n_rounds: int = 3,
             trust.select("host", F.col("t").alias("trust_u")))
 
 
-def kg_resolved(triples: DataFrame, n_rounds: int = 3) -> DataFrame:
+def kg_resolved(triples: DataFrame, n_rounds: int = 3,
+                beliefs: DataFrame | None = None) -> DataFrame:
     """Conflict-resolved KG — the truth-finding capstone: for every
     (subj, pred) slot, elect the object value with the HIGHEST fused
     belief (ties on the object value), replacing the naive
@@ -979,7 +980,8 @@ def kg_resolved(triples: DataFrame, n_rounds: int = 3) -> DataFrame:
     never corpus-wide."""
     from pyspark.sql import Window
 
-    beliefs, _ = truth_finding(triples, n_rounds=n_rounds)
+    if beliefs is None:
+        beliefs, _ = truth_finding(triples, n_rounds=n_rounds)
     w = (Window.partitionBy("subj", "pred")
          .orderBy(F.desc("belief_u"), "obj"))
     n = (beliefs.groupBy("subj", "pred")
@@ -991,7 +993,8 @@ def kg_resolved(triples: DataFrame, n_rounds: int = 3) -> DataFrame:
                     "n_alternatives"))
 
 
-def host_error_rate(triples: DataFrame, n_rounds: int = 3) -> DataFrame:
+def host_error_rate(triples: DataFrame, n_rounds: int = 3,
+                    beliefs: DataFrame | None = None) -> DataFrame:
     """Source error rate — the fusion diagnostic that closes the
     truth-finding loop: for every host, the share of its attestations
     whose object value LOST the belief-argmax for its (subj, pred)
@@ -1006,7 +1009,8 @@ def host_error_rate(triples: DataFrame, n_rounds: int = 3) -> DataFrame:
     truth_finding rounds, the slot-argmax window, then ONE equi-join
     of the attestation edges against the winner table on the slot key
     and a host roll-up."""
-    winners = (kg_resolved(triples, n_rounds=n_rounds)
+    winners = (kg_resolved(triples, n_rounds=n_rounds,
+                           beliefs=beliefs)
                .select("subj", "pred", F.col("obj").alias("_win")))
     host = F.regexp_extract("url", r"^https?://([^/]*)", 1)
     e = (triples.select(host.alias("host"), "subj", "pred", "obj")
