@@ -1573,6 +1573,19 @@ def q_literal_profiles(spark, sf_dir) -> DataFrame:
     return tri_op.literal_profiles(_frames(spark, sf_dir).triples)
 
 
+def q_typed_wedges(spark, sf_dir) -> DataFrame:
+    """Typed 2-hop (metapath) wedge counts over the co-mention graph,
+    node types by majority election, middle-role hub cap
+    (graph_algos.typed_wedges)."""
+    from .operators.graph_algos import typed_wedges
+
+    _, linked, _ = _linked(spark, sf_dir)
+    edges, _n = _comention_graph(spark, sf_dir)
+    types = lk.entity_type_election(linked).select(
+        F.col("canonical_id").alias("node"), "major_type")
+    return typed_wedges(edges, types)
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # ORDER IS LOAD-BEARING: the driver snapshot verifies exactly
     # list(QUERIES)[:50] in insertion order (pinned by
@@ -1748,6 +1761,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "kg_resolved": q_kg_resolved,
     "host_error_rate": q_host_error_rate,
     "literal_profiles": q_literal_profiles,
+    "typed_wedges": q_typed_wedges,
 }
 
 

@@ -980,3 +980,49 @@ def partition_agreement(labels_a: DataFrame,
                            " pairs_both * 1000000 DIV pairs_b"
                            " ELSE NULL END AS BIGINT)")
                     .alias("recall_micro6")))
+
+
+def typed_wedges(edges: DataFrame, types: DataFrame,
+                 max_degree: int = 1000) -> DataFrame:
+    """Typed 2-hop connectivity profile (metapath counts): how many
+    open wedges x—mid—z exist per (endpoint-type, middle-type,
+    endpoint-type) triple — the schema-level answer to "which entity
+    types BRIDGE which", the connectivity companion to the
+    schema_graph edge summary.
+
+    Hub exclusion is the skew guard: a node of degree d centers d^2/2
+    wedges, so nodes above ``max_degree`` are dropped from the MIDDLE
+    role first (the standard wedge-sampling discipline) — the output
+    then costs Σ min(deg, cap)^2 instead of Σ deg^2.  Endpoint types
+    are canonicalized with least/greatest so each unordered wedge
+    counts once.
+
+    ``types``: (node, major_type) — the entity_type_election output
+    lifted to whatever node ids the edges use."""
+    und = (edges.select(F.least("src", "dst").alias("a"),
+                        F.greatest("src", "dst").alias("b"))
+           .where(F.col("a") != F.col("b")).dropDuplicates())
+    sym = und.select(F.col("a").alias("src"), F.col("b").alias("dst")) \
+        .union(und.select(F.col("b").alias("src"),
+                          F.col("a").alias("dst")))
+    deg = sym.groupBy("src").agg(
+        F.count(F.lit(1)).cast("long").alias("deg"))
+    ok_mid = deg.where(F.col("deg") <= max_degree).select(
+        F.col("src").alias("mid"))
+    left = sym.select(F.col("dst").alias("mid"), F.col("src").alias("x"))
+    right = sym.select(F.col("src").alias("mid"),
+                       F.col("dst").alias("z"))
+    w = (left.join(ok_mid, "mid")
+         .join(right, "mid")
+         .where(F.col("x") < F.col("z")))
+    t = types.select("node", "major_type")
+    return (w.join(t.select(F.col("node").alias("x"),
+                            F.col("major_type").alias("tx")), "x")
+            .join(t.select(F.col("node").alias("mid"),
+                           F.col("major_type").alias("tm")), "mid")
+            .join(t.select(F.col("node").alias("z"),
+                           F.col("major_type").alias("tz")), "z")
+            .groupBy(F.least("tx", "tz").alias("type_a"),
+                     F.col("tm").alias("type_mid"),
+                     F.greatest("tx", "tz").alias("type_b"))
+            .agg(F.count(F.lit(1)).cast("long").alias("n_wedges")))

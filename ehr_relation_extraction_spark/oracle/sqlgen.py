@@ -3650,23 +3650,26 @@ FROM iv a JOIN iv b
 
 # entity_types: node typing by majority vote over linked mentions
 # (operators/linking.entity_type_election); ties break on type name.
-ORACLE["entity_types"] = _q("""
-SELECT m.canonical_id, m.major_type, t.n_mentions, m.n_major,
-       CAST(m.n_major * 1000000 // t.n_mentions AS BIGINT)
-           AS purity_micro6
-FROM etc_major m JOIN etc_tot t USING (canonical_id)""", LINK_CTES, """
+_ETC_CTES = """
 etc_cnt AS MATERIALIZED (
   SELECT canonical_id, ent_type, CAST(COUNT(*) AS BIGINT) AS n
   FROM linked GROUP BY 1, 2),
 etc_tot AS (
   SELECT canonical_id, CAST(SUM(n) AS BIGINT) AS n_mentions
   FROM etc_cnt GROUP BY 1),
-etc_major AS (
+etc_major AS MATERIALIZED (
   SELECT canonical_id, ent_type AS major_type, n AS n_major
   FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY canonical_id
             ORDER BY n DESC, ent_type) AS rk
         FROM etc_cnt)
-  WHERE rk = 1)""")
+  WHERE rk = 1)"""
+
+ORACLE["entity_types"] = _q("""
+SELECT m.canonical_id, m.major_type, t.n_mentions, m.n_major,
+       CAST(m.n_major * 1000000 // t.n_mentions AS BIGINT)
+           AS purity_micro6
+FROM etc_major m JOIN etc_tot t USING (canonical_id)""", LINK_CTES,
+_ETC_CTES)
 
 # star_query: conjunctive-pattern (SPARQL-BGP) coverage — subjects
 # matching >= 2 of the top-10 most-attested (pred, obj) patterns
@@ -4377,3 +4380,29 @@ FROM (
                    '([0-9][0-9,]*)(\.[0-9]+)?', 2) AS fr
         FROM (SELECT DISTINCT pred, obj FROM triples)))
 GROUP BY pred""")
+
+
+# ---------------------------------------------------------------------------
+# Continuation batch 21: typed wedge (metapath) counts.
+# ---------------------------------------------------------------------------
+
+# typed_wedges: open-wedge counts per (endpoint-type, middle-type,
+# endpoint-type) over the co-mention graph with majority node types
+# and the middle-role hub cap (operators/graph_algos.typed_wedges).
+ORACLE["typed_wedges"] = _q("""
+SELECT least(tx.major_type, tz.major_type) AS type_a,
+       tm.major_type AS type_mid,
+       greatest(tx.major_type, tz.major_type) AS type_b,
+       CAST(COUNT(*) AS BIGINT) AS n_wedges
+FROM (SELECT l.dst AS mid, l.src AS x, r.dst AS z
+      FROM com_sym l
+      JOIN tw_ok o ON o.mid = l.dst
+      JOIN com_sym r ON r.src = l.dst
+      WHERE l.src < r.dst) w
+JOIN etc_major tx ON tx.canonical_id = w.x
+JOIN etc_major tm ON tm.canonical_id = w.mid
+JOIN etc_major tz ON tz.canonical_id = w.z
+GROUP BY 1, 2, 3""", LINK_CTES, COMENTION_CTES.strip(), _ETC_CTES, """
+tw_ok AS (
+  SELECT src AS mid FROM com_sym GROUP BY src
+  HAVING COUNT(*) <= 1000)""")

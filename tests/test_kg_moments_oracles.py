@@ -524,3 +524,31 @@ def test_literal_profiles_parse_rules(spark):
     assert rows["Money"].sum_micro == 1_234_560_000 + 7_000_000 + 123456
     assert rows["Loc"].n_numeric == 0 and rows["Loc"].min_micro is None
     assert rows["Pct"].min_micro == 12_500_000
+
+
+def test_typed_wedges_oracle_parity(spark, con):
+    from ehr_relation_extraction_spark.driver_queries import QUERIES
+    from ehr_relation_extraction_spark.oracle.sqlgen import ORACLE
+
+    ok, msg = compare(QUERIES["typed_wedges"](spark, SF),
+                      con.sql(ORACLE["typed_wedges"]).df())
+    assert ok, f"typed_wedges: {msg}"
+
+
+def test_typed_wedges_total_matches_degree_sum(spark):
+    """Σ n_wedges == Σ_mid C(deg, 2) over uncapped middles (every
+    wedge counted exactly once), recomputed driver-side."""
+    from ehr_relation_extraction_spark import driver_queries as dq
+
+    edges, _ = dq._comention_graph(spark, SF)
+    deg = {}
+    for r in edges.collect():
+        if r.src != r.dst:
+            deg[r.src] = deg.get(r.src, 0) + 1
+            deg[r.dst] = deg.get(r.dst, 0) + 1
+    expect = sum(d * (d - 1) // 2 for d in deg.values() if d <= 1000)
+    rows = dq.QUERIES["typed_wedges"](spark, SF).collect()
+    assert rows
+    assert sum(r.n_wedges for r in rows) == expect
+    for r in rows:
+        assert r.type_a <= r.type_b

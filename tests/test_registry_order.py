@@ -123,6 +123,9 @@ EXPECTED_TAIL = [
     # Continuation batch 20: numeric-literal range induction —
     # appended past position 50.
     "literal_profiles",
+    # Continuation batch 21: typed metapath wedges — appended past
+    # position 50.
+    "typed_wedges",
 ]
 
 
