@@ -1586,6 +1586,20 @@ def q_typed_wedges(spark, sf_dir) -> DataFrame:
     return typed_wedges(edges, types)
 
 
+def q_kg_completeness(spark, sf_dir) -> DataFrame:
+    """Per-subject predicate coverage vs the schema vocabulary — the
+    gap report driving targeted re-extraction
+    (operators/triples.kg_completeness)."""
+    return tri_op.kg_completeness(_frames(spark, sf_dir).triples)
+
+
+def q_extraction_yield(spark, sf_dir) -> DataFrame:
+    """Per-host share of pages yielding >= 1 triple — the crawl-ops
+    budget KPI (operators/triples.extraction_yield)."""
+    fr = _frames(spark, sf_dir)
+    return tri_op.extraction_yield(fr.pages, fr.triples)
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # ORDER IS LOAD-BEARING: the driver snapshot verifies exactly
     # list(QUERIES)[:50] in insertion order (pinned by
@@ -1762,6 +1776,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "host_error_rate": q_host_error_rate,
     "literal_profiles": q_literal_profiles,
     "typed_wedges": q_typed_wedges,
+    "kg_completeness": q_kg_completeness,
+    "extraction_yield": q_extraction_yield,
 }
 
 

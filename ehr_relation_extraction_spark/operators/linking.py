@@ -783,3 +783,25 @@ def host_entity_overlap(linked: DataFrame,
             .withColumn("jac_micro6",
                         F.expr("CAST(n_shared * 1000000 DIV n_union"
                                " AS BIGINT)")))
+
+
+def alias_collisions(linked: DataFrame) -> DataFrame:
+    """Linker ambiguity report: surface forms that map to MORE THAN
+    ONE canonical entity across the corpus — the collisions a
+    context-sensitive disambiguator would have to resolve, and the
+    first thing to audit when canonicalization quality drops.
+
+        (surface, n_canonicals, n_mentions, canonical_ids)
+
+    canonical_ids is the sorted '|'-joined id list (bounded by the
+    alias table's collision degree, not the corpus).  One grouped
+    aggregate on the lowercased surface."""
+    return (linked
+            .groupBy(F.lower(F.col("ent_text")).alias("surface"))
+            .agg(F.countDistinct("canonical_id").cast("long")
+                 .alias("n_canonicals"),
+                 F.count(F.lit(1)).cast("long").alias("n_mentions"),
+                 F.array_join(F.array_sort(
+                     F.collect_set("canonical_id")), "|")
+                 .alias("canonical_ids"))
+            .where(F.col("n_canonicals") >= 2))

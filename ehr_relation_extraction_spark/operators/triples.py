@@ -1060,3 +1060,49 @@ def literal_profiles(triples: DataFrame) -> DataFrame:
                  F.min("_m").cast("long").alias("min_micro"),
                  F.max("_m").cast("long").alias("max_micro"),
                  F.sum("_m").cast("long").alias("sum_micro")))
+
+
+def kg_completeness(triples: DataFrame) -> DataFrame:
+    """Per-subject schema completeness — the recall-style KG KPI: how
+    many of the corpus's predicates does each subject carry?  The
+    per-entity gap report that drives targeted re-extraction ("we
+    know this org's Location but not its Date").
+
+        (subj, n_preds, n_schema, completeness_micro6)
+
+    n_schema is the 1-row global predicate-vocabulary count kept lazy
+    as a crossJoin (the dangling-mass device; schema-sized, never
+    corpus-sized).  One distinct projection + one subject aggregate."""
+    ps = triples.select("subj", "pred").dropDuplicates()
+    n_schema = ps.agg(
+        F.countDistinct("pred").cast("long").alias("n_schema"))
+    return (ps.groupBy("subj")
+            .agg(F.count(F.lit(1)).cast("long").alias("n_preds"))
+            .crossJoin(n_schema)  # 1-row frame: stays lazy
+            .withColumn("completeness_micro6",
+                        F.expr("CAST(n_preds * 1000000 DIV n_schema"
+                               " AS BIGINT)")))
+
+
+def extraction_yield(pages: DataFrame, triples: DataFrame) -> DataFrame:
+    """Extraction yield per host — the crawl-ops KPI: what share of a
+    host's fetched pages produced at least one triple?  A host with
+    near-zero yield is boilerplate, paywall, or a template the
+    extractor can't read — either way, crawl budget to reclaim.
+
+        (host, n_docs, n_docs_with_triples, yield_micro6)
+
+    One distinct projection per side + one host equi-join + one host
+    roll-up."""
+    host = F.regexp_extract("url", r"^https?://([^/]*)", 1)
+    docs = pages.select(host.alias("host"), "doc_id").dropDuplicates()
+    got = (triples.select("doc_id").dropDuplicates()
+           .withColumn("_has", F.lit(1)))
+    return (docs.join(got, "doc_id", "left")
+            .groupBy("host")
+            .agg(F.count(F.lit(1)).cast("long").alias("n_docs"),
+                 F.coalesce(F.sum("_has"), F.lit(0)).cast("long")
+                 .alias("n_docs_with_triples"))
+            .withColumn("yield_micro6",
+                        F.expr("CAST(n_docs_with_triples * 1000000"
+                               " DIV n_docs AS BIGINT)")))

@@ -4406,3 +4406,33 @@ GROUP BY 1, 2, 3""", LINK_CTES, COMENTION_CTES.strip(), _ETC_CTES, """
 tw_ok AS (
   SELECT src AS mid FROM com_sym GROUP BY src
   HAVING COUNT(*) <= 1000)""")
+
+
+# ---------------------------------------------------------------------------
+# Continuation batch 22: KG-quality KPIs.
+# ---------------------------------------------------------------------------
+
+# kg_completeness: per-subject predicate coverage vs the schema
+# vocabulary (operators/triples.kg_completeness).
+ORACLE["kg_completeness"] = _q("""
+SELECT p.subj, p.n_preds, s.n_schema,
+       CAST(p.n_preds * 1000000 // s.n_schema AS BIGINT)
+           AS completeness_micro6
+FROM (SELECT subj, CAST(COUNT(*) AS BIGINT) AS n_preds
+      FROM (SELECT DISTINCT subj, pred FROM triples) GROUP BY 1) p
+CROSS JOIN (SELECT CAST(COUNT(DISTINCT pred) AS BIGINT) AS n_schema
+            FROM triples) s""")
+
+# extraction_yield: per-host share of pages producing >= 1 triple
+# (operators/triples.extraction_yield).
+ORACLE["extraction_yield"] = _q("""
+SELECT d.host, CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(CASE WHEN t.doc_id IS NULL THEN 0 ELSE 1 END)
+            AS BIGINT) AS n_docs_with_triples,
+       CAST(SUM(CASE WHEN t.doc_id IS NULL THEN 0 ELSE 1 END)
+            * 1000000 // COUNT(*) AS BIGINT) AS yield_micro6
+FROM (SELECT DISTINCT regexp_extract(url, '^https?://([^/]*)', 1)
+          AS host, doc_id
+      FROM pages) d
+LEFT JOIN (SELECT DISTINCT doc_id FROM triples) t USING (doc_id)
+GROUP BY d.host""")

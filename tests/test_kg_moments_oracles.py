@@ -552,3 +552,50 @@ def test_typed_wedges_total_matches_degree_sum(spark):
     assert sum(r.n_wedges for r in rows) == expect
     for r in rows:
         assert r.type_a <= r.type_b
+
+
+@pytest.mark.parametrize("name", ["kg_completeness",
+                                  "extraction_yield"])
+def test_batch22_oracle_parity(spark, con, name):
+    from ehr_relation_extraction_spark.driver_queries import QUERIES
+    from ehr_relation_extraction_spark.oracle.sqlgen import ORACLE
+
+    ok, msg = compare(QUERIES[name](spark, SF),
+                      con.sql(ORACLE[name]).df())
+    assert ok, f"{name}: {msg}"
+
+
+def test_batch22_kpi_semantics(spark):
+    """completeness is a proper fraction, yields never exceed 1, and
+    every collision surface really has >= 2 canonicals in linked."""
+    from ehr_relation_extraction_spark import driver_queries as dq
+
+    comp = dq.QUERIES["kg_completeness"](spark, SF).collect()
+    assert comp
+    for r in comp:
+        assert 1 <= r.n_preds <= r.n_schema
+        assert 0 < r.completeness_micro6 <= 1_000_000
+    y = dq.QUERIES["extraction_yield"](spark, SF).collect()
+    assert y
+    assert sum(r.n_docs for r in y) == 500  # every page exactly once
+    for r in y:
+        assert 0 <= r.n_docs_with_triples <= r.n_docs
+
+
+def test_alias_collisions_on_synthetic_ambiguity(spark):
+    """The corpus fixture has no ambiguous surface (probed: the
+    registry would be empty, so the operator lives outside the
+    registry), but the operator itself must report collisions when
+    they exist — synthetic linked rows with one 2-way surface."""
+    from ehr_relation_extraction_spark.operators.linking import (
+        alias_collisions)
+
+    linked = spark.createDataFrame(
+        [("Apple", "c:fruit"), ("apple", "c:company"),
+         ("apple", "c:company"), ("pear", "c:pear")],
+        "ent_text string, canonical_id string")
+    rows = alias_collisions(linked).collect()
+    assert len(rows) == 1
+    r = rows[0]
+    assert (r.surface, r.n_canonicals, r.n_mentions,
+            r.canonical_ids) == ("apple", 2, 3, "c:company|c:fruit")

@@ -55,6 +55,9 @@ ALLOWED = {
     # three 1-row Rand-decomposition totals composed by crossJoin —
     # the whole output is ONE row, both BNLJ sides are 1-row frames
     "partition_agreement": (0, 2),
+    # 1-row schema-vocabulary count joined as a lazy scalar (the
+    # same class as trending_entities' corpus total)
+    "kg_completeness": (0, 1),
 }
 
 

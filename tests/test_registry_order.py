@@ -126,6 +126,9 @@ EXPECTED_TAIL = [
     # Continuation batch 21: typed metapath wedges — appended past
     # position 50.
     "typed_wedges",
+    # Continuation batch 22: KG-quality KPIs — appended past
+    # position 50.
+    "kg_completeness", "extraction_yield",
 ]
 
 
