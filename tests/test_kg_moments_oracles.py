@@ -599,3 +599,27 @@ def test_alias_collisions_on_synthetic_ambiguity(spark):
     r = rows[0]
     assert (r.surface, r.n_canonicals, r.n_mentions,
             r.canonical_ids) == ("apple", 2, 3, "c:company|c:fruit")
+
+
+def test_analyze_kg_cli(tmp_path):
+    """The KG quality-report CLI runs end-to-end in a subprocess and
+    every report table materializes with > 0 rows."""
+    import json as _json
+    import subprocess
+    import sys as _sys
+
+    out = str(tmp_path / "kg_report")
+    res = subprocess.run(
+        [_sys.executable, "scripts/analyze_kg.py",
+         "--sf-dir", SF, "--out", out],
+        capture_output=True, text=True, cwd="/root/repo", timeout=900)
+    assert res.returncode == 0, res.stderr[-2000:]
+    line = [ln for ln in res.stdout.splitlines()
+            if ln.startswith("{")][-1]
+    rep = _json.loads(line)["reports"]
+    assert set(rep) == {"schema", "schema_keys", "schema_graph",
+                        "types", "resolved", "source_trust",
+                        "host_errors", "yield", "completeness",
+                        "communities"}
+    for tbl, info in rep.items():
+        assert info["rows"] > 0, tbl
