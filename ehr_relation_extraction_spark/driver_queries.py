@@ -1600,6 +1600,55 @@ def q_extraction_yield(spark, sf_dir) -> DataFrame:
     return tri_op.extraction_yield(fr.pages, fr.triples)
 
 
+def q_chain_patterns(spark, sf_dir) -> DataFrame:
+    """Directed 2-hop property-path (chain) profile over the
+    ORIENTATION CLOSURE of the KG edge table (forward edges plus
+    inverse edges as '^'||pred, SPARQL's ^p), mid-role hub cap
+    (graph_algos.chain_patterns).  The closure is what makes the
+    profile non-degenerate on an attribute-shaped KG: objects are
+    never subjects here, so the realizable path shapes are ^p1/p2
+    (two facts sharing a subject) and p1/^p2 (two subjects sharing
+    an object value)."""
+    from .operators.graph_algos import chain_patterns
+
+    ge = q_graph_edges(spark, sf_dir).select(
+        "subj_node", "pred", "obj_node")
+    inv = ge.select(F.col("obj_node").alias("subj_node"),
+                    F.concat(F.lit("^"), "pred").alias("pred"),
+                    F.col("subj_node").alias("obj_node"))
+    return chain_patterns(ge.unionByName(inv))
+
+
+def q_optional_query(spark, sf_dir) -> DataFrame:
+    """SPARQL OPTIONAL (left-outer BGP) read path
+    (operators/triples.optional_query)."""
+    return tri_op.optional_query(_frames(spark, sf_dir).triples)
+
+
+def q_negation_query(spark, sf_dir) -> DataFrame:
+    """SPARQL NOT-EXISTS per-predicate gap profile
+    (operators/triples.negation_query)."""
+    return tri_op.negation_query(_frames(spark, sf_dir).triples)
+
+
+def q_transe_scores(spark, sf_dir) -> DataFrame:
+    """Integer TransE energy per distinct fact — hash-derived
+    embeddings, pure codegen expression
+    (operators/kg_embed.transe_scores)."""
+    from .operators.kg_embed import transe_scores
+
+    return transe_scores(_frames(spark, sf_dir).triples)
+
+
+def q_transe_ranks(spark, sf_dir) -> DataFrame:
+    """Filtered link-prediction evaluation per predicate over
+    hash-capped type-constrained candidates
+    (operators/kg_embed.transe_ranks)."""
+    from .operators.kg_embed import transe_ranks
+
+    return transe_ranks(_frames(spark, sf_dir).triples)
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # ORDER IS LOAD-BEARING: the driver snapshot verifies exactly
     # list(QUERIES)[:50] in insertion order (pinned by
@@ -1778,6 +1827,15 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "typed_wedges": q_typed_wedges,
     "kg_completeness": q_kg_completeness,
     "extraction_yield": q_extraction_yield,
+    # Continuation batch 23: SPARQL-algebra read paths — appended
+    # past position 50, prefix untouched.
+    "chain_patterns": q_chain_patterns,
+    "optional_query": q_optional_query,
+    "negation_query": q_negation_query,
+    # Continuation batch 24: integer TransE scoring + filtered
+    # link-prediction ranks — appended past position 50.
+    "transe_scores": q_transe_scores,
+    "transe_ranks": q_transe_ranks,
 }
 
 

@@ -1026,3 +1026,47 @@ def typed_wedges(edges: DataFrame, types: DataFrame,
                      F.col("tm").alias("type_mid"),
                      F.greatest("tx", "tz").alias("type_b"))
             .agg(F.count(F.lit(1)).cast("long").alias("n_wedges")))
+
+
+def chain_patterns(edges: DataFrame, hub_cap: int = 1000) -> DataFrame:
+    """Directed 2-hop property-path profile over the KG edge table —
+    the SPARQL path-query planner's statistics: for every predicate
+    pair (p1, p2), how many x -p1-> mid -p2-> z chains exist, through
+    how many distinct mid nodes, reaching how many distinct (x, z)
+    endpoint pairs.  This is what a query optimizer consults before
+    executing ``?x p1/p2 ?z`` and what schema discovery reads to learn
+    which predicates COMPOSE (generalizing the reference's fixed
+    drug->attribute two-level schema, ehr.py:239-258, to arbitrary
+    chains).
+
+    Hub cap = the wedge-sampling skew guard (same discipline as
+    typed_wedges): a mid node of in-degree a and out-degree b centers
+    a*b chains, so nodes above ``hub_cap`` on EITHER side are excluded
+    from the middle role, bounding the join fanout at Σ min(in,cap) *
+    min(out,cap) instead of Σ in*out.  Both degree tables and the
+    chain join itself are plain equi-joins on the mid key — no
+    all-pairs product anywhere.
+
+    ``edges``: (subj_node, pred, obj_node[, weight]) — the
+    materialize_edges output (one row per distinct typed edge)."""
+    e = edges.select("subj_node", "pred", "obj_node")
+    ind = (e.groupBy(F.col("obj_node").alias("mid"))
+           .agg(F.countDistinct("subj_node").alias("_in")))
+    outd = (e.groupBy(F.col("subj_node").alias("mid"))
+            .agg(F.countDistinct("obj_node").alias("_out")))
+    mids = (ind.join(outd, "mid")
+            .where((F.col("_in") <= hub_cap)
+                   & (F.col("_out") <= hub_cap))
+            .select("mid"))
+    left = e.select(F.col("subj_node").alias("x"),
+                    F.col("pred").alias("pred_a"),
+                    F.col("obj_node").alias("mid"))
+    right = e.select(F.col("subj_node").alias("mid2"),
+                     F.col("pred").alias("pred_b"),
+                     F.col("obj_node").alias("z"))
+    return (left.join(mids, "mid")
+            .join(right, F.col("mid") == F.col("mid2"))
+            .groupBy("pred_a", "pred_b")
+            .agg(F.count(F.lit(1)).cast("long").alias("n_chains"),
+                 F.countDistinct("x", "z").cast("long").alias("n_paths"),
+                 F.countDistinct("mid").cast("long").alias("n_mids")))

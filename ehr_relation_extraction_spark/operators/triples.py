@@ -1106,3 +1106,72 @@ def extraction_yield(pages: DataFrame, triples: DataFrame) -> DataFrame:
             .withColumn("yield_micro6",
                         F.expr("CAST(n_docs_with_triples * 1000000"
                                " DIV n_docs AS BIGINT)")))
+
+
+def optional_query(triples: DataFrame) -> DataFrame:
+    """SPARQL OPTIONAL (left-outer BGP) read path over the attribute
+    KG: for the corpus's most-attested predicate P_req (the required
+    pattern) and its runner-up P_opt (the optional one), return every
+    subject matching P_req with its required fact count, its optional
+    fact count (0 when absent), and the has_opt presence flag — the
+    canonical "name, and address if we have one" projection a KG
+    serving layer answers constantly.
+
+    P_req/P_opt are elected from the distinct fact set (count desc,
+    name asc) via a 2-row bounded collect (schema-sized: the predicate
+    vocabulary, never the corpus).  Plan: two predicate-filtered
+    scans, one subject aggregate each, ONE left equi-join on subj —
+    the OPTIONAL becomes exactly Spark's left join, no fanout."""
+    facts = triples.select("subj", "pred", "obj").dropDuplicates()
+    # 2-row bounded collect: predicate election (schema-sized).
+    top = (facts.groupBy("pred")
+           .agg(F.count(F.lit(1)).alias("n"))
+           .orderBy(F.desc("n"), "pred").limit(2).collect())
+    p_req = top[0]["pred"]
+    p_opt = top[1]["pred"] if len(top) > 1 else None
+    req = (facts.where(F.col("pred") == p_req)
+           .groupBy("subj")
+           .agg(F.count(F.lit(1)).cast("long").alias("n_req")))
+    opt_src = (facts.where(F.col("pred") == p_opt)
+               if p_opt is not None else facts.where(F.lit(False)))
+    opt = (opt_src.groupBy("subj")
+           .agg(F.count(F.lit(1)).cast("long").alias("_n_opt")))
+    return (req.join(opt, "subj", "left")
+            .select("subj", "n_req",
+                    F.coalesce("_n_opt", F.lit(0)).cast("long")
+                    .alias("n_opt"),
+                    F.when(F.col("_n_opt").isNull(), 0).otherwise(1)
+                    .cast("int").alias("has_opt")))
+
+
+def negation_query(triples: DataFrame) -> DataFrame:
+    """SPARQL NOT-EXISTS (negation) read path: per predicate p, how
+    many subjects carry p, and how many of those LACK the corpus's
+    anchor predicate (the most-attested one — the same election as
+    optional_query's P_req).  This is the "orgs with a Location but
+    no Date" gap query; as a per-predicate profile it reports which
+    attributes systematically appear on under-described entities.
+
+    Plan: one distinct (subj, pred) projection, the anchor subject
+    set as a second filtered distinct, ONE left equi-join on subj
+    (the NOT EXISTS becomes a null-flag left join, which unlike a
+    per-predicate anti-join runs in a single shuffle), one predicate
+    roll-up."""
+    facts = triples.select("subj", "pred", "obj").dropDuplicates()
+    # 1-row bounded collect: anchor-predicate election (schema-sized).
+    anchor = (facts.groupBy("pred")
+              .agg(F.count(F.lit(1)).alias("n"))
+              .orderBy(F.desc("n"), "pred").limit(1)
+              .collect())[0]["pred"]
+    sp = triples.select("subj", "pred").dropDuplicates()
+    has = (facts.where(F.col("pred") == anchor)
+           .select("subj").dropDuplicates()
+           .withColumn("_h", F.lit(1)))
+    return (sp.join(has, "subj", "left")
+            .groupBy("pred")
+            .agg(F.count(F.lit(1)).cast("long").alias("n_subj"),
+                 F.sum(F.when(F.col("_h").isNull(), 1).otherwise(0))
+                 .cast("long").alias("n_without_anchor"))
+            .withColumn("miss_micro6",
+                        F.expr("CAST(n_without_anchor * 1000000"
+                               " DIV n_subj AS BIGINT)")))

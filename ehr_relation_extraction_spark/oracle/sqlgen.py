@@ -4436,3 +4436,141 @@ FROM (SELECT DISTINCT regexp_extract(url, '^https?://([^/]*)', 1)
       FROM pages) d
 LEFT JOIN (SELECT DISTINCT doc_id FROM triples) t USING (doc_id)
 GROUP BY d.host""")
+
+
+# ---------------------------------------------------------------------------
+# Continuation batch 23: SPARQL-algebra read paths (property-path
+# chain profile, OPTIONAL, NOT EXISTS) over the attribute KG.
+# ---------------------------------------------------------------------------
+
+# chain_patterns: directed 2-hop property-path profile over the
+# ORIENTATION CLOSURE of the KG edge table (forward + '^'||pred
+# inverse edges — SPARQL's ^p) with the mid-role hub cap
+# (operators/graph_algos.chain_patterns via q_chain_patterns).
+# Reuses _pagerank_sql's graph prelude slice for the ge edge CTE.
+_CP_PRELUDE = _pagerank_sql(n_iter=1).split("pr0 AS MATERIALIZED")[0].rstrip()
+assert _CP_PRELUDE.endswith(","), "prelude slice must end at a CTE comma"
+ORACLE["chain_patterns"] = _q(f"""{_CP_PRELUDE}
+cp_e AS MATERIALIZED (
+  SELECT subj_node, pred, obj_node FROM ge
+  UNION ALL
+  SELECT obj_node AS subj_node, '^' || pred AS pred,
+         subj_node AS obj_node
+  FROM ge),
+cp_in AS (
+  SELECT obj_node AS mid, COUNT(DISTINCT subj_node) AS ind
+  FROM cp_e GROUP BY 1),
+cp_out AS (
+  SELECT subj_node AS mid, COUNT(DISTINCT obj_node) AS outd
+  FROM cp_e GROUP BY 1),
+cp_mid AS MATERIALIZED (
+  SELECT i.mid FROM cp_in i JOIN cp_out o USING (mid)
+  WHERE i.ind <= 1000 AND o.outd <= 1000)
+SELECT e1.pred AS pred_a, e2.pred AS pred_b,
+       CAST(COUNT(*) AS BIGINT) AS n_chains,
+       CAST(COUNT(DISTINCT (e1.subj_node, e2.obj_node)) AS BIGINT)
+           AS n_paths,
+       CAST(COUNT(DISTINCT e1.obj_node) AS BIGINT) AS n_mids
+FROM cp_e e1
+JOIN cp_mid m ON e1.obj_node = m.mid
+JOIN cp_e e2 ON e2.subj_node = e1.obj_node
+GROUP BY 1, 2""", LINK_CTES)
+
+# Shared predicate-election CTEs for the OPTIONAL / NOT-EXISTS read
+# paths: rank predicates by distinct-fact attestation (count desc,
+# name asc) — the same election optional_query/negation_query do with
+# a bounded 2-row collect.
+_SPQ_CTES = """
+spq_f AS MATERIALIZED (SELECT DISTINCT subj, pred, obj FROM triples),
+spq_top AS MATERIALIZED (
+  SELECT pred, ROW_NUMBER() OVER (ORDER BY COUNT(*) DESC, pred) AS rk
+  FROM spq_f GROUP BY pred)"""
+
+# optional_query: left-outer BGP — subjects of the top predicate with
+# the runner-up predicate OPTIONAL (operators/triples.optional_query).
+ORACLE["optional_query"] = _q("""
+SELECT r.subj, r.n_req,
+       CAST(COALESCE(o.n_opt, 0) AS BIGINT) AS n_opt,
+       CAST(CASE WHEN o.subj IS NULL THEN 0 ELSE 1 END AS INT)
+           AS has_opt
+FROM (SELECT subj, CAST(COUNT(*) AS BIGINT) AS n_req FROM spq_f
+      WHERE pred = (SELECT pred FROM spq_top WHERE rk = 1)
+      GROUP BY subj) r
+LEFT JOIN (SELECT subj, CAST(COUNT(*) AS BIGINT) AS n_opt FROM spq_f
+           WHERE pred = (SELECT pred FROM spq_top WHERE rk = 2)
+           GROUP BY subj) o USING (subj)""", _SPQ_CTES)
+
+# negation_query: per-predicate NOT-EXISTS profile vs the anchor
+# predicate (operators/triples.negation_query).
+ORACLE["negation_query"] = _q("""
+SELECT f.pred, CAST(COUNT(*) AS BIGINT) AS n_subj,
+       CAST(SUM(CASE WHEN h.subj IS NULL THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_without_anchor,
+       CAST(SUM(CASE WHEN h.subj IS NULL THEN 1 ELSE 0 END)
+            * 1000000 // COUNT(*) AS BIGINT) AS miss_micro6
+FROM (SELECT DISTINCT subj, pred FROM spq_f) f
+LEFT JOIN (SELECT DISTINCT subj FROM spq_f
+           WHERE pred = (SELECT pred FROM spq_top WHERE rk = 1)) h
+  USING (subj)
+GROUP BY f.pred""", _SPQ_CTES)
+
+
+# ---------------------------------------------------------------------------
+# Continuation batch 24: integer TransE scoring + filtered
+# link-prediction ranks.  The score expression string is IMPORTED from
+# the operator module and parsed by both engines — no drift possible.
+# ---------------------------------------------------------------------------
+
+from ..operators.kg_embed import transe_score_sql as _te_score  # noqa: E402
+
+ORACLE["transe_scores"] = _q(f"""
+SELECT subj, pred, obj,
+       CAST({_te_score('subj', 'pred', 'obj')} AS BIGINT) AS score
+FROM (SELECT DISTINCT subj, pred, obj FROM triples)""")
+
+ORACLE["transe_ranks"] = _q(f"""
+SELECT r.pred, n.n_cands, r.n_test, r.sum_rank,
+       CAST(r.sum_rank * 1000000 // r.n_test AS BIGINT)
+           AS mean_rank_micro6,
+       r.hits_at_1, r.hits_at_k
+FROM (SELECT pred, CAST(COUNT(*) AS BIGINT) AS n_test,
+             CAST(SUM(rnk) AS BIGINT) AS sum_rank,
+             CAST(SUM(CASE WHEN rnk = 1 THEN 1 ELSE 0 END) AS BIGINT)
+                 AS hits_at_1,
+             CAST(SUM(CASE WHEN rnk <= 10 THEN 1 ELSE 0 END)
+                  AS BIGINT) AS hits_at_k
+      FROM te_rank GROUP BY pred) r
+JOIN te_nc n USING (pred)""", f"""
+te_f AS MATERIALIZED (SELECT DISTINCT subj, pred, obj FROM triples),
+te_scored AS MATERIALIZED (
+  SELECT subj, pred, obj,
+         CAST({_te_score('subj', 'pred', 'obj')} AS BIGINT)
+             AS score_true
+  FROM te_f),
+te_cand AS MATERIALIZED (
+  SELECT pred, obj AS obj_c FROM (
+    SELECT pred, obj,
+           ROW_NUMBER() OVER (PARTITION BY pred
+                              ORDER BY md5(obj), obj) AS rk
+    FROM (SELECT DISTINCT pred, obj FROM te_f))
+  WHERE rk <= 100),
+te_nc AS (
+  SELECT pred, CAST(COUNT(*) AS BIGINT) AS n_cands
+  FROM te_cand GROUP BY 1),
+te_corr AS MATERIALIZED (
+  SELECT s.subj, s.pred, s.obj, s.score_true, c.obj_c,
+         CAST({_te_score('s.subj', 's.pred', 'c.obj_c')} AS BIGINT)
+             AS score_c
+  FROM te_scored s JOIN te_cand c USING (pred)
+  LEFT JOIN te_f t ON t.subj = s.subj AND t.pred = s.pred
+                   AND t.obj = c.obj_c
+  WHERE t.subj IS NULL),
+te_rank AS (
+  SELECT s.pred,
+         1 + COALESCE(b.nb, 0) AS rnk
+  FROM te_scored s
+  LEFT JOIN (SELECT subj, pred, obj,
+                    SUM(CASE WHEN score_c < score_true THEN 1
+                             ELSE 0 END) AS nb
+             FROM te_corr GROUP BY 1, 2, 3) b
+    ON b.subj = s.subj AND b.pred = s.pred AND b.obj = s.obj)""")

@@ -129,6 +129,12 @@ EXPECTED_TAIL = [
     # Continuation batch 22: KG-quality KPIs — appended past
     # position 50.
     "kg_completeness", "extraction_yield",
+    # Continuation batch 23: SPARQL-algebra read paths — appended
+    # past position 50.
+    "chain_patterns", "optional_query", "negation_query",
+    # Continuation batch 24: integer TransE scoring + filtered
+    # link-prediction ranks — appended past position 50.
+    "transe_scores", "transe_ranks",
 ]
 
 
