@@ -1649,6 +1649,21 @@ def q_transe_ranks(spark, sf_dir) -> DataFrame:
     return transe_ranks(_frames(spark, sf_dir).triples)
 
 
+def q_modularity(spark, sf_dir) -> DataFrame:
+    """Exact integer modularity decomposition (Q scaled by 4m²) of
+    the LPA partition over the entity co-occurrence graph
+    (graph_algos.modularity) — the merge-gating companion to
+    community_stats' conductance."""
+    from .operators.graph_algos import label_propagation, modularity
+
+    _, linked, _ = _linked(spark, sf_dir)
+    edges = lk.overlap_edges(linked)
+    nodes = linked.select(
+        F.col("canonical_id").alias("node")).dropDuplicates()
+    labels = label_propagation(edges, nodes, n_rounds=5)
+    return modularity(edges, labels)
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # ORDER IS LOAD-BEARING: the driver snapshot verifies exactly
     # list(QUERIES)[:50] in insertion order (pinned by
@@ -1836,6 +1851,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # link-prediction ranks — appended past position 50.
     "transe_scores": q_transe_scores,
     "transe_ranks": q_transe_ranks,
+    # Continuation batch 25: exact integer modularity — appended past
+    # position 50.
+    "modularity": q_modularity,
 }
 
 

@@ -1070,3 +1070,58 @@ def chain_patterns(edges: DataFrame, hub_cap: int = 1000) -> DataFrame:
             .agg(F.count(F.lit(1)).cast("long").alias("n_chains"),
                  F.countDistinct("x", "z").cast("long").alias("n_paths"),
                  F.countDistinct("mid").cast("long").alias("n_mids")))
+
+
+def modularity(edges: DataFrame, labels: DataFrame) -> DataFrame:
+    """EXACT integer Newman modularity decomposition over a node
+    partition (e.g. the LPA labels): per community c, the scaled
+    contribution  q4m2 = 4·m·L_c − D_c²,  where m is the undirected
+    edge count, L_c the community's internal edges and D_c its degree
+    volume.  Newman's Q = Σ_c (L_c/m − (D_c/2m)²) = Σ_c q4m2 / (4m²),
+    so the decomposition is Q scaled by the EXACT rational 4m² — no
+    float and no signed integer division ever materializes (signed
+    floor-vs-truncate is the one device Spark and DuckDB disagree
+    on), which is what makes the oracle bit-exact.  The caller
+    recovers Q (or ΔQ for a proposed merge) by one driver-side
+    division.
+
+    int64 envelope: |q4m2| ≤ 4m², so the column is exact for graphs
+    up to m ≈ 1.5·10⁹ edges; beyond that, run the decomposition per
+    connected component (m is then the component's edge count), which
+    is also the numerically meaningful unit for merge gating.
+
+    Output: (label, n_nodes, n_internal, vol, m, q4m2).  Plan: the
+    same shape as community_stats — two label equi-joins, grouped
+    counts, and the 1-row edge total kept lazy as a crossJoin (the
+    pagerank dangling-mass device)."""
+    und = (edges.select(F.least("src", "dst").alias("a"),
+                        F.greatest("src", "dst").alias("b"))
+           .where(F.col("a") != F.col("b")).dropDuplicates())
+    lab = labels.select("node", "label")
+    e2 = (und.join(lab.select(F.col("node").alias("a"),
+                              F.col("label").alias("la")), "a")
+          .join(lab.select(F.col("node").alias("b"),
+                           F.col("label").alias("lb")), "b"))
+    e_in = (e2.where(F.col("la") == F.col("lb"))
+            .groupBy(F.col("la").alias("label"))
+            .agg(F.count(F.lit(1)).cast("long").alias("n_internal")))
+    sym = und.select(F.col("a").alias("node")).unionAll(
+        und.select(F.col("b").alias("node")))
+    deg = sym.groupBy("node").agg(
+        F.count(F.lit(1)).cast("long").alias("deg"))
+    per_lab = (lab.join(deg, "node", "left")
+               .groupBy("label")
+               .agg(F.count(F.lit(1)).cast("long").alias("n_nodes"),
+                    F.coalesce(F.sum("deg"), F.lit(0)).cast("long")
+                    .alias("vol")))
+    m_tot = und.agg(F.count(F.lit(1)).cast("long").alias("m"))
+    return (per_lab.join(e_in, "label", "left")
+            .crossJoin(m_tot)  # 1-row frame: stays lazy
+            .select("label", "n_nodes",
+                    F.coalesce("n_internal", F.lit(0)).cast("long")
+                    .alias("n_internal"),
+                    "vol", "m",
+                    (F.lit(4) * F.col("m")
+                     * F.coalesce("n_internal", F.lit(0))
+                     - F.col("vol") * F.col("vol"))
+                    .cast("long").alias("q4m2")))

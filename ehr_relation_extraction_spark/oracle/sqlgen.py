@@ -4574,3 +4574,38 @@ te_rank AS (
                              ELSE 0 END) AS nb
              FROM te_corr GROUP BY 1, 2, 3) b
     ON b.subj = s.subj AND b.pred = s.pred AND b.obj = s.obj)""")
+
+
+# ---------------------------------------------------------------------------
+# Continuation batch 25: exact integer modularity decomposition over
+# the LPA partition (operators/graph_algos.modularity) — Q scaled by
+# the exact rational 4m² so no float or signed division appears.
+# ---------------------------------------------------------------------------
+
+ORACLE["modularity"] = _q("""
+SELECT p.label, p.n_nodes,
+       CAST(COALESCE(i.n_internal, 0) AS BIGINT) AS n_internal,
+       p.vol, (SELECT m FROM md_m) AS m,
+       CAST(4 * (SELECT m FROM md_m) * COALESCE(i.n_internal, 0)
+            - p.vol * p.vol AS BIGINT) AS q4m2
+FROM md_lab p LEFT JOIN md_in i USING (label)""",
+LINK_CTES, _lpa_sql(5), """
+md_e2 AS MATERIALIZED (
+  SELECT e.src AS a, e.dst AS b, la.label AS la, lb.label AS lb
+  FROM ov_edges e
+  JOIN lab5 la ON la.node = e.src
+  JOIN lab5 lb ON lb.node = e.dst),
+md_in AS (
+  SELECT la AS label, CAST(COUNT(*) AS BIGINT) AS n_internal
+  FROM md_e2 WHERE la = lb GROUP BY 1),
+md_deg AS (
+  SELECT node, CAST(COUNT(*) AS BIGINT) AS deg
+  FROM (SELECT src AS node FROM ov_edges
+        UNION ALL SELECT dst FROM ov_edges)
+  GROUP BY 1),
+md_lab AS MATERIALIZED (
+  SELECT l.label, CAST(COUNT(*) AS BIGINT) AS n_nodes,
+         CAST(COALESCE(SUM(d.deg), 0) AS BIGINT) AS vol
+  FROM lab5 l LEFT JOIN md_deg d ON d.node = l.node
+  GROUP BY 1),
+md_m AS (SELECT CAST(COUNT(*) AS BIGINT) AS m FROM ov_edges)""")

@@ -135,6 +135,9 @@ EXPECTED_TAIL = [
     # Continuation batch 24: integer TransE scoring + filtered
     # link-prediction ranks — appended past position 50.
     "transe_scores", "transe_ranks",
+    # Continuation batch 25: exact integer modularity — appended past
+    # position 50.
+    "modularity",
 ]
 
 
