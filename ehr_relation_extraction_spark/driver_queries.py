@@ -1664,6 +1664,19 @@ def q_modularity(spark, sf_dir) -> DataFrame:
     return modularity(edges, labels)
 
 
+def q_token_blocks(spark, sf_dir) -> DataFrame:
+    """Token-blocking profile with the block-purging flag
+    (operators/linking.token_blocks)."""
+    return lk.token_blocks(_frames(spark, sf_dir).triples)
+
+
+def q_meta_block_edges(spark, sf_dir) -> DataFrame:
+    """Meta-blocking candidate edges: CBS weights + weighted-node
+    pruning via integer cross-multiplication
+    (operators/linking.meta_block_edges)."""
+    return lk.meta_block_edges(_frames(spark, sf_dir).triples)
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # ORDER IS LOAD-BEARING: the driver snapshot verifies exactly
     # list(QUERIES)[:50] in insertion order (pinned by
@@ -1854,6 +1867,10 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # Continuation batch 25: exact integer modularity — appended past
     # position 50.
     "modularity": q_modularity,
+    # Continuation batch 26: meta-blocking entity resolution —
+    # appended past position 50.
+    "token_blocks": q_token_blocks,
+    "meta_block_edges": q_meta_block_edges,
 }
 
 

@@ -805,3 +805,93 @@ def alias_collisions(linked: DataFrame) -> DataFrame:
                      F.collect_set("canonical_id")), "|")
                  .alias("canonical_ids"))
             .where(F.col("n_canonicals") >= 2))
+
+
+def _entity_block_tokens(triples: DataFrame) -> DataFrame:
+    """Schema-agnostic token blocking universe: every entity (distinct
+    lowercased subject) lands in one block per distinct token of its
+    name OR of any of its attribute values — the standard
+    schema-agnostic scheme, which finds co-referent entities whose
+    NAMES share nothing but whose attribute values do."""
+    facts = (triples.select(F.lower("subj").alias("ent"),
+                            F.lower("obj").alias("val"))
+             .dropDuplicates())
+    return (facts.select("ent", F.explode(F.split(
+        F.concat_ws(" ", "ent", "val"), "[^a-z0-9]+")).alias("token"))
+        .where(F.col("token") != "")
+        .dropDuplicates())
+
+
+def token_blocks(triples: DataFrame, max_block: int = 50) -> DataFrame:
+    """Token blocking for entity resolution (Papadakis et al.'s
+    blocking stage), schema-agnostic: every lowercased subject lands
+    in one block per distinct token of its name or attribute values;
+    blocks larger than ``max_block`` are PURGED (kept in the profile,
+    excluded from pair generation) — the standard block-purging skew
+    guard, since a block of size s generates s(s-1)/2 candidate
+    pairs.
+
+        (token, n_entities, purged)
+
+    One explode + one grouped count; the profile is what an ER
+    operator tunes max_block against before paying for the pair
+    join."""
+    toks = _entity_block_tokens(triples)
+    return (toks.groupBy("token")
+            .agg(F.count(F.lit(1)).cast("long").alias("n_entities"))
+            .withColumn("purged",
+                        F.when(F.col("n_entities") > max_block, 1)
+                        .otherwise(0).cast("int")))
+
+
+def meta_block_edges(triples: DataFrame,
+                     max_block: int = 50) -> DataFrame:
+    """Meta-blocking with CBS weights and weighted-node pruning
+    (Papadakis et al.): candidate entity pairs sharing >= 1
+    non-purged token block, weighted by Common-Blocks-Scheme (number
+    of shared blocks), then pruned by the WNP rule — an edge SURVIVES
+    iff its weight reaches the average edge weight of EITHER
+    endpoint.
+
+    The average test is evaluated as the exact integer
+    cross-multiplication  cbs * n_edges(v) >= sum_cbs(v)  — no
+    division, so the DuckDB oracle is bit-exact (the repo's
+    signed-division-avoidance device).
+
+        (ent_a, ent_b, cbs, keep)
+
+    Plan: block-key equi-join bounded by the purge cap (never
+    all-pairs over the entity set), one pair aggregate, one node
+    roll-up, two endpoint equi-joins.  Keeping pruned edges with
+    keep=0 makes the operator auditable — production callers filter
+    keep=1."""
+    toks = _entity_block_tokens(triples)
+    kept = (toks.groupBy("token")
+            .agg(F.count(F.lit(1)).alias("n"))
+            .where(F.col("n") <= max_block)
+            .select("token"))
+    tk = toks.join(kept, "token")
+    a = tk.select("token", F.col("ent").alias("ent_a"))
+    b = tk.select(F.col("token").alias("token_b"),
+                  F.col("ent").alias("ent_b"))
+    pairs = (a.join(b, (F.col("token") == F.col("token_b"))
+                    & (F.col("ent_a") < F.col("ent_b")))
+             .groupBy("ent_a", "ent_b")
+             .agg(F.count(F.lit(1)).cast("long").alias("cbs")))
+    sides = pairs.select(F.col("ent_a").alias("ent"), "cbs").unionAll(
+        pairs.select(F.col("ent_b").alias("ent"), "cbs"))
+    stats = (sides.groupBy("ent")
+             .agg(F.count(F.lit(1)).cast("long").alias("n_edges"),
+                  F.sum("cbs").cast("long").alias("sum_cbs")))
+    return (pairs
+            .join(stats.select(F.col("ent").alias("ent_a"),
+                               F.col("n_edges").alias("_na"),
+                               F.col("sum_cbs").alias("_sa")), "ent_a")
+            .join(stats.select(F.col("ent").alias("ent_b"),
+                               F.col("n_edges").alias("_nb"),
+                               F.col("sum_cbs").alias("_sb")), "ent_b")
+            .select("ent_a", "ent_b", "cbs",
+                    F.when((F.col("cbs") * F.col("_na") >= F.col("_sa"))
+                           | (F.col("cbs") * F.col("_nb")
+                              >= F.col("_sb")), 1)
+                    .otherwise(0).cast("int").alias("keep")))

@@ -4609,3 +4609,52 @@ md_lab AS MATERIALIZED (
   FROM lab5 l LEFT JOIN md_deg d ON d.node = l.node
   GROUP BY 1),
 md_m AS (SELECT CAST(COUNT(*) AS BIGINT) AS m FROM ov_edges)""")
+
+
+# ---------------------------------------------------------------------------
+# Continuation batch 26: meta-blocking entity resolution — token
+# blocking with block purging, CBS pair weights, weighted-node
+# pruning via exact integer cross-multiplication
+# (operators/linking.token_blocks / meta_block_edges).
+# ---------------------------------------------------------------------------
+
+_MB_CTES = """
+mb_f AS (SELECT DISTINCT lower(subj) AS ent, lower(obj) AS val
+         FROM triples),
+mb_toks AS MATERIALIZED (
+  SELECT DISTINCT ent, token FROM (
+    SELECT ent,
+           unnest(string_split_regex(ent || ' ' || val,
+                                     '[^a-z0-9]+')) AS token
+    FROM mb_f)
+  WHERE token <> '')"""
+
+ORACLE["token_blocks"] = _q("""
+SELECT token, CAST(COUNT(*) AS BIGINT) AS n_entities,
+       CAST(CASE WHEN COUNT(*) > 50 THEN 1 ELSE 0 END AS INT)
+           AS purged
+FROM mb_toks GROUP BY token""", _MB_CTES)
+
+ORACLE["meta_block_edges"] = _q("""
+SELECT p.ent_a, p.ent_b, p.cbs,
+       CAST(CASE WHEN p.cbs * sa.n_edges >= sa.sum_cbs
+                   OR p.cbs * sb.n_edges >= sb.sum_cbs
+                 THEN 1 ELSE 0 END AS INT) AS keep
+FROM mb_pairs p
+JOIN mb_stats sa ON sa.ent = p.ent_a
+JOIN mb_stats sb ON sb.ent = p.ent_b""", _MB_CTES, """
+mb_kept AS (
+  SELECT token FROM mb_toks GROUP BY token HAVING COUNT(*) <= 50),
+mb_tk AS MATERIALIZED (
+  SELECT t.ent, t.token FROM mb_toks t JOIN mb_kept k USING (token)),
+mb_pairs AS MATERIALIZED (
+  SELECT a.ent AS ent_a, b.ent AS ent_b,
+         CAST(COUNT(*) AS BIGINT) AS cbs
+  FROM mb_tk a JOIN mb_tk b ON a.token = b.token AND a.ent < b.ent
+  GROUP BY 1, 2),
+mb_stats AS MATERIALIZED (
+  SELECT ent, CAST(COUNT(*) AS BIGINT) AS n_edges,
+         CAST(SUM(cbs) AS BIGINT) AS sum_cbs
+  FROM (SELECT ent_a AS ent, cbs FROM mb_pairs
+        UNION ALL SELECT ent_b, cbs FROM mb_pairs)
+  GROUP BY 1)""")

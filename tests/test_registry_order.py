@@ -138,6 +138,9 @@ EXPECTED_TAIL = [
     # Continuation batch 25: exact integer modularity — appended past
     # position 50.
     "modularity",
+    # Continuation batch 26: meta-blocking entity resolution —
+    # appended past position 50.
+    "token_blocks", "meta_block_edges",
 ]
 
 
