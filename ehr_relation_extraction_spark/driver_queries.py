@@ -1677,6 +1677,12 @@ def q_meta_block_edges(spark, sf_dir) -> DataFrame:
     return lk.meta_block_edges(_frames(spark, sf_dir).triples)
 
 
+def q_entity_skyline(spark, sf_dir) -> DataFrame:
+    """Exact 2-D Pareto skyline of entities over (n_docs, n_facts)
+    (operators/triples.entity_skyline)."""
+    return tri_op.entity_skyline(_frames(spark, sf_dir).triples)
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # ORDER IS LOAD-BEARING: the driver snapshot verifies exactly
     # list(QUERIES)[:50] in insertion order (pinned by
@@ -1871,6 +1877,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # appended past position 50.
     "token_blocks": q_token_blocks,
     "meta_block_edges": q_meta_block_edges,
+    # Continuation batch 27: exact 2-D Pareto skyline — appended past
+    # position 50.
+    "entity_skyline": q_entity_skyline,
 }
 
 

@@ -1175,3 +1175,38 @@ def negation_query(triples: DataFrame) -> DataFrame:
             .withColumn("miss_micro6",
                         F.expr("CAST(n_without_anchor * 1000000"
                                " DIV n_subj AS BIGINT)")))
+
+
+def entity_skyline(triples: DataFrame) -> DataFrame:
+    """EXACT 2-D Pareto skyline of entities over (provenance breadth,
+    attribute richness): the subjects not dominated by any other
+    subject on (n_docs, n_facts) — the frontier a curation UI shows
+    as "best-attested, best-described entities", and the classic
+    skyline operator the reference's single-node stack never needed.
+
+    2-D skylines need NO pair enumeration: group points by x
+    (= n_docs), keep each x's max y, then a running max over the
+    DISTINCT-x table ordered by x desc — a point survives iff its
+    x-group's ymax strictly exceeds every ymax at larger x (ties on
+    both coordinates survive together: equal points do not dominate
+    each other).  The single-partition window runs over the
+    distinct-VALUE table (bounded by the degree domain, ~thousands),
+    never over the corpus-sized point set — the same discipline as
+    the percentile operators.
+
+    Output: (subj, n_docs, n_facts) — skyline members only."""
+    from pyspark.sql import Window
+
+    pts = (triples.groupBy("subj")
+           .agg(F.countDistinct("doc_id").cast("long").alias("n_docs"),
+                F.countDistinct("pred", "obj").cast("long")
+                .alias("n_facts")))
+    xmax = pts.groupBy("n_docs").agg(F.max("n_facts").alias("ymax"))
+    w = (Window.orderBy(F.desc("n_docs"))
+         .rowsBetween(Window.unboundedPreceding, -1))
+    frontier = (xmax.withColumn("prev_max", F.max("ymax").over(w))
+                .where(F.col("prev_max").isNull()
+                       | (F.col("ymax") > F.col("prev_max")))
+                .select("n_docs", F.col("ymax").alias("n_facts")))
+    return pts.join(frontier, ["n_docs", "n_facts"]).select(
+        "subj", "n_docs", "n_facts")

@@ -4658,3 +4658,27 @@ mb_stats AS MATERIALIZED (
   FROM (SELECT ent_a AS ent, cbs FROM mb_pairs
         UNION ALL SELECT ent_b, cbs FROM mb_pairs)
   GROUP BY 1)""")
+
+
+# ---------------------------------------------------------------------------
+# Continuation batch 27: exact 2-D Pareto skyline of entities over
+# (n_docs, n_facts) — running max over the distinct-x table, no pair
+# enumeration (operators/triples.entity_skyline).
+# ---------------------------------------------------------------------------
+
+ORACLE["entity_skyline"] = _q("""
+SELECT p.subj, p.n_docs, p.n_facts
+FROM sk_pts p
+JOIN sk_run r ON p.n_docs = r.n_docs AND p.n_facts = r.ymax
+WHERE r.prev_max IS NULL OR r.ymax > r.prev_max""", """
+sk_pts AS MATERIALIZED (
+  SELECT subj, CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs,
+         CAST(COUNT(DISTINCT (pred, obj)) AS BIGINT) AS n_facts
+  FROM triples GROUP BY subj),
+sk_x AS (SELECT n_docs, MAX(n_facts) AS ymax FROM sk_pts GROUP BY 1),
+sk_run AS (
+  SELECT n_docs, ymax,
+         MAX(ymax) OVER (ORDER BY n_docs DESC
+                         ROWS BETWEEN UNBOUNDED PRECEDING
+                         AND 1 PRECEDING) AS prev_max
+  FROM sk_x)""")

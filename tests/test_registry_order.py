@@ -141,6 +141,9 @@ EXPECTED_TAIL = [
     # Continuation batch 26: meta-blocking entity resolution —
     # appended past position 50.
     "token_blocks", "meta_block_edges",
+    # Continuation batch 27: exact 2-D Pareto skyline — appended past
+    # position 50.
+    "entity_skyline",
 ]
 
 
