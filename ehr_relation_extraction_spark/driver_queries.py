@@ -1683,6 +1683,15 @@ def q_entity_skyline(spark, sf_dir) -> DataFrame:
     return tri_op.entity_skyline(_frames(spark, sf_dir).triples)
 
 
+def q_weighted_sample(spark, sf_dir) -> DataFrame:
+    """Deterministic weighted bottom-k document sample per host
+    (operators/sampling.weighted_sample), weights = token counts."""
+    from .operators.sampling import weighted_sample
+
+    fr = _frames(spark, sf_dir)
+    return weighted_sample(fr.pages, ner.tokenize_df(fr.pages))
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # ORDER IS LOAD-BEARING: the driver snapshot verifies exactly
     # list(QUERIES)[:50] in insertion order (pinned by
@@ -1880,6 +1889,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # Continuation batch 27: exact 2-D Pareto skyline — appended past
     # position 50.
     "entity_skyline": q_entity_skyline,
+    # Continuation batch 28: deterministic weighted bottom-k sampling
+    # — appended past position 50.
+    "weighted_sample": q_weighted_sample,
 }
 
 

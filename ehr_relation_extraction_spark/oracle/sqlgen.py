@@ -4682,3 +4682,30 @@ sk_run AS (
                          ROWS BETWEEN UNBOUNDED PRECEDING
                          AND 1 PRECEDING) AS prev_max
   FROM sk_x)""")
+
+
+# ---------------------------------------------------------------------------
+# Continuation batch 28: deterministic weighted bottom-k document
+# sample per host (operators/sampling.weighted_sample) — the integer
+# Efraimidis-Spirakis race; the priority expression is built by the
+# shared operator-module generator (only the integer-division
+# spelling differs, both operands non-negative).
+# ---------------------------------------------------------------------------
+
+from ..operators.sampling import weighted_priority_sql as _ws_prio  # noqa: E402
+
+ORACLE["weighted_sample"] = _q(f"""
+SELECT host, doc_id, weight, priority, CAST(rk AS INT) AS rk
+FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY host
+                                   ORDER BY priority, doc_id) AS rk
+      FROM ws_p)
+WHERE rk <= 3""", f"""
+ws_w AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS weight
+         FROM toks GROUP BY 1),
+ws_p AS MATERIALIZED (
+  SELECT p.doc_id,
+         regexp_extract(p.url, '^https?://([^/]*)', 1) AS host,
+         w.weight,
+         {_ws_prio("CAST(p.doc_id AS VARCHAR)", "w.weight", div="//")}
+             AS priority
+  FROM pages p JOIN ws_w w USING (doc_id))""")

@@ -144,6 +144,9 @@ EXPECTED_TAIL = [
     # Continuation batch 27: exact 2-D Pareto skyline — appended past
     # position 50.
     "entity_skyline",
+    # Continuation batch 28: deterministic weighted bottom-k sampling
+    # — appended past position 50.
+    "weighted_sample",
 ]
 
 
