@@ -1692,6 +1692,12 @@ def q_weighted_sample(spark, sf_dir) -> DataFrame:
     return weighted_sample(fr.pages, ner.tokenize_df(fr.pages))
 
 
+def q_pred_fds(spark, sf_dir) -> DataFrame:
+    """Approximate functional dependencies between predicates (TANE
+    g3 keep-max measure) (operators/triples.pred_fds)."""
+    return tri_op.pred_fds(_frames(spark, sf_dir).triples)
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # ORDER IS LOAD-BEARING: the driver snapshot verifies exactly
     # list(QUERIES)[:50] in insertion order (pinned by
@@ -1892,6 +1898,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # Continuation batch 28: deterministic weighted bottom-k sampling
     # — appended past position 50.
     "weighted_sample": q_weighted_sample,
+    # Continuation batch 29: approximate functional dependencies —
+    # appended past position 50.
+    "pred_fds": q_pred_fds,
 }
 
 

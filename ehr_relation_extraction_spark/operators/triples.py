@@ -1210,3 +1210,48 @@ def entity_skyline(triples: DataFrame) -> DataFrame:
                 .select("n_docs", F.col("ymax").alias("n_facts")))
     return pts.join(frontier, ["n_docs", "n_facts"]).select(
         "subj", "n_docs", "n_facts")
+
+
+def pred_fds(triples: DataFrame) -> DataFrame:
+    """Approximate FUNCTIONAL DEPENDENCIES between predicates (TANE's
+    g3-style measure): for every ordered predicate pair (A, B), how
+    well does a subject's A-value determine its B-value?  The schema
+    profiler this feeds marks "Capital -> Country" style constraints
+    for the validator, and near-FDs expose extraction noise (the
+    violating subjects).
+
+    Each subject contributes ONE value per predicate (its
+    lexicographic min lowercased object — a deterministic election,
+    since web extraction is multi-valued).  Over the subjects having
+    both A and B:  n_kept = Σ_a max_b |{subj: A=a, B=b}|  (the rows a
+    repair would keep — TANE's g3 complement), conf = n_kept /
+    n_common as an exact floored micro6, is_exact = 1 iff no
+    violation.
+
+    Plan: one (subj, pred) value election, ONE subj equi-join whose
+    per-key fanout is the subject's predicate count (schema-bounded,
+    never corpus-bounded), two grouped aggregates.  Output:
+    (pred_a, pred_b, n_common, n_kept, conf_micro6, is_exact)."""
+    vals = (triples.groupBy("subj", "pred")
+            .agg(F.min(F.lower("obj")).alias("val")))
+    a = vals.select("subj", F.col("pred").alias("pred_a"),
+                    F.col("val").alias("va"))
+    b = vals.select(F.col("subj").alias("subj_b"),
+                    F.col("pred").alias("pred_b"),
+                    F.col("val").alias("vb"))
+    pairs = a.join(b, (F.col("subj") == F.col("subj_b"))
+                   & (F.col("pred_a") != F.col("pred_b")))
+    g1 = (pairs.groupBy("pred_a", "pred_b", "va", "vb")
+          .agg(F.count(F.lit(1)).cast("long").alias("cnt")))
+    g2 = (g1.groupBy("pred_a", "pred_b", "va")
+          .agg(F.sum("cnt").cast("long").alias("n"),
+               F.max("cnt").cast("long").alias("best")))
+    return (g2.groupBy("pred_a", "pred_b")
+            .agg(F.sum("n").cast("long").alias("n_common"),
+                 F.sum("best").cast("long").alias("n_kept"))
+            .withColumn("conf_micro6",
+                        F.expr("CAST(n_kept * 1000000 DIV n_common"
+                               " AS BIGINT)"))
+            .withColumn("is_exact",
+                        F.when(F.col("n_kept") == F.col("n_common"),
+                               1).otherwise(0).cast("int")))

@@ -4709,3 +4709,30 @@ ws_p AS MATERIALIZED (
          {_ws_prio("CAST(p.doc_id AS VARCHAR)", "w.weight", div="//")}
              AS priority
   FROM pages p JOIN ws_w w USING (doc_id))""")
+
+
+# ---------------------------------------------------------------------------
+# Continuation batch 29: approximate functional dependencies between
+# predicates — TANE-style g3 keep-max measure over per-subject value
+# elections (operators/triples.pred_fds).
+# ---------------------------------------------------------------------------
+
+ORACLE["pred_fds"] = _q("""
+SELECT pred_a, pred_b,
+       CAST(SUM(n) AS BIGINT) AS n_common,
+       CAST(SUM(best) AS BIGINT) AS n_kept,
+       CAST(SUM(best) * 1000000 // SUM(n) AS BIGINT) AS conf_micro6,
+       CAST(CASE WHEN SUM(best) = SUM(n) THEN 1 ELSE 0 END AS INT)
+           AS is_exact
+FROM (SELECT pred_a, pred_b, va, SUM(cnt) AS n, MAX(cnt) AS best
+      FROM (SELECT a.pred AS pred_a, b.pred AS pred_b,
+                   a.val AS va, b.val AS vb,
+                   CAST(COUNT(*) AS BIGINT) AS cnt
+            FROM fd_vals a
+            JOIN fd_vals b ON a.subj = b.subj AND a.pred <> b.pred
+            GROUP BY 1, 2, 3, 4)
+      GROUP BY 1, 2, 3)
+GROUP BY 1, 2""", """
+fd_vals AS MATERIALIZED (
+  SELECT subj, pred, MIN(lower(obj)) AS val
+  FROM triples GROUP BY 1, 2)""")

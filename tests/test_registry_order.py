@@ -147,6 +147,9 @@ EXPECTED_TAIL = [
     # Continuation batch 28: deterministic weighted bottom-k sampling
     # — appended past position 50.
     "weighted_sample",
+    # Continuation batch 29: approximate functional dependencies —
+    # appended past position 50.
+    "pred_fds",
 ]
 
 
