@@ -1698,6 +1698,16 @@ def q_pred_fds(spark, sf_dir) -> DataFrame:
     return tri_op.pred_fds(_frames(spark, sf_dir).triples)
 
 
+def q_fact_runs(spark, sf_dir) -> DataFrame:
+    """Per-fact SCD2 run/gap/uptime profile over the validity
+    intervals (operators/triples.fact_runs); horizon = one crawl week
+    past the last scheduled crawl."""
+    from .oracle.sqlgen import FACT_RUNS_HORIZON
+
+    return tri_op.fact_runs(q_triple_snapshots(spark, sf_dir),
+                            FACT_RUNS_HORIZON)
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # ORDER IS LOAD-BEARING: the driver snapshot verifies exactly
     # list(QUERIES)[:50] in insertion order (pinned by
@@ -1901,6 +1911,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # Continuation batch 29: approximate functional dependencies —
     # appended past position 50.
     "pred_fds": q_pred_fds,
+    # Continuation batch 30: per-fact SCD2 run/gap/uptime profile —
+    # appended past position 50.
+    "fact_runs": q_fact_runs,
 }
 
 

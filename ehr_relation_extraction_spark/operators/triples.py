@@ -1255,3 +1255,43 @@ def pred_fds(triples: DataFrame) -> DataFrame:
             .withColumn("is_exact",
                         F.when(F.col("n_kept") == F.col("n_common"),
                                1).otherwise(0).cast("int")))
+
+
+def fact_runs(intervals: DataFrame, horizon_ts: int) -> DataFrame:
+    """Temporal run profile per fact over its SCD2 validity intervals
+    — the KG-store health view: how many distinct liveness RUNS a
+    claim has had, its total uptime, whether it is current, and the
+    longest downtime gap between runs.  Facts that flap (many runs,
+    long gaps) mark unstable extractions or genuinely volatile
+    claims; both feed recrawl prioritization and validator
+    confidence.
+
+    ``horizon_ts`` closes open runs (valid_to NULL = current) for the
+    uptime sum; callers pass a timestamp at or after the last crawl
+    in the store (documented invariant — uptime would go negative
+    otherwise).  An open run is always a fact's LAST run (SCD2 closes
+    earlier runs by construction), so the lead-based gap never reads
+    a NULL valid_to.
+
+    Output: (url, subj, pred, obj, n_runs, first_from, live_s,
+    is_current, max_gap_s).  Plan: one fact-keyed window (lead) + one
+    fact-keyed aggregate — the same two-shuffle shape as
+    triple_history, no joins."""
+    from pyspark.sql import Window
+
+    key = ["url", "subj", "pred", "obj"]
+    w = Window.partitionBy(*key).orderBy("valid_from")
+    gaps = (intervals
+            .withColumn("_next_from", F.lead("valid_from").over(w))
+            .withColumn("_gap",
+                        F.coalesce(F.col("_next_from")
+                                   - F.col("valid_to"), F.lit(0))))
+    return (gaps.groupBy(*key)
+            .agg(F.count(F.lit(1)).cast("long").alias("n_runs"),
+                 F.min("valid_from").cast("long").alias("first_from"),
+                 F.sum(F.coalesce("valid_to", F.lit(horizon_ts))
+                       - F.col("valid_from")).cast("long")
+                 .alias("live_s"),
+                 F.max(F.when(F.col("valid_to").isNull(), 1)
+                       .otherwise(0)).cast("int").alias("is_current"),
+                 F.max("_gap").cast("long").alias("max_gap_s")))

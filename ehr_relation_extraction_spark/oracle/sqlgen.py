@@ -4736,3 +4736,29 @@ GROUP BY 1, 2""", """
 fd_vals AS MATERIALIZED (
   SELECT subj, pred, MIN(lower(obj)) AS val
   FROM triples GROUP BY 1, 2)""")
+
+
+# ---------------------------------------------------------------------------
+# Continuation batch 30: per-fact SCD2 run/gap/uptime profile
+# (operators/triples.fact_runs) — wraps the triple_snapshots oracle
+# verbatim so interval construction can never drift.
+# ---------------------------------------------------------------------------
+
+# one crawl week past the last scheduled crawl (g=2) + doc_id offsets
+FACT_RUNS_HORIZON = 1704067200 + 4 * 604800
+
+ORACLE["fact_runs"] = f"""
+WITH iv AS MATERIALIZED ({ORACLE["triple_snapshots"]}),
+fr AS (SELECT *, COALESCE(LEAD(valid_from) OVER (
+           PARTITION BY url, subj, pred, obj ORDER BY valid_from)
+           - valid_to, 0) AS gap
+       FROM iv)
+SELECT url, subj, pred, obj,
+       CAST(COUNT(*) AS BIGINT) AS n_runs,
+       CAST(MIN(valid_from) AS BIGINT) AS first_from,
+       CAST(SUM(COALESCE(valid_to, {FACT_RUNS_HORIZON})
+                - valid_from) AS BIGINT) AS live_s,
+       CAST(MAX(CASE WHEN valid_to IS NULL THEN 1 ELSE 0 END)
+            AS INT) AS is_current,
+       CAST(MAX(gap) AS BIGINT) AS max_gap_s
+FROM fr GROUP BY 1, 2, 3, 4"""

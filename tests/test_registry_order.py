@@ -150,6 +150,9 @@ EXPECTED_TAIL = [
     # Continuation batch 29: approximate functional dependencies —
     # appended past position 50.
     "pred_fds",
+    # Continuation batch 30: per-fact SCD2 run/gap/uptime profile —
+    # appended past position 50.
+    "fact_runs",
 ]
 
 
