@@ -756,7 +756,12 @@ def run_kg_analytics(sf_dir: str, cpus: int) -> None:
             "graph_distances", "community_stats", "partition_agreement",
             "claim_beliefs", "kg_resolved", "postings_lists",
             "shingle_novelty", "host_entity_overlap",
-            "doclen_percentiles"]
+            "doclen_percentiles",
+            # round-5 third-continuation batches 23-30
+            "chain_patterns", "optional_query", "negation_query",
+            "transe_scores", "transe_ranks", "modularity",
+            "token_blocks", "meta_block_edges", "entity_skyline",
+            "weighted_sample", "pred_fds", "fact_runs"]
     timings: dict[str, float] = {}
     counts: dict[str, int] = {}
     for _ in range(trials):
