@@ -761,7 +761,9 @@ def run_kg_analytics(sf_dir: str, cpus: int) -> None:
             "chain_patterns", "optional_query", "negation_query",
             "transe_scores", "transe_ranks", "modularity",
             "token_blocks", "meta_block_edges", "entity_skyline",
-            "weighted_sample", "pred_fds", "fact_runs"]
+            "weighted_sample", "pred_fds", "fact_runs",
+            # round-5 fourth-continuation batch 31
+            "precedence_edges", "scc_components", "bowtie_structure"]
     timings: dict[str, float] = {}
     counts: dict[str, int] = {}
     for _ in range(trials):

@@ -1125,3 +1125,164 @@ def modularity(edges: DataFrame, labels: DataFrame) -> DataFrame:
                      * F.coalesce("n_internal", F.lit(0))
                      - F.col("vol") * F.col("vol"))
                     .cast("long").alias("q4m2")))
+
+
+def _min_reach_labels(nodes: DataFrame, edges: DataFrame,
+                      max_rounds: int = 64) -> DataFrame:
+    """Fixpoint of the joint min-label recurrences over a directed
+    edge set: f(u) = min id u can REACH (relaxed along out-edges),
+    b(u) = min id that REACHES u (relaxed along in-edges).  Both are
+    computed in the SAME round-loop so each round costs two keyed
+    aggregates + one node-keyed join and ONE convergence check.
+
+    Rounds needed = directed diameter of the graph; each round
+    localCheckpoints to cut lineage.  Returns (node, f, b).
+    """
+    lbl = nodes.select("node",
+                       F.col("node").alias("f"),
+                       F.col("node").alias("b")).localCheckpoint()
+    for _ in range(max_rounds):
+        nf = (edges.join(lbl.select(F.col("node").alias("dst"),
+                                    F.col("f").alias("df")), "dst")
+              .groupBy(F.col("src").alias("node"))
+              .agg(F.min("df").alias("nf")))
+        nb = (edges.join(lbl.select(F.col("node").alias("src"),
+                                    F.col("b").alias("sb")), "src")
+              .groupBy(F.col("dst").alias("node"))
+              .agg(F.min("sb").alias("nb")))
+        new = (lbl.join(nf, "node", "left").join(nb, "node", "left")
+               .select("node",
+                       F.least("f", F.coalesce("nf", "f")).alias("f"),
+                       F.least("b", F.coalesce("nb", "b")).alias("b"))
+               ).localCheckpoint()
+        changed = (new.join(lbl.select("node",
+                                       F.col("f").alias("of"),
+                                       F.col("b").alias("ob")), "node")
+                   .where((F.col("f") != F.col("of"))
+                          | (F.col("b") != F.col("ob")))
+                   .limit(1).count())
+        lbl = new
+        if changed == 0:
+            return lbl
+    raise RuntimeError("min-reach fixpoint did not converge within "
+                       f"{max_rounds} rounds")
+
+
+def strongly_connected_components(edges: DataFrame, nodes: DataFrame,
+                                  max_peels: int = 30,
+                                  max_rounds: int = 64) -> DataFrame:
+    """Strongly connected components of a DIRECTED graph by
+    forward-backward min-label peeling (the DataFrame rendition of
+    the FW-BW-Trim family — Fleischer et al., divide-and-conquer SCC,
+    as used by every Pregel-style SCC since).
+
+    Per peel: compute f(u) = min id u reaches and b(u) = min id
+    reaching u (one joint fixpoint, see _min_reach_labels).  Within
+    one SCC the reachability sets — hence f and b — are constant, and
+    f(u) = b(u) = m certifies u is in SCC(m) (u reaches m AND m
+    reaches u).  All such nodes peel off with scc_id = f; the rest
+    (f != b) go another round on the induced subgraph.  Every peel
+    removes at least the SCC containing the smallest remaining id, so
+    the loop terminates in <= #SCC peels — on real web-shaped graphs
+    the first peel removes the giant core plus every singleton whose
+    min-reach loops back, leaving a short tail.
+
+    ``edges``: (src, dst) directed.  ``nodes``: (node) including
+    isolated ids (they peel immediately as singletons).
+    Returns (node, scc_id), scc_id = lexicographic min member id.
+
+    Scale: everything is equi-joins + keyed min-aggregates over
+    node-sized frames; the edge set is filtered to the remaining
+    nodes by two semi-joins per peel and localCheckpointed, so late
+    peels run on shrinking inputs.
+    """
+    cur_edges = (edges.select("src", "dst")
+                 .where(F.col("src") != F.col("dst"))
+                 .dropDuplicates().localCheckpoint())
+    remaining = nodes.select("node").dropDuplicates().localCheckpoint()
+    out: DataFrame | None = None
+    for _ in range(max_peels):
+        if remaining.isEmpty():
+            break
+        fb = _min_reach_labels(remaining, cur_edges, max_rounds)
+        done = (fb.where(F.col("f") == F.col("b"))
+                .select("node", F.col("f").alias("scc_id"))
+                .localCheckpoint())
+        out = done if out is None else out.unionByName(done).localCheckpoint()
+        remaining = (fb.where(F.col("f") != F.col("b"))
+                     .select("node").localCheckpoint())
+        cur_edges = (cur_edges
+                     .join(remaining.select(F.col("node").alias("src")),
+                           "src", "semi")
+                     .join(remaining.select(F.col("node").alias("dst")),
+                           "dst", "semi")
+                     .select("src", "dst").localCheckpoint())
+    else:
+        if not remaining.isEmpty():
+            raise RuntimeError(
+                f"SCC peeling did not finish within {max_peels} peels")
+    assert out is not None
+    return out
+
+
+def bowtie_structure(edges: DataFrame, scc: DataFrame,
+                     max_rounds: int = 64) -> DataFrame:
+    """Bowtie decomposition of a directed graph relative to its giant
+    SCC (Broder et al., "Graph structure in the Web", WWW 2000):
+    CORE = the largest SCC (ties -> smallest scc_id), IN = nodes that
+    reach the core but are not in it, OUT = nodes the core reaches,
+    OTHER = tendrils/tubes/disconnected.
+
+    The core id is a 1-row bounded collect (argmax over the SCC-size
+    table — component-count-sized, never corpus-sized).  IN and OUT
+    are two flag-propagation fixpoints seeded at the core membership
+    (frontier BFS along reversed / forward edges); each round is one
+    equi-join + dedup + an emptiness check on the new frontier.
+
+    ``scc``: (node, scc_id) as returned by
+    strongly_connected_components over the SAME edge set.
+    Returns (node, bowtie_class, scc_id).
+    """
+    sizes = (scc.groupBy("scc_id")
+             .agg(F.count(F.lit(1)).alias("n")))
+    core_id = (sizes.orderBy(F.col("n").desc(), F.col("scc_id").asc())
+               .limit(1).collect()[0]["scc_id"])  # bounded: 1 row
+    core = (scc.where(F.col("scc_id") == F.lit(core_id))
+            .select("node").localCheckpoint())
+    dedges = (edges.select("src", "dst")
+              .where(F.col("src") != F.col("dst"))
+              .dropDuplicates().localCheckpoint())
+
+    def _reach(seed: DataFrame, srccol: str, dstcol: str) -> DataFrame:
+        """All nodes with a directed path to/from the seed set,
+        following edges dstcol -> srccol per round (frontier BFS)."""
+        seen = seed.localCheckpoint()
+        frontier = seen
+        for _ in range(max_rounds):
+            nxt = (dedges.join(frontier.select(
+                       F.col("node").alias(dstcol)), dstcol)
+                   .select(F.col(srccol).alias("node"))
+                   .dropDuplicates()
+                   .join(seen, "node", "anti").localCheckpoint())
+            if nxt.isEmpty():
+                return seen
+            seen = seen.unionByName(nxt).localCheckpoint()
+            frontier = nxt
+        raise RuntimeError("bowtie reachability did not converge "
+                           f"within {max_rounds} rounds")
+
+    reaches_core = _reach(core, "src", "dst")   # follow edges backward
+    core_reaches = _reach(core, "dst", "src")   # follow edges forward
+    return (scc
+            .join(core.select("node", F.lit(1).alias("_core")),
+                  "node", "left")
+            .join(reaches_core.select("node", F.lit(1).alias("_in")),
+                  "node", "left")
+            .join(core_reaches.select("node", F.lit(1).alias("_out")),
+                  "node", "left")
+            .select("node",
+                    F.when(F.col("_core") == 1, F.lit("CORE"))
+                    .when(F.col("_in") == 1, F.lit("IN"))
+                    .when(F.col("_out") == 1, F.lit("OUT"))
+                    .otherwise(F.lit("OTHER")).alias("bowtie_class"),
+                    "scc_id"))

@@ -895,3 +895,36 @@ def meta_block_edges(triples: DataFrame,
                            | (F.col("cbs") * F.col("_nb")
                               >= F.col("_sb")), 1)
                     .otherwise(0).cast("int").alias("keep")))
+
+
+def precedence_edges(linked_mentions: DataFrame) -> DataFrame:
+    """Directed narrative-precedence graph over canonical entities:
+    edge src -> dst when a mention of ``src`` ends at or before a
+    mention of ``dst`` starts on the SAME page, weighted by how many
+    (page, mention-pair) contexts exhibit that order.
+
+    Unlike overlap_edges (undirected, same-span), this graph is
+    directed and naturally CYCLIC across the corpus (A before B on one
+    page, B before A on another), which is what the SCC / bowtie
+    analyses below consume — the entity-level analogue of the classic
+    web-link bowtie (Broder et al., WWW 2000).
+
+    Scale: the self-join is url-equi (co-partitioned by page); the
+    per-page pair product is bounded by the same per-shard mention
+    cap that bounds candidate pairs (R2) — a page contributes at most
+    (mentions-per-page choose 2) rows before the global dedup-agg.
+    One shuffle for the join, one for the (src, dst) aggregate.
+    """
+    a = linked_mentions.alias("a")
+    b = linked_mentions.alias("b")
+    pairs = (a.join(
+        b,
+        (F.col("a.url") == F.col("b.url"))
+        & (F.col("a.end") <= F.col("b.start"))
+        & (F.col("a.canonical_id") != F.col("b.canonical_id")))
+        .select(F.col("a.url").alias("url"),
+                F.col("a.canonical_id").alias("src"),
+                F.col("b.canonical_id").alias("dst"))
+        .dropDuplicates())
+    return (pairs.groupBy("src", "dst")
+            .agg(F.count(F.lit(1)).cast("long").alias("n_pages")))

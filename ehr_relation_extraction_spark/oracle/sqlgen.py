@@ -4762,3 +4762,58 @@ SELECT url, subj, pred, obj,
             AS INT) AS is_current,
        CAST(MAX(gap) AS BIGINT) AS max_gap_s
 FROM fr GROUP BY 1, 2, 3, 4"""
+
+
+# ---------------------------------------------------------------------------
+# Continuation batch 31: directed mention-precedence graph -> SCC ->
+# bowtie (operators/linking.precedence_edges,
+# operators/graph_algos.strongly_connected_components /
+# bowtie_structure).  The oracle derives SCC membership from the
+# TRANSITIVE CLOSURE (mutual reachability, component id = min mutual
+# node) — a completely different algorithm from the Spark side's
+# FW-BW min-label peeling, so a match certifies the peeling logic.
+
+PREC_CTES = """
+prec_pairs AS (
+  SELECT DISTINCT a.url, a.canonical_id AS src, b.canonical_id AS dst
+  FROM linked a JOIN linked b
+    ON a.url = b.url AND a."end" <= b.start
+   AND a.canonical_id <> b.canonical_id),
+prec_edges AS MATERIALIZED (
+  SELECT src, dst, CAST(COUNT(*) AS BIGINT) AS n_pages
+  FROM prec_pairs GROUP BY 1, 2),
+pnodes AS MATERIALIZED (
+  SELECT DISTINCT canonical_id AS node FROM linked),
+pclos(u, v) AS (
+  SELECT node AS u, node AS v FROM pnodes
+  UNION
+  SELECT c.u, e.dst AS v FROM pclos c JOIN prec_edges e ON e.src = c.v),
+pscc AS MATERIALIZED (
+  SELECT c1.u AS node, MIN(c1.v) AS scc_id
+  FROM pclos c1 JOIN pclos c2 ON c1.u = c2.v AND c1.v = c2.u
+  GROUP BY 1)"""
+
+ORACLE["precedence_edges"] = _q("""
+SELECT src, dst, n_pages FROM prec_edges""", LINK_CTES, PREC_CTES)
+
+ORACLE["scc_components"] = _q("""
+SELECT node, scc_id FROM pscc""", LINK_CTES, PREC_CTES)
+
+ORACLE["bowtie_structure"] = _q("""
+SELECT s.node,
+       CASE WHEN s.scc_id = (SELECT scc_id FROM bt_core) THEN 'CORE'
+            WHEN EXISTS (SELECT 1 FROM pclos c
+                         WHERE c.u = s.node
+                           AND c.v = (SELECT scc_id FROM bt_core))
+                 THEN 'IN'
+            WHEN EXISTS (SELECT 1 FROM pclos c
+                         WHERE c.u = (SELECT scc_id FROM bt_core)
+                           AND c.v = s.node)
+                 THEN 'OUT'
+            ELSE 'OTHER' END AS bowtie_class,
+       s.scc_id
+FROM pscc s""", LINK_CTES, PREC_CTES, """
+bt_core AS MATERIALIZED (
+  SELECT scc_id
+  FROM (SELECT scc_id, COUNT(*) AS n FROM pscc GROUP BY 1)
+  ORDER BY n DESC, scc_id ASC LIMIT 1)""")

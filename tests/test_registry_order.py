@@ -153,6 +153,9 @@ EXPECTED_TAIL = [
     # Continuation batch 30: per-fact SCD2 run/gap/uptime profile —
     # appended past position 50.
     "fact_runs",
+    # Continuation batch 31: directed precedence graph -> SCC ->
+    # web-bowtie decomposition — appended past position 50.
+    "precedence_edges", "scc_components", "bowtie_structure",
 ]
 
 
