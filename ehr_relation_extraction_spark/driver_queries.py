@@ -1757,6 +1757,18 @@ def q_bowtie_structure(spark, sf_dir) -> DataFrame:
     return bowtie_structure(edges, _prec_scc(spark, sf_dir))
 
 
+def q_greedy_coverage(spark, sf_dir) -> DataFrame:
+    """Greedy maximum-coverage corpus selection over the doc ->
+    canonical-entity incidence (operators/sampling.greedy_coverage):
+    k=5 picks, ties -> smallest doc_id."""
+    from .operators.sampling import greedy_coverage
+
+    _, linked, _ = _linked(spark, sf_dir)
+    return greedy_coverage(
+        linked.select(F.col("doc_id").cast("long").alias("doc_id"),
+                      "canonical_id"), k=5)
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # ORDER IS LOAD-BEARING: the driver snapshot verifies exactly
     # list(QUERIES)[:50] in insertion order (pinned by
@@ -1968,6 +1980,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "precedence_edges": q_precedence_edges,
     "scc_components": q_scc_components,
     "bowtie_structure": q_bowtie_structure,
+    # Continuation batch 32: greedy max-coverage corpus selection —
+    # appended past position 50.
+    "greedy_coverage": q_greedy_coverage,
 }
 
 

@@ -75,3 +75,50 @@ def weighted_sample(pages: DataFrame, tokens: DataFrame,
     return (pts.withColumn("rk", rk.cast("int"))
             .where(F.col("rk") <= k)
             .select("host", "doc_id", "weight", "priority", "rk"))
+
+
+def greedy_coverage(doc_entities: DataFrame, k: int = 5) -> DataFrame:
+    """Greedy maximum-coverage corpus selection: pick up to ``k``
+    documents, each round taking the doc that covers the most
+    still-uncovered entities (ties -> smallest doc_id), stopping
+    early when the best marginal gain hits zero.  The classic
+    (1 - 1/e)-approximation greedy, used to curate a small corpus
+    slice that maximizes entity coverage (seed-set selection for
+    annotation / eval splits).
+
+    ``doc_entities``: (doc_id, canonical_id) — deduplicated
+    doc -> entity incidence (any extra columns are ignored).
+
+    Per round: one grouped count over the incidence rows still
+    uncovered (anti-join on the covered-entity set) + one 1-row
+    bounded collect (the argmax — never corpus-sized); the covered
+    set and the shrinking incidence table localCheckpoint per round,
+    so round r scans only what rounds 1..r-1 left uncovered.  k is a
+    small constant -> k bounded collects total.
+
+    Returns (pick_rank, doc_id, gain, covered_cum) for the selected
+    docs in pick order.
+    """
+    spark = doc_entities.sparkSession
+    inc = (doc_entities.select("doc_id", "canonical_id")
+           .dropDuplicates().localCheckpoint())
+    out: list[tuple[int, int, int, int]] = []
+    covered_cum = 0
+    for rank in range(1, k + 1):
+        best = (inc.groupBy("doc_id")
+                .agg(F.count(F.lit(1)).cast("long").alias("gain"))
+                .orderBy(F.col("gain").desc(), F.col("doc_id").asc())
+                .limit(1).collect())  # bounded: 1 row
+        if not best or best[0]["gain"] == 0:
+            break
+        doc_id, gain = best[0]["doc_id"], int(best[0]["gain"])
+        covered_cum += gain
+        out.append((rank, doc_id, gain, covered_cum))
+        newly = (inc.where(F.col("doc_id") == F.lit(doc_id))
+                 .select("canonical_id"))
+        inc = (inc.join(newly, "canonical_id", "anti")
+               .localCheckpoint())
+    schema = ("pick_rank int, doc_id long, gain long, "
+              "covered_cum long")
+    return spark.createDataFrame(
+        [(r, int(d), g, c) for r, d, g, c in out], schema)

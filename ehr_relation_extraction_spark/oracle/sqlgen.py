@@ -4817,3 +4817,47 @@ bt_core AS MATERIALIZED (
   SELECT scc_id
   FROM (SELECT scc_id, COUNT(*) AS n FROM pscc GROUP BY 1)
   ORDER BY n DESC, scc_id ASC LIMIT 1)""")
+
+
+# ---------------------------------------------------------------------------
+# Continuation batch 32: greedy max-coverage corpus selection
+# (operators/sampling.greedy_coverage, k=5) — the greedy rounds are
+# unrolled as chained CTEs (the registry's CTE-unrolling device):
+# selN is the argmax over the incidence rows rounds 1..N-1 left
+# uncovered; an exhausted round yields an empty selN and every later
+# round inherits the emptiness, mirroring the Spark early-stop.
+
+
+def _greedy_coverage_parts(k: int = 5) -> tuple[str, str]:
+    """(ctes, select) for the k unrolled greedy rounds."""
+    blocks = ["""
+gc_de AS MATERIALIZED (
+  SELECT DISTINCT CAST(doc_id AS BIGINT) AS doc_id, canonical_id
+  FROM linked),
+gc_rem1 AS MATERIALIZED (SELECT * FROM gc_de)"""]
+    selects = []
+    for n in range(1, k + 1):
+        blocks.append(f"""
+gc_sel{n} AS MATERIALIZED (
+  SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS gain
+  FROM gc_rem{n} GROUP BY 1
+  ORDER BY gain DESC, doc_id ASC LIMIT 1)""")
+        if n < k:
+            blocks.append(f"""
+gc_rem{n + 1} AS MATERIALIZED (
+  SELECT * FROM gc_rem{n}
+  WHERE doc_id NOT IN (SELECT doc_id FROM gc_sel{n})
+    AND canonical_id NOT IN (
+      SELECT canonical_id FROM gc_rem{n}
+      WHERE doc_id IN (SELECT doc_id FROM gc_sel{n})))""")
+        cum = " + ".join(f"(SELECT gain FROM gc_sel{i})"
+                         for i in range(1, n + 1))
+        selects.append(
+            f"SELECT CAST({n} AS INT) AS pick_rank, doc_id, gain,\n"
+            f"       CAST({cum} AS BIGINT) AS covered_cum\n"
+            f"FROM gc_sel{n}")
+    return ",".join(blocks), "\nUNION ALL\n".join(selects)
+
+
+_GC_CTES, _GC_SELECT = _greedy_coverage_parts()
+ORACLE["greedy_coverage"] = _q(_GC_SELECT, LINK_CTES, _GC_CTES)

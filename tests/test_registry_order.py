@@ -156,6 +156,9 @@ EXPECTED_TAIL = [
     # Continuation batch 31: directed precedence graph -> SCC ->
     # web-bowtie decomposition — appended past position 50.
     "precedence_edges", "scc_components", "bowtie_structure",
+    # Continuation batch 32: greedy max-coverage corpus selection —
+    # appended past position 50.
+    "greedy_coverage",
 ]
 
 
