@@ -1769,6 +1769,26 @@ def q_greedy_coverage(spark, sf_dir) -> DataFrame:
                       "canonical_id"), k=5)
 
 
+def q_prefix_filter_pairs(spark, sf_dir) -> DataFrame:
+    """PPJoin-style EXACT set-similarity join (zero false negatives,
+    unlike the LSH path) at token-Jaccard >= 0.80
+    (operators/dedup.prefix_filter_pairs)."""
+    return dd.prefix_filter_pairs(_docs(spark, sf_dir))
+
+
+def q_mis_nodes(spark, sf_dir) -> DataFrame:
+    """Maximal independent set over the entity co-mention graph —
+    Luby's algorithm, derandomized with md5-hex6 round priorities
+    (operators/graph_algos.luby_mis, 6 rounds).  The MIS is the
+    classic distributed symmetry-breaker: an independent anchor set
+    for parallel canonical-name election over dense co-mention
+    neighborhoods."""
+    from .operators.graph_algos import luby_mis
+
+    edges, nodes = _comention_graph(spark, sf_dir)
+    return luby_mis(edges, nodes, n_rounds=6)
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # ORDER IS LOAD-BEARING: the driver snapshot verifies exactly
     # list(QUERIES)[:50] in insertion order (pinned by
@@ -1983,6 +2003,12 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # Continuation batch 32: greedy max-coverage corpus selection —
     # appended past position 50.
     "greedy_coverage": q_greedy_coverage,
+    # Continuation batch 33: exact set-similarity join by prefix
+    # filtering — appended past position 50.
+    "prefix_filter_pairs": q_prefix_filter_pairs,
+    # Continuation batch 34: Luby maximal independent set — appended
+    # past position 50.
+    "mis_nodes": q_mis_nodes,
 }
 
 

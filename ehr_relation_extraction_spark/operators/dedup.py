@@ -253,3 +253,84 @@ def simhash_near_dups(docs: DataFrame, bits: int = SIMHASH_BITS,
     return (cand.withColumn("hamming", ham.cast("int"))
             .where(F.col("hamming") <= max_hamming)
             .select("doc_a", "doc_b", "hamming"))
+
+
+def prefix_filter_pairs(docs: DataFrame,
+                        threshold_pct: int = 80) -> DataFrame:
+    """EXACT set-similarity join by prefix filtering (the PPJoin
+    family, Xiao et al. WWW'08): unlike the MinHash-LSH path this has
+    ZERO false negatives — every pair with token-Jaccard >=
+    threshold is guaranteed to surface as a candidate, because two
+    sets with overlap o >= ceil(t*|x|) must collide inside their
+    (|x| - ceil(t*|x|) + 1)-length prefixes under ANY shared global
+    token order.
+
+    The global order is (doc-frequency ASC, token ASC) — rarest
+    first, so prefixes are the least-collising tokens and the
+    candidate join fans out on the frequency TAIL, not the head.
+    Crucially the order is applied with a PER-DOC window
+    (row_number partitioned by doc_id), never a global rank — no
+    single-partition sort anywhere.
+
+    Plan: one distinct (doc, token) aggregate, one token-frequency
+    aggregate, one broadcast-joinable frequency lookup, the per-doc
+    prefix window, one token-equi candidate join + pair dedup, then
+    the exact verify (two incidence joins + one grouped count).
+    Output: (doc_a, doc_b, n_inter, n_union, jac_micro6) — ONLY the
+    verified pairs (Jaccard >= threshold, by integer
+    cross-multiplication); candidates that fail the verify stay
+    internal.  On a web-scale corpus the prefix join fans out on the
+    frequency tail; the driver corpus's deliberately tiny vocabulary
+    is the worst case for pruning (the zero-false-negative pytest
+    brute-forces all pairs to prove completeness anyway).
+    """
+    dt = (docs.select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        F.explode(F.filter(F.split(F.lower(F.col("text")), "[\n \t]"),
+                           lambda t: t != "")).alias("tok"))
+        .dropDuplicates())
+    freq = dt.groupBy("tok").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"))
+    sized = dt.withColumn(
+        "n", F.count(F.lit(1)).over(
+            Window.partitionBy("doc_id")).cast("long"))
+    t = threshold_pct
+    # prefix len p = n - ceil(t*n/100) + 1; ceil as (t*n + 100 - 1)//100
+    ordered = (sized.join(freq, "tok")
+               .withColumn("pos", F.row_number().over(
+                   Window.partitionBy("doc_id")
+                   .orderBy(F.col("n_docs").asc(), F.col("tok").asc())))
+               .withColumn("p", F.col("n")
+                           - F.floor((F.lit(t) * F.col("n")
+                                      + F.lit(99)) / F.lit(100))
+                           .cast("long") + F.lit(1)))
+    pref = ordered.where(F.col("pos") <= F.col("p")).select("doc_id", "tok")
+    cand = (pref.alias("a").join(pref.alias("b"), "tok")
+            .where(F.col("a.doc_id") < F.col("b.doc_id"))
+            .select(F.col("a.doc_id").alias("doc_a"),
+                    F.col("b.doc_id").alias("doc_b"))
+            .dropDuplicates())
+    sizes = dt.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_toks"))
+    inter = (cand
+             .join(dt.select(F.col("doc_id").alias("doc_a"),
+                             "tok"), "doc_a")
+             .join(dt.select(F.col("doc_id").alias("doc_b"),
+                             "tok"), ["doc_b", "tok"])
+             .groupBy("doc_a", "doc_b")
+             .agg(F.count(F.lit(1)).cast("long").alias("n_inter")))
+    return (cand.join(inter, ["doc_a", "doc_b"], "left")
+            .join(sizes.select(F.col("doc_id").alias("doc_a"),
+                               F.col("n_toks").alias("_na")), "doc_a")
+            .join(sizes.select(F.col("doc_id").alias("doc_b"),
+                               F.col("n_toks").alias("_nb")), "doc_b")
+            .select("doc_a", "doc_b",
+                    F.coalesce("n_inter", F.lit(0)).cast("long")
+                    .alias("n_inter"),
+                    (F.col("_na") + F.col("_nb")
+                     - F.coalesce("n_inter", F.lit(0))).cast("long")
+                    .alias("n_union"))
+            .where(F.col("n_inter") * 100 >= F.col("n_union") * t)
+            .withColumn("jac_micro6",
+                        F.floor(F.col("n_inter") * F.lit(1000000)
+                                / F.col("n_union")).cast("long")))

@@ -1286,3 +1286,82 @@ def bowtie_structure(edges: DataFrame, scc: DataFrame,
                     .when(F.col("_out") == 1, F.lit("OUT"))
                     .otherwise(F.lit("OTHER")).alias("bowtie_class"),
                     "scc_id"))
+
+
+def luby_mis(edges: DataFrame, nodes: DataFrame,
+             n_rounds: int = 6) -> DataFrame:
+    """Maximal independent set by Luby's algorithm (Luby, SIAM J.
+    Comput. 1986) — THE textbook O(log n)-round distributed symmetry
+    breaker, here in its derandomized md5-priority form so the result
+    is deterministic across engines, partitionings, and reruns.
+
+    Per round r over the still-ACTIVE subgraph: every node draws the
+    priority ``conv(substr(md5('mis:' || r || ':' || node), 1, 6), 16,
+    10)`` and joins the MIS iff its (priority, node) tuple is strictly
+    smaller than every active neighbor's (ties broken by node id, so
+    the winner set is always well-defined).  Winners and their
+    neighbors then retire; the rest stay active for round r+1.  Two
+    adjacent nodes can never both win a round (strict tuples), so the
+    output is independent by construction; every excluded node retires
+    with a selected neighbor, so the set is maximal over everything
+    decided.  Fixed ``n_rounds`` like the other unrolled-oracle
+    iteratives (kcore/ktruss/LPA): Luby halves the active edge count
+    per round in expectation, so 6 rounds decide everything at any
+    tested scale — still-undecided nodes are reported, never guessed.
+
+    Input: ``edges (src, dst)`` undirected with src < dst (distinct),
+    ``nodes (node)``.  Output: (node, in_mis, decided_round) where
+    in_mis 1 = selected, 0 = excluded by a neighbor, -1 = undecided
+    after n_rounds (decided_round 0).  Isolated nodes win round 1.
+
+    Scale: per round one shuffle to take each active node's min
+    neighbor tuple (partial-aggregable min) and one anti-join to
+    retire — no collect, no global sort; localCheckpoint per round
+    cuts the iterative lineage exactly like pagerank/cc.
+    """
+    und = (edges.select("src", "dst")
+           .where(F.col("src") != F.col("dst")).dropDuplicates())
+    sym = und.union(und.select(F.col("dst").alias("src"),
+                               F.col("src").alias("dst")))
+    sym = sym.localCheckpoint()
+    active = nodes.select("node").dropDuplicates().localCheckpoint()
+    decided = None
+    for r in range(1, n_rounds + 1):
+        prio = active.select(
+            "node",
+            F.conv(F.substring(F.md5(F.concat_ws(
+                ":", F.lit("mis"), F.lit(str(r)), F.col("node"))),
+                1, 6), 16, 10).cast("long").alias("prio"))
+        # each active node's minimum active-neighbor (prio, node) tuple
+        nbr_min = (sym.join(prio.withColumnRenamed("node", "dst")
+                            .withColumnRenamed("prio", "nprio"), "dst")
+                   .groupBy(F.col("src").alias("node"))
+                   .agg(F.min(F.struct(F.col("nprio").alias("p"),
+                                       F.col("dst").alias("n")))
+                        .alias("m")))
+        winners = (prio.join(nbr_min, "node", "left")
+                   .where(F.col("m").isNull()
+                          | (F.struct(F.col("prio").alias("p"),
+                                      F.col("node").alias("n"))
+                             < F.col("m")))
+                   .select("node").localCheckpoint())
+        excluded = (sym.join(winners.withColumnRenamed("node", "src"),
+                             "src")
+                    .select(F.col("dst").alias("node")).dropDuplicates()
+                    .join(active, "node", "semi").localCheckpoint())
+        batch = (winners.select("node", F.lit(1).alias("in_mis"),
+                                F.lit(r).cast("long")
+                                .alias("decided_round"))
+                 .unionByName(excluded.select(
+                     "node", F.lit(0).alias("in_mis"),
+                     F.lit(r).cast("long").alias("decided_round"))))
+        decided = batch if decided is None else \
+            decided.unionByName(batch)
+        decided = decided.localCheckpoint()
+        active = (active.join(winners, "node", "anti")
+                  .join(excluded, "node", "anti").localCheckpoint())
+        if active.isEmpty():
+            break
+    return decided.unionByName(
+        active.select("node", F.lit(-1).alias("in_mis"),
+                      F.lit(0).cast("long").alias("decided_round")))

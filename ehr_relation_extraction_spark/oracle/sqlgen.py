@@ -4861,3 +4861,110 @@ gc_rem{n + 1} AS MATERIALIZED (
 
 _GC_CTES, _GC_SELECT = _greedy_coverage_parts()
 ORACLE["greedy_coverage"] = _q(_GC_SELECT, LINK_CTES, _GC_CTES)
+
+
+# ---------------------------------------------------------------------------
+# Continuation batch 33: exact set-similarity join by prefix
+# filtering (operators/dedup.prefix_filter_pairs, threshold 80%).
+# Same global token order both sides: (doc-frequency ASC, token ASC),
+# applied per doc — the candidate set is deterministic, and the
+# verify arithmetic is all-BIGINT with floor division.
+
+_PFP_CTES = """
+pf_dt AS MATERIALIZED (
+  SELECT DISTINCT CAST(doc_id AS BIGINT) AS doc_id,
+         lower(token) AS tok
+  FROM toks),
+pf_freq AS MATERIALIZED (
+  SELECT tok, CAST(COUNT(*) AS BIGINT) AS n_docs
+  FROM pf_dt GROUP BY 1),
+pf_sized AS (
+  SELECT d.doc_id, d.tok,
+         CAST(COUNT(*) OVER (PARTITION BY d.doc_id) AS BIGINT) AS n,
+         ROW_NUMBER() OVER (PARTITION BY d.doc_id
+                            ORDER BY f.n_docs ASC, d.tok ASC) AS pos
+  FROM pf_dt d JOIN pf_freq f USING (tok)),
+pf_pref AS MATERIALIZED (
+  SELECT doc_id, tok FROM pf_sized
+  WHERE pos <= n - ((80 * n + 99) // 100) + 1),
+pf_cand AS MATERIALIZED (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM pf_pref a JOIN pf_pref b USING (tok)
+  WHERE a.doc_id < b.doc_id),
+pf_sizes AS MATERIALIZED (
+  SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_toks
+  FROM pf_dt GROUP BY 1),
+pf_inter AS (
+  SELECT c.doc_a, c.doc_b, CAST(COUNT(*) AS BIGINT) AS n_inter
+  FROM pf_cand c
+  JOIN pf_dt x ON x.doc_id = c.doc_a
+  JOIN pf_dt y ON y.doc_id = c.doc_b AND y.tok = x.tok
+  GROUP BY 1, 2)"""
+
+ORACLE["prefix_filter_pairs"] = _q("""
+SELECT doc_a, doc_b, n_inter, n_union,
+       CAST((n_inter * 1000000) // n_union AS BIGINT) AS jac_micro6
+FROM (
+  SELECT c.doc_a, c.doc_b,
+         CAST(COALESCE(i.n_inter, 0) AS BIGINT) AS n_inter,
+         CAST(sa.n_toks + sb.n_toks - COALESCE(i.n_inter, 0)
+              AS BIGINT) AS n_union
+  FROM pf_cand c
+  LEFT JOIN pf_inter i ON i.doc_a = c.doc_a AND i.doc_b = c.doc_b
+  JOIN pf_sizes sa ON sa.doc_id = c.doc_a
+  JOIN pf_sizes sb ON sb.doc_id = c.doc_b)
+WHERE n_inter * 100 >= n_union * 80""", _PFP_CTES)
+
+
+# ---------------------------------------------------------------------------
+# Continuation batch 34: Luby maximal independent set over the entity
+# co-mention graph (operators/graph_algos.luby_mis, 6 rounds).  The
+# derandomized md5-hex6 priority is the shared randomness primitive;
+# winner election is a strict (prio, node) tuple compare, so every
+# round's winner set is deterministic and the whole unrolling is
+# engine-exact.  Graph prelude = COMENTION_CTES (comention/com_sym) +
+# cc_nodes, the same construction q_mis_nodes composes on the Spark
+# side.
+
+def _mis_sql(n_rounds: int = 6) -> str:
+    blocks = ["misact0 AS MATERIALIZED (SELECT node FROM cc_nodes)"]
+    for r in range(1, n_rounds + 1):
+        prio = _qm_hex6(f"'mis:{r}:' || node")
+        blocks.append(f"""mpr{r} AS MATERIALIZED (
+  SELECT node, CAST({prio} AS BIGINT) AS prio FROM misact{r - 1}),
+mwin{r} AS MATERIALIZED (
+  SELECT n.node FROM mpr{r} n
+  WHERE NOT EXISTS (
+    SELECT 1 FROM com_sym e JOIN mpr{r} m ON m.node = e.dst
+    WHERE e.src = n.node
+      AND (m.prio < n.prio
+           OR (m.prio = n.prio AND m.node < n.node)))),
+mexc{r} AS MATERIALIZED (
+  SELECT DISTINCT e.dst AS node
+  FROM com_sym e
+  JOIN mwin{r} w ON e.src = w.node
+  JOIN misact{r - 1} a ON a.node = e.dst),
+misact{r} AS MATERIALIZED (
+  SELECT node FROM misact{r - 1}
+  WHERE node NOT IN (SELECT node FROM mwin{r})
+    AND node NOT IN (SELECT node FROM mexc{r}))""")
+    return ",\n".join(blocks)
+
+
+def _mis_select(n_rounds: int = 6) -> str:
+    parts = []
+    for r in range(1, n_rounds + 1):
+        parts.append(f"SELECT node, CAST(1 AS INT) AS in_mis, "
+                     f"CAST({r} AS BIGINT) AS decided_round "
+                     f"FROM mwin{r}")
+        parts.append(f"SELECT node, CAST(0 AS INT) AS in_mis, "
+                     f"CAST({r} AS BIGINT) AS decided_round "
+                     f"FROM mexc{r}")
+    parts.append(f"SELECT node, CAST(-1 AS INT) AS in_mis, "
+                 f"CAST(0 AS BIGINT) AS decided_round "
+                 f"FROM misact{n_rounds}")
+    return " UNION ALL ".join(parts)
+
+
+ORACLE["mis_nodes"] = _q(_mis_select(6), LINK_CTES,
+                         COMENTION_CTES.strip(), _mis_sql(6))

@@ -1,0 +1,77 @@
+"""Verify-skill core flow: entry() smoke + determinism probe + full
+registry oracle parity vs DuckDB at a given SF (driver-check replica).
+
+Usage: python scripts/verify_sweep.py [sf_dir] [master]
+Prints one line per query and a final PASS/FAIL summary.
+"""
+from __future__ import annotations
+
+import hashlib
+import importlib.util
+import sys
+import time
+
+sys.path.insert(0, "/root/repo")
+sys.path.insert(0, "/root/repo/tests")
+
+SF = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+MASTER = sys.argv[2] if len(sys.argv) > 2 else "local[8]"
+
+
+def _hash_df(df) -> str:
+    pdf = df.toPandas()
+    pdf = pdf[sorted(pdf.columns)]
+    rows = sorted(map(str, pdf.itertuples(index=False, name=None)))
+    return hashlib.md5("\n".join(rows).encode()).hexdigest()
+
+
+def main() -> int:
+    from ehr_relation_extraction_spark.session import get_spark
+    from ehr_relation_extraction_spark import driver_queries as dq
+    from compare_util import duck_con, compare
+
+    spark = get_spark(master=MASTER)
+    spark.sparkContext.setLogLevel("ERROR")
+
+    # 1. entry() smoke + determinism
+    spec = importlib.util.spec_from_file_location(
+        "__spark_entry__", "/root/repo/__spark_entry__.py")
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    e1 = mod.entry(spark)
+    h1 = _hash_df(e1)
+    n1 = e1.count()
+    cols = ",".join(e1.columns)
+    assert n1 > 0 and cols == "doc_id,url,subj_id,subj,pred,obj", (n1, cols)
+    old = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "3")
+    h2 = _hash_df(mod.entry(spark))
+    spark.conf.set("spark.sql.shuffle.partitions", old)
+    assert h1 == h2, "entry() not deterministic across shuffle partitions"
+    print(f"entry SMOKE PASS rows={n1} hash={h1[:12]}", flush=True)
+
+    # 2. full registry parity
+    con = duck_con(SF)
+    oracle = dq.oracle_sql() if hasattr(dq, "oracle_sql") else None
+    if oracle is None:
+        from ehr_relation_extraction_spark.oracle.sqlgen import ORACLE
+        oracle = ORACLE
+    n_pass = n_fail = 0
+    t0 = time.time()
+    for name, fn in dq.QUERIES.items():
+        t = time.time()
+        try:
+            ok, msg = compare(fn(spark, SF), con.sql(oracle[name]).df())
+        except Exception as exc:  # noqa: BLE001
+            ok, msg = False, f"EXC {exc!r}"
+        n_pass += ok
+        n_fail += not ok
+        print(f"{name} {'PASS' if ok else 'FAIL ' + msg[:300]}"
+              f" ({time.time() - t:.1f}s)", flush=True)
+    print(f"SUMMARY pass={n_pass} fail={n_fail} sf={SF}"
+          f" wall={time.time() - t0:.0f}s", flush=True)
+    return 1 if n_fail else 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

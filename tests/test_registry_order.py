@@ -159,6 +159,12 @@ EXPECTED_TAIL = [
     # Continuation batch 32: greedy max-coverage corpus selection —
     # appended past position 50.
     "greedy_coverage",
+    # Continuation batch 33: exact set-similarity join by prefix
+    # filtering — appended past position 50.
+    "prefix_filter_pairs",
+    # Continuation batch 34: Luby maximal independent set — appended
+    # past position 50.
+    "mis_nodes",
 ]
 
 
