@@ -1789,6 +1789,35 @@ def q_mis_nodes(spark, sf_dir) -> DataFrame:
     return luby_mis(edges, nodes, n_rounds=6)
 
 
+def q_type_inference(spark, sf_dir) -> DataFrame:
+    """RDFS-style schema materialization: induce each predicate's
+    rdfs:domain / rdfs:range (plurality type, at-least-half support)
+    and emit the entailed entity types next to the declared ones,
+    flagged is_new (operators/linking.rdfs_type_inference)."""
+    fr, linked, gaz = _linked(spark, sf_dir)
+    return lk.rdfs_type_inference(fr.triples, linked, gaz)
+
+
+def q_sn_pairs(spark, sf_dir) -> DataFrame:
+    """Sorted-neighborhood blocking (Hernandez-Stolfo): per-(host,
+    type) sorted surfaces paired with their 2 sort-order successors —
+    the sliding-window ER candidate generator complementing the
+    token-block / meta-blocking path (operators/linking.
+    sorted_neighborhood_pairs)."""
+    return lk.sorted_neighborhood_pairs(
+        _frames(spark, sf_dir).mentions, window=3)
+
+
+def q_katz_scores(spark, sf_dir) -> DataFrame:
+    """Truncated Katz centrality (depth 3, beta=1/8, x512 integer
+    scale) over the entity co-mention graph — walk-count column sums,
+    no pair enumeration (operators/graph_algos.katz_index)."""
+    from .operators.graph_algos import katz_index
+
+    edges, nodes = _comention_graph(spark, sf_dir)
+    return katz_index(edges, nodes, depth=3)
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # ORDER IS LOAD-BEARING: the driver snapshot verifies exactly
     # list(QUERIES)[:50] in insertion order (pinned by
@@ -2009,6 +2038,15 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # Continuation batch 34: Luby maximal independent set — appended
     # past position 50.
     "mis_nodes": q_mis_nodes,
+    # Continuation batch 35: RDFS domain/range type inference —
+    # appended past position 50.
+    "type_inference": q_type_inference,
+    # Continuation batch 36: sorted-neighborhood blocking — appended
+    # past position 50.
+    "sn_pairs": q_sn_pairs,
+    # Continuation batch 37: truncated integer Katz centrality —
+    # appended past position 50.
+    "katz_scores": q_katz_scores,
 }
 
 

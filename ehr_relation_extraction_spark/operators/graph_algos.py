@@ -1365,3 +1365,44 @@ def luby_mis(edges: DataFrame, nodes: DataFrame,
     return decided.unionByName(
         active.select("node", F.lit(-1).alias("in_mis"),
                       F.lit(0).cast("long").alias("decided_round")))
+
+
+def katz_index(edges: DataFrame, nodes: DataFrame,
+               depth: int = 3) -> DataFrame:
+    """Katz centrality, truncated to walks of length <= ``depth``
+    with attenuation beta = 1/8, as EXACT integers: katz_x512 =
+    sum_l beta^l * walks_l(node) scaled by 8**depth, i.e. 64*w1 +
+    8*w2 + w3 for depth 3, where walks_l(node) counts length-l walks
+    ending at node over the undirected (symmetrized, deduped) graph.
+
+    Walk counts — not path counts — so the recurrence is the pure
+    matrix-power column sum w_{l+1}(n) = sum_{m ~ n} w_l(m), one
+    keyed aggregate per level: no pair enumeration, no explosion.
+    Isolated nodes score 0.  Output: (node, w1, w2, w3, katz_x512),
+    all BIGINT, bit-exact across engines (integer sums only).
+    """
+    und = (edges.select("src", "dst")
+           .where(F.col("src") != F.col("dst")).dropDuplicates())
+    sym = (und.union(und.select(F.col("dst").alias("src"),
+                                F.col("src").alias("dst")))
+           .localCheckpoint())
+    w = sym.groupBy(F.col("dst").alias("node")).agg(
+        F.count(F.lit(1)).cast("long").alias("w1"))
+    levels = [w]
+    for i in range(2, depth + 1):
+        prev = levels[-1].withColumnRenamed("node", "src") \
+            .withColumnRenamed(f"w{i - 1}", "_wp")
+        nxt = (sym.join(prev, "src")
+               .groupBy(F.col("dst").alias("node"))
+               .agg(F.sum("_wp").cast("long").alias(f"w{i}")))
+        levels.append(nxt)
+    out = nodes.select("node")
+    for lv in levels:
+        out = out.join(lv, "node", "left")
+    out = out.fillna(0, [f"w{i}" for i in range(1, depth + 1)])
+    scale = 8 ** depth
+    katz = sum((F.col(f"w{i}") * F.lit(scale // (8 ** i))
+                for i in range(1, depth + 1)), F.lit(0))
+    return out.select("node",
+                      *[F.col(f"w{i}") for i in range(1, depth + 1)],
+                      katz.cast("long").alias("katz_x512"))

@@ -928,3 +928,116 @@ def precedence_edges(linked_mentions: DataFrame) -> DataFrame:
         .dropDuplicates())
     return (pairs.groupBy("src", "dst")
             .agg(F.count(F.lit(1)).cast("long").alias("n_pages")))
+
+
+def rdfs_type_inference(triples: DataFrame, linked: DataFrame,
+                        gaz: DataFrame) -> DataFrame:
+    """RDFS-style schema materialization — the missing-type repair
+    pass every KG build runs after extraction: induce each
+    predicate's rdfs:domain / rdfs:range from the data (plurality
+    type with at-least-half support, ties broken by type name), then
+    materialize the types those axioms entail for every subject /
+    linked object, alongside the declared types.
+
+    domain(p) = the plurality subject type among p's linked-subject
+    triples, kept only when 2 * n_major >= n_total; range(p) is the
+    same election over objects that link into the gazetteer by
+    lowercased surface (data-property objects never vote).
+
+    Output: (canonical_id, ent_type, source, is_new) distinct, where
+    source in ('declared', 'domain', 'range') and is_new = 1 iff an
+    inferred row's (entity, type) pair is NOT among the declared
+    pairs — the rows the inference actually added.
+
+    Scale: the per-pred elections aggregate to a handful of rows
+    (predicate vocabulary is single digits), so both axiom maps join
+    back in as broadcasts; the only wide shuffles are the
+    (url, subj_id) subject link and the distincts, all keyed.
+    """
+    from pyspark.sql import Window
+
+    subj = triples.join(
+        linked.select("url", F.col("ent_id").alias("subj_id"),
+                      "canonical_id", "ent_type"),
+        ["url", "subj_id"]).select("pred", "canonical_id", "ent_type")
+    obj = (triples.select("pred", F.lower(F.col("obj")).alias("alias"))
+           .join(F.broadcast(gaz.select("alias", "canonical_id",
+                                        "ent_type")), "alias")
+           .select("pred", "canonical_id", "ent_type"))
+
+    def _elect(side: DataFrame) -> DataFrame:
+        per = side.groupBy("pred", "ent_type").agg(
+            F.count(F.lit(1)).cast("long").alias("n"))
+        w = Window.partitionBy("pred").orderBy(F.desc("n"),
+                                               F.asc("ent_type"))
+        return (per
+                .withColumn("_tot", F.sum("n").over(
+                    Window.partitionBy("pred")))
+                .withColumn("_rk", F.row_number().over(w))
+                .where((F.col("_rk") == 1)
+                       & (F.lit(2) * F.col("n") >= F.col("_tot")))
+                .select("pred", F.col("ent_type").alias("axiom_type")))
+
+    declared = linked.select("canonical_id", "ent_type").dropDuplicates()
+    inferred = (subj.join(F.broadcast(_elect(subj)), "pred")
+                .select("canonical_id",
+                        F.col("axiom_type").alias("ent_type"),
+                        F.lit("domain").alias("source"))
+                .dropDuplicates()
+                .unionByName(
+                    obj.join(F.broadcast(_elect(obj)), "pred")
+                    .select("canonical_id",
+                            F.col("axiom_type").alias("ent_type"),
+                            F.lit("range").alias("source"))
+                    .dropDuplicates()))
+    return (declared.select("canonical_id", "ent_type",
+                            F.lit("declared").alias("source"),
+                            F.lit(0).cast("int").alias("is_new"))
+            .unionByName(
+                inferred.join(
+                    declared.withColumn("_dec", F.lit(1)),
+                    ["canonical_id", "ent_type"], "left")
+                .select("canonical_id", "ent_type", "source",
+                        F.when(F.col("_dec").isNull(), F.lit(1))
+                        .otherwise(F.lit(0)).cast("int")
+                        .alias("is_new"))))
+
+
+def sorted_neighborhood_pairs(mentions: DataFrame,
+                              window: int = 3) -> DataFrame:
+    """Sorted-neighborhood blocking (Hernandez & Stolfo, SIGMOD'95) —
+    the classic entity-resolution candidate generator that meta-
+    blocking's token blocks complement: sort each (host, ent_type)
+    block's distinct lowercased surfaces and pair every record with
+    its ``window - 1`` successors in sort order, so near-identical
+    names (shared prefixes, typos past the first characters) land in
+    the same sliding window without any pairwise comparison.
+
+    Output: (host, ent_type, surf_a, surf_b, pos_gap) with surf_a <
+    surf_b (sort order) and 1 <= pos_gap <= window - 1.
+
+    Scale: the sort is PER BLOCK — ``row_number``/``lead`` over a
+    (host, ent_type) window, never a global sort — and the pairing is
+    two ``lead`` columns, no self-join; blocks are host-bounded so
+    the skew cap is a single host's distinct-surface count.
+    """
+    from pyspark.sql import Window
+
+    host = F.substring_index(
+        F.substring_index("url", "//", -1), "/", 1)
+    recs = (mentions.select(host.alias("host"), "ent_type",
+                            F.lower(F.col("ent_text")).alias("surface"))
+            .dropDuplicates())
+    w = Window.partitionBy("host", "ent_type").orderBy("surface")
+    leads = recs.select(
+        "host", "ent_type", F.col("surface").alias("surf_a"),
+        *[F.lead("surface", g).over(w).alias(f"_l{g}")
+          for g in range(1, window)])
+    out = None
+    for g in range(1, window):
+        part = (leads.where(F.col(f"_l{g}").isNotNull())
+                .select("host", "ent_type", "surf_a",
+                        F.col(f"_l{g}").alias("surf_b"),
+                        F.lit(g).cast("int").alias("pos_gap")))
+        out = part if out is None else out.unionByName(part)
+    return out

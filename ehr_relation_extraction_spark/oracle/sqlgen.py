@@ -4968,3 +4968,119 @@ def _mis_select(n_rounds: int = 6) -> str:
 
 ORACLE["mis_nodes"] = _q(_mis_select(6), LINK_CTES,
                          COMENTION_CTES.strip(), _mis_sql(6))
+
+
+# ---------------------------------------------------------------------------
+# Continuation batch 35: RDFS-style domain/range type inference
+# (operators/linking.rdfs_type_inference).  Axiom election = plurality
+# type per predicate with at-least-half support (2*n >= tot), ties by
+# type name — the pred_violations election rule with a support gate.
+# All counts BIGINT; the output is pure strings + a 0/1 INT flag.
+
+_TI_CTES = """
+ti_subj AS MATERIALIZED (
+  SELECT t.pred, l.canonical_id, l.ent_type
+  FROM triples t
+  JOIN linked l ON t.url = l.url AND t.subj_id = l.ent_id),
+ti_obj AS MATERIALIZED (
+  SELECT t.pred, g.canonical_id, g.ent_type
+  FROM triples t JOIN gaz g ON lower(t.obj) = g.alias),
+ti_dom AS MATERIALIZED (
+  SELECT pred, ent_type AS axiom_type FROM (
+    SELECT pred, ent_type, n,
+           SUM(n) OVER (PARTITION BY pred) AS tot,
+           ROW_NUMBER() OVER (PARTITION BY pred
+                              ORDER BY n DESC, ent_type ASC) AS rk
+    FROM (SELECT pred, ent_type, CAST(COUNT(*) AS BIGINT) AS n
+          FROM ti_subj GROUP BY 1, 2))
+  WHERE rk = 1 AND 2 * n >= tot),
+ti_rng AS MATERIALIZED (
+  SELECT pred, ent_type AS axiom_type FROM (
+    SELECT pred, ent_type, n,
+           SUM(n) OVER (PARTITION BY pred) AS tot,
+           ROW_NUMBER() OVER (PARTITION BY pred
+                              ORDER BY n DESC, ent_type ASC) AS rk
+    FROM (SELECT pred, ent_type, CAST(COUNT(*) AS BIGINT) AS n
+          FROM ti_obj GROUP BY 1, 2))
+  WHERE rk = 1 AND 2 * n >= tot),
+ti_decl AS MATERIALIZED (
+  SELECT DISTINCT canonical_id, ent_type FROM linked),
+ti_inf AS (
+  SELECT DISTINCT s.canonical_id, d.axiom_type AS ent_type,
+         'domain' AS source
+  FROM ti_subj s JOIN ti_dom d USING (pred)
+  UNION ALL
+  SELECT DISTINCT o.canonical_id, r.axiom_type AS ent_type,
+         'range' AS source
+  FROM ti_obj o JOIN ti_rng r USING (pred))"""
+
+ORACLE["type_inference"] = _q("""
+SELECT canonical_id, ent_type, 'declared' AS source,
+       CAST(0 AS INT) AS is_new
+FROM ti_decl
+UNION ALL
+SELECT i.canonical_id, i.ent_type, i.source,
+       CAST(CASE WHEN d.ent_type IS NULL THEN 1 ELSE 0 END AS INT)
+         AS is_new
+FROM ti_inf i
+LEFT JOIN ti_decl d ON d.canonical_id = i.canonical_id
+                   AND d.ent_type = i.ent_type""", LINK_CTES, _TI_CTES)
+
+
+# ---------------------------------------------------------------------------
+# Continuation batch 36: sorted-neighborhood blocking over mention
+# surfaces (operators/linking.sorted_neighborhood_pairs, window 3).
+# Per-(host, ent_type) sort + LEAD pairing — both engines compare the
+# same distinct lowercased surfaces bytewise, so the neighbor lists
+# are identical.
+
+_SN_CTES = """
+sn_recs AS MATERIALIZED (
+  SELECT DISTINCT split_part(split_part(url, '//', 2), '/', 1) AS host,
+         ent_type, lower(ent_text) AS surface
+  FROM mentions),
+sn_lead AS (
+  SELECT host, ent_type, surface AS surf_a,
+         LEAD(surface, 1) OVER w AS l1,
+         LEAD(surface, 2) OVER w AS l2
+  FROM sn_recs
+  WINDOW w AS (PARTITION BY host, ent_type ORDER BY surface))"""
+
+ORACLE["sn_pairs"] = _q("""
+SELECT host, ent_type, surf_a, l1 AS surf_b, CAST(1 AS INT) AS pos_gap
+FROM sn_lead WHERE l1 IS NOT NULL
+UNION ALL
+SELECT host, ent_type, surf_a, l2 AS surf_b, CAST(2 AS INT) AS pos_gap
+FROM sn_lead WHERE l2 IS NOT NULL""", _SN_CTES)
+
+
+# ---------------------------------------------------------------------------
+# Continuation batch 37: truncated Katz centrality over the entity
+# co-mention graph (operators/graph_algos.katz_index, depth 3, beta =
+# 1/8 scaled by 8^3 = 512).  Pure integer matrix-power column sums —
+# one keyed aggregate per level, bit-exact regardless of summation
+# order.
+
+_KZ_CTES = """
+kz_w1 AS MATERIALIZED (
+  SELECT dst AS node, CAST(COUNT(*) AS BIGINT) AS w1
+  FROM com_sym GROUP BY 1),
+kz_w2 AS MATERIALIZED (
+  SELECT e.dst AS node, CAST(SUM(d.w1) AS BIGINT) AS w2
+  FROM com_sym e JOIN kz_w1 d ON d.node = e.src GROUP BY 1),
+kz_w3 AS (
+  SELECT e.dst AS node, CAST(SUM(x.w2) AS BIGINT) AS w3
+  FROM com_sym e JOIN kz_w2 x ON x.node = e.src GROUP BY 1)"""
+
+ORACLE["katz_scores"] = _q("""
+SELECT n.node,
+       CAST(COALESCE(a.w1, 0) AS BIGINT) AS w1,
+       CAST(COALESCE(b.w2, 0) AS BIGINT) AS w2,
+       CAST(COALESCE(c.w3, 0) AS BIGINT) AS w3,
+       CAST(64 * COALESCE(a.w1, 0) + 8 * COALESCE(b.w2, 0)
+            + COALESCE(c.w3, 0) AS BIGINT) AS katz_x512
+FROM cc_nodes n
+LEFT JOIN kz_w1 a ON a.node = n.node
+LEFT JOIN kz_w2 b ON b.node = n.node
+LEFT JOIN kz_w3 c ON c.node = n.node""", LINK_CTES,
+COMENTION_CTES.strip(), _KZ_CTES)

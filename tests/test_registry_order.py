@@ -165,6 +165,15 @@ EXPECTED_TAIL = [
     # Continuation batch 34: Luby maximal independent set — appended
     # past position 50.
     "mis_nodes",
+    # Continuation batch 35: RDFS domain/range type inference —
+    # appended past position 50.
+    "type_inference",
+    # Continuation batch 36: sorted-neighborhood blocking — appended
+    # past position 50.
+    "sn_pairs",
+    # Continuation batch 37: truncated integer Katz centrality —
+    # appended past position 50.
+    "katz_scores",
 ]
 
 
