@@ -1818,6 +1818,34 @@ def q_katz_scores(spark, sf_dir) -> DataFrame:
     return katz_index(edges, nodes, depth=3)
 
 
+def q_butterflies(spark, sf_dir) -> DataFrame:
+    """Per-entity butterfly (bipartite 4-cycle) counts over the
+    doc-entity incidence — the blocking-key density diagnostic, via
+    the exact C(d,2) wedge identity (operators/graph_algos.
+    butterfly_counts)."""
+    from .operators.graph_algos import butterfly_counts
+
+    _, linked, _ = _linked(spark, sf_dir)
+    _, nodes = _comention_graph(spark, sf_dir)
+    return butterfly_counts(
+        linked.select("doc_id", "canonical_id"), nodes)
+
+
+def q_bcubed(spark, sf_dir) -> DataFrame:
+    """B-cubed P/R/F1 of the attribute-merge clustering against the
+    alias-link canonical labels — the coreference-standard extrinsic
+    score for the merge pass (operators/evaluate.bcubed_scores)."""
+    fr, linked, _ = _linked(spark, sf_dir)
+    pred = tri_op.attr_merge_clusters(fr.triples).select(
+        F.col("subj").alias("item"), "cluster")
+    gold = (fr.triples
+            .join(linked.select("url", F.col("ent_id").alias("subj_id"),
+                                "canonical_id"), ["url", "subj_id"])
+            .groupBy(F.col("subj").alias("item"))
+            .agg(F.min("canonical_id").alias("label")))
+    return ev.bcubed_scores(pred, gold)
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # ORDER IS LOAD-BEARING: the driver snapshot verifies exactly
     # list(QUERIES)[:50] in insertion order (pinned by
@@ -2047,6 +2075,12 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # Continuation batch 37: truncated integer Katz centrality —
     # appended past position 50.
     "katz_scores": q_katz_scores,
+    # Continuation batch 38: bipartite butterfly counts — appended
+    # past position 50.
+    "butterflies": q_butterflies,
+    # Continuation batch 39: B-cubed clustering evaluation — appended
+    # past position 50.
+    "bcubed": q_bcubed,
 }
 
 

@@ -273,3 +273,59 @@ def prf_triples(gold_triples: DataFrame, pred_triples: DataFrame) -> DataFrame:
     return _with_prf(spark.createDataFrame(
         [(int(tp), int(g.count()), int(p.count()))],
         "tp long, n_gold long, n_pred long"))
+
+
+def bcubed_scores(pred: DataFrame, gold: DataFrame) -> DataFrame:
+    """B-cubed extrinsic clustering evaluation (Bagga & Baldwin '98)
+    — the coreference-standard score for the entity-merging passes:
+    per item i, P_i = |C(i) n L(i)| / |C(i)| and R_i = the same over
+    |L(i)|, averaged over items; unlike pairwise F1 it weights every
+    ITEM equally, so one giant wrong merge can't hide behind many
+    tiny correct ones.
+
+    Integer protocol: each item's P_i/R_i is floor-scaled to micro6
+    BEFORE averaging (order-independent integer sums), the averages
+    are integer divisions, and F1 = (2*P*R) // (P + R) on the already
+    floored averages — bit-exact across engines.
+
+    Input: ``pred (item, cluster)``, ``gold (item, label)`` — one row
+    per item each; items missing from either side are dropped (inner
+    join).  Output: one row (n_items, bcubed_p_micro6,
+    bcubed_r_micro6, bcubed_f1_micro6).
+
+    Scale: three keyed counts (cluster size, class size, and the
+    cluster-class contingency count) joined back per item — O(n),
+    never a pairwise item join.
+    """
+    j = pred.join(gold, "item").select("item", "cluster", "label")
+    csize = j.groupBy("cluster").agg(
+        F.count(F.lit(1)).cast("long").alias("_cs"))
+    gsize = j.groupBy("label").agg(
+        F.count(F.lit(1)).cast("long").alias("_gs"))
+    inter = j.groupBy("cluster", "label").agg(
+        F.count(F.lit(1)).cast("long").alias("_in"))
+    per = (j.join(inter, ["cluster", "label"])
+           .join(csize, "cluster").join(gsize, "label")
+           .select(
+               F.floor(F.col("_in") * F.lit(1000000) / F.col("_cs"))
+               .cast("long").alias("_p"),
+               F.floor(F.col("_in") * F.lit(1000000) / F.col("_gs"))
+               .cast("long").alias("_r")))
+    return (per.agg(F.count(F.lit(1)).cast("long").alias("n_items"),
+                    F.sum("_p").cast("long").alias("_sp"),
+                    F.sum("_r").cast("long").alias("_sr"))
+            .select(
+                "n_items",
+                F.floor(F.col("_sp") / F.col("n_items")).cast("long")
+                .alias("bcubed_p_micro6"),
+                F.floor(F.col("_sr") / F.col("n_items")).cast("long")
+                .alias("bcubed_r_micro6"))
+            .withColumn(
+                "bcubed_f1_micro6",
+                F.when(F.col("bcubed_p_micro6")
+                       + F.col("bcubed_r_micro6") > 0,
+                       F.floor(F.lit(2) * F.col("bcubed_p_micro6")
+                               * F.col("bcubed_r_micro6")
+                               / (F.col("bcubed_p_micro6")
+                                  + F.col("bcubed_r_micro6"))))
+                .otherwise(F.lit(0)).cast("long")))

@@ -1406,3 +1406,44 @@ def katz_index(edges: DataFrame, nodes: DataFrame,
     return out.select("node",
                       *[F.col(f"w{i}") for i in range(1, depth + 1)],
                       katz.cast("long").alias("katz_x512"))
+
+
+def butterfly_counts(incidence: DataFrame, nodes: DataFrame) -> DataFrame:
+    """Per-entity butterfly (bipartite 4-cycle) counts over the
+    doc-entity incidence — the bipartite analogue of triangle
+    counting and the standard density diagnostic for blocking keys:
+    a butterfly is two entities sharing two documents, so entities
+    with huge butterfly counts sit in near-duplicate doc groups and
+    make blocking-based ER quadratic.
+
+    Exact, via the wedge identity: for each entity pair sharing d
+    docs the pair contributes C(d, 2) butterflies — one keyed
+    aggregate over the doc-grouped self-join, never motif
+    enumeration.  d*(d-1) is always even, so // 2 is exact integer.
+
+    Input: ``incidence (doc_id, canonical_id)`` (deduped inside),
+    ``nodes (node)``.  Output: (node, n_copartners, n_butterflies),
+    BIGINT, 0 for entities sharing no document with anyone.
+
+    Scale: the self-join is keyed by doc_id, so the fanout cap is the
+    max distinct-entity count of a single document (bounded by doc
+    length), not the corpus; everything after is map-side-combinable
+    sums.
+    """
+    inc = (incidence.select("doc_id", "canonical_id")
+           .dropDuplicates())
+    pair = (inc.alias("a")
+            .join(inc.alias("b"),
+                  (F.col("a.doc_id") == F.col("b.doc_id"))
+                  & (F.col("a.canonical_id") < F.col("b.canonical_id")))
+            .groupBy(F.col("a.canonical_id").alias("x"),
+                     F.col("b.canonical_id").alias("y"))
+            .agg(F.count(F.lit(1)).cast("long").alias("d")))
+    per = (pair.select(F.col("x").alias("node"), "d")
+           .unionByName(pair.select(F.col("y").alias("node"), "d"))
+           .groupBy("node")
+           .agg(F.count(F.lit(1)).cast("long").alias("n_copartners"),
+                F.sum(F.expr("d * (d - 1) div 2")).cast("long")
+                .alias("n_butterflies")))
+    return (nodes.select("node").join(per, "node", "left")
+            .fillna(0, ["n_copartners", "n_butterflies"]))

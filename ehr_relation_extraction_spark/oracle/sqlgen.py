@@ -5084,3 +5084,79 @@ LEFT JOIN kz_w1 a ON a.node = n.node
 LEFT JOIN kz_w2 b ON b.node = n.node
 LEFT JOIN kz_w3 c ON c.node = n.node""", LINK_CTES,
 COMENTION_CTES.strip(), _KZ_CTES)
+
+
+# ---------------------------------------------------------------------------
+# Continuation batch 38: per-entity butterfly (bipartite 4-cycle)
+# counts over the doc-entity incidence (operators/graph_algos.
+# butterfly_counts) — exact via the C(d, 2) wedge identity; d*(d-1)
+# is always even so // 2 is exact.
+
+_BF_CTES = """
+bf_inc AS MATERIALIZED (
+  SELECT DISTINCT doc_id, canonical_id FROM linked),
+bf_pair AS MATERIALIZED (
+  SELECT a.canonical_id AS x, b.canonical_id AS y,
+         CAST(COUNT(*) AS BIGINT) AS d
+  FROM bf_inc a JOIN bf_inc b
+    ON a.doc_id = b.doc_id AND a.canonical_id < b.canonical_id
+  GROUP BY 1, 2),
+bf_node AS (
+  SELECT node, CAST(COUNT(*) AS BIGINT) AS n_copartners,
+         CAST(SUM((d * (d - 1)) // 2) AS BIGINT) AS n_butterflies
+  FROM (SELECT x AS node, d FROM bf_pair
+        UNION ALL SELECT y AS node, d FROM bf_pair)
+  GROUP BY 1)"""
+
+ORACLE["butterflies"] = _q("""
+SELECT n.node,
+       CAST(COALESCE(b.n_copartners, 0) AS BIGINT) AS n_copartners,
+       CAST(COALESCE(b.n_butterflies, 0) AS BIGINT) AS n_butterflies
+FROM cc_nodes n LEFT JOIN bf_node b ON b.node = n.node""",
+LINK_CTES, _BF_CTES)
+
+
+# ---------------------------------------------------------------------------
+# Continuation batch 39: B-cubed P/R/F1 of the attribute-merge
+# clustering vs the alias-link canonical labels (operators/evaluate.
+# bcubed_scores).  Per-item P/R floor-scaled to micro6 BEFORE the
+# averages, so every sum is an order-independent integer sum; F1 is
+# one integer division over the floored averages.
+
+_BC_CTES = """
+bc_gold AS MATERIALIZED (
+  SELECT t.subj AS item, MIN(l.canonical_id) AS label
+  FROM triples t
+  JOIN linked l ON t.url = l.url AND t.subj_id = l.ent_id
+  GROUP BY 1),
+bc_j AS MATERIALIZED (
+  SELECT p.node AS item, p.label AS cluster, g.label
+  FROM am_labels p JOIN bc_gold g ON g.item = p.node),
+bc_cs AS (SELECT cluster, CAST(COUNT(*) AS BIGINT) AS cs
+          FROM bc_j GROUP BY 1),
+bc_gs AS (SELECT label, CAST(COUNT(*) AS BIGINT) AS gs
+          FROM bc_j GROUP BY 1),
+bc_in AS (SELECT cluster, label, CAST(COUNT(*) AS BIGINT) AS i
+          FROM bc_j GROUP BY 1, 2),
+bc_per AS (
+  SELECT (i.i * 1000000) // c.cs AS p,
+         (i.i * 1000000) // g.gs AS r
+  FROM bc_j j
+  JOIN bc_in i ON i.cluster = j.cluster AND i.label = j.label
+  JOIN bc_cs c ON c.cluster = j.cluster
+  JOIN bc_gs g ON g.label = j.label),
+bc_sum AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n_items,
+         CAST(SUM(p) AS BIGINT) AS sp,
+         CAST(SUM(r) AS BIGINT) AS sr
+  FROM bc_per)"""
+
+ORACLE["bcubed"] = _q("""
+SELECT n_items,
+       CAST(sp // n_items AS BIGINT) AS bcubed_p_micro6,
+       CAST(sr // n_items AS BIGINT) AS bcubed_r_micro6,
+       CAST(CASE WHEN sp // n_items + sr // n_items > 0
+                 THEN (2 * (sp // n_items) * (sr // n_items))
+                      // (sp // n_items + sr // n_items)
+                 ELSE 0 END AS BIGINT) AS bcubed_f1_micro6
+FROM bc_sum""", _EJ_CTES, _AM_CTES, LINK_CTES, _BC_CTES)

@@ -174,6 +174,12 @@ EXPECTED_TAIL = [
     # Continuation batch 37: truncated integer Katz centrality —
     # appended past position 50.
     "katz_scores",
+    # Continuation batch 38: bipartite butterfly counts — appended
+    # past position 50.
+    "butterflies",
+    # Continuation batch 39: B-cubed clustering evaluation — appended
+    # past position 50.
+    "bcubed",
 ]
 
 
