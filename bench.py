@@ -762,11 +762,11 @@ def run_kg_analytics(sf_dir: str, cpus: int) -> None:
             "transe_scores", "transe_ranks", "modularity",
             "token_blocks", "meta_block_edges", "entity_skyline",
             "weighted_sample", "pred_fds", "fact_runs",
-            # round-5 fourth-continuation batches 31-39
+            # round-5 fourth-continuation batches 31-41
             "precedence_edges", "scc_components", "bowtie_structure",
             "greedy_coverage", "prefix_filter_pairs", "mis_nodes",
             "type_inference", "sn_pairs", "katz_scores",
-            "butterflies", "bcubed"]
+            "butterflies", "bcubed", "cocitation", "msf_edges"]
     timings: dict[str, float] = {}
     counts: dict[str, int] = {}
     for _ in range(trials):

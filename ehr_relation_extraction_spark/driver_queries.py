@@ -1846,6 +1846,34 @@ def q_bcubed(spark, sf_dir) -> DataFrame:
     return ev.bcubed_scores(pred, gold)
 
 
+def q_cocitation(spark, sf_dir) -> DataFrame:
+    """Co-citation + bibliographic coupling counts over the directed
+    precedence graph — the classic second-order link-analysis
+    similarity pair (operators/graph_algos.cocitation_coupling)."""
+    from .operators.graph_algos import cocitation_coupling
+
+    edges, _ = _prec_graph(spark, sf_dir)
+    return cocitation_coupling(edges)
+
+
+def q_msf_edges(spark, sf_dir) -> DataFrame:
+    """Minimum spanning forest of the attribute-similarity graph by
+    Boruvka's algorithm (cost = 1e6 - jac_micro6, (cost, src, dst)
+    total order) — the parallel single-linkage clustering backbone
+    (operators/graph_algos.boruvka_msf)."""
+    from .operators.graph_algos import boruvka_msf
+
+    ej = tri_op.entity_attr_jaccard(_frames(spark, sf_dir).triples)
+    edges = ej.select(
+        F.col("subj_a").alias("src"), F.col("subj_b").alias("dst"),
+        (F.lit(1000000) - F.col("jac_micro6")).cast("long")
+        .alias("cost"))
+    nodes = (edges.select(F.col("src").alias("node"))
+             .unionByName(edges.select(F.col("dst").alias("node")))
+             .dropDuplicates())
+    return boruvka_msf(edges, nodes, n_rounds=6)
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # ORDER IS LOAD-BEARING: the driver snapshot verifies exactly
     # list(QUERIES)[:50] in insertion order (pinned by
@@ -2081,6 +2109,12 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # Continuation batch 39: B-cubed clustering evaluation — appended
     # past position 50.
     "bcubed": q_bcubed,
+    # Continuation batch 40: co-citation + bibliographic coupling —
+    # appended past position 50.
+    "cocitation": q_cocitation,
+    # Continuation batch 41: Boruvka minimum spanning forest —
+    # appended past position 50.
+    "msf_edges": q_msf_edges,
 }
 
 

@@ -1447,3 +1447,113 @@ def butterfly_counts(incidence: DataFrame, nodes: DataFrame) -> DataFrame:
                 .alias("n_butterflies")))
     return (nodes.select("node").join(per, "node", "left")
             .fillna(0, ["n_copartners", "n_butterflies"]))
+
+
+def cocitation_coupling(edges: DataFrame) -> DataFrame:
+    """Co-citation (Small '73) and bibliographic coupling (Kessler
+    '63) over a directed graph — the two classic second-order
+    similarity signals of citation/web-link analysis, here over the
+    narrative-precedence entity graph: co-citation counts common
+    IN-neighbors (entities preceded by the same third entity),
+    coupling counts common OUT-neighbors.
+
+    Output: (node_a, node_b, n_cocite, n_coupling) with node_a <
+    node_b, one row per pair where either count is positive.
+
+    Scale: both are single equi-self-joins keyed on the shared
+    endpoint (the classic friends-of-friends wedge join) + one keyed
+    count — fanout is bounded per hub by its degree, and the final
+    full-outer merge joins two already-aggregated pair tables.
+    """
+    e = edges.select("src", "dst").dropDuplicates()
+    co = (e.alias("a").join(
+            e.alias("b"),
+            (F.col("a.src") == F.col("b.src"))
+            & (F.col("a.dst") < F.col("b.dst")))
+          .groupBy(F.col("a.dst").alias("node_a"),
+                   F.col("b.dst").alias("node_b"))
+          .agg(F.count(F.lit(1)).cast("long").alias("n_cocite")))
+    bc = (e.alias("a").join(
+            e.alias("b"),
+            (F.col("a.dst") == F.col("b.dst"))
+            & (F.col("a.src") < F.col("b.src")))
+          .groupBy(F.col("a.src").alias("node_a"),
+                   F.col("b.src").alias("node_b"))
+          .agg(F.count(F.lit(1)).cast("long").alias("n_coupling")))
+    return (co.join(bc, ["node_a", "node_b"], "full")
+            .fillna(0, ["n_cocite", "n_coupling"]))
+
+
+def boruvka_msf(edges: DataFrame, nodes: DataFrame,
+                n_rounds: int = 6) -> DataFrame:
+    """Minimum spanning forest by Boruvka's algorithm — the ONLY
+    classic MST algorithm that is natively parallel (Kruskal and Prim
+    are inherently sequential), and the engine of single-linkage
+    clustering at scale: each round EVERY component picks its
+    cheapest outgoing edge simultaneously, the picked edges merge
+    components (hash-min contraction), and the component count at
+    least halves, so ceil(log2(largest component)) rounds finish.
+
+    Determinism: edges are totally ordered by (cost, src, dst) —
+    lexicographic tie-breaking is the standard "distinct weights"
+    perturbation under which Boruvka's output is THE unique MSF, so
+    the result is engine- and partitioning-independent.
+
+    Input: ``edges (src, dst, cost)`` with src < dst (distinct pairs,
+    BIGINT cost), ``nodes (node)``.  Output: (subj_a, subj_b, cost,
+    round) — the forest edges and the round that picked them.
+
+    Scale: per round, one double equi-join to component-label the
+    edge endpoints, one per-component min (map-side combinable
+    struct-min), and a contraction CC that runs on the COMPONENT
+    graph (<= one edge per component — vanishingly small after round
+    one); localCheckpoint per round cuts lineage.  No collect, no
+    global sort.
+    """
+    from .linking import connected_components
+
+    e = (edges.select("src", "dst", F.col("cost").cast("long")
+                      .alias("cost"))
+         .dropDuplicates(["src", "dst"]).localCheckpoint())
+    lab = nodes.select("node", F.col("node").alias("comp")) \
+        .localCheckpoint()
+    forest = None
+    for r in range(1, n_rounds + 1):
+        ce = (e.join(lab.select(F.col("node").alias("src"),
+                                F.col("comp").alias("ca")), "src")
+              .join(lab.select(F.col("node").alias("dst"),
+                               F.col("comp").alias("cb")), "dst")
+              .where(F.col("ca") != F.col("cb")).localCheckpoint())
+        if ce.isEmpty():
+            break
+        both = (ce.select(F.col("ca").alias("comp"), "cost", "src",
+                          "dst", "ca", "cb")
+                .unionByName(ce.select(F.col("cb").alias("comp"),
+                                       "cost", "src", "dst", "ca",
+                                       "cb")))
+        chosen = (both.groupBy("comp")
+                  .agg(F.min(F.struct("cost", "src", "dst", "ca",
+                                      "cb")).alias("m"))
+                  .select(F.col("m.cost").alias("cost"),
+                          F.col("m.src").alias("src"),
+                          F.col("m.dst").alias("dst"),
+                          F.col("m.ca").alias("ca"),
+                          F.col("m.cb").alias("cb"))
+                  .dropDuplicates(["src", "dst"]).localCheckpoint())
+        batch = chosen.select(F.col("src").alias("subj_a"),
+                              F.col("dst").alias("subj_b"), "cost",
+                              F.lit(r).cast("long").alias("round"))
+        forest = batch if forest is None else forest.unionByName(batch)
+        forest = forest.localCheckpoint()
+        cgraph = chosen.select(F.col("ca").alias("src"),
+                               F.col("cb").alias("dst"))
+        comps = lab.select(F.col("comp").alias("node")).dropDuplicates()
+        relabel = connected_components(cgraph, comps).withColumnRenamed(
+            "node", "comp").withColumnRenamed("component", "newc")
+        lab = (lab.join(relabel, "comp", "left")
+               .select("node", F.coalesce("newc", "comp").alias("comp"))
+               .localCheckpoint())
+    if forest is None:
+        return nodes.sparkSession.createDataFrame(
+            [], "subj_a string, subj_b string, cost long, round long")
+    return forest

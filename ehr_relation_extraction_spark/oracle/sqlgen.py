@@ -5160,3 +5160,94 @@ SELECT n_items,
                       // (sp // n_items + sr // n_items)
                  ELSE 0 END AS BIGINT) AS bcubed_f1_micro6
 FROM bc_sum""", _EJ_CTES, _AM_CTES, LINK_CTES, _BC_CTES)
+
+
+# ---------------------------------------------------------------------------
+# Continuation batch 40: co-citation + bibliographic coupling over
+# the directed precedence graph (operators/graph_algos.
+# cocitation_coupling).  Reuses PREC_CTES' edge construction by
+# slicing off the (expensive, recursive) closure CTEs — graph
+# construction can never drift from the SCC/bowtie oracles.
+
+_PREC_EDGE_CTES = PREC_CTES.split("pnodes")[0].rstrip().rstrip(",")
+
+_CCB_CTES = _PREC_EDGE_CTES + """,
+ccb_co AS (
+  SELECT a.dst AS node_a, b.dst AS node_b,
+         CAST(COUNT(*) AS BIGINT) AS n_cocite
+  FROM prec_edges a JOIN prec_edges b
+    ON a.src = b.src AND a.dst < b.dst
+  GROUP BY 1, 2),
+ccb_bc AS (
+  SELECT a.src AS node_a, b.src AS node_b,
+         CAST(COUNT(*) AS BIGINT) AS n_coupling
+  FROM prec_edges a JOIN prec_edges b
+    ON a.dst = b.dst AND a.src < b.src
+  GROUP BY 1, 2)"""
+
+ORACLE["cocitation"] = _q("""
+SELECT COALESCE(c.node_a, p.node_a) AS node_a,
+       COALESCE(c.node_b, p.node_b) AS node_b,
+       CAST(COALESCE(c.n_cocite, 0) AS BIGINT) AS n_cocite,
+       CAST(COALESCE(p.n_coupling, 0) AS BIGINT) AS n_coupling
+FROM ccb_co c
+FULL JOIN ccb_bc p ON p.node_a = c.node_a AND p.node_b = c.node_b""",
+LINK_CTES, _CCB_CTES)
+
+
+# ---------------------------------------------------------------------------
+# Continuation batch 41: Boruvka minimum spanning forest over the
+# attribute-similarity graph (operators/graph_algos.boruvka_msf,
+# cost = 1e6 - jac_micro6, total order (cost, src, dst), 6 rounds).
+# Each round: per-component argmin edge (ROW_NUMBER over the doubled
+# incidence), then hash-min contraction as a per-round bounded
+# recursive CTE over the chosen COMPONENT edges — the LINK_CTES
+# `reach` device applied per round.
+
+def _boruvka_sql(n_rounds: int = 6) -> str:
+    blocks = ["""bor_e AS MATERIALIZED (
+  SELECT subj_a AS src, subj_b AS dst,
+         CAST(1000000 - jac_micro6 AS BIGINT) AS cost
+  FROM ej_pairs),
+bor_lab0 AS MATERIALIZED (
+  SELECT node, node AS comp FROM (
+    SELECT DISTINCT src AS node FROM bor_e
+    UNION SELECT DISTINCT dst AS node FROM bor_e))"""]
+    for r in range(1, n_rounds + 1):
+        blocks.append(f"""bor_ce{r} AS MATERIALIZED (
+  SELECT la.comp AS ca, lb.comp AS cb, e.cost, e.src, e.dst
+  FROM bor_e e
+  JOIN bor_lab{r - 1} la ON la.node = e.src
+  JOIN bor_lab{r - 1} lb ON lb.node = e.dst
+  WHERE la.comp <> lb.comp),
+bor_min{r} AS MATERIALIZED (
+  SELECT DISTINCT src, dst, cost, ca, cb FROM (
+    SELECT comp, cost, src, dst, ca, cb,
+           ROW_NUMBER() OVER (PARTITION BY comp
+                              ORDER BY cost, src, dst) AS rk
+    FROM (SELECT ca AS comp, cost, src, dst, ca, cb FROM bor_ce{r}
+          UNION ALL
+          SELECT cb AS comp, cost, src, dst, ca, cb FROM bor_ce{r}))
+  WHERE rk = 1),
+bor_sym{r} AS MATERIALIZED (
+  SELECT ca AS u, cb AS v FROM bor_min{r}
+  UNION SELECT cb AS u, ca AS v FROM bor_min{r}),
+bor_reach{r}(u, v) AS (
+  SELECT u, u AS v FROM (SELECT DISTINCT u FROM bor_sym{r}) b
+  UNION
+  SELECT rr.u, s.v FROM bor_reach{r} rr
+  JOIN bor_sym{r} s ON s.u = rr.v),
+bor_new{r} AS MATERIALIZED (
+  SELECT u AS comp, MIN(v) AS newc FROM bor_reach{r} GROUP BY 1),
+bor_lab{r} AS MATERIALIZED (
+  SELECT l.node, COALESCE(n.newc, l.comp) AS comp
+  FROM bor_lab{r - 1} l LEFT JOIN bor_new{r} n ON n.comp = l.comp)""")
+    return ",\n".join(blocks)
+
+
+_BOR_SELECT = " UNION ALL ".join(
+    f"SELECT src AS subj_a, dst AS subj_b, cost, "
+    f"CAST({r} AS BIGINT) AS round FROM bor_min{r}"
+    for r in range(1, 7))
+
+ORACLE["msf_edges"] = _q(_BOR_SELECT, _EJ_CTES, _boruvka_sql(6))

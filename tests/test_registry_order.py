@@ -180,6 +180,12 @@ EXPECTED_TAIL = [
     # Continuation batch 39: B-cubed clustering evaluation — appended
     # past position 50.
     "bcubed",
+    # Continuation batch 40: co-citation + bibliographic coupling —
+    # appended past position 50.
+    "cocitation",
+    # Continuation batch 41: Boruvka minimum spanning forest —
+    # appended past position 50.
+    "msf_edges",
 ]
 
 
