@@ -766,7 +766,8 @@ def run_kg_analytics(sf_dir: str, cpus: int) -> None:
             "precedence_edges", "scc_components", "bowtie_structure",
             "greedy_coverage", "prefix_filter_pairs", "mis_nodes",
             "type_inference", "sn_pairs", "katz_scores",
-            "butterflies", "bcubed", "cocitation", "msf_edges"]
+            "butterflies", "bcubed", "cocitation", "msf_edges",
+            "hyperball"]
     timings: dict[str, float] = {}
     counts: dict[str, int] = {}
     for _ in range(trials):

@@ -1874,6 +1874,17 @@ def q_msf_edges(spark, sf_dir) -> DataFrame:
     return boruvka_msf(edges, nodes, n_rounds=6)
 
 
+def q_hyperball(spark, sf_dir) -> DataFrame:
+    """HyperBall neighborhood function (Boldi-Vigna): per-node
+    16-register HLL ball counters advanced by neighbor register
+    max-merges, dist 0..3, integer raw estimator
+    (operators/graph_algos.hyperball_nf)."""
+    from .operators.graph_algos import hyperball_nf
+
+    edges, nodes = _comention_graph(spark, sf_dir)
+    return hyperball_nf(edges, nodes, depth=3)
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # ORDER IS LOAD-BEARING: the driver snapshot verifies exactly
     # list(QUERIES)[:50] in insertion order (pinned by
@@ -2115,6 +2126,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # Continuation batch 41: Boruvka minimum spanning forest —
     # appended past position 50.
     "msf_edges": q_msf_edges,
+    # Continuation batch 42: HyperBall neighborhood function —
+    # appended past position 50.
+    "hyperball": q_hyperball,
 }
 
 

@@ -1557,3 +1557,81 @@ def boruvka_msf(edges: DataFrame, nodes: DataFrame,
         return nodes.sparkSession.createDataFrame(
             [], "subj_a string, subj_b string, cost long, round long")
     return forest
+
+
+def hyperball_nf(edges: DataFrame, nodes: DataFrame,
+                 depth: int = 3) -> DataFrame:
+    """HyperBall (Boldi & Vigna, 2013) — the neighborhood-function
+    algorithm behind the "four degrees of separation" measurements:
+    every node keeps a 16-register HyperLogLog counter of its ball
+    B(node, d), and one round of register max-merge over neighbors
+    advances every ball from radius d to d+1 simultaneously.  State
+    is <= 16 rows per node FOREVER, so the per-round cost never grows
+    with ball size — the only way neighborhood functions are
+    computable on web-scale graphs.
+
+    Deterministic integer protocol: registers use the repo's shared
+    md5-hex decomposition (functions/sketches: register = first
+    nibble, rho = 1 + leading zero bits of the next 12 nibbles); the
+    raw estimator is emitted as integers by clamping rho at 20 and
+    scaling by 2^20 — s_x2p20 = sum_j 2^(20 - min(rho_j, 20)) (absent
+    register => 2^20), est_milli = (673 * 256 * 2^20) // s_x2p20
+    (alpha_16 = 0.673 exactly, m^2 = 256).  The clamp discards only
+    2^-20-size terms (far below the sketch's ~26% stderr at m=16)
+    and keeps every quantity in int64; no small-range correction —
+    the RAW estimator, same on both engines.
+
+    Output: (node, dist, s_x2p20, est_milli) for dist 0..depth;
+    s_x2p20 is non-increasing (registers only grow), so est_milli is
+    a non-decreasing ball-size estimate per node.
+
+    Scale: per round ONE keyed shuffle (neighbor register union +
+    (node, register) max-aggregate, map-side combinable) over at
+    most 16 * |V| rows; localCheckpoint per round.
+    """
+    from ..functions.sketches import _nibble_value
+
+    und = (edges.select("src", "dst")
+           .where(F.col("src") != F.col("dst")).dropDuplicates())
+    sym = (und.union(und.select(F.col("dst").alias("src"),
+                                F.col("src").alias("dst")))
+           .localCheckpoint())
+    h = F.md5(F.col("node").cast("string"))
+    tail = "substring(_h, 2, 12)"
+    z = F.expr(f"trim(LEADING '0' FROM {tail})")
+    first = F.expr("instr('0123456789abcdef', "
+                   f"substring(trim(LEADING '0' FROM {tail}), 1, 1)) - 1")
+    zero_bits = (F.when(first >= 8, F.lit(0))
+                 .when(first >= 4, F.lit(1))
+                 .when(first >= 2, F.lit(2)).otherwise(F.lit(3)))
+    rho = (F.when(F.length(z) == 0, F.lit(49))
+           .otherwise((F.lit(12) - F.length(z)) * 4 + zero_bits + 1))
+    state = (nodes.select("node", h.alias("_h"))
+             .select("node",
+                     _nibble_value("_h", 1, 1).cast("int")
+                     .alias("register"),
+                     rho.cast("int").alias("rho"))
+             .localCheckpoint())
+
+    def _estimate(st: DataFrame, d: int) -> DataFrame:
+        term = F.expr("shiftleft(1, 20 - least(rho, 20))")
+        return (st.groupBy("node")
+                .agg((F.lit(16 * (1 << 20))
+                      - F.sum(F.lit(1 << 20) - term)).cast("long")
+                     .alias("s_x2p20"))
+                .select("node", F.lit(d).cast("long").alias("dist"),
+                        "s_x2p20",
+                        F.floor(F.lit(673 * 256 * (1 << 20))
+                                / F.col("s_x2p20")).cast("long")
+                        .alias("est_milli")))
+
+    out = _estimate(state, 0)
+    for d in range(1, depth + 1):
+        nb = (sym.join(state.withColumnRenamed("node", "src"), "src")
+              .select(F.col("dst").alias("node"), "register", "rho"))
+        state = (state.unionByName(nb)
+                 .groupBy("node", "register")
+                 .agg(F.max("rho").cast("int").alias("rho"))
+                 .localCheckpoint())
+        out = out.unionByName(_estimate(state, d))
+    return out

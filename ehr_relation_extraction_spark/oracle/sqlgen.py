@@ -5251,3 +5251,60 @@ _BOR_SELECT = " UNION ALL ".join(
     for r in range(1, 7))
 
 ORACLE["msf_edges"] = _q(_BOR_SELECT, _EJ_CTES, _boruvka_sql(6))
+
+
+# ---------------------------------------------------------------------------
+# Continuation batch 42: HyperBall neighborhood function over the
+# entity co-mention graph (operators/graph_algos.hyperball_nf,
+# depth 3, m = 16 registers).  Same md5-hex register/rho
+# decomposition as the hll_shingles oracle; the per-round ball
+# advance is a union + (node, register) MAX — unrolled like the
+# other iteratives.  Estimator integers: rho clamped at 20, scale
+# 2^20, alpha_16 = 673/1000 folded into one integer division.
+
+_HB_TAIL = "substring(_h, 2, 12)"
+_HB_RHO = f"""CASE WHEN length(ltrim({_HB_TAIL}, '0')) = 0 THEN 49
+  ELSE (12 - length(ltrim({_HB_TAIL}, '0'))) * 4
+       + (CASE WHEN strpos('0123456789abcdef',
+               substring(ltrim({_HB_TAIL}, '0'), 1, 1)) - 1 >= 8 THEN 0
+               WHEN strpos('0123456789abcdef',
+               substring(ltrim({_HB_TAIL}, '0'), 1, 1)) - 1 >= 4 THEN 1
+               WHEN strpos('0123456789abcdef',
+               substring(ltrim({_HB_TAIL}, '0'), 1, 1)) - 1 >= 2 THEN 2
+               ELSE 3 END) + 1 END"""
+
+
+def _hyperball_sql(depth: int = 3) -> str:
+    blocks = [f"""hb_h AS (
+  SELECT node, md5(CAST(node AS VARCHAR)) AS _h FROM cc_nodes),
+hb0 AS MATERIALIZED (
+  SELECT node,
+         CAST(strpos('0123456789abcdef', substring(_h, 1, 1)) - 1
+              AS INT) AS register,
+         CAST({_HB_RHO} AS INT) AS rho
+  FROM hb_h)"""]
+    for d in range(1, depth + 1):
+        blocks.append(f"""hb{d} AS MATERIALIZED (
+  SELECT node, register, CAST(MAX(rho) AS INT) AS rho FROM (
+    SELECT node, register, rho FROM hb{d - 1}
+    UNION ALL
+    SELECT e.dst AS node, s.register, s.rho
+    FROM com_sym e JOIN hb{d - 1} s ON s.node = e.src)
+  GROUP BY 1, 2)""")
+    for d in range(0, depth + 1):
+        blocks.append(f"""hbe{d} AS (
+  SELECT node, CAST({d} AS BIGINT) AS dist,
+         CAST(16777216 - SUM(1048576
+              - (1 << (20 - LEAST(rho, 20)))) AS BIGINT) AS s_x2p20
+  FROM hb{d} GROUP BY 1)""")
+    return ",\n".join(blocks)
+
+
+_HB_SELECT = ("SELECT node, dist, s_x2p20, "
+              "CAST((CAST(673 AS BIGINT) * 256 * 1048576) // s_x2p20"
+              " AS BIGINT) AS est_milli FROM ("
+              + " UNION ALL ".join(
+                  f"SELECT * FROM hbe{d}" for d in range(4)) + ")")
+
+ORACLE["hyperball"] = _q(_HB_SELECT, LINK_CTES,
+                         COMENTION_CTES.strip(), _hyperball_sql(3))

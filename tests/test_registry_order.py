@@ -186,6 +186,9 @@ EXPECTED_TAIL = [
     # Continuation batch 41: Boruvka minimum spanning forest —
     # appended past position 50.
     "msf_edges",
+    # Continuation batch 42: HyperBall neighborhood function —
+    # appended past position 50.
+    "hyperball",
 ]
 
 
