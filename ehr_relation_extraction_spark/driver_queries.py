@@ -1885,6 +1885,29 @@ def q_hyperball(spark, sf_dir) -> DataFrame:
     return hyperball_nf(edges, nodes, depth=3)
 
 
+def q_nf_distribution(spark, sf_dir) -> DataFrame:
+    """Distance distribution of the co-mention graph: the global
+    neighborhood-function rollup of the HyperBall table — one keyed
+    aggregate per distance (the effective-diameter read path)."""
+    from .operators.graph_algos import hyperball_nf
+
+    edges, nodes = _comention_graph(spark, sf_dir)
+    return (hyperball_nf(edges, nodes, depth=3)
+            .groupBy("dist")
+            .agg(F.count(F.lit(1)).cast("long").alias("n_nodes"),
+                 F.sum("est_milli").cast("long").alias("nf_sum_milli")))
+
+
+def q_simrank(spark, sf_dir) -> DataFrame:
+    """Fixed-round integer SimRank (C=4/5, 3 rounds, micro6 scores)
+    over the directed precedence graph — "similar if referenced by
+    similar" (operators/graph_algos.simrank_pairs)."""
+    from .operators.graph_algos import simrank_pairs
+
+    edges, _ = _prec_graph(spark, sf_dir)
+    return simrank_pairs(edges, n_rounds=3)
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # ORDER IS LOAD-BEARING: the driver snapshot verifies exactly
     # list(QUERIES)[:50] in insertion order (pinned by
@@ -2129,6 +2152,12 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # Continuation batch 42: HyperBall neighborhood function —
     # appended past position 50.
     "hyperball": q_hyperball,
+    # Continuation batch 43: neighborhood-function distribution —
+    # appended past position 50.
+    "nf_distribution": q_nf_distribution,
+    # Continuation batch 44: fixed-round integer SimRank — appended
+    # past position 50.
+    "simrank": q_simrank,
 }
 
 

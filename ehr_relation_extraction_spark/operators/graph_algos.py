@@ -1635,3 +1635,76 @@ def hyperball_nf(edges: DataFrame, nodes: DataFrame,
                  .localCheckpoint())
         out = out.unionByName(_estimate(state, d))
     return out
+
+
+def simrank_pairs(edges: DataFrame, n_rounds: int = 3,
+                  c_num: int = 4, c_den: int = 5) -> DataFrame:
+    """SimRank (Jeh & Widom, KDD'02) — "two objects are similar if
+    they are referenced by similar objects" — over a DIRECTED edge
+    set, fixed rounds, exact integer fixed-point: scores live in
+    micro6 ints, each round floors ONCE per pair, decay C = c_num /
+    c_den (default 4/5), s(x, x) = 1e6 pinned.
+
+    Round recurrence for a pair {a, b}: s_k = (c_num * (sum of
+    s_{k-1} over ordered in-neighbor pairs (i -> a, j -> b), i != j,
+    plus 1e6 per COMMON in-neighbor)) // (c_den * indeg(a) *
+    indeg(b)).  Zero-score pairs are never materialized, so the state
+    is the sparse nonzero-pair table (seeded by the common-in-
+    neighbor pairs — exactly the co-citation support).
+
+    Output: (node_a, node_b, simrank_micro6) for nonzero pairs,
+    node_a < node_b.
+
+    Scale: the diagonal seed is the co-citation wedge join (keyed on
+    the shared in-neighbor); each propagation round joins the sparse
+    score table through the edge list twice (keyed equi-joins) — the
+    fanout is score-pairs x out-degree^2, the price SimRank always
+    pays, bounded here by the nonzero sparsity the integer floor
+    enforces (tiny scores round to 0 and leave the state).
+    """
+    e = edges.select("src", "dst").dropDuplicates().localCheckpoint()
+    ind = e.groupBy(F.col("dst").alias("node")).agg(
+        F.count(F.lit(1)).cast("long").alias("ind"))
+    diag = (e.alias("x").join(
+                e.alias("y"),
+                (F.col("x.src") == F.col("y.src"))
+                & (F.col("x.dst") < F.col("y.dst")))
+            .groupBy(F.col("x.dst").alias("a"),
+                     F.col("y.dst").alias("b"))
+            .agg(F.count(F.lit(1)).cast("long").alias("c"))
+            .localCheckpoint())
+
+    def _score(pairs: DataFrame) -> DataFrame:
+        return (pairs
+                .join(ind.select(F.col("node").alias("a"),
+                                 F.col("ind").alias("_ia")), "a")
+                .join(ind.select(F.col("node").alias("b"),
+                                 F.col("ind").alias("_ib")), "b")
+                .select("a", "b",
+                        F.floor((F.lit(c_num)
+                                 * (F.coalesce("v", F.lit(0))
+                                    + F.coalesce("c", F.lit(0))
+                                    * F.lit(1000000)))
+                                / (F.lit(c_den) * F.col("_ia")
+                                   * F.col("_ib"))).cast("long")
+                        .alias("s"))
+                .where(F.col("s") > 0))
+
+    s = _score(diag.withColumn("v", F.lit(None).cast("long")))
+    s = s.localCheckpoint()
+    for _ in range(2, n_rounds + 1):
+        sym = s.unionByName(s.select(F.col("b").alias("a"),
+                                     F.col("a").alias("b"), "s"))
+        nd = (sym.join(e.select(F.col("src").alias("a"),
+                                F.col("dst").alias("_da")), "a")
+              .join(e.select(F.col("src").alias("b"),
+                             F.col("dst").alias("_db")), "b")
+              .where(F.col("_da") < F.col("_db"))
+              .groupBy(F.col("_da").alias("a"), F.col("_db").alias("b"))
+              .agg(F.sum("s").cast("long").alias("v")))
+        pairs = (nd.join(diag, ["a", "b"], "full")
+                 .select("a", "b", "v", "c"))
+        s = _score(pairs).localCheckpoint()
+    return s.select(F.col("a").alias("node_a"),
+                    F.col("b").alias("node_b"),
+                    F.col("s").alias("simrank_micro6"))

@@ -5308,3 +5308,71 @@ _HB_SELECT = ("SELECT node, dist, s_x2p20, "
 
 ORACLE["hyperball"] = _q(_HB_SELECT, LINK_CTES,
                          COMENTION_CTES.strip(), _hyperball_sql(3))
+
+
+# ---------------------------------------------------------------------------
+# Continuation batch 43: global neighborhood-function distribution —
+# the distance-distribution rollup of the HyperBall table (one keyed
+# aggregate over the batch-42 oracle, reused verbatim as a derived
+# table so the two can never drift).
+
+ORACLE["nf_distribution"] = f"""
+SELECT dist, CAST(COUNT(*) AS BIGINT) AS n_nodes,
+       CAST(SUM(est_milli) AS BIGINT) AS nf_sum_milli
+FROM ({ORACLE["hyperball"]}) hb
+GROUP BY dist"""
+
+
+# ---------------------------------------------------------------------------
+# Continuation batch 44: fixed-round integer SimRank over the
+# directed precedence graph (operators/graph_algos.simrank_pairs,
+# 3 rounds, C = 4/5, micro6 scores, one floor per pair per round).
+# The diagonal seed is the co-citation wedge; each round joins the
+# symmetric score table through the edge list twice.
+
+def _simrank_sql(n_rounds: int = 3) -> str:
+    blocks = ["""sr_ind AS MATERIALIZED (
+  SELECT dst AS node, CAST(COUNT(*) AS BIGINT) AS ind
+  FROM (SELECT DISTINCT src, dst FROM prec_edges) GROUP BY 1),
+sr_diag AS MATERIALIZED (
+  SELECT x.dst AS a, y.dst AS b, CAST(COUNT(*) AS BIGINT) AS c
+  FROM (SELECT DISTINCT src, dst FROM prec_edges) x
+  JOIN (SELECT DISTINCT src, dst FROM prec_edges) y
+    ON x.src = y.src AND x.dst < y.dst
+  GROUP BY 1, 2),
+sr1 AS MATERIALIZED (
+  SELECT d.a, d.b,
+         CAST((4 * d.c * 1000000) // (5 * ia.ind * ib.ind)
+              AS BIGINT) AS s
+  FROM sr_diag d
+  JOIN sr_ind ia ON ia.node = d.a
+  JOIN sr_ind ib ON ib.node = d.b
+  WHERE (4 * d.c * 1000000) // (5 * ia.ind * ib.ind) > 0)"""]
+    for k in range(2, n_rounds + 1):
+        blocks.append(f"""sr{k - 1}sym AS (
+  SELECT a, b, s FROM sr{k - 1}
+  UNION ALL SELECT b AS a, a AS b, s FROM sr{k - 1}),
+srnd{k} AS MATERIALIZED (
+  SELECT ea.dst AS a, eb.dst AS b, CAST(SUM(s.s) AS BIGINT) AS v
+  FROM sr{k - 1}sym s
+  JOIN (SELECT DISTINCT src, dst FROM prec_edges) ea ON ea.src = s.a
+  JOIN (SELECT DISTINCT src, dst FROM prec_edges) eb ON eb.src = s.b
+  WHERE ea.dst < eb.dst
+  GROUP BY 1, 2),
+sr{k} AS MATERIALIZED (
+  SELECT p.a, p.b,
+         CAST((4 * (COALESCE(n.v, 0) + COALESCE(d.c, 0) * 1000000))
+              // (5 * ia.ind * ib.ind) AS BIGINT) AS s
+  FROM (SELECT a, b FROM srnd{k} UNION SELECT a, b FROM sr_diag) p
+  LEFT JOIN srnd{k} n ON n.a = p.a AND n.b = p.b
+  LEFT JOIN sr_diag d ON d.a = p.a AND d.b = p.b
+  JOIN sr_ind ia ON ia.node = p.a
+  JOIN sr_ind ib ON ib.node = p.b
+  WHERE (4 * (COALESCE(n.v, 0) + COALESCE(d.c, 0) * 1000000))
+        // (5 * ia.ind * ib.ind) > 0)""")
+    return ",\n".join(blocks)
+
+
+ORACLE["simrank"] = _q(
+    "SELECT a AS node_a, b AS node_b, s AS simrank_micro6 FROM sr3",
+    LINK_CTES, _PREC_EDGE_CTES.lstrip(", \n"), _simrank_sql(3))

@@ -189,6 +189,12 @@ EXPECTED_TAIL = [
     # Continuation batch 42: HyperBall neighborhood function —
     # appended past position 50.
     "hyperball",
+    # Continuation batch 43: neighborhood-function distribution —
+    # appended past position 50.
+    "nf_distribution",
+    # Continuation batch 44: fixed-round integer SimRank — appended
+    # past position 50.
+    "simrank",
 ]
 
 
