@@ -767,7 +767,8 @@ def run_kg_analytics(sf_dir: str, cpus: int) -> None:
             "greedy_coverage", "prefix_filter_pairs", "mis_nodes",
             "type_inference", "sn_pairs", "katz_scores",
             "butterflies", "bcubed", "cocitation", "msf_edges",
-            "hyperball", "nf_distribution", "simrank"]
+            "hyperball", "nf_distribution", "simrank",
+            "blocking_metrics"]
     timings: dict[str, float] = {}
     counts: dict[str, int] = {}
     for _ in range(trials):

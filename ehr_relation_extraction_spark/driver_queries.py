@@ -1908,6 +1908,22 @@ def q_simrank(spark, sf_dir) -> DataFrame:
     return simrank_pairs(edges, n_rounds=3)
 
 
+def q_blocking_metrics(spark, sf_dir) -> DataFrame:
+    """Pair completeness + reduction ratio of the meta-blocking WNP
+    survivors vs the attribute-Jaccard >= 0.5 truth pairs — the two
+    numbers every ER blocker is tuned on
+    (operators/linking.blocking_quality)."""
+    tr = _frames(spark, sf_dir).triples
+    ej = tri_op.entity_attr_jaccard(tr).where(
+        F.col("jac_micro6") >= 500000)
+    la, lb = F.lower("subj_a"), F.lower("subj_b")
+    truth = (ej.select(F.least(la, lb).alias("ent_a"),
+                       F.greatest(la, lb).alias("ent_b"))
+             .where(F.col("ent_a") != F.col("ent_b"))
+             .dropDuplicates())
+    return lk.blocking_quality(tr, truth)
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # ORDER IS LOAD-BEARING: the driver snapshot verifies exactly
     # list(QUERIES)[:50] in insertion order (pinned by
@@ -2158,6 +2174,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # Continuation batch 44: fixed-round integer SimRank — appended
     # past position 50.
     "simrank": q_simrank,
+    # Continuation batch 45: blocking-quality metrics (PC/RR) —
+    # appended past position 50.
+    "blocking_metrics": q_blocking_metrics,
 }
 
 

@@ -1041,3 +1041,59 @@ def sorted_neighborhood_pairs(mentions: DataFrame,
                         F.lit(g).cast("int").alias("pos_gap")))
         out = part if out is None else out.unionByName(part)
     return out
+
+
+def blocking_quality(triples: DataFrame, truth: DataFrame) -> DataFrame:
+    """Blocking-quality evaluation (Christen's ER survey metrics):
+    pair completeness PC = |candidates ∩ truth| / |truth| (the recall
+    the blocker can still achieve) and reduction ratio RR = 1 -
+    |candidates| / all-pairs (how much of the quadratic comparison
+    space it pruned) — the two numbers every blocking scheme is
+    tuned on, here scoring the meta-blocking WNP survivors against a
+    supplied truth pair set.
+
+    ``truth``: (ent_a, ent_b) lowercased, ent_a < ent_b.  Output: one
+    row (n_entities, n_all_pairs, n_cand, n_truth, n_hit, pc_micro6,
+    rr_micro6), all integers (floor-scaled ratios, zero guards).
+
+    Scale: the candidate set comes from the already-bounded
+    meta-blocking join; the metrics themselves are four global counts
+    unioned into ONE final aggregate — no cross join, no scalar
+    subquery fan-in on the Spark side.
+    """
+    cand = (meta_block_edges(triples).where(F.col("keep") == 1)
+            .select("ent_a", "ent_b"))
+    ents = triples.select(F.lower("subj").alias("ent")).dropDuplicates()
+    hit = cand.join(truth, ["ent_a", "ent_b"], "semi")
+    labeled = (ents.agg(F.count(F.lit(1)).cast("long").alias("v"))
+               .select(F.lit("ents").alias("k"), "v")
+               .unionByName(cand.agg(F.count(F.lit(1)).cast("long")
+                                     .alias("v"))
+                            .select(F.lit("cand").alias("k"), "v"))
+               .unionByName(truth.agg(F.count(F.lit(1)).cast("long")
+                                      .alias("v"))
+                            .select(F.lit("truth").alias("k"), "v"))
+               .unionByName(hit.agg(F.count(F.lit(1)).cast("long")
+                                    .alias("v"))
+                            .select(F.lit("hit").alias("k"), "v")))
+    one = labeled.groupBy().agg(
+        F.sum(F.when(F.col("k") == "ents", F.col("v"))).cast("long")
+        .alias("n_entities"),
+        F.sum(F.when(F.col("k") == "cand", F.col("v"))).cast("long")
+        .alias("n_cand"),
+        F.sum(F.when(F.col("k") == "truth", F.col("v"))).cast("long")
+        .alias("n_truth"),
+        F.sum(F.when(F.col("k") == "hit", F.col("v"))).cast("long")
+        .alias("n_hit"))
+    ap = F.expr("n_entities * (n_entities - 1) div 2")
+    return one.select(
+        "n_entities", ap.cast("long").alias("n_all_pairs"),
+        "n_cand", "n_truth", "n_hit",
+        F.when(F.col("n_truth") > 0,
+               F.floor(F.col("n_hit") * F.lit(1000000)
+                       / F.col("n_truth")))
+        .otherwise(F.lit(0)).cast("long").alias("pc_micro6"),
+        F.when(ap > 0,
+               F.lit(1000000) - F.floor(F.col("n_cand")
+                                        * F.lit(1000000) / ap))
+        .otherwise(F.lit(0)).cast("long").alias("rr_micro6"))

@@ -4635,14 +4635,7 @@ SELECT token, CAST(COUNT(*) AS BIGINT) AS n_entities,
            AS purged
 FROM mb_toks GROUP BY token""", _MB_CTES)
 
-ORACLE["meta_block_edges"] = _q("""
-SELECT p.ent_a, p.ent_b, p.cbs,
-       CAST(CASE WHEN p.cbs * sa.n_edges >= sa.sum_cbs
-                   OR p.cbs * sb.n_edges >= sb.sum_cbs
-                 THEN 1 ELSE 0 END AS INT) AS keep
-FROM mb_pairs p
-JOIN mb_stats sa ON sa.ent = p.ent_a
-JOIN mb_stats sb ON sb.ent = p.ent_b""", _MB_CTES, """
+_MBP_CTES = """
 mb_kept AS (
   SELECT token FROM mb_toks GROUP BY token HAVING COUNT(*) <= 50),
 mb_tk AS MATERIALIZED (
@@ -4657,7 +4650,16 @@ mb_stats AS MATERIALIZED (
          CAST(SUM(cbs) AS BIGINT) AS sum_cbs
   FROM (SELECT ent_a AS ent, cbs FROM mb_pairs
         UNION ALL SELECT ent_b, cbs FROM mb_pairs)
-  GROUP BY 1)""")
+  GROUP BY 1)"""
+
+ORACLE["meta_block_edges"] = _q("""
+SELECT p.ent_a, p.ent_b, p.cbs,
+       CAST(CASE WHEN p.cbs * sa.n_edges >= sa.sum_cbs
+                   OR p.cbs * sb.n_edges >= sb.sum_cbs
+                 THEN 1 ELSE 0 END AS INT) AS keep
+FROM mb_pairs p
+JOIN mb_stats sa ON sa.ent = p.ent_a
+JOIN mb_stats sb ON sb.ent = p.ent_b""", _MB_CTES, _MBP_CTES)
 
 
 # ---------------------------------------------------------------------------
@@ -5376,3 +5378,47 @@ sr{k} AS MATERIALIZED (
 ORACLE["simrank"] = _q(
     "SELECT a AS node_a, b AS node_b, s AS simrank_micro6 FROM sr3",
     LINK_CTES, _PREC_EDGE_CTES.lstrip(", \n"), _simrank_sql(3))
+
+
+# ---------------------------------------------------------------------------
+# Continuation batch 45: blocking-quality metrics — pair completeness
+# + reduction ratio of the meta-blocking WNP survivors against the
+# attribute-Jaccard >= 0.5 truth pairs (operators/linking.
+# blocking_quality).  Reuses _MB_CTES/_MBP_CTES and _EJ_CTES so the
+# candidate and truth definitions can never drift from their own
+# oracles.
+
+_BQ_CTES = """
+bq_truth AS MATERIALIZED (
+  SELECT DISTINCT least(lower(subj_a), lower(subj_b)) AS ent_a,
+         greatest(lower(subj_a), lower(subj_b)) AS ent_b
+  FROM ej_pairs
+  WHERE jac_micro6 >= 500000 AND lower(subj_a) <> lower(subj_b)),
+bq_cand AS MATERIALIZED (
+  SELECT p.ent_a, p.ent_b
+  FROM mb_pairs p
+  JOIN mb_stats sa ON sa.ent = p.ent_a
+  JOIN mb_stats sb ON sb.ent = p.ent_b
+  WHERE p.cbs * sa.n_edges >= sa.sum_cbs
+     OR p.cbs * sb.n_edges >= sb.sum_cbs),
+bq_counts AS (
+  SELECT (SELECT CAST(COUNT(*) AS BIGINT)
+          FROM (SELECT DISTINCT lower(subj) FROM triples)) AS n_entities,
+         (SELECT CAST(COUNT(*) AS BIGINT) FROM bq_cand) AS n_cand,
+         (SELECT CAST(COUNT(*) AS BIGINT) FROM bq_truth) AS n_truth,
+         (SELECT CAST(COUNT(*) AS BIGINT)
+          FROM bq_cand c JOIN bq_truth t
+            ON t.ent_a = c.ent_a AND t.ent_b = c.ent_b) AS n_hit)"""
+
+ORACLE["blocking_metrics"] = _q("""
+SELECT n_entities,
+       CAST((n_entities * (n_entities - 1)) // 2 AS BIGINT)
+           AS n_all_pairs,
+       n_cand, n_truth, n_hit,
+       CAST(CASE WHEN n_truth > 0 THEN (n_hit * 1000000) // n_truth
+                 ELSE 0 END AS BIGINT) AS pc_micro6,
+       CAST(CASE WHEN n_entities > 1
+                 THEN 1000000 - (n_cand * 1000000)
+                      // ((n_entities * (n_entities - 1)) // 2)
+                 ELSE 0 END AS BIGINT) AS rr_micro6
+FROM bq_counts""", _EJ_CTES, _MB_CTES, _MBP_CTES, _BQ_CTES)

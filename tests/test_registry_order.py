@@ -195,6 +195,9 @@ EXPECTED_TAIL = [
     # Continuation batch 44: fixed-round integer SimRank — appended
     # past position 50.
     "simrank",
+    # Continuation batch 45: blocking-quality metrics (PC/RR) —
+    # appended past position 50.
+    "blocking_metrics",
 ]
 
 
