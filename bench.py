@@ -768,7 +768,7 @@ def run_kg_analytics(sf_dir: str, cpus: int) -> None:
             "type_inference", "sn_pairs", "katz_scores",
             "butterflies", "bcubed", "cocitation", "msf_edges",
             "hyperball", "nf_distribution", "simrank",
-            "blocking_metrics"]
+            "blocking_metrics", "local_bridges", "orbit_counts"]
     timings: dict[str, float] = {}
     counts: dict[str, int] = {}
     for _ in range(trials):

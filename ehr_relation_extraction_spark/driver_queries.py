@@ -1924,6 +1924,26 @@ def q_blocking_metrics(spark, sf_dir) -> DataFrame:
     return lk.blocking_quality(tr, truth)
 
 
+def q_local_bridges(spark, sf_dir) -> DataFrame:
+    """Per-edge triangle support + local-bridge flag over the
+    co-mention graph — Granovetter weak ties, the spurious-merge
+    audit candidates (operators/graph_algos.edge_support)."""
+    from .operators.graph_algos import edge_support
+
+    edges, _ = _comention_graph(spark, sf_dir)
+    return edge_support(edges)
+
+
+def q_orbit_counts(spark, sf_dir) -> DataFrame:
+    """3-node graphlet orbit signature per node (degree, induced
+    2-path end/center, triangles) in closed form from three keyed
+    aggregates (operators/graph_algos.orbit_counts)."""
+    from .operators.graph_algos import orbit_counts
+
+    edges, nodes = _comention_graph(spark, sf_dir)
+    return orbit_counts(edges, nodes)
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # ORDER IS LOAD-BEARING: the driver snapshot verifies exactly
     # list(QUERIES)[:50] in insertion order (pinned by
@@ -2177,6 +2197,12 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # Continuation batch 45: blocking-quality metrics (PC/RR) —
     # appended past position 50.
     "blocking_metrics": q_blocking_metrics,
+    # Continuation batch 46: edge triangle support / local bridges —
+    # appended past position 50.
+    "local_bridges": q_local_bridges,
+    # Continuation batch 47: 3-node graphlet orbit counts — appended
+    # past position 50.
+    "orbit_counts": q_orbit_counts,
 }
 
 

@@ -1708,3 +1708,80 @@ def simrank_pairs(edges: DataFrame, n_rounds: int = 3,
     return s.select(F.col("a").alias("node_a"),
                     F.col("b").alias("node_b"),
                     F.col("s").alias("simrank_micro6"))
+
+
+def edge_support(edges: DataFrame) -> DataFrame:
+    """Per-edge triangle support + the LOCAL BRIDGE flag
+    (Granovetter's weak ties; Easley-Kleinberg ch. 3): an edge's
+    support is its common-neighbor count, and an edge in NO triangle
+    (support 0) is a local bridge — removing it lengthens its
+    endpoints' distance beyond 2, so these are the ties that carry
+    novel information between co-mention communities and the first
+    candidates for spurious-merge audits.
+
+    Input: ``edges (src, dst)`` undirected, src < dst distinct.
+    Output: (src, dst, support, is_local_bridge) — every input edge,
+    BIGINT support, INT flag.
+
+    Scale: the common-neighbor count is the standard wedge equi-join
+    (edge x symmetrized adjacency on the shared endpoint), the same
+    bounded-fanout shape as triangle counting — never all-pairs.
+    """
+    e = (edges.select("src", "dst")
+         .where(F.col("src") != F.col("dst")).dropDuplicates())
+    sym = e.union(e.select(F.col("dst").alias("src"),
+                           F.col("src").alias("dst")))
+    cn = (e.join(sym.select(F.col("src").alias("src"),
+                            F.col("dst").alias("_w")), "src")
+          .join(sym.select(F.col("src").alias("dst"),
+                           F.col("dst").alias("_w")), ["dst", "_w"])
+          .groupBy("src", "dst")
+          .agg(F.count(F.lit(1)).cast("long").alias("support")))
+    return (e.join(cn, ["src", "dst"], "left")
+            .select("src", "dst",
+                    F.coalesce("support", F.lit(0)).cast("long")
+                    .alias("support"))
+            .withColumn("is_local_bridge",
+                        F.when(F.col("support") == 0, F.lit(1))
+                        .otherwise(F.lit(0)).cast("int")))
+
+
+def orbit_counts(edges: DataFrame, nodes: DataFrame) -> DataFrame:
+    """3-node graphlet orbit counts per node (Przulj's orbits 0-3):
+    orbit0 = degree, orbit1 = end of an INDUCED 2-path, orbit2 =
+    center of an induced 2-path, orbit3 = triangle membership — the
+    structural-role signature vector that graphlet-kernel similarity
+    and role discovery build on.
+
+    Closed-form from three keyed aggregates (no graphlet
+    enumeration): with deg(n), t(n) = triangles at n, and s(n) =
+    sum of deg(m) over neighbors m:
+      orbit1 = s - deg - 2t   (2-paths from n minus triangle closures)
+      orbit2 = C(deg, 2) - t  (wedges at n minus closed ones)
+
+    Output: (node, deg, orbit1, orbit2, n_triangles), all BIGINT,
+    zeros for isolated nodes.
+    """
+    und = (edges.select("src", "dst")
+           .where(F.col("src") != F.col("dst")).dropDuplicates())
+    sym = und.union(und.select(F.col("dst").alias("src"),
+                               F.col("src").alias("dst")))
+    deg = sym.groupBy(F.col("src").alias("node")).agg(
+        F.count(F.lit(1)).cast("long").alias("deg"))
+    s = (sym.join(deg.withColumnRenamed("node", "dst")
+                  .withColumnRenamed("deg", "_dm"), "dst")
+         .groupBy(F.col("src").alias("node"))
+         .agg(F.sum("_dm").cast("long").alias("_s")))
+    tri = triangle_counts(und).select(
+        "node", F.col("n_triangles").cast("long").alias("n_triangles"))
+    out = (nodes.select("node")
+           .join(deg, "node", "left").join(s, "node", "left")
+           .join(tri, "node", "left")
+           .fillna(0, ["deg", "_s", "n_triangles"]))
+    return out.select(
+        "node", "deg",
+        (F.col("_s") - F.col("deg") - 2 * F.col("n_triangles"))
+        .cast("long").alias("orbit1"),
+        (F.expr("deg * (deg - 1) div 2") - F.col("n_triangles"))
+        .cast("long").alias("orbit2"),
+        "n_triangles")

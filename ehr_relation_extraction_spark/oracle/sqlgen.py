@@ -5422,3 +5422,76 @@ SELECT n_entities,
                       // ((n_entities * (n_entities - 1)) // 2)
                  ELSE 0 END AS BIGINT) AS rr_micro6
 FROM bq_counts""", _EJ_CTES, _MB_CTES, _MBP_CTES, _BQ_CTES)
+
+
+# ---------------------------------------------------------------------------
+# Continuation batch 46: per-edge triangle support + local-bridge
+# flag over the co-mention graph (operators/graph_algos.edge_support)
+# — the common-neighbor wedge join, LEFT-joined back so support-0
+# edges (the local bridges) survive.
+
+_LB_CTES = """
+lb_cn AS MATERIALIZED (
+  SELECT e.src, e.dst, CAST(COUNT(*) AS BIGINT) AS support
+  FROM comention e
+  JOIN com_sym s1 ON s1.src = e.src
+  JOIN com_sym s2 ON s2.src = e.dst AND s2.dst = s1.dst
+  GROUP BY 1, 2)"""
+
+ORACLE["local_bridges"] = _q("""
+SELECT e.src, e.dst,
+       CAST(COALESCE(c.support, 0) AS BIGINT) AS support,
+       CAST(CASE WHEN COALESCE(c.support, 0) = 0 THEN 1 ELSE 0 END
+            AS INT) AS is_local_bridge
+FROM comention e
+LEFT JOIN lb_cn c ON c.src = e.src AND c.dst = e.dst""",
+LINK_CTES, COMENTION_CTES.strip(), _LB_CTES)
+
+
+# ---------------------------------------------------------------------------
+# Continuation batch 47: 3-node graphlet orbit counts per node
+# (operators/graph_algos.orbit_counts) — closed-form from degree,
+# neighbor-degree sum and triangle counts; the triangle CTE repeats
+# the graph_triangles a<b<c double join with prefixed names.
+
+_OB_CTES = """
+ob_deg AS MATERIALIZED (
+  SELECT src AS node, CAST(COUNT(*) AS BIGINT) AS deg
+  FROM com_sym GROUP BY 1),
+ob_s AS (
+  SELECT s.src AS node, CAST(SUM(d.deg) AS BIGINT) AS sm
+  FROM com_sym s JOIN ob_deg d ON d.node = s.dst GROUP BY 1),
+ob_tri AS (
+  SELECT node, CAST(COUNT(*) AS BIGINT) AS t FROM (
+    SELECT x AS node FROM (
+      SELECT e1.src AS x, e1.dst AS y, e2.dst AS z
+      FROM comention e1
+      JOIN comention e2 ON e2.src = e1.dst
+      JOIN comention e3 ON e3.src = e1.src AND e3.dst = e2.dst) t1
+    UNION ALL
+    SELECT y FROM (
+      SELECT e1.src AS x, e1.dst AS y, e2.dst AS z
+      FROM comention e1
+      JOIN comention e2 ON e2.src = e1.dst
+      JOIN comention e3 ON e3.src = e1.src AND e3.dst = e2.dst) t2
+    UNION ALL
+    SELECT z FROM (
+      SELECT e1.src AS x, e1.dst AS y, e2.dst AS z
+      FROM comention e1
+      JOIN comention e2 ON e2.src = e1.dst
+      JOIN comention e3 ON e3.src = e1.src AND e3.dst = e2.dst) t3)
+  GROUP BY 1)"""
+
+ORACLE["orbit_counts"] = _q("""
+SELECT n.node,
+       CAST(COALESCE(d.deg, 0) AS BIGINT) AS deg,
+       CAST(COALESCE(s.sm, 0) - COALESCE(d.deg, 0)
+            - 2 * COALESCE(t.t, 0) AS BIGINT) AS orbit1,
+       CAST((COALESCE(d.deg, 0) * (COALESCE(d.deg, 0) - 1)) // 2
+            - COALESCE(t.t, 0) AS BIGINT) AS orbit2,
+       CAST(COALESCE(t.t, 0) AS BIGINT) AS n_triangles
+FROM cc_nodes n
+LEFT JOIN ob_deg d ON d.node = n.node
+LEFT JOIN ob_s s ON s.node = n.node
+LEFT JOIN ob_tri t ON t.node = n.node""",
+LINK_CTES, COMENTION_CTES.strip(), _OB_CTES)

@@ -198,6 +198,12 @@ EXPECTED_TAIL = [
     # Continuation batch 45: blocking-quality metrics (PC/RR) —
     # appended past position 50.
     "blocking_metrics",
+    # Continuation batch 46: edge triangle support / local bridges —
+    # appended past position 50.
+    "local_bridges",
+    # Continuation batch 47: 3-node graphlet orbit counts — appended
+    # past position 50.
+    "orbit_counts",
 ]
 
 
