@@ -768,7 +768,8 @@ def run_kg_analytics(sf_dir: str, cpus: int) -> None:
             "type_inference", "sn_pairs", "katz_scores",
             "butterflies", "bcubed", "cocitation", "msf_edges",
             "hyperball", "nf_distribution", "simrank",
-            "blocking_metrics", "local_bridges", "orbit_counts"]
+            "blocking_metrics", "local_bridges", "orbit_counts",
+            "rpq_reach", "rolling_entity_hll"]
     timings: dict[str, float] = {}
     counts: dict[str, int] = {}
     for _ in range(trials):

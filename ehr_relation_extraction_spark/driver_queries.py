@@ -1944,6 +1944,27 @@ def q_orbit_counts(spark, sf_dir) -> DataFrame:
     return orbit_counts(edges, nodes)
 
 
+def q_rpq_reach(spark, sf_dir) -> DataFrame:
+    """SPARQL property-path p{1,4} reachability for the
+    most-attested predicate, by prefix doubling — log2(hops) join
+    rounds (operators/triples.rpq_reach)."""
+    return tri_op.rpq_reach(_frames(spark, sf_dir).triples, max_hops=4)
+
+
+def q_rolling_entity_hll(spark, sf_dir) -> DataFrame:
+    """Rolling 3-day distinct-entity estimates from per-day
+    16-register HLL sketches — the sketch-union sliding window
+    (functions/sketches.rolling_hll_estimates)."""
+    from .functions.sketches import rolling_hll_estimates
+
+    _, linked, _ = _linked(spark, sf_dir)
+    items = linked.select(
+        ((F.lit(1704067200) + F.col("doc_id")) / 86400)
+        .cast("int").alias("day_idx"), "canonical_id")
+    return rolling_hll_estimates(items, "day_idx", "canonical_id",
+                                 window=3)
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # ORDER IS LOAD-BEARING: the driver snapshot verifies exactly
     # list(QUERIES)[:50] in insertion order (pinned by
@@ -2203,6 +2224,12 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # Continuation batch 47: 3-node graphlet orbit counts — appended
     # past position 50.
     "orbit_counts": q_orbit_counts,
+    # Continuation batch 48: bounded property-path reachability —
+    # appended past position 50.
+    "rpq_reach": q_rpq_reach,
+    # Continuation batch 49: rolling per-day HLL distinct estimates —
+    # appended past position 50.
+    "rolling_entity_hll": q_rolling_entity_hll,
 }
 
 

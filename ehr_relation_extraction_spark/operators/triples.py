@@ -1295,3 +1295,40 @@ def fact_runs(intervals: DataFrame, horizon_ts: int) -> DataFrame:
                  F.max(F.when(F.col("valid_to").isNull(), 1)
                        .otherwise(0)).cast("int").alias("is_current"),
                  F.max("_gap").cast("long").alias("max_gap_s")))
+
+
+def rpq_reach(triples: DataFrame, max_hops: int = 4) -> DataFrame:
+    """Bounded regular-path-query reachability — the SPARQL 1.1
+    property path ``p{1,4}`` read path: all (src, dst) pairs
+    connected by 1..max_hops edges of the corpus's most-attested
+    predicate (ties broken by predicate name), computed by PREFIX
+    DOUBLING: R_2 = R_1 ∪ R_1∘R_1, R_4 = R_2 ∪ R_2∘R_2 — log2(hops)
+    join rounds instead of hops, the device that makes bounded
+    closures affordable on wide graphs.
+
+    Output: (src, dst) distinct pairs (src may equal dst when a
+    cycle closes within the bound).
+
+    Scale: the predicate pick is a 1-row broadcast (never a
+    collect); each doubling round is one keyed equi-join + distinct,
+    and the state never exceeds the bounded closure itself.
+    """
+    facts = triples.select("pred", "subj", "obj").dropDuplicates()
+    top = (facts.groupBy("pred")
+           .agg(F.count(F.lit(1)).cast("long").alias("n"))
+           .orderBy(F.desc("n"), F.asc("pred")).limit(1)
+           .select("pred"))
+    e = (facts.join(F.broadcast(top), "pred")
+         .select(F.col("subj").alias("src"), F.col("obj").alias("dst"))
+         .dropDuplicates().localCheckpoint())
+    r = e
+    hops = 1
+    while hops < max_hops:
+        comp = (r.alias("a")
+                .join(r.alias("b"),
+                      F.col("a.dst") == F.col("b.src"))
+                .select(F.col("a.src").alias("src"),
+                        F.col("b.dst").alias("dst")))
+        r = r.unionByName(comp).dropDuplicates().localCheckpoint()
+        hops *= 2
+    return r

@@ -5495,3 +5495,76 @@ LEFT JOIN ob_deg d ON d.node = n.node
 LEFT JOIN ob_s s ON s.node = n.node
 LEFT JOIN ob_tri t ON t.node = n.node""",
 LINK_CTES, COMENTION_CTES.strip(), _OB_CTES)
+
+
+# ---------------------------------------------------------------------------
+# Continuation batch 48: bounded regular-path-query reachability —
+# SPARQL property path p{1,4} for the most-attested predicate, by
+# prefix doubling (operators/triples.rpq_reach).
+
+_RPQ_CTES = """
+rpq_f AS MATERIALIZED (SELECT DISTINCT pred, subj, obj FROM triples),
+rpq_top AS MATERIALIZED (
+  SELECT pred FROM (
+    SELECT pred, CAST(COUNT(*) AS BIGINT) AS n FROM rpq_f GROUP BY 1)
+  ORDER BY n DESC, pred ASC LIMIT 1),
+rpq_e AS MATERIALIZED (
+  SELECT DISTINCT f.subj AS src, f.obj AS dst
+  FROM rpq_f f JOIN rpq_top t ON t.pred = f.pred),
+rpq_r2 AS MATERIALIZED (
+  SELECT src, dst FROM rpq_e
+  UNION
+  SELECT a.src, b.dst FROM rpq_e a JOIN rpq_e b ON a.dst = b.src),
+rpq_r4 AS (
+  SELECT src, dst FROM rpq_r2
+  UNION
+  SELECT a.src, b.dst FROM rpq_r2 a JOIN rpq_r2 b ON a.dst = b.src)"""
+
+ORACLE["rpq_reach"] = _q("SELECT src, dst FROM rpq_r4", _RPQ_CTES)
+
+
+# ---------------------------------------------------------------------------
+# Continuation batch 49: rolling distinct-entity estimates from
+# per-day HLL sketches (functions/sketches.rolling_hll_estimates,
+# window 3) — per-day 16-register tables, window answered by
+# register max-merge; same register/rho decomposition as hll_shingles
+# and the same clamped integer estimator as hyperball.
+
+_RH_CTES = f"""
+rh_items AS MATERIALIZED (
+  SELECT DISTINCT CAST((1704067200 + doc_id) // 86400 AS BIGINT)
+           AS day, canonical_id
+  FROM linked),
+rh_h AS (SELECT day, md5(CAST(canonical_id AS VARCHAR)) AS _h
+         FROM rh_items),
+rh_daily AS MATERIALIZED (
+  SELECT day,
+         CAST(strpos('0123456789abcdef', substring(_h, 1, 1)) - 1
+              AS INT) AS register,
+         CAST(MAX({_HB_RHO}) AS INT) AS rho
+  FROM rh_h GROUP BY 1, 2),
+rh_days AS (SELECT DISTINCT day AS day_idx FROM rh_items),
+rh_slots AS (
+  SELECT d.day + s.i AS day_idx, d.day, d.register, d.rho
+  FROM rh_daily d, unnest(generate_series(0, 2)) AS s(i)),
+rh_merged AS MATERIALIZED (
+  SELECT s.day_idx, s.register, CAST(MAX(s.rho) AS INT) AS rho
+  FROM rh_slots s JOIN rh_days y ON y.day_idx = s.day_idx
+  GROUP BY 1, 2),
+rh_nd AS (
+  SELECT day_idx, CAST(COUNT(DISTINCT day) AS BIGINT) AS n_days_merged
+  FROM (SELECT s.day_idx, s.day FROM rh_slots s
+        JOIN rh_days y ON y.day_idx = s.day_idx)
+  GROUP BY 1),
+rh_est AS (
+  SELECT day_idx,
+         CAST(16777216 - SUM(1048576
+              - (1 << (20 - LEAST(rho, 20)))) AS BIGINT) AS s_x2p20
+  FROM rh_merged GROUP BY 1)"""
+
+ORACLE["rolling_entity_hll"] = _q("""
+SELECT e.day_idx, n.n_days_merged, e.s_x2p20,
+       CAST((CAST(673 AS BIGINT) * 256 * 1048576) // e.s_x2p20
+            AS BIGINT) AS est_milli
+FROM rh_est e JOIN rh_nd n ON n.day_idx = e.day_idx""",
+LINK_CTES, _RH_CTES)

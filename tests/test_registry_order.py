@@ -204,6 +204,12 @@ EXPECTED_TAIL = [
     # Continuation batch 47: 3-node graphlet orbit counts — appended
     # past position 50.
     "orbit_counts",
+    # Continuation batch 48: bounded property-path reachability —
+    # appended past position 50.
+    "rpq_reach",
+    # Continuation batch 49: rolling per-day HLL distinct estimates —
+    # appended past position 50.
+    "rolling_entity_hll",
 ]
 
 
