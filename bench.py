@@ -769,7 +769,8 @@ def run_kg_analytics(sf_dir: str, cpus: int) -> None:
             "butterflies", "bcubed", "cocitation", "msf_edges",
             "hyperball", "nf_distribution", "simrank",
             "blocking_metrics", "local_bridges", "orbit_counts",
-            "rpq_reach", "rolling_entity_hll"]
+            "rpq_reach", "rolling_entity_hll", "type_mixing",
+            "ic_spread"]
     timings: dict[str, float] = {}
     counts: dict[str, int] = {}
     for _ in range(trials):

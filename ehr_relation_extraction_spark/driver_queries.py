@@ -1965,6 +1965,29 @@ def q_rolling_entity_hll(spark, sf_dir) -> DataFrame:
                                  window=3)
 
 
+def q_type_mixing(spark, sf_dir) -> DataFrame:
+    """Categorical mixing matrix of the co-mention graph by elected
+    entity type — Newman's assortative-mixing table with micro6
+    shares (operators/graph_algos.type_mixing)."""
+    from .operators.graph_algos import type_mixing
+
+    _, linked, _ = _linked(spark, sf_dir)
+    edges, _ = _comention_graph(spark, sf_dir)
+    types = lk.entity_type_election(linked).select(
+        "canonical_id", "major_type")
+    return type_mixing(edges, types)
+
+
+def q_ic_spread(spark, sf_dir) -> DataFrame:
+    """Deterministic independent-cascade influence spread (live-edge
+    BFS from the smallest node, md5 coin at p=35%) over the
+    co-mention graph (operators/graph_algos.ic_spread)."""
+    from .operators.graph_algos import ic_spread
+
+    edges, nodes = _comention_graph(spark, sf_dir)
+    return ic_spread(edges, nodes, p_pct=35)
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # ORDER IS LOAD-BEARING: the driver snapshot verifies exactly
     # list(QUERIES)[:50] in insertion order (pinned by
@@ -2230,6 +2253,12 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # Continuation batch 49: rolling per-day HLL distinct estimates —
     # appended past position 50.
     "rolling_entity_hll": q_rolling_entity_hll,
+    # Continuation batch 50: categorical type-mixing matrix —
+    # appended past position 50.
+    "type_mixing": q_type_mixing,
+    # Continuation batch 51: deterministic independent-cascade
+    # spread — appended past position 50.
+    "ic_spread": q_ic_spread,
 }
 
 

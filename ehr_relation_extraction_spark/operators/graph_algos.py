@@ -1785,3 +1785,86 @@ def orbit_counts(edges: DataFrame, nodes: DataFrame) -> DataFrame:
         (F.expr("deg * (deg - 1) div 2") - F.col("n_triangles"))
         .cast("long").alias("orbit2"),
         "n_triangles")
+
+
+def type_mixing(edges: DataFrame, types: DataFrame) -> DataFrame:
+    """Categorical mixing matrix (Newman's assortative-mixing tables)
+    of the co-mention graph by elected entity type: edge counts per
+    unordered endpoint-type pair plus each pair's share of all typed
+    edges — the categorical companion to degree_assortativity, and
+    the first look at whether cross-type edges (the relation-bearing
+    ones) dominate within-type lexical echoes.
+
+    Input: ``edges (src, dst)`` undirected src < dst distinct,
+    ``types (canonical_id, major_type)``.  Output: (type_a, type_b,
+    n_edges, share_micro6) with type_a <= type_b; edges with an
+    untyped endpoint are dropped (inner joins).
+
+    Scale: two broadcast-joinable type lookups (the type table is
+    one row per entity but the MATRIX is |types|^2 — the aggregate
+    is map-side combinable to that tiny state) and one global count
+    folded in by a window over the handful of matrix rows.
+    """
+    from pyspark.sql import Window
+
+    t = types.select("canonical_id", "major_type")
+    j = (edges
+         .join(t.select(F.col("canonical_id").alias("src"),
+                        F.col("major_type").alias("_ta")), "src")
+         .join(t.select(F.col("canonical_id").alias("dst"),
+                        F.col("major_type").alias("_tb")), "dst")
+         .select(F.least("_ta", "_tb").alias("type_a"),
+                 F.greatest("_ta", "_tb").alias("type_b")))
+    cnt = j.groupBy("type_a", "type_b").agg(
+        F.count(F.lit(1)).cast("long").alias("n_edges"))
+    w = Window.partitionBy()
+    return (cnt.withColumn("_tot", F.sum("n_edges").over(w))
+            .select("type_a", "type_b", "n_edges",
+                    F.floor(F.col("n_edges") * F.lit(1000000)
+                            / F.col("_tot")).cast("long")
+                    .alias("share_micro6")))
+
+
+def ic_spread(edges: DataFrame, nodes: DataFrame, p_pct: int = 35,
+              max_rounds: int = 25) -> DataFrame:
+    """Deterministic independent-cascade influence spread (Kempe,
+    Kleinberg & Tardos, KDD'03, live-edge form): an undirected edge
+    {u, v} is LIVE iff hex6(md5('ic:' || min || ':' || max)) % 100 <
+    p_pct — the md5 coin every engine flips identically — and the
+    cascade from the seed (the lexicographically smallest node, the
+    repo's standard seed rule) is exactly BFS over live edges.
+
+    Output: (node, activated_round) for ACTIVATED nodes only (seed =
+    round 0) — the influence set and its activation wavefront.
+
+    Scale: one filter to materialize live edges, then frontier BFS
+    with localCheckpoint per level (the bfs_distances discipline);
+    the md5 coin means no RNG state is ever shared across executors.
+    """
+    und = (edges.select(F.least("src", "dst").alias("a"),
+                        F.greatest("src", "dst").alias("b"))
+           .where(F.col("a") != F.col("b")).dropDuplicates())
+    coin = F.conv(F.substring(F.md5(F.concat_ws(
+        ":", F.lit("ic"), F.col("a"), F.col("b"))), 1, 6), 16, 10) \
+        .cast("long") % 100
+    live = und.where(coin < F.lit(p_pct)).localCheckpoint()
+    sym = live.select(F.col("a").alias("src"), F.col("b").alias("dst")) \
+        .union(live.select(F.col("b").alias("src"),
+                           F.col("a").alias("dst")))
+    seed = nodes.agg(F.min("node").alias("node"))
+    seen = seed.select("node", F.lit(0).cast("long")
+                       .alias("activated_round")).localCheckpoint()
+    frontier = seen.select("node")
+    for r in range(1, max_rounds + 1):
+        nxt = (sym.join(frontier.withColumnRenamed("node", "src"),
+                        "src")
+               .select(F.col("dst").alias("node")).dropDuplicates()
+               .join(seen.select("node"), "node", "anti")
+               .localCheckpoint())
+        if nxt.isEmpty():
+            break
+        seen = seen.unionByName(
+            nxt.select("node", F.lit(r).cast("long")
+                       .alias("activated_round"))).localCheckpoint()
+        frontier = nxt
+    return seen

@@ -5568,3 +5568,54 @@ SELECT e.day_idx, n.n_days_merged, e.s_x2p20,
             AS BIGINT) AS est_milli
 FROM rh_est e JOIN rh_nd n ON n.day_idx = e.day_idx""",
 LINK_CTES, _RH_CTES)
+
+
+# ---------------------------------------------------------------------------
+# Continuation batch 50: categorical type-mixing matrix of the
+# co-mention graph (operators/graph_algos.type_mixing) — edge counts
+# per unordered elected-type pair + micro6 share of all typed edges.
+# Reuses _ETC_CTES so the type election can never drift from
+# entity_types.
+
+_TM_CTES = """
+tm_cnt AS MATERIALIZED (
+  SELECT type_a, type_b, CAST(COUNT(*) AS BIGINT) AS n_edges FROM (
+    SELECT least(ta.major_type, tb.major_type) AS type_a,
+           greatest(ta.major_type, tb.major_type) AS type_b
+    FROM comention e
+    JOIN etc_major ta ON ta.canonical_id = e.src
+    JOIN etc_major tb ON tb.canonical_id = e.dst)
+  GROUP BY 1, 2)"""
+
+ORACLE["type_mixing"] = _q("""
+SELECT type_a, type_b, n_edges,
+       CAST(n_edges * 1000000 // SUM(n_edges) OVER () AS BIGINT)
+           AS share_micro6
+FROM tm_cnt""", LINK_CTES, COMENTION_CTES.strip(), _ETC_CTES, _TM_CTES)
+
+
+# ---------------------------------------------------------------------------
+# Continuation batch 51: deterministic independent-cascade spread
+# over the co-mention graph (operators/graph_algos.ic_spread,
+# p = 35%): live edges by the md5-hex6 coin, then BFS from the
+# lexicographically smallest node as a bounded recursive min-dist
+# CTE (the graph_bfs device on the live subgraph).
+
+_IC_CTES = f"""
+ic_live AS MATERIALIZED (
+  SELECT src, dst FROM comention
+  WHERE {_qm_hex6("'ic:' || src || ':' || dst")} % 100 < 35),
+ic_sym AS MATERIALIZED (
+  SELECT src, dst FROM ic_live
+  UNION SELECT dst AS src, src AS dst FROM ic_live),
+ic_walk(node, d) AS (
+  SELECT (SELECT MIN(node) FROM cc_nodes) AS node, 0 AS d
+  UNION
+  SELECT e.dst AS node, w.d + 1
+  FROM ic_walk w JOIN ic_sym e ON e.src = w.node
+  WHERE w.d < 25)"""
+
+ORACLE["ic_spread"] = _q("""
+SELECT node, CAST(MIN(d) AS BIGINT) AS activated_round
+FROM ic_walk GROUP BY 1""", LINK_CTES, COMENTION_CTES.strip(),
+_IC_CTES)

@@ -210,6 +210,12 @@ EXPECTED_TAIL = [
     # Continuation batch 49: rolling per-day HLL distinct estimates —
     # appended past position 50.
     "rolling_entity_hll",
+    # Continuation batch 50: categorical type-mixing matrix —
+    # appended past position 50.
+    "type_mixing",
+    # Continuation batch 51: deterministic independent-cascade
+    # spread — appended past position 50.
+    "ic_spread",
 ]
 
 
