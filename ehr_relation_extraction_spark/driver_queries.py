@@ -1988,6 +1988,23 @@ def q_ic_spread(spark, sf_dir) -> DataFrame:
     return ic_spread(edges, nodes, p_pct=35)
 
 
+def q_boolean_search(spark, sf_dir) -> DataFrame:
+    """Boolean-retrieval read path: AND / OR / PHRASE doc counts for
+    the two highest-df terms — the index-correctness probe for the
+    postings materialization (functions/textstats.
+    boolean_search_stats)."""
+    from .functions.textstats import boolean_search_stats
+
+    return boolean_search_stats(_docs(spark, sf_dir))
+
+
+def q_mention_gini(spark, sf_dir) -> DataFrame:
+    """Exact Gini + top-1 share of per-entity mention counts — the
+    popularity-skew alarm (operators/linking.mention_concentration)."""
+    _, linked, _ = _linked(spark, sf_dir)
+    return lk.mention_concentration(linked)
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # ORDER IS LOAD-BEARING: the driver snapshot verifies exactly
     # list(QUERIES)[:50] in insertion order (pinned by
@@ -2259,6 +2276,12 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # Continuation batch 51: deterministic independent-cascade
     # spread — appended past position 50.
     "ic_spread": q_ic_spread,
+    # Continuation batch 52: boolean-retrieval read path — appended
+    # past position 50.
+    "boolean_search": q_boolean_search,
+    # Continuation batch 53: mention-concentration Gini — appended
+    # past position 50.
+    "mention_gini": q_mention_gini,
 }
 
 

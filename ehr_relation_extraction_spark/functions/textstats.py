@@ -5,7 +5,7 @@ integer outputs for cross-engine stability.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, functions as F
+from pyspark.sql import DataFrame, Window, functions as F
 
 from ..config import STOPWORDS
 
@@ -952,3 +952,72 @@ def postings_lists(docs: DataFrame, min_df: int = 2) -> DataFrame:
                         "CASE WHEN i = 0 THEN x"
                         " ELSE x - _ds[i - 1] END AS STRING))"), ",")
                     .alias("postings_deltas")))
+
+
+def boolean_search_stats(docs: DataFrame) -> DataFrame:
+    """Boolean-retrieval read path over the inverted index: pick the
+    corpus's two highest-df terms (ties by term), and report the doc
+    counts a search engine's AND / OR / PHRASE operators would
+    return — the index-correctness probe for the postings_lists
+    materialization (same tokenization: lowercased, split on
+    whitespace, empties dropped; phrase = the terms ADJACENT in the
+    filtered token sequence).
+
+    Output: one row (term_a, term_b, df_a, df_b, n_and, n_or,
+    n_phrase).
+
+    Scale: term selection is a 2-row distributed top-k; membership
+    and adjacency are keyed equi-joins on doc_id against the 2-term
+    broadcast; every count folds into ONE global aggregate via the
+    labeled-union device — no cross join anywhere.
+    """
+    toks = docs.select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        F.posexplode(F.filter(F.split(F.lower("text"), "[\n \t]"),
+                              lambda t: t != ""))
+        .alias("pos", "term"))
+    sel = (toks.select("doc_id", "term").dropDuplicates()
+           .groupBy("term")
+           .agg(F.count(F.lit(1)).cast("long").alias("df"))
+           .orderBy(F.desc("df"), F.asc("term")).limit(2)
+           .withColumn("rk", F.row_number().over(
+               Window.orderBy(F.desc("df"), F.asc("term")))))
+    hit = toks.join(F.broadcast(sel), "term")
+    per_doc = (hit.groupBy("doc_id")
+               .agg(F.max(F.when(F.col("rk") == 1, 1).otherwise(0))
+                    .alias("ha"),
+                    F.max(F.when(F.col("rk") == 2, 1).otherwise(0))
+                    .alias("hb")))
+    pa = hit.where(F.col("rk") == 1).select("doc_id", "pos")
+    pb = hit.where(F.col("rk") == 2).select(
+        "doc_id", (F.col("pos") - 1).alias("pos"))
+    phrase = (pa.join(pb, ["doc_id", "pos"], "semi")
+              .select("doc_id").dropDuplicates())
+    labeled = (sel.select(
+        F.concat(F.lit("t"), F.col("rk")).alias("k"),
+        F.col("df").alias("v"), F.col("term").alias("s"))
+        .unionByName(per_doc.agg(
+            F.sum(F.expr("ha * hb")).cast("long").alias("v"))
+            .select(F.lit("and").alias("k"), "v",
+                    F.lit(None).cast("string").alias("s")))
+        .unionByName(per_doc.agg(
+            F.count(F.lit(1)).cast("long").alias("v"))
+            .select(F.lit("or").alias("k"), "v",
+                    F.lit(None).cast("string").alias("s")))
+        .unionByName(phrase.agg(
+            F.count(F.lit(1)).cast("long").alias("v"))
+            .select(F.lit("phrase").alias("k"), "v",
+                    F.lit(None).cast("string").alias("s"))))
+    return labeled.groupBy().agg(
+        F.max(F.when(F.col("k") == "t1", F.col("s"))).alias("term_a"),
+        F.max(F.when(F.col("k") == "t2", F.col("s"))).alias("term_b"),
+        F.max(F.when(F.col("k") == "t1", F.col("v"))).cast("long")
+        .alias("df_a"),
+        F.max(F.when(F.col("k") == "t2", F.col("v"))).cast("long")
+        .alias("df_b"),
+        F.max(F.when(F.col("k") == "and", F.col("v"))).cast("long")
+        .alias("n_and"),
+        F.max(F.when(F.col("k") == "or", F.col("v"))).cast("long")
+        .alias("n_or"),
+        F.coalesce(F.max(F.when(F.col("k") == "phrase", F.col("v"))),
+                   F.lit(0)).cast("long").alias("n_phrase"))

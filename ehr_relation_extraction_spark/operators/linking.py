@@ -1097,3 +1097,49 @@ def blocking_quality(triples: DataFrame, truth: DataFrame) -> DataFrame:
                F.lit(1000000) - F.floor(F.col("n_cand")
                                         * F.lit(1000000) / ap))
         .otherwise(F.lit(0)).cast("long").alias("rr_micro6"))
+
+
+def mention_concentration(linked: DataFrame) -> DataFrame:
+    """Corpus concentration profile of entity attention — the exact
+    Gini coefficient of per-entity mention counts plus the top
+    entity's share: the popularity-skew alarm a crawl pipeline
+    watches (a Gini drifting toward 1 means the extractor is
+    collapsing onto head entities; near 0 means the gazetteer tail
+    is dead weight).
+
+    Gini via the sorted-rank identity G = (2*sum(i*x_i) - (n+1)*
+    sum(x)) / (n*sum(x)) with ranks ascending by (count, entity) —
+    deterministic under ties — floor-scaled to micro6 with ONE
+    division.  Output: one row (n_entities, total_mentions,
+    gini_micro6, top1_share_micro6).
+
+    Scale: the rank window runs over the per-ENTITY count table (the
+    aggregate of the corpus, bounded by the entity vocabulary —
+    never the mention stream), so the single-partition sort is a
+    bounded dimension, same class as the other vocabulary-sized
+    windows.
+    """
+    from pyspark.sql import Window
+
+    cnt = linked.groupBy("canonical_id").agg(
+        F.count(F.lit(1)).cast("long").alias("x"))
+    ranked = cnt.withColumn(
+        "i", F.row_number().over(
+            Window.orderBy(F.asc("x"), F.asc("canonical_id")))
+        .cast("long"))
+    return (ranked.agg(
+        F.count(F.lit(1)).cast("long").alias("n_entities"),
+        F.sum("x").cast("long").alias("total_mentions"),
+        F.sum(F.col("i") * F.col("x")).cast("long").alias("_s1"),
+        F.max("x").cast("long").alias("_xmax"))
+        .select("n_entities", "total_mentions",
+                F.floor((F.lit(2) * F.col("_s1")
+                         - (F.col("n_entities") + 1)
+                         * F.col("total_mentions"))
+                        * F.lit(1000000)
+                        / (F.col("n_entities")
+                           * F.col("total_mentions")))
+                .cast("long").alias("gini_micro6"),
+                F.floor(F.col("_xmax") * F.lit(1000000)
+                        / F.col("total_mentions")).cast("long")
+                .alias("top1_share_micro6")))

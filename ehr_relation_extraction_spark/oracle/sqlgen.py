@@ -5619,3 +5619,78 @@ ORACLE["ic_spread"] = _q("""
 SELECT node, CAST(MIN(d) AS BIGINT) AS activated_round
 FROM ic_walk GROUP BY 1""", LINK_CTES, COMENTION_CTES.strip(),
 _IC_CTES)
+
+
+# ---------------------------------------------------------------------------
+# Continuation batch 52: boolean-retrieval read path (functions/
+# textstats.boolean_search_stats) — AND / OR / PHRASE doc counts for
+# the corpus's two highest-df terms over the documents table (same
+# tokenization as postings_lists; phrase = adjacency in the FILTERED
+# token sequence, 0-based positions).
+
+ORACLE["boolean_search"] = """
+WITH bs_ts AS (
+  SELECT doc_id, list_filter(string_split_regex(lower(text),
+                                                '[\\n \\t]'),
+                             t -> t <> '') AS ts
+  FROM documents),
+bs_toks AS MATERIALIZED (
+  SELECT CAST(doc_id AS BIGINT) AS doc_id,
+         CAST(i AS INT) - 1 AS pos, ts[CAST(i AS INT)] AS term
+  FROM bs_ts, unnest(generate_series(1, len(ts))) AS t(i)),
+bs_sel AS MATERIALIZED (
+  SELECT term, df, ROW_NUMBER() OVER (ORDER BY df DESC, term ASC)
+             AS rk
+  FROM (SELECT term, CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS df
+        FROM bs_toks GROUP BY 1)
+  ORDER BY df DESC, term ASC LIMIT 2),
+bs_hit AS MATERIALIZED (
+  SELECT h.doc_id, h.pos, s.rk FROM bs_toks h
+  JOIN bs_sel s USING (term)),
+bs_doc AS (
+  SELECT doc_id,
+         MAX(CASE WHEN rk = 1 THEN 1 ELSE 0 END) AS ha,
+         MAX(CASE WHEN rk = 2 THEN 1 ELSE 0 END) AS hb
+  FROM bs_hit GROUP BY 1),
+bs_phrase AS (
+  SELECT DISTINCT a.doc_id FROM bs_hit a
+  JOIN bs_hit b ON b.doc_id = a.doc_id
+   AND a.rk = 1 AND b.rk = 2 AND b.pos = a.pos + 1)
+SELECT (SELECT term FROM bs_sel WHERE rk = 1) AS term_a,
+       (SELECT term FROM bs_sel WHERE rk = 2) AS term_b,
+       (SELECT df FROM bs_sel WHERE rk = 1) AS df_a,
+       (SELECT df FROM bs_sel WHERE rk = 2) AS df_b,
+       (SELECT CAST(COALESCE(SUM(ha * hb), 0) AS BIGINT)
+        FROM bs_doc) AS n_and,
+       (SELECT CAST(COUNT(*) AS BIGINT) FROM bs_doc) AS n_or,
+       (SELECT CAST(COUNT(*) AS BIGINT) FROM bs_phrase) AS n_phrase"""
+
+
+# ---------------------------------------------------------------------------
+# Continuation batch 53: mention-concentration profile — exact Gini
+# (sorted-rank identity, ascending (count, entity) ranks) + top-1
+# share of the per-entity mention counts (operators/linking.
+# mention_concentration).  The numerator (2*S1 - (n+1)*S0) is formed
+# BEFORE the 1e6 scale so every intermediate stays far inside int64.
+
+_MG_CTES = """
+mg_cnt AS MATERIALIZED (
+  SELECT canonical_id, CAST(COUNT(*) AS BIGINT) AS x
+  FROM linked GROUP BY 1),
+mg_rank AS (
+  SELECT x, CAST(ROW_NUMBER() OVER (
+      ORDER BY x ASC, canonical_id ASC) AS BIGINT) AS i
+  FROM mg_cnt),
+mg_sum AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(x) AS BIGINT) AS s0,
+         CAST(SUM(i * x) AS BIGINT) AS s1,
+         CAST(MAX(x) AS BIGINT) AS xmax
+  FROM mg_rank)"""
+
+ORACLE["mention_gini"] = _q("""
+SELECT n AS n_entities, s0 AS total_mentions,
+       CAST(((2 * s1 - (n + 1) * s0) * 1000000) // (n * s0)
+            AS BIGINT) AS gini_micro6,
+       CAST((xmax * 1000000) // s0 AS BIGINT) AS top1_share_micro6
+FROM mg_sum""", LINK_CTES, _MG_CTES)

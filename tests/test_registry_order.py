@@ -216,6 +216,12 @@ EXPECTED_TAIL = [
     # Continuation batch 51: deterministic independent-cascade
     # spread — appended past position 50.
     "ic_spread",
+    # Continuation batch 52: boolean-retrieval read path — appended
+    # past position 50.
+    "boolean_search",
+    # Continuation batch 53: mention-concentration Gini — appended
+    # past position 50.
+    "mention_gini",
 ]
 
 
