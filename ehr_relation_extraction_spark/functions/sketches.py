@@ -438,6 +438,64 @@ def doclen_hist(docs: DataFrame, width: int = HIST_WIDTH) -> DataFrame:
             .agg(F.count(F.lit(1)).cast("long").alias("cnt")))
 
 
+def hll_day_registers(items: DataFrame, day_col: str,
+                      item_col: str) -> DataFrame:
+    """Per-day 16-register HLL sketch table (day, register, rho) of
+    the ``items[item_col]`` stream — the shared state both the batch
+    window merge (:func:`rolling_from_registers`) and the streaming
+    twin (streaming/stream.incremental_entity_hll) maintain: the
+    aggregate is a MAX, so it is streaming-legal, mergeable, and
+    idempotent under replays."""
+    h = F.md5(F.col(item_col).cast("string"))
+    tail = "substring(_h, 2, 12)"
+    z = F.expr(f"trim(LEADING '0' FROM {tail})")
+    first = F.expr("instr('0123456789abcdef', "
+                   f"substring(trim(LEADING '0' FROM {tail}), 1, 1)) - 1")
+    zero_bits = (F.when(first >= 8, F.lit(0))
+                 .when(first >= 4, F.lit(1))
+                 .when(first >= 2, F.lit(2)).otherwise(F.lit(3)))
+    rho = (F.when(F.length(z) == 0, F.lit(49))
+           .otherwise((F.lit(12) - F.length(z)) * 4 + zero_bits + 1))
+    return (items.select(F.col(day_col).cast("long").alias("day"),
+                         h.alias("_h"))
+            .select("day",
+                    _nibble_value("_h", 1, 1).cast("int")
+                    .alias("register"),
+                    rho.cast("int").alias("rho"))
+            .groupBy("day", "register")
+            .agg(F.max("rho").cast("int").alias("rho")))
+
+
+def rolling_from_registers(daily: DataFrame,
+                           window: int = 3) -> DataFrame:
+    """Window merge + clamped integer estimator over a per-day
+    register table (day, register, rho) — the pure post-process half
+    of :func:`rolling_hll_estimates`, shared with the streaming twin
+    so stream and batch estimates agree bit-for-bit."""
+    slots = (daily.select(
+        F.explode(F.sequence(F.col("day"),
+                             F.col("day") + F.lit(window - 1)))
+        .alias("day_idx"), "day", "register", "rho"))
+    days = daily.select(F.col("day").alias("day_idx")).dropDuplicates()
+    merged = (slots.join(days, "day_idx", "semi")
+              .groupBy("day_idx", "register")
+              .agg(F.max("rho").alias("rho")))
+    nd = (slots.join(days, "day_idx", "semi")
+          .select("day_idx", "day").dropDuplicates()
+          .groupBy("day_idx")
+          .agg(F.count(F.lit(1)).cast("long").alias("n_days_merged")))
+    term = F.expr("shiftleft(1, 20 - least(rho, 20))")
+    est = (merged.groupBy("day_idx")
+           .agg((F.lit(16 * (1 << 20))
+                 - F.sum(F.lit(1 << 20) - term)).cast("long")
+                .alias("s_x2p20")))
+    return (est.join(nd, "day_idx")
+            .select("day_idx", "n_days_merged", "s_x2p20",
+                    F.floor(F.lit(673 * 256 * (1 << 20))
+                            / F.col("s_x2p20")).cast("long")
+                    .alias("est_milli")))
+
+
 def rolling_hll_estimates(items: DataFrame, day_col: str,
                           item_col: str, window: int = 3) -> DataFrame:
     """Rolling distinct-count estimates from per-day HLL sketches —
@@ -459,46 +517,9 @@ def rolling_hll_estimates(items: DataFrame, day_col: str,
     each day-register row into the <= ``window`` window slots it
     serves (a sequence explode, no shuffle) and re-aggregates — the
     sketch-union form of a sliding window, state days x 16 forever.
+    Composition of :func:`hll_day_registers` (streaming-legal MAX
+    aggregate) and :func:`rolling_from_registers` (pure
+    post-process) — the streaming twin reuses both.
     """
-    h = F.md5(F.col(item_col).cast("string"))
-    tail = "substring(_h, 2, 12)"
-    z = F.expr(f"trim(LEADING '0' FROM {tail})")
-    first = F.expr("instr('0123456789abcdef', "
-                   f"substring(trim(LEADING '0' FROM {tail}), 1, 1)) - 1")
-    zero_bits = (F.when(first >= 8, F.lit(0))
-                 .when(first >= 4, F.lit(1))
-                 .when(first >= 2, F.lit(2)).otherwise(F.lit(3)))
-    rho = (F.when(F.length(z) == 0, F.lit(49))
-           .otherwise((F.lit(12) - F.length(z)) * 4 + zero_bits + 1))
-    daily = (items.select(F.col(day_col).cast("long").alias("day"),
-                          h.alias("_h"))
-             .select("day",
-                     _nibble_value("_h", 1, 1).cast("int")
-                     .alias("register"),
-                     rho.cast("int").alias("rho"))
-             .groupBy("day", "register")
-             .agg(F.max("rho").cast("int").alias("rho")))
-    slots = (daily.select(
-        F.explode(F.sequence(F.col("day"),
-                             F.col("day") + F.lit(window - 1)))
-        .alias("day_idx"), "day", "register", "rho"))
-    days = items.select(F.col(day_col).cast("long")
-                        .alias("day_idx")).dropDuplicates()
-    merged = (slots.join(days, "day_idx", "semi")
-              .groupBy("day_idx", "register")
-              .agg(F.max("rho").alias("rho"),
-                   F.min("day").alias("_d0")))
-    nd = (slots.join(days, "day_idx", "semi")
-          .select("day_idx", "day").dropDuplicates()
-          .groupBy("day_idx")
-          .agg(F.count(F.lit(1)).cast("long").alias("n_days_merged")))
-    term = F.expr("shiftleft(1, 20 - least(rho, 20))")
-    est = (merged.groupBy("day_idx")
-           .agg((F.lit(16 * (1 << 20))
-                 - F.sum(F.lit(1 << 20) - term)).cast("long")
-                .alias("s_x2p20")))
-    return (est.join(nd, "day_idx")
-            .select("day_idx", "n_days_merged", "s_x2p20",
-                    F.floor(F.lit(673 * 256 * (1 << 20))
-                            / F.col("s_x2p20")).cast("long")
-                    .alias("est_milli")))
+    return rolling_from_registers(
+        hll_day_registers(items, day_col, item_col), window)

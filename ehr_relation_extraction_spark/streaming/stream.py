@@ -282,3 +282,40 @@ def incremental_sessions(spark: SparkSession, events_dir: str,
             .trigger(availableNow=True)
             .format("parquet").option("path", out_dir)
             .start())
+
+
+def incremental_entity_hll(spark: SparkSession, pages_dir: str,
+                           checkpoint_dir: str,
+                           query_name: str = "entity_hll"):
+    """Streaming per-day entity HLL sketches — the streaming twin of
+    functions/sketches.rolling_hll_estimates: the full mention
+    pipeline (extract -> Arrow NER kernel -> broadcast link) runs
+    inside the stream, and the state is the (day, register, max rho)
+    table — <= 16 rows per crawl day FOREVER, the smallest possible
+    distinct-count state, and a MAX aggregate so replays are
+    idempotent by algebra, not bookkeeping.
+
+    The window estimates are a pure batch post-process
+    (:func:`~..functions.sketches.rolling_from_registers`) over the
+    memory sink, shared verbatim with the batch path, so the
+    checkpoint-resumed stream's dashboard equals the batch
+    rolling_hll_estimates over the union exactly (the stream==batch
+    test asserts it).  Complete-mode memory sink ``query_name``."""
+    from ..functions.sketches import hll_day_registers
+    from ..operators import ner
+    from ..operators.linking import gazetteer_df, link_mentions
+    from ..sources.pages import extract_text
+
+    stream = spark.readStream.schema(PAGES_DDL).parquet(pages_dir)
+    pages = extract_text(stream)
+    mentions = ner.detect_mentions_df(pages, with_ids=False)
+    linked = link_mentions(mentions, gazetteer_df(spark))
+    items = linked.select(
+        ((F.lit(1704067200) + F.col("doc_id")) / 86400)
+        .cast("int").alias("day_idx"), "canonical_id")
+    daily = hll_day_registers(items, "day_idx", "canonical_id")
+    return (daily.writeStream.outputMode("complete")
+            .format("memory").queryName(query_name)
+            .option("checkpointLocation", checkpoint_dir)
+            .trigger(availableNow=True)
+            .start())
