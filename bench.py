@@ -770,7 +770,8 @@ def run_kg_analytics(sf_dir: str, cpus: int) -> None:
             "hyperball", "nf_distribution", "simrank",
             "blocking_metrics", "local_bridges", "orbit_counts",
             "rpq_reach", "rolling_entity_hll", "type_mixing",
-            "ic_spread", "boolean_search", "mention_gini"]
+            "ic_spread", "boolean_search", "mention_gini",
+            "core_numbers"]
     timings: dict[str, float] = {}
     counts: dict[str, int] = {}
     for _ in range(trials):

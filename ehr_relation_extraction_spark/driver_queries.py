@@ -2005,6 +2005,16 @@ def q_mention_gini(spark, sf_dir) -> DataFrame:
     return lk.mention_concentration(linked)
 
 
+def q_core_numbers(spark, sf_dir) -> DataFrame:
+    """Full k-core decomposition (coreness per node) by H-index
+    iteration over the co-mention graph — all k at once, 8 sweeps
+    (operators/graph_algos.core_numbers)."""
+    from .operators.graph_algos import core_numbers
+
+    edges, nodes = _comention_graph(spark, sf_dir)
+    return core_numbers(edges, nodes, n_rounds=8)
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # ORDER IS LOAD-BEARING: the driver snapshot verifies exactly
     # list(QUERIES)[:50] in insertion order (pinned by
@@ -2282,6 +2292,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # Continuation batch 53: mention-concentration Gini — appended
     # past position 50.
     "mention_gini": q_mention_gini,
+    # Continuation batch 55: k-core decomposition by H-index
+    # iteration — appended past position 50.
+    "core_numbers": q_core_numbers,
 }
 
 

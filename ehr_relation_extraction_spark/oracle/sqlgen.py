@@ -5694,3 +5694,31 @@ SELECT n AS n_entities, s0 AS total_mentions,
             AS BIGINT) AS gini_micro6,
        CAST((xmax * 1000000) // s0 AS BIGINT) AS top1_share_micro6
 FROM mg_sum""", LINK_CTES, _MG_CTES)
+
+
+# ---------------------------------------------------------------------------
+# Continuation batch 55: full k-core decomposition by H-index
+# iteration (operators/graph_algos.core_numbers, 8 rounds) — the
+# per-round H-index is a window rank + MAX(LEAST(rank, value)), both
+# order-invariant, unrolled like the other iteratives over the
+# co-mention graph.
+
+def _coreness_sql(n_rounds: int = 8) -> str:
+    blocks = ["""hc0 AS MATERIALIZED (
+  SELECT src AS node, CAST(COUNT(*) AS BIGINT) AS c
+  FROM com_sym GROUP BY 1)"""]
+    for r in range(1, n_rounds + 1):
+        blocks.append(f"""hc{r} AS MATERIALIZED (
+  SELECT node, CAST(MAX(LEAST(rk, cn)) AS BIGINT) AS c FROM (
+    SELECT s.src AS node, q.c AS cn,
+           CAST(ROW_NUMBER() OVER (PARTITION BY s.src
+                ORDER BY q.c DESC, s.dst ASC) AS BIGINT) AS rk
+    FROM com_sym s JOIN hc{r - 1} q ON q.node = s.dst)
+  GROUP BY 1)""")
+    return ",\n".join(blocks)
+
+
+ORACLE["core_numbers"] = _q(f"""
+SELECT n.node, CAST(COALESCE(h.c, 0) AS BIGINT) AS coreness
+FROM cc_nodes n LEFT JOIN hc8 h ON h.node = n.node""",
+LINK_CTES, COMENTION_CTES.strip(), _coreness_sql(8))

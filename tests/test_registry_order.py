@@ -222,6 +222,9 @@ EXPECTED_TAIL = [
     # Continuation batch 53: mention-concentration Gini — appended
     # past position 50.
     "mention_gini",
+    # Continuation batch 55: k-core decomposition by H-index
+    # iteration — appended past position 50.
+    "core_numbers",
 ]
 
 
