@@ -771,7 +771,7 @@ def run_kg_analytics(sf_dir: str, cpus: int) -> None:
             "blocking_metrics", "local_bridges", "orbit_counts",
             "rpq_reach", "rolling_entity_hll", "type_mixing",
             "ic_spread", "boolean_search", "mention_gini",
-            "core_numbers"]
+            "core_numbers", "landmark_centrality", "fs_scores"]
     timings: dict[str, float] = {}
     counts: dict[str, int] = {}
     for _ in range(trials):

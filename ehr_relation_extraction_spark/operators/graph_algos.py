@@ -1918,3 +1918,72 @@ def core_numbers(edges: DataFrame, nodes: DataFrame,
     return (nodes.select("node").join(c, "node", "left")
             .select("node", F.coalesce("c", F.lit(0)).cast("long")
                     .alias("coreness")))
+
+
+def landmark_centrality(edges: DataFrame, nodes: DataFrame,
+                        n_landmarks: int = 4,
+                        max_iter: int = 25) -> DataFrame:
+    """Landmark-based closeness + harmonic centrality (Potamias et
+    al., CIKM 2009): run ONE multi-source BFS from a small
+    deterministic landmark set (top-``n_landmarks`` by degree, node
+    id as tie-break), then score every node by its distances TO the
+    landmarks — the scalable stand-in for exact closeness, whose
+    all-pairs BFS is quadratic and off the table at corpus scale.
+
+    Integer devices (bit-exact vs a DuckDB oracle that unrolls the
+    same BFS as a recursive CTE):
+
+        n_lm             = landmarks reaching the node (d > 0)
+        sum_dist         = sum of those distances
+        harmonic_micro6  = sum of 1000000 DIV d
+        closeness_micro6 = (1000000 * n_lm) DIV sum_dist   (0 if unreached)
+
+    Scale: the frontier is keyed (lm, node) — n_landmarks * |V| state
+    upper bound, one equi-join + anti-join per level, localCheckpoint
+    per level, early exit on empty frontier.  Landmark count is a
+    constant, so cost is n_landmarks BFS sweeps fused into one job.
+    """
+    spark = edges.sparkSession
+    und = (edges.select("src", "dst")
+           .where(F.col("src") != F.col("dst")).dropDuplicates())
+    sym = (und.union(und.select(F.col("dst").alias("src"),
+                                F.col("src").alias("dst")))
+           .localCheckpoint())
+    deg = sym.groupBy(F.col("src").alias("node")).agg(
+        F.count(F.lit(1)).alias("deg"))
+    # bounded driver collect: n_landmarks rows (constant), the same
+    # cap class as graph_bfs / graph_distances' 1-row seed pick
+    lms = [r["node"] for r in deg.orderBy(F.desc("deg"), F.asc("node"))
+           .limit(n_landmarks).collect()]
+    dist = spark.createDataFrame([(lm, lm, 0) for lm in lms],
+                                 "lm string, node string, dist int")
+    frontier = dist
+    for level in range(1, max_iter + 1):
+        nxt = (frontier.join(sym, frontier["node"] == sym["src"])
+               .select("lm", F.col("dst").alias("node"))
+               .dropDuplicates()
+               .join(dist.select("lm", "node"), ["lm", "node"],
+                     "left_anti")
+               .withColumn("dist", F.lit(level).cast("int"))
+               .localCheckpoint())
+        if nxt.isEmpty():
+            break
+        dist = dist.union(nxt).localCheckpoint()
+        frontier = nxt
+    scored = (dist.where(F.col("dist") > 0)
+              .groupBy("node")
+              .agg(F.count(F.lit(1)).cast("int").alias("n_lm"),
+                   F.sum("dist").cast("long").alias("sum_dist"),
+                   F.sum(F.expr("1000000 DIV dist")).cast("long")
+                   .alias("harmonic_micro6")))
+    return (nodes.select("node").join(scored, "node", "left")
+            .select("node",
+                    F.coalesce("n_lm", F.lit(0)).cast("int").alias("n_lm"),
+                    F.coalesce("sum_dist", F.lit(0)).cast("long")
+                    .alias("sum_dist"),
+                    F.coalesce("harmonic_micro6", F.lit(0)).cast("long")
+                    .alias("harmonic_micro6"),
+                    F.expr("CASE WHEN coalesce(sum_dist, 0) > 0 THEN "
+                           "(1000000 * CAST(n_lm AS BIGINT)) DIV sum_dist "
+                           "ELSE 0 END").cast("long")
+                    .alias("closeness_micro6")))

@@ -1143,3 +1143,150 @@ def mention_concentration(linked: DataFrame) -> DataFrame:
                 F.floor(F.col("_xmax") * F.lit(1000000)
                         / F.col("total_mentions")).cast("long")
                 .alias("top1_share_micro6")))
+
+
+# ---------------------------------------------------------------------------
+# Fellegi-Sunter probabilistic record linkage (continuation batch 57)
+
+FS_FEATURES = ("first_char", "len_diff_le2", "same_n_tokens",
+               "shared_token")
+
+
+def fs_labeled_pairs(mentions: DataFrame, gaz: DataFrame,
+                     window: int = 3) -> DataFrame:
+    """Comparison vectors for Fellegi-Sunter record linkage (JASA
+    1969): sorted-neighborhood candidate pairs of mention surfaces,
+    each with four binary agreement features and a gold label from
+    the gazetteer canonicalization (both surfaces resolve to the same
+    canonical id; out-of-gazetteer surfaces get their unique
+    ``surface:<lower>`` id, so they never spuriously match).
+
+    Features (all JVM expressions, no Python):
+      first_char     first characters agree
+      len_diff_le2   length difference <= 2
+      same_n_tokens  same space-token count
+      shared_token   the token sets intersect
+
+    Scale: pair generation is the windowed sorted-neighborhood scan
+    (no self-join); the gazetteer side is broadcast twice.
+    """
+    pairs = sorted_neighborhood_pairs(mentions, window)
+    canon = gaz.select(F.col("alias").alias("_surf"), "ent_type",
+                       F.col("canonical_id").alias("_canon"))
+    ca = canon.withColumnRenamed("_surf", "surf_a").withColumnRenamed(
+        "_canon", "_ca")
+    cb = canon.withColumnRenamed("_surf", "surf_b").withColumnRenamed(
+        "_canon", "_cb")
+    lab = (pairs
+           .join(F.broadcast(ca), ["surf_a", "ent_type"], "left")
+           .join(F.broadcast(cb), ["surf_b", "ent_type"], "left")
+           .withColumn(
+               "label",
+               (F.coalesce(F.col("_ca"),
+                           F.concat(F.lit("surface:"), F.col("surf_a")))
+                == F.coalesce(F.col("_cb"),
+                              F.concat(F.lit("surface:"),
+                                       F.col("surf_b")))).cast("int"))
+           .drop("_ca", "_cb"))
+    ta, tb = F.split("surf_a", " ", -1), F.split("surf_b", " ", -1)
+    return (lab
+            .withColumn("first_char",
+                        (F.substring("surf_a", 1, 1)
+                         == F.substring("surf_b", 1, 1)).cast("int"))
+            .withColumn("len_diff_le2",
+                        (F.abs(F.length("surf_a") - F.length("surf_b"))
+                         <= 2).cast("int"))
+            .withColumn("same_n_tokens",
+                        (F.size(ta) == F.size(tb)).cast("int"))
+            .withColumn("shared_token",
+                        F.arrays_overlap(ta, tb).cast("int")))
+
+
+def _fs_counts(lp: DataFrame) -> DataFrame:
+    """One-row global aggregate of the FS sufficient statistics:
+    match/unmatch totals plus per-feature agreement counts."""
+    exprs = [F.sum("label").cast("long").alias("nm"),
+             (F.count(F.lit(1)) - F.sum("label")).cast("long").alias("nu")]
+    for f in FS_FEATURES:
+        exprs.append(F.sum(F.col(f) * F.col("label")).cast("long")
+                     .alias(f"am_{f}"))
+        exprs.append(F.sum(F.col(f) * (1 - F.col("label"))).cast("long")
+                     .alias(f"au_{f}"))
+    return lp.agg(*exprs)
+
+
+def _fs_w_agree(am, au, nm, nu):
+    """floor(1e6 * ln(m/u)) with +1/+2 Laplace smoothing: m =
+    (am+1)/(nm+2), u = (au+1)/(nu+2).  Integer products first, ONE
+    double division, ONE ln — the repo's single-ln device, identical
+    in DuckDB."""
+    return F.floor(F.log(((am + 1) * (nu + 2)).cast("double")
+                         / ((nm + 2) * (au + 1)).cast("double"))
+                   * F.lit(1000000)).cast("long")
+
+
+def _fs_w_disagree(am, au, nm, nu):
+    """floor(1e6 * ln((1-m)/(1-u))) under the same smoothing."""
+    return F.floor(F.log(((nm + 1 - am) * (nu + 2)).cast("double")
+                         / ((nm + 2) * (nu + 1 - au)).cast("double"))
+                   * F.lit(1000000)).cast("long")
+
+
+def fs_linkage_weights(mentions: DataFrame, gaz: DataFrame,
+                       window: int = 3) -> DataFrame:
+    """Per-feature Fellegi-Sunter m/u estimates and integer log-odds
+    weights from the labeled sorted-neighborhood pairs.
+
+    Output: (feature, n_match, n_unmatch, n_agree_match,
+    n_agree_unmatch, w_agree_micro6, w_disagree_micro6) — one row per
+    feature in FS_FEATURES.
+
+    Scale: ONE global aggregate over the candidate pairs (map-side
+    combinable sums), then a 4-row stack — no shuffle beyond the
+    aggregate."""
+    cnt = _fs_counts(fs_labeled_pairs(mentions, gaz, window))
+    stack_args = ", ".join(
+        f"'{f}', am_{f}, au_{f}" for f in FS_FEATURES)
+    long = cnt.selectExpr(
+        "nm", "nu",
+        f"stack({len(FS_FEATURES)}, {stack_args}) AS (feature, am, au)")
+    am, au = F.col("am"), F.col("au")
+    nm, nu = F.col("nm"), F.col("nu")
+    return long.select(
+        "feature",
+        nm.alias("n_match"), nu.alias("n_unmatch"),
+        am.alias("n_agree_match"), au.alias("n_agree_unmatch"),
+        _fs_w_agree(am, au, nm, nu).alias("w_agree_micro6"),
+        _fs_w_disagree(am, au, nm, nu).alias("w_disagree_micro6"))
+
+
+def fs_linkage_scores(mentions: DataFrame, gaz: DataFrame,
+                      window: int = 3) -> DataFrame:
+    """Fellegi-Sunter match score per candidate pair: the sum over
+    features of the agreement (or disagreement) log-odds weight —
+    the classic linkage decision variable, here as an exact integer.
+
+    Output: (host, ent_type, surf_a, surf_b, pos_gap, <4 feature
+    bits>, label, score_micro6).
+
+    Scale: the 1-row weight frame stays lazy and is crossJoined onto
+    the pairs (a broadcast of one row), so scoring is a single
+    map-side projection."""
+    lp = fs_labeled_pairs(mentions, gaz, window)
+    cnt = _fs_counts(lp)
+    nm, nu = F.col("nm"), F.col("nu")
+    wides = []
+    for f in FS_FEATURES:
+        am, au = F.col(f"am_{f}"), F.col(f"au_{f}")
+        wides.append(_fs_w_agree(am, au, nm, nu).alias(f"_wa_{f}"))
+        wides.append(_fs_w_disagree(am, au, nm, nu).alias(f"_wd_{f}"))
+    w = cnt.select(*wides)  # 1-row frame: stays fully lazy/distributed
+    score = None
+    for f in FS_FEATURES:
+        term = F.when(F.col(f) == 1, F.col(f"_wa_{f}")).otherwise(
+            F.col(f"_wd_{f}"))
+        score = term if score is None else score + term
+    return (lp.crossJoin(w)
+            .select("host", "ent_type", "surf_a", "surf_b", "pos_gap",
+                    *FS_FEATURES, "label",
+                    score.cast("long").alias("score_micro6")))

@@ -5722,3 +5722,121 @@ ORACLE["core_numbers"] = _q(f"""
 SELECT n.node, CAST(COALESCE(h.c, 0) AS BIGINT) AS coreness
 FROM cc_nodes n LEFT JOIN hc8 h ON h.node = n.node""",
 LINK_CTES, COMENTION_CTES.strip(), _coreness_sql(8))
+
+ORACLE["landmark_centrality"] = _q("""
+, lmset AS MATERIALIZED (
+  SELECT src AS node FROM com_sym GROUP BY src
+  ORDER BY COUNT(*) DESC, src ASC LIMIT 4),
+mbfs(lm, node, d) AS (
+  SELECT node, node, 0 FROM lmset
+  UNION
+  SELECT b.lm, e.dst, b.d + 1 FROM mbfs b JOIN com_sym e ON e.src = b.node
+  WHERE b.d < (SELECT COUNT(*) FROM cc_nodes)),
+mdist AS MATERIALIZED (
+  SELECT lm, node, MIN(d) AS d FROM mbfs GROUP BY 1, 2),
+lmscore AS (
+  SELECT node, CAST(COUNT(*) AS INT) AS n_lm,
+         CAST(SUM(d) AS BIGINT) AS sum_dist,
+         CAST(SUM(1000000 // d) AS BIGINT) AS harmonic_micro6
+  FROM mdist WHERE d > 0 GROUP BY node)
+SELECT n.node,
+       CAST(COALESCE(s.n_lm, 0) AS INT) AS n_lm,
+       CAST(COALESCE(s.sum_dist, 0) AS BIGINT) AS sum_dist,
+       CAST(COALESCE(s.harmonic_micro6, 0) AS BIGINT) AS harmonic_micro6,
+       CAST(CASE WHEN COALESCE(s.sum_dist, 0) > 0
+            THEN (1000000 * CAST(s.n_lm AS BIGINT)) // s.sum_dist
+            ELSE 0 END AS BIGINT) AS closeness_micro6
+FROM cc_nodes n LEFT JOIN lmscore s ON s.node = n.node""",
+LINK_CTES, COMENTION_CTES.strip())
+
+
+# ---------------------------------------------------------------------------
+# Continuation batch 57: Fellegi-Sunter probabilistic record linkage
+# (operators/linking.fs_labeled_pairs / fs_linkage_weights /
+# fs_linkage_scores).  Counts are exact integers; each log-odds weight
+# is the single-ln device: integer products, ONE double division, ONE
+# ln, floor-scale 1e6 — identical arithmetic on both engines.
+
+_FS_CTES = _SN_CTES + """,
+fs_lp AS MATERIALIZED (
+  SELECT p.host, p.ent_type, p.surf_a, p.surf_b, p.pos_gap,
+         CAST(CASE WHEN COALESCE(ga.canonical_id, 'surface:' || p.surf_a)
+                      = COALESCE(gb.canonical_id, 'surface:' || p.surf_b)
+              THEN 1 ELSE 0 END AS INT) AS label,
+         CAST(CASE WHEN substr(p.surf_a, 1, 1) = substr(p.surf_b, 1, 1)
+              THEN 1 ELSE 0 END AS INT) AS first_char,
+         CAST(CASE WHEN abs(length(p.surf_a) - length(p.surf_b)) <= 2
+              THEN 1 ELSE 0 END AS INT) AS len_diff_le2,
+         CAST(CASE WHEN len(string_split(p.surf_a, ' '))
+                      = len(string_split(p.surf_b, ' '))
+              THEN 1 ELSE 0 END AS INT) AS same_n_tokens,
+         CAST(CASE WHEN len(list_intersect(string_split(p.surf_a, ' '),
+                                           string_split(p.surf_b, ' '))) > 0
+              THEN 1 ELSE 0 END AS INT) AS shared_token
+  FROM (
+    SELECT host, ent_type, surf_a, l1 AS surf_b, 1 AS pos_gap
+    FROM sn_lead WHERE l1 IS NOT NULL
+    UNION ALL
+    SELECT host, ent_type, surf_a, l2 AS surf_b, 2 AS pos_gap
+    FROM sn_lead WHERE l2 IS NOT NULL) p
+  LEFT JOIN gaz ga ON ga.alias = p.surf_a AND ga.ent_type = p.ent_type
+  LEFT JOIN gaz gb ON gb.alias = p.surf_b AND gb.ent_type = p.ent_type),
+fs_tot AS MATERIALIZED (
+  SELECT CAST(SUM(label) AS BIGINT) AS nm,
+         CAST(COUNT(*) - SUM(label) AS BIGINT) AS nu
+  FROM fs_lp),
+fs_long AS (
+  SELECT 'first_char' AS feature, first_char AS agree, label FROM fs_lp
+  UNION ALL
+  SELECT 'len_diff_le2', len_diff_le2, label FROM fs_lp
+  UNION ALL
+  SELECT 'same_n_tokens', same_n_tokens, label FROM fs_lp
+  UNION ALL
+  SELECT 'shared_token', shared_token, label FROM fs_lp),
+fs_wm AS MATERIALIZED (
+  SELECT feature,
+         (SELECT nm FROM fs_tot) AS nm, (SELECT nu FROM fs_tot) AS nu,
+         CAST(SUM(agree * label) AS BIGINT) AS am,
+         CAST(SUM(agree * (1 - label)) AS BIGINT) AS au
+  FROM fs_long GROUP BY feature),
+fs_w AS MATERIALIZED (
+  SELECT feature, nm AS n_match, nu AS n_unmatch,
+         am AS n_agree_match, au AS n_agree_unmatch,
+         CAST(floor(ln(CAST((am + 1) * (nu + 2) AS DOUBLE)
+                       / CAST((nm + 2) * (au + 1) AS DOUBLE)) * 1000000)
+           AS BIGINT) AS w_agree_micro6,
+         CAST(floor(ln(CAST((nm + 1 - am) * (nu + 2) AS DOUBLE)
+                       / CAST((nm + 2) * (nu + 1 - au) AS DOUBLE)) * 1000000)
+           AS BIGINT) AS w_disagree_micro6
+  FROM fs_wm)"""
+
+ORACLE["fs_weights"] = _q("""
+SELECT feature, n_match, n_unmatch, n_agree_match, n_agree_unmatch,
+       w_agree_micro6, w_disagree_micro6
+FROM fs_w""", _FS_CTES)
+
+ORACLE["fs_scores"] = _q("""
+, fs_wide AS (
+  SELECT
+    MAX(CASE WHEN feature = 'first_char' THEN w_agree_micro6 END) AS wa_first_char,
+    MAX(CASE WHEN feature = 'first_char' THEN w_disagree_micro6 END) AS wd_first_char,
+    MAX(CASE WHEN feature = 'len_diff_le2' THEN w_agree_micro6 END) AS wa_len_diff_le2,
+    MAX(CASE WHEN feature = 'len_diff_le2' THEN w_disagree_micro6 END) AS wd_len_diff_le2,
+    MAX(CASE WHEN feature = 'same_n_tokens' THEN w_agree_micro6 END) AS wa_same_n_tokens,
+    MAX(CASE WHEN feature = 'same_n_tokens' THEN w_disagree_micro6 END) AS wd_same_n_tokens,
+    MAX(CASE WHEN feature = 'shared_token' THEN w_agree_micro6 END) AS wa_shared_token,
+    MAX(CASE WHEN feature = 'shared_token' THEN w_disagree_micro6 END) AS wd_shared_token
+  FROM fs_w)
+SELECT lp.host, lp.ent_type, lp.surf_a, lp.surf_b,
+       CAST(lp.pos_gap AS INT) AS pos_gap,
+       lp.first_char, lp.len_diff_le2, lp.same_n_tokens, lp.shared_token,
+       lp.label,
+       CAST((CASE WHEN lp.first_char = 1 THEN w.wa_first_char
+             ELSE w.wd_first_char END)
+          + (CASE WHEN lp.len_diff_le2 = 1 THEN w.wa_len_diff_le2
+             ELSE w.wd_len_diff_le2 END)
+          + (CASE WHEN lp.same_n_tokens = 1 THEN w.wa_same_n_tokens
+             ELSE w.wd_same_n_tokens END)
+          + (CASE WHEN lp.shared_token = 1 THEN w.wa_shared_token
+             ELSE w.wd_shared_token END) AS BIGINT) AS score_micro6
+FROM fs_lp lp CROSS JOIN fs_wide w""", _FS_CTES)

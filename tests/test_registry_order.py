@@ -225,6 +225,13 @@ EXPECTED_TAIL = [
     # Continuation batch 55: k-core decomposition by H-index
     # iteration — appended past position 50.
     "core_numbers",
+    # Continuation batch 56: landmark closeness/harmonic centrality —
+    # appended past position 50.
+    "landmark_centrality",
+    # Continuation batch 57: Fellegi-Sunter probabilistic record
+    # linkage — appended past position 50.
+    "fs_weights",
+    "fs_scores",
 ]
 
 
