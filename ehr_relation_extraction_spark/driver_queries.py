@@ -2043,6 +2043,32 @@ def q_fs_scores(spark, sf_dir) -> DataFrame:
                                 lk.gazetteer_df(spark))
 
 
+def q_kmv_entities(spark, sf_dir) -> DataFrame:
+    """Per-host KMV (bottom-k theta) distinct-entity estimates with
+    the exact distinct count as the audit column — the sketch that
+    answers "how many distinct entities does this source contribute"
+    over any shard union without rescanning
+    (functions/sketches.kmv_with_exact)."""
+    from .functions.sketches import kmv_with_exact
+
+    _, linked, _ = _linked(spark, sf_dir)
+    he = linked.select(
+        F.regexp_extract("url", r"^https?://([^/]*)", 1).alias("host"),
+        "canonical_id")
+    return (kmv_with_exact(he, "host", "canonical_id")
+            .select(F.col("grp").alias("host"), "n_seen", "kth_hval",
+                    "est_distinct", "exact_distinct"))
+
+
+def q_ams_f2(spark, sf_dir) -> DataFrame:
+    """AMS tug-of-war F2 sketch of the triple object column joined
+    with the exact self-join size — the join-size statistic a shuffle
+    planner consults (functions/sketches.ams_f2_with_exact)."""
+    from .functions.sketches import ams_f2_with_exact
+
+    return ams_f2_with_exact(_frames(spark, sf_dir).triples, "obj")
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # ORDER IS LOAD-BEARING: the driver snapshot verifies exactly
     # list(QUERIES)[:50] in insertion order (pinned by
@@ -2330,6 +2356,12 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # linkage — appended past position 50.
     "fs_weights": q_fs_weights,
     "fs_scores": q_fs_scores,
+    # Continuation batch 58: AMS tug-of-war F2 sketch — appended past
+    # position 50.
+    "ams_f2": q_ams_f2,
+    # Continuation batch 59: KMV bottom-k theta distinct sketch —
+    # appended past position 50.
+    "kmv_entities": q_kmv_entities,
 }
 
 

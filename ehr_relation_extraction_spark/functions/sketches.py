@@ -523,3 +523,156 @@ def rolling_hll_estimates(items: DataFrame, day_col: str,
     """
     return rolling_from_registers(
         hll_day_registers(items, day_col, item_col), window)
+
+
+# ---------------------------------------------------------------------------
+# AMS F2 "tug-of-war" sketch (continuation batch 58)
+
+AMS_ESTIMATORS = 16
+
+
+def ams_f2_sketch(items: DataFrame, col: str,
+                  n_est: int = AMS_ESTIMATORS) -> DataFrame:
+    """AMS second-frequency-moment sketch (Alon, Matias & Szegedy,
+    STOC'96): F2 = sum over keys of count(key)^2 — the SELF-JOIN SIZE
+    of the stream on ``col``, the statistic a join planner needs
+    before picking a shuffle strategy.  Each estimator r draws a
+    deterministic +/-1 sign per key (md5 first-nibble parity of
+    ``ams:<r>:<key>``) and keeps Z_r = sum of signs over the stream;
+    E[Z_r^2] = F2 exactly (4-wise-independent signs suffice; md5
+    nibbles stand in deterministically, same device as the HLL/
+    count-min family).
+
+    Output: (est_id, z, z_sq) — n_est rows.
+
+    Scale: all n_est signs are computed as COLUMNS of one projection
+    (the stream is scanned ONCE, never replicated n_est-fold) and
+    reduced by one map-side-combinable global aggregate; the sketch
+    is mergeable (Z is a plain sum — union streams, add Zs).
+    """
+    h = F.col(col).cast("string")
+    sums = []
+    for r in range(n_est):
+        nib = F.expr(
+            f"instr('{_HEX}', substring(md5(concat('ams:{r}:', "
+            f"CAST({col} AS STRING))), 1, 1)) - 1")
+        sign = F.lit(1) - F.lit(2) * (nib % 2)
+        sums.append(F.sum(sign).cast("long").alias(f"z_{r}"))
+    wide = items.where(h.isNotNull()).agg(*sums)
+    stack_args = ", ".join(f"{r}, z_{r}" for r in range(n_est))
+    return (wide.selectExpr(
+        f"stack({n_est}, {stack_args}) AS (est_id, z)")
+        .select(F.col("est_id").cast("int").alias("est_id"),
+                F.col("z").cast("long").alias("z"),
+                (F.col("z") * F.col("z")).cast("long").alias("z_sq")))
+
+
+def ams_f2_with_exact(items: DataFrame, col: str,
+                      n_est: int = AMS_ESTIMATORS) -> DataFrame:
+    """The AMS estimator table joined with the exact F2 (one grouped
+    count + one sum of squares) so the sketch's accuracy is a COLUMN
+    of the result, not a separate run.
+
+    Output: (est_id, z, z_sq, exact_f2) — the mean of z_sq is the
+    AMS estimate; exact_f2 is the ground truth (computable at fixture
+    scale; at 100 TB one keeps only the n_est-row sketch).
+    """
+    sk = ams_f2_sketch(items, col, n_est)
+    exact = (items.where(F.col(col).isNotNull())
+             .groupBy(col).agg(F.count(F.lit(1)).cast("long").alias("c"))
+             .agg(F.sum(F.col("c") * F.col("c")).cast("long")
+                  .alias("exact_f2")))
+    # 1-row frame: stays fully lazy/distributed
+    return sk.crossJoin(exact)
+
+
+# ---------------------------------------------------------------------------
+# KMV (k-minimum-values / bottom-k theta) distinct sketch
+# (continuation batch 59)
+
+KMV_K = 8
+_KMV_POW60 = 1 << 60  # hash domain size: 15 md5 hex nibbles = 60 bits
+
+
+def kmv_hashes(items: DataFrame, grp_col: str, col: str) -> DataFrame:
+    """Distinct (grp, hval) pairs where hval is the 60-bit integer
+    value of the first 15 md5 hex nibbles of ``'kmv:' + value`` — the
+    shared hash stream every KMV operation (sketch, merge, estimate)
+    consumes.  60 bits fit a BIGINT exactly on both engines (DuckDB
+    replays the same nibble arithmetic), so no floats anywhere."""
+    h = F.expr(
+        f"CAST(conv(substring(md5(concat('kmv:', CAST({col} AS "
+        f"STRING))), 1, 15), 16, 10) AS BIGINT)")
+    return (items.where(F.col(col).isNotNull())
+            .select(F.col(grp_col).alias("grp"), h.alias("hval"))
+            .dropDuplicates())
+
+
+def kmv_sketch(items: DataFrame, grp_col: str, col: str,
+               k: int = KMV_K) -> DataFrame:
+    """Per-group KMV sketch: the k smallest DISTINCT 60-bit hash
+    values of the group's value stream (Bar-Yossef et al., RANDOM'02;
+    the theta-sketch bottom-k form).  Output (grp, rank, hval),
+    rank 1..k ascending — <= k rows per group FOREVER, mergeable by
+    union + re-rank (:func:`kmv_merge`).
+
+    Scale: dedup is one hash-aggregate on (grp, hval); the bottom-k
+    is a per-group window on the SAME key (co-partitioned, no second
+    shuffle).  The sketch table is what ships between shards at
+    100 TB — k rows per group, never the value stream."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("grp").orderBy("hval")
+    return (kmv_hashes(items, grp_col, col)
+            .withColumn("rank", F.row_number().over(w).cast("int"))
+            .where(F.col("rank") <= k)
+            .select("grp", "rank", F.col("hval").cast("long")))
+
+
+def kmv_merge(a: DataFrame, b: DataFrame, k: int = KMV_K) -> DataFrame:
+    """Merge two KMV sketch tables: bottom-k of the distinct union —
+    exactly the sketch of the concatenated streams (the property the
+    union test pins).  Same (grp, rank, hval) contract."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("grp").orderBy("hval")
+    return (a.select("grp", "hval").union(b.select("grp", "hval"))
+            .dropDuplicates()
+            .withColumn("rank", F.row_number().over(w).cast("int"))
+            .where(F.col("rank") <= k)
+            .select("grp", "rank", F.col("hval").cast("long")))
+
+
+def kmv_estimate(sketch: DataFrame, k: int = KMV_K) -> DataFrame:
+    """Distinct-count estimate per group from a KMV sketch table:
+    n_seen < k  -> the sketch IS the distinct set (estimate exact);
+    n_seen == k -> floor((k-1) * 2^60 / kth_min) (the unbiased KMV
+    estimator on the 60-bit hash domain).  (k-1) * 2^60 = 7 * 2^60
+    < 2^63, so the whole estimator is exact BIGINT division — the
+    DuckDB oracle reproduces it with `//`.
+
+    Output (grp, n_seen, kth_hval, est_distinct)."""
+    num = (k - 1) * _KMV_POW60
+    return (sketch.groupBy("grp")
+            .agg(F.count(F.lit(1)).cast("int").alias("n_seen"),
+                 F.max("hval").cast("long").alias("kth_hval"))
+            .select("grp", "n_seen", "kth_hval",
+                    F.when(F.col("n_seen") < k,
+                           F.col("n_seen").cast("long"))
+                    .otherwise(F.expr(f"{num}L div kth_hval"))
+                    .cast("long").alias("est_distinct")))
+
+
+def kmv_with_exact(items: DataFrame, grp_col: str, col: str,
+                   k: int = KMV_K) -> DataFrame:
+    """KMV estimates joined with the exact per-group distinct count
+    so accuracy is a COLUMN of the result (the ams_f2_with_exact
+    pattern; at 100 TB one keeps only the k-row sketches).
+
+    Output (grp, n_seen, kth_hval, est_distinct, exact_distinct)."""
+    est = kmv_estimate(kmv_sketch(items, grp_col, col, k), k)
+    exact = (items.where(F.col(col).isNotNull())
+             .groupBy(F.col(grp_col).alias("grp"))
+             .agg(F.countDistinct(col).cast("long")
+                  .alias("exact_distinct")))
+    return est.join(exact, "grp")

@@ -5840,3 +5840,88 @@ SELECT lp.host, lp.ent_type, lp.surf_a, lp.surf_b,
           + (CASE WHEN lp.shared_token = 1 THEN w.wa_shared_token
              ELSE w.wd_shared_token END) AS BIGINT) AS score_micro6
 FROM fs_lp lp CROSS JOIN fs_wide w""", _FS_CTES)
+
+
+# ---------------------------------------------------------------------------
+# Continuation batch 58: AMS tug-of-war F2 sketch over triples.obj
+# (functions/sketches.ams_f2_with_exact).  Signs are md5 first-nibble
+# parity — the same hex arithmetic as the HLL/count-min oracles — and
+# every quantity is an integer sum, so the sketch is bit-exact across
+# engines regardless of summation order.
+
+def _ams_sql(col: str = "obj", n_est: int = 16) -> str:
+    zcols = ",\n         ".join(
+        f"CAST(SUM(1 - 2 * ((instr('0123456789abcdef', "
+        f"substring(md5('ams:{r}:' || CAST({col} AS VARCHAR)), 1, 1)) - 1)"
+        f" % 2)) AS BIGINT) AS z_{r}"
+        for r in range(n_est))
+    longsel = "\n  UNION ALL\n".join(
+        f"  SELECT {r} AS est_id, z_{r} AS z FROM ams_wide"
+        for r in range(n_est))
+    return f"""
+, ams_wide AS MATERIALIZED (
+  SELECT {zcols}
+  FROM triples WHERE {col} IS NOT NULL),
+ams_long AS (
+{longsel}),
+ams_exact AS (
+  SELECT CAST(SUM(c * c) AS BIGINT) AS exact_f2 FROM (
+    SELECT COUNT(*) AS c FROM triples
+    WHERE {col} IS NOT NULL GROUP BY {col}))
+SELECT CAST(l.est_id AS INT) AS est_id, l.z,
+       CAST(l.z * l.z AS BIGINT) AS z_sq, e.exact_f2
+FROM ams_long l CROSS JOIN ams_exact e"""
+
+
+ORACLE["ams_f2"] = _q(_ams_sql())
+
+
+# ---------------------------------------------------------------------------
+# Continuation batch 59: KMV bottom-k theta distinct sketch per host
+# (functions/sketches.kmv_with_exact).  hval = integer value of the
+# first 15 md5 hex nibbles (60 bits, exact BIGINT), unrolled as
+# Horner nibble arithmetic; the estimator (k-1)*2^60 // kth_min is
+# exact integer division on both engines (7 * 2^60 < 2^63).
+
+_KMV_K = 8
+_KMV_NUM = 7 * (1 << 60)
+
+
+def _hex60_sql(expr: str) -> str:
+    """Horner expansion of the first 15 hex nibbles of md5(expr):
+    ((n1*16 + n2)*16 + n3) ... — exact BIGINT, no floats."""
+    acc = (f"(instr('0123456789abcdef', substring(md5({expr}), 1, 1))"
+           f" - 1)")
+    for i in range(2, 16):
+        acc = (f"({acc} * 16 + (instr('0123456789abcdef', "
+               f"substring(md5({expr}), {i}, 1)) - 1))")
+    return f"CAST({acc} AS BIGINT)"
+
+
+ORACLE["kmv_entities"] = _q(f"""
+SELECT e.grp AS host, e.n_seen, e.kth_hval,
+       CAST(CASE WHEN e.n_seen < {_KMV_K} THEN e.n_seen
+            ELSE {_KMV_NUM} // e.kth_hval END AS BIGINT)
+           AS est_distinct,
+       x.exact_distinct
+FROM kmv_est e JOIN kmv_ex x ON x.grp = e.grp""", LINK_CTES, f"""
+kmv_he AS MATERIALIZED (
+  SELECT regexp_extract(url, '^https?://([^/]*)', 1) AS grp,
+         canonical_id
+  FROM linked WHERE canonical_id IS NOT NULL),
+kmv_h AS MATERIALIZED (
+  SELECT DISTINCT grp,
+         {_hex60_sql("'kmv:' || CAST(canonical_id AS VARCHAR)")} AS hval
+  FROM kmv_he),
+kmv_rk AS (
+  SELECT grp, hval,
+         ROW_NUMBER() OVER (PARTITION BY grp ORDER BY hval) AS rk
+  FROM kmv_h),
+kmv_est AS (
+  SELECT grp, CAST(COUNT(*) AS INT) AS n_seen,
+         CAST(MAX(hval) AS BIGINT) AS kth_hval
+  FROM kmv_rk WHERE rk <= {_KMV_K} GROUP BY grp),
+kmv_ex AS (
+  SELECT grp, CAST(COUNT(DISTINCT canonical_id) AS BIGINT)
+             AS exact_distinct
+  FROM kmv_he GROUP BY grp)""")

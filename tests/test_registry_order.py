@@ -232,6 +232,12 @@ EXPECTED_TAIL = [
     # linkage — appended past position 50.
     "fs_weights",
     "fs_scores",
+    # Continuation batch 58: AMS tug-of-war F2 sketch — appended past
+    # position 50.
+    "ams_f2",
+    # Continuation batch 59: KMV bottom-k theta distinct sketch —
+    # appended past position 50.
+    "kmv_entities",
 ]
 
 
