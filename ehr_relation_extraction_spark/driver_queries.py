@@ -2060,6 +2060,22 @@ def q_kmv_entities(spark, sf_dir) -> DataFrame:
                     "est_distinct", "exact_distinct"))
 
 
+def q_theta_host_sets(spark, sf_dir) -> DataFrame:
+    """Theta-sketch set algebra between the top hosts' entity sets —
+    intersection/union/Jaccard estimated from the k-row KMV sketches
+    alone, with the exact values as audit columns
+    (functions/sketches.theta_set_ops)."""
+    from .functions.sketches import theta_set_ops
+
+    _, linked, _ = _linked(spark, sf_dir)
+    he = linked.select(
+        F.regexp_extract("url", r"^https?://([^/]*)", 1).alias("host"),
+        "canonical_id")
+    return (theta_set_ops(he, "host", "canonical_id")
+            .withColumnRenamed("grp_a", "host_a")
+            .withColumnRenamed("grp_b", "host_b"))
+
+
 def q_ams_f2(spark, sf_dir) -> DataFrame:
     """AMS tug-of-war F2 sketch of the triple object column joined
     with the exact self-join size — the join-size statistic a shuffle
@@ -2362,6 +2378,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # Continuation batch 59: KMV bottom-k theta distinct sketch —
     # appended past position 50.
     "kmv_entities": q_kmv_entities,
+    # Continuation batch 60: theta-sketch set operations between host
+    # entity sets — appended past position 50.
+    "theta_host_sets": q_theta_host_sets,
 }
 
 

@@ -676,3 +676,115 @@ def kmv_with_exact(items: DataFrame, grp_col: str, col: str,
              .agg(F.countDistinct(col).cast("long")
                   .alias("exact_distinct")))
     return est.join(exact, "grp")
+
+
+# ---------------------------------------------------------------------------
+# Theta-sketch set operations on KMV sketches (continuation batch 60)
+
+THETA_DOMAIN = _KMV_POW60  # 2^60; every 60-bit hval is strictly below
+
+
+def _theta_scale(n: str, theta: str):
+    """Exact ``floor(n * 2^60 / theta)`` with every intermediate
+    strictly inside BIGINT: since ``2^60 % theta <= min(theta - 1,
+    2^60 - theta) < 2^59`` for any theta in [1, 2^60], and the
+    retained counts ``n`` are bounded by 2k = 16, both products stay
+    below 2^63.  Split-division identity:
+    ``floor(nD/t) = n * (D // t) + (n * (D % t)) // t``."""
+    d = THETA_DOMAIN
+    return F.expr(f"{n} * ({d}L div {theta}) "
+                  f"+ ({n} * ({d}L % {theta})) div {theta}")
+
+
+def theta_set_ops(items: DataFrame, grp_col: str, col: str,
+                  k: int = KMV_K, top_n: int = 12) -> DataFrame:
+    """Set-algebra on KMV/theta sketches (Dasgupta et al., the
+    DataSketches theta form): for every pair of the ``top_n``
+    largest-estimate groups, estimate |A intersect B|, |A union B| and
+    Jaccard FROM THE k-ROW SKETCHES ALONE — the operating mode where
+    per-source entity sets never co-locate and only sketches ship.
+
+    theta_g = k-th smallest hash when the sketch is saturated, else
+    the full domain 2^60 (the sketch IS the set, estimates exact).
+    For a pair, theta = min(theta_a, theta_b); entries below theta
+    are a uniform sample of the union at rate theta/2^60, so
+    ``est = count * 2^60 // theta`` (overflow-proof split division,
+    :func:`_theta_scale`; theta = 0 is impossible for k >= 2 because
+    in-group hvals are distinct).  Everything is BIGINT — the DuckDB
+    oracle replays it exactly.
+
+    The exact intersection/union over the top groups ride along as
+    audit columns (at 100 TB one keeps only the sketch estimates;
+    pair fanout is bounded by top_n choose 2, and every joined frame
+    is sketch-sized — k rows per group).
+
+    Output per (grp_a < grp_b): (grp_a, grp_b, theta, n_inter_ret,
+    n_union_ret, est_inter, est_union, est_jaccard_micro6,
+    exact_inter, exact_union)."""
+    sk = kmv_sketch(items, grp_col, col, k)
+    top = (kmv_estimate(sk, k)
+           .orderBy(F.desc("est_distinct"), "grp").limit(top_n)
+           .select("grp",
+                   F.when(F.col("n_seen") < k, F.lit(THETA_DOMAIN))
+                   .otherwise(F.col("kth_hval")).cast("long")
+                   .alias("theta")))
+    pairs = (top.alias("a").join(top.alias("b"),
+                                 F.col("a.grp") < F.col("b.grp"))
+             .select(F.col("a.grp").alias("grp_a"),
+                     F.col("b.grp").alias("grp_b"),
+                     F.least("a.theta", "b.theta").alias("theta")))
+    ents = sk.join(top.select("grp"), "grp").select("grp", "hval")
+    ea = (pairs.join(ents.withColumnRenamed("grp", "grp_a"), "grp_a")
+          .where(F.col("hval") < F.col("theta"))
+          .select("grp_a", "grp_b", "hval"))
+    eb = (pairs.join(ents.withColumnRenamed("grp", "grp_b"), "grp_b")
+          .where(F.col("hval") < F.col("theta"))
+          .select("grp_a", "grp_b", "hval"))
+    n_u = (ea.union(eb).dropDuplicates()
+           .groupBy("grp_a", "grp_b")
+           .agg(F.count(F.lit(1)).cast("long").alias("n_union_ret")))
+    n_i = (ea.join(eb, ["grp_a", "grp_b", "hval"])
+           .groupBy("grp_a", "grp_b")
+           .agg(F.count(F.lit(1)).cast("long").alias("n_inter_ret")))
+    core = (pairs.join(n_u, ["grp_a", "grp_b"], "left")
+            .join(n_i, ["grp_a", "grp_b"], "left")
+            .na.fill(0, ["n_union_ret", "n_inter_ret"])
+            .select("grp_a", "grp_b", "theta",
+                    F.col("n_inter_ret").cast("long").alias("n_inter_ret"),
+                    F.col("n_union_ret").cast("long").alias("n_union_ret"),
+                    _theta_scale("n_inter_ret", "theta").cast("long")
+                    .alias("est_inter"),
+                    _theta_scale("n_union_ret", "theta").cast("long")
+                    .alias("est_union"))
+            .withColumn("est_jaccard_micro6",
+                        F.when(F.col("est_union") > 0,
+                               F.expr("est_inter * 1000000"
+                                      " div est_union"))
+                        .otherwise(F.lit(0)).cast("long")))
+    # exact audit over the top groups only (fanout <= top_n per value)
+    he = (items.where(F.col(col).isNotNull())
+          .select(F.col(grp_col).alias("grp"), F.col(col).alias("val"))
+          .dropDuplicates()
+          .join(top.select("grp"), "grp"))
+    sizes = he.groupBy("grp").agg(
+        F.count(F.lit(1)).cast("long").alias("n_ex"))
+    xi = (he.alias("x").join(
+            he.alias("y"),
+            (F.col("x.val") == F.col("y.val"))
+            & (F.col("x.grp") < F.col("y.grp")))
+          .groupBy(F.col("x.grp").alias("grp_a"),
+                   F.col("y.grp").alias("grp_b"))
+          .agg(F.count(F.lit(1)).cast("long").alias("exact_inter")))
+    return (core.join(xi, ["grp_a", "grp_b"], "left")
+            .na.fill(0, ["exact_inter"])
+            .join(sizes.select(F.col("grp").alias("grp_a"),
+                               F.col("n_ex").alias("na")), "grp_a")
+            .join(sizes.select(F.col("grp").alias("grp_b"),
+                               F.col("n_ex").alias("nb")), "grp_b")
+            .select("grp_a", "grp_b", "theta", "n_inter_ret",
+                    "n_union_ret", "est_inter", "est_union",
+                    "est_jaccard_micro6",
+                    F.col("exact_inter").cast("long")
+                    .alias("exact_inter"),
+                    F.expr("CAST(na + nb - exact_inter AS BIGINT)")
+                    .alias("exact_union")))

@@ -5925,3 +5925,95 @@ kmv_ex AS (
   SELECT grp, CAST(COUNT(DISTINCT canonical_id) AS BIGINT)
              AS exact_distinct
   FROM kmv_he GROUP BY grp)""")
+
+
+# ---------------------------------------------------------------------------
+# Continuation batch 60: theta-sketch set operations between the top
+# hosts' entity sets (functions/sketches.theta_set_ops).  The
+# estimator floor(n * 2^60 / theta) is replayed with the same
+# overflow-proof split division `n * (D // t) + (n * (D % t)) // t`
+# (2^60 % t < 2^59 and n <= 2k = 16, so both engines stay in BIGINT).
+
+_TH_D = 1 << 60
+_TH_TOP = 12
+
+
+def _th_est(n: str, t: str) -> str:
+    return (f"CAST({n} * ({_TH_D} // {t})"
+            f" + ({n} * ({_TH_D} % {t})) // {t} AS BIGINT)")
+
+
+ORACLE["theta_host_sets"] = _q(f"""
+SELECT p.grp_a AS host_a, p.grp_b AS host_b, p.theta,
+       CAST(COALESCE(i.n_i, 0) AS BIGINT) AS n_inter_ret,
+       CAST(COALESCE(u.n_u, 0) AS BIGINT) AS n_union_ret,
+       {_th_est("COALESCE(i.n_i, 0)", "p.theta")} AS est_inter,
+       {_th_est("COALESCE(u.n_u, 0)", "p.theta")} AS est_union,
+       CAST(CASE WHEN {_th_est("COALESCE(u.n_u, 0)", "p.theta")} > 0
+            THEN ({_th_est("COALESCE(i.n_i, 0)", "p.theta")} * 1000000)
+                 // {_th_est("COALESCE(u.n_u, 0)", "p.theta")}
+            ELSE 0 END AS BIGINT) AS est_jaccard_micro6,
+       CAST(COALESCE(x.exact_inter, 0) AS BIGINT) AS exact_inter,
+       CAST(sa.n_ex + sb.n_ex - COALESCE(x.exact_inter, 0) AS BIGINT)
+           AS exact_union
+FROM th_pairs p
+LEFT JOIN th_u u ON u.grp_a = p.grp_a AND u.grp_b = p.grp_b
+LEFT JOIN th_i i ON i.grp_a = p.grp_a AND i.grp_b = p.grp_b
+LEFT JOIN th_xi x ON x.grp_a = p.grp_a AND x.grp_b = p.grp_b
+JOIN th_sz sa ON sa.grp = p.grp_a
+JOIN th_sz sb ON sb.grp = p.grp_b""", LINK_CTES, f"""
+th_h AS MATERIALIZED (
+  SELECT DISTINCT regexp_extract(url, '^https?://([^/]*)', 1) AS grp,
+         {_hex60_sql("'kmv:' || CAST(canonical_id AS VARCHAR)")} AS hval
+  FROM linked WHERE canonical_id IS NOT NULL),
+th_rk AS (
+  SELECT grp, hval,
+         ROW_NUMBER() OVER (PARTITION BY grp ORDER BY hval) AS rk
+  FROM th_h),
+th_sk AS MATERIALIZED (
+  SELECT grp, hval FROM th_rk WHERE rk <= {_KMV_K}),
+th_st AS (
+  SELECT grp, COUNT(*) AS n_seen, MAX(hval) AS kth
+  FROM th_sk GROUP BY grp),
+th_top AS MATERIALIZED (
+  SELECT grp, CASE WHEN n_seen < {_KMV_K} THEN {_TH_D}
+              ELSE kth END AS theta
+  FROM th_st
+  ORDER BY (CASE WHEN n_seen < {_KMV_K} THEN n_seen
+            ELSE {_KMV_NUM} // kth END) DESC, grp
+  LIMIT {_TH_TOP}),
+th_pairs AS MATERIALIZED (
+  SELECT a.grp AS grp_a, b.grp AS grp_b,
+         LEAST(a.theta, b.theta) AS theta
+  FROM th_top a JOIN th_top b ON a.grp < b.grp),
+th_ea AS MATERIALIZED (
+  SELECT p.grp_a, p.grp_b, s.hval
+  FROM th_pairs p JOIN th_sk s
+    ON s.grp = p.grp_a AND s.hval < p.theta),
+th_eb AS MATERIALIZED (
+  SELECT p.grp_a, p.grp_b, s.hval
+  FROM th_pairs p JOIN th_sk s
+    ON s.grp = p.grp_b AND s.hval < p.theta),
+th_u AS (
+  SELECT grp_a, grp_b, COUNT(*) AS n_u FROM (
+    SELECT DISTINCT grp_a, grp_b, hval FROM (
+      SELECT * FROM th_ea UNION ALL SELECT * FROM th_eb))
+  GROUP BY 1, 2),
+th_i AS (
+  SELECT a.grp_a, a.grp_b, COUNT(*) AS n_i
+  FROM th_ea a JOIN th_eb b
+    ON a.grp_a = b.grp_a AND a.grp_b = b.grp_b AND a.hval = b.hval
+  GROUP BY 1, 2),
+th_he AS MATERIALIZED (
+  SELECT DISTINCT h.grp, h.canonical_id FROM (
+    SELECT regexp_extract(url, '^https?://([^/]*)', 1) AS grp,
+           canonical_id
+    FROM linked WHERE canonical_id IS NOT NULL) h
+  JOIN th_top t ON t.grp = h.grp),
+th_sz AS (
+  SELECT grp, COUNT(*) AS n_ex FROM th_he GROUP BY grp),
+th_xi AS (
+  SELECT x.grp AS grp_a, y.grp AS grp_b, COUNT(*) AS exact_inter
+  FROM th_he x JOIN th_he y
+    ON x.canonical_id = y.canonical_id AND x.grp < y.grp
+  GROUP BY 1, 2)""")

@@ -238,6 +238,9 @@ EXPECTED_TAIL = [
     # Continuation batch 59: KMV bottom-k theta distinct sketch —
     # appended past position 50.
     "kmv_entities",
+    # Continuation batch 60: theta-sketch set operations between host
+    # entity sets — appended past position 50.
+    "theta_host_sets",
 ]
 
 
