@@ -2085,6 +2085,17 @@ def q_ams_f2(spark, sf_dir) -> DataFrame:
     return ams_f2_with_exact(_frames(spark, sf_dir).triples, "obj")
 
 
+def q_shard_rebalance(spark, sf_dir) -> DataFrame:
+    """Rendezvous-hash resharding plan for the url universe, 8 -> 9
+    shards: per (shard_old, shard_new) cell the distinct-url count
+    and a moved flag — HRW's minimal-disruption contract (movers land
+    ONLY on the added shard) as a checkable table
+    (functions/sharding.shard_rebalance)."""
+    from .functions.sharding import shard_rebalance
+
+    return shard_rebalance(_frames(spark, sf_dir).pages, "url", 8, 9)
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # ORDER IS LOAD-BEARING: the driver snapshot verifies exactly
     # list(QUERIES)[:50] in insertion order (pinned by
@@ -2381,6 +2392,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # Continuation batch 60: theta-sketch set operations between host
     # entity sets — appended past position 50.
     "theta_host_sets": q_theta_host_sets,
+    # Continuation batch 61: rendezvous-hash resharding plan —
+    # appended past position 50.
+    "shard_rebalance": q_shard_rebalance,
 }
 
 

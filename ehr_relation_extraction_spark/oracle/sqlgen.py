@@ -6017,3 +6017,42 @@ th_xi AS (
   FROM th_he x JOIN th_he y
     ON x.canonical_id = y.canonical_id AND x.grp < y.grp
   GROUP BY 1, 2)""")
+
+
+# ---------------------------------------------------------------------------
+# Continuation batch 61: rendezvous-hash resharding plan over the url
+# universe (functions/sharding.shard_rebalance, 8 -> 9 shards).  The
+# per-(shard, key) 60-bit score is the same 15-nibble Horner device;
+# argmax-by-(score, shard) is a ROW_NUMBER over the unpivoted score
+# rows — exactly the GREATEST-of-structs pick on the Spark side.
+
+def _hrw_sql(n_old: int = 8, n_new: int = 9) -> str:
+    def scores(n: int, name: str) -> str:
+        rows = "\n  UNION ALL\n".join(
+            f"  SELECT k, {s} AS s, "
+            + _hex60_sql(f"'hrw:{s}:' || k")
+            + " AS h FROM hrw_keys"
+            for s in range(n))
+        return f"""
+{name}_sc AS MATERIALIZED (
+{rows}),
+{name}_pick AS (
+  SELECT k, s FROM (
+    SELECT k, s,
+           ROW_NUMBER() OVER (PARTITION BY k
+                              ORDER BY h DESC, s DESC) AS rk
+    FROM {name}_sc) WHERE rk = 1)"""
+
+    return f"""
+, hrw_keys AS MATERIALIZED (
+  SELECT DISTINCT url AS k FROM pages WHERE url IS NOT NULL),
+{scores(n_old, "hrw_o").lstrip()},
+{scores(n_new, "hrw_n").lstrip()}"""
+
+
+ORACLE["shard_rebalance"] = _q("""
+SELECT CAST(o.s AS INT) AS shard_old, CAST(n.s AS INT) AS shard_new,
+       CAST(COUNT(*) AS BIGINT) AS n_keys,
+       CAST(CASE WHEN o.s <> n.s THEN 1 ELSE 0 END AS INT) AS moved
+FROM hrw_o_pick o JOIN hrw_n_pick n ON o.k = n.k
+GROUP BY o.s, n.s""", _hrw_sql().lstrip().lstrip(","))

@@ -241,6 +241,9 @@ EXPECTED_TAIL = [
     # Continuation batch 60: theta-sketch set operations between host
     # entity sets — appended past position 50.
     "theta_host_sets",
+    # Continuation batch 61: rendezvous-hash resharding plan —
+    # appended past position 50.
+    "shard_rebalance",
 ]
 
 
