@@ -594,15 +594,22 @@ KMV_K = 8
 _KMV_POW60 = 1 << 60  # hash domain size: 15 md5 hex nibbles = 60 bits
 
 
+def kmv_hash_col(col: str):
+    """The shared KMV hash expression — 60-bit integer value of the
+    first 15 md5 hex nibbles of ``'kmv:' + value`` — as a Column, so
+    the batch sketch and its streaming twin hash identically."""
+    return F.expr(
+        f"CAST(conv(substring(md5(concat('kmv:', CAST({col} AS "
+        f"STRING))), 1, 15), 16, 10) AS BIGINT)")
+
+
 def kmv_hashes(items: DataFrame, grp_col: str, col: str) -> DataFrame:
     """Distinct (grp, hval) pairs where hval is the 60-bit integer
     value of the first 15 md5 hex nibbles of ``'kmv:' + value`` — the
     shared hash stream every KMV operation (sketch, merge, estimate)
     consumes.  60 bits fit a BIGINT exactly on both engines (DuckDB
     replays the same nibble arithmetic), so no floats anywhere."""
-    h = F.expr(
-        f"CAST(conv(substring(md5(concat('kmv:', CAST({col} AS "
-        f"STRING))), 1, 15), 16, 10) AS BIGINT)")
+    h = kmv_hash_col(col)
     return (items.where(F.col(col).isNotNull())
             .select(F.col(grp_col).alias("grp"), h.alias("hval"))
             .dropDuplicates())

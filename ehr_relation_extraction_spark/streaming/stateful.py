@@ -687,3 +687,83 @@ def incremental_passage_dedup(spark, pages_dir: str, out_dir: str,
             .trigger(**_trigger(ttl_ms))
             .format("parquet").option("path", out_dir)
             .start())
+
+
+# ---------------------------------------------------------------------------
+# Streaming KMV distinct sketch (continuation batch 62) — the
+# streaming twin of functions/sketches.kmv_sketch.
+
+KMV_OUTPUT_DDL = "grp string, ver int, rank int, hval long"
+KMV_STATE_DDL = "hvals array<long>, ver int"
+
+
+def _kmv_group_factory(k: int):
+    """Per-group bottom-k merge: state is the <= k smallest distinct
+    60-bit hashes seen so far (min-k is a semilattice — merging the
+    kept bottom-k with any new arrivals equals the bottom-k of the
+    full history, so replays and batch splits are free).  Emits the
+    whole sketch with a bumped version ONLY when it changed; the
+    latest version per group is the current sketch."""
+    def fn(key: tuple, pdfs: Iterator[pd.DataFrame],
+           state: GroupState) -> Iterator[pd.DataFrame]:
+        cur, ver = ((list(state.get[0]), int(state.get[1]))
+                    if state.exists else ([], 0))
+        s = set(cur)
+        for pdf in pdfs:
+            s.update(int(h) for h in pdf["hval"])
+        new = sorted(s)[:k]
+        if new == sorted(cur):
+            return
+        ver += 1
+        state.update((new, ver))
+        yield pd.DataFrame(
+            [(key[0], ver, i + 1, h) for i, h in enumerate(new)],
+            columns=["grp", "ver", "rank", "hval"])
+    return fn
+
+
+def incremental_kmv(spark, pages_dir: str, out_dir: str,
+                    checkpoint_dir: str, k: int = 8,
+                    ttl_ms: "int | None" = None):
+    """Streaming per-host KMV distinct-entity sketches — the twin of
+    functions/sketches.kmv_sketch over the live crawl: the full
+    mention pipeline runs inside the stream, hashes with the SAME
+    kmv_hash_col expression, and per-host state is the <= k-row
+    bottom-k (the smallest distinct-count state after the HLL
+    registers; unlike HLL it also supports theta set algebra,
+    functions/sketches.theta_set_ops, straight off the state table).
+
+    Sink rows: (grp, ver, rank, hval) append-parquet; the current
+    sketch of a host is its max-ver row group (the stream==batch test
+    asserts it equals the batch kmv_sketch over everything fed).
+
+    ``ttl_ms`` wires the standard processing-time eviction: an
+    evicted host re-baselines, acceptable for dashboard sketches,
+    never wrong for the k-min algebra (re-merged values re-enter)."""
+    from ..functions.sketches import kmv_hash_col
+    from ..operators import ner
+    from ..operators.linking import gazetteer_df, link_mentions
+    from ..sources.pages import extract_text
+    from .stream import PAGES_DDL
+
+    stream = (spark.readStream.schema(PAGES_DDL)
+              .option("maxFilesPerTrigger", 2)
+              .parquet(pages_dir))
+    pages = extract_text(stream)
+    mentions = ner.detect_mentions_df(pages, with_ids=False)
+    linked = link_mentions(mentions, gazetteer_df(spark))
+    items = (linked.where(F.col("canonical_id").isNotNull())
+             .select(F.regexp_extract("url", r"^https?://([^/]*)", 1)
+                     .alias("grp"),
+                     kmv_hash_col("canonical_id").alias("hval")))
+    sk = (items.groupBy("grp")
+          .applyInPandasWithState(
+              _with_ttl(_kmv_group_factory(k), ttl_ms),
+              KMV_OUTPUT_DDL, KMV_STATE_DDL,
+              outputMode="append",
+              timeoutConf=_timeout_conf(ttl_ms)))
+    return (sk.writeStream.outputMode("append")
+            .format("parquet").option("path", out_dir)
+            .option("checkpointLocation", checkpoint_dir)
+            .trigger(**_trigger(ttl_ms))
+            .start())
