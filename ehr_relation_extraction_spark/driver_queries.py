@@ -2096,6 +2096,17 @@ def q_shard_rebalance(spark, sf_dir) -> DataFrame:
     return shard_rebalance(_frames(spark, sf_dir).pages, "url", 8, 9)
 
 
+def q_event_bursts(spark, sf_dir) -> DataFrame:
+    """Kleinberg two-state burst labels per event type per crawl day
+    — integer Viterbi over single-ln micro6 log-rates, oracle =
+    forward/backward recursive CTEs
+    (operators/events.kleinberg_bursts)."""
+    from .operators.events import kleinberg_bursts
+
+    return kleinberg_bursts(
+        spark.read.parquet(f"{sf_dir}/events.parquet"))
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # ORDER IS LOAD-BEARING: the driver snapshot verifies exactly
     # list(QUERIES)[:50] in insertion order (pinned by
@@ -2395,6 +2406,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # Continuation batch 61: rendezvous-hash resharding plan —
     # appended past position 50.
     "shard_rebalance": q_shard_rebalance,
+    # Continuation batch 63: Kleinberg burst detection — appended past
+    # position 50.
+    "event_bursts": q_event_bursts,
 }
 
 

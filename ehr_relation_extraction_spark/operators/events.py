@@ -147,3 +147,113 @@ def hourly_rollup(events: DataFrame) -> DataFrame:
                  F.floor(F.sum("value") * 100).cast("long").alias("sum_value_x100"),
                  F.min("value").alias("min_value"),
                  F.max("value").alias("max_value")))
+
+
+# ---------------------------------------------------------------------------
+# Kleinberg burst detection (continuation batch 63)
+
+BURST_SCHEMA = ("event_type string, day_idx int, n_events bigint, "
+                "n_total bigint, in_burst int, total_cost_micro6 bigint")
+
+
+def _burst_viterbi(pdf):
+    """Per-type 2-state Viterbi over the day series — PURE integer
+    arithmetic on the pre-floored micro6 log-rates, so the decode is
+    bit-exact regardless of partitioning and replayable in SQL.
+    Ties prefer the base state (0) everywhere."""
+    import pandas as pd
+
+    pdf = pdf.sort_values("day_idx").reset_index(drop=True)
+    lnp0, ln1p0 = int(pdf.lnp0[0]), int(pdf.ln1p0[0])
+    lnp1, ln1p1 = int(pdf.lnp1[0]), int(pdf.ln1p1[0])
+    trans = int(pdf.trans[0])
+    rs = [int(x) for x in pdf.r]
+    ds = [int(x) for x in pdf.d]
+    c0 = c1 = 0
+    back: list[tuple[int, int]] = []
+    for i, (r, d) in enumerate(zip(rs, ds)):
+        e0 = -(r * lnp0 + (d - r) * ln1p0)
+        e1 = -(r * lnp1 + (d - r) * ln1p1)
+        if i == 0:
+            n0, n1, b0, b1 = e0, e1 + trans, -1, -1
+        else:
+            b0 = 0 if c0 <= c1 else 1
+            n0 = e0 + min(c0, c1)
+            b1 = 0 if c0 + trans <= c1 else 1
+            n1 = e1 + min(c0 + trans, c1)
+        back.append((b0, b1))
+        c0, c1 = n0, n1
+    state = 0 if c0 <= c1 else 1
+    total = min(c0, c1)
+    states = [0] * len(rs)
+    for i in range(len(rs) - 1, -1, -1):
+        states[i] = state
+        if i > 0:
+            state = back[i][state]
+    return pd.DataFrame({
+        "event_type": pdf.etype, "day_idx": pdf.day_idx,
+        "n_events": rs, "n_total": ds, "in_burst": states,
+        "total_cost_micro6": total})
+
+
+def kleinberg_bursts(events: DataFrame) -> DataFrame:
+    """Kleinberg burst detection (KDD'02), the batched two-state
+    form: per event type, label each crawl day as base-rate (0) or
+    burst (1) by a minimum-cost state sequence — day t costs
+    ``-(r ln p_q + (d-r) ln(1-p_q))`` in state q plus one transition
+    charge ``ln(T)`` for entering the burst state.
+
+    Rates are Laplace-smoothed integer ratios: p0 = (R+1)/(D+2)
+    (type share of the whole stream) and p1 = 2·p0 capped at the
+    midpoint to 1, so both are always in (0, 1) with no guards.  The
+    four log-rates and the transition charge are the repo's
+    single-ln device (integer ratio, ONE double division, ONE ln,
+    floor-scale 1e6 — identical in DuckDB), computed as COLUMNS in
+    the engine; the Viterbi decode itself is pure integer arithmetic
+    in one applyInPandas per type, so the whole operator is bit-exact
+    cross-engine (oracle = forward/backward recursive CTEs).
+
+    Output: (event_type, day_idx, n_events, n_total, in_burst,
+    total_cost_micro6).
+
+    Scale: the grid is (type vocabulary x day spine) — both bounded
+    dimensions, the crossJoin never touches the event stream — and
+    the DP state is O(1) per step; at 100 TB one shards the series
+    (per type x bounded window) exactly like this fixture's 30-day
+    month."""
+    day = events.select(
+        F.expr("unix_micros(cast(ts as timestamp)) div 86400000000")
+        .cast("int").alias("day_idx"),
+        F.col("event_type").alias("etype"))
+    spine = day.groupBy("day_idx").agg(
+        F.count(F.lit(1)).cast("long").alias("d"))
+    types = day.select("etype").dropDuplicates()
+    sparse = day.groupBy("etype", "day_idx").agg(
+        F.count(F.lit(1)).cast("long").alias("r"))
+    grid = (types.crossJoin(spine)
+            .join(sparse, ["etype", "day_idx"], "left")
+            .na.fill(0, ["r"]))
+    tot = grid.groupBy("etype").agg(
+        F.sum("r").cast("long").alias("bigr"),
+        F.count(F.lit(1)).cast("long").alias("t_len"))
+    grand = spine.agg(F.sum("d").cast("long").alias("bigd"))
+
+    def _ln(num, den):
+        return (F.floor(F.log(num.cast("double") / den.cast("double"))
+                        * F.lit(1000000)).cast("long"))
+
+    r1, d2 = F.col("bigr") + 1, F.col("bigd") + 2
+    sat = (2 * r1) < d2  # burst rate 2*p0, midpoint-capped below 1
+    p1n = F.when(sat, 2 * r1).otherwise(r1 + d2)
+    p1d = F.when(sat, d2).otherwise(2 * d2)
+    scalars = (tot.crossJoin(grand).select(
+        "etype",
+        _ln(r1, d2).alias("lnp0"),
+        _ln(d2 - r1, d2).alias("ln1p0"),
+        _ln(p1n, p1d).alias("lnp1"),
+        _ln(p1d - p1n, p1d).alias("ln1p1"),
+        F.floor(F.log(F.col("t_len").cast("double"))
+                * F.lit(1000000)).cast("long").alias("trans")))
+    ready = grid.join(scalars, "etype")
+    return ready.groupBy("etype").applyInPandas(
+        _burst_viterbi, BURST_SCHEMA)

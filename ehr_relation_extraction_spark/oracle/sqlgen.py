@@ -6056,3 +6056,104 @@ SELECT CAST(o.s AS INT) AS shard_old, CAST(n.s AS INT) AS shard_new,
        CAST(CASE WHEN o.s <> n.s THEN 1 ELSE 0 END AS INT) AS moved
 FROM hrw_o_pick o JOIN hrw_n_pick n ON o.k = n.k
 GROUP BY o.s, n.s""", _hrw_sql().lstrip().lstrip(","))
+
+
+# ---------------------------------------------------------------------------
+# Continuation batch 63: Kleinberg two-state burst detection
+# (operators/events.kleinberg_bursts).  The four log-rates and the
+# transition charge are the single-ln device; the Viterbi decode is
+# replayed as a forward recursive CTE (costs + backpointers) and a
+# backward recursive CTE (state walk), all BIGINT.
+
+ORACLE["event_bursts"] = _q("""
+SELECT i.etype AS event_type, i.day_idx,
+       CAST(i.r AS BIGINT) AS n_events, CAST(i.d AS BIGINT) AS n_total,
+       CAST(b.state AS INT) AS in_burst,
+       CAST(l.total AS BIGINT) AS total_cost_micro6
+FROM kb_in i
+JOIN kb_b b ON b.etype = i.etype AND b.t = i.t
+JOIN kb_last l ON l.etype = i.etype""", """
+kb_day AS MATERIALIZED (
+  SELECT event_type AS etype,
+         CAST(epoch_us(ts) // 86400000000 AS INT) AS day_idx
+  FROM events),
+kb_spine AS MATERIALIZED (
+  SELECT day_idx, CAST(COUNT(*) AS BIGINT) AS d
+  FROM kb_day GROUP BY 1),
+kb_types AS (SELECT DISTINCT etype FROM kb_day),
+kb_sparse AS (
+  SELECT etype, day_idx, CAST(COUNT(*) AS BIGINT) AS r
+  FROM kb_day GROUP BY 1, 2),
+kb_grid AS MATERIALIZED (
+  SELECT t.etype, s.day_idx, s.d, COALESCE(p.r, 0) AS r,
+         ROW_NUMBER() OVER (PARTITION BY t.etype
+                            ORDER BY s.day_idx) - 1 AS t
+  FROM kb_types t CROSS JOIN kb_spine s
+  LEFT JOIN kb_sparse p
+    ON p.etype = t.etype AND p.day_idx = s.day_idx),
+kb_tot AS MATERIALIZED (
+  SELECT etype, CAST(SUM(r) AS BIGINT) AS bigr,
+         CAST(COUNT(*) AS BIGINT) AS t_len
+  FROM kb_grid GROUP BY 1),
+kb_grand AS (SELECT CAST(SUM(d) AS BIGINT) AS bigd FROM kb_spine),
+kb_sc AS MATERIALIZED (
+  SELECT etype,
+         CAST(FLOOR(ln(CAST(bigr + 1 AS DOUBLE)
+                       / CAST(bigd + 2 AS DOUBLE)) * 1000000)
+              AS BIGINT) AS lnp0,
+         CAST(FLOOR(ln(CAST(bigd + 2 - (bigr + 1) AS DOUBLE)
+                       / CAST(bigd + 2 AS DOUBLE)) * 1000000)
+              AS BIGINT) AS ln1p0,
+         CAST(FLOOR(ln(CAST(CASE WHEN 2 * (bigr + 1) < bigd + 2
+                            THEN 2 * (bigr + 1)
+                            ELSE bigr + 1 + bigd + 2 END AS DOUBLE)
+                       / CAST(CASE WHEN 2 * (bigr + 1) < bigd + 2
+                              THEN bigd + 2
+                              ELSE 2 * (bigd + 2) END AS DOUBLE))
+                    * 1000000) AS BIGINT) AS lnp1,
+         CAST(FLOOR(ln(CAST((CASE WHEN 2 * (bigr + 1) < bigd + 2
+                             THEN bigd + 2
+                             ELSE 2 * (bigd + 2) END)
+                            - (CASE WHEN 2 * (bigr + 1) < bigd + 2
+                               THEN 2 * (bigr + 1)
+                               ELSE bigr + 1 + bigd + 2 END) AS DOUBLE)
+                       / CAST(CASE WHEN 2 * (bigr + 1) < bigd + 2
+                              THEN bigd + 2
+                              ELSE 2 * (bigd + 2) END AS DOUBLE))
+                    * 1000000) AS BIGINT) AS ln1p1,
+         CAST(FLOOR(ln(CAST(t_len AS DOUBLE)) * 1000000)
+              AS BIGINT) AS trans
+  FROM kb_tot CROSS JOIN kb_grand),
+kb_in AS MATERIALIZED (
+  SELECT g.etype, g.day_idx, g.t, g.r, g.d,
+         s.lnp0, s.ln1p0, s.lnp1, s.ln1p1, s.trans
+  FROM kb_grid g JOIN kb_sc s ON s.etype = g.etype),
+kb_f AS (
+  SELECT etype, t,
+         CAST(-(r * lnp0 + (d - r) * ln1p0) AS BIGINT) AS c0,
+         CAST(-(r * lnp1 + (d - r) * ln1p1) + trans AS BIGINT) AS c1,
+         -1 AS b0, -1 AS b1
+  FROM kb_in WHERE t = 0
+  UNION ALL
+  SELECT i.etype, i.t,
+         CAST(-(i.r * i.lnp0 + (i.d - i.r) * i.ln1p0)
+              + LEAST(f.c0, f.c1) AS BIGINT) AS c0,
+         CAST(-(i.r * i.lnp1 + (i.d - i.r) * i.ln1p1)
+              + LEAST(f.c0 + i.trans, f.c1) AS BIGINT) AS c1,
+         CASE WHEN f.c0 <= f.c1 THEN 0 ELSE 1 END AS b0,
+         CASE WHEN f.c0 + i.trans <= f.c1 THEN 0 ELSE 1 END AS b1
+  FROM kb_f f JOIN kb_in i ON i.etype = f.etype AND i.t = f.t + 1),
+kb_fm AS MATERIALIZED (SELECT * FROM kb_f),
+kb_last AS MATERIALIZED (
+  SELECT f.etype, f.t,
+         CASE WHEN f.c0 <= f.c1 THEN 0 ELSE 1 END AS state,
+         LEAST(f.c0, f.c1) AS total
+  FROM kb_fm f JOIN kb_tot tt
+    ON tt.etype = f.etype AND f.t = tt.t_len - 1),
+kb_b AS (
+  SELECT etype, t, state FROM kb_last
+  UNION ALL
+  SELECT b.etype, f.t - 1 AS t,
+         CASE WHEN b.state = 0 THEN f.b0 ELSE f.b1 END AS state
+  FROM kb_b b JOIN kb_fm f ON f.etype = b.etype AND f.t = b.t
+  WHERE f.t > 0)""")

@@ -61,6 +61,25 @@ ALLOWED = {
     # same class as community_stats: the 1-row total-edge-count (m)
     # scalar the 4·m·L_c − D_c² decomposition needs
     "modularity": (0, 1),
+    # the 1-row Fellegi-Sunter weight frame attached lazily to the
+    # candidate pairs (train-once/score-everywhere split)
+    "fs_scores": (0, 1),
+    # the 1-row exact-F2 audit aggregate crossJoined onto the 16-row
+    # AMS estimator table
+    "ams_f2": (0, 1),
+    # theta set algebra: every joined frame is sketch-sized by
+    # construction (<= top_n rows of thetas / top_n*k retained hash
+    # rows / top_n(top_n-1)/2 pairs) — the a.grp < b.grp pairing and
+    # the per-pair retained-entry attachments plan as broadcast NL
+    # joins over those bounded frames, which is the right plan; the
+    # corpus-sized value stream is reduced to k rows per group BEFORE
+    # any of these joins
+    "theta_host_sets": (0, 5),
+    # Kleinberg grid: (event-type vocabulary x day spine) crossJoin —
+    # both bounded dimensions — plus the 1-row grand-total scalar and
+    # the per-type 5-row log-rate frame; the event stream itself is
+    # only touched by hash aggregates
+    "event_bursts": (0, 3),
 }
 
 

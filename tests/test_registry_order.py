@@ -244,6 +244,9 @@ EXPECTED_TAIL = [
     # Continuation batch 61: rendezvous-hash resharding plan —
     # appended past position 50.
     "shard_rebalance",
+    # Continuation batch 63: Kleinberg burst detection — appended past
+    # position 50.
+    "event_bursts",
 ]
 
 
