@@ -2107,6 +2107,14 @@ def q_event_bursts(spark, sf_dir) -> DataFrame:
         spark.read.parquet(f"{sf_dir}/events.parquet"))
 
 
+def q_allen_relations(spark, sf_dir) -> DataFrame:
+    """Allen interval-algebra profile of same-claim validity-interval
+    pairs — the full 13-relation temporal taxonomy behind
+    interval_conflicts (operators/triples.allen_relation_profile)."""
+    return tri_op.allen_relation_profile(
+        q_triple_snapshots(spark, sf_dir))
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # ORDER IS LOAD-BEARING: the driver snapshot verifies exactly
     # list(QUERIES)[:50] in insertion order (pinned by
@@ -2409,6 +2417,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # Continuation batch 63: Kleinberg burst detection — appended past
     # position 50.
     "event_bursts": q_event_bursts,
+    # Continuation batch 64: Allen interval-algebra profile — appended
+    # past position 50.
+    "allen_relations": q_allen_relations,
 }
 
 

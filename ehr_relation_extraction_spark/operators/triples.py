@@ -1332,3 +1332,65 @@ def rpq_reach(triples: DataFrame, max_hops: int = 4) -> DataFrame:
         r = r.unionByName(comp).dropDuplicates().localCheckpoint()
         hops *= 2
     return r
+
+
+# ---------------------------------------------------------------------------
+# Allen interval algebra profile (continuation batch 64)
+
+ALLEN_RELATIONS = (
+    "before", "meets", "overlaps", "starts", "during", "finishes",
+    "equals", "finished_by", "contains", "started_by",
+    "overlapped_by", "met_by", "after")
+
+
+def allen_relation_profile(intervals: DataFrame) -> DataFrame:
+    """Allen's interval algebra (CACM'83) over the SCD2 validity
+    intervals: classify every same-claim interval pair — two validity
+    runs of DIFFERENT object values for one (url, subj, pred) — into
+    exactly one of the 13 temporal relations, and profile the counts
+    per predicate.  This is the full temporal taxonomy behind
+    interval_conflicts (which keeps only the overlap bucket): "was
+    value B a clean successor of value A (meets/before), a concurrent
+    contradiction (overlaps/during/equals), or a flap-back?"
+
+    Pairs are oriented obj_a < obj_b, so the 6 inverse relations
+    appear as their own labels and the map is total: endpoints are
+    integers, valid_to NULL = still-current (+inf sentinel shared
+    with interval_conflicts), and the 13 cases are mutually exclusive
+    and exhaustive by trichotomy on each endpoint comparison.
+
+    Scale: the pairing is the interval_conflicts shape — an EQUI-join
+    on the high-cardinality (url, subj, pred) claim key with bounded
+    per-key fanout (the url's snapshot count) — then one grouped
+    count; no interval cross product anywhere.
+
+    Output: (pred, relation, n_pairs)."""
+    inf = 1 << 62
+    cols = ["url", "subj", "pred", "obj", "valid_from", "valid_to"]
+    a = intervals.select(*cols).alias("a")
+    b = intervals.select(*cols).alias("b")
+    sa, sb = F.col("a.valid_from"), F.col("b.valid_from")
+    ea = F.coalesce(F.col("a.valid_to"), F.lit(inf))
+    eb = F.coalesce(F.col("b.valid_to"), F.lit(inf))
+    rel = (
+        F.when(ea < sb, "before")
+        .when(ea == sb, "meets")
+        .when(eb < sa, "after")
+        .when(eb == sa, "met_by")
+        # from here both overlap: sa < eb and sb < ea
+        .when((sa == sb) & (ea == eb), "equals")
+        .when((sa == sb) & (ea < eb), "starts")
+        .when((sa == sb), "started_by")            # ea > eb
+        .when((ea == eb) & (sa > sb), "finishes")
+        .when((ea == eb), "finished_by")           # sa < sb
+        .when((sa > sb) & (ea < eb), "during")
+        .when((sa < sb) & (ea > eb), "contains")
+        .when((sa < sb), "overlaps")               # sa < sb < ea < eb
+        .otherwise("overlapped_by"))               # sb < sa < eb < ea
+    return (a.join(b, (F.col("a.url") == F.col("b.url"))
+                   & (F.col("a.subj") == F.col("b.subj"))
+                   & (F.col("a.pred") == F.col("b.pred"))
+                   & (F.col("a.obj") < F.col("b.obj")))
+            .groupBy(F.col("a.pred").alias("pred"),
+                     rel.alias("relation"))
+            .agg(F.count(F.lit(1)).cast("long").alias("n_pairs")))

@@ -6157,3 +6157,50 @@ kb_b AS (
          CASE WHEN b.state = 0 THEN f.b0 ELSE f.b1 END AS state
   FROM kb_b b JOIN kb_fm f ON f.etype = b.etype AND f.t = b.t
   WHERE f.t > 0)""")
+
+
+# ---------------------------------------------------------------------------
+# Continuation batch 64: Allen interval-algebra profile over the SCD2
+# validity intervals (operators/triples.allen_relation_profile) —
+# same-claim pairing as interval_conflicts, the 13-way CASE replayed
+# verbatim (the WHEN order IS the trichotomy proof; both engines
+# evaluate it top-down).
+
+ORACLE["allen_relations"] = f"""
+WITH iv AS MATERIALIZED ({ORACLE["triple_snapshots"]})
+SELECT a.pred,
+       CASE
+         WHEN COALESCE(a.valid_to, {_IV_INF}) < b.valid_from
+           THEN 'before'
+         WHEN COALESCE(a.valid_to, {_IV_INF}) = b.valid_from
+           THEN 'meets'
+         WHEN COALESCE(b.valid_to, {_IV_INF}) < a.valid_from
+           THEN 'after'
+         WHEN COALESCE(b.valid_to, {_IV_INF}) = a.valid_from
+           THEN 'met_by'
+         WHEN a.valid_from = b.valid_from
+              AND COALESCE(a.valid_to, {_IV_INF})
+                = COALESCE(b.valid_to, {_IV_INF}) THEN 'equals'
+         WHEN a.valid_from = b.valid_from
+              AND COALESCE(a.valid_to, {_IV_INF})
+                < COALESCE(b.valid_to, {_IV_INF}) THEN 'starts'
+         WHEN a.valid_from = b.valid_from THEN 'started_by'
+         WHEN COALESCE(a.valid_to, {_IV_INF})
+                = COALESCE(b.valid_to, {_IV_INF})
+              AND a.valid_from > b.valid_from THEN 'finishes'
+         WHEN COALESCE(a.valid_to, {_IV_INF})
+                = COALESCE(b.valid_to, {_IV_INF}) THEN 'finished_by'
+         WHEN a.valid_from > b.valid_from
+              AND COALESCE(a.valid_to, {_IV_INF})
+                < COALESCE(b.valid_to, {_IV_INF}) THEN 'during'
+         WHEN a.valid_from < b.valid_from
+              AND COALESCE(a.valid_to, {_IV_INF})
+                > COALESCE(b.valid_to, {_IV_INF}) THEN 'contains'
+         WHEN a.valid_from < b.valid_from THEN 'overlaps'
+         ELSE 'overlapped_by'
+       END AS relation,
+       CAST(COUNT(*) AS BIGINT) AS n_pairs
+FROM iv a JOIN iv b
+  ON a.url = b.url AND a.subj = b.subj AND a.pred = b.pred
+ AND a.obj < b.obj
+GROUP BY 1, 2"""

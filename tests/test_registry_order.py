@@ -247,6 +247,9 @@ EXPECTED_TAIL = [
     # Continuation batch 63: Kleinberg burst detection — appended past
     # position 50.
     "event_bursts",
+    # Continuation batch 64: Allen interval-algebra profile — appended
+    # past position 50.
+    "allen_relations",
 ]
 
 
