@@ -2115,6 +2115,18 @@ def q_allen_relations(spark, sf_dir) -> DataFrame:
         q_triple_snapshots(spark, sf_dir))
 
 
+def q_vopt_histogram(spark, sf_dir) -> DataFrame:
+    """V-optimal histogram of the document token-length domain —
+    minimum-SSE contiguous bucketization by integer DP on the
+    distinct-value synopsis (functions/sketches.v_optimal_histogram);
+    oracle = the DP levels as chained CTEs."""
+    from .functions.sketches import v_optimal_histogram
+
+    q = ts.quality_features(_docs(spark, sf_dir).select(
+        "doc_id", "text"))
+    return v_optimal_histogram(q, "n_tokens")
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # ORDER IS LOAD-BEARING: the driver snapshot verifies exactly
     # list(QUERIES)[:50] in insertion order (pinned by
@@ -2420,6 +2432,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # Continuation batch 64: Allen interval-algebra profile — appended
     # past position 50.
     "allen_relations": q_allen_relations,
+    # Continuation batch 65: V-optimal histogram DP — appended past
+    # position 50.
+    "vopt_histogram": q_vopt_histogram,
 }
 
 

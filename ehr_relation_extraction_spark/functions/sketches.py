@@ -795,3 +795,95 @@ def theta_set_ops(items: DataFrame, grp_col: str, col: str,
                     .alias("exact_inter"),
                     F.expr("CAST(na + nb - exact_inter AS BIGINT)")
                     .alias("exact_union")))
+
+
+# ---------------------------------------------------------------------------
+# V-optimal histogram construction (continuation batch 65)
+
+VOPT_BUCKETS = 6
+VOPT_SCHEMA = ("bucket int, lo_val long, hi_val long, n_items bigint, "
+               "sse_micro6 bigint")
+
+
+def _vopt_dp(pdf):
+    """The V-optimal DP on the distinct-value synopsis: E[b][i] =
+    min_j E[b-1][j-1] + SSE(j..i), all integers.  Per-bucket SSE is
+    floored once to micro6 via the exact rational identity
+    SSE·C = A·C − B² (A = Σc·v², B = Σc·v, C = Σc), so the objective
+    is a sum of integers and the argmin (ties → smallest split j) is
+    bit-stable and SQL-replayable."""
+    import pandas as pd
+
+    pdf = pdf.sort_values("val").reset_index(drop=True)
+    vals = [int(v) for v in pdf.val]
+    cnts = [int(c) for c in pdf.cnt]
+    n_v = len(vals)
+    n_b = min(int(pdf.n_buckets[0]), n_v)
+    pc = [0] * (n_v + 1)
+    ps = [0] * (n_v + 1)
+    ps2 = [0] * (n_v + 1)
+    for i, (v, c) in enumerate(zip(vals, cnts), start=1):
+        pc[i] = pc[i - 1] + c
+        ps[i] = ps[i - 1] + c * v
+        ps2[i] = ps2[i - 1] + c * v * v
+
+    def sse(j, i):
+        a = ps2[i] - ps2[j - 1]
+        b = ps[i] - ps[j - 1]
+        c = pc[i] - pc[j - 1]
+        return ((a * c - b * b) * 10**6) // c
+
+    cost = [[None] * (n_v + 1) for _ in range(n_b + 1)]
+    back = [[0] * (n_v + 1) for _ in range(n_b + 1)]
+    cost[0][0] = 0
+    for b in range(1, n_b + 1):
+        for i in range(b, n_v + 1):
+            best, bj = None, 0
+            for j in range(b, i + 1):
+                prev = cost[b - 1][j - 1]
+                if prev is None:
+                    continue
+                c = prev + sse(j, i)
+                if best is None or c < best:
+                    best, bj = c, j
+            cost[b][i] = best
+            back[b][i] = bj
+    out = []
+    i = n_v
+    for b in range(n_b, 0, -1):
+        j = back[b][i]
+        out.append((vals[j - 1], vals[i - 1],
+                    pc[i] - pc[j - 1], sse(j, i)))
+        i = j - 1
+    out.reverse()
+    return pd.DataFrame(
+        [(k + 1, lo, hi, n, s)
+         for k, (lo, hi, n, s) in enumerate(out)],
+        columns=["bucket", "lo_val", "hi_val", "n_items",
+                 "sse_micro6"])
+
+
+def v_optimal_histogram(items: DataFrame, col: str,
+                        n_buckets: int = VOPT_BUCKETS) -> DataFrame:
+    """V-optimal histogram (Jagadish et al., VLDB'98): partition the
+    value domain of ``items[col]`` into ``n_buckets`` contiguous
+    buckets minimizing total within-bucket SSE — the synopsis a
+    cost-based optimizer keeps per column, provably optimal among
+    bucketizations (unlike equi-width/equi-depth).
+
+    Scale split: the corpus is touched by ONE hash aggregate (value →
+    count); the O(V²·B) DP runs on that distinct-value synopsis
+    (V = |value domain|, bounded — e.g. token-length domains are a
+    few hundred), inside a single applyInPandas group.  All DP
+    arithmetic is exact integers (per-bucket SSE floored once to
+    micro6), so the chosen boundaries replay bit-exactly in the
+    DuckDB oracle's chained level CTEs.
+
+    Output: (bucket 1..B ascending, lo_val, hi_val, n_items,
+    sse_micro6)."""
+    vals = (items.where(F.col(col).isNotNull())
+            .groupBy(F.col(col).cast("long").alias("val"))
+            .agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+            .withColumn("n_buckets", F.lit(n_buckets))
+            .withColumn("_g", F.lit(1)))
+    return vals.groupBy("_g").applyInPandas(_vopt_dp, VOPT_SCHEMA)

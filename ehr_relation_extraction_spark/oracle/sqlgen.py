@@ -6204,3 +6204,72 @@ FROM iv a JOIN iv b
   ON a.url = b.url AND a.subj = b.subj AND a.pred = b.pred
  AND a.obj < b.obj
 GROUP BY 1, 2"""
+
+
+# ---------------------------------------------------------------------------
+# Continuation batch 65: V-optimal histogram DP over the token-length
+# domain (functions/sketches.v_optimal_histogram, B = 6).  Per-bucket
+# SSE is floored once via SSE*C = A*C - B^2 (all BIGINT); the DP
+# levels are chained CTEs with the argmin tie broken to the smallest
+# split (ORDER BY cost, j), the same scan order as the Python DP.
+
+_VOPT_B = 6
+
+
+def _vopt_sql() -> str:
+    parts = ["""
+vo_vals AS MATERIALIZED (
+  SELECT CAST(n_tokens AS BIGINT) AS val,
+         CAST(COUNT(*) AS BIGINT) AS cnt
+  FROM qual GROUP BY 1),
+vo_idx AS (
+  SELECT val, cnt, ROW_NUMBER() OVER (ORDER BY val) AS i FROM vo_vals),
+vo_pre AS MATERIALIZED (
+  SELECT i, val,
+         SUM(cnt) OVER (ORDER BY i) AS pc,
+         SUM(cnt * val) OVER (ORDER BY i) AS ps,
+         SUM(cnt * val * val) OVER (ORDER BY i) AS ps2
+  FROM vo_idx),
+vo_sse AS MATERIALIZED (
+  SELECT lo.i AS j, hi.i AS i, lo.val AS lo_val, hi.val AS hi_val,
+         hi.pc - COALESCE(l2.pc, 0) AS c,
+         ((hi.ps2 - COALESCE(l2.ps2, 0)) * (hi.pc - COALESCE(l2.pc, 0))
+          - (hi.ps - COALESCE(l2.ps, 0)) * (hi.ps - COALESCE(l2.ps, 0)))
+         * 1000000 // (hi.pc - COALESCE(l2.pc, 0)) AS sse
+  FROM vo_pre hi JOIN vo_pre lo ON lo.i <= hi.i
+  LEFT JOIN vo_pre l2 ON l2.i = lo.i - 1),
+vo_e1 AS MATERIALIZED (
+  SELECT i, sse AS cost, j FROM vo_sse WHERE j = 1)"""]
+    for b in range(2, _VOPT_B + 1):
+        parts.append(f""",
+vo_e{b} AS MATERIALIZED (
+  SELECT i, cost, j FROM (
+    SELECT s.i, p.cost + s.sse AS cost, s.j,
+           ROW_NUMBER() OVER (PARTITION BY s.i
+                              ORDER BY p.cost + s.sse, s.j) AS rk
+    FROM vo_sse s JOIN vo_e{b - 1} p ON p.i = s.j - 1)
+  WHERE rk = 1)""")
+    parts.append(f""",
+vo_b{_VOPT_B} AS (
+  SELECT e.i, e.j FROM vo_e{_VOPT_B} e
+  WHERE e.i = (SELECT MAX(i) FROM vo_pre))""")
+    for b in range(_VOPT_B - 1, 0, -1):
+        parts.append(f""",
+vo_b{b} AS (
+  SELECT e.i, e.j FROM vo_e{b} e
+  JOIN vo_b{b + 1} nxt ON e.i = nxt.j - 1)""")
+    return "".join(parts)
+
+
+_VOPT_UNION = "\n  UNION ALL\n".join(
+    f"  SELECT {b} AS bucket, j, i FROM vo_b{b}"
+    for b in range(1, _VOPT_B + 1))
+
+ORACLE["vopt_histogram"] = _assemble(
+    GAZ, toks_ctes(), QUALITY_CTES, _vopt_sql().strip().lstrip(","),
+    select=f"""
+SELECT CAST(b.bucket AS INT) AS bucket, s.lo_val, s.hi_val,
+       CAST(s.c AS BIGINT) AS n_items, CAST(s.sse AS BIGINT) AS sse_micro6
+FROM (
+{_VOPT_UNION}) b
+JOIN vo_sse s ON s.j = b.j AND s.i = b.i""")

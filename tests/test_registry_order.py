@@ -250,6 +250,9 @@ EXPECTED_TAIL = [
     # Continuation batch 64: Allen interval-algebra profile — appended
     # past position 50.
     "allen_relations",
+    # Continuation batch 65: V-optimal histogram DP — appended past
+    # position 50.
+    "vopt_histogram",
 ]
 
 
