@@ -2127,6 +2127,14 @@ def q_vopt_histogram(spark, sf_dir) -> DataFrame:
     return v_optimal_histogram(q, "n_tokens")
 
 
+def q_session_trigrams(spark, sf_dir) -> DataFrame:
+    """Consecutive 3-step behavioral patterns inside sessions with
+    occurrence and session-support counts
+    (operators/events.session_trigrams)."""
+    return evt.session_trigrams(
+        spark.read.parquet(f"{sf_dir}/events.parquet"))
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # ORDER IS LOAD-BEARING: the driver snapshot verifies exactly
     # list(QUERIES)[:50] in insertion order (pinned by
@@ -2435,6 +2443,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # Continuation batch 65: V-optimal histogram DP — appended past
     # position 50.
     "vopt_histogram": q_vopt_histogram,
+    # Continuation batch 66: consecutive session trigram patterns —
+    # appended past position 50.
+    "session_trigrams": q_session_trigrams,
 }
 
 

@@ -257,3 +257,51 @@ def kleinberg_bursts(events: DataFrame) -> DataFrame:
     ready = grid.join(scalars, "etype")
     return ready.groupBy("etype").applyInPandas(
         _burst_viterbi, BURST_SCHEMA)
+
+
+# ---------------------------------------------------------------------------
+# Session sequential patterns (continuation batch 66)
+
+
+def session_trigrams(events: DataFrame,
+                     gap_minutes: int = 30) -> DataFrame:
+    """Behavioral pattern mining: CONSECUTIVE length-3 event-type
+    sequences within a session, with occurrence and session support.
+    The deliberately bounded form of sequential-pattern mining — an
+    arbitrary-gap subsequence miner (PrefixSpan-style) fans out
+    C(session_len, 3) candidates per session and dies on long
+    sessions; consecutive trigrams are one lead() window — LINEAR in
+    the event stream, one user_id shuffle shared with sessionize.
+
+    Output per (t1, t2, t3): n_occurrences, n_sessions (distinct
+    sessions containing it), support_micro6 = n_sessions * 1e6 //
+    total sessions (the 1-row total attaches lazily, trending_
+    entities-class scalar).  Session boundaries are sessionize's
+    (same gap, same (ts, event_id) ordering)."""
+    secs = F.expr("unix_micros(cast(ts as timestamp)) div 1000000")
+    ev = events.withColumn("_sec", secs)
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap = F.lag("_sec").over(w)
+    new_sess = gap.isNull() | (F.col("_sec") - gap > gap_minutes * 60)
+    ev = (ev.withColumn("_new", new_sess.cast("int"))
+          .withColumn("session_id",
+                      (F.sum("_new").over(
+                          w.rowsBetween(Window.unboundedPreceding, 0))
+                       - 1).cast("int")))
+    ws = Window.partitionBy("user_id", "session_id") \
+        .orderBy("ts", "event_id")
+    tri = (ev.select("user_id", "session_id",
+                     F.col("event_type").alias("t1"),
+                     F.lead("event_type", 1).over(ws).alias("t2"),
+                     F.lead("event_type", 2).over(ws).alias("t3"))
+           .where(F.col("t3").isNotNull()))
+    counts = (tri.groupBy("t1", "t2", "t3")
+              .agg(F.count(F.lit(1)).cast("long").alias("n_occurrences"),
+                   F.countDistinct("user_id", "session_id").cast("long")
+                   .alias("n_sessions")))
+    total = (ev.select("user_id", "session_id").dropDuplicates()
+             .agg(F.count(F.lit(1)).cast("long").alias("_tot")))
+    return (counts.crossJoin(total)
+            .select("t1", "t2", "t3", "n_occurrences", "n_sessions",
+                    F.expr("CAST(n_sessions * 1000000 DIV _tot"
+                           " AS BIGINT)").alias("support_micro6")))

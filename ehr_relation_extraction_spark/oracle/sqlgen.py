@@ -6273,3 +6273,51 @@ SELECT CAST(b.bucket AS INT) AS bucket, s.lo_val, s.hi_val,
 FROM (
 {_VOPT_UNION}) b
 JOIN vo_sse s ON s.j = b.j AND s.i = b.i""")
+
+
+# ---------------------------------------------------------------------------
+# Continuation batch 66: consecutive session trigram patterns
+# (operators/events.session_trigrams) — sessionize's island CTEs plus
+# two leads and one grouped count; support is exact integer division
+# by the 1-row session total.
+
+ORACLE["session_trigrams"] = """
+WITH s0 AS (
+  SELECT user_id, event_id, ts, event_type,
+         CASE WHEN lag_ts IS NULL
+              OR (epoch_us(ts) // 1000000)
+                 - (epoch_us(lag_ts) // 1000000) > 1800
+              THEN 1 ELSE 0 END AS new_sess
+  FROM (SELECT user_id, event_id, ts, event_type,
+               LAG(ts) OVER (PARTITION BY user_id
+                             ORDER BY ts, event_id) AS lag_ts
+        FROM events)
+),
+s1 AS MATERIALIZED (
+  SELECT *, CAST(SUM(new_sess) OVER (
+      PARTITION BY user_id ORDER BY ts, event_id
+      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - 1 AS INT)
+      AS session_id
+  FROM s0
+),
+tri AS (
+  SELECT user_id, session_id, event_type AS t1,
+         LEAD(event_type, 1) OVER w AS t2,
+         LEAD(event_type, 2) OVER w AS t3
+  FROM s1
+  WINDOW w AS (PARTITION BY user_id, session_id
+               ORDER BY ts, event_id)
+),
+cnt AS (
+  SELECT t1, t2, t3, CAST(COUNT(*) AS BIGINT) AS n_occurrences,
+         CAST(COUNT(DISTINCT user_id || ':' || session_id) AS BIGINT)
+             AS n_sessions
+  FROM tri WHERE t3 IS NOT NULL GROUP BY 1, 2, 3
+),
+tot AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n FROM (
+    SELECT DISTINCT user_id, session_id FROM s1)
+)
+SELECT c.t1, c.t2, c.t3, c.n_occurrences, c.n_sessions,
+       CAST(c.n_sessions * 1000000 // t.n AS BIGINT) AS support_micro6
+FROM cnt c CROSS JOIN tot t"""

@@ -80,6 +80,9 @@ ALLOWED = {
     # the per-type 5-row log-rate frame; the event stream itself is
     # only touched by hash aggregates
     "event_bursts": (0, 3),
+    # the 1-row total-session scalar the support denominator needs
+    # (trending_entities class)
+    "session_trigrams": (0, 1),
 }
 
 

@@ -253,6 +253,9 @@ EXPECTED_TAIL = [
     # Continuation batch 65: V-optimal histogram DP — appended past
     # position 50.
     "vopt_histogram",
+    # Continuation batch 66: consecutive session trigram patterns —
+    # appended past position 50.
+    "session_trigrams",
 ]
 
 
