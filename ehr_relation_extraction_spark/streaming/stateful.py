@@ -767,3 +767,132 @@ def incremental_kmv(spark, pages_dir: str, out_dir: str,
             .option("checkpointLocation", checkpoint_dir)
             .trigger(**_trigger(ttl_ms))
             .start())
+
+
+# ---------------------------------------------------------------------------
+# DGIM sliding-window count sketch (continuation batch 67)
+
+DGIM_OUTPUT_DDL = ("grp string, ver int, n_buckets int, newest_ts long, "
+                   "est_in_window long")
+DGIM_STATE_DDL = "sizes array<long>, newest array<long>, ver int"
+
+
+def _dgim_insert(sizes: list, newest: list, ts: int) -> None:
+    """Insert one arrival at ``ts`` into the DGIM bucket lists
+    (newest-first order) and re-establish the <= 2-buckets-per-size
+    invariant by merging the OLDER pair of any size that reaches 3
+    (Datar-Gionis-Indyk-Motwani, SICOMP'02).  Merged bucket keeps the
+    newer timestamp of the pair."""
+    sizes.insert(0, 1)
+    newest.insert(0, ts)
+    i = 0
+    while i < len(sizes):
+        # find a run of 3 equal sizes starting at or after i
+        j = i
+        while j + 2 < len(sizes) and not (
+                sizes[j] == sizes[j + 1] == sizes[j + 2]):
+            j += 1
+        if j + 2 >= len(sizes):
+            break
+        # merge the two OLDEST of the triple (positions j+1, j+2)
+        sizes[j + 1] = sizes[j + 1] * 2
+        newest[j + 1] = newest[j + 1]  # newer of the merged pair
+        del sizes[j + 2], newest[j + 2]
+        i = j
+    return
+
+
+def _dgim_estimate(sizes: list, newest: list, now_ts: int,
+                   window_s: int) -> int:
+    """Standard DGIM estimate of arrivals in (now - window, now]:
+    full buckets whose newest element is inside the window count
+    whole; the oldest (straddling) in-window bucket counts half."""
+    inside = [s for s, t in zip(sizes, newest)
+              if t > now_ts - window_s]
+    if not inside:
+        return 0
+    return sum(inside[:-1]) + (inside[-1] + 1) // 2
+
+
+def _dgim_group_factory(window_s: int):
+    def fn(key: tuple, pdfs: Iterator[pd.DataFrame],
+           state: GroupState) -> Iterator[pd.DataFrame]:
+        sizes, newest, ver = (
+            (list(state.get[0]), list(state.get[1]), int(state.get[2]))
+            if state.exists else ([], [], 0))
+        rows = []
+        for pdf in pdfs:
+            rows.extend((int(t), int(e))
+                        for t, e in zip(pdf["sec"], pdf["event_id"]))
+        if not rows:
+            return
+        # arrival order inside a batch is (ts, event_id) — the same
+        # total order the serial replica uses, so state is a pure
+        # function of the stream content, not of batch splits
+        rows.sort()
+        for ts, _ in rows:
+            _dgim_insert(sizes, newest, ts)
+        now = rows[-1][0]
+        # standard DGIM eviction: a bucket whose NEWEST element left
+        # the window can never contribute again (now only grows), so
+        # state stays O(log^2 window), not O(log total-stream)
+        kept = [(s, t) for s, t in zip(sizes, newest)
+                if t > now - window_s]
+        sizes = [s for s, _ in kept]
+        newest = [t for _, t in kept]
+        ver += 1
+        state.update((sizes, newest, ver))
+        yield pd.DataFrame(
+            [(key[0], ver, len(sizes), now,
+              _dgim_estimate(sizes, newest, now, window_s))],
+            columns=["grp", "ver", "n_buckets", "newest_ts",
+                     "est_in_window"])
+    return fn
+
+
+def incremental_dgim(spark, events_dir: str, out_dir: str,
+                     checkpoint_dir: str, window_s: int = 6 * 3600,
+                     ttl_ms: "int | None" = None):
+    """Streaming DGIM sketch per event type: "how many events of this
+    type arrived in the last W seconds", answered from O(log^2 W)
+    BUCKETS per key instead of a W-sized buffer — the canonical
+    bounded-state sliding-window counter, and the state-size
+    counterpoint to the exact KMV/HLL families (those bound DISTINCT
+    state; DGIM bounds COUNT state under eviction-free windows).
+
+    Estimate guarantee: relative error <= 50% of the straddling
+    bucket = <= 25% of the true count (the pytest checks the exact
+    band).  Within-batch arrivals are applied in (ts, event_id)
+    order, so the bucket lists are a pure function of stream content
+    and the checkpoint-restart replay is idempotent.
+
+    CONTRACT: DGIM is an arrival-order sketch — micro-batches must be
+    event-time ordered (each batch's arrivals no older than the
+    previous batch's newest), the normal shape for an append-only
+    crawl/event log.  Out-of-order LATE data needs a watermark/
+    reorder stage in front (streaming/stateful's event-TTL pattern);
+    within one micro-batch any order is fine (sorted here).
+
+    Sink rows: (grp, ver, n_buckets, newest_ts, est_in_window)
+    append-parquet; max-ver per grp is the live sketch reading."""
+    from .stream import EVENTS_DDL
+
+    stream = (spark.readStream.schema(EVENTS_DDL)
+              .option("maxFilesPerTrigger", 2)
+              .parquet(events_dir))
+    items = stream.select(
+        F.col("event_type").alias("grp"),
+        F.expr("unix_micros(cast(ts as timestamp)) div 1000000")
+        .cast("long").alias("sec"),
+        F.col("event_id").cast("long").alias("event_id"))
+    sk = (items.groupBy("grp")
+          .applyInPandasWithState(
+              _with_ttl(_dgim_group_factory(window_s), ttl_ms),
+              DGIM_OUTPUT_DDL, DGIM_STATE_DDL,
+              outputMode="append",
+              timeoutConf=_timeout_conf(ttl_ms)))
+    return (sk.writeStream.outputMode("append")
+            .format("parquet").option("path", out_dir)
+            .option("checkpointLocation", checkpoint_dir)
+            .trigger(**_trigger(ttl_ms))
+            .start())
