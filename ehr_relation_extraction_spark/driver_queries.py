@@ -2135,6 +2135,13 @@ def q_session_trigrams(spark, sf_dir) -> DataFrame:
         spark.read.parquet(f"{sf_dir}/events.parquet"))
 
 
+def q_timeline_repair(spark, sf_dir) -> DataFrame:
+    """Max-weight non-overlapping validity timeline per claim —
+    weighted interval scheduling DP on the SCD2 intervals
+    (operators/triples.timeline_repair)."""
+    return tri_op.timeline_repair(q_triple_snapshots(spark, sf_dir))
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # ORDER IS LOAD-BEARING: the driver snapshot verifies exactly
     # list(QUERIES)[:50] in insertion order (pinned by
@@ -2446,6 +2453,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # Continuation batch 66: consecutive session trigram patterns —
     # appended past position 50.
     "session_trigrams": q_session_trigrams,
+    # Continuation batch 68: weighted-interval-scheduling timeline
+    # repair — appended past position 50.
+    "timeline_repair": q_timeline_repair,
 }
 
 

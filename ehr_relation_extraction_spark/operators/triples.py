@@ -1394,3 +1394,86 @@ def allen_relation_profile(intervals: DataFrame) -> DataFrame:
             .groupBy(F.col("a.pred").alias("pred"),
                      rel.alias("relation"))
             .agg(F.count(F.lit(1)).cast("long").alias("n_pairs")))
+
+
+# ---------------------------------------------------------------------------
+# Weighted interval scheduling: timeline repair (continuation batch 68)
+
+TIMELINE_SCHEMA = ("url string, subj string, pred string, obj string, "
+                   "valid_from long, valid_to long, weight bigint, "
+                   "claim_weight bigint")
+_TL_INF = 1 << 62
+
+
+def _timeline_dp(pdf):
+    """Classic weighted-interval-scheduling DP per claim key:
+    intervals sorted by (end, start, obj); f[i] = max(f[i-1],
+    w[i] + f[p(i)]) with p(i) = last interval ending at or before
+    start[i].  Ties prefer SKIPPING interval i (the backtrack is then
+    unambiguous and SQL-replayable: take iff strictly better).  All
+    integers; NULL valid_to = +inf sentinel (conflicts with every
+    later start)."""
+    import pandas as pd
+
+    pdf = pdf.copy()
+    pdf["_end"] = [int(v) if v == v and v is not None else _TL_INF
+                   for v in pdf.valid_to]
+    pdf = pdf.sort_values(["_end", "valid_from", "obj"]) \
+        .reset_index(drop=True)
+    n = len(pdf)
+    starts = [int(v) for v in pdf.valid_from]
+    ends = [int(v) for v in pdf._end]
+    ws = [int(v) for v in pdf.weight]
+    # p(i): rightmost j < i with ends[j] <= starts[i] (ends sorted)
+    import bisect
+    p = [bisect.bisect_right(ends, starts[i], 0, i) - 1
+         for i in range(n)]
+    f = [0] * (n + 1)
+    take = [False] * n
+    for i in range(n):
+        with_i = ws[i] + f[p[i] + 1]
+        if with_i > f[i]:
+            f[i + 1] = with_i
+            take[i] = True
+        else:
+            f[i + 1] = f[i]
+    kept = []
+    i = n - 1
+    while i >= 0:
+        if take[i]:
+            kept.append(i)
+            i = p[i]
+        else:
+            i -= 1
+    kept.reverse()
+    out = pdf.iloc[kept]
+    return pd.DataFrame({
+        "url": out.url, "subj": out.subj, "pred": out.pred,
+        "obj": out.obj,
+        "valid_from": [int(v) for v in out.valid_from],
+        "valid_to": [None if e == _TL_INF else e for e in out._end],
+        "weight": [int(v) for v in out.weight],
+        "claim_weight": f[n]})
+
+
+def timeline_repair(intervals: DataFrame) -> DataFrame:
+    """Timeline repair for flapping facts: per claim (url, subj,
+    pred), the MAX-WEIGHT set of non-overlapping validity intervals —
+    the best single consistent story a temporally-contradicted KG can
+    tell, with weight = n_snaps (how many crawls attested the run).
+    Weighted interval scheduling (the textbook DP), run per claim key
+    in one applyInPandas: per-key interval counts are bounded by the
+    url's snapshot schedule, so the DP group is tiny while the claim
+    keyspace carries the scale.
+
+    Intervals [valid_from, valid_to) with NULL = still-current
+    (shared +inf sentinel); intervals touching at an endpoint do NOT
+    conflict.  Output: the kept intervals + the claim's total kept
+    weight (same value on each of its rows)."""
+    cols = intervals.select(
+        "url", "subj", "pred", "obj",
+        F.col("valid_from").cast("long").alias("valid_from"),
+        F.col("valid_to").cast("long").alias("valid_to"),
+        F.col("n_snaps").cast("long").alias("weight"))
+    return cols.groupBy("url", "subj", "pred").applyInPandas(
+        _timeline_dp, TIMELINE_SCHEMA)

@@ -6321,3 +6321,79 @@ tot AS (
 SELECT c.t1, c.t2, c.t3, c.n_occurrences, c.n_sessions,
        CAST(c.n_sessions * 1000000 // t.n AS BIGINT) AS support_micro6
 FROM cnt c CROSS JOIN tot t"""
+
+
+# ---------------------------------------------------------------------------
+# Continuation batch 68: weighted interval scheduling / timeline
+# repair (operators/triples.timeline_repair).  Forward DP as a
+# recursive CTE carrying the per-claim f-list (DuckDB list_append),
+# backtrack as a descending cursor that jumps to p(i) on take —
+# take iff STRICTLY better, the same tie-break as the Python DP.
+
+ORACLE["timeline_repair"] = f"""
+WITH RECURSIVE iv AS MATERIALIZED ({ORACLE["triple_snapshots"]}),
+tl_iv AS (
+  SELECT url, subj, pred, obj,
+         CAST(valid_from AS BIGINT) AS s,
+         COALESCE(CAST(valid_to AS BIGINT), {_IV_INF}) AS e,
+         CAST(n_snaps AS BIGINT) AS w,
+         ROW_NUMBER() OVER (PARTITION BY url, subj, pred
+                            ORDER BY COALESCE(valid_to, {_IV_INF}),
+                                     valid_from, obj) AS i
+  FROM iv),
+tl_ivp AS MATERIALIZED (
+  SELECT a.*, COALESCE((
+    SELECT MAX(b.i) FROM tl_iv b
+    WHERE b.url = a.url AND b.subj = a.subj AND b.pred = a.pred
+      AND b.i < a.i AND b.e <= a.s), 0) AS p
+  FROM tl_iv a),
+tl_keys AS MATERIALIZED (
+  SELECT url, subj, pred, CAST(MAX(i) AS BIGINT) AS n
+  FROM tl_iv GROUP BY 1, 2, 3),
+tl_f AS (
+  SELECT k.url, k.subj, k.pred, CAST(0 AS BIGINT) AS i,
+         [CAST(0 AS BIGINT)] AS fl
+  FROM tl_keys k
+  UNION ALL
+  SELECT f.url, f.subj, f.pred, v.i,
+         list_append(f.fl,
+           CASE WHEN v.w + f.fl[CAST(v.p + 1 AS INT)]
+                     > f.fl[CAST(f.i + 1 AS INT)]
+                THEN v.w + f.fl[CAST(v.p + 1 AS INT)]
+                ELSE f.fl[CAST(f.i + 1 AS INT)] END)
+  FROM tl_f f
+  JOIN tl_ivp v ON v.url = f.url AND v.subj = f.subj
+               AND v.pred = f.pred AND v.i = f.i + 1),
+tl_fm AS MATERIALIZED (
+  SELECT f.url, f.subj, f.pred, f.fl
+  FROM tl_f f JOIN tl_keys k
+    ON k.url = f.url AND k.subj = f.subj AND k.pred = f.pred
+   AND f.i = k.n),
+tl_b AS (
+  SELECT url, subj, pred, n AS i FROM tl_keys
+  UNION ALL
+  SELECT b.url, b.subj, b.pred,
+         CASE WHEN v.w + m.fl[CAST(v.p + 1 AS INT)]
+                   > m.fl[CAST(v.i AS INT)]
+              THEN v.p ELSE b.i - 1 END AS i
+  FROM tl_b b
+  JOIN tl_ivp v ON v.url = b.url AND v.subj = b.subj
+               AND v.pred = b.pred AND v.i = b.i
+  JOIN tl_fm m ON m.url = b.url AND m.subj = b.subj
+              AND m.pred = b.pred
+  WHERE b.i > 0)
+SELECT v.url, v.subj, v.pred, v.obj,
+       CAST(v.s AS BIGINT) AS valid_from,
+       CAST(CASE WHEN v.e = {_IV_INF} THEN NULL ELSE v.e END
+            AS BIGINT) AS valid_to,
+       CAST(v.w AS BIGINT) AS weight,
+       CAST(m.fl[CAST(k.n + 1 AS INT)] AS BIGINT) AS claim_weight
+FROM tl_b b
+JOIN tl_ivp v ON v.url = b.url AND v.subj = b.subj
+             AND v.pred = b.pred AND v.i = b.i
+JOIN tl_fm m ON m.url = b.url AND m.subj = b.subj
+            AND m.pred = b.pred
+JOIN tl_keys k ON k.url = b.url AND k.subj = b.subj
+              AND k.pred = b.pred
+WHERE b.i > 0
+  AND v.w + m.fl[CAST(v.p + 1 AS INT)] > m.fl[CAST(v.i AS INT)]"""

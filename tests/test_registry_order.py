@@ -256,6 +256,9 @@ EXPECTED_TAIL = [
     # Continuation batch 66: consecutive session trigram patterns —
     # appended past position 50.
     "session_trigrams",
+    # Continuation batch 68: weighted-interval-scheduling timeline
+    # repair — appended past position 50.
+    "timeline_repair",
 ]
 
 
