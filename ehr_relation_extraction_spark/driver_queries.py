@@ -2142,6 +2142,21 @@ def q_timeline_repair(spark, sf_dir) -> DataFrame:
     return tri_op.timeline_repair(q_triple_snapshots(spark, sf_dir))
 
 
+def q_host_terms(spark, sf_dir) -> DataFrame:
+    """Distinctive shingles per source by Dunning log-likelihood —
+    the over-represented-vocabulary profile of each host
+    (functions/textstats.distinctive_terms over the per-doc-distinct
+    shingle stream)."""
+    from .operators.dedup import shingles
+
+    docs = _docs(spark, sf_dir)
+    sh = shingles(docs.select("doc_id", "text")).join(
+        docs.select("doc_id", "source"), "doc_id")
+    return (ts.distinctive_terms(sh, "source", "shingle")
+            .withColumnRenamed("grp", "source")
+            .withColumnRenamed("term", "shingle"))
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # ORDER IS LOAD-BEARING: the driver snapshot verifies exactly
     # list(QUERIES)[:50] in insertion order (pinned by
@@ -2456,6 +2471,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # Continuation batch 68: weighted-interval-scheduling timeline
     # repair — appended past position 50.
     "timeline_repair": q_timeline_repair,
+    # Continuation batch 69: Dunning-LLR distinctive shingles per
+    # source — appended past position 50.
+    "host_terms": q_host_terms,
 }
 
 

@@ -6397,3 +6397,59 @@ JOIN tl_keys k ON k.url = b.url AND k.subj = b.subj
               AND k.pred = b.pred
 WHERE b.i > 0
   AND v.w + m.fl[CAST(v.p + 1 AS INT)] > m.fl[CAST(v.i AS INT)]"""
+
+
+# ---------------------------------------------------------------------------
+# Continuation batch 69: Dunning-LLR distinctive shingles per source
+# (functions/textstats.distinctive_terms over operators/dedup.shingles)
+# — four single-ln cell terms, each floored to micro6 BEFORE the
+# obs multiply, summed as integers.
+
+_HT_CELL = ("CASE WHEN {o} > 0 THEN {o} * CAST(FLOOR(ln("
+            "CAST({o} * n AS DOUBLE) / CAST({e} AS DOUBLE)) * 1000000)"
+            " AS BIGINT) ELSE 0 END")
+
+_HT_LLR = " + ".join([
+    _HT_CELL.format(o="a", e="rg * ct"),
+    _HT_CELL.format(o="(rg - a)", e="rg * (n - ct)"),
+    _HT_CELL.format(o="(ct - a)", e="(n - rg) * ct"),
+    _HT_CELL.format(o="(n - rg - ct + a)", e="(n - rg) * (n - ct)"),
+])
+
+ORACLE["host_terms"] = _assemble(
+    GAZ, toks_ctes(),
+    """sh AS (
+  SELECT DISTINCT doc_id, token || ' ' || t1 || ' ' || t2 AS shingle
+  FROM (SELECT doc_id, token,
+          LEAD(token, 1) OVER (PARTITION BY doc_id ORDER BY tok_idx) AS t1,
+          LEAD(token, 2) OVER (PARTITION BY doc_id ORDER BY tok_idx) AS t2
+        FROM toks)
+  WHERE t1 IS NOT NULL AND t2 IS NOT NULL
+),
+ht_sh AS MATERIALIZED (
+  SELECT s.doc_id, d.source AS grp, s.shingle AS term
+  FROM sh s JOIN documents d ON d.doc_id = s.doc_id),
+ht_a AS (SELECT grp, term, CAST(COUNT(*) AS BIGINT) AS a
+         FROM ht_sh GROUP BY 1, 2),
+ht_rg AS (SELECT grp, CAST(COUNT(*) AS BIGINT) AS rg
+          FROM ht_sh GROUP BY 1),
+ht_ct AS (SELECT term, CAST(COUNT(*) AS BIGINT) AS ct
+          FROM ht_sh GROUP BY 1),
+ht_n AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM ht_sh),
+ht_j AS MATERIALIZED (
+  SELECT a.grp, a.term, a.a, r.rg, c.ct, t.n
+  FROM ht_a a JOIN ht_rg r ON r.grp = a.grp
+  JOIN ht_ct c ON c.term = a.term CROSS JOIN ht_n t),
+ht_llr AS (
+  SELECT grp, term, a, ct,
+         2 * (""" + _HT_LLR + """) AS llr
+  FROM ht_j WHERE a * n > rg * ct),
+ht_rk AS (
+  SELECT grp, term, a, ct, llr,
+         ROW_NUMBER() OVER (PARTITION BY grp
+                            ORDER BY llr DESC, term) AS rk
+  FROM ht_llr)""",
+    select="""
+SELECT grp AS source, CAST(rk AS INT) AS rank, term AS shingle,
+       a AS n_grp, ct AS n_corpus, CAST(llr AS BIGINT) AS llr_micro6
+FROM ht_rk WHERE rk <= 5""")

@@ -259,6 +259,9 @@ EXPECTED_TAIL = [
     # Continuation batch 68: weighted-interval-scheduling timeline
     # repair — appended past position 50.
     "timeline_repair",
+    # Continuation batch 69: Dunning-LLR distinctive shingles per
+    # source — appended past position 50.
+    "host_terms",
 ]
 
 
