@@ -2157,6 +2157,16 @@ def q_host_terms(spark, sf_dir) -> DataFrame:
             .withColumnRenamed("term", "shingle"))
 
 
+def q_retrieval_ndcg(spark, sf_dir) -> DataFrame:
+    """NDCG@10 of the BM25 ranking per gazetteer surface form against
+    the ideal raw-tf ordering — the retrieval-quality gate for the
+    entity-attestation read path (functions/textstats.retrieval_ndcg;
+    pre-floored micro6 position discounts, integer sums, one exact
+    division)."""
+    gaz = lk.gazetteer_df(spark)
+    return ts.retrieval_ndcg(_docs(spark, sf_dir), gaz.select("alias"))
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # ORDER IS LOAD-BEARING: the driver snapshot verifies exactly
     # list(QUERIES)[:50] in insertion order (pinned by
@@ -2474,6 +2484,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # Continuation batch 69: Dunning-LLR distinctive shingles per
     # source — appended past position 50.
     "host_terms": q_host_terms,
+    # Continuation batch 70: NDCG@10 retrieval evaluation of the BM25
+    # ranking — appended past position 50.
+    "retrieval_ndcg": q_retrieval_ndcg,
 }
 
 

@@ -5,6 +5,8 @@ integer outputs for cross-engine stability.
 
 from __future__ import annotations
 
+import math
+
 from pyspark.sql import DataFrame, Window, functions as F
 
 from ..config import STOPWORDS
@@ -1089,3 +1091,73 @@ def distinctive_terms(items: DataFrame, grp_col: str, term_col: str,
             .select("grp", "rank", "term",
                     F.col("a").alias("n_grp"),
                     F.col("ct").alias("n_corpus"), "llr_micro6"))
+
+
+# ---------------------------------------------------------------------------
+# Retrieval-quality evaluation: NDCG@k of the BM25 ranking
+# (continuation batch 70)
+
+NDCG_K = 10
+# position discounts floor(1e6 * ln2/ln(i+1)) — DATA-INDEPENDENT
+# constants baked from the same Python expression on both engines, so
+# no cross-engine float exposure at all
+NDCG_DISCOUNTS_MICRO6 = tuple(
+    math.floor(math.log(2) / math.log(i + 1) * 10**6)
+    for i in range(1, NDCG_K + 1))
+
+
+def retrieval_ndcg(docs: DataFrame, terms: DataFrame,
+                   k: int = NDCG_K) -> DataFrame:
+    """NDCG@k of the BM25 ranking per probe term, with graded
+    relevance = raw term frequency: "does BM25's dl-penalized order
+    recover the most-attesting documents?" — the retrieval-quality
+    gate for the entity-attestation read path.
+
+    DCG = Σ rel_i · disc(rank_i) over the BM25 top-k; IDCG = the same
+    sum over the TRUE top-k by (tf desc, doc_id) from the full match
+    table, so NDCG < 1 exactly where length normalization reorders
+    attestation.  Discounts are pre-floored micro6 literals
+    (:data:`NDCG_DISCOUNTS_MICRO6`); everything else is integer
+    sums and one exact division — cross-engine bit-exact.
+
+    Output: (term, n_matched, dcg_micro6, idcg_micro6, ndcg_micro6).
+
+    Plan note: the ideal ranking recomputes the (term, doc, tf) match
+    aggregate (a second token scan at fixture scale); production
+    would reuse bm25's materialized tf table — the eval contract is
+    what this table pins."""
+    from pyspark.sql import Window
+    from pyspark.sql.functions import broadcast
+
+    disc = F.array(*[F.lit(d) for d in
+                     NDCG_DISCOUNTS_MICRO6[:k]])
+    ranked = bm25_entity_retrieval(docs, terms, k)
+    dcg = (ranked
+           .withColumn("_d", F.element_at(disc, F.col("rank")))
+           .groupBy("term")
+           .agg(F.sum(F.col("tf") * F.col("_d")).cast("long")
+                .alias("dcg_micro6")))
+    toks = docs.select("doc_id",
+                       F.explode(_toks()).alias("_raw")).select(
+        "doc_id", F.lower(F.col("_raw")).alias("term"))
+    probe = broadcast(terms.select(
+        F.lower(F.col(terms.columns[0])).alias("term"))
+        .dropDuplicates())
+    tf = (toks.join(probe, "term")
+          .groupBy("doc_id", "term")
+          .agg(F.count(F.lit(1)).cast("long").alias("tf")))
+    wi = Window.partitionBy("term").orderBy(
+        F.col("tf").desc(), F.col("doc_id"))
+    ideal = (tf.withColumn("_rn", F.row_number().over(wi))
+             .where(F.col("_rn") <= k)
+             .withColumn("_d", F.element_at(disc, F.col("_rn")))
+             .groupBy("term")
+             .agg(F.sum(F.col("tf") * F.col("_d")).cast("long")
+                  .alias("idcg_micro6")))
+    n_m = tf.groupBy("term").agg(
+        F.count(F.lit(1)).cast("long").alias("n_matched"))
+    return (dcg.join(ideal, "term").join(n_m, "term")
+            .select("term", "n_matched", "dcg_micro6", "idcg_micro6",
+                    F.expr("CAST(dcg_micro6 * 1000000"
+                           " DIV idcg_micro6 AS BIGINT)")
+                    .alias("ndcg_micro6")))

@@ -3072,13 +3072,7 @@ th_snap AS (
 # exact integer division; the only float op is the idf ln (the
 # top_terms_tfidf device): idf_micro6 = floor(ln((2N+2)/(2df+1))*1e6),
 # score_micro6 = idf_micro6 * 44*T*tf // (20*T*tf + 6*T + 18*dl*N).
-ORACLE["bm25_entities"] = _q("""
-SELECT term, CAST(rank AS INT) AS rank, doc_id, tf, dl, score_micro6
-FROM (
-  SELECT s.*, ROW_NUMBER() OVER (PARTITION BY term
-             ORDER BY score_micro6 DESC, doc_id) AS rank
-  FROM bm_scored s)
-WHERE rank <= 10""", """
+BM25_CTES = """
 bm_ts AS (
   SELECT doc_id, list_filter(string_split_regex(text, '[\\n \\t]'),
                              t -> t <> '') AS ts
@@ -3112,7 +3106,15 @@ bm_scored AS (
                   + 6 * (SELECT t FROM bm_tot)
                   + 18 * d.dl * (SELECT n FROM bm_tot))
               AS BIGINT) AS score_micro6
-  FROM bm_tf f JOIN bm_idf i USING (term) JOIN bm_dl d USING (doc_id))""")
+  FROM bm_tf f JOIN bm_idf i USING (term) JOIN bm_dl d USING (doc_id))"""
+
+ORACLE["bm25_entities"] = _q("""
+SELECT term, CAST(rank AS INT) AS rank, doc_id, tf, dl, score_micro6
+FROM (
+  SELECT s.*, ROW_NUMBER() OVER (PARTITION BY term
+             ORDER BY score_micro6 DESC, doc_id) AS rank
+  FROM bm_scored s)
+WHERE rank <= 10""", BM25_CTES)
 
 
 # entity_salience: per-(doc, canonical entity) early-and-often score
@@ -6453,3 +6455,46 @@ ht_rk AS (
 SELECT grp AS source, CAST(rk AS INT) AS rank, term AS shingle,
        a AS n_grp, ct AS n_corpus, CAST(llr AS BIGINT) AS llr_micro6
 FROM ht_rk WHERE rk <= 5""")
+
+
+# ---------------------------------------------------------------------------
+# Continuation batch 70: NDCG@10 of the BM25 ranking
+# (functions/textstats.retrieval_ndcg) — graded relevance = raw tf,
+# position discounts are DATA-INDEPENDENT micro6 literals baked from
+# the same floor(ln2/ln(i+1)*1e6) expression as the Spark constant
+# tuple, so the only arithmetic here is integer sums + one exact DIV.
+
+from ..functions.textstats import NDCG_DISCOUNTS_MICRO6  # noqa: E402
+
+_NDCG_DISC_ROWS = ", ".join(
+    f"({i + 1}, {d})" for i, d in enumerate(NDCG_DISCOUNTS_MICRO6))
+
+ORACLE["retrieval_ndcg"] = _q("""
+SELECT d.term, n.n_matched, d.dcg_micro6, i.idcg_micro6,
+       CAST(d.dcg_micro6 * 1000000 // i.idcg_micro6 AS BIGINT)
+           AS ndcg_micro6
+FROM nd_dcg d JOIN nd_ideal i ON i.term = d.term
+JOIN nd_nm n ON n.term = d.term""", BM25_CTES + """,
+nd_disc AS (SELECT * FROM (VALUES """ + _NDCG_DISC_ROWS + """)
+            AS t(rank, disc)),
+nd_ranked AS (
+  SELECT term, doc_id, tf,
+         ROW_NUMBER() OVER (PARTITION BY term
+             ORDER BY score_micro6 DESC, doc_id) AS rank
+  FROM bm_scored),
+nd_dcg AS (
+  SELECT r.term, CAST(SUM(r.tf * d.disc) AS BIGINT) AS dcg_micro6
+  FROM nd_ranked r JOIN nd_disc d ON d.rank = r.rank
+  WHERE r.rank <= 10 GROUP BY 1),
+nd_irank AS (
+  SELECT term, doc_id, tf,
+         ROW_NUMBER() OVER (PARTITION BY term
+             ORDER BY tf DESC, doc_id) AS rank
+  FROM bm_tf),
+nd_ideal AS (
+  SELECT r.term, CAST(SUM(r.tf * d.disc) AS BIGINT) AS idcg_micro6
+  FROM nd_irank r JOIN nd_disc d ON d.rank = r.rank
+  WHERE r.rank <= 10 GROUP BY 1),
+nd_nm AS (
+  SELECT term, CAST(COUNT(*) AS BIGINT) AS n_matched
+  FROM bm_tf GROUP BY 1)""")

@@ -262,6 +262,9 @@ EXPECTED_TAIL = [
     # Continuation batch 69: Dunning-LLR distinctive shingles per
     # source — appended past position 50.
     "host_terms",
+    # Continuation batch 70: NDCG@10 retrieval evaluation of the BM25
+    # ranking — appended past position 50.
+    "retrieval_ndcg",
 ]
 
 
