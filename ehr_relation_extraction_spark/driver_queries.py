@@ -2167,6 +2167,14 @@ def q_retrieval_ndcg(spark, sf_dir) -> DataFrame:
     return ts.retrieval_ndcg(_docs(spark, sf_dir), gaz.select("alias"))
 
 
+def q_term_proximity(spark, sf_dir) -> DataFrame:
+    """Per-doc minimal co-occurrence window span of the corpus's two
+    highest-df terms — the proximity ranking signal over the boolean
+    AND set, linear running-last-position device (functions/textstats.
+    term_proximity)."""
+    return ts.term_proximity(_docs(spark, sf_dir))
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # ORDER IS LOAD-BEARING: the driver snapshot verifies exactly
     # list(QUERIES)[:50] in insertion order (pinned by
@@ -2487,6 +2495,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # Continuation batch 70: NDCG@10 retrieval evaluation of the BM25
     # ranking — appended past position 50.
     "retrieval_ndcg": q_retrieval_ndcg,
+    # Continuation batch 71: term-proximity minimal co-occurrence
+    # window — appended past position 50.
+    "term_proximity": q_term_proximity,
 }
 
 

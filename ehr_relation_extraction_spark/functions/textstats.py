@@ -1161,3 +1161,60 @@ def retrieval_ndcg(docs: DataFrame, terms: DataFrame,
                     F.expr("CAST(dcg_micro6 * 1000000"
                            " DIV idcg_micro6 AS BIGINT)")
                     .alias("ndcg_micro6")))
+
+
+# ---------------------------------------------------------------------------
+# Term-proximity read path: minimal co-occurrence window
+# (continuation batch 71)
+
+def term_proximity(docs: DataFrame) -> DataFrame:
+    """Per-document minimal window span containing BOTH of the
+    corpus's two highest-df terms (ties by term asc) — the proximity
+    signal a search engine's "terms near each other" ranker uses on
+    top of the boolean AND set (:func:`boolean_search_stats` counts
+    that set; this measures HOW tightly the terms co-occur inside it).
+
+    min_span for a doc = min over all adjacent (a, b) occurrences of
+    ``|pos_a - pos_b| + 1`` — computed LINEARLY with the classic
+    running-last-position device: one window per doc over the merged
+    position stream, each hit row looks up the running MAX position
+    of the OTHER term at-or-before it, so the nearest-preceding
+    partner is exact and no position cross-product is ever formed
+    (tf(a) x tf(b) pairs never materialize).
+
+    Output: (doc_id, n_a, n_b, min_span) for exactly the docs that
+    contain both terms; integer token positions (0-based, same
+    whitespace tokenization as postings_lists).
+
+    Scale: term selection is a 2-row distributed top-k; the window is
+    partitioned by doc_id (bounded by doc length); the per-doc fold is
+    one hash aggregate.  No cross join, no global window."""
+    toks = docs.select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        F.posexplode(F.filter(F.split(F.lower("text"), "[\n \t]"),
+                              lambda t: t != ""))
+        .alias("pos", "term"))
+    sel = (toks.select("doc_id", "term").dropDuplicates()
+           .groupBy("term")
+           .agg(F.count(F.lit(1)).cast("long").alias("df"))
+           .orderBy(F.desc("df"), F.asc("term")).limit(2)
+           .withColumn("rk", F.row_number().over(
+               Window.orderBy(F.desc("df"), F.asc("term")))))
+    hit = (toks.join(F.broadcast(sel.select("term", "rk")), "term")
+           .select("doc_id", "pos", "rk"))
+    w = (Window.partitionBy("doc_id").orderBy("pos")
+         .rowsBetween(Window.unboundedPreceding, 0))
+    last_a = F.max(F.when(F.col("rk") == 1, F.col("pos"))).over(w)
+    last_b = F.max(F.when(F.col("rk") == 2, F.col("pos"))).over(w)
+    spans = hit.withColumn(
+        "span",
+        F.when(F.col("rk") == 2, F.col("pos") - last_a + 1)
+        .otherwise(F.col("pos") - last_b + 1))
+    return (spans.groupBy("doc_id")
+            .agg(F.sum(F.when(F.col("rk") == 1, 1).otherwise(0))
+                 .cast("long").alias("n_a"),
+                 F.sum(F.when(F.col("rk") == 2, 1).otherwise(0))
+                 .cast("long").alias("n_b"),
+                 F.min("span").cast("long").alias("min_span"))
+            .where(F.col("min_span").isNotNull())
+            .select("doc_id", "n_a", "n_b", "min_span"))

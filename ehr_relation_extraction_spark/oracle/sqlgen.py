@@ -6498,3 +6498,44 @@ nd_ideal AS (
 nd_nm AS (
   SELECT term, CAST(COUNT(*) AS BIGINT) AS n_matched
   FROM bm_tf GROUP BY 1)""")
+
+
+# ---------------------------------------------------------------------------
+# Continuation batch 71: term-proximity read path (functions/textstats.
+# term_proximity) — per-doc minimal window span containing both top-2-df
+# terms, running-last-position device (nearest preceding partner via a
+# CASE-filtered MAX over the cumulative frame), integer positions only.
+
+ORACLE["term_proximity"] = """
+WITH tp_ts AS (
+  SELECT doc_id, list_filter(string_split_regex(lower(text),
+                                                '[\\n \\t]'),
+                             t -> t <> '') AS ts
+  FROM documents),
+tp_toks AS MATERIALIZED (
+  SELECT CAST(doc_id AS BIGINT) AS doc_id,
+         CAST(i AS INT) - 1 AS pos, ts[CAST(i AS INT)] AS term
+  FROM tp_ts, unnest(generate_series(1, len(ts))) AS t(i)),
+tp_sel AS MATERIALIZED (
+  SELECT term, ROW_NUMBER() OVER (ORDER BY df DESC, term ASC) AS rk
+  FROM (SELECT term, CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS df
+        FROM tp_toks GROUP BY 1)
+  ORDER BY df DESC, term ASC LIMIT 2),
+tp_hit AS MATERIALIZED (
+  SELECT h.doc_id, h.pos, s.rk FROM tp_toks h
+  JOIN tp_sel s USING (term)),
+tp_span AS (
+  SELECT doc_id, rk, pos,
+         MAX(CASE WHEN rk = 1 THEN pos END) OVER w AS last_a,
+         MAX(CASE WHEN rk = 2 THEN pos END) OVER w AS last_b
+  FROM tp_hit
+  WINDOW w AS (PARTITION BY doc_id ORDER BY pos
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
+SELECT doc_id,
+       CAST(SUM(CASE WHEN rk = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_a,
+       CAST(SUM(CASE WHEN rk = 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_b,
+       CAST(MIN(CASE WHEN rk = 2 THEN pos - last_a + 1
+                     ELSE pos - last_b + 1 END) AS BIGINT) AS min_span
+FROM tp_span GROUP BY 1
+HAVING MIN(CASE WHEN rk = 2 THEN pos - last_a + 1
+                ELSE pos - last_b + 1 END) IS NOT NULL"""

@@ -265,6 +265,9 @@ EXPECTED_TAIL = [
     # Continuation batch 70: NDCG@10 retrieval evaluation of the BM25
     # ranking — appended past position 50.
     "retrieval_ndcg",
+    # Continuation batch 71: term-proximity minimal co-occurrence
+    # window — appended past position 50.
+    "term_proximity",
 ]
 
 
