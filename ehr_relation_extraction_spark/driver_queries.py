@@ -2175,6 +2175,15 @@ def q_term_proximity(spark, sf_dir) -> DataFrame:
     return ts.term_proximity(_docs(spark, sf_dir))
 
 
+def q_snippet_windows(spark, sf_dir) -> DataFrame:
+    """Best 8-token evidence snippet per document by gazetteer-hit
+    count — the "why this page attests these entities" read path
+    (functions/textstats.snippet_windows; linear frame-sum scoring,
+    tie -> earliest window)."""
+    gaz = lk.gazetteer_df(spark)
+    return ts.snippet_windows(_docs(spark, sf_dir), gaz.select("alias"))
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # ORDER IS LOAD-BEARING: the driver snapshot verifies exactly
     # list(QUERIES)[:50] in insertion order (pinned by
@@ -2498,6 +2507,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # Continuation batch 71: term-proximity minimal co-occurrence
     # window — appended past position 50.
     "term_proximity": q_term_proximity,
+    # Continuation batch 72: query-biased snippet extraction —
+    # appended past position 50.
+    "snippet_windows": q_snippet_windows,
 }
 
 

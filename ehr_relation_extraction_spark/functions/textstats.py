@@ -1218,3 +1218,58 @@ def term_proximity(docs: DataFrame) -> DataFrame:
                  F.min("span").cast("long").alias("min_span"))
             .where(F.col("min_span").isNotNull())
             .select("doc_id", "n_a", "n_b", "min_span"))
+
+
+# ---------------------------------------------------------------------------
+# Query-biased snippet extraction (continuation batch 72)
+
+SNIPPET_W = 8
+
+
+def snippet_windows(docs: DataFrame, terms: DataFrame,
+                    w: int = SNIPPET_W) -> DataFrame:
+    """Best w-token evidence snippet per document: the window with the
+    MOST probe-term hits (tie -> earliest start) — what a search/KG
+    result page shows as "why this document attests these entities".
+
+    Hits are lowercase whole-token matches against the probe list
+    (single-token aliases, the gazetteer convention); the snippet
+    itself preserves the ORIGINAL token casing.  Windows are scored
+    with one running frame sum (ROWS CURRENT..w-1 FOLLOWING) over the
+    consecutive post-filter positions, so scoring is linear per doc —
+    no per-window re-scan.  End-of-doc windows truncate (both engines
+    clamp the frame and the slice identically).
+
+    Output: (doc_id, win_start, n_hits, snippet) for docs with >= 1
+    hit; win_start is the 0-based token position.
+
+    Scale: probe list is broadcast; one window frame sum + one top-1
+    window, both partitioned by doc_id; the slice join back to pages
+    is a keyed equi-join.  No cross join, no global window."""
+    toks = docs.select(F.col("doc_id").cast("long").alias("doc_id"),
+                       F.posexplode(_toks()).alias("pos", "tok"))
+    probe = F.broadcast(
+        terms.select(F.lower(F.col(terms.columns[0])).alias("term"),
+                     F.lit(1).alias("m")).dropDuplicates(["term"]))
+    marked = (toks.withColumn("term", F.lower("tok"))
+              .join(probe, "term", "left")
+              .select("doc_id", "pos",
+                      F.coalesce("m", F.lit(0)).alias("m")))
+    wf = (Window.partitionBy("doc_id").orderBy("pos")
+          .rowsBetween(Window.currentRow, w - 1))
+    scored = marked.withColumn(
+        "n_hits", F.sum("m").over(wf).cast("long"))
+    wr = Window.partitionBy("doc_id").orderBy(
+        F.col("n_hits").desc(), F.col("pos").asc())
+    best = (scored.withColumn("_rn", F.row_number().over(wr))
+            .where((F.col("_rn") == 1) & (F.col("n_hits") > 0))
+            .select("doc_id", F.col("pos").alias("win_start"), "n_hits"))
+    ts_arr = docs.select(F.col("doc_id").cast("long").alias("doc_id"),
+                         _toks().alias("ts"))
+    return (best.join(ts_arr, "doc_id")
+            .select("doc_id",
+                    F.col("win_start").cast("long").alias("win_start"),
+                    "n_hits",
+                    F.array_join(
+                        F.slice(F.col("ts"), F.col("win_start") + 1,
+                                F.lit(w)), " ").alias("snippet")))

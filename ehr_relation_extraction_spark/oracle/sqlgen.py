@@ -6539,3 +6539,37 @@ SELECT doc_id,
 FROM tp_span GROUP BY 1
 HAVING MIN(CASE WHEN rk = 2 THEN pos - last_a + 1
                 ELSE pos - last_b + 1 END) IS NOT NULL"""
+
+
+# ---------------------------------------------------------------------------
+# Continuation batch 72: query-biased snippet extraction (functions/
+# textstats.snippet_windows) — best 8-token window per doc by gazetteer
+# hit count (tie -> earliest), one linear frame sum, original-case
+# snippet via list slice (both engines clamp frame + slice identically).
+
+ORACLE["snippet_windows"] = _assemble(GAZ, """
+sw_ts AS (
+  SELECT CAST(doc_id AS BIGINT) AS doc_id,
+         list_filter(string_split_regex(text, '[\\n \\t]'),
+                     t -> t <> '') AS ts
+  FROM documents),
+sw_toks AS MATERIALIZED (
+  SELECT doc_id, CAST(i AS INT) - 1 AS pos,
+         CASE WHEN lower(ts[CAST(i AS INT)])
+                   IN (SELECT alias FROM gaz) THEN 1 ELSE 0 END AS m
+  FROM sw_ts, unnest(generate_series(1, len(ts))) AS t(i)),
+sw_sum AS (
+  SELECT doc_id, pos,
+         CAST(SUM(m) OVER (PARTITION BY doc_id ORDER BY pos
+              ROWS BETWEEN CURRENT ROW AND 7 FOLLOWING) AS BIGINT)
+             AS n_hits
+  FROM sw_toks),
+sw_best AS (
+  SELECT doc_id, pos, n_hits,
+         ROW_NUMBER() OVER (PARTITION BY doc_id
+             ORDER BY n_hits DESC, pos ASC) AS rn
+  FROM sw_sum)""", select="""
+SELECT b.doc_id, CAST(b.pos AS BIGINT) AS win_start, b.n_hits,
+       array_to_string(s.ts[b.pos + 1 : b.pos + 8], ' ') AS snippet
+FROM sw_best b JOIN sw_ts s ON s.doc_id = b.doc_id
+WHERE b.rn = 1 AND b.n_hits > 0""")

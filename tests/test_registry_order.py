@@ -268,6 +268,9 @@ EXPECTED_TAIL = [
     # Continuation batch 71: term-proximity minimal co-occurrence
     # window — appended past position 50.
     "term_proximity",
+    # Continuation batch 72: query-biased snippet extraction —
+    # appended past position 50.
+    "snippet_windows",
 ]
 
 
