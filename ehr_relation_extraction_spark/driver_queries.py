@@ -2184,6 +2184,13 @@ def q_snippet_windows(spark, sf_dir) -> DataFrame:
     return ts.snippet_windows(_docs(spark, sf_dir), gaz.select("alias"))
 
 
+def q_entity_cards(spark, sf_dir) -> DataFrame:
+    """Entity-summary read path: top-3 facts per subject by support x
+    integer idf — what an entity card renders (operators/triples.
+    entity_cards)."""
+    return tri_op.entity_cards(_frames(spark, sf_dir).triples)
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # ORDER IS LOAD-BEARING: the driver snapshot verifies exactly
     # list(QUERIES)[:50] in insertion order (pinned by
@@ -2510,6 +2517,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # Continuation batch 72: query-biased snippet extraction —
     # appended past position 50.
     "snippet_windows": q_snippet_windows,
+    # Continuation batch 73: entity-card fact ranking — appended past
+    # position 50.
+    "entity_cards": q_entity_cards,
 }
 
 

@@ -1477,3 +1477,50 @@ def timeline_repair(intervals: DataFrame) -> DataFrame:
         F.col("n_snaps").cast("long").alias("weight"))
     return cols.groupBy("url", "subj", "pred").applyInPandas(
         _timeline_dp, TIMELINE_SCHEMA)
+
+
+def entity_cards(triples: DataFrame, k: int = 3) -> DataFrame:
+    """Entity-card fact ranking — the KG read path that renders an
+    entity summary page: per subject, the top-k (pred, obj) facts by
+    support x informativeness, so "spark — topic:vector (47 docs)"
+    outranks a boilerplate fact every subject shares.
+
+    support = distinct attesting docs per fact; df = distinct subjects
+    attesting the same (pred, obj); idf_micro6 =
+    floor(ln((2N+2)/(2df+1)) * 1e6) with N = distinct subjects (the
+    BM25-idf integer device already proven cross-engine by
+    bm25_entities/top_terms_tfidf); score_micro6 = support *
+    idf_micro6, ties broken (pred, obj) asc so the ranking is
+    deterministic.
+
+    Output: (subj, rank, pred, obj, support, df, idf_micro6,
+    score_micro6), rank 1..k per subject.
+
+    Scale: two hash-aggregates over the fact table, one broadcast-
+    sized (pred, obj)->df join, one window partitioned by subject.
+    N is a bounded 1-row aggregate (subject-universe size), collected
+    once on the driver by design."""
+    from pyspark.sql import Window
+
+    facts = (triples.groupBy("subj", "pred", "obj")
+             .agg(F.countDistinct("doc_id").cast("long")
+                  .alias("support")))
+    df_ = facts.groupBy("pred", "obj").agg(
+        F.count(F.lit(1)).cast("long").alias("df"))
+    n_subj = facts.select(
+        F.countDistinct("subj").alias("n")).first()["n"]
+    idf = F.floor(
+        F.log(F.lit(2 * n_subj + 2) / (2 * F.col("df") + 1))
+        * 1000000).cast("long")
+    scored = (facts.join(df_, ["pred", "obj"])
+              .withColumn("idf_micro6", idf)
+              .withColumn("score_micro6",
+                          (F.col("support") * F.col("idf_micro6"))
+                          .cast("long")))
+    w = Window.partitionBy("subj").orderBy(
+        F.col("score_micro6").desc(), F.col("pred"), F.col("obj"))
+    return (scored.withColumn("rank",
+                              F.row_number().over(w).cast("int"))
+            .where(F.col("rank") <= k)
+            .select("subj", "rank", "pred", "obj", "support", "df",
+                    "idf_micro6", "score_micro6"))

@@ -6573,3 +6573,38 @@ SELECT b.doc_id, CAST(b.pos AS BIGINT) AS win_start, b.n_hits,
        array_to_string(s.ts[b.pos + 1 : b.pos + 8], ' ') AS snippet
 FROM sw_best b JOIN sw_ts s ON s.doc_id = b.doc_id
 WHERE b.rn = 1 AND b.n_hits > 0""")
+
+
+# ---------------------------------------------------------------------------
+# Continuation batch 73: entity-card fact ranking (operators/triples.
+# entity_cards) — top-3 facts per subject by support x BM25-style
+# integer idf over the (pred, obj) fact vocabulary; the only float op
+# is the single ln of an exact rational (the bm25_entities device).
+
+ORACLE["entity_cards"] = _q("""
+SELECT subj, CAST(rank AS INT) AS rank, pred, obj, support, df,
+       idf_micro6, score_micro6
+FROM (
+  SELECT s.*, ROW_NUMBER() OVER (PARTITION BY subj
+             ORDER BY score_micro6 DESC, pred, obj) AS rank
+  FROM ec_scored s)
+WHERE rank <= 3""", """
+ec_facts AS MATERIALIZED (
+  SELECT subj, pred, obj,
+         CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS support
+  FROM triples GROUP BY 1, 2, 3),
+ec_df AS (
+  SELECT pred, obj, CAST(COUNT(*) AS BIGINT) AS df
+  FROM ec_facts GROUP BY 1, 2),
+ec_n AS (SELECT CAST(COUNT(DISTINCT subj) AS BIGINT) AS n
+         FROM ec_facts),
+ec_idf AS (
+  SELECT pred, obj, df,
+         CAST(floor(ln((2 * (SELECT n FROM ec_n) + 2)
+                        / (2.0 * df + 1)) * 1000000) AS BIGINT)
+             AS idf_micro6
+  FROM ec_df),
+ec_scored AS (
+  SELECT f.subj, f.pred, f.obj, f.support, d.df, d.idf_micro6,
+         CAST(f.support * d.idf_micro6 AS BIGINT) AS score_micro6
+  FROM ec_facts f JOIN ec_idf d USING (pred, obj))""")

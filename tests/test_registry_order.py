@@ -271,6 +271,9 @@ EXPECTED_TAIL = [
     # Continuation batch 72: query-biased snippet extraction —
     # appended past position 50.
     "snippet_windows",
+    # Continuation batch 73: entity-card fact ranking — appended past
+    # position 50.
+    "entity_cards",
 ]
 
 
