@@ -2191,6 +2191,17 @@ def q_entity_cards(spark, sf_dir) -> DataFrame:
     return tri_op.entity_cards(_frames(spark, sf_dir).triples)
 
 
+def q_graph_coloring(spark, sf_dir) -> DataFrame:
+    """Jones-Plassmann greedy coloring of the entity co-mention graph
+    — a proper coloring is a conflict-free parallel merge schedule;
+    md5-derandomized, 8 unrolled rounds (operators/graph_algos.
+    jp_coloring)."""
+    from .operators.graph_algos import jp_coloring
+
+    edges, nodes = _comention_graph(spark, sf_dir)
+    return jp_coloring(edges, nodes, n_rounds=8)
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # ORDER IS LOAD-BEARING: the driver snapshot verifies exactly
     # list(QUERIES)[:50] in insertion order (pinned by
@@ -2520,6 +2531,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # Continuation batch 73: entity-card fact ranking — appended past
     # position 50.
     "entity_cards": q_entity_cards,
+    # Continuation batch 74: Jones-Plassmann greedy graph coloring —
+    # appended past position 50.
+    "graph_coloring": q_graph_coloring,
 }
 
 

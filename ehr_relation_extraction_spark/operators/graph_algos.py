@@ -1987,3 +1987,93 @@ def landmark_centrality(edges: DataFrame, nodes: DataFrame,
                            "(1000000 * CAST(n_lm AS BIGINT)) DIV sum_dist "
                            "ELSE 0 END").cast("long")
                     .alias("closeness_micro6")))
+
+
+def jp_coloring(edges: DataFrame, nodes: DataFrame,
+                n_rounds: int = 8) -> DataFrame:
+    """Greedy distributed graph coloring by the Jones-Plassmann
+    algorithm (Jones & Plassmann, SIAM J. Sci. Comput. 1993) — the
+    textbook parallel scheduling primitive: a proper coloring IS a
+    conflict-free execution schedule (all nodes of one color update
+    concurrently), here for entity-merge batches over the co-mention
+    graph.  Derandomized with the static md5-hex6 priority
+    ``conv(substr(md5('jp:' || node), 1, 6), 16, 10)`` so the coloring
+    is deterministic across engines, partitionings, and reruns.
+
+    Per round over the still-UNCOLORED subgraph: a node colors itself
+    iff its (priority, node) tuple is strictly smaller than every
+    uncolored neighbor's, taking the mex (smallest color >= 0 absent
+    from its already-colored neighborhood).  Within-round winners form
+    an independent set (strict tuples), so simultaneous assignment is
+    safe; colors assigned in round r are provably <= r-1, so the
+    palette grows at most one per round.  Fixed ``n_rounds`` like the
+    other unrolled-oracle iteratives (kcore/ktruss/LPA/MIS) —
+    still-uncolored nodes after n_rounds are reported with color -1,
+    never guessed.
+
+    Input: ``edges (src, dst)`` undirected (src < dst, distinct),
+    ``nodes (node)``.  Output: (node, color, decided_round); isolated
+    nodes take color 0 in round 1.
+
+    Scale: per round one min-neighbor-tuple shuffle (partial-
+    aggregable), one colored-neighbor collect_set bounded by degree,
+    and one anti-join to retire; mex is an in-row fold over the
+    sorted neighbor palette (size <= round index).  No collect, no
+    global sort; localCheckpoint per round cuts the lineage."""
+    und = (edges.select("src", "dst")
+           .where(F.col("src") != F.col("dst")).dropDuplicates())
+    sym = und.union(und.select(F.col("dst").alias("src"),
+                               F.col("src").alias("dst")))
+    sym = sym.localCheckpoint()
+    active = (nodes.select("node").dropDuplicates()
+              .select("node",
+                      F.conv(F.substring(F.md5(
+                          F.concat(F.lit("jp:"), F.col("node"))),
+                          1, 6), 16, 10).cast("long").alias("prio"))
+              .localCheckpoint())
+    colored = None
+    for r in range(1, n_rounds + 1):
+        nbr_min = (sym.join(active.withColumnRenamed("node", "dst")
+                            .withColumnRenamed("prio", "nprio"), "dst")
+                   .groupBy(F.col("src").alias("node"))
+                   .agg(F.min(F.struct(F.col("nprio").alias("p"),
+                                       F.col("dst").alias("n")))
+                        .alias("m")))
+        winners = (active.join(nbr_min, "node", "left")
+                   .where(F.col("m").isNull()
+                          | (F.struct(F.col("prio").alias("p"),
+                                      F.col("node").alias("n"))
+                             < F.col("m")))
+                   .select("node").localCheckpoint())
+        if colored is None:
+            newly = winners.select(
+                "node", F.lit(0).cast("long").alias("color"))
+        else:
+            palette = (sym
+                       .join(winners.withColumnRenamed("node", "src"),
+                             "src")
+                       .join(colored.select(
+                           F.col("node").alias("dst"), "color"),
+                           "dst")
+                       .groupBy(F.col("src").alias("node"))
+                       .agg(F.array_sort(F.collect_set("color"))
+                            .alias("cs")))
+            mex = F.aggregate(
+                "cs", F.lit(0).cast("long"),
+                lambda acc, c: F.when(c == acc, acc + 1)
+                .otherwise(acc))
+            newly = (winners.join(palette, "node", "left")
+                     .select("node",
+                             F.when(F.col("cs").isNull(),
+                                    F.lit(0).cast("long"))
+                             .otherwise(mex).alias("color")))
+        newly = newly.withColumn(
+            "decided_round", F.lit(r).cast("long")).localCheckpoint()
+        colored = newly if colored is None else \
+            colored.unionByName(newly).localCheckpoint()
+        active = active.join(winners, "node", "anti").localCheckpoint()
+        if active.isEmpty():
+            break
+    return colored.unionByName(
+        active.select("node", F.lit(-1).cast("long").alias("color"),
+                      F.lit(0).cast("long").alias("decided_round")))

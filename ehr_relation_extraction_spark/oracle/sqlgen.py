@@ -6608,3 +6608,61 @@ ec_scored AS (
   SELECT f.subj, f.pred, f.obj, f.support, d.df, d.idf_micro6,
          CAST(f.support * d.idf_micro6 AS BIGINT) AS score_micro6
   FROM ec_facts f JOIN ec_idf d USING (pred, obj))""")
+
+
+# ---------------------------------------------------------------------------
+# Continuation batch 74: Jones-Plassmann greedy graph coloring
+# (operators/graph_algos.jp_coloring) — static md5-hex6 priorities,
+# per-round local-min winners take the mex of their already-colored
+# neighborhood; rounds unrolled as chained CTEs exactly like the
+# MIS/kcore/LPA oracles.  Colors assigned in round r are <= r-1, so
+# the per-round mex candidate range generate_series(0, r) is complete.
+
+
+def _jp_sql(n_rounds: int = 8) -> str:
+    prio = _qm_hex6("'jp:' || node")
+    blocks = [f"""jppr AS MATERIALIZED (
+  SELECT node, CAST({prio} AS BIGINT) AS prio FROM cc_nodes),
+jpact0 AS MATERIALIZED (SELECT node FROM cc_nodes),
+jpcol0 AS MATERIALIZED (
+  SELECT node, CAST(0 AS BIGINT) AS color FROM cc_nodes WHERE 1 = 0)"""]
+    for r in range(1, n_rounds + 1):
+        blocks.append(f"""jpwin{r} AS MATERIALIZED (
+  SELECT a.node, p.prio FROM jpact{r - 1} a JOIN jppr p USING (node)
+  WHERE NOT EXISTS (
+    SELECT 1 FROM com_sym e
+    JOIN jpact{r - 1} b ON b.node = e.dst
+    JOIN jppr q ON q.node = e.dst
+    WHERE e.src = a.node
+      AND (q.prio < p.prio
+           OR (q.prio = p.prio AND q.node < p.node)))),
+jpnew{r} AS MATERIALIZED (
+  SELECT w.node,
+         (SELECT MIN(t.k) FROM unnest(generate_series(0, {r})) AS t(k)
+          WHERE t.k NOT IN (
+            SELECT c.color FROM com_sym e
+            JOIN jpcol{r - 1} c ON c.node = e.dst
+            WHERE e.src = w.node)) AS color
+  FROM jpwin{r} w),
+jpcol{r} AS MATERIALIZED (
+  SELECT node, color FROM jpcol{r - 1}
+  UNION ALL
+  SELECT node, CAST(color AS BIGINT) AS color FROM jpnew{r}),
+jpact{r} AS MATERIALIZED (
+  SELECT node FROM jpact{r - 1}
+  WHERE node NOT IN (SELECT node FROM jpwin{r}))""")
+    return ",\n".join(blocks)
+
+
+def _jp_select(n_rounds: int = 8) -> str:
+    parts = [f"SELECT node, CAST(color AS BIGINT) AS color, "
+             f"CAST({r} AS BIGINT) AS decided_round FROM jpnew{r}"
+             for r in range(1, n_rounds + 1)]
+    parts.append(f"SELECT node, CAST(-1 AS BIGINT) AS color, "
+                 f"CAST(0 AS BIGINT) AS decided_round "
+                 f"FROM jpact{n_rounds}")
+    return " UNION ALL ".join(parts)
+
+
+ORACLE["graph_coloring"] = _q(_jp_select(8), LINK_CTES,
+                              COMENTION_CTES.strip(), _jp_sql(8))

@@ -274,6 +274,9 @@ EXPECTED_TAIL = [
     # Continuation batch 73: entity-card fact ranking — appended past
     # position 50.
     "entity_cards",
+    # Continuation batch 74: Jones-Plassmann greedy graph coloring —
+    # appended past position 50.
+    "graph_coloring",
 ]
 
 
