@@ -2202,6 +2202,14 @@ def q_graph_coloring(spark, sf_dir) -> DataFrame:
     return jp_coloring(edges, nodes, n_rounds=8)
 
 
+def q_lsh_eval(spark, sf_dir) -> DataFrame:
+    """Candidate-quality evaluation of the MinHash-LSH dedup path:
+    precision/recall of the band candidates vs the complete
+    prefix-filter exact-Jaccard pair set on the same shingle universe
+    (operators/dedup.lsh_dedup_eval)."""
+    return dd.lsh_dedup_eval(_docs(spark, sf_dir))
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # ORDER IS LOAD-BEARING: the driver snapshot verifies exactly
     # list(QUERIES)[:50] in insertion order (pinned by
@@ -2534,6 +2542,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # Continuation batch 74: Jones-Plassmann greedy graph coloring —
     # appended past position 50.
     "graph_coloring": q_graph_coloring,
+    # Continuation batch 75: LSH candidate-quality evaluation —
+    # appended past position 50.
+    "lsh_eval": q_lsh_eval,
 }
 
 

@@ -334,3 +334,107 @@ def prefix_filter_pairs(docs: DataFrame,
             .withColumn("jac_micro6",
                         F.floor(F.col("n_inter") * F.lit(1000000)
                                 / F.col("n_union")).cast("long")))
+
+
+def _exact_item_pairs(items: DataFrame, threshold_pct: int) -> DataFrame:
+    """Complete (zero-false-negative) set-similarity join over an
+    arbitrary (doc_id, item) incidence table at Jaccard >=
+    threshold_pct — the :func:`prefix_filter_pairs` prefix-filter
+    device generalized from token sets to any item universe (here:
+    shingle sets, so the LSH eval's ground truth lives on the SAME
+    universe MinHash sketches).  Verification is exact integer
+    cross-multiplication; output (doc_a, doc_b) only."""
+    it = items.select(F.col("doc_id").cast("long").alias("doc_id"),
+                      "item").dropDuplicates()
+    freq = it.groupBy("item").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"))
+    sized = it.withColumn(
+        "n", F.count(F.lit(1)).over(
+            Window.partitionBy("doc_id")).cast("long"))
+    t = threshold_pct
+    ordered = (sized.join(freq, "item")
+               .withColumn("pos", F.row_number().over(
+                   Window.partitionBy("doc_id")
+                   .orderBy(F.col("n_docs").asc(), F.col("item").asc())))
+               .withColumn("p", F.col("n")
+                           - F.floor((F.lit(t) * F.col("n")
+                                      + F.lit(99)) / F.lit(100))
+                           .cast("long") + F.lit(1)))
+    pref = ordered.where(F.col("pos") <= F.col("p")).select(
+        "doc_id", "item")
+    cand = (pref.alias("a").join(pref.alias("b"), "item")
+            .where(F.col("a.doc_id") < F.col("b.doc_id"))
+            .select(F.col("a.doc_id").alias("doc_a"),
+                    F.col("b.doc_id").alias("doc_b"))
+            .dropDuplicates())
+    sizes = it.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_it"))
+    inter = (cand
+             .join(it.select(F.col("doc_id").alias("doc_a"),
+                             "item"), "doc_a")
+             .join(it.select(F.col("doc_id").alias("doc_b"),
+                             "item"), ["doc_b", "item"])
+             .groupBy("doc_a", "doc_b")
+             .agg(F.count(F.lit(1)).cast("long").alias("n_inter")))
+    return (cand.join(inter, ["doc_a", "doc_b"])
+            .join(sizes.select(F.col("doc_id").alias("doc_a"),
+                               F.col("n_it").alias("_na")), "doc_a")
+            .join(sizes.select(F.col("doc_id").alias("doc_b"),
+                               F.col("n_it").alias("_nb")), "doc_b")
+            .where(F.col("n_inter") * 100
+                   >= (F.col("_na") + F.col("_nb")
+                       - F.col("n_inter")) * t)
+            .select("doc_a", "doc_b"))
+
+
+def lsh_dedup_eval(docs: DataFrame,
+                   threshold_pct: int = JACCARD_THRESHOLD_PCT) -> DataFrame:
+    """Candidate-quality evaluation of the MinHash-LSH dedup path —
+    the measurement a pipeline owner needs before trusting LSH at a
+    new (perms, bands) setting: against the COMPLETE exact-Jaccard
+    pair set (prefix filter over the same shingle universe, zero
+    false negatives by construction), how many true near-dup pairs
+    does banding surface (recall) and how much of the candidate join
+    is wasted verify work (precision)?
+
+    One row: (n_truth, n_cand, tp, fp, fn, precision_micro6,
+    recall_micro6).  tp = LSH candidates whose exact shingle Jaccard
+    >= threshold (integer cross-multiplication); fp = the rest of the
+    candidates; fn = truth pairs banding never surfaced.  Exact
+    integer division, zero-guarded.
+
+    Scale: both pair generators are bucketed equi-joins (band
+    buckets / rare-item prefixes) — never all-pairs; the compare is
+    two keyed semi/anti joins; the roll-up is the labeled-union
+    single aggregate."""
+    sh = shingles(docs)
+    truth = _exact_item_pairs(
+        sh.select("doc_id", F.col("shingle").alias("item")),
+        threshold_pct)
+    cand = lsh_candidate_pairs(lsh_bands(minhash_signatures(sh)))
+    tp = cand.join(truth, ["doc_a", "doc_b"], "semi")
+    lab = (truth.agg(F.count(F.lit(1)).cast("long").alias("v"))
+           .select(F.lit("truth").alias("k"), "v")
+           .unionByName(cand.agg(F.count(F.lit(1)).cast("long")
+                                 .alias("v"))
+                        .select(F.lit("cand").alias("k"), "v"))
+           .unionByName(tp.agg(F.count(F.lit(1)).cast("long")
+                               .alias("v"))
+                        .select(F.lit("tp").alias("k"), "v")))
+    row = lab.groupBy().agg(
+        F.max(F.when(F.col("k") == "truth", F.col("v"))).cast("long")
+        .alias("n_truth"),
+        F.max(F.when(F.col("k") == "cand", F.col("v"))).cast("long")
+        .alias("n_cand"),
+        F.max(F.when(F.col("k") == "tp", F.col("v"))).cast("long")
+        .alias("tp"))
+    return row.select(
+        "n_truth", "n_cand", "tp",
+        (F.col("n_cand") - F.col("tp")).cast("long").alias("fp"),
+        (F.col("n_truth") - F.col("tp")).cast("long").alias("fn"),
+        F.when(F.col("n_cand") > 0,
+               F.expr("tp * 1000000 DIV n_cand"))
+        .otherwise(F.lit(0)).cast("long").alias("precision_micro6"),
+        F.when(F.col("n_truth") > 0,
+               F.expr("tp * 1000000 DIV n_truth"))
+        .otherwise(F.lit(0)).cast("long").alias("recall_micro6"))

@@ -6666,3 +6666,42 @@ def _jp_select(n_rounds: int = 8) -> str:
 
 ORACLE["graph_coloring"] = _q(_jp_select(8), LINK_CTES,
                               COMENTION_CTES.strip(), _jp_sql(8))
+
+
+# ---------------------------------------------------------------------------
+# Continuation batch 75: LSH candidate-quality evaluation (operators/
+# dedup.lsh_dedup_eval) — ground truth here is the DIRECT shingle
+# equi-join (complete at oracle scale: any pair with Jaccard > 0
+# shares a shingle); the Spark side uses the prefix-filter join, which
+# is provably the same set at the threshold.  All counts BIGINT,
+# exact integer division, zero-guarded.
+
+ORACLE["lsh_eval"] = _assemble(GAZ, toks_ctes(), DEDUP_CTES, f"""
+ev_inter AS MATERIALIZED (
+  SELECT x.doc_id AS doc_a, y.doc_id AS doc_b,
+         CAST(COUNT(*) AS BIGINT) AS n_inter
+  FROM sh x JOIN sh y ON y.shingle = x.shingle
+                     AND x.doc_id < y.doc_id
+  GROUP BY 1, 2),
+ev_truth AS MATERIALIZED (
+  SELECT i.doc_a, i.doc_b FROM ev_inter i
+  JOIN sh_sizes sa ON sa.doc_id = i.doc_a
+  JOIN sh_sizes sb ON sb.doc_id = i.doc_b
+  WHERE i.n_inter * 100
+        >= (sa.n_sh + sb.n_sh - i.n_inter) * {JACCARD_THRESHOLD_PCT}),
+ev_tp AS (
+  SELECT c.doc_a, c.doc_b FROM cand c
+  JOIN ev_truth t ON t.doc_a = c.doc_a AND t.doc_b = c.doc_b),
+ev_row AS (
+  SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM ev_truth) AS n_truth,
+         (SELECT CAST(COUNT(*) AS BIGINT) FROM cand) AS n_cand,
+         (SELECT CAST(COUNT(*) AS BIGINT) FROM ev_tp) AS tp)""",
+select="""
+SELECT n_truth, n_cand, tp,
+       CAST(n_cand - tp AS BIGINT) AS fp,
+       CAST(n_truth - tp AS BIGINT) AS fn,
+       CAST(CASE WHEN n_cand > 0 THEN tp * 1000000 // n_cand
+                 ELSE 0 END AS BIGINT) AS precision_micro6,
+       CAST(CASE WHEN n_truth > 0 THEN tp * 1000000 // n_truth
+                 ELSE 0 END AS BIGINT) AS recall_micro6
+FROM ev_row""")

@@ -277,6 +277,9 @@ EXPECTED_TAIL = [
     # Continuation batch 74: Jones-Plassmann greedy graph coloring —
     # appended past position 50.
     "graph_coloring",
+    # Continuation batch 75: LSH candidate-quality evaluation —
+    # appended past position 50.
+    "lsh_eval",
 ]
 
 
