@@ -896,3 +896,93 @@ def incremental_dgim(spark, events_dir: str, out_dir: str,
             .option("checkpointLocation", checkpoint_dir)
             .trigger(**_trigger(ttl_ms))
             .start())
+
+
+# ---------------------------------------------------------------------------
+# Streaming sessionization (continuation batch 76)
+
+SESS_OUTPUT_DDL = ("user_id long, session_id int, ver int, "
+                   "n_events long, first_us long, last_us long")
+SESS_STATE_DDL = ("last_us long, session_id int, n_events long, "
+                  "first_us long, ver int")
+EVENTS_DDL = ("event_id long, ts timestamp_ntz, user_id long, "
+              "event_type string, value double, props string")
+
+
+def _sessionize_group_factory(gap_minutes: int):
+    """Per-user gap-based session fold — the streaming twin of
+    operators/events.sessionize: a new session opens when the
+    floored-second gap since the previous event exceeds the gap,
+    EXACTLY the batch rule (seconds = us // 1e6, strict >).  State is
+    the open session's (last_us, session_id, n_events, first_us);
+    each batch re-emits every session it touched with a bumped
+    version, so the max-ver row per (user, session) is that session's
+    current totals and closed sessions simply stop being re-emitted.
+    Correct for in-order feeds (per-user ts-ascending across batches,
+    the recrawl convention); late events would need the event-time
+    twin (_with_event_ttl)."""
+    gap_s = gap_minutes * 60
+
+    def fn(key: tuple, pdfs: Iterator[pd.DataFrame],
+           state: GroupState) -> Iterator[pd.DataFrame]:
+        rows = pd.concat(list(pdfs), ignore_index=True)
+        if rows.empty:
+            return
+        rows = rows.sort_values(["ts", "event_id"])
+        us_col = rows["ts"].astype("datetime64[us]").astype("int64")
+        if state.exists:
+            last_us, sess_id, n_ev, first_us, ver = (
+                int(x) for x in state.get)
+            started = True
+        else:
+            last_us = first_us = n_ev = ver = 0
+            sess_id, started = -1, False
+        touched: dict[int, tuple] = {}
+        for u in us_col:
+            u = int(u)
+            if (not started
+                    or u // 10**6 - last_us // 10**6 > gap_s):
+                sess_id += 1
+                n_ev, first_us, started = 0, u, True
+            n_ev += 1
+            last_us = u
+            touched[sess_id] = (n_ev, first_us, last_us)
+        ver += 1
+        state.update((last_us, sess_id, n_ev, first_us, ver))
+        yield pd.DataFrame(
+            [(int(key[0]), s, ver, n, f, l)
+             for s, (n, f, l) in sorted(touched.items())],
+            columns=["user_id", "session_id", "ver", "n_events",
+                     "first_us", "last_us"])
+    return fn
+
+
+def incremental_sessionize(spark, events_dir: str, out_dir: str,
+                           checkpoint_dir: str,
+                           gap_minutes: int = 30):
+    """Streaming gap-based sessionization over a growing events
+    directory — the stateful twin of operators/events.sessionize.
+    Sink rows are (user_id, session_id, ver, n_events, first_us,
+    last_us) append-parquet; the live session table is the max-ver
+    row per (user_id, session_id), and the stream==batch test asserts
+    it matches batch sessionize over everything fed, across a
+    checkpointed restart.
+
+    No maxFilesPerTrigger here, deliberately: each catch-up run folds
+    ALL newly arrived files as ONE micro-batch, because the gap rule
+    only tolerates disorder WITHIN a batch (the group fn sorts) — the
+    in-order contract is per feed, the log-ingestion convention."""
+    stream = (spark.readStream.schema(EVENTS_DDL)
+              .parquet(events_dir))
+    sk = (stream.select("user_id", "event_id", "ts")
+          .groupBy("user_id")
+          .applyInPandasWithState(
+              _sessionize_group_factory(gap_minutes),
+              SESS_OUTPUT_DDL, SESS_STATE_DDL,
+              outputMode="append",
+              timeoutConf=_timeout_conf(None)))
+    return (sk.writeStream.outputMode("append")
+            .format("parquet").option("path", out_dir)
+            .option("checkpointLocation", checkpoint_dir)
+            .trigger(**_trigger(None))
+            .start())
