@@ -2210,6 +2210,15 @@ def q_lsh_eval(spark, sf_dir) -> DataFrame:
     return dd.lsh_dedup_eval(_docs(spark, sf_dir))
 
 
+def q_crawl_budget(spark, sf_dir) -> DataFrame:
+    """Hamilton largest-remainder apportionment of the next crawl
+    cycle's 10,000 fetch slots across hosts by +1-smoothed extraction
+    yield; allocations sum exactly to the budget (operators/triples.
+    crawl_budget)."""
+    fr = _frames(spark, sf_dir)
+    return tri_op.crawl_budget(fr.pages, fr.triples)
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # ORDER IS LOAD-BEARING: the driver snapshot verifies exactly
     # list(QUERIES)[:50] in insertion order (pinned by
@@ -2545,6 +2554,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # Continuation batch 75: LSH candidate-quality evaluation —
     # appended past position 50.
     "lsh_eval": q_lsh_eval,
+    # Continuation batch 77: Hamilton crawl-budget apportionment —
+    # appended past position 50.
+    "crawl_budget": q_crawl_budget,
 }
 
 

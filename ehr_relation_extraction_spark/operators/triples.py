@@ -1524,3 +1524,45 @@ def entity_cards(triples: DataFrame, k: int = 3) -> DataFrame:
             .where(F.col("rank") <= k)
             .select("subj", "rank", "pred", "obj", "support", "df",
                     "idf_micro6", "score_micro6"))
+
+
+def crawl_budget(pages: DataFrame, triples: DataFrame,
+                 budget: int = 10000) -> DataFrame:
+    """Next-cycle crawl-budget apportionment per host — Hamilton's
+    largest-remainder method (the classic exact integer apportionment,
+    house-seat style) over the extraction-yield utility: hosts that
+    produced triples get proportionally more fetch slots, every host
+    keeps a +1-smoothed trickle so dead hosts stay probeable, and the
+    allocations sum EXACTLY to the budget (what proportional-floor
+    alone cannot do).
+
+    util = n_docs_with_triples + 1; base = budget*util DIV U;
+    rem = budget*util MOD U; the leftover budget - sum(base) slots go
+    to the largest remainders (ties by host asc).  Output: (host,
+    util, base_alloc, rem, extra, alloc); sum(alloc) == budget.
+
+    Scale: one host roll-up (extraction_yield's join), two bounded
+    1-row aggregates collected on the driver by design (the utility
+    total and the leftover count), and the leftover selection is a
+    distributed top-L (orderBy.limit, L <= budget — never a global
+    window)."""
+    ey = extraction_yield(pages, triples).select(
+        "host", (F.col("n_docs_with_triples") + 1).cast("long")
+        .alias("util"))
+    u_tot = int(ey.agg(F.sum("util")).first()[0])
+    scored = ey.select(
+        "host", "util",
+        F.expr(f"CAST({budget} * util DIV {u_tot} AS BIGINT)")
+        .alias("base_alloc"),
+        F.expr(f"CAST({budget} * util % {u_tot} AS BIGINT)")
+        .alias("rem"))
+    leftover = budget - int(scored.agg(F.sum("base_alloc")).first()[0])
+    top = (scored.orderBy(F.col("rem").desc(), F.col("host").asc())
+           .limit(leftover).select("host", F.lit(1).alias("_x")))
+    return (scored.join(top, "host", "left")
+            .select("host", "util", "base_alloc", "rem",
+                    F.coalesce("_x", F.lit(0)).cast("long")
+                    .alias("extra"),
+                    (F.col("base_alloc")
+                     + F.coalesce("_x", F.lit(0))).cast("long")
+                    .alias("alloc")))

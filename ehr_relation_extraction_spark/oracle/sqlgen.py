@@ -6705,3 +6705,40 @@ SELECT n_truth, n_cand, tp,
        CAST(CASE WHEN n_truth > 0 THEN tp * 1000000 // n_truth
                  ELSE 0 END AS BIGINT) AS recall_micro6
 FROM ev_row""")
+
+
+# ---------------------------------------------------------------------------
+# Continuation batch 77: Hamilton largest-remainder crawl-budget
+# apportionment (operators/triples.crawl_budget) — exact integer
+# quotas over the +1-smoothed extraction-yield utility; the leftover
+# goes to the largest remainders (ties by host asc); allocations sum
+# exactly to the budget.
+
+ORACLE["crawl_budget"] = _q("""
+SELECT host, util, base_alloc, rem,
+       CAST(CASE WHEN rk <= (SELECT l FROM cb_left)
+                 THEN 1 ELSE 0 END AS BIGINT) AS extra,
+       CAST(base_alloc + CASE WHEN rk <= (SELECT l FROM cb_left)
+                              THEN 1 ELSE 0 END AS BIGINT) AS alloc
+FROM (SELECT s.*, ROW_NUMBER() OVER (ORDER BY rem DESC, host ASC)
+          AS rk
+      FROM cb_scored s)""", """
+cb_util AS MATERIALIZED (
+  SELECT d.host,
+         CAST(SUM(CASE WHEN t.doc_id IS NULL THEN 0 ELSE 1 END) + 1
+              AS BIGINT) AS util
+  FROM (SELECT DISTINCT regexp_extract(url, '^https?://([^/]*)', 1)
+            AS host, doc_id
+        FROM pages) d
+  LEFT JOIN (SELECT DISTINCT doc_id FROM triples) t USING (doc_id)
+  GROUP BY d.host),
+cb_tot AS (SELECT CAST(SUM(util) AS BIGINT) AS u FROM cb_util),
+cb_scored AS MATERIALIZED (
+  SELECT host, util,
+         CAST(10000 * util // (SELECT u FROM cb_tot) AS BIGINT)
+             AS base_alloc,
+         CAST(10000 * util % (SELECT u FROM cb_tot) AS BIGINT)
+             AS rem
+  FROM cb_util),
+cb_left AS (SELECT CAST(10000 - SUM(base_alloc) AS BIGINT) AS l
+            FROM cb_scored)""")

@@ -280,6 +280,9 @@ EXPECTED_TAIL = [
     # Continuation batch 75: LSH candidate-quality evaluation —
     # appended past position 50.
     "lsh_eval",
+    # Continuation batch 77: Hamilton crawl-budget apportionment —
+    # appended past position 50.
+    "crawl_budget",
 ]
 
 
