@@ -2219,6 +2219,13 @@ def q_crawl_budget(spark, sf_dir) -> DataFrame:
     return tri_op.crawl_budget(fr.pages, fr.triples)
 
 
+def q_completions(spark, sf_dir) -> DataFrame:
+    """Materialized type-ahead index: top-3 completions per 3-char
+    token prefix by corpus tf — the autocomplete read path
+    (functions/textstats.completion_index)."""
+    return ts.completion_index(_docs(spark, sf_dir))
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # ORDER IS LOAD-BEARING: the driver snapshot verifies exactly
     # list(QUERIES)[:50] in insertion order (pinned by
@@ -2557,6 +2564,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # Continuation batch 77: Hamilton crawl-budget apportionment —
     # appended past position 50.
     "crawl_budget": q_crawl_budget,
+    # Continuation batch 78: type-ahead completion index — appended
+    # past position 50.
+    "completions": q_completions,
 }
 
 

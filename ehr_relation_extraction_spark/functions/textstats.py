@@ -1273,3 +1273,39 @@ def snippet_windows(docs: DataFrame, terms: DataFrame,
                     F.array_join(
                         F.slice(F.col("ts"), F.col("win_start") + 1,
                                 F.lit(w)), " ").alias("snippet")))
+
+
+# ---------------------------------------------------------------------------
+# Type-ahead completion index (continuation batch 78)
+
+def completion_index(docs: DataFrame, plen: int = 3,
+                     k: int = 3) -> DataFrame:
+    """Materialized type-ahead index: for every plen-char lowercase
+    token prefix, the top-k completions by corpus term frequency —
+    the autocomplete read path a search box hits on every keystroke,
+    precomputed as a table (the trie flattened to its fanout-k
+    frontier).
+
+    Output: (prefix, rank, term, tf, prefix_tf) where prefix_tf is
+    the prefix's total frequency (the suggestion denominator); ties
+    (tf desc, term asc) so ranking is deterministic.  Tokens shorter
+    than plen are excluded.
+
+    Scale: one term-frequency hash aggregate, then everything is
+    keyed by prefix — one windowed sum and one windowed top-k, both
+    partitioned by prefix; no global window, no join against the
+    corpus."""
+    tf = (docs.select(F.explode(_toks()).alias("t"))
+          .select(F.lower("t").alias("term"))
+          .where(F.length("term") >= plen)
+          .groupBy("term")
+          .agg(F.count(F.lit(1)).cast("long").alias("tf"))
+          .withColumn("prefix", F.substring("term", 1, plen)))
+    wp = Window.partitionBy("prefix")
+    wr = Window.partitionBy("prefix").orderBy(
+        F.col("tf").desc(), F.col("term").asc())
+    return (tf.withColumn("prefix_tf",
+                          F.sum("tf").over(wp).cast("long"))
+            .withColumn("rank", F.row_number().over(wr).cast("int"))
+            .where(F.col("rank") <= k)
+            .select("prefix", "rank", "term", "tf", "prefix_tf"))

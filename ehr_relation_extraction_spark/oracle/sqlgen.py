@@ -6742,3 +6742,29 @@ cb_scored AS MATERIALIZED (
   FROM cb_util),
 cb_left AS (SELECT CAST(10000 - SUM(base_alloc) AS BIGINT) AS l
             FROM cb_scored)""")
+
+
+# ---------------------------------------------------------------------------
+# Continuation batch 78: type-ahead completion index (functions/
+# textstats.completion_index) — per 3-char prefix, top-3 completions
+# by corpus tf with the prefix total; pure integer counts.
+
+ORACLE["completions"] = """
+WITH ci_tf AS MATERIALIZED (
+  SELECT term, CAST(COUNT(*) AS BIGINT) AS tf,
+         substr(term, 1, 3) AS prefix
+  FROM (SELECT lower(unnest(list_filter(
+            string_split_regex(text, '[\\n \\t]'), t -> t <> '')))
+            AS term
+        FROM documents)
+  WHERE length(term) >= 3
+  GROUP BY 1),
+ci_rk AS (
+  SELECT prefix, term, tf,
+         CAST(SUM(tf) OVER (PARTITION BY prefix) AS BIGINT)
+             AS prefix_tf,
+         ROW_NUMBER() OVER (PARTITION BY prefix
+             ORDER BY tf DESC, term ASC) AS rank
+  FROM ci_tf)
+SELECT prefix, CAST(rank AS INT) AS rank, term, tf, prefix_tf
+FROM ci_rk WHERE rank <= 3"""

@@ -283,6 +283,9 @@ EXPECTED_TAIL = [
     # Continuation batch 77: Hamilton crawl-budget apportionment —
     # appended past position 50.
     "crawl_budget",
+    # Continuation batch 78: type-ahead completion index — appended
+    # past position 50.
+    "completions",
 ]
 
 
