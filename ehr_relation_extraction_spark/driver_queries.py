@@ -2226,6 +2226,17 @@ def q_completions(spark, sf_dir) -> DataFrame:
     return ts.completion_index(_docs(spark, sf_dir))
 
 
+def q_dag_layers(spark, sf_dir) -> DataFrame:
+    """Critical-path layering of the precedence graph's SCC
+    condensation — same-level components are concurrently
+    processable; max level = schedule depth (operators/graph_algos.
+    dag_layers, 10 unrolled max-plus rounds)."""
+    from .operators.graph_algos import dag_layers
+
+    edges, _ = _prec_graph(spark, sf_dir)
+    return dag_layers(edges, _prec_scc(spark, sf_dir), n_rounds=10)
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # ORDER IS LOAD-BEARING: the driver snapshot verifies exactly
     # list(QUERIES)[:50] in insertion order (pinned by
@@ -2567,6 +2578,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # Continuation batch 78: type-ahead completion index — appended
     # past position 50.
     "completions": q_completions,
+    # Continuation batch 79: critical-path layering of the SCC
+    # condensation — appended past position 50.
+    "dag_layers": q_dag_layers,
 }
 
 

@@ -2077,3 +2077,65 @@ def jp_coloring(edges: DataFrame, nodes: DataFrame,
     return colored.unionByName(
         active.select("node", F.lit(-1).cast("long").alias("color"),
                       F.lit(0).cast("long").alias("decided_round")))
+
+
+def dag_layers(edges: DataFrame, scc: DataFrame,
+               n_rounds: int = 10) -> DataFrame:
+    """Critical-path layering of the SCC condensation — the parallel
+    schedule a precedence graph actually implies: condense each
+    strongly connected component to one node (the condensation is a
+    DAG by construction), then level(C) = length of the longest
+    prerequisite chain ending at C.  Components on the same level
+    have no path between them and can be processed concurrently; the
+    max level is the schedule's critical-path depth.
+
+    Levels by fixed-round max-plus propagation (the pagerank_fixed
+    discipline): level_r = max(level_{r-1}, 1 + max over incoming
+    edges of the source's level_{r-1}) — after r rounds level equals
+    the longest path using <= r edges, so any n_rounds >= the DAG
+    depth is exact, and the oracle replays the SAME r rounds
+    bit-for-bit either way.
+
+    Input: directed ``edges (src, dst, ...)``, ``scc (node, scc_id)``
+    covering every endpoint.  Output: (scc_id, n_nodes, level,
+    indeg, outdeg) — one row per condensed component, degrees over
+    the condensation.
+
+    Scale: condensation is two keyed label joins + a distinct; each
+    round is one grouped max + one keyed left join, localCheckpoint
+    per round; no collect, no global sort."""
+    sa = scc.select(F.col("node").alias("src"),
+                    F.col("scc_id").alias("a"))
+    sb = scc.select(F.col("node").alias("dst"),
+                    F.col("scc_id").alias("b"))
+    e = (edges.select("src", "dst").join(sa, "src").join(sb, "dst")
+         .where(F.col("a") != F.col("b"))
+         .select("a", "b").dropDuplicates().localCheckpoint())
+    comps = (scc.groupBy("scc_id")
+             .agg(F.count(F.lit(1)).cast("long").alias("n_nodes"))
+             .localCheckpoint())
+    lvl = comps.select("scc_id", F.lit(0).cast("long").alias("level"))
+    for _ in range(n_rounds):
+        upd = (e.join(lvl.select(F.col("scc_id").alias("a"),
+                                 F.col("level").alias("la")), "a")
+               .groupBy(F.col("b").alias("scc_id"))
+               .agg((F.max("la") + 1).cast("long").alias("cand")))
+        lvl = (lvl.join(upd, "scc_id", "left")
+               .select("scc_id",
+                       F.greatest("level",
+                                  F.coalesce("cand",
+                                             F.lit(0).cast("long")))
+                       .cast("long").alias("level"))
+               .localCheckpoint())
+    indeg = e.groupBy(F.col("b").alias("scc_id")).agg(
+        F.count(F.lit(1)).cast("long").alias("indeg"))
+    outdeg = e.groupBy(F.col("a").alias("scc_id")).agg(
+        F.count(F.lit(1)).cast("long").alias("outdeg"))
+    return (comps.join(lvl, "scc_id")
+            .join(indeg, "scc_id", "left")
+            .join(outdeg, "scc_id", "left")
+            .select("scc_id", "n_nodes", "level",
+                    F.coalesce("indeg", F.lit(0)).cast("long")
+                    .alias("indeg"),
+                    F.coalesce("outdeg", F.lit(0)).cast("long")
+                    .alias("outdeg")))

@@ -6768,3 +6768,46 @@ ci_rk AS (
   FROM ci_tf)
 SELECT prefix, CAST(rank AS INT) AS rank, term, tf, prefix_tf
 FROM ci_rk WHERE rank <= 3"""
+
+
+# ---------------------------------------------------------------------------
+# Continuation batch 79: critical-path layering of the precedence
+# graph's SCC condensation (operators/graph_algos.dag_layers) —
+# fixed-round max-plus propagation unrolled as chained CTEs (the
+# pagerank_fixed discipline); degrees over the condensation.
+
+
+def _dag_layers_sql(n_rounds: int = 10) -> str:
+    blocks = ["""dl_edges AS MATERIALIZED (
+  SELECT DISTINCT sa.scc_id AS a, sb.scc_id AS b
+  FROM prec_edges e
+  JOIN pscc sa ON sa.node = e.src
+  JOIN pscc sb ON sb.node = e.dst
+  WHERE sa.scc_id <> sb.scc_id),
+dl_comps AS MATERIALIZED (
+  SELECT scc_id, CAST(COUNT(*) AS BIGINT) AS n_nodes
+  FROM pscc GROUP BY 1),
+dl_lvl0 AS MATERIALIZED (
+  SELECT scc_id, CAST(0 AS BIGINT) AS level FROM dl_comps)"""]
+    for r in range(1, n_rounds + 1):
+        blocks.append(f"""dl_lvl{r} AS MATERIALIZED (
+  SELECT l.scc_id,
+         CAST(GREATEST(l.level, COALESCE(u.cand, 0)) AS BIGINT)
+             AS level
+  FROM dl_lvl{r - 1} l LEFT JOIN (
+    SELECT e.b AS scc_id, MAX(p.level) + 1 AS cand
+    FROM dl_edges e JOIN dl_lvl{r - 1} p ON p.scc_id = e.a
+    GROUP BY 1) u ON u.scc_id = l.scc_id)""")
+    return ",\n".join(blocks)
+
+
+ORACLE["dag_layers"] = _q("""
+SELECT c.scc_id, c.n_nodes, l.level,
+       CAST(COALESCE(i.d, 0) AS BIGINT) AS indeg,
+       CAST(COALESCE(o.d, 0) AS BIGINT) AS outdeg
+FROM dl_comps c JOIN dl_lvl10 l USING (scc_id)
+LEFT JOIN (SELECT b AS scc_id, CAST(COUNT(*) AS BIGINT) AS d
+           FROM dl_edges GROUP BY 1) i USING (scc_id)
+LEFT JOIN (SELECT a AS scc_id, CAST(COUNT(*) AS BIGINT) AS d
+           FROM dl_edges GROUP BY 1) o USING (scc_id)""",
+                          LINK_CTES, PREC_CTES, _dag_layers_sql(10))

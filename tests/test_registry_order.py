@@ -286,6 +286,9 @@ EXPECTED_TAIL = [
     # Continuation batch 78: type-ahead completion index — appended
     # past position 50.
     "completions",
+    # Continuation batch 79: critical-path layering of the SCC
+    # condensation — appended past position 50.
+    "dag_layers",
 ]
 
 
