@@ -2237,6 +2237,22 @@ def q_dag_layers(spark, sf_dir) -> DataFrame:
     return dag_layers(edges, _prec_scc(spark, sf_dir), n_rounds=10)
 
 
+def q_dominant_matching(spark, sf_dir) -> DataFrame:
+    """Preis locally-dominant-edge weighted matching over the
+    symmetrized page-count-weighted precedence graph — the
+    distributed 1/2-approx maximum-weight matching, the one-to-one
+    merge-scheduling primitive (operators/graph_algos.
+    dominant_matching, 6 unrolled rounds)."""
+    from .operators.graph_algos import dominant_matching
+
+    pe, _ = _prec_graph(spark, sf_dir)
+    und = (pe.select(F.least("src", "dst").alias("src"),
+                     F.greatest("src", "dst").alias("dst"), "n_pages")
+           .groupBy("src", "dst")
+           .agg(F.sum("n_pages").cast("long").alias("weight")))
+    return dominant_matching(und, n_rounds=6)
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # ORDER IS LOAD-BEARING: the driver snapshot verifies exactly
     # list(QUERIES)[:50] in insertion order (pinned by
@@ -2581,6 +2597,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # Continuation batch 79: critical-path layering of the SCC
     # condensation — appended past position 50.
     "dag_layers": q_dag_layers,
+    # Continuation batch 80: locally-dominant-edge weighted matching —
+    # appended past position 50.
+    "dominant_matching": q_dominant_matching,
 }
 
 

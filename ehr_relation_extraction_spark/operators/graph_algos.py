@@ -2139,3 +2139,70 @@ def dag_layers(edges: DataFrame, scc: DataFrame,
                     .alias("indeg"),
                     F.coalesce("outdeg", F.lit(0)).cast("long")
                     .alias("outdeg")))
+
+
+def dominant_matching(edges: DataFrame, n_rounds: int = 6) -> DataFrame:
+    """Weighted maximal matching by locally-dominant edges (Preis,
+    STACS'99; Manne & Bisseling's parallel rendition) — the textbook
+    distributed 1/2-approximation to maximum weight matching, the
+    pairing primitive behind coarsening (multilevel partitioners) and
+    one-to-one entity merge scheduling.
+
+    Per round over the live subgraph: an edge is matched iff its key
+    ``(weight, src, dst)`` is the MAX incident key at BOTH endpoints
+    (a strict total order — weights tie-break by endpoint names — so
+    the dominant set is well-defined and deterministic cross-engine).
+    Matched endpoints retire with all their edges.  The globally
+    heaviest live edge is always locally dominant, so every round
+    matches >= 1 edge; fixed ``n_rounds`` like the other unrolled-
+    oracle iteratives — edges still live after n_rounds stay
+    unmatched (a valid matching, maximal over everything processed).
+
+    Input: ``edges (src, dst, weight)`` undirected, src < dst,
+    distinct, integer weight.  Output: (src, dst, weight,
+    matched_round).
+
+    Scale: per round one endpoint-exploded grouped max (partial-
+    aggregable) + two keyed joins + two anti-joins; localCheckpoint
+    per round; no collect beyond the bounded isEmpty probe."""
+    live = (edges.select("src", "dst",
+                         F.col("weight").cast("long").alias("weight"))
+            .localCheckpoint())
+    matched = None
+    for r in range(1, n_rounds + 1):
+        if live.isEmpty():
+            break
+        withk = live.withColumn(
+            "k", F.struct(F.col("weight").alias("w"),
+                          F.col("src").alias("a"),
+                          F.col("dst").alias("b")))
+        inc = (withk.select(F.col("src").alias("node"), "k")
+               .union(withk.select(F.col("dst").alias("node"), "k")))
+        best = inc.groupBy("node").agg(F.max("k").alias("bk"))
+        m = (withk
+             .join(best.select(F.col("node").alias("src"),
+                               F.col("bk").alias("_bs")), "src")
+             .join(best.select(F.col("node").alias("dst"),
+                               F.col("bk").alias("_bd")), "dst")
+             .where((F.col("k") == F.col("_bs"))
+                    & (F.col("k") == F.col("_bd")))
+             .select("src", "dst", "weight").localCheckpoint())
+        mn = (m.select(F.col("src").alias("node"))
+              .union(m.select(F.col("dst").alias("node")))
+              .dropDuplicates().localCheckpoint())
+        batch = m.withColumn("matched_round",
+                             F.lit(r).cast("long"))
+        matched = batch if matched is None else \
+            matched.unionByName(batch).localCheckpoint()
+        live = (live.join(mn.withColumnRenamed("node", "src"),
+                          "src", "anti")
+                .join(mn.withColumnRenamed("node", "dst"),
+                      "dst", "anti").localCheckpoint())
+    if matched is None:
+        return (edges.select("src", "dst",
+                             F.col("weight").cast("long")
+                             .alias("weight"))
+                .where(F.lit(False))
+                .withColumn("matched_round",
+                            F.lit(0).cast("long")))
+    return matched

@@ -6811,3 +6811,51 @@ LEFT JOIN (SELECT b AS scc_id, CAST(COUNT(*) AS BIGINT) AS d
 LEFT JOIN (SELECT a AS scc_id, CAST(COUNT(*) AS BIGINT) AS d
            FROM dl_edges GROUP BY 1) o USING (scc_id)""",
                           LINK_CTES, PREC_CTES, _dag_layers_sql(10))
+
+
+# ---------------------------------------------------------------------------
+# Continuation batch 80: locally-dominant-edge weighted matching
+# (operators/graph_algos.dominant_matching) over the symmetrized
+# precedence graph — rounds unrolled as chained CTEs; the per-node max
+# incident key is a ROW_NUMBER pick ordered (w DESC, a DESC, b DESC),
+# exactly Spark's max(struct(w, a, b)).
+
+
+def _dm_sql(n_rounds: int = 6) -> str:
+    blocks = ["""dm_e0 AS MATERIALIZED (
+  SELECT CASE WHEN src < dst THEN src ELSE dst END AS src,
+         CASE WHEN src < dst THEN dst ELSE src END AS dst,
+         CAST(SUM(n_pages) AS BIGINT) AS weight
+  FROM prec_edges GROUP BY 1, 2)"""]
+    for r in range(1, n_rounds + 1):
+        blocks.append(f"""dm_best{r} AS MATERIALIZED (
+  SELECT node, w, a, b FROM (
+    SELECT node, w, a, b,
+           ROW_NUMBER() OVER (PARTITION BY node
+               ORDER BY w DESC, a DESC, b DESC) AS rn
+    FROM (SELECT src AS node, weight AS w, src AS a, dst AS b
+          FROM dm_e{r - 1}
+          UNION ALL
+          SELECT dst AS node, weight AS w, src AS a, dst AS b
+          FROM dm_e{r - 1}))
+  WHERE rn = 1),
+dm_m{r} AS MATERIALIZED (
+  SELECT e.src, e.dst, e.weight FROM dm_e{r - 1} e
+  JOIN dm_best{r} x ON x.node = e.src AND x.w = e.weight
+                   AND x.a = e.src AND x.b = e.dst
+  JOIN dm_best{r} y ON y.node = e.dst AND y.w = e.weight
+                   AND y.a = e.src AND y.b = e.dst),
+dm_n{r} AS (SELECT src AS node FROM dm_m{r}
+            UNION SELECT dst AS node FROM dm_m{r}),
+dm_e{r} AS MATERIALIZED (
+  SELECT * FROM dm_e{r - 1}
+  WHERE src NOT IN (SELECT node FROM dm_n{r})
+    AND dst NOT IN (SELECT node FROM dm_n{r}))""")
+    return ",\n".join(blocks)
+
+
+ORACLE["dominant_matching"] = _q(
+    " UNION ALL ".join(
+        f"SELECT src, dst, weight, CAST({r} AS BIGINT) "
+        f"AS matched_round FROM dm_m{r}" for r in range(1, 7)),
+    LINK_CTES, PREC_CTES, _dm_sql(6))

@@ -289,6 +289,9 @@ EXPECTED_TAIL = [
     # Continuation batch 79: critical-path layering of the SCC
     # condensation — appended past position 50.
     "dag_layers",
+    # Continuation batch 80: locally-dominant-edge weighted matching —
+    # appended past position 50.
+    "dominant_matching",
 ]
 
 
