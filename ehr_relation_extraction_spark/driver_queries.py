@@ -2253,6 +2253,15 @@ def q_dominant_matching(spark, sf_dir) -> DataFrame:
     return dominant_matching(und, n_rounds=6)
 
 
+def q_srp_multiprobe(spark, sf_dir) -> DataFrame:
+    """Multi-probe SRP ANN: each query probes its own sign bucket plus
+    all Hamming-1 neighbor buckets — the boundary-blindness fix at
+    (bits+1)x probe cost (operators/similarity.srp_multiprobe_topk)."""
+    from .operators.similarity import srp_multiprobe_topk
+
+    return srp_multiprobe_topk(_emb(spark, sf_dir))
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # ORDER IS LOAD-BEARING: the driver snapshot verifies exactly
     # list(QUERIES)[:50] in insertion order (pinned by
@@ -2600,6 +2609,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # Continuation batch 80: locally-dominant-edge weighted matching —
     # appended past position 50.
     "dominant_matching": q_dominant_matching,
+    # Continuation batch 81: multi-probe SRP ANN — appended past
+    # position 50.
+    "srp_multiprobe": q_srp_multiprobe,
 }
 
 

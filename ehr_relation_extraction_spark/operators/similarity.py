@@ -445,3 +445,52 @@ def rrf_fusion(rankings: "list[DataFrame]", k: int = 5,
             .where(F.col("rank") <= k)
             .select("query_id", "rank", "neighbor_id",
                     "rrf_micro6", "n_lists"))
+
+
+def srp_multiprobe_topk(emb: DataFrame, bits: int = ANN_SIGN_BITS,
+                        k: int = 3, dim: int = 64) -> DataFrame:
+    """Multi-probe SRP ANN (Lv et al., VLDB'07 applied to the SRP
+    family): each query probes its own SRP bucket PLUS every
+    Hamming-1 neighbor bucket (one sign bit flipped) — the standard
+    fix for LSH's boundary blindness: a near-identical pair split by
+    exactly one hyperplane lands in adjacent buckets, invisible to
+    the single-bucket join, recovered here at (bits+1)x probe cost
+    with zero extra index structure.
+
+    Output: (query_id, rank, neighbor_id, sim_micro6), exact cosine
+    over the probed candidates, same contract as ann_topk.  A
+    neighbor sits in exactly one bucket and the probe list is
+    duplicate-free, so no candidate pair is scored twice.
+
+    Scale: still a bucket equi-join — the probe explode multiplies
+    only the QUERY side by bits+1; the corpus side is scanned once
+    and never pairs outside probed buckets."""
+    b = srp_buckets(emb, bits, dim).select("vec_id", "bucket")
+    base = _with_norm(emb.select("vec_id", "embedding"),
+                      "embedding").join(b, "vec_id")
+    probes = F.array(
+        F.col("bucket"),
+        *[F.expr(f"CAST(bucket ^ {1 << i} AS INT)")
+          for i in range(bits)])
+    q = base.select(F.col("vec_id").alias("query_id"),
+                    F.explode(probes).alias("pbucket"),
+                    F.col("_v").alias("_qv"),
+                    F.col("_norm").alias("_qn"))
+    c = base.select(F.col("vec_id").alias("neighbor_id"),
+                    F.col("bucket").alias("bucket_c"),
+                    F.col("_v").alias("_cv"),
+                    F.col("_norm").alias("_cn"))
+    sims = (q.join(c, (F.col("pbucket") == F.col("bucket_c"))
+                   & (F.col("query_id") != F.col("neighbor_id")))
+            .select("query_id", "neighbor_id",
+                    (_dot(F.col("_qv"), F.col("_cv"))
+                     / (F.col("_qn") * F.col("_cn"))).alias("_sim"))
+            .withColumn("sim_micro6",
+                        F.floor(F.col("_sim") * 1000000)
+                        .cast("long")))
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("sim_micro6").desc(), F.col("neighbor_id"))
+    return (sims.withColumn("rank",
+                            F.row_number().over(w).cast("int"))
+            .where(F.col("rank") <= k)
+            .select("query_id", "rank", "neighbor_id", "sim_micro6"))

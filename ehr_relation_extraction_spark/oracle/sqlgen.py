@@ -6859,3 +6859,41 @@ ORACLE["dominant_matching"] = _q(
         f"SELECT src, dst, weight, CAST({r} AS BIGINT) "
         f"AS matched_round FROM dm_m{r}" for r in range(1, 7)),
     LINK_CTES, PREC_CTES, _dm_sql(6))
+
+
+# ---------------------------------------------------------------------------
+# Continuation batch 81: multi-probe SRP ANN (operators/similarity.
+# srp_multiprobe_topk) — each query probes its own SRP bucket plus all
+# Hamming-1 neighbors; exact cosine over the probed candidates, same
+# rank device as ann_topk.  DuckDB's ^ is exponent, so bit flips use
+# xor().
+
+_SRP_BUCKET_EXPR = " + ".join(
+    f"(CASE WHEN list_dot_product(n.v, {plane}::DOUBLE[]) >= 0"
+    f" THEN {1 << i} ELSE 0 END)"
+    for i, plane in enumerate(srp_planes()))
+
+ORACLE["srp_multiprobe"] = _assemble(
+    SIM_CTES.lstrip(",").strip(),
+    select="""
+, mp_bucketed AS MATERIALIZED (
+  SELECT n.vec_id, n.v, n.nrm, CAST(""" + _SRP_BUCKET_EXPR + """ AS INT)
+      AS bucket
+  FROM normed n),
+mp_probes AS (
+  SELECT vec_id, v, nrm, bucket AS pbucket FROM mp_bucketed
+""" + "".join(
+        f"  UNION ALL SELECT vec_id, v, nrm, "
+        f"CAST(xor(bucket, {1 << i}) AS INT) FROM mp_bucketed\n"
+        for i in range(ANN_SIGN_BITS)) + """)
+SELECT query_id, rank, neighbor_id, sim_micro6 FROM (
+  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+         CAST(floor(1000000 * list_dot_product(q.v, c.v)
+                    / (q.nrm * c.nrm)) AS BIGINT) AS sim_micro6,
+         CAST(ROW_NUMBER() OVER (PARTITION BY q.vec_id ORDER BY
+              CAST(floor(1000000 * list_dot_product(q.v, c.v)
+                         / (q.nrm * c.nrm)) AS BIGINT) DESC,
+              c.vec_id) AS INT) AS rank
+  FROM mp_probes q
+  JOIN mp_bucketed c ON q.pbucket = c.bucket AND q.vec_id <> c.vec_id
+) WHERE rank <= 3""")

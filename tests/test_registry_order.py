@@ -292,6 +292,9 @@ EXPECTED_TAIL = [
     # Continuation batch 80: locally-dominant-edge weighted matching —
     # appended past position 50.
     "dominant_matching",
+    # Continuation batch 81: multi-probe SRP ANN — appended past
+    # position 50.
+    "srp_multiprobe",
 ]
 
 
