@@ -395,6 +395,7 @@ def run_ann(sf_dir: str, cpus: int) -> None:
         "brute_force": lambda: sim.brute_force_topk(emb, nq, topk),
         # srp answers ALL vectors (bucket self-join), not 50 queries
         "srp_ann": lambda: sim.ann_topk(emb, k=topk),
+        "srp_multiprobe": lambda: sim.srp_multiprobe_topk(emb, k=topk),
         "ivf": lambda: sim.ivf_topk(emb, n_queries=nq, k=topk,
                                     codebook=coarse),
         "pq_adc": lambda: pqm.pq_topk(emb, pq_cb, n_queries=nq,
@@ -423,8 +424,8 @@ def run_ann(sf_dir: str, cpus: int) -> None:
     # integer set-intersection counts, so the numbers are exact.
     exact = sim.brute_force_topk(emb, nq, topk).localCheckpoint()
     recall: dict[str, dict[str, int]] = {}
-    for name in ("ivf", "pq_adc", "ivfpq", "pq_adc_r50",
-                 "ivfpq_n4_r50"):
+    for name in ("srp_ann", "srp_multiprobe", "ivf", "pq_adc",
+                 "ivfpq", "pq_adc_r50", "ivfpq_n4_r50"):
         r = sim.recall_at_k(ops[name](), exact).agg(
             {"n_hit": "sum", "n_exact": "sum"}).first()
         hit, tot = int(r["sum(n_hit)"] or 0), int(r["sum(n_exact)"])

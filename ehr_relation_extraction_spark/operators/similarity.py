@@ -448,7 +448,8 @@ def rrf_fusion(rankings: "list[DataFrame]", k: int = 5,
 
 
 def srp_multiprobe_topk(emb: DataFrame, bits: int = ANN_SIGN_BITS,
-                        k: int = 3, dim: int = 64) -> DataFrame:
+                        k: int = 3, dim: int = 64,
+                        hamming1: bool = True) -> DataFrame:
     """Multi-probe SRP ANN (Lv et al., VLDB'07 applied to the SRP
     family): each query probes its own SRP bucket PLUS every
     Hamming-1 neighbor bucket (one sign bit flipped) — the standard
@@ -464,14 +465,19 @@ def srp_multiprobe_topk(emb: DataFrame, bits: int = ANN_SIGN_BITS,
 
     Scale: still a bucket equi-join — the probe explode multiplies
     only the QUERY side by bits+1; the corpus side is scanned once
-    and never pairs outside probed buckets."""
+    and never pairs outside probed buckets.
+
+    ``hamming1=False`` degenerates to the single-bucket SRP search —
+    the probe set shrinks to the query's own bucket, so the candidate
+    set is a SUBSET of the multi-probe one and recall dominance is
+    guaranteed by construction (pinned in tests/test_ann_recall.py)."""
     b = srp_buckets(emb, bits, dim).select("vec_id", "bucket")
     base = _with_norm(emb.select("vec_id", "embedding"),
                       "embedding").join(b, "vec_id")
     probes = F.array(
         F.col("bucket"),
-        *[F.expr(f"CAST(bucket ^ {1 << i} AS INT)")
-          for i in range(bits)])
+        *([F.expr(f"CAST(bucket ^ {1 << i} AS INT)")
+           for i in range(bits)] if hamming1 else []))
     q = base.select(F.col("vec_id").alias("query_id"),
                     F.explode(probes).alias("pbucket"),
                     F.col("_v").alias("_qv"),
