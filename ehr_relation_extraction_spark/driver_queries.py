@@ -2262,6 +2262,13 @@ def q_srp_multiprobe(spark, sf_dir) -> DataFrame:
     return srp_multiprobe_topk(_emb(spark, sf_dir))
 
 
+def q_syndication_edges(spark, sf_dir) -> DataFrame:
+    """Content-syndication provenance: complete near-dup pairs
+    attributed first->later by the crawl clock, rolled up per
+    source pair (operators/dedup.syndication_edges)."""
+    return dd.syndication_edges(_docs(spark, sf_dir))
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # ORDER IS LOAD-BEARING: the driver snapshot verifies exactly
     # list(QUERIES)[:50] in insertion order (pinned by
@@ -2612,6 +2619,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # Continuation batch 81: multi-probe SRP ANN — appended past
     # position 50.
     "srp_multiprobe": q_srp_multiprobe,
+    # Continuation batch 82: content-syndication provenance graph —
+    # appended past position 50.
+    "syndication_edges": q_syndication_edges,
 }
 
 

@@ -438,3 +438,40 @@ def lsh_dedup_eval(docs: DataFrame,
         F.when(F.col("n_truth") > 0,
                F.expr("tp * 1000000 DIV n_truth"))
         .otherwise(F.lit(0)).cast("long").alias("recall_micro6"))
+
+
+def syndication_edges(docs: DataFrame,
+                      threshold_pct: int = JACCARD_THRESHOLD_PCT) -> DataFrame:
+    """Content-syndication provenance graph: which source published
+    first, and who re-published?  Every near-duplicate doc pair
+    (COMPLETE exact shingle-Jaccard join — provenance cannot tolerate
+    LSH false negatives, so this rides :func:`_exact_item_pairs`) is
+    attributed by the synthetic crawl clock (doc_id IS the crawl
+    order, sources/pages.py's warc_ts convention): the lower doc_id's
+    source is the first publisher, the higher the re-publisher.
+
+    Output: (src_first, src_later, n_pairs, n_docs_later) — n_pairs
+    near-dup pairs flowing first->later, over n_docs_later distinct
+    re-published docs.  src_first == src_later rows are internal
+    re-posts, kept and labeled by the same rule.
+
+    Scale: the pair generator is the prefix-filter join (bucketed on
+    rare shingles, never all-pairs); attribution is two keyed joins
+    against the doc->source projection; one roll-up."""
+    sh = shingles(docs)
+    pairs = _exact_item_pairs(
+        sh.select("doc_id", F.col("shingle").alias("item")),
+        threshold_pct)
+    src = docs.select(F.col("doc_id").cast("long").alias("doc_id"),
+                      "source")
+    return (pairs
+            .join(src.select(F.col("doc_id").alias("doc_a"),
+                             F.col("source").alias("src_first")),
+                  "doc_a")
+            .join(src.select(F.col("doc_id").alias("doc_b"),
+                             F.col("source").alias("src_later")),
+                  "doc_b")
+            .groupBy("src_first", "src_later")
+            .agg(F.count(F.lit(1)).cast("long").alias("n_pairs"),
+                 F.countDistinct("doc_b").cast("long")
+                 .alias("n_docs_later")))

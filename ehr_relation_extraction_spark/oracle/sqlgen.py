@@ -6897,3 +6897,33 @@ SELECT query_id, rank, neighbor_id, sim_micro6 FROM (
   FROM mp_probes q
   JOIN mp_bucketed c ON q.pbucket = c.bucket AND q.vec_id <> c.vec_id
 ) WHERE rank <= 3""")
+
+
+# ---------------------------------------------------------------------------
+# Continuation batch 82: content-syndication provenance graph
+# (operators/dedup.syndication_edges) — COMPLETE near-dup pairs by
+# direct shingle equi-join (the lsh_eval ev_truth device), attributed
+# by the doc_id crawl clock: lower doc_id's source published first.
+
+ORACLE["syndication_edges"] = _assemble(
+    GAZ, toks_ctes(), DEDUP_CTES, f"""
+sy_inter AS MATERIALIZED (
+  SELECT x.doc_id AS doc_a, y.doc_id AS doc_b,
+         CAST(COUNT(*) AS BIGINT) AS n_inter
+  FROM sh x JOIN sh y ON y.shingle = x.shingle
+                     AND x.doc_id < y.doc_id
+  GROUP BY 1, 2),
+sy_truth AS MATERIALIZED (
+  SELECT i.doc_a, i.doc_b FROM sy_inter i
+  JOIN sh_sizes sa ON sa.doc_id = i.doc_a
+  JOIN sh_sizes sb ON sb.doc_id = i.doc_b
+  WHERE i.n_inter * 100
+        >= (sa.n_sh + sb.n_sh - i.n_inter) * {JACCARD_THRESHOLD_PCT})""",
+    select="""
+SELECT da.source AS src_first, db.source AS src_later,
+       CAST(COUNT(*) AS BIGINT) AS n_pairs,
+       CAST(COUNT(DISTINCT t.doc_b) AS BIGINT) AS n_docs_later
+FROM sy_truth t
+JOIN documents da ON da.doc_id = t.doc_a
+JOIN documents db ON db.doc_id = t.doc_b
+GROUP BY 1, 2""")

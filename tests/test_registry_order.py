@@ -295,6 +295,9 @@ EXPECTED_TAIL = [
     # Continuation batch 81: multi-probe SRP ANN — appended past
     # position 50.
     "srp_multiprobe",
+    # Continuation batch 82: content-syndication provenance graph —
+    # appended past position 50.
+    "syndication_edges",
 ]
 
 
