@@ -2269,6 +2269,13 @@ def q_syndication_edges(spark, sf_dir) -> DataFrame:
     return dd.syndication_edges(_docs(spark, sf_dir))
 
 
+def q_dup_rate_curve(spark, sf_dir) -> DataFrame:
+    """Dedup-threshold tuning curve: near-dup pair count and touched-
+    corpus share at Jaccard 30/50/70/90 from ONE complete pair join
+    (operators/dedup.dup_rate_curve)."""
+    return dd.dup_rate_curve(_docs(spark, sf_dir))
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # ORDER IS LOAD-BEARING: the driver snapshot verifies exactly
     # list(QUERIES)[:50] in insertion order (pinned by
@@ -2622,6 +2629,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # Continuation batch 82: content-syndication provenance graph —
     # appended past position 50.
     "syndication_edges": q_syndication_edges,
+    # Continuation batch 83: dedup-threshold tuning curve — appended
+    # past position 50.
+    "dup_rate_curve": q_dup_rate_curve,
 }
 
 

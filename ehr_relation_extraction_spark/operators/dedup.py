@@ -475,3 +475,100 @@ def syndication_edges(docs: DataFrame,
             .agg(F.count(F.lit(1)).cast("long").alias("n_pairs"),
                  F.countDistinct("doc_b").cast("long")
                  .alias("n_docs_later")))
+
+
+DUP_CURVE_THRESHOLDS = (30, 50, 70, 90)
+
+
+def dup_rate_curve(docs: DataFrame,
+                   thresholds=DUP_CURVE_THRESHOLDS) -> DataFrame:
+    """Dedup-threshold tuning curve — the table an operator reads
+    before picking a Jaccard cutoff: at each candidate threshold, how
+    many near-dup pairs exist and what share of the corpus would be
+    touched?  Pairs come from ONE complete prefix-filter join at the
+    LOOSEST threshold (completeness at t_min implies completeness at
+    every t >= t_min), with exact (n_inter, n_union) per pair; each
+    curve point is then a pure filter + roll-up of the same pair
+    table — the threshold sweep costs one join, not len(thresholds).
+
+    Output: (threshold_pct, n_pairs, n_docs_dup, docs_share_micro6)
+    — one row per threshold; n_docs_dup = distinct docs in >= 1
+    surviving pair.
+
+    Scale: one prefix-filter candidate join + exact verify, one
+    explode over len(thresholds) literals, two roll-ups."""
+    t_min = min(thresholds)
+    sh = shingles(docs)
+    it = sh.select(F.col("doc_id").cast("long").alias("doc_id"),
+                   F.col("shingle").alias("item")).dropDuplicates()
+    freq = it.groupBy("item").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"))
+    sized = it.withColumn(
+        "n", F.count(F.lit(1)).over(
+            Window.partitionBy("doc_id")).cast("long"))
+    ordered = (sized.join(freq, "item")
+               .withColumn("pos", F.row_number().over(
+                   Window.partitionBy("doc_id")
+                   .orderBy(F.col("n_docs").asc(),
+                            F.col("item").asc())))
+               .withColumn("p", F.col("n")
+                           - F.floor((F.lit(t_min) * F.col("n")
+                                      + F.lit(99)) / F.lit(100))
+                           .cast("long") + F.lit(1)))
+    pref = ordered.where(F.col("pos") <= F.col("p")).select(
+        "doc_id", "item")
+    cand = (pref.alias("a").join(pref.alias("b"), "item")
+            .where(F.col("a.doc_id") < F.col("b.doc_id"))
+            .select(F.col("a.doc_id").alias("doc_a"),
+                    F.col("b.doc_id").alias("doc_b"))
+            .dropDuplicates())
+    sizes = it.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_it"))
+    inter = (cand
+             .join(it.select(F.col("doc_id").alias("doc_a"),
+                             "item"), "doc_a")
+             .join(it.select(F.col("doc_id").alias("doc_b"),
+                             "item"), ["doc_b", "item"])
+             .groupBy("doc_a", "doc_b")
+             .agg(F.count(F.lit(1)).cast("long").alias("n_inter")))
+    verified = (inter
+                .join(sizes.select(F.col("doc_id").alias("doc_a"),
+                                   F.col("n_it").alias("_na")),
+                      "doc_a")
+                .join(sizes.select(F.col("doc_id").alias("doc_b"),
+                                   F.col("n_it").alias("_nb")),
+                      "doc_b")
+                .select("doc_a", "doc_b", "n_inter",
+                        (F.col("_na") + F.col("_nb")
+                         - F.col("n_inter")).cast("long")
+                        .alias("n_union")))
+    th = F.explode(F.array(*[F.lit(int(t)) for t in
+                             sorted(thresholds)])).alias("threshold_pct")
+    swept = (verified.select(th, "doc_a", "doc_b", "n_inter",
+                             "n_union")
+             .where(F.col("n_inter") * 100
+                    >= F.col("n_union") * F.col("threshold_pct")))
+    n_docs = docs.select(F.countDistinct("doc_id").alias("n")).first()["n"]
+    pairs = swept.groupBy("threshold_pct").agg(
+        F.count(F.lit(1)).cast("long").alias("n_pairs"))
+    touched = (swept.select("threshold_pct",
+                            F.col("doc_a").alias("doc_id"))
+               .union(swept.select("threshold_pct",
+                                   F.col("doc_b").alias("doc_id")))
+               .dropDuplicates()
+               .groupBy("threshold_pct")
+               .agg(F.count(F.lit(1)).cast("long")
+                    .alias("n_docs_dup")))
+    base = docs.sparkSession.createDataFrame(
+        [(int(t),) for t in sorted(thresholds)], "threshold_pct int")
+    return (base.join(pairs, "threshold_pct", "left")
+            .join(touched, "threshold_pct", "left")
+            .select(F.col("threshold_pct").cast("int")
+                    .alias("threshold_pct"),
+                    F.coalesce("n_pairs", F.lit(0)).cast("long")
+                    .alias("n_pairs"),
+                    F.coalesce("n_docs_dup", F.lit(0)).cast("long")
+                    .alias("n_docs_dup"),
+                    F.expr(f"CAST(COALESCE(n_docs_dup, 0) * 1000000"
+                           f" DIV {n_docs} AS BIGINT)")
+                    .alias("docs_share_micro6")))

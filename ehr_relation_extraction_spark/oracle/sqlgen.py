@@ -6927,3 +6927,43 @@ FROM sy_truth t
 JOIN documents da ON da.doc_id = t.doc_a
 JOIN documents db ON db.doc_id = t.doc_b
 GROUP BY 1, 2""")
+
+
+# ---------------------------------------------------------------------------
+# Continuation batch 83: dedup-threshold tuning curve (operators/
+# dedup.dup_rate_curve) — ground truth by direct shingle equi-join
+# (complete for every threshold); one pair table swept over the
+# threshold literals; integer cross-multiplication everywhere.
+
+ORACLE["dup_rate_curve"] = _assemble(GAZ, toks_ctes(), DEDUP_CTES, """
+dc_ver AS MATERIALIZED (
+  SELECT i.doc_a, i.doc_b, i.n_inter,
+         CAST(sa.n_sh + sb.n_sh - i.n_inter AS BIGINT) AS n_union
+  FROM (SELECT x.doc_id AS doc_a, y.doc_id AS doc_b,
+               CAST(COUNT(*) AS BIGINT) AS n_inter
+        FROM sh x JOIN sh y ON y.shingle = x.shingle
+                           AND x.doc_id < y.doc_id
+        GROUP BY 1, 2) i
+  JOIN sh_sizes sa ON sa.doc_id = i.doc_a
+  JOIN sh_sizes sb ON sb.doc_id = i.doc_b),
+dc_th AS (SELECT * FROM (VALUES (30), (50), (70), (90)) t(threshold_pct)),
+dc_swept AS MATERIALIZED (
+  SELECT t.threshold_pct, v.doc_a, v.doc_b
+  FROM dc_th t JOIN dc_ver v
+    ON v.n_inter * 100 >= v.n_union * t.threshold_pct),
+dc_n AS (SELECT CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n
+         FROM documents)""", select="""
+SELECT t.threshold_pct,
+       CAST(COALESCE(p.n_pairs, 0) AS BIGINT) AS n_pairs,
+       CAST(COALESCE(d.n_docs_dup, 0) AS BIGINT) AS n_docs_dup,
+       CAST(COALESCE(d.n_docs_dup, 0) * 1000000
+            // (SELECT n FROM dc_n) AS BIGINT) AS docs_share_micro6
+FROM dc_th t
+LEFT JOIN (SELECT threshold_pct, CAST(COUNT(*) AS BIGINT) AS n_pairs
+           FROM dc_swept GROUP BY 1) p USING (threshold_pct)
+LEFT JOIN (SELECT threshold_pct,
+                  CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs_dup
+           FROM (SELECT threshold_pct, doc_a AS doc_id FROM dc_swept
+                 UNION
+                 SELECT threshold_pct, doc_b AS doc_id FROM dc_swept)
+           GROUP BY 1) d USING (threshold_pct)""")

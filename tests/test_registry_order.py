@@ -298,6 +298,9 @@ EXPECTED_TAIL = [
     # Continuation batch 82: content-syndication provenance graph —
     # appended past position 50.
     "syndication_edges",
+    # Continuation batch 83: dedup-threshold tuning curve — appended
+    # past position 50.
+    "dup_rate_curve",
 ]
 
 
