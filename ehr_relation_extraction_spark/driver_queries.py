@@ -2276,6 +2276,14 @@ def q_dup_rate_curve(spark, sf_dir) -> DataFrame:
     return dd.dup_rate_curve(_docs(spark, sf_dir))
 
 
+def q_evidence_snippets(spark, sf_dir) -> DataFrame:
+    """Per-(page, entity) evidence snippet: first mention +/-40 chars
+    of context, cut by char offsets — the provenance read path a KG
+    UI serves (operators/linking.evidence_snippets)."""
+    fr, linked, _ = _linked(spark, sf_dir)
+    return lk.evidence_snippets(linked, fr.pages)
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # ORDER IS LOAD-BEARING: the driver snapshot verifies exactly
     # list(QUERIES)[:50] in insertion order (pinned by
@@ -2632,6 +2640,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # Continuation batch 83: dedup-threshold tuning curve — appended
     # past position 50.
     "dup_rate_curve": q_dup_rate_curve,
+    # Continuation batch 84: per-(page, entity) evidence snippets —
+    # appended past position 50.
+    "evidence_snippets": q_evidence_snippets,
 }
 
 

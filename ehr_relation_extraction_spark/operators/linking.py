@@ -1290,3 +1290,36 @@ def fs_linkage_scores(mentions: DataFrame, gaz: DataFrame,
             .select("host", "ent_type", "surf_a", "surf_b", "pos_gap",
                     *FS_FEATURES, "label",
                     score.cast("long").alias("score_micro6")))
+
+
+def evidence_snippets(linked_mentions: DataFrame, pages: DataFrame,
+                      ctx: int = 40) -> DataFrame:
+    """Per-(page, entity) evidence snippet — the provenance read path
+    a KG UI serves next to every fact: the FIRST mention of the
+    entity on the page (min (start, end, ent_id), deterministic) with
+    ``ctx`` characters of context either side, cut straight from the
+    page text by char offsets (both engines' substring clamps
+    identically at the text edges).
+
+    Output: (url, canonical_id, start, end, ent_text, evidence) —
+    one row per (url, canonical_id).
+
+    Scale: one windowed first-mention pick keyed by (url, entity) +
+    one keyed join against pages; the snippet is a substring
+    expression, no tokenization pass."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("url", "canonical_id").orderBy(
+        "start", "end", "ent_id")
+    first = (linked_mentions.withColumn(
+        "_rn", F.row_number().over(w))
+        .where(F.col("_rn") == 1)
+        .select("url", "canonical_id", "start", "end", "ent_text"))
+    snippet = F.expr(
+        f"substring(text, greatest(0, `start` - {ctx}) + 1, "
+        f"(`end` - greatest(0, `start` - {ctx})) + {ctx})")
+    return (first.join(pages.select("url", "text"), "url")
+            .select("url", "canonical_id",
+                    F.col("start").cast("long").alias("start"),
+                    F.col("end").cast("long").alias("end"),
+                    "ent_text", snippet.alias("evidence")))

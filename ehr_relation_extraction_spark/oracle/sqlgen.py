@@ -6967,3 +6967,25 @@ LEFT JOIN (SELECT threshold_pct,
                  UNION
                  SELECT threshold_pct, doc_b AS doc_id FROM dc_swept)
            GROUP BY 1) d USING (threshold_pct)""")
+
+
+# ---------------------------------------------------------------------------
+# Continuation batch 84: per-(page, entity) evidence snippets
+# (operators/linking.evidence_snippets) — first mention by
+# (start, end, ent_id), +/-40 chars of context by substr on the page
+# text (both engines clamp identically at the edges).
+
+ORACLE["evidence_snippets"] = _q("""
+SELECT f.url, f.canonical_id,
+       CAST(f.start AS BIGINT) AS start,
+       CAST(f."end" AS BIGINT) AS "end",
+       f.ent_text,
+       substr(p.text, greatest(0, f.start - 40) + 1,
+              (f."end" - greatest(0, f.start - 40)) + 40) AS evidence
+FROM (
+  SELECT url, canonical_id, start, "end", ent_text,
+         ROW_NUMBER() OVER (PARTITION BY url, canonical_id
+             ORDER BY start, "end", ent_id) AS rn
+  FROM linked) f
+JOIN pages p ON p.url = f.url
+WHERE f.rn = 1""", LINK_CTES)

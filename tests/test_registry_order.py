@@ -301,6 +301,9 @@ EXPECTED_TAIL = [
     # Continuation batch 83: dedup-threshold tuning curve — appended
     # past position 50.
     "dup_rate_curve",
+    # Continuation batch 84: per-(page, entity) evidence snippets —
+    # appended past position 50.
+    "evidence_snippets",
 ]
 
 
