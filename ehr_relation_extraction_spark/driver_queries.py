@@ -2284,6 +2284,24 @@ def q_evidence_snippets(spark, sf_dir) -> DataFrame:
     return lk.evidence_snippets(linked, fr.pages)
 
 
+def q_distmult_scores(spark, sf_dir) -> DataFrame:
+    """Integer DistMult bilinear score per distinct fact — the second
+    embedding scoring family, symmetric in (h, t)
+    (operators/kg_embed.distmult_scores)."""
+    from .operators.kg_embed import distmult_scores
+
+    return distmult_scores(_frames(spark, sf_dir).triples)
+
+
+def q_scorer_agreement(spark, sf_dir) -> DataFrame:
+    """TransE vs DistMult top-10 ranker agreement per predicate — the
+    adjudication flag for model-dependent fact triage
+    (operators/kg_embed.scorer_agreement)."""
+    from .operators.kg_embed import scorer_agreement
+
+    return scorer_agreement(_frames(spark, sf_dir).triples)
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # ORDER IS LOAD-BEARING: the driver snapshot verifies exactly
     # list(QUERIES)[:50] in insertion order (pinned by
@@ -2643,6 +2661,10 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # Continuation batch 84: per-(page, entity) evidence snippets —
     # appended past position 50.
     "evidence_snippets": q_evidence_snippets,
+    # Continuation batch 85: DistMult scoring + ranker agreement —
+    # appended past position 50.
+    "distmult_scores": q_distmult_scores,
+    "scorer_agreement": q_scorer_agreement,
 }
 
 

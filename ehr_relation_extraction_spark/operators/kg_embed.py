@@ -118,3 +118,73 @@ def transe_ranks(triples: DataFrame, n_cands: int = 100,
                                " AS BIGINT)"))
             .select("pred", "n_test", "n_cands", "sum_rank",
                     "mean_rank_micro6", "hits_at_1", "hits_at_k"))
+
+
+def distmult_score_sql(h: str, r: str, t: str, dim: int = DIM) -> str:
+    """DistMult bilinear score sum_d h_d * r_d * t_d as one
+    codegen-able SQL expression (HIGHER = more plausible — note the
+    opposite polarity to the TransE energy).  Range
+    [-512 * dim, 448 * dim] for nibble coordinates in [-8, 7]."""
+    terms = [f"({_nib_sql(h, d)} * {_nib_sql(r, d, 'P:')}"
+             f" * {_nib_sql(t, d)})" for d in range(dim)]
+    return "(" + " + ".join(terms) + ")"
+
+
+def distmult_scores(triples: DataFrame, dim: int = DIM) -> DataFrame:
+    """Score every distinct fact with the integer DistMult bilinear
+    form (Yang et al., ICLR'15) — the second scoring family next to
+    :func:`transe_scores`: DistMult is SYMMETRIC in (h, t), so facts
+    whose plausibility is direction-dependent score identically both
+    ways — exactly the model-capacity gap :func:`scorer_agreement`
+    measures.  Same shape as transe_scores: one distinct-projection
+    shuffle, score is pure whole-stage codegen."""
+    facts = triples.select("subj", "pred", "obj").dropDuplicates()
+    return facts.withColumn(
+        "score",
+        F.expr(f"CAST({distmult_score_sql('subj', 'pred', 'obj', dim)}"
+               " AS BIGINT)"))
+
+
+def scorer_agreement(triples: DataFrame, k: int = 10,
+                     dim: int = DIM) -> DataFrame:
+    """Ranker-agreement profile between the two embedding scorers:
+    per predicate, how many of the TransE top-k (lowest energy) facts
+    are also DistMult top-k (highest bilinear score)?  Low overlap on
+    a predicate flags facts whose triage verdict depends on the model
+    family — the ones a human should adjudicate before either score
+    gates ingestion.
+
+    Output: (pred, n_facts, topk, n_overlap, overlap_micro6); topk =
+    min(k, n_facts).  Ties broken (subj, obj) asc under both rankers
+    so the two top-k sets are deterministic.
+
+    Scale: both scores are codegen expressions over ONE distinct fact
+    projection; the two top-k picks are windows keyed by pred; the
+    overlap is a keyed semi-join + roll-up."""
+    facts = (triples.select("subj", "pred", "obj").dropDuplicates()
+             .withColumn("te", F.expr(
+                 f"CAST({transe_score_sql('subj', 'pred', 'obj', dim)}"
+                 " AS BIGINT)"))
+             .withColumn("dm", F.expr(
+                 f"CAST({distmult_score_sql('subj', 'pred', 'obj', dim)}"
+                 " AS BIGINT)")))
+    wt = Window.partitionBy("pred").orderBy(
+        F.col("te").asc(), F.col("subj"), F.col("obj"))
+    wd = Window.partitionBy("pred").orderBy(
+        F.col("dm").desc(), F.col("subj"), F.col("obj"))
+    ranked = (facts.withColumn("rt", F.row_number().over(wt))
+              .withColumn("rd", F.row_number().over(wd)))
+    n_f = ranked.groupBy("pred").agg(
+        F.count(F.lit(1)).cast("long").alias("n_facts"))
+    both = (ranked.where((F.col("rt") <= k) & (F.col("rd") <= k))
+            .groupBy("pred")
+            .agg(F.count(F.lit(1)).cast("long").alias("n_overlap")))
+    return (n_f.join(both, "pred", "left")
+            .select("pred", "n_facts",
+                    F.least(F.lit(k).cast("long"), F.col("n_facts"))
+                    .alias("topk"),
+                    F.coalesce("n_overlap", F.lit(0)).cast("long")
+                    .alias("n_overlap"))
+            .withColumn("overlap_micro6",
+                        F.expr("CAST(n_overlap * 1000000 DIV topk"
+                               " AS BIGINT)")))

@@ -6989,3 +6989,41 @@ FROM (
   FROM linked) f
 JOIN pages p ON p.url = f.url
 WHERE f.rn = 1""", LINK_CTES)
+
+
+# ---------------------------------------------------------------------------
+# Continuation batch 85: DistMult bilinear scoring + TransE/DistMult
+# ranker-agreement profile (operators/kg_embed.distmult_scores,
+# scorer_agreement) — both engines parse the SAME generated score
+# expression (the transe_scores no-drift device).
+
+from ..operators.kg_embed import distmult_score_sql as _dm_score  # noqa: E402
+
+ORACLE["distmult_scores"] = _q(f"""
+SELECT subj, pred, obj,
+       CAST({_dm_score('subj', 'pred', 'obj')} AS BIGINT) AS score
+FROM (SELECT DISTINCT subj, pred, obj FROM triples)""")
+
+ORACLE["scorer_agreement"] = _q("""
+SELECT n.pred, n.n_facts,
+       CAST(LEAST(10, n.n_facts) AS BIGINT) AS topk,
+       CAST(COALESCE(o.n_overlap, 0) AS BIGINT) AS n_overlap,
+       CAST(COALESCE(o.n_overlap, 0) * 1000000
+            // LEAST(10, n.n_facts) AS BIGINT) AS overlap_micro6
+FROM (SELECT pred, CAST(COUNT(*) AS BIGINT) AS n_facts
+      FROM sa_ranked GROUP BY 1) n
+LEFT JOIN (SELECT pred, CAST(COUNT(*) AS BIGINT) AS n_overlap
+           FROM sa_ranked WHERE rt <= 10 AND rd <= 10
+           GROUP BY 1) o USING (pred)""", f"""
+sa_ranked AS MATERIALIZED (
+  SELECT pred,
+         ROW_NUMBER() OVER (PARTITION BY pred
+             ORDER BY te ASC, subj, obj) AS rt,
+         ROW_NUMBER() OVER (PARTITION BY pred
+             ORDER BY dm DESC, subj, obj) AS rd
+  FROM (SELECT subj, pred, obj,
+               CAST({_te_score('subj', 'pred', 'obj')} AS BIGINT)
+                   AS te,
+               CAST({_dm_score('subj', 'pred', 'obj')} AS BIGINT)
+                   AS dm
+        FROM (SELECT DISTINCT subj, pred, obj FROM triples)))""")

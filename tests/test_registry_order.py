@@ -304,6 +304,10 @@ EXPECTED_TAIL = [
     # Continuation batch 84: per-(page, entity) evidence snippets —
     # appended past position 50.
     "evidence_snippets",
+    # Continuation batch 85: DistMult scoring + ranker agreement —
+    # appended past position 50.
+    "distmult_scores",
+    "scorer_agreement",
 ]
 
 
