@@ -2302,6 +2302,24 @@ def q_scorer_agreement(spark, sf_dir) -> DataFrame:
     return scorer_agreement(_frames(spark, sf_dir).triples)
 
 
+def q_single_linkage(spark, sf_dir) -> DataFrame:
+    """Single-linkage clusters of the attribute-similarity graph at
+    Jaccard >= 0.5 — the MSF cut + forest CC identity, one Boruvka
+    pass serving every threshold (operators/graph_algos.
+    single_linkage_clusters)."""
+    from .operators.graph_algos import single_linkage_clusters
+
+    ej = tri_op.entity_attr_jaccard(_frames(spark, sf_dir).triples)
+    edges = ej.select(
+        F.col("subj_a").alias("src"), F.col("subj_b").alias("dst"),
+        (F.lit(1000000) - F.col("jac_micro6")).cast("long")
+        .alias("cost"))
+    nodes = (edges.select(F.col("src").alias("node"))
+             .unionByName(edges.select(F.col("dst").alias("node")))
+             .dropDuplicates())
+    return single_linkage_clusters(edges, nodes, cut_cost=500000)
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # ORDER IS LOAD-BEARING: the driver snapshot verifies exactly
     # list(QUERIES)[:50] in insertion order (pinned by
@@ -2665,6 +2683,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # appended past position 50.
     "distmult_scores": q_distmult_scores,
     "scorer_agreement": q_scorer_agreement,
+    # Continuation batch 86: single-linkage clusters via MSF cut —
+    # appended past position 50.
+    "single_linkage": q_single_linkage,
 }
 
 

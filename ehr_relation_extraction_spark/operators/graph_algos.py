@@ -2206,3 +2206,38 @@ def dominant_matching(edges: DataFrame, n_rounds: int = 6) -> DataFrame:
                 .withColumn("matched_round",
                             F.lit(0).cast("long")))
     return matched
+
+
+def single_linkage_clusters(edges: DataFrame, nodes: DataFrame,
+                            cut_cost: int,
+                            n_rounds: int = 6) -> DataFrame:
+    """Single-linkage clustering at a distance threshold — the
+    classic identity that makes hierarchical clustering tractable at
+    scale: single-linkage clusters at distance <= T are EXACTLY the
+    connected components of the minimum spanning forest restricted to
+    edges of cost <= T (cutting the dendrogram == cutting the MSF),
+    so one :func:`boruvka_msf` pass + one CC pass serves EVERY
+    threshold without touching the quadratic similarity graph again.
+
+    Input: ``edges (src, dst, cost)`` as boruvka_msf takes them,
+    ``nodes (node)``, integer ``cut_cost`` (cost = 1e6 -
+    jac_micro6 in the driver composition, so cut_cost = 1e6 - minimum
+    similarity).  Output: (node, cluster_id, cluster_size) —
+    cluster_id is the component's lexicographic-min node, singletons
+    included.
+
+    Scale: boruvka_msf's log-round contraction + the large/small-star
+    CC on the FOREST (<= n-1 edges, not the similarity graph)."""
+    from .linking import connected_components
+
+    msf = boruvka_msf(edges, nodes, n_rounds)
+    kept = (msf.where(F.col("cost") <= cut_cost)
+            .select(F.col("subj_a").alias("src"),
+                    F.col("subj_b").alias("dst")))
+    cc = connected_components(kept,
+                              nodes.select("node").dropDuplicates())
+    sizes = cc.groupBy("component").agg(
+        F.count(F.lit(1)).cast("long").alias("cluster_size"))
+    return (cc.join(sizes, "component")
+            .select("node", F.col("component").alias("cluster_id"),
+                    "cluster_size"))

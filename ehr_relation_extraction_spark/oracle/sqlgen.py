@@ -7027,3 +7027,33 @@ sa_ranked AS MATERIALIZED (
                CAST({_dm_score('subj', 'pred', 'obj')} AS BIGINT)
                    AS dm
         FROM (SELECT DISTINCT subj, pred, obj FROM triples)))""")
+
+
+# ---------------------------------------------------------------------------
+# Continuation batch 86: single-linkage clusters = MSF cut at the
+# distance threshold + connected components over the kept forest
+# (operators/graph_algos.single_linkage_clusters) — reuses the
+# Boruvka round CTEs; the closure runs on the forest (<= n-1 edges).
+
+SL_CUT_COST = 500000  # similarity >= 0.5 <=> cost <= 1e6 - 5e5
+
+ORACLE["single_linkage"] = _q(f"""
+SELECT c.node, c.cluster_id,
+       CAST(s.cluster_size AS BIGINT) AS cluster_size
+FROM sl_comp c
+JOIN (SELECT cluster_id, CAST(COUNT(*) AS BIGINT) AS cluster_size
+      FROM sl_comp GROUP BY 1) s USING (cluster_id)""",
+                              _EJ_CTES, _boruvka_sql(6), f"""
+sl_forest AS MATERIALIZED (
+  {" UNION ALL ".join(f"SELECT src, dst, cost FROM bor_min{r}"
+                      for r in range(1, 7))}),
+sl_sym AS MATERIALIZED (
+  SELECT src AS a, dst AS b FROM sl_forest WHERE cost <= {SL_CUT_COST}
+  UNION
+  SELECT dst AS a, src AS b FROM sl_forest WHERE cost <= {SL_CUT_COST}),
+sl_clos(u, v) AS (
+  SELECT node AS u, node AS v FROM bor_lab0
+  UNION
+  SELECT c.u, e.b AS v FROM sl_clos c JOIN sl_sym e ON e.a = c.v),
+sl_comp AS MATERIALIZED (
+  SELECT u AS node, MIN(v) AS cluster_id FROM sl_clos GROUP BY 1)""")

@@ -308,6 +308,9 @@ EXPECTED_TAIL = [
     # appended past position 50.
     "distmult_scores",
     "scorer_agreement",
+    # Continuation batch 86: single-linkage clusters via MSF cut —
+    # appended past position 50.
+    "single_linkage",
 ]
 
 
