@@ -2320,6 +2320,23 @@ def q_single_linkage(spark, sf_dir) -> DataFrame:
     return single_linkage_clusters(edges, nodes, cut_cost=500000)
 
 
+def q_join_skew(spark, sf_dir) -> DataFrame:
+    """Hot-key shuffle profile of the engine's three heavy join
+    families — pages-per-host (boilerplate/session grouping),
+    mention surface forms (the linking equi-join key), triple
+    subjects (the wide-table aggregation hub).  sum_sq is the exact
+    self-join work; max_over_avg is the salting alarm
+    (functions/textstats.join_skew_profile)."""
+    fr = _frames(spark, sf_dir)
+    host = F.regexp_extract("url", r"^https?://([^/]*)", 1)
+    return ts.join_skew_profile({
+        "host_pages": fr.pages.select(host.alias("key")),
+        "link_mention": fr.mentions.select(
+            F.lower("ent_text").alias("key")),
+        "agg_subj": fr.triples.select(F.col("subj").alias("key")),
+    })
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # ORDER IS LOAD-BEARING: the driver snapshot verifies exactly
     # list(QUERIES)[:50] in insertion order (pinned by
@@ -2686,6 +2703,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # Continuation batch 86: single-linkage clusters via MSF cut —
     # appended past position 50.
     "single_linkage": q_single_linkage,
+    # Continuation batch 87: join-skew hot-key profile — appended
+    # past position 50.
+    "join_skew": q_join_skew,
 }
 
 

@@ -1309,3 +1309,46 @@ def completion_index(docs: DataFrame, plen: int = 3,
             .withColumn("rank", F.row_number().over(wr).cast("int"))
             .where(F.col("rank") <= k)
             .select("prefix", "rank", "term", "tf", "prefix_tf"))
+
+
+# ---------------------------------------------------------------------------
+# Shuffle-skew diagnostics (continuation batch 87)
+
+def join_skew_profile(frames: "dict[str, DataFrame]") -> DataFrame:
+    """Hot-key profile of the engine's heavy join families — the
+    table a scale engineer reads BEFORE a 100x scale-up: for each
+    join-key family, how concentrated is the shuffle?  ``sum_sq``
+    (sum of per-key count squared) is the exact pairwise work a
+    self-equi-join on that key performs, ``max_rows`` is the single
+    straggler partition's share, and ``max_over_avg`` is the salting
+    alarm (a key family with max/avg >> 1 needs salt or AQE skew
+    handling before it needs more executors).
+
+    Input: {family_name: DataFrame with one column ``key``}.
+    Output: (family, n_keys, n_rows, max_rows, sum_sq,
+    top1_share_micro6, max_over_avg_micro6) — one row per family,
+    exact integers (sum_sq assumes per-key counts < ~3e9, true by
+    construction for bucketed candidate joins).
+
+    Scale: per family ONE hash aggregate + one 1-row roll-up — the
+    profile itself never shuffles more than the key cardinality."""
+    out = None
+    for fam, df in frames.items():
+        per = (df.selectExpr("key")
+               .groupBy("key")
+               .agg(F.count(F.lit(1)).cast("long").alias("c")))
+        row = (per.agg(
+            F.count(F.lit(1)).cast("long").alias("n_keys"),
+            F.sum("c").cast("long").alias("n_rows"),
+            F.max("c").cast("long").alias("max_rows"),
+            F.sum(F.col("c") * F.col("c")).cast("long")
+            .alias("sum_sq"))
+            .select(F.lit(fam).alias("family"), "n_keys", "n_rows",
+                    "max_rows", "sum_sq"))
+        out = row if out is None else out.unionByName(row)
+    return out.select(
+        "family", "n_keys", "n_rows", "max_rows", "sum_sq",
+        F.expr("CAST(max_rows * 1000000 DIV n_rows AS BIGINT)")
+        .alias("top1_share_micro6"),
+        F.expr("CAST(max_rows * n_keys * 1000000 DIV n_rows"
+               " AS BIGINT)").alias("max_over_avg_micro6"))

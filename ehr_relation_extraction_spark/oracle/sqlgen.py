@@ -7057,3 +7057,36 @@ sl_clos(u, v) AS (
   SELECT c.u, e.b AS v FROM sl_clos c JOIN sl_sym e ON e.a = c.v),
 sl_comp AS MATERIALIZED (
   SELECT u AS node, MIN(v) AS cluster_id FROM sl_clos GROUP BY 1)""")
+
+
+# ---------------------------------------------------------------------------
+# Continuation batch 87: join-skew hot-key profile — per join-key
+# family, exact integer concentration stats (sum of squared per-key
+# counts = exact self-equi-join work; max/avg in micro6 = the salting
+# alarm).  Mirrors functions/textstats.join_skew_profile over the
+# same three families the driver query feeds it.
+
+ORACLE["join_skew"] = _q("""
+SELECT family, n_keys, n_rows, max_rows, sum_sq,
+       CAST(max_rows * 1000000 // n_rows AS BIGINT) AS top1_share_micro6,
+       CAST(max_rows * n_keys * 1000000 // n_rows AS BIGINT)
+           AS max_over_avg_micro6
+FROM (
+  SELECT family,
+         CAST(COUNT(*) AS BIGINT) AS n_keys,
+         CAST(SUM(c) AS BIGINT) AS n_rows,
+         CAST(MAX(c) AS BIGINT) AS max_rows,
+         CAST(SUM(c * c) AS BIGINT) AS sum_sq
+  FROM (
+    SELECT family, key, CAST(COUNT(*) AS BIGINT) AS c
+    FROM (
+      SELECT 'host_pages' AS family,
+             regexp_extract(url, '^https?://([^/]*)', 1) AS key
+      FROM pages
+      UNION ALL
+      SELECT 'link_mention' AS family, lower(ent_text) AS key
+      FROM mentions
+      UNION ALL
+      SELECT 'agg_subj' AS family, subj AS key FROM triples)
+    GROUP BY 1, 2)
+  GROUP BY 1)""")

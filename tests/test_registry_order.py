@@ -311,6 +311,9 @@ EXPECTED_TAIL = [
     # Continuation batch 86: single-linkage clusters via MSF cut —
     # appended past position 50.
     "single_linkage",
+    # Continuation batch 87: join-skew hot-key profile — appended
+    # past position 50.
+    "join_skew",
 ]
 
 
