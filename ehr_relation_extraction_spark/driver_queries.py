@@ -2337,6 +2337,13 @@ def q_join_skew(spark, sf_dir) -> DataFrame:
     })
 
 
+def q_fact_rollup(spark, sf_dir) -> DataFrame:
+    """One-pass GROUPING-SETS rollup of the triple fact table over
+    (host, pred) — leaf cells, host totals, grand total from a
+    single Expand+aggregate (operators/triples.fact_rollup)."""
+    return tri_op.fact_rollup(_frames(spark, sf_dir).triples)
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # ORDER IS LOAD-BEARING: the driver snapshot verifies exactly
     # list(QUERIES)[:50] in insertion order (pinned by
@@ -2706,6 +2713,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # Continuation batch 87: join-skew hot-key profile — appended
     # past position 50.
     "join_skew": q_join_skew,
+    # Continuation batch 88: one-pass GROUPING-SETS fact rollup —
+    # appended past position 50.
+    "fact_rollup": q_fact_rollup,
 }
 
 

@@ -7090,3 +7090,20 @@ FROM (
       SELECT 'agg_subj' AS family, subj AS key FROM triples)
     GROUP BY 1, 2)
   GROUP BY 1)""")
+
+
+# ---------------------------------------------------------------------------
+# Continuation batch 88: one-pass GROUPING-SETS fact rollup — leaf
+# (host, pred) cells + per-host totals + grand total; GROUPING()
+# bitmask matches Spark's grouping_id() (first column = MSB).
+
+ORACLE["fact_rollup"] = _q("""
+SELECT COALESCE(host, '(all)') AS host,
+       COALESCE(pred, '(all)') AS pred,
+       CAST(GROUPING(host, pred) AS BIGINT) AS lvl,
+       CAST(COUNT(*) AS BIGINT) AS n_triples,
+       CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs
+FROM (SELECT regexp_extract(url, '^https?://([^/]*)', 1) AS host,
+             pred, doc_id
+      FROM triples)
+GROUP BY ROLLUP (host, pred)""")

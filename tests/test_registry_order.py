@@ -314,6 +314,9 @@ EXPECTED_TAIL = [
     # Continuation batch 87: join-skew hot-key profile — appended
     # past position 50.
     "join_skew",
+    # Continuation batch 88: one-pass GROUPING-SETS fact rollup —
+    # appended past position 50.
+    "fact_rollup",
 ]
 
 
