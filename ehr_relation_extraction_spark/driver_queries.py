@@ -2344,6 +2344,37 @@ def q_fact_rollup(spark, sf_dir) -> DataFrame:
     return tri_op.fact_rollup(_frames(spark, sf_dir).triples)
 
 
+def q_bloom_semi_join(spark, sf_dir) -> DataFrame:
+    """Bloomjoin reduction audit: pre-filter the triple fact table
+    against a Bloom of the hub-entity dim keys (subjects with >= 3
+    distinct predicates) and report exactly how many rows the filter
+    keeps off the join shuffle, with the zero-false-negative safety
+    audit (functions/sketches.bloom_semi_join_stats)."""
+    from .functions.sketches import bloom_semi_join_stats
+
+    t = _frames(spark, sf_dir).triples
+    dim = (t.groupBy("subj")
+           .agg(F.countDistinct("pred").alias("np"))
+           .where(F.col("np") >= 3).select("subj"))
+    return bloom_semi_join_stats(t, "subj", dim, "subj")
+
+
+def q_densest_subgraph(spark, sf_dir) -> DataFrame:
+    """Densest entity community by deterministic greedy peeling over
+    the jac >= 0.2 attribute-similarity graph — the 2(1+eps)-approx
+    core a KG curator inspects first
+    (operators/graph_algos.densest_subgraph)."""
+    from .operators.graph_algos import densest_subgraph
+
+    ej = tri_op.entity_attr_jaccard(_frames(spark, sf_dir).triples)
+    edges = ej.where(F.col("jac_micro6") >= 200000).select(
+        F.col("subj_a").alias("src"), F.col("subj_b").alias("dst"))
+    nodes = (edges.select(F.col("src").alias("node"))
+             .unionByName(edges.select(F.col("dst").alias("node")))
+             .dropDuplicates())
+    return densest_subgraph(edges, nodes)
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # ORDER IS LOAD-BEARING: the driver snapshot verifies exactly
     # list(QUERIES)[:50] in insertion order (pinned by
@@ -2716,6 +2747,12 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # Continuation batch 88: one-pass GROUPING-SETS fact rollup —
     # appended past position 50.
     "fact_rollup": q_fact_rollup,
+    # Continuation batch 89: Bloomjoin semi-join reduction audit —
+    # appended past position 50.
+    "bloom_semi_join": q_bloom_semi_join,
+    # Continuation batch 90: densest subgraph by greedy peeling —
+    # appended past position 50.
+    "densest_subgraph": q_densest_subgraph,
 }
 
 

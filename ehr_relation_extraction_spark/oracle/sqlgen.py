@@ -7107,3 +7107,112 @@ FROM (SELECT regexp_extract(url, '^https?://([^/]*)', 1) AS host,
              pred, doc_id
       FROM triples)
 GROUP BY ROLLUP (host, pred)""")
+
+
+# ---------------------------------------------------------------------------
+# Continuation batch 89: Bloomjoin semi-join reduction audit — Bloom
+# of the hub-entity dim keys (subjects with >= 3 distinct preds),
+# every fact subj tested with the same salted md5 nibble primitive as
+# bloom_bits; single audited summary row.
+
+ORACLE["bloom_semi_join"] = _q(f"""
+, bsj_keys AS MATERIALIZED (
+  SELECT subj AS item, CAST(COUNT(*) AS BIGINT) AS c
+  FROM triples GROUP BY 1),
+bsj_dim AS MATERIALIZED (
+  SELECT subj AS item FROM triples
+  GROUP BY 1 HAVING COUNT(DISTINCT pred) >= 3),
+bsj_words AS MATERIALIZED (
+  SELECT pos // 32 AS word,
+         bit_or(CAST(1 AS BIGINT) << (pos % 32)) AS bits
+  FROM (SELECT {_nib5('_h')} AS pos
+        FROM (SELECT md5(CAST(p AS VARCHAR) || ':' || item) AS _h
+              FROM bsj_dim, unnest(generate_series(0, 3)) AS g(p)))
+  GROUP BY 1),
+bsj_verdict AS MATERIALIZED (
+  SELECT item,
+         MIN(CASE WHEN (COALESCE(w.bits, 0) >> (pos % 32)) & 1 = 1
+                  THEN 1 ELSE 0 END) AS maybe
+  FROM (SELECT item, pos, pos // 32 AS word
+        FROM (SELECT item, {_nib5('_h')} AS pos
+              FROM (SELECT k.item,
+                           md5(CAST(p AS VARCHAR) || ':' || k.item) AS _h
+                    FROM bsj_keys k,
+                         unnest(generate_series(0, 3)) AS g(p)))) p
+  LEFT JOIN bsj_words w USING (word)
+  GROUP BY 1),
+bsj_audit AS MATERIALIZED (
+  SELECT k.item, k.c, v.maybe,
+         CASE WHEN d.item IS NOT NULL THEN 1 ELSE 0 END AS is_true
+  FROM bsj_keys k
+  JOIN bsj_verdict v USING (item)
+  LEFT JOIN bsj_dim d USING (item))
+SELECT CAST(SUM(c) AS BIGINT) AS n_fact,
+       CAST(COUNT(*) AS BIGINT) AS n_fact_keys,
+       CAST((SELECT COUNT(*) FROM bsj_dim) AS BIGINT) AS n_dim_keys,
+       CAST(SUM(maybe) AS BIGINT) AS pass_keys,
+       CAST(SUM(c * maybe) AS BIGINT) AS pass_rows,
+       CAST(SUM(is_true) AS BIGINT) AS true_keys,
+       CAST(SUM(c * is_true) AS BIGINT) AS true_rows,
+       CAST(SUM(maybe) - SUM(is_true) AS BIGINT) AS fp_keys,
+       CAST(SUM(is_true * (1 - maybe)) AS BIGINT) AS false_neg_keys,
+       CAST((SUM(c) - SUM(c * maybe)) * 1000000 // SUM(c) AS BIGINT)
+           AS reduction_micro6
+FROM bsj_audit""")
+
+
+# ---------------------------------------------------------------------------
+# Continuation batch 90: densest subgraph by greedy parallel peeling
+# (Bahmani et al.) — the integer peel rule unrolled round-for-round
+# over the jac >= 0.2 attribute-similarity graph; best round by
+# density micro6, earliest on ties.
+
+def _densest_sql(max_rounds: int = 8, eps_num: int = 11,
+                 eps_den: int = 10) -> str:
+    blocks = ["""
+ds_e0 AS MATERIALIZED (
+  SELECT LEAST(subj_a, subj_b) AS a, GREATEST(subj_a, subj_b) AS b
+  FROM ej_pairs WHERE jac_micro6 >= 200000 AND subj_a <> subj_b
+  GROUP BY 1, 2),
+ds_n0 AS MATERIALIZED (
+  SELECT DISTINCT node FROM (
+    SELECT a AS node FROM ds_e0 UNION ALL SELECT b FROM ds_e0))"""]
+    for r in range(max_rounds):
+        blocks.append(f"""
+ds_cnt{r} AS MATERIALIZED (
+  SELECT (SELECT COUNT(*) FROM ds_n{r}) AS n,
+         (SELECT COUNT(*) FROM ds_e{r}) AS e),
+ds_deg{r} AS MATERIALIZED (
+  SELECT node, CAST(COUNT(*) AS BIGINT) AS deg FROM (
+    SELECT a AS node FROM ds_e{r} UNION ALL SELECT b FROM ds_e{r})
+  GROUP BY 1),
+ds_n{r + 1} AS MATERIALIZED (
+  SELECT n.node
+  FROM ds_n{r} n JOIN ds_deg{r} d USING (node), ds_cnt{r} c
+  WHERE d.deg * c.n * {eps_den} > 2 * {eps_num} * c.e),
+ds_e{r + 1} AS MATERIALIZED (
+  SELECT e.a, e.b FROM ds_e{r} e
+  JOIN ds_n{r + 1} x ON e.a = x.node
+  JOIN ds_n{r + 1} y ON e.b = y.node)""")
+    hist = " UNION ALL ".join(
+        f"SELECT {r} AS round, n, e FROM ds_cnt{r}"
+        for r in range(max_rounds))
+    tags = " UNION ALL ".join(
+        f"SELECT {r} AS round, node FROM ds_n{r}"
+        for r in range(max_rounds))
+    blocks.append(f"""
+ds_hist AS MATERIALIZED ({hist}),
+ds_best AS MATERIALIZED (
+  SELECT round, n, e, e * 1000000 // n AS dens
+  FROM ds_hist WHERE n > 0 ORDER BY dens DESC, round ASC LIMIT 1),
+ds_tag AS ({tags})""")
+    return ",".join(blocks)
+
+
+ORACLE["densest_subgraph"] = _q("""
+SELECT t.node, CAST(b.round AS INT) AS round,
+       CAST(b.n AS BIGINT) AS n_nodes,
+       CAST(b.e AS BIGINT) AS n_edges,
+       CAST(b.dens AS BIGINT) AS density_micro6
+FROM ds_tag t JOIN ds_best b USING (round)""",
+                                _EJ_CTES, _densest_sql())

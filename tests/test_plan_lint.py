@@ -86,6 +86,11 @@ ALLOWED = {
     # the 1-row corpus-total scalar the G2 expectations need
     # (trending_entities class)
     "host_terms": (0, 1),
+    # the 1-row dim-key-count scalar crossJoined onto the 1-row
+    # audit aggregate — both BNLJ sides are single rows (the
+    # trending_entities lazy-scalar class); the fact table itself is
+    # reduced by ONE hash aggregate before any join
+    "bloom_semi_join": (0, 1),
 }
 
 

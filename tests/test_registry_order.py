@@ -317,6 +317,12 @@ EXPECTED_TAIL = [
     # Continuation batch 88: one-pass GROUPING-SETS fact rollup —
     # appended past position 50.
     "fact_rollup",
+    # Continuation batch 89: Bloomjoin semi-join reduction audit —
+    # appended past position 50.
+    "bloom_semi_join",
+    # Continuation batch 90: densest subgraph by greedy peeling —
+    # appended past position 50.
+    "densest_subgraph",
 ]
 
 
