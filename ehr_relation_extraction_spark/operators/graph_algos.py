@@ -2241,3 +2241,63 @@ def single_linkage_clusters(edges: DataFrame, nodes: DataFrame,
     return (cc.join(sizes, "component")
             .select("node", F.col("component").alias("cluster_id"),
                     "cluster_size"))
+
+
+def densest_subgraph(edges: DataFrame, nodes: DataFrame,
+                     eps_num: int = 11, eps_den: int = 10,
+                     max_rounds: int = 8) -> DataFrame:
+    """Densest-subgraph 2(1+eps)-approximation by greedy parallel
+    peeling (Charikar '00 objective, Bahmani/Kumar/Vassilvitskii
+    VLDB'12 distributed rule): each round removes EVERY node whose
+    degree is <= 2(1+eps)·E/N, and the answer is the surviving node
+    set of the round with the highest density E/N seen along the
+    way.  eps = eps_num/eps_den - 1 (defaults give eps = 0.1, so
+    O(log n) rounds).
+
+    All comparisons are integer cross-multiplications
+    (deg·N·eps_den > 2·eps_num·E) and density is floor-scaled
+    micro6, so the peel sequence is bit-deterministic and the DuckDB
+    oracle unrolls it round-for-round.  Ties on density keep the
+    EARLIEST round.
+
+    Output: one row per node of the winning subgraph — (node, round,
+    n_nodes, n_edges, density_micro6), the summary constant across
+    rows.
+
+    Scale: each round is one degree aggregate + two semi-joins, with
+    localCheckpoint cutting lineage; the per-round N/E counts are
+    1-row driver aggregates (bounded by max_rounds, same device as
+    bfs_distances' frontier check).  No all-pairs product anywhere;
+    at 100 TB the peel touches each edge O(log n) times total."""
+    und = (edges.select(F.least("src", "dst").alias("a"),
+                        F.greatest("src", "dst").alias("b"))
+           .where(F.col("a") != F.col("b")).dropDuplicates())
+    cur_n = nodes.select("node").dropDuplicates().localCheckpoint()
+    cur_e = und.localCheckpoint()
+    best = None  # (density, round, node_df, n, e)
+    for r in range(max_rounds):
+        n = cur_n.count()          # bounded driver sync, <= max_rounds
+        if n == 0:
+            break
+        e = cur_e.count()
+        dens = e * 10**6 // n
+        if best is None or dens > best[0]:
+            best = (dens, r, cur_n, n, e)
+        deg = (cur_e.select(F.col("a").alias("node"))
+               .unionByName(cur_e.select(F.col("b").alias("node")))
+               .groupBy("node")
+               .agg(F.count(F.lit(1)).cast("long").alias("deg")))
+        keep = (cur_n.join(deg, "node")
+                .where(F.col("deg") * n * eps_den > 2 * eps_num * e)
+                .select("node"))
+        cur_n = keep.localCheckpoint()
+        cur_e = (cur_e
+                 .join(cur_n.withColumnRenamed("node", "a"), "a")
+                 .join(cur_n.withColumnRenamed("node", "b"), "b")
+                 .select("a", "b").localCheckpoint())
+    dens, r, nd, n, e = best
+    return nd.select(
+        "node", F.lit(r).cast("int").alias("round"),
+        F.lit(n).cast("long").alias("n_nodes"),
+        F.lit(e).cast("long").alias("n_edges"),
+        F.lit(dens).cast("long").alias("density_micro6"))
