@@ -2375,6 +2375,16 @@ def q_densest_subgraph(spark, sf_dir) -> DataFrame:
     return densest_subgraph(edges, nodes)
 
 
+def q_layout_pruning(spark, sf_dir) -> DataFrame:
+    """Z-order vs linear write-layout decision table: exact min/max
+    file-skipping audit for point queries on each of two dimensions
+    (crawl slot, host bucket) at 16 files
+    (plans/layout.layout_pruning_audit)."""
+    from .plans.layout import layout_pruning_audit
+
+    return layout_pruning_audit(_frames(spark, sf_dir).pages)
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # ORDER IS LOAD-BEARING: the driver snapshot verifies exactly
     # list(QUERIES)[:50] in insertion order (pinned by
@@ -2753,6 +2763,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # Continuation batch 90: densest subgraph by greedy peeling —
     # appended past position 50.
     "densest_subgraph": q_densest_subgraph,
+    # Continuation batch 91: Z-order vs linear layout pruning audit —
+    # appended past position 50.
+    "layout_pruning": q_layout_pruning,
 }
 
 

@@ -7216,3 +7216,49 @@ SELECT t.node, CAST(b.round AS INT) AS round,
        CAST(b.dens AS BIGINT) AS density_micro6
 FROM ds_tag t JOIN ds_best b USING (round)""",
                                 _EJ_CTES, _densest_sql())
+
+
+# ---------------------------------------------------------------------------
+# Continuation batch 91: Z-order vs linear layout pruning audit —
+# Morton interleave from the SAME expression text the Spark side
+# compiles (plans/layout.interleave_expr), min/max footer stats per
+# file, point-query hit counts per layout.
+
+from ..plans.layout import interleave_expr as _zexpr
+
+ORACLE["layout_pruning"] = _q(f"""
+, zl_base AS MATERIALIZED (
+  SELECT CAST(doc_id % 256 AS INT) AS d,
+         CAST((strpos('0123456789abcdef', substring(_mh, 1, 1)) - 1)
+              * 16
+              + (strpos('0123456789abcdef', substring(_mh, 2, 1)) - 1)
+           AS INT) AS b
+  FROM (SELECT doc_id,
+               md5(regexp_extract(url, '^https?://([^/]*)', 1)) AS _mh
+        FROM pages)),
+zl_tag AS (
+  SELECT 'zorder' AS layout,
+         CAST({_zexpr('d', 'b')} * 16 // 65536 AS INT) AS file_id,
+         d, b
+  FROM zl_base
+  UNION ALL
+  SELECT 'linear' AS layout,
+         CAST((d * 256 + b) * 16 // 65536 AS INT) AS file_id, d, b
+  FROM zl_base),
+zl_files AS MATERIALIZED (
+  SELECT layout, file_id, CAST(COUNT(*) AS BIGINT) AS n_rows,
+         MIN(d) AS min_d, MAX(d) AS max_d,
+         MIN(b) AS min_b, MAX(b) AS max_b
+  FROM zl_tag GROUP BY 1, 2)
+SELECT layout,
+       CAST(COUNT(*) AS BIGINT) AS n_files,
+       CAST(SUM(n_rows) AS BIGINT) AS n_rows,
+       CAST(SUM(CASE WHEN min_d <= 17 AND max_d >= 17
+                     THEN 1 ELSE 0 END) AS BIGINT) AS hit_files_d,
+       CAST(SUM(CASE WHEN min_d <= 17 AND max_d >= 17
+                     THEN n_rows ELSE 0 END) AS BIGINT) AS hit_rows_d,
+       CAST(SUM(CASE WHEN min_b <= 42 AND max_b >= 42
+                     THEN 1 ELSE 0 END) AS BIGINT) AS hit_files_b,
+       CAST(SUM(CASE WHEN min_b <= 42 AND max_b >= 42
+                     THEN n_rows ELSE 0 END) AS BIGINT) AS hit_rows_b
+FROM zl_files GROUP BY 1""")

@@ -323,6 +323,9 @@ EXPECTED_TAIL = [
     # Continuation batch 90: densest subgraph by greedy peeling —
     # appended past position 50.
     "densest_subgraph",
+    # Continuation batch 91: Z-order vs linear layout pruning audit —
+    # appended past position 50.
+    "layout_pruning",
 ]
 
 
