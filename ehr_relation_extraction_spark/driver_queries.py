@@ -2385,6 +2385,16 @@ def q_layout_pruning(spark, sf_dir) -> DataFrame:
     return layout_pruning_audit(_frames(spark, sf_dir).pages)
 
 
+def q_skyline_3d(spark, sf_dir) -> DataFrame:
+    """Pareto-optimal entities on (corroborating docs, distinct
+    hosts, distinct predicates) — exact k-D two-phase distributed
+    skyline, the general-dimension sibling of the 2-D window-based
+    entity_skyline (operators/skyline.entity_skyline_3d)."""
+    from .operators.skyline import entity_skyline_3d
+
+    return entity_skyline_3d(_frames(spark, sf_dir).triples)
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # ORDER IS LOAD-BEARING: the driver snapshot verifies exactly
     # list(QUERIES)[:50] in insertion order (pinned by
@@ -2766,6 +2776,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # Continuation batch 91: Z-order vs linear layout pruning audit —
     # appended past position 50.
     "layout_pruning": q_layout_pruning,
+    # Continuation batch 92: 3-D Pareto-frontier skyline —
+    # appended past position 50.
+    "skyline_3d": q_skyline_3d,
 }
 
 

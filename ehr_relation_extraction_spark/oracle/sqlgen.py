@@ -7262,3 +7262,28 @@ SELECT layout,
        CAST(SUM(CASE WHEN min_b <= 42 AND max_b >= 42
                      THEN n_rows ELSE 0 END) AS BIGINT) AS hit_rows_b
 FROM zl_files GROUP BY 1""")
+
+
+# ---------------------------------------------------------------------------
+# Continuation batch 92: 3-D Pareto-frontier skyline — dominance as
+# NOT EXISTS over the per-subject stats; the Spark side computes the
+# same frontier via partition-local skylines + merge (the set is
+# partition-invariant, which is exactly what this cross-check pins).
+
+ORACLE["skyline_3d"] = _q("""
+, sky_stats AS MATERIALIZED (
+  SELECT subj,
+         CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs,
+         CAST(COUNT(DISTINCT
+              regexp_extract(url, '^https?://([^/]*)', 1)) AS BIGINT)
+             AS n_hosts,
+         CAST(COUNT(DISTINCT pred) AS BIGINT) AS n_preds
+  FROM triples GROUP BY 1)
+SELECT s.subj, s.n_docs, s.n_hosts, s.n_preds
+FROM sky_stats s
+WHERE NOT EXISTS (
+  SELECT 1 FROM sky_stats t
+  WHERE t.n_docs >= s.n_docs AND t.n_hosts >= s.n_hosts
+    AND t.n_preds >= s.n_preds
+    AND (t.n_docs > s.n_docs OR t.n_hosts > s.n_hosts
+         OR t.n_preds > s.n_preds))""")

@@ -326,6 +326,9 @@ EXPECTED_TAIL = [
     # Continuation batch 91: Z-order vs linear layout pruning audit —
     # appended past position 50.
     "layout_pruning",
+    # Continuation batch 92: 3-D Pareto-frontier skyline —
+    # appended past position 50.
+    "skyline_3d",
 ]
 
 
