@@ -2395,6 +2395,15 @@ def q_skyline_3d(spark, sf_dir) -> DataFrame:
     return entity_skyline_3d(_frames(spark, sf_dir).triples)
 
 
+def q_apriori_itemsets(spark, sf_dir) -> DataFrame:
+    """Frequent attribute-value co-occurrence sets (sizes 1-3) by
+    a-priori lattice pruning over doc-grain transactions
+    (operators/itemsets.entity_itemsets, min_support 12)."""
+    from .operators.itemsets import entity_itemsets
+
+    return entity_itemsets(_frames(spark, sf_dir).triples)
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # ORDER IS LOAD-BEARING: the driver snapshot verifies exactly
     # list(QUERIES)[:50] in insertion order (pinned by
@@ -2779,6 +2788,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # Continuation batch 92: 3-D Pareto-frontier skyline —
     # appended past position 50.
     "skyline_3d": q_skyline_3d,
+    # Continuation batch 93: a-priori frequent itemsets — appended
+    # past position 50.
+    "apriori_itemsets": q_apriori_itemsets,
 }
 
 

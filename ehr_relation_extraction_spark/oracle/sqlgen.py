@@ -7287,3 +7287,44 @@ WHERE NOT EXISTS (
     AND t.n_preds >= s.n_preds
     AND (t.n_docs > s.n_docs OR t.n_hosts > s.n_hosts
          OR t.n_preds > s.n_preds))""")
+
+
+# ---------------------------------------------------------------------------
+# Continuation batch 93: a-priori frequent itemsets (sizes 1-3) over
+# doc-grain object-value transactions, min_support 12 — the same
+# L1 -> C2 -> L2 -> (pruned) C3 -> L3 lattice as
+# operators/itemsets.apriori_itemsets.
+
+ORACLE["apriori_itemsets"] = _q("""
+, ap_tx AS MATERIALIZED (
+  SELECT DISTINCT doc_id, lower(obj) AS item FROM triples),
+ap_l1 AS MATERIALIZED (
+  SELECT item, CAST(COUNT(*) AS BIGINT) AS support
+  FROM ap_tx GROUP BY 1 HAVING COUNT(*) >= 12),
+ap_tf AS MATERIALIZED (
+  SELECT t.doc_id, t.item FROM ap_tx t
+  JOIN ap_l1 l USING (item)),
+ap_p2 AS MATERIALIZED (
+  SELECT a.doc_id, a.item AS i1, b.item AS i2
+  FROM ap_tf a JOIN ap_tf b
+    ON a.doc_id = b.doc_id AND a.item < b.item),
+ap_l2 AS MATERIALIZED (
+  SELECT i1, i2, CAST(COUNT(*) AS BIGINT) AS support
+  FROM ap_p2 GROUP BY 1, 2 HAVING COUNT(*) >= 12),
+ap_c3 AS MATERIALIZED (
+  SELECT p.i1, p.i2, q.i2 AS i3
+  FROM ap_l2 p JOIN ap_l2 q ON p.i1 = q.i1 AND p.i2 < q.i2
+  JOIN ap_l2 f ON f.i1 = p.i2 AND f.i2 = q.i2),
+ap_l3 AS MATERIALIZED (
+  SELECT c.i1, c.i2, c.i3, CAST(COUNT(*) AS BIGINT) AS support
+  FROM ap_c3 c
+  JOIN ap_p2 p ON p.i1 = c.i1 AND p.i2 = c.i2
+  JOIN ap_tf t ON t.doc_id = p.doc_id AND t.item = c.i3
+  GROUP BY 1, 2, 3 HAVING COUNT(*) >= 12)
+SELECT CAST(1 AS INT) AS k, item AS item1, '' AS item2, '' AS item3,
+       support
+FROM ap_l1
+UNION ALL
+SELECT CAST(2 AS INT), i1, i2, '', support FROM ap_l2
+UNION ALL
+SELECT CAST(3 AS INT), i1, i2, i3, support FROM ap_l3""")

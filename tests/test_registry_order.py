@@ -329,6 +329,9 @@ EXPECTED_TAIL = [
     # Continuation batch 92: 3-D Pareto-frontier skyline —
     # appended past position 50.
     "skyline_3d",
+    # Continuation batch 93: a-priori frequent itemsets — appended
+    # past position 50.
+    "apriori_itemsets",
 ]
 
 
