@@ -2404,6 +2404,13 @@ def q_apriori_itemsets(spark, sf_dir) -> DataFrame:
     return entity_itemsets(_frames(spark, sf_dir).triples)
 
 
+def q_quality_calibration(spark, sf_dir) -> DataFrame:
+    """Reliability table of the LM quality score vs the curation
+    gate: keep rate per rank-decile score bucket
+    (functions/textstats.quality_calibration)."""
+    return ts.quality_calibration(_docs(spark, sf_dir))
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # ORDER IS LOAD-BEARING: the driver snapshot verifies exactly
     # list(QUERIES)[:50] in insertion order (pinned by
@@ -2791,6 +2798,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # Continuation batch 93: a-priori frequent itemsets — appended
     # past position 50.
     "apriori_itemsets": q_apriori_itemsets,
+    # Continuation batch 94: LM-quality reliability calibration —
+    # appended past position 50.
+    "quality_calibration": q_quality_calibration,
 }
 
 

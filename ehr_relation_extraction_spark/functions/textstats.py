@@ -1352,3 +1352,54 @@ def join_skew_profile(frames: "dict[str, DataFrame]") -> DataFrame:
         .alias("top1_share_micro6"),
         F.expr("CAST(max_rows * n_keys * 1000000 DIV n_rows"
                " AS BIGINT)").alias("max_over_avg_micro6"))
+
+
+def quality_calibration(docs: DataFrame,
+                        n_buckets: int = 10) -> DataFrame:
+    """Reliability table for the LM quality score: decile-bucket the
+    corpus by ``lm_quality`` score and report the curation-gate keep
+    rate inside each bucket — the calibration read a data-quality
+    owner does before trusting a score as a sampling weight (a
+    well-behaved score should show keep-rate rising with the score
+    bucket; a flat table says the score adds nothing over the gate).
+
+    Buckets are rank-deciles computed from the DISTINCT-score value
+    table: per-score counts first (one hash aggregate — the only
+    corpus-sized shuffle), then a cumulative window over the bounded
+    value domain (the doclen_percentiles discipline — the
+    single-partition window never sees corpus-sized input), bucket =
+    cum_before * n_buckets DIV n_total, so equal scores always share
+    a bucket and the result is partition-invariant.
+
+    Output: (bucket, n_docs, n_keep, keep_rate_micro6, score_lo,
+    score_hi)."""
+    from pyspark.sql import Window
+
+    scored = (lm_quality(docs).select("doc_id", "lm_score_micro6")
+              .join(corpus_curation(docs).select("doc_id", "keep"),
+                    "doc_id"))
+    vals = (scored.groupBy("lm_score_micro6")
+            .agg(F.count(F.lit(1)).cast("long").alias("c"),
+                 F.sum("keep").cast("long").alias("k")))
+    w = (Window.orderBy("lm_score_micro6")
+         .rowsBetween(Window.unboundedPreceding, -1))
+    vb = (vals
+          .withColumn("cum_before",
+                      F.coalesce(F.sum("c").over(w), F.lit(0)))
+          .withColumn("n_total",
+                      F.sum("c").over(
+                          Window.partitionBy(F.lit(1)))))
+    bucketed = vb.withColumn(
+        "bucket",
+        F.expr(f"CAST(cum_before * {n_buckets} DIV n_total AS INT)"))
+    return (bucketed.groupBy("bucket")
+            .agg(F.sum("c").cast("long").alias("n_docs"),
+                 F.sum("k").cast("long").alias("n_keep"),
+                 F.min("lm_score_micro6").cast("long")
+                 .alias("score_lo"),
+                 F.max("lm_score_micro6").cast("long")
+                 .alias("score_hi"))
+            .select("bucket", "n_docs", "n_keep",
+                    F.expr("CAST(n_keep * 1000000 DIV n_docs"
+                           " AS BIGINT)").alias("keep_rate_micro6"),
+                    "score_lo", "score_hi"))

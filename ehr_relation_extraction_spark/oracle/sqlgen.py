@@ -7328,3 +7328,39 @@ UNION ALL
 SELECT CAST(2 AS INT), i1, i2, '', support FROM ap_l2
 UNION ALL
 SELECT CAST(3 AS INT), i1, i2, i3, support FROM ap_l3""")
+
+
+# ---------------------------------------------------------------------------
+# Continuation batch 94: LM-quality reliability table — rank-decile
+# buckets from the distinct-score value table (the doclen_percentiles
+# cumulative device), keep-rate per bucket from the curation gate.
+# Reuses the lm_quality statement verbatim as a nested subquery so
+# score construction can never drift from its own oracle.
+
+ORACLE["quality_calibration"] = "WITH " + CURATION_CTES + f""",
+qc_score AS MATERIALIZED ({ORACLE["lm_quality"]}),
+qc AS MATERIALIZED (
+  SELECT s.doc_id, s.lm_score_micro6,
+         CASE WHEN c.reason = 'ok' THEN 1 ELSE 0 END AS keep
+  FROM qc_score s JOIN cr c USING (doc_id)),
+qc_vals AS MATERIALIZED (
+  SELECT lm_score_micro6, CAST(COUNT(*) AS BIGINT) AS c,
+         CAST(SUM(keep) AS BIGINT) AS k
+  FROM qc GROUP BY 1),
+qc_cum AS MATERIALIZED (
+  SELECT lm_score_micro6, c, k,
+         COALESCE(SUM(c) OVER (ORDER BY lm_score_micro6
+             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+           AS cum_before,
+         SUM(c) OVER () AS n_total
+  FROM qc_vals)
+SELECT bucket,
+       CAST(SUM(c) AS BIGINT) AS n_docs,
+       CAST(SUM(k) AS BIGINT) AS n_keep,
+       CAST(SUM(k) * 1000000 // SUM(c) AS BIGINT)
+           AS keep_rate_micro6,
+       CAST(MIN(lm_score_micro6) AS BIGINT) AS score_lo,
+       CAST(MAX(lm_score_micro6) AS BIGINT) AS score_hi
+FROM (SELECT *, CAST(cum_before * 10 // n_total AS INT) AS bucket
+      FROM qc_cum)
+GROUP BY 1"""

@@ -332,6 +332,9 @@ EXPECTED_TAIL = [
     # Continuation batch 93: a-priori frequent itemsets — appended
     # past position 50.
     "apriori_itemsets",
+    # Continuation batch 94: LM-quality reliability calibration —
+    # appended past position 50.
+    "quality_calibration",
 ]
 
 
