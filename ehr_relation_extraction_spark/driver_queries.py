@@ -2411,6 +2411,12 @@ def q_quality_calibration(spark, sf_dir) -> DataFrame:
     return ts.quality_calibration(_docs(spark, sf_dir))
 
 
+def q_host_outliers(spark, sf_dir) -> DataFrame:
+    """Robust per-host volume outliers: integer median/MAD cut at
+    3.5 MAD (functions/textstats.host_outliers)."""
+    return ts.host_outliers(_docs(spark, sf_dir))
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # ORDER IS LOAD-BEARING: the driver snapshot verifies exactly
     # list(QUERIES)[:50] in insertion order (pinned by
@@ -2801,6 +2807,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # Continuation batch 94: LM-quality reliability calibration —
     # appended past position 50.
     "quality_calibration": q_quality_calibration,
+    # Continuation batch 95: robust median/MAD host outliers —
+    # appended past position 50.
+    "host_outliers": q_host_outliers,
 }
 
 

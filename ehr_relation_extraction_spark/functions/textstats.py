@@ -1403,3 +1403,56 @@ def quality_calibration(docs: DataFrame,
                     F.expr("CAST(n_keep * 1000000 DIV n_docs"
                            " AS BIGINT)").alias("keep_rate_micro6"),
                     "score_lo", "score_hi"))
+
+
+def host_outliers(docs: DataFrame,
+                  k_mad_tenths: int = 35) -> DataFrame:
+    """Robust per-host volume outliers: flag sources whose total
+    token volume deviates from the cross-host MEDIAN by more than
+    k * MAD (k = k_mad_tenths/10, default 3.5 — the classic robust
+    z-score cut, left unscaled by the 1.4826 normal constant to stay
+    in exact integers).  Median/MAD beat mean/stddev here because a
+    single crawler-trap host inflates the mean enough to mask
+    itself.
+
+    Medians are lower-median nearest rank (index (n-1) DIV 2 in
+    (value, source) order — fully tie-deterministic).  The windows
+    run over the PER-HOST table, bounded by the host domain (never
+    corpus-sized) — the same discipline as the value-table
+    percentile operators; the only corpus-sized stage is the first
+    per-source aggregate.
+
+    Output: (source, n_docs, total_tokens, med_tokens, mad_tokens,
+    abs_dev, is_outlier).  MAD = 0 degenerates to flagging any
+    deviation, which is the right reading of "all other hosts
+    agree exactly"."""
+    from pyspark.sql import Window
+
+    st = (docs.select("source",
+                      F.size(_toks()).cast("long").alias("n_tok"))
+          .groupBy("source")
+          .agg(F.count(F.lit(1)).cast("long").alias("n_docs"),
+               F.sum("n_tok").cast("long").alias("total_tokens")))
+    wfull = Window.partitionBy(F.lit(1))
+    w1 = Window.orderBy("total_tokens", "source")
+    a = (st.withColumn("rn", F.row_number().over(w1) - 1)
+         .withColumn("cnt", F.count(F.lit(1)).over(wfull))
+         .withColumn("med_tokens", F.max(F.when(
+             F.col("rn") == F.expr("(cnt - 1) DIV 2"),
+             F.col("total_tokens"))).over(wfull))
+         .withColumn("abs_dev",
+                     F.abs(F.col("total_tokens")
+                           - F.col("med_tokens")).cast("long")))
+    w2 = Window.orderBy("abs_dev", "source")
+    b = (a.withColumn("rn2", F.row_number().over(w2) - 1)
+         .withColumn("mad_tokens", F.max(F.when(
+             F.col("rn2") == F.expr("(cnt - 1) DIV 2"),
+             F.col("abs_dev"))).over(wfull)))
+    return b.select(
+        "source", "n_docs", "total_tokens",
+        F.col("med_tokens").cast("long").alias("med_tokens"),
+        F.col("mad_tokens").cast("long").alias("mad_tokens"),
+        "abs_dev",
+        (F.col("abs_dev") * 10
+         > F.lit(k_mad_tenths) * F.col("mad_tokens"))
+        .cast("int").alias("is_outlier"))

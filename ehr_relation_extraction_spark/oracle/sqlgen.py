@@ -7364,3 +7364,45 @@ SELECT bucket,
 FROM (SELECT *, CAST(cum_before * 10 // n_total AS INT) AS bucket
       FROM qc_cum)
 GROUP BY 1"""
+
+
+# ---------------------------------------------------------------------------
+# Continuation batch 95: robust per-host volume outliers — lower
+# nearest-rank median + MAD over the per-host table, integer 3.5-MAD
+# cut (functions/textstats.host_outliers).
+
+ORACLE["host_outliers"] = """
+WITH ho AS (
+  SELECT source,
+         CAST(COUNT(*) AS BIGINT) AS n_docs,
+         CAST(SUM(len(list_filter(string_split_regex(text, '[\\n \\t]'),
+             x -> x <> ''))) AS BIGINT) AS total_tokens
+  FROM documents GROUP BY 1),
+ho1 AS (
+  SELECT *,
+         ROW_NUMBER() OVER (ORDER BY total_tokens, source) - 1 AS rn,
+         COUNT(*) OVER () AS cnt
+  FROM ho),
+ho2 AS (
+  SELECT *,
+         MAX(CASE WHEN rn = (cnt - 1) // 2 THEN total_tokens END)
+             OVER () AS med_tokens
+  FROM ho1),
+ho3 AS (
+  SELECT *, ABS(total_tokens - med_tokens) AS abs_dev FROM ho2),
+ho4 AS (
+  SELECT *,
+         ROW_NUMBER() OVER (ORDER BY abs_dev, source) - 1 AS rn2
+  FROM ho3),
+ho5 AS (
+  SELECT *,
+         MAX(CASE WHEN rn2 = (cnt - 1) // 2 THEN abs_dev END)
+             OVER () AS mad_tokens
+  FROM ho4)
+SELECT source, n_docs, total_tokens,
+       CAST(med_tokens AS BIGINT) AS med_tokens,
+       CAST(mad_tokens AS BIGINT) AS mad_tokens,
+       CAST(abs_dev AS BIGINT) AS abs_dev,
+       CAST(CASE WHEN abs_dev * 10 > 35 * mad_tokens
+                 THEN 1 ELSE 0 END AS INT) AS is_outlier
+FROM ho5"""

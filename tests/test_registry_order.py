@@ -335,6 +335,9 @@ EXPECTED_TAIL = [
     # Continuation batch 94: LM-quality reliability calibration —
     # appended past position 50.
     "quality_calibration",
+    # Continuation batch 95: robust median/MAD host outliers —
+    # appended past position 50.
+    "host_outliers",
 ]
 
 
