@@ -2417,6 +2417,13 @@ def q_host_outliers(spark, sf_dir) -> DataFrame:
     return ts.host_outliers(_docs(spark, sf_dir))
 
 
+def q_source_gate_chi2(spark, sf_dir) -> DataFrame:
+    """Gate-fairness chi-square per source: is the curation gate
+    firing uniformly across hosts
+    (functions/textstats.source_gate_chi2)."""
+    return ts.source_gate_chi2(_docs(spark, sf_dir))
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # ORDER IS LOAD-BEARING: the driver snapshot verifies exactly
     # list(QUERIES)[:50] in insertion order (pinned by
@@ -2810,6 +2817,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # Continuation batch 95: robust median/MAD host outliers —
     # appended past position 50.
     "host_outliers": q_host_outliers,
+    # Continuation batch 96: gate-fairness chi-square per source —
+    # appended past position 50.
+    "source_gate_chi2": q_source_gate_chi2,
 }
 
 

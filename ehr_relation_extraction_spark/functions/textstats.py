@@ -1456,3 +1456,56 @@ def host_outliers(docs: DataFrame,
         (F.col("abs_dev") * 10
          > F.lit(k_mad_tenths) * F.col("mad_tokens"))
         .cast("int").alias("is_outlier"))
+
+
+def source_gate_chi2(docs: DataFrame) -> DataFrame:
+    """Chi-square independence audit of (source x curation verdict):
+    is the keep/drop gate firing uniformly across hosts, or is some
+    host's content systematically rejected?  Per source the
+    two-cell contribution collapses to the z-squared form
+    n_s * (rate_s - p)^2 / (p * (1 - p)) — reported floor-scaled as
+    chi2_micro6 with rates in micro6, so both engines agree
+    bit-for-bit (the goal is a cross-engine-stable diagnostic
+    statistic, not a p-value; floors are documented behavior).
+
+    Guards: p = 0 or p = 1 (no variance) yields contribution 0.
+    Overflow bound: n_s * diff^2 with diff <= 1e6 stays in BIGINT
+    for n_s up to ~9e6 docs per source — at larger shards compute
+    per-bucket and inspect per-bucket tables.
+
+    Output: (source, n_docs, n_keep, rate_micro6,
+    global_rate_micro6, chi2_micro6, chi2_total_micro6) — the total
+    repeated per row (sum of floored contributions; window over the
+    bounded source table)."""
+    from pyspark.sql import Window
+
+    gate = corpus_curation(docs).select("doc_id", "keep")
+    per = (docs.select("doc_id", "source").join(gate, "doc_id")
+           .groupBy("source")
+           .agg(F.count(F.lit(1)).cast("long").alias("n_docs"),
+                F.sum("keep").cast("long").alias("n_keep")))
+    wfull = Window.partitionBy(F.lit(1))
+    a = (per
+         .withColumn("_N", F.sum("n_docs").over(wfull))
+         .withColumn("_K", F.sum("n_keep").over(wfull))
+         .withColumn("rate_micro6",
+                     F.expr("CAST(n_keep * 1000000 DIV n_docs"
+                            " AS BIGINT)"))
+         .withColumn("global_rate_micro6",
+                     F.expr("CAST(_K * 1000000 DIV _N AS BIGINT)")))
+    a = a.withColumn(
+        "chi2_micro6",
+        F.expr("""CAST(CASE
+          WHEN global_rate_micro6 = 0 OR global_rate_micro6 = 1000000
+          THEN 0
+          ELSE (n_docs * (rate_micro6 - global_rate_micro6)
+                       * (rate_micro6 - global_rate_micro6))
+               DIV ((global_rate_micro6
+                     * (1000000 - global_rate_micro6)) DIV 1000000)
+          END AS BIGINT)"""))
+    return (a.withColumn("chi2_total_micro6",
+                         F.sum("chi2_micro6").over(wfull)
+                         .cast("long"))
+            .select("source", "n_docs", "n_keep", "rate_micro6",
+                    "global_rate_micro6", "chi2_micro6",
+                    "chi2_total_micro6"))

@@ -7406,3 +7406,43 @@ SELECT source, n_docs, total_tokens,
        CAST(CASE WHEN abs_dev * 10 > 35 * mad_tokens
                  THEN 1 ELSE 0 END AS INT) AS is_outlier
 FROM ho5"""
+
+
+# ---------------------------------------------------------------------------
+# Continuation batch 96: chi-square gate-fairness audit per source —
+# the z-squared two-cell collapse n*(r-p)^2/(p(1-p)) in floor-scaled
+# micro6 (functions/textstats.source_gate_chi2).
+
+ORACLE["source_gate_chi2"] = "WITH " + CURATION_CTES + """,
+sg AS MATERIALIZED (
+  SELECT d.source,
+         CAST(COUNT(*) AS BIGINT) AS n_docs,
+         CAST(SUM(CASE WHEN c.reason = 'ok' THEN 1 ELSE 0 END)
+           AS BIGINT) AS n_keep
+  FROM documents d JOIN cr c USING (doc_id)
+  GROUP BY 1),
+sg1 AS MATERIALIZED (
+  SELECT *,
+         SUM(n_docs) OVER () AS _N,
+         SUM(n_keep) OVER () AS _K,
+         CAST(n_keep * 1000000 // n_docs AS BIGINT) AS rate_micro6
+  FROM sg),
+sg2 AS MATERIALIZED (
+  SELECT *,
+         CAST(_K * 1000000 // _N AS BIGINT) AS global_rate_micro6
+  FROM sg1),
+sg3 AS MATERIALIZED (
+  SELECT *,
+         CAST(CASE
+           WHEN global_rate_micro6 = 0 OR global_rate_micro6 = 1000000
+           THEN 0
+           ELSE (n_docs * (rate_micro6 - global_rate_micro6)
+                        * (rate_micro6 - global_rate_micro6))
+                // ((global_rate_micro6
+                     * (1000000 - global_rate_micro6)) // 1000000)
+           END AS BIGINT) AS chi2_micro6
+  FROM sg2)
+SELECT source, n_docs, n_keep, rate_micro6, global_rate_micro6,
+       chi2_micro6,
+       CAST(SUM(chi2_micro6) OVER () AS BIGINT) AS chi2_total_micro6
+FROM sg3"""

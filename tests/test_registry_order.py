@@ -338,6 +338,9 @@ EXPECTED_TAIL = [
     # Continuation batch 95: robust median/MAD host outliers —
     # appended past position 50.
     "host_outliers",
+    # Continuation batch 96: gate-fairness chi-square per source —
+    # appended past position 50.
+    "source_gate_chi2",
 ]
 
 
