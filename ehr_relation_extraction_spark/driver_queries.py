@@ -2424,6 +2424,17 @@ def q_source_gate_chi2(spark, sf_dir) -> DataFrame:
     return ts.source_gate_chi2(_docs(spark, sf_dir))
 
 
+def q_hub_robustness(spark, sf_dir) -> DataFrame:
+    """Targeted-attack probe on the canonical KG: component sizes
+    before/after removing the top-3 degree hubs
+    (operators/graph_algos.hub_robustness)."""
+    from .operators.graph_algos import hub_robustness
+
+    edges = q_graph_edges(spark, sf_dir).selectExpr(
+        "subj_node AS src", "obj_node AS dst")
+    return hub_robustness(edges, k=3)
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # ORDER IS LOAD-BEARING: the driver snapshot verifies exactly
     # list(QUERIES)[:50] in insertion order (pinned by
@@ -2820,6 +2831,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # Continuation batch 96: gate-fairness chi-square per source —
     # appended past position 50.
     "source_gate_chi2": q_source_gate_chi2,
+    # Continuation batch 97: hub-removal robustness probe — appended
+    # past position 50.
+    "hub_robustness": q_hub_robustness,
 }
 
 

@@ -2301,3 +2301,64 @@ def densest_subgraph(edges: DataFrame, nodes: DataFrame,
         F.lit(n).cast("long").alias("n_nodes"),
         F.lit(e).cast("long").alias("n_edges"),
         F.lit(dens).cast("long").alias("density_micro6"))
+
+
+def hub_robustness(edges: DataFrame, k: int = 3) -> DataFrame:
+    """Targeted-attack robustness probe: how much of the graph's
+    largest connected component survives removing the top-k degree
+    hubs (the scale-free-network fragility test, Albert/Jeong/
+    Barabasi '00 — a KG whose connectivity hangs on three hub
+    entities is one bad merge away from shattering).
+
+    ``edges``: directed or undirected pairs (src, dst); self-loops
+    dropped, orientation canonicalized and deduped (one neighbor
+    relation per pair).  Hubs are the k highest distinct-neighbor
+    degrees, ties broken by node ascending (a distributed
+    orderBy.limit top-k, never a global window).
+
+    Output rows (phase, node, size):
+      phase='hub'    -> the removed hubs, size = degree;
+      phase='before' -> every component of the full graph, node =
+                        min-member id, size = member count;
+      phase='after'  -> same for the hub-removed graph.
+
+    Scale: component ids come from the min-label fixpoint
+    (_min_reach_labels) over the symmetrized edge set — diameter
+    rounds of keyed aggregates on the bounded canonical-entity
+    graph, localCheckpoint per round; the before/after passes are
+    two independent runs of the same machinery."""
+    und = (edges.select(F.least("src", "dst").alias("a"),
+                        F.greatest("src", "dst").alias("b"))
+           .where(F.col("a") != F.col("b"))
+           .dropDuplicates().localCheckpoint())
+    sym = und.unionByName(
+        und.select(F.col("b").alias("a"), F.col("a").alias("b")))
+    nodes = und.select(F.col("a").alias("node")).unionByName(
+        und.select(F.col("b").alias("node"))).dropDuplicates()
+    deg = (sym.groupBy(F.col("a").alias("node"))
+           .agg(F.countDistinct("b").cast("long").alias("size")))
+    hubs = (deg.orderBy(F.col("size").desc(), F.col("node").asc())
+            .limit(k).localCheckpoint())
+
+    def comps(nd, ed, phase):
+        sym_se = ed.select(F.col("a").alias("src"),
+                           F.col("b").alias("dst"))
+        sym_se = sym_se.unionByName(
+            sym_se.select(F.col("dst").alias("src"),
+                          F.col("src").alias("dst")))
+        lbl = _min_reach_labels(nd, sym_se)
+        return (lbl.groupBy(F.col("f").alias("node"))
+                .agg(F.count(F.lit(1)).cast("long").alias("size"))
+                .select(F.lit(phase).alias("phase"), "node", "size"))
+
+    h = hubs.select(F.col("node").alias("hub"))
+    nodes_after = nodes.join(
+        F.broadcast(h).withColumnRenamed("hub", "node"),
+        "node", "left_anti")
+    und_after = (und.join(F.broadcast(h).withColumnRenamed("hub", "a"),
+                          "a", "left_anti")
+                 .join(F.broadcast(h).withColumnRenamed("hub", "b"),
+                       "b", "left_anti").select("a", "b"))
+    return (hubs.select(F.lit("hub").alias("phase"), "node", "size")
+            .unionByName(comps(nodes, und, "before"))
+            .unionByName(comps(nodes_after, und_after, "after")))

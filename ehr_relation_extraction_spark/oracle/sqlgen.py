@@ -7446,3 +7446,64 @@ SELECT source, n_docs, n_keep, rate_micro6, global_rate_micro6,
        chi2_micro6,
        CAST(SUM(chi2_micro6) OVER () AS BIGINT) AS chi2_total_micro6
 FROM sg3"""
+
+
+# ---------------------------------------------------------------------------
+# Continuation batch 97: targeted-attack robustness — top-3 hubs by
+# distinct-neighbor degree, component sizes before/after removal
+# (operators/graph_algos.hub_robustness); closures are recursive
+# min-member reachability over the symmetrized canonical graph.
+
+ORACLE["hub_robustness"] = _q("""
+, ge AS (
+  SELECT s.component AS subj_node,
+         COALESCE(oc.component, COALESCE(og.canonical_id, 'surface:' || lower(t.obj))) AS obj_node
+  FROM triples t
+  JOIN linked l ON t.url = l.url AND t.subj_id = l.ent_id
+  JOIN components s ON l.canonical_id = s.node
+  LEFT JOIN gaz og ON lower(t.obj) = og.alias
+  LEFT JOIN components oc
+         ON COALESCE(og.canonical_id, 'surface:' || lower(t.obj)) = oc.node
+  GROUP BY 1, 2),
+rb_und AS MATERIALIZED (
+  SELECT LEAST(subj_node, obj_node) AS a,
+         GREATEST(subj_node, obj_node) AS b
+  FROM ge WHERE subj_node <> obj_node GROUP BY 1, 2),
+rb_nodes AS MATERIALIZED (
+  SELECT DISTINCT node FROM (
+    SELECT a AS node FROM rb_und UNION ALL SELECT b FROM rb_und)),
+rb_sym AS MATERIALIZED (
+  SELECT a, b FROM rb_und UNION SELECT b, a FROM rb_und),
+rb_deg AS MATERIALIZED (
+  SELECT a AS node, CAST(COUNT(DISTINCT b) AS BIGINT) AS size
+  FROM rb_sym GROUP BY 1),
+rb_hubs AS MATERIALIZED (
+  SELECT node, size FROM rb_deg ORDER BY size DESC, node ASC LIMIT 3),
+rb_clos_b(u, v) AS (
+  SELECT node AS u, node AS v FROM rb_nodes
+  UNION
+  SELECT c.u, e.b FROM rb_clos_b c JOIN rb_sym e ON e.a = c.v),
+rb_before AS MATERIALIZED (
+  SELECT u AS member, MIN(v) AS comp FROM rb_clos_b GROUP BY 1),
+rb_sym_a AS MATERIALIZED (
+  SELECT a, b FROM rb_sym
+  WHERE a NOT IN (SELECT node FROM rb_hubs)
+    AND b NOT IN (SELECT node FROM rb_hubs)),
+rb_nodes_a AS MATERIALIZED (
+  SELECT node FROM rb_nodes
+  WHERE node NOT IN (SELECT node FROM rb_hubs)),
+rb_clos_a(u, v) AS (
+  SELECT node AS u, node AS v FROM rb_nodes_a
+  UNION
+  SELECT c.u, e.b FROM rb_clos_a c JOIN rb_sym_a e ON e.a = c.v),
+rb_after AS MATERIALIZED (
+  SELECT u AS member, MIN(v) AS comp FROM rb_clos_a GROUP BY 1)
+SELECT 'hub' AS phase, node, size FROM rb_hubs
+UNION ALL
+SELECT 'before' AS phase, comp AS node,
+       CAST(COUNT(*) AS BIGINT) AS size
+FROM rb_before GROUP BY 2
+UNION ALL
+SELECT 'after' AS phase, comp AS node,
+       CAST(COUNT(*) AS BIGINT) AS size
+FROM rb_after GROUP BY 2""", LINK_CTES)

@@ -341,6 +341,9 @@ EXPECTED_TAIL = [
     # Continuation batch 96: gate-fairness chi-square per source —
     # appended past position 50.
     "source_gate_chi2",
+    # Continuation batch 97: hub-removal robustness probe — appended
+    # past position 50.
+    "hub_robustness",
 ]
 
 
