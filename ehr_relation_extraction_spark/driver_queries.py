@@ -2435,6 +2435,13 @@ def q_hub_robustness(spark, sf_dir) -> DataFrame:
     return hub_robustness(edges, k=3)
 
 
+def q_pii_scrub(spark, sf_dir) -> DataFrame:
+    """PII redaction pass: per-doc email/IPv4 counts + masked-text
+    sha256 over the synthetic contact-line fixture
+    (functions/textstats.pii_scrub)."""
+    return ts.pii_scrub(_docs(spark, sf_dir))
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # ORDER IS LOAD-BEARING: the driver snapshot verifies exactly
     # list(QUERIES)[:50] in insertion order (pinned by
@@ -2834,6 +2841,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # Continuation batch 97: hub-removal robustness probe — appended
     # past position 50.
     "hub_robustness": q_hub_robustness,
+    # Continuation batch 98: PII scrubbing pass — appended past
+    # position 50.
+    "pii_scrub": q_pii_scrub,
 }
 
 

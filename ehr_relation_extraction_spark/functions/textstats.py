@@ -1509,3 +1509,55 @@ def source_gate_chi2(docs: DataFrame) -> DataFrame:
             .select("source", "n_docs", "n_keep", "rate_micro6",
                     "global_rate_micro6", "chi2_micro6",
                     "chi2_total_micro6"))
+
+
+PII_EMAIL = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+PII_IPV4 = "\\b[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\b"
+
+
+def with_synth_pii(docs: DataFrame) -> DataFrame:
+    """Append a deterministic contact line (email + IPv4 derived from
+    doc_id) to every 3rd doc — the PII fixture both engines wrap
+    identically, same device as with_synth_lines/with_synth_quote."""
+    d = F.col("doc_id")
+    line = F.concat(
+        F.lit("\ncontact: user"), d.cast("string"),
+        F.lit("@mail"), (d % 7).cast("string"),
+        F.lit(".example.com from 10."), (d % 256).cast("string"),
+        F.lit("."), (d % 13).cast("string"),
+        F.lit("."), (d % 251).cast("string"))
+    return docs.withColumn(
+        "text",
+        F.when(F.pmod(d, F.lit(3)) == 0,
+               F.concat(F.col("text"), line))
+        .otherwise(F.col("text")))
+
+
+def pii_scrub(docs: DataFrame) -> DataFrame:
+    """Corpus PII scrubbing pass: count and mask email addresses and
+    IPv4 literals per document — the redaction stage a web-text
+    training pipeline runs between extraction and tokenization.
+    Patterns are deliberately restricted to greedy character-class
+    regexes with no ambiguous alternation, the fragment of regex
+    where Java (Spark) and RE2 (DuckDB) produce IDENTICAL matches —
+    that is what makes the scrubbed-text hash cross-engine exact.
+
+    Output: (doc_id, n_emails, n_ips, scrubbed_sha) — counts from
+    the pre-scrub text, hash over the masked text.
+
+    Scale: pure per-row codegen expressions (regexp_extract_all /
+    regexp_replace / sha2), no shuffle at all — the scan IS the
+    operator."""
+    t = F.col("text")
+    scrubbed = F.regexp_replace(
+        F.regexp_replace(t, PII_EMAIL, "<EMAIL>"),
+        PII_IPV4, "<IP>")
+    # patterns passed as lit() Columns, NOT as SQL string literals
+    # (Spark SQL literal parsing would eat the backslashes)
+    return with_synth_pii(docs).select(
+        "doc_id",
+        F.size(F.regexp_extract_all(t, F.lit(PII_EMAIL), F.lit(0)))
+        .cast("long").alias("n_emails"),
+        F.size(F.regexp_extract_all(t, F.lit(PII_IPV4), F.lit(0)))
+        .cast("long").alias("n_ips"),
+        F.sha2(scrubbed, 256).alias("scrubbed_sha"))

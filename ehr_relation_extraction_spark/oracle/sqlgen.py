@@ -7507,3 +7507,36 @@ UNION ALL
 SELECT 'after' AS phase, comp AS node,
        CAST(COUNT(*) AS BIGINT) AS size
 FROM rb_after GROUP BY 2""", LINK_CTES)
+
+
+# ---------------------------------------------------------------------------
+# Continuation batch 98: PII scrubbing — same synthetic contact-line
+# wrap, same greedy character-class regex fragment (identical
+# semantics in Java regex and RE2), counts + masked-text sha256
+# (functions/textstats.pii_scrub).
+
+_PII_EMAIL_SQL = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+_PII_IPV4_SQL = ("\\b[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}"
+                 "\\.[0-9]{1,3}\\b")
+
+ORACLE["pii_scrub"] = f"""
+WITH pii_wrapped AS (
+  SELECT doc_id,
+         CASE WHEN doc_id % 3 = 0 THEN text
+              || chr(10) || 'contact: user' || CAST(doc_id AS VARCHAR)
+              || '@mail' || CAST(doc_id % 7 AS VARCHAR)
+              || '.example.com from 10.'
+              || CAST(doc_id % 256 AS VARCHAR) || '.'
+              || CAST(doc_id % 13 AS VARCHAR) || '.'
+              || CAST(doc_id % 251 AS VARCHAR)
+              ELSE text END AS text
+  FROM documents)
+SELECT doc_id,
+       CAST(len(regexp_extract_all(text, '{_PII_EMAIL_SQL}'))
+         AS BIGINT) AS n_emails,
+       CAST(len(regexp_extract_all(text, '{_PII_IPV4_SQL}'))
+         AS BIGINT) AS n_ips,
+       sha256(regexp_replace(
+           regexp_replace(text, '{_PII_EMAIL_SQL}', '<EMAIL>', 'g'),
+           '{_PII_IPV4_SQL}', '<IP>', 'g')) AS scrubbed_sha
+FROM pii_wrapped"""

@@ -344,6 +344,9 @@ EXPECTED_TAIL = [
     # Continuation batch 97: hub-removal robustness probe — appended
     # past position 50.
     "hub_robustness",
+    # Continuation batch 98: PII scrubbing pass — appended past
+    # position 50.
+    "pii_scrub",
 ]
 
 
