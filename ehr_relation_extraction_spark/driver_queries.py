@@ -2442,6 +2442,15 @@ def q_pii_scrub(spark, sf_dir) -> DataFrame:
     return ts.pii_scrub(_docs(spark, sf_dir))
 
 
+def q_cusum_drift(spark, sf_dir) -> DataFrame:
+    """Online CUSUM drift alarms per event type per crawl day — the
+    prefix-sum closed form, the sequential sibling of the Kleinberg
+    burst labels (operators/events.cusum_drift)."""
+    from .operators.events import cusum_drift
+
+    return cusum_drift(spark.read.parquet(f"{sf_dir}/events.parquet"))
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # ORDER IS LOAD-BEARING: the driver snapshot verifies exactly
     # list(QUERIES)[:50] in insertion order (pinned by
@@ -2844,6 +2853,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # Continuation batch 98: PII scrubbing pass — appended past
     # position 50.
     "pii_scrub": q_pii_scrub,
+    # Continuation batch 99: CUSUM drift alarms — appended past
+    # position 50.
+    "cusum_drift": q_cusum_drift,
 }
 
 

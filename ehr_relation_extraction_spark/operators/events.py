@@ -305,3 +305,57 @@ def session_trigrams(events: DataFrame,
             .select("t1", "t2", "t3", "n_occurrences", "n_sessions",
                     F.expr("CAST(n_sessions * 1000000 DIV _tot"
                            " AS BIGINT)").alias("support_micro6")))
+
+
+def cusum_drift(events: DataFrame, k_den: int = 4, h_num: int = 3,
+                h_add: int = 5) -> DataFrame:
+    """One-sided CUSUM drift detection (Page '54) per event type over
+    the crawl-day spine: the sequential-change statistic
+    S_t = max(0, S_{t-1} + (r_t - mu - k)) with allowance
+    k = max(1, mu DIV k_den) and alarm threshold h = h_num*mu +
+    h_add.  Where Kleinberg labels sustained bursts by global
+    minimum cost, CUSUM is the ONLINE drift alarm — it fires as soon
+    as cumulative excess crosses h and resets when the excess
+    drains.
+
+    The recurrence is computed by its prefix-sum closed form
+    S_t = P_t - min(0, min_{j<=t} P_j) with P the running sum of
+    (r - mu - k) — two cumulative windows per type, NO recursion,
+    which is what makes it both shuffle-cheap and expressible as
+    plain window SQL in the oracle.  All quantities are exact
+    integers.
+
+    Output: (etype, day_idx, r, mu, cusum, alarm).
+
+    Scale: the dense grid is (type vocabulary x day spine) — bounded
+    dims, the crossJoin never touches the event stream (the
+    kleinberg_bursts device); windows partition by type, never
+    global."""
+    day = events.select(
+        F.expr("unix_micros(cast(ts as timestamp)) div 86400000000")
+        .cast("int").alias("day_idx"),
+        F.col("event_type").alias("etype"))
+    spine = day.select("day_idx").dropDuplicates()
+    types = day.select("etype").dropDuplicates()
+    sparse = day.groupBy("etype", "day_idx").agg(
+        F.count(F.lit(1)).cast("long").alias("r"))
+    grid = (types.crossJoin(spine)
+            .join(sparse, ["etype", "day_idx"], "left")
+            .na.fill(0, ["r"]))
+    mu = grid.groupBy("etype").agg(
+        F.expr("CAST(sum(r) DIV count(*) AS BIGINT)").alias("mu"))
+    g = (grid.join(mu, "etype")
+         .withColumn("_dev",
+                     F.col("r") - F.col("mu")
+                     - F.greatest(F.lit(1),
+                                  F.expr(f"mu DIV {k_den}"))))
+    w = (Window.partitionBy("etype").orderBy("day_idx")
+         .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    g = (g.withColumn("_p", F.sum("_dev").over(w))
+         .withColumn("_minp", F.min("_p").over(w)))
+    return g.select(
+        "etype", "day_idx", "r", "mu",
+        (F.col("_p") - F.least(F.lit(0), F.col("_minp")))
+        .cast("long").alias("cusum"),
+        ((F.col("_p") - F.least(F.lit(0), F.col("_minp")))
+         > F.col("mu") * h_num + h_add).cast("int").alias("alarm"))

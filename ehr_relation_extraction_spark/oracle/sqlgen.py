@@ -7540,3 +7540,46 @@ SELECT doc_id,
            regexp_replace(text, '{_PII_EMAIL_SQL}', '<EMAIL>', 'g'),
            '{_PII_IPV4_SQL}', '<IP>', 'g')) AS scrubbed_sha
 FROM pii_wrapped"""
+
+
+# ---------------------------------------------------------------------------
+# Continuation batch 99: one-sided CUSUM drift per event type — the
+# prefix-sum closed form S_t = P_t - min(0, min_prefix(P)) as plain
+# window SQL (operators/events.cusum_drift, k_den=4, h=3*mu+5).
+
+ORACLE["cusum_drift"] = """
+WITH cu_day AS (
+  SELECT CAST(epoch_us(ts) // 86400000000 AS INT) AS day_idx,
+         event_type AS etype
+  FROM events),
+cu_spine AS (SELECT DISTINCT day_idx FROM cu_day),
+cu_types AS (SELECT DISTINCT etype FROM cu_day),
+cu_sparse AS (
+  SELECT etype, day_idx, CAST(COUNT(*) AS BIGINT) AS r
+  FROM cu_day GROUP BY 1, 2),
+cu_grid AS (
+  SELECT t.etype, s.day_idx, COALESCE(x.r, 0) AS r
+  FROM cu_types t CROSS JOIN cu_spine s
+  LEFT JOIN cu_sparse x USING (etype, day_idx)),
+cu_mu AS (
+  SELECT etype, CAST(SUM(r) // COUNT(*) AS BIGINT) AS mu
+  FROM cu_grid GROUP BY 1),
+cu_dev AS (
+  SELECT g.etype, g.day_idx, g.r, m.mu,
+         g.r - m.mu - GREATEST(1, m.mu // 4) AS dev
+  FROM cu_grid g JOIN cu_mu m USING (etype)),
+cu_win AS (
+  SELECT *,
+         SUM(dev) OVER (PARTITION BY etype ORDER BY day_idx
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS p
+  FROM cu_dev),
+cu_s AS (
+  SELECT *,
+         MIN(p) OVER (PARTITION BY etype ORDER BY day_idx
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS minp
+  FROM cu_win)
+SELECT etype, day_idx, r, mu,
+       CAST(p - LEAST(0, minp) AS BIGINT) AS cusum,
+       CAST(CASE WHEN p - LEAST(0, minp) > mu * 3 + 5
+                 THEN 1 ELSE 0 END AS INT) AS alarm
+FROM cu_s"""

@@ -347,6 +347,9 @@ EXPECTED_TAIL = [
     # Continuation batch 98: PII scrubbing pass — appended past
     # position 50.
     "pii_scrub",
+    # Continuation batch 99: CUSUM drift alarms — appended past
+    # position 50.
+    "cusum_drift",
 ]
 
 
