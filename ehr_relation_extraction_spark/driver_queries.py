@@ -2451,6 +2451,12 @@ def q_cusum_drift(spark, sf_dir) -> DataFrame:
     return cusum_drift(spark.read.parquet(f"{sf_dir}/events.parquet"))
 
 
+def q_vocab_growth(spark, sf_dir) -> DataFrame:
+    """Heaps-law vocabulary growth curve at 50-doc buckets
+    (functions/textstats.vocab_growth)."""
+    return ts.vocab_growth(_docs(spark, sf_dir))
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # ORDER IS LOAD-BEARING: the driver snapshot verifies exactly
     # list(QUERIES)[:50] in insertion order (pinned by
@@ -2856,6 +2862,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # Continuation batch 99: CUSUM drift alarms — appended past
     # position 50.
     "cusum_drift": q_cusum_drift,
+    # Continuation batch 100: Heaps vocabulary growth — appended
+    # past position 50.
+    "vocab_growth": q_vocab_growth,
 }
 
 

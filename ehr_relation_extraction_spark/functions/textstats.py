@@ -1561,3 +1561,47 @@ def pii_scrub(docs: DataFrame) -> DataFrame:
         F.size(F.regexp_extract_all(t, F.lit(PII_IPV4), F.lit(0)))
         .cast("long").alias("n_ips"),
         F.sha2(scrubbed, 256).alias("scrubbed_sha"))
+
+
+def vocab_growth(docs: DataFrame, bucket_docs: int = 50) -> DataFrame:
+    """Heaps-law vocabulary growth curve: cumulative distinct token
+    types vs cumulative token volume, sampled at fixed doc-id
+    buckets — the curve a corpus owner reads to judge how much NEW
+    vocabulary the next crawl slice will buy (a flattening curve
+    says dedup/expansion, a steep one says keep crawling).
+
+    A token's first occurrence is attributed to its MIN doc_id (the
+    deterministic stand-in for arrival order); new-type and volume
+    counts aggregate per bucket = doc_id DIV bucket_docs, and the
+    cumulative sums run over the BUCKET table — bounded by
+    corpus/bucket_docs, never a corpus-sized window (the
+    value-table discipline).
+
+    Output: (bucket, n_docs, n_tokens, n_new_types, cum_tokens,
+    vocab_size)."""
+    from pyspark.sql import Window
+
+    toks = docs.select(
+        "doc_id", F.explode(_toks()).alias("tok"))
+    vol = toks.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_tok"))
+    first = toks.groupBy("tok").agg(F.min("doc_id").alias("doc_id"))
+    news = first.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_new"))
+    per_doc = (docs.select("doc_id")
+               .join(vol, "doc_id", "left")
+               .join(news, "doc_id", "left")
+               .fillna(0, ["n_tok", "n_new"]))
+    per_bucket = (per_doc
+                  .groupBy(F.expr(f"CAST(doc_id DIV {bucket_docs}"
+                                  " AS INT)").alias("bucket"))
+                  .agg(F.count(F.lit(1)).cast("long").alias("n_docs"),
+                       F.sum("n_tok").cast("long").alias("n_tokens"),
+                       F.sum("n_new").cast("long")
+                       .alias("n_new_types")))
+    w = (Window.orderBy("bucket")
+         .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    return per_bucket.select(
+        "bucket", "n_docs", "n_tokens", "n_new_types",
+        F.sum("n_tokens").over(w).cast("long").alias("cum_tokens"),
+        F.sum("n_new_types").over(w).cast("long").alias("vocab_size"))

@@ -7583,3 +7583,42 @@ SELECT etype, day_idx, r, mu,
        CAST(CASE WHEN p - LEAST(0, minp) > mu * 3 + 5
                  THEN 1 ELSE 0 END AS INT) AS alarm
 FROM cu_s"""
+
+
+# ---------------------------------------------------------------------------
+# Continuation batch 100: Heaps-law vocabulary growth at doc-id
+# bucket grain (functions/textstats.vocab_growth, bucket 50).
+
+ORACLE["vocab_growth"] = """
+WITH vg_toks AS (
+  SELECT doc_id,
+         unnest(list_filter(string_split_regex(text, '[\\n \\t]'),
+                x -> x <> '')) AS tok
+  FROM documents),
+vg_vol AS (
+  SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_tok
+  FROM vg_toks GROUP BY 1),
+vg_new AS (
+  SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_new
+  FROM (SELECT tok, MIN(doc_id) AS doc_id FROM vg_toks GROUP BY 1)
+  GROUP BY 1),
+vg_doc AS (
+  SELECT d.doc_id, COALESCE(v.n_tok, 0) AS n_tok,
+         COALESCE(n.n_new, 0) AS n_new
+  FROM documents d
+  LEFT JOIN vg_vol v USING (doc_id)
+  LEFT JOIN vg_new n USING (doc_id)),
+vg_bucket AS (
+  SELECT CAST(doc_id // 50 AS INT) AS bucket,
+         CAST(COUNT(*) AS BIGINT) AS n_docs,
+         CAST(SUM(n_tok) AS BIGINT) AS n_tokens,
+         CAST(SUM(n_new) AS BIGINT) AS n_new_types
+  FROM vg_doc GROUP BY 1)
+SELECT bucket, n_docs, n_tokens, n_new_types,
+       CAST(SUM(n_tokens) OVER (ORDER BY bucket
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+         AS BIGINT) AS cum_tokens,
+       CAST(SUM(n_new_types) OVER (ORDER BY bucket
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+         AS BIGINT) AS vocab_size
+FROM vg_bucket"""

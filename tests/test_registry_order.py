@@ -350,6 +350,9 @@ EXPECTED_TAIL = [
     # Continuation batch 99: CUSUM drift alarms — appended past
     # position 50.
     "cusum_drift",
+    # Continuation batch 100: Heaps vocabulary growth — appended
+    # past position 50.
+    "vocab_growth",
 ]
 
 
