@@ -986,3 +986,94 @@ def incremental_sessionize(spark, events_dir: str, out_dir: str,
             .option("checkpointLocation", checkpoint_dir)
             .trigger(**_trigger(None))
             .start())
+
+
+# ---------------------------------------------------------------------------
+# Streaming CUSUM drift alarms (continuation batch 101)
+
+CUSUM_OUTPUT_DDL = ("etype string, day_idx int, r long, cusum long, "
+                    "alarm int, ver int")
+CUSUM_STATE_DDL = "cur_day int, cur_cnt long, p long, minp long, ver int"
+
+_CUSUM_MINP_INIT = 1 << 62
+
+
+def _cusum_group_factory(mu: int, k: int, h: int):
+    """Per-type online CUSUM fold — the streaming twin of
+    operators/events.cusum_drift with a FIXED reference rate (the
+    true sequential form: mu/k/h are calibrated offline, the stream
+    only accumulates S_t = max(0, S + r - mu - k) day by day).
+
+    A day is FINALIZED when a later day first arrives (the open day
+    stays in state — its count may still grow within the same day),
+    and the gap days between a type's consecutive active days are
+    zero-filled, so alarms DRAIN during silence exactly like the
+    batch spine.  Same event-time-ordered micro-batch contract as
+    the DGIM twin."""
+    def fn(key: tuple, pdfs: Iterator[pd.DataFrame],
+           state: GroupState) -> Iterator[pd.DataFrame]:
+        cur_day, cur_cnt, p, minp, ver = (
+            tuple(state.get) if state.exists
+            else (-1, 0, 0, _CUSUM_MINP_INIT, 0))
+        per_day: dict[int, int] = {}
+        for pdf in pdfs:
+            for d in pdf["day_idx"]:
+                d = int(d)
+                per_day[d] = per_day.get(d, 0) + 1
+        if not per_day:
+            return
+        out = []
+        for day in sorted(per_day):
+            n = per_day[day]
+            if cur_day == -1:
+                cur_day, cur_cnt = day, n
+            elif day == cur_day:
+                cur_cnt += n
+            else:
+                # finalize the open day, zero-fill the gap
+                for d in range(cur_day, day):
+                    r = cur_cnt if d == cur_day else 0
+                    p += r - mu - k
+                    minp = min(minp, p)
+                    s = p - min(0, minp)
+                    ver += 1
+                    out.append((key[0], d, r, s, int(s > h), ver))
+                cur_day, cur_cnt = day, n
+        state.update((cur_day, cur_cnt, p, minp, ver))
+        if out:
+            yield pd.DataFrame(
+                out, columns=["etype", "day_idx", "r", "cusum",
+                              "alarm", "ver"])
+    return fn
+
+
+def incremental_cusum(spark, events_dir: str, out_dir: str,
+                      checkpoint_dir: str, mu: int = 8, k: int = 2,
+                      h: int = 29, ttl_ms: "int | None" = None):
+    """Streaming CUSUM drift alarms per event type — completed days
+    append to the sink as (etype, day_idx, r, cusum, alarm, ver);
+    replaying the same checkpoint is idempotent (no re-emits), and
+    the emitted series equals the serial recurrence over the same
+    per-day counts (tests/test_streaming_cusum.py).  The open
+    (newest) day is intentionally pending until a later day closes
+    it."""
+    from .stream import EVENTS_DDL
+
+    stream = (spark.readStream.schema(EVENTS_DDL)
+              .option("maxFilesPerTrigger", 2)
+              .parquet(events_dir))
+    items = stream.select(
+        F.col("event_type").alias("etype"),
+        F.expr("unix_micros(cast(ts as timestamp)) div 86400000000")
+        .cast("int").alias("day_idx"))
+    sk = (items.groupBy("etype")
+          .applyInPandasWithState(
+              _with_ttl(_cusum_group_factory(mu, k, h), ttl_ms),
+              CUSUM_OUTPUT_DDL, CUSUM_STATE_DDL,
+              outputMode="append",
+              timeoutConf=_timeout_conf(ttl_ms)))
+    return (sk.writeStream.outputMode("append")
+            .format("parquet").option("path", out_dir)
+            .option("checkpointLocation", checkpoint_dir)
+            .trigger(**_trigger(ttl_ms))
+            .start())
