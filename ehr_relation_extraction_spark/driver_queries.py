@@ -2457,6 +2457,15 @@ def q_vocab_growth(spark, sf_dir) -> DataFrame:
     return ts.vocab_growth(_docs(spark, sf_dir))
 
 
+def q_theil_sen_trend(spark, sf_dir) -> DataFrame:
+    """Robust median-slope trend per event type over the crawl-day
+    spine (operators/events.theil_sen_trend)."""
+    from .operators.events import theil_sen_trend
+
+    return theil_sen_trend(
+        spark.read.parquet(f"{sf_dir}/events.parquet"))
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # ORDER IS LOAD-BEARING: the driver snapshot verifies exactly
     # list(QUERIES)[:50] in insertion order (pinned by
@@ -2865,6 +2874,10 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # Continuation batch 100: Heaps vocabulary growth — appended
     # past position 50.
     "vocab_growth": q_vocab_growth,
+    # Continuation batch 102: Theil-Sen robust trend — appended past
+    # position 50 (batch 101 is the streaming CUSUM twin, pytest-
+    # gated like all streaming ops).
+    "theil_sen_trend": q_theil_sen_trend,
 }
 
 

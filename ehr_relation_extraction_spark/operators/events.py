@@ -359,3 +359,59 @@ def cusum_drift(events: DataFrame, k_den: int = 4, h_num: int = 3,
         .cast("long").alias("cusum"),
         ((F.col("_p") - F.least(F.lit(0), F.col("_minp")))
          > F.col("mu") * h_num + h_add).cast("int").alias("alarm"))
+
+
+def theil_sen_trend(events: DataFrame) -> DataFrame:
+    """Theil-Sen robust trend per event type over the crawl-day
+    spine: the MEDIAN of all pairwise slopes (r_j - r_i)/(j - i) —
+    the estimator that shrugs off the outlier days that wreck a
+    least-squares fit (up to ~29% contamination).
+
+    Slopes are micro6 integers by TRUNCATING division toward zero —
+    measured behavior of BOTH engines on negative numerators
+    (Spark DIV and DuckDB // both give -7/2 = -3), so the raw
+    integer division is already cross-engine exact; the median is
+    the lower nearest-rank over (slope, i, j) order.  Fully
+    deterministic.
+
+    Output: (etype, n_days, n_pairs, slope_micro6).
+
+    Scale: the pair self-join runs on the (type x day-spine) grid —
+    both bounded dimensions (a trend window is days-to-months, never
+    corpus-sized), so the quadratic is T(T-1)/2 over T = spine
+    length, keyed by etype."""
+    from pyspark.sql import Window
+
+    day = events.select(
+        F.expr("unix_micros(cast(ts as timestamp)) div 86400000000")
+        .cast("int").alias("day_idx"),
+        F.col("event_type").alias("etype"))
+    spine = day.select("day_idx").dropDuplicates()
+    types = day.select("etype").dropDuplicates()
+    sparse = day.groupBy("etype", "day_idx").agg(
+        F.count(F.lit(1)).cast("long").alias("r"))
+    grid = (types.crossJoin(spine)
+            .join(sparse, ["etype", "day_idx"], "left")
+            .na.fill(0, ["r"]))
+    a = grid.select("etype", F.col("day_idx").alias("i"),
+                    F.col("r").alias("ri"))
+    b = grid.select("etype", F.col("day_idx").alias("j"),
+                    F.col("r").alias("rj"))
+    pairs = (a.join(b, "etype").where(F.col("j") > F.col("i"))
+             .withColumn(
+                 "_num", (F.col("rj") - F.col("ri")) * 1000000)
+             .withColumn("_den", F.col("j") - F.col("i"))
+             .withColumn(
+                 "slope", F.expr("_num DIV _den").cast("long")))
+    w = Window.partitionBy("etype").orderBy("slope", "i", "j")
+    wc = Window.partitionBy("etype")
+    ranked = (pairs.withColumn("_rk", F.row_number().over(w) - 1)
+              .withColumn("_n", F.count(F.lit(1)).over(wc)))
+    return (ranked
+            .where(F.col("_rk") == F.expr("(_n - 1) DIV 2"))
+            .join(grid.groupBy("etype")
+                  .agg(F.count(F.lit(1)).cast("long")
+                       .alias("n_days")), "etype")
+            .select("etype", "n_days",
+                    F.col("_n").cast("long").alias("n_pairs"),
+                    F.col("slope").alias("slope_micro6")))

@@ -7622,3 +7622,43 @@ SELECT bucket, n_docs, n_tokens, n_new_types,
            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
          AS BIGINT) AS vocab_size
 FROM vg_bucket"""
+
+
+# ---------------------------------------------------------------------------
+# Continuation batch 102: Theil-Sen robust trend per event type —
+# median pairwise slope; both engines TRUNCATE integer division
+# toward zero on negatives (measured), so raw // == Spark DIV
+# (operators/events.theil_sen_trend).
+
+ORACLE["theil_sen_trend"] = """
+WITH tst_day AS (
+  SELECT CAST(epoch_us(ts) // 86400000000 AS INT) AS day_idx,
+         event_type AS etype
+  FROM events),
+tst_spine AS (SELECT DISTINCT day_idx FROM tst_day),
+tst_types AS (SELECT DISTINCT etype FROM tst_day),
+tst_sparse AS (
+  SELECT etype, day_idx, CAST(COUNT(*) AS BIGINT) AS r
+  FROM tst_day GROUP BY 1, 2),
+tst_grid AS (
+  SELECT t.etype, s.day_idx, COALESCE(x.r, 0) AS r
+  FROM tst_types t CROSS JOIN tst_spine s
+  LEFT JOIN tst_sparse x USING (etype, day_idx)),
+tst_pairs AS (
+  SELECT a.etype, a.day_idx AS i, b.day_idx AS j,
+         CAST(((b.r - a.r) * 1000000) // (b.day_idx - a.day_idx)
+           AS BIGINT) AS slope
+  FROM tst_grid a JOIN tst_grid b
+    ON a.etype = b.etype AND b.day_idx > a.day_idx),
+tst_ranked AS (
+  SELECT *,
+         ROW_NUMBER() OVER (PARTITION BY etype
+             ORDER BY slope, i, j) - 1 AS rk,
+         COUNT(*) OVER (PARTITION BY etype) AS n
+  FROM tst_pairs)
+SELECT r.etype,
+       CAST((SELECT COUNT(*) FROM tst_spine) AS BIGINT) AS n_days,
+       CAST(r.n AS BIGINT) AS n_pairs,
+       r.slope AS slope_micro6
+FROM tst_ranked r
+WHERE r.rk = (r.n - 1) // 2"""

@@ -353,6 +353,9 @@ EXPECTED_TAIL = [
     # Continuation batch 100: Heaps vocabulary growth — appended
     # past position 50.
     "vocab_growth",
+    # Continuation batch 102: Theil-Sen robust trend — appended past
+    # position 50 (batch 101 is the streaming CUSUM twin).
+    "theil_sen_trend",
 ]
 
 
