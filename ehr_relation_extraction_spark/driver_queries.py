@@ -2457,6 +2457,20 @@ def q_vocab_growth(spark, sf_dir) -> DataFrame:
     return ts.vocab_growth(_docs(spark, sf_dir))
 
 
+def q_benford_digits(spark, sf_dir) -> DataFrame:
+    """Benford first-digit forensics (operators/triples.benford_digits)
+    over the union of KG object literals and the event props payloads
+    (the synthetic corpus's triples carry no numeric literal, so the
+    events side keeps the profile non-degenerate while the triples
+    side still exercises the KG pass-through)."""
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    pairs = (_frames(spark, sf_dir).triples.select("pred", "obj")
+             .unionByName(ev.select(
+                 F.col("event_type").alias("pred"),
+                 F.col("props").alias("obj"))))
+    return tri_op.benford_digits(pairs)
+
+
 def q_theil_sen_trend(spark, sf_dir) -> DataFrame:
     """Robust median-slope trend per event type over the crawl-day
     spine (operators/events.theil_sen_trend)."""
@@ -2878,6 +2892,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # position 50 (batch 101 is the streaming CUSUM twin, pytest-
     # gated like all streaming ops).
     "theil_sen_trend": q_theil_sen_trend,
+    "benford_digits": q_benford_digits,
 }
 
 

@@ -1062,6 +1062,82 @@ def literal_profiles(triples: DataFrame) -> DataFrame:
                  F.sum("_m").cast("long").alias("sum_micro")))
 
 
+# floor(log10(1 + 1/d) * 1e6) for d = 1..9: the Benford expected
+# first-digit shares as exact integer literals, identical on both
+# engines (no runtime log10 — floats never materialize).
+_BENFORD_MICRO6 = (301029, 176091, 124938, 96910, 79181,
+                   66946, 57991, 51152, 45757)
+
+
+def benford_digits(triples: DataFrame) -> DataFrame:
+    """Benford first-significant-digit forensics per predicate — the
+    extraction-noise detector for numeric literals: natural magnitude
+    data (Money, population-like Counts) follows Benford's law, while
+    template artifacts, unit-confused parses, or fabricated fills show
+    up as digit spikes (a wall of "$9.99" prices, a scraper that
+    duplicates "2024" into Money slots).
+
+    Digit extraction is pure string algebra shared with
+    ``literal_profiles``: take the first numeric run (int part +
+    optional fraction), strip commas/dot, strip leading zeros, first
+    remaining char is the first significant digit.  Rows with no
+    nonzero digit are excluded (a literal "0.00" has no Benford
+    digit).
+
+    Output: one row per (pred, digit 1..9) — zero-count digits
+    included, so the 9-row profile is always complete —
+
+        (pred, digit, n_obs, n_total, obs_micro6, exp_micro6,
+         dev_micro6, mad_micro6)
+
+    where obs_micro6 = n_obs*1e6 DIV n_total, exp_micro6 is the
+    Benford table constant, dev = |obs - exp|, and mad_micro6 (the
+    standard Benford MAD conformity score, repeated on each of the
+    pred's 9 rows) = sum(dev over 9 digits) DIV 9.
+
+    Plan: distinct fact projection, ONE pred-keyed aggregate building
+    the 9 conditional counts as an array, then posexplode + row-local
+    integer algebra — the only shuffles are the fact distinct and a
+    |preds|-row aggregate."""
+    facts = triples.select("pred", "obj").dropDuplicates()
+    digits = F.regexp_replace(
+        F.regexp_replace(
+            F.regexp_extract("obj", r"([0-9][0-9,]*)(\.[0-9]+)?", 0),
+            r"[^0-9]", ""),
+        r"^0+", "")
+    d = F.when(digits != "", F.substring(digits, 1, 1).cast("int"))
+    counts = (facts.select("pred", d.alias("_d"))
+              .where(F.col("_d").isNotNull())
+              .groupBy("pred")
+              .agg(F.array(*[
+                  F.sum(F.when(F.col("_d") == i, 1).otherwise(0))
+                  .cast("long")
+                  for i in range(1, 10)]).alias("_c")))
+    exp_arr = F.array(*[F.lit(c).cast("long")
+                        for c in _BENFORD_MICRO6])
+    row = (counts
+           .withColumn("n_total", F.expr(
+               "aggregate(_c, CAST(0 AS BIGINT), (a, x) -> a + x)"))
+           .withColumn("_exp", exp_arr)
+           .select("pred", "n_total",
+                   F.posexplode("_c").alias("_i", "n_obs"),
+                   F.col("_exp"))
+           .withColumn("digit", (F.col("_i") + 1).cast("int"))
+           .withColumn("obs_micro6", F.expr(
+               "CAST(n_obs * 1000000 DIV n_total AS BIGINT)"))
+           .withColumn("exp_micro6",
+                       F.element_at("_exp", F.col("digit"))))
+    row = row.withColumn(
+        "dev_micro6",
+        F.abs(F.col("obs_micro6") - F.col("exp_micro6")).cast("long"))
+    mad = (row.groupBy("pred")
+           .agg(F.expr("CAST(SUM(dev_micro6) DIV 9 AS BIGINT)")
+                .alias("mad_micro6")))
+    return (row.join(mad, "pred")
+            .select("pred", "digit", "n_obs", "n_total", "obs_micro6",
+                    "exp_micro6", "dev_micro6", "mad_micro6"))
+
+
 def kg_completeness(triples: DataFrame) -> DataFrame:
     """Per-subject schema completeness — the recall-style KG KPI: how
     many of the corpus's predicates does each subject carry?  The

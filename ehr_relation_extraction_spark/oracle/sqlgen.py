@@ -7662,3 +7662,56 @@ SELECT r.etype,
        r.slope AS slope_micro6
 FROM tst_ranked r
 WHERE r.rk = (r.n - 1) // 2"""
+
+
+# ---------------------------------------------------------------------------
+# Continuation batch 103: Benford first-significant-digit forensics
+# per predicate over the numeric literals
+# (operators/triples.benford_digits).  Expected shares are the
+# floor(log10(1+1/d)*1e6) integer literals baked into the operator —
+# no runtime log10 on either engine.
+
+ORACLE["benford_digits"] = _q(r"""
+SELECT r.pred, r.digit, r.n_obs, r.n_total,
+       CAST(r.n_obs * 1000000 // r.n_total AS BIGINT) AS obs_micro6,
+       r.exp_micro6,
+       r.dev_micro6,
+       m.mad_micro6
+FROM bf_row r JOIN (
+  SELECT pred, CAST(SUM(dev_micro6) // 9 AS BIGINT) AS mad_micro6
+  FROM bf_row GROUP BY pred) m ON m.pred = r.pred""", r"""
+bf_d AS (
+  SELECT pred,
+         CAST(substr(sig, 1, 1) AS INT) AS d
+  FROM (
+    SELECT pred,
+           regexp_replace(regexp_replace(
+               regexp_extract(obj,
+                   '([0-9][0-9,]*)(\.[0-9]+)?', 0),
+               '[^0-9]', '', 'g'), '^0+', '') AS sig
+    FROM (SELECT DISTINCT pred, obj FROM (
+            SELECT pred, obj FROM triples
+            UNION ALL
+            SELECT event_type AS pred, props AS obj FROM events)))
+  WHERE sig <> '')""", """
+bf_digits AS (SELECT UNNEST(generate_series(1, 9)) AS digit)""", """
+bf_exp AS (
+  SELECT digit,
+         CASE digit WHEN 1 THEN 301029 WHEN 2 THEN 176091
+                    WHEN 3 THEN 124938 WHEN 4 THEN 96910
+                    WHEN 5 THEN 79181 WHEN 6 THEN 66946
+                    WHEN 7 THEN 57991 WHEN 8 THEN 51152
+                    WHEN 9 THEN 45757 END AS exp_micro6
+  FROM bf_digits)""", """
+bf_row AS (
+  SELECT p.pred, g.digit,
+         CAST(COALESCE(c.n, 0) AS BIGINT) AS n_obs,
+         p.n_total, g.exp_micro6,
+         CAST(abs(COALESCE(c.n, 0) * 1000000 // p.n_total
+                  - g.exp_micro6) AS BIGINT) AS dev_micro6
+  FROM (SELECT pred, CAST(COUNT(*) AS BIGINT) AS n_total
+        FROM bf_d GROUP BY pred) p
+  CROSS JOIN bf_exp g
+  LEFT JOIN (SELECT pred, d, COUNT(*) AS n FROM bf_d
+             GROUP BY pred, d) c
+    ON c.pred = p.pred AND c.d = g.digit)""")

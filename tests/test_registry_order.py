@@ -356,6 +356,9 @@ EXPECTED_TAIL = [
     # Continuation batch 102: Theil-Sen robust trend — appended past
     # position 50 (batch 101 is the streaming CUSUM twin).
     "theil_sen_trend",
+    # Continuation batch 103: Benford first-digit forensics —
+    # appended past position 50.
+    "benford_digits",
 ]
 
 
