@@ -2471,6 +2471,17 @@ def q_benford_digits(spark, sf_dir) -> DataFrame:
     return tri_op.benford_digits(pairs)
 
 
+def q_mmr_rerank(spark, sf_dir) -> DataFrame:
+    """MMR diversified reranking of the query-0 retrieval shortlist
+    (operators/similarity.mmr_rerank): 10 greedy integer rounds over
+    the 50-candidate top-relevance shortlist, lambda = 0.70."""
+    from .operators.similarity import mmr_rerank
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    return mmr_rerank(emb, query_id=0, n_candidates=50, k=10,
+                      lam_pct=70)
+
+
 def q_theil_sen_trend(spark, sf_dir) -> DataFrame:
     """Robust median-slope trend per event type over the crawl-day
     spine (operators/events.theil_sen_trend)."""
@@ -2893,6 +2904,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # gated like all streaming ops).
     "theil_sen_trend": q_theil_sen_trend,
     "benford_digits": q_benford_digits,
+    "mmr_rerank": q_mmr_rerank,
 }
 
 

@@ -500,3 +500,81 @@ def srp_multiprobe_topk(emb: DataFrame, bits: int = ANN_SIGN_BITS,
                             F.row_number().over(w).cast("int"))
             .where(F.col("rank") <= k)
             .select("query_id", "rank", "neighbor_id", "sim_micro6"))
+
+
+def mmr_rerank(emb: DataFrame, query_id: int = 0,
+               n_candidates: int = 50, k: int = 10,
+               lam_pct: int = 70) -> DataFrame:
+    """Maximal Marginal Relevance (Carbonell-Goldstein '98)
+    diversified reranking of a retrieval shortlist: greedily pick k
+    results, each round taking the candidate maximizing
+
+        lam * relevance - (100 - lam) * max_sim_to_already_picked
+
+    so near-duplicate hits (syndicated copies, mirror pages) don't
+    crowd the result page — the standard diversity pass a web-scale
+    retrieval stack runs after ANN + rerank.
+
+    All decisions are integers: relevance and pairwise similarity use
+    the engine's established floor(cosine * 1e6) device, the MMR score
+    is the exact integer ``lam_pct*rel - (100-lam_pct)*maxsim``, ties
+    break on the smaller vec_id — so the greedy is bit-reproducible
+    and the DuckDB oracle unrolls the k rounds as chained CTEs.
+
+    Scale: the shortlist is ``n_candidates`` rows by construction
+    (top-N by relevance — at 100 TB this arrives from ann_topk /
+    pq_rerank, never a corpus scan), so every per-round frame is
+    bounded; the selected vector re-enters as a broadcast 1-row
+    crossJoin (the engine's sanctioned lazy-scalar device) and the
+    running max-similarity column updates incrementally — no
+    candidate x candidate matrix is ever materialized.
+
+    Output: (pick_rank, vec_id, rel_micro6, maxsim_micro6, mmr_score)
+    in pick order.
+    """
+    spark = emb.sparkSession
+    base = _with_norm(emb.select("vec_id", "embedding"), "embedding")
+    q = (base.where(F.col("vec_id") == query_id)
+         .select(F.col("_v").alias("_qv"), F.col("_norm").alias("_qn")))
+    cand = (base.where(F.col("vec_id") != query_id)
+            .crossJoin(F.broadcast(q))  # 1-row scalar: stays lazy
+            .select("vec_id", "_v", "_norm",
+                    F.floor(_dot(F.col("_v"), F.col("_qv"))
+                            / (F.col("_norm") * F.col("_qn"))
+                            * 1000000).cast("long").alias("rel_micro6"))
+            .orderBy(F.col("rel_micro6").desc(), F.col("vec_id"))
+            .limit(n_candidates)  # bounded: the shortlist contract
+            # NULL until the first pick lands: cosine can be NEGATIVE,
+            # so a 0 init would clamp the diversity penalty upward.
+            # greatest() skips NULLs, so the first update replaces it.
+            .withColumn("maxsim_micro6", F.lit(None).cast("long"))
+            .localCheckpoint())
+    out: list[tuple] = []
+    for rank in range(1, k + 1):
+        penalty = F.coalesce(F.col("maxsim_micro6"), F.lit(0))
+        score = (F.lit(lam_pct) * F.col("rel_micro6")
+                 - F.lit(100 - lam_pct) * penalty)
+        best = (cand.withColumn("_s", score.cast("long"))
+                .orderBy(F.col("_s").desc(), F.col("vec_id"))
+                .limit(1).collect())  # bounded: 1 row
+        if not best:
+            break
+        b = best[0]
+        out.append((rank, int(b["vec_id"]), int(b["rel_micro6"]),
+                    int(b["maxsim_micro6"] or 0), int(b["_s"])))
+        sel = spark.createDataFrame(
+            [([float(x) for x in b["_v"]],)], "_bv array<double>"
+        ).withColumn("_bn", F.sqrt(_dot(F.col("_bv"), F.col("_bv"))))
+        cand = (cand.where(F.col("vec_id") != int(b["vec_id"]))
+                .crossJoin(F.broadcast(sel))  # 1-row scalar
+                .withColumn(
+                    "maxsim_micro6",
+                    F.greatest(
+                        F.col("maxsim_micro6"),
+                        F.floor(_dot(F.col("_v"), F.col("_bv"))
+                                / (F.col("_norm") * F.col("_bn"))
+                                * 1000000).cast("long")))
+                .drop("_bv", "_bn").localCheckpoint())
+    return spark.createDataFrame(
+        out, "pick_rank int, vec_id long, rel_micro6 long, "
+             "maxsim_micro6 long, mmr_score long")

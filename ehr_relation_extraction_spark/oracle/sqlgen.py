@@ -7715,3 +7715,56 @@ bf_row AS (
   LEFT JOIN (SELECT pred, d, COUNT(*) AS n FROM bf_d
              GROUP BY pred, d) c
     ON c.pred = p.pred AND c.d = g.digit)""")
+
+
+# ---------------------------------------------------------------------------
+# Continuation batch 104: MMR diversified reranking — the k greedy
+# rounds unrolled as chained MATERIALIZED CTEs over the same
+# floor(cosine*1e6) integer scores the Spark operator uses
+# (operators/similarity.mmr_rerank).
+
+def _mmr_sql(k: int = 10, n_candidates: int = 50,
+             lam_pct: int = 70, query_id: int = 0) -> str:
+    mu = 100 - lam_pct
+    blocks = [f"""
+mmr_cand AS MATERIALIZED (
+  SELECT c.vec_id,
+         CAST(floor(1000000 * list_dot_product(q.v, c.v)
+                    / (q.nrm * c.nrm)) AS BIGINT) AS rel
+  FROM normed q JOIN normed c ON c.vec_id <> q.vec_id
+  WHERE q.vec_id = {query_id}
+  ORDER BY rel DESC, c.vec_id LIMIT {n_candidates})""", f"""
+mmr_sim AS MATERIALIZED (
+  SELECT a.vec_id AS a, b.vec_id AS b,
+         CAST(floor(1000000 * list_dot_product(na.v, nb.v)
+                    / (na.nrm * nb.nrm)) AS BIGINT) AS s
+  FROM mmr_cand a JOIN mmr_cand b ON a.vec_id <> b.vec_id
+  JOIN normed na ON na.vec_id = a.vec_id
+  JOIN normed nb ON nb.vec_id = b.vec_id)""", f"""
+pick1 AS MATERIALIZED (
+  SELECT 1 AS pick_rank, vec_id, rel AS rel_micro6,
+         CAST(0 AS BIGINT) AS maxsim_micro6,
+         CAST({lam_pct} * rel AS BIGINT) AS mmr_score
+  FROM mmr_cand ORDER BY rel DESC, vec_id LIMIT 1)"""]
+    for r in range(2, k + 1):
+        sel = " UNION ALL ".join(
+            f"SELECT vec_id FROM pick{i}" for i in range(1, r))
+        blocks.append(f"""
+pick{r} AS MATERIALIZED (
+  SELECT {r} AS pick_rank, c.vec_id, c.rel AS rel_micro6,
+         m.maxsim AS maxsim_micro6,
+         CAST({lam_pct} * c.rel - {mu} * m.maxsim AS BIGINT)
+           AS mmr_score
+  FROM mmr_cand c JOIN (
+    SELECT s.a AS vec_id, MAX(s.s) AS maxsim FROM mmr_sim s
+    WHERE s.b IN ({sel}) GROUP BY s.a) m ON m.vec_id = c.vec_id
+  WHERE c.vec_id NOT IN ({sel})
+  ORDER BY mmr_score DESC, c.vec_id LIMIT 1)""")
+    union = "\nUNION ALL\n".join(
+        f"SELECT * FROM pick{i}" for i in range(1, k + 1))
+    return ",".join(blocks) + "\n" + union
+
+
+ORACLE["mmr_rerank"] = _assemble(
+    SIM_CTES.lstrip(",").strip(), _mmr_sql(10, 50, 70, 0),
+    select="")

@@ -359,6 +359,9 @@ EXPECTED_TAIL = [
     # Continuation batch 103: Benford first-digit forensics —
     # appended past position 50.
     "benford_digits",
+    # Continuation batch 104: MMR diversified reranking — appended
+    # past position 50.
+    "mmr_rerank",
 ]
 
 
