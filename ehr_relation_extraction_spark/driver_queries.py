@@ -2482,6 +2482,12 @@ def q_mmr_rerank(spark, sf_dir) -> DataFrame:
                       lam_pct=70)
 
 
+def q_bpe_merges(spark, sf_dir) -> DataFrame:
+    """First 12 BPE merge rules trained on the corpus word-frequency
+    table (functions/textstats.bpe_merges)."""
+    return ts.bpe_merges(_docs(spark, sf_dir), n_merges=12)
+
+
 def q_theil_sen_trend(spark, sf_dir) -> DataFrame:
     """Robust median-slope trend per event type over the crawl-day
     spine (operators/events.theil_sen_trend)."""
@@ -2905,6 +2911,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "theil_sen_trend": q_theil_sen_trend,
     "benford_digits": q_benford_digits,
     "mmr_rerank": q_mmr_rerank,
+    "bpe_merges": q_bpe_merges,
 }
 
 

@@ -1605,3 +1605,71 @@ def vocab_growth(docs: DataFrame, bucket_docs: int = 50) -> DataFrame:
         "bucket", "n_docs", "n_tokens", "n_new_types",
         F.sum("n_tokens").over(w).cast("long").alias("cum_tokens"),
         F.sum("n_new_types").over(w).cast("long").alias("vocab_size"))
+
+
+def bpe_merges(docs: DataFrame, n_merges: int = 12) -> DataFrame:
+    """Byte-pair-encoding merge training (Sennrich et al. '16, the
+    word-frequency formulation every production tokenizer trainer
+    uses): learn the first ``n_merges`` merge rules by repeatedly
+    fusing the most frequent adjacent symbol pair.
+
+    The corpus is scanned EXACTLY ONCE into a (word, count) frequency
+    table; every subsequent round runs over that vocabulary table
+    only — at 100 TB the corpus scan is petabyte-scale but the vocab
+    table is ~10^7 rows, so the k training rounds cost k small-table
+    shuffles, never k corpus passes (the classic trainer split).
+
+    Symbol sequences are carried as paren-delimited strings
+    ``(k)(e)(y)(</w>)``; merging pair (l, r) is the single built-in
+    ``replace(s, '(l)(r)', '(lr)')`` — leftmost non-overlapping, the
+    standard BPE convention, and char-exact between Spark's replace
+    and DuckDB's (pinned by the planted aaaa -> (aa)(aa) test).  The
+    paren fence makes cross-symbol false matches impossible because
+    symbols never contain parens.
+
+    Argmax per round is a distributed top-1 (count desc, lhs asc,
+    rhs asc — total order, bit-reproducible); the winning row is a
+    bounded 1-row collect per round, same device as mmr_rerank.
+
+    Output: (merge_rank, lhs, rhs, pair_count, new_symbol) — the
+    ordered merge table a tokenizer ships as tokenizer.json.
+    """
+    spark = docs.sparkSession
+    vocab = (docs.select(F.explode(_toks()).alias("tok"))
+             .groupBy("tok")
+             .agg(F.count(F.lit(1)).cast("long").alias("cnt")))
+    words = vocab.select(
+        "cnt",
+        F.concat(F.regexp_replace("tok", "(.)", r"($1)"),
+                 F.lit("(</w>)")).alias("s")).localCheckpoint()
+    out: list[tuple] = []
+    for rank in range(1, n_merges + 1):
+        syms = F.split(F.expr("substring(s, 2, length(s)-2)"),
+                       r"\)\(")
+        pairs = (words
+                 .select("cnt", syms.alias("syms"))
+                 .where(F.size("syms") >= 2)
+                 .select("cnt", F.explode(F.arrays_zip(
+                     F.slice("syms", 1, F.size("syms") - 1),
+                     F.slice(F.col("syms"), 2, F.size("syms") - 1)))
+                     .alias("p"))
+                 .select("cnt", F.col("p")["0"].alias("lhs"),
+                         F.col("p")["1"].alias("rhs"))
+                 .groupBy("lhs", "rhs")
+                 .agg(F.sum("cnt").cast("long").alias("c")))
+        best = (pairs.orderBy(F.col("c").desc(), "lhs", "rhs")
+                .limit(1).collect())  # bounded: 1 row
+        if not best:
+            break
+        b = best[0]
+        merged = b["lhs"] + b["rhs"]
+        out.append((rank, b["lhs"], b["rhs"], int(b["c"]), merged))
+        words = (words.withColumn(
+            "s", F.replace(
+                F.col("s"),
+                F.lit(f"({b['lhs']})({b['rhs']})"),
+                F.lit(f"({merged})")))
+            .localCheckpoint())
+    return spark.createDataFrame(
+        out, "merge_rank int, lhs string, rhs string, "
+             "pair_count long, new_symbol string")

@@ -7768,3 +7768,50 @@ pick{r} AS MATERIALIZED (
 ORACLE["mmr_rerank"] = _assemble(
     SIM_CTES.lstrip(",").strip(), _mmr_sql(10, 50, 70, 0),
     select="")
+
+
+# ---------------------------------------------------------------------------
+# Continuation batch 105: BPE merge training — the k greedy
+# most-frequent-pair rounds unrolled as chained MATERIALIZED CTEs
+# over the same paren-delimited symbol strings the Spark operator
+# carries (functions/textstats.bpe_merges).
+
+def _bpe_sql(n_merges: int = 12) -> str:
+    blocks = [r"""
+bpe_voc AS MATERIALIZED (
+  SELECT tok, CAST(COUNT(*) AS BIGINT) AS cnt
+  FROM (SELECT unnest(list_filter(string_split_regex(text, '[\n \t]'),
+                      x -> x <> '')) AS tok
+        FROM documents)
+  GROUP BY tok),
+bpe_w0 AS MATERIALIZED (
+  SELECT cnt, regexp_replace(tok, '(.)', '(\1)', 'g') || '(</w>)' AS s
+  FROM bpe_voc)"""]
+    for r in range(1, n_merges + 1):
+        blocks.append(f"""
+bpe_p{r} AS MATERIALIZED (
+  SELECT p[1] AS lhs, p[2] AS rhs, CAST(SUM(cnt) AS BIGINT) AS c
+  FROM (SELECT cnt,
+               unnest(list_zip(syms[1:length(syms)-1],
+                               syms[2:length(syms)])) AS p
+        FROM (SELECT cnt,
+                     string_split(substring(s, 2, length(s)-2),
+                                  ')(') AS syms
+              FROM bpe_w{r - 1})
+        WHERE length(syms) >= 2)
+  GROUP BY 1, 2),
+bpe_m{r} AS MATERIALIZED (
+  SELECT {r} AS merge_rank, lhs, rhs, c AS pair_count,
+         lhs || rhs AS new_symbol
+  FROM bpe_p{r} ORDER BY c DESC, lhs, rhs LIMIT 1),
+bpe_w{r} AS MATERIALIZED (
+  SELECT w.cnt,
+         replace(w.s, '(' || m.lhs || ')(' || m.rhs || ')',
+                 '(' || m.new_symbol || ')') AS s
+  FROM bpe_w{r - 1} w, bpe_m{r} m)""")
+    union = "\nUNION ALL\n".join(
+        f"SELECT * FROM bpe_m{i}" for i in range(1, n_merges + 1))
+    return "WITH " + ",".join(blocks) + "\n" + union
+
+
+ORACLE["bpe_merges"] = _bpe_sql(12)

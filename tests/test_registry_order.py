@@ -362,6 +362,9 @@ EXPECTED_TAIL = [
     # Continuation batch 104: MMR diversified reranking — appended
     # past position 50.
     "mmr_rerank",
+    # Continuation batch 105: BPE merge training — appended past
+    # position 50.
+    "bpe_merges",
 ]
 
 
