@@ -2488,6 +2488,12 @@ def q_bpe_merges(spark, sf_dir) -> DataFrame:
     return ts.bpe_merges(_docs(spark, sf_dir), n_merges=12)
 
 
+def q_bpe_compression(spark, sf_dir) -> DataFrame:
+    """Corpus token cost + vocab size after each of the first 12 BPE
+    merges (functions/textstats.bpe_compression)."""
+    return ts.bpe_compression(_docs(spark, sf_dir), n_merges=12)
+
+
 def q_theil_sen_trend(spark, sf_dir) -> DataFrame:
     """Robust median-slope trend per event type over the crawl-day
     spine (operators/events.theil_sen_trend)."""
@@ -2912,6 +2918,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "benford_digits": q_benford_digits,
     "mmr_rerank": q_mmr_rerank,
     "bpe_merges": q_bpe_merges,
+    "bpe_compression": q_bpe_compression,
 }
 
 

@@ -1634,7 +1634,21 @@ def bpe_merges(docs: DataFrame, n_merges: int = 12) -> DataFrame:
     Output: (merge_rank, lhs, rhs, pair_count, new_symbol) — the
     ordered merge table a tokenizer ships as tokenizer.json.
     """
-    spark = docs.sparkSession
+    merges, _ = _bpe_train(docs, n_merges)
+    return docs.sparkSession.createDataFrame(
+        merges, "merge_rank int, lhs string, rhs string, "
+                "pair_count long, new_symbol string")
+
+
+def _bpe_syms():
+    return F.split(F.expr("substring(s, 2, length(s)-2)"), r"\)\(")
+
+
+def _bpe_train(docs: DataFrame, n_merges: int):
+    """Shared BPE trainer: returns (merges, rounds) where merges is
+    the ordered rule list and rounds[r] is the checkpointed vocab
+    table AFTER the first r merges (rounds[0] = char-split baseline).
+    See bpe_merges for the full semantics contract."""
     vocab = (docs.select(F.explode(_toks()).alias("tok"))
              .groupBy("tok")
              .agg(F.count(F.lit(1)).cast("long").alias("cnt")))
@@ -1642,12 +1656,11 @@ def bpe_merges(docs: DataFrame, n_merges: int = 12) -> DataFrame:
         "cnt",
         F.concat(F.regexp_replace("tok", "(.)", r"($1)"),
                  F.lit("(</w>)")).alias("s")).localCheckpoint()
-    out: list[tuple] = []
+    rounds = [words]
+    merges: list[tuple] = []
     for rank in range(1, n_merges + 1):
-        syms = F.split(F.expr("substring(s, 2, length(s)-2)"),
-                       r"\)\(")
         pairs = (words
-                 .select("cnt", syms.alias("syms"))
+                 .select("cnt", _bpe_syms().alias("syms"))
                  .where(F.size("syms") >= 2)
                  .select("cnt", F.explode(F.arrays_zip(
                      F.slice("syms", 1, F.size("syms") - 1),
@@ -1663,13 +1676,43 @@ def bpe_merges(docs: DataFrame, n_merges: int = 12) -> DataFrame:
             break
         b = best[0]
         merged = b["lhs"] + b["rhs"]
-        out.append((rank, b["lhs"], b["rhs"], int(b["c"]), merged))
+        merges.append((rank, b["lhs"], b["rhs"], int(b["c"]), merged))
         words = (words.withColumn(
             "s", F.replace(
                 F.col("s"),
                 F.lit(f"({b['lhs']})({b['rhs']})"),
                 F.lit(f"({merged})")))
             .localCheckpoint())
-    return spark.createDataFrame(
-        out, "merge_rank int, lhs string, rhs string, "
-             "pair_count long, new_symbol string")
+        rounds.append(words)
+    return merges, rounds
+
+
+def bpe_compression(docs: DataFrame, n_merges: int = 12) -> DataFrame:
+    """The tokenizer-quality curve behind every BPE vocab-size
+    decision: after each learned merge rule, how many tokens does the
+    corpus cost (``corpus_symbols``, token-weighted) and how many
+    distinct symbol types exist (``vocab_symbols``)?  Rank 0 is the
+    character baseline; the </w> end-of-word sentinel counts as a
+    symbol until merges absorb it (the standard word-frequency BPE
+    accounting).
+
+    Each round's stat is ONE lazy aggregate over that round's
+    checkpointed vocab table — the per-round tables are already
+    materialized by the trainer, so the whole curve costs one job of
+    n_merges+1 small-table scans, never a corpus rescan.
+    """
+    _, rounds = _bpe_train(docs, n_merges)
+    per = []
+    for r, w in enumerate(rounds):
+        per.append(
+            w.select("cnt", F.explode(_bpe_syms()).alias("sym"))
+            .agg(F.coalesce(F.sum("cnt"), F.lit(0))
+                 .cast("long").alias("corpus_symbols"),
+                 F.countDistinct("sym")
+                 .cast("long").alias("vocab_symbols"))
+            .select(F.lit(r).cast("int").alias("merge_rank"),
+                    "corpus_symbols", "vocab_symbols"))
+    out = per[0]
+    for p in per[1:]:
+        out = out.unionByName(p)
+    return out

@@ -7776,7 +7776,7 @@ ORACLE["mmr_rerank"] = _assemble(
 # over the same paren-delimited symbol strings the Spark operator
 # carries (functions/textstats.bpe_merges).
 
-def _bpe_sql(n_merges: int = 12) -> str:
+def _bpe_blocks(n_merges: int) -> list:
     blocks = [r"""
 bpe_voc AS MATERIALIZED (
   SELECT tok, CAST(COUNT(*) AS BIGINT) AS cnt
@@ -7809,9 +7809,35 @@ bpe_w{r} AS MATERIALIZED (
          replace(w.s, '(' || m.lhs || ')(' || m.rhs || ')',
                  '(' || m.new_symbol || ')') AS s
   FROM bpe_w{r - 1} w, bpe_m{r} m)""")
+    return blocks
+
+
+def _bpe_sql(n_merges: int = 12) -> str:
     union = "\nUNION ALL\n".join(
         f"SELECT * FROM bpe_m{i}" for i in range(1, n_merges + 1))
-    return "WITH " + ",".join(blocks) + "\n" + union
+    return "WITH " + ",".join(_bpe_blocks(n_merges)) + "\n" + union
 
 
 ORACLE["bpe_merges"] = _bpe_sql(12)
+
+
+# ---------------------------------------------------------------------------
+# Continuation batch 106: BPE compression curve — per-round corpus
+# token cost + distinct symbol count over the same chained merge CTEs
+# (functions/textstats.bpe_compression).
+
+def _bpe_comp_sql(n_merges: int = 12) -> str:
+    stat = """
+SELECT {r} AS merge_rank,
+       CAST(COALESCE(SUM(cnt), 0) AS BIGINT) AS corpus_symbols,
+       CAST(COUNT(DISTINCT sym) AS BIGINT) AS vocab_symbols
+FROM (SELECT cnt,
+             unnest(string_split(substring(s, 2, length(s)-2),
+                                 ')(')) AS sym
+      FROM bpe_w{r})"""
+    union = "\nUNION ALL\n".join(
+        stat.format(r=r) for r in range(0, n_merges + 1))
+    return "WITH " + ",".join(_bpe_blocks(n_merges)) + "\n" + union
+
+
+ORACLE["bpe_compression"] = _bpe_comp_sql(12)

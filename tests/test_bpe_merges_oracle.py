@@ -1,5 +1,6 @@
 """Cross-engine parity + serial ground truth for continuation
-batch 105 (functions/textstats.bpe_merges)."""
+batches 105 (functions/textstats.bpe_merges) and 106
+(functions/textstats.bpe_compression)."""
 
 from __future__ import annotations
 
@@ -97,6 +98,62 @@ def test_overlap_is_leftmost_nonoverlapping(spark):
     # round 3 sees (aa)(aa</w>): the only pair left
     assert got[2] == (3, "aa", "aa</w>", 2, "aaaa</w>")
     assert got == _serial_bpe({"aaaa": 2}, 3)
+
+
+def test_compression_oracle_parity(spark, con):
+    from ehr_relation_extraction_spark.driver_queries import QUERIES
+    from ehr_relation_extraction_spark.oracle.sqlgen import ORACLE
+
+    ok, msg = compare(QUERIES["bpe_compression"](spark, SF),
+                      con.sql(ORACLE["bpe_compression"]).df())
+    assert ok, msg
+
+
+def _serial_compression(word_counts, n_merges):
+    """Replay _serial_bpe's rounds, snapshotting (corpus_symbols,
+    vocab_symbols) after each merge — rank 0 is the char baseline."""
+    words = [("".join(f"({c})" for c in w) + "(</w>)", n)
+             for w, n in word_counts.items()]
+
+    def _stat(rank):
+        syms_of = [(s[1:-1].split(")("), n) for s, n in words]
+        corpus = sum(len(sy) * n for sy, n in syms_of)
+        vocab = len({x for sy, _ in syms_of for x in sy})
+        return (rank, corpus, vocab)
+
+    out = [_stat(0)]
+    for rank, (lhs, rhs, merged) in enumerate(
+            [(m[1], m[2], m[4]) for m in
+             _serial_bpe(word_counts, n_merges)], start=1):
+        pat, rep = f"({lhs})({rhs})", f"({merged})"
+        words = [(s.replace(pat, rep), n) for s, n in words]
+        out.append(_stat(rank))
+    return out
+
+
+def test_compression_matches_serial_replica(spark):
+    """The curve must be monotone non-increasing in corpus_symbols
+    (each merge can only fuse), and every value must equal the serial
+    replay of the learned rules."""
+    from ehr_relation_extraction_spark.functions.textstats import (
+        bpe_compression)
+
+    corpus = ["low low low low low lower lower newest newest",
+              "newest newest newest newest widest widest widest",
+              "low lower widest newest"]
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(corpus)],
+        "doc_id long, text string")
+    got = [(r.merge_rank, r.corpus_symbols, r.vocab_symbols)
+           for r in bpe_compression(df, n_merges=6)
+           .orderBy("merge_rank").collect()]
+    wc = collections.Counter(
+        tok for t in corpus for tok in t.split(" ") if tok)
+    assert got == _serial_compression(wc, 6)
+    corpus_curve = [g[1] for g in got]
+    assert corpus_curve == sorted(corpus_curve, reverse=True)
+    # each merge fuses at least one occurrence -> strictly decreasing
+    assert len(set(corpus_curve)) == len(corpus_curve)
 
 
 def test_exhausts_when_no_pairs_remain(spark):

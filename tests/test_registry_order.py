@@ -365,6 +365,9 @@ EXPECTED_TAIL = [
     # Continuation batch 105: BPE merge training — appended past
     # position 50.
     "bpe_merges",
+    # Continuation batch 106: BPE compression curve — appended past
+    # position 50.
+    "bpe_compression",
 ]
 
 
