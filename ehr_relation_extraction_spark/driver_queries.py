@@ -2503,6 +2503,15 @@ def q_theil_sen_trend(spark, sf_dir) -> DataFrame:
         spark.read.parquet(f"{sf_dir}/events.parquet"))
 
 
+def q_pettitt_change(spark, sf_dir) -> DataFrame:
+    """Pettitt change-point localization per event type over the
+    crawl-day spine (operators/events.pettitt_change)."""
+    from .operators.events import pettitt_change
+
+    return pettitt_change(
+        spark.read.parquet(f"{sf_dir}/events.parquet"))
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # ORDER IS LOAD-BEARING: the driver snapshot verifies exactly
     # list(QUERIES)[:50] in insertion order (pinned by
@@ -2919,6 +2928,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "mmr_rerank": q_mmr_rerank,
     "bpe_merges": q_bpe_merges,
     "bpe_compression": q_bpe_compression,
+    "pettitt_change": q_pettitt_change,
 }
 
 

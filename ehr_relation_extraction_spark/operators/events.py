@@ -361,6 +361,81 @@ def cusum_drift(events: DataFrame, k_den: int = 4, h_num: int = 3,
          > F.col("mu") * h_num + h_add).cast("int").alias("alarm"))
 
 
+def _day_grid(events: DataFrame) -> DataFrame:
+    """(etype, day_idx, r): daily event counts per type over the
+    SHARED crawl-day spine, zero-filled — the dense series every
+    per-type time-series statistic in this module runs on.  The
+    types x spine cross join is bounded by two tiny dimensions
+    (distinct event types x distinct days), never corpus-sized."""
+    day = events.select(
+        F.expr("unix_micros(cast(ts as timestamp)) div 86400000000")
+        .cast("int").alias("day_idx"),
+        F.col("event_type").alias("etype"))
+    spine = day.select("day_idx").dropDuplicates()
+    types = day.select("etype").dropDuplicates()
+    sparse = day.groupBy("etype", "day_idx").agg(
+        F.count(F.lit(1)).cast("long").alias("r"))
+    return (types.crossJoin(spine)
+            .join(sparse, ["etype", "day_idx"], "left")
+            .na.fill(0, ["r"]))
+
+
+def pettitt_change(events: DataFrame) -> DataFrame:
+    """Pettitt change-point test per event type: localize WHERE a
+    level shift happened (the complement of the CUSUM alarm, which
+    only says THAT drift occurred).  U_t = sum over pairs (i<=t<j)
+    of sign(r_j - r_i); the change point is the earliest day whose
+    |U_t| attains K = max_{t<T} |U_t|.  Exact integers throughout —
+    no ranks-to-float conversion, so cross-engine bit-exact.
+
+    The O(T^2) pair sum is collapsed to one rank pass via the
+    recurrence U_t - U_{t-1} = sum_j sign(r_j - r_t) = #greater -
+    #less = T - 2*(rank_t - 1) - #ties_t, so the whole test is two
+    window passes over the (types x days) grid — T is the day-spine
+    length, bounded by the crawl window, never data volume.
+
+    Output: one row per (etype, day) with the U_t curve plus the
+    per-type verdict columns (k_stat, change_day); sign of U at the
+    change day says shift direction (positive = later days ran
+    lower).  Types need n_days >= 2 (U_T is identically 0).
+    """
+    from pyspark.sql import Window
+
+    grid = _day_grid(events)
+    wt = Window.partitionBy("etype")
+    wrank = Window.partitionBy("etype").orderBy("r")
+    weq = Window.partitionBy("etype", "r")
+    wcum = (Window.partitionBy("etype").orderBy("day_idx")
+            .rowsBetween(Window.unboundedPreceding,
+                         Window.currentRow))
+    v = (grid
+         .withColumn("_nd", F.count(F.lit(1)).over(wt))
+         .withColumn(
+             "_v", (F.col("_nd")
+                    - 2 * (F.rank().over(wrank) - F.lit(1))
+                    - F.count(F.lit(1)).over(weq)).cast("long"))
+         .withColumn("u_t", F.sum("_v").over(wcum).cast("long"))
+         .withColumn("_pos",
+                     F.row_number().over(
+                         Window.partitionBy("etype")
+                         .orderBy("day_idx"))))
+    k = (v.withColumn(
+            "k_stat",
+            F.max(F.when(F.col("_pos") < F.col("_nd"),
+                         F.abs(F.col("u_t")))).over(wt)
+            .cast("long")))
+    return (k.withColumn(
+                "change_day",
+                F.min(F.when((F.col("_pos") < F.col("_nd"))
+                             & (F.abs(F.col("u_t"))
+                                == F.col("k_stat")),
+                             F.col("day_idx"))).over(wt))
+            .where(F.col("_nd") >= 2)
+            .select("etype", "day_idx", "r", "u_t",
+                    F.col("_nd").cast("long").alias("n_days"),
+                    "k_stat", "change_day"))
+
+
 def theil_sen_trend(events: DataFrame) -> DataFrame:
     """Theil-Sen robust trend per event type over the crawl-day
     spine: the MEDIAN of all pairwise slopes (r_j - r_i)/(j - i) —
@@ -382,17 +457,7 @@ def theil_sen_trend(events: DataFrame) -> DataFrame:
     length, keyed by etype."""
     from pyspark.sql import Window
 
-    day = events.select(
-        F.expr("unix_micros(cast(ts as timestamp)) div 86400000000")
-        .cast("int").alias("day_idx"),
-        F.col("event_type").alias("etype"))
-    spine = day.select("day_idx").dropDuplicates()
-    types = day.select("etype").dropDuplicates()
-    sparse = day.groupBy("etype", "day_idx").agg(
-        F.count(F.lit(1)).cast("long").alias("r"))
-    grid = (types.crossJoin(spine)
-            .join(sparse, ["etype", "day_idx"], "left")
-            .na.fill(0, ["r"]))
+    grid = _day_grid(events)
     a = grid.select("etype", F.col("day_idx").alias("i"),
                     F.col("r").alias("ri"))
     b = grid.select("etype", F.col("day_idx").alias("j"),

@@ -7841,3 +7841,52 @@ FROM (SELECT cnt,
 
 
 ORACLE["bpe_compression"] = _bpe_comp_sql(12)
+
+
+# ---------------------------------------------------------------------------
+# Continuation batch 107: Pettitt change-point test per event type —
+# U_t via the rank recurrence (U_t - U_{t-1} = T - 2*(rank-1) -
+# ties), exact integers, same zero-filled day grid as
+# theil_sen_trend (operators/events.pettitt_change).
+
+ORACLE["pettitt_change"] = """
+WITH pt_day AS (
+  SELECT CAST(epoch_us(ts) // 86400000000 AS INT) AS day_idx,
+         event_type AS etype
+  FROM events),
+pt_spine AS (SELECT DISTINCT day_idx FROM pt_day),
+pt_types AS (SELECT DISTINCT etype FROM pt_day),
+pt_sparse AS (
+  SELECT etype, day_idx, CAST(COUNT(*) AS BIGINT) AS r
+  FROM pt_day GROUP BY 1, 2),
+pt_grid AS (
+  SELECT t.etype, s.day_idx, COALESCE(x.r, 0) AS r
+  FROM pt_types t CROSS JOIN pt_spine s
+  LEFT JOIN pt_sparse x USING (etype, day_idx)),
+pt_v AS (
+  SELECT etype, day_idx, r,
+         COUNT(*) OVER (PARTITION BY etype) AS t_n,
+         CAST(COUNT(*) OVER (PARTITION BY etype)
+              - 2 * (RANK() OVER (PARTITION BY etype ORDER BY r) - 1)
+              - COUNT(*) OVER (PARTITION BY etype, r)
+           AS BIGINT) AS v
+  FROM pt_grid),
+pt_u AS (
+  SELECT etype, day_idx, r, t_n,
+         CAST(SUM(v) OVER (PARTITION BY etype ORDER BY day_idx
+              ROWS UNBOUNDED PRECEDING) AS BIGINT) AS u_t,
+         ROW_NUMBER() OVER (PARTITION BY etype
+                            ORDER BY day_idx) AS t
+  FROM pt_v),
+pt_k AS (
+  SELECT *,
+         CAST(MAX(CASE WHEN t < t_n THEN ABS(u_t) END)
+              OVER (PARTITION BY etype) AS BIGINT) AS k_stat
+  FROM pt_u)
+SELECT etype, day_idx, r, u_t,
+       CAST(t_n AS BIGINT) AS n_days, k_stat,
+       MIN(CASE WHEN t < t_n AND ABS(u_t) = k_stat
+                THEN day_idx END) OVER (PARTITION BY etype)
+         AS change_day
+FROM pt_k
+WHERE t_n >= 2"""

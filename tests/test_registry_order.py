@@ -368,6 +368,9 @@ EXPECTED_TAIL = [
     # Continuation batch 106: BPE compression curve — appended past
     # position 50.
     "bpe_compression",
+    # Continuation batch 107: Pettitt change-point test — appended
+    # past position 50.
+    "pettitt_change",
 ]
 
 
