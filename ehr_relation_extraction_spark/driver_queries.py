@@ -2512,6 +2512,37 @@ def q_pettitt_change(spark, sf_dir) -> DataFrame:
         spark.read.parquet(f"{sf_dir}/events.parquet"))
 
 
+def q_rake_keywords(spark, sf_dir) -> DataFrame:
+    """Top-25 RAKE keyword phrases over the corpus
+    (functions/textstats.rake_keywords): stopword-delimited candidate
+    phrases scored by the integer-scaled deg/freq word score."""
+    return ts.rake_keywords(_docs(spark, sf_dir), k=25)
+
+
+def q_quality_auc(spark, sf_dir) -> DataFrame:
+    """Exact tie-aware ROC AUC of the bigram-LM quality score as an
+    English-language detector (functions/textstats.roc_auc over
+    lm_quality x documents.lang) — the threshold-free evaluation of
+    the CCNet-style filter's separating power."""
+    docs = _docs(spark, sf_dir)
+    scored = (ts.lm_quality(docs)
+              .join(docs.select("doc_id", "lang"), "doc_id")
+              .select(F.col("lm_score_micro6").alias("score"),
+                      (F.col("lang") == "en").cast("int").alias("pos")))
+    return ts.roc_auc(scored)
+
+
+def q_langid_kappa(spark, sf_dir) -> DataFrame:
+    """Cohen's kappa between the stopword-density language identifier
+    and the ground-truth lang column, binary en-vs-other
+    (functions/textstats.cohen_kappa over lang_id) — the
+    chance-corrected version of lang_id's raw accuracy."""
+    pred = ts.lang_id(_docs(spark, sf_dir)).select(
+        F.col("pred_lang").alias("a"),
+        F.when(F.col("lang") == "en", "en").otherwise("unk").alias("b"))
+    return ts.cohen_kappa(pred)
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # ORDER IS LOAD-BEARING: the driver snapshot verifies exactly
     # list(QUERIES)[:50] in insertion order (pinned by
@@ -2929,6 +2960,15 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "bpe_merges": q_bpe_merges,
     "bpe_compression": q_bpe_compression,
     "pettitt_change": q_pettitt_change,
+    # Continuation batch 108: RAKE keyword extraction — appended past
+    # position 50.
+    "rake_keywords": q_rake_keywords,
+    # Continuation batch 109: exact tie-aware ROC AUC of the LM
+    # quality score — appended past position 50.
+    "quality_auc": q_quality_auc,
+    # Continuation batch 110: Cohen's kappa for the language
+    # identifier — appended past position 50.
+    "langid_kappa": q_langid_kappa,
 }
 
 

@@ -1716,3 +1716,146 @@ def bpe_compression(docs: DataFrame, n_merges: int = 12) -> DataFrame:
     for p in per[1:]:
         out = out.unionByName(p)
     return out
+
+
+def rake_keywords(docs: DataFrame, k: int = 25) -> DataFrame:
+    """RAKE keyword extraction (Rose et al. 2010) at corpus grain:
+    (rank, phrase, n_words, occurrences, score_x1000), the top-``k``
+    candidate phrases by the classic degree/frequency word score.
+
+    Candidate phrases are maximal runs of consecutive non-stopword
+    tokens (gaps-and-islands on token position; the engine's default
+    whitespace tokenizer keeps punctuation attached, a documented
+    deviation from RAKE's punctuation-delimiter set — the STOPWORDS
+    tuple is the delimiter vocabulary, as in the paper's core
+    formulation).  Word statistics are corpus-level: freq(w) = number
+    of phrase occurrences containing w, deg(w) = total words in those
+    occurrences (co-occurrence degree including self).  The word
+    score is the paper's deg/freq ratio, floor-scaled by 1000 in
+    exact integer arithmetic (``div``) so both engines agree bit-for-
+    bit; a phrase scores the sum of its word scores, identical for
+    identical phrase text by construction.
+
+    Scale shape: one corpus scan (posexplode), one per-doc shuffle
+    for the island grouping, a vocab-sized word-score aggregate, one
+    equi-join back on word, and a distributed TakeOrdered top-k —
+    the only global window runs over the k-row result.  No driver
+    loops, no cartesian joins.
+    """
+    toks = docs.select("doc_id", F.posexplode(_toks()).alias("pos", "tok"))
+    words = (toks.select("doc_id", "pos", F.lower("tok").alias("word"))
+             .where(~F.col("word").isin(*STOPWORDS)))
+    seq = Window.partitionBy("doc_id").orderBy("pos")
+    runs = words.withColumn(
+        "grp", (F.col("pos") - F.row_number().over(seq)).cast("int"))
+    occ = (runs.groupBy("doc_id", "grp")
+           .agg(F.transform(
+               F.array_sort(F.collect_list(F.struct("pos", "word"))),
+               lambda s: s["word"]).alias("ws")))
+    wrows = occ.select(
+        "doc_id", "grp",
+        F.concat_ws(" ", "ws").alias("phrase"),
+        F.size("ws").cast("int").alias("n_words"),
+        F.explode("ws").alias("word"))
+    wscore = (wrows.groupBy("word")
+              .agg(F.count(F.lit(1)).cast("long").alias("freq"),
+                   F.sum("n_words").cast("long").alias("deg"))
+              .select("word", F.expr("(1000 * deg) div freq")
+                      .cast("long").alias("word_score_x1000")))
+    phr = (wrows.join(wscore, "word")
+           .groupBy("doc_id", "grp", "phrase", "n_words")
+           .agg(F.sum("word_score_x1000").cast("long")
+                .alias("score_x1000")))
+    agg = (phr.groupBy("phrase")
+           .agg(F.max("n_words").cast("int").alias("n_words"),
+                F.count(F.lit(1)).cast("long").alias("occurrences"),
+                F.max("score_x1000").cast("long").alias("score_x1000")))
+    top = agg.orderBy(F.desc("score_x1000"), F.desc("occurrences"),
+                      F.asc("phrase")).limit(k)
+    w = Window.orderBy(F.desc("score_x1000"), F.desc("occurrences"),
+                       F.asc("phrase"))  # k-row bounded input
+    return (top.withColumn("rank", F.row_number().over(w).cast("int"))
+            .select("rank", "phrase", "n_words", "occurrences",
+                    "score_x1000"))
+
+
+def roc_auc(scored: DataFrame, score_col: str = "score",
+            label_col: str = "pos") -> DataFrame:
+    """Exact tie-aware ROC AUC (the Mann-Whitney U statistic) of an
+    integer score against a binary label — the evaluation every
+    quality-filter threshold decision should read before shipping:
+    (n_pos, n_neg, u2, auc_micro6).
+
+    AUC = P(score_pos > score_neg) + P(score_pos == score_neg)/2 over
+    all positive x negative pairs.  Computed float-free: u2 = 2*U =
+    sum over distinct score values s of n_pos(s) * (2*negatives
+    strictly below s + n_neg(s)) — ties contribute the half credit as
+    the whole n_neg(s) term, so u2 stays integral; auc_micro6 =
+    (1e6 * u2) div (2 * n_pos * n_neg).  Bit-exact cross-engine, no
+    rank-to-float conversion.
+
+    Scale shape: ONE hash aggregate collapses the corpus to the
+    score histogram; the prefix-sum window then runs over distinct
+    integer score values — bounded by the micro6 fixed-point
+    resolution (<= 1e6 + 1 rows), independent of corpus size — and
+    the final reduce is a 1-row aggregate.  Same bounded-support
+    device as the doclen histogram.
+    """
+    hist = (scored.groupBy(F.col(score_col).alias("_s"))
+            .agg(F.sum(F.col(label_col).cast("long")).alias("_np"),
+                 (F.count(F.lit(1))
+                  - F.sum(F.col(label_col).cast("long"))).alias("_nn")))
+    w = (Window.orderBy("_s")
+         .rowsBetween(Window.unboundedPreceding, -1))
+    cum = hist.withColumn(
+        "_below", F.coalesce(F.sum("_nn").over(w), F.lit(0)))
+    return (cum.agg(
+        F.sum("_np").cast("long").alias("n_pos"),
+        F.sum("_nn").cast("long").alias("n_neg"),
+        F.sum(F.col("_np") * (2 * F.col("_below") + F.col("_nn")))
+        .cast("long").alias("u2"))
+        .select("n_pos", "n_neg", "u2",
+                F.expr("(1000000 * u2) div (2 * n_pos * n_neg)")
+                .cast("long").alias("auc_micro6")))
+
+
+def cohen_kappa(pairs: DataFrame, a_col: str = "a",
+                b_col: str = "b") -> DataFrame:
+    """Cohen's kappa — chance-corrected agreement between two
+    categorical raters over the same items (Cohen '60), the honest
+    version of raw accuracy when one class dominates:
+    (n_items, n_agree, pe_num, kappa_micro6).
+
+    Float-free: with confusion counts c_ab, row marginals r_a, column
+    marginals s_b, po = n_agree/n and pe = pe_num/n^2 where pe_num =
+    sum_c r_c * s_c, so kappa = (n*n_agree - pe_num) / (n^2 - pe_num)
+    — computed as ONE exact integer division, floor-scaled micro6.
+    Works for any label vocabulary, not just binary.
+
+    Scale shape: one hash aggregate to the confusion matrix (label
+    vocabulary squared, bounded), two marginal aggregates, a
+    vocab-sized equi-join, and a 1-row reduce — the corpus is touched
+    exactly once.
+    """
+    conf = (pairs.groupBy(F.col(a_col).alias("_a"),
+                          F.col(b_col).alias("_b"))
+            .agg(F.count(F.lit(1)).cast("long").alias("_c")))
+    ra = conf.groupBy("_a").agg(F.sum("_c").alias("_ra"))
+    sb = conf.groupBy("_b").agg(F.sum("_c").alias("_sb"))
+    pe = (ra.join(sb, ra["_a"] == sb["_b"])
+          .agg(F.coalesce(F.sum(F.col("_ra") * F.col("_sb")),
+                          F.lit(0)).cast("long").alias("pe_num")))
+    tot = conf.agg(
+        F.sum("_c").cast("long").alias("n_items"),
+        F.sum(F.when(F.col("_a") == F.col("_b"), F.col("_c"))
+              .otherwise(F.lit(0))).cast("long").alias("n_agree"))
+    return (tot.crossJoin(pe)  # two 1-row frames
+            .select("n_items", "n_agree", "pe_num",
+                    # pe == 1 (both raters constant) makes kappa's
+                    # denominator 0; the conventional reading is
+                    # "perfect chance agreement" -> 1e6 sentinel
+                    F.expr("CASE WHEN n_items * n_items = pe_num"
+                           " THEN 1000000 ELSE"
+                           " (1000000 * (n_items * n_agree - pe_num))"
+                           " div (n_items * n_items - pe_num) END")
+                    .cast("long").alias("kappa_micro6")))

@@ -7890,3 +7890,129 @@ SELECT etype, day_idx, r, u_t,
          AS change_day
 FROM pt_k
 WHERE t_n >= 2"""
+
+
+# ---------------------------------------------------------------------------
+# Continuation batch 108: RAKE keyword extraction — corpus-level
+# degree/frequency word scores over stopword-delimited candidate
+# phrases, exact integer scaling (functions/textstats.rake_keywords).
+
+ORACLE["rake_keywords"] = """
+WITH rk_raw AS (
+  SELECT doc_id, tok, raw_pos
+  FROM (SELECT doc_id,
+               unnest(string_split_regex(text, '[\\n \\t]')) AS tok,
+               generate_subscripts(string_split_regex(text, '[\\n \\t]'), 1) AS raw_pos
+        FROM documents)
+  WHERE tok <> ''),
+rk_toks AS (
+  -- positions re-densified AFTER the empty-token filter so runs
+  -- match Spark's filter-then-posexplode (consecutive separators
+  -- must not split a phrase)
+  SELECT doc_id, lower(tok) AS word,
+         ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY raw_pos) AS pos
+  FROM rk_raw),
+rk_words AS (
+  SELECT doc_id, pos, word
+  FROM rk_toks
+  WHERE word NOT IN ('the', 'a', 'of', 'and', 'to', 'in')),
+rk_runs AS (
+  SELECT doc_id, pos, word,
+         CAST(pos - ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY pos)
+              AS INT) AS grp
+  FROM rk_words),
+rk_occ AS (
+  SELECT doc_id, grp,
+         string_agg(word, ' ' ORDER BY pos) AS phrase,
+         CAST(COUNT(*) AS INT) AS n_words
+  FROM rk_runs GROUP BY doc_id, grp),
+rk_wrows AS (
+  SELECT r.doc_id, r.grp, r.word, o.phrase, o.n_words
+  FROM rk_runs r JOIN rk_occ o USING (doc_id, grp)),
+rk_wscore AS (
+  SELECT word,
+         CAST((1000 * SUM(n_words)) // COUNT(*) AS BIGINT)
+           AS word_score_x1000
+  FROM rk_wrows GROUP BY word),
+rk_phr AS (
+  SELECT w.doc_id, w.grp, w.phrase, w.n_words,
+         CAST(SUM(s.word_score_x1000) AS BIGINT) AS score_x1000
+  FROM rk_wrows w JOIN rk_wscore s USING (word)
+  GROUP BY w.doc_id, w.grp, w.phrase, w.n_words),
+rk_agg AS (
+  SELECT phrase,
+         CAST(MAX(n_words) AS INT) AS n_words,
+         CAST(COUNT(*) AS BIGINT) AS occurrences,
+         CAST(MAX(score_x1000) AS BIGINT) AS score_x1000
+  FROM rk_phr GROUP BY phrase)
+SELECT CAST(ROW_NUMBER() OVER (ORDER BY score_x1000 DESC,
+            occurrences DESC, phrase) AS INT) AS rank,
+       phrase, n_words, occurrences, score_x1000
+FROM rk_agg
+ORDER BY score_x1000 DESC, occurrences DESC, phrase
+LIMIT 25"""
+
+
+# ---------------------------------------------------------------------------
+# Continuation batch 109: exact tie-aware ROC AUC of the LM quality
+# score as an English detector — Mann-Whitney u2 over the score
+# histogram, exact integers (functions/textstats.roc_auc).  Reuses
+# the lm_quality statement verbatim as a nested subquery.
+
+ORACLE["quality_auc"] = f"""
+WITH qa_score AS MATERIALIZED ({ORACLE["lm_quality"]}),
+qa AS (
+  SELECT s.lm_score_micro6 AS score,
+         CASE WHEN d.lang = 'en' THEN 1 ELSE 0 END AS pos
+  FROM qa_score s JOIN documents d USING (doc_id)),
+qa_hist AS (
+  SELECT score,
+         CAST(SUM(pos) AS BIGINT) AS n_pos_s,
+         CAST(COUNT(*) - SUM(pos) AS BIGINT) AS n_neg_s
+  FROM qa GROUP BY 1),
+qa_cum AS (
+  SELECT n_pos_s, n_neg_s,
+         COALESCE(SUM(n_neg_s) OVER (ORDER BY score
+             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+           AS neg_below
+  FROM qa_hist)
+SELECT CAST(SUM(n_pos_s) AS BIGINT) AS n_pos,
+       CAST(SUM(n_neg_s) AS BIGINT) AS n_neg,
+       CAST(SUM(n_pos_s * (2 * neg_below + n_neg_s)) AS BIGINT) AS u2,
+       CAST((1000000 * SUM(n_pos_s * (2 * neg_below + n_neg_s)))
+            // (2 * SUM(n_pos_s) * SUM(n_neg_s)) AS BIGINT)
+         AS auc_micro6
+FROM qa_cum"""
+
+
+# ---------------------------------------------------------------------------
+# Continuation batch 110: Cohen's kappa for the language identifier —
+# chance-corrected binary agreement, exact integers
+# (functions/textstats.cohen_kappa).  Reuses the lang_id statement
+# verbatim as a nested subquery.
+
+ORACLE["langid_kappa"] = f"""
+WITH ck_pred AS MATERIALIZED ({ORACLE["lang_id"]}),
+ck AS (
+  SELECT pred_lang AS a,
+         CASE WHEN lang = 'en' THEN 'en' ELSE 'unk' END AS b
+  FROM ck_pred),
+ck_conf AS (
+  SELECT a, b, CAST(COUNT(*) AS BIGINT) AS c
+  FROM ck GROUP BY 1, 2),
+ck_ra AS (SELECT a, SUM(c) AS ra FROM ck_conf GROUP BY 1),
+ck_sb AS (SELECT b, SUM(c) AS sb FROM ck_conf GROUP BY 1),
+ck_pe AS (
+  SELECT CAST(COALESCE(SUM(ra * sb), 0) AS BIGINT) AS pe_num
+  FROM ck_ra JOIN ck_sb ON ck_ra.a = ck_sb.b),
+ck_tot AS (
+  SELECT CAST(SUM(c) AS BIGINT) AS n_items,
+         CAST(SUM(CASE WHEN a = b THEN c ELSE 0 END) AS BIGINT)
+           AS n_agree
+  FROM ck_conf)
+SELECT n_items, n_agree, pe_num,
+       CAST(CASE WHEN n_items * n_items = pe_num THEN 1000000
+            ELSE (1000000 * (n_items * n_agree - pe_num))
+                 // (n_items * n_items - pe_num) END AS BIGINT)
+         AS kappa_micro6
+FROM ck_tot, ck_pe"""

@@ -91,6 +91,19 @@ ALLOWED = {
     # trending_entities lazy-scalar class); the fact table itself is
     # reduced by ONE hash aggregate before any join
     "bloom_semi_join": (0, 1),
+    # the shared _day_grid (event-type vocabulary x day spine)
+    # crossJoin — both bounded dimensions, the event_bursts class;
+    # the event stream itself is reduced by ONE hash aggregate
+    # before the grid attaches.  Counts differ only because Catalyst
+    # re-plans the grid subtree per consumer (pettitt reads it once;
+    # cusum twice — grid + its mu join; theil_sen three times —
+    # both pair sides + the n_days aggregate)
+    "pettitt_change": (0, 1),
+    "cusum_drift": (0, 2),
+    "theil_sen_trend": (0, 3),
+    # two 1-row frames (confusion-matrix totals x expected-agreement
+    # scalar) composed by crossJoin — the partition_agreement class
+    "langid_kappa": (0, 1),
 }
 
 

@@ -371,6 +371,15 @@ EXPECTED_TAIL = [
     # Continuation batch 107: Pettitt change-point test — appended
     # past position 50.
     "pettitt_change",
+    # Continuation batch 108: RAKE keyword extraction — appended past
+    # position 50.
+    "rake_keywords",
+    # Continuation batch 109: exact ROC AUC — appended past
+    # position 50.
+    "quality_auc",
+    # Continuation batch 110: Cohen's kappa — appended past
+    # position 50.
+    "langid_kappa",
 ]
 
 
