@@ -2543,6 +2543,16 @@ def q_langid_kappa(spark, sf_dir) -> DataFrame:
     return ts.cohen_kappa(pred)
 
 
+def q_partition_replication(spark, sf_dir) -> DataFrame:
+    """1D hash edge-cut vs 2D grid vertex-cut partitioning audit over
+    the entity co-mention graph at P=9
+    (operators/graph_algos.partition_replication)."""
+    from .operators.graph_algos import partition_replication
+
+    edges, _ = _comention_graph(spark, sf_dir)
+    return partition_replication(edges)
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # ORDER IS LOAD-BEARING: the driver snapshot verifies exactly
     # list(QUERIES)[:50] in insertion order (pinned by
@@ -2969,6 +2979,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # Continuation batch 110: Cohen's kappa for the language
     # identifier — appended past position 50.
     "langid_kappa": q_langid_kappa,
+    # Continuation batch 111: 1D vs 2D graph-partitioning audit —
+    # appended past position 50.
+    "partition_replication": q_partition_replication,
 }
 
 

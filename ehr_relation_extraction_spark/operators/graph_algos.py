@@ -2362,3 +2362,62 @@ def hub_robustness(edges: DataFrame, k: int = 3) -> DataFrame:
     return (hubs.select(F.lit("hub").alias("phase"), "node", "size")
             .unionByName(comps(nodes, und, "before"))
             .unionByName(comps(nodes_after, und_after, "after")))
+
+
+def partition_replication(edges: DataFrame, rows: int = 3,
+                          cols: int = 3) -> DataFrame:
+    """Graph-partitioning audit: for the SAME partition count P =
+    rows*cols, measure 1D hash-by-src (edge-cut, what a plain
+    ``repartition(src)`` gives you) against the 2D grid vertex-cut
+    (GraphX EdgePartition2D): per strategy, edge balance and vertex
+    replication factor — the two numbers that decide shuffle volume
+    and mirror-state memory for every iterative graph job at cluster
+    scale.  1D keeps each vertex's OUT-edges on one partition but
+    lets a hub's in-edges land everywhere (replication up to P); the
+    grid bounds every vertex's replication by rows + cols - 1 at the
+    cost of splitting out-edges.
+
+    Hash = first 4 hex nibbles of md5(node id) — cross-engine exact
+    (the feat_u16 device), uniform enough for an audit.
+
+    Output: one row per strategy (strategy, n_partitions, n_edges,
+    max_part_edges, balance_micro6 = 1e6 * max * P / E, n_nodes,
+    replicas, replication_micro6 = 1e6 * replicas / V).
+
+    Scale shape: two corpus passes (one per strategy), each a hash
+    aggregate to P-row balance + a distinct (partition, node) pair
+    aggregate; the final composition crossJoins 1-row frames only.
+    """
+    P = rows * cols
+
+    def h(c: str):
+        return F.conv(F.substring(F.md5(F.col(c)), 1, 4), 16, 10) \
+            .cast("long")
+
+    def stats(e: DataFrame, label: str) -> DataFrame:
+        parts = e.groupBy("part").agg(
+            F.count(F.lit(1)).cast("long").alias("c"))
+        bal = parts.agg(F.sum("c").cast("long").alias("n_edges"),
+                        F.max("c").cast("long").alias("max_part_edges"))
+        rep = (e.select("part", F.col("src").alias("node"))
+               .unionByName(e.select("part", F.col("dst").alias("node")))
+               .dropDuplicates()
+               .groupBy("node").agg(F.count(F.lit(1)).alias("k"))
+               .agg(F.count(F.lit(1)).cast("long").alias("n_nodes"),
+                    F.sum("k").cast("long").alias("replicas")))
+        return (bal.crossJoin(rep)  # two 1-row frames
+                .select(F.lit(label).alias("strategy"),
+                        F.lit(P).cast("int").alias("n_partitions"),
+                        "n_edges", "max_part_edges",
+                        F.expr(f"(1000000 * max_part_edges * {P})"
+                               " div n_edges").cast("long")
+                        .alias("balance_micro6"),
+                        "n_nodes", "replicas",
+                        F.expr("(1000000 * replicas) div n_nodes")
+                        .cast("long").alias("replication_micro6")))
+
+    e1 = edges.select((h("src") % P).cast("int").alias("part"),
+                      "src", "dst")
+    e2 = edges.select(((h("src") % rows) * cols + (h("dst") % cols))
+                      .cast("int").alias("part"), "src", "dst")
+    return stats(e1, "hash_1d_src").unionByName(stats(e2, "grid_2d"))

@@ -8016,3 +8016,72 @@ SELECT n_items, n_agree, pe_num,
                  // (n_items * n_items - pe_num) END AS BIGINT)
          AS kappa_micro6
 FROM ck_tot, ck_pe"""
+
+
+# ---------------------------------------------------------------------------
+# Continuation batch 111: 1D hash edge-cut vs 2D grid vertex-cut
+# partitioning audit over the co-mention graph — balance + vertex
+# replication factor per strategy, md5-nibble hash (the feat_u16
+# device) so both engines agree
+# (operators/graph_algos.partition_replication).
+
+
+def _md5_h16(expr: str) -> str:
+    """First 4 hex nibbles of md5(expr) as an integer 0..65535 —
+    DuckDB replica of Spark's conv(substring(md5(x),1,4),16,10)."""
+    nib = ("(instr('0123456789abcdef', substr(md5({e}), {i}, 1)) - 1)"
+           .format)
+    return ("(4096 * {0} + 256 * {1} + 16 * {2} + {3})".format(
+        nib(e=expr, i=1), nib(e=expr, i=2),
+        nib(e=expr, i=3), nib(e=expr, i=4)))
+
+
+_PR_CTES = f"""
+pr_e1 AS MATERIALIZED (
+  SELECT CAST({_md5_h16('src')} % 9 AS INT) AS part, src, dst
+  FROM comention),
+pr_e2 AS MATERIALIZED (
+  SELECT CAST(({_md5_h16('src')} % 3) * 3 + ({_md5_h16('dst')} % 3)
+              AS INT) AS part, src, dst
+  FROM comention),
+pr_bal1 AS (
+  SELECT CAST(SUM(c) AS BIGINT) AS n_edges,
+         CAST(MAX(c) AS BIGINT) AS max_part_edges
+  FROM (SELECT part, COUNT(*) AS c FROM pr_e1 GROUP BY 1)),
+pr_rep1 AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n_nodes,
+         CAST(SUM(k) AS BIGINT) AS replicas
+  FROM (SELECT node, COUNT(*) AS k
+        FROM (SELECT DISTINCT part, src AS node FROM pr_e1
+              UNION
+              SELECT DISTINCT part, dst AS node FROM pr_e1)
+        GROUP BY 1)),
+pr_bal2 AS (
+  SELECT CAST(SUM(c) AS BIGINT) AS n_edges,
+         CAST(MAX(c) AS BIGINT) AS max_part_edges
+  FROM (SELECT part, COUNT(*) AS c FROM pr_e2 GROUP BY 1)),
+pr_rep2 AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n_nodes,
+         CAST(SUM(k) AS BIGINT) AS replicas
+  FROM (SELECT node, COUNT(*) AS k
+        FROM (SELECT DISTINCT part, src AS node FROM pr_e2
+              UNION
+              SELECT DISTINCT part, dst AS node FROM pr_e2)
+        GROUP BY 1))"""
+
+ORACLE["partition_replication"] = _q("""
+SELECT 'hash_1d_src' AS strategy, 9 AS n_partitions, n_edges,
+       max_part_edges,
+       CAST((1000000 * max_part_edges * 9) // n_edges AS BIGINT)
+         AS balance_micro6,
+       n_nodes, replicas,
+       CAST((1000000 * replicas) // n_nodes AS BIGINT)
+         AS replication_micro6
+FROM pr_bal1, pr_rep1
+UNION ALL
+SELECT 'grid_2d', 9, n_edges, max_part_edges,
+       CAST((1000000 * max_part_edges * 9) // n_edges AS BIGINT),
+       n_nodes, replicas,
+       CAST((1000000 * replicas) // n_nodes AS BIGINT)
+FROM pr_bal2, pr_rep2""",
+    LINK_CTES, COMENTION_CTES.strip(), _PR_CTES.strip())

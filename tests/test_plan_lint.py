@@ -104,6 +104,9 @@ ALLOWED = {
     # two 1-row frames (confusion-matrix totals x expected-agreement
     # scalar) composed by crossJoin — the partition_agreement class
     "langid_kappa": (0, 1),
+    # per strategy, the 1-row balance frame crossJoined with the
+    # 1-row replication frame (x2 strategies) — same 1-row class
+    "partition_replication": (0, 2),
 }
 
 

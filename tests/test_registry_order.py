@@ -380,6 +380,9 @@ EXPECTED_TAIL = [
     # Continuation batch 110: Cohen's kappa — appended past
     # position 50.
     "langid_kappa",
+    # Continuation batch 111: partitioning audit — appended past
+    # position 50.
+    "partition_replication",
 ]
 
 
