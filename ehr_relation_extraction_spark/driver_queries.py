@@ -2553,6 +2553,17 @@ def q_partition_replication(spark, sf_dir) -> DataFrame:
     return partition_replication(edges)
 
 
+def q_isotonic_calibration(spark, sf_dir) -> DataFrame:
+    """Isotonic (PAVA) fit of the LM-quality reliability curve
+    (functions/textstats.isotonic_fit over quality_calibration) —
+    the monotone score->keep-probability map, minimax closed form
+    over the 10 rank-decile buckets."""
+    return ts.isotonic_fit(
+        ts.quality_calibration(_docs(spark, sf_dir))).select(
+        "bucket", "n_docs", "n_keep", "keep_rate_micro6",
+        "iso_micro6")
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # ORDER IS LOAD-BEARING: the driver snapshot verifies exactly
     # list(QUERIES)[:50] in insertion order (pinned by
@@ -2982,6 +2993,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # Continuation batch 111: 1D vs 2D graph-partitioning audit —
     # appended past position 50.
     "partition_replication": q_partition_replication,
+    # Continuation batch 112: isotonic calibration of the quality
+    # reliability curve — appended past position 50.
+    "isotonic_calibration": q_isotonic_calibration,
 }
 
 

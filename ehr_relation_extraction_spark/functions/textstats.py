@@ -1859,3 +1859,54 @@ def cohen_kappa(pairs: DataFrame, a_col: str = "a",
                            " (1000000 * (n_items * n_agree - pe_num))"
                            " div (n_items * n_items - pe_num) END")
                     .cast("long").alias("kappa_micro6")))
+
+
+def isotonic_fit(buckets: DataFrame, x_col: str = "bucket",
+                 w_col: str = "n_docs",
+                 y_num_col: str = "n_keep") -> DataFrame:
+    """Isotonic (monotone non-decreasing) regression over a bounded
+    bucket table — the calibration step that turns a reliability
+    curve into a usable monotone score->probability map (Zadrozny &
+    Elkan '02 use PAVA exactly here): adds ``iso_micro6`` to each
+    bucket row.
+
+    Instead of the sequential pool-adjacent-violators sweep, uses the
+    equivalent minimax closed form yhat_i = max_{j<=i} min_{k>=i}
+    mean(y, j..k) (Robertson-Wright-Dykstra '88 Thm 1.4.4) — O(T^3)
+    over interval means, but T is the BUCKET count (a fixed
+    resolution, 10 here), never data volume, so the whole fit is a
+    bounded self-join after the corpus has been reduced to T rows.
+    Interval means are weighted (w = bucket mass) and floor-quantized
+    to micro6 BEFORE the minimax — both engines quantize identically,
+    so the fit is bit-exact cross-engine; the quantized fit is still
+    monotone (max-min of a fixed value table) and within 1 micro6 of
+    the rational PAVA solution.
+
+    Output: input columns + iso_micro6, one row per bucket.
+    """
+    c = (buckets.select(
+            F.col(x_col).alias("_x"),
+            F.col(w_col).cast("long").alias("_w"),
+            F.col(y_num_col).cast("long").alias("_yn"))
+         .withColumn("_cw", F.sum("_w").over(
+             Window.orderBy("_x").rowsBetween(
+                 Window.unboundedPreceding, Window.currentRow)))
+         .withColumn("_cy", F.sum("_yn").over(
+             Window.orderBy("_x").rowsBetween(
+                 Window.unboundedPreceding, Window.currentRow))))
+    j = c.select(F.col("_x").alias("_j"),
+                 (F.col("_cw") - F.col("_w")).alias("_cwj"),
+                 (F.col("_cy") - F.col("_yn")).alias("_cyj"))
+    k = c.select(F.col("_x").alias("_k"), F.col("_cw").alias("_cwk"),
+                 F.col("_cy").alias("_cyk"))
+    ivals = (j.join(k, j["_j"] <= k["_k"])  # bounded: T x T buckets
+             .select("_j", "_k",
+                     F.expr("(1000000 * (_cyk - _cyj))"
+                            " div (_cwk - _cwj)").alias("_a")))
+    i = c.select(F.col("_x").alias("_i"))
+    tri = ivals.join(i, (F.col("_j") <= F.col("_i"))
+                     & (F.col("_i") <= F.col("_k")))
+    fit = (tri.groupBy("_i", "_j").agg(F.min("_a").alias("_m"))
+           .groupBy("_i").agg(F.max("_m").cast("long")
+                              .alias("iso_micro6")))
+    return buckets.join(fit, F.col(x_col) == F.col("_i")).drop("_i")

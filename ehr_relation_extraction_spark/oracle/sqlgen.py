@@ -8085,3 +8085,36 @@ SELECT 'grid_2d', 9, n_edges, max_part_edges,
        CAST((1000000 * replicas) // n_nodes AS BIGINT)
 FROM pr_bal2, pr_rep2""",
     LINK_CTES, COMENTION_CTES.strip(), _PR_CTES.strip())
+
+
+# ---------------------------------------------------------------------------
+# Continuation batch 112: isotonic (PAVA) calibration of the quality
+# reliability curve — minimax closed form over interval means,
+# floor-quantized micro6 (functions/textstats.isotonic_fit).  Reuses
+# the quality_calibration statement verbatim as a nested subquery.
+
+ORACLE["isotonic_calibration"] = f"""
+WITH iso_b AS MATERIALIZED ({ORACLE["quality_calibration"]}),
+iso_c AS MATERIALIZED (
+  SELECT bucket, n_docs, n_keep, keep_rate_micro6,
+         SUM(n_docs) OVER (ORDER BY bucket
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cw,
+         SUM(n_keep) OVER (ORDER BY bucket
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cy
+  FROM iso_b),
+iso_iv AS (
+  SELECT j.bucket AS bj, k.bucket AS bk,
+         CAST((1000000 * (k.cy - (j.cy - j.n_keep)))
+              // (k.cw - (j.cw - j.n_docs)) AS BIGINT) AS a
+  FROM iso_c j JOIN iso_c k ON j.bucket <= k.bucket),
+iso_tri AS (
+  SELECT i.bucket AS bi, v.bj, MIN(v.a) AS m
+  FROM iso_iv v JOIN iso_c i
+    ON v.bj <= i.bucket AND i.bucket <= v.bk
+  GROUP BY 1, 2),
+iso_fit AS (
+  SELECT bi AS bucket, CAST(MAX(m) AS BIGINT) AS iso_micro6
+  FROM iso_tri GROUP BY 1)
+SELECT b.bucket, b.n_docs, b.n_keep, b.keep_rate_micro6,
+       f.iso_micro6
+FROM iso_b b JOIN iso_fit f USING (bucket)"""

@@ -107,6 +107,11 @@ ALLOWED = {
     # per strategy, the 1-row balance frame crossJoined with the
     # 1-row replication frame (x2 strategies) — same 1-row class
     "partition_replication": (0, 2),
+    # PAVA minimax: interval pairing (j<=k) and interval-to-point
+    # containment (j<=i<=k), BOTH sides the 10-row bucket table — a
+    # fixed-resolution dimension, never data volume; the corpus is
+    # reduced to those 10 rows by ONE hash aggregate upstream
+    "isotonic_calibration": (2, 0),
 }
 
 

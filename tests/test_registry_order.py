@@ -383,6 +383,9 @@ EXPECTED_TAIL = [
     # Continuation batch 111: partitioning audit — appended past
     # position 50.
     "partition_replication",
+    # Continuation batch 112: isotonic calibration — appended past
+    # position 50.
+    "isotonic_calibration",
 ]
 
 
