@@ -2564,6 +2564,17 @@ def q_isotonic_calibration(spark, sf_dir) -> DataFrame:
         "iso_micro6")
 
 
+def q_ranker_tau(spark, sf_dir) -> DataFrame:
+    """Kendall concordance (tau-a + gamma, exact pair counts) between
+    the BM25 ranking and the naive raw-tf ordering per gazetteer
+    probe term (functions/textstats.ranker_tau over
+    bm25_entity_retrieval's top-10 shortlists)."""
+    gaz = lk.gazetteer_df(spark)
+    ranked = ts.bm25_entity_retrieval(_docs(spark, sf_dir),
+                                      gaz.select("alias"))
+    return ts.ranker_tau(ranked)
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # ORDER IS LOAD-BEARING: the driver snapshot verifies exactly
     # list(QUERIES)[:50] in insertion order (pinned by
@@ -2996,6 +3007,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # Continuation batch 112: isotonic calibration of the quality
     # reliability curve — appended past position 50.
     "isotonic_calibration": q_isotonic_calibration,
+    # Continuation batch 113: Kendall ranker concordance — appended
+    # past position 50.
+    "ranker_tau": q_ranker_tau,
 }
 
 

@@ -1910,3 +1910,72 @@ def isotonic_fit(buckets: DataFrame, x_col: str = "bucket",
            .groupBy("_i").agg(F.max("_m").cast("long")
                               .alias("iso_micro6")))
     return buckets.join(fit, F.col(x_col) == F.col("_i")).drop("_i")
+
+
+def ranker_tau(ranked: DataFrame, group_col: str = "term",
+               item_col: str = "doc_id", x_col: str = "score_micro6",
+               y_col: str = "tf") -> DataFrame:
+    """Kendall rank correlation between two scorers over the same
+    per-group item shortlist — exact pair counts, no sqrt: for each
+    group, classify every item pair as concordant (both scorers order
+    it the same way), discordant, or tied, and report tau-a and
+    Goodman-Kruskal gamma as exact floor-scaled integers.  The
+    retrieval read: per probe term, how much does the full ranker
+    (BM25's idf + length normalization) reorder the naive raw-tf
+    ranking?
+
+    tau-b's sqrt denominator is NOT integer-exact, so it is the one
+    statistic deliberately not emitted; gamma = (C-D)/(C+D) is the
+    tie-robust alternative that stays rational.
+
+    Output: (group, n_items, n_pairs, concordant, discordant,
+    ties_x, ties_y, ties_both, tau_a_micro6, gamma_micro6).
+
+    Scale shape: the self-join is keyed on the group column (an
+    equi-join) and each group is a top-k shortlist — k(k-1)/2 pairs
+    per group, bounded by the retrieval contract, never corpus-sized.
+    One aggregate after.
+    """
+    a = ranked.select(group_col, F.col(item_col).alias("_i"),
+                      F.col(x_col).alias("_xi"),
+                      F.col(y_col).alias("_yi"))
+    b = ranked.select(group_col, F.col(item_col).alias("_j"),
+                      F.col(x_col).alias("_xj"),
+                      F.col(y_col).alias("_yj"))
+    pairs = a.join(b, group_col).where(F.col("_i") < F.col("_j"))
+
+    def sgn(u, v):
+        return F.when(F.col(u) > F.col(v), 1) \
+            .when(F.col(u) < F.col(v), -1).otherwise(0)
+
+    p = pairs.select(
+        group_col,
+        (sgn("_xi", "_xj") * sgn("_yi", "_yj")).alias("_prod"),
+        (F.col("_xi") == F.col("_xj")).cast("int").alias("_tx"),
+        (F.col("_yi") == F.col("_yj")).cast("int").alias("_ty"))
+    n_items = ranked.groupBy(group_col).agg(
+        F.count(F.lit(1)).cast("long").alias("n_items"))
+    agg = (p.groupBy(group_col).agg(
+        F.count(F.lit(1)).cast("long").alias("n_pairs"),
+        F.sum(F.when((F.col("_prod") == 1) & (F.col("_tx") == 0)
+                     & (F.col("_ty") == 0), 1).otherwise(0))
+        .cast("long").alias("concordant"),
+        F.sum(F.when(F.col("_prod") == -1, 1).otherwise(0))
+        .cast("long").alias("discordant"),
+        F.sum(F.col("_tx") * (1 - F.col("_ty"))).cast("long")
+        .alias("ties_x"),
+        F.sum(F.col("_ty") * (1 - F.col("_tx"))).cast("long")
+        .alias("ties_y"),
+        F.sum(F.col("_tx") * F.col("_ty")).cast("long")
+        .alias("ties_both")))
+    return (n_items.join(agg, group_col)
+            .select(group_col, "n_items", "n_pairs", "concordant",
+                    "discordant", "ties_x", "ties_y", "ties_both",
+                    F.expr("(1000000 * (concordant - discordant))"
+                           " div n_pairs").cast("long")
+                    .alias("tau_a_micro6"),
+                    F.expr("CASE WHEN concordant + discordant = 0"
+                           " THEN 0 ELSE"
+                           " (1000000 * (concordant - discordant))"
+                           " div (concordant + discordant) END")
+                    .cast("long").alias("gamma_micro6")))

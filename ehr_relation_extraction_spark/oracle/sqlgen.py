@@ -8118,3 +8118,48 @@ iso_fit AS (
 SELECT b.bucket, b.n_docs, b.n_keep, b.keep_rate_micro6,
        f.iso_micro6
 FROM iso_b b JOIN iso_fit f USING (bucket)"""
+
+
+# ---------------------------------------------------------------------------
+# Continuation batch 113: Kendall ranker concordance (tau-a + gamma,
+# exact pair counts) between BM25 and the raw-tf ordering per probe
+# term (functions/textstats.ranker_tau).  Reuses the bm25_entities
+# statement verbatim as a nested subquery.
+
+ORACLE["ranker_tau"] = f"""
+WITH rt_r AS MATERIALIZED ({ORACLE["bm25_entities"]}),
+rt_p AS (
+  SELECT a.term,
+         (CASE WHEN a.score_micro6 > b.score_micro6 THEN 1
+               WHEN a.score_micro6 < b.score_micro6 THEN -1
+               ELSE 0 END)
+       * (CASE WHEN a.tf > b.tf THEN 1
+               WHEN a.tf < b.tf THEN -1 ELSE 0 END) AS prod,
+         CASE WHEN a.score_micro6 = b.score_micro6 THEN 1 ELSE 0 END
+           AS tx,
+         CASE WHEN a.tf = b.tf THEN 1 ELSE 0 END AS ty
+  FROM rt_r a JOIN rt_r b
+    ON a.term = b.term AND a.doc_id < b.doc_id),
+rt_n AS (
+  SELECT term, CAST(COUNT(*) AS BIGINT) AS n_items
+  FROM rt_r GROUP BY 1),
+rt_a AS (
+  SELECT term,
+         CAST(COUNT(*) AS BIGINT) AS n_pairs,
+         CAST(SUM(CASE WHEN prod = 1 THEN 1 ELSE 0 END) AS BIGINT)
+           AS concordant,
+         CAST(SUM(CASE WHEN prod = -1 THEN 1 ELSE 0 END) AS BIGINT)
+           AS discordant,
+         CAST(SUM(tx * (1 - ty)) AS BIGINT) AS ties_x,
+         CAST(SUM(ty * (1 - tx)) AS BIGINT) AS ties_y,
+         CAST(SUM(tx * ty) AS BIGINT) AS ties_both
+  FROM rt_p GROUP BY 1)
+SELECT n.term, n.n_items, a.n_pairs, a.concordant, a.discordant,
+       a.ties_x, a.ties_y, a.ties_both,
+       CAST((1000000 * (a.concordant - a.discordant)) // a.n_pairs
+         AS BIGINT) AS tau_a_micro6,
+       CAST(CASE WHEN a.concordant + a.discordant = 0 THEN 0
+            ELSE (1000000 * (a.concordant - a.discordant))
+                 // (a.concordant + a.discordant) END AS BIGINT)
+         AS gamma_micro6
+FROM rt_n n JOIN rt_a a USING (term)"""

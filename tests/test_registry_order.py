@@ -386,6 +386,9 @@ EXPECTED_TAIL = [
     # Continuation batch 112: isotonic calibration — appended past
     # position 50.
     "isotonic_calibration",
+    # Continuation batch 113: Kendall ranker concordance — appended
+    # past position 50.
+    "ranker_tau",
 ]
 
 
