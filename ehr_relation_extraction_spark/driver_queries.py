@@ -2575,6 +2575,13 @@ def q_ranker_tau(spark, sf_dir) -> DataFrame:
     return ts.ranker_tau(ranked)
 
 
+def q_good_turing(spark, sf_dir) -> DataFrame:
+    """Good-Turing frequency-of-frequencies smoothing table for the
+    corpus unigram distribution, c <= 20
+    (functions/textstats.good_turing)."""
+    return ts.good_turing(_docs(spark, sf_dir))
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # ORDER IS LOAD-BEARING: the driver snapshot verifies exactly
     # list(QUERIES)[:50] in insertion order (pinned by
@@ -3010,6 +3017,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # Continuation batch 113: Kendall ranker concordance — appended
     # past position 50.
     "ranker_tau": q_ranker_tau,
+    # Continuation batch 114: Good-Turing smoothing table — appended
+    # past position 50.
+    "good_turing": q_good_turing,
 }
 
 

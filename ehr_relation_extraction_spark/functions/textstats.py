@@ -1979,3 +1979,57 @@ def ranker_tau(ranked: DataFrame, group_col: str = "term",
                            " (1000000 * (concordant - discordant))"
                            " div (concordant + discordant) END")
                     .cast("long").alias("gamma_micro6")))
+
+
+def good_turing(docs: DataFrame, n: int = 3,
+                max_c: int = 20) -> DataFrame:
+    """Good-Turing frequency-of-frequencies table for the token
+    ``n``-gram distribution — the classic LM smoothing read (Gale &
+    Sampson '95 "simple Good-Turing" uses exactly these raw N_c rows
+    for small c, and Katz backoff discounts with them): for each
+    count c <= max_c, how many types occur exactly c times (N_c), how
+    much probability mass they hold (c * N_c tokens), and the
+    GT-discounted count c* = (c+1) * N_{c+1} / N_c, floor-scaled
+    micro6.  Row c=1's mass over the total IS the unseen-probability
+    estimate P0 = N_1 / N.
+
+    n defaults to trigrams: GT only says something in a SPARSE type
+    regime (hapax-heavy), which for this corpus's closed unigram
+    vocabulary first appears at n=3 — the same reason real LM
+    pipelines apply GT at the highest order.
+
+    c* is 0 where N_{c+1} = 0 (the gap case simple GT smooths over —
+    emitted honestly as 0, not interpolated, so the table stays an
+    exact corpus statistic).
+
+    Scale shape: n-grams are built map-side from the per-doc token
+    array (transform over index sequence — no window, no shuffle);
+    one hash aggregate to type counts, one vocabulary-sized aggregate
+    to the N_c table — at most max_c rows survive, and the adjacency
+    join N_c vs N_{c+1} is an equi-join on c over that bounded table.
+    """
+    counts = (docs.select(_toks().alias("_t"))
+              # CASE guard: sequence(1, 0) DESCENDS in Spark, so a
+              # doc shorter than n tokens must yield [] explicitly
+              .select(F.explode(F.expr(
+                  "CASE WHEN size(_t) >= {n} THEN"
+                  " transform(sequence(1, size(_t) - {o}),"
+                  " i -> concat_ws(' ', slice(_t, i, {n})))"
+                  " ELSE array() END".format(
+                      o=n - 1, n=n))).alias("gram"))
+              .groupBy("gram")
+              .agg(F.count(F.lit(1)).cast("long").alias("c")))
+    nc = (counts.where(F.col("c") <= max_c + 1)
+          .groupBy("c")
+          .agg(F.count(F.lit(1)).cast("long").alias("n_types")))
+    nxt = nc.select((F.col("c") - 1).alias("c"),
+                    F.col("n_types").alias("_n_next"))
+    return (nc.where(F.col("c") <= max_c)
+            .join(nxt, "c", "left")
+            .select(F.col("c").cast("long").alias("c"), "n_types",
+                    (F.col("c") * F.col("n_types")).cast("long")
+                    .alias("mass"),
+                    F.expr("CASE WHEN _n_next IS NULL THEN 0 ELSE"
+                           " (1000000 * (c + 1) * _n_next)"
+                           " div n_types END").cast("long")
+                    .alias("c_star_micro6")))

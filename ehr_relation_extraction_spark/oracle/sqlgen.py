@@ -8163,3 +8163,41 @@ SELECT n.term, n.n_items, a.n_pairs, a.concordant, a.discordant,
                  // (a.concordant + a.discordant) END AS BIGINT)
          AS gamma_micro6
 FROM rt_n n JOIN rt_a a USING (term)"""
+
+
+# ---------------------------------------------------------------------------
+# Continuation batch 114: Good-Turing frequency-of-frequencies table
+# over unigram type counts, GT-discounted c* in exact integers
+# (functions/textstats.good_turing).
+
+ORACLE["good_turing"] = """
+WITH gt_toks AS (
+  SELECT doc_id, tok,
+         ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY pos) AS p
+  FROM (SELECT doc_id,
+               unnest(string_split_regex(text, '[\\n \\t]')) AS tok,
+               generate_subscripts(string_split_regex(text,
+                   '[\\n \\t]'), 1) AS pos
+        FROM documents)
+  WHERE tok <> ''),
+gt_grams AS (
+  -- token trigrams; string concat with a NULL lead nulls the gram,
+  -- which the WHERE drops (docs shorter than 3 tokens yield none)
+  SELECT tok || ' ' || LEAD(tok, 1) OVER w || ' ' || LEAD(tok, 2)
+           OVER w AS gram
+  FROM gt_toks
+  WINDOW w AS (PARTITION BY doc_id ORDER BY p)),
+gt_counts AS (
+  SELECT gram, CAST(COUNT(*) AS BIGINT) AS c
+  FROM gt_grams WHERE gram IS NOT NULL
+  GROUP BY 1),
+gt_nc AS (
+  SELECT c, CAST(COUNT(*) AS BIGINT) AS n_types
+  FROM gt_counts WHERE c <= 21 GROUP BY 1)
+SELECT a.c, a.n_types,
+       CAST(a.c * a.n_types AS BIGINT) AS mass,
+       CAST(CASE WHEN b.n_types IS NULL THEN 0 ELSE
+            (1000000 * (a.c + 1) * b.n_types) // a.n_types END
+         AS BIGINT) AS c_star_micro6
+FROM gt_nc a LEFT JOIN gt_nc b ON b.c = a.c + 1
+WHERE a.c <= 20"""

@@ -389,6 +389,9 @@ EXPECTED_TAIL = [
     # Continuation batch 113: Kendall ranker concordance — appended
     # past position 50.
     "ranker_tau",
+    # Continuation batch 114: Good-Turing smoothing table — appended
+    # past position 50.
+    "good_turing",
 ]
 
 
