@@ -2582,6 +2582,13 @@ def q_good_turing(spark, sf_dir) -> DataFrame:
     return ts.good_turing(_docs(spark, sf_dir))
 
 
+def q_zipf_doubling(spark, sf_dir) -> DataFrame:
+    """Zipf rank-doubling ratio curve over the trigram vocabulary
+    (functions/textstats.zipf_doubling) — exact-integer power-law
+    check at ranks 1..256."""
+    return ts.zipf_doubling(_docs(spark, sf_dir))
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # ORDER IS LOAD-BEARING: the driver snapshot verifies exactly
     # list(QUERIES)[:50] in insertion order (pinned by
@@ -3020,6 +3027,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # Continuation batch 114: Good-Turing smoothing table — appended
     # past position 50.
     "good_turing": q_good_turing,
+    # Continuation batch 115: Zipf rank-doubling curve — appended
+    # past position 50.
+    "zipf_doubling": q_zipf_doubling,
 }
 
 

@@ -2033,3 +2033,46 @@ def good_turing(docs: DataFrame, n: int = 3,
                            " (1000000 * (c + 1) * _n_next)"
                            " div n_types END").cast("long")
                     .alias("c_star_micro6")))
+
+
+def zipf_doubling(docs: DataFrame, n: int = 3,
+                  max_rank: int = 256) -> DataFrame:
+    """Zipf rank-doubling curve over the token ``n``-gram vocabulary:
+    for each rank r in {1, 2, 4, ..., max_rank}, the frequency at
+    rank r, at rank 2r, and the exact ratio f(r)/f(2r) micro6 — under
+    a Zipf law f ~ r^-s the ratio is a constant 2^s, so the curve's
+    flatness IS the power-law check, float-free (the log-log
+    regression everyone plots, reduced to exact integer ratios at
+    doubling points).
+
+    Ranks order by frequency desc with the gram string as the
+    deterministic tie-break.
+
+    Scale shape: one corpus scan to type counts; the global ranking
+    window runs over the vocabulary value table (type-table sized,
+    the top_terms discipline), and only log2(max_rank)+1 rows
+    survive to the rank->2r self-join.
+    """
+    counts = (docs.select(_toks().alias("_t"))
+              .select(F.explode(F.expr(
+                  "CASE WHEN size(_t) >= {n} THEN"
+                  " transform(sequence(1, size(_t) - {o}),"
+                  " i -> concat_ws(' ', slice(_t, i, {n})))"
+                  " ELSE array() END".format(
+                      o=n - 1, n=n))).alias("gram"))
+              .groupBy("gram")
+              .agg(F.count(F.lit(1)).cast("long").alias("freq")))
+    ranked = counts.withColumn(
+        "r", F.row_number().over(
+            Window.orderBy(F.desc("freq"), F.asc("gram"))))
+    pows = [1 << i for i in range((max_rank).bit_length())]
+    a = ranked.where(F.col("r").isin(pows)).select(
+        F.col("r").cast("long").alias("rank"),
+        F.col("freq").alias("freq_r"))
+    b = ranked.where(F.col("r").isin([2 * p for p in pows])).select(
+        (F.col("r") / 2).cast("long").alias("rank"),
+        F.col("freq").alias("freq_2r"))
+    return (a.join(b, "rank")
+            .select("rank", "freq_r", "freq_2r",
+                    F.expr("(1000000 * freq_r) div freq_2r")
+                    .cast("long").alias("ratio_micro6")))

@@ -8201,3 +8201,37 @@ SELECT a.c, a.n_types,
          AS BIGINT) AS c_star_micro6
 FROM gt_nc a LEFT JOIN gt_nc b ON b.c = a.c + 1
 WHERE a.c <= 20"""
+
+
+# ---------------------------------------------------------------------------
+# Continuation batch 115: Zipf rank-doubling ratio curve over the
+# trigram vocabulary — exact integer f(r)/f(2r) at power-of-two
+# ranks (functions/textstats.zipf_doubling).
+
+ORACLE["zipf_doubling"] = """
+WITH zd_toks AS (
+  SELECT doc_id, tok,
+         ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY pos) AS p
+  FROM (SELECT doc_id,
+               unnest(string_split_regex(text, '[\\n \\t]')) AS tok,
+               generate_subscripts(string_split_regex(text,
+                   '[\\n \\t]'), 1) AS pos
+        FROM documents)
+  WHERE tok <> ''),
+zd_grams AS (
+  SELECT tok || ' ' || LEAD(tok, 1) OVER w || ' ' || LEAD(tok, 2)
+           OVER w AS gram
+  FROM zd_toks
+  WINDOW w AS (PARTITION BY doc_id ORDER BY p)),
+zd_counts AS (
+  SELECT gram, CAST(COUNT(*) AS BIGINT) AS freq
+  FROM zd_grams WHERE gram IS NOT NULL GROUP BY 1),
+zd_ranked AS (
+  SELECT freq,
+         ROW_NUMBER() OVER (ORDER BY freq DESC, gram) AS r
+  FROM zd_counts)
+SELECT CAST(a.r AS BIGINT) AS rank, a.freq AS freq_r,
+       b.freq AS freq_2r,
+       CAST((1000000 * a.freq) // b.freq AS BIGINT) AS ratio_micro6
+FROM zd_ranked a JOIN zd_ranked b ON b.r = 2 * a.r
+WHERE a.r IN (1, 2, 4, 8, 16, 32, 64, 128, 256)"""

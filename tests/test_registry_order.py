@@ -392,6 +392,9 @@ EXPECTED_TAIL = [
     # Continuation batch 114: Good-Turing smoothing table — appended
     # past position 50.
     "good_turing",
+    # Continuation batch 115: Zipf rank-doubling curve — appended
+    # past position 50.
+    "zipf_doubling",
 ]
 
 
