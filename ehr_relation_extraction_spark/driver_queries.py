@@ -2589,6 +2589,15 @@ def q_zipf_doubling(spark, sf_dir) -> DataFrame:
     return ts.zipf_doubling(_docs(spark, sf_dir))
 
 
+def q_interarrival_stats(spark, sf_dir) -> DataFrame:
+    """Per-event-type inter-arrival gap statistics in exact integer
+    microseconds (operators/events.interarrival_stats)."""
+    from .operators.events import interarrival_stats
+
+    return interarrival_stats(
+        spark.read.parquet(f"{sf_dir}/events.parquet"))
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # ORDER IS LOAD-BEARING: the driver snapshot verifies exactly
     # list(QUERIES)[:50] in insertion order (pinned by
@@ -3030,6 +3039,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # Continuation batch 115: Zipf rank-doubling curve — appended
     # past position 50.
     "zipf_doubling": q_zipf_doubling,
+    # Continuation batch 116: inter-arrival gap statistics —
+    # appended past position 50.
+    "interarrival_stats": q_interarrival_stats,
 }
 
 

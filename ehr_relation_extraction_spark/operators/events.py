@@ -480,3 +480,43 @@ def theil_sen_trend(events: DataFrame) -> DataFrame:
             .select("etype", "n_days",
                     F.col("_n").cast("long").alias("n_pairs"),
                     F.col("slope").alias("slope_micro6")))
+
+
+def interarrival_stats(events: DataFrame) -> DataFrame:
+    """Per-event-type inter-arrival gap statistics — the queueing
+    read behind every rate-limit / burst-capacity decision: order
+    each type's stream by timestamp (event_id as the deterministic
+    tie-break for equal timestamps) and aggregate the successive gaps
+    in exact integer microseconds.
+
+    Percentiles are lower nearest-rank over (gap, occurrence order) —
+    the doclen_percentiles discipline — and the mean floors, so every
+    column is cross-engine bit-exact.
+
+    Output: (etype, n_gaps, mean_us, p50_us, p90_us, max_us).
+
+    Scale shape: one shuffle partitioned by event type, two in-
+    partition windows (lag + rank), one aggregate — gaps never leave
+    their type partition, and the type vocabulary bounds output rows.
+    """
+    from pyspark.sql import Window
+
+    t = events.select(
+        F.col("event_type").alias("etype"),
+        F.expr("unix_micros(cast(ts as timestamp))").alias("_us"),
+        F.col("event_id").alias("_eid"))
+    w = Window.partitionBy("etype").orderBy("_us", "_eid")
+    g = (t.withColumn("_gap", F.col("_us") - F.lag("_us").over(w))
+         .where(F.col("_gap").isNotNull()))
+    wr = Window.partitionBy("etype").orderBy("_gap", "_us", "_eid")
+    r = (g.withColumn("_rn", F.row_number().over(wr) - 1)
+         .withColumn("_cnt", F.count(F.lit(1)).over(
+             Window.partitionBy("etype"))))
+    return (r.groupBy("etype").agg(
+        F.count(F.lit(1)).cast("long").alias("n_gaps"),
+        F.expr("sum(_gap) div count(*)").cast("long").alias("mean_us"),
+        F.max(F.when(F.col("_rn") == F.expr("((_cnt - 1) * 50) div 100"),
+                     F.col("_gap"))).cast("long").alias("p50_us"),
+        F.max(F.when(F.col("_rn") == F.expr("((_cnt - 1) * 90) div 100"),
+                     F.col("_gap"))).cast("long").alias("p90_us"),
+        F.max("_gap").cast("long").alias("max_us")))

@@ -8235,3 +8235,35 @@ SELECT CAST(a.r AS BIGINT) AS rank, a.freq AS freq_r,
        CAST((1000000 * a.freq) // b.freq AS BIGINT) AS ratio_micro6
 FROM zd_ranked a JOIN zd_ranked b ON b.r = 2 * a.r
 WHERE a.r IN (1, 2, 4, 8, 16, 32, 64, 128, 256)"""
+
+
+# ---------------------------------------------------------------------------
+# Continuation batch 116: per-event-type inter-arrival gap stats —
+# exact integer microseconds, lower nearest-rank percentiles
+# (operators/events.interarrival_stats).
+
+ORACLE["interarrival_stats"] = """
+WITH ia_t AS (
+  SELECT event_type AS etype,
+         epoch_us(ts) AS us, event_id AS eid
+  FROM events),
+ia_g AS (
+  SELECT etype, us, eid,
+         us - LAG(us) OVER (PARTITION BY etype ORDER BY us, eid)
+           AS gap
+  FROM ia_t),
+ia_r AS (
+  SELECT etype, gap,
+         ROW_NUMBER() OVER (PARTITION BY etype
+             ORDER BY gap, us, eid) - 1 AS rn,
+         COUNT(*) OVER (PARTITION BY etype) AS cnt
+  FROM ia_g WHERE gap IS NOT NULL)
+SELECT etype,
+       CAST(COUNT(*) AS BIGINT) AS n_gaps,
+       CAST(SUM(gap) // COUNT(*) AS BIGINT) AS mean_us,
+       CAST(MAX(CASE WHEN rn = ((cnt - 1) * 50) // 100 THEN gap END)
+         AS BIGINT) AS p50_us,
+       CAST(MAX(CASE WHEN rn = ((cnt - 1) * 90) // 100 THEN gap END)
+         AS BIGINT) AS p90_us,
+       CAST(MAX(gap) AS BIGINT) AS max_us
+FROM ia_r GROUP BY 1"""

@@ -395,6 +395,9 @@ EXPECTED_TAIL = [
     # Continuation batch 115: Zipf rank-doubling curve — appended
     # past position 50.
     "zipf_doubling",
+    # Continuation batch 116: inter-arrival gap statistics —
+    # appended past position 50.
+    "interarrival_stats",
 ]
 
 
