@@ -2598,6 +2598,12 @@ def q_interarrival_stats(spark, sf_dir) -> DataFrame:
         spark.read.parquet(f"{sf_dir}/events.parquet"))
 
 
+def q_host_pareto(spark, sf_dir) -> DataFrame:
+    """Pareto/ABC host-concentration curve at 50/80/90/95/99%
+    coverage (functions/textstats.host_pareto)."""
+    return ts.host_pareto(_docs(spark, sf_dir))
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # ORDER IS LOAD-BEARING: the driver snapshot verifies exactly
     # list(QUERIES)[:50] in insertion order (pinned by
@@ -3042,6 +3048,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # Continuation batch 116: inter-arrival gap statistics —
     # appended past position 50.
     "interarrival_stats": q_interarrival_stats,
+    # Continuation batch 117: host Pareto coverage curve — appended
+    # past position 50.
+    "host_pareto": q_host_pareto,
 }
 
 

@@ -2076,3 +2076,48 @@ def zipf_doubling(docs: DataFrame, n: int = 3,
             .select("rank", "freq_r", "freq_2r",
                     F.expr("(1000000 * freq_r) div freq_2r")
                     .cast("long").alias("ratio_micro6")))
+
+
+def host_pareto(docs: DataFrame,
+                thresholds=(50, 80, 90, 95, 99)) -> DataFrame:
+    """Pareto / ABC concentration curve over hosts: for each coverage
+    threshold, the smallest set of top hosts (by document count) that
+    covers at least that share of the corpus — the "how concentrated
+    is the crawl" read behind storage tiering and per-host budget
+    decisions.
+
+    Hosts rank by doc count desc with the host name as deterministic
+    tie-break; the threshold test is exact integer (100 * cum >=
+    t * total), no percentage floats.
+
+    Output: (threshold_pct, n_hosts, covered_docs, total_docs,
+    share_micro6), one row per threshold.
+
+    Scale shape: one corpus scan to per-host counts; ranking and
+    cumulation run over the host vocabulary table (bounded); the
+    threshold fan-out is a 5-literal column explode, not a join.
+    """
+    hosts = docs.groupBy(F.col("source").alias("host")).agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"))
+    w = Window.orderBy(F.desc("n_docs"), F.asc("host"))
+    wc = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    ranked = (hosts
+              .withColumn("rank", F.row_number().over(w))
+              .withColumn("cum", F.sum("n_docs").over(wc))
+              .withColumn("total", F.sum("n_docs").over(
+                  Window.rowsBetween(Window.unboundedPreceding,
+                                     Window.unboundedFollowing))))
+    fan = ranked.select(
+        "rank", "cum", "total",
+        F.explode(F.array(*[F.lit(t) for t in thresholds]))
+        .alias("threshold_pct"))
+    hit = fan.where(100 * F.col("cum") >= F.col("threshold_pct")
+                    * F.col("total"))
+    return (hit.groupBy("threshold_pct")
+            .agg(F.min(F.struct("rank", "cum", "total")).alias("_m"))
+            .select(F.col("threshold_pct").cast("int"),
+                    F.col("_m.rank").cast("long").alias("n_hosts"),
+                    F.col("_m.cum").cast("long").alias("covered_docs"),
+                    F.col("_m.total").cast("long").alias("total_docs"),
+                    F.expr("(1000000 * _m.cum) div _m.total")
+                    .cast("long").alias("share_micro6")))

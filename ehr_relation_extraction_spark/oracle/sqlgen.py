@@ -8267,3 +8267,37 @@ SELECT etype,
          AS BIGINT) AS p90_us,
        CAST(MAX(gap) AS BIGINT) AS max_us
 FROM ia_r GROUP BY 1"""
+
+
+# ---------------------------------------------------------------------------
+# Continuation batch 117: Pareto/ABC host-concentration curve —
+# smallest top-host set covering each threshold, exact integer test
+# (functions/textstats.host_pareto).
+
+ORACLE["host_pareto"] = """
+WITH hp_h AS (
+  SELECT source AS host, CAST(COUNT(*) AS BIGINT) AS n_docs
+  FROM documents GROUP BY 1),
+hp_r AS (
+  SELECT host, n_docs,
+         ROW_NUMBER() OVER (ORDER BY n_docs DESC, host) AS rank,
+         SUM(n_docs) OVER (ORDER BY n_docs DESC, host
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           AS cum,
+         SUM(n_docs) OVER () AS total
+  FROM hp_h),
+hp_f AS (
+  SELECT rank, cum, total,
+         unnest([50, 80, 90, 95, 99]) AS threshold_pct
+  FROM hp_r),
+hp_hit AS (
+  SELECT threshold_pct, MIN(rank) AS n_hosts
+  FROM hp_f
+  WHERE 100 * cum >= threshold_pct * total
+  GROUP BY 1)
+SELECT CAST(h.threshold_pct AS INT) AS threshold_pct,
+       CAST(h.n_hosts AS BIGINT) AS n_hosts,
+       r.cum AS covered_docs,
+       r.total AS total_docs,
+       CAST((1000000 * r.cum) // r.total AS BIGINT) AS share_micro6
+FROM hp_hit h JOIN hp_r r ON r.rank = h.n_hosts"""

@@ -398,6 +398,9 @@ EXPECTED_TAIL = [
     # Continuation batch 116: inter-arrival gap statistics —
     # appended past position 50.
     "interarrival_stats",
+    # Continuation batch 117: host Pareto coverage curve — appended
+    # past position 50.
+    "host_pareto",
 ]
 
 
