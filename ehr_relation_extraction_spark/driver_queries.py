@@ -2604,6 +2604,16 @@ def q_host_pareto(spark, sf_dir) -> DataFrame:
     return ts.host_pareto(_docs(spark, sf_dir))
 
 
+def q_salsa_scores(spark, sf_dir) -> DataFrame:
+    """SALSA authority scores over the directed precedence graph via
+    the component-weighted stationary closed form
+    (operators/graph_algos.salsa_scores)."""
+    from .operators.graph_algos import salsa_scores
+
+    edges, _ = _prec_graph(spark, sf_dir)
+    return salsa_scores(edges)
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # ORDER IS LOAD-BEARING: the driver snapshot verifies exactly
     # list(QUERIES)[:50] in insertion order (pinned by
@@ -3051,6 +3061,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # Continuation batch 117: host Pareto coverage curve — appended
     # past position 50.
     "host_pareto": q_host_pareto,
+    # Continuation batch 118: SALSA closed-form authority scores —
+    # appended past position 50.
+    "salsa_scores": q_salsa_scores,
 }
 
 

@@ -8301,3 +8301,50 @@ SELECT CAST(h.threshold_pct AS INT) AS threshold_pct,
        r.total AS total_docs,
        CAST((1000000 * r.cum) // r.total AS BIGINT) AS share_micro6
 FROM hp_hit h JOIN hp_r r ON r.rank = h.n_hosts"""
+
+
+# ---------------------------------------------------------------------------
+# Continuation batch 118: SALSA authority scores via the component-
+# weighted stationary closed form — in-degree within authority-chain
+# components over the bipartite star graph
+# (operators/graph_algos.salsa_scores).  Reuses PREC_CTES' edge
+# construction like the cocitation oracle.
+
+ORACLE["salsa_scores"] = _q("""
+SELECT a.node, a.in_deg, a.component, c.comp_in_w,
+       (SELECT k FROM sa_k) AS n_components,
+       CAST((1000000000 * a.in_deg)
+            // ((SELECT k FROM sa_k) * c.comp_in_w) AS BIGINT)
+         AS salsa_nano
+FROM sa_auth a JOIN sa_cw c USING (component)""",
+    LINK_CTES, _PREC_EDGE_CTES,
+    """
+sa_in AS MATERIALIZED (
+  SELECT dst AS node, CAST(COUNT(*) AS BIGINT) AS in_deg
+  FROM prec_edges GROUP BY 1),
+sa_be AS MATERIALIZED (
+  SELECT DISTINCT 'h::' || src AS src, 'a::' || dst AS dst
+  FROM prec_edges),
+sa_sym AS (SELECT src, dst FROM sa_be
+           UNION SELECT dst AS src, src AS dst FROM sa_be),
+sa_nodes AS MATERIALIZED (
+  SELECT DISTINCT node FROM (
+    SELECT src AS node FROM sa_be
+    UNION ALL SELECT dst FROM sa_be)),
+sa_reach(node, comp) AS (
+  SELECT node, node AS comp FROM sa_nodes
+  UNION
+  SELECT e.dst AS node, r.comp
+  FROM sa_reach r JOIN sa_sym e ON e.src = r.node),
+sa_comp AS MATERIALIZED (
+  SELECT node, MIN(comp) AS comp FROM sa_reach GROUP BY node),
+sa_auth AS MATERIALIZED (
+  SELECT substr(c.node, 4) AS node, i.in_deg,
+         substr(c.comp, 4) AS component
+  FROM sa_comp c JOIN sa_in i ON substr(c.node, 4) = i.node
+  WHERE c.node LIKE 'a::%'),
+sa_cw AS MATERIALIZED (
+  SELECT component, CAST(SUM(in_deg) AS BIGINT) AS comp_in_w
+  FROM sa_auth GROUP BY 1),
+sa_k AS MATERIALIZED (
+  SELECT CAST(COUNT(*) AS BIGINT) AS k FROM sa_cw)""")

@@ -112,6 +112,9 @@ ALLOWED = {
     # fixed-resolution dimension, never data volume; the corpus is
     # reduced to those 10 rows by ONE hash aggregate upstream
     "isotonic_calibration": (2, 0),
+    # the 1-row n_components scalar crossJoined onto the authority
+    # table (trending_entities lazy-scalar class)
+    "salsa_scores": (0, 1),
 }
 
 

@@ -401,6 +401,9 @@ EXPECTED_TAIL = [
     # Continuation batch 117: host Pareto coverage curve — appended
     # past position 50.
     "host_pareto",
+    # Continuation batch 118: SALSA closed-form authorities —
+    # appended past position 50.
+    "salsa_scores",
 ]
 
 
