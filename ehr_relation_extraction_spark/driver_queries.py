@@ -2614,6 +2614,14 @@ def q_salsa_scores(spark, sf_dir) -> DataFrame:
     return salsa_scores(edges)
 
 
+def q_fano_factor(spark, sf_dir) -> DataFrame:
+    """Fano factor (dispersion vs Poisson) of daily counts per event
+    type (operators/events.fano_factor)."""
+    from .operators.events import fano_factor
+
+    return fano_factor(spark.read.parquet(f"{sf_dir}/events.parquet"))
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # ORDER IS LOAD-BEARING: the driver snapshot verifies exactly
     # list(QUERIES)[:50] in insertion order (pinned by
@@ -3064,6 +3072,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # Continuation batch 118: SALSA closed-form authority scores —
     # appended past position 50.
     "salsa_scores": q_salsa_scores,
+    # Continuation batch 119: Fano dispersion factor — appended past
+    # position 50.
+    "fano_factor": q_fano_factor,
 }
 
 

@@ -520,3 +520,34 @@ def interarrival_stats(events: DataFrame) -> DataFrame:
         F.max(F.when(F.col("_rn") == F.expr("((_cnt - 1) * 90) div 100"),
                      F.col("_gap"))).cast("long").alias("p90_us"),
         F.max("_gap").cast("long").alias("max_us")))
+
+
+def fano_factor(events: DataFrame) -> DataFrame:
+    """Fano factor (index of dispersion) of the daily count series
+    per event type: F = variance / mean over the zero-filled day
+    grid — the one-number Poisson check (F = 1 pure Poisson, > 1
+    bursty/overdispersed, < 1 regular/underdispersed) behind every
+    burst-capacity model.
+
+    Exact integers via the computational identity: with n days,
+    S1 = sum r, S2 = sum r^2, population variance = (n*S2 - S1^2) /
+    n^2 and mean = S1/n, so F = (n*S2 - S1^2) / (n * S1) — ONE floor
+    division, micro6-scaled, bit-exact cross-engine (numerator is
+    non-negative by Cauchy-Schwarz).
+
+    Output: (etype, n_days, total, fano_micro6).
+
+    Scale shape: the event stream reduces by one hash aggregate to
+    the bounded (type x day) grid; everything after is per-type
+    aggregates on that grid.
+    """
+    grid = _day_grid(events)
+    return (grid.groupBy("etype").agg(
+        F.count(F.lit(1)).cast("long").alias("n_days"),
+        F.sum("r").cast("long").alias("total"),
+        F.sum(F.col("r") * F.col("r")).cast("long").alias("_s2"))
+        .where(F.col("total") > 0)
+        .select("etype", "n_days", "total",
+                F.expr("(1000000 * (n_days * _s2 - total * total))"
+                       " div (n_days * total)").cast("long")
+                .alias("fano_micro6")))

@@ -8348,3 +8348,31 @@ sa_cw AS MATERIALIZED (
   FROM sa_auth GROUP BY 1),
 sa_k AS MATERIALIZED (
   SELECT CAST(COUNT(*) AS BIGINT) AS k FROM sa_cw)""")
+
+
+# ---------------------------------------------------------------------------
+# Continuation batch 119: Fano factor (index of dispersion) of daily
+# counts per event type over the zero-filled day grid — exact
+# integers via n*S2 - S1^2 (operators/events.fano_factor).
+
+ORACLE["fano_factor"] = """
+WITH ff_day AS (
+  SELECT CAST(epoch_us(ts) // 86400000000 AS INT) AS day_idx,
+         event_type AS etype
+  FROM events),
+ff_spine AS (SELECT DISTINCT day_idx FROM ff_day),
+ff_types AS (SELECT DISTINCT etype FROM ff_day),
+ff_sparse AS (
+  SELECT etype, day_idx, CAST(COUNT(*) AS BIGINT) AS r
+  FROM ff_day GROUP BY 1, 2),
+ff_grid AS (
+  SELECT t.etype, s.day_idx, COALESCE(x.r, 0) AS r
+  FROM ff_types t CROSS JOIN ff_spine s
+  LEFT JOIN ff_sparse x USING (etype, day_idx))
+SELECT etype,
+       CAST(COUNT(*) AS BIGINT) AS n_days,
+       CAST(SUM(r) AS BIGINT) AS total,
+       CAST((1000000 * (COUNT(*) * SUM(r * r) - SUM(r) * SUM(r)))
+            // (COUNT(*) * SUM(r)) AS BIGINT) AS fano_micro6
+FROM ff_grid GROUP BY 1
+HAVING SUM(r) > 0"""

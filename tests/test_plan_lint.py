@@ -115,6 +115,9 @@ ALLOWED = {
     # the 1-row n_components scalar crossJoined onto the authority
     # table (trending_entities lazy-scalar class)
     "salsa_scores": (0, 1),
+    # the shared _day_grid bounded (types x spine) crossJoin — the
+    # event_bursts class, read once
+    "fano_factor": (0, 1),
 }
 
 

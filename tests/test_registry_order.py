@@ -404,6 +404,9 @@ EXPECTED_TAIL = [
     # Continuation batch 118: SALSA closed-form authorities —
     # appended past position 50.
     "salsa_scores",
+    # Continuation batch 119: Fano dispersion factor — appended past
+    # position 50.
+    "fano_factor",
 ]
 
 
