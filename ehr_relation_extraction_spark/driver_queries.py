@@ -2622,6 +2622,15 @@ def q_fano_factor(spark, sf_dir) -> DataFrame:
     return fano_factor(spark.read.parquet(f"{sf_dir}/events.parquet"))
 
 
+def q_transition_gini(spark, sf_dir) -> DataFrame:
+    """Next-event Gini impurity per predecessor type within sessions
+    (operators/events.transition_gini)."""
+    from .operators.events import transition_gini
+
+    return transition_gini(
+        spark.read.parquet(f"{sf_dir}/events.parquet"))
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # ORDER IS LOAD-BEARING: the driver snapshot verifies exactly
     # list(QUERIES)[:50] in insertion order (pinned by
@@ -3075,6 +3084,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # Continuation batch 119: Fano dispersion factor — appended past
     # position 50.
     "fano_factor": q_fano_factor,
+    # Continuation batch 120: next-event transition Gini — appended
+    # past position 50.
+    "transition_gini": q_transition_gini,
 }
 
 

@@ -551,3 +551,55 @@ def fano_factor(events: DataFrame) -> DataFrame:
                 F.expr("(1000000 * (n_days * _s2 - total * total))"
                        " div (n_days * total)").cast("long")
                 .alias("fano_micro6")))
+
+
+def transition_gini(events: DataFrame,
+                    gap_minutes: int = 30) -> DataFrame:
+    """Next-event predictability per predecessor type: within
+    gap-based sessions, collect the first-order transition counts
+    (prev event type -> next event type) and report each
+    predecessor's Gini impurity of its next-event distribution —
+    1 - sum p_i^2, the float-free cousin of transition entropy
+    (0 = next event fully determined, (m-1)/m = uniform over m
+    successors).  Exact integers: gini_micro6 = 1e6 * (n^2 -
+    sum c_i^2) div n^2.  The modal successor and its share come
+    along for the qualitative read.
+
+    Output: (prev_type, n_transitions, n_successors, top_next,
+    top_share_micro6, gini_micro6).
+
+    Scale shape: one shuffle on user_id for sessionization (same as
+    sessionize), lead within the session partition, then two bounded
+    aggregates over the (type x type) transition matrix.
+    """
+    from pyspark.sql import Window
+
+    secs = F.expr("unix_micros(cast(ts as timestamp)) div 1000000")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    s = (events.withColumn("_sec", secs)
+         .withColumn("_new",
+                     (F.lag("_sec").over(w).isNull()
+                      | (F.col("_sec") - F.lag("_sec").over(w)
+                         > gap_minutes * 60)).cast("int"))
+         .withColumn("session_id",
+                     F.sum("_new").over(
+                         w.rowsBetween(Window.unboundedPreceding, 0))))
+    ws = Window.partitionBy("user_id", "session_id") \
+        .orderBy("ts", "event_id")
+    tr = (s.select(F.col("event_type").alias("prev_type"),
+                   F.lead("event_type").over(ws).alias("next_type"))
+          .where(F.col("next_type").isNotNull()))
+    conf = tr.groupBy("prev_type", "next_type").agg(
+        F.count(F.lit(1)).cast("long").alias("c"))
+    return (conf.groupBy("prev_type").agg(
+        F.sum("c").cast("long").alias("n_transitions"),
+        F.count(F.lit(1)).cast("long").alias("n_successors"),
+        F.sum(F.col("c") * F.col("c")).cast("long").alias("_c2"),
+        F.max(F.struct(F.col("c"), F.col("next_type"))).alias("_top"))
+        .select("prev_type", "n_transitions", "n_successors",
+                F.col("_top.next_type").alias("top_next"),
+                F.expr("(1000000 * _top.c) div n_transitions")
+                .cast("long").alias("top_share_micro6"),
+                F.expr("(1000000 * (n_transitions * n_transitions"
+                       " - _c2)) div (n_transitions * n_transitions)")
+                .cast("long").alias("gini_micro6")))

@@ -8376,3 +8376,54 @@ SELECT etype,
             // (COUNT(*) * SUM(r)) AS BIGINT) AS fano_micro6
 FROM ff_grid GROUP BY 1
 HAVING SUM(r) > 0"""
+
+
+# ---------------------------------------------------------------------------
+# Continuation batch 120: next-event transition Gini impurity per
+# predecessor type within gap sessions — exact integers, modal
+# successor ties break to the LARGEST next_type (struct-max rule)
+# (operators/events.transition_gini).
+
+ORACLE["transition_gini"] = """
+WITH tg_s0 AS (
+  SELECT user_id, event_id, ts, event_type,
+         CASE WHEN lag_ts IS NULL
+              OR (epoch_us(ts) // 1000000)
+                 - (epoch_us(lag_ts) // 1000000) > 1800
+              THEN 1 ELSE 0 END AS new_sess
+  FROM (SELECT user_id, event_id, ts, event_type,
+               LAG(ts) OVER (PARTITION BY user_id
+                             ORDER BY ts, event_id) AS lag_ts
+        FROM events)),
+tg_s1 AS MATERIALIZED (
+  SELECT *, SUM(new_sess) OVER (
+      PARTITION BY user_id ORDER BY ts, event_id
+      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+  FROM tg_s0),
+tg_tr AS (
+  SELECT event_type AS prev_type,
+         LEAD(event_type) OVER (PARTITION BY user_id, session_id
+             ORDER BY ts, event_id) AS next_type
+  FROM tg_s1),
+tg_conf AS (
+  SELECT prev_type, next_type, CAST(COUNT(*) AS BIGINT) AS c
+  FROM tg_tr WHERE next_type IS NOT NULL GROUP BY 1, 2),
+tg_top AS (
+  SELECT prev_type, next_type AS top_next, c AS top_c
+  FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY prev_type
+            ORDER BY c DESC, next_type DESC) AS rn
+        FROM tg_conf)
+  WHERE rn = 1),
+tg_a AS (
+  SELECT prev_type,
+         CAST(SUM(c) AS BIGINT) AS n_transitions,
+         CAST(COUNT(*) AS BIGINT) AS n_successors,
+         CAST(SUM(c * c) AS BIGINT) AS c2
+  FROM tg_conf GROUP BY 1)
+SELECT a.prev_type, a.n_transitions, a.n_successors, t.top_next,
+       CAST((1000000 * t.top_c) // a.n_transitions AS BIGINT)
+         AS top_share_micro6,
+       CAST((1000000 * (a.n_transitions * a.n_transitions - a.c2))
+            // (a.n_transitions * a.n_transitions) AS BIGINT)
+         AS gini_micro6
+FROM tg_a a JOIN tg_top t USING (prev_type)"""

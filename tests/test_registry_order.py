@@ -407,6 +407,9 @@ EXPECTED_TAIL = [
     # Continuation batch 119: Fano dispersion factor — appended past
     # position 50.
     "fano_factor",
+    # Continuation batch 120: next-event transition Gini — appended
+    # past position 50.
+    "transition_gini",
 ]
 
 
