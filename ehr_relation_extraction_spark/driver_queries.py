@@ -2631,6 +2631,15 @@ def q_transition_gini(spark, sf_dir) -> DataFrame:
         spark.read.parquet(f"{sf_dir}/events.parquet"))
 
 
+def q_mann_kendall(spark, sf_dir) -> DataFrame:
+    """Mann-Kendall monotone-trend test per event type, exact S and
+    tie-corrected variance numerator
+    (operators/events.mann_kendall)."""
+    from .operators.events import mann_kendall
+
+    return mann_kendall(spark.read.parquet(f"{sf_dir}/events.parquet"))
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # ORDER IS LOAD-BEARING: the driver snapshot verifies exactly
     # list(QUERIES)[:50] in insertion order (pinned by
@@ -3087,6 +3096,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # Continuation batch 120: next-event transition Gini — appended
     # past position 50.
     "transition_gini": q_transition_gini,
+    # Continuation batch 121: Mann-Kendall trend test — appended past
+    # position 50.
+    "mann_kendall": q_mann_kendall,
 }
 
 

@@ -603,3 +603,47 @@ def transition_gini(events: DataFrame,
                 F.expr("(1000000 * (n_transitions * n_transitions"
                        " - _c2)) div (n_transitions * n_transitions)")
                 .cast("long").alias("gini_micro6")))
+
+
+def mann_kendall(events: DataFrame) -> DataFrame:
+    """Mann-Kendall trend test per event type over the zero-filled
+    day grid — the nonparametric "is there a monotone trend at all"
+    companion to theil_sen_trend's slope estimate: S = sum over day
+    pairs i<j of sign(r_j - r_i), with the exact tie-corrected
+    variance numerator var18 = n(n-1)(2n+5) - sum_t t(t-1)(2t+5)
+    (Var(S) = var18/18; the z-score's sqrt is deliberately left to
+    the consumer — everything emitted is exact integer).
+
+    |S| close to n(n-1)/2 with var18 small => strong monotone trend;
+    sign(S) is the direction.
+
+    Output: (etype, n_days, s_stat, var18, n_tie_groups).
+
+    Scale shape: same discipline as theil_sen_trend — the pair
+    product runs on the bounded (type x day-spine) grid keyed by
+    etype, never on the event stream; tie groups are one aggregate
+    over the same grid.
+    """
+    grid = _day_grid(events)
+    a = grid.select("etype", F.col("day_idx").alias("i"),
+                    F.col("r").alias("ri"))
+    b = grid.select("etype", F.col("day_idx").alias("j"),
+                    F.col("r").alias("rj"))
+    s = (a.join(b, "etype").where(F.col("j") > F.col("i"))
+         .groupBy("etype").agg(
+             F.sum(F.when(F.col("rj") > F.col("ri"), 1)
+                   .when(F.col("rj") < F.col("ri"), -1)
+                   .otherwise(0)).cast("long").alias("s_stat")))
+    ties = (grid.groupBy("etype", "r")
+            .agg(F.count(F.lit(1)).cast("long").alias("t"))
+            .groupBy("etype").agg(
+                F.count(F.lit(1)).cast("long").alias("n_tie_groups"),
+                F.sum(F.expr("t * (t - 1) * (2 * t + 5)"))
+                .cast("long").alias("_tie_sum")))
+    n = grid.groupBy("etype").agg(
+        F.count(F.lit(1)).cast("long").alias("n_days"))
+    return (n.join(s, "etype").join(ties, "etype")
+            .select("etype", "n_days", "s_stat",
+                    F.expr("n_days * (n_days - 1) * (2 * n_days + 5)"
+                           " - _tie_sum").cast("long").alias("var18"),
+                    "n_tie_groups"))

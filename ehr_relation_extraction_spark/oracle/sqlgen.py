@@ -8427,3 +8427,47 @@ SELECT a.prev_type, a.n_transitions, a.n_successors, t.top_next,
             // (a.n_transitions * a.n_transitions) AS BIGINT)
          AS gini_micro6
 FROM tg_a a JOIN tg_top t USING (prev_type)"""
+
+
+# ---------------------------------------------------------------------------
+# Continuation batch 121: Mann-Kendall monotone-trend test per event
+# type — exact S over day pairs + tie-corrected variance numerator
+# var18 (operators/events.mann_kendall).
+
+ORACLE["mann_kendall"] = """
+WITH mk_day AS (
+  SELECT CAST(epoch_us(ts) // 86400000000 AS INT) AS day_idx,
+         event_type AS etype
+  FROM events),
+mk_spine AS (SELECT DISTINCT day_idx FROM mk_day),
+mk_types AS (SELECT DISTINCT etype FROM mk_day),
+mk_sparse AS (
+  SELECT etype, day_idx, CAST(COUNT(*) AS BIGINT) AS r
+  FROM mk_day GROUP BY 1, 2),
+mk_grid AS MATERIALIZED (
+  SELECT t.etype, s.day_idx, COALESCE(x.r, 0) AS r
+  FROM mk_types t CROSS JOIN mk_spine s
+  LEFT JOIN mk_sparse x USING (etype, day_idx)),
+mk_s AS (
+  SELECT a.etype,
+         CAST(SUM(CASE WHEN b.r > a.r THEN 1
+                       WHEN b.r < a.r THEN -1 ELSE 0 END) AS BIGINT)
+           AS s_stat
+  FROM mk_grid a JOIN mk_grid b
+    ON a.etype = b.etype AND b.day_idx > a.day_idx
+  GROUP BY 1),
+mk_t AS (
+  SELECT etype,
+         CAST(COUNT(*) AS BIGINT) AS n_tie_groups,
+         CAST(SUM(t * (t - 1) * (2 * t + 5)) AS BIGINT) AS tie_sum
+  FROM (SELECT etype, r, CAST(COUNT(*) AS BIGINT) AS t
+        FROM mk_grid GROUP BY 1, 2)
+  GROUP BY 1),
+mk_n AS (
+  SELECT etype, CAST(COUNT(*) AS BIGINT) AS n_days
+  FROM mk_grid GROUP BY 1)
+SELECT n.etype, n.n_days, s.s_stat,
+       CAST(n.n_days * (n.n_days - 1) * (2 * n.n_days + 5)
+            - t.tie_sum AS BIGINT) AS var18,
+       t.n_tie_groups
+FROM mk_n n JOIN mk_s s USING (etype) JOIN mk_t t USING (etype)"""

@@ -118,6 +118,10 @@ ALLOWED = {
     # the shared _day_grid bounded (types x spine) crossJoin — the
     # event_bursts class, read once
     "fano_factor": (0, 1),
+    # _day_grid read four times (both pair sides, tie groups, n_days)
+    # — four copies of the same bounded (types x spine) crossJoin,
+    # the theil_sen_trend class
+    "mann_kendall": (0, 4),
 }
 
 

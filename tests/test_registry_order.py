@@ -410,6 +410,9 @@ EXPECTED_TAIL = [
     # Continuation batch 120: next-event transition Gini — appended
     # past position 50.
     "transition_gini",
+    # Continuation batch 121: Mann-Kendall trend test — appended past
+    # position 50.
+    "mann_kendall",
 ]
 
 
