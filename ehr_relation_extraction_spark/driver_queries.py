@@ -2640,6 +2640,16 @@ def q_mann_kendall(spark, sf_dir) -> DataFrame:
     return mann_kendall(spark.read.parquet(f"{sf_dir}/events.parquet"))
 
 
+def q_bipartite_check(spark, sf_dir) -> DataFrame:
+    """Two-colorability / odd-cycle census per component of the
+    entity co-mention graph
+    (operators/graph_algos.bipartite_check)."""
+    from .operators.graph_algos import bipartite_check
+
+    edges, _ = _comention_graph(spark, sf_dir)
+    return bipartite_check(edges)
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # ORDER IS LOAD-BEARING: the driver snapshot verifies exactly
     # list(QUERIES)[:50] in insertion order (pinned by
@@ -3099,6 +3109,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # Continuation batch 121: Mann-Kendall trend test — appended past
     # position 50.
     "mann_kendall": q_mann_kendall,
+    # Continuation batch 122: bipartiteness / odd-cycle census —
+    # appended past position 50.
+    "bipartite_check": q_bipartite_check,
 }
 
 

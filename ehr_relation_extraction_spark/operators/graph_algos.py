@@ -2476,3 +2476,75 @@ def salsa_scores(edges: DataFrame) -> DataFrame:
                     F.expr("(1000000000 * in_deg)"
                            " div (n_components * comp_in_w)")
                     .cast("long").alias("salsa_nano")))
+
+
+def bipartite_check(edges: DataFrame, n_rounds: int = 8) -> DataFrame:
+    """Two-colorability census per connected component: color every
+    node by the parity of its shortest distance from the component's
+    min-label node, then count edges whose endpoints share a parity —
+    each such edge certifies an odd cycle, so n_violations = 0 iff
+    the component is bipartite.  The KG read: a co-mention community
+    that 2-colors cleanly is two non-interacting entity layers (e.g.
+    attribute vs subject vocabularies); odd edges measure how far the
+    community is from that structure.
+
+    Propagation is ``n_rounds`` synchronous rounds of per-node
+    min(struct(comp, dist)) — lexicographic, so the smallest
+    reachable label wins and, within it, the SHORTEST distance (a
+    longer path's larger dist always loses the struct min; after r
+    rounds every node within r hops of its component min holds the
+    exact BFS depth).  Both engines truncate identically at
+    ``n_rounds`` hops; edges whose endpoints disagree on comp under
+    truncation are excluded by the comp-equality join (none exist
+    once n_rounds >= the max eccentricity of component min nodes —
+    pinned by the convergence test).
+
+    Output: (component, n_nodes, n_edges, n_violations,
+    is_bipartite).
+
+    Scale shape: the Kiveris-style log-round alternative exists for
+    labels, but parity needs DISTANCES, so rounds are O(diameter) —
+    each round one equi-join + one aggregate, localCheckpoint to cut
+    lineage; web community diameters are small (6-degrees), and
+    n_rounds caps the worst case explicitly.
+    """
+    und = (edges.select(F.least("src", "dst").alias("a"),
+                        F.greatest("src", "dst").alias("b"))
+           .where(F.col("a") != F.col("b")).dropDuplicates()
+           .localCheckpoint())
+    sym = (und.select(F.col("a").alias("src"), F.col("b").alias("dst"))
+           .unionByName(und.select(F.col("b").alias("src"),
+                                   F.col("a").alias("dst"))))
+    state = (sym.select(F.col("src").alias("node")).dropDuplicates()
+             .select("node", F.col("node").alias("comp"),
+                     F.lit(0).cast("int").alias("dist"))
+             .localCheckpoint())
+    for _ in range(n_rounds):
+        cand = (state.join(sym, state["node"] == sym["src"])
+                .select(F.col("dst").alias("node"), F.col("comp"),
+                        (F.col("dist") + 1).cast("int").alias("dist")))
+        state = (state.unionByName(cand)
+                 .groupBy("node")
+                 .agg(F.min(F.struct("comp", "dist")).alias("_s"))
+                 .select("node", F.col("_s.comp").alias("comp"),
+                         F.col("_s.dist").alias("dist"))
+                 .localCheckpoint())
+    sa = state.select(F.col("node").alias("a"),
+                      F.col("comp").alias("comp"),
+                      F.col("dist").alias("_da"))
+    sb = state.select(F.col("node").alias("b"),
+                      F.col("comp").alias("_cb"),
+                      F.col("dist").alias("_db"))
+    ev = (und.join(sa, "a").join(sb, "b")
+          .where(F.col("comp") == F.col("_cb"))
+          .groupBy("comp").agg(
+              F.count(F.lit(1)).cast("long").alias("n_edges"),
+              F.sum(((F.col("_da") + F.col("_db")) % 2 == 0)
+                    .cast("int")).cast("long").alias("n_violations")))
+    nn = state.groupBy("comp").agg(
+        F.count(F.lit(1)).cast("long").alias("n_nodes"))
+    return (nn.join(ev, "comp")
+            .select(F.col("comp").alias("component"), "n_nodes",
+                    "n_edges", "n_violations",
+                    (F.col("n_violations") == 0).cast("int")
+                    .alias("is_bipartite")))

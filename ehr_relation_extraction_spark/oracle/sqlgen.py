@@ -8471,3 +8471,46 @@ SELECT n.etype, n.n_days, s.s_stat,
             - t.tie_sum AS BIGINT) AS var18,
        t.n_tie_groups
 FROM mk_n n JOIN mk_s s USING (etype) JOIN mk_t t USING (etype)"""
+
+
+# ---------------------------------------------------------------------------
+# Continuation batch 122: bipartiteness / odd-cycle census per
+# component — bounded min-label BFS (8 hops, matching the Spark
+# round count), parity-violation edge count
+# (operators/graph_algos.bipartite_check).
+
+ORACLE["bipartite_check"] = _q("""
+SELECT n.comp AS component, n.n_nodes, e.n_edges, e.n_violations,
+       CAST(CASE WHEN e.n_violations = 0 THEN 1 ELSE 0 END AS INT)
+         AS is_bipartite
+FROM bp_nn n JOIN bp_ev e USING (comp)""",
+    LINK_CTES, COMENTION_CTES.strip(), """
+bp_und AS MATERIALIZED (
+  SELECT src AS a, dst AS b FROM comention WHERE src <> dst),
+bp_sym AS (SELECT a AS src, b AS dst FROM bp_und
+           UNION SELECT b AS src, a AS dst FROM bp_und),
+bp_reach(node, comp, dist) AS (
+  SELECT DISTINCT src AS node, src AS comp, 0 AS dist FROM bp_sym
+  UNION
+  SELECT e.dst AS node, r.comp, r.dist + 1
+  FROM bp_reach r JOIN bp_sym e ON e.src = r.node
+  WHERE r.dist < 8),
+bp_min AS MATERIALIZED (
+  SELECT node, MIN(comp) AS comp FROM bp_reach GROUP BY 1),
+bp_state AS MATERIALIZED (
+  SELECT r.node, r.comp, CAST(MIN(r.dist) AS INT) AS dist
+  FROM bp_reach r JOIN bp_min m
+    ON r.node = m.node AND r.comp = m.comp
+  GROUP BY 1, 2),
+bp_ev AS (
+  SELECT sa.comp,
+         CAST(COUNT(*) AS BIGINT) AS n_edges,
+         CAST(SUM(CASE WHEN (sa.dist + sb.dist) % 2 = 0
+                       THEN 1 ELSE 0 END) AS BIGINT) AS n_violations
+  FROM bp_und u
+  JOIN bp_state sa ON sa.node = u.a
+  JOIN bp_state sb ON sb.node = u.b AND sb.comp = sa.comp
+  GROUP BY 1),
+bp_nn AS (
+  SELECT comp, CAST(COUNT(*) AS BIGINT) AS n_nodes
+  FROM bp_state GROUP BY 1)""")

@@ -413,6 +413,9 @@ EXPECTED_TAIL = [
     # Continuation batch 121: Mann-Kendall trend test — appended past
     # position 50.
     "mann_kendall",
+    # Continuation batch 122: bipartiteness / odd-cycle census —
+    # appended past position 50.
+    "bipartite_check",
 ]
 
 
