@@ -2650,6 +2650,12 @@ def q_bipartite_check(spark, sf_dir) -> DataFrame:
     return bipartite_check(edges)
 
 
+def q_k_anonymity(spark, sf_dir) -> DataFrame:
+    """k-anonymity audit over (host, lang, length-decile) quasi-
+    identifiers at k = 2/5/10 (functions/textstats.k_anonymity)."""
+    return ts.k_anonymity(_docs(spark, sf_dir))
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # ORDER IS LOAD-BEARING: the driver snapshot verifies exactly
     # list(QUERIES)[:50] in insertion order (pinned by
@@ -3112,6 +3118,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # Continuation batch 122: bipartiteness / odd-cycle census —
     # appended past position 50.
     "bipartite_check": q_bipartite_check,
+    # Continuation batch 123: k-anonymity audit — appended past
+    # position 50.
+    "k_anonymity": q_k_anonymity,
 }
 
 

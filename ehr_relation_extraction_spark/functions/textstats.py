@@ -2121,3 +2121,56 @@ def host_pareto(docs: DataFrame,
                     F.col("_m.total").cast("long").alias("total_docs"),
                     F.expr("(1000000 * _m.cum) div _m.total")
                     .cast("long").alias("share_micro6")))
+
+
+def k_anonymity(docs: DataFrame, k_values=(2, 5, 10)) -> DataFrame:
+    """k-anonymity audit over the corpus's quasi-identifier tuple
+    (host, lang, doc-length decile bucket) — the privacy read a
+    data-release gate runs before publishing derived tables: a
+    document whose quasi-identifier combination is shared by fewer
+    than k documents is re-identifiable at that k.
+
+    Reports, per k: how many equivalence classes violate k, how many
+    documents sit in violating classes, and their corpus share —
+    exact integers.  The length bucket is the doc's token count
+    decile over the DISTINCT-value table (the quality_calibration
+    rank-decile device), so the quasi-identifier stays deterministic
+    and engine-neutral.
+
+    Output: (k, n_classes, n_violating_classes, n_exposed_docs,
+    exposed_share_micro6).
+
+    Scale shape: one corpus scan to per-doc token counts, a bounded
+    distinct-value window for the decile cut, ONE hash aggregate to
+    equivalence classes, then a per-k literal explode over the
+    class-size table (class count is bounded by host x lang x 10).
+    """
+    n_tok = docs.select(
+        "doc_id", F.col("source").alias("host"), "lang",
+        F.size(_toks()).cast("long").alias("_n"))
+    vals = (n_tok.groupBy("_n").agg(F.count(F.lit(1)).alias("_c"))
+            .withColumn("_cum", F.sum("_c").over(
+                Window.orderBy("_n").rowsBetween(
+                    Window.unboundedPreceding, -1)))
+            .withColumn("_tot", F.sum("_c").over(
+                Window.rowsBetween(Window.unboundedPreceding,
+                                   Window.unboundedFollowing)))
+            .select("_n", F.expr("(coalesce(_cum, 0) * 10) div _tot")
+                    .cast("int").alias("_bucket")))
+    classes = (n_tok.join(vals, "_n")
+               .groupBy("host", "lang", "_bucket")
+               .agg(F.count(F.lit(1)).cast("long").alias("_size")))
+    fan = classes.select(
+        "_size",
+        F.explode(F.array(*[F.lit(k) for k in k_values])).alias("k"))
+    return (fan.groupBy("k").agg(
+        F.count(F.lit(1)).cast("long").alias("n_classes"),
+        F.sum((F.col("_size") < F.col("k")).cast("int"))
+        .cast("long").alias("n_violating_classes"),
+        F.sum(F.when(F.col("_size") < F.col("k"), F.col("_size"))
+              .otherwise(0)).cast("long").alias("n_exposed_docs"),
+        F.sum("_size").cast("long").alias("_total"))
+        .select(F.col("k").cast("int"), "n_classes",
+                "n_violating_classes", "n_exposed_docs",
+                F.expr("(1000000 * n_exposed_docs) div _total")
+                .cast("long").alias("exposed_share_micro6")))

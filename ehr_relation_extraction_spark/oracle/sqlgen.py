@@ -8514,3 +8514,39 @@ bp_ev AS (
 bp_nn AS (
   SELECT comp, CAST(COUNT(*) AS BIGINT) AS n_nodes
   FROM bp_state GROUP BY 1)""")
+
+
+# ---------------------------------------------------------------------------
+# Continuation batch 123: k-anonymity audit over (host, lang,
+# length-decile) quasi-identifiers — exact equivalence-class sizes
+# (functions/textstats.k_anonymity).
+
+ORACLE["k_anonymity"] = """
+WITH ka_n AS (
+  SELECT doc_id, source AS host, lang,
+         CAST(len(list_filter(string_split_regex(text, '[\\n \\t]'),
+             x -> x <> '')) AS BIGINT) AS n
+  FROM documents),
+ka_vals AS (
+  SELECT n,
+         CAST((COALESCE(SUM(c) OVER (ORDER BY n
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+               * 10) // SUM(c) OVER () AS INT) AS bucket
+  FROM (SELECT n, CAST(COUNT(*) AS BIGINT) AS c
+        FROM ka_n GROUP BY 1)),
+ka_cls AS (
+  SELECT d.host, d.lang, v.bucket,
+         CAST(COUNT(*) AS BIGINT) AS size
+  FROM ka_n d JOIN ka_vals v USING (n)
+  GROUP BY 1, 2, 3),
+ka_fan AS (
+  SELECT size, unnest([2, 5, 10]) AS k FROM ka_cls)
+SELECT CAST(k AS INT) AS k,
+       CAST(COUNT(*) AS BIGINT) AS n_classes,
+       CAST(SUM(CASE WHEN size < k THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_violating_classes,
+       CAST(SUM(CASE WHEN size < k THEN size ELSE 0 END) AS BIGINT)
+         AS n_exposed_docs,
+       CAST((1000000 * SUM(CASE WHEN size < k THEN size ELSE 0 END))
+            // SUM(size) AS BIGINT) AS exposed_share_micro6
+FROM ka_fan GROUP BY 1"""

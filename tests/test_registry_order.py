@@ -416,6 +416,9 @@ EXPECTED_TAIL = [
     # Continuation batch 122: bipartiteness / odd-cycle census —
     # appended past position 50.
     "bipartite_check",
+    # Continuation batch 123: k-anonymity audit — appended past
+    # position 50.
+    "k_anonymity",
 ]
 
 
