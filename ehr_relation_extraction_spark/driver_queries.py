@@ -2656,6 +2656,12 @@ def q_k_anonymity(spark, sf_dir) -> DataFrame:
     return ts.k_anonymity(_docs(spark, sf_dir))
 
 
+def q_pred_reciprocity(spark, sf_dir) -> DataFrame:
+    """Per-predicate reciprocity (symmetric-relation detection)
+    over the triple graph (operators/triples.pred_reciprocity)."""
+    return tri_op.pred_reciprocity(_frames(spark, sf_dir).triples)
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # ORDER IS LOAD-BEARING: the driver snapshot verifies exactly
     # list(QUERIES)[:50] in insertion order (pinned by
@@ -3121,6 +3127,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # Continuation batch 123: k-anonymity audit — appended past
     # position 50.
     "k_anonymity": q_k_anonymity,
+    # Continuation batch 124: per-pred reciprocity — appended past
+    # position 50.
+    "pred_reciprocity": q_pred_reciprocity,
 }
 
 

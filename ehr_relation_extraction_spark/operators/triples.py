@@ -1671,3 +1671,39 @@ def fact_rollup(triples: DataFrame) -> DataFrame:
             .select(F.coalesce("host", F.lit("(all)")).alias("host"),
                     F.coalesce("pred", F.lit("(all)")).alias("pred"),
                     "lvl", "n_triples", "n_docs"))
+
+
+def pred_reciprocity(triples: DataFrame) -> DataFrame:
+    """Symmetric-relation detection per predicate: over the distinct
+    directed entity-pair graph of each predicate (case-folded surface
+    forms, self-loops excluded), count the mutual pairs — (a, b) and
+    (b, a) both asserted — and report reciprocity = 2 * mutual /
+    edges, exact micro6.  Reciprocity near 1e6 says the predicate is
+    symmetric in practice (schema-induction: candidates for an OWL
+    SymmetricProperty axiom); near 0 says it is directional.
+
+    Output: (pred, n_edges, n_mutual_pairs, reciprocity_micro6).
+
+    Scale shape: one dedup aggregate to the simple directed graph,
+    one self-equi-join keyed on (pred, pair) for mutuals (each mutual
+    counted once via a < b), two bounded per-predicate aggregates.
+    """
+    e = (triples.select(
+        "pred", F.lower("subj").alias("a"), F.lower("obj").alias("b"))
+        .where(F.col("a") != F.col("b")).dropDuplicates())
+    m = (e.alias("x").join(
+        e.alias("y"),
+        (F.col("x.pred") == F.col("y.pred"))
+        & (F.col("x.a") == F.col("y.b"))
+        & (F.col("x.b") == F.col("y.a")))
+        .where(F.col("x.a") < F.col("x.b"))
+        .groupBy(F.col("x.pred").alias("pred"))
+        .agg(F.count(F.lit(1)).cast("long").alias("n_mutual_pairs")))
+    n = e.groupBy("pred").agg(
+        F.count(F.lit(1)).cast("long").alias("n_edges"))
+    return (n.join(m, "pred", "left")
+            .fillna(0, ["n_mutual_pairs"])
+            .select("pred", "n_edges",
+                    F.col("n_mutual_pairs").cast("long"),
+                    F.expr("(2000000 * n_mutual_pairs) div n_edges")
+                    .cast("long").alias("reciprocity_micro6")))

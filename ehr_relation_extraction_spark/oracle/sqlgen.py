@@ -8550,3 +8550,28 @@ SELECT CAST(k AS INT) AS k,
        CAST((1000000 * SUM(CASE WHEN size < k THEN size ELSE 0 END))
             // SUM(size) AS BIGINT) AS exposed_share_micro6
 FROM ka_fan GROUP BY 1"""
+
+
+# ---------------------------------------------------------------------------
+# Continuation batch 124: symmetric-relation detection — per-pred
+# reciprocity 2*mutual/edges over the distinct case-folded entity
+# pair graph (operators/triples.pred_reciprocity).
+
+ORACLE["pred_reciprocity"] = _q("""
+SELECT n.pred, n.n_edges,
+       CAST(COALESCE(m.n_mutual_pairs, 0) AS BIGINT)
+         AS n_mutual_pairs,
+       CAST((2000000 * COALESCE(m.n_mutual_pairs, 0)) // n.n_edges
+         AS BIGINT) AS reciprocity_micro6
+FROM pr2_n n LEFT JOIN pr2_m m USING (pred)""", """
+pr2_e AS MATERIALIZED (
+  SELECT DISTINCT pred, lower(subj) AS a, lower(obj) AS b
+  FROM triples WHERE lower(subj) <> lower(obj)),
+pr2_m AS (
+  SELECT x.pred, CAST(COUNT(*) AS BIGINT) AS n_mutual_pairs
+  FROM pr2_e x JOIN pr2_e y
+    ON x.pred = y.pred AND x.a = y.b AND x.b = y.a
+  WHERE x.a < x.b GROUP BY 1),
+pr2_n AS (
+  SELECT pred, CAST(COUNT(*) AS BIGINT) AS n_edges
+  FROM pr2_e GROUP BY 1)""")

@@ -419,6 +419,9 @@ EXPECTED_TAIL = [
     # Continuation batch 123: k-anonymity audit — appended past
     # position 50.
     "k_anonymity",
+    # Continuation batch 124: per-pred reciprocity — appended past
+    # position 50.
+    "pred_reciprocity",
 ]
 
 
