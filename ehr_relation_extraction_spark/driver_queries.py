@@ -2662,6 +2662,12 @@ def q_pred_reciprocity(spark, sf_dir) -> DataFrame:
     return tri_op.pred_reciprocity(_frames(spark, sf_dir).triples)
 
 
+def q_token_fertility(spark, sf_dir) -> DataFrame:
+    """Tokenizer fertility (sub-tokens per word, chars per sub-token)
+    per language (functions/textstats.token_fertility)."""
+    return ts.token_fertility(_docs(spark, sf_dir))
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # ORDER IS LOAD-BEARING: the driver snapshot verifies exactly
     # list(QUERIES)[:50] in insertion order (pinned by
@@ -3130,6 +3136,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # Continuation batch 124: per-pred reciprocity — appended past
     # position 50.
     "pred_reciprocity": q_pred_reciprocity,
+    # Continuation batch 125: tokenizer fertility per language —
+    # appended past position 50.
+    "token_fertility": q_token_fertility,
 }
 
 

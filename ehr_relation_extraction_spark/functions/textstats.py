@@ -2174,3 +2174,43 @@ def k_anonymity(docs: DataFrame, k_values=(2, 5, 10)) -> DataFrame:
                 "n_violating_classes", "n_exposed_docs",
                 F.expr("(1000000 * n_exposed_docs) div _total")
                 .cast("long").alias("exposed_share_micro6")))
+
+
+def token_fertility(docs: DataFrame) -> DataFrame:
+    """Tokenizer fertility per language — the multilingual-budget
+    read every pretraining mixture decision needs: languages whose
+    text shatters into more sub-tokens per word (high fertility) cost
+    proportionally more sequence length for the same content.
+
+    Per lang: document count, whitespace words, BPE-ish sub-tokens
+    (token_count_bpe's estimator), characters, and the two exact
+    ratios — fertility_micro6 = 1e6 * sub-tokens / words and
+    chars_per_token_micro6 = 1e6 * chars / sub-tokens.
+
+    Output: (lang, n_docs, n_words, n_subtokens, n_chars,
+    fertility_micro6, chars_per_token_micro6).
+
+    Scale shape: all counting is per-row codegen expressions; ONE
+    hash aggregate by lang.
+    """
+    runs = F.size(F.regexp_extract_all(
+        F.col("text"), F.lit("[0-9A-Za-z]+"), 0))
+    marks = F.size(F.regexp_extract_all(
+        F.col("text"), F.lit("[^0-9A-Za-z \n\t]"), 0))
+    per = docs.select(
+        "lang",
+        F.size(_toks()).cast("long").alias("_w"),
+        (runs + marks).cast("long").alias("_t"),
+        F.length("text").cast("long").alias("_c"))
+    return (per.groupBy("lang").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum("_w").cast("long").alias("n_words"),
+        F.sum("_t").cast("long").alias("n_subtokens"),
+        F.sum("_c").cast("long").alias("n_chars"))
+        .where(F.col("n_words") > 0)
+        .select("lang", "n_docs", "n_words", "n_subtokens", "n_chars",
+                F.expr("(1000000 * n_subtokens) div n_words")
+                .cast("long").alias("fertility_micro6"),
+                F.expr("CASE WHEN n_subtokens = 0 THEN 0 ELSE"
+                       " (1000000 * n_chars) div n_subtokens END")
+                .cast("long").alias("chars_per_token_micro6")))

@@ -8575,3 +8575,32 @@ pr2_m AS (
 pr2_n AS (
   SELECT pred, CAST(COUNT(*) AS BIGINT) AS n_edges
   FROM pr2_e GROUP BY 1)""")
+
+
+# ---------------------------------------------------------------------------
+# Continuation batch 125: tokenizer fertility per language — exact
+# sub-token/word and char/sub-token ratios
+# (functions/textstats.token_fertility).
+
+ORACLE["token_fertility"] = """
+WITH tf2_per AS (
+  SELECT lang,
+         CAST(len(list_filter(string_split_regex(text, '[\\n \\t]'),
+             x -> x <> '')) AS BIGINT) AS w,
+         CAST(len(regexp_extract_all(text, '[0-9A-Za-z]+'))
+              + len(regexp_extract_all(text, '[^0-9A-Za-z \\n\\t]'))
+           AS BIGINT) AS t,
+         CAST(length(text) AS BIGINT) AS c
+  FROM documents)
+SELECT lang,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(w) AS BIGINT) AS n_words,
+       CAST(SUM(t) AS BIGINT) AS n_subtokens,
+       CAST(SUM(c) AS BIGINT) AS n_chars,
+       CAST((1000000 * SUM(t)) // SUM(w) AS BIGINT)
+         AS fertility_micro6,
+       CAST(CASE WHEN SUM(t) = 0 THEN 0 ELSE
+            (1000000 * SUM(c)) // SUM(t) END AS BIGINT)
+         AS chars_per_token_micro6
+FROM tf2_per GROUP BY 1
+HAVING SUM(w) > 0"""

@@ -422,6 +422,9 @@ EXPECTED_TAIL = [
     # Continuation batch 124: per-pred reciprocity — appended past
     # position 50.
     "pred_reciprocity",
+    # Continuation batch 125: tokenizer fertility per language —
+    # appended past position 50.
+    "token_fertility",
 ]
 
 
