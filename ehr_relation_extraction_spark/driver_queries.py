@@ -2668,6 +2668,15 @@ def q_token_fertility(spark, sf_dir) -> DataFrame:
     return ts.token_fertility(_docs(spark, sf_dir))
 
 
+def q_autocorrelation(spark, sf_dir) -> DataFrame:
+    """Exact-integer autocorrelation of daily counts per event type
+    at lags 1/2/7 (operators/events.autocorrelation)."""
+    from .operators.events import autocorrelation
+
+    return autocorrelation(
+        spark.read.parquet(f"{sf_dir}/events.parquet"))
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # ORDER IS LOAD-BEARING: the driver snapshot verifies exactly
     # list(QUERIES)[:50] in insertion order (pinned by
@@ -3139,6 +3148,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # Continuation batch 125: tokenizer fertility per language —
     # appended past position 50.
     "token_fertility": q_token_fertility,
+    # Continuation batch 126: daily-count autocorrelation — appended
+    # past position 50.
+    "autocorrelation": q_autocorrelation,
 }
 
 

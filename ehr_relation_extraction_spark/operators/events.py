@@ -647,3 +647,63 @@ def mann_kendall(events: DataFrame) -> DataFrame:
                     F.expr("n_days * (n_days - 1) * (2 * n_days + 5)"
                            " - _tie_sum").cast("long").alias("var18"),
                     "n_tie_groups"))
+
+
+def autocorrelation(events: DataFrame, lags=(1, 2, 7)) -> DataFrame:
+    """Sample autocorrelation of the daily count series per event
+    type at the given lags — the periodicity read (lag-7 spikes =
+    weekly seasonality) behind recrawl scheduling.  Float-free by
+    clearing the mean denominator: with n days, S = sum r, the
+    centered product sum over pairs (t, t+k) is computed on n*r - S
+    (each term an exact integer), giving
+
+        acf_micro6 = 1e6 * sum_t (n*r_t - S)(n*r_{t+k} - S)
+                     div sum_t (n*r_t - S)^2
+
+    — the standard ACF estimator scaled by n^2 in both numerator and
+    denominator, so the ratio is unchanged and every intermediate is
+    BIGINT.  Negative numerators divide truncating toward zero in
+    both engines (the theil_sen measured rule).
+
+    Output: (etype, lag, n_days, num, den, acf_micro6).
+
+    Scale shape: the zero-filled grid is bounded (types x spine);
+    the lag shift is a per-type window lead, the lag fan-out a
+    literal explode — no joins beyond the grid build.
+    """
+    from pyspark.sql import Window
+
+    grid = _day_grid(events)
+    w = Window.partitionBy("etype").orderBy("day_idx")
+    stats = grid.groupBy("etype").agg(
+        F.count(F.lit(1)).cast("long").alias("n_days"),
+        F.sum("r").cast("long").alias("_s"))
+    # localCheckpoint the bounded centered frame: six consumers below
+    # would otherwise each re-plan the grid crossJoin AND re-aggregate
+    # the event stream (observed: 7 plan copies before the cut)
+    g = (grid.join(stats, "etype")
+         .withColumn("_c", F.col("n_days") * F.col("r") - F.col("_s"))
+         .localCheckpoint())
+    fan = g.select(
+        "etype", "day_idx", "n_days", "_c",
+        F.explode(F.array(*[F.lit(k) for k in lags])).alias("lag"))
+    # lead(k) needs a constant offset, but lag here is a column from
+    # the explode — shift via an equi-join on day_idx + lag over the
+    # bounded grid instead
+    shifted = (g.select("etype", (F.col("day_idx")).alias("_dj"),
+                        F.col("_c").alias("_cj")))
+    pair = (fan.join(shifted,
+                     (fan["etype"] == shifted["etype"])
+                     & (shifted["_dj"] == fan["day_idx"] + fan["lag"]))
+            .drop(shifted["etype"]))
+    num = pair.groupBy("etype", "lag").agg(
+        F.sum(F.col("_c") * F.col("_cj")).cast("long").alias("num"))
+    den = g.groupBy("etype").agg(
+        F.sum(F.col("_c") * F.col("_c")).cast("long").alias("den"),
+        F.max("n_days").cast("long").alias("n_days"))
+    return (num.join(den, "etype")
+            .where(F.col("den") > 0)
+            .select("etype", F.col("lag").cast("int"), "n_days",
+                    "num", "den",
+                    F.expr("(1000000 * num) div den").cast("long")
+                    .alias("acf_micro6")))

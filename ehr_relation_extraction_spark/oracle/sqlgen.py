@@ -8604,3 +8604,51 @@ SELECT lang,
          AS chars_per_token_micro6
 FROM tf2_per GROUP BY 1
 HAVING SUM(w) > 0"""
+
+
+# ---------------------------------------------------------------------------
+# Continuation batch 126: daily-count autocorrelation per event type
+# at lags 1/2/7 — mean cleared by n-scaling so every intermediate is
+# BIGINT (operators/events.autocorrelation).
+
+ORACLE["autocorrelation"] = """
+WITH ac_day AS (
+  SELECT CAST(epoch_us(ts) // 86400000000 AS INT) AS day_idx,
+         event_type AS etype
+  FROM events),
+ac_spine AS (SELECT DISTINCT day_idx FROM ac_day),
+ac_types AS (SELECT DISTINCT etype FROM ac_day),
+ac_sparse AS (
+  SELECT etype, day_idx, CAST(COUNT(*) AS BIGINT) AS r
+  FROM ac_day GROUP BY 1, 2),
+ac_grid AS MATERIALIZED (
+  SELECT t.etype, s.day_idx, COALESCE(x.r, 0) AS r
+  FROM ac_types t CROSS JOIN ac_spine s
+  LEFT JOIN ac_sparse x USING (etype, day_idx)),
+ac_stats AS (
+  SELECT etype, CAST(COUNT(*) AS BIGINT) AS n_days,
+         CAST(SUM(r) AS BIGINT) AS s
+  FROM ac_grid GROUP BY 1),
+ac_c AS MATERIALIZED (
+  SELECT g.etype, g.day_idx, st.n_days,
+         CAST(st.n_days * g.r - st.s AS BIGINT) AS c
+  FROM ac_grid g JOIN ac_stats st USING (etype)),
+ac_fan AS (
+  SELECT etype, day_idx, n_days, c,
+         unnest([1, 2, 7]) AS lag
+  FROM ac_c),
+ac_num AS (
+  SELECT f.etype, f.lag,
+         CAST(SUM(f.c * j.c) AS BIGINT) AS num
+  FROM ac_fan f JOIN ac_c j
+    ON j.etype = f.etype AND j.day_idx = f.day_idx + f.lag
+  GROUP BY 1, 2),
+ac_den AS (
+  SELECT etype, CAST(SUM(c * c) AS BIGINT) AS den
+  FROM ac_c GROUP BY 1)
+SELECT n.etype, CAST(n.lag AS INT) AS lag, st.n_days, n.num, d.den,
+       CAST((1000000 * n.num) // d.den AS BIGINT) AS acf_micro6
+FROM ac_num n
+JOIN ac_den d USING (etype)
+JOIN ac_stats st USING (etype)
+WHERE d.den > 0"""

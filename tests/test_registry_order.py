@@ -425,6 +425,9 @@ EXPECTED_TAIL = [
     # Continuation batch 125: tokenizer fertility per language —
     # appended past position 50.
     "token_fertility",
+    # Continuation batch 126: daily-count autocorrelation — appended
+    # past position 50.
+    "autocorrelation",
 ]
 
 
