@@ -2677,6 +2677,14 @@ def q_autocorrelation(spark, sf_dir) -> DataFrame:
         spark.read.parquet(f"{sf_dir}/events.parquet"))
 
 
+def q_count_sketch(spark, sf_dir) -> DataFrame:
+    """Count-sketch (signed, unbiased) vs truth audit per distinct
+    token (functions/sketches.count_sketch_estimates)."""
+    from .functions.sketches import count_sketch_estimates
+
+    return count_sketch_estimates(_docs(spark, sf_dir))
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # ORDER IS LOAD-BEARING: the driver snapshot verifies exactly
     # list(QUERIES)[:50] in insertion order (pinned by
@@ -3151,6 +3159,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # Continuation batch 126: daily-count autocorrelation — appended
     # past position 50.
     "autocorrelation": q_autocorrelation,
+    # Continuation batch 127: signed count-sketch audit — appended
+    # past position 50.
+    "count_sketch": q_count_sketch,
 }
 
 

@@ -947,3 +947,65 @@ def bloom_semi_join_stats(fact: DataFrame, fact_col: str,
                 F.expr("CAST((n_fact - pass_rows) * 1000000"
                        " DIV n_fact AS BIGINT)")
                 .alias("reduction_micro6")))
+
+
+CS_DEPTH = 5     # odd, so the median is a single middle element
+CS_NIBBLES = 2   # 16^2 = 256 columns per hash row
+
+
+def count_sketch_estimates(docs: DataFrame, depth: int = CS_DEPTH,
+                           n_nib: int = CS_NIBBLES) -> DataFrame:
+    """Count-sketch (Charikar-Chen-Farach-Colton '02) vs truth audit
+    per distinct token — the SIGNED cousin of the count-min table:
+    each item adds sign(row, item) * count to its cell, so colliding
+    items cancel in expectation and the point estimate sign * cell is
+    UNBIASED (count-min only ever overestimates); the median across
+    the ``depth`` hash rows tames the variance.  depth is odd, so the
+    median is one exact middle element — no averaging, no floats.
+
+    Column and sign both derive from the salted md5(row ':' item)
+    primitive the CM/HLL/minhash oracles replay: column = first
+    ``n_nib`` nibbles, sign = parity of the next nibble.
+
+    Output: (item, true_cnt, est_cnt, abs_err) — est_cnt may sit on
+    either side of truth (the unbiasedness signature; a count-min
+    audit row never shows est < true).
+
+    Scale shape: ONE corpus hash-aggregate to the vocab count table;
+    the sketch build and every probe run over that bounded table
+    (depth-way explode, no extra corpus pass), and the counter table
+    (<= depth * 16^n_nib rows) is broadcast for probing.
+    """
+    from pyspark.sql import Window
+    from pyspark.sql.functions import broadcast
+
+    toks = (docs.select(F.explode(
+        F.filter(F.split(F.col("text"), "[\n \t]"),
+                 lambda t: t != "")).alias("tok")))
+    vocab = (toks.groupBy(F.col("tok").alias("item"))
+             .agg(F.count(F.lit(1)).cast("long").alias("true_cnt")))
+    d = vocab.select(
+        "item", "true_cnt",
+        F.explode(F.sequence(F.lit(0), F.lit(depth - 1)))
+        .alias("cs_row"))
+    h = F.md5(F.concat(F.col("cs_row").cast("string"), F.lit(":"),
+                       F.col("item")))
+    keyed = (d.withColumn("_h", h)
+             .select("item", "true_cnt", "cs_row",
+                     _nibble_value("_h", 1, n_nib).cast("int")
+                     .alias("cs_col"),
+                     (1 - 2 * (_nibble_value("_h", n_nib + 1, 1)
+                               % 2)).cast("long").alias("sign")))
+    sketch = (keyed.groupBy("cs_row", "cs_col")
+              .agg(F.sum(F.col("sign") * F.col("true_cnt"))
+                   .cast("long").alias("cell")))
+    probed = (keyed.join(broadcast(sketch), ["cs_row", "cs_col"])
+              .select("item", "true_cnt",
+                      (F.col("sign") * F.col("cell")).alias("_est")))
+    w = Window.partitionBy("item").orderBy("_est")
+    med = (probed.withColumn("_rn", F.row_number().over(w))
+           .where(F.col("_rn") == (depth + 1) // 2))
+    return med.select(
+        "item", "true_cnt", F.col("_est").cast("long").alias("est_cnt"),
+        F.abs(F.col("_est") - F.col("true_cnt")).cast("long")
+        .alias("abs_err"))

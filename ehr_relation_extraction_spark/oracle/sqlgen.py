@@ -8652,3 +8652,48 @@ FROM ac_num n
 JOIN ac_den d USING (etype)
 JOIN ac_stats st USING (etype)
 WHERE d.den > 0"""
+
+
+# ---------------------------------------------------------------------------
+# Continuation batch 127: count-sketch (signed) vs truth audit —
+# column = first 2 nibbles of md5(row ':' item), sign = parity of
+# nibble 3, median over 5 rows
+# (functions/sketches.count_sketch_estimates).
+
+ORACLE["count_sketch"] = """
+WITH cs_ts AS (
+  SELECT list_filter(string_split_regex(text, '[\\n \\t]'),
+                     t -> t <> '') AS ts
+  FROM documents),
+cs_tok AS (
+  SELECT ts[CAST(i AS INT)] AS item
+  FROM cs_ts, unnest(generate_series(1, len(ts))) AS t(i)),
+cs_vocab AS MATERIALIZED (
+  SELECT item, CAST(COUNT(*) AS BIGINT) AS true_cnt
+  FROM cs_tok GROUP BY 1),
+cs_keyed AS MATERIALIZED (
+  SELECT item, true_cnt, CAST(r AS INT) AS cs_row,
+         CAST((strpos('0123456789abcdef', substring(_h, 1, 1)) - 1)
+              * 16
+            + (strpos('0123456789abcdef', substring(_h, 2, 1)) - 1)
+           AS INT) AS cs_col,
+         CAST(1 - 2 * ((strpos('0123456789abcdef',
+                               substring(_h, 3, 1)) - 1) % 2)
+           AS BIGINT) AS sign
+  FROM (SELECT item, true_cnt, r,
+               md5(CAST(r AS VARCHAR) || ':' || item) AS _h
+        FROM cs_vocab, unnest(generate_series(0, 4)) AS g(r))),
+cs_sketch AS MATERIALIZED (
+  SELECT cs_row, cs_col,
+         CAST(SUM(sign * true_cnt) AS BIGINT) AS cell
+  FROM cs_keyed GROUP BY 1, 2),
+cs_probed AS (
+  SELECT k.item, k.true_cnt, k.sign * s.cell AS est
+  FROM cs_keyed k JOIN cs_sketch s USING (cs_row, cs_col)),
+cs_med AS (
+  SELECT item, true_cnt, est,
+         ROW_NUMBER() OVER (PARTITION BY item ORDER BY est) AS rn
+  FROM cs_probed)
+SELECT item, true_cnt, CAST(est AS BIGINT) AS est_cnt,
+       CAST(ABS(est - true_cnt) AS BIGINT) AS abs_err
+FROM cs_med WHERE rn = 3"""

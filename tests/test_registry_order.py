@@ -428,6 +428,9 @@ EXPECTED_TAIL = [
     # Continuation batch 126: daily-count autocorrelation — appended
     # past position 50.
     "autocorrelation",
+    # Continuation batch 127: signed count-sketch audit — appended
+    # past position 50.
+    "count_sketch",
 ]
 
 
