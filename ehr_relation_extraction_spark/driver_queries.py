@@ -2685,6 +2685,12 @@ def q_count_sketch(spark, sf_dir) -> DataFrame:
     return count_sketch_estimates(_docs(spark, sf_dir))
 
 
+def q_split_balance(spark, sf_dir) -> DataFrame:
+    """Exact TVD of the lang distribution between train/dev/test
+    splits (functions/textstats.split_balance)."""
+    return ts.split_balance(_docs(spark, sf_dir))
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # ORDER IS LOAD-BEARING: the driver snapshot verifies exactly
     # list(QUERIES)[:50] in insertion order (pinned by
@@ -3162,6 +3168,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # Continuation batch 127: signed count-sketch audit — appended
     # past position 50.
     "count_sketch": q_count_sketch,
+    # Continuation batch 128: split-balance TVD audit — appended past
+    # position 50.
+    "split_balance": q_split_balance,
 }
 
 

@@ -2214,3 +2214,49 @@ def token_fertility(docs: DataFrame) -> DataFrame:
                 F.expr("CASE WHEN n_subtokens = 0 THEN 0 ELSE"
                        " (1000000 * n_chars) div n_subtokens END")
                 .cast("long").alias("chars_per_token_micro6")))
+
+
+def split_balance(docs: DataFrame, attr_col: str = "lang") -> DataFrame:
+    """Split-balance audit: exact total variation distance of an
+    attribute's distribution between every pair of corpus splits
+    (train/dev/test from the deterministic md5 split) — the QA gate
+    a benchmark owner runs before trusting dev/test as drawn from the
+    training distribution.  TVD(P, Q) = 1/2 sum_v |P(v) - Q(v)|,
+    cleared of denominators: tvd_micro6 = 1e6 * sum_v |c_av * n_b -
+    c_bv * n_a| div (2 * n_a * n_b) — exact BIGINT throughout (both
+    engines truncate identically; the numerator is non-negative).
+
+    Output: (split_a, split_b, attr_values, n_a, n_b, tvd_micro6),
+    one row per unordered split pair (a < b lexicographically).
+
+    Scale shape: ONE corpus hash aggregate to the (split, value)
+    count table; the zero-filled (split x value) grid and the pair
+    self-join run over that bounded table (splits x attribute
+    vocabulary), never over documents.
+    """
+    _, split = split_expr()
+    cnt = (docs.select(split.alias("split"),
+                       F.col(attr_col).alias("v"))
+           .groupBy("split", "v")
+           .agg(F.count(F.lit(1)).cast("long").alias("c")))
+    splits = cnt.select("split").dropDuplicates()
+    vals = cnt.select("v").dropDuplicates()
+    grid = (splits.crossJoin(vals)  # bounded: splits x attr vocab
+            .join(cnt, ["split", "v"], "left").na.fill(0, ["c"]))
+    tot = cnt.groupBy("split").agg(F.sum("c").cast("long").alias("n"))
+    g = grid.join(tot, "split")
+    a = g.select(F.col("split").alias("split_a"), "v",
+                 F.col("c").alias("_ca"), F.col("n").alias("n_a"))
+    b = g.select(F.col("split").alias("split_b"),
+                 F.col("v").alias("_vb"),
+                 F.col("c").alias("_cb"), F.col("n").alias("n_b"))
+    return (a.join(b, (a["v"] == b["_vb"])
+                   & (a["split_a"] < b["split_b"]))
+            .groupBy("split_a", "split_b", "n_a", "n_b")
+            .agg(F.count(F.lit(1)).cast("long").alias("attr_values"),
+                 F.sum(F.abs(F.col("_ca") * F.col("n_b")
+                             - F.col("_cb") * F.col("n_a")))
+                 .cast("long").alias("_num"))
+            .select("split_a", "split_b", "attr_values", "n_a", "n_b",
+                    F.expr("(1000000 * _num) div (2 * n_a * n_b)")
+                    .cast("long").alias("tvd_micro6")))

@@ -8697,3 +8697,45 @@ cs_med AS (
 SELECT item, true_cnt, CAST(est AS BIGINT) AS est_cnt,
        CAST(ABS(est - true_cnt) AS BIGINT) AS abs_err
 FROM cs_med WHERE rn = 3"""
+
+
+# ---------------------------------------------------------------------------
+# Continuation batch 128: split-balance audit — exact TVD of the
+# lang distribution between train/dev/test splits
+# (functions/textstats.split_balance).
+
+ORACLE["split_balance"] = """
+WITH sb_d AS (
+  SELECT CASE WHEN bucket < 204 THEN 'train'
+              WHEN bucket < 230 THEN 'dev' ELSE 'test' END AS split,
+         lang AS v
+  FROM (SELECT lang,
+               CAST(16 * (instr('0123456789abcdef',
+                        substr(md5(CAST(doc_id AS VARCHAR)), 31, 1))
+                        - 1)
+                  + (instr('0123456789abcdef',
+                        substr(md5(CAST(doc_id AS VARCHAR)), 32, 1))
+                        - 1) AS INT) AS bucket
+        FROM documents)),
+sb_cnt AS MATERIALIZED (
+  SELECT split, v, CAST(COUNT(*) AS BIGINT) AS c
+  FROM sb_d GROUP BY 1, 2),
+sb_grid AS MATERIALIZED (
+  SELECT s.split, x.v, COALESCE(c.c, 0) AS c
+  FROM (SELECT DISTINCT split FROM sb_cnt) s
+  CROSS JOIN (SELECT DISTINCT v FROM sb_cnt) x
+  LEFT JOIN sb_cnt c USING (split, v)),
+sb_tot AS (
+  SELECT split, CAST(SUM(c) AS BIGINT) AS n
+  FROM sb_cnt GROUP BY 1),
+sb_g AS (
+  SELECT g.split, g.v, g.c, t.n
+  FROM sb_grid g JOIN sb_tot t USING (split))
+SELECT a.split AS split_a, b.split AS split_b,
+       CAST(COUNT(*) AS BIGINT) AS attr_values,
+       CAST(MAX(a.n) AS BIGINT) AS n_a,
+       CAST(MAX(b.n) AS BIGINT) AS n_b,
+       CAST((1000000 * SUM(ABS(a.c * b.n - b.c * a.n)))
+            // (2 * MAX(a.n) * MAX(b.n)) AS BIGINT) AS tvd_micro6
+FROM sb_g a JOIN sb_g b ON a.v = b.v AND a.split < b.split
+GROUP BY 1, 2"""

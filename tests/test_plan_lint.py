@@ -122,6 +122,10 @@ ALLOWED = {
     # — four copies of the same bounded (types x spine) crossJoin,
     # the theil_sen_trend class
     "mann_kendall": (0, 4),
+    # the (splits x attribute-vocabulary) zero-fill grid crossJoin,
+    # re-planned for both pair sides — bounded dims, event_bursts
+    # class
+    "split_balance": (0, 2),
 }
 
 

@@ -431,6 +431,9 @@ EXPECTED_TAIL = [
     # Continuation batch 127: signed count-sketch audit — appended
     # past position 50.
     "count_sketch",
+    # Continuation batch 128: split-balance TVD audit — appended past
+    # position 50.
+    "split_balance",
 ]
 
 
