@@ -2691,6 +2691,12 @@ def q_split_balance(spark, sf_dir) -> DataFrame:
     return ts.split_balance(_docs(spark, sf_dir))
 
 
+def q_gains_curve(spark, sf_dir) -> DataFrame:
+    """Cumulative gains / lift curve of the LM quality score vs the
+    curation gate (functions/textstats.gains_curve)."""
+    return ts.gains_curve(_docs(spark, sf_dir))
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # ORDER IS LOAD-BEARING: the driver snapshot verifies exactly
     # list(QUERIES)[:50] in insertion order (pinned by
@@ -3171,6 +3177,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # Continuation batch 128: split-balance TVD audit — appended past
     # position 50.
     "split_balance": q_split_balance,
+    # Continuation batch 129: cumulative gains / lift curve —
+    # appended past position 50.
+    "gains_curve": q_gains_curve,
 }
 
 

@@ -2260,3 +2260,43 @@ def split_balance(docs: DataFrame, attr_col: str = "lang") -> DataFrame:
             .select("split_a", "split_b", "attr_values", "n_a", "n_b",
                     F.expr("(1000000 * _num) div (2 * n_a * n_b)")
                     .cast("long").alias("tvd_micro6")))
+
+
+def gains_curve(docs: DataFrame) -> DataFrame:
+    """Cumulative gains / lift curve of the LM quality score against
+    the curation-gate outcome — the targeting read: if we keep only
+    the top k score-deciles, what share of the gate-keepable
+    documents do we capture (gain), and how much better than random
+    is that (lift)?  Built on the same rank-decile buckets as
+    quality_calibration, cumulated from the TOP score downward.
+
+    Exact integers: gain_micro6 = 1e6 * cum_keeps / total_keeps,
+    lift_micro6 = 1e6 * cum_keeps * total_docs / (cum_docs *
+    total_keeps).
+
+    Output: (bucket, n_docs, n_keep, cum_docs, cum_keeps,
+    gain_micro6, lift_micro6), bucket 9 = highest scores first row
+    of the cumulation.
+
+    Scale shape: everything after quality_calibration's one corpus
+    aggregate runs on the 10-row bucket table (global windows over
+    10 rows).
+    """
+    b = quality_calibration(docs).select("bucket", "n_docs", "n_keep")
+    w = (Window.orderBy(F.desc("bucket"))
+         .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    wt = Window.rowsBetween(Window.unboundedPreceding,
+                            Window.unboundedFollowing)
+    return (b.withColumn("cum_docs", F.sum("n_docs").over(w)
+                         .cast("long"))
+            .withColumn("cum_keeps", F.sum("n_keep").over(w)
+                        .cast("long"))
+            .withColumn("_td", F.sum("n_docs").over(wt))
+            .withColumn("_tk", F.sum("n_keep").over(wt))
+            .select("bucket", "n_docs", "n_keep", "cum_docs",
+                    "cum_keeps",
+                    F.expr("(1000000 * cum_keeps) div _tk")
+                    .cast("long").alias("gain_micro6"),
+                    F.expr("(1000000 * cum_keeps * _td)"
+                           " div (cum_docs * _tk)").cast("long")
+                    .alias("lift_micro6")))

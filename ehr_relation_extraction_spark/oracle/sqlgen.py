@@ -8739,3 +8739,31 @@ SELECT a.split AS split_a, b.split AS split_b,
             // (2 * MAX(a.n) * MAX(b.n)) AS BIGINT) AS tvd_micro6
 FROM sb_g a JOIN sb_g b ON a.v = b.v AND a.split < b.split
 GROUP BY 1, 2"""
+
+
+# ---------------------------------------------------------------------------
+# Continuation batch 129: cumulative gains / lift curve of the LM
+# quality score vs the curation gate — cumulated from the top score
+# decile downward (functions/textstats.gains_curve).  Reuses the
+# quality_calibration statement verbatim as a nested subquery.
+
+ORACLE["gains_curve"] = f"""
+WITH gc_b AS MATERIALIZED (
+  SELECT bucket, n_docs, n_keep
+  FROM ({ORACLE["quality_calibration"]})),
+gc_c AS (
+  SELECT bucket, n_docs, n_keep,
+         CAST(SUM(n_docs) OVER (ORDER BY bucket DESC
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           AS BIGINT) AS cum_docs,
+         CAST(SUM(n_keep) OVER (ORDER BY bucket DESC
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           AS BIGINT) AS cum_keeps,
+         SUM(n_docs) OVER () AS td,
+         SUM(n_keep) OVER () AS tk
+  FROM gc_b)
+SELECT bucket, n_docs, n_keep, cum_docs, cum_keeps,
+       CAST((1000000 * cum_keeps) // tk AS BIGINT) AS gain_micro6,
+       CAST((1000000 * cum_keeps * td) // (cum_docs * tk) AS BIGINT)
+         AS lift_micro6
+FROM gc_c"""

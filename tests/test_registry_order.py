@@ -434,6 +434,9 @@ EXPECTED_TAIL = [
     # Continuation batch 128: split-balance TVD audit — appended past
     # position 50.
     "split_balance",
+    # Continuation batch 129: cumulative gains / lift curve —
+    # appended past position 50.
+    "gains_curve",
 ]
 
 
