@@ -2697,6 +2697,15 @@ def q_gains_curve(spark, sf_dir) -> DataFrame:
     return ts.gains_curve(_docs(spark, sf_dir))
 
 
+def q_graph_eccentricity(spark, sf_dir) -> DataFrame:
+    """Exact eccentricity / radius / diameter over the co-mention
+    graph (operators/graph_algos.graph_eccentricity)."""
+    from .operators.graph_algos import graph_eccentricity
+
+    edges, _ = _comention_graph(spark, sf_dir)
+    return graph_eccentricity(edges)
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # ORDER IS LOAD-BEARING: the driver snapshot verifies exactly
     # list(QUERIES)[:50] in insertion order (pinned by
@@ -3180,6 +3189,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # Continuation batch 129: cumulative gains / lift curve —
     # appended past position 50.
     "gains_curve": q_gains_curve,
+    # Continuation batch 130: exact eccentricity/diameter audit —
+    # appended past position 50.
+    "graph_eccentricity": q_graph_eccentricity,
 }
 
 

@@ -2548,3 +2548,61 @@ def bipartite_check(edges: DataFrame, n_rounds: int = 8) -> DataFrame:
                     "n_edges", "n_violations",
                     (F.col("n_violations") == 0).cast("int")
                     .alias("is_bipartite")))
+
+
+def graph_eccentricity(edges: DataFrame, n_rounds: int = 8) -> DataFrame:
+    """Exact per-node eccentricity with the component-level
+    radius/diameter attached — the ground-truth audit for the
+    approximate distance machinery (hyperball's effective diameter,
+    landmark closeness): ecc(v) = max over reachable u of d(v, u),
+    radius = min ecc (the center), diameter = max ecc.
+
+    Computed as a bounded BFS closure: pair states (src, node, dist)
+    grow one hop per round, keeping min dist per pair — after r
+    rounds every pair within r hops is exact (same argument as
+    bipartite_check's struct-min).  ``n_rounds`` must cover the true
+    diameter; the convergence pytest pins that on the driver graph.
+
+    THE SCALE CONTRACT: pair states are O(V^2) — this is the exact
+    SMALL-GRAPH audit (entity communities, schema graphs), while
+    hyperball (registered) is the production path for corpus-scale
+    graphs; the same split as suffix-array vs windowed-exact dedup.
+
+    Output: (node, n_reached, ecc, radius, diameter, is_center),
+    radius/diameter computed within the node's component.
+
+    Every round is one equi-join + one aggregate, localCheckpoint to
+    cut lineage.
+    """
+    und = (edges.select(F.least("src", "dst").alias("a"),
+                        F.greatest("src", "dst").alias("b"))
+           .where(F.col("a") != F.col("b")).dropDuplicates()
+           .localCheckpoint())
+    sym = (und.select(F.col("a").alias("src"), F.col("b").alias("dst"))
+           .unionByName(und.select(F.col("b").alias("src"),
+                                   F.col("a").alias("dst"))))
+    nodes = sym.select(F.col("src").alias("node")).dropDuplicates()
+    state = nodes.select(
+        F.col("node").alias("s"), F.col("node").alias("node"),
+        F.lit(0).cast("int").alias("dist")).localCheckpoint()
+    for _ in range(n_rounds):
+        cand = (state.join(sym, state["node"] == sym["src"])
+                .select("s", F.col("dst").alias("node"),
+                        (F.col("dist") + 1).cast("int").alias("dist")))
+        state = (state.unionByName(cand)
+                 .groupBy("s", "node")
+                 .agg(F.min("dist").cast("int").alias("dist"))
+                 .localCheckpoint())
+    from pyspark.sql import Window
+
+    ecc = state.groupBy("s").agg(
+        F.count(F.lit(1)).cast("long").alias("n_reached"),
+        F.max("dist").cast("int").alias("ecc"),
+        F.min("node").alias("_comp"))  # min reachable id = component
+    w = Window.partitionBy("_comp")
+    return (ecc.withColumn("radius", F.min("ecc").over(w).cast("int"))
+            .withColumn("diameter", F.max("ecc").over(w).cast("int"))
+            .select(F.col("s").alias("node"), "n_reached", "ecc",
+                    "radius", "diameter",
+                    (F.col("ecc") == F.col("radius")).cast("int")
+                    .alias("is_center")))

@@ -8767,3 +8767,36 @@ SELECT bucket, n_docs, n_keep, cum_docs, cum_keeps,
        CAST((1000000 * cum_keeps * td) // (cum_docs * tk) AS BIGINT)
          AS lift_micro6
 FROM gc_c"""
+
+
+# ---------------------------------------------------------------------------
+# Continuation batch 130: exact eccentricity / radius / diameter —
+# bounded BFS closure (8 hops, matching the Spark rounds) over the
+# co-mention graph (operators/graph_algos.graph_eccentricity).
+
+ORACLE["graph_eccentricity"] = _q("""
+SELECT s AS node, n_reached, ecc,
+       MIN(ecc) OVER (PARTITION BY comp) AS radius,
+       MAX(ecc) OVER (PARTITION BY comp) AS diameter,
+       CAST(ecc = MIN(ecc) OVER (PARTITION BY comp) AS INT)
+         AS is_center
+FROM ge_ecc""",
+    LINK_CTES, COMENTION_CTES.strip(), """
+ge_und AS MATERIALIZED (
+  SELECT src AS a, dst AS b FROM comention WHERE src <> dst),
+ge_sym AS (SELECT a AS src, b AS dst FROM ge_und
+           UNION SELECT b AS src, a AS dst FROM ge_und),
+ge_reach(s, node, dist) AS (
+  SELECT DISTINCT src AS s, src AS node, 0 AS dist FROM ge_sym
+  UNION
+  SELECT r.s, e.dst AS node, r.dist + 1
+  FROM ge_reach r JOIN ge_sym e ON e.src = r.node
+  WHERE r.dist < 8),
+ge_pairs AS MATERIALIZED (
+  SELECT s, node, CAST(MIN(dist) AS INT) AS dist
+  FROM ge_reach GROUP BY 1, 2),
+ge_ecc AS MATERIALIZED (
+  SELECT s, CAST(COUNT(*) AS BIGINT) AS n_reached,
+         CAST(MAX(dist) AS INT) AS ecc,
+         MIN(node) AS comp
+  FROM ge_pairs GROUP BY 1)""")

@@ -437,6 +437,9 @@ EXPECTED_TAIL = [
     # Continuation batch 129: cumulative gains / lift curve —
     # appended past position 50.
     "gains_curve",
+    # Continuation batch 130: exact eccentricity/diameter audit —
+    # appended past position 50.
+    "graph_eccentricity",
 ]
 
 
