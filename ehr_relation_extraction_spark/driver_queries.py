@@ -2706,6 +2706,12 @@ def q_graph_eccentricity(spark, sf_dir) -> DataFrame:
     return graph_eccentricity(edges)
 
 
+def q_doclen_drift(spark, sf_dir) -> DataFrame:
+    """Exact KS + Wasserstein-1 doc-length drift between splits
+    (functions/textstats.doclen_drift)."""
+    return ts.doclen_drift(_docs(spark, sf_dir))
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # ORDER IS LOAD-BEARING: the driver snapshot verifies exactly
     # list(QUERIES)[:50] in insertion order (pinned by
@@ -3192,6 +3198,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # Continuation batch 130: exact eccentricity/diameter audit —
     # appended past position 50.
     "graph_eccentricity": q_graph_eccentricity,
+    # Continuation batch 131: KS + W1 doc-length drift — appended
+    # past position 50.
+    "doclen_drift": q_doclen_drift,
 }
 
 

@@ -2300,3 +2300,61 @@ def gains_curve(docs: DataFrame) -> DataFrame:
                     F.expr("(1000000 * cum_keeps * _td)"
                            " div (cum_docs * _tk)").cast("long")
                     .alias("lift_micro6")))
+
+
+def doclen_drift(docs: DataFrame) -> DataFrame:
+    """Two-sample distribution drift of document length (token
+    count) between every pair of corpus splits: the exact
+    Kolmogorov-Smirnov statistic D = max_x |F_a(x) - F_b(x)| AND the
+    exact Wasserstein-1 (earth-mover) distance W1 = sum_x |F_a(x) -
+    F_b(x)| * gap(x) — the continuous-distribution companion to
+    split_balance's categorical TVD.  Both cleared of denominators:
+    with cum counts C and split sizes n, ks_micro6 = 1e6 * max
+    |C_a(x) n_b - C_b(x) n_a| div (n_a n_b), and w1 in token units
+    w1_micro6 = 1e6 * sum |C_a n_b - C_b n_a| * gap div (n_a n_b) —
+    exact BIGINT throughout.
+
+    Output: (split_a, split_b, n_a, n_b, ks_micro6, w1_micro6).
+
+    Scale shape: one corpus scan to (split, len) counts; the dense
+    (split x distinct-length) grid, cumulative windows, and pair
+    join all run over the bounded length value domain (the
+    doclen_percentiles discipline).
+    """
+    _, split = split_expr()
+    cnt = (docs.select(split.alias("split"),
+                       F.size(_toks()).cast("long").alias("x"))
+           .groupBy("split", "x")
+           .agg(F.count(F.lit(1)).cast("long").alias("c")))
+    splits = cnt.select("split").dropDuplicates()
+    vals = cnt.select("x").dropDuplicates()
+    grid = (splits.crossJoin(vals)  # bounded: splits x length domain
+            .join(cnt, ["split", "x"], "left").na.fill(0, ["c"]))
+    w = (Window.partitionBy("split").orderBy("x")
+         .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    g = (grid.withColumn("cum", F.sum("c").over(w).cast("long"))
+         .withColumn("n", F.sum("c").over(
+             Window.partitionBy("split")).cast("long"))
+         .withColumn("gap", F.coalesce(
+             F.lead("x").over(Window.partitionBy("split")
+                              .orderBy("x")) - F.col("x"),
+             F.lit(0)).cast("long")))
+    a = g.select(F.col("split").alias("split_a"), "x",
+                 F.col("cum").alias("_ca"), F.col("n").alias("n_a"),
+                 F.col("gap").alias("_gap"))
+    b = g.select(F.col("split").alias("split_b"),
+                 F.col("x").alias("_xb"),
+                 F.col("cum").alias("_cb"), F.col("n").alias("n_b"))
+    return (a.join(b, (a["x"] == b["_xb"])
+                   & (a["split_a"] < b["split_b"]))
+            .withColumn("_d", F.abs(F.col("_ca") * F.col("n_b")
+                                    - F.col("_cb") * F.col("n_a")))
+            .groupBy("split_a", "split_b", "n_a", "n_b")
+            .agg(F.max("_d").cast("long").alias("_ks"),
+                 F.sum(F.col("_d") * F.col("_gap")).cast("long")
+                 .alias("_w1"))
+            .select("split_a", "split_b", "n_a", "n_b",
+                    F.expr("(1000000 * _ks) div (n_a * n_b)")
+                    .cast("long").alias("ks_micro6"),
+                    F.expr("(1000000 * _w1) div (n_a * n_b)")
+                    .cast("long").alias("w1_micro6")))

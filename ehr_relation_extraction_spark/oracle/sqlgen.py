@@ -8800,3 +8800,49 @@ ge_ecc AS MATERIALIZED (
          CAST(MAX(dist) AS INT) AS ecc,
          MIN(node) AS comp
   FROM ge_pairs GROUP BY 1)""")
+
+
+# ---------------------------------------------------------------------------
+# Continuation batch 131: exact two-sample KS + Wasserstein-1 doc-
+# length drift between splits (functions/textstats.doclen_drift).
+
+ORACLE["doclen_drift"] = """
+WITH dd_d AS (
+  SELECT CASE WHEN bucket < 204 THEN 'train'
+              WHEN bucket < 230 THEN 'dev' ELSE 'test' END AS split,
+         x
+  FROM (SELECT CAST(len(list_filter(string_split_regex(text,
+                   '[\\n \\t]'), t -> t <> '')) AS BIGINT) AS x,
+               CAST(16 * (instr('0123456789abcdef',
+                        substr(md5(CAST(doc_id AS VARCHAR)), 31, 1))
+                        - 1)
+                  + (instr('0123456789abcdef',
+                        substr(md5(CAST(doc_id AS VARCHAR)), 32, 1))
+                        - 1) AS INT) AS bucket
+        FROM documents)),
+dd_cnt AS MATERIALIZED (
+  SELECT split, x, CAST(COUNT(*) AS BIGINT) AS c
+  FROM dd_d GROUP BY 1, 2),
+dd_grid AS MATERIALIZED (
+  SELECT s.split, v.x, COALESCE(c.c, 0) AS c
+  FROM (SELECT DISTINCT split FROM dd_cnt) s
+  CROSS JOIN (SELECT DISTINCT x FROM dd_cnt) v
+  LEFT JOIN dd_cnt c USING (split, x)),
+dd_g AS MATERIALIZED (
+  SELECT split, x,
+         CAST(SUM(c) OVER (PARTITION BY split ORDER BY x
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           AS BIGINT) AS cum,
+         CAST(SUM(c) OVER (PARTITION BY split) AS BIGINT) AS n,
+         CAST(COALESCE(LEAD(x) OVER (PARTITION BY split ORDER BY x)
+                       - x, 0) AS BIGINT) AS gap
+  FROM dd_grid)
+SELECT a.split AS split_a, b.split AS split_b,
+       CAST(MAX(a.n) AS BIGINT) AS n_a,
+       CAST(MAX(b.n) AS BIGINT) AS n_b,
+       CAST((1000000 * MAX(ABS(a.cum * b.n - b.cum * a.n)))
+            // (MAX(a.n) * MAX(b.n)) AS BIGINT) AS ks_micro6,
+       CAST((1000000 * SUM(ABS(a.cum * b.n - b.cum * a.n) * a.gap))
+            // (MAX(a.n) * MAX(b.n)) AS BIGINT) AS w1_micro6
+FROM dd_g a JOIN dd_g b ON a.x = b.x AND a.split < b.split
+GROUP BY 1, 2"""

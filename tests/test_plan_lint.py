@@ -126,6 +126,9 @@ ALLOWED = {
     # re-planned for both pair sides — bounded dims, event_bursts
     # class
     "split_balance": (0, 2),
+    # same class: the (splits x length-domain) zero-fill grid
+    # crossJoin re-planned for both ECDF pair sides
+    "doclen_drift": (0, 2),
 }
 
 

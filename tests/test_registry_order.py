@@ -440,6 +440,9 @@ EXPECTED_TAIL = [
     # Continuation batch 130: exact eccentricity/diameter audit —
     # appended past position 50.
     "graph_eccentricity",
+    # Continuation batch 131: KS + W1 doc-length drift — appended
+    # past position 50.
+    "doclen_drift",
 ]
 
 
