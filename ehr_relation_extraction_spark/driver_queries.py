@@ -2712,6 +2712,15 @@ def q_doclen_drift(spark, sf_dir) -> DataFrame:
     return ts.doclen_drift(_docs(spark, sf_dir))
 
 
+def q_weekday_seasonality(spark, sf_dir) -> DataFrame:
+    """Weekly-seasonality strength (ANOVA variance share) per event
+    type (operators/events.weekday_seasonality)."""
+    from .operators.events import weekday_seasonality
+
+    return weekday_seasonality(
+        spark.read.parquet(f"{sf_dir}/events.parquet"))
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # ORDER IS LOAD-BEARING: the driver snapshot verifies exactly
     # list(QUERIES)[:50] in insertion order (pinned by
@@ -3201,6 +3210,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # Continuation batch 131: KS + W1 doc-length drift — appended
     # past position 50.
     "doclen_drift": q_doclen_drift,
+    # Continuation batch 132: weekday seasonality strength — appended
+    # past position 50.
+    "weekday_seasonality": q_weekday_seasonality,
 }
 
 

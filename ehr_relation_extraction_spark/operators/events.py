@@ -707,3 +707,64 @@ def autocorrelation(events: DataFrame, lags=(1, 2, 7)) -> DataFrame:
                     "num", "den",
                     F.expr("(1000000 * num) div den").cast("long")
                     .alias("acf_micro6")))
+
+
+def weekday_seasonality(events: DataFrame) -> DataFrame:
+    """Weekly-seasonality strength per event type: the one-way ANOVA
+    variance decomposition of the daily count series over weekday
+    groups (day_idx mod 7) — strength = SS_between / SS_total, the
+    share of day-to-day variance the weekday explains (near 1e6 =
+    strict weekly rhythm, near 0 = no weekly structure).  The peak
+    weekday comes along for the qualitative read.
+
+    Float-free by clearing means: with n days, S = sum r, per-group
+    size n_g and sum S_g, SS_total scales to SSTn = sum_t (n*r_t -
+    S)^2 and SS_between to SSBn = sum_g (n*S_g - n_g*S)^2 / n_g
+    (floored per group — 7 groups, documented); strength_micro6 =
+    1e6 * SSBn div SSTn.  Validity bound: n * max_daily_count must
+    stay under ~3e9 for the squares to fit BIGINT — true for any
+    sane day spine; shard the spine before this ever binds.
+
+    Output: (etype, n_days, ssb_scaled, sst_scaled,
+    strength_micro6, peak_weekday).
+
+    Scale shape: everything after the bounded day grid is two
+    aggregates over (type x 7) groups.
+    """
+    grid = _day_grid(events).withColumn(
+        "_wd", (F.col("day_idx") % 7).cast("int"))
+    tot = grid.groupBy("etype").agg(
+        F.count(F.lit(1)).cast("long").alias("n_days"),
+        F.sum("r").cast("long").alias("_s"))
+    g = grid.join(tot, "etype").localCheckpoint()  # bounded frame
+    sst = g.groupBy("etype").agg(
+        F.sum((F.col("n_days") * F.col("r") - F.col("_s"))
+              * (F.col("n_days") * F.col("r") - F.col("_s")))
+        .cast("long").alias("sst_scaled"))
+    grp = g.groupBy("etype", "_wd").agg(
+        F.count(F.lit(1)).cast("long").alias("_ng"),
+        F.sum("r").cast("long").alias("_sg"),
+        F.max("n_days").alias("_n"), F.max("_s").alias("_stot"))
+    ssb = (grp.withColumn(
+        "_term", F.expr("((_n * _sg - _ng * _stot)"
+                        " * (_n * _sg - _ng * _stot)) div _ng"))
+        .groupBy("etype").agg(
+            F.sum("_term").cast("long").alias("ssb_scaled")))
+    # peak weekday: argmax of the group MEAN S_g/n_g ordered by the
+    # floor-scaled mean (x10080); floor is identical cross-engine, so
+    # the pick is deterministic — means within 1/10080 of each other
+    # tie and break to the smallest weekday (documented behavior)
+    peak = (grp.withColumn(
+        "_best", F.row_number().over(
+            Window.partitionBy("etype").orderBy(
+                F.expr("-((_sg * 10080) div _ng)"),
+                F.col("_wd"))))
+        .where(F.col("_best") == 1)
+        .select("etype", F.col("_wd").alias("peak_weekday")))
+    return (sst.join(ssb, "etype").join(peak, "etype")
+            .join(tot.select("etype", "n_days"), "etype")
+            .where(F.col("sst_scaled") > 0)
+            .select("etype", "n_days", "ssb_scaled", "sst_scaled",
+                    F.expr("(1000000 * ssb_scaled) div sst_scaled")
+                    .cast("long").alias("strength_micro6"),
+                    "peak_weekday"))

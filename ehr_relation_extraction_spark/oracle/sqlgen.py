@@ -8846,3 +8846,63 @@ SELECT a.split AS split_a, b.split AS split_b,
             // (MAX(a.n) * MAX(b.n)) AS BIGINT) AS w1_micro6
 FROM dd_g a JOIN dd_g b ON a.x = b.x AND a.split < b.split
 GROUP BY 1, 2"""
+
+
+# ---------------------------------------------------------------------------
+# Continuation batch 132: weekday-seasonality strength — one-way
+# ANOVA share SSB/SST over weekday groups, means cleared by
+# n-scaling (operators/events.weekday_seasonality).
+
+ORACLE["weekday_seasonality"] = """
+WITH ws_day AS (
+  SELECT CAST(epoch_us(ts) // 86400000000 AS INT) AS day_idx,
+         event_type AS etype
+  FROM events),
+ws_spine AS (SELECT DISTINCT day_idx FROM ws_day),
+ws_types AS (SELECT DISTINCT etype FROM ws_day),
+ws_sparse AS (
+  SELECT etype, day_idx, CAST(COUNT(*) AS BIGINT) AS r
+  FROM ws_day GROUP BY 1, 2),
+ws_grid AS MATERIALIZED (
+  SELECT t.etype, s.day_idx, CAST(s.day_idx % 7 AS INT) AS wd,
+         COALESCE(x.r, 0) AS r
+  FROM ws_types t CROSS JOIN ws_spine s
+  LEFT JOIN ws_sparse x USING (etype, day_idx)),
+ws_tot AS (
+  SELECT etype, CAST(COUNT(*) AS BIGINT) AS n_days,
+         CAST(SUM(r) AS BIGINT) AS s
+  FROM ws_grid GROUP BY 1),
+ws_g AS MATERIALIZED (
+  SELECT g.etype, g.wd, g.r, t.n_days, t.s
+  FROM ws_grid g JOIN ws_tot t USING (etype)),
+ws_sst AS (
+  SELECT etype,
+         CAST(SUM((n_days * r - s) * (n_days * r - s)) AS BIGINT)
+           AS sst_scaled
+  FROM ws_g GROUP BY 1),
+ws_grp AS (
+  SELECT etype, wd, CAST(COUNT(*) AS BIGINT) AS ng,
+         CAST(SUM(r) AS BIGINT) AS sg,
+         MAX(n_days) AS n, MAX(s) AS stot
+  FROM ws_g GROUP BY 1, 2),
+ws_ssb AS (
+  SELECT etype,
+         CAST(SUM(((n * sg - ng * stot) * (n * sg - ng * stot))
+                  // ng) AS BIGINT) AS ssb_scaled
+  FROM ws_grp GROUP BY 1),
+ws_peak AS (
+  SELECT etype, CAST(wd AS INT) AS peak_weekday
+  FROM (SELECT etype, wd,
+               ROW_NUMBER() OVER (PARTITION BY etype
+                   ORDER BY -((sg * 10080) // ng), wd) AS rn
+        FROM ws_grp)
+  WHERE rn = 1)
+SELECT t.etype, t.n_days, b.ssb_scaled, s.sst_scaled,
+       CAST((1000000 * b.ssb_scaled) // s.sst_scaled AS BIGINT)
+         AS strength_micro6,
+       p.peak_weekday
+FROM ws_tot t
+JOIN ws_sst s USING (etype)
+JOIN ws_ssb b USING (etype)
+JOIN ws_peak p USING (etype)
+WHERE s.sst_scaled > 0"""

@@ -129,6 +129,9 @@ ALLOWED = {
     # same class: the (splits x length-domain) zero-fill grid
     # crossJoin re-planned for both ECDF pair sides
     "doclen_drift": (0, 2),
+    # _day_grid bounded crossJoin, read once before the checkpoint
+    # (the fano_factor class)
+    "weekday_seasonality": (0, 1),
 }
 
 

@@ -443,6 +443,9 @@ EXPECTED_TAIL = [
     # Continuation batch 131: KS + W1 doc-length drift — appended
     # past position 50.
     "doclen_drift",
+    # Continuation batch 132: weekday seasonality strength — appended
+    # past position 50.
+    "weekday_seasonality",
 ]
 
 
