@@ -2721,6 +2721,20 @@ def q_weekday_seasonality(spark, sf_dir) -> DataFrame:
         spark.read.parquet(f"{sf_dir}/events.parquet"))
 
 
+def q_pred_transitivity(spark, sf_dir) -> DataFrame:
+    """Chain-closure (transitivity) rate of the mention-precedence
+    relation (operators/triples.pred_transitivity over the
+    precedence graph labeled 'precedes') — the KG triple graph
+    itself has no composable chains (objects never recur as
+    subjects), so the precedence DAG is the non-degenerate surface
+    for the closure statistic."""
+    edges, _ = _prec_graph(spark, sf_dir)
+    return tri_op.pred_transitivity(edges.select(
+        F.col("src").alias("subj"),
+        F.lit("precedes").alias("pred"),
+        F.col("dst").alias("obj")))
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # ORDER IS LOAD-BEARING: the driver snapshot verifies exactly
     # list(QUERIES)[:50] in insertion order (pinned by
@@ -3213,6 +3227,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # Continuation batch 132: weekday seasonality strength — appended
     # past position 50.
     "weekday_seasonality": q_weekday_seasonality,
+    # Continuation batch 133: predicate transitivity — appended past
+    # position 50.
+    "pred_transitivity": q_pred_transitivity,
 }
 
 

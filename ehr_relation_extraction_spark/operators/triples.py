@@ -1707,3 +1707,46 @@ def pred_reciprocity(triples: DataFrame) -> DataFrame:
                     F.col("n_mutual_pairs").cast("long"),
                     F.expr("(2000000 * n_mutual_pairs) div n_edges")
                     .cast("long").alias("reciprocity_micro6")))
+
+
+def pred_transitivity(triples: DataFrame) -> DataFrame:
+    """Transitive-relation detection per predicate — the
+    OWL TransitiveProperty companion to pred_reciprocity's symmetry
+    axiom: over each predicate's distinct case-folded entity-pair
+    graph, count the composable chains a->b->c (a != c) and how many
+    are closed by an asserted a->c edge; closure near 1e6 says the
+    predicate behaves transitively in the data.
+
+    Output: (pred, n_edges, n_chains, n_closed, closure_micro6) —
+    predicates with zero chains are dropped (closure undefined).
+
+    Scale shape: one dedup aggregate to the simple graph, one
+    self-equi-join on (pred, mid-node) for chains — fanout bounded
+    by per-node degree within a predicate, the pred_lift class — and
+    one left-semi-style join against the edge set for closure.
+    """
+    e = (triples.select(
+        "pred", F.lower("subj").alias("a"), F.lower("obj").alias("b"))
+        .where(F.col("a") != F.col("b")).dropDuplicates()
+        .localCheckpoint())
+    x = e.select("pred", F.col("a").alias("x1"), F.col("b").alias("m"))
+    y = e.select("pred", F.col("a").alias("m"), F.col("b").alias("y2"))
+    chains = (x.join(y, ["pred", "m"])
+              .where(F.col("x1") != F.col("y2"))
+              .select("pred", "x1", "y2").dropDuplicates())
+    closed = chains.join(
+        e.select("pred", F.col("a").alias("x1"),
+                 F.col("b").alias("y2")),
+        ["pred", "x1", "y2"], "left_semi")
+    n = e.groupBy("pred").agg(
+        F.count(F.lit(1)).cast("long").alias("n_edges"))
+    nc = chains.groupBy("pred").agg(
+        F.count(F.lit(1)).cast("long").alias("n_chains"))
+    ncl = closed.groupBy("pred").agg(
+        F.count(F.lit(1)).cast("long").alias("n_closed"))
+    return (n.join(nc, "pred").join(ncl, "pred", "left")
+            .fillna(0, ["n_closed"])
+            .select("pred", "n_edges", "n_chains",
+                    F.col("n_closed").cast("long"),
+                    F.expr("(1000000 * n_closed) div n_chains")
+                    .cast("long").alias("closure_micro6")))

@@ -8906,3 +8906,38 @@ JOIN ws_sst s USING (etype)
 JOIN ws_ssb b USING (etype)
 JOIN ws_peak p USING (etype)
 WHERE s.sst_scaled > 0"""
+
+
+# ---------------------------------------------------------------------------
+# Continuation batch 133: predicate transitivity — chain-closure
+# rates per predicate (operators/triples.pred_transitivity).
+
+ORACLE["pred_transitivity"] = _q("""
+SELECT n.pred, n.n_edges, c.n_chains,
+       CAST(COALESCE(cl.n_closed, 0) AS BIGINT) AS n_closed,
+       CAST((1000000 * COALESCE(cl.n_closed, 0)) // c.n_chains
+         AS BIGINT) AS closure_micro6
+FROM pt2_n n
+JOIN pt2_nc c USING (pred)
+LEFT JOIN pt2_ncl cl USING (pred)""", LINK_CTES, _PREC_EDGE_CTES, """
+pt2_e AS MATERIALIZED (
+  SELECT DISTINCT 'precedes' AS pred, lower(src) AS a,
+         lower(dst) AS b
+  FROM prec_edges WHERE lower(src) <> lower(dst)),
+pt2_chains AS MATERIALIZED (
+  SELECT DISTINCT x.pred, x.a AS x1, y.b AS y2
+  FROM pt2_e x JOIN pt2_e y ON x.pred = y.pred AND x.b = y.a
+  WHERE x.a <> y.b),
+pt2_n AS (
+  SELECT pred, CAST(COUNT(*) AS BIGINT) AS n_edges
+  FROM pt2_e GROUP BY 1),
+pt2_nc AS (
+  SELECT pred, CAST(COUNT(*) AS BIGINT) AS n_chains
+  FROM pt2_chains GROUP BY 1),
+pt2_ncl AS (
+  SELECT c.pred, CAST(COUNT(*) AS BIGINT) AS n_closed
+  FROM pt2_chains c
+  WHERE EXISTS (SELECT 1 FROM pt2_e e
+                WHERE e.pred = c.pred AND e.a = c.x1
+                  AND e.b = c.y2)
+  GROUP BY 1)""")

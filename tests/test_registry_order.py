@@ -446,6 +446,9 @@ EXPECTED_TAIL = [
     # Continuation batch 132: weekday seasonality strength — appended
     # past position 50.
     "weekday_seasonality",
+    # Continuation batch 133: predicate transitivity — appended past
+    # position 50.
+    "pred_transitivity",
 ]
 
 
