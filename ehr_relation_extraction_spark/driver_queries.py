@@ -2735,6 +2735,12 @@ def q_pred_transitivity(spark, sf_dir) -> DataFrame:
         F.col("dst").alias("obj")))
 
 
+def q_encoding_advisor(spark, sf_dir) -> DataFrame:
+    """Dictionary-encoding benefit audit over documents columns
+    (functions/textstats.encoding_advisor)."""
+    return ts.encoding_advisor(_docs(spark, sf_dir))
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # ORDER IS LOAD-BEARING: the driver snapshot verifies exactly
     # list(QUERIES)[:50] in insertion order (pinned by
@@ -3230,6 +3236,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # Continuation batch 133: predicate transitivity — appended past
     # position 50.
     "pred_transitivity": q_pred_transitivity,
+    # Continuation batch 134: dictionary-encoding advisor — appended
+    # past position 50.
+    "encoding_advisor": q_encoding_advisor,
 }
 
 

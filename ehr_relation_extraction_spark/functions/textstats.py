@@ -2358,3 +2358,46 @@ def doclen_drift(docs: DataFrame) -> DataFrame:
                     .cast("long").alias("ks_micro6"),
                     F.expr("(1000000 * _w1) div (n_a * n_b)")
                     .cast("long").alias("w1_micro6")))
+
+
+def encoding_advisor(docs: DataFrame,
+                     cols=("source", "lang", "text")) -> DataFrame:
+    """Dictionary-encoding benefit audit per column — the layout
+    decision every columnar writer makes, surfaced as a table: raw
+    UTF-8 bytes vs the dictionary form (distinct values' bytes + a
+    4-byte code per row).  High-cardinality columns (text) go
+    negative — the advisor's honest "do not dict-encode" answer.
+
+    savings_micro6 = 1e6 * (raw - dict) div raw (truncating, may be
+    negative — both engines truncate toward zero identically).
+
+    Output: (col_name, n_rows, n_distinct, raw_bytes, dict_bytes,
+    savings_micro6).
+
+    Scale shape: per column ONE byte-sum aggregate and ONE distinct
+    aggregate; the audited column list is a bounded literal.
+    """
+    outs = []
+    for c in cols:
+        raw = docs.agg(
+            F.count(F.lit(1)).cast("long").alias("n_rows"),
+            F.coalesce(F.sum(F.octet_length(F.col(c))), F.lit(0))
+            .cast("long").alias("raw_bytes"))
+        dct = (docs.select(F.col(c).alias("_v")).dropDuplicates()
+               .agg(F.count(F.lit(1)).cast("long").alias("n_distinct"),
+                    F.coalesce(F.sum(F.octet_length("_v")), F.lit(0))
+                    .cast("long").alias("_dict_vals")))
+        outs.append(
+            raw.crossJoin(dct)  # two 1-row frames
+            .select(F.lit(c).alias("col_name"), "n_rows",
+                    "n_distinct", "raw_bytes",
+                    (F.col("_dict_vals") + 4 * F.col("n_rows"))
+                    .cast("long").alias("dict_bytes"),
+                    F.expr("(1000000 * (raw_bytes"
+                           " - (_dict_vals + 4 * n_rows)))"
+                           " div raw_bytes").cast("long")
+                    .alias("savings_micro6")))
+    out = outs[0]
+    for o in outs[1:]:
+        out = out.unionByName(o)
+    return out

@@ -8941,3 +8941,31 @@ pt2_ncl AS (
                 WHERE e.pred = c.pred AND e.a = c.x1
                   AND e.b = c.y2)
   GROUP BY 1)""")
+
+
+# ---------------------------------------------------------------------------
+# Continuation batch 134: dictionary-encoding benefit audit — raw
+# UTF-8 bytes vs dictionary bytes per column; DuckDB strlen = byte
+# length = Spark octet_length
+# (functions/textstats.encoding_advisor).
+
+
+def _enc_col_sql(c: str) -> str:
+    return f"""
+SELECT '{c}' AS col_name,
+       CAST(r.n_rows AS BIGINT) AS n_rows,
+       CAST(d.n_distinct AS BIGINT) AS n_distinct,
+       CAST(r.raw_bytes AS BIGINT) AS raw_bytes,
+       CAST(d.dict_vals + 4 * r.n_rows AS BIGINT) AS dict_bytes,
+       CAST((1000000 * (r.raw_bytes - (d.dict_vals + 4 * r.n_rows)))
+            // r.raw_bytes AS BIGINT) AS savings_micro6
+FROM (SELECT COUNT(*) AS n_rows,
+             COALESCE(SUM(strlen({c})), 0) AS raw_bytes
+      FROM documents) r,
+     (SELECT COUNT(*) AS n_distinct,
+             COALESCE(SUM(strlen(v)), 0) AS dict_vals
+      FROM (SELECT DISTINCT {c} AS v FROM documents)) d"""
+
+
+ORACLE["encoding_advisor"] = "\nUNION ALL\n".join(
+    _enc_col_sql(c) for c in ("source", "lang", "text"))

@@ -132,6 +132,10 @@ ALLOWED = {
     # _day_grid bounded crossJoin, read once before the checkpoint
     # (the fano_factor class)
     "weekday_seasonality": (0, 1),
+    # per audited column, the 1-row raw-bytes frame crossJoined with
+    # the 1-row dictionary frame (x3 columns) — the 1-row scalar
+    # class
+    "encoding_advisor": (0, 3),
 }
 
 

@@ -449,6 +449,9 @@ EXPECTED_TAIL = [
     # Continuation batch 133: predicate transitivity — appended past
     # position 50.
     "pred_transitivity",
+    # Continuation batch 134: dictionary-encoding advisor — appended
+    # past position 50.
+    "encoding_advisor",
 ]
 
 
