@@ -2741,6 +2741,12 @@ def q_encoding_advisor(spark, sf_dir) -> DataFrame:
     return ts.encoding_advisor(_docs(spark, sf_dir))
 
 
+def q_simpson_check(spark, sf_dir) -> DataFrame:
+    """Simpson's-paradox audit of the length/keep association,
+    pooled vs per-lang (functions/textstats.simpson_check)."""
+    return ts.simpson_check(_docs(spark, sf_dir))
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # ORDER IS LOAD-BEARING: the driver snapshot verifies exactly
     # list(QUERIES)[:50] in insertion order (pinned by
@@ -3239,6 +3245,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # Continuation batch 134: dictionary-encoding advisor — appended
     # past position 50.
     "encoding_advisor": q_encoding_advisor,
+    # Continuation batch 135: Simpson's-paradox audit — appended past
+    # position 50.
+    "simpson_check": q_simpson_check,
 }
 
 

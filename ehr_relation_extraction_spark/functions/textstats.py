@@ -2401,3 +2401,51 @@ def encoding_advisor(docs: DataFrame,
     for o in outs[1:]:
         out = out.unionByName(o)
     return out
+
+
+def simpson_check(docs: DataFrame) -> DataFrame:
+    """Simpson's-paradox audit for the curation gate: does "longer
+    documents are kept more often" hold overall AND within every
+    language stratum?  A stratum whose covariance sign flips against
+    the pooled sign is the aggregation trap every corpus dashboard
+    should surface before anyone acts on the pooled number.
+
+    The association is the exact integer covariance numerator
+    cov_n = n * sum(x*y) - sum(x) * sum(y) with x = token count and
+    y = the gate verdict (0/1) — sign and n^2-scaled magnitude are
+    emitted, no variance normalization (sign comparison needs none).
+
+    Output: one row per stratum plus the 'ALL' pooled row:
+    (stratum, n_docs, n_keep, cov_n, cov_sign, paradox) where
+    paradox = 1 iff the stratum's sign is nonzero and opposite to
+    the pooled sign.
+
+    Scale shape: one corpus pass to (stratum, x, y) rows, two hash
+    aggregates (per stratum + pooled), a 1-row pooled-sign scalar
+    crossJoin.
+    """
+    cur = corpus_curation(docs).select("doc_id", "n_tokens", "keep")
+    d = (docs.select("doc_id", "lang").join(cur, "doc_id")
+         .select(F.col("lang").alias("stratum"),
+                 F.col("n_tokens").cast("long").alias("x"),
+                 F.col("keep").cast("long").alias("y")))
+
+    def cov(frame, label_col):
+        return (frame.groupBy(label_col).agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum("y").cast("long").alias("n_keep"),
+            (F.count(F.lit(1)) * F.sum(F.col("x") * F.col("y"))
+             - F.sum("x") * F.sum("y")).cast("long").alias("cov_n"))
+            .withColumn("cov_sign", F.signum("cov_n").cast("int")))
+
+    strata = cov(d, "stratum")
+    pooled = cov(d.withColumn("_all", F.lit("ALL")), "_all") \
+        .withColumnRenamed("_all", "stratum")
+    psign = pooled.select(F.col("cov_sign").alias("_ps"))
+    return (strata.unionByName(pooled)
+            .crossJoin(psign)  # 1-row pooled-sign scalar
+            .select("stratum", "n_docs", "n_keep", "cov_n",
+                    "cov_sign",
+                    ((F.col("cov_sign") != 0)
+                     & (F.col("cov_sign") == -F.col("_ps")))
+                    .cast("int").alias("paradox")))

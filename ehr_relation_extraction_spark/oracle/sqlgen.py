@@ -8969,3 +8969,38 @@ FROM (SELECT COUNT(*) AS n_rows,
 
 ORACLE["encoding_advisor"] = "\nUNION ALL\n".join(
     _enc_col_sql(c) for c in ("source", "lang", "text"))
+
+
+# ---------------------------------------------------------------------------
+# Continuation batch 135: Simpson's-paradox audit — exact covariance
+# numerator of (token count, gate verdict), pooled vs per-lang
+# (functions/textstats.simpson_check).  Reuses CURATION_CTES' cr
+# verdict table.
+
+ORACLE["simpson_check"] = "WITH " + CURATION_CTES + """,
+sp_d AS MATERIALIZED (
+  SELECT d.lang AS stratum,
+         CAST(c.n_tokens AS BIGINT) AS x,
+         CAST(CASE WHEN c.reason = 'ok' THEN 1 ELSE 0 END AS BIGINT)
+           AS y
+  FROM cr c JOIN documents d USING (doc_id)),
+sp_s AS (
+  SELECT stratum, CAST(COUNT(*) AS BIGINT) AS n_docs,
+         CAST(SUM(y) AS BIGINT) AS n_keep,
+         CAST(COUNT(*) * SUM(x * y) - SUM(x) * SUM(y) AS BIGINT)
+           AS cov_n
+  FROM sp_d GROUP BY 1),
+sp_p AS (
+  SELECT 'ALL' AS stratum, CAST(COUNT(*) AS BIGINT) AS n_docs,
+         CAST(SUM(y) AS BIGINT) AS n_keep,
+         CAST(COUNT(*) * SUM(x * y) - SUM(x) * SUM(y) AS BIGINT)
+           AS cov_n
+  FROM sp_d),
+sp_all AS (
+  SELECT * FROM sp_s UNION ALL SELECT * FROM sp_p)
+SELECT stratum, n_docs, n_keep, cov_n,
+       CAST(SIGN(cov_n) AS INT) AS cov_sign,
+       CAST(CASE WHEN SIGN(cov_n) <> 0
+                  AND SIGN(cov_n) = -(SELECT SIGN(cov_n) FROM sp_p)
+             THEN 1 ELSE 0 END AS INT) AS paradox
+FROM sp_all"""

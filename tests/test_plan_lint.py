@@ -136,6 +136,10 @@ ALLOWED = {
     # the 1-row dictionary frame (x3 columns) — the 1-row scalar
     # class
     "encoding_advisor": (0, 3),
+    # the 1-row pooled-sign scalar crossJoined onto the bounded
+    # stratum table (plans as CartesianProduct of a 1-row side —
+    # the partition_agreement class)
+    "simpson_check": (1, 0),
 }
 
 

@@ -452,6 +452,9 @@ EXPECTED_TAIL = [
     # Continuation batch 134: dictionary-encoding advisor — appended
     # past position 50.
     "encoding_advisor",
+    # Continuation batch 135: Simpson's-paradox audit — appended past
+    # position 50.
+    "simpson_check",
 ]
 
 
