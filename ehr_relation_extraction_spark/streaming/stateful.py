@@ -1077,3 +1077,75 @@ def incremental_cusum(spark, events_dir: str, out_dir: str,
             .option("checkpointLocation", checkpoint_dir)
             .trigger(**_trigger(ttl_ms))
             .start())
+
+
+# ---------------------------------------------------------------------------
+# Streaming session transitions (continuation batch 136)
+
+TRANS_OUTPUT_DDL = ("user_id long, prev_type string, "
+                    "next_type string, us long")
+TRANS_STATE_DDL = "last_us long, last_type string"
+
+
+def _transitions_group_factory(gap_minutes: int):
+    """Per-user transition fold — the streaming twin of the
+    transition stream inside operators/events.transition_gini: a
+    (prev, next) pair is emitted when the next event arrives within
+    the session gap (floored-second gap NOT > gap, exactly the batch
+    rule); a larger gap opens a new session and emits nothing.  Each
+    transition is emitted exactly once, when its right endpoint
+    arrives, so the sink is append-only with no version column — the
+    checkpoint makes replays idempotent.  Same in-order-per-feed
+    contract as incremental_sessionize."""
+    gap_s = gap_minutes * 60
+
+    def fn(key: tuple, pdfs: Iterator[pd.DataFrame],
+           state: GroupState) -> Iterator[pd.DataFrame]:
+        rows = pd.concat(list(pdfs), ignore_index=True)
+        if rows.empty:
+            return
+        rows = rows.sort_values(["ts", "event_id"])
+        us_col = rows["ts"].astype("datetime64[us]").astype("int64")
+        if state.exists:
+            last_us, last_type = state.get
+            last_us, have = int(last_us), True
+        else:
+            last_us, last_type, have = 0, "", False
+        out = []
+        for u, et in zip(us_col, rows["event_type"]):
+            u = int(u)
+            if have and not (u // 10**6 - last_us // 10**6 > gap_s):
+                out.append((int(key[0]), last_type, str(et), u))
+            last_us, last_type, have = u, str(et), True
+        state.update((last_us, last_type))
+        if out:
+            yield pd.DataFrame(
+                out, columns=["user_id", "prev_type", "next_type",
+                              "us"])
+    return fn
+
+
+def incremental_transitions(spark, events_dir: str, out_dir: str,
+                            checkpoint_dir: str,
+                            gap_minutes: int = 30):
+    """Streaming first-order session-transition stream over a growing
+    events directory — the stateful twin of transition_gini's
+    transition table.  Sink rows are one per transition occurrence
+    (append-only, exactly-once per the checkpoint); the impurity
+    aggregation itself is a cheap batch read over the sink.  One
+    catch-up micro-batch per run, same contract as
+    incremental_sessionize."""
+    stream = (spark.readStream.schema(EVENTS_DDL)
+              .parquet(events_dir))
+    sk = (stream.select("user_id", "event_id", "ts", "event_type")
+          .groupBy("user_id")
+          .applyInPandasWithState(
+              _transitions_group_factory(gap_minutes),
+              TRANS_OUTPUT_DDL, TRANS_STATE_DDL,
+              outputMode="append",
+              timeoutConf=_timeout_conf(None)))
+    return (sk.writeStream.outputMode("append")
+            .format("parquet").option("path", out_dir)
+            .option("checkpointLocation", checkpoint_dir)
+            .trigger(**_trigger(None))
+            .start())
