@@ -2747,6 +2747,14 @@ def q_simpson_check(spark, sf_dir) -> DataFrame:
     return ts.simpson_check(_docs(spark, sf_dir))
 
 
+def q_hash_uniformity(spark, sf_dir) -> DataFrame:
+    """Uniformity audit of the md5-nibble bucket device
+    (functions/sketches.hash_uniformity)."""
+    from .functions.sketches import hash_uniformity
+
+    return hash_uniformity(_docs(spark, sf_dir))
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # ORDER IS LOAD-BEARING: the driver snapshot verifies exactly
     # list(QUERIES)[:50] in insertion order (pinned by
@@ -3248,6 +3256,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # Continuation batch 135: Simpson's-paradox audit — appended past
     # position 50.
     "simpson_check": q_simpson_check,
+    # Continuation batch 137: hash-uniformity audit — appended past
+    # position 50.
+    "hash_uniformity": q_hash_uniformity,
 }
 
 

@@ -1009,3 +1009,47 @@ def count_sketch_estimates(docs: DataFrame, depth: int = CS_DEPTH,
         "item", "true_cnt", F.col("_est").cast("long").alias("est_cnt"),
         F.abs(F.col("_est") - F.col("true_cnt")).cast("long")
         .alias("abs_err"))
+
+
+def hash_uniformity(docs: DataFrame, n_nib: int = 2) -> DataFrame:
+    """Uniformity audit of the md5-nibble hash device every bucketed
+    component in this engine trusts (LSH bands, CM/count-sketch
+    columns, Bloom positions, salts, splits): bucket the corpus's
+    doc_ids into 16^n_nib cells by the first nibbles of md5(doc_id)
+    and report occupancy skew plus the exact chi-square numerator
+    against uniform — chi2_num = sum_b (B*O_b - N)^2 with B buckets
+    and N items (chi2 = chi2_num / (B*N); emitted unscaled so it
+    stays integral).  A healthy hash reads max/min near N/B and
+    chi2_num near B*N*(B-1) in expectation.
+
+    Output: one row (n_buckets, n_items, occupied, max_bucket,
+    min_bucket, chi2_num).
+
+    Scale shape: one hash aggregate to the bounded bucket table,
+    a zero-fill against the literal bucket spine, one reduce.
+    """
+    from pyspark.sql import Window
+
+    b = 16 ** n_nib
+    occ = (docs.select(
+        F.md5(F.col("doc_id").cast("string")).alias("_h"))
+        .select(_nibble_value("_h", 1, n_nib).cast("int")
+                .alias("bucket"))
+        .groupBy("bucket")
+        .agg(F.count(F.lit(1)).cast("long").alias("c")))
+    spine = docs.sparkSession.range(b).select(
+        F.col("id").cast("int").alias("bucket"))
+    full = (spine.join(occ, "bucket", "left").na.fill(0, ["c"])
+            .withColumn("_n", F.sum("c").over(
+                Window.rowsBetween(Window.unboundedPreceding,
+                                   Window.unboundedFollowing))))
+    return (full.agg(
+        F.count(F.lit(1)).cast("long").alias("n_buckets"),
+        F.max("_n").cast("long").alias("n_items"),
+        F.sum((F.col("c") > 0).cast("int")).cast("long")
+        .alias("occupied"),
+        F.max("c").cast("long").alias("max_bucket"),
+        F.min("c").cast("long").alias("min_bucket"),
+        F.sum((F.lit(b) * F.col("c") - F.col("_n"))
+              * (F.lit(b) * F.col("c") - F.col("_n")))
+        .cast("long").alias("chi2_num")))

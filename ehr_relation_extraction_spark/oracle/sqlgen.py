@@ -9004,3 +9004,34 @@ SELECT stratum, n_docs, n_keep, cov_n,
                   AND SIGN(cov_n) = -(SELECT SIGN(cov_n) FROM sp_p)
              THEN 1 ELSE 0 END AS INT) AS paradox
 FROM sp_all"""
+
+
+# ---------------------------------------------------------------------------
+# Continuation batch 137: uniformity audit of the md5-nibble bucket
+# device — exact chi-square numerator vs uniform
+# (functions/sketches.hash_uniformity).
+
+ORACLE["hash_uniformity"] = """
+WITH hu_occ AS (
+  SELECT CAST(16 * (instr('0123456789abcdef',
+               substr(md5(CAST(doc_id AS VARCHAR)), 1, 1)) - 1)
+            + (instr('0123456789abcdef',
+               substr(md5(CAST(doc_id AS VARCHAR)), 2, 1)) - 1)
+           AS INT) AS bucket,
+         CAST(COUNT(*) AS BIGINT) AS c0
+  FROM documents GROUP BY 1),
+hu_full AS (
+  SELECT s.bucket, COALESCE(o.c0, 0) AS c
+  FROM (SELECT unnest(generate_series(0, 255)) AS bucket) s
+  LEFT JOIN hu_occ o USING (bucket)),
+hu_n AS (SELECT CAST(SUM(c) AS BIGINT) AS n FROM hu_full)
+SELECT CAST(COUNT(*) AS BIGINT) AS n_buckets,
+       (SELECT n FROM hu_n) AS n_items,
+       CAST(SUM(CASE WHEN c > 0 THEN 1 ELSE 0 END) AS BIGINT)
+         AS occupied,
+       CAST(MAX(c) AS BIGINT) AS max_bucket,
+       CAST(MIN(c) AS BIGINT) AS min_bucket,
+       CAST(SUM((256 * c - (SELECT n FROM hu_n))
+                * (256 * c - (SELECT n FROM hu_n))) AS BIGINT)
+         AS chi2_num
+FROM hu_full"""

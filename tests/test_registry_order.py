@@ -455,6 +455,9 @@ EXPECTED_TAIL = [
     # Continuation batch 135: Simpson's-paradox audit — appended past
     # position 50.
     "simpson_check",
+    # Continuation batch 137: hash-uniformity audit — appended past
+    # position 50.
+    "hash_uniformity",
 ]
 
 
