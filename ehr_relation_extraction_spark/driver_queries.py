@@ -2755,6 +2755,15 @@ def q_hash_uniformity(spark, sf_dir) -> DataFrame:
     return hash_uniformity(_docs(spark, sf_dir))
 
 
+def q_inclusion_deps(spark, sf_dir) -> DataFrame:
+    """Unary inclusion-dependency (FK) discovery over the TPC-H side
+    tables (operators/triples.inclusion_deps)."""
+    frames = {t: spark.read.parquet(f"{sf_dir}/{t}.parquet")
+              for t in ("region", "nation", "customer", "supplier",
+                        "orders", "lineitem", "part")}
+    return tri_op.inclusion_deps(frames)
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # ORDER IS LOAD-BEARING: the driver snapshot verifies exactly
     # list(QUERIES)[:50] in insertion order (pinned by
@@ -3259,6 +3268,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # Continuation batch 137: hash-uniformity audit — appended past
     # position 50.
     "hash_uniformity": q_hash_uniformity,
+    # Continuation batch 138: inclusion-dependency discovery —
+    # appended past position 50.
+    "inclusion_deps": q_inclusion_deps,
 }
 
 

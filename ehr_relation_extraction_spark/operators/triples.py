@@ -1750,3 +1750,64 @@ def pred_transitivity(triples: DataFrame) -> DataFrame:
                     F.col("n_closed").cast("long"),
                     F.expr("(1000000 * n_closed) div n_chains")
                     .cast("long").alias("closure_micro6")))
+
+
+def inclusion_deps(frames: dict, candidates=None) -> DataFrame:
+    """Unary inclusion-dependency discovery (the SPIDER/Bell-
+    Brockhausen profiling pass that induces foreign keys before any
+    ingestion job trusts a join path): for each candidate pair
+    child.column <= parent.column, the exact share of distinct child
+    values contained in the parent's distinct value set; an IND holds
+    iff containment is total.
+
+    ``frames``: name -> DataFrame; ``candidates``: (child_table,
+    child_col, parent_table, parent_col) tuples — a bounded literal
+    list (profiling candidates come from type/name heuristics, not a
+    cross product of all columns).
+
+    Output: (child, parent, n_child_distinct, n_contained,
+    containment_micro6, is_ind).
+
+    Scale shape: per candidate TWO distinct-value aggregates and one
+    left-semi join on the value — each side collapses to its distinct
+    set before any join, so the comparison never touches row counts.
+    """
+    if candidates is None:
+        candidates = (
+            ("nation", "n_regionkey", "region", "r_regionkey"),
+            ("customer", "c_nationkey", "nation", "n_nationkey"),
+            ("supplier", "s_nationkey", "nation", "n_nationkey"),
+            ("orders", "o_custkey", "customer", "c_custkey"),
+            ("lineitem", "l_orderkey", "orders", "o_orderkey"),
+            ("lineitem", "l_partkey", "part", "p_partkey"),
+            # deliberate negative control: order keys are NOT
+            # customer keys
+            ("orders", "o_orderkey", "customer", "c_custkey"),
+        )
+    outs = []
+    for ct, cc, pt, pc in candidates:
+        child = frames[ct].select(F.col(cc).alias("v")) \
+            .dropDuplicates()
+        parent = frames[pt].select(F.col(pc).alias("v")) \
+            .dropDuplicates()
+        n = child.agg(F.count(F.lit(1)).cast("long")
+                      .alias("n_child_distinct"))
+        m = (child.join(parent, "v", "left_semi")
+             .agg(F.count(F.lit(1)).cast("long")
+                  .alias("n_contained")))
+        outs.append(
+            n.crossJoin(m)  # two 1-row frames
+            .select(F.lit(f"{ct}.{cc}").alias("child"),
+                    F.lit(f"{pt}.{pc}").alias("parent"),
+                    "n_child_distinct", "n_contained",
+                    F.expr("CASE WHEN n_child_distinct = 0 THEN 0"
+                           " ELSE (1000000 * n_contained)"
+                           " div n_child_distinct END").cast("long")
+                    .alias("containment_micro6"),
+                    (F.col("n_contained")
+                     == F.col("n_child_distinct")).cast("int")
+                    .alias("is_ind")))
+    out = outs[0]
+    for o in outs[1:]:
+        out = out.unionByName(o)
+    return out

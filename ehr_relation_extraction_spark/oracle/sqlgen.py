@@ -9035,3 +9035,36 @@ SELECT CAST(COUNT(*) AS BIGINT) AS n_buckets,
                 * (256 * c - (SELECT n FROM hu_n))) AS BIGINT)
          AS chi2_num
 FROM hu_full"""
+
+
+# ---------------------------------------------------------------------------
+# Continuation batch 138: unary inclusion-dependency discovery over
+# the TPC-H side tables (operators/triples.inclusion_deps).
+
+
+def _ind_pair_sql(ct, cc, pt, pc):
+    return f"""
+SELECT '{ct}.{cc}' AS child, '{pt}.{pc}' AS parent,
+       CAST(n.n AS BIGINT) AS n_child_distinct,
+       CAST(m.m AS BIGINT) AS n_contained,
+       CAST(CASE WHEN n.n = 0 THEN 0
+            ELSE (1000000 * m.m) // n.n END AS BIGINT)
+         AS containment_micro6,
+       CAST(CASE WHEN m.m = n.n THEN 1 ELSE 0 END AS INT) AS is_ind
+FROM (SELECT COUNT(*) AS n
+      FROM (SELECT DISTINCT {cc} FROM {ct})) n,
+     (SELECT COUNT(*) AS m
+      FROM (SELECT DISTINCT {cc} AS v FROM {ct}) c
+      WHERE EXISTS (SELECT 1 FROM {pt} p WHERE p.{pc} = c.v)) m"""
+
+
+ORACLE["inclusion_deps"] = "\nUNION ALL\n".join(
+    _ind_pair_sql(*cand) for cand in (
+        ("nation", "n_regionkey", "region", "r_regionkey"),
+        ("customer", "c_nationkey", "nation", "n_nationkey"),
+        ("supplier", "s_nationkey", "nation", "n_nationkey"),
+        ("orders", "o_custkey", "customer", "c_custkey"),
+        ("lineitem", "l_orderkey", "orders", "o_orderkey"),
+        ("lineitem", "l_partkey", "part", "p_partkey"),
+        ("orders", "o_orderkey", "customer", "c_custkey"),
+    ))

@@ -140,6 +140,10 @@ ALLOWED = {
     # stratum table (plans as CartesianProduct of a 1-row side —
     # the partition_agreement class)
     "simpson_check": (1, 0),
+    # per candidate FK pair, the 1-row distinct-count frame
+    # crossJoined with the 1-row containment frame (x7 candidates)
+    # — the encoding_advisor 1-row scalar class
+    "inclusion_deps": (0, 7),
 }
 
 

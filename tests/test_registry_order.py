@@ -458,6 +458,9 @@ EXPECTED_TAIL = [
     # Continuation batch 137: hash-uniformity audit — appended past
     # position 50.
     "hash_uniformity",
+    # Continuation batch 138: inclusion-dependency discovery —
+    # appended past position 50.
+    "inclusion_deps",
 ]
 
 
