@@ -2764,6 +2764,15 @@ def q_inclusion_deps(spark, sf_dir) -> DataFrame:
     return tri_op.inclusion_deps(frames)
 
 
+def q_q1_pricing(spark, sf_dir) -> DataFrame:
+    """Float-free TPC-H-Q1-style pricing summary over lineitem
+    (operators/events.q1_pricing)."""
+    from .operators.events import q1_pricing
+
+    return q1_pricing(
+        spark.read.parquet(f"{sf_dir}/lineitem.parquet"))
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # ORDER IS LOAD-BEARING: the driver snapshot verifies exactly
     # list(QUERIES)[:50] in insertion order (pinned by
@@ -3271,6 +3280,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # Continuation batch 138: inclusion-dependency discovery —
     # appended past position 50.
     "inclusion_deps": q_inclusion_deps,
+    # Continuation batch 139: float-free Q1 pricing summary —
+    # appended past position 50.
+    "q1_pricing": q_q1_pricing,
 }
 
 

@@ -768,3 +768,49 @@ def weekday_seasonality(events: DataFrame) -> DataFrame:
                     F.expr("(1000000 * ssb_scaled) div sst_scaled")
                     .cast("long").alias("strength_micro6"),
                     "peak_weekday"))
+
+
+def q1_pricing(lineitem: DataFrame) -> DataFrame:
+    """The canonical scan-heavy OLAP aggregate (TPC-H Q1's pricing
+    summary) re-expressed float-free, as the warehouse-side anchor
+    for the engine's exact-integer discipline: every monetary value
+    is cent-quantized PER ROW (floor(x*100) — one IEEE-deterministic
+    double multiply + floor, identical in both engines), then all
+    sums, products and averages run in BIGINT, so the result is
+    bit-exact regardless of aggregation order — the property float
+    SUMs cannot give across partitionings.
+
+    disc_price = price * (1 - disc) and charge = disc_price *
+    (1 + tax) become cents * (100 - disc_centi) and cents *
+    (100 - disc_centi) * (100 + tax_centi), emitted at their natural
+    x10^4 / x10^6 scales.
+
+    Output per (l_returnflag, l_linestatus): (n_rows, sum_qty,
+    sum_base_cents, sum_disc_x10000, sum_charge_x1000000,
+    avg_qty_micro6, avg_price_cents).
+
+    Scale shape: ONE map-side-combinable hash aggregate over the
+    fact table — the textbook whole-stage-codegen scan.
+    """
+    cents = F.floor(F.col("l_extendedprice") * 100).cast("long")
+    disc_c = F.floor(F.col("l_discount") * 100).cast("long")
+    tax_c = F.floor(F.col("l_tax") * 100).cast("long")
+    qty = F.floor(F.col("l_quantity")).cast("long")
+    return (lineitem.select(
+        "l_returnflag", "l_linestatus", qty.alias("_q"),
+        cents.alias("_c"),
+        (cents * (100 - disc_c)).alias("_d"),
+        (cents * (100 - disc_c) * (100 + tax_c)).alias("_g"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_rows"),
+             F.sum("_q").cast("long").alias("sum_qty"),
+             F.sum("_c").cast("long").alias("sum_base_cents"),
+             F.sum("_d").cast("long").alias("sum_disc_x10000"),
+             F.sum("_g").cast("long").alias("sum_charge_x1000000"))
+        .select("l_returnflag", "l_linestatus", "n_rows", "sum_qty",
+                "sum_base_cents", "sum_disc_x10000",
+                "sum_charge_x1000000",
+                F.expr("(1000000 * sum_qty) div n_rows").cast("long")
+                .alias("avg_qty_micro6"),
+                F.expr("sum_base_cents div n_rows").cast("long")
+                .alias("avg_price_cents")))

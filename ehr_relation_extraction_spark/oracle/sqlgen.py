@@ -9068,3 +9068,29 @@ ORACLE["inclusion_deps"] = "\nUNION ALL\n".join(
         ("lineitem", "l_partkey", "part", "p_partkey"),
         ("orders", "o_orderkey", "customer", "c_custkey"),
     ))
+
+
+# ---------------------------------------------------------------------------
+# Continuation batch 139: float-free TPC-H-Q1-style pricing summary
+# — per-row cent quantization then BIGINT everything
+# (operators/events.q1_pricing).
+
+ORACLE["q1_pricing"] = """
+WITH q1 AS (
+  SELECT l_returnflag, l_linestatus,
+         CAST(FLOOR(l_quantity) AS BIGINT) AS q,
+         CAST(FLOOR(l_extendedprice * 100) AS BIGINT) AS c,
+         CAST(FLOOR(l_discount * 100) AS BIGINT) AS dc,
+         CAST(FLOOR(l_tax * 100) AS BIGINT) AS tc
+  FROM lineitem)
+SELECT l_returnflag, l_linestatus,
+       CAST(COUNT(*) AS BIGINT) AS n_rows,
+       CAST(SUM(q) AS BIGINT) AS sum_qty,
+       CAST(SUM(c) AS BIGINT) AS sum_base_cents,
+       CAST(SUM(c * (100 - dc)) AS BIGINT) AS sum_disc_x10000,
+       CAST(SUM(c * (100 - dc) * (100 + tc)) AS BIGINT)
+         AS sum_charge_x1000000,
+       CAST((1000000 * SUM(q)) // COUNT(*) AS BIGINT)
+         AS avg_qty_micro6,
+       CAST(SUM(c) // COUNT(*) AS BIGINT) AS avg_price_cents
+FROM q1 GROUP BY 1, 2"""

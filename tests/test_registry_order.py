@@ -461,6 +461,9 @@ EXPECTED_TAIL = [
     # Continuation batch 138: inclusion-dependency discovery —
     # appended past position 50.
     "inclusion_deps",
+    # Continuation batch 139: float-free Q1 pricing summary —
+    # appended past position 50.
+    "q1_pricing",
 ]
 
 
