@@ -2773,6 +2773,14 @@ def q_q1_pricing(spark, sf_dir) -> DataFrame:
         spark.read.parquet(f"{sf_dir}/lineitem.parquet"))
 
 
+def q_embedding_profile(spark, sf_dir) -> DataFrame:
+    """Per-dimension embedding health profile, quantized-exact
+    moments (operators/similarity.embedding_profile)."""
+    from .operators.similarity import embedding_profile
+
+    return embedding_profile(_emb(spark, sf_dir))
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # ORDER IS LOAD-BEARING: the driver snapshot verifies exactly
     # list(QUERIES)[:50] in insertion order (pinned by
@@ -3283,6 +3291,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # Continuation batch 139: float-free Q1 pricing summary —
     # appended past position 50.
     "q1_pricing": q_q1_pricing,
+    # Continuation batch 140: embedding health profile — appended
+    # past position 50.
+    "embedding_profile": q_embedding_profile,
 }
 
 

@@ -578,3 +578,39 @@ def mmr_rerank(emb: DataFrame, query_id: int = 0,
     return spark.createDataFrame(
         out, "pick_rank int, vec_id long, rel_micro6 long, "
              "maxsim_micro6 long, mmr_score long")
+
+
+def embedding_profile(emb: DataFrame, scale: int = 10**6) -> DataFrame:
+    """Per-dimension health profile of the embedding column — the
+    check an ANN/index owner runs before trusting a vector space:
+    dead dimensions (zero variance), scale drift between dimensions,
+    and NaN/degenerate values all show up here before they poison
+    every distance downstream.
+
+    Each float is quantized ONCE to an integer (floor(x * scale) —
+    one IEEE-deterministic multiply + floor, identical cross-engine),
+    then all moments are BIGINT: per dimension the count, quantized
+    sum, the n-scaled variance numerator n*sum(q^2) - sum(q)^2
+    (non-negative by Cauchy-Schwarz), min/max, and the zero-value
+    count.
+
+    Output: (dim, n, sum_q, var_num, min_q, max_q, n_zero), one row
+    per dimension (0-based).
+
+    Scale shape: posexplode is map-side; ONE hash aggregate keyed by
+    dimension — output rows = embedding width.
+    """
+    q = (emb.select(F.posexplode("embedding").alias("dim", "_x"))
+         .select("dim", F.floor(F.col("_x").cast("double") * scale)
+                 .cast("long").alias("_q")))
+    return (q.groupBy("dim").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("_q").cast("long").alias("sum_q"),
+        (F.count(F.lit(1)) * F.sum(F.col("_q") * F.col("_q"))
+         - F.sum("_q") * F.sum("_q")).cast("long").alias("var_num"),
+        F.min("_q").cast("long").alias("min_q"),
+        F.max("_q").cast("long").alias("max_q"),
+        F.sum((F.col("_q") == 0).cast("int")).cast("long")
+        .alias("n_zero"))
+        .select(F.col("dim").cast("int"), "n", "sum_q", "var_num",
+                "min_q", "max_q", "n_zero"))

@@ -9094,3 +9094,27 @@ SELECT l_returnflag, l_linestatus,
          AS avg_qty_micro6,
        CAST(SUM(c) // COUNT(*) AS BIGINT) AS avg_price_cents
 FROM q1 GROUP BY 1, 2"""
+
+
+# ---------------------------------------------------------------------------
+# Continuation batch 140: per-dimension embedding health profile —
+# floor(x*1e6) quantization then BIGINT moments
+# (operators/similarity.embedding_profile).
+
+ORACLE["embedding_profile"] = """
+WITH ep_q AS (
+  SELECT CAST(dim - 1 AS INT) AS dim,
+         CAST(FLOOR(CAST(x AS DOUBLE) * 1000000) AS BIGINT) AS q
+  FROM (SELECT unnest(embedding) AS x,
+               generate_subscripts(embedding, 1) AS dim
+        FROM embeddings))
+SELECT dim,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(SUM(q) AS BIGINT) AS sum_q,
+       CAST(COUNT(*) * SUM(q * q) - SUM(q) * SUM(q) AS BIGINT)
+         AS var_num,
+       CAST(MIN(q) AS BIGINT) AS min_q,
+       CAST(MAX(q) AS BIGINT) AS max_q,
+       CAST(SUM(CASE WHEN q = 0 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_zero
+FROM ep_q GROUP BY 1"""

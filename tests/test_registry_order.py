@@ -464,6 +464,9 @@ EXPECTED_TAIL = [
     # Continuation batch 139: float-free Q1 pricing summary —
     # appended past position 50.
     "q1_pricing",
+    # Continuation batch 140: embedding health profile — appended
+    # past position 50.
+    "embedding_profile",
 ]
 
 
