@@ -2781,6 +2781,14 @@ def q_embedding_profile(spark, sf_dir) -> DataFrame:
     return embedding_profile(_emb(spark, sf_dir))
 
 
+def q_label_separation(spark, sf_dir) -> DataFrame:
+    """Per-dimension label separability (ANOVA share) over the
+    labeled embeddings (operators/similarity.label_separation)."""
+    from .operators.similarity import label_separation
+
+    return label_separation(_emb(spark, sf_dir))
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # ORDER IS LOAD-BEARING: the driver snapshot verifies exactly
     # list(QUERIES)[:50] in insertion order (pinned by
@@ -3294,6 +3302,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # Continuation batch 140: embedding health profile — appended
     # past position 50.
     "embedding_profile": q_embedding_profile,
+    # Continuation batch 141: embedding label separability —
+    # appended past position 50.
+    "label_separation": q_label_separation,
 }
 
 

@@ -614,3 +614,64 @@ def embedding_profile(emb: DataFrame, scale: int = 10**6) -> DataFrame:
         .alias("n_zero"))
         .select(F.col("dim").cast("int"), "n", "sum_q", "var_num",
                 "min_q", "max_q", "n_zero"))
+
+
+def label_separation(emb: DataFrame, scale: int = 10**3) -> DataFrame:
+    """Fisher-style label separability per embedding dimension: the
+    one-way ANOVA share SS_between / SS_total of each dimension's
+    quantized values over the label groups — the "is this vector
+    space worth training a classifier on, and WHICH dimensions carry
+    the signal" read.
+
+    Float-free at a CONSISTENT n-scale: after the single
+    floor(x*scale) quantization (scale 1e3 — what the engines READ
+    from the float32 column, not python literals), sst_scaled =
+    n * sum(q^2) - S^2 = n * SST and ssb_scaled = sum_l ((n*S_l -
+    n_l*S)^2 div (n_l * n)) = n * SSB (per-label floor documented),
+    so separation = ssb_scaled / sst_scaled exactly.  The micro6
+    ratio guards INT64: when sst_scaled exceeds ~9e12 the multiply
+    flips to the divide-first branch (ssb div (sst div 1e6)) — both
+    branches are identical integer ops in both engines, so the
+    result stays bit-deterministic; precision loss only in the
+    flipped branch and bounded by 1 micro6.
+
+    Output: (dim, n_labels, ssb_scaled, sst_scaled,
+    separation_micro6), one row per dimension.
+
+    Scale shape: posexplode map-side; two hash aggregates keyed by
+    (dim) and (label, dim) — output bounded by width x labels.
+    """
+    q = (emb.select("label",
+                    F.posexplode("embedding").alias("dim", "_x"))
+         .select("label", "dim",
+                 F.floor(F.col("_x").cast("double") * scale)
+                 .cast("long").alias("_q")))
+    tot = q.groupBy("dim").agg(
+        F.count(F.lit(1)).cast("long").alias("_n"),
+        F.sum("_q").cast("long").alias("_s"),
+        F.sum(F.col("_q") * F.col("_q")).cast("long").alias("_s2"))
+    sst = tot.select(
+        "dim", "_n", "_s",
+        (F.col("_n") * F.col("_s2") - F.col("_s") * F.col("_s"))
+        .cast("long").alias("sst_scaled"))
+    grp = q.groupBy("dim", "label").agg(
+        F.count(F.lit(1)).cast("long").alias("_ng"),
+        F.sum("_q").cast("long").alias("_sg"))
+    ssb = (grp.join(sst.select("dim", "_n", "_s"), "dim")
+           .withColumn("_term",
+                       F.expr("((_n * _sg - _ng * _s)"
+                              " * (_n * _sg - _ng * _s))"
+                              " div (_ng * _n)"))
+           .groupBy("dim").agg(
+               F.count(F.lit(1)).cast("long").alias("n_labels"),
+               F.sum("_term").cast("long").alias("ssb_scaled")))
+    return (sst.join(ssb, "dim")
+            .where(F.col("sst_scaled") > 0)
+            .select(F.col("dim").cast("int"), "n_labels",
+                    "ssb_scaled", "sst_scaled",
+                    F.expr("CASE WHEN sst_scaled <= 9000000000000"
+                           " THEN (1000000 * ssb_scaled)"
+                           " div sst_scaled"
+                           " ELSE ssb_scaled"
+                           " div (sst_scaled div 1000000) END")
+                    .cast("long").alias("separation_micro6")))

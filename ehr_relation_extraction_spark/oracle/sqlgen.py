@@ -9118,3 +9118,41 @@ SELECT dim,
        CAST(SUM(CASE WHEN q = 0 THEN 1 ELSE 0 END) AS BIGINT)
          AS n_zero
 FROM ep_q GROUP BY 1"""
+
+
+# ---------------------------------------------------------------------------
+# Continuation batch 141: per-dimension label separability — ANOVA
+# share over label groups, quantized embeddings
+# (operators/similarity.label_separation).
+
+ORACLE["label_separation"] = """
+WITH ls_q AS (
+  SELECT label, CAST(dim - 1 AS INT) AS dim,
+         CAST(FLOOR(CAST(x AS DOUBLE) * 1000) AS BIGINT) AS q
+  FROM (SELECT label, unnest(embedding) AS x,
+               generate_subscripts(embedding, 1) AS dim
+        FROM embeddings)),
+ls_tot AS MATERIALIZED (
+  SELECT dim, CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(q) AS BIGINT) AS s,
+         CAST(COUNT(*) * SUM(q * q) - SUM(q) * SUM(q) AS BIGINT)
+           AS sst_scaled
+  FROM ls_q GROUP BY 1),
+ls_grp AS (
+  SELECT dim, label, CAST(COUNT(*) AS BIGINT) AS ng,
+         CAST(SUM(q) AS BIGINT) AS sg
+  FROM ls_q GROUP BY 1, 2),
+ls_ssb AS (
+  SELECT g.dim, CAST(COUNT(*) AS BIGINT) AS n_labels,
+         CAST(SUM(((t.n * g.sg - g.ng * t.s)
+                   * (t.n * g.sg - g.ng * t.s)) // (g.ng * t.n))
+           AS BIGINT) AS ssb_scaled
+  FROM ls_grp g JOIN ls_tot t USING (dim)
+  GROUP BY 1)
+SELECT t.dim, b.n_labels, b.ssb_scaled, t.sst_scaled,
+       CAST(CASE WHEN t.sst_scaled <= 9000000000000
+            THEN (1000000 * b.ssb_scaled) // t.sst_scaled
+            ELSE b.ssb_scaled // (t.sst_scaled // 1000000) END
+         AS BIGINT) AS separation_micro6
+FROM ls_tot t JOIN ls_ssb b USING (dim)
+WHERE t.sst_scaled > 0"""

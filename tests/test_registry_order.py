@@ -467,6 +467,9 @@ EXPECTED_TAIL = [
     # Continuation batch 140: embedding health profile — appended
     # past position 50.
     "embedding_profile",
+    # Continuation batch 141: embedding label separability —
+    # appended past position 50.
+    "label_separation",
 ]
 
 
