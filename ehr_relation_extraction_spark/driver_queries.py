@@ -2789,6 +2789,16 @@ def q_label_separation(spark, sf_dir) -> DataFrame:
     return label_separation(_emb(spark, sf_dir))
 
 
+def q_ner_confusion(spark, sf_dir) -> DataFrame:
+    """Exact-span type-confusion matrix between the dict-NER and
+    model-NER paths (operators/evaluate.ner_confusion)."""
+    from .operators.evaluate import ner_confusion
+    from .operators.model_ner import model_mentions_df
+
+    fr = _frames(spark, sf_dir)
+    return ner_confusion(fr.mentions, model_mentions_df(fr.pages))
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # ORDER IS LOAD-BEARING: the driver snapshot verifies exactly
     # list(QUERIES)[:50] in insertion order (pinned by
@@ -3305,6 +3315,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # Continuation batch 141: embedding label separability —
     # appended past position 50.
     "label_separation": q_label_separation,
+    # Continuation batch 142: NER type-confusion matrix — appended
+    # past position 50.
+    "ner_confusion": q_ner_confusion,
 }
 
 

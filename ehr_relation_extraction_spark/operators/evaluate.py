@@ -329,3 +329,41 @@ def bcubed_scores(pred: DataFrame, gold: DataFrame) -> DataFrame:
                                / (F.col("bcubed_p_micro6")
                                   + F.col("bcubed_r_micro6"))))
                 .otherwise(F.lit(0)).cast("long")))
+
+
+def ner_confusion(a: DataFrame, b: DataFrame,
+                  a_name: str = "rule",
+                  b_name: str = "model") -> DataFrame:
+    """Type-confusion matrix between two mention detectors on
+    EXACT-span agreement, plus each system's unmatched mass — the
+    diagnostic that says WHERE two NER paths disagree (type swaps vs
+    missed spans), which strict/lenient F1 alone cannot.
+
+    Spans align on (doc_id, start, end); aligned pairs contribute a
+    (type_a, type_b) cell, spans only one side found contribute the
+    '<none>' row/column.  All counts exact.
+
+    Output: (type_a, type_b, n) — type_a = '<none>' means b-only
+    spans, type_b = '<none>' means a-only.
+
+    Scale shape: one equi-join on the span key (both sides already
+    keyed by doc for every downstream stage), two anti-join
+    aggregates — no pair products.
+    """
+    ka = a.select("doc_id", "start", "end",
+                  F.col("ent_type").alias("_ta"))
+    kb = b.select("doc_id", "start", "end",
+                  F.col("ent_type").alias("_tb"))
+    both = (ka.join(kb, ["doc_id", "start", "end"])
+            .groupBy(F.col("_ta").alias("type_a"),
+                     F.col("_tb").alias("type_b"))
+            .agg(F.count(F.lit(1)).cast("long").alias("n")))
+    only_a = (ka.join(kb, ["doc_id", "start", "end"], "left_anti")
+              .groupBy(F.col("_ta").alias("type_a"))
+              .agg(F.count(F.lit(1)).cast("long").alias("n"))
+              .select("type_a", F.lit("<none>").alias("type_b"), "n"))
+    only_b = (kb.join(ka, ["doc_id", "start", "end"], "left_anti")
+              .groupBy(F.col("_tb").alias("type_b"))
+              .agg(F.count(F.lit(1)).cast("long").alias("n"))
+              .select(F.lit("<none>").alias("type_a"), "type_b", "n"))
+    return both.unionByName(only_a).unionByName(only_b)

@@ -9156,3 +9156,38 @@ SELECT t.dim, b.n_labels, b.ssb_scaled, t.sst_scaled,
          AS BIGINT) AS separation_micro6
 FROM ls_tot t JOIN ls_ssb b USING (dim)
 WHERE t.sst_scaled > 0"""
+
+
+# ---------------------------------------------------------------------------
+# Continuation batch 142: exact-span NER type-confusion matrix
+# between the dict and model mention paths
+# (operators/evaluate.ner_confusion).  Reuses both mention
+# statements verbatim as nested subqueries.
+
+ORACLE["ner_confusion"] = f"""
+WITH nc_a AS MATERIALIZED ({ORACLE["mentions"]}),
+nc_b AS MATERIALIZED ({ORACLE["mentions_model"]})
+SELECT a.ent_type AS type_a, b.ent_type AS type_b,
+       CAST(COUNT(*) AS BIGINT) AS n
+FROM nc_a a JOIN nc_b b
+  ON a.doc_id = b.doc_id AND a."start" = b."start"
+ AND a."end" = b."end"
+GROUP BY 1, 2
+UNION ALL
+SELECT a.ent_type AS type_a, '<none>' AS type_b,
+       CAST(COUNT(*) AS BIGINT) AS n
+FROM nc_a a
+WHERE NOT EXISTS (SELECT 1 FROM nc_b b
+                  WHERE b.doc_id = a.doc_id
+                    AND b."start" = a."start"
+                    AND b."end" = a."end")
+GROUP BY 1
+UNION ALL
+SELECT '<none>' AS type_a, b.ent_type AS type_b,
+       CAST(COUNT(*) AS BIGINT) AS n
+FROM nc_b b
+WHERE NOT EXISTS (SELECT 1 FROM nc_a a
+                  WHERE a.doc_id = b.doc_id
+                    AND a."start" = b."start"
+                    AND a."end" = b."end")
+GROUP BY 2"""

@@ -470,6 +470,9 @@ EXPECTED_TAIL = [
     # Continuation batch 141: embedding label separability —
     # appended past position 50.
     "label_separation",
+    # Continuation batch 142: NER type-confusion matrix — appended
+    # past position 50.
+    "ner_confusion",
 ]
 
 
