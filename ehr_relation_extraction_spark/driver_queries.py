@@ -2799,6 +2799,12 @@ def q_ner_confusion(spark, sf_dir) -> DataFrame:
     return ner_confusion(fr.mentions, model_mentions_df(fr.pages))
 
 
+def q_casing_profile(spark, sf_dir) -> DataFrame:
+    """Casing/digit token profile per language
+    (functions/textstats.casing_profile)."""
+    return ts.casing_profile(_docs(spark, sf_dir))
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # ORDER IS LOAD-BEARING: the driver snapshot verifies exactly
     # list(QUERIES)[:50] in insertion order (pinned by
@@ -3318,6 +3324,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # Continuation batch 142: NER type-confusion matrix — appended
     # past position 50.
     "ner_confusion": q_ner_confusion,
+    # Continuation batch 143: casing/digit profile — appended past
+    # position 50.
+    "casing_profile": q_casing_profile,
 }
 
 

@@ -2449,3 +2449,43 @@ def simpson_check(docs: DataFrame) -> DataFrame:
                     ((F.col("cov_sign") != 0)
                      & (F.col("cov_sign") == -F.col("_ps")))
                     .cast("int").alias("paradox")))
+
+
+def casing_profile(docs: DataFrame) -> DataFrame:
+    """Casing and digit profile per language — the cheap script-level
+    quality features (boilerplate shouting, numeric tables, proper-
+    noun density) every corpus dashboard tracks: per lang, the share
+    of tokens that start uppercase, are ALL-CAPS (len >= 2), or
+    contain a digit, as exact micro6 ratios.
+
+    Output: (lang, n_tokens, n_upper_start, n_all_caps, n_digit,
+    upper_start_micro6, all_caps_micro6, digit_micro6).
+
+    Scale shape: per-row codegen predicates over the token array
+    (no explode — aggregate filters inside the array), ONE hash
+    aggregate by lang.
+    """
+    toks = _toks()
+    n_tok = F.size(toks).cast("long")
+    up = F.size(F.filter(
+        toks, lambda t: t.rlike("^[A-Z]"))).cast("long")
+    caps = F.size(F.filter(
+        toks, lambda t: t.rlike("^[A-Z]{2,}$"))).cast("long")
+    dig = F.size(F.filter(
+        toks, lambda t: t.rlike("[0-9]"))).cast("long")
+    per = docs.select("lang", n_tok.alias("_n"), up.alias("_u"),
+                      caps.alias("_c"), dig.alias("_d"))
+    return (per.groupBy("lang").agg(
+        F.sum("_n").cast("long").alias("n_tokens"),
+        F.sum("_u").cast("long").alias("n_upper_start"),
+        F.sum("_c").cast("long").alias("n_all_caps"),
+        F.sum("_d").cast("long").alias("n_digit"))
+        .where(F.col("n_tokens") > 0)
+        .select("lang", "n_tokens", "n_upper_start", "n_all_caps",
+                "n_digit",
+                F.expr("(1000000 * n_upper_start) div n_tokens")
+                .cast("long").alias("upper_start_micro6"),
+                F.expr("(1000000 * n_all_caps) div n_tokens")
+                .cast("long").alias("all_caps_micro6"),
+                F.expr("(1000000 * n_digit) div n_tokens")
+                .cast("long").alias("digit_micro6")))

@@ -9191,3 +9191,36 @@ WHERE NOT EXISTS (SELECT 1 FROM nc_a a
                     AND a."start" = b."start"
                     AND a."end" = b."end")
 GROUP BY 2"""
+
+
+# ---------------------------------------------------------------------------
+# Continuation batch 143: casing/digit token profile per language —
+# exact micro6 shares (functions/textstats.casing_profile).
+
+ORACLE["casing_profile"] = """
+WITH cp_per AS (
+  SELECT lang,
+         CAST(len(ts) AS BIGINT) AS n,
+         CAST(len(list_filter(ts,
+             t -> regexp_matches(t, '^[A-Z]'))) AS BIGINT) AS u,
+         CAST(len(list_filter(ts,
+             t -> regexp_matches(t, '^[A-Z]{2,}$'))) AS BIGINT) AS c,
+         CAST(len(list_filter(ts,
+             t -> regexp_matches(t, '[0-9]'))) AS BIGINT) AS d
+  FROM (SELECT lang,
+               list_filter(string_split_regex(text, '[\\n \\t]'),
+                           x -> x <> '') AS ts
+        FROM documents))
+SELECT lang,
+       CAST(SUM(n) AS BIGINT) AS n_tokens,
+       CAST(SUM(u) AS BIGINT) AS n_upper_start,
+       CAST(SUM(c) AS BIGINT) AS n_all_caps,
+       CAST(SUM(d) AS BIGINT) AS n_digit,
+       CAST((1000000 * SUM(u)) // SUM(n) AS BIGINT)
+         AS upper_start_micro6,
+       CAST((1000000 * SUM(c)) // SUM(n) AS BIGINT)
+         AS all_caps_micro6,
+       CAST((1000000 * SUM(d)) // SUM(n) AS BIGINT)
+         AS digit_micro6
+FROM cp_per GROUP BY 1
+HAVING SUM(n) > 0"""

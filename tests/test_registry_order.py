@@ -473,6 +473,9 @@ EXPECTED_TAIL = [
     # Continuation batch 142: NER type-confusion matrix — appended
     # past position 50.
     "ner_confusion",
+    # Continuation batch 143: casing/digit profile — appended past
+    # position 50.
+    "casing_profile",
 ]
 
 
