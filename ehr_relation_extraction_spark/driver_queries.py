@@ -2805,6 +2805,15 @@ def q_casing_profile(spark, sf_dir) -> DataFrame:
     return ts.casing_profile(_docs(spark, sf_dir))
 
 
+def q_rich_club(spark, sf_dir) -> DataFrame:
+    """Rich-club coefficient over the co-mention graph at k=1/2/4/8
+    (operators/graph_algos.rich_club)."""
+    from .operators.graph_algos import rich_club
+
+    edges, _ = _comention_graph(spark, sf_dir)
+    return rich_club(edges)
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # ORDER IS LOAD-BEARING: the driver snapshot verifies exactly
     # list(QUERIES)[:50] in insertion order (pinned by
@@ -3327,6 +3336,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # Continuation batch 143: casing/digit profile — appended past
     # position 50.
     "casing_profile": q_casing_profile,
+    # Continuation batch 144: rich-club coefficient — appended past
+    # position 50.
+    "rich_club": q_rich_club,
 }
 
 

@@ -2606,3 +2606,49 @@ def graph_eccentricity(edges: DataFrame, n_rounds: int = 8) -> DataFrame:
                     "radius", "diameter",
                     (F.col("ecc") == F.col("radius")).cast("int")
                     .alias("is_center")))
+
+
+def rich_club(edges: DataFrame, ks=(1, 2, 4, 8)) -> DataFrame:
+    """Rich-club coefficient phi(k) = E_k / (N_k * (N_k - 1) / 2) —
+    do the high-degree nodes preferentially connect to EACH OTHER?
+    (Colizza et al. '06; hub-collusion vs hub-and-spoke is the
+    difference between a navigable core and a fragile star.)  For
+    each threshold k: the nodes of degree > k, the edges with both
+    endpoints in that club, and the exact density micro6.
+
+    Output: (k, n_rich, e_rich, possible_pairs, phi_micro6) — rows
+    where the club has >= 2 members.
+
+    Scale shape: one degree aggregate, per-k membership is a
+    broadcast-sized semi-join of the edge list against the club
+    (the club shrinks as k grows); the k fan-out is a literal
+    explode on the bounded degree table.
+    """
+    und = (edges.select(F.least("src", "dst").alias("a"),
+                        F.greatest("src", "dst").alias("b"))
+           .where(F.col("a") != F.col("b")).dropDuplicates()
+           .localCheckpoint())
+    deg = (und.select(F.col("a").alias("node"))
+           .unionByName(und.select(F.col("b").alias("node")))
+           .groupBy("node")
+           .agg(F.count(F.lit(1)).cast("long").alias("deg")))
+    fan = deg.select(
+        "node", "deg",
+        F.explode(F.array(*[F.lit(k) for k in ks])).alias("k"))
+    club = fan.where(F.col("deg") > F.col("k")).select("k", "node")
+    nk = club.groupBy("k").agg(
+        F.count(F.lit(1)).cast("long").alias("n_rich"))
+    ca = club.select("k", F.col("node").alias("a"))
+    cb = club.select("k", F.col("node").alias("b"))
+    ek = (und.join(ca, "a").join(cb, ["k", "b"])
+          .groupBy("k").agg(F.count(F.lit(1)).cast("long")
+                            .alias("e_rich")))
+    return (nk.join(ek, "k", "left").fillna(0, ["e_rich"])
+            .where(F.col("n_rich") >= 2)
+            .select(F.col("k").cast("int"), "n_rich",
+                    F.col("e_rich").cast("long"),
+                    F.expr("(n_rich * (n_rich - 1)) div 2")
+                    .cast("long").alias("possible_pairs"),
+                    F.expr("(2000000 * e_rich)"
+                           " div (n_rich * (n_rich - 1))")
+                    .cast("long").alias("phi_micro6")))

@@ -9224,3 +9224,39 @@ SELECT lang,
          AS digit_micro6
 FROM cp_per GROUP BY 1
 HAVING SUM(n) > 0"""
+
+
+# ---------------------------------------------------------------------------
+# Continuation batch 144: rich-club coefficient over the co-mention
+# graph (operators/graph_algos.rich_club).
+
+ORACLE["rich_club"] = _q("""
+SELECT CAST(n.k AS INT) AS k, n.n_rich,
+       CAST(COALESCE(e.e_rich, 0) AS BIGINT) AS e_rich,
+       CAST((n.n_rich * (n.n_rich - 1)) // 2 AS BIGINT)
+         AS possible_pairs,
+       CAST((2000000 * COALESCE(e.e_rich, 0))
+            // (n.n_rich * (n.n_rich - 1)) AS BIGINT) AS phi_micro6
+FROM rc_nk n LEFT JOIN rc_ek e USING (k)
+WHERE n.n_rich >= 2""",
+    LINK_CTES, COMENTION_CTES.strip(), """
+rc_und AS MATERIALIZED (
+  SELECT src AS a, dst AS b FROM comention WHERE src <> dst),
+rc_deg AS MATERIALIZED (
+  SELECT node, CAST(COUNT(*) AS BIGINT) AS deg
+  FROM (SELECT a AS node FROM rc_und
+        UNION ALL SELECT b FROM rc_und)
+  GROUP BY 1),
+rc_club AS MATERIALIZED (
+  SELECT k, node
+  FROM rc_deg, unnest([1, 2, 4, 8]) AS t(k)
+  WHERE deg > k),
+rc_nk AS (
+  SELECT k, CAST(COUNT(*) AS BIGINT) AS n_rich
+  FROM rc_club GROUP BY 1),
+rc_ek AS (
+  SELECT ca.k, CAST(COUNT(*) AS BIGINT) AS e_rich
+  FROM rc_und u
+  JOIN rc_club ca ON ca.node = u.a
+  JOIN rc_club cb ON cb.node = u.b AND cb.k = ca.k
+  GROUP BY 1)""")

@@ -476,6 +476,9 @@ EXPECTED_TAIL = [
     # Continuation batch 143: casing/digit profile — appended past
     # position 50.
     "casing_profile",
+    # Continuation batch 144: rich-club coefficient — appended past
+    # position 50.
+    "rich_club",
 ]
 
 
