@@ -2814,6 +2814,15 @@ def q_rich_club(spark, sf_dir) -> DataFrame:
     return rich_club(edges)
 
 
+def q_type_covariance(spark, sf_dir) -> DataFrame:
+    """Cross-type daily co-burst covariance
+    (operators/events.type_covariance)."""
+    from .operators.events import type_covariance
+
+    return type_covariance(
+        spark.read.parquet(f"{sf_dir}/events.parquet"))
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # ORDER IS LOAD-BEARING: the driver snapshot verifies exactly
     # list(QUERIES)[:50] in insertion order (pinned by
@@ -3339,6 +3348,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # Continuation batch 144: rich-club coefficient — appended past
     # position 50.
     "rich_club": q_rich_club,
+    # Continuation batch 145: cross-type co-burst covariance —
+    # appended past position 50.
+    "type_covariance": q_type_covariance,
 }
 
 

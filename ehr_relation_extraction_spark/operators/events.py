@@ -814,3 +814,54 @@ def q1_pricing(lineitem: DataFrame) -> DataFrame:
                 .alias("avg_qty_micro6"),
                 F.expr("sum_base_cents div n_rows").cast("long")
                 .alias("avg_price_cents")))
+
+
+def type_covariance(events: DataFrame) -> DataFrame:
+    """Cross-type co-burst detection: the exact covariance numerator
+    between every pair of event types' daily count series on the
+    SHARED zero-filled day spine — positive = the types surge
+    together (one upstream cause), negative = they trade off
+    (cannibalization / failover).  Mean-cleared by n-scaling like
+    autocorrelation: cov_n = sum_t (n*r_at - S_a)(n*r_bt - S_b),
+    emitted with both types' own variance numerators so the consumer
+    can normalize to a correlation without the engine ever touching
+    a square root.
+
+    Output: (etype_a, etype_b, n_days, cov_n, cov_sign, var_a,
+    var_b), one row per unordered pair.
+
+    Scale shape: the grid is the bounded (types x spine) frame; the
+    pair join is keyed on day_idx over the centered table (types^2
+    x spine rows at most), then one aggregate per pair.
+    """
+    from pyspark.sql import Window
+
+    grid = _day_grid(events)
+    stats = grid.groupBy("etype").agg(
+        F.count(F.lit(1)).cast("long").alias("n_days"),
+        F.sum("r").cast("long").alias("_s"))
+    g = (grid.join(stats, "etype")
+         .withColumn("_c", F.col("n_days") * F.col("r") - F.col("_s"))
+         .localCheckpoint())  # bounded; pair sides + variances read it
+    var = g.groupBy("etype").agg(
+        F.sum(F.col("_c") * F.col("_c")).cast("long").alias("_v"))
+    a = g.select(F.col("etype").alias("etype_a"), "day_idx",
+                 F.col("_c").alias("_ca"),
+                 F.col("n_days").alias("n_days"))
+    b = g.select(F.col("etype").alias("etype_b"),
+                 F.col("day_idx").alias("_db"),
+                 F.col("_c").alias("_cb"))
+    pairs = (a.join(b, (a["day_idx"] == b["_db"])
+                    & (a["etype_a"] < b["etype_b"]))
+             .groupBy("etype_a", "etype_b", "n_days")
+             .agg(F.sum(F.col("_ca") * F.col("_cb")).cast("long")
+                  .alias("cov_n")))
+    return (pairs
+            .join(var.withColumnRenamed("etype", "etype_a")
+                  .withColumnRenamed("_v", "var_a"), "etype_a")
+            .join(var.withColumnRenamed("etype", "etype_b")
+                  .withColumnRenamed("_v", "var_b"), "etype_b")
+            .select("etype_a", "etype_b", "n_days", "cov_n",
+                    F.signum("cov_n").cast("int").alias("cov_sign"),
+                    F.col("var_a").cast("long"),
+                    F.col("var_b").cast("long")))

@@ -9260,3 +9260,47 @@ rc_ek AS (
   JOIN rc_club ca ON ca.node = u.a
   JOIN rc_club cb ON cb.node = u.b AND cb.k = ca.k
   GROUP BY 1)""")
+
+
+# ---------------------------------------------------------------------------
+# Continuation batch 145: cross-type co-burst covariance on the
+# shared day spine (operators/events.type_covariance).
+
+ORACLE["type_covariance"] = """
+WITH tc_day AS (
+  SELECT CAST(epoch_us(ts) // 86400000000 AS INT) AS day_idx,
+         event_type AS etype
+  FROM events),
+tc_spine AS (SELECT DISTINCT day_idx FROM tc_day),
+tc_types AS (SELECT DISTINCT etype FROM tc_day),
+tc_sparse AS (
+  SELECT etype, day_idx, CAST(COUNT(*) AS BIGINT) AS r
+  FROM tc_day GROUP BY 1, 2),
+tc_grid AS MATERIALIZED (
+  SELECT t.etype, s.day_idx, COALESCE(x.r, 0) AS r
+  FROM tc_types t CROSS JOIN tc_spine s
+  LEFT JOIN tc_sparse x USING (etype, day_idx)),
+tc_stats AS (
+  SELECT etype, CAST(COUNT(*) AS BIGINT) AS n_days,
+         CAST(SUM(r) AS BIGINT) AS s
+  FROM tc_grid GROUP BY 1),
+tc_c AS MATERIALIZED (
+  SELECT g.etype, g.day_idx, st.n_days,
+         CAST(st.n_days * g.r - st.s AS BIGINT) AS c
+  FROM tc_grid g JOIN tc_stats st USING (etype)),
+tc_var AS (
+  SELECT etype, CAST(SUM(c * c) AS BIGINT) AS v
+  FROM tc_c GROUP BY 1),
+tc_pairs AS (
+  SELECT a.etype AS etype_a, b.etype AS etype_b,
+         CAST(MAX(a.n_days) AS BIGINT) AS n_days,
+         CAST(SUM(a.c * b.c) AS BIGINT) AS cov_n
+  FROM tc_c a JOIN tc_c b
+    ON a.day_idx = b.day_idx AND a.etype < b.etype
+  GROUP BY 1, 2)
+SELECT p.etype_a, p.etype_b, p.n_days, p.cov_n,
+       CAST(SIGN(p.cov_n) AS INT) AS cov_sign,
+       va.v AS var_a, vb.v AS var_b
+FROM tc_pairs p
+JOIN tc_var va ON va.etype = p.etype_a
+JOIN tc_var vb ON vb.etype = p.etype_b"""

@@ -479,6 +479,9 @@ EXPECTED_TAIL = [
     # Continuation batch 144: rich-club coefficient — appended past
     # position 50.
     "rich_club",
+    # Continuation batch 145: cross-type co-burst covariance —
+    # appended past position 50.
+    "type_covariance",
 ]
 
 
