@@ -2823,6 +2823,15 @@ def q_type_covariance(spark, sf_dir) -> DataFrame:
         spark.read.parquet(f"{sf_dir}/events.parquet"))
 
 
+def q_lateness_audit(spark, sf_dir) -> DataFrame:
+    """Watermark-sizing lateness audit over the event stream
+    (operators/events.lateness_audit)."""
+    from .operators.events import lateness_audit
+
+    return lateness_audit(
+        spark.read.parquet(f"{sf_dir}/events.parquet"))
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # ORDER IS LOAD-BEARING: the driver snapshot verifies exactly
     # list(QUERIES)[:50] in insertion order (pinned by
@@ -3351,6 +3360,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # Continuation batch 145: cross-type co-burst covariance —
     # appended past position 50.
     "type_covariance": q_type_covariance,
+    # Continuation batch 146: watermark lateness audit — appended
+    # past position 50.
+    "lateness_audit": q_lateness_audit,
 }
 
 

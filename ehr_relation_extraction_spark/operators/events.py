@@ -865,3 +865,48 @@ def type_covariance(events: DataFrame) -> DataFrame:
                     F.signum("cov_n").cast("int").alias("cov_sign"),
                     F.col("var_a").cast("long"),
                     F.col("var_b").cast("long")))
+
+
+def lateness_audit(events: DataFrame,
+                   watermarks_s=(60, 600, 3600)) -> DataFrame:
+    """Watermark-sizing audit for the streaming twins: with arrival
+    order = event_id (the log-ingestion convention every stateful op
+    here assumes) and per-user keyed state (the partitioning those
+    ops run under), how late does each event arrive relative to the
+    running event-time high-water mark of its key, and how many
+    events would a watermark of W seconds discard?
+
+    lateness_s = running-max(sec) - sec over arrival order within
+    the user partition; for each candidate W the count and exact
+    share of events strictly later than W.
+
+    Output: one row per W: (watermark_s, n_events, n_out_of_order,
+    max_lateness_s, n_late, late_share_micro6).
+
+    Scale shape: ONE per-user window (the same key the stateful ops
+    shuffle by — no global sort), one aggregate; the W fan-out is a
+    literal explode.
+    """
+    from pyspark.sql import Window
+
+    sec = F.expr("unix_micros(cast(ts as timestamp)) div 1000000")
+    w = (Window.partitionBy("user_id").orderBy("event_id")
+         .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    late = (events.select("user_id", "event_id", sec.alias("_sec"))
+            .withColumn("_hwm", F.max("_sec").over(w))
+            .select((F.col("_hwm") - F.col("_sec")).alias("_late")))
+    fan = late.select(
+        "_late",
+        F.explode(F.array(*[F.lit(x) for x in watermarks_s]))
+        .alias("watermark_s"))
+    return (fan.groupBy("watermark_s").agg(
+        F.count(F.lit(1)).cast("long").alias("n_events"),
+        F.sum((F.col("_late") > 0).cast("int")).cast("long")
+        .alias("n_out_of_order"),
+        F.max("_late").cast("long").alias("max_lateness_s"),
+        F.sum((F.col("_late") > F.col("watermark_s")).cast("int"))
+        .cast("long").alias("n_late"))
+        .select(F.col("watermark_s").cast("int"), "n_events",
+                "n_out_of_order", "max_lateness_s", "n_late",
+                F.expr("(1000000 * n_late) div n_events")
+                .cast("long").alias("late_share_micro6")))

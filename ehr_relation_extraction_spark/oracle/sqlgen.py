@@ -9304,3 +9304,31 @@ SELECT p.etype_a, p.etype_b, p.n_days, p.cov_n,
 FROM tc_pairs p
 JOIN tc_var va ON va.etype = p.etype_a
 JOIN tc_var vb ON vb.etype = p.etype_b"""
+
+
+# ---------------------------------------------------------------------------
+# Continuation batch 146: watermark-sizing lateness audit — per-user
+# running high-water mark over arrival order
+# (operators/events.lateness_audit).
+
+ORACLE["lateness_audit"] = """
+WITH la_l AS (
+  SELECT MAX(sec) OVER (PARTITION BY user_id ORDER BY event_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+         - sec AS late
+  FROM (SELECT user_id, event_id,
+               epoch_us(ts) // 1000000 AS sec
+        FROM events)),
+la_fan AS (
+  SELECT late, unnest([60, 600, 3600]) AS watermark_s FROM la_l)
+SELECT CAST(watermark_s AS INT) AS watermark_s,
+       CAST(COUNT(*) AS BIGINT) AS n_events,
+       CAST(SUM(CASE WHEN late > 0 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_out_of_order,
+       CAST(MAX(late) AS BIGINT) AS max_lateness_s,
+       CAST(SUM(CASE WHEN late > watermark_s THEN 1 ELSE 0 END)
+         AS BIGINT) AS n_late,
+       CAST((1000000 * SUM(CASE WHEN late > watermark_s
+                           THEN 1 ELSE 0 END)) // COUNT(*)
+         AS BIGINT) AS late_share_micro6
+FROM la_fan GROUP BY 1"""

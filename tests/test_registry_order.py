@@ -482,6 +482,9 @@ EXPECTED_TAIL = [
     # Continuation batch 145: cross-type co-burst covariance —
     # appended past position 50.
     "type_covariance",
+    # Continuation batch 146: watermark lateness audit — appended
+    # past position 50.
+    "lateness_audit",
 ]
 
 
