@@ -2823,6 +2823,15 @@ def q_type_covariance(spark, sf_dir) -> DataFrame:
         spark.read.parquet(f"{sf_dir}/events.parquet"))
 
 
+def q_zorder_locality(spark, sf_dir) -> DataFrame:
+    """Z-order vs user-major layout audit for day-scoped scans
+    (operators/events.zorder_locality)."""
+    from .operators.events import zorder_locality
+
+    return zorder_locality(
+        spark.read.parquet(f"{sf_dir}/events.parquet"))
+
+
 def q_lateness_audit(spark, sf_dir) -> DataFrame:
     """Watermark-sizing lateness audit over the event stream
     (operators/events.lateness_audit)."""
@@ -3363,6 +3372,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # Continuation batch 146: watermark lateness audit — appended
     # past position 50.
     "lateness_audit": q_lateness_audit,
+    # Continuation batch 147: Z-order layout audit — appended past
+    # position 50.
+    "zorder_locality": q_zorder_locality,
 }
 
 

@@ -910,3 +910,74 @@ def lateness_audit(events: DataFrame,
                 "n_out_of_order", "max_lateness_s", "n_late",
                 F.expr("(1000000 * n_late) div n_events")
                 .cast("long").alias("late_share_micro6")))
+
+
+def zorder_locality(events: DataFrame,
+                    rows_per_file: int = 50) -> DataFrame:
+    """Data-layout audit: does Z-ORDERING the event log on
+    (user-bucket, day-bucket) beat the naive user-major sort for
+    day-scoped scans?  Models exactly the clustering decision an
+    Iceberg/Delta writer makes — rows are laid out in some total
+    order, chopped into fixed-size files, and a day-predicate scan
+    touches every file containing at least one matching row.
+
+    ub = user_id mod 16, db = epoch_day(ts) mod 16; z = 8-bit Morton
+    interleave of (ub, db).  Two candidate layouts rank every row:
+    z-order (z, event_id) and user-major (ub, db, event_id); file_id
+    = rank div rows_per_file.  Per day-bucket: rows, distinct files
+    touched, and the file-id span under each layout.  All integer
+    bit arithmetic — exact in any engine.
+
+    Scale shape: the global rank is NOT a one-partition window over
+    the corpus — both layout keys have bounded cardinality (<=256),
+    so rank = (broadcast cumulative offset per key) + row_number
+    WITHIN the key partition.  The only global sort is over the
+    256-row key-count table; the corpus sees two keyed windows and
+    one aggregate.
+    """
+    day = F.expr("unix_micros(cast(ts as timestamp)) div 86400000000")
+    ub = F.pmod(F.col("user_id"), F.lit(16)).cast("int")
+    db = F.pmod(day, F.lit(16)).cast("int")
+    # Morton interleave of two 4-bit values: bit i of ub lands at
+    # 2i+1, bit i of db at 2i.
+    def _morton(h, d):
+        z = F.lit(0)
+        for i in range(4):
+            z = (z + (F.shiftright(h, i) % 2) * (2 ** (2 * i + 1))
+                 + (F.shiftright(d, i) % 2) * (2 ** (2 * i)))
+        return z.cast("int")
+
+    base = events.select(
+        "event_id", ub.alias("ub"), db.alias("db")).withColumn(
+        "z", _morton(F.col("ub"), F.col("db")))
+
+    def _file_ids(df, key_cols, out):
+        counts = df.groupBy(*key_cols).agg(
+            F.count(F.lit(1)).alias("_n"))
+        cum = counts.withColumn(
+            "_off",
+            F.coalesce(
+                F.sum("_n").over(
+                    Window.orderBy(*key_cols)
+                    .rowsBetween(Window.unboundedPreceding, -1)),
+                F.lit(0))).drop("_n")
+        rn = F.row_number().over(
+            Window.partitionBy(*key_cols).orderBy("event_id"))
+        return (df.join(F.broadcast(cum), key_cols)
+                .withColumn(out,
+                            ((F.col("_off") + rn - 1)
+                             / rows_per_file).cast("long"))
+                .drop("_off"))
+
+    laid = _file_ids(_file_ids(base, ["z"], "z_file"),
+                     ["ub", "db"], "lex_file")
+    return (laid.groupBy("db").agg(
+        F.count(F.lit(1)).cast("long").alias("n_events"),
+        F.countDistinct("z_file").cast("long").alias("z_files"),
+        F.countDistinct("lex_file").cast("long").alias("lex_files"),
+        (F.max("z_file") - F.min("z_file") + 1).cast("long")
+        .alias("z_span"),
+        (F.max("lex_file") - F.min("lex_file") + 1).cast("long")
+        .alias("lex_span"))
+        .select(F.col("db").alias("day_bucket"), "n_events",
+                "z_files", "lex_files", "z_span", "lex_span"))

@@ -9332,3 +9332,37 @@ SELECT CAST(watermark_s AS INT) AS watermark_s,
                            THEN 1 ELSE 0 END)) // COUNT(*)
          AS BIGINT) AS late_share_micro6
 FROM la_fan GROUP BY 1"""
+
+
+# ---------------------------------------------------------------------------
+# Continuation batch 147: Z-order vs user-major layout audit — Morton
+# interleave, cumsum file packing, per-day-bucket files touched
+# (operators/events.zorder_locality).
+
+ORACLE["zorder_locality"] = """
+WITH zl_base AS (
+  SELECT event_id,
+         CAST(user_id % 16 AS INT) AS ub,
+         CAST((epoch_us(ts) // 86400000000) % 16 AS INT) AS db
+  FROM events),
+zl_z AS (
+  SELECT *,
+         CAST(((ub // 1) % 2) * 2 + ((ub // 2) % 2) * 8
+            + ((ub // 4) % 2) * 32 + ((ub // 8) % 2) * 128
+            + ((db // 1) % 2) * 1 + ((db // 2) % 2) * 4
+            + ((db // 4) % 2) * 16 + ((db // 8) % 2) * 64 AS INT) AS z
+  FROM zl_base),
+zl_files AS (
+  SELECT db,
+         (ROW_NUMBER() OVER (ORDER BY z, event_id) - 1) // 50
+           AS z_file,
+         (ROW_NUMBER() OVER (ORDER BY ub, db, event_id) - 1) // 50
+           AS lex_file
+  FROM zl_z)
+SELECT db AS day_bucket,
+       CAST(COUNT(*) AS BIGINT) AS n_events,
+       CAST(COUNT(DISTINCT z_file) AS BIGINT) AS z_files,
+       CAST(COUNT(DISTINCT lex_file) AS BIGINT) AS lex_files,
+       CAST(MAX(z_file) - MIN(z_file) + 1 AS BIGINT) AS z_span,
+       CAST(MAX(lex_file) - MIN(lex_file) + 1 AS BIGINT) AS lex_span
+FROM zl_files GROUP BY 1"""

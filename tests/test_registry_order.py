@@ -485,6 +485,8 @@ EXPECTED_TAIL = [
     # Continuation batch 146: watermark lateness audit — appended
     # past position 50.
     "lateness_audit",
+    # Continuation batch 147
+    "zorder_locality",
 ]
 
 
