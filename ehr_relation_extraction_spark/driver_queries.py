@@ -2841,6 +2841,12 @@ def q_lateness_audit(spark, sf_dir) -> DataFrame:
         spark.read.parquet(f"{sf_dir}/events.parquet"))
 
 
+def q_zonemap_pruning(spark, sf_dir) -> DataFrame:
+    """Zone-map pruning audit over cumsum-packed files
+    (functions/textstats.zonemap_pruning)."""
+    return ts.zonemap_pruning(_docs(spark, sf_dir))
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # ORDER IS LOAD-BEARING: the driver snapshot verifies exactly
     # list(QUERIES)[:50] in insertion order (pinned by
@@ -3375,6 +3381,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # Continuation batch 147: Z-order layout audit — appended past
     # position 50.
     "zorder_locality": q_zorder_locality,
+    # Continuation batch 148: zone-map pruning audit — appended past
+    # position 50.
+    "zonemap_pruning": q_zonemap_pruning,
 }
 
 

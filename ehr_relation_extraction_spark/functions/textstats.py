@@ -2489,3 +2489,82 @@ def casing_profile(docs: DataFrame) -> DataFrame:
                 .cast("long").alias("all_caps_micro6"),
                 F.expr("(1000000 * n_digit) div n_tokens")
                 .cast("long").alias("digit_micro6")))
+
+
+def zonemap_pruning(docs: DataFrame, capacity: int = 8000) -> DataFrame:
+    """Zone-map (min/max file statistics) pruning audit — the Iceberg
+    /Parquet scan-planning question: with the corpus clustered on
+    (lang, doc_id) and packed into files by a running character-count
+    capacity, how many files can each canned predicate skip on
+    min/max stats alone, and what is the resulting scan
+    amplification?
+
+    file_id = exclusive-running-sum(n_chars) DIV capacity over the
+    (lang, doc_id) order; per file the zone map is (min/max n_chars,
+    min/max lang).  For each predicate: files whose zone map PROVES
+    no row matches are skipped; every row in a surviving file is
+    scanned.  scan_amp_micro6 = 10^6 * rows_scanned / rows_matched
+    (0 when nothing matches).  All integer / string-ordinal
+    arithmetic — exact in any engine.
+
+    Scale shape: the running sum is NOT a one-partition window over
+    the corpus — lang is a bounded key (handful of values), so the
+    global exclusive cumsum = (broadcast per-lang char-total offset)
+    + within-lang window.  The per-file zone-map table is file-count
+    sized; the predicate fan-out is a literal explode over it.
+    """
+    per_lang = (docs.groupBy("lang")
+                .agg(F.sum("n_chars").alias("_tot")))
+    off = per_lang.withColumn(
+        "_off",
+        F.coalesce(
+            F.sum("_tot").over(
+                Window.orderBy("lang")
+                .rowsBetween(Window.unboundedPreceding, -1)),
+            F.lit(0))).drop("_tot")
+    w = (Window.partitionBy("lang").orderBy("doc_id")
+         .rowsBetween(Window.unboundedPreceding, -1))
+    packed = (docs.select("doc_id", "lang", "n_chars")
+              .join(F.broadcast(off), "lang")
+              .withColumn("_cum",
+                          F.col("_off")
+                          + F.coalesce(F.sum("n_chars").over(w),
+                                       F.lit(0)))
+              .withColumn("file_id",
+                          F.expr(f"_cum div {int(capacity)}")))
+    zones = packed.groupBy("file_id").agg(
+        F.count(F.lit(1)).alias("_rows"),
+        F.min("n_chars").alias("_min_n"),
+        F.max("n_chars").alias("_max_n"),
+        F.min("lang").alias("_min_l"),
+        F.max("lang").alias("_max_l"),
+        F.sum((F.col("n_chars") >= 400).cast("long")).alias("_m1"),
+        F.sum((F.col("lang") == "en").cast("long")).alias("_m2"),
+        F.sum((F.col("n_chars") < 60).cast("long")).alias("_m3"))
+    # predicate catalog: (id, zone-map survives?, matched rows)
+    preds = [
+        ("n_chars>=400", F.col("_max_n") >= 400, F.col("_m1")),
+        ("lang=en", (F.col("_min_l") <= "en") & (F.col("_max_l") >= "en"),
+         F.col("_m2")),
+        ("n_chars<60", F.col("_min_n") < 60, F.col("_m3")),
+    ]
+    fan = zones.select(
+        "_rows",
+        F.explode(F.array(*[
+            F.struct(F.lit(pid).alias("pred"),
+                     surv.cast("int").alias("_surv"),
+                     m.alias("_match"))
+            for pid, surv, m in preds])).alias("p")) \
+        .select("_rows", "p.pred", "p._surv", "p._match")
+    return (fan.groupBy("pred").agg(
+        F.count(F.lit(1)).cast("long").alias("n_files"),
+        F.sum(1 - F.col("_surv")).cast("long").alias("files_skipped"),
+        F.sum(F.col("_rows") * F.col("_surv")).cast("long")
+        .alias("rows_scanned"),
+        F.sum("_match").cast("long").alias("rows_matched"))
+        .withColumn(
+            "scan_amp_micro6",
+            F.when(F.col("rows_matched") > 0,
+                   F.expr("(1000000 * rows_scanned)"
+                          " div rows_matched"))
+            .otherwise(F.lit(0)).cast("long")))

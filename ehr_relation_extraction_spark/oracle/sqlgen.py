@@ -9366,3 +9366,46 @@ SELECT db AS day_bucket,
        CAST(MAX(z_file) - MIN(z_file) + 1 AS BIGINT) AS z_span,
        CAST(MAX(lex_file) - MIN(lex_file) + 1 AS BIGINT) AS lex_span
 FROM zl_files GROUP BY 1"""
+
+
+# ---------------------------------------------------------------------------
+# Continuation batch 148: zone-map pruning audit — cumsum file packing
+# on the (lang, doc_id) clustering, per-file min/max stats, canned
+# predicate skip counts (functions/textstats.zonemap_pruning).
+
+ORACLE["zonemap_pruning"] = """
+WITH zp_packed AS (
+  SELECT doc_id, lang, n_chars,
+         COALESCE(SUM(n_chars) OVER (ORDER BY lang, doc_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+           // 8000 AS file_id
+  FROM documents),
+zp_zones AS (
+  SELECT file_id, COUNT(*) AS n_rows,
+         MIN(n_chars) AS min_n, MAX(n_chars) AS max_n,
+         MIN(lang) AS min_l, MAX(lang) AS max_l,
+         SUM(CASE WHEN n_chars >= 400 THEN 1 ELSE 0 END) AS m1,
+         SUM(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS m2,
+         SUM(CASE WHEN n_chars < 60 THEN 1 ELSE 0 END) AS m3
+  FROM zp_packed GROUP BY 1),
+zp_fan AS (
+  SELECT 'n_chars>=400' AS pred,
+         CASE WHEN max_n >= 400 THEN 1 ELSE 0 END AS surv,
+         n_rows, m1 AS matched FROM zp_zones
+  UNION ALL
+  SELECT 'lang=en',
+         CASE WHEN min_l <= 'en' AND max_l >= 'en' THEN 1 ELSE 0 END,
+         n_rows, m2 FROM zp_zones
+  UNION ALL
+  SELECT 'n_chars<60',
+         CASE WHEN min_n < 60 THEN 1 ELSE 0 END,
+         n_rows, m3 FROM zp_zones)
+SELECT pred,
+       CAST(COUNT(*) AS BIGINT) AS n_files,
+       CAST(SUM(1 - surv) AS BIGINT) AS files_skipped,
+       CAST(SUM(n_rows * surv) AS BIGINT) AS rows_scanned,
+       CAST(SUM(matched) AS BIGINT) AS rows_matched,
+       CAST(CASE WHEN SUM(matched) > 0
+            THEN (1000000 * SUM(n_rows * surv)) // SUM(matched)
+            ELSE 0 END AS BIGINT) AS scan_amp_micro6
+FROM zp_fan GROUP BY 1"""

@@ -487,6 +487,8 @@ EXPECTED_TAIL = [
     "lateness_audit",
     # Continuation batch 147
     "zorder_locality",
+    # Continuation batch 148
+    "zonemap_pruning",
 ]
 
 
