@@ -2847,6 +2847,15 @@ def q_zonemap_pruning(spark, sf_dir) -> DataFrame:
     return ts.zonemap_pruning(_docs(spark, sf_dir))
 
 
+def q_peak_prominence(spark, sf_dir) -> DataFrame:
+    """Topographic prominence of daily-count peaks per event type
+    (operators/events.peak_prominence)."""
+    from .operators.events import peak_prominence
+
+    return peak_prominence(
+        spark.read.parquet(f"{sf_dir}/events.parquet"))
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # ORDER IS LOAD-BEARING: the driver snapshot verifies exactly
     # list(QUERIES)[:50] in insertion order (pinned by
@@ -3384,6 +3393,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # Continuation batch 148: zone-map pruning audit — appended past
     # position 50.
     "zonemap_pruning": q_zonemap_pruning,
+    # Continuation batch 149: peak prominence — appended past
+    # position 50.
+    "peak_prominence": q_peak_prominence,
 }
 
 

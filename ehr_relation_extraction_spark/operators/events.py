@@ -981,3 +981,73 @@ def zorder_locality(events: DataFrame,
         .alias("lex_span"))
         .select(F.col("db").alias("day_bucket"), "n_events",
                 "z_files", "lex_files", "z_span", "lex_span"))
+
+
+def peak_prominence(events: DataFrame) -> DataFrame:
+    """Topographic prominence of local maxima in the per-type daily
+    count series — the burst-triage statistic: a spike's height
+    relative to the KEY COL (the highest saddle separating it from
+    higher terrain), not relative to zero, so a wiggle on a plateau
+    ranks below a genuine burst of the same absolute height.
+
+    Series = observed days per event_type in day order, v = daily
+    count, idx = 0-based position.  A peak is strictly higher than
+    both sequence neighbors.  On each side, the col is MIN(v) between
+    the peak and the NEAREST STRICTLY HIGHER value (or over the whole
+    side when no higher value exists); saddle = MAX(left col, right
+    col); prominence = v - saddle.  All integers — exact in any
+    engine.
+
+    Output: (event_type, day_idx, peak_v, saddle_v, prominence).
+
+    Scale shape: everything is keyed by event_type, and the per-type
+    series length is CALENDAR-bounded (days, not corpus size), so
+    the two O(len^2) within-type self-joins cost O(types x days^2)
+    — independent of event volume; the corpus itself sees only the
+    one (type, day) roll-up shuffle.
+    """
+    day = F.expr("unix_micros(cast(ts as timestamp)) div 86400000000")
+    daily = (events.select(F.col("event_type").alias("etype"),
+                           day.alias("_day"))
+             .groupBy("etype", "_day")
+             .agg(F.count(F.lit(1)).alias("v")))
+    w = Window.partitionBy("etype").orderBy("_day")
+    ser = (daily.withColumn("idx", F.row_number().over(w) - 1)
+           .withColumn("_pv", F.lag("v").over(w))
+           .withColumn("_nv", F.lead("v").over(w))
+           .persist())
+    peaks = (ser.where((F.col("v") > F.col("_pv"))
+                       & (F.col("v") > F.col("_nv")))
+             .select("etype", F.col("idx").alias("pidx"),
+                     F.col("v").alias("peak_v")))
+    other = ser.select("etype", F.col("idx").alias("oidx"),
+                       F.col("v").alias("ov"))
+
+    def _side(name, left):
+        cond = (F.col("oidx") < F.col("pidx") if left
+                else F.col("oidx") > F.col("pidx"))
+        j = peaks.join(other, "etype").where(cond)
+        # nearest strictly-higher index on this side (null if none)
+        agg = F.max if left else F.min
+        bound = (j.where(F.col("ov") > F.col("peak_v"))
+                 .groupBy("etype", "pidx")
+                 .agg(agg("oidx").alias(f"_b_{name}")))
+        withb = j.join(bound, ["etype", "pidx"], "left")
+        inner = (F.col("oidx") > F.col(f"_b_{name}") if left
+                 else F.col("oidx") < F.col(f"_b_{name}"))
+        return (withb.where(F.col(f"_b_{name}").isNull() | inner)
+                .groupBy("etype", "pidx")
+                .agg(F.min("ov").alias(f"col_{name}")))
+
+    lcol = _side("l", True)
+    rcol = _side("r", False)
+    return (peaks.join(lcol, ["etype", "pidx"])
+            .join(rcol, ["etype", "pidx"])
+            .select(F.col("etype").alias("event_type"),
+                    F.col("pidx").cast("long").alias("day_idx"),
+                    F.col("peak_v").cast("long"),
+                    F.greatest("col_l", "col_r").cast("long")
+                    .alias("saddle_v"),
+                    (F.col("peak_v")
+                     - F.greatest("col_l", "col_r")).cast("long")
+                    .alias("prominence")))

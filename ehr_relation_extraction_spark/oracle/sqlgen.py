@@ -9409,3 +9409,57 @@ SELECT pred,
             THEN (1000000 * SUM(n_rows * surv)) // SUM(matched)
             ELSE 0 END AS BIGINT) AS scan_amp_micro6
 FROM zp_fan GROUP BY 1"""
+
+
+# ---------------------------------------------------------------------------
+# Continuation batch 149: topographic peak prominence over per-type
+# daily series — nearest-higher bounds + between-mins cols
+# (operators/events.peak_prominence).
+
+ORACLE["peak_prominence"] = """
+WITH pp_daily AS (
+  SELECT event_type AS etype,
+         epoch_us(ts) // 86400000000 AS day,
+         COUNT(*) AS v
+  FROM events GROUP BY 1, 2),
+pp_ser AS MATERIALIZED (
+  SELECT etype, v,
+         ROW_NUMBER() OVER (PARTITION BY etype ORDER BY day) - 1
+           AS idx,
+         LAG(v) OVER (PARTITION BY etype ORDER BY day) AS pv,
+         LEAD(v) OVER (PARTITION BY etype ORDER BY day) AS nv
+  FROM pp_daily),
+pp_peaks AS MATERIALIZED (
+  SELECT etype, idx AS pidx, v AS peak_v FROM pp_ser
+  WHERE v > pv AND v > nv),
+pp_lb AS (
+  SELECT p.etype, p.pidx, MAX(o.idx) AS b
+  FROM pp_peaks p JOIN pp_ser o ON o.etype = p.etype
+  WHERE o.idx < p.pidx AND o.v > p.peak_v GROUP BY 1, 2),
+pp_lcol AS (
+  SELECT p.etype, p.pidx, MIN(o.v) AS col_l
+  FROM pp_peaks p
+  JOIN pp_ser o ON o.etype = p.etype AND o.idx < p.pidx
+  LEFT JOIN pp_lb b ON b.etype = p.etype AND b.pidx = p.pidx
+  WHERE b.b IS NULL OR o.idx > b.b
+  GROUP BY 1, 2),
+pp_rb AS (
+  SELECT p.etype, p.pidx, MIN(o.idx) AS b
+  FROM pp_peaks p JOIN pp_ser o ON o.etype = p.etype
+  WHERE o.idx > p.pidx AND o.v > p.peak_v GROUP BY 1, 2),
+pp_rcol AS (
+  SELECT p.etype, p.pidx, MIN(o.v) AS col_r
+  FROM pp_peaks p
+  JOIN pp_ser o ON o.etype = p.etype AND o.idx > p.pidx
+  LEFT JOIN pp_rb b ON b.etype = p.etype AND b.pidx = p.pidx
+  WHERE b.b IS NULL OR o.idx < b.b
+  GROUP BY 1, 2)
+SELECT p.etype AS event_type,
+       CAST(p.pidx AS BIGINT) AS day_idx,
+       CAST(p.peak_v AS BIGINT) AS peak_v,
+       CAST(GREATEST(l.col_l, r.col_r) AS BIGINT) AS saddle_v,
+       CAST(p.peak_v - GREATEST(l.col_l, r.col_r) AS BIGINT)
+         AS prominence
+FROM pp_peaks p
+JOIN pp_lcol l ON l.etype = p.etype AND l.pidx = p.pidx
+JOIN pp_rcol r ON r.etype = p.etype AND r.pidx = p.pidx"""

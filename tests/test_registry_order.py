@@ -489,6 +489,8 @@ EXPECTED_TAIL = [
     "zorder_locality",
     # Continuation batch 148
     "zonemap_pruning",
+    # Continuation batch 149
+    "peak_prominence",
 ]
 
 
