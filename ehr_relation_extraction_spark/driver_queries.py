@@ -2856,6 +2856,15 @@ def q_peak_prominence(spark, sf_dir) -> DataFrame:
         spark.read.parquet(f"{sf_dir}/events.parquet"))
 
 
+def q_runs_test(spark, sf_dir) -> DataFrame:
+    """Wald-Wolfowitz runs test of daily counts vs the per-type
+    lower median (operators/events.runs_test)."""
+    from .operators.events import runs_test
+
+    return runs_test(
+        spark.read.parquet(f"{sf_dir}/events.parquet"))
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # ORDER IS LOAD-BEARING: the driver snapshot verifies exactly
     # list(QUERIES)[:50] in insertion order (pinned by
@@ -3396,6 +3405,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # Continuation batch 149: peak prominence — appended past
     # position 50.
     "peak_prominence": q_peak_prominence,
+    # Continuation batch 150: Wald-Wolfowitz runs test — appended
+    # past position 50.
+    "runs_test": q_runs_test,
 }
 
 

@@ -1051,3 +1051,63 @@ def peak_prominence(events: DataFrame) -> DataFrame:
                     (F.col("peak_v")
                      - F.greatest("col_l", "col_r")).cast("long")
                     .alias("prominence")))
+
+
+def runs_test(events: DataFrame) -> DataFrame:
+    """Wald-Wolfowitz runs test per event type: is the daily-count
+    series randomly ordered around its median, or does it clump
+    (trend / regime persistence)?  Too FEW runs = sticky regimes,
+    too MANY = oscillation — the randomness sanity check behind the
+    Mann-Kendall / CUSUM drift monitors.
+
+    Per type: med = the LOWER MEDIAN of daily counts (the
+    ceil(n/2)-th smallest — integer-deterministic, no averaging);
+    days with v == med are dropped (the classical treatment); sign =
+    v > med; n_runs = maximal same-sign blocks in day order.  The
+    null moments are emitted as exact integer-division micro6
+    rationals of n1, n2: E[R] = 1 + 2*n1*n2/n and Var[R] =
+    2*n1*n2*(2*n1*n2 - n)/(n^2*(n-1)) with n = n1+n2.
+
+    Output: (event_type, n1, n2, n_runs, exp_runs_micro6,
+    var_runs_micro6).
+
+    Scale shape: one (type, day) roll-up shuffle; everything after
+    runs per-type over CALENDAR-bounded series (two keyed windows,
+    one keyed aggregate) — independent of event volume.
+    """
+    day = F.expr("unix_micros(cast(ts as timestamp)) div 86400000000")
+    daily = (events.select(F.col("event_type").alias("etype"),
+                           day.alias("_day"))
+             .groupBy("etype", "_day")
+             .agg(F.count(F.lit(1)).alias("v")))
+    wv = Window.partitionBy("etype").orderBy("v", "_day")
+    wn = Window.partitionBy("etype")
+    med = (daily.withColumn("_rn", F.row_number().over(wv))
+           .withColumn("_n", F.count(F.lit(1)).over(wn))
+           .where(F.col("_rn") == F.expr("(_n + 1) div 2"))
+           .select("etype", F.col("v").alias("_med")))
+    signed = (daily.join(F.broadcast(med), "etype")
+              .where(F.col("v") != F.col("_med"))
+              .withColumn("_sgn", (F.col("v") > F.col("_med"))
+                          .cast("int")))
+    wd = Window.partitionBy("etype").orderBy("_day")
+    runs = (signed.withColumn("_chg",
+                              (F.col("_sgn")
+                               != F.coalesce(F.lag("_sgn").over(wd),
+                                             F.col("_sgn") + 10))
+                              .cast("int"))
+            .groupBy("etype")
+            .agg(F.sum((F.col("_sgn") == 1).cast("long")).alias("n1"),
+                 F.sum((F.col("_sgn") == 0).cast("long")).alias("n2"),
+                 F.sum("_chg").cast("long").alias("n_runs")))
+    # n1 + n2 >= 2 guards the n and n*(n-1) divisors; a type whose
+    # counts are all equal to its median has no testable sequence
+    return (runs.where(F.col("n1") + F.col("n2") >= 2).select(
+        F.col("etype").alias("event_type"),
+        "n1", "n2", "n_runs",
+        (F.lit(1000000) + F.expr(
+            "(2000000 * n1 * n2) div (n1 + n2)")).cast("long")
+        .alias("exp_runs_micro6"),
+        F.expr("(1000000 * 2 * n1 * n2 * (2 * n1 * n2 - n1 - n2))"
+               " div ((n1 + n2) * (n1 + n2) * (n1 + n2 - 1))")
+        .cast("long").alias("var_runs_micro6")))

@@ -9463,3 +9463,48 @@ SELECT p.etype AS event_type,
 FROM pp_peaks p
 JOIN pp_lcol l ON l.etype = p.etype AND l.pidx = p.pidx
 JOIN pp_rcol r ON r.etype = p.etype AND r.pidx = p.pidx"""
+
+
+# ---------------------------------------------------------------------------
+# Continuation batch 150: Wald-Wolfowitz runs test vs the per-type
+# lower-median daily count (operators/events.runs_test).
+
+ORACLE["runs_test"] = """
+WITH rt_daily AS MATERIALIZED (
+  SELECT event_type AS etype,
+         epoch_us(ts) // 86400000000 AS day,
+         COUNT(*) AS v
+  FROM events GROUP BY 1, 2),
+rt_med AS (
+  SELECT etype, v AS med FROM (
+    SELECT etype, v,
+           ROW_NUMBER() OVER (PARTITION BY etype ORDER BY v, day)
+             AS rn,
+           COUNT(*) OVER (PARTITION BY etype) AS n
+    FROM rt_daily)
+  WHERE rn = (n + 1) // 2),
+rt_signed AS (
+  SELECT d.etype, d.day,
+         CASE WHEN d.v > m.med THEN 1 ELSE 0 END AS sgn
+  FROM rt_daily d JOIN rt_med m ON m.etype = d.etype
+  WHERE d.v <> m.med),
+rt_chg AS (
+  SELECT etype, sgn,
+         CASE WHEN sgn IS DISTINCT FROM
+              LAG(sgn) OVER (PARTITION BY etype ORDER BY day)
+         THEN 1 ELSE 0 END AS chg
+  FROM rt_signed),
+rt_runs AS (
+  SELECT etype, SUM(sgn) AS n1, SUM(1 - sgn) AS n2,
+         SUM(chg) AS n_runs
+  FROM rt_chg GROUP BY etype)
+SELECT etype AS event_type,
+       CAST(n1 AS BIGINT) AS n1,
+       CAST(n2 AS BIGINT) AS n2,
+       CAST(n_runs AS BIGINT) AS n_runs,
+       CAST(1000000 + (2000000 * n1 * n2) // (n1 + n2) AS BIGINT)
+         AS exp_runs_micro6,
+       CAST((1000000 * 2 * n1 * n2 * (2 * n1 * n2 - n1 - n2))
+            // ((n1 + n2) * (n1 + n2) * (n1 + n2 - 1)) AS BIGINT)
+         AS var_runs_micro6
+FROM rt_runs WHERE n1 + n2 >= 2"""

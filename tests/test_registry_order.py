@@ -491,6 +491,8 @@ EXPECTED_TAIL = [
     "zonemap_pruning",
     # Continuation batch 149
     "peak_prominence",
+    # Continuation batch 150
+    "runs_test",
 ]
 
 
