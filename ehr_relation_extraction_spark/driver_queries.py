@@ -2865,6 +2865,12 @@ def q_runs_test(spark, sf_dir) -> DataFrame:
         spark.read.parquet(f"{sf_dir}/events.parquet"))
 
 
+def q_mcnemar_gates(spark, sf_dir) -> DataFrame:
+    """McNemar paired test between the length and stopword curation
+    gates per language (functions/textstats.mcnemar_gates)."""
+    return ts.mcnemar_gates(_docs(spark, sf_dir))
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # ORDER IS LOAD-BEARING: the driver snapshot verifies exactly
     # list(QUERIES)[:50] in insertion order (pinned by
@@ -3408,6 +3414,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # Continuation batch 150: Wald-Wolfowitz runs test — appended
     # past position 50.
     "runs_test": q_runs_test,
+    # Continuation batch 151: McNemar paired-gate check — appended
+    # past position 50.
+    "mcnemar_gates": q_mcnemar_gates,
 }
 
 

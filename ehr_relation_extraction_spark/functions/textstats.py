@@ -2568,3 +2568,47 @@ def zonemap_pruning(docs: DataFrame, capacity: int = 8000) -> DataFrame:
                    F.expr("(1000000 * rows_scanned)"
                           " div rows_matched"))
             .otherwise(F.lit(0)).cast("long")))
+
+
+def mcnemar_gates(docs: DataFrame) -> DataFrame:
+    """McNemar marginal-homogeneity check between the two cheap
+    curation gates on the SAME paired documents: the length gate
+    (n_chars >= 200) vs the stopword-profile gate (20 * n_stopwords
+    >= n_tokens, lang_id's 'looks-English' rule).  Accuracy-style
+    comparisons of two filters on shared data need the PAIRED test —
+    only the discordant cells (one gate passes, the other rejects)
+    carry information; mcnemar = (n10 - n01)^2 / (n10 + n01).
+
+    Per language: (lang, n11, n10, n01, n00, mcnemar_micro6) with
+    mcnemar_micro6 = floor(1e6 * (n10-n01)^2 / (n10+n01)), 0 when
+    the gates never disagree.  Pure integer arithmetic.
+
+    Scale shape: one narrow map over the corpus (both gates are
+    per-row array expressions — same token pipeline as
+    quality_features, inlined so no corpus self-join is needed) and
+    one bounded groupBy(lang) — no joins, no window.
+    """
+    toks = _toks()
+    stop = F.array(*[F.lit(s) for s in STOPWORDS])
+    n_tokens = F.size(toks)
+    n_stop = F.size(F.filter(toks,
+                             lambda t: F.array_contains(stop,
+                                                        F.lower(t))))
+    gated = (docs.select(
+        "lang",
+        (F.length("text") >= 200).cast("int").alias("_a"),
+        (F.lit(20) * n_stop >= n_tokens).cast("int").alias("_b")))
+    agg = gated.groupBy("lang").agg(
+        F.sum((F.col("_a") * F.col("_b"))).cast("long").alias("n11"),
+        F.sum((F.col("_a") * (1 - F.col("_b")))).cast("long")
+        .alias("n10"),
+        F.sum(((1 - F.col("_a")) * F.col("_b"))).cast("long")
+        .alias("n01"),
+        F.sum(((1 - F.col("_a")) * (1 - F.col("_b")))).cast("long")
+        .alias("n00"))
+    return agg.withColumn(
+        "mcnemar_micro6",
+        F.when(F.col("n10") + F.col("n01") > 0,
+               F.expr("(1000000 * (n10 - n01) * (n10 - n01))"
+                      " div (n10 + n01)"))
+        .otherwise(F.lit(0)).cast("long"))

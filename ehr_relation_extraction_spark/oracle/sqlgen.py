@@ -9508,3 +9508,39 @@ SELECT etype AS event_type,
             // ((n1 + n2) * (n1 + n2) * (n1 + n2 - 1)) AS BIGINT)
          AS var_runs_micro6
 FROM rt_runs WHERE n1 + n2 >= 2"""
+
+
+# ---------------------------------------------------------------------------
+# Continuation batch 151: McNemar paired-gate disagreement — length
+# gate vs stopword-profile gate per language
+# (functions/textstats.mcnemar_gates).
+
+ORACLE["mcnemar_gates"] = f"""
+WITH mg_toks AS (
+  SELECT doc_id,
+         unnest(string_split_regex(text, '{SEP_CLASS}')) AS tok
+  FROM documents),
+mg_counts AS (
+  SELECT doc_id, COUNT(*) AS n_tokens,
+         SUM(CASE WHEN lower(tok) IN ({_STOP_IN}) THEN 1 ELSE 0 END)
+           AS n_stop
+  FROM mg_toks WHERE tok <> '' GROUP BY 1),
+mg_gated AS (
+  SELECT d.lang,
+         CASE WHEN length(d.text) >= 200 THEN 1 ELSE 0 END AS a,
+         CASE WHEN 20 * COALESCE(c.n_stop, 0)
+                   >= COALESCE(c.n_tokens, 0)
+              THEN 1 ELSE 0 END AS b
+  FROM documents d LEFT JOIN mg_counts c ON c.doc_id = d.doc_id),
+mg_cells AS (
+  SELECT lang,
+         SUM(a * b) AS n11, SUM(a * (1 - b)) AS n10,
+         SUM((1 - a) * b) AS n01, SUM((1 - a) * (1 - b)) AS n00
+  FROM mg_gated GROUP BY 1)
+SELECT lang,
+       CAST(n11 AS BIGINT) AS n11, CAST(n10 AS BIGINT) AS n10,
+       CAST(n01 AS BIGINT) AS n01, CAST(n00 AS BIGINT) AS n00,
+       CAST(CASE WHEN n10 + n01 > 0
+            THEN (1000000 * (n10 - n01) * (n10 - n01)) // (n10 + n01)
+            ELSE 0 END AS BIGINT) AS mcnemar_micro6
+FROM mg_cells"""

@@ -493,6 +493,8 @@ EXPECTED_TAIL = [
     "peak_prominence",
     # Continuation batch 150
     "runs_test",
+    # Continuation batch 151
+    "mcnemar_gates",
 ]
 
 
