@@ -2871,6 +2871,12 @@ def q_mcnemar_gates(spark, sf_dir) -> DataFrame:
     return ts.mcnemar_gates(_docs(spark, sf_dir))
 
 
+def q_mcc_scores(spark, sf_dir) -> DataFrame:
+    """Matthews correlation for the lang_id English detector, exact
+    integer decomposition (functions/textstats.mcc_scores)."""
+    return ts.mcc_scores(_docs(spark, sf_dir))
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # ORDER IS LOAD-BEARING: the driver snapshot verifies exactly
     # list(QUERIES)[:50] in insertion order (pinned by
@@ -3417,6 +3423,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # Continuation batch 151: McNemar paired-gate check — appended
     # past position 50.
     "mcnemar_gates": q_mcnemar_gates,
+    # Continuation batch 152: Matthews correlation — appended past
+    # position 50.
+    "mcc_scores": q_mcc_scores,
 }
 
 

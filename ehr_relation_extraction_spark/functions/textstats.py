@@ -2612,3 +2612,67 @@ def mcnemar_gates(docs: DataFrame) -> DataFrame:
                F.expr("(1000000 * (n10 - n01) * (n10 - n01))"
                       " div (n10 + n01)"))
         .otherwise(F.lit(0)).cast("long"))
+
+
+def mcc_scores(docs: DataFrame) -> DataFrame:
+    """Matthews correlation coefficient for the lang_id heuristic as
+    a BINARY detector of English ('en' = positive) — the
+    chance-robust single-number complement to langid_kappa: unlike
+    accuracy or F1, MCC only rewards doing well on BOTH classes,
+    which matters when one language dominates the crawl.
+
+    MCC = (TP*TN - FP*FN) / sqrt((TP+FP)(TP+FN)(TN+FP)(TN+FN)) is
+    irrational, so it is emitted in exact integer pieces: mcc_num =
+    TP*TN - FP*FN, mcc_den2 = the four-margin product, mcc_sign,
+    and mcc2_micro6 = floor(1e6 * num^2 / den2) (0 when any margin
+    is empty — the conventional MCC=0 degenerate case).
+
+    Output: one row (tp, fp, fn, tn, mcc_num, mcc_den2, mcc_sign,
+    mcc2_micro6).  The raw num/den2 decomposition is BIGINT-exact to
+    ~50k docs; mcc2_micro6 itself is computed in DECIMAL(38,0)
+    (DuckDB HUGEINT) so the quotient stays exact far beyond that —
+    at full crawl scale, evaluate on the held-out split (the only
+    place gold lang labels exist anyway).
+
+    Scale shape: one narrow map over the corpus + one global 4-cell
+    aggregate — no joins, no window (lang_id's stopword features are
+    inlined per row).
+    """
+    toks = _toks()
+    stop = F.array(*[F.lit(s) for s in STOPWORDS])
+    pred_en = (F.lit(20)
+               * F.size(F.filter(toks,
+                                 lambda t: F.array_contains(
+                                     stop, F.lower(t))))
+               >= F.size(toks)).cast("int")
+    gold_en = (F.col("lang") == "en").cast("int")
+    cells = docs.select(pred_en.alias("_p"), gold_en.alias("_g")).agg(
+        F.sum(F.col("_p") * F.col("_g")).cast("long").alias("tp"),
+        F.sum(F.col("_p") * (1 - F.col("_g"))).cast("long")
+        .alias("fp"),
+        F.sum((1 - F.col("_p")) * F.col("_g")).cast("long")
+        .alias("fn"),
+        F.sum((1 - F.col("_p")) * (1 - F.col("_g"))).cast("long")
+        .alias("tn"))
+    return (cells
+            .withColumn("mcc_num",
+                        (F.col("tp") * F.col("tn")
+                         - F.col("fp") * F.col("fn")).cast("long"))
+            .withColumn("mcc_den2",
+                        ((F.col("tp") + F.col("fp"))
+                         * (F.col("tp") + F.col("fn"))
+                         * (F.col("tn") + F.col("fp"))
+                         * (F.col("tn") + F.col("fn"))).cast("long"))
+            .withColumn("mcc_sign",
+                        F.signum("mcc_num").cast("int"))
+            .withColumn("mcc2_micro6",
+                        # 1e6 * num^2 overflows BIGINT once the
+                        # corpus passes ~3k docs — the numerator is
+                        # widened to DECIMAL(38,0) (DuckDB: HUGEINT)
+                        # and only the <=1e6 quotient comes back
+                        F.when(F.col("mcc_den2") > 0,
+                               F.expr(
+                                   "(CAST(1000000 AS DECIMAL(38,0))"
+                                   " * mcc_num * mcc_num)"
+                                   " div mcc_den2"))
+                        .otherwise(F.lit(0)).cast("long")))

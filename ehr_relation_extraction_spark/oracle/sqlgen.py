@@ -9544,3 +9544,43 @@ SELECT lang,
             THEN (1000000 * (n10 - n01) * (n10 - n01)) // (n10 + n01)
             ELSE 0 END AS BIGINT) AS mcnemar_micro6
 FROM mg_cells"""
+
+
+# ---------------------------------------------------------------------------
+# Continuation batch 152: Matthews correlation for the lang_id
+# English detector — exact integer decomposition
+# (functions/textstats.mcc_scores).
+
+ORACLE["mcc_scores"] = f"""
+WITH mc_toks AS (
+  SELECT doc_id,
+         unnest(string_split_regex(text, '{SEP_CLASS}')) AS tok
+  FROM documents),
+mc_counts AS (
+  SELECT doc_id, COUNT(*) AS n_tokens,
+         SUM(CASE WHEN lower(tok) IN ({_STOP_IN}) THEN 1 ELSE 0 END)
+           AS n_stop
+  FROM mc_toks WHERE tok <> '' GROUP BY 1),
+mc_pg AS (
+  SELECT CASE WHEN 20 * COALESCE(c.n_stop, 0)
+                   >= COALESCE(c.n_tokens, 0) THEN 1 ELSE 0 END AS p,
+         CASE WHEN d.lang = 'en' THEN 1 ELSE 0 END AS g
+  FROM documents d LEFT JOIN mc_counts c ON c.doc_id = d.doc_id),
+mc_cells AS (
+  SELECT CAST(SUM(p * g) AS BIGINT) AS tp,
+         CAST(SUM(p * (1 - g)) AS BIGINT) AS fp,
+         CAST(SUM((1 - p) * g) AS BIGINT) AS fn,
+         CAST(SUM((1 - p) * (1 - g)) AS BIGINT) AS tn
+  FROM mc_pg)
+SELECT tp, fp, fn, tn,
+       CAST(tp * tn - fp * fn AS BIGINT) AS mcc_num,
+       CAST((tp + fp) * (tp + fn) * (tn + fp) * (tn + fn) AS BIGINT)
+         AS mcc_den2,
+       CAST(SIGN(tp * tn - fp * fn) AS INT) AS mcc_sign,
+       CAST(CASE WHEN (tp + fp) * (tp + fn) * (tn + fp) * (tn + fn)
+                      > 0
+            THEN (CAST(1000000 AS HUGEINT)
+                  * (tp * tn - fp * fn) * (tp * tn - fp * fn))
+                 // ((tp + fp) * (tp + fn) * (tn + fp) * (tn + fn))
+            ELSE 0 END AS BIGINT) AS mcc2_micro6
+FROM mc_cells"""

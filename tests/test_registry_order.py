@@ -495,6 +495,8 @@ EXPECTED_TAIL = [
     "runs_test",
     # Continuation batch 151
     "mcnemar_gates",
+    # Continuation batch 152
+    "mcc_scores",
 ]
 
 
