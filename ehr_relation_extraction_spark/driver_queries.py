@@ -2877,6 +2877,12 @@ def q_mcc_scores(spark, sf_dir) -> DataFrame:
     return ts.mcc_scores(_docs(spark, sf_dir))
 
 
+def q_l_diversity(spark, sf_dir) -> DataFrame:
+    """l-diversity + t-closeness of the host attribute within
+    (lang, token-decile) classes (functions/textstats.l_diversity)."""
+    return ts.l_diversity(_docs(spark, sf_dir))
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # ORDER IS LOAD-BEARING: the driver snapshot verifies exactly
     # list(QUERIES)[:50] in insertion order (pinned by
@@ -3426,6 +3432,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # Continuation batch 152: Matthews correlation — appended past
     # position 50.
     "mcc_scores": q_mcc_scores,
+    # Continuation batch 153: l-diversity / t-closeness — appended
+    # past position 50.
+    "l_diversity": q_l_diversity,
 }
 
 

@@ -2676,3 +2676,88 @@ def mcc_scores(docs: DataFrame) -> DataFrame:
                                    " * mcc_num * mcc_num)"
                                    " div mcc_den2"))
                         .otherwise(F.lit(0)).cast("long")))
+
+
+def l_diversity(docs: DataFrame, l_values=(2, 3, 5)) -> DataFrame:
+    """l-diversity + t-closeness audit — the privacy follow-up to
+    k_anonymity: class SIZE alone does not protect a sensitive
+    attribute when everyone in the class shares its value.  Here the
+    released quasi-identifier is (lang, token-count decile) and the
+    sensitive attribute is the HOST (source): can an attacker who
+    knows a document's language and rough length infer where it was
+    crawled from?
+
+    Per equivalence class: distinct-l = COUNT(DISTINCT host); the
+    class violates l when distinct-l < l.  t-closeness is the exact
+    total-variation distance between the class's host distribution
+    and the corpus's: with c_h = class host counts, g_h = global
+    host counts, n = class size, N = corpus size,
+    sum_h |c_h*N - g_h*n| = sum_{h in class}(|c_h*N - g_h*n| -
+    g_h*n) + N*n (absent hosts fold into the closed form), and
+    tvd_micro6 = floor(1e6 * sum / (2*n*N)) — pure integers.
+
+    Output, one row per l: (l, n_classes, n_violating_classes,
+    n_exposed_docs, exposed_share_micro6, max_tvd_micro6) —
+    max_tvd_micro6 is l-independent and repeated for convenience.
+
+    Scale shape: one corpus scan to token counts, the bounded
+    distinct-value decile window, one (lang, bucket, host) hash
+    aggregate, a broadcast join against the bounded global host
+    table, then bounded-size class math — the corpus is touched
+    once.
+    """
+    n_tok = docs.select(
+        "doc_id", F.col("source").alias("host"), "lang",
+        F.size(_toks()).cast("long").alias("_n"))
+    vals = (n_tok.groupBy("_n").agg(F.count(F.lit(1)).alias("_c"))
+            .withColumn("_cum", F.sum("_c").over(
+                Window.orderBy("_n").rowsBetween(
+                    Window.unboundedPreceding, -1)))
+            .withColumn("_tot", F.sum("_c").over(
+                Window.rowsBetween(Window.unboundedPreceding,
+                                   Window.unboundedFollowing)))
+            .select("_n", F.expr("(coalesce(_cum, 0) * 10) div _tot")
+                    .cast("int").alias("_bucket")))
+    bucketed = n_tok.join(vals, "_n")
+    cells = (bucketed.groupBy("lang", "_bucket", "host")
+             .agg(F.count(F.lit(1)).cast("long").alias("_ch")))
+    ghost = (bucketed.groupBy("host")
+             .agg(F.count(F.lit(1)).cast("long").alias("_gh")))
+    # corpus total as a lazy 1-row broadcast scalar (the
+    # trending_entities dangling-mass idiom) — keeps the builder
+    # fully lazy; the resulting 1-row BNLJ is plan-lint allowlisted
+    total = ghost.agg(F.sum("_gh").cast("long").alias("_N"))
+    wcls = Window.partitionBy("lang", "_bucket")
+    per_cell = (cells.join(F.broadcast(ghost), "host")
+                .crossJoin(F.broadcast(total))
+                .withColumn("_ncls", F.sum("_ch").over(wcls))
+                .select(
+                    "lang", "_bucket", "_ch", "_N",
+                    (F.abs(F.col("_ch") * F.col("_N")
+                           - F.col("_gh") * F.col("_ncls"))
+                     - F.col("_gh") * F.col("_ncls")).alias("_term")))
+    classes = (per_cell.groupBy("lang", "_bucket", "_N")
+               .agg(F.count(F.lit(1)).cast("long").alias("_ldiv"),
+                    F.sum("_ch").cast("long").alias("_size"),
+                    F.sum("_term").cast("long").alias("_tsum"))
+               .withColumn(
+                   "_tvd",
+                   F.expr("(1000000 * (_tsum + _size * _N))"
+                          " div (2 * _size * _N)")
+                   .cast("long")))
+    fan = classes.select(
+        "_ldiv", "_size", "_tvd",
+        F.explode(F.array(*[F.lit(v) for v in l_values])).alias("l"))
+    return (fan.groupBy("l").agg(
+        F.count(F.lit(1)).cast("long").alias("n_classes"),
+        F.sum((F.col("_ldiv") < F.col("l")).cast("int"))
+        .cast("long").alias("n_violating_classes"),
+        F.sum(F.when(F.col("_ldiv") < F.col("l"), F.col("_size"))
+              .otherwise(0)).cast("long").alias("n_exposed_docs"),
+        F.sum("_size").cast("long").alias("_total"),
+        F.max("_tvd").cast("long").alias("max_tvd_micro6"))
+        .select(F.col("l").cast("int"), "n_classes",
+                "n_violating_classes", "n_exposed_docs",
+                F.expr("(1000000 * n_exposed_docs) div _total")
+                .cast("long").alias("exposed_share_micro6"),
+                "max_tvd_micro6"))

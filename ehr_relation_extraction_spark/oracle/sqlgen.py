@@ -9584,3 +9584,61 @@ SELECT tp, fp, fn, tn,
                  // ((tp + fp) * (tp + fn) * (tn + fp) * (tn + fn))
             ELSE 0 END AS BIGINT) AS mcc2_micro6
 FROM mc_cells"""
+
+
+# ---------------------------------------------------------------------------
+# Continuation batch 153: l-diversity + t-closeness over the
+# (lang, token-decile) release with host as the sensitive attribute
+# (functions/textstats.l_diversity).
+
+ORACLE["l_diversity"] = f"""
+WITH ld_tok AS (
+  SELECT d.doc_id, d.source AS host, d.lang,
+         COALESCE(t.n, 0) AS n
+  FROM documents d LEFT JOIN (
+    SELECT doc_id, COUNT(*) AS n FROM (
+      SELECT doc_id,
+             unnest(string_split_regex(text, '{SEP_CLASS}')) AS tok
+      FROM documents) WHERE tok <> '' GROUP BY doc_id) t
+  ON t.doc_id = d.doc_id),
+ld_vals AS (
+  SELECT n, (COALESCE(SUM(c) OVER (ORDER BY n
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+             * 10) // SUM(c) OVER () AS bucket
+  FROM (SELECT n, COUNT(*) AS c FROM ld_tok GROUP BY 1)),
+ld_b AS MATERIALIZED (
+  SELECT t.host, t.lang, v.bucket
+  FROM ld_tok t JOIN ld_vals v ON v.n = t.n),
+ld_cells AS (
+  SELECT lang, bucket, host, COUNT(*) AS ch
+  FROM ld_b GROUP BY 1, 2, 3),
+ld_ghost AS MATERIALIZED (
+  SELECT host, COUNT(*) AS gh FROM ld_b GROUP BY 1),
+ld_tot AS (SELECT SUM(gh) AS nn FROM ld_ghost),
+ld_per AS (
+  SELECT c.lang, c.bucket, c.ch, t.nn,
+         SUM(c.ch) OVER (PARTITION BY c.lang, c.bucket) AS ncls,
+         g.gh
+  FROM ld_cells c JOIN ld_ghost g ON g.host = c.host, ld_tot t),
+ld_classes AS (
+  SELECT lang, bucket,
+         COUNT(*) AS ldiv, SUM(ch) AS sz,
+         SUM(ABS(ch * nn - gh * ncls) - gh * ncls) AS tsum,
+         MAX(nn) AS nn
+  FROM ld_per GROUP BY 1, 2),
+ld_tvd AS (
+  SELECT ldiv, sz,
+         (1000000 * (tsum + sz * nn)) // (2 * sz * nn) AS tvd
+  FROM ld_classes),
+ld_fan AS (
+  SELECT ldiv, sz, tvd, unnest([2, 3, 5]) AS l FROM ld_tvd)
+SELECT CAST(l AS INT) AS l,
+       CAST(COUNT(*) AS BIGINT) AS n_classes,
+       CAST(SUM(CASE WHEN ldiv < l THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_violating_classes,
+       CAST(SUM(CASE WHEN ldiv < l THEN sz ELSE 0 END) AS BIGINT)
+         AS n_exposed_docs,
+       CAST((1000000 * SUM(CASE WHEN ldiv < l THEN sz ELSE 0 END))
+            // SUM(sz) AS BIGINT) AS exposed_share_micro6,
+       CAST(MAX(tvd) AS BIGINT) AS max_tvd_micro6
+FROM ld_fan GROUP BY 1"""

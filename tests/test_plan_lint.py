@@ -58,6 +58,10 @@ ALLOWED = {
     # 1-row schema-vocabulary count joined as a lazy scalar (the
     # same class as trending_entities' corpus total)
     "kg_completeness": (0, 1),
+    # 1-row corpus-total scalar (sum of the bounded host table)
+    # crossJoined into the t-closeness arithmetic — same class as
+    # trending_entities
+    "l_diversity": (0, 1),
     # same class as community_stats: the 1-row total-edge-count (m)
     # scalar the 4·m·L_c − D_c² decomposition needs
     "modularity": (0, 1),

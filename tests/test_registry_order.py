@@ -497,6 +497,8 @@ EXPECTED_TAIL = [
     "mcnemar_gates",
     # Continuation batch 152
     "mcc_scores",
+    # Continuation batch 153
+    "l_diversity",
 ]
 
 
