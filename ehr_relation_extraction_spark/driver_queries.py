@@ -2883,6 +2883,15 @@ def q_l_diversity(spark, sf_dir) -> DataFrame:
     return ts.l_diversity(_docs(spark, sf_dir))
 
 
+def q_harmonic_centrality(spark, sf_dir) -> DataFrame:
+    """Exact harmonic centrality over the co-mention graph
+    (operators/graph_algos.harmonic_centrality)."""
+    from .operators.graph_algos import harmonic_centrality
+
+    edges, _ = _comention_graph(spark, sf_dir)
+    return harmonic_centrality(edges)
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # ORDER IS LOAD-BEARING: the driver snapshot verifies exactly
     # list(QUERIES)[:50] in insertion order (pinned by
@@ -3435,6 +3444,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # Continuation batch 153: l-diversity / t-closeness — appended
     # past position 50.
     "l_diversity": q_l_diversity,
+    # Continuation batch 154: harmonic centrality — appended past
+    # position 50.
+    "harmonic_centrality": q_harmonic_centrality,
 }
 
 

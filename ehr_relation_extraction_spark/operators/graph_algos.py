@@ -2652,3 +2652,54 @@ def rich_club(edges: DataFrame, ks=(1, 2, 4, 8)) -> DataFrame:
                     F.expr("(2000000 * e_rich)"
                            " div (n_rich * (n_rich - 1))")
                     .cast("long").alias("phi_micro6")))
+
+
+def harmonic_centrality(edges: DataFrame, n_rounds: int = 8) -> DataFrame:
+    """Exact harmonic centrality per node: sum over other reachable
+    nodes of floor(1e6 / d(u, v)) — the disconnected-safe variant of
+    closeness (Boldi-Vigna's preferred centrality, here in its
+    integer-exact per-term-floor form so both engines compute the
+    IDENTICAL number with no rational-sum denominators), plus the raw
+    closeness pieces (n_reached_others, dist_sum) for downstream
+    ratios.
+
+    Same bounded BFS-closure device as graph_eccentricity (min-dist
+    pair states, one equi-join + aggregate per round, localCheckpoint
+    to cut lineage); ``n_rounds`` must cover the true diameter —
+    pinned by the convergence pytest on the driver graph.
+
+    THE SCALE CONTRACT: pair states are O(V^2) — the exact
+    small-graph audit path (entity communities, schema graphs);
+    hyperball / landmark_centrality are the registered approximate
+    production paths for corpus-scale graphs.
+
+    Output: (node, n_reached_others, dist_sum, harmonic_floor6).
+    """
+    und = (edges.select(F.least("src", "dst").alias("a"),
+                        F.greatest("src", "dst").alias("b"))
+           .where(F.col("a") != F.col("b")).dropDuplicates()
+           .localCheckpoint())
+    sym = (und.select(F.col("a").alias("src"), F.col("b").alias("dst"))
+           .unionByName(und.select(F.col("b").alias("src"),
+                                   F.col("a").alias("dst"))))
+    nodes = sym.select(F.col("src").alias("node")).dropDuplicates()
+    state = nodes.select(
+        F.col("node").alias("s"), F.col("node").alias("node"),
+        F.lit(0).cast("int").alias("dist")).localCheckpoint()
+    for _ in range(n_rounds):
+        cand = (state.join(sym, state["node"] == sym["src"])
+                .select("s", F.col("dst").alias("node"),
+                        (F.col("dist") + 1).cast("int").alias("dist")))
+        state = (state.unionByName(cand)
+                 .groupBy("s", "node")
+                 .agg(F.min("dist").cast("int").alias("dist"))
+                 .localCheckpoint())
+    return (state.where(F.col("dist") > 0)
+            .groupBy("s")
+            .agg(F.count(F.lit(1)).cast("long")
+                 .alias("n_reached_others"),
+                 F.sum("dist").cast("long").alias("dist_sum"),
+                 F.sum(F.expr("1000000 div dist")).cast("long")
+                 .alias("harmonic_floor6"))
+            .select(F.col("s").alias("node"), "n_reached_others",
+                    "dist_sum", "harmonic_floor6"))

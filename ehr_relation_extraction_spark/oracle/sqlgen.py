@@ -9642,3 +9642,30 @@ SELECT CAST(l AS INT) AS l,
             // SUM(sz) AS BIGINT) AS exposed_share_micro6,
        CAST(MAX(tvd) AS BIGINT) AS max_tvd_micro6
 FROM ld_fan GROUP BY 1"""
+
+
+# ---------------------------------------------------------------------------
+# Continuation batch 154: exact harmonic centrality over the
+# co-mention graph — per-term-floor 1e6//d summed over reachable
+# others (operators/graph_algos.harmonic_centrality).
+
+ORACLE["harmonic_centrality"] = _q("""
+SELECT s AS node,
+       CAST(COUNT(*) AS BIGINT) AS n_reached_others,
+       CAST(SUM(dist) AS BIGINT) AS dist_sum,
+       CAST(SUM(1000000 // dist) AS BIGINT) AS harmonic_floor6
+FROM hc_pairs WHERE dist > 0 GROUP BY 1""",
+    LINK_CTES, COMENTION_CTES.strip(), """
+hc_und AS MATERIALIZED (
+  SELECT src AS a, dst AS b FROM comention WHERE src <> dst),
+hc_sym AS (SELECT a AS src, b AS dst FROM hc_und
+           UNION SELECT b AS src, a AS dst FROM hc_und),
+hc_reach(s, node, dist) AS (
+  SELECT DISTINCT src AS s, src AS node, 0 AS dist FROM hc_sym
+  UNION
+  SELECT r.s, e.dst AS node, r.dist + 1
+  FROM hc_reach r JOIN hc_sym e ON e.src = r.node
+  WHERE r.dist < 8),
+hc_pairs AS MATERIALIZED (
+  SELECT s, node, CAST(MIN(dist) AS INT) AS dist
+  FROM hc_reach GROUP BY 1, 2)""")

@@ -499,6 +499,8 @@ EXPECTED_TAIL = [
     "mcc_scores",
     # Continuation batch 153
     "l_diversity",
+    # Continuation batch 154
+    "harmonic_centrality",
 ]
 
 
