@@ -2892,6 +2892,15 @@ def q_harmonic_centrality(spark, sf_dir) -> DataFrame:
     return harmonic_centrality(edges)
 
 
+def q_ewma_forecast(spark, sf_dir) -> DataFrame:
+    """Dyadic truncated-EWMA one-step volume forecast per event type
+    (operators/events.ewma_forecast)."""
+    from .operators.events import ewma_forecast
+
+    return ewma_forecast(
+        spark.read.parquet(f"{sf_dir}/events.parquet"))
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # ORDER IS LOAD-BEARING: the driver snapshot verifies exactly
     # list(QUERIES)[:50] in insertion order (pinned by
@@ -3447,6 +3456,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # Continuation batch 154: harmonic centrality — appended past
     # position 50.
     "harmonic_centrality": q_harmonic_centrality,
+    # Continuation batch 155: EWMA forecast — appended past
+    # position 50.
+    "ewma_forecast": q_ewma_forecast,
 }
 
 

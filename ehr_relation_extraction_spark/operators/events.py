@@ -1111,3 +1111,53 @@ def runs_test(events: DataFrame) -> DataFrame:
         F.expr("(1000000 * 2 * n1 * n2 * (2 * n1 * n2 - n1 - n2))"
                " div ((n1 + n2) * (n1 + n2) * (n1 + n2 - 1))")
         .cast("long").alias("var_runs_micro6")))
+
+
+def ewma_forecast(events: DataFrame, k: int = 16) -> DataFrame:
+    """Dyadic EWMA one-step forecast per event type — the capacity-
+    planning read: forecast today's volume from an alpha = 1/2
+    exponentially-weighted mean of the prior ``k`` observed days,
+    and report the exact forecast error.  alpha = 1/2 makes every
+    weight a power of two, so the whole statistic is integer-exact:
+    W = sum_{i=1..k} v(t-i) * 2^(k-i) (yesterday weighs 2^(k-1),
+    halving per day back), D = 2^k - 1, and ewma_micro6 =
+    floor(1e6 * W / D) — a weighted mean over [min v, max v].
+
+    Types with fewer than k+1 observed days are dropped (a truncated
+    window would silently re-weight; the caller picks a smaller k
+    instead).
+
+    Output: (event_type, n_days, last_v, ewma_micro6,
+    abs_err_micro6) with abs_err_micro6 = |1e6 * last_v -
+    ewma_micro6|.
+
+    Scale shape: one (type, day) roll-up shuffle, one keyed window
+    for the descending index, one keyed conditional aggregate —
+    series length is calendar-bounded.
+    """
+    day = F.expr("unix_micros(cast(ts as timestamp)) div 86400000000")
+    daily = (events.select(F.col("event_type").alias("etype"),
+                           day.alias("_day"))
+             .groupBy("etype", "_day")
+             .agg(F.count(F.lit(1)).alias("v")))
+    w = Window.partitionBy("etype").orderBy(F.col("_day").desc())
+    idx = daily.withColumn("_i", F.row_number().over(w))
+    denom = (1 << k) - 1
+    agg = (idx.groupBy("etype").agg(
+        F.count(F.lit(1)).cast("long").alias("n_days"),
+        F.max(F.when(F.col("_i") == 1, F.col("v"))).cast("long")
+        .alias("last_v"),
+        F.sum(F.when((F.col("_i") >= 2) & (F.col("_i") <= k + 1),
+                     F.col("v")
+                     * F.expr(f"shiftleft(cast(1 as bigint),"
+                              f" {k + 1} - cast(_i as int))")))
+        .cast("long").alias("_w")))
+    return (agg.where(F.col("n_days") >= k + 1)
+            .withColumn("ewma_micro6",
+                        F.expr(f"(1000000 * _w) div {denom}")
+                        .cast("long"))
+            .withColumn("abs_err_micro6",
+                        F.abs(F.lit(1000000) * F.col("last_v")
+                              - F.col("ewma_micro6")).cast("long"))
+            .select(F.col("etype").alias("event_type"), "n_days",
+                    "last_v", "ewma_micro6", "abs_err_micro6"))

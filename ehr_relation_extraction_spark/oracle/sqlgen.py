@@ -9669,3 +9669,34 @@ hc_reach(s, node, dist) AS (
 hc_pairs AS MATERIALIZED (
   SELECT s, node, CAST(MIN(dist) AS INT) AS dist
   FROM hc_reach GROUP BY 1, 2)""")
+
+
+# ---------------------------------------------------------------------------
+# Continuation batch 155: dyadic (alpha=1/2) truncated-EWMA one-step
+# forecast per event type (operators/events.ewma_forecast).
+
+ORACLE["ewma_forecast"] = """
+WITH ef_daily AS (
+  SELECT event_type AS etype,
+         epoch_us(ts) // 86400000000 AS day,
+         COUNT(*) AS v
+  FROM events GROUP BY 1, 2),
+ef_idx AS (
+  SELECT etype, v,
+         ROW_NUMBER() OVER (PARTITION BY etype ORDER BY day DESC)
+           AS i
+  FROM ef_daily),
+ef_agg AS (
+  SELECT etype,
+         COUNT(*) AS n_days,
+         MAX(CASE WHEN i = 1 THEN v END) AS last_v,
+         SUM(CASE WHEN i BETWEEN 2 AND 17
+             THEN v * (CAST(1 AS BIGINT) << (17 - i)) END) AS w
+  FROM ef_idx GROUP BY 1)
+SELECT etype AS event_type,
+       CAST(n_days AS BIGINT) AS n_days,
+       CAST(last_v AS BIGINT) AS last_v,
+       CAST((1000000 * w) // 65535 AS BIGINT) AS ewma_micro6,
+       CAST(ABS(1000000 * last_v - (1000000 * w) // 65535) AS BIGINT)
+         AS abs_err_micro6
+FROM ef_agg WHERE n_days >= 17"""

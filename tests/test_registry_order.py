@@ -501,6 +501,8 @@ EXPECTED_TAIL = [
     "l_diversity",
     # Continuation batch 154
     "harmonic_centrality",
+    # Continuation batch 155
+    "ewma_forecast",
 ]
 
 
