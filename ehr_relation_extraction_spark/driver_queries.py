@@ -2901,6 +2901,15 @@ def q_ewma_forecast(spark, sf_dir) -> DataFrame:
         spark.read.parquet(f"{sf_dir}/events.parquet"))
 
 
+def q_lis_trend(spark, sf_dir) -> DataFrame:
+    """Longest monotone subsequence trend strength per event type
+    (operators/events.lis_trend)."""
+    from .operators.events import lis_trend
+
+    return lis_trend(
+        spark.read.parquet(f"{sf_dir}/events.parquet"))
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # ORDER IS LOAD-BEARING: the driver snapshot verifies exactly
     # list(QUERIES)[:50] in insertion order (pinned by
@@ -3459,6 +3468,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # Continuation batch 155: EWMA forecast — appended past
     # position 50.
     "ewma_forecast": q_ewma_forecast,
+    # Continuation batch 156: LIS trend strength — appended past
+    # position 50.
+    "lis_trend": q_lis_trend,
 }
 
 

@@ -1161,3 +1161,60 @@ def ewma_forecast(events: DataFrame, k: int = 16) -> DataFrame:
                               - F.col("ewma_micro6")).cast("long"))
             .select(F.col("etype").alias("event_type"), "n_days",
                     "last_v", "ewma_micro6", "abs_err_micro6"))
+
+
+LIS_SCHEMA = ("event_type string, n_days bigint, lis_len bigint, "
+              "lds_len bigint, lis_share_micro6 bigint")
+
+
+def _lis_len(vals):
+    """O(n^2) longest STRICTLY monotone subsequence DP (n is
+    calendar-bounded, so quadratic is irrelevant)."""
+    n = len(vals)
+    best = [1] * n
+    for j in range(n):
+        for i in range(j):
+            if vals[i] < vals[j] and best[i] + 1 > best[j]:
+                best[j] = best[i] + 1
+    return max(best) if n else 0
+
+
+def _lis_group(pdf):
+    import pandas as pd
+
+    pdf = pdf.sort_values("_day")
+    vals = pdf["v"].tolist()
+    n = len(vals)
+    lis = _lis_len(vals)
+    lds = _lis_len([-x for x in vals])
+    return pd.DataFrame([{
+        "event_type": pdf["etype"].iloc[0],
+        "n_days": n, "lis_len": lis, "lds_len": lds,
+        "lis_share_micro6": (1_000_000 * lis) // n,
+    }])
+
+
+def lis_trend(events: DataFrame) -> DataFrame:
+    """Longest strictly increasing / decreasing subsequence of the
+    per-type daily count series — the non-parametric trend-strength
+    reading that complements Mann-Kendall: MK counts concordant
+    pairs (can be dragged by one outlier day), while LIS/n measures
+    how much of the series participates in a SUSTAINED ramp.
+
+    Per type: (event_type, n_days, lis_len, lds_len,
+    lis_share_micro6 = floor(1e6 * lis/n)).  Strict inequalities on
+    integer counts — exact in any engine.
+
+    Scale shape: one (type, day) roll-up shuffle, then ONE
+    applyInPandas per type over a CALENDAR-bounded series (the
+    Kleinberg-burst device: Arrow batch per key, O(days^2) DP is
+    volume-independent).  The equivalent DuckDB oracle is the
+    recursive longest-path closure over the i<j, v_i<v_j DAG.
+    """
+    day = F.expr("unix_micros(cast(ts as timestamp)) div 86400000000")
+    daily = (events.select(F.col("event_type").alias("etype"),
+                           day.alias("_day"))
+             .groupBy("etype", "_day")
+             .agg(F.count(F.lit(1)).alias("v")))
+    return daily.groupBy("etype").applyInPandas(
+        lambda pdf: _lis_group(pdf), LIS_SCHEMA)

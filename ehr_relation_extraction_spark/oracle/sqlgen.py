@@ -9700,3 +9700,43 @@ SELECT etype AS event_type,
        CAST(ABS(1000000 * last_v - (1000000 * w) // 65535) AS BIGINT)
          AS abs_err_micro6
 FROM ef_agg WHERE n_days >= 17"""
+
+
+# ---------------------------------------------------------------------------
+# Continuation batch 156: longest strictly increasing / decreasing
+# subsequence of the per-type daily series — recursive longest-path
+# closure over the i<j, v_i<v_j DAG (operators/events.lis_trend).
+
+ORACLE["lis_trend"] = """
+WITH RECURSIVE li_daily AS (
+  SELECT event_type AS etype,
+         epoch_us(ts) // 86400000000 AS day,
+         COUNT(*) AS v
+  FROM events GROUP BY 1, 2),
+li_idx AS MATERIALIZED (
+  SELECT etype, v,
+         ROW_NUMBER() OVER (PARTITION BY etype ORDER BY day) AS idx
+  FROM li_daily),
+li_up(etype, idx, v, len) AS (
+  SELECT etype, idx, v, 1 FROM li_idx
+  UNION
+  SELECT s.etype, e.idx, e.v, s.len + 1
+  FROM li_up s JOIN li_idx e
+    ON e.etype = s.etype AND e.idx > s.idx AND e.v > s.v),
+li_dn(etype, idx, v, len) AS (
+  SELECT etype, idx, v, 1 FROM li_idx
+  UNION
+  SELECT s.etype, e.idx, e.v, s.len + 1
+  FROM li_dn s JOIN li_idx e
+    ON e.etype = s.etype AND e.idx > s.idx AND e.v < s.v),
+li_n AS (SELECT etype, COUNT(*) AS n FROM li_idx GROUP BY 1),
+li_lis AS (SELECT etype, MAX(len) AS lis FROM li_up GROUP BY 1),
+li_lds AS (SELECT etype, MAX(len) AS lds FROM li_dn GROUP BY 1)
+SELECT n.etype AS event_type,
+       CAST(n.n AS BIGINT) AS n_days,
+       CAST(u.lis AS BIGINT) AS lis_len,
+       CAST(d.lds AS BIGINT) AS lds_len,
+       CAST((1000000 * u.lis) // n.n AS BIGINT) AS lis_share_micro6
+FROM li_n n
+JOIN li_lis u ON u.etype = n.etype
+JOIN li_lds d ON d.etype = n.etype"""

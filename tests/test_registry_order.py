@@ -503,6 +503,8 @@ EXPECTED_TAIL = [
     "harmonic_centrality",
     # Continuation batch 155
     "ewma_forecast",
+    # Continuation batch 156
+    "lis_trend",
 ]
 
 
