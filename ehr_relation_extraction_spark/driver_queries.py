@@ -2910,6 +2910,16 @@ def q_lis_trend(spark, sf_dir) -> DataFrame:
         spark.read.parquet(f"{sf_dir}/events.parquet"))
 
 
+def q_dag_path_counts(spark, sf_dir) -> DataFrame:
+    """Exact root-to-node path counts over the precedence SCC
+    condensation (operators/graph_algos.dag_path_counts)."""
+    from .operators.graph_algos import dag_path_counts
+
+    edges, _ = _prec_graph(spark, sf_dir)
+    return dag_path_counts(edges, _prec_scc(spark, sf_dir),
+                           n_rounds=10)
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # ORDER IS LOAD-BEARING: the driver snapshot verifies exactly
     # list(QUERIES)[:50] in insertion order (pinned by
@@ -3471,6 +3481,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # Continuation batch 156: LIS trend strength — appended past
     # position 50.
     "lis_trend": q_lis_trend,
+    # Continuation batch 157: DAG path counts — appended past
+    # position 50.
+    "dag_path_counts": q_dag_path_counts,
 }
 
 

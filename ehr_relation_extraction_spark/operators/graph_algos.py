@@ -2703,3 +2703,71 @@ def harmonic_centrality(edges: DataFrame, n_rounds: int = 8) -> DataFrame:
                  .alias("harmonic_floor6"))
             .select(F.col("s").alias("node"), "n_reached_others",
                     "dist_sum", "harmonic_floor6"))
+
+
+def dag_path_counts(edges: DataFrame, scc: DataFrame,
+                    n_rounds: int = 10) -> DataFrame:
+    """Exact root-to-node path COUNTS over the SCC condensation —
+    the provenance-fanout statistic dag_layers' critical path does
+    not give: how many distinct prerequisite chains reach each
+    component?  A node with a long level but ONE path is a fragile
+    pipeline; many paths = redundant derivations (and a
+    combinatorially expensive node to re-verify).
+
+    P(C) = [C is a root] + sum over condensation edges (S, C) of
+    P(S) — the path-polynomial semiring evaluated by fixed-round
+    propagation (the dag_layers discipline): after r rounds P counts
+    every path of <= r edges, so any n_rounds >= DAG depth is exact;
+    the DuckDB oracle instead ENUMERATES paths with a UNION ALL
+    recursion and counts rows — two different evaluation orders of
+    the same semiring, equal only if both are exactly right.
+
+    Input: directed ``edges (src, dst, ...)``, ``scc (node,
+    scc_id)``.  Output: (scc_id, n_nodes, is_root, is_sink,
+    n_paths).  Counts are BIGINT; at web scale run on the condensed
+    (bounded) schema/precedence graph, never the raw corpus graph —
+    path counts grow combinatorially by design.
+
+    Scale: condensation = two keyed label joins + distinct; each
+    round one grouped sum + one keyed left join, localCheckpoint per
+    round."""
+    sa = scc.select(F.col("node").alias("src"),
+                    F.col("scc_id").alias("a"))
+    sb = scc.select(F.col("node").alias("dst"),
+                    F.col("scc_id").alias("b"))
+    e = (edges.select("src", "dst").join(sa, "src").join(sb, "dst")
+         .where(F.col("a") != F.col("b"))
+         .select("a", "b").dropDuplicates().localCheckpoint())
+    comps = (scc.groupBy("scc_id")
+             .agg(F.count(F.lit(1)).cast("long").alias("n_nodes"))
+             .localCheckpoint())
+    heads = e.select(F.col("b").alias("scc_id")).dropDuplicates()
+    tails = e.select(F.col("a").alias("scc_id")).dropDuplicates()
+    flagged = (comps
+               .join(heads.withColumn("_h", F.lit(1)), "scc_id",
+                     "left")
+               .join(tails.withColumn("_t", F.lit(1)), "scc_id",
+                     "left")
+               .select("scc_id", "n_nodes",
+                       F.when(F.col("_h").isNull(), 1).otherwise(0)
+                       .cast("int").alias("is_root"),
+                       F.when(F.col("_t").isNull(), 1).otherwise(0)
+                       .cast("int").alias("is_sink"))
+               .localCheckpoint())
+    p = flagged.select("scc_id",
+                       F.col("is_root").cast("long").alias("n_paths"))
+    for _ in range(n_rounds):
+        upd = (e.join(p.select(F.col("scc_id").alias("a"),
+                               F.col("n_paths").alias("pa")), "a")
+               .groupBy(F.col("b").alias("scc_id"))
+               .agg(F.sum("pa").cast("long").alias("inc")))
+        p = (flagged.select("scc_id", "is_root")
+             .join(upd, "scc_id", "left")
+             .select("scc_id",
+                     (F.col("is_root")
+                      + F.coalesce(F.col("inc"), F.lit(0)))
+                     .cast("long").alias("n_paths"))
+             .localCheckpoint())
+    return (flagged.join(p, "scc_id")
+            .select("scc_id", "n_nodes", "is_root", "is_sink",
+                    "n_paths"))

@@ -9740,3 +9740,45 @@ SELECT n.etype AS event_type,
 FROM li_n n
 JOIN li_lis u ON u.etype = n.etype
 JOIN li_lds d ON d.etype = n.etype"""
+
+
+# ---------------------------------------------------------------------------
+# Continuation batch 157: exact root-to-node path counts over the
+# precedence SCC condensation — UNION ALL path enumeration vs the
+# Spark side's fixed-round semiring propagation
+# (operators/graph_algos.dag_path_counts).
+
+ORACLE["dag_path_counts"] = _q("""
+SELECT c.scc_id, c.n_nodes,
+       CAST(CASE WHEN h.scc_id IS NULL THEN 1 ELSE 0 END AS INT)
+         AS is_root,
+       CAST(CASE WHEN t.scc_id IS NULL THEN 1 ELSE 0 END AS INT)
+         AS is_sink,
+       CAST(COALESCE(w.c, 0) AS BIGINT) AS n_paths
+FROM dp_comps c
+LEFT JOIN (SELECT DISTINCT b AS scc_id FROM dp_edges) h
+  ON h.scc_id = c.scc_id
+LEFT JOIN (SELECT DISTINCT a AS scc_id FROM dp_edges) t
+  ON t.scc_id = c.scc_id
+LEFT JOIN dp_cnt w ON w.node = c.scc_id""",
+    LINK_CTES, PREC_CTES, """
+dp_edges AS MATERIALIZED (
+  SELECT DISTINCT sa.scc_id AS a, sb.scc_id AS b
+  FROM prec_edges e
+  JOIN pscc sa ON sa.node = e.src
+  JOIN pscc sb ON sb.node = e.dst
+  WHERE sa.scc_id <> sb.scc_id),
+dp_comps AS MATERIALIZED (
+  SELECT scc_id, CAST(COUNT(*) AS BIGINT) AS n_nodes
+  FROM pscc GROUP BY 1),
+dp_roots AS MATERIALIZED (
+  SELECT scc_id FROM dp_comps
+  WHERE scc_id NOT IN (SELECT b FROM dp_edges)),
+dp_walk(node) AS (
+  SELECT scc_id AS node FROM dp_roots
+  UNION ALL
+  SELECT e.b AS node FROM dp_walk w
+  JOIN dp_edges e ON e.a = w.node),
+dp_cnt AS MATERIALIZED (
+  SELECT node, CAST(COUNT(*) AS BIGINT) AS c
+  FROM dp_walk GROUP BY 1)""")

@@ -505,6 +505,8 @@ EXPECTED_TAIL = [
     "ewma_forecast",
     # Continuation batch 156
     "lis_trend",
+    # Continuation batch 157
+    "dag_path_counts",
 ]
 
 
