@@ -2920,6 +2920,15 @@ def q_dag_path_counts(spark, sf_dir) -> DataFrame:
                            n_rounds=10)
 
 
+def q_eulerian_census(spark, sf_dir) -> DataFrame:
+    """Eulerian circuit/trail feasibility per co-mention component
+    (operators/graph_algos.eulerian_census)."""
+    from .operators.graph_algos import eulerian_census
+
+    edges, _ = _comention_graph(spark, sf_dir)
+    return eulerian_census(edges)
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # ORDER IS LOAD-BEARING: the driver snapshot verifies exactly
     # list(QUERIES)[:50] in insertion order (pinned by
@@ -3484,6 +3493,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # Continuation batch 157: DAG path counts — appended past
     # position 50.
     "dag_path_counts": q_dag_path_counts,
+    # Continuation batch 158: Eulerian census — appended past
+    # position 50.
+    "eulerian_census": q_eulerian_census,
 }
 
 

@@ -2771,3 +2771,57 @@ def dag_path_counts(edges: DataFrame, scc: DataFrame,
     return (flagged.join(p, "scc_id")
             .select("scc_id", "n_nodes", "is_root", "is_sink",
                     "n_paths"))
+
+
+def eulerian_census(edges: DataFrame, n_rounds: int = 8) -> DataFrame:
+    """Eulerian-feasibility census per connected component — the
+    classic degree-parity read on the co-mention graph: a component
+    has an Euler CIRCUIT iff every node has even degree, an Euler
+    TRAIL iff exactly two nodes are odd (the route-inspection /
+    graph-traversal planning primitive).
+
+    Degrees are simple-graph degrees (undirected dedup), components
+    are the min-reachable-id labels from the same bounded BFS
+    closure as graph_eccentricity / bipartite_check (n_rounds must
+    cover the diameter; pinned by their convergence tests).
+
+    Output: (component, n_nodes, n_edges, n_odd_nodes,
+    has_circuit, has_trail).
+
+    Scale: the closure is the exact small-graph audit path (O(V^2)
+    pair states); degrees and the final roll-up are one keyed
+    aggregate each.
+    """
+    und = (edges.select(F.least("src", "dst").alias("a"),
+                        F.greatest("src", "dst").alias("b"))
+           .where(F.col("a") != F.col("b")).dropDuplicates()
+           .localCheckpoint())
+    sym = (und.select(F.col("a").alias("src"), F.col("b").alias("dst"))
+           .unionByName(und.select(F.col("b").alias("src"),
+                                   F.col("a").alias("dst"))))
+    state = (sym.select(F.col("src").alias("s"))
+             .dropDuplicates()
+             .select("s", F.col("s").alias("node"))
+             .localCheckpoint())
+    for _ in range(n_rounds):
+        cand = (state.join(sym, state["node"] == sym["src"])
+                .select("s", F.col("dst").alias("node")))
+        state = (state.unionByName(cand)
+                 .dropDuplicates(["s", "node"]).localCheckpoint())
+    comp = state.groupBy("s").agg(F.min("node").alias("component"))
+    deg = (sym.groupBy(F.col("src").alias("s"))
+           .agg(F.count(F.lit(1)).alias("_deg")))
+    nodes = (comp.join(deg, "s")
+             .groupBy("component")
+             .agg(F.count(F.lit(1)).cast("long").alias("n_nodes"),
+                  F.sum((F.col("_deg") % 2).cast("int")).cast("long")
+                  .alias("n_odd_nodes")))
+    ecnt = (und.join(comp.withColumnRenamed("s", "a"), "a")
+            .groupBy("component")
+            .agg(F.count(F.lit(1)).cast("long").alias("n_edges")))
+    return (nodes.join(ecnt, "component")
+            .select("component", "n_nodes", "n_edges", "n_odd_nodes",
+                    (F.col("n_odd_nodes") == 0).cast("int")
+                    .alias("has_circuit"),
+                    (F.col("n_odd_nodes") == 2).cast("int")
+                    .alias("has_trail")))

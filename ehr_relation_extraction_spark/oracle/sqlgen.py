@@ -9782,3 +9782,37 @@ dp_walk(node) AS (
 dp_cnt AS MATERIALIZED (
   SELECT node, CAST(COUNT(*) AS BIGINT) AS c
   FROM dp_walk GROUP BY 1)""")
+
+
+# ---------------------------------------------------------------------------
+# Continuation batch 158: Eulerian circuit/trail feasibility census
+# per co-mention component (operators/graph_algos.eulerian_census).
+
+ORACLE["eulerian_census"] = _q("""
+SELECT n.component, n.n_nodes, e.n_edges, n.n_odd_nodes,
+       CAST(CASE WHEN n.n_odd_nodes = 0 THEN 1 ELSE 0 END AS INT)
+         AS has_circuit,
+       CAST(CASE WHEN n.n_odd_nodes = 2 THEN 1 ELSE 0 END AS INT)
+         AS has_trail
+FROM ec_nodes n JOIN ec_edges_c e USING (component)""",
+    LINK_CTES, COMENTION_CTES.strip(), """
+ec_und AS MATERIALIZED (
+  SELECT src AS a, dst AS b FROM comention WHERE src <> dst),
+ec_sym AS (SELECT a AS src, b AS dst FROM ec_und
+           UNION SELECT b AS src, a AS dst FROM ec_und),
+ec_reach(s, node) AS (
+  SELECT DISTINCT src AS s, src AS node FROM ec_sym
+  UNION
+  SELECT r.s, e.dst AS node
+  FROM ec_reach r JOIN ec_sym e ON e.src = r.node),
+ec_comp AS MATERIALIZED (
+  SELECT s, MIN(node) AS component FROM ec_reach GROUP BY 1),
+ec_deg AS (
+  SELECT src AS s, COUNT(*) AS deg FROM ec_sym GROUP BY 1),
+ec_nodes AS (
+  SELECT c.component, CAST(COUNT(*) AS BIGINT) AS n_nodes,
+         CAST(SUM(d.deg % 2) AS BIGINT) AS n_odd_nodes
+  FROM ec_comp c JOIN ec_deg d ON d.s = c.s GROUP BY 1),
+ec_edges_c AS (
+  SELECT c.component, CAST(COUNT(*) AS BIGINT) AS n_edges
+  FROM ec_und u JOIN ec_comp c ON c.s = u.a GROUP BY 1)""")

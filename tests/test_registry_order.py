@@ -507,6 +507,8 @@ EXPECTED_TAIL = [
     "lis_trend",
     # Continuation batch 157
     "dag_path_counts",
+    # Continuation batch 158
+    "eulerian_census",
 ]
 
 
