@@ -2929,6 +2929,19 @@ def q_eulerian_census(spark, sf_dir) -> DataFrame:
     return eulerian_census(edges)
 
 
+def q_pr_curve(spark, sf_dir) -> DataFrame:
+    """11-point interpolated PR curve of the bigram-LM quality score
+    as an English detector (functions/textstats.pr_curve)."""
+    docs = _docs(spark, sf_dir)
+    scored = (ts.lm_quality(docs)
+              .join(docs.select("doc_id", "lang"), "doc_id")
+              .select("doc_id",
+                      F.col("lm_score_micro6").alias("score"),
+                      (F.col("lang") == "en").cast("int")
+                      .alias("pos")))
+    return ts.pr_curve(scored)
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # ORDER IS LOAD-BEARING: the driver snapshot verifies exactly
     # list(QUERIES)[:50] in insertion order (pinned by
@@ -3496,6 +3509,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # Continuation batch 158: Eulerian census — appended past
     # position 50.
     "eulerian_census": q_eulerian_census,
+    # Continuation batch 159: interpolated PR curve — appended past
+    # position 50.
+    "pr_curve": q_pr_curve,
 }
 
 

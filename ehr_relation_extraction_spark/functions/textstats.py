@@ -2761,3 +2761,61 @@ def l_diversity(docs: DataFrame, l_values=(2, 3, 5)) -> DataFrame:
                 F.expr("(1000000 * n_exposed_docs) div _total")
                 .cast("long").alias("exposed_share_micro6"),
                 "max_tvd_micro6"))
+
+
+def pr_curve(scored: DataFrame, id_col: str = "doc_id",
+             score_col: str = "score",
+             label_col: str = "pos") -> DataFrame:
+    """11-point interpolated precision-recall curve, EXACT: at each
+    recall decile r = j/10, report the maximum precision over all
+    ranking cutoffs whose recall reaches r — the TREC-classic PR
+    summary, emitted as the true rational (prec_num/prec_den) plus
+    its micro6 floor, so engines agree bit-for-bit with no float
+    precision anywhere.
+
+    Ranking order is (score DESC, id ASC) — the deterministic
+    tie-break both engines replay identically.  Cutoff comparisons
+    are pure cross-multiplication: recall(k) >= j/10 iff 10*tp_k >=
+    j*P, and the argmax precision uses the exact order key
+    floor(1e12 * tp / k) (distinct fractions tp/k over k <= 1e5
+    differ by > 1e-10, so the floored key never reorders them),
+    ties to the SMALLEST k.
+
+    Output: (recall_decile, k, tp, prec_num, prec_den,
+    prec_micro6).
+
+    Scale shape: this is an EVALUATION-SET operator (gold labels
+    exist only on the held-out split) — the running-tp window is a
+    single ordered pass over that bounded split, then an 11-way
+    literal explode and one keyed argmax window.
+    """
+    w = (Window.orderBy(F.col("_s").desc(), F.col("_id"))
+         .rowsBetween(Window.unboundedPreceding, 0))
+    ranked = (scored.select(
+        F.col(id_col).alias("_id"),
+        F.col(score_col).alias("_s"),
+        F.col(label_col).cast("long").alias("_y"))
+        .withColumn("_k", F.count(F.lit(1)).over(w))
+        .withColumn("_tp", F.sum("_y").over(w))
+        .withColumn("_P", F.sum("_y").over(
+            Window.rowsBetween(Window.unboundedPreceding,
+                               Window.unboundedFollowing))))
+    fan = (ranked.where(F.col("_P") > 0)
+           .select("_k", "_tp", "_P",
+                   F.explode(F.array(*[F.lit(j) for j in range(11)]))
+                   .alias("recall_decile"))
+           .where(F.lit(10) * F.col("_tp")
+                  >= F.col("recall_decile") * F.col("_P"))
+           .withColumn("_key",
+                       F.expr("(1000000000000 * _tp) div _k")))
+    pick = Window.partitionBy("recall_decile").orderBy(
+        F.col("_key").desc(), F.col("_k").asc())
+    return (fan.withColumn("_rn", F.row_number().over(pick))
+            .where(F.col("_rn") == 1)
+            .select(F.col("recall_decile").cast("int"),
+                    F.col("_k").cast("long").alias("k"),
+                    F.col("_tp").cast("long").alias("tp"),
+                    F.col("_tp").cast("long").alias("prec_num"),
+                    F.col("_k").cast("long").alias("prec_den"),
+                    F.expr("(1000000 * _tp) div _k").cast("long")
+                    .alias("prec_micro6")))

@@ -9816,3 +9816,40 @@ ec_nodes AS (
 ec_edges_c AS (
   SELECT c.component, CAST(COUNT(*) AS BIGINT) AS n_edges
   FROM ec_und u JOIN ec_comp c ON c.s = u.a GROUP BY 1)""")
+
+
+# ---------------------------------------------------------------------------
+# Continuation batch 159: 11-point interpolated precision-recall
+# curve of the bigram-LM quality score as an English detector —
+# exact rational precision at each recall decile
+# (functions/textstats.pr_curve over lm_quality x documents.lang).
+
+ORACLE["pr_curve"] = f"""
+WITH pc_score AS MATERIALIZED ({ORACLE["lm_quality"]}),
+pc AS (
+  SELECT d.doc_id AS id, s.lm_score_micro6 AS score,
+         CASE WHEN d.lang = 'en' THEN 1 ELSE 0 END AS y
+  FROM pc_score s JOIN documents d USING (doc_id)),
+pc_ranked AS MATERIALIZED (
+  SELECT CAST(ROW_NUMBER() OVER (ORDER BY score DESC, id)
+           AS BIGINT) AS k,
+         CAST(SUM(y) OVER (ORDER BY score DESC, id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           AS BIGINT) AS tp,
+         CAST(SUM(y) OVER () AS BIGINT) AS p
+  FROM pc),
+pc_fan AS (
+  SELECT k, tp, (1000000000000 * tp) // k AS key,
+         unnest(range(11)) AS recall_decile
+  FROM pc_ranked WHERE p > 0),
+pc_pick AS (
+  SELECT recall_decile, k, tp,
+         ROW_NUMBER() OVER (PARTITION BY recall_decile
+             ORDER BY key DESC, k ASC) AS rn
+  FROM pc_fan f
+  JOIN (SELECT MAX(p) AS p FROM pc_ranked) t ON TRUE
+  WHERE 10 * tp >= recall_decile * t.p)
+SELECT CAST(recall_decile AS INT) AS recall_decile,
+       k, tp, tp AS prec_num, k AS prec_den,
+       CAST((1000000 * tp) // k AS BIGINT) AS prec_micro6
+FROM pc_pick WHERE rn = 1"""

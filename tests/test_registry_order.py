@@ -509,6 +509,8 @@ EXPECTED_TAIL = [
     "dag_path_counts",
     # Continuation batch 158
     "eulerian_census",
+    # Continuation batch 159
+    "pr_curve",
 ]
 
 
