@@ -2942,6 +2942,14 @@ def q_pr_curve(spark, sf_dir) -> DataFrame:
     return ts.pr_curve(scored)
 
 
+def q_sq8_audit(spark, sf_dir) -> DataFrame:
+    """int8 scalar-quantization loss audit per embedding dimension
+    (operators/similarity.sq8_audit)."""
+    from .operators.similarity import sq8_audit
+
+    return sq8_audit(_emb(spark, sf_dir))
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # ORDER IS LOAD-BEARING: the driver snapshot verifies exactly
     # list(QUERIES)[:50] in insertion order (pinned by
@@ -3512,6 +3520,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # Continuation batch 159: interpolated PR curve — appended past
     # position 50.
     "pr_curve": q_pr_curve,
+    # Continuation batch 160: SQ8 quantization audit — appended past
+    # position 50.
+    "sq8_audit": q_sq8_audit,
 }
 
 

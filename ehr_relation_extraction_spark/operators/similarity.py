@@ -675,3 +675,50 @@ def label_separation(emb: DataFrame, scale: int = 10**3) -> DataFrame:
                            " ELSE ssb_scaled"
                            " div (sst_scaled div 1000000) END")
                     .cast("long").alias("separation_micro6")))
+
+
+def sq8_audit(emb: DataFrame) -> DataFrame:
+    """int8 scalar-quantization loss audit per dimension — the
+    go/no-go read before shipping an SQ8-compressed vector index
+    (4x smaller, but HOW lossy, and WHERE?): per dimension, how much
+    reconstruction error does the 8-bit code introduce, and how
+    often does the value saturate the [-127, 127] range?
+
+    Two reads of the same float32 cell, both single-multiply
+    IEEE-deterministic (the embedding_profile discipline): the
+    high-res reference q6 = floor(x * 1e6) and the stored code
+    q8 = clip(floor(x * 64), -127, 127).  Because 1e6 / 64 = 15625
+    EXACTLY, the dequantized code lands on the same micro6 grid and
+    err = q6 - 15625 * q8 is a pure integer residual; within range
+    it lies in [0, 15625) (floor-grid nesting), saturated cells
+    can blow past it.
+
+    Output per dim: (dim, n, n_saturated, sum_sq_err, max_abs_err,
+    mean_err_micro6 = floor(1e6 * sum|err| / n)).
+
+    Scale shape: map-side posexplode + ONE hash aggregate keyed by
+    dimension — output rows = embedding width.
+    """
+    q = (emb.select(F.posexplode("embedding").alias("dim", "_x"))
+         .select("dim",
+                 F.floor(F.col("_x").cast("double") * 1000000)
+                 .cast("long").alias("_q6"),
+                 F.greatest(
+                     F.lit(-127),
+                     F.least(F.lit(127),
+                             F.floor(F.col("_x").cast("double") * 64)
+                             .cast("long"))).alias("_q8"),
+                 (F.abs(F.floor(F.col("_x").cast("double") * 64))
+                  > 127).cast("int").alias("_sat")))
+    err = F.col("_q6") - F.lit(15625) * F.col("_q8")
+    return (q.withColumn("_e", err)
+            .groupBy("dim").agg(
+                F.count(F.lit(1)).cast("long").alias("n"),
+                F.sum("_sat").cast("long").alias("n_saturated"),
+                F.sum(F.col("_e") * F.col("_e")).cast("long")
+                .alias("sum_sq_err"),
+                F.max(F.abs("_e")).cast("long").alias("max_abs_err"),
+                F.expr("(1000000 * sum(abs(_e))) div count(1)")
+                .cast("long").alias("mean_err_micro6"))
+            .select(F.col("dim").cast("int"), "n", "n_saturated",
+                    "sum_sq_err", "max_abs_err", "mean_err_micro6"))

@@ -9853,3 +9853,34 @@ SELECT CAST(recall_decile AS INT) AS recall_decile,
        k, tp, tp AS prec_num, k AS prec_den,
        CAST((1000000 * tp) // k AS BIGINT) AS prec_micro6
 FROM pc_pick WHERE rn = 1"""
+
+
+# ---------------------------------------------------------------------------
+# Continuation batch 160: int8 scalar-quantization loss audit per
+# embedding dimension (operators/similarity.sq8_audit).
+
+ORACLE["sq8_audit"] = """
+WITH s8_v AS (
+  SELECT generate_subscripts(CAST(embedding AS DOUBLE[]), 1) - 1
+           AS dim,
+         unnest(CAST(embedding AS DOUBLE[])) AS x
+  FROM embeddings),
+s8_q AS (
+  SELECT dim,
+         CAST(floor(x * 1000000) AS BIGINT) AS q6,
+         GREATEST(CAST(-127 AS BIGINT),
+                  LEAST(CAST(127 AS BIGINT),
+                        CAST(floor(x * 64) AS BIGINT))) AS q8,
+         CASE WHEN ABS(CAST(floor(x * 64) AS BIGINT)) > 127
+              THEN 1 ELSE 0 END AS sat
+  FROM s8_v),
+s8_e AS (
+  SELECT dim, sat, q6 - 15625 * q8 AS e FROM s8_q)
+SELECT CAST(dim AS INT) AS dim,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(SUM(sat) AS BIGINT) AS n_saturated,
+       CAST(SUM(e * e) AS BIGINT) AS sum_sq_err,
+       CAST(MAX(ABS(e)) AS BIGINT) AS max_abs_err,
+       CAST((1000000 * SUM(ABS(e))) // COUNT(*) AS BIGINT)
+         AS mean_err_micro6
+FROM s8_e GROUP BY 1"""

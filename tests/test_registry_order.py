@@ -511,6 +511,8 @@ EXPECTED_TAIL = [
     "eulerian_census",
     # Continuation batch 159
     "pr_curve",
+    # Continuation batch 160
+    "sq8_audit",
 ]
 
 
