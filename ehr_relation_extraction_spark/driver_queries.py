@@ -2950,6 +2950,15 @@ def q_sq8_audit(spark, sf_dir) -> DataFrame:
     return sq8_audit(_emb(spark, sf_dir))
 
 
+def q_politeness_audit(spark, sf_dir) -> DataFrame:
+    """Crawl-politeness sliding-window burst audit per host
+    (functions/urls.politeness_audit)."""
+    from .functions import urls as u
+
+    fr = _frames(spark, sf_dir)
+    return u.politeness_audit(fr.pages)
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # ORDER IS LOAD-BEARING: the driver snapshot verifies exactly
     # list(QUERIES)[:50] in insertion order (pinned by
@@ -3523,6 +3532,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # Continuation batch 160: SQ8 quantization audit — appended past
     # position 50.
     "sq8_audit": q_sq8_audit,
+    # Continuation batch 161: politeness audit — appended past
+    # position 50.
+    "politeness_audit": q_politeness_audit,
 }
 
 

@@ -211,3 +211,43 @@ def canonical_url_groups_with_redirects(docs_with_url: DataFrame,
                          (F.col("doc_id") == F.min("doc_id").over(w))
                          .cast("int"))
             .select("doc_id", "url_norm", "final_url", "is_canonical"))
+
+
+def politeness_audit(pages: DataFrame, window_s: int = 10) -> DataFrame:
+    """Crawl-politeness audit per host — the rate-limit compliance
+    read a fetch scheduler owes every origin: within any sliding
+    ``window_s``-second window, how many fetches did we fire at the
+    host, and how close together were the tightest two?
+
+    burst(f) = fetches of the same host with warc_ts in
+    [t_f - (window_s - 1), t_f] — an event-time RANGE window, so
+    same-second fetches count together regardless of row order.
+    Output per host: (host, n_fetches, max_burst, min_gap_s,
+    max_rate_milli = 1000 * max_burst / window_s).  min_gap_s is
+    NULL-free: single-fetch hosts report window_s (no gap observed,
+    nothing to throttle).  All integer arithmetic.
+
+    Scale shape: ONE shuffle on host, two keyed windows (range-frame
+    count + lag gap), one keyed aggregate — the same partitioning a
+    per-host politeness limiter shards by at crawl scale.
+    """
+    host = F.substring_index(
+        F.substring_index("url", "//", -1), "/", 1)
+    sec = F.expr(
+        "unix_micros(cast(warc_ts as timestamp)) div 1000000")
+    base = pages.select(host.alias("host"), sec.alias("_sec"))
+    wr = (Window.partitionBy("host").orderBy("_sec")
+          .rangeBetween(-(window_s - 1), 0))
+    wl = Window.partitionBy("host").orderBy("_sec")
+    return (base
+            .withColumn("_burst", F.count(F.lit(1)).over(wr))
+            .withColumn("_gap",
+                        F.col("_sec") - F.lag("_sec").over(wl))
+            .groupBy("host")
+            .agg(F.count(F.lit(1)).cast("long").alias("n_fetches"),
+                 F.max("_burst").cast("long").alias("max_burst"),
+                 F.coalesce(F.min("_gap"), F.lit(window_s))
+                 .cast("long").alias("min_gap_s"))
+            .withColumn("max_rate_milli",
+                        F.expr(f"(1000 * max_burst) div {window_s}")
+                        .cast("long")))

@@ -9884,3 +9884,35 @@ SELECT CAST(dim AS INT) AS dim,
        CAST((1000000 * SUM(ABS(e))) // COUNT(*) AS BIGINT)
          AS mean_err_micro6
 FROM s8_e GROUP BY 1"""
+
+
+# ---------------------------------------------------------------------------
+# Continuation batch 161: crawl-politeness audit — sliding event-time
+# RANGE window burst counts per host
+# (functions/urls.politeness_audit).
+
+ORACLE["politeness_audit"] = """
+WITH pa_pages AS (
+  -- sources/pages.py synthesis: url from (source, doc_id),
+  -- warc_ts = epoch 1704067200 + doc_id seconds
+  SELECT 'https://' || source || '.example.com/'
+           || CAST(doc_id AS VARCHAR) AS url,
+         1704067200 + doc_id AS sec0
+  FROM documents),
+pa_base AS (
+  SELECT split_part(split_part(url, '//', 2), '/', 1) AS host,
+         sec0 AS sec
+  FROM pa_pages),
+pa_win AS (
+  SELECT host,
+         COUNT(*) OVER (PARTITION BY host ORDER BY sec
+             RANGE BETWEEN 9 PRECEDING AND CURRENT ROW) AS burst,
+         sec - LAG(sec) OVER (PARTITION BY host ORDER BY sec)
+           AS gap
+  FROM pa_base)
+SELECT host,
+       CAST(COUNT(*) AS BIGINT) AS n_fetches,
+       CAST(MAX(burst) AS BIGINT) AS max_burst,
+       CAST(COALESCE(MIN(gap), 10) AS BIGINT) AS min_gap_s,
+       CAST((1000 * MAX(burst)) // 10 AS BIGINT) AS max_rate_milli
+FROM pa_win GROUP BY 1"""

@@ -513,6 +513,8 @@ EXPECTED_TAIL = [
     "pr_curve",
     # Continuation batch 160
     "sq8_audit",
+    # Continuation batch 161
+    "politeness_audit",
 ]
 
 
