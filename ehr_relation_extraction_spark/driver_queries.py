@@ -2959,6 +2959,12 @@ def q_politeness_audit(spark, sf_dir) -> DataFrame:
     return u.politeness_audit(fr.pages)
 
 
+def q_jain_fairness(spark, sf_dir) -> DataFrame:
+    """Jain's fairness index of doc counts under the candidate
+    sharding keys (functions/textstats.jain_fairness)."""
+    return ts.jain_fairness(_docs(spark, sf_dir))
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # ORDER IS LOAD-BEARING: the driver snapshot verifies exactly
     # list(QUERIES)[:50] in insertion order (pinned by
@@ -3535,6 +3541,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # Continuation batch 161: politeness audit — appended past
     # position 50.
     "politeness_audit": q_politeness_audit,
+    # Continuation batch 162: Jain fairness — appended past
+    # position 50.
+    "jain_fairness": q_jain_fairness,
 }
 
 

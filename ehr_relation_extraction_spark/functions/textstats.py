@@ -2819,3 +2819,46 @@ def pr_curve(scored: DataFrame, id_col: str = "doc_id",
                     F.col("_k").cast("long").alias("prec_den"),
                     F.expr("(1000000 * _tp) div _k").cast("long")
                     .alias("prec_micro6")))
+
+
+def jain_fairness(docs: DataFrame) -> DataFrame:
+    """Jain's fairness index of the document distribution under the
+    three partitioning keys a pipeline actually shards by — host
+    (source), language, and the md5-nibble hash bucket: J =
+    (sum x)^2 / (n * sum x^2), the classic scheduling-fairness
+    number (1 = perfectly even, 1/n = everything on one shard).
+    The skew-triage companion to join_skew/shard_rebalance: one
+    comparable scalar per candidate key.
+
+    Exact: counts are integers, so J's numerator and denominator
+    are BIGINT and jain_micro6 = floor(1e6 * (sum)^2 / (n *
+    sum_sq)).  The hash bucket is the corpus-wide md5 last-nibble
+    device (hash_uniformity's), so this row doubles as a fairness
+    view of that audit.
+
+    Output: (grouping, n_groups, n_docs, sum_sq, jain_micro6).
+
+    Scale shape: three bounded hash aggregates over one corpus scan
+    each (host/lang/16-bucket), then constant-size arithmetic.
+    """
+    nib = (F.conv(F.substring(F.md5(F.col("doc_id").cast("string")),
+                              32, 1), 16, 10).cast("int"))
+    outs = []
+    for name, key in [("host", F.col("source")),
+                      ("lang", F.col("lang")),
+                      ("md5_bucket", nib.cast("string"))]:
+        cnt = (docs.select(key.alias("_k"))
+               .groupBy("_k").agg(F.count(F.lit(1)).alias("_c")))
+        outs.append(cnt.agg(
+            F.lit(name).alias("grouping"),
+            F.count(F.lit(1)).cast("long").alias("n_groups"),
+            F.sum("_c").cast("long").alias("n_docs"),
+            F.sum(F.col("_c") * F.col("_c")).cast("long")
+            .alias("sum_sq")))
+    res = outs[0]
+    for o in outs[1:]:
+        res = res.unionByName(o)
+    return res.withColumn(
+        "jain_micro6",
+        F.expr("(1000000 * n_docs * n_docs) div (n_groups * sum_sq)")
+        .cast("long"))

@@ -9916,3 +9916,33 @@ SELECT host,
        CAST(COALESCE(MIN(gap), 10) AS BIGINT) AS min_gap_s,
        CAST((1000 * MAX(burst)) // 10 AS BIGINT) AS max_rate_milli
 FROM pa_win GROUP BY 1"""
+
+
+# ---------------------------------------------------------------------------
+# Continuation batch 162: Jain's fairness index of the doc
+# distribution under host / lang / md5-bucket sharding keys
+# (functions/textstats.jain_fairness).
+
+ORACLE["jain_fairness"] = """
+WITH jf_host AS (
+  SELECT COUNT(*) AS c FROM documents GROUP BY source),
+jf_lang AS (
+  SELECT COUNT(*) AS c FROM documents GROUP BY lang),
+jf_bucket AS (
+  SELECT COUNT(*) AS c FROM documents
+  GROUP BY instr('0123456789abcdef',
+                 substr(md5(CAST(doc_id AS VARCHAR)), 32, 1)) - 1),
+jf_all AS (
+  SELECT 'host' AS grouping, COUNT(*) AS n_groups,
+         SUM(c) AS n_docs, SUM(c * c) AS sum_sq FROM jf_host
+  UNION ALL
+  SELECT 'lang', COUNT(*), SUM(c), SUM(c * c) FROM jf_lang
+  UNION ALL
+  SELECT 'md5_bucket', COUNT(*), SUM(c), SUM(c * c) FROM jf_bucket)
+SELECT grouping,
+       CAST(n_groups AS BIGINT) AS n_groups,
+       CAST(n_docs AS BIGINT) AS n_docs,
+       CAST(sum_sq AS BIGINT) AS sum_sq,
+       CAST((1000000 * n_docs * n_docs) // (n_groups * sum_sq)
+         AS BIGINT) AS jain_micro6
+FROM jf_all"""

@@ -515,6 +515,8 @@ EXPECTED_TAIL = [
     "sq8_audit",
     # Continuation batch 161
     "politeness_audit",
+    # Continuation batch 162
+    "jain_fairness",
 ]
 
 
