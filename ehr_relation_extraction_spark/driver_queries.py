@@ -2965,6 +2965,17 @@ def q_jain_fairness(spark, sf_dir) -> DataFrame:
     return ts.jain_fairness(_docs(spark, sf_dir))
 
 
+def q_spearman_check(spark, sf_dir) -> DataFrame:
+    """Tie-aware Spearman rho between the LM quality score and doc
+    length (functions/textstats.spearman_check)."""
+    docs = _docs(spark, sf_dir)
+    scored = (ts.lm_quality(docs)
+              .join(docs.select("doc_id", "n_chars"), "doc_id")
+              .select(F.col("lm_score_micro6").alias("x"),
+                      F.col("n_chars").alias("y")))
+    return ts.spearman_check(scored)
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # ORDER IS LOAD-BEARING: the driver snapshot verifies exactly
     # list(QUERIES)[:50] in insertion order (pinned by
@@ -3544,6 +3555,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # Continuation batch 162: Jain fairness — appended past
     # position 50.
     "jain_fairness": q_jain_fairness,
+    # Continuation batch 163: Spearman rho — appended past
+    # position 50.
+    "spearman_check": q_spearman_check,
 }
 
 

@@ -2862,3 +2862,70 @@ def jain_fairness(docs: DataFrame) -> DataFrame:
         "jain_micro6",
         F.expr("(1000000 * n_docs * n_docs) div (n_groups * sum_sq)")
         .cast("long"))
+
+
+def spearman_check(scored: DataFrame, x_col: str = "x",
+                   y_col: str = "y") -> DataFrame:
+    """Tie-aware Spearman rank correlation between two integer doc
+    statistics — the monotone-association companion to ranker_tau's
+    Kendall: Pearson on average ranks, emitted float-free.
+
+    Ranks come from the VALUE HISTOGRAMS (no per-row sort): for a
+    value v with c_v occurrences and cum_v values strictly below,
+    the doubled average rank is r2(v) = 2*cum_v + c_v + 1 — an
+    integer even under ties.  Then with n rows, cov_num = n*sum(r2x
+    *r2y) - sum(r2x)*sum(r2y) and var_x/var_y analogously; rho =
+    cov/sqrt(var_x*var_y) is irrational, so the output carries the
+    exact pieces plus sign and rho2_micro6 = floor(1e6 * cov^2 /
+    (var_x*var_y)), computed in DECIMAL(38,0) (DuckDB HUGEINT) —
+    cov^2 overflows BIGINT beyond ~1k rows.
+
+    Output: one row (n, cov_num, var_x, var_y, rho_sign,
+    rho2_micro6).
+
+    Scale shape: two bounded value-histogram aggregates, two
+    broadcast joins to attach r2 per row, ONE global moment
+    aggregate — no global sort, no per-row window.
+    """
+    def _r2(col):
+        hist = (scored.groupBy(F.col(col).alias("_v"))
+                .agg(F.count(F.lit(1)).alias("_c")))
+        return (hist.withColumn(
+            "_cum",
+            F.coalesce(F.sum("_c").over(
+                Window.orderBy("_v").rowsBetween(
+                    Window.unboundedPreceding, -1)), F.lit(0)))
+            .select(F.col("_v").alias(col),
+                    (F.lit(2) * F.col("_cum") + F.col("_c") + 1)
+                    .cast("long").alias(f"_r2_{col}")))
+
+    joined = (scored.select(x_col, y_col)
+              .join(F.broadcast(_r2(x_col)), x_col)
+              .join(F.broadcast(_r2(y_col)), y_col))
+    m = joined.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum(f"_r2_{x_col}").cast("long").alias("_sx"),
+        F.sum(f"_r2_{y_col}").cast("long").alias("_sy"),
+        F.sum(F.col(f"_r2_{x_col}") * F.col(f"_r2_{x_col}"))
+        .cast("long").alias("_sxx"),
+        F.sum(F.col(f"_r2_{y_col}") * F.col(f"_r2_{y_col}"))
+        .cast("long").alias("_syy"),
+        F.sum(F.col(f"_r2_{x_col}") * F.col(f"_r2_{y_col}"))
+        .cast("long").alias("_sxy"))
+    return (m.select(
+        "n",
+        (F.col("n") * F.col("_sxy") - F.col("_sx") * F.col("_sy"))
+        .cast("long").alias("cov_num"),
+        (F.col("n") * F.col("_sxx") - F.col("_sx") * F.col("_sx"))
+        .cast("long").alias("var_x"),
+        (F.col("n") * F.col("_syy") - F.col("_sy") * F.col("_sy"))
+        .cast("long").alias("var_y"))
+        .withColumn("rho_sign", F.signum("cov_num").cast("int"))
+        .withColumn(
+            "rho2_micro6",
+            F.when((F.col("var_x") > 0) & (F.col("var_y") > 0),
+                   F.expr("(CAST(1000000 AS DECIMAL(38,0))"
+                          " * cov_num * cov_num)"
+                          " div (CAST(var_x AS DECIMAL(38,0))"
+                          " * var_y)"))
+            .otherwise(F.lit(0)).cast("long")))

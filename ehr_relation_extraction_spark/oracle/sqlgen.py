@@ -9946,3 +9946,49 @@ SELECT grouping,
        CAST((1000000 * n_docs * n_docs) // (n_groups * sum_sq)
          AS BIGINT) AS jain_micro6
 FROM jf_all"""
+
+
+# ---------------------------------------------------------------------------
+# Continuation batch 163: tie-aware Spearman rho between the LM
+# quality score and doc length — doubled-average-rank Pearson,
+# HUGEINT-exact (functions/textstats.spearman_check).
+
+ORACLE["spearman_check"] = f"""
+WITH sp_score AS MATERIALIZED ({ORACLE["lm_quality"]}),
+sp AS MATERIALIZED (
+  SELECT s.lm_score_micro6 AS x, d.n_chars AS y
+  FROM sp_score s JOIN documents d USING (doc_id)),
+sp_rx AS (
+  SELECT x, 2 * COALESCE(SUM(c) OVER (ORDER BY x
+             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+           + c + 1 AS r2x
+  FROM (SELECT x, COUNT(*) AS c FROM sp GROUP BY 1)),
+sp_ry AS (
+  SELECT y, 2 * COALESCE(SUM(c) OVER (ORDER BY y
+             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+           + c + 1 AS r2y
+  FROM (SELECT y, COUNT(*) AS c FROM sp GROUP BY 1)),
+sp_j AS (
+  SELECT rx.r2x, ry.r2y
+  FROM sp JOIN sp_rx rx USING (x) JOIN sp_ry ry USING (y)),
+sp_m AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(r2x) AS BIGINT) AS sx,
+         CAST(SUM(r2y) AS BIGINT) AS sy,
+         CAST(SUM(r2x * r2x) AS BIGINT) AS sxx,
+         CAST(SUM(r2y * r2y) AS BIGINT) AS syy,
+         CAST(SUM(r2x * r2y) AS BIGINT) AS sxy
+  FROM sp_j)
+SELECT n,
+       CAST(n * sxy - sx * sy AS BIGINT) AS cov_num,
+       CAST(n * sxx - sx * sx AS BIGINT) AS var_x,
+       CAST(n * syy - sy * sy AS BIGINT) AS var_y,
+       CAST(SIGN(n * sxy - sx * sy) AS INT) AS rho_sign,
+       CAST(CASE WHEN n * sxx - sx * sx > 0
+                  AND n * syy - sy * sy > 0
+            THEN (CAST(1000000 AS HUGEINT)
+                  * (n * sxy - sx * sy) * (n * sxy - sx * sy))
+                 // (CAST(n * sxx - sx * sx AS HUGEINT)
+                     * (n * syy - sy * sy))
+            ELSE 0 END AS BIGINT) AS rho2_micro6
+FROM sp_m"""

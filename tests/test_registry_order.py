@@ -517,6 +517,8 @@ EXPECTED_TAIL = [
     "politeness_audit",
     # Continuation batch 162
     "jain_fairness",
+    # Continuation batch 163
+    "spearman_check",
 ]
 
 
