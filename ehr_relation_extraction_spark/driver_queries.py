@@ -2976,6 +2976,15 @@ def q_spearman_check(spark, sf_dir) -> DataFrame:
     return ts.spearman_check(scored)
 
 
+def q_series_motifs(spark, sf_dir) -> DataFrame:
+    """Quartile-symbol length-3 motif census per event type
+    (operators/events.series_motifs)."""
+    from .operators.events import series_motifs
+
+    return series_motifs(
+        spark.read.parquet(f"{sf_dir}/events.parquet"))
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # ORDER IS LOAD-BEARING: the driver snapshot verifies exactly
     # list(QUERIES)[:50] in insertion order (pinned by
@@ -3558,6 +3567,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # Continuation batch 163: Spearman rho — appended past
     # position 50.
     "spearman_check": q_spearman_check,
+    # Continuation batch 164: series motifs — appended past
+    # position 50.
+    "series_motifs": q_series_motifs,
 }
 
 

@@ -1218,3 +1218,56 @@ def lis_trend(events: DataFrame) -> DataFrame:
              .agg(F.count(F.lit(1)).alias("v")))
     return daily.groupBy("etype").applyInPandas(
         lambda pdf: _lis_group(pdf), LIS_SCHEMA)
+
+
+def series_motifs(events: DataFrame) -> DataFrame:
+    """SAX-style motif census of the per-type daily series, with the
+    float-free symbolization the rank devices here always use: each
+    day's count maps to a QUARTILE SYMBOL a-d via its exact position
+    in the type's value multiset (sym = (4 * #strictly-smaller) div
+    n, ties share a symbol), then every 3 consecutive observed days
+    form a motif string ("abd", "ddd", ...).  Recurring motifs =
+    repeated local shapes (ramps, spikes, plateaus) — the discrete
+    pattern-mining complement to autocorrelation.
+
+    Output: (event_type, motif, n_windows, share_micro6) with
+    share_micro6 = floor(1e6 * n_windows / total windows of that
+    type); types with < 3 observed days vanish (no window).
+
+    Scale shape: one (type, day) roll-up, a bounded per-type value
+    histogram broadcast back for the symbol, one keyed lead-lead
+    window, one hash aggregate — series length is calendar-bounded.
+    """
+    day = F.expr("unix_micros(cast(ts as timestamp)) div 86400000000")
+    daily = (events.select(F.col("event_type").alias("etype"),
+                           day.alias("_day"))
+             .groupBy("etype", "_day")
+             .agg(F.count(F.lit(1)).alias("v")))
+    hist = (daily.groupBy("etype", "v")
+            .agg(F.count(F.lit(1)).alias("_c")))
+    wv = (Window.partitionBy("etype").orderBy("v")
+          .rowsBetween(Window.unboundedPreceding, -1))
+    wn = Window.partitionBy("etype")
+    sym = (hist.withColumn("_below",
+                           F.coalesce(F.sum("_c").over(wv), F.lit(0)))
+           .withColumn("_n", F.sum("_c").over(wn))
+           .select("etype", "v",
+                   F.expr("substring('abcd',"
+                          " cast((4 * _below) div _n as int) + 1, 1)")
+                   .alias("_sym")))
+    wd = Window.partitionBy("etype").orderBy("_day")
+    motifs = (daily.join(F.broadcast(sym), ["etype", "v"])
+              .withColumn("_s1", F.lead("_sym", 1).over(wd))
+              .withColumn("_s2", F.lead("_sym", 2).over(wd))
+              .where(F.col("_s2").isNotNull())
+              .select("etype",
+                      F.concat("_sym", "_s1", "_s2").alias("motif")))
+    counts = (motifs.groupBy("etype", "motif")
+              .agg(F.count(F.lit(1)).cast("long").alias("n_windows")))
+    tot = Window.partitionBy("etype")
+    return (counts.withColumn(
+        "_tot", F.sum("n_windows").over(tot))
+        .select(F.col("etype").alias("event_type"), "motif",
+                "n_windows",
+                F.expr("(1000000 * n_windows) div _tot").cast("long")
+                .alias("share_micro6")))

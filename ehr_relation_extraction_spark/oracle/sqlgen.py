@@ -9992,3 +9992,44 @@ SELECT n,
                      * (n * syy - sy * sy))
             ELSE 0 END AS BIGINT) AS rho2_micro6
 FROM sp_m"""
+
+
+# ---------------------------------------------------------------------------
+# Continuation batch 164: quartile-symbol (SAX-style) length-3 motif
+# census per event type (operators/events.series_motifs).
+
+ORACLE["series_motifs"] = """
+WITH sm_daily AS MATERIALIZED (
+  SELECT event_type AS etype,
+         epoch_us(ts) // 86400000000 AS day,
+         COUNT(*) AS v
+  FROM events GROUP BY 1, 2),
+sm_hist AS (
+  SELECT etype, v, COUNT(*) AS c FROM sm_daily GROUP BY 1, 2),
+sm_sym AS (
+  SELECT etype, v,
+         substr('abcd',
+                CAST((4 * COALESCE(SUM(c) OVER (PARTITION BY etype
+                       ORDER BY v ROWS BETWEEN UNBOUNDED PRECEDING
+                       AND 1 PRECEDING), 0))
+                     // SUM(c) OVER (PARTITION BY etype) AS INT) + 1,
+                1) AS sym
+  FROM sm_hist),
+sm_seq AS (
+  SELECT d.etype, d.day, s.sym,
+         LEAD(s.sym, 1) OVER (PARTITION BY d.etype ORDER BY d.day)
+           AS s1,
+         LEAD(s.sym, 2) OVER (PARTITION BY d.etype ORDER BY d.day)
+           AS s2
+  FROM sm_daily d JOIN sm_sym s ON s.etype = d.etype AND s.v = d.v),
+sm_motifs AS (
+  SELECT etype, sym || s1 || s2 AS motif FROM sm_seq
+  WHERE s2 IS NOT NULL),
+sm_counts AS (
+  SELECT etype, motif, CAST(COUNT(*) AS BIGINT) AS n_windows
+  FROM sm_motifs GROUP BY 1, 2)
+SELECT etype AS event_type, motif, n_windows,
+       CAST((1000000 * n_windows)
+            // SUM(n_windows) OVER (PARTITION BY etype) AS BIGINT)
+         AS share_micro6
+FROM sm_counts"""

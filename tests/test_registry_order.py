@@ -519,6 +519,8 @@ EXPECTED_TAIL = [
     "jain_fairness",
     # Continuation batch 163
     "spearman_check",
+    # Continuation batch 164
+    "series_motifs",
 ]
 
 
