@@ -2985,6 +2985,12 @@ def q_series_motifs(spark, sf_dir) -> DataFrame:
         spark.read.parquet(f"{sf_dir}/events.parquet"))
 
 
+def q_readability_profile(spark, sf_dir) -> DataFrame:
+    """Syllable-complexity readability profile per language
+    (functions/textstats.readability_profile)."""
+    return ts.readability_profile(_docs(spark, sf_dir))
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # ORDER IS LOAD-BEARING: the driver snapshot verifies exactly
     # list(QUERIES)[:50] in insertion order (pinned by
@@ -3570,6 +3576,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # Continuation batch 164: series motifs — appended past
     # position 50.
     "series_motifs": q_series_motifs,
+    # Continuation batch 165: readability profile — appended past
+    # position 50.
+    "readability_profile": q_readability_profile,
 }
 
 

@@ -2929,3 +2929,41 @@ def spearman_check(scored: DataFrame, x_col: str = "x",
                           " div (CAST(var_x AS DECIMAL(38,0))"
                           " * var_y)"))
             .otherwise(F.lit(0)).cast("long")))
+
+
+def readability_profile(docs: DataFrame) -> DataFrame:
+    """Syllable-complexity profile per language — the readability
+    half of Flesch/SMOG that survives a corpus with no sentence
+    punctuation (this one): syllables per word and the share of
+    polysyllabic (3+) words, the two lexical-difficulty terms those
+    grades weight.
+
+    Syllables are the classic regex estimator: vowel-GROUP count
+    ([aeiouy]+ runs in the lowercased token), floored at 1 per word
+    (vowel-less tokens count one) — deterministic and identical in
+    RE2/Java regex (no lookaround).  All integers; ratios are micro6
+    floors.
+
+    Output: (lang, n_words, n_syllables, n_polysyllabic,
+    syll_per_word_micro6, poly_share_micro6).
+
+    Scale shape: one map-side explode + ONE bounded groupBy(lang) —
+    no joins, no window.
+    """
+    tok = F.explode(_toks()).alias("tok")
+    base = docs.select("lang", tok)
+    groups = F.size(F.expr(
+        "regexp_extract_all(lower(tok), '[aeiouy]+', 0)"))
+    syl = F.greatest(F.lit(1), groups)
+    return (base.select("lang", syl.alias("_s"))
+            .groupBy("lang")
+            .agg(F.count(F.lit(1)).cast("long").alias("n_words"),
+                 F.sum("_s").cast("long").alias("n_syllables"),
+                 F.sum((F.col("_s") >= 3).cast("int")).cast("long")
+                 .alias("n_polysyllabic"))
+            .withColumn("syll_per_word_micro6",
+                        F.expr("(1000000 * n_syllables) div n_words")
+                        .cast("long"))
+            .withColumn("poly_share_micro6",
+                        F.expr("(1000000 * n_polysyllabic)"
+                               " div n_words").cast("long")))

@@ -10033,3 +10033,29 @@ SELECT etype AS event_type, motif, n_windows,
             // SUM(n_windows) OVER (PARTITION BY etype) AS BIGINT)
          AS share_micro6
 FROM sm_counts"""
+
+
+# ---------------------------------------------------------------------------
+# Continuation batch 165: syllable-complexity (readability) profile
+# per language (functions/textstats.readability_profile).
+
+ORACLE["readability_profile"] = f"""
+WITH rp_toks AS (
+  SELECT lang,
+         unnest(string_split_regex(text, '{SEP_CLASS}')) AS tok
+  FROM documents),
+rp_syl AS (
+  SELECT lang,
+         GREATEST(1, len(regexp_extract_all(lower(tok),
+                                            '[aeiouy]+'))) AS s
+  FROM rp_toks WHERE tok <> '')
+SELECT lang,
+       CAST(COUNT(*) AS BIGINT) AS n_words,
+       CAST(SUM(s) AS BIGINT) AS n_syllables,
+       CAST(SUM(CASE WHEN s >= 3 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_polysyllabic,
+       CAST((1000000 * SUM(s)) // COUNT(*) AS BIGINT)
+         AS syll_per_word_micro6,
+       CAST((1000000 * SUM(CASE WHEN s >= 3 THEN 1 ELSE 0 END))
+            // COUNT(*) AS BIGINT) AS poly_share_micro6
+FROM rp_syl GROUP BY 1"""

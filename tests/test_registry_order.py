@@ -521,6 +521,8 @@ EXPECTED_TAIL = [
     "spearman_check",
     # Continuation batch 164
     "series_motifs",
+    # Continuation batch 165
+    "readability_profile",
 ]
 
 
