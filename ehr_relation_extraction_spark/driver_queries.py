@@ -2991,6 +2991,12 @@ def q_readability_profile(spark, sf_dir) -> DataFrame:
     return ts.readability_profile(_docs(spark, sf_dir))
 
 
+def q_bitmap_runs(spark, sf_dir) -> DataFrame:
+    """Roaring-style run/bitmap/list encoding audit of doc_id sets
+    per language (functions/textstats.bitmap_runs)."""
+    return ts.bitmap_runs(_docs(spark, sf_dir))
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # ORDER IS LOAD-BEARING: the driver snapshot verifies exactly
     # list(QUERIES)[:50] in insertion order (pinned by
@@ -3579,6 +3585,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # Continuation batch 165: readability profile — appended past
     # position 50.
     "readability_profile": q_readability_profile,
+    # Continuation batch 166: bitmap-runs encoding audit — appended
+    # past position 50.
+    "bitmap_runs": q_bitmap_runs,
 }
 
 

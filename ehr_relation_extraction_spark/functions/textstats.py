@@ -2967,3 +2967,55 @@ def readability_profile(docs: DataFrame) -> DataFrame:
             .withColumn("poly_share_micro6",
                         F.expr("(1000000 * n_polysyllabic)"
                                " div n_words").cast("long")))
+
+
+def bitmap_runs(docs: DataFrame) -> DataFrame:
+    """Roaring-style encoding audit of each language's doc_id set —
+    the index-layout decision a posting/deletion-vector writer makes
+    per container: RUN-length encode, keep a BITMAP, or keep the raw
+    id LIST?  Islands of consecutive doc_ids are the classic
+    gaps-and-islands device: doc_id - DENSE row_number is constant
+    within a run.
+
+    Per lang: n_docs, n_runs, span (max-min+1), longest_run,
+    avg_run_x1000 = floor(1000 * n_docs / n_runs), and the exact
+    bit costs of the three encodings (bits_run = 128 * n_runs
+    [64-bit start + len], bits_bitmap = span, bits_list = 64 *
+    n_docs) plus the arg-min verdict (ties: run < bitmap < list).
+
+    Scale shape: one keyed window (row_number within lang) + two
+    keyed aggregates — the same shuffle a per-container index build
+    pays anyway.
+    """
+    w = Window.partitionBy("lang").orderBy("doc_id")
+    runs = (docs.select("lang", "doc_id")
+            .withColumn("_grp",
+                        F.col("doc_id") - F.row_number().over(w))
+            .groupBy("lang", "_grp")
+            .agg(F.count(F.lit(1)).alias("_len")))
+    per = (runs.groupBy("lang")
+           .agg(F.sum("_len").cast("long").alias("n_docs"),
+                F.count(F.lit(1)).cast("long").alias("n_runs"),
+                F.max("_len").cast("long").alias("longest_run")))
+    span = (docs.groupBy("lang")
+            .agg((F.max("doc_id") - F.min("doc_id") + 1)
+                 .cast("long").alias("span")))
+    out = (per.join(span, "lang")
+           .withColumn("avg_run_x1000",
+                       F.expr("(1000 * n_docs) div n_runs")
+                       .cast("long"))
+           .withColumn("bits_run",
+                       (F.lit(128) * F.col("n_runs")).cast("long"))
+           .withColumn("bits_bitmap", F.col("span").cast("long"))
+           .withColumn("bits_list",
+                       (F.lit(64) * F.col("n_docs")).cast("long")))
+    verdict = (F.when((F.col("bits_run") <= F.col("bits_bitmap"))
+                      & (F.col("bits_run") <= F.col("bits_list")),
+                      "run")
+               .when(F.col("bits_bitmap") <= F.col("bits_list"),
+                     "bitmap")
+               .otherwise("list"))
+    return out.select("lang", "n_docs", "n_runs", "span",
+                      "longest_run", "avg_run_x1000", "bits_run",
+                      "bits_bitmap", "bits_list",
+                      verdict.alias("verdict"))

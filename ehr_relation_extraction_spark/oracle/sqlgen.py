@@ -10059,3 +10059,46 @@ SELECT lang,
        CAST((1000000 * SUM(CASE WHEN s >= 3 THEN 1 ELSE 0 END))
             // COUNT(*) AS BIGINT) AS poly_share_micro6
 FROM rp_syl GROUP BY 1"""
+
+
+# ---------------------------------------------------------------------------
+# Continuation batch 166: roaring-style run/bitmap/list encoding
+# audit of each language's doc_id set
+# (functions/textstats.bitmap_runs).
+
+ORACLE["bitmap_runs"] = """
+WITH br_runs AS (
+  SELECT lang, doc_id - ROW_NUMBER() OVER (PARTITION BY lang
+             ORDER BY doc_id) AS grp
+  FROM documents),
+br_r AS (
+  SELECT lang, grp, COUNT(*) AS len
+  FROM br_runs GROUP BY 1, 2),
+br_per AS (
+  SELECT lang, SUM(len) AS n_docs, COUNT(*) AS n_runs,
+         MAX(len) AS longest_run
+  FROM br_r GROUP BY 1),
+br_span AS (
+  SELECT lang, MAX(doc_id) - MIN(doc_id) + 1 AS span
+  FROM documents GROUP BY 1),
+br_out AS (
+  SELECT p.lang, p.n_docs, p.n_runs, s.span, p.longest_run,
+         (1000 * p.n_docs) // p.n_runs AS avg_run_x1000,
+         128 * p.n_runs AS bits_run,
+         s.span AS bits_bitmap,
+         64 * p.n_docs AS bits_list
+  FROM br_per p JOIN br_span s USING (lang))
+SELECT lang,
+       CAST(n_docs AS BIGINT) AS n_docs,
+       CAST(n_runs AS BIGINT) AS n_runs,
+       CAST(span AS BIGINT) AS span,
+       CAST(longest_run AS BIGINT) AS longest_run,
+       CAST(avg_run_x1000 AS BIGINT) AS avg_run_x1000,
+       CAST(bits_run AS BIGINT) AS bits_run,
+       CAST(bits_bitmap AS BIGINT) AS bits_bitmap,
+       CAST(bits_list AS BIGINT) AS bits_list,
+       CASE WHEN bits_run <= bits_bitmap AND bits_run <= bits_list
+            THEN 'run'
+            WHEN bits_bitmap <= bits_list THEN 'bitmap'
+            ELSE 'list' END AS verdict
+FROM br_out"""

@@ -523,6 +523,8 @@ EXPECTED_TAIL = [
     "series_motifs",
     # Continuation batch 165
     "readability_profile",
+    # Continuation batch 166
+    "bitmap_runs",
 ]
 
 
