@@ -2997,6 +2997,13 @@ def q_bitmap_runs(spark, sf_dir) -> DataFrame:
     return ts.bitmap_runs(_docs(spark, sf_dir))
 
 
+def q_sweep_concurrency(spark, sf_dir) -> DataFrame:
+    """Sweep-line max concurrency of fact-validity intervals per
+    predicate (operators/triples.sweep_concurrency)."""
+    return tri_op.sweep_concurrency(
+        q_triple_snapshots(spark, sf_dir))
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # ORDER IS LOAD-BEARING: the driver snapshot verifies exactly
     # list(QUERIES)[:50] in insertion order (pinned by
@@ -3588,6 +3595,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # Continuation batch 166: bitmap-runs encoding audit — appended
     # past position 50.
     "bitmap_runs": q_bitmap_runs,
+    # Continuation batch 167: sweep-line concurrency — appended past
+    # position 50.
+    "sweep_concurrency": q_sweep_concurrency,
 }
 
 

@@ -1811,3 +1811,52 @@ def inclusion_deps(frames: dict, candidates=None) -> DataFrame:
     for o in outs[1:]:
         out = out.unionByName(o)
     return out
+
+
+def sweep_concurrency(intervals: DataFrame) -> DataFrame:
+    """Sweep-line maximum concurrency of fact-validity intervals per
+    predicate — the load-profile question interval_conflicts'
+    pairwise overlap join cannot answer: how many claims about this
+    predicate were simultaneously valid at the WORST moment, and
+    when was it?  (Pairwise overlap is quadratic evidence; the sweep
+    is the linear witness.)
+
+    Classic +1/-1 event sweep over the half-open [valid_from,
+    valid_to) windows: at equal timestamps the -1 closes BEFORE the
+    +1 opens (delta ascending), so touching intervals never
+    double-count; NULL valid_to is open-ended and never emits a
+    close.  All integer epoch seconds.
+
+    Output per pred: (pred, n_intervals, n_open_ended,
+    max_concurrent, t_at_max = earliest sweep time attaining the
+    max).
+
+    Scale shape: one union + ONE keyed window over (pred)-partitioned
+    event points + two keyed aggregates — the sweep never leaves the
+    predicate partition.
+    """
+    from pyspark.sql import Window
+
+    opens = intervals.select(
+        "pred", F.col("valid_from").alias("t"),
+        F.lit(1).alias("delta"))
+    closes = (intervals.where(F.col("valid_to").isNotNull())
+              .select("pred", F.col("valid_to").alias("t"),
+                      F.lit(-1).alias("delta")))
+    ev = opens.unionByName(closes)
+    w = (Window.partitionBy("pred").orderBy("t", "delta")
+         .rowsBetween(Window.unboundedPreceding, 0))
+    swept = ev.withColumn("_run", F.sum("delta").over(w))
+    wp = Window.partitionBy("pred")
+    at_max = (swept.withColumn("_mx", F.max("_run").over(wp))
+              .where(F.col("_run") == F.col("_mx"))
+              .groupBy("pred")
+              .agg(F.max("_mx").cast("long").alias("max_concurrent"),
+                   F.min("t").cast("long").alias("t_at_max")))
+    counts = intervals.groupBy("pred").agg(
+        F.count(F.lit(1)).cast("long").alias("n_intervals"),
+        F.sum(F.col("valid_to").isNull().cast("int")).cast("long")
+        .alias("n_open_ended"))
+    return counts.join(at_max, "pred").select(
+        "pred", "n_intervals", "n_open_ended", "max_concurrent",
+        "t_at_max")

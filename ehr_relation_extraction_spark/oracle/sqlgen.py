@@ -10102,3 +10102,38 @@ SELECT lang,
             WHEN bits_bitmap <= bits_list THEN 'bitmap'
             ELSE 'list' END AS verdict
 FROM br_out"""
+
+
+# ---------------------------------------------------------------------------
+# Continuation batch 167: sweep-line max concurrency of fact-validity
+# intervals per predicate (operators/triples.sweep_concurrency).
+
+ORACLE["sweep_concurrency"] = f"""
+WITH sc_iv AS MATERIALIZED ({ORACLE["triple_snapshots"]}),
+sc_ev AS (
+  SELECT pred, valid_from AS t, 1 AS delta FROM sc_iv
+  UNION ALL
+  SELECT pred, valid_to AS t, -1 AS delta FROM sc_iv
+  WHERE valid_to IS NOT NULL),
+sc_run AS (
+  SELECT pred, t,
+         SUM(delta) OVER (PARTITION BY pred ORDER BY t, delta
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           AS run
+  FROM sc_ev),
+sc_max AS (
+  SELECT pred,
+         CAST(MAX(run) AS BIGINT) AS max_concurrent,
+         CAST(MIN(CASE WHEN run = mx THEN t END) AS BIGINT)
+           AS t_at_max
+  FROM (SELECT pred, t, run,
+               MAX(run) OVER (PARTITION BY pred) AS mx
+        FROM sc_run) GROUP BY 1),
+sc_counts AS (
+  SELECT pred, CAST(COUNT(*) AS BIGINT) AS n_intervals,
+         CAST(SUM(CASE WHEN valid_to IS NULL THEN 1 ELSE 0 END)
+           AS BIGINT) AS n_open_ended
+  FROM sc_iv GROUP BY 1)
+SELECT c.pred, c.n_intervals, c.n_open_ended, m.max_concurrent,
+       m.t_at_max
+FROM sc_counts c JOIN sc_max m USING (pred)"""

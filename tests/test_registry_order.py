@@ -525,6 +525,8 @@ EXPECTED_TAIL = [
     "readability_profile",
     # Continuation batch 166
     "bitmap_runs",
+    # Continuation batch 167
+    "sweep_concurrency",
 ]
 
 
