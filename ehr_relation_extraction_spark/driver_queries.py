@@ -3004,6 +3004,14 @@ def q_sweep_concurrency(spark, sf_dir) -> DataFrame:
         q_triple_snapshots(spark, sf_dir))
 
 
+def q_hash_collisions(spark, sf_dir) -> DataFrame:
+    """Birthday-collision audit of truncated token hashes
+    (functions/sketches.hash_collisions)."""
+    from .functions.sketches import hash_collisions
+
+    return hash_collisions(_docs(spark, sf_dir))
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # ORDER IS LOAD-BEARING: the driver snapshot verifies exactly
     # list(QUERIES)[:50] in insertion order (pinned by
@@ -3598,6 +3606,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # Continuation batch 167: sweep-line concurrency — appended past
     # position 50.
     "sweep_concurrency": q_sweep_concurrency,
+    # Continuation batch 168: hash-collision audit — appended past
+    # position 50.
+    "hash_collisions": q_hash_collisions,
 }
 
 

@@ -1053,3 +1053,50 @@ def hash_uniformity(docs: DataFrame, n_nib: int = 2) -> DataFrame:
         F.sum((F.lit(b) * F.col("c") - F.col("_n"))
               * (F.lit(b) * F.col("c") - F.col("_n")))
         .cast("long").alias("chi2_num")))
+
+
+def hash_collisions(docs: DataFrame, widths=(8, 12, 16)) -> DataFrame:
+    """Birthday-collision audit of truncated token hashes — the
+    sizing read for every fingerprint table here (simhash bands,
+    minhash buckets, bloom slots): when the vocabulary is hashed
+    into 2^w buckets, how many DISTINCT tokens actually collide, and
+    how many colliding pairs does that create?
+
+    The bucket is the first w bits of md5(token) (hex-nibble
+    arithmetic, the corpus-wide device), keys are distinct lowercase
+    tokens.  Per width: n_keys, n_buckets_used, n_colliding_keys
+    (keys sharing a bucket with another key), n_collision_pairs
+    (sum over buckets of C(c,2)), and keys_per_bucket_micro6.
+    All integers.
+
+    Scale shape: one distinct-token aggregate, a per-width literal
+    explode, one (width, bucket) hash aggregate, one bounded
+    roll-up.
+    """
+    vocab = (docs.select(
+        F.explode(F.split(F.col("text"), "[\n \t]")).alias("tok"))
+        .where(F.col("tok") != "")
+        .select(F.lower("tok").alias("tok")).dropDuplicates())
+    hashed = vocab.select(
+        F.conv(F.substring(F.md5("tok"), 1, 4), 16, 10)
+        .cast("long").alias("_h16"))
+    fan = hashed.select(
+        "_h16",
+        F.explode(F.array(*[F.lit(w) for w in widths])).alias("w"))
+    bucketed = fan.select(
+        "w", F.expr("_h16 div (65536 div shiftleft(1, w))")
+        .alias("_b"))
+    cells = (bucketed.groupBy("w", "_b")
+             .agg(F.count(F.lit(1)).alias("_c")))
+    return (cells.groupBy("w").agg(
+        F.sum("_c").cast("long").alias("n_keys"),
+        F.count(F.lit(1)).cast("long").alias("n_buckets_used"),
+        F.sum(F.when(F.col("_c") > 1, F.col("_c")).otherwise(0))
+        .cast("long").alias("n_colliding_keys"),
+        F.expr("sum((_c * (_c - 1)) div 2)").cast("long")
+        .alias("n_collision_pairs"))
+        .select(F.col("w").cast("int").alias("width"), "n_keys",
+                "n_buckets_used", "n_colliding_keys",
+                "n_collision_pairs",
+                F.expr("(1000000 * n_keys) div n_buckets_used")
+                .cast("long").alias("keys_per_bucket_micro6")))

@@ -10137,3 +10137,38 @@ sc_counts AS (
 SELECT c.pred, c.n_intervals, c.n_open_ended, m.max_concurrent,
        m.t_at_max
 FROM sc_counts c JOIN sc_max m USING (pred)"""
+
+
+# ---------------------------------------------------------------------------
+# Continuation batch 168: birthday-collision audit of truncated
+# token hashes (functions/sketches.hash_collisions).
+
+ORACLE["hash_collisions"] = f"""
+WITH hc_vocab AS (
+  SELECT DISTINCT lower(tok) AS tok FROM (
+    SELECT unnest(string_split_regex(text, '{SEP_CLASS}')) AS tok
+    FROM documents) WHERE tok <> ''),
+hc_h AS (
+  SELECT (instr('0123456789abcdef', substr(md5(tok), 1, 1)) - 1)
+           * 4096
+       + (instr('0123456789abcdef', substr(md5(tok), 2, 1)) - 1)
+           * 256
+       + (instr('0123456789abcdef', substr(md5(tok), 3, 1)) - 1)
+           * 16
+       + (instr('0123456789abcdef', substr(md5(tok), 4, 1)) - 1)
+           AS h16
+  FROM hc_vocab),
+hc_fan AS (
+  SELECT h16, unnest([8, 12, 16]) AS w FROM hc_h),
+hc_cells AS (
+  SELECT w, h16 // (65536 // (1 << w)) AS b, COUNT(*) AS c
+  FROM hc_fan GROUP BY 1, 2)
+SELECT CAST(w AS INT) AS width,
+       CAST(SUM(c) AS BIGINT) AS n_keys,
+       CAST(COUNT(*) AS BIGINT) AS n_buckets_used,
+       CAST(SUM(CASE WHEN c > 1 THEN c ELSE 0 END) AS BIGINT)
+         AS n_colliding_keys,
+       CAST(SUM((c * (c - 1)) // 2) AS BIGINT) AS n_collision_pairs,
+       CAST((1000000 * SUM(c)) // COUNT(*) AS BIGINT)
+         AS keys_per_bucket_micro6
+FROM hc_cells GROUP BY 1"""

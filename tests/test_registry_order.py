@@ -527,6 +527,8 @@ EXPECTED_TAIL = [
     "bitmap_runs",
     # Continuation batch 167
     "sweep_concurrency",
+    # Continuation batch 168
+    "hash_collisions",
 ]
 
 
