@@ -3012,6 +3012,12 @@ def q_hash_collisions(spark, sf_dir) -> DataFrame:
     return hash_collisions(_docs(spark, sf_dir))
 
 
+def q_lang_vocab_overlap(spark, sf_dir) -> DataFrame:
+    """Pairwise vocabulary Jaccard between languages
+    (functions/textstats.lang_vocab_overlap)."""
+    return ts.lang_vocab_overlap(_docs(spark, sf_dir))
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # ORDER IS LOAD-BEARING: the driver snapshot verifies exactly
     # list(QUERIES)[:50] in insertion order (pinned by
@@ -3609,6 +3615,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # Continuation batch 168: hash-collision audit — appended past
     # position 50.
     "hash_collisions": q_hash_collisions,
+    # Continuation batch 169: language vocab overlap — appended past
+    # position 50.
+    "lang_vocab_overlap": q_lang_vocab_overlap,
 }
 
 

@@ -3019,3 +3019,51 @@ def bitmap_runs(docs: DataFrame) -> DataFrame:
                       "longest_run", "avg_run_x1000", "bits_run",
                       "bits_bitmap", "bits_list",
                       verdict.alias("verdict"))
+
+
+def lang_vocab_overlap(docs: DataFrame) -> DataFrame:
+    """Pairwise vocabulary overlap between languages — the
+    contamination / code-switching read behind lang_id's failure
+    modes: how much of one language's lexicon appears verbatim in
+    another's?  High overlap predicts exactly the confusions the
+    kappa/MCC audits count.
+
+    Vocabularies are distinct lowercase whitespace tokens per lang;
+    per unordered pair (lang_a < lang_b): both vocabulary sizes, the
+    intersection, and exact Jaccard + both containments as micro6
+    floors (union = v_a + v_b - n_common).
+
+    Output: (lang_a, lang_b, v_a, v_b, n_common, jaccard_micro6,
+    contain_a_micro6, contain_b_micro6).
+
+    Scale shape: one distinct (lang, token) aggregate, a self-join
+    keyed on TOKEN (high-cardinality equi-join, not a lang
+    cartesian), one bounded pair roll-up + broadcast size joins.
+    """
+    vocab = (docs.select(
+        "lang",
+        F.explode(_toks()).alias("tok"))
+        .select("lang", F.lower("tok").alias("tok"))
+        .dropDuplicates())
+    sizes = vocab.groupBy("lang").agg(
+        F.count(F.lit(1)).cast("long").alias("v"))
+    a = vocab.select(F.col("lang").alias("lang_a"), "tok")
+    b = vocab.select(F.col("lang").alias("lang_b"), "tok")
+    common = (a.join(b, "tok")
+              .where(F.col("lang_a") < F.col("lang_b"))
+              .groupBy("lang_a", "lang_b")
+              .agg(F.count(F.lit(1)).cast("long").alias("n_common")))
+    sa = sizes.select(F.col("lang").alias("lang_a"),
+                      F.col("v").alias("v_a"))
+    sb = sizes.select(F.col("lang").alias("lang_b"),
+                      F.col("v").alias("v_b"))
+    return (common.join(F.broadcast(sa), "lang_a")
+            .join(F.broadcast(sb), "lang_b")
+            .select("lang_a", "lang_b", "v_a", "v_b", "n_common",
+                    F.expr("(1000000 * n_common)"
+                           " div (v_a + v_b - n_common)")
+                    .cast("long").alias("jaccard_micro6"),
+                    F.expr("(1000000 * n_common) div v_a")
+                    .cast("long").alias("contain_a_micro6"),
+                    F.expr("(1000000 * n_common) div v_b")
+                    .cast("long").alias("contain_b_micro6")))

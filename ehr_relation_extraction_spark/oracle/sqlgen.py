@@ -10172,3 +10172,34 @@ SELECT CAST(w AS INT) AS width,
        CAST((1000000 * SUM(c)) // COUNT(*) AS BIGINT)
          AS keys_per_bucket_micro6
 FROM hc_cells GROUP BY 1"""
+
+
+# ---------------------------------------------------------------------------
+# Continuation batch 169: pairwise vocabulary Jaccard between
+# languages (functions/textstats.lang_vocab_overlap).
+
+ORACLE["lang_vocab_overlap"] = f"""
+WITH lv_vocab AS MATERIALIZED (
+  SELECT DISTINCT lang, lower(tok) AS tok FROM (
+    SELECT lang,
+           unnest(string_split_regex(text, '{SEP_CLASS}')) AS tok
+    FROM documents) WHERE tok <> ''),
+lv_sizes AS (
+  SELECT lang, CAST(COUNT(*) AS BIGINT) AS v
+  FROM lv_vocab GROUP BY 1),
+lv_common AS (
+  SELECT a.lang AS lang_a, b.lang AS lang_b,
+         CAST(COUNT(*) AS BIGINT) AS n_common
+  FROM lv_vocab a JOIN lv_vocab b
+    ON a.tok = b.tok AND a.lang < b.lang
+  GROUP BY 1, 2)
+SELECT c.lang_a, c.lang_b, sa.v AS v_a, sb.v AS v_b, c.n_common,
+       CAST((1000000 * c.n_common) // (sa.v + sb.v - c.n_common)
+         AS BIGINT) AS jaccard_micro6,
+       CAST((1000000 * c.n_common) // sa.v AS BIGINT)
+         AS contain_a_micro6,
+       CAST((1000000 * c.n_common) // sb.v AS BIGINT)
+         AS contain_b_micro6
+FROM lv_common c
+JOIN lv_sizes sa ON sa.lang = c.lang_a
+JOIN lv_sizes sb ON sb.lang = c.lang_b"""

@@ -529,6 +529,8 @@ EXPECTED_TAIL = [
     "sweep_concurrency",
     # Continuation batch 168
     "hash_collisions",
+    # Continuation batch 169
+    "lang_vocab_overlap",
 ]
 
 
