@@ -3018,6 +3018,16 @@ def q_lang_vocab_overlap(spark, sf_dir) -> DataFrame:
     return ts.lang_vocab_overlap(_docs(spark, sf_dir))
 
 
+def q_pagerank_delta(spark, sf_dir) -> DataFrame:
+    """PageRank convergence audit: exact rank movement between
+    iterations 4 and 5 (operators/graph_algos.pagerank_delta)."""
+    from .operators.graph_algos import pagerank_delta
+
+    edges = q_graph_edges(spark, sf_dir).selectExpr(
+        "subj_node AS src", "obj_node AS dst", "weight")
+    return pagerank_delta(edges, n_iter=5)
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # ORDER IS LOAD-BEARING: the driver snapshot verifies exactly
     # list(QUERIES)[:50] in insertion order (pinned by
@@ -3618,6 +3628,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # Continuation batch 169: language vocab overlap — appended past
     # position 50.
     "lang_vocab_overlap": q_lang_vocab_overlap,
+    # Continuation batch 170: pagerank convergence delta — appended
+    # past position 50.
+    "pagerank_delta": q_pagerank_delta,
 }
 
 

@@ -2825,3 +2825,35 @@ def eulerian_census(edges: DataFrame, n_rounds: int = 8) -> DataFrame:
                     .alias("has_circuit"),
                     (F.col("n_odd_nodes") == 2).cast("int")
                     .alias("has_trail")))
+
+
+def pagerank_delta(edges: DataFrame, n_iter: int = 5) -> DataFrame:
+    """PageRank convergence audit: the exact L1 / max movement of
+    the integer fixed-point ranks between iterations ``n_iter - 1``
+    and ``n_iter`` — the number that justifies (or indicts) the
+    registered 5-round budget: if one more power-method round still
+    moves 1% of the mass, 5 rounds was not convergence.
+
+    Pure reuse of :func:`pagerank_fixed` at both depths (identical
+    recurrence, so the delta is bit-exact too); the oracle reuses
+    the SAME unrolled CTE chain and simply reads pr4 and pr5.
+
+    Output: one row (n_nodes, l1_delta_u, max_delta_u,
+    l1_share_micro6 = floor(1e6 * L1 / total final mass)).
+
+    Scale: two fixed-round rank computations over the bounded
+    canonical KG graph + one keyed join.
+    """
+    a = pagerank_fixed(edges, n_iter=n_iter - 1).select(
+        "node", F.col("rank_u").alias("_ra"))
+    b = pagerank_fixed(edges, n_iter=n_iter).select(
+        "node", F.col("rank_u").alias("_rb"))
+    return (a.join(b, "node")
+            .agg(F.count(F.lit(1)).cast("long").alias("n_nodes"),
+                 F.sum(F.abs(F.col("_ra") - F.col("_rb")))
+                 .cast("long").alias("l1_delta_u"),
+                 F.max(F.abs(F.col("_ra") - F.col("_rb")))
+                 .cast("long").alias("max_delta_u"),
+                 F.expr("(1000000 * sum(abs(_ra - _rb)))"
+                        " div sum(_rb)").cast("long")
+                 .alias("l1_share_micro6")))

@@ -10203,3 +10203,23 @@ SELECT c.lang_a, c.lang_b, sa.v AS v_a, sb.v AS v_b, c.n_common,
 FROM lv_common c
 JOIN lv_sizes sa ON sa.lang = c.lang_a
 JOIN lv_sizes sb ON sb.lang = c.lang_b"""
+
+
+# ---------------------------------------------------------------------------
+# Continuation batch 170: PageRank convergence audit — exact L1/max
+# delta between iterations 4 and 5 of the SAME integer recurrence
+# (operators/graph_algos reuse; oracle reuses _pagerank_sql's pr4/pr5
+# CTEs with a different final SELECT).
+
+def _pagerank_delta_sql() -> str:
+    chain = _pagerank_sql(5).rsplit("\nSELECT", 1)[0]
+    return chain + """
+SELECT CAST(COUNT(*) AS BIGINT) AS n_nodes,
+       CAST(SUM(ABS(a.rank_u - b.rank_u)) AS BIGINT) AS l1_delta_u,
+       CAST(MAX(ABS(a.rank_u - b.rank_u)) AS BIGINT) AS max_delta_u,
+       CAST((1000000 * SUM(ABS(a.rank_u - b.rank_u)))
+            // SUM(b.rank_u) AS BIGINT) AS l1_share_micro6
+FROM pr4 a JOIN pr5 b ON a.node = b.node"""
+
+
+ORACLE["pagerank_delta"] = _q(_pagerank_delta_sql(), LINK_CTES)

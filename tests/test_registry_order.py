@@ -531,6 +531,8 @@ EXPECTED_TAIL = [
     "hash_collisions",
     # Continuation batch 169
     "lang_vocab_overlap",
+    # Continuation batch 170
+    "pagerank_delta",
 ]
 
 
