@@ -3028,6 +3028,14 @@ def q_pagerank_delta(spark, sf_dir) -> DataFrame:
     return pagerank_delta(edges, n_iter=5)
 
 
+def q_ivf_quality(spark, sf_dir) -> DataFrame:
+    """IVF cell tightness + argmax-margin audit
+    (operators/similarity.ivf_quality)."""
+    from .operators.similarity import ivf_quality
+
+    return ivf_quality(_emb(spark, sf_dir))
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # ORDER IS LOAD-BEARING: the driver snapshot verifies exactly
     # list(QUERIES)[:50] in insertion order (pinned by
@@ -3631,6 +3639,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # Continuation batch 170: pagerank convergence delta — appended
     # past position 50.
     "pagerank_delta": q_pagerank_delta,
+    # Continuation batch 171: IVF quality audit — appended past
+    # position 50.
+    "ivf_quality": q_ivf_quality,
 }
 
 

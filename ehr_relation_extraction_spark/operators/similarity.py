@@ -722,3 +722,57 @@ def sq8_audit(emb: DataFrame) -> DataFrame:
                 .cast("long").alias("mean_err_micro6"))
             .select(F.col("dim").cast("int"), "n", "n_saturated",
                     "sum_sq_err", "max_abs_err", "mean_err_micro6"))
+
+
+def ivf_quality(emb: DataFrame, n_cells: int = 8) -> DataFrame:
+    """IVF cell-quality audit — the recall-risk read on the coarse
+    quantizer: per cell, how tight are its members (cosine to their
+    own centroid) and how close is the nearest COMPETING centroid
+    (the argmax margin)?  Cells with thin margins are where nprobe=1
+    loses recall, and exactly where ivf_topk's probe budget should
+    grow.
+
+    Same deterministic seed codebook and floor(cosine * 1e6) device
+    as ivf_assign (the registered value-exact query), so every
+    number here is the integer the index actually used.  margin_s6 =
+    own_s6 - runner_up_s6 >= 0 by argmax.
+
+    Output per cell: (cell, n, sum_own_s6, min_own_s6,
+    sum_margin_s6, min_margin_s6, avg_margin_s6 = sum div n).
+
+    Scale shape: broadcast codebook join + per-vector top-2 window
+    (keyed by vec_id) + one cell aggregate — the corpus shuffles
+    once on vec_id, same as the assign path.
+    """
+    base = _with_norm(emb.select("vec_id", "embedding"), "embedding")
+    cents = F.broadcast(
+        base.where(F.col("vec_id") < n_cells)
+        .select(F.col("vec_id").alias("cell"),
+                F.col("_v").alias("_cv"),
+                F.col("_norm").alias("_cn")))
+    sims = (base.join(cents)
+            .select("vec_id", "cell",
+                    F.floor((_dot(F.col("_v"), F.col("_cv"))
+                             / (F.col("_norm") * F.col("_cn")))
+                            * 1000000).cast("long").alias("_s6")))
+    w = Window.partitionBy("vec_id").orderBy(
+        F.col("_s6").desc(), F.col("cell"))
+    top2 = (sims.withColumn("_r", F.row_number().over(w))
+            .where(F.col("_r") <= 2))
+    per_vec = (top2.groupBy("vec_id").agg(
+        F.max(F.when(F.col("_r") == 1, F.col("cell"))).alias("cell"),
+        F.max(F.when(F.col("_r") == 1, F.col("_s6"))).alias("_own"),
+        F.max(F.when(F.col("_r") == 2, F.col("_s6"))).alias("_alt")))
+    return (per_vec
+            .withColumn("_m", F.col("_own") - F.col("_alt"))
+            .groupBy("cell").agg(
+                F.count(F.lit(1)).cast("long").alias("n"),
+                F.sum("_own").cast("long").alias("sum_own_s6"),
+                F.min("_own").cast("long").alias("min_own_s6"),
+                F.sum("_m").cast("long").alias("sum_margin_s6"),
+                F.min("_m").cast("long").alias("min_margin_s6"))
+            .withColumn("avg_margin_s6",
+                        F.expr("sum_margin_s6 div n").cast("long"))
+            .select(F.col("cell").cast("int"), "n", "sum_own_s6",
+                    "min_own_s6", "sum_margin_s6", "min_margin_s6",
+                    "avg_margin_s6"))

@@ -10223,3 +10223,40 @@ FROM pr4 a JOIN pr5 b ON a.node = b.node"""
 
 
 ORACLE["pagerank_delta"] = _q(_pagerank_delta_sql(), LINK_CTES)
+
+
+# ---------------------------------------------------------------------------
+# Continuation batch 171: IVF cell-quality audit — per-cell cosine
+# tightness + argmax margin to the runner-up centroid
+# (operators/similarity.ivf_quality).
+
+ORACLE["ivf_quality"] = _assemble(
+    SIM_CTES.lstrip(",").strip(),
+    select="""
+, iq_cents AS (
+  SELECT vec_id AS cell, v AS cv, nrm AS cn
+  FROM normed WHERE vec_id < 8),
+iq_scored AS (
+  SELECT n.vec_id, c.cell,
+         CAST(floor(1000000 * list_dot_product(n.v, c.cv)
+              / (n.nrm * c.cn)) AS BIGINT) AS s6
+  FROM normed n CROSS JOIN iq_cents c),
+iq_top2 AS (
+  SELECT vec_id, cell, s6, r FROM (
+    SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id
+        ORDER BY s6 DESC, cell) AS r
+    FROM iq_scored) WHERE r <= 2),
+iq_per AS (
+  SELECT vec_id,
+         MAX(CASE WHEN r = 1 THEN cell END) AS cell,
+         MAX(CASE WHEN r = 1 THEN s6 END) AS own,
+         MAX(CASE WHEN r = 2 THEN s6 END) AS alt
+  FROM iq_top2 GROUP BY 1)
+SELECT CAST(cell AS INT) AS cell,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(SUM(own) AS BIGINT) AS sum_own_s6,
+       CAST(MIN(own) AS BIGINT) AS min_own_s6,
+       CAST(SUM(own - alt) AS BIGINT) AS sum_margin_s6,
+       CAST(MIN(own - alt) AS BIGINT) AS min_margin_s6,
+       CAST(SUM(own - alt) // COUNT(*) AS BIGINT) AS avg_margin_s6
+FROM iq_per GROUP BY 1""")

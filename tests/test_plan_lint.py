@@ -26,6 +26,9 @@ ALLOWED = {
     "ivf_centroids": (0, 1),
     # assign (1 BNLJ) + probe scoring vs the same broadcast codebook
     "ivf_topk": (0, 2),
+    # same class as ivf_assign: corpus x 8-row broadcast codebook
+    # argmax scoring (top-2 window instead of top-1)
+    "ivf_quality": (0, 1),
     # composed index build: coarse assign vs the 8-row broadcast seed
     # (1 BNLJ) + residual sub-vector scoring vs the broadcast PQ
     # sub-codebooks (1 BNLJ) — both are bounded broadcast dimensions,

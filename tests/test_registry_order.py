@@ -533,6 +533,8 @@ EXPECTED_TAIL = [
     "lang_vocab_overlap",
     # Continuation batch 170
     "pagerank_delta",
+    # Continuation batch 171
+    "ivf_quality",
 ]
 
 
