@@ -3036,6 +3036,12 @@ def q_ivf_quality(spark, sf_dir) -> DataFrame:
     return ivf_quality(_emb(spark, sf_dir))
 
 
+def q_pareto_knee(spark, sf_dir) -> DataFrame:
+    """Exact Kneedle knee of the host-coverage Pareto curve
+    (functions/textstats.pareto_knee)."""
+    return ts.pareto_knee(_docs(spark, sf_dir))
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # ORDER IS LOAD-BEARING: the driver snapshot verifies exactly
     # list(QUERIES)[:50] in insertion order (pinned by
@@ -3642,6 +3648,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # Continuation batch 171: IVF quality audit — appended past
     # position 50.
     "ivf_quality": q_ivf_quality,
+    # Continuation batch 172: Pareto knee — appended past
+    # position 50.
+    "pareto_knee": q_pareto_knee,
 }
 
 

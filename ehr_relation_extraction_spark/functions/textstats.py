@@ -3067,3 +3067,46 @@ def lang_vocab_overlap(docs: DataFrame) -> DataFrame:
                     .cast("long").alias("contain_a_micro6"),
                     F.expr("(1000000 * n_common) div v_b")
                     .cast("long").alias("contain_b_micro6")))
+
+
+def pareto_knee(docs: DataFrame) -> DataFrame:
+    """Exact knee (Kneedle-style) of the host-coverage Pareto curve
+    — WHERE to stop when budgeting per-host work: hosts ranked by
+    doc count descending trace the cumulative-coverage curve
+    (rank k, cum_k); the knee is the point FURTHEST from the chord
+    between (0, 0) and (H, N), which maximizes the integer cross
+    product 2*area = |H * cum_k - N * k| — no sqrt, no floats,
+    exact argmax (ties to the smallest rank).
+
+    Output: one row (n_hosts, n_docs, knee_rank, knee_cum_docs,
+    knee_2area, knee_coverage_micro6, knee_rank_share_micro6).
+
+    Scale shape: one bounded host aggregate, one window over the
+    host-count table (host cardinality, not corpus), one argmax.
+    """
+    counts = (docs.groupBy(F.col("source").alias("host"))
+              .agg(F.count(F.lit(1)).alias("_c")))
+    w = Window.orderBy(F.col("_c").desc(), F.col("host"))
+    wt = Window.rowsBetween(Window.unboundedPreceding,
+                            Window.unboundedFollowing)
+    curve = (counts
+             .withColumn("_k", F.row_number().over(w))
+             .withColumn("_cum", F.sum("_c").over(
+                 w.rowsBetween(Window.unboundedPreceding, 0)))
+             .withColumn("_H", F.count(F.lit(1)).over(wt))
+             .withColumn("_N", F.sum("_c").over(wt))
+             .withColumn("_area",
+                         F.abs(F.col("_H") * F.col("_cum")
+                               - F.col("_N") * F.col("_k"))))
+    pick = Window.orderBy(F.col("_area").desc(), F.col("_k"))
+    return (curve.withColumn("_r", F.row_number().over(pick))
+            .where(F.col("_r") == 1)
+            .select(F.col("_H").cast("long").alias("n_hosts"),
+                    F.col("_N").cast("long").alias("n_docs"),
+                    F.col("_k").cast("long").alias("knee_rank"),
+                    F.col("_cum").cast("long").alias("knee_cum_docs"),
+                    F.col("_area").cast("long").alias("knee_2area"),
+                    F.expr("(1000000 * _cum) div _N").cast("long")
+                    .alias("knee_coverage_micro6"),
+                    F.expr("(1000000 * _k) div _H").cast("long")
+                    .alias("knee_rank_share_micro6")))

@@ -10260,3 +10260,36 @@ SELECT CAST(cell AS INT) AS cell,
        CAST(MIN(own - alt) AS BIGINT) AS min_margin_s6,
        CAST(SUM(own - alt) // COUNT(*) AS BIGINT) AS avg_margin_s6
 FROM iq_per GROUP BY 1""")
+
+
+# ---------------------------------------------------------------------------
+# Continuation batch 172: exact Kneedle knee of the host-coverage
+# Pareto curve — integer cross-product argmax
+# (functions/textstats.pareto_knee).
+
+ORACLE["pareto_knee"] = """
+WITH pk_counts AS (
+  SELECT source AS host, COUNT(*) AS c FROM documents GROUP BY 1),
+pk_curve AS (
+  SELECT ROW_NUMBER() OVER (ORDER BY c DESC, host) AS k,
+         SUM(c) OVER (ORDER BY c DESC, host
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           AS cum,
+         COUNT(*) OVER () AS h,
+         SUM(c) OVER () AS n
+  FROM pk_counts),
+pk_area AS (
+  SELECT *, ABS(h * cum - n * k) AS area FROM pk_curve),
+pk_pick AS (
+  SELECT *, ROW_NUMBER() OVER (ORDER BY area DESC, k) AS r
+  FROM pk_area)
+SELECT CAST(h AS BIGINT) AS n_hosts,
+       CAST(n AS BIGINT) AS n_docs,
+       CAST(k AS BIGINT) AS knee_rank,
+       CAST(cum AS BIGINT) AS knee_cum_docs,
+       CAST(area AS BIGINT) AS knee_2area,
+       CAST((1000000 * cum) // n AS BIGINT)
+         AS knee_coverage_micro6,
+       CAST((1000000 * k) // h AS BIGINT)
+         AS knee_rank_share_micro6
+FROM pk_pick WHERE r = 1"""

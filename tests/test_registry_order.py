@@ -535,6 +535,8 @@ EXPECTED_TAIL = [
     "pagerank_delta",
     # Continuation batch 171
     "ivf_quality",
+    # Continuation batch 172
+    "pareto_knee",
 ]
 
 
