@@ -3042,6 +3042,12 @@ def q_pareto_knee(spark, sf_dir) -> DataFrame:
     return ts.pareto_knee(_docs(spark, sf_dir))
 
 
+def q_oov_rate(spark, sf_dir) -> DataFrame:
+    """OOV audit of dev/test splits vs the train vocabulary
+    (functions/textstats.oov_rate)."""
+    return ts.oov_rate(_docs(spark, sf_dir))
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # ORDER IS LOAD-BEARING: the driver snapshot verifies exactly
     # list(QUERIES)[:50] in insertion order (pinned by
@@ -3651,6 +3657,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # Continuation batch 172: Pareto knee — appended past
     # position 50.
     "pareto_knee": q_pareto_knee,
+    # Continuation batch 173: OOV audit — appended past position 50.
+    "oov_rate": q_oov_rate,
 }
 
 

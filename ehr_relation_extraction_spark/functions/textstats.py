@@ -3110,3 +3110,49 @@ def pareto_knee(docs: DataFrame) -> DataFrame:
                     .alias("knee_coverage_micro6"),
                     F.expr("(1000000 * _k) div _H").cast("long")
                     .alias("knee_rank_share_micro6")))
+
+
+def oov_rate(docs: DataFrame) -> DataFrame:
+    """Out-of-vocabulary audit of the dev/test splits against the
+    TRAIN vocabulary — the first number an LM/NER training run needs
+    after splitting: how much of the held-out text is literally
+    unseen?  Token-level OOV bounds the best achievable held-out
+    likelihood; type-level OOV sizes the UNK problem.
+
+    Splits come from split_expr (the deterministic md5-bucket device
+    every split-dependent query here shares); vocabulary = distinct
+    lowercase whitespace tokens of the train split.
+
+    Output per eval split: (split, n_tokens, n_types, oov_tokens,
+    oov_types, oov_token_micro6, oov_type_micro6).
+
+    Scale shape: the split is a pure column expression (no join);
+    train vocab is one distinct aggregate BROADCAST into a left-anti
+    -style null-flag join keyed on token; two bounded roll-ups.
+    """
+    _, split = split_expr()
+    toks = (docs.select(
+        split.alias("split"),
+        F.explode(F.transform(_toks(), lambda t: F.lower(t)))
+        .alias("tok")))
+    train_vocab = (toks.where(F.col("split") == "train")
+                   .select("tok").dropDuplicates()
+                   .withColumn("_seen", F.lit(1)))
+    ev = (toks.where(F.col("split") != "train")
+          .join(F.broadcast(train_vocab), "tok", "left"))
+    tok_level = ev.groupBy("split").agg(
+        F.count(F.lit(1)).cast("long").alias("n_tokens"),
+        F.sum(F.col("_seen").isNull().cast("int")).cast("long")
+        .alias("oov_tokens"))
+    type_level = (ev.select("split", "tok", "_seen").dropDuplicates()
+                  .groupBy("split").agg(
+                      F.count(F.lit(1)).cast("long").alias("n_types"),
+                      F.sum(F.col("_seen").isNull().cast("int"))
+                      .cast("long").alias("oov_types")))
+    return (tok_level.join(type_level, "split")
+            .select("split", "n_tokens", "n_types", "oov_tokens",
+                    "oov_types",
+                    F.expr("(1000000 * oov_tokens) div n_tokens")
+                    .cast("long").alias("oov_token_micro6"),
+                    F.expr("(1000000 * oov_types) div n_types")
+                    .cast("long").alias("oov_type_micro6")))

@@ -10293,3 +10293,43 @@ SELECT CAST(h AS BIGINT) AS n_hosts,
        CAST((1000000 * k) // h AS BIGINT)
          AS knee_rank_share_micro6
 FROM pk_pick WHERE r = 1"""
+
+
+# ---------------------------------------------------------------------------
+# Continuation batch 173: OOV audit of dev/test vs the train
+# vocabulary (functions/textstats.oov_rate).
+
+ORACLE["oov_rate"] = f"""
+WITH ov_toks AS MATERIALIZED (
+  SELECT CASE WHEN bucket < 204 THEN 'train'
+              WHEN bucket < 230 THEN 'dev' ELSE 'test' END AS split,
+         lower(tok) AS tok
+  FROM (SELECT CAST(16 * (instr('0123456789abcdef',
+                   substr(md5(CAST(doc_id AS VARCHAR)), 31, 1)) - 1)
+              + (instr('0123456789abcdef',
+                   substr(md5(CAST(doc_id AS VARCHAR)), 32, 1)) - 1)
+              AS INT) AS bucket,
+               unnest(string_split_regex(text, '{SEP_CLASS}')) AS tok
+        FROM documents)
+  WHERE tok <> ''),
+ov_vocab AS MATERIALIZED (
+  SELECT DISTINCT tok FROM ov_toks WHERE split = 'train'),
+ov_ev AS MATERIALIZED (
+  SELECT t.split, t.tok,
+         CASE WHEN v.tok IS NULL THEN 1 ELSE 0 END AS oov
+  FROM ov_toks t LEFT JOIN ov_vocab v ON v.tok = t.tok
+  WHERE t.split <> 'train'),
+ov_tok AS (
+  SELECT split, CAST(COUNT(*) AS BIGINT) AS n_tokens,
+         CAST(SUM(oov) AS BIGINT) AS oov_tokens
+  FROM ov_ev GROUP BY 1),
+ov_type AS (
+  SELECT split, CAST(COUNT(*) AS BIGINT) AS n_types,
+         CAST(SUM(oov) AS BIGINT) AS oov_types
+  FROM (SELECT DISTINCT split, tok, oov FROM ov_ev) GROUP BY 1)
+SELECT t.split, t.n_tokens, y.n_types, t.oov_tokens, y.oov_types,
+       CAST((1000000 * t.oov_tokens) // t.n_tokens AS BIGINT)
+         AS oov_token_micro6,
+       CAST((1000000 * y.oov_types) // y.n_types AS BIGINT)
+         AS oov_type_micro6
+FROM ov_tok t JOIN ov_type y USING (split)"""

@@ -537,6 +537,8 @@ EXPECTED_TAIL = [
     "ivf_quality",
     # Continuation batch 172
     "pareto_knee",
+    # Continuation batch 173
+    "oov_rate",
 ]
 
 
