@@ -319,3 +319,55 @@ def incremental_entity_hll(spark: SparkSession, pages_dir: str,
             .option("checkpointLocation", checkpoint_dir)
             .trigger(availableNow=True)
             .start())
+
+
+def incremental_fairness(spark: SparkSession, docs_dir: str,
+                         checkpoint_dir: str,
+                         query_name: str = "fairness"):
+    """Streaming shard-fairness monitor: the SAME three sharding
+    keys as ``functions.textstats.jain_fairness`` (host / lang /
+    md5-nibble bucket) maintained as additive per-key counts — the
+    skew alarm a long-running ingest keeps live, instead of
+    recomputing the corpus roll-up per cycle.
+
+    State is one row per (grouping, key) — bounded by hosts + langs
+    + 16 however long the crawl runs.  Counts are additive, so the
+    checkpoint-resumed complete-mode stream equals the batch counts
+    over the union exactly; :func:`fairness_from_counts` folds the
+    state to the same output schema as the batch operator.
+    Complete-mode memory sink named ``query_name``.
+
+    Returns the StreamingQuery (caller awaits termination)."""
+    stream = spark.readStream.schema(DOCS_DDL).parquet(docs_dir)
+    nib = (F.conv(F.substring(F.md5(F.col("doc_id").cast("string")),
+                              32, 1), 16, 10).cast("int")
+           .cast("string"))
+    keyed = (stream.select(F.lit("host").alias("grouping"),
+                           F.col("source").alias("key"))
+             .unionByName(stream.select(
+                 F.lit("lang").alias("grouping"),
+                 F.col("lang").alias("key")))
+             .unionByName(stream.select(
+                 F.lit("md5_bucket").alias("grouping"),
+                 nib.alias("key"))))
+    counts = keyed.groupBy("grouping", "key").agg(
+        F.count(F.lit(1)).cast("long").alias("cnt"))
+    return (counts.writeStream.outputMode("complete")
+            .format("memory").queryName(query_name)
+            .option("checkpointLocation", checkpoint_dir)
+            .trigger(availableNow=True)
+            .start())
+
+
+def fairness_from_counts(counts: DataFrame) -> DataFrame:
+    """Fold the streaming (grouping, key, cnt) state to
+    jain_fairness's exact output schema — same integer arithmetic."""
+    return (counts.groupBy("grouping").agg(
+        F.count(F.lit(1)).cast("long").alias("n_groups"),
+        F.sum("cnt").cast("long").alias("n_docs"),
+        F.sum(F.col("cnt") * F.col("cnt")).cast("long")
+        .alias("sum_sq"))
+        .withColumn(
+            "jain_micro6",
+            F.expr("(1000000 * n_docs * n_docs)"
+                   " div (n_groups * sum_sq)").cast("long")))
