@@ -1149,3 +1149,90 @@ def incremental_transitions(spark, events_dir: str, out_dir: str,
             .option("checkpointLocation", checkpoint_dir)
             .trigger(**_trigger(None))
             .start())
+
+
+# ---------------------------------------------------------------------------
+# Streaming politeness monitor (continuation batch 175)
+
+POLITE_OUTPUT_DDL = ("host string, n_fetches long, max_burst long, "
+                     "min_gap_s long, max_rate_milli long, ver long")
+POLITE_STATE_DDL = ("recent array<bigint>, last_ts long, "
+                    "max_burst long, n long, min_gap long")
+
+
+def _politeness_group_factory(window_s: int):
+    """Per-host politeness fold — the stateful streaming twin of
+    functions/urls.politeness_audit: the state keeps ONLY the fetch
+    timestamps inside the trailing ``window_s`` window (bounded by
+    the per-host rate itself), plus the running aggregates.  Each
+    batch emits one versioned snapshot per host (ver = n_fetches, a
+    monotone version, so the max-ver row per host is the live
+    reading and checkpoint replays stay idempotent).  Same
+    in-order-per-feed contract as incremental_sessionize: within a
+    feed rows fold in (warc_ts, url) order, and feeds arrive in
+    event-time order."""
+    def fn(key: tuple, pdfs: Iterator[pd.DataFrame],
+           state: GroupState) -> Iterator[pd.DataFrame]:
+        rows = pd.concat(list(pdfs), ignore_index=True)
+        if rows.empty:
+            return
+        rows = rows.sort_values(["sec", "url"])
+        if state.exists:
+            recent, last_ts, max_burst, n, min_gap = state.get
+            recent = list(recent)
+            have = n > 0
+        else:
+            # min_gap -1 = "no gap observed yet" (a single-fetch
+            # host reports window_s, exactly the batch COALESCE)
+            recent, last_ts, max_burst, n, min_gap = [], 0, 0, 0, -1
+            have = False
+        for t in rows["sec"]:
+            t = int(t)
+            recent = [x for x in recent if x >= t - (window_s - 1)]
+            recent.append(t)
+            if len(recent) > max_burst:
+                max_burst = len(recent)
+            if have and (min_gap < 0 or t - last_ts < min_gap):
+                min_gap = t - last_ts
+            last_ts, have = t, True
+            n += 1
+        state.update((recent, last_ts, max_burst, n, min_gap))
+        yield pd.DataFrame([{
+            "host": str(key[0]), "n_fetches": n,
+            "max_burst": max_burst,
+            "min_gap_s": window_s if min_gap < 0 else min_gap,
+            "max_rate_milli": (1000 * max_burst) // window_s,
+            "ver": n,
+        }])
+    return fn
+
+
+def incremental_politeness(spark, pages_dir: str, out_dir: str,
+                           checkpoint_dir: str, window_s: int = 10,
+                           ttl_ms: "int | None" = None):
+    """Streaming per-host politeness monitor — versioned snapshots
+    append to the sink; the max-ver row per host equals the batch
+    politeness_audit over everything fed so far
+    (tests/test_streaming_politeness.py)."""
+    from .stream import PAGES_DDL
+
+    stream = (spark.readStream.schema(PAGES_DDL)
+              .option("maxFilesPerTrigger", 2)
+              .parquet(pages_dir))
+    items = stream.select(
+        F.substring_index(
+            F.substring_index("url", "//", -1), "/", 1).alias("host"),
+        "url",
+        F.expr("unix_micros(cast(warc_ts as timestamp))"
+               " div 1000000").alias("sec"))
+    sk = (items.groupBy("host")
+          .applyInPandasWithState(
+              _with_ttl(_politeness_group_factory(window_s), ttl_ms),
+              POLITE_OUTPUT_DDL, POLITE_STATE_DDL,
+              outputMode="append",
+              timeoutConf=_timeout_conf(ttl_ms)))
+    return (sk.writeStream.outputMode("append")
+            .format("parquet").option("path", out_dir)
+            .option("checkpointLocation", checkpoint_dir)
+            .trigger(**_trigger(ttl_ms))
+            .start())
