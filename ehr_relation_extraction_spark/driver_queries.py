@@ -3048,6 +3048,15 @@ def q_oov_rate(spark, sf_dir) -> DataFrame:
     return ts.oov_rate(_docs(spark, sf_dir))
 
 
+def q_borda_fusion(spark, sf_dir) -> DataFrame:
+    """Truncated Borda-count fusion of the exact cosine top-k and
+    the sign-bucket ANN top-3 (operators/similarity.borda_fusion)."""
+    emb = _emb(spark, sf_dir)
+    exact = sim.brute_force_topk(emb)
+    ann = sim.ann_topk(emb).where(F.col("query_id") < 50)
+    return sim.borda_fusion([exact, ann])
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # ORDER IS LOAD-BEARING: the driver snapshot verifies exactly
     # list(QUERIES)[:50] in insertion order (pinned by
@@ -3659,6 +3668,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "pareto_knee": q_pareto_knee,
     # Continuation batch 173: OOV audit — appended past position 50.
     "oov_rate": q_oov_rate,
+    # Continuation batch 176: Borda fusion — appended past
+    # position 50.
+    "borda_fusion": q_borda_fusion,
 }
 
 

@@ -776,3 +776,43 @@ def ivf_quality(emb: DataFrame, n_cells: int = 8) -> DataFrame:
             .select(F.col("cell").cast("int"), "n", "sum_own_s6",
                     "min_own_s6", "sum_margin_s6", "min_margin_s6",
                     "avg_margin_s6"))
+
+
+def borda_fusion(rankings: "list[DataFrame]", k: int = 5) -> DataFrame:
+    """Truncated Borda-count fusion of multiple (query_id, rank,
+    neighbor_id) rankings — the positional-points companion to
+    rrf_fusion: each list awards a candidate (L - rank + 1) points,
+    where L is that list's OWN depth for the query (so a shorter ANN
+    list never out-votes the deeper exact list), absentees get 0.
+    Unlike RRF's 1/(60+r) (flat across ranks), Borda is linear — it
+    rewards consistent mid-rank agreement more and top-1 spikes
+    less; running both exposes rank-fusion sensitivity.
+
+    Output: (query_id, rank, neighbor_id, borda_points, n_lists),
+    re-ranked top-``k``, ties by neighbor_id — all integers.
+
+    Plan: same as rrf_fusion — unionAll of top-k-bounded tables, one
+    hash aggregate, one per-query window; no raw vectors.
+    """
+    from pyspark.sql import Window
+
+    parts = []
+    for r in rankings:
+        wl = Window.partitionBy("query_id")
+        parts.append(r.select(
+            "query_id", "neighbor_id",
+            (F.max("rank").over(wl) - F.col("rank") + 1)
+            .cast("long").alias("_pts")))
+    u = parts[0]
+    for p in parts[1:]:
+        u = u.unionAll(p)
+    agg = (u.groupBy("query_id", "neighbor_id")
+           .agg(F.sum("_pts").cast("long").alias("borda_points"),
+                F.count(F.lit(1)).cast("long").alias("n_lists")))
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("borda_points").desc(), F.col("neighbor_id"))
+    return (agg.withColumn("rank",
+                           F.row_number().over(w).cast("int"))
+            .where(F.col("rank") <= k)
+            .select("query_id", "rank", "neighbor_id",
+                    "borda_points", "n_lists"))

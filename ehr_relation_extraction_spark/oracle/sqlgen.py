@@ -10333,3 +10333,54 @@ SELECT t.split, t.n_tokens, y.n_types, t.oov_tokens, y.oov_types,
        CAST((1000000 * y.oov_types) // y.n_types AS BIGINT)
          AS oov_type_micro6
 FROM ov_tok t JOIN ov_type y USING (split)"""
+
+
+# ---------------------------------------------------------------------------
+# Continuation batch 176: truncated Borda-count fusion of the exact
+# and ANN rankings (operators/similarity.borda_fusion) — same
+# ranking CTEs as rrf_fusion, positional points instead of 1/(60+r).
+
+ORACLE["borda_fusion"] = _assemble(
+    SIM_CTES.lstrip(",").strip(),
+    select=f"""
+, bf_bucketed AS (
+  SELECT n.vec_id, n.v, n.nrm, CAST("""
+    + " + ".join(f"(CASE WHEN n.v[{i + 1}] >= 0 THEN {1 << i} ELSE 0 END)"
+                 for i in range(ANN_SIGN_BITS)) + f""" AS INT) AS bucket
+  FROM normed n),
+bf_exact AS (
+  SELECT query_id, rank, neighbor_id FROM (
+    SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+           ROW_NUMBER() OVER (PARTITION BY q.vec_id
+               ORDER BY {_RRF_SIM} DESC, c.vec_id) AS rank
+    FROM normed q JOIN normed c ON q.vec_id <> c.vec_id
+    WHERE q.vec_id < 50) WHERE rank <= {TOPK_NEIGHBORS}),
+bf_ann AS (
+  SELECT query_id, rank, neighbor_id FROM (
+    SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+           ROW_NUMBER() OVER (PARTITION BY q.vec_id
+               ORDER BY {_RRF_SIM} DESC, c.vec_id) AS rank
+    FROM bf_bucketed q JOIN bf_bucketed c
+      ON q.bucket = c.bucket AND q.vec_id <> c.vec_id
+    WHERE q.vec_id < 50) WHERE rank <= 3),
+bf_u AS (
+  SELECT query_id, neighbor_id,
+         CAST(MAX(rank) OVER (PARTITION BY query_id)
+              - rank + 1 AS BIGINT) AS pts
+  FROM bf_exact
+  UNION ALL
+  SELECT query_id, neighbor_id,
+         CAST(MAX(rank) OVER (PARTITION BY query_id)
+              - rank + 1 AS BIGINT) AS pts
+  FROM bf_ann),
+bf_s AS (
+  SELECT query_id, neighbor_id,
+         CAST(SUM(pts) AS BIGINT) AS borda_points,
+         CAST(COUNT(*) AS BIGINT) AS n_lists
+  FROM bf_u GROUP BY query_id, neighbor_id)
+SELECT query_id, CAST(rank AS INT) AS rank, neighbor_id,
+       borda_points, n_lists
+FROM (SELECT s.*, ROW_NUMBER() OVER (PARTITION BY query_id
+          ORDER BY borda_points DESC, neighbor_id) AS rank
+      FROM bf_s s)
+WHERE rank <= 5""")

@@ -42,6 +42,8 @@ ALLOWED = {
     # input; the fusion itself is union + aggregate + window over
     # top-k-bounded tables
     "rrf_fusion": (0, 1),
+    # same inputs and class as rrf_fusion (Borda scoring instead)
+    "borda_fusion": (0, 1),
     # entity-centroid self-pairing: entities are a bounded dimension
     # (gazetteer-sized canonical set), not corpus-sized
     "entity_neighbors": (1, 0),

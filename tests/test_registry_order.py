@@ -539,6 +539,8 @@ EXPECTED_TAIL = [
     "pareto_knee",
     # Continuation batch 173
     "oov_rate",
+    # Continuation batch 176
+    "borda_fusion",
 ]
 
 
