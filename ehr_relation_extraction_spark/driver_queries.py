@@ -3057,6 +3057,12 @@ def q_borda_fusion(spark, sf_dir) -> DataFrame:
     return sim.borda_fusion([exact, ann])
 
 
+def q_mann_whitney(spark, sf_dir) -> DataFrame:
+    """Exact tie-aware Mann-Whitney U between every language pair's
+    doc-length distributions (functions/textstats.mann_whitney)."""
+    return ts.mann_whitney(_docs(spark, sf_dir))
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # ORDER IS LOAD-BEARING: the driver snapshot verifies exactly
     # list(QUERIES)[:50] in insertion order (pinned by
@@ -3671,6 +3677,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # Continuation batch 176: Borda fusion — appended past
     # position 50.
     "borda_fusion": q_borda_fusion,
+    # Continuation batch 177: Mann-Whitney location-shift audit —
+    # appended past position 50.
+    "mann_whitney": q_mann_whitney,
 }
 
 

@@ -3156,3 +3156,89 @@ def oov_rate(docs: DataFrame) -> DataFrame:
                     .cast("long").alias("oov_token_micro6"),
                     F.expr("(1000000 * oov_types) div n_types")
                     .cast("long").alias("oov_type_micro6")))
+
+
+def mann_whitney(docs: DataFrame, group_col: str = "lang",
+                 value_col: str = "n_chars") -> DataFrame:
+    """Exact tie-aware Mann-Whitney U between every pair of groups'
+    value distributions — the rank-based location-shift test that
+    completes the drift family (KS statistic, Wasserstein-1,
+    categorical TVD): where KS asks "do the CDFs differ anywhere",
+    Mann-Whitney asks "does one group stochastically dominate", and
+    is the standard pre-gate before pooling two crawl languages (or
+    two snapshot dates) into one training mixture.
+
+    Doubled-U trick keeps everything integer under ties: 2*U_a =
+    2*#{a>b pairs} + #{a=b pairs}, computed from the per-group VALUE
+    HISTOGRAMS (never the n_a*n_b pair space): for each value v,
+    a's count c_a(v) contributes c_a(v) * (2*below_b(v) + c_b(v)).
+    The normal-approximation z^2 with the standard tie correction
+    sum(t^3 - t) is rational, so the output carries exact integer
+    pieces plus z2_micro6 = floor(1e6 * (2U - n_a*n_b)^2 * 3*n*(n-1)
+    / (n_a*n_b*((n^3 - n) - tie_cubes))) in DECIMAL(38,0) (the
+    squared numerator overflows BIGINT past ~50k rows/group).
+
+    Output: one row per unordered group pair (group_a < group_b):
+    (group_a, group_b, n_a, n_b, u2_a, tie_cubes, shift_sign,
+    z2_micro6) — all integers.
+
+    Scale shape: ONE corpus-wide histogram aggregate; the pivot is
+    over the bounded group domain (languages) and the single
+    unpartitioned window runs over the value histogram, whose size
+    is bounded by the value DOMAIN (doc-length cap), not the corpus
+    — the same device as spearman_check.  Pair fan-out is
+    L*(L-1)/2 structs exploded per histogram row, then one hash
+    aggregate; the n_a*n_b comparison space is never materialized.
+    """
+    hist = (docs.groupBy(group_col, value_col)
+            .agg(F.count(F.lit(1)).cast("long").alias("_c")))
+    groups = sorted(
+        r[0] for r in hist.select(group_col).distinct().collect())
+    piv = (hist.groupBy(value_col)
+           .pivot(group_col, groups).agg(F.first("_c"))
+           .na.fill(0))
+    w = (Window.orderBy(value_col)
+         .rowsBetween(Window.unboundedPreceding, -1))
+    for g in groups:
+        piv = piv.withColumn(
+            f"_cum_{g}",
+            F.coalesce(F.sum(F.col(f"`{g}`")).over(w), F.lit(0)))
+    pairs = [(a, b) for i, a in enumerate(groups)
+             for b in groups[i + 1:]]
+    structs = []
+    for a, b in pairs:
+        ca, cb = F.col(f"`{a}`"), F.col(f"`{b}`")
+        t = ca + cb
+        structs.append(F.struct(
+            F.lit(a).alias("group_a"), F.lit(b).alias("group_b"),
+            (ca * (F.lit(2) * F.col(f"`_cum_{b}`") + cb))
+            .cast("long").alias("_u2c"),
+            ca.cast("long").alias("_ca"), cb.cast("long").alias("_cb"),
+            (t * t * t - t).cast("long").alias("_tie")))
+    ex = (piv.select(F.explode(F.array(*structs)).alias("p"))
+          .select("p.*"))
+    agg = (ex.groupBy("group_a", "group_b").agg(
+        F.sum("_ca").cast("long").alias("n_a"),
+        F.sum("_cb").cast("long").alias("n_b"),
+        F.sum("_u2c").cast("long").alias("u2_a"),
+        F.sum("_tie").cast("long").alias("tie_cubes")))
+    return (agg
+            .withColumn("shift_sign",
+                        F.signum(F.col("u2_a") - F.col("n_a") * F.col("n_b"))
+                        .cast("int"))
+            .withColumn(
+                "z2_micro6",
+                F.expr(
+                    "CASE WHEN n_a > 0 AND n_b > 0 AND"
+                    " (CAST(n_a + n_b AS DECIMAL(38,0)) * (n_a + n_b)"
+                    " * (n_a + n_b) - (n_a + n_b)) - tie_cubes > 0"
+                    " THEN CAST((CAST(1000000 AS DECIMAL(38,0))"
+                    " * (u2_a - n_a * n_b) * (u2_a - n_a * n_b)"
+                    " * 3 * (n_a + n_b) * (n_a + n_b - 1))"
+                    " div (CAST(n_a AS DECIMAL(38,0)) * n_b"
+                    " * ((CAST(n_a + n_b AS DECIMAL(38,0))"
+                    " * (n_a + n_b) * (n_a + n_b)"
+                    " - (n_a + n_b)) - tie_cubes)) AS BIGINT)"
+                    " ELSE 0 END"))
+            .select("group_a", "group_b", "n_a", "n_b", "u2_a",
+                    "tie_cubes", "shift_sign", "z2_micro6"))

@@ -10384,3 +10384,60 @@ FROM (SELECT s.*, ROW_NUMBER() OVER (PARTITION BY query_id
           ORDER BY borda_points DESC, neighbor_id) AS rank
       FROM bf_s s)
 WHERE rank <= 5""")
+
+
+# ---------------------------------------------------------------------------
+# Continuation batch 177: exact tie-aware Mann-Whitney U between
+# every pair of languages' doc-length distributions
+# (functions/textstats.mann_whitney).
+
+ORACLE["mann_whitney"] = """
+WITH mw_h AS MATERIALIZED (
+  SELECT lang, n_chars AS v, CAST(COUNT(*) AS BIGINT) AS c
+  FROM documents GROUP BY lang, n_chars
+),
+mw_grid AS (
+  SELECT l.lang, va.v, COALESCE(h.c, 0) AS c
+  FROM (SELECT DISTINCT lang FROM mw_h) l
+  CROSS JOIN (SELECT DISTINCT v FROM mw_h) va
+  LEFT JOIN mw_h h ON h.lang = l.lang AND h.v = va.v
+),
+mw_cum AS (
+  SELECT lang, v, c,
+         COALESCE(SUM(c) OVER (PARTITION BY lang ORDER BY v
+             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+           AS below
+  FROM mw_grid
+),
+mw_pairrows AS (
+  SELECT a.lang AS group_a, b.lang AS group_b,
+         a.c * (2 * b.below + b.c) AS u2c,
+         a.c AS ca, b.c AS cb,
+         (a.c + b.c) * (a.c + b.c) * (a.c + b.c) - (a.c + b.c) AS tie
+  FROM mw_cum a JOIN mw_cum b
+    ON a.v = b.v AND a.lang < b.lang
+),
+mw_agg AS (
+  SELECT group_a, group_b,
+         CAST(SUM(ca) AS BIGINT) AS n_a,
+         CAST(SUM(cb) AS BIGINT) AS n_b,
+         CAST(SUM(u2c) AS BIGINT) AS u2_a,
+         CAST(SUM(tie) AS BIGINT) AS tie_cubes
+  FROM mw_pairrows GROUP BY group_a, group_b
+)
+SELECT group_a, group_b, n_a, n_b, u2_a, tie_cubes,
+       CAST(CASE WHEN u2_a > n_a * n_b THEN 1
+                 WHEN u2_a < n_a * n_b THEN -1 ELSE 0 END AS INT)
+         AS shift_sign,
+       CAST(CASE WHEN n_a > 0 AND n_b > 0 AND
+                 (CAST(n_a + n_b AS HUGEINT) * (n_a + n_b)
+                  * (n_a + n_b) - (n_a + n_b)) - tie_cubes > 0
+            THEN (CAST(1000000 AS HUGEINT)
+                  * (u2_a - n_a * n_b) * (u2_a - n_a * n_b)
+                  * 3 * (n_a + n_b) * (n_a + n_b - 1))
+                 // (CAST(n_a AS HUGEINT) * n_b
+                     * ((CAST(n_a + n_b AS HUGEINT)
+                         * (n_a + n_b) * (n_a + n_b)
+                         - (n_a + n_b)) - tie_cubes))
+            ELSE 0 END AS BIGINT) AS z2_micro6
+FROM mw_agg"""

@@ -541,6 +541,7 @@ EXPECTED_TAIL = [
     "oov_rate",
     # Continuation batch 176
     "borda_fusion",
+    "mann_whitney",
 ]
 
 
