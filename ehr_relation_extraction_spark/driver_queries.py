@@ -3057,6 +3057,13 @@ def q_borda_fusion(spark, sf_dir) -> DataFrame:
     return sim.borda_fusion([exact, ann])
 
 
+def q_cdc_chunks(spark, sf_dir) -> DataFrame:
+    """Content-defined chunking dedup census over the corpus
+    (operators/dedup.cdc_chunks)."""
+    from .operators.dedup import cdc_chunks
+    return cdc_chunks(_docs(spark, sf_dir))
+
+
 def q_mann_whitney(spark, sf_dir) -> DataFrame:
     """Exact tie-aware Mann-Whitney U between every language pair's
     doc-length distributions (functions/textstats.mann_whitney)."""
@@ -3680,6 +3687,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # Continuation batch 177: Mann-Whitney location-shift audit —
     # appended past position 50.
     "mann_whitney": q_mann_whitney,
+    # Continuation batch 178: content-defined chunking census —
+    # appended past position 50.
+    "cdc_chunks": q_cdc_chunks,
 }
 
 

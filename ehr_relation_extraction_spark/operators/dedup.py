@@ -572,3 +572,71 @@ def dup_rate_curve(docs: DataFrame,
                     F.expr(f"CAST(COALESCE(n_docs_dup, 0) * 1000000"
                            f" DIV {n_docs} AS BIGINT)")
                     .alias("docs_share_micro6")))
+
+
+def cdc_chunks(docs: DataFrame, window: int = 8, base: int = 31,
+               modulus: int = 1 << 20, divisor: int = 64) -> DataFrame:
+    """Content-defined chunking (CDC) dedup census — the chunk-level
+    companion to exact/minhash/simhash doc-level dedup: a Rabin-style
+    polynomial rolling hash over a ``window``-char sliding window
+    declares a chunk boundary at every position i where
+    H(i) % divisor == 0, so chunk cut points survive insertions and
+    deletions (the property fixed-size blocks lack) and shared
+    passages between near-duplicate pages land in byte-identical
+    chunks.  This is the storage-dedup / delta-crawl primitive
+    (LBFS/Venti lineage) applied to web text.
+
+    Deviation from production CDC, on purpose: no min/max chunk-size
+    clamps.  The clamped variant makes boundary i depend on boundary
+    i-1 (sequential scan per doc); the pure predicate form is
+    position-local, so the whole corpus chunks in ONE codegen'd
+    projection — and it stays an exact function of content, which is
+    what the oracle checks.
+
+    H(i) = sum_{k=0..w-1} codepoint(text[i-k]) * base^k  (mod 2^20),
+    all BIGINT-safe (max codepoint * 31^7 * 8 ~ 2.4e17).  Docs
+    shorter than the window form a single chunk; a boundary at the
+    last char would create an empty tail, which is dropped.
+
+    Output: the corpus-wide chunk-multiplicity histogram
+    (multiplicity, n_chunks, n_bytes) — n_chunks distinct chunk
+    values occur exactly `multiplicity` times, n_bytes is the bytes
+    of ONE copy of each (so dedup savings = sum((m-1) * n_bytes)).
+
+    Scale shape: one narrow projection computes boundaries as array
+    expressions (no Python, no shuffle), one explode, then two
+    hash aggregates (chunk value -> multiplicity -> histogram) —
+    the same shape as dedup_exact with an explode in front.  The
+    histogram output is bounded by the max multiplicity, not the
+    corpus.
+    """
+    w, b, m, d = window, base, modulus, divisor
+    terms = " + ".join(
+        f"CAST(ascii(substr(text, i - {k}, 1)) AS BIGINT) * {b ** k}"
+        for k in range(w))
+    bnd = (f"filter(sequence({w}, length(text)), "
+           f"i -> (({terms}) % {m}) % {d} = 0)")
+    chunks = (docs
+              .where(F.length("text") > 0)
+              .withColumn("_bnd", F.expr(bnd))
+              .withColumn(
+                  "_starts",
+                  F.expr("concat(array(1), transform(_bnd, x -> x + 1))"))
+              .withColumn(
+                  "_ends",
+                  F.expr("concat(_bnd, array(length(text)))"))
+              .select(F.explode(F.expr(
+                  "filter(arrays_zip(_starts, _ends), "
+                  "p -> p._ends >= p._starts)")).alias("p"),
+                  "text")
+              .select(F.expr(
+                  "substr(text, p._starts, p._ends - p._starts + 1)")
+                  .alias("chunk")))
+    per_chunk = (chunks.groupBy("chunk").agg(
+        F.count(F.lit(1)).cast("long").alias("multiplicity"))
+        .select("multiplicity",
+                F.length("chunk").cast("long").alias("_len")))
+    return (per_chunk.groupBy("multiplicity").agg(
+        F.count(F.lit(1)).cast("long").alias("n_chunks"),
+        F.sum("_len").cast("long").alias("n_bytes"))
+        .select("multiplicity", "n_chunks", "n_bytes"))

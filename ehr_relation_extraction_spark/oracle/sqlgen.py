@@ -10441,3 +10441,48 @@ SELECT group_a, group_b, n_a, n_b, u2_a, tie_cubes,
                          - (n_a + n_b)) - tie_cubes))
             ELSE 0 END AS BIGINT) AS z2_micro6
 FROM mw_agg"""
+
+
+# ---------------------------------------------------------------------------
+# Continuation batch 178: content-defined chunking dedup census
+# (operators/dedup.cdc_chunks).
+
+ORACLE["cdc_chunks"] = """
+WITH cdc_pos AS (
+  SELECT doc_id, text, unnest(range(8, length(text) + 1)) AS i
+  FROM documents WHERE length(text) > 0
+),
+cdc_bnd AS MATERIALIZED (
+  SELECT doc_id, i FROM cdc_pos
+  WHERE ((CAST(ascii(substr(text, i - 0, 1)) AS BIGINT) * 1 + CAST(ascii(substr(text, i - 1, 1)) AS BIGINT) * 31 + CAST(ascii(substr(text, i - 2, 1)) AS BIGINT) * 961 + CAST(ascii(substr(text, i - 3, 1)) AS BIGINT) * 29791 + CAST(ascii(substr(text, i - 4, 1)) AS BIGINT) * 923521 + CAST(ascii(substr(text, i - 5, 1)) AS BIGINT) * 28629151 + CAST(ascii(substr(text, i - 6, 1)) AS BIGINT) * 887503681 + CAST(ascii(substr(text, i - 7, 1)) AS BIGINT) * 27512614111)
+         % 1048576) % 64 = 0
+),
+cdc_starts AS (
+  SELECT doc_id,
+         COALESCE(LAG(i) OVER (PARTITION BY doc_id ORDER BY i), 0) + 1
+           AS s,
+         i AS e
+  FROM cdc_bnd
+),
+cdc_tail AS (
+  SELECT d.doc_id, COALESCE(MAX(b.i), 0) + 1 AS s,
+         length(d.text) AS e
+  FROM documents d LEFT JOIN cdc_bnd b USING (doc_id)
+  WHERE length(d.text) > 0
+  GROUP BY d.doc_id, length(d.text)
+  HAVING length(d.text) >= COALESCE(MAX(b.i), 0) + 1
+),
+cdc_chunks0 AS (
+  SELECT c.doc_id, substr(d.text, c.s, c.e - c.s + 1) AS chunk
+  FROM (SELECT doc_id, s, e FROM cdc_starts
+        UNION ALL SELECT doc_id, s, e FROM cdc_tail) c
+  JOIN documents d USING (doc_id)
+),
+cdc_per AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS multiplicity,
+         CAST(length(chunk) AS BIGINT) AS len
+  FROM cdc_chunks0 GROUP BY chunk
+)
+SELECT multiplicity, CAST(COUNT(*) AS BIGINT) AS n_chunks,
+       CAST(SUM(len) AS BIGINT) AS n_bytes
+FROM cdc_per GROUP BY multiplicity"""

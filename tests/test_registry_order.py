@@ -542,6 +542,8 @@ EXPECTED_TAIL = [
     # Continuation batch 176
     "borda_fusion",
     "mann_whitney",
+    # Continuation batch 178
+    "cdc_chunks",
 ]
 
 
