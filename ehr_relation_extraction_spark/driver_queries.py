@@ -3057,6 +3057,13 @@ def q_borda_fusion(spark, sf_dir) -> DataFrame:
     return sim.borda_fusion([exact, ann])
 
 
+def q_neyman_allocation(spark, sf_dir) -> DataFrame:
+    """Exact Neyman sampling-budget allocation across languages
+    (operators/sampling.neyman_allocation)."""
+    from .operators.sampling import neyman_allocation
+    return neyman_allocation(_docs(spark, sf_dir))
+
+
 def q_cdc_chunks(spark, sf_dir) -> DataFrame:
     """Content-defined chunking dedup census over the corpus
     (operators/dedup.cdc_chunks)."""
@@ -3690,6 +3697,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # Continuation batch 178: content-defined chunking census —
     # appended past position 50.
     "cdc_chunks": q_cdc_chunks,
+    # Continuation batch 179: Neyman allocation — appended past
+    # position 50.
+    "neyman_allocation": q_neyman_allocation,
 }
 
 

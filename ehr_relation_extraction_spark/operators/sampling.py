@@ -122,3 +122,75 @@ def greedy_coverage(doc_entities: DataFrame, k: int = 5) -> DataFrame:
               "covered_cum long")
     return spark.createDataFrame(
         [(r, int(d), g, c) for r, d, g, c in out], schema)
+
+
+def neyman_allocation(docs: DataFrame, budget: int = 1000,
+                      stratum_col: str = "lang",
+                      value_col: str = "n_chars") -> DataFrame:
+    """Exact Neyman allocation of a sampling budget across strata —
+    the survey-design primitive behind every "sample B docs for
+    human eval / training mixture" step: stratum h gets n_h
+    proportional to N_h * S_h (population-variance form), which
+    minimizes the variance of the estimated corpus mean under a
+    fixed budget.  Deviation from textbook floats, on purpose:
+
+    - N_h * S_h = sqrt(N_h^2 * Var_pop) = sqrt(SS_h) where
+      SS_h = N_h * sum(x^2) - sum(x)^2, an integer; the weight is
+      the EXACT integer square root, computed as floor(sqrt(double))
+      followed by a +/-1 integer correction (s -= s*s > x;
+      s += (s+1)^2 <= x), so double rounding can never leak in.
+    - seats round by the largest-remainder (Hamilton) method:
+      floor(B * W_h / sum W) each, then the B - sum(floor) leftover
+      seats go to the largest remainders (ties by stratum name) —
+      allocations are integers that sum to EXACTLY the budget.
+
+    If every stratum is constant (sum W = 0) no allocation is
+    defensible and all seats stay at 0.
+
+    Output: (stratum, n_docs, ss, w, alloc_floor, alloc).
+
+    Scale shape: ONE corpus-wide moment aggregate; everything after
+    runs on the bounded stratum table (windows over L rows).
+    Docstring bound: SS_h stays in int64 to ~1e18 (about 1e8 docs
+    of 3e3 chars per stratum); beyond that promote the moments to
+    DECIMAL(38,0).
+    """
+    m = (docs.groupBy(F.col(stratum_col).alias("stratum")).agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum(F.col(value_col).cast("long")).alias("_sx"),
+        F.sum(F.col(value_col).cast("long")
+              * F.col(value_col).cast("long")).alias("_sxx"))
+        .withColumn("ss", (F.col("n_docs") * F.col("_sxx")
+                           - F.col("_sx") * F.col("_sx"))
+                    .cast("long")))
+    m = m.withColumn(
+        "w", F.expr(
+            "CAST(floor(sqrt(CAST(ss AS DOUBLE))) AS BIGINT)"
+            " - CASE WHEN CAST(floor(sqrt(CAST(ss AS DOUBLE))) AS BIGINT)"
+            "        * CAST(floor(sqrt(CAST(ss AS DOUBLE))) AS BIGINT) > ss"
+            "        THEN 1 ELSE 0 END"
+            " + CASE WHEN (CAST(floor(sqrt(CAST(ss AS DOUBLE))) AS BIGINT) + 1)"
+            "        * (CAST(floor(sqrt(CAST(ss AS DOUBLE))) AS BIGINT) + 1) <= ss"
+            "        THEN 1 ELSE 0 END"))
+    wtot = Window.rowsBetween(Window.unboundedPreceding,
+                              Window.unboundedFollowing)
+    m = (m.withColumn("_wsum", F.sum("w").over(wtot))
+         .withColumn("alloc_floor",
+                     F.when(F.col("_wsum") > 0,
+                            F.expr(f"({budget} * w) div _wsum"))
+                     .otherwise(F.lit(0)).cast("long"))
+         .withColumn("_rem",
+                     F.when(F.col("_wsum") > 0,
+                            F.expr(f"({budget} * w) % _wsum"))
+                     .otherwise(F.lit(0)).cast("long")))
+    m = (m.withColumn("_left",
+                      F.lit(budget) * F.max(
+                          (F.col("_wsum") > 0).cast("long")).over(wtot)
+                      - F.sum("alloc_floor").over(wtot))
+         .withColumn("_rk", F.row_number().over(
+             Window.orderBy(F.col("_rem").desc(), F.col("stratum")))))
+    return (m.withColumn(
+        "alloc", (F.col("alloc_floor")
+                  + (F.col("_rk") <= F.col("_left")).cast("long"))
+        .cast("long"))
+        .select("stratum", "n_docs", "ss", "w", "alloc_floor", "alloc"))

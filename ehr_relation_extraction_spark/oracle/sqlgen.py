@@ -10486,3 +10486,53 @@ cdc_per AS (
 SELECT multiplicity, CAST(COUNT(*) AS BIGINT) AS n_chunks,
        CAST(SUM(len) AS BIGINT) AS n_bytes
 FROM cdc_per GROUP BY multiplicity"""
+
+
+# ---------------------------------------------------------------------------
+# Continuation batch 179: exact Neyman allocation with Hamilton
+# largest-remainder rounding (operators/sampling.neyman_allocation).
+
+ORACLE["neyman_allocation"] = """
+WITH ny_m AS (
+  SELECT lang AS stratum, CAST(COUNT(*) AS BIGINT) AS n_docs,
+         CAST(SUM(n_chars) AS BIGINT) AS sx,
+         CAST(SUM(n_chars * n_chars) AS BIGINT) AS sxx
+  FROM documents GROUP BY lang
+),
+ny_ss AS (
+  SELECT stratum, n_docs, n_docs * sxx - sx * sx AS ss FROM ny_m
+),
+ny_s0 AS (
+  SELECT *, CAST(floor(sqrt(CAST(ss AS DOUBLE))) AS BIGINT) AS s0
+  FROM ny_ss
+),
+ny_w AS (
+  SELECT stratum, n_docs, ss,
+         s0 - CASE WHEN s0 * s0 > ss THEN 1 ELSE 0 END
+            + CASE WHEN (s0 + 1) * (s0 + 1) <= ss THEN 1 ELSE 0 END
+           AS w
+  FROM ny_s0
+),
+ny_f AS (
+  SELECT *, SUM(w) OVER () AS wsum FROM ny_w
+),
+ny_a AS (
+  SELECT stratum, n_docs, ss, w,
+         CASE WHEN wsum > 0 THEN (1000 * w) // wsum ELSE 0 END
+           AS alloc_floor,
+         CASE WHEN wsum > 0 THEN (1000 * w) % wsum ELSE 0 END AS rem,
+         wsum
+  FROM ny_f
+),
+ny_r AS (
+  SELECT *,
+         CASE WHEN wsum > 0
+              THEN 1000 - SUM(alloc_floor) OVER () ELSE 0 END AS lft,
+         ROW_NUMBER() OVER (ORDER BY rem DESC, stratum) AS rk
+  FROM ny_a
+)
+SELECT stratum, n_docs, ss, w, alloc_floor,
+       CAST(alloc_floor
+            + CASE WHEN rk <= lft THEN 1 ELSE 0 END AS BIGINT)
+         AS alloc
+FROM ny_r"""

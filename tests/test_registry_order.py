@@ -544,6 +544,8 @@ EXPECTED_TAIL = [
     "mann_whitney",
     # Continuation batch 178
     "cdc_chunks",
+    # Continuation batch 179
+    "neyman_allocation",
 ]
 
 
