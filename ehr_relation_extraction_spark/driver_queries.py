@@ -3057,6 +3057,13 @@ def q_borda_fusion(spark, sf_dir) -> DataFrame:
     return sim.borda_fusion([exact, ann])
 
 
+def q_seq_patterns(spark, sf_dir) -> DataFrame:
+    """Gapped length-2 sequential-pattern support over event
+    sessions (operators/events.seq_patterns)."""
+    from .operators.events import seq_patterns
+    return seq_patterns(spark.read.parquet(f"{sf_dir}/events.parquet"))
+
+
 def q_neyman_allocation(spark, sf_dir) -> DataFrame:
     """Exact Neyman sampling-budget allocation across languages
     (operators/sampling.neyman_allocation)."""
@@ -3700,6 +3707,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # Continuation batch 179: Neyman allocation — appended past
     # position 50.
     "neyman_allocation": q_neyman_allocation,
+    # Continuation batch 180: gapped sequential patterns — appended
+    # past position 50.
+    "seq_patterns": q_seq_patterns,
 }
 
 

@@ -1271,3 +1271,69 @@ def series_motifs(events: DataFrame) -> DataFrame:
                 "n_windows",
                 F.expr("(1000000 * n_windows) div _tot").cast("long")
                 .alias("share_micro6")))
+
+
+def seq_patterns(events: DataFrame, gap_minutes: int = 30) -> DataFrame:
+    """Gapped length-2 sequential-pattern support over sessions —
+    the PrefixSpan-style companion to session_trigrams: a session
+    supports pattern (t1 -> t2) iff SOME t1 event precedes SOME t2
+    event in it, any gap.  Contiguous n-grams (session_trigrams)
+    miss "search ... eventually purchase" funnels with noise between
+    the steps; this is the standard first level of GSP/PrefixSpan.
+
+    The naive miner explodes C(len, 2) event pairs per session and
+    dies on long sessions.  This one is LINEAR: one pass attaches,
+    per event, the count of earlier same-session events of each type
+    (T conditional prefix sums evaluated in ONE window, T = bounded
+    event-type domain), then fans out T structs per event — so
+    n_pairs(t1, t2) = sum over t2-events of their t1-prefix count,
+    and session support counts sessions where that prefix count is
+    ever positive.  No pair space, no per-session quadratic blowup.
+
+    Output per (t1, t2): n_pairs (ordered co-occurrence pairs,
+    the gapped analogue of n_occurrences), n_sessions, and
+    support_micro6 = n_sessions * 1e6 // total sessions (1-row
+    scalar attached lazily, trending_entities-class).
+
+    Session boundaries are sessionize's (same gap, same (ts,
+    event_id) ordering).
+    """
+    secs = F.expr("unix_micros(cast(ts as timestamp)) div 1000000")
+    ev = events.withColumn("_sec", secs)
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap = F.lag("_sec").over(w)
+    new_sess = gap.isNull() | (F.col("_sec") - gap > gap_minutes * 60)
+    ev = (ev.withColumn("_new", new_sess.cast("int"))
+          .withColumn("session_id",
+                      (F.sum("_new").over(
+                          w.rowsBetween(Window.unboundedPreceding, 0))
+                       - 1).cast("int")))
+    types = sorted(r[0] for r in
+                   ev.select("event_type").distinct().collect())
+    ws = (Window.partitionBy("user_id", "session_id")
+          .orderBy("ts", "event_id")
+          .rowsBetween(Window.unboundedPreceding, -1))
+    pre = ev
+    for t in types:
+        pre = pre.withColumn(
+            f"_pre_{t}",
+            F.coalesce(F.sum((F.col("event_type") == t).cast("long"))
+                       .over(ws), F.lit(0)))
+    structs = [F.struct(F.lit(t).alias("t1"),
+                        F.col("event_type").alias("t2"),
+                        F.col(f"_pre_{t}").alias("_cnt"))
+               for t in types]
+    ex = (pre.select("user_id", "session_id",
+                     F.explode(F.array(*structs)).alias("p"))
+          .select("user_id", "session_id", "p.*")
+          .where(F.col("_cnt") > 0))
+    counts = (ex.groupBy("t1", "t2").agg(
+        F.sum("_cnt").cast("long").alias("n_pairs"),
+        F.countDistinct("user_id", "session_id").cast("long")
+        .alias("n_sessions")))
+    total = (ev.select("user_id", "session_id").dropDuplicates()
+             .agg(F.count(F.lit(1)).cast("long").alias("_tot")))
+    return (counts.crossJoin(total)
+            .select("t1", "t2", "n_pairs", "n_sessions",
+                    F.expr("CAST(n_sessions * 1000000 DIV _tot"
+                           " AS BIGINT)").alias("support_micro6")))

@@ -10536,3 +10536,56 @@ SELECT stratum, n_docs, ss, w, alloc_floor,
             + CASE WHEN rk <= lft THEN 1 ELSE 0 END AS BIGINT)
          AS alloc
 FROM ny_r"""
+
+
+# ---------------------------------------------------------------------------
+# Continuation batch 180: gapped length-2 sequential-pattern support
+# (operators/events.seq_patterns).  The oracle uses the QUADRATIC
+# pos<pos formulation — independent of the engine's linear
+# prefix-count trick, which is the point of the cross-check.
+
+ORACLE["seq_patterns"] = """
+WITH sp0 AS (
+  SELECT user_id, event_id, ts, event_type,
+         CASE WHEN lag_ts IS NULL
+              OR (epoch_us(ts) // 1000000)
+                 - (epoch_us(lag_ts) // 1000000) > 1800
+              THEN 1 ELSE 0 END AS new_sess
+  FROM (SELECT user_id, event_id, ts, event_type,
+               LAG(ts) OVER (PARTITION BY user_id
+                             ORDER BY ts, event_id) AS lag_ts
+        FROM events)
+),
+sp1 AS MATERIALIZED (
+  SELECT *, CAST(SUM(new_sess) OVER (
+      PARTITION BY user_id ORDER BY ts, event_id
+      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - 1 AS INT)
+      AS session_id
+  FROM sp0
+),
+sp_pos AS MATERIALIZED (
+  SELECT user_id, session_id, event_type,
+         ROW_NUMBER() OVER (PARTITION BY user_id, session_id
+                            ORDER BY ts, event_id) AS pos
+  FROM sp1
+),
+sp_pairs AS (
+  SELECT a.event_type AS t1, b.event_type AS t2,
+         a.user_id, a.session_id
+  FROM sp_pos a JOIN sp_pos b
+    ON a.user_id = b.user_id AND a.session_id = b.session_id
+   AND a.pos < b.pos
+),
+sp_cnt AS (
+  SELECT t1, t2, CAST(COUNT(*) AS BIGINT) AS n_pairs,
+         CAST(COUNT(DISTINCT user_id || ':' || session_id) AS BIGINT)
+             AS n_sessions
+  FROM sp_pairs GROUP BY 1, 2
+),
+sp_tot AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n FROM (
+    SELECT DISTINCT user_id, session_id FROM sp1)
+)
+SELECT c.t1, c.t2, c.n_pairs, c.n_sessions,
+       CAST(c.n_sessions * 1000000 // t.n AS BIGINT) AS support_micro6
+FROM sp_cnt c CROSS JOIN sp_tot t"""

@@ -92,6 +92,9 @@ ALLOWED = {
     # the 1-row total-session scalar the support denominator needs
     # (trending_entities class)
     "session_trigrams": (0, 1),
+    # same class: the 1-row total-session scalar behind the gapped
+    # pattern support denominator
+    "seq_patterns": (0, 1),
     # the 1-row corpus-total scalar the G2 expectations need
     # (trending_entities class)
     "host_terms": (0, 1),

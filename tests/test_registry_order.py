@@ -546,6 +546,8 @@ EXPECTED_TAIL = [
     "cdc_chunks",
     # Continuation batch 179
     "neyman_allocation",
+    # Continuation batch 180
+    "seq_patterns",
 ]
 
 
