@@ -3057,6 +3057,15 @@ def q_borda_fusion(spark, sf_dir) -> DataFrame:
     return sim.borda_fusion([exact, ann])
 
 
+def q_complex_scores(spark, sf_dir) -> DataFrame:
+    """Integer ComplEx score per distinct fact — the asymmetric
+    third embedding scoring family
+    (operators/kg_embed.complex_scores)."""
+    from .operators.kg_embed import complex_scores
+
+    return complex_scores(_frames(spark, sf_dir).triples)
+
+
 def q_seq_patterns(spark, sf_dir) -> DataFrame:
     """Gapped length-2 sequential-pattern support over event
     sessions (operators/events.seq_patterns)."""
@@ -3710,6 +3719,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # Continuation batch 180: gapped sequential patterns — appended
     # past position 50.
     "seq_patterns": q_seq_patterns,
+    # Continuation batch 181: ComplEx fact scoring — appended past
+    # position 50.
+    "complex_scores": q_complex_scores,
 }
 
 

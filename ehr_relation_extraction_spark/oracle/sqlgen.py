@@ -10589,3 +10589,16 @@ sp_tot AS (
 SELECT c.t1, c.t2, c.n_pairs, c.n_sessions,
        CAST(c.n_sessions * 1000000 // t.n AS BIGINT) AS support_micro6
 FROM sp_cnt c CROSS JOIN sp_tot t"""
+
+
+# ---------------------------------------------------------------------------
+# Continuation batch 181: ComplEx fact scoring — same no-drift device
+# as TransE/DistMult: both engines evaluate the identical generated
+# SQL expression string (operators/kg_embed.complex_score_sql).
+
+from ..operators.kg_embed import complex_score_sql as _cx_score  # noqa: E402
+
+ORACLE["complex_scores"] = _q(f"""
+SELECT subj, pred, obj,
+       CAST({_cx_score('subj', 'pred', 'obj')} AS BIGINT) AS score
+FROM (SELECT DISTINCT subj, pred, obj FROM triples)""")

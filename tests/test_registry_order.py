@@ -548,6 +548,8 @@ EXPECTED_TAIL = [
     "neyman_allocation",
     # Continuation batch 180
     "seq_patterns",
+    # Continuation batch 181
+    "complex_scores",
 ]
 
 
