@@ -3057,6 +3057,15 @@ def q_borda_fusion(spark, sf_dir) -> DataFrame:
     return sim.borda_fusion([exact, ann])
 
 
+def q_stress_centrality(spark, sf_dir) -> DataFrame:
+    """Exact stress centrality (geodesics through each node) over
+    the co-mention graph (operators/graph_algos.stress_centrality)."""
+    from .operators.graph_algos import stress_centrality
+
+    edges, _ = _comention_graph(spark, sf_dir)
+    return stress_centrality(edges)
+
+
 def q_complex_scores(spark, sf_dir) -> DataFrame:
     """Integer ComplEx score per distinct fact — the asymmetric
     third embedding scoring family
@@ -3722,6 +3731,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # Continuation batch 181: ComplEx fact scoring — appended past
     # position 50.
     "complex_scores": q_complex_scores,
+    # Continuation batch 182: stress centrality — appended past
+    # position 50.
+    "stress_centrality": q_stress_centrality,
 }
 
 

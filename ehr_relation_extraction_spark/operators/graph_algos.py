@@ -2857,3 +2857,105 @@ def pagerank_delta(edges: DataFrame, n_iter: int = 5) -> DataFrame:
                  F.expr("(1000000 * sum(abs(_ra - _rb)))"
                         " div sum(_rb)").cast("long")
                  .alias("l1_share_micro6")))
+
+
+def stress_centrality(edges: DataFrame, n_rounds: int = 8) -> DataFrame:
+    """Exact stress centrality per node: the number of shortest
+    paths (over all unordered node pairs s < t, s != v != t) that
+    pass THROUGH v — Shimbel's integer precursor of betweenness.
+    Betweenness divides each pair's contribution by sigma_st, which
+    makes it an irrational sum; stress keeps the raw geodesic count,
+    so the audit stays value-exact across engines while ranking
+    nearly the same brokers.  Uses Brandes' counting identity
+    without the dependency pass: sigma_st(v) = sigma_sv * sigma_vt
+    when d(s,v) + d(v,t) = d(s,t), else 0.
+
+    Three stages, each oracle-checkable:
+    1. all-pairs min-dist via the bounded BFS-closure device of
+       graph_eccentricity/harmonic_centrality (n_rounds must cover
+       the diameter — pinned by the convergence pytest);
+    2. geodesic counts sigma(s, v) by LEVEL-SYNCHRONOUS recurrence:
+       sigma at distance d = sum of sigma over in-neighbors at
+       distance d-1 (one join + one keyed aggregate per level —
+       counts walks on the shortest-path DAG only, so no
+       enumeration blowup);
+    3. stress(v) = sum over s < t of sigma_sv * sigma_vt
+       [d_sv + d_vt = d_st] — two equi-joins on the pair table plus
+       one aggregate.
+
+    THE SCALE CONTRACT (same as harmonic_centrality): pair states
+    are O(V^2) and stage 3 touches O(V^3) triples — the exact
+    small-graph audit path for entity communities / schema graphs;
+    landmark_centrality and hyperball are the registered
+    approximate production paths for corpus-scale graphs.
+
+    Output: (node, stress, n_geodesic_pairs) for every node of the
+    undirected simple graph; nodes on no geodesic report 0.
+    """
+    und = (edges.select(F.least("src", "dst").alias("a"),
+                        F.greatest("src", "dst").alias("b"))
+           .where(F.col("a") != F.col("b")).dropDuplicates()
+           .localCheckpoint())
+    sym = (und.select(F.col("a").alias("src"), F.col("b").alias("dst"))
+           .unionByName(und.select(F.col("b").alias("src"),
+                                   F.col("a").alias("dst"))))
+    nodes = sym.select(F.col("src").alias("node")).dropDuplicates()
+    state = nodes.select(
+        F.col("node").alias("s"), F.col("node").alias("node"),
+        F.lit(0).cast("int").alias("dist")).localCheckpoint()
+    for _ in range(n_rounds):
+        cand = (state.join(sym, state["node"] == sym["src"])
+                .select("s", F.col("dst").alias("node"),
+                        (F.col("dist") + 1).cast("int").alias("dist")))
+        state = (state.unionByName(cand)
+                 .groupBy("s", "node")
+                 .agg(F.min("dist").cast("int").alias("dist"))
+                 .localCheckpoint())
+    dists = state
+    cur = (dists.where(F.col("dist") == 0)
+           .select("s", "node", F.lit(1).cast("long").alias("sigma"))
+           .localCheckpoint())
+    sig = cur
+    for d in range(1, n_rounds + 1):
+        lvl = (dists.where(F.col("dist") == d)
+               .select(F.col("s").alias("_ls"),
+                       F.col("node").alias("_lv")))
+        cur = (cur.join(sym, cur["node"] == sym["src"])
+               .select("s", F.col("dst").alias("node"), "sigma")
+               .join(lvl, (F.col("node") == F.col("_lv"))
+                     & (F.col("s") == F.col("_ls")))
+               .groupBy(F.col("s"), F.col("node"))
+               .agg(F.sum("sigma").cast("long").alias("sigma"))
+               .localCheckpoint())
+        sig = sig.unionByName(cur)
+    p1 = sig.select(F.col("s").alias("_s"), F.col("node").alias("_v"),
+                    F.col("sigma").alias("_sig1"))
+    p1 = p1.join(dists.select(F.col("s").alias("_s"),
+                              F.col("node").alias("_v"),
+                              F.col("dist").alias("_d1")),
+                 ["_s", "_v"])
+    p2 = sig.select(F.col("s").alias("_v"), F.col("node").alias("_t"),
+                    F.col("sigma").alias("_sig2"))
+    p2 = p2.join(dists.select(F.col("s").alias("_v"),
+                              F.col("node").alias("_t"),
+                              F.col("dist").alias("_d2")),
+                 ["_v", "_t"])
+    p3 = dists.select(F.col("s").alias("_s"), F.col("node").alias("_t"),
+                      F.col("dist").alias("_d3"))
+    through = (p1.join(p2, "_v")
+               .join(p3, ["_s", "_t"])
+               .where((F.col("_s") < F.col("_t"))
+                      & (F.col("_v") != F.col("_s"))
+                      & (F.col("_v") != F.col("_t"))
+                      & (F.col("_d1") + F.col("_d2") == F.col("_d3")))
+               .groupBy(F.col("_v").alias("node"))
+               .agg(F.sum(F.col("_sig1") * F.col("_sig2"))
+                    .cast("long").alias("stress"),
+                    F.count(F.lit(1)).cast("long")
+                    .alias("n_geodesic_pairs")))
+    return (nodes.join(through, "node", "left")
+            .select("node",
+                    F.coalesce("stress", F.lit(0)).cast("long")
+                    .alias("stress"),
+                    F.coalesce("n_geodesic_pairs", F.lit(0))
+                    .cast("long").alias("n_geodesic_pairs")))

@@ -10602,3 +10602,65 @@ ORACLE["complex_scores"] = _q(f"""
 SELECT subj, pred, obj,
        CAST({_cx_score('subj', 'pred', 'obj')} AS BIGINT) AS score
 FROM (SELECT DISTINCT subj, pred, obj FROM triples)""")
+
+
+# ---------------------------------------------------------------------------
+# Continuation batch 182: exact stress centrality over the co-mention
+# graph (operators/graph_algos.stress_centrality).  Min-dist closure
+# re-derived independently (recursive CTE), then the sigma recurrence
+# unrolled per level as chained CTEs (the _pagerank_sql device), then
+# Brandes' counting identity as two equi-joins.
+
+
+def _stress_blocks(n_rounds: int = 8) -> str:
+    parts = ["""
+st_und AS MATERIALIZED (
+  SELECT src AS a, dst AS b FROM comention WHERE src <> dst),
+st_sym AS (SELECT a AS src, b AS dst FROM st_und
+           UNION SELECT b AS src, a AS dst FROM st_und),
+st_reach(s, node, dist) AS (
+  SELECT DISTINCT src AS s, src AS node, 0 AS dist FROM st_sym
+  UNION
+  SELECT r.s, e.dst AS node, r.dist + 1
+  FROM st_reach r JOIN st_sym e ON e.src = r.node
+  WHERE r.dist < """ + str(n_rounds) + """),
+st_pairs AS MATERIALIZED (
+  SELECT s, node, CAST(MIN(dist) AS INT) AS dist
+  FROM st_reach GROUP BY 1, 2),
+st_sig0 AS (
+  SELECT DISTINCT src AS s, src AS node, CAST(0 AS INT) AS dist,
+         CAST(1 AS BIGINT) AS sigma
+  FROM st_sym)"""]
+    for d in range(1, n_rounds + 1):
+        parts.append(f"""
+st_sig{d} AS (
+  SELECT p.s, e.dst AS node, CAST({d} AS INT) AS dist,
+         CAST(SUM(p.sigma) AS BIGINT) AS sigma
+  FROM st_sig{d - 1} p
+  JOIN st_sym e ON e.src = p.node
+  JOIN st_pairs m ON m.s = p.s AND m.node = e.dst AND m.dist = {d}
+  GROUP BY p.s, e.dst)""")
+    union = "\n  UNION ALL\n  ".join(
+        f"SELECT * FROM st_sig{d}" for d in range(n_rounds + 1))
+    parts.append(f"""
+st_sig AS MATERIALIZED (
+  {union})""")
+    return ",".join(parts)
+
+
+ORACLE["stress_centrality"] = _q("""
+SELECT n.node,
+       CAST(COALESCE(t.stress, 0) AS BIGINT) AS stress,
+       CAST(COALESCE(t.n_geodesic_pairs, 0) AS BIGINT)
+         AS n_geodesic_pairs
+FROM (SELECT DISTINCT src AS node FROM st_sym) n
+LEFT JOIN (
+  SELECT p1.node AS node, SUM(p1.sigma * p2.sigma) AS stress,
+         COUNT(*) AS n_geodesic_pairs
+  FROM st_sig p1
+  JOIN st_sig p2 ON p2.s = p1.node
+  JOIN st_pairs p3 ON p3.s = p1.s AND p3.node = p2.node
+  WHERE p1.s < p2.node AND p1.node <> p1.s AND p1.node <> p2.node
+    AND p1.dist + p2.dist = p3.dist
+  GROUP BY p1.node) t USING (node)""",
+    LINK_CTES, COMENTION_CTES.strip(), _stress_blocks())

@@ -550,6 +550,8 @@ EXPECTED_TAIL = [
     "seq_patterns",
     # Continuation batch 181
     "complex_scores",
+    # Continuation batch 182
+    "stress_centrality",
 ]
 
 
