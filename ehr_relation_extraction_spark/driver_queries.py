@@ -3057,6 +3057,12 @@ def q_borda_fusion(spark, sf_dir) -> DataFrame:
     return sim.borda_fusion([exact, ann])
 
 
+def q_robust_location(spark, sf_dir) -> DataFrame:
+    """Exact trimmed/winsorized doc-length means per language
+    (functions/textstats.robust_location)."""
+    return ts.robust_location(_docs(spark, sf_dir))
+
+
 def q_stress_centrality(spark, sf_dir) -> DataFrame:
     """Exact stress centrality (geodesics through each node) over
     the co-mention graph (operators/graph_algos.stress_centrality)."""
@@ -3734,6 +3740,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # Continuation batch 182: stress centrality — appended past
     # position 50.
     "stress_centrality": q_stress_centrality,
+    # Continuation batch 183: robust location audit — appended past
+    # position 50.
+    "robust_location": q_robust_location,
 }
 
 

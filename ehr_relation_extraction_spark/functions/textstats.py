@@ -3242,3 +3242,70 @@ def mann_whitney(docs: DataFrame, group_col: str = "lang",
                     " ELSE 0 END"))
             .select("group_a", "group_b", "n_a", "n_b", "u2_a",
                     "tie_cubes", "shift_sign", "z2_micro6"))
+
+
+def robust_location(docs: DataFrame, group_col: str = "lang",
+                    value_col: str = "n_chars",
+                    trim_pct: int = 5) -> DataFrame:
+    """Exact trimmed and winsorized doc-length means per group — the
+    robust-location companion to doclen_percentiles/doclen_drift:
+    corpus length stats are dominated by boilerplate dumps and empty
+    shells at the tails, so mixture decisions should gate on a
+    trimmed mean, not the raw one.  k = n * trim_pct // 100 values
+    are dropped from EACH side (trimmed) or clamped to the cut
+    values (winsorized).
+
+    Rank arithmetic on the VALUE HISTOGRAM, never a per-row sort:
+    with below(v) values strictly smaller and c(v) ties at v, the
+    kept mass at v for the rank window [k+1, n-k] is
+    max(0, min(below+c, n-k) - max(below+1, k+1) + 1); the cut
+    values are the min v whose running count reaches k+1 (lo) and
+    n-k (hi); winsor_sum = trimmed_sum + k * (lo_cut + hi_cut).
+    All integers; means floor-scaled micro6.
+
+    Output: (group, n, k, lo_cut, hi_cut, trimmed_sum,
+    trimmed_mean_micro6, winsor_sum, winsor_mean_micro6).
+
+    Scale shape: ONE corpus histogram aggregate, one per-group
+    cumulative window over the bounded value domain, one per-group
+    roll-up — the spearman_check/mann_whitney device.
+    """
+    hist = (docs.groupBy(F.col(group_col).alias("group"),
+                         F.col(value_col).alias("v"))
+            .agg(F.count(F.lit(1)).cast("long").alias("c")))
+    w = (Window.partitionBy("group").orderBy("v")
+         .rowsBetween(Window.unboundedPreceding, -1))
+    h = (hist.withColumn("below",
+                         F.coalesce(F.sum("c").over(w), F.lit(0)))
+         .withColumn("n", F.sum("c").over(
+             Window.partitionBy("group").rowsBetween(
+                 Window.unboundedPreceding,
+                 Window.unboundedFollowing)))
+         .withColumn("k", F.expr(f"n * {trim_pct} div 100")))
+    kept = F.expr("greatest(CAST(0 AS BIGINT), "
+                  "least(below + c, n - k) "
+                  "- greatest(below + 1, k + 1) + 1)")
+    agg = (h.withColumn("_kept", kept)
+           .groupBy("group").agg(
+               F.first("n").alias("n"),
+               F.first("k").alias("k"),
+               F.min(F.when(F.col("below") + F.col("c")
+                            >= F.col("k") + 1, F.col("v")))
+               .cast("long").alias("lo_cut"),
+               F.min(F.when(F.col("below") + F.col("c")
+                            >= F.col("n") - F.col("k"), F.col("v")))
+               .cast("long").alias("hi_cut"),
+               F.sum(F.col("v") * F.col("_kept")).cast("long")
+               .alias("trimmed_sum")))
+    return (agg.select(
+        "group", F.col("n").cast("long").alias("n"),
+        F.col("k").cast("long").alias("k"), "lo_cut", "hi_cut",
+        "trimmed_sum",
+        F.expr("CAST(1000000 * trimmed_sum div (n - 2 * k)"
+               " AS BIGINT)").alias("trimmed_mean_micro6"),
+        (F.col("trimmed_sum")
+         + F.col("k") * (F.col("lo_cut") + F.col("hi_cut")))
+        .cast("long").alias("winsor_sum"))
+        .withColumn("winsor_mean_micro6",
+                    F.expr("CAST(1000000 * winsor_sum div n"
+                           " AS BIGINT)")))

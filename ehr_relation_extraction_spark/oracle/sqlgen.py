@@ -10664,3 +10664,51 @@ LEFT JOIN (
     AND p1.dist + p2.dist = p3.dist
   GROUP BY p1.node) t USING (node)""",
     LINK_CTES, COMENTION_CTES.strip(), _stress_blocks())
+
+
+# ---------------------------------------------------------------------------
+# Continuation batch 183: exact trimmed/winsorized location audit
+# (functions/textstats.robust_location).
+
+ORACLE["robust_location"] = """
+WITH rl_h AS MATERIALIZED (
+  SELECT lang AS grp, n_chars AS v, CAST(COUNT(*) AS BIGINT) AS c
+  FROM documents GROUP BY 1, 2
+),
+rl_c AS (
+  SELECT grp, v, c,
+         COALESCE(SUM(c) OVER (PARTITION BY grp ORDER BY v
+             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+           AS below,
+         SUM(c) OVER (PARTITION BY grp) AS n
+  FROM rl_h
+),
+rl_k AS (
+  SELECT *, n * 5 // 100 AS k FROM rl_c
+),
+rl_kept AS (
+  SELECT *,
+         GREATEST(CAST(0 AS BIGINT),
+                  LEAST(below + c, n - k)
+                  - GREATEST(below + 1, k + 1) + 1) AS kept
+  FROM rl_k
+),
+rl_agg AS (
+  SELECT grp AS "group",
+         CAST(MIN(n) AS BIGINT) AS n,
+         CAST(MIN(k) AS BIGINT) AS k,
+         CAST(MIN(CASE WHEN below + c >= k + 1 THEN v END)
+              AS BIGINT) AS lo_cut,
+         CAST(MIN(CASE WHEN below + c >= n - k THEN v END)
+              AS BIGINT) AS hi_cut,
+         CAST(SUM(v * kept) AS BIGINT) AS trimmed_sum
+  FROM rl_kept GROUP BY grp
+)
+SELECT "group", n, k, lo_cut, hi_cut, trimmed_sum,
+       CAST(1000000 * trimmed_sum // (n - 2 * k) AS BIGINT)
+         AS trimmed_mean_micro6,
+       CAST(trimmed_sum + k * (lo_cut + hi_cut) AS BIGINT)
+         AS winsor_sum,
+       CAST(1000000 * (trimmed_sum + k * (lo_cut + hi_cut)) // n
+            AS BIGINT) AS winsor_mean_micro6
+FROM rl_agg"""

@@ -552,6 +552,8 @@ EXPECTED_TAIL = [
     "complex_scores",
     # Continuation batch 182
     "stress_centrality",
+    # Continuation batch 183
+    "robust_location",
 ]
 
 
