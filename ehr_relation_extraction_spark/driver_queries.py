@@ -3057,6 +3057,13 @@ def q_borda_fusion(spark, sf_dir) -> DataFrame:
     return sim.borda_fusion([exact, ann])
 
 
+def q_sorted_neighborhood(spark, sf_dir) -> DataFrame:
+    """Sorted-neighborhood blocking audit vs the exact-dup truth
+    (operators/linking.sorted_neighborhood)."""
+    from .operators.linking import sorted_neighborhood
+    return sorted_neighborhood(_docs(spark, sf_dir))
+
+
 def q_robust_location(spark, sf_dir) -> DataFrame:
     """Exact trimmed/winsorized doc-length means per language
     (functions/textstats.robust_location)."""
@@ -3743,6 +3750,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # Continuation batch 183: robust location audit — appended past
     # position 50.
     "robust_location": q_robust_location,
+    # Continuation batch 184: sorted-neighborhood blocking —
+    # appended past position 50.
+    "sorted_neighborhood": q_sorted_neighborhood,
 }
 
 

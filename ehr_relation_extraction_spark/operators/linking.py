@@ -1323,3 +1323,84 @@ def evidence_snippets(linked_mentions: DataFrame, pages: DataFrame,
                     F.col("start").cast("long").alias("start"),
                     F.col("end").cast("long").alias("end"),
                     "ent_text", snippet.alias("evidence")))
+
+
+def sorted_neighborhood(docs: DataFrame, window: int = 4,
+                        key_len: int = 40,
+                        n_ranges: int = 32) -> DataFrame:
+    """Sorted-neighborhood (SNM, Hernandez-Stolfo) candidate
+    generation audit — the third blocking family next to standard
+    blocking (token_blocks) and meta-blocking (meta_block_edges):
+    sort all records by a content key (here the first ``key_len``
+    chars of text), then only records within ``window`` positions of
+    each other become candidate pairs, so the comparison space is
+    O(n * w) regardless of block-size skew — the property plain
+    blocking loses when one key value collects a million records.
+
+    The global rank is computed the SCALABLE way, not with a
+    single-partition window: repartitionByRange on the sort key
+    gives ordered ranges, a window per range computes local ranks,
+    and the bounded per-range counts cumulate into offsets that are
+    broadcast back (the classic two-pass distributed sort-rank).
+    The output is invariant to where the sampled range boundaries
+    land because rank only depends on the total order
+    (key, doc_id).  Candidate pairs come from exploding each record
+    to its ``window - 1`` successor ranks and ONE equi-join on rank
+    — never a rank-band non-equi join.
+
+    Quality is scored against the exact-duplicate truth (identical
+    md5(text), the dedup_exact relation): pair completeness =
+    captured / truth pairs, reduction ratio = 1 - candidates /
+    C(n, 2), both floor-scaled micro6.
+
+    Output (one row): (n_records, w, n_candidate_pairs,
+    n_truth_pairs, n_captured, pc_micro6, rr_micro6).
+    """
+    from pyspark.sql import Window
+
+    keyed = docs.select(
+        F.substring("text", 1, key_len).alias("k"),
+        F.col("doc_id").cast("long").alias("doc_id"),
+        F.md5("text").alias("h"))
+    rp = (keyed.repartitionByRange(n_ranges, "k", "doc_id")
+          .withColumn("_pid", F.spark_partition_id()))
+    wloc = Window.partitionBy("_pid").orderBy("k", "doc_id")
+    loc = rp.withColumn("_lr", F.row_number().over(wloc))
+    cnts = (loc.groupBy("_pid")
+            .agg(F.count(F.lit(1)).cast("long").alias("_c")))
+    woff = (Window.orderBy("_pid")
+            .rowsBetween(Window.unboundedPreceding, -1))
+    offs = cnts.withColumn(
+        "_off", F.coalesce(F.sum("_c").over(woff), F.lit(0)))
+    ranked = (loc.join(F.broadcast(offs.select("_pid", "_off")),
+                       "_pid")
+              .select("doc_id", "h",
+                      (F.col("_off") + F.col("_lr")).cast("long")
+                      .alias("rank")))
+    succ = ranked.select(
+        F.col("h").alias("h_a"), F.col("rank").alias("_r0"),
+        F.explode(F.array(*[F.col("rank") + F.lit(d)
+                            for d in range(1, window)])).alias("rank"))
+    pairs = succ.join(
+        ranked.select(F.col("h").alias("h_b"), "rank"), "rank")
+    stats = pairs.agg(
+        F.count(F.lit(1)).cast("long").alias("n_candidate_pairs"),
+        F.sum((F.col("h_a") == F.col("h_b")).cast("long"))
+        .cast("long").alias("n_captured"))
+    truth = (keyed.groupBy("h")
+             .agg(F.count(F.lit(1)).alias("_c"))
+             .agg(F.sum(F.expr("_c * (_c - 1) div 2")).cast("long")
+                  .alias("n_truth_pairs"),
+                  F.sum("_c").cast("long").alias("n_records")))
+    return (truth.crossJoin(stats)
+            .select("n_records",
+                    F.lit(window).cast("int").alias("w"),
+                    "n_candidate_pairs", "n_truth_pairs", "n_captured",
+                    F.expr("CAST(CASE WHEN n_truth_pairs > 0 THEN"
+                           " 1000000 * n_captured div n_truth_pairs"
+                           " ELSE 0 END AS BIGINT)").alias("pc_micro6"),
+                    F.expr("CAST(CASE WHEN n_records > 1 THEN 1000000"
+                           " - (1000000 * n_candidate_pairs) div"
+                           " (n_records * (n_records - 1) div 2)"
+                           " ELSE 1000000 END AS BIGINT)")
+                    .alias("rr_micro6")))

@@ -10712,3 +10712,44 @@ SELECT "group", n, k, lo_cut, hi_cut, trimmed_sum,
        CAST(1000000 * (trimmed_sum + k * (lo_cut + hi_cut)) // n
             AS BIGINT) AS winsor_mean_micro6
 FROM rl_agg"""
+
+
+# ---------------------------------------------------------------------------
+# Continuation batch 184: sorted-neighborhood blocking audit
+# (operators/linking.sorted_neighborhood).  The oracle ranks with one
+# global window and joins on the rank band non-equi — independent of
+# the engine's two-pass range-rank + explode-equi-join formulation.
+
+ORACLE["sorted_neighborhood"] = """
+WITH snm_r AS MATERIALIZED (
+  SELECT doc_id, md5(text) AS h,
+         ROW_NUMBER() OVER (ORDER BY substr(text, 1, 40), doc_id)
+           AS rnk
+  FROM documents
+),
+snm_p AS (
+  SELECT a.h AS h_a, b.h AS h_b
+  FROM snm_r a JOIN snm_r b
+    ON b.rnk > a.rnk AND b.rnk <= a.rnk + 3
+),
+snm_s AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n_candidate_pairs,
+         CAST(COALESCE(SUM(CASE WHEN h_a = h_b THEN 1 END), 0)
+              AS BIGINT) AS n_captured
+  FROM snm_p
+),
+snm_t AS (
+  SELECT CAST(SUM(c * (c - 1) // 2) AS BIGINT) AS n_truth_pairs,
+         CAST(SUM(c) AS BIGINT) AS n_records
+  FROM (SELECT COUNT(*) AS c FROM documents GROUP BY md5(text))
+)
+SELECT n_records, CAST(4 AS INT) AS w, n_candidate_pairs,
+       n_truth_pairs, n_captured,
+       CAST(CASE WHEN n_truth_pairs > 0
+            THEN 1000000 * n_captured // n_truth_pairs
+            ELSE 0 END AS BIGINT) AS pc_micro6,
+       CAST(CASE WHEN n_records > 1
+            THEN 1000000 - (1000000 * n_candidate_pairs)
+                 // (n_records * (n_records - 1) // 2)
+            ELSE 1000000 END AS BIGINT) AS rr_micro6
+FROM snm_t CROSS JOIN snm_s"""

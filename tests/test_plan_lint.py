@@ -95,6 +95,9 @@ ALLOWED = {
     # same class: the 1-row total-session scalar behind the gapped
     # pattern support denominator
     "seq_patterns": (0, 1),
+    # two 1-row aggregate frames (truth census x candidate census)
+    # composed by crossJoin — partition_agreement class
+    "sorted_neighborhood": (0, 1),
     # the 1-row corpus-total scalar the G2 expectations need
     # (trending_entities class)
     "host_terms": (0, 1),

@@ -554,6 +554,8 @@ EXPECTED_TAIL = [
     "stress_centrality",
     # Continuation batch 183
     "robust_location",
+    # Continuation batch 184
+    "sorted_neighborhood",
 ]
 
 
