@@ -3057,6 +3057,13 @@ def q_borda_fusion(spark, sf_dir) -> DataFrame:
     return sim.borda_fusion([exact, ann])
 
 
+def q_hash_ring(spark, sf_dir) -> DataFrame:
+    """Consistent-hash ring balance audit over crawl sources
+    (operators/skew.hash_ring)."""
+    from .operators.skew import hash_ring
+    return hash_ring(_docs(spark, sf_dir))
+
+
 def q_sorted_neighborhood(spark, sf_dir) -> DataFrame:
     """Sorted-neighborhood blocking audit vs the exact-dup truth
     (operators/linking.sorted_neighborhood)."""
@@ -3753,6 +3760,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # Continuation batch 184: sorted-neighborhood blocking —
     # appended past position 50.
     "sorted_neighborhood": q_sorted_neighborhood,
+    # Continuation batch 185: consistent-hash ring audit — appended
+    # past position 50.
+    "hash_ring": q_hash_ring,
 }
 
 

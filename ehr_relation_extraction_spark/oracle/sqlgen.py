@@ -10753,3 +10753,48 @@ SELECT n_records, CAST(4 AS INT) AS w, n_candidate_pairs,
                  // (n_records * (n_records - 1) // 2)
             ELSE 1000000 END AS BIGINT) AS rr_micro6
 FROM snm_t CROSS JOIN snm_s"""
+
+
+# ---------------------------------------------------------------------------
+# Continuation batch 185: consistent-hash ring balance audit — the
+# ring positions evaluate from the SAME generated SQL string in both
+# engines (operators/skew.ring_pos_sql no-drift device).
+
+from ..operators.skew import ring_pos_sql as _ring_pos  # noqa: E402
+
+ORACLE["hash_ring"] = f"""
+WITH hr_nodes AS (
+  SELECT DISTINCT CAST(source AS VARCHAR) AS node FROM documents
+),
+hr_vn AS MATERIALIZED (
+  SELECT node, i,
+         {_ring_pos("concat(node, '#', i)")} AS pos
+  FROM hr_nodes, unnest(generate_series(0, 63)) AS g(i)
+),
+hr_ring AS (
+  SELECT node, pos,
+         LEAD(pos) OVER (ORDER BY pos, node, i) AS nxt,
+         FIRST_VALUE(pos) OVER (ORDER BY pos, node, i
+             ROWS BETWEEN UNBOUNDED PRECEDING
+             AND UNBOUNDED FOLLOWING) AS fst
+  FROM hr_vn
+),
+hr_arc AS (
+  SELECT node,
+         CASE WHEN nxt IS NOT NULL THEN nxt - pos
+              ELSE fst + 4294967296 - pos END AS arc
+  FROM hr_ring
+),
+hr_per AS (
+  SELECT node, CAST(COUNT(*) AS BIGINT) AS n_vnodes,
+         CAST(SUM(arc) AS BIGINT) AS arc_sum,
+         CAST(MAX(arc) AS BIGINT) AS max_arc
+  FROM hr_arc GROUP BY node
+),
+hr_nn AS (SELECT CAST(COUNT(*) AS BIGINT) AS nn FROM hr_per)
+SELECT node, n_vnodes, arc_sum, max_arc,
+       CAST(1000000 * arc_sum // 4294967296 AS BIGINT)
+         AS share_micro6,
+       CAST(1000000 * arc_sum * nn // 4294967296 AS BIGINT)
+         AS skew_micro6
+FROM hr_per CROSS JOIN hr_nn"""

@@ -556,6 +556,8 @@ EXPECTED_TAIL = [
     "robust_location",
     # Continuation batch 184
     "sorted_neighborhood",
+    # Continuation batch 185
+    "hash_ring",
 ]
 
 
