@@ -3057,6 +3057,19 @@ def q_borda_fusion(spark, sf_dir) -> DataFrame:
     return sim.borda_fusion([exact, ann])
 
 
+def q_ta_depth_audit(spark, sf_dir) -> DataFrame:
+    """Fagin TA stop-depth audit over (LM quality x doc length) per
+    language (functions/textstats.ta_depth_audit)."""
+    docs = _docs(spark, sf_dir)
+    scored = (ts.lm_quality(docs)
+              .join(docs.select("doc_id", "lang", "n_chars"),
+                    "doc_id")
+              .select("doc_id", F.col("lang").alias("group"),
+                      F.col("lm_score_micro6").alias("s1"),
+                      F.col("n_chars").alias("s2")))
+    return ts.ta_depth_audit(scored)
+
+
 def q_hash_ring(spark, sf_dir) -> DataFrame:
     """Consistent-hash ring balance audit over crawl sources
     (operators/skew.hash_ring)."""
@@ -3763,6 +3776,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # Continuation batch 185: consistent-hash ring audit — appended
     # past position 50.
     "hash_ring": q_hash_ring,
+    # Continuation batch 186: Fagin TA depth audit — appended past
+    # position 50.
+    "ta_depth_audit": q_ta_depth_audit,
 }
 
 

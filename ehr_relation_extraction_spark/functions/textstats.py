@@ -3309,3 +3309,74 @@ def robust_location(docs: DataFrame, group_col: str = "lang",
         .withColumn("winsor_mean_micro6",
                     F.expr("CAST(1000000 * winsor_sum div n"
                            " AS BIGINT)")))
+
+
+def ta_depth_audit(scored: DataFrame, group_col: str = "group",
+                   id_col: str = "doc_id", s1_col: str = "s1",
+                   s2_col: str = "s2", k: int = 5,
+                   depths: tuple = (1, 2, 4, 8, 16, 32, 64, 128, 256,
+                                    512)) -> DataFrame:
+    """Fagin Threshold-Algorithm depth audit — how deep must sorted
+    scans of TWO ranked lists (same items, different scores) run
+    before the classic TA stop rule certifies the top-``k`` by
+    combined score?  This is the design audit behind multi-signal
+    selection (quality score x length, BM25 x freshness): if the
+    certified stop depth is tiny, rank-merge selection can skip
+    scoring the tail entirely.
+
+    TA semantics, exactly: at depth d the threshold is
+    T(d) = s1(d-th of list 1) + s2(d-th of list 2) (row_number
+    order, ties by id); an item is SEEN iff min(r1, r2) <= d; the
+    scan may stop iff at least k seen items have combined score
+    >= T(d) (equivalent to kth-best-seen >= T(d)).  Both depth
+    probes and groups are bounded, so the audit emits the full
+    (group x probe-depth) grid; when d exceeds the group (threshold
+    NULL, both lists exhausted) the scan has trivially stopped and
+    n_above is NULL.
+
+    Output per (group, depth): (group, depth, threshold, n_seen,
+    n_above, stopped).
+
+    Scale shape: two per-group rank windows + per-group conditional
+    maxima evaluated in the same window pass (all partitioned by
+    group — no global sort), one struct fan-out over the bounded
+    probe list, one hash aggregate.
+    """
+    w1 = Window.partitionBy(group_col).orderBy(
+        F.col(s1_col).desc(), F.col(id_col))
+    w2 = Window.partitionBy(group_col).orderBy(
+        F.col(s2_col).desc(), F.col(id_col))
+    wl = Window.partitionBy(group_col)
+    r = (scored
+         .withColumn("_r1", F.row_number().over(w1))
+         .withColumn("_r2", F.row_number().over(w2))
+         .withColumn("_m", F.least("_r1", "_r2"))
+         .withColumn("_comb",
+                     (F.col(s1_col) + F.col(s2_col)).cast("long")))
+    for d in depths:
+        r = r.withColumn(
+            f"_t{d}",
+            (F.max(F.when(F.col("_r1") == d, F.col(s1_col))).over(wl)
+             + F.max(F.when(F.col("_r2") == d,
+                            F.col(s2_col))).over(wl)).cast("long"))
+    structs = [F.struct(
+        F.lit(d).cast("int").alias("depth"),
+        F.col(f"_t{d}").alias("threshold"),
+        (F.col("_m") <= d).cast("long").alias("_seen"),
+        F.when(F.col(f"_t{d}").isNull(), F.lit(None).cast("long"))
+        .otherwise(((F.col("_m") <= d)
+                    & (F.col("_comb") >= F.col(f"_t{d}")))
+                   .cast("long")).alias("_above"))
+        for d in depths]
+    ex = (r.select(F.col(group_col).alias("group"),
+                   F.explode(F.array(*structs)).alias("p"))
+          .select("group", "p.*"))
+    agg = (ex.groupBy("group", "depth").agg(
+        F.max("threshold").alias("threshold"),
+        F.sum("_seen").cast("long").alias("n_seen"),
+        F.sum("_above").cast("long").alias("n_above")))
+    return agg.select(
+        "group", "depth", "threshold", "n_seen", "n_above",
+        F.when(F.col("threshold").isNull() | (F.col("n_above") >= k),
+               F.lit(1)).otherwise(F.lit(0)).cast("int")
+        .alias("stopped"))

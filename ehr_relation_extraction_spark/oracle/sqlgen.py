@@ -10798,3 +10798,48 @@ SELECT node, n_vnodes, arc_sum, max_arc,
        CAST(1000000 * arc_sum * nn // 4294967296 AS BIGINT)
          AS skew_micro6
 FROM hr_per CROSS JOIN hr_nn"""
+
+
+# ---------------------------------------------------------------------------
+# Continuation batch 186: Fagin Threshold-Algorithm depth audit over
+# (LM quality x doc length) per language
+# (functions/textstats.ta_depth_audit).
+
+ORACLE["ta_depth_audit"] = f"""
+WITH ta_score AS MATERIALIZED ({ORACLE["lm_quality"]}),
+ta_base AS MATERIALIZED (
+  SELECT d.lang AS grp, s.doc_id,
+         CAST(s.lm_score_micro6 AS BIGINT) AS s1,
+         CAST(d.n_chars AS BIGINT) AS s2,
+         ROW_NUMBER() OVER (PARTITION BY d.lang
+             ORDER BY s.lm_score_micro6 DESC, s.doc_id) AS r1,
+         ROW_NUMBER() OVER (PARTITION BY d.lang
+             ORDER BY d.n_chars DESC, s.doc_id) AS r2
+  FROM ta_score s JOIN documents d USING (doc_id)
+),
+ta_m AS MATERIALIZED (
+  SELECT *, LEAST(r1, r2) AS m, s1 + s2 AS comb FROM ta_base
+),
+ta_t AS (
+  SELECT grp, depth,
+         CAST(MAX(CASE WHEN r1 = depth THEN s1 END)
+              + MAX(CASE WHEN r2 = depth THEN s2 END) AS BIGINT)
+           AS threshold
+  FROM ta_m CROSS JOIN (SELECT unnest([1, 2, 4, 8, 16, 32, 64, 128, 256, 512]) AS depth) dd
+  GROUP BY grp, depth
+),
+ta_j AS (
+  SELECT b.grp, t.depth, t.threshold,
+         CASE WHEN b.m <= t.depth THEN 1 ELSE 0 END AS seen,
+         CASE WHEN t.threshold IS NULL THEN NULL
+              WHEN b.m <= t.depth AND b.comb >= t.threshold THEN 1
+              ELSE 0 END AS above
+  FROM ta_m b JOIN ta_t t ON t.grp = b.grp
+)
+SELECT grp AS "group", CAST(depth AS INT) AS depth, threshold,
+       CAST(SUM(seen) AS BIGINT) AS n_seen,
+       CAST(SUM(above) AS BIGINT) AS n_above,
+       CAST(CASE WHEN MAX(threshold) IS NULL
+                 OR SUM(above) >= 5 THEN 1 ELSE 0 END AS INT)
+         AS stopped
+FROM ta_j GROUP BY grp, depth, threshold"""

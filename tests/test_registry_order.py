@@ -558,6 +558,8 @@ EXPECTED_TAIL = [
     "sorted_neighborhood",
     # Continuation batch 185
     "hash_ring",
+    # Continuation batch 186
+    "ta_depth_audit",
 ]
 
 
