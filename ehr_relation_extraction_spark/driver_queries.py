@@ -3057,6 +3057,13 @@ def q_borda_fusion(spark, sf_dir) -> DataFrame:
     return sim.borda_fusion([exact, ann])
 
 
+def q_record_census(spark, sf_dir) -> DataFrame:
+    """Running-record census of per-type daily event volumes
+    (operators/events.record_census)."""
+    from .operators.events import record_census
+    return record_census(spark.read.parquet(f"{sf_dir}/events.parquet"))
+
+
 def q_ta_depth_audit(spark, sf_dir) -> DataFrame:
     """Fagin TA stop-depth audit over (LM quality x doc length) per
     language (functions/textstats.ta_depth_audit)."""
@@ -3779,6 +3786,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # Continuation batch 186: Fagin TA depth audit — appended past
     # position 50.
     "ta_depth_audit": q_ta_depth_audit,
+    # Continuation batch 187: running-record census — appended past
+    # position 50.
+    "record_census": q_record_census,
 }
 
 

@@ -1337,3 +1337,52 @@ def seq_patterns(events: DataFrame, gap_minutes: int = 30) -> DataFrame:
             .select("t1", "t2", "n_pairs", "n_sessions",
                     F.expr("CAST(n_sessions * 1000000 DIV _tot"
                            " AS BIGINT)").alias("support_micro6")))
+
+
+def record_census(events: DataFrame) -> DataFrame:
+    """Running-record census of the per-type daily volume series —
+    the distribution-free trend flag that complements mann_kendall
+    and runs_test: under exchangeability (no trend), the expected
+    number of running record highs in an n-day series is the
+    harmonic number H_n regardless of the volume distribution, so
+    n_record_highs far above the floor-scaled H_n (and record lows
+    far below) is a nonparametric trend signal with NO tuning
+    constants at all.
+
+    Day i is a record high iff its volume strictly exceeds every
+    earlier day's (day 1 is both a record high and low); ties break
+    records (strict inequality) — the standard records-process
+    convention.
+
+    Output per event_type: (event_type, n_days, n_record_highs,
+    n_record_lows, expected_micro6 = sum_{i=1..n} 1e6 // i, the
+    per-term-floored H_n both engines compute identically).
+
+    Scale shape: one daily pre-aggregate (map-side combinable),
+    then one per-type ordered window for the prefix extrema — the
+    series length is bounded by the calendar, not the corpus.
+    """
+    daily = (events
+             .withColumn("_day", F.expr(
+                 "unix_micros(cast(ts as timestamp)) div 86400000000"))
+             .groupBy("event_type", "_day")
+             .agg(F.count(F.lit(1)).cast("long").alias("_v")))
+    w = (Window.partitionBy("event_type").orderBy("_day")
+         .rowsBetween(Window.unboundedPreceding, -1))
+    flagged = (daily
+               .withColumn("_pmax", F.max("_v").over(w))
+               .withColumn("_pmin", F.min("_v").over(w))
+               .withColumn("_i", F.row_number().over(
+                   Window.partitionBy("event_type").orderBy("_day")))
+               .withColumn("_hi", (F.col("_pmax").isNull()
+                                   | (F.col("_v") > F.col("_pmax")))
+                           .cast("long"))
+               .withColumn("_lo", (F.col("_pmin").isNull()
+                                   | (F.col("_v") < F.col("_pmin")))
+                           .cast("long")))
+    return (flagged.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n_days"),
+        F.sum("_hi").cast("long").alias("n_record_highs"),
+        F.sum("_lo").cast("long").alias("n_record_lows"),
+        F.sum(F.expr("1000000 div _i")).cast("long")
+        .alias("expected_micro6")))

@@ -10843,3 +10843,35 @@ SELECT grp AS "group", CAST(depth AS INT) AS depth, threshold,
                  OR SUM(above) >= 5 THEN 1 ELSE 0 END AS INT)
          AS stopped
 FROM ta_j GROUP BY grp, depth, threshold"""
+
+
+# ---------------------------------------------------------------------------
+# Continuation batch 187: running-record census of per-type daily
+# volumes (operators/events.record_census).
+
+ORACLE["record_census"] = """
+WITH rc_daily AS MATERIALIZED (
+  SELECT event_type, epoch_us(ts) // 86400000000 AS day,
+         CAST(COUNT(*) AS BIGINT) AS v
+  FROM events GROUP BY 1, 2
+),
+rc_f AS (
+  SELECT event_type, v,
+         MAX(v) OVER (PARTITION BY event_type ORDER BY day
+             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+           AS pmax,
+         MIN(v) OVER (PARTITION BY event_type ORDER BY day
+             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+           AS pmin,
+         ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY day)
+           AS i
+  FROM rc_daily
+)
+SELECT event_type,
+       CAST(COUNT(*) AS BIGINT) AS n_days,
+       CAST(SUM(CASE WHEN pmax IS NULL OR v > pmax THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_record_highs,
+       CAST(SUM(CASE WHEN pmin IS NULL OR v < pmin THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_record_lows,
+       CAST(SUM(1000000 // i) AS BIGINT) AS expected_micro6
+FROM rc_f GROUP BY event_type"""

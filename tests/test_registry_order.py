@@ -560,6 +560,8 @@ EXPECTED_TAIL = [
     "hash_ring",
     # Continuation batch 186
     "ta_depth_audit",
+    # Continuation batch 187
+    "record_census",
 ]
 
 
