@@ -3064,6 +3064,24 @@ def q_record_census(spark, sf_dir) -> DataFrame:
     return record_census(spark.read.parquet(f"{sf_dir}/events.parquet"))
 
 
+
+def q_kruskal_wallis(spark, sf_dir) -> DataFrame:
+    """Exact tie-aware Kruskal-Wallis H across language length
+    distributions (functions/textstats.kruskal_wallis)."""
+    from .functions.textstats import kruskal_wallis
+    return kruskal_wallis(
+        spark.read.parquet(f"{sf_dir}/documents.parquet"))
+
+
+
+def q_wilcoxon_signed(spark, sf_dir) -> DataFrame:
+    """Paired Wilcoxon signed-rank test of per-user activity shift
+    (operators/events.wilcoxon_signed)."""
+    from .operators.events import wilcoxon_signed
+    return wilcoxon_signed(
+        spark.read.parquet(f"{sf_dir}/events.parquet"))
+
+
 def q_ta_depth_audit(spark, sf_dir) -> DataFrame:
     """Fagin TA stop-depth audit over (LM quality x doc length) per
     language (functions/textstats.ta_depth_audit)."""
@@ -3789,6 +3807,12 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # Continuation batch 187: running-record census — appended past
     # position 50.
     "record_census": q_record_census,
+    # Continuation batch 188: Kruskal-Wallis omnibus rank test —
+    # appended past position 50.
+    "kruskal_wallis": q_kruskal_wallis,
+    # Continuation batch 189: Wilcoxon signed-rank shift test —
+    # appended past position 50.
+    "wilcoxon_signed": q_wilcoxon_signed,
 }
 
 

@@ -3380,3 +3380,89 @@ def ta_depth_audit(scored: DataFrame, group_col: str = "group",
         F.when(F.col("threshold").isNull() | (F.col("n_above") >= k),
                F.lit(1)).otherwise(F.lit(0)).cast("int")
         .alias("stopped"))
+
+
+def kruskal_wallis(docs: DataFrame, group_col: str = "lang",
+                   value_col: str = "n_chars") -> DataFrame:
+    """Exact tie-aware Kruskal-Wallis H across ALL groups' value
+    distributions at once — the k-sample generalization that closes
+    the rank-test family (mann_whitney is the 2-sample special
+    case): ONE omnibus "are these language length distributions
+    exchangeable" answer instead of L*(L-1)/2 pairwise U tests,
+    which is the correct first gate before pooling k crawl
+    languages (or k snapshot dates) into one training mixture.
+
+    Doubled-rank trick keeps everything integer under ties: the
+    doubled mid-rank of value v is r2(v) = 2*below(v) + c(v) + 1
+    (an integer even when the tied-group average rank is *.5), so
+    the doubled rank sum R2_i = sum_v c_i(v) * r2(v) is exact.
+    With R_i = R2_i/2, H = 12/(N(N+1)) * sum_i R_i^2/n_i - 3(N+1)
+    becomes sum_i 3*R2_i^2/(N(N+1)*n_i) - 3(N+1); each group term
+    is floored independently at micro-6 scale (the per-term-floor
+    device of harmonic_centrality) in DECIMAL(38,0) (R2_i^2
+    overflows BIGINT past ~50k rows/group), and the standard tie
+    correction divides by 1 - sum(t^3-t)/(N^3-N) as one final
+    HUGEINT-exact floor.
+
+    Output: one row per group, overall columns repeated:
+    (group, n, r2_sum, mean_r2_micro6, n_total, tie_cubes,
+    h_micro6, h_corr_micro6) — all integers.
+
+    Scale shape: ONE corpus-wide (group, value) histogram
+    aggregate; the single unpartitioned window runs over the pooled
+    VALUE histogram, bounded by the value domain (doc-length cap),
+    not the corpus — the mann_whitney/spearman_check device.  The
+    two 1-row overall aggregates come back via lazy broadcast
+    crossJoins, never a driver collect.
+    """
+    hist = (docs.groupBy(F.col(group_col).alias("grp"),
+                         F.col(value_col).alias("v"))
+            .agg(F.count(F.lit(1)).cast("long").alias("_c")))
+    pooled = hist.groupBy("v").agg(F.sum("_c").cast("long").alias("_ct"))
+    w = Window.orderBy("v").rowsBetween(Window.unboundedPreceding, -1)
+    pooled = (pooled
+              .withColumn("_s", F.coalesce(F.sum("_ct").over(w),
+                                           F.lit(0)).cast("long"))
+              .withColumn("_r2", (F.lit(2) * F.col("_s")
+                                  + F.col("_ct") + 1).cast("long"))
+              .withColumn("_tie", (F.col("_ct") * F.col("_ct")
+                                   * F.col("_ct")
+                                   - F.col("_ct")).cast("long")))
+    per_group = (hist.join(pooled.select("v", "_r2"), "v")
+                 .groupBy("grp").agg(
+                     F.sum("_c").cast("long").alias("n"),
+                     F.sum(F.col("_c") * F.col("_r2")).cast("long")
+                     .alias("r2_sum")))
+    overall = pooled.agg(F.sum("_ct").cast("long").alias("n_total"),
+                         F.sum("_tie").cast("long").alias("tie_cubes"))
+    g = (per_group.crossJoin(F.broadcast(overall))  # 1-row scalar
+         .withColumn("mean_r2_micro6",
+                     F.expr("CAST((CAST(1000000 AS DECIMAL(38,0))"
+                            " * r2_sum) div n AS BIGINT)"))
+         .withColumn("_term",
+                     F.expr("CAST((CAST(3000000 AS DECIMAL(38,0))"
+                            " * r2_sum * r2_sum)"
+                            " div (CAST(n_total AS DECIMAL(38,0))"
+                            " * (n_total + 1) * n) AS BIGINT)")))
+    hsum = g.agg(F.sum("_term").cast("long").alias("_tsum"),
+                 F.max("n_total").cast("long").alias("_nt"),
+                 F.max("tie_cubes").cast("long").alias("_tc"))
+    h = (hsum
+         .withColumn("h_micro6",
+                     (F.col("_tsum") - F.lit(3) * (F.col("_nt") + 1)
+                      * F.lit(1000000)).cast("long"))
+         .withColumn(
+             "h_corr_micro6",
+             F.expr(
+                 "CASE WHEN (CAST(_nt AS DECIMAL(38,0)) * _nt * _nt"
+                 " - _nt) - _tc > 0 THEN"
+                 " CAST((CAST(h_micro6 AS DECIMAL(38,0))"
+                 " * (CAST(_nt AS DECIMAL(38,0)) * _nt * _nt - _nt))"
+                 " div ((CAST(_nt AS DECIMAL(38,0)) * _nt * _nt"
+                 " - _nt) - _tc) AS BIGINT)"
+                 " ELSE CAST(h_micro6 AS BIGINT) END"))
+         .select("h_micro6", "h_corr_micro6"))
+    return (g.crossJoin(F.broadcast(h))  # 1-row scalar
+            .select(F.col("grp").alias("group"), "n", "r2_sum",
+                    "mean_r2_micro6", "n_total", "tie_cubes",
+                    "h_micro6", "h_corr_micro6"))

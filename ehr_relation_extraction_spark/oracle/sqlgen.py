@@ -10875,3 +10875,123 @@ SELECT event_type,
             AS BIGINT) AS n_record_lows,
        CAST(SUM(1000000 // i) AS BIGINT) AS expected_micro6
 FROM rc_f GROUP BY event_type"""
+
+
+# ---------------------------------------------------------------------------
+# Continuation batch 188: exact tie-aware Kruskal-Wallis H across
+# language length distributions (functions/textstats.kruskal_wallis).
+
+ORACLE["kruskal_wallis"] = """
+WITH kw_hist AS MATERIALIZED (
+  SELECT lang AS grp, n_chars AS v, CAST(COUNT(*) AS BIGINT) AS c
+  FROM documents GROUP BY 1, 2
+),
+kw_pooled AS MATERIALIZED (
+  SELECT v, CAST(SUM(c) AS BIGINT) AS ct FROM kw_hist GROUP BY v
+),
+kw_r2 AS MATERIALIZED (
+  SELECT v,
+         CAST(2 * COALESCE(SUM(ct) OVER (ORDER BY v
+             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+             + ct + 1 AS BIGINT) AS r2,
+         CAST(ct * ct * ct - ct AS BIGINT) AS tie,
+         ct
+  FROM kw_pooled
+),
+kw_pg AS MATERIALIZED (
+  SELECT grp, CAST(SUM(c) AS BIGINT) AS n,
+         CAST(SUM(c * r2) AS BIGINT) AS r2_sum
+  FROM kw_hist h JOIN kw_r2 USING (v) GROUP BY grp
+),
+kw_tot AS MATERIALIZED (
+  SELECT CAST(SUM(ct) AS BIGINT) AS n_total,
+         CAST(SUM(tie) AS BIGINT) AS tie_cubes
+  FROM kw_r2
+),
+kw_g AS MATERIALIZED (
+  SELECT grp, n, r2_sum, n_total, tie_cubes,
+         CAST((CAST(1000000 AS HUGEINT) * r2_sum) // n AS BIGINT)
+           AS mean_r2_micro6,
+         CAST((CAST(3000000 AS HUGEINT) * r2_sum * r2_sum)
+              // (CAST(n_total AS HUGEINT) * (n_total + 1) * n)
+              AS BIGINT) AS term
+  FROM kw_pg, kw_tot
+),
+kw_h AS (
+  SELECT CAST(SUM(term) - 3 * (MAX(n_total) + 1) * 1000000
+              AS BIGINT) AS h_micro6,
+         MAX(n_total) AS nt, MAX(tie_cubes) AS tc
+  FROM kw_g
+),
+kw_h2 AS (
+  SELECT h_micro6,
+         CASE WHEN (CAST(nt AS HUGEINT) * nt * nt - nt) - tc > 0
+           THEN CAST((CAST(h_micro6 AS HUGEINT)
+                      * (CAST(nt AS HUGEINT) * nt * nt - nt))
+                     // ((CAST(nt AS HUGEINT) * nt * nt - nt) - tc)
+                     AS BIGINT)
+           ELSE h_micro6 END AS h_corr_micro6
+  FROM kw_h
+)
+SELECT grp AS "group", n, r2_sum, mean_r2_micro6, n_total,
+       tie_cubes, h_micro6, h_corr_micro6
+FROM kw_g, kw_h2"""
+
+
+# ---------------------------------------------------------------------------
+# Continuation batch 189: paired Wilcoxon signed-rank activity-shift
+# test (operators/events.wilcoxon_signed).
+
+ORACLE["wilcoxon_signed"] = """
+WITH ws_ev AS MATERIALIZED (
+  SELECT user_id, epoch_us(ts) AS us FROM events
+),
+ws_mid AS MATERIALIZED (
+  SELECT (MIN(us) + MAX(us)) // 2 AS mid FROM ws_ev
+),
+ws_d AS MATERIALIZED (
+  SELECT user_id,
+         CAST(SUM(CASE WHEN us > mid THEN 1 ELSE 0 END)
+              - SUM(CASE WHEN us <= mid THEN 1 ELSE 0 END)
+              AS BIGINT) AS d
+  FROM ws_ev, ws_mid GROUP BY user_id
+),
+ws_hist AS MATERIALIZED (
+  SELECT ABS(d) AS ad, CAST(COUNT(*) AS BIGINT) AS c,
+         CAST(SUM(CASE WHEN d > 0 THEN 1 ELSE 0 END) AS BIGINT)
+           AS cp
+  FROM ws_d GROUP BY 1
+),
+ws_nz AS MATERIALIZED (
+  SELECT ad, c, cp,
+         COALESCE(SUM(c) OVER (ORDER BY ad
+             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+           AS below
+  FROM ws_hist WHERE ad > 0
+),
+ws_agg AS (
+  SELECT CAST(COALESCE(SUM(c), 0) AS BIGINT) AS n_used,
+         CAST(COALESCE(SUM(cp * (2 * below + c + 1)), 0) AS BIGINT)
+           AS w2_plus,
+         CAST(COALESCE(SUM(c * c * c - c), 0) AS BIGINT)
+           AS tie_cubes
+  FROM ws_nz
+),
+ws_zero AS (
+  SELECT CAST(COALESCE(SUM(c), 0) AS BIGINT) AS n_zero
+  FROM ws_hist WHERE ad = 0
+)
+SELECT CAST(n_used + n_zero AS BIGINT) AS n_pairs, n_zero, n_used,
+       w2_plus, tie_cubes,
+       CAST(SIGN(2 * w2_plus - n_used * (n_used + 1)) AS INT)
+         AS shift_sign,
+       CASE WHEN n_used > 0 AND
+                 2 * n_used * (n_used + 1) * (2 * n_used + 1)
+                 - tie_cubes > 0
+         THEN CAST((CAST(3000000 AS HUGEINT)
+                    * (2 * w2_plus - n_used * (n_used + 1))
+                    * (2 * w2_plus - n_used * (n_used + 1)))
+                   // (CAST(2 AS HUGEINT) * n_used * (n_used + 1)
+                       * (2 * n_used + 1) - tie_cubes) AS BIGINT)
+         ELSE CAST(0 AS BIGINT) END AS z2_micro6
+FROM ws_agg, ws_zero"""

@@ -562,6 +562,10 @@ EXPECTED_TAIL = [
     "ta_depth_audit",
     # Continuation batch 187
     "record_census",
+    # Continuation batch 188
+    "kruskal_wallis",
+    # Continuation batch 189
+    "wilcoxon_signed",
 ]
 
 
