@@ -1386,3 +1386,93 @@ def record_census(events: DataFrame) -> DataFrame:
         F.sum("_lo").cast("long").alias("n_record_lows"),
         F.sum(F.expr("1000000 div _i")).cast("long")
         .alias("expected_micro6")))
+
+
+def wilcoxon_signed(events: DataFrame) -> DataFrame:
+    """Exact tie-aware Wilcoxon signed-rank test of per-user
+    activity shift between the early and late halves of the
+    observation window — the PAIRED complement to mann_whitney /
+    kruskal_wallis: each user is their own control, so
+    between-user volume differences (which dominate any unpaired
+    test) cancel, and what remains is the within-user drift the
+    unpaired family cannot see.
+
+    Pairing: per user, d = late-half event count - early-half
+    count, split at the integer midpoint of the window
+    (mid = (min_us + max_us) div 2, early = ts <= mid) — integers
+    end to end, no float timestamps.  Zero differences are dropped
+    (the classic Wilcoxon convention) but counted in n_zero.
+
+    Doubled-rank trick under ties: |d| mid-ranks doubled to
+    r2 = 2*below + c + 1; W2+ = sum of r2 over users with d > 0
+    (i.e. 2*W+).  With var(W+) = (2n(n+1)(2n+1) - sum(t^3-t))/48
+    (tie-corrected) and 2*W2+ - n(n+1) = 4*(W+ - mean), the squared
+    normal score is z2 = 3*(2*W2+ - n(n+1))^2
+    / (2n(n+1)(2n+1) - sum(t^3-t)),
+    emitted as z2_micro6 by one DECIMAL(38,0) floor (the
+    mann_whitney device; the squared numerator overflows BIGINT
+    past ~50k paired users).
+
+    Output: one row (n_pairs, n_zero, n_used, w2_plus, tie_cubes,
+    shift_sign, z2_micro6) — all integers.
+
+    Scale shape: one bounds aggregate (1-row lazy broadcast
+    crossJoin), one per-user count aggregate, then the |d|
+    HISTOGRAM — the single unpartitioned window runs over the
+    bounded difference domain (max per-user count swing), never
+    the user space.
+    """
+    ev = events.select(
+        "user_id", F.unix_micros(F.col("ts").cast("timestamp"))
+        .alias("_us"))
+    bounds = ev.agg(
+        F.expr("(min(_us) + max(_us)) div 2").cast("long")
+        .alias("_mid"))
+    d = (ev.crossJoin(F.broadcast(bounds))  # 1-row scalar
+         .groupBy("user_id")
+         .agg((F.sum((F.col("_us") > F.col("_mid")).cast("long"))
+               - F.sum((F.col("_us") <= F.col("_mid")).cast("long")))
+              .cast("long").alias("_d")))
+    hist = (d.groupBy(F.abs("_d").alias("_ad"))
+            .agg(F.count(F.lit(1)).cast("long").alias("_c"),
+                 F.sum((F.col("_d") > 0).cast("long")).cast("long")
+                 .alias("_cp")))
+    nz = hist.where(F.col("_ad") > 0)
+    w = Window.orderBy("_ad").rowsBetween(Window.unboundedPreceding, -1)
+    nz = (nz.withColumn("_below", F.coalesce(
+              F.sum("_c").over(w), F.lit(0)).cast("long"))
+          .withColumn("_r2", (F.lit(2) * F.col("_below")
+                              + F.col("_c") + 1).cast("long")))
+    zero = hist.where(F.col("_ad") == 0).agg(
+        F.coalesce(F.sum("_c"), F.lit(0)).cast("long").alias("n_zero"))
+    agg = nz.agg(
+        F.coalesce(F.sum("_c"), F.lit(0)).cast("long").alias("n_used"),
+        F.coalesce(F.sum(F.col("_cp") * F.col("_r2")), F.lit(0))
+        .cast("long").alias("w2_plus"),
+        F.coalesce(F.sum(F.col("_c") * F.col("_c") * F.col("_c")
+                         - F.col("_c")), F.lit(0)).cast("long")
+        .alias("tie_cubes"))
+    return (agg.crossJoin(F.broadcast(zero))  # 1-row scalar
+            .withColumn("n_pairs",
+                        (F.col("n_used") + F.col("n_zero"))
+                        .cast("long"))
+            .withColumn("shift_sign",
+                        F.signum(F.lit(2) * F.col("w2_plus")
+                                 - F.col("n_used")
+                                 * (F.col("n_used") + 1))
+                        .cast("int"))
+            .withColumn(
+                "z2_micro6",
+                F.expr(
+                    "CASE WHEN n_used > 0 AND"
+                    " 2 * n_used * (n_used + 1) * (2 * n_used + 1)"
+                    " - tie_cubes > 0 THEN"
+                    " CAST((CAST(3000000 AS DECIMAL(38,0))"
+                    " * (2 * w2_plus - n_used * (n_used + 1))"
+                    " * (2 * w2_plus - n_used * (n_used + 1)))"
+                    " div (CAST(2 AS DECIMAL(38,0)) * n_used"
+                    " * (n_used + 1) * (2 * n_used + 1)"
+                    " - tie_cubes) AS BIGINT)"
+                    " ELSE CAST(0 AS BIGINT) END"))
+            .select("n_pairs", "n_zero", "n_used", "w2_plus",
+                    "tie_cubes", "shift_sign", "z2_micro6"))
