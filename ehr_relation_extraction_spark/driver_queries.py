@@ -3082,6 +3082,20 @@ def q_wilcoxon_signed(spark, sf_dir) -> DataFrame:
         spark.read.parquet(f"{sf_dir}/events.parquet"))
 
 
+
+def q_brier_decomposition(spark, sf_dir) -> DataFrame:
+    """Brier score + Murphy decomposition of the bigram-LM quality
+    score as an English-detector probability forecast
+    (functions/textstats.brier_decomposition)."""
+    docs = _docs(spark, sf_dir)
+    scored = (ts.lm_quality(docs)
+              .join(docs.select("doc_id", "lang"), "doc_id")
+              .select(F.col("lm_score_micro6").alias("score"),
+                      (F.col("lang") == "en").cast("int")
+                      .alias("pos")))
+    return ts.brier_decomposition(scored)
+
+
 def q_ta_depth_audit(spark, sf_dir) -> DataFrame:
     """Fagin TA stop-depth audit over (LM quality x doc length) per
     language (functions/textstats.ta_depth_audit)."""
@@ -3813,6 +3827,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # Continuation batch 189: Wilcoxon signed-rank shift test —
     # appended past position 50.
     "wilcoxon_signed": q_wilcoxon_signed,
+    # Continuation batch 190: Brier + Murphy decomposition —
+    # appended past position 50.
+    "brier_decomposition": q_brier_decomposition,
 }
 
 

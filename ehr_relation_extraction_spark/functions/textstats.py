@@ -3466,3 +3466,115 @@ def kruskal_wallis(docs: DataFrame, group_col: str = "lang",
             .select(F.col("grp").alias("group"), "n", "r2_sum",
                     "mean_r2_micro6", "n_total", "tie_cubes",
                     "h_micro6", "h_corr_micro6"))
+
+
+def brier_decomposition(scored: DataFrame,
+                        n_buckets: int = 10) -> DataFrame:
+    """Exact Brier score + Murphy decomposition (reliability -
+    resolution + uncertainty) of a score used as a probability
+    forecast — the PROPER-scoring-rule summary that completes the
+    calibration family: quality_calibration shows the per-bucket
+    keep-rate table, isotonic_calibration refits it, this one
+    charges the score a single number and says WHERE the loss comes
+    from (miscalibration vs missing discrimination vs irreducible
+    base-rate noise).
+
+    Input: (score BIGINT, pos INT 0/1).  The forecast attached to
+    rank-decile bucket k (quality_calibration's bucketing: distinct
+    score value table + cumulative window over the bounded score
+    domain, bucket = cum_before * B DIV N, so equal scores share a
+    bucket and the result is partition-invariant) is the bucket
+    midpoint f_k = (2k+1)/(2B) — constant within bucket, which is
+    exactly the regime where the Murphy identity holds.
+
+    Everything is exact rational over f20 = 2k+1 (the forecast
+    times 2B): brier_num = sum_k [s_k*(f20-2B)^2 + (n_k-s_k)*
+    f20^2], brier_micro6 = 1e6*brier_num div (4B^2*N); reliability
+    terms 1e6*(n_k*f20 - 2B*s_k)^2 div (4B^2*N*n_k) and resolution
+    terms 1e6*(s_k*N - S*n_k)^2 div (N^3*n_k) are floored per
+    bucket (the harmonic_centrality per-term-floor device, DECIMAL
+    (38,0) / HUGEINT so the squared numerators survive web scale);
+    uncertainty_micro6 = 1e6*S*(N-S) div N^2.  The identity
+    brier = rel - res + unc then holds to within one micro-unit
+    per floored term.
+
+    Output: one row per bucket (bucket, f20, n, n_pos,
+    obar_micro6) with the overall columns repeated (n_total,
+    n_pos_total, brier_micro6, reliability_micro6,
+    resolution_micro6, uncertainty_micro6).
+
+    Scale shape: one corpus-sized (score, pos) histogram
+    aggregate; the single unpartitioned window runs over the
+    bounded score value domain (the doclen_percentiles
+    discipline); overall sums come back via 1-row lazy broadcast
+    crossJoins.
+    """
+    b2 = 2 * n_buckets
+    vals = (scored.groupBy("score")
+            .agg(F.count(F.lit(1)).cast("long").alias("_c"),
+                 F.sum("pos").cast("long").alias("_s")))
+    w = Window.orderBy("score").rowsBetween(
+        Window.unboundedPreceding, -1)
+    vb = (vals
+          .withColumn("_cb", F.coalesce(F.sum("_c").over(w),
+                                        F.lit(0)).cast("long"))
+          .withColumn("_nt", F.sum("_c").over(
+              Window.partitionBy(F.lit(1))).cast("long"))
+          .withColumn("bucket", F.expr(
+              f"CAST(_cb * {n_buckets} DIV _nt AS INT)")))
+    per = (vb.groupBy("bucket")
+           .agg(F.sum("_c").cast("long").alias("n"),
+                F.sum("_s").cast("long").alias("n_pos"))
+           .withColumn("f20", (F.lit(2) * F.col("bucket") + 1)
+                       .cast("long")))
+    tot = per.agg(F.sum("n").cast("long").alias("n_total"),
+                  F.sum("n_pos").cast("long").alias("n_pos_total"))
+    g = (per.crossJoin(F.broadcast(tot))  # 1-row scalar
+         .withColumn("obar_micro6",
+                     F.expr("CAST(1000000 * n_pos DIV n AS BIGINT)"))
+         .withColumn("_bnum",
+                     F.expr(f"CAST(n_pos * (f20 - {b2})"
+                            f" * (f20 - {b2})"
+                            " + (n - n_pos) * f20 * f20"
+                            " AS DECIMAL(38,0))"))
+         .withColumn("_rel",
+                     F.expr(
+                         "CAST((CAST(1000000 AS DECIMAL(38,0))"
+                         f" * (n * f20 - {b2} * n_pos)"
+                         f" * (n * f20 - {b2} * n_pos))"
+                         f" div (CAST({4 * n_buckets * n_buckets}"
+                         " AS DECIMAL(38,0)) * n_total * n)"
+                         " AS BIGINT)"))
+         .withColumn("_res",
+                     F.expr(
+                         "CAST((CAST(1000000 AS DECIMAL(38,0))"
+                         " * (n_pos * n_total - n_pos_total * n)"
+                         " * (n_pos * n_total - n_pos_total * n))"
+                         " div (CAST(n_total AS DECIMAL(38,0))"
+                         " * n_total * n_total * n) AS BIGINT)")))
+    summ = (g.agg(F.sum("_bnum").alias("_bsum"),
+                  F.sum("_rel").cast("long")
+                  .alias("reliability_micro6"),
+                  F.sum("_res").cast("long")
+                  .alias("resolution_micro6"),
+                  F.max("n_total").cast("long").alias("_n"),
+                  F.max("n_pos_total").cast("long").alias("_s"))
+            .withColumn("brier_micro6",
+                        F.expr(
+                            "CAST((CAST(1000000 AS DECIMAL(38,0))"
+                            " * _bsum)"
+                            f" div (CAST({4 * n_buckets * n_buckets}"
+                            " AS DECIMAL(38,0)) * _n) AS BIGINT)"))
+            .withColumn("uncertainty_micro6",
+                        F.expr(
+                            "CAST((CAST(1000000 AS DECIMAL(38,0))"
+                            " * _s * (_n - _s))"
+                            " div (CAST(_n AS DECIMAL(38,0)) * _n)"
+                            " AS BIGINT)"))
+            .select("brier_micro6", "reliability_micro6",
+                    "resolution_micro6", "uncertainty_micro6"))
+    return (g.crossJoin(F.broadcast(summ))  # 1-row scalar
+            .select("bucket", "f20", "n", "n_pos", "obar_micro6",
+                    "n_total", "n_pos_total", "brier_micro6",
+                    "reliability_micro6", "resolution_micro6",
+                    "uncertainty_micro6"))

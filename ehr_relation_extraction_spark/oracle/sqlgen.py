@@ -10995,3 +10995,77 @@ SELECT CAST(n_used + n_zero AS BIGINT) AS n_pairs, n_zero, n_used,
                        * (2 * n_used + 1) - tie_cubes) AS BIGINT)
          ELSE CAST(0 AS BIGINT) END AS z2_micro6
 FROM ws_agg, ws_zero"""
+
+
+# ---------------------------------------------------------------------------
+# Continuation batch 190: Brier score + Murphy decomposition of the
+# LM quality score as an English-detector forecast
+# (functions/textstats.brier_decomposition over lm_quality x lang).
+# Reuses the lm_quality statement verbatim as a nested subquery.
+
+ORACLE["brier_decomposition"] = f"""
+WITH bd_score AS MATERIALIZED ({ORACLE["lm_quality"]}),
+bd_sc AS MATERIALIZED (
+  SELECT q.lm_score_micro6 AS score,
+         CASE WHEN d.lang = 'en' THEN 1 ELSE 0 END AS pos
+  FROM bd_score q JOIN documents d USING (doc_id)
+),
+bd_vals AS MATERIALIZED (
+  SELECT score, CAST(COUNT(*) AS BIGINT) AS c,
+         CAST(SUM(pos) AS BIGINT) AS s
+  FROM bd_sc GROUP BY score
+),
+bd_b AS MATERIALIZED (
+  SELECT score, c, s,
+         COALESCE(SUM(c) OVER (ORDER BY score
+             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+           AS cb,
+         SUM(c) OVER () AS nt
+  FROM bd_vals
+),
+bd_per AS MATERIALIZED (
+  SELECT CAST(cb * 10 // nt AS INT) AS bucket,
+         CAST(SUM(c) AS BIGINT) AS n,
+         CAST(SUM(s) AS BIGINT) AS n_pos
+  FROM bd_b GROUP BY 1
+),
+bd_tot AS MATERIALIZED (
+  SELECT CAST(SUM(n) AS BIGINT) AS n_total,
+         CAST(SUM(n_pos) AS BIGINT) AS n_pos_total
+  FROM bd_per
+),
+bd_g AS MATERIALIZED (
+  SELECT bucket, CAST(2 * bucket + 1 AS BIGINT) AS f20, n, n_pos,
+         n_total, n_pos_total,
+         CAST(1000000 * n_pos // n AS BIGINT) AS obar_micro6,
+         CAST(n_pos * (2 * bucket + 1 - 20) * (2 * bucket + 1 - 20)
+              + (n - n_pos) * (2 * bucket + 1) * (2 * bucket + 1)
+              AS HUGEINT) AS bnum,
+         CAST((CAST(1000000 AS HUGEINT)
+               * (n * (2 * bucket + 1) - 20 * n_pos)
+               * (n * (2 * bucket + 1) - 20 * n_pos))
+              // (CAST(400 AS HUGEINT) * n_total * n) AS BIGINT)
+           AS rel,
+         CAST((CAST(1000000 AS HUGEINT)
+               * (n_pos * n_total - n_pos_total * n)
+               * (n_pos * n_total - n_pos_total * n))
+              // (CAST(n_total AS HUGEINT) * n_total * n_total * n)
+              AS BIGINT) AS res
+  FROM bd_per, bd_tot
+),
+bd_sum AS (
+  SELECT CAST((CAST(1000000 AS HUGEINT) * SUM(bnum))
+              // (CAST(400 AS HUGEINT) * MAX(n_total)) AS BIGINT)
+           AS brier_micro6,
+         CAST(SUM(rel) AS BIGINT) AS reliability_micro6,
+         CAST(SUM(res) AS BIGINT) AS resolution_micro6,
+         CAST((CAST(1000000 AS HUGEINT) * MAX(n_pos_total)
+               * (MAX(n_total) - MAX(n_pos_total)))
+              // (CAST(MAX(n_total) AS HUGEINT) * MAX(n_total))
+              AS BIGINT) AS uncertainty_micro6
+  FROM bd_g
+)
+SELECT bucket, f20, n, n_pos, obar_micro6, n_total, n_pos_total,
+       brier_micro6, reliability_micro6, resolution_micro6,
+       uncertainty_micro6
+FROM bd_g, bd_sum"""

@@ -566,6 +566,8 @@ EXPECTED_TAIL = [
     "kruskal_wallis",
     # Continuation batch 189
     "wilcoxon_signed",
+    # Continuation batch 190
+    "brier_decomposition",
 ]
 
 
