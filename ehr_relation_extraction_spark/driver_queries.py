@@ -3096,6 +3096,16 @@ def q_brier_decomposition(spark, sf_dir) -> DataFrame:
     return ts.brier_decomposition(scored)
 
 
+
+def q_markov_stationary(spark, sf_dir) -> DataFrame:
+    """Fixed-point stationary distribution of the session
+    transition chain vs empirical type shares
+    (operators/events.markov_stationary)."""
+    from .operators.events import markov_stationary
+    return markov_stationary(
+        spark.read.parquet(f"{sf_dir}/events.parquet"))
+
+
 def q_ta_depth_audit(spark, sf_dir) -> DataFrame:
     """Fagin TA stop-depth audit over (LM quality x doc length) per
     language (functions/textstats.ta_depth_audit)."""
@@ -3830,6 +3840,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # Continuation batch 190: Brier + Murphy decomposition —
     # appended past position 50.
     "brier_decomposition": q_brier_decomposition,
+    # Continuation batch 191: Markov stationary distribution —
+    # appended past position 50.
+    "markov_stationary": q_markov_stationary,
 }
 
 

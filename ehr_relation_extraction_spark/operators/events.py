@@ -1476,3 +1476,89 @@ def wilcoxon_signed(events: DataFrame) -> DataFrame:
                     " ELSE CAST(0 AS BIGINT) END"))
             .select("n_pairs", "n_zero", "n_used", "w2_plus",
                     "tie_cubes", "shift_sign", "z2_micro6"))
+
+
+def markov_stationary(events: DataFrame, gap_minutes: int = 30,
+                      n_iter: int = 5,
+                      scale: int = 10**12) -> DataFrame:
+    """Fixed-point stationary distribution of the session
+    transition chain — the long-run answer to transition_gini's
+    one-step read: start uniform over event types and apply the
+    row-stochastic transition matrix n_iter times; where the mass
+    settles is where user journeys spend their time, and the gap
+    between stationary and EMPIRICAL type shares is the standard
+    "journeys concentrate somewhere else than raw volume suggests"
+    funnel diagnostic.
+
+    Integer fixed-point (the pagerank_fixed discipline): masses
+    are BIGINTs in units of 1/scale, every division floors, so the
+    result is partition-order-free and a DuckDB oracle unrolling
+    the n_iter rounds as chained CTEs reproduces it bit-exactly:
+
+        v0(t)   = scale // m
+        flow(j) = sum over i of (v(i) * c_ij) div n_i
+        v'(j)   = flow(j) + dang div m     (types with no
+                  out-transitions redistribute uniformly)
+
+    Output per event type: (event_type, n_events, emp_micro6,
+    mass_u, stat_micro6).
+
+    Scale shape: one user_id shuffle for sessionization, then all
+    n_iter rounds run over the bounded (type x type) transition
+    matrix — the per-round joins never touch the corpus again.
+    The only driver sync is m = |event types| (domain-bounded, the
+    pagerank_fixed n-count pattern).
+    """
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    secs = F.expr("unix_micros(cast(ts as timestamp)) div 1000000")
+    s = (events.withColumn("_sec", secs)
+         .withColumn("_new",
+                     (F.lag("_sec").over(w).isNull()
+                      | (F.col("_sec") - F.lag("_sec").over(w)
+                         > gap_minutes * 60)).cast("int"))
+         .withColumn("_sess",
+                     F.sum("_new").over(
+                         w.rowsBetween(Window.unboundedPreceding, 0))))
+    ws = Window.partitionBy("user_id", "_sess").orderBy("ts", "event_id")
+    tr = (s.select(F.col("event_type").alias("_prev"),
+                   F.lead("event_type").over(ws).alias("_next"))
+          .where(F.col("_next").isNotNull()))
+    conf = (tr.groupBy("_prev", "_next")
+            .agg(F.count(F.lit(1)).cast("long").alias("_c"))
+            .localCheckpoint())
+    out_n = conf.groupBy("_prev").agg(
+        F.sum("_c").cast("long").alias("_n")).localCheckpoint()
+    emp = (events.groupBy("event_type")
+           .agg(F.count(F.lit(1)).cast("long").alias("n_events"))
+           .localCheckpoint())
+    m = emp.count()  # bounded: the event-type domain
+    types = emp.select(F.col("event_type").alias("_t"))
+    v = types.withColumn("mass_u", F.lit(scale // m).cast("long"))
+    for _ in range(n_iter):
+        flow = (conf.join(out_n, "_prev")
+                .join(v.withColumnRenamed("_t", "_prev"), "_prev")
+                .select(F.col("_next").alias("_t"),
+                        F.expr("(mass_u * _c) DIV _n").alias("_f"))
+                .groupBy("_t")
+                .agg(F.sum("_f").cast("long").alias("_in")))
+        dang = (v.join(out_n.withColumnRenamed("_prev", "_t"),
+                       "_t", "left_anti")
+                .agg(F.coalesce(F.sum("mass_u"), F.lit(0))
+                     .cast("long").alias("_dang")))
+        v = (types.join(flow, "_t", "left")
+             .crossJoin(F.broadcast(dang))  # 1-row scalar
+             .select("_t",
+                     (F.coalesce(F.col("_in"), F.lit(0))
+                      + F.expr(f"_dang DIV {m}"))
+                     .cast("long").alias("mass_u"))
+             ).localCheckpoint()
+    tot = emp.agg(F.sum("n_events").cast("long").alias("_nt"))
+    return (emp.join(v.withColumnRenamed("_t", "event_type"),
+                     "event_type")
+            .crossJoin(F.broadcast(tot))  # 1-row scalar
+            .select("event_type", "n_events",
+                    F.expr("CAST(1000000 * n_events DIV _nt"
+                           " AS BIGINT)").alias("emp_micro6"),
+                    "mass_u",
+                    F.expr(f"CAST(mass_u DIV {scale // 10**6}"
+                           " AS BIGINT)").alias("stat_micro6")))

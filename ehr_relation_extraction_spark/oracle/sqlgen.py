@@ -11069,3 +11069,80 @@ SELECT bucket, f20, n, n_pos, obar_micro6, n_total, n_pos_total,
        brier_micro6, reliability_micro6, resolution_micro6,
        uncertainty_micro6
 FROM bd_g, bd_sum"""
+
+
+# ---------------------------------------------------------------------------
+# Continuation batch 191: fixed-point stationary distribution of the
+# session transition chain (operators/events.markov_stationary) —
+# the n_iter rounds unrolled as chained CTEs (the pagerank_fixed
+# oracle device); every division floors, so the chain is bit-exact
+# cross-engine.
+
+def _markov_stationary_sql(n_iter: int = 5,
+                           scale: int = 10**12) -> str:
+    rounds = []
+    prev = "ms_v0"
+    for k in range(1, n_iter + 1):
+        rounds.append(f"""
+ms_f{k} AS (
+  SELECT tr.next_t AS t,
+         CAST(SUM((v.mass * tr.c) // o.n_i) AS BIGINT) AS in_u
+  FROM ms_tr tr JOIN ms_out o ON tr.prev_t = o.prev_t
+       JOIN {prev} v ON v.t = tr.prev_t
+  GROUP BY 1),
+ms_d{k} AS (
+  SELECT CAST(COALESCE(SUM(v.mass), 0) AS BIGINT) AS dang
+  FROM {prev} v LEFT JOIN ms_out o ON v.t = o.prev_t
+  WHERE o.prev_t IS NULL),
+ms_v{k} AS MATERIALIZED (
+  SELECT ty.t,
+         CAST(COALESCE(f.in_u, 0) + d.dang // mm.m AS BIGINT)
+           AS mass
+  FROM ms_types ty LEFT JOIN ms_f{k} f ON ty.t = f.t,
+       ms_d{k} d, ms_mm mm)""")
+        prev = f"ms_v{k}"
+    return f"""
+WITH ms_s0 AS (
+  SELECT user_id, event_id, ts, event_type,
+         CASE WHEN lag_ts IS NULL
+              OR (epoch_us(ts) // 1000000)
+                 - (epoch_us(lag_ts) // 1000000) > 1800
+              THEN 1 ELSE 0 END AS new_sess
+  FROM (SELECT user_id, event_id, ts, event_type,
+               LAG(ts) OVER (PARTITION BY user_id
+                             ORDER BY ts, event_id) AS lag_ts
+        FROM events)),
+ms_s1 AS MATERIALIZED (
+  SELECT *, SUM(new_sess) OVER (
+      PARTITION BY user_id ORDER BY ts, event_id
+      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+    AS session_id
+  FROM ms_s0),
+ms_tr0 AS (
+  SELECT event_type AS prev_t,
+         LEAD(event_type) OVER (PARTITION BY user_id, session_id
+             ORDER BY ts, event_id) AS next_t
+  FROM ms_s1),
+ms_tr AS MATERIALIZED (
+  SELECT prev_t, next_t, CAST(COUNT(*) AS BIGINT) AS c
+  FROM ms_tr0 WHERE next_t IS NOT NULL GROUP BY 1, 2),
+ms_out AS MATERIALIZED (
+  SELECT prev_t, CAST(SUM(c) AS BIGINT) AS n_i
+  FROM ms_tr GROUP BY 1),
+ms_emp AS MATERIALIZED (
+  SELECT event_type AS t, CAST(COUNT(*) AS BIGINT) AS n_events
+  FROM events GROUP BY 1),
+ms_mm AS MATERIALIZED (SELECT COUNT(*) AS m FROM ms_emp),
+ms_types AS MATERIALIZED (SELECT t FROM ms_emp),
+ms_v0 AS MATERIALIZED (
+  SELECT t, CAST({scale} // m AS BIGINT) AS mass
+  FROM ms_types, ms_mm),{",".join(rounds)},
+ms_tot AS (SELECT CAST(SUM(n_events) AS BIGINT) AS nt FROM ms_emp)
+SELECT e.t AS event_type, e.n_events,
+       CAST(1000000 * e.n_events // t2.nt AS BIGINT) AS emp_micro6,
+       v.mass AS mass_u,
+       CAST(v.mass // {scale // 10**6} AS BIGINT) AS stat_micro6
+FROM ms_emp e JOIN ms_v{n_iter} v ON e.t = v.t, ms_tot t2"""
+
+
+ORACLE["markov_stationary"] = _markov_stationary_sql()

@@ -568,6 +568,8 @@ EXPECTED_TAIL = [
     "wilcoxon_signed",
     # Continuation batch 190
     "brier_decomposition",
+    # Continuation batch 191
+    "markov_stationary",
 ]
 
 
