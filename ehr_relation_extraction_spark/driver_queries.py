@@ -3106,6 +3106,16 @@ def q_markov_stationary(spark, sf_dir) -> DataFrame:
         spark.read.parquet(f"{sf_dir}/events.parquet"))
 
 
+
+def q_resource_allocation(spark, sf_dir) -> DataFrame:
+    """Resource-allocation link-prediction index over the entity
+    co-mention graph (graph_algos.resource_allocation)."""
+    from .operators.graph_algos import resource_allocation
+
+    edges, _ = _comention_graph(spark, sf_dir)
+    return resource_allocation(edges)
+
+
 def q_ta_depth_audit(spark, sf_dir) -> DataFrame:
     """Fagin TA stop-depth audit over (LM quality x doc length) per
     language (functions/textstats.ta_depth_audit)."""
@@ -3843,6 +3853,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # Continuation batch 191: Markov stationary distribution —
     # appended past position 50.
     "markov_stationary": q_markov_stationary,
+    # Continuation batch 192: resource-allocation link prediction —
+    # appended past position 50.
+    "resource_allocation": q_resource_allocation,
 }
 
 

@@ -2959,3 +2959,51 @@ def stress_centrality(edges: DataFrame, n_rounds: int = 8) -> DataFrame:
                     .alias("stress"),
                     F.coalesce("n_geodesic_pairs", F.lit(0))
                     .cast("long").alias("n_geodesic_pairs")))
+
+
+def resource_allocation(edges: DataFrame,
+                        max_deg: "int | None" = None) -> DataFrame:
+    """Resource-allocation link-prediction index (Zhou/Lu/Zhang
+    2009) for every NON-edge 2-hop pair — the degree-weighted
+    upgrade of :func:`link_prediction`'s raw common-neighbor count:
+    each shared neighbor z contributes 1/deg(z), so a wedge through
+    a rare entity is worth more than one through a hub that
+    co-occurs with everything.  RA is the top local index in the
+    Zhou et al. benchmarks and, unlike its log-weighted sibling
+    Adamic-Adar, is exactly computable in integers: each wedge
+    contributes the per-term floor 1e6 div deg(z) (the
+    harmonic_centrality device), so the score is cross-engine
+    bit-exact.
+
+    Output: (src, dst, cn, ra_micro6) for every candidate pair
+    (src < dst, no existing edge, >= 1 common neighbor).
+
+    Scale shape: identical to link_prediction — symmetrize once,
+    one wedge self-join pivoting on the shared neighbor (its degree
+    joined in BEFORE the pair aggregate, so the per-term floor
+    happens wedge-side), one (pair) aggregate, one anti-join, with
+    the same ``max_deg`` hub cap on candidate generation.
+    """
+    und = (edges.select(F.least("src", "dst").alias("src"),
+                        F.greatest("src", "dst").alias("dst"))
+           .where(F.col("src") != F.col("dst")).dropDuplicates()
+           .localCheckpoint())
+    sym = und.union(und.select(F.col("dst").alias("src"),
+                               F.col("src").alias("dst")))
+    deg = sym.groupBy(F.col("src").alias("node")).agg(
+        F.count(F.lit(1)).cast("long").alias("deg"))
+    pivot = sym.select(F.col("src").alias("n"), F.col("dst").alias("a"))
+    if max_deg is not None:
+        keep = deg.where(F.col("deg") <= max_deg).select(
+            F.col("node").alias("n"))
+        pivot = pivot.join(keep, "n")
+    pivot = pivot.join(deg.withColumnRenamed("node", "n"), "n")
+    wedges = (pivot.join(pivot.select("n", F.col("a").alias("b")), "n")
+              .where(F.col("a") < F.col("b")))
+    return (wedges
+            .groupBy(F.col("a").alias("src"), F.col("b").alias("dst"))
+            .agg(F.count(F.lit(1)).cast("long").alias("cn"),
+                 F.sum(F.expr("1000000 div deg")).cast("long")
+                 .alias("ra_micro6"))
+            .join(und, ["src", "dst"], "left_anti")
+            .select("src", "dst", "cn", "ra_micro6"))

@@ -11146,3 +11146,30 @@ FROM ms_emp e JOIN ms_v{n_iter} v ON e.t = v.t, ms_tot t2"""
 
 
 ORACLE["markov_stationary"] = _markov_stationary_sql()
+
+
+# ---------------------------------------------------------------------------
+# Continuation batch 192: resource-allocation link-prediction index
+# over the entity co-mention graph
+# (graph_algos.resource_allocation) — link_pred's wedge/anti-join
+# shape with the pivot's degree folded in wedge-side as a per-term
+# 1e6 // deg floor.
+
+ORACLE["resource_allocation"] = _q(
+    """
+SELECT src, dst, cn, ra_micro6
+FROM ra_cand c
+WHERE NOT EXISTS (SELECT 1 FROM comention e
+                  WHERE e.src = c.src AND e.dst = c.dst)""",
+    LINK_CTES, COMENTION_CTES.strip(), """
+ra_deg AS MATERIALIZED (
+  SELECT src AS node, CAST(COUNT(*) AS BIGINT) AS deg
+  FROM com_sym GROUP BY src),
+ra_cand AS MATERIALIZED (
+  SELECT e1.dst AS src, e2.dst AS dst,
+         CAST(COUNT(*) AS BIGINT) AS cn,
+         CAST(SUM(1000000 // d.deg) AS BIGINT) AS ra_micro6
+  FROM com_sym e1 JOIN com_sym e2
+    ON e1.src = e2.src AND e1.dst < e2.dst
+  JOIN ra_deg d ON d.node = e1.src
+  GROUP BY 1, 2)""".strip())

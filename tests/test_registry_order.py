@@ -570,6 +570,8 @@ EXPECTED_TAIL = [
     "brier_decomposition",
     # Continuation batch 191
     "markov_stationary",
+    # Continuation batch 192
+    "resource_allocation",
 ]
 
 
