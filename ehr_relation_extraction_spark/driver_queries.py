@@ -3116,6 +3116,13 @@ def q_resource_allocation(spark, sf_dir) -> DataFrame:
     return resource_allocation(edges)
 
 
+
+def q_chao1_richness(spark, sf_dir) -> DataFrame:
+    """Chao1 total-vocabulary estimate + Good's coverage per
+    language (functions/textstats.chao1_richness)."""
+    return ts.chao1_richness(_docs(spark, sf_dir))
+
+
 def q_ta_depth_audit(spark, sf_dir) -> DataFrame:
     """Fagin TA stop-depth audit over (LM quality x doc length) per
     language (functions/textstats.ta_depth_audit)."""
@@ -3856,6 +3863,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # Continuation batch 192: resource-allocation link prediction —
     # appended past position 50.
     "resource_allocation": q_resource_allocation,
+    # Continuation batch 193: Chao1 vocabulary richness — appended
+    # past position 50.
+    "chao1_richness": q_chao1_richness,
 }
 
 

@@ -3578,3 +3578,49 @@ def brier_decomposition(scored: DataFrame,
                     "n_total", "n_pos_total", "brier_micro6",
                     "reliability_micro6", "resolution_micro6",
                     "uncertainty_micro6"))
+
+
+def chao1_richness(docs: DataFrame) -> DataFrame:
+    """Chao1 species-richness estimate of each language's TOTAL
+    vocabulary — the "how many words exist that we have not crawled
+    yet" bound that completes the vocabulary family: vocab_growth
+    shows the empirical Heaps curve, oov_rate charges a specific
+    split, good_turing prices the unseen MASS; Chao1 estimates the
+    unseen TYPE COUNT from nothing but the singleton/doubleton
+    counts: chao1 = V + F1*(F1-1)/(2*(F2+1)) (the bias-corrected
+    form, exact rational — the classic abundance-based estimator
+    from Chao 1984, standard in corpus-coverage audits).  Good's
+    coverage estimate C = 1 - F1/N rides along: together they say
+    "this crawl has seen C of the language's token mass but only
+    V/chao1 of its vocabulary".
+
+    Output per language: (lang, n_tokens, vocab, f1, f2,
+    chao1_milli3 = 1000*V + (1000*F1*(F1-1)) div (2*(F2+1)),
+    coverage_micro6 = 1e6*(N - F1) div N) — all integers, the
+    Chao1 product widened to DECIMAL(38,0) (DuckDB HUGEINT) so a
+    billion-type vocabulary cannot overflow the numerator.
+
+    Scale shape: one corpus-sized (lang, type) hash aggregate
+    (map-side combinable), then one per-language aggregate over
+    the type table — no windows, no joins.
+    """
+    tc = (docs.select("lang",
+                      F.explode(_toks()).alias("_t"))
+          .select("lang", F.lower("_t").alias("_w"))
+          .groupBy("lang", "_w")
+          .agg(F.count(F.lit(1)).cast("long").alias("_c")))
+    return (tc.groupBy("lang").agg(
+        F.sum("_c").cast("long").alias("n_tokens"),
+        F.count(F.lit(1)).cast("long").alias("vocab"),
+        F.sum((F.col("_c") == 1).cast("long")).cast("long")
+        .alias("f1"),
+        F.sum((F.col("_c") == 2).cast("long")).cast("long")
+        .alias("f2"))
+        .select("lang", "n_tokens", "vocab", "f1", "f2",
+                F.expr("CAST(1000 * vocab"
+                       " + (CAST(1000 AS DECIMAL(38,0)) * f1"
+                       " * (f1 - 1)) div (2 * (f2 + 1))"
+                       " AS BIGINT)").alias("chao1_milli3"),
+                F.expr("CAST(1000000 * (n_tokens - f1)"
+                       " DIV n_tokens AS BIGINT)")
+                .alias("coverage_micro6")))

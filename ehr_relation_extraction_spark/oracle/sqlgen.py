@@ -11173,3 +11173,34 @@ ra_cand AS MATERIALIZED (
     ON e1.src = e2.src AND e1.dst < e2.dst
   JOIN ra_deg d ON d.node = e1.src
   GROUP BY 1, 2)""".strip())
+
+
+# ---------------------------------------------------------------------------
+# Continuation batch 193: Chao1 vocabulary-richness + Good's
+# coverage per language (functions/textstats.chao1_richness).
+
+ORACLE["chao1_richness"] = """
+WITH ch_tc AS MATERIALIZED (
+  SELECT lang, lower(tok) AS w, CAST(COUNT(*) AS BIGINT) AS c
+  FROM (SELECT lang,
+               unnest(list_filter(
+                   string_split_regex(text, '[\\n \\t]'),
+                   x -> x <> '')) AS tok
+        FROM documents)
+  GROUP BY 1, 2
+)
+SELECT lang,
+       CAST(SUM(c) AS BIGINT) AS n_tokens,
+       CAST(COUNT(*) AS BIGINT) AS vocab,
+       CAST(SUM(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS BIGINT) AS f1,
+       CAST(SUM(CASE WHEN c = 2 THEN 1 ELSE 0 END) AS BIGINT) AS f2,
+       CAST(1000 * COUNT(*)
+            + (CAST(1000 AS HUGEINT)
+               * SUM(CASE WHEN c = 1 THEN 1 ELSE 0 END)
+               * (SUM(CASE WHEN c = 1 THEN 1 ELSE 0 END) - 1))
+              // (2 * (SUM(CASE WHEN c = 2 THEN 1 ELSE 0 END) + 1))
+            AS BIGINT) AS chao1_milli3,
+       CAST(1000000 * (SUM(c)
+            - SUM(CASE WHEN c = 1 THEN 1 ELSE 0 END)) // SUM(c)
+            AS BIGINT) AS coverage_micro6
+FROM ch_tc GROUP BY lang"""

@@ -572,6 +572,8 @@ EXPECTED_TAIL = [
     "markov_stationary",
     # Continuation batch 192
     "resource_allocation",
+    # Continuation batch 193
+    "chao1_richness",
 ]
 
 
