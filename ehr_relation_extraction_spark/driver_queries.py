@@ -3123,6 +3123,14 @@ def q_chao1_richness(spark, sf_dir) -> DataFrame:
     return ts.chao1_richness(_docs(spark, sf_dir))
 
 
+
+def q_lead_lag(spark, sf_dir) -> DataFrame:
+    """Lead-lag cross-covariance audit between event-type daily
+    series (operators/events.lead_lag)."""
+    from .operators.events import lead_lag
+    return lead_lag(spark.read.parquet(f"{sf_dir}/events.parquet"))
+
+
 def q_ta_depth_audit(spark, sf_dir) -> DataFrame:
     """Fagin TA stop-depth audit over (LM quality x doc length) per
     language (functions/textstats.ta_depth_audit)."""
@@ -3866,6 +3874,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # Continuation batch 193: Chao1 vocabulary richness — appended
     # past position 50.
     "chao1_richness": q_chao1_richness,
+    # Continuation batch 194: lead-lag cross-covariance — appended
+    # past position 50.
+    "lead_lag": q_lead_lag,
 }
 
 

@@ -1562,3 +1562,58 @@ def markov_stationary(events: DataFrame, gap_minutes: int = 30,
                     "mass_u",
                     F.expr(f"CAST(mass_u DIV {scale // 10**6}"
                            " AS BIGINT)").alias("stat_micro6")))
+
+
+def lead_lag(events: DataFrame, max_lag: int = 3) -> DataFrame:
+    """Lead-lag cross-covariance audit between every ordered pair
+    of event-type daily series — the multivariate member of the
+    time-series family: autocorrelation reads one series against
+    itself, this reads type a's volume against type b's ℓ days
+    LATER, so "errors spike two days after signups spike" becomes a
+    table instead of a war story.  The statistic per (a, b, lag) is
+    the exact integer cross-covariance numerator scaled by the
+    overlap length, cov_num = n*sum(x*y) - sum(x)*sum(y) (the
+    fano_factor variance device, off-diagonal) — positive means
+    a-up predicts b-up ℓ days on.
+
+    Output: (type_a, type_b, lag, n_days, sx, sy, sxy, cov_num,
+    is_best) — is_best = 1 on each pair's covariance-maximizing
+    lag (ties to the smaller lag).  cov_num is computed in
+    DECIMAL(38,0)/HUGEINT so billion-event days cannot overflow
+    the products.
+
+    Scale shape: the shared _day_grid (bounded types x day-spine
+    crossJoin); the lag alignment is an EQUI-join on the shifted
+    day index (lags exploded from a bounded literal array), then
+    one (a, b, lag) aggregate and one window over the bounded pair
+    table.
+    """
+    grid = _day_grid(events)
+    lags = F.array(*[F.lit(l) for l in range(max_lag + 1)])
+    b = (grid.select(F.col("etype").alias("type_b"),
+                     F.col("day_idx"), F.col("r").alias("_y"))
+         .withColumn("lag", F.explode(lags))
+         .withColumn("_day_a", (F.col("day_idx") - F.col("lag"))
+                     .cast("int"))
+         .drop("day_idx"))
+    a = grid.select(F.col("etype").alias("type_a"),
+                    F.col("day_idx").alias("_day_a"),
+                    F.col("r").alias("_x"))
+    j = (a.join(b, "_day_a")
+         .where(F.col("type_a") != F.col("type_b")))
+    per = (j.groupBy("type_a", "type_b", "lag")
+           .agg(F.count(F.lit(1)).cast("long").alias("n_days"),
+                F.sum("_x").cast("long").alias("sx"),
+                F.sum("_y").cast("long").alias("sy"),
+                F.sum(F.col("_x") * F.col("_y")).cast("long")
+                .alias("sxy"))
+           .withColumn("cov_num",
+                       F.expr("CAST(CAST(n_days AS DECIMAL(38,0))"
+                              " * sxy - CAST(sx AS DECIMAL(38,0))"
+                              " * sy AS BIGINT)")))
+    w = Window.partitionBy("type_a", "type_b").orderBy(
+        F.col("cov_num").desc(), F.col("lag").asc())
+    return (per.withColumn("is_best",
+                           (F.row_number().over(w) == 1).cast("int"))
+            .select("type_a", "type_b", "lag", "n_days", "sx",
+                    "sy", "sxy", "cov_num", "is_best"))

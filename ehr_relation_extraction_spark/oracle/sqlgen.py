@@ -11204,3 +11204,50 @@ SELECT lang,
             - SUM(CASE WHEN c = 1 THEN 1 ELSE 0 END)) // SUM(c)
             AS BIGINT) AS coverage_micro6
 FROM ch_tc GROUP BY lang"""
+
+
+# ---------------------------------------------------------------------------
+# Continuation batch 194: lead-lag cross-covariance between
+# event-type daily series (operators/events.lead_lag) — the
+# fano_factor dense grid, an equi-join on the shifted day index.
+
+ORACLE["lead_lag"] = """
+WITH ll_day AS (
+  SELECT CAST(epoch_us(ts) // 86400000000 AS INT) AS day_idx,
+         event_type AS etype
+  FROM events),
+ll_spine AS (SELECT DISTINCT day_idx FROM ll_day),
+ll_types AS (SELECT DISTINCT etype FROM ll_day),
+ll_sparse AS (
+  SELECT etype, day_idx, CAST(COUNT(*) AS BIGINT) AS r
+  FROM ll_day GROUP BY 1, 2),
+ll_grid AS MATERIALIZED (
+  SELECT t.etype, s.day_idx, COALESCE(x.r, 0) AS r
+  FROM ll_types t CROSS JOIN ll_spine s
+  LEFT JOIN ll_sparse x USING (etype, day_idx)),
+ll_b AS (
+  SELECT etype AS type_b, day_idx - lag AS day_a, r AS y,
+         CAST(lag AS INT) AS lag
+  FROM ll_grid, unnest(generate_series(0, 3)) AS t(lag)),
+ll_j AS (
+  SELECT a.etype AS type_a, b.type_b, b.lag, a.r AS x, b.y
+  FROM ll_grid a JOIN ll_b b ON a.day_idx = b.day_a
+  WHERE a.etype <> b.type_b),
+ll_per AS (
+  SELECT type_a, type_b, lag,
+         CAST(COUNT(*) AS BIGINT) AS n_days,
+         CAST(SUM(x) AS BIGINT) AS sx,
+         CAST(SUM(y) AS BIGINT) AS sy,
+         CAST(SUM(x * y) AS BIGINT) AS sxy
+  FROM ll_j GROUP BY 1, 2, 3),
+ll_c AS (
+  SELECT *,
+         CAST(CAST(n_days AS HUGEINT) * sxy
+              - CAST(sx AS HUGEINT) * sy AS BIGINT) AS cov_num
+  FROM ll_per)
+SELECT type_a, type_b, lag, n_days, sx, sy, sxy, cov_num,
+       CAST(CASE WHEN ROW_NUMBER() OVER (
+                PARTITION BY type_a, type_b
+                ORDER BY cov_num DESC, lag ASC) = 1
+            THEN 1 ELSE 0 END AS INT) AS is_best
+FROM ll_c"""

@@ -159,6 +159,25 @@ ALLOWED = {
     # crossJoined with the 1-row containment frame (x7 candidates)
     # — the encoding_advisor 1-row scalar class
     "inclusion_deps": (0, 7),
+    # two chained 1-row lazy scalars (N/tie totals, then the H
+    # frame whose subtree re-plans the first) — the
+    # partition_agreement 1-row class
+    "kruskal_wallis": (0, 3),
+    # the 1-row window-midpoint scalar + the 1-row zero-differences
+    # frame (midpoint subtree re-planned) — same 1-row class
+    "wilcoxon_signed": (0, 3),
+    # the 1-row (N, S) totals + the 1-row Brier/decomposition frame
+    # whose subtree re-plans the totals — same 1-row class
+    "brier_decomposition": (0, 3),
+    # the 1-row grand-total scalar attached to the final per-type
+    # output (the in-loop dangling-mass crossJoins sit behind
+    # localCheckpoint, invisible by design) — trending_entities
+    # class
+    "markov_stationary": (0, 1),
+    # the shared _day_grid bounded (types x spine) crossJoin,
+    # re-planned for both lag-alignment sides — the doclen_drift /
+    # split_balance two-sided grid class
+    "lead_lag": (0, 2),
 }
 
 

@@ -574,6 +574,8 @@ EXPECTED_TAIL = [
     "resource_allocation",
     # Continuation batch 193
     "chao1_richness",
+    # Continuation batch 194
+    "lead_lag",
 ]
 
 
