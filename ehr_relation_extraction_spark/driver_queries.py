@@ -3131,6 +3131,15 @@ def q_lead_lag(spark, sf_dir) -> DataFrame:
     return lead_lag(spark.read.parquet(f"{sf_dir}/events.parquet"))
 
 
+
+def q_embedding_pca(spark, sf_dir) -> DataFrame:
+    """Dominant principal component of the embedding cloud by
+    integer power iteration (operators/similarity.embedding_pca)."""
+    from .operators.similarity import embedding_pca
+    return embedding_pca(
+        spark.read.parquet(f"{sf_dir}/embeddings.parquet"))
+
+
 def q_ta_depth_audit(spark, sf_dir) -> DataFrame:
     """Fagin TA stop-depth audit over (LM quality x doc length) per
     language (functions/textstats.ta_depth_audit)."""
@@ -3877,6 +3886,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # Continuation batch 194: lead-lag cross-covariance — appended
     # past position 50.
     "lead_lag": q_lead_lag,
+    # Continuation batch 195: embedding PCA power iteration —
+    # appended past position 50.
+    "embedding_pca": q_embedding_pca,
 }
 
 

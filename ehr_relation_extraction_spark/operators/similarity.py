@@ -816,3 +816,85 @@ def borda_fusion(rankings: "list[DataFrame]", k: int = 5) -> DataFrame:
             .where(F.col("rank") <= k)
             .select("query_id", "rank", "neighbor_id",
                     "borda_points", "n_lists"))
+
+
+def embedding_pca(emb: DataFrame, n_iter: int = 4,
+                  qscale: int = 1024,
+                  vscale: int = 10**6) -> DataFrame:
+    """Dominant principal component of the embedding cloud by
+    integer fixed-point power iteration — the distribution-level
+    read that completes the embedding-audit family:
+    embedding_profile checks per-dimension moments, sq8_audit
+    prices quantization, this one finds the DIRECTION the cloud
+    actually varies along (anisotropy / rogue-dimension detection —
+    a single dominant axis in a supposedly-isotropic embedding
+    space is the classic symptom of uncentered features or a
+    collapsed encoder).
+
+    Quantize-first (the sq8_audit device): x_q = floor(x * qscale)
+    on the DOUBLE-cast embedding, then every later step is integer
+    arithmetic, so Spark and the unrolled DuckDB oracle agree
+    bit-for-bit.  The covariance action is applied matrix-free
+    against N^2-scaled centered second moments:
+
+        C'v = N * sum_i x_i (x_i . v)  -  sx (sx . v)
+
+    (sx = sum of x_q; C' = N^2 * covariance, an integer matrix
+    never materialized), and each round renormalizes v to
+    max-abs = vscale by a truncating division (both engines
+    truncate toward zero, verified).
+
+    Output: one row per dimension (dim_idx, v_u) — the final
+    direction in units of 1/vscale.
+
+    Scale shape: per round, ONE vec_id-keyed shuffle (the dot
+    products) and ONE dim-keyed shuffle (the re-projection, dim is
+    a bounded domain); the per-round 1-row scalars (sx.v, max-abs)
+    attach as lazy broadcast crossJoins behind a localCheckpoint.
+    N arrives via one bounded count() (the pagerank_fixed n
+    pattern).  Row products are accumulated in DECIMAL(38,0)
+    (DuckDB HUGEINT), so billion-row clouds cannot overflow.
+    """
+    x = (emb.select("vec_id",
+                    F.posexplode(F.col("embedding")
+                                 .cast("array<double>"))
+                    .alias("dim", "_xd"))
+         .select("vec_id", "dim",
+                 F.floor(F.col("_xd") * qscale).cast("long")
+                 .alias("xq"))
+         .localCheckpoint())
+    n = x.select("vec_id").dropDuplicates().count()  # bounded: one
+    # scalar (the pagerank_fixed n-count pattern)
+    sx = (x.groupBy("dim").agg(F.sum("xq").cast("long").alias("sxd"))
+          .localCheckpoint())
+    v = sx.select("dim",
+                  F.when(F.col("dim") == 0, F.lit(vscale))
+                  .otherwise(F.lit(0)).cast("long").alias("vu"))
+    for _ in range(n_iter):
+        t = (x.join(v, "dim")
+             .groupBy("vec_id")
+             .agg(F.sum(F.col("xq") * F.col("vu")).cast("long")
+                  .alias("t")))
+        w = (x.join(t, "vec_id")
+             .groupBy("dim")
+             .agg(F.sum(F.expr(
+                 "CAST(xq AS DECIMAL(38,0)) * t")).alias("w")))
+        sv = (v.join(sx, "dim")
+              .agg(F.sum(F.expr("CAST(sxd AS DECIMAL(38,0)) * vu"))
+                   .alias("sv")))
+        cv = (w.join(sx, "dim")
+              .crossJoin(F.broadcast(sv))  # 1-row scalar
+              .select("dim",
+                      F.expr(f"CAST({n} AS DECIMAL(38,0)) * w"
+                             " - CAST(sxd AS DECIMAL(38,0)) * sv")
+                      .alias("cvd")))
+        m = cv.agg(F.max(F.abs(F.col("cvd"))).alias("m"))
+        v = (cv.crossJoin(F.broadcast(m))  # 1-row scalar
+             .select("dim",
+                     F.expr(f"CASE WHEN m > 0 THEN CAST((cvd"
+                            f" * {vscale}) div m AS BIGINT)"
+                            " ELSE CAST(0 AS BIGINT) END")
+                     .alias("vu"))
+             .localCheckpoint())
+    return v.select(F.col("dim").cast("int").alias("dim_idx"),
+                    F.col("vu").cast("long").alias("v_u"))

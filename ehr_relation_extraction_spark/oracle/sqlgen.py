@@ -11251,3 +11251,64 @@ SELECT type_a, type_b, lag, n_days, sx, sy, sxy, cov_num,
                 ORDER BY cov_num DESC, lag ASC) = 1
             THEN 1 ELSE 0 END AS INT) AS is_best
 FROM ll_c"""
+
+
+# ---------------------------------------------------------------------------
+# Continuation batch 195: dominant principal component by integer
+# power iteration (operators/similarity.embedding_pca) — rounds
+# unrolled as chained CTEs, HUGEINT accumulation, truncating
+# renormalization (both engines truncate toward zero).
+
+def _embedding_pca_sql(n_iter: int = 4, qscale: int = 1024,
+                       vscale: int = 10**6) -> str:
+    rounds = []
+    prev = "pc_v0"
+    for k in range(1, n_iter + 1):
+        rounds.append(f"""
+pc_t{k} AS MATERIALIZED (
+  SELECT x.vec_id, CAST(SUM(x.xq * v.vu) AS BIGINT) AS t
+  FROM pc_x x JOIN {prev} v USING (dim) GROUP BY 1),
+pc_w{k} AS (
+  SELECT x.dim, SUM(CAST(x.xq AS HUGEINT) * t.t) AS w
+  FROM pc_x x JOIN pc_t{k} t USING (vec_id) GROUP BY 1),
+pc_sv{k} AS (
+  SELECT SUM(CAST(s.sxd AS HUGEINT) * v.vu) AS sv
+  FROM {prev} v JOIN pc_sx s USING (dim)),
+pc_c{k} AS MATERIALIZED (
+  SELECT w.dim,
+         (SELECT n FROM pc_n) * w.w
+         - CAST(s.sxd AS HUGEINT) * (SELECT sv FROM pc_sv{k})
+           AS cvd
+  FROM pc_w{k} w JOIN pc_sx s USING (dim)),
+pc_m{k} AS (SELECT MAX(ABS(cvd)) AS m FROM pc_c{k}),
+pc_v{k} AS MATERIALIZED (
+  SELECT dim,
+         CASE WHEN (SELECT m FROM pc_m{k}) > 0
+           THEN CAST((cvd * {vscale})
+                     // (SELECT m FROM pc_m{k}) AS BIGINT)
+           ELSE CAST(0 AS BIGINT) END AS vu
+  FROM pc_c{k})""")
+        prev = f"pc_v{k}"
+    return f"""
+WITH pc_x AS MATERIALIZED (
+  SELECT vec_id,
+         generate_subscripts(CAST(embedding AS DOUBLE[]), 1) - 1
+           AS dim,
+         CAST(floor(unnest(CAST(embedding AS DOUBLE[]))
+                    * {qscale}) AS BIGINT) AS xq
+  FROM embeddings),
+pc_n AS (SELECT CAST(COUNT(DISTINCT vec_id) AS HUGEINT) AS n
+         FROM pc_x),
+pc_sx AS MATERIALIZED (
+  SELECT dim, CAST(SUM(xq) AS BIGINT) AS sxd
+  FROM pc_x GROUP BY dim),
+pc_v0 AS MATERIALIZED (
+  SELECT dim,
+         CAST(CASE WHEN dim = 0 THEN {vscale} ELSE 0 END AS BIGINT)
+           AS vu
+  FROM pc_sx),{",".join(rounds)}
+SELECT CAST(dim AS INT) AS dim_idx, CAST(vu AS BIGINT) AS v_u
+FROM pc_v{n_iter}"""
+
+
+ORACLE["embedding_pca"] = _embedding_pca_sql()

@@ -576,6 +576,8 @@ EXPECTED_TAIL = [
     "chao1_richness",
     # Continuation batch 194
     "lead_lag",
+    # Continuation batch 195
+    "embedding_pca",
 ]
 
 
