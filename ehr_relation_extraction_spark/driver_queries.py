@@ -3140,6 +3140,14 @@ def q_embedding_pca(spark, sf_dir) -> DataFrame:
         spark.read.parquet(f"{sf_dir}/embeddings.parquet"))
 
 
+
+def q_mrr_eval(spark, sf_dir) -> DataFrame:
+    """MRR / Hits@k of the BM25 ranking per gazetteer surface form
+    vs the ideal raw-tf ordering (functions/textstats.mrr_eval)."""
+    gaz = lk.gazetteer_df(spark)
+    return ts.mrr_eval(_docs(spark, sf_dir), gaz.select("alias"))
+
+
 def q_ta_depth_audit(spark, sf_dir) -> DataFrame:
     """Fagin TA stop-depth audit over (LM quality x doc length) per
     language (functions/textstats.ta_depth_audit)."""
@@ -3889,6 +3897,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # Continuation batch 195: embedding PCA power iteration —
     # appended past position 50.
     "embedding_pca": q_embedding_pca,
+    # Continuation batch 196: BM25 MRR / Hits@k eval — appended
+    # past position 50.
+    "mrr_eval": q_mrr_eval,
 }
 
 

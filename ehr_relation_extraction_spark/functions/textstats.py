@@ -3624,3 +3624,79 @@ def chao1_richness(docs: DataFrame) -> DataFrame:
                 F.expr("CAST(1000000 * (n_tokens - f1)"
                        " DIV n_tokens AS BIGINT)")
                 .alias("coverage_micro6")))
+
+
+def mrr_eval(docs: DataFrame, terms: DataFrame,
+             k: int = NDCG_K) -> DataFrame:
+    """Mean reciprocal rank + Hits@1/@5 + top-5 set overlap of the
+    BM25 ranking against the ideal raw-tf ordering — the
+    first-relevant-hit companion to retrieval_ndcg: NDCG charges
+    the whole graded list, MRR asks the navigational question
+    "how deep must a user dig before the SINGLE most-attesting
+    page appears?", which is the read that matters for the
+    entity-card use case (one good citation suffices).
+
+    Per probe term: best_doc = the true top attestor (max tf, tie
+    doc_id — retrieval_ndcg's ideal head), best_rank = its
+    position in the BM25 top-k (0 = missed), rr_micro6 =
+    1e6 div best_rank, hit1/hit5 flags, overlap5 = |BM25 top-5 ∩
+    ideal top-5|.  Overall (repeated per row, the 1-row lazy
+    crossJoin device): n_terms, mrr_micro6 = sum(rr) div n_terms,
+    hits1_micro6, hits5_micro6 — all exact integers.
+
+    Scale shape: inherits bm25_entity_retrieval's shape (probe
+    terms broadcast, one tf aggregate, per-term top-k windows over
+    match lists); the eval joins run over top-k-bounded tables.
+    """
+    from pyspark.sql.functions import broadcast
+
+    ranked = bm25_entity_retrieval(docs, terms, k) \
+        .select("term", "doc_id", "rank")
+    toks = docs.select("doc_id",
+                       F.explode(_toks()).alias("_raw")).select(
+        "doc_id", F.lower(F.col("_raw")).alias("term"))
+    probe = broadcast(terms.select(
+        F.lower(F.col(terms.columns[0])).alias("term"))
+        .dropDuplicates())
+    tf = (toks.join(probe, "term")
+          .groupBy("doc_id", "term")
+          .agg(F.count(F.lit(1)).cast("long").alias("tf")))
+    wi = Window.partitionBy("term").orderBy(
+        F.col("tf").desc(), F.col("doc_id"))
+    ideal = tf.withColumn("_ir", F.row_number().over(wi))
+    best = (ideal.where(F.col("_ir") == 1)
+            .select("term", F.col("doc_id").alias("best_doc")))
+    br = (best.join(ranked.withColumnRenamed("doc_id", "best_doc"),
+                    ["term", "best_doc"], "left")
+          .select("term", "best_doc",
+                  F.coalesce(F.col("rank"), F.lit(0)).cast("int")
+                  .alias("best_rank")))
+    ov = (ranked.where(F.col("rank") <= 5)
+          .join(ideal.where(F.col("_ir") <= 5)
+                .select("term", "doc_id"), ["term", "doc_id"])
+          .groupBy("term")
+          .agg(F.count(F.lit(1)).cast("long").alias("overlap5")))
+    per = (br.join(ov, "term", "left")
+           .select("term", "best_doc", "best_rank",
+                   F.expr("CAST(CASE WHEN best_rank > 0 THEN"
+                          " 1000000 DIV best_rank ELSE 0 END"
+                          " AS BIGINT)").alias("rr_micro6"),
+                   (F.col("best_rank") == 1).cast("int")
+                   .alias("hit1"),
+                   ((F.col("best_rank") >= 1)
+                    & (F.col("best_rank") <= 5)).cast("int")
+                   .alias("hit5"),
+                   F.coalesce(F.col("overlap5"), F.lit(0))
+                   .cast("long").alias("overlap5")))
+    summ = per.agg(
+        F.count(F.lit(1)).cast("long").alias("n_terms"),
+        F.expr("CAST(SUM(rr_micro6) DIV COUNT(1) AS BIGINT)")
+        .alias("mrr_micro6"),
+        F.expr("CAST(1000000 * SUM(hit1) DIV COUNT(1) AS BIGINT)")
+        .alias("hits1_micro6"),
+        F.expr("CAST(1000000 * SUM(hit5) DIV COUNT(1) AS BIGINT)")
+        .alias("hits5_micro6"))
+    return (per.crossJoin(F.broadcast(summ))  # 1-row scalar
+            .select("term", "best_doc", "best_rank", "rr_micro6",
+                    "hit1", "hit5", "overlap5", "n_terms",
+                    "mrr_micro6", "hits1_micro6", "hits5_micro6"))

@@ -11312,3 +11312,57 @@ FROM pc_v{n_iter}"""
 
 
 ORACLE["embedding_pca"] = _embedding_pca_sql()
+
+
+# ---------------------------------------------------------------------------
+# Continuation batch 196: MRR / Hits@k / top-5 overlap of the BM25
+# ranking vs the ideal raw-tf ordering
+# (functions/textstats.mrr_eval) — BM25_CTES reused verbatim.
+
+ORACLE["mrr_eval"] = _q("""
+SELECT p.term, p.best_doc, p.best_rank, p.rr_micro6, p.hit1,
+       p.hit5, p.overlap5, s.n_terms, s.mrr_micro6,
+       s.hits1_micro6, s.hits5_micro6
+FROM mr_per p, mr_sum s""", BM25_CTES + """,
+mr_ranked AS MATERIALIZED (
+  SELECT term, doc_id,
+         ROW_NUMBER() OVER (PARTITION BY term
+             ORDER BY score_micro6 DESC, doc_id) AS rank
+  FROM bm_scored),
+mr_ideal AS MATERIALIZED (
+  SELECT term, doc_id,
+         ROW_NUMBER() OVER (PARTITION BY term
+             ORDER BY tf DESC, doc_id) AS irank
+  FROM bm_tf),
+mr_best AS (
+  SELECT term, doc_id AS best_doc FROM mr_ideal WHERE irank = 1),
+mr_br AS (
+  SELECT b.term, b.best_doc,
+         CAST(COALESCE(r.rank, 0) AS INT) AS best_rank
+  FROM mr_best b LEFT JOIN mr_ranked r
+    ON r.term = b.term AND r.doc_id = b.best_doc
+       AND r.rank <= 10),
+mr_ov AS (
+  SELECT r.term, CAST(COUNT(*) AS BIGINT) AS overlap5
+  FROM mr_ranked r JOIN mr_ideal i
+    ON i.term = r.term AND i.doc_id = r.doc_id
+  WHERE r.rank <= 5 AND i.irank <= 5 GROUP BY 1),
+mr_per AS MATERIALIZED (
+  SELECT br.term, br.best_doc, br.best_rank,
+         CAST(CASE WHEN br.best_rank > 0
+              THEN 1000000 // br.best_rank ELSE 0 END AS BIGINT)
+           AS rr_micro6,
+         CAST(CASE WHEN br.best_rank = 1 THEN 1 ELSE 0 END AS INT)
+           AS hit1,
+         CAST(CASE WHEN br.best_rank BETWEEN 1 AND 5
+              THEN 1 ELSE 0 END AS INT) AS hit5,
+         CAST(COALESCE(o.overlap5, 0) AS BIGINT) AS overlap5
+  FROM mr_br br LEFT JOIN mr_ov o USING (term)),
+mr_sum AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n_terms,
+         CAST(SUM(rr_micro6) // COUNT(*) AS BIGINT) AS mrr_micro6,
+         CAST(1000000 * SUM(hit1) // COUNT(*) AS BIGINT)
+           AS hits1_micro6,
+         CAST(1000000 * SUM(hit5) // COUNT(*) AS BIGINT)
+           AS hits5_micro6
+  FROM mr_per)""")

@@ -178,6 +178,9 @@ ALLOWED = {
     # re-planned for both lag-alignment sides — the doclen_drift /
     # split_balance two-sided grid class
     "lead_lag": (0, 2),
+    # the 1-row MRR/Hits summary crossJoined onto the bounded
+    # per-term table — the trending_entities 1-row scalar class
+    "mrr_eval": (0, 1),
 }
 
 

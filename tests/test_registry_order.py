@@ -578,6 +578,8 @@ EXPECTED_TAIL = [
     "lead_lag",
     # Continuation batch 195
     "embedding_pca",
+    # Continuation batch 196
+    "mrr_eval",
 ]
 
 
