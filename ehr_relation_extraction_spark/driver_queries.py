@@ -3148,6 +3148,16 @@ def q_mrr_eval(spark, sf_dir) -> DataFrame:
     return ts.mrr_eval(_docs(spark, sf_dir), gaz.select("alias"))
 
 
+
+def q_clustering_coeffs(spark, sf_dir) -> DataFrame:
+    """Local clustering coefficients + global transitivity over the
+    entity co-mention graph (graph_algos.clustering_coeffs)."""
+    from .operators.graph_algos import clustering_coeffs
+
+    edges, _ = _comention_graph(spark, sf_dir)
+    return clustering_coeffs(edges)
+
+
 def q_ta_depth_audit(spark, sf_dir) -> DataFrame:
     """Fagin TA stop-depth audit over (LM quality x doc length) per
     language (functions/textstats.ta_depth_audit)."""
@@ -3900,6 +3910,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # Continuation batch 196: BM25 MRR / Hits@k eval — appended
     # past position 50.
     "mrr_eval": q_mrr_eval,
+    # Continuation batch 197: clustering coefficients — appended
+    # past position 50.
+    "clustering_coeffs": q_clustering_coeffs,
 }
 
 

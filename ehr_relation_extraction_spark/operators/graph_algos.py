@@ -3007,3 +3007,56 @@ def resource_allocation(edges: DataFrame,
                  .alias("ra_micro6"))
             .join(und, ["src", "dst"], "left_anti")
             .select("src", "dst", "cn", "ra_micro6"))
+
+
+def clustering_coeffs(edges: DataFrame) -> DataFrame:
+    """Local clustering coefficient per node + the graph's global
+    transitivity ratio — the cohesion DENSITY read that
+    triangle_counts' raw counts only hint at: a hub with 50
+    triangles over 1000 possible neighbor pairs (cc = 0.1) is a
+    looser entity than a 5-triangle node whose neighborhood is a
+    clique (cc = 1.0), and a canonicalization that merges unrelated
+    entities shows up as exactly that dilution.
+
+    Per node: cc_micro6 = 1e6 * 2*T_v div (d_v * (d_v - 1)) (0 for
+    degree <= 1).  Global transitivity (repeated per row, the
+    1-row lazy crossJoin device): trans_micro6 = 1e6 * 3*triangles
+    div wedges, wedges = sum_v d_v*(d_v-1)/2 — the closed-vs-open
+    wedge ratio, NOT the cc average (both are emitted by design:
+    their gap is the classic hub-dominance signal).
+
+    Output: (node, degree, n_triangles, cc_micro6, n_nodes,
+    trans_micro6).
+
+    Scale shape: triangle_counts' two ordered equi-joins + one
+    degree aggregate; the wedge total is a 1-row aggregate over
+    the degree table.
+    """
+    und = (edges.select(F.least("src", "dst").alias("a"),
+                        F.greatest("src", "dst").alias("b"))
+           .where(F.col("a") != F.col("b")).dropDuplicates()
+           .localCheckpoint())
+    sym = und.union(und.select(F.col("b").alias("a"),
+                               F.col("a").alias("b")))
+    deg = sym.groupBy(F.col("a").alias("node")).agg(
+        F.count(F.lit(1)).cast("long").alias("degree"))
+    tri = triangle_counts(und.select(F.col("a").alias("src"),
+                                     F.col("b").alias("dst")))
+    per = (deg.join(tri, "node", "left")
+           .select("node", "degree",
+                   F.coalesce(F.col("n_triangles"), F.lit(0))
+                   .cast("long").alias("n_triangles"))
+           .withColumn("cc_micro6",
+                       F.expr("CAST(CASE WHEN degree > 1 THEN"
+                              " (1000000 * 2 * n_triangles)"
+                              " DIV (degree * (degree - 1))"
+                              " ELSE 0 END AS BIGINT)")))
+    tot = per.agg(
+        F.count(F.lit(1)).cast("long").alias("n_nodes"),
+        F.expr("CAST(CASE WHEN SUM(degree * (degree - 1)) > 0 THEN"
+               " (CAST(1000000 AS DECIMAL(38,0)) * SUM(n_triangles))"
+               " div (SUM(degree * (degree - 1)) DIV 2)"
+               " ELSE 0 END AS BIGINT)").alias("trans_micro6"))
+    return (per.crossJoin(F.broadcast(tot))  # 1-row scalar
+            .select("node", "degree", "n_triangles", "cc_micro6",
+                    "n_nodes", "trans_micro6"))

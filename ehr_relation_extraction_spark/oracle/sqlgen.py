@@ -11366,3 +11366,45 @@ mr_sum AS (
          CAST(1000000 * SUM(hit5) // COUNT(*) AS BIGINT)
            AS hits5_micro6
   FROM mr_per)""")
+
+
+# ---------------------------------------------------------------------------
+# Continuation batch 197: local clustering coefficients + global
+# transitivity over the entity co-mention graph
+# (graph_algos.clustering_coeffs).
+
+ORACLE["clustering_coeffs"] = _q(
+    """
+SELECT p.node, p.degree, p.n_triangles, p.cc_micro6,
+       t.n_nodes, t.trans_micro6
+FROM cc_per p, cc_tot t""",
+    LINK_CTES, COMENTION_CTES.strip(), """
+cc_deg AS MATERIALIZED (
+  SELECT src AS node, CAST(COUNT(*) AS BIGINT) AS degree
+  FROM com_sym GROUP BY src),
+cc_tri3 AS (
+  SELECT e1.src AS x, e1.dst AS y, e3.dst AS z
+  FROM comention e1
+  JOIN comention e2 ON e2.src = e1.dst
+  JOIN comention e3 ON e3.src = e1.src AND e3.dst = e2.dst),
+cc_cnt AS (
+  SELECT node, CAST(COUNT(*) AS BIGINT) AS n_triangles
+  FROM (SELECT x AS node FROM cc_tri3
+        UNION ALL SELECT y FROM cc_tri3
+        UNION ALL SELECT z FROM cc_tri3)
+  GROUP BY node),
+cc_per AS MATERIALIZED (
+  SELECT d.node, d.degree,
+         CAST(COALESCE(c.n_triangles, 0) AS BIGINT) AS n_triangles,
+         CAST(CASE WHEN d.degree > 1
+              THEN (1000000 * 2 * COALESCE(c.n_triangles, 0))
+                   // (d.degree * (d.degree - 1))
+              ELSE 0 END AS BIGINT) AS cc_micro6
+  FROM cc_deg d LEFT JOIN cc_cnt c USING (node)),
+cc_tot AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n_nodes,
+         CAST(CASE WHEN SUM(degree * (degree - 1)) > 0
+              THEN (CAST(1000000 AS HUGEINT) * SUM(n_triangles))
+                   // (SUM(degree * (degree - 1)) // 2)
+              ELSE 0 END AS BIGINT) AS trans_micro6
+  FROM cc_per)""".strip())

@@ -181,6 +181,9 @@ ALLOWED = {
     # the 1-row MRR/Hits summary crossJoined onto the bounded
     # per-term table — the trending_entities 1-row scalar class
     "mrr_eval": (0, 1),
+    # the 1-row transitivity scalar crossJoined onto the per-node
+    # table — the trending_entities 1-row scalar class
+    "clustering_coeffs": (0, 1),
 }
 
 

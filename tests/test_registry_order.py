@@ -580,6 +580,8 @@ EXPECTED_TAIL = [
     "embedding_pca",
     # Continuation batch 196
     "mrr_eval",
+    # Continuation batch 197
+    "clustering_coeffs",
 ]
 
 
