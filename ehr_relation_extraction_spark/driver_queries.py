@@ -3158,6 +3158,13 @@ def q_clustering_coeffs(spark, sf_dir) -> DataFrame:
     return clustering_coeffs(edges)
 
 
+
+def q_cochran_q(spark, sf_dir) -> DataFrame:
+    """Cochran's Q omnibus across the three cheap curation gates
+    (functions/textstats.cochran_q)."""
+    return ts.cochran_q(_docs(spark, sf_dir))
+
+
 def q_ta_depth_audit(spark, sf_dir) -> DataFrame:
     """Fagin TA stop-depth audit over (LM quality x doc length) per
     language (functions/textstats.ta_depth_audit)."""
@@ -3913,6 +3920,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # Continuation batch 197: clustering coefficients — appended
     # past position 50.
     "clustering_coeffs": q_clustering_coeffs,
+    # Continuation batch 198: Cochran's Q gate omnibus — appended
+    # past position 50.
+    "cochran_q": q_cochran_q,
 }
 
 

@@ -3700,3 +3700,63 @@ def mrr_eval(docs: DataFrame, terms: DataFrame,
             .select("term", "best_doc", "best_rank", "rr_micro6",
                     "hit1", "hit5", "overlap5", "n_terms",
                     "mrr_micro6", "hits1_micro6", "hits5_micro6"))
+
+
+def cochran_q(docs: DataFrame) -> DataFrame:
+    """Cochran's Q omnibus test across THREE cheap curation gates on
+    the same paired documents — the k-treatment generalization that
+    completes mcnemar_gates exactly the way kruskal_wallis
+    completes mann_whitney: one "do these gates pass the same
+    documents at the same rate" answer before anyone tunes
+    thresholds pairwise.  Gates: length (n_chars >= 200), stopword
+    profile (20 * n_stopwords >= n_tokens — lang_id's
+    looks-English rule), and lexical diversity (3 * n_distinct >=
+    n_tokens — the anti-repetition gate).
+
+    Q = (k-1) * (k * sum_j C_j^2 - (sum_j C_j)^2)
+        / (k * sum_i R_i - sum_i R_i^2)
+
+    with C_j the per-gate pass totals and R_i the per-document
+    pass count (0..3) — R_i is a ROW expression, so the whole test
+    is one narrow map + one bounded groupBy(lang), no joins.  For
+    k = 2 Q degenerates to McNemar's statistic, which is the
+    cross-check the tests pin.  q_micro6 floors once at the end in
+    DECIMAL(38,0)/HUGEINT (the squared totals overflow BIGINT past
+    ~3M docs/language).
+
+    Output per language: (lang, n_docs, c_len, c_stop, c_div,
+    sum_r, sum_r2, q_micro6).
+    """
+    toks = _toks()
+    stop = F.array(*[F.lit(s) for s in STOPWORDS])
+    n_tokens = F.size(toks)
+    n_stop = F.size(F.filter(toks,
+                             lambda t: F.array_contains(stop,
+                                                        F.lower(t))))
+    n_dist = F.size(F.array_distinct(toks))
+    gated = docs.select(
+        "lang",
+        (F.length("text") >= 200).cast("long").alias("_a"),
+        (F.lit(20) * n_stop >= n_tokens).cast("long").alias("_b"),
+        (F.lit(3) * n_dist >= n_tokens).cast("long").alias("_c"))
+    gated = gated.withColumn("_r", F.col("_a") + F.col("_b")
+                             + F.col("_c"))
+    agg = gated.groupBy("lang").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum("_a").cast("long").alias("c_len"),
+        F.sum("_b").cast("long").alias("c_stop"),
+        F.sum("_c").cast("long").alias("c_div"),
+        F.sum("_r").cast("long").alias("sum_r"),
+        F.sum(F.col("_r") * F.col("_r")).cast("long").alias("sum_r2"))
+    return agg.withColumn(
+        "q_micro6",
+        F.expr(
+            "CASE WHEN 3 * sum_r - sum_r2 > 0 THEN"
+            " CAST((CAST(2000000 AS DECIMAL(38,0))"
+            " * (3 * (CAST(c_len AS DECIMAL(38,0)) * c_len"
+            "    + CAST(c_stop AS DECIMAL(38,0)) * c_stop"
+            "    + CAST(c_div AS DECIMAL(38,0)) * c_div)"
+            "   - CAST(c_len + c_stop + c_div AS DECIMAL(38,0))"
+            "     * (c_len + c_stop + c_div)))"
+            " div (3 * sum_r - sum_r2) AS BIGINT)"
+            " ELSE CAST(0 AS BIGINT) END"))

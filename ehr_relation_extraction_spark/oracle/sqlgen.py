@@ -11408,3 +11408,50 @@ cc_tot AS (
                    // (SUM(degree * (degree - 1)) // 2)
               ELSE 0 END AS BIGINT) AS trans_micro6
   FROM cc_per)""".strip())
+
+
+# ---------------------------------------------------------------------------
+# Continuation batch 198: Cochran's Q omnibus across the three cheap
+# curation gates (functions/textstats.cochran_q).
+
+ORACLE["cochran_q"] = f"""
+WITH cq_toks AS (
+  SELECT doc_id,
+         unnest(string_split_regex(text, '{SEP_CLASS}')) AS tok
+  FROM documents),
+cq_counts AS (
+  SELECT doc_id, COUNT(*) AS n_tokens,
+         SUM(CASE WHEN lower(tok) IN ({_STOP_IN}) THEN 1 ELSE 0 END)
+           AS n_stop,
+         COUNT(DISTINCT tok) AS n_dist
+  FROM cq_toks WHERE tok <> '' GROUP BY 1),
+cq_g AS MATERIALIZED (
+  SELECT d.lang,
+         CASE WHEN length(d.text) >= 200 THEN 1 ELSE 0 END AS a,
+         CASE WHEN 20 * COALESCE(c.n_stop, 0)
+                   >= COALESCE(c.n_tokens, 0)
+              THEN 1 ELSE 0 END AS b,
+         CASE WHEN 3 * COALESCE(c.n_dist, 0)
+                   >= COALESCE(c.n_tokens, 0)
+              THEN 1 ELSE 0 END AS c
+  FROM documents d LEFT JOIN cq_counts c ON c.doc_id = d.doc_id),
+cq_a AS (
+  SELECT lang,
+         CAST(COUNT(*) AS BIGINT) AS n_docs,
+         CAST(SUM(a) AS BIGINT) AS c_len,
+         CAST(SUM(b) AS BIGINT) AS c_stop,
+         CAST(SUM(c) AS BIGINT) AS c_div,
+         CAST(SUM(a + b + c) AS BIGINT) AS sum_r,
+         CAST(SUM((a + b + c) * (a + b + c)) AS BIGINT) AS sum_r2
+  FROM cq_g GROUP BY lang)
+SELECT lang, n_docs, c_len, c_stop, c_div, sum_r, sum_r2,
+       CASE WHEN 3 * sum_r - sum_r2 > 0 THEN
+         CAST((CAST(2000000 AS HUGEINT)
+               * (3 * (CAST(c_len AS HUGEINT) * c_len
+                       + CAST(c_stop AS HUGEINT) * c_stop
+                       + CAST(c_div AS HUGEINT) * c_div)
+                  - CAST(c_len + c_stop + c_div AS HUGEINT)
+                    * (c_len + c_stop + c_div)))
+              // (3 * sum_r - sum_r2) AS BIGINT)
+       ELSE CAST(0 AS BIGINT) END AS q_micro6
+FROM cq_a"""

@@ -582,6 +582,8 @@ EXPECTED_TAIL = [
     "mrr_eval",
     # Continuation batch 197
     "clustering_coeffs",
+    # Continuation batch 198
+    "cochran_q",
 ]
 
 
