@@ -3165,6 +3165,13 @@ def q_cochran_q(spark, sf_dir) -> DataFrame:
     return ts.cochran_q(_docs(spark, sf_dir))
 
 
+
+def q_kendall_w(spark, sf_dir) -> DataFrame:
+    """Kendall's W concordance across the three cheap quality
+    rankers per language (functions/textstats.kendall_w)."""
+    return ts.kendall_w(_docs(spark, sf_dir))
+
+
 def q_ta_depth_audit(spark, sf_dir) -> DataFrame:
     """Fagin TA stop-depth audit over (LM quality x doc length) per
     language (functions/textstats.ta_depth_audit)."""
@@ -3923,6 +3930,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # Continuation batch 198: Cochran's Q gate omnibus — appended
     # past position 50.
     "cochran_q": q_cochran_q,
+    # Continuation batch 199: Kendall's W ranker concordance —
+    # appended past position 50.
+    "kendall_w": q_kendall_w,
 }
 
 

@@ -3760,3 +3760,93 @@ def cochran_q(docs: DataFrame) -> DataFrame:
             "     * (c_len + c_stop + c_div)))"
             " div (3 * sum_r - sum_r2) AS BIGINT)"
             " ELSE CAST(0 AS BIGINT) END"))
+
+
+def kendall_w(docs: DataFrame) -> DataFrame:
+    """Kendall's coefficient of concordance W across the three
+    cheap per-document quality RANKERS (char length, distinct-token
+    count, stopword count) within each language — the m-judge
+    omnibus that completes the rank-correlation family the same way
+    kruskal_wallis completes mann_whitney: spearman_check compares
+    two rankers pairwise; W asks "do all three orderings tell one
+    story" (W = 1 total agreement, 0 = no concordance), which is
+    the gate before collapsing them into one quality score.
+
+    Doubled mid-ranks keep ties integer (r2 = 2*below + c + 1, the
+    established device), R2_i = per-doc doubled rank sum.  Using
+    sum_i R2_i = m*n*(n+1) exactly, n*4S = n*sum(R2^2) -
+    (m*n*(n+1))^2 =: S2n, and with the standard tie correction
+
+        w_micro6 = 1e6 * 3 * S2n
+                   div (n * (m^2*(n^3 - n) - m*sum_j T_j))
+
+    for m = 3 — one DECIMAL(38,0)/HUGEINT floor (n*sum(R2^2) is
+    ~36*n^4).
+
+    Output per language: (lang, n_docs, sum_r2_sq, tie_cubes,
+    w_micro6).
+
+    Scale shape: one narrow map (all three signals are row
+    expressions), three (lang, value) histogram aggregates with
+    windows over the bounded per-ranker value domains, three
+    value-keyed equi-joins back, one per-language aggregate.
+    """
+    toks = _toks()
+    stop = F.array(*[F.lit(s) for s in STOPWORDS])
+    feats = docs.select(
+        "lang", "doc_id",
+        F.length("text").cast("long").alias("_v1"),
+        F.size(F.array_distinct(toks)).cast("long").alias("_v2"),
+        F.size(F.filter(toks,
+                        lambda t: F.array_contains(
+                            stop, F.lower(t)))).cast("long")
+        .alias("_v3"))
+    tie_total = None
+    for j in (1, 2, 3):
+        vc = F.col(f"_v{j}")
+        hist = (feats.groupBy("lang", vc.alias("_v"))
+                .agg(F.count(F.lit(1)).cast("long").alias("_c")))
+        w = (Window.partitionBy("lang").orderBy("_v")
+             .rowsBetween(Window.unboundedPreceding, -1))
+        hist = (hist.withColumn("_below", F.coalesce(
+                    F.sum("_c").over(w), F.lit(0)).cast("long"))
+                .withColumn(f"_r2_{j}",
+                            (F.lit(2) * F.col("_below")
+                             + F.col("_c") + 1).cast("long"))
+                .withColumn("_tie", (F.col("_c") * F.col("_c")
+                                     * F.col("_c") - F.col("_c"))
+                            .cast("long")))
+        tj = hist.groupBy("lang").agg(
+            F.sum("_tie").cast("long").alias(f"_t{j}"))
+        tie_total = tj if tie_total is None else \
+            tie_total.join(tj, "lang")
+        feats = feats.join(
+            hist.select("lang", F.col("_v").alias(f"_v{j}"),
+                        f"_r2_{j}"),
+            ["lang", f"_v{j}"])
+    feats = feats.withColumn(
+        "_r2", F.col("_r2_1") + F.col("_r2_2") + F.col("_r2_3"))
+    agg = feats.groupBy("lang").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum(F.col("_r2") * F.col("_r2")).cast("long")
+        .alias("sum_r2_sq"))
+    out = (agg.join(tie_total, "lang")
+           .withColumn("tie_cubes",
+                       (F.col("_t1") + F.col("_t2") + F.col("_t3"))
+                       .cast("long")))
+    return out.select(
+        "lang", "n_docs", "sum_r2_sq", "tie_cubes",
+        F.expr(
+            "CASE WHEN n_docs > 1 AND"
+            " 9 * (CAST(n_docs AS DECIMAL(38,0)) * n_docs * n_docs"
+            " - n_docs) - 3 * tie_cubes > 0 THEN"
+            " CAST((CAST(3000000 AS DECIMAL(38,0))"
+            " * (CAST(n_docs AS DECIMAL(38,0)) * sum_r2_sq"
+            "    - (CAST(3 AS DECIMAL(38,0)) * n_docs"
+            "       * (n_docs + 1))"
+            "      * (CAST(3 AS DECIMAL(38,0)) * n_docs"
+            "         * (n_docs + 1))))"
+            " div (CAST(n_docs AS DECIMAL(38,0))"
+            " * (9 * (CAST(n_docs AS DECIMAL(38,0)) * n_docs"
+            " * n_docs - n_docs) - 3 * tie_cubes)) AS BIGINT)"
+            " ELSE CAST(0 AS BIGINT) END").alias("w_micro6"))

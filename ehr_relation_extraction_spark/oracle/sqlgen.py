@@ -11455,3 +11455,85 @@ SELECT lang, n_docs, c_len, c_stop, c_div, sum_r, sum_r2,
               // (3 * sum_r - sum_r2) AS BIGINT)
        ELSE CAST(0 AS BIGINT) END AS q_micro6
 FROM cq_a"""
+
+
+# ---------------------------------------------------------------------------
+# Continuation batch 199: Kendall's W concordance across the three
+# cheap quality rankers (functions/textstats.kendall_w).
+
+ORACLE["kendall_w"] = f"""
+WITH kw3_toks AS (
+  SELECT doc_id,
+         unnest(string_split_regex(text, '{SEP_CLASS}')) AS tok
+  FROM documents),
+kw3_counts AS (
+  SELECT doc_id,
+         COUNT(DISTINCT tok) AS n_dist,
+         SUM(CASE WHEN lower(tok) IN ({_STOP_IN}) THEN 1 ELSE 0 END)
+           AS n_stop
+  FROM kw3_toks WHERE tok <> '' GROUP BY 1),
+kw3_f AS MATERIALIZED (
+  SELECT d.lang, d.doc_id,
+         CAST(length(d.text) AS BIGINT) AS v1,
+         CAST(COALESCE(c.n_dist, 0) AS BIGINT) AS v2,
+         CAST(COALESCE(c.n_stop, 0) AS BIGINT) AS v3
+  FROM documents d LEFT JOIN kw3_counts c ON c.doc_id = d.doc_id),
+kw3_h1 AS MATERIALIZED (
+  SELECT lang, v1 AS v, CAST(COUNT(*) AS BIGINT) AS c,
+         CAST(2 * COALESCE(SUM(COUNT(*)) OVER (PARTITION BY lang
+             ORDER BY v1 ROWS BETWEEN UNBOUNDED PRECEDING
+             AND 1 PRECEDING), 0) + COUNT(*) + 1 AS BIGINT) AS r2,
+         CAST(COUNT(*) * COUNT(*) * COUNT(*) - COUNT(*) AS BIGINT)
+           AS tie
+  FROM kw3_f GROUP BY lang, v1),
+kw3_h2 AS MATERIALIZED (
+  SELECT lang, v2 AS v, CAST(COUNT(*) AS BIGINT) AS c,
+         CAST(2 * COALESCE(SUM(COUNT(*)) OVER (PARTITION BY lang
+             ORDER BY v2 ROWS BETWEEN UNBOUNDED PRECEDING
+             AND 1 PRECEDING), 0) + COUNT(*) + 1 AS BIGINT) AS r2,
+         CAST(COUNT(*) * COUNT(*) * COUNT(*) - COUNT(*) AS BIGINT)
+           AS tie
+  FROM kw3_f GROUP BY lang, v2),
+kw3_h3 AS MATERIALIZED (
+  SELECT lang, v3 AS v, CAST(COUNT(*) AS BIGINT) AS c,
+         CAST(2 * COALESCE(SUM(COUNT(*)) OVER (PARTITION BY lang
+             ORDER BY v3 ROWS BETWEEN UNBOUNDED PRECEDING
+             AND 1 PRECEDING), 0) + COUNT(*) + 1 AS BIGINT) AS r2,
+         CAST(COUNT(*) * COUNT(*) * COUNT(*) - COUNT(*) AS BIGINT)
+           AS tie
+  FROM kw3_f GROUP BY lang, v3),
+kw3_t AS (
+  SELECT lang,
+         (SELECT SUM(tie) FROM kw3_h1 h WHERE h.lang = t.lang)
+         + (SELECT SUM(tie) FROM kw3_h2 h WHERE h.lang = t.lang)
+         + (SELECT SUM(tie) FROM kw3_h3 h WHERE h.lang = t.lang)
+           AS tie_cubes
+  FROM (SELECT DISTINCT lang FROM kw3_f) t),
+kw3_r AS (
+  SELECT f.lang,
+         h1.r2 + h2.r2 + h3.r2 AS r2
+  FROM kw3_f f
+  JOIN kw3_h1 h1 ON h1.lang = f.lang AND h1.v = f.v1
+  JOIN kw3_h2 h2 ON h2.lang = f.lang AND h2.v = f.v2
+  JOIN kw3_h3 h3 ON h3.lang = f.lang AND h3.v = f.v3),
+kw3_a AS (
+  SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_docs,
+         CAST(SUM(r2 * r2) AS BIGINT) AS sum_r2_sq
+  FROM kw3_r GROUP BY lang)
+SELECT a.lang, a.n_docs, a.sum_r2_sq,
+       CAST(t.tie_cubes AS BIGINT) AS tie_cubes,
+       CASE WHEN a.n_docs > 1 AND
+                 9 * (CAST(a.n_docs AS HUGEINT) * a.n_docs
+                      * a.n_docs - a.n_docs)
+                 - 3 * t.tie_cubes > 0 THEN
+         CAST((CAST(3000000 AS HUGEINT)
+               * (CAST(a.n_docs AS HUGEINT) * a.sum_r2_sq
+                  - (CAST(3 AS HUGEINT) * a.n_docs * (a.n_docs + 1))
+                    * (CAST(3 AS HUGEINT) * a.n_docs
+                       * (a.n_docs + 1))))
+              // (CAST(a.n_docs AS HUGEINT)
+                  * (9 * (CAST(a.n_docs AS HUGEINT) * a.n_docs
+                          * a.n_docs - a.n_docs)
+                     - 3 * t.tie_cubes)) AS BIGINT)
+       ELSE CAST(0 AS BIGINT) END AS w_micro6
+FROM kw3_a a JOIN kw3_t t USING (lang)"""

@@ -584,6 +584,8 @@ EXPECTED_TAIL = [
     "clustering_coeffs",
     # Continuation batch 198
     "cochran_q",
+    # Continuation batch 199
+    "kendall_w",
 ]
 
 
