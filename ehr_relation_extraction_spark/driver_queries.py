@@ -3172,6 +3172,13 @@ def q_kendall_w(spark, sf_dir) -> DataFrame:
     return ts.kendall_w(_docs(spark, sf_dir))
 
 
+
+def q_soundex_blocks(spark, sf_dir) -> DataFrame:
+    """American-Soundex phonetic blocking profile over the entity
+    name-token universe (operators/linking.soundex_blocks)."""
+    return lk.soundex_blocks(_frames(spark, sf_dir).triples)
+
+
 def q_ta_depth_audit(spark, sf_dir) -> DataFrame:
     """Fagin TA stop-depth audit over (LM quality x doc length) per
     language (functions/textstats.ta_depth_audit)."""
@@ -3933,6 +3940,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # Continuation batch 199: Kendall's W ranker concordance —
     # appended past position 50.
     "kendall_w": q_kendall_w,
+    # Continuation batch 200: Soundex phonetic blocking — appended
+    # past position 50.
+    "soundex_blocks": q_soundex_blocks,
 }
 
 

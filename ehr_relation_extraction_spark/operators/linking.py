@@ -1404,3 +1404,87 @@ def sorted_neighborhood(docs: DataFrame, window: int = 4,
                            " (n_records * (n_records - 1) div 2)"
                            " ELSE 1000000 END AS BIGINT)")
                     .alias("rr_micro6")))
+
+
+def soundex_blocks(triples: DataFrame, max_block: int = 50) -> DataFrame:
+    """Phonetic (American Soundex) blocking profile for entity
+    resolution — the sound-alike companion to :func:`token_blocks`:
+    exact token blocks can never pair "smith" with "smyth" or
+    "jackson" with "jacksen", phonetic keys are the classic cheap
+    recall lever for exactly that typo/transliteration class, and
+    the profile (with the same block-purging flag) is what an ER
+    pipeline tunes before paying for the pair join.
+
+    Soundex is computed CHAR-LEVEL from relational primitives so
+    the DuckDB oracle replays it bit-for-bit (no reliance on either
+    engine's built-in, whose H/W edge cases differ): letters map
+    b f p v->1, c g j k q s x z->2, d t->3, l->4, m n->5, r->6,
+    vowels/y->0; H and W rows are DROPPED before the run-collapse
+    window (so same-coded letters separated by h/w collapse — the
+    official rule), runs collapse via LAG over the remaining
+    sequence, vowel rows then separate (code 0 breaks runs but
+    emits nothing), and the key is the uppercased first letter plus
+    the first three surviving digits right-padded with 0.
+
+    Output: (sdx, n_tokens, n_entities, purged) — one row per
+    phonetic block over the entity-NAME token universe (letters-only
+    tokens; phonetics on attribute values or digit strings is
+    noise).
+
+    Scale shape: the char explosion runs over DISTINCT name tokens
+    (vocabulary-sized, not corpus-sized); windows partition by
+    token (bounded length); one block aggregate.
+    """
+    ents = (triples.select(F.lower("subj").alias("ent"))
+            .dropDuplicates())
+    toks = (ents.select("ent", F.explode(
+                F.split("ent", "[^a-z]+")).alias("token"))
+            .where(F.col("token").rlike("^[a-z]+$"))
+            .dropDuplicates())
+    from pyspark.sql import Window
+
+    tk = toks.select("token").dropDuplicates()
+    ch = (tk.select("token",
+                    F.explode(F.sequence(
+                        F.lit(1), F.char_length("token")))
+                    .alias("i"))
+          .select("token", "i",
+                  F.expr("substring(token, i, 1)").alias("ch")))
+    coded = ch.withColumn(
+        "code",
+        F.expr("CASE WHEN ch IN ('a','e','i','o','u','y') THEN '0'"
+               " WHEN ch IN ('h','w') THEN NULL"
+               " ELSE translate(ch, 'bfpvcgjkqsxzdtlmnr',"
+               " '111122222222334556') END"))
+    kept = coded.where(F.col("code").isNotNull() | (F.col("i") == 1))
+    w = Window.partitionBy("token").orderBy("i")
+    run = (kept.withColumn("_prev", F.lag("code").over(w))
+           .where(F.col("_prev").isNull()
+                  | (F.col("code") != F.col("_prev"))
+                  | F.col("code").isNull()))
+    digits = (run.where((F.col("i") > 1) & (F.col("code") != "0")
+                        & F.col("code").isNotNull())
+              .withColumn("_rn", F.row_number().over(w))
+              .where(F.col("_rn") <= 3))
+    dig = (digits.groupBy("token")
+           .agg(F.array_join(
+               F.transform(
+                   F.array_sort(F.collect_list(
+                       F.struct("i", "code"))),
+                   lambda x: x["code"]), "").alias("_d")))
+    sdx = (tk.join(dig, "token", "left")
+           .select("token",
+                   F.concat(F.upper(F.expr(
+                       "substring(token, 1, 1)")),
+                       F.rpad(F.coalesce(F.col("_d"), F.lit("")),
+                              3, "0")).alias("sdx")))
+    blocks = (toks.join(sdx, "token")
+              .groupBy("sdx")
+              .agg(F.countDistinct("token").cast("long")
+                   .alias("n_tokens"),
+                   F.countDistinct("ent").cast("long")
+                   .alias("n_entities")))
+    return blocks.withColumn(
+        "purged",
+        F.when(F.col("n_entities") > max_block, 1)
+        .otherwise(0).cast("int"))

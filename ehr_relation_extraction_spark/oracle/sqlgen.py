@@ -11537,3 +11537,65 @@ SELECT a.lang, a.n_docs, a.sum_r2_sq,
                      - 3 * t.tie_cubes)) AS BIGINT)
        ELSE CAST(0 AS BIGINT) END AS w_micro6
 FROM kw3_a a JOIN kw3_t t USING (lang)"""
+
+
+# ---------------------------------------------------------------------------
+# Continuation batch 200: American-Soundex phonetic blocking profile
+# (operators/linking.soundex_blocks) — the char-level pipeline
+# replayed relationally (h/w drop BEFORE the run-collapse LAG, vowel
+# rows break runs but emit nothing).
+
+ORACLE["soundex_blocks"] = _q(
+    """
+SELECT b.sdx, b.n_tokens, b.n_entities,
+       CAST(CASE WHEN b.n_entities > 50 THEN 1 ELSE 0 END AS INT)
+         AS purged
+FROM sb_blocks b""",
+    LINK_CTES, """
+sb_ents AS (SELECT DISTINCT lower(subj) AS ent FROM triples),
+sb_toks AS MATERIALIZED (
+  SELECT DISTINCT ent, tok FROM (
+    SELECT ent, unnest(string_split_regex(ent, '[^a-z]+')) AS tok
+    FROM sb_ents)
+  WHERE regexp_full_match(tok, '[a-z]+')),
+sb_tk AS (SELECT DISTINCT tok FROM sb_toks),
+sb_ch AS (
+  SELECT tok, CAST(i AS INT) AS i, substr(tok, CAST(i AS INT), 1)
+           AS ch
+  FROM sb_tk, unnest(generate_series(1, length(tok))) AS t(i)),
+sb_coded AS (
+  SELECT tok, i,
+         CASE WHEN ch IN ('a','e','i','o','u','y') THEN '0'
+              WHEN ch IN ('h','w') THEN NULL
+              ELSE translate(ch, 'bfpvcgjkqsxzdtlmnr',
+                             '111122222222334556') END AS code
+  FROM sb_ch),
+sb_kept AS (
+  SELECT * FROM sb_coded WHERE code IS NOT NULL OR i = 1),
+sb_run AS (
+  SELECT * FROM (
+    SELECT tok, i, code,
+           LAG(code) OVER (PARTITION BY tok ORDER BY i) AS prev
+    FROM sb_kept)
+  WHERE prev IS NULL OR code IS NULL OR code <> prev),
+sb_dd AS (
+  SELECT * FROM (
+    SELECT tok, i, code,
+           ROW_NUMBER() OVER (PARTITION BY tok ORDER BY i) AS rn
+    FROM sb_run
+    WHERE i > 1 AND code IS NOT NULL AND code <> '0')
+  WHERE rn <= 3),
+sb_d AS (
+  SELECT tok, string_agg(code, '' ORDER BY i) AS d
+  FROM sb_dd GROUP BY tok),
+sb_sdx AS MATERIALIZED (
+  SELECT k.tok,
+         upper(substr(k.tok, 1, 1))
+         || rpad(COALESCE(d.d, ''), 3, '0') AS sdx
+  FROM sb_tk k LEFT JOIN sb_d d ON d.tok = k.tok),
+sb_blocks AS (
+  SELECT s.sdx,
+         CAST(COUNT(DISTINCT t.tok) AS BIGINT) AS n_tokens,
+         CAST(COUNT(DISTINCT t.ent) AS BIGINT) AS n_entities
+  FROM sb_toks t JOIN sb_sdx s ON s.tok = t.tok
+  GROUP BY s.sdx)""".strip())

@@ -586,6 +586,8 @@ EXPECTED_TAIL = [
     "cochran_q",
     # Continuation batch 199
     "kendall_w",
+    # Continuation batch 200
+    "soundex_blocks",
 ]
 
 
