@@ -3179,6 +3179,13 @@ def q_soundex_blocks(spark, sf_dir) -> DataFrame:
     return lk.soundex_blocks(_frames(spark, sf_dir).triples)
 
 
+
+def q_stylometric_delta(spark, sf_dir) -> DataFrame:
+    """MAD-scaled Burrows' Delta between host writing styles
+    (functions/textstats.stylometric_delta)."""
+    return ts.stylometric_delta(_docs(spark, sf_dir))
+
+
 def q_ta_depth_audit(spark, sf_dir) -> DataFrame:
     """Fagin TA stop-depth audit over (LM quality x doc length) per
     language (functions/textstats.ta_depth_audit)."""
@@ -3943,6 +3950,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # Continuation batch 200: Soundex phonetic blocking — appended
     # past position 50.
     "soundex_blocks": q_soundex_blocks,
+    # Continuation batch 201: stylometric Burrows' Delta — appended
+    # past position 50.
+    "stylometric_delta": q_stylometric_delta,
 }
 
 

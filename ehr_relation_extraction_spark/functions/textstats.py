@@ -3850,3 +3850,77 @@ def kendall_w(docs: DataFrame) -> DataFrame:
             " * (9 * (CAST(n_docs AS DECIMAL(38,0)) * n_docs"
             " * n_docs - n_docs) - 3 * tie_cubes)) AS BIGINT)"
             " ELSE CAST(0 AS BIGINT) END").alias("w_micro6"))
+
+
+def stylometric_delta(docs: DataFrame, top_k: int = 30) -> DataFrame:
+    """Burrows' Delta between host writing styles, MAD-scaled so it
+    stays exact-integer (the robust variant — classic Delta z-scores
+    need a standard deviation, which is irrational; Argamon's
+    analysis shows the scale factor is a free choice and median/MAD
+    is the standard robust pick): per host, the usage rate of the
+    corpus's top-K tokens; per token, center by the cross-host
+    LOWER MEDIAN and scale by the lower-median absolute deviation
+    (+1 to guard zero MAD — "every host agrees exactly" then scores
+    raw differences); delta(a, b) = mean absolute difference of the
+    scaled profiles.  Low delta between two supposedly-independent
+    hosts is the stylometric syndication/template signal that
+    content-hash dedup misses (same author, different words).
+
+    Output: one row per unordered host pair (source_a < source_b,
+    n_tokens_used = K, delta_micro6) — all integers (rates and
+    scaled scores floor at micro6; lower medians are
+    tie-deterministic by (value, source) order, the host_outliers
+    convention).
+
+    Scale shape: one corpus-sized (source, token) aggregate; the
+    top-K table is bounded and broadcast; the zero-fill grid, the
+    median/MAD windows, and the pair join all run over the bounded
+    (hosts x K) profile table.
+    """
+    tc = (docs.select("source",
+                      F.explode(_toks()).alias("_t"))
+          .select("source", F.lower("_t").alias("_w"))
+          .groupBy("source", "_w")
+          .agg(F.count(F.lit(1)).cast("long").alias("_c")))
+    tot = tc.groupBy("source").agg(
+        F.sum("_c").cast("long").alias("_n"))
+    topk = (tc.groupBy("_w").agg(F.sum("_c").cast("long").alias("_g"))
+            .withColumn("_rk", F.row_number().over(
+                Window.orderBy(F.col("_g").desc(), F.col("_w"))))
+            .where(F.col("_rk") <= top_k)
+            .select("_w"))
+    grid = (tot.select("source", "_n").crossJoin(
+        F.broadcast(topk))  # bounded: hosts x top-K vocabulary
+        .join(tc, ["source", "_w"], "left").na.fill(0, ["_c"])
+        .withColumn("rate",
+                    F.expr("CAST(1000000 * _c DIV _n AS BIGINT)")))
+    wt = Window.partitionBy("_w").orderBy("rate", "source")
+    g2 = (grid.withColumn("_rn", F.row_number().over(wt))
+          .withColumn("_m", F.count(F.lit(1)).over(
+              Window.partitionBy("_w")))
+          .withColumn("_med", F.max(F.when(
+              F.col("_rn") == F.expr("(_m - 1) div 2 + 1"),
+              F.col("rate"))).over(Window.partitionBy("_w"))))
+    g2 = g2.withColumn("_ad", F.abs(F.col("rate") - F.col("_med")))
+    wd = Window.partitionBy("_w").orderBy("_ad", "source")
+    g3 = (g2.withColumn("_rn2", F.row_number().over(wd))
+          .withColumn("_mad", F.max(F.when(
+              F.col("_rn2") == F.expr("(_m - 1) div 2 + 1"),
+              F.col("_ad"))).over(Window.partitionBy("_w"))))
+    prof = g3.select(
+        "source", "_w",
+        F.expr("CAST((1000000 * (rate - _med))"
+               " DIV (_mad + 1) AS BIGINT)").alias("_s"))
+    a = prof.select(F.col("source").alias("source_a"), "_w",
+                    F.col("_s").alias("_sa"))
+    b = prof.select(F.col("source").alias("source_b"),
+                    F.col("_w").alias("_wb"),
+                    F.col("_s").alias("_sb"))
+    return (a.join(b, (a["_w"] == b["_wb"])
+                   & (a["source_a"] < b["source_b"]))
+            .groupBy("source_a", "source_b")
+            .agg(F.count(F.lit(1)).cast("long")
+                 .alias("n_tokens_used"),
+                 F.expr("CAST(SUM(ABS(_sa - _sb))"
+                        " DIV COUNT(1) AS BIGINT)")
+                 .alias("delta_micro6")))

@@ -11599,3 +11599,63 @@ sb_blocks AS (
          CAST(COUNT(DISTINCT t.ent) AS BIGINT) AS n_entities
   FROM sb_toks t JOIN sb_sdx s ON s.tok = t.tok
   GROUP BY s.sdx)""".strip())
+
+
+# ---------------------------------------------------------------------------
+# Continuation batch 201: MAD-scaled Burrows' Delta between host
+# styles (functions/textstats.stylometric_delta).
+
+ORACLE["stylometric_delta"] = """
+WITH sd_tc AS MATERIALIZED (
+  SELECT source, lower(tok) AS w, CAST(COUNT(*) AS BIGINT) AS c
+  FROM (SELECT source,
+               unnest(list_filter(
+                   string_split_regex(text, '[\\n \\t]'),
+                   x -> x <> '')) AS tok
+        FROM documents)
+  GROUP BY 1, 2),
+sd_tot AS (
+  SELECT source, CAST(SUM(c) AS BIGINT) AS n FROM sd_tc GROUP BY 1),
+sd_topk AS MATERIALIZED (
+  SELECT w FROM (
+    SELECT w, ROW_NUMBER() OVER (ORDER BY SUM(c) DESC, w) AS rk
+    FROM sd_tc GROUP BY w)
+  WHERE rk <= 30),
+sd_grid AS MATERIALIZED (
+  SELECT t.source, k.w,
+         CAST(1000000 * COALESCE(c.c, 0) // t.n AS BIGINT) AS rate
+  FROM sd_tot t CROSS JOIN sd_topk k
+  LEFT JOIN sd_tc c ON c.source = t.source AND c.w = k.w),
+sd_med AS (
+  SELECT w, MAX(CASE WHEN rn = (m - 1) // 2 + 1 THEN rate END)
+           AS med
+  FROM (SELECT w, rate,
+               ROW_NUMBER() OVER (PARTITION BY w
+                   ORDER BY rate, source) AS rn,
+               COUNT(*) OVER (PARTITION BY w) AS m
+        FROM sd_grid)
+  GROUP BY w),
+sd_ad AS MATERIALIZED (
+  SELECT g.source, g.w, g.rate, d.med,
+         ABS(g.rate - d.med) AS ad
+  FROM sd_grid g JOIN sd_med d USING (w)),
+sd_mad AS (
+  SELECT w, MAX(CASE WHEN rn = (m - 1) // 2 + 1 THEN ad END) AS mad
+  FROM (SELECT w, ad,
+               ROW_NUMBER() OVER (PARTITION BY w
+                   ORDER BY ad, source) AS rn,
+               COUNT(*) OVER (PARTITION BY w) AS m
+        FROM sd_ad)
+  GROUP BY w),
+sd_prof AS MATERIALIZED (
+  SELECT a.source, a.w,
+         CAST((1000000 * (a.rate - a.med)) // (m.mad + 1)
+              AS BIGINT) AS s
+  FROM sd_ad a JOIN sd_mad m USING (w))
+SELECT a.source AS source_a, b.source AS source_b,
+       CAST(COUNT(*) AS BIGINT) AS n_tokens_used,
+       CAST(SUM(ABS(a.s - b.s)) // COUNT(*) AS BIGINT)
+         AS delta_micro6
+FROM sd_prof a JOIN sd_prof b
+  ON a.w = b.w AND a.source < b.source
+GROUP BY 1, 2"""

@@ -184,6 +184,10 @@ ALLOWED = {
     # the 1-row transitivity scalar crossJoined onto the per-node
     # table — the trending_entities 1-row scalar class
     "clustering_coeffs": (0, 1),
+    # the bounded (hosts x top-K vocabulary) zero-fill grid
+    # crossJoin, re-planned for both profile pair sides — the
+    # doclen_drift two-sided grid class
+    "stylometric_delta": (0, 2),
 }
 
 

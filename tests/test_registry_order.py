@@ -588,6 +588,8 @@ EXPECTED_TAIL = [
     "kendall_w",
     # Continuation batch 200
     "soundex_blocks",
+    # Continuation batch 201
+    "stylometric_delta",
 ]
 
 
