@@ -3186,6 +3186,14 @@ def q_stylometric_delta(spark, sf_dir) -> DataFrame:
     return ts.stylometric_delta(_docs(spark, sf_dir))
 
 
+
+def q_winnow_dups(spark, sf_dir) -> DataFrame:
+    """Winnowing fingerprint near-dup candidate pairs
+    (operators/dedup.winnow_dups)."""
+    from .operators.dedup import winnow_dups
+    return winnow_dups(_docs(spark, sf_dir))
+
+
 def q_ta_depth_audit(spark, sf_dir) -> DataFrame:
     """Fagin TA stop-depth audit over (LM quality x doc length) per
     language (functions/textstats.ta_depth_audit)."""
@@ -3953,6 +3961,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # Continuation batch 201: stylometric Burrows' Delta — appended
     # past position 50.
     "stylometric_delta": q_stylometric_delta,
+    # Continuation batch 202: winnowing fingerprints — appended
+    # past position 50.
+    "winnow_dups": q_winnow_dups,
 }
 
 

@@ -640,3 +640,86 @@ def cdc_chunks(docs: DataFrame, window: int = 8, base: int = 31,
         F.count(F.lit(1)).cast("long").alias("n_chunks"),
         F.sum("_len").cast("long").alias("n_bytes"))
         .select("multiplicity", "n_chunks", "n_bytes"))
+
+
+def winnow_dups(docs: DataFrame, k: int = 3, w: int = 4,
+                max_df: int = 50) -> DataFrame:
+    """Winnowing fingerprint near-dup candidates (Schleimer/
+    Wilkerson/Aiken, SIGMOD'03 — the MOSS algorithm): the guarantee
+    the minhash/simhash/passage family does NOT give is positional
+    — any shared run of at least w+k-1 tokens is certain to share a
+    selected fingerprint (no probabilistic miss), which is why
+    winnowing is the standard for plagiarism/clone detection while
+    LSH is the standard for whole-document similarity.
+
+    Per document: k-gram md5 hashes (the minhash lexicographic-hex
+    device), then each length-w window selects its minimum hash,
+    RIGHTMOST position on ties (the paper's rule, implemented as
+    array_sort by (hash asc, -pos) — no per-row Python); selected
+    (hash, position)s collapse to the doc's fingerprint SET.
+    Documents sharing a fingerprint pair up; fingerprints shared by
+    more than ``max_df`` docs are purged first (the token_blocks
+    block-purging guard — boilerplate grams pair everything).
+
+    Output: (doc_a, doc_b, n_shared, n_a, n_b, overlap_micro6 =
+    1e6 * n_shared div least(n_a, n_b)).
+
+    Scale shape: per-doc windows only (partitioned by doc_id);
+    the pair stage is a fingerprint equi-join bounded by max_df —
+    never all-pairs.
+    """
+    toks = (docs.select(
+        "doc_id",
+        F.posexplode(F.filter(F.split(F.col("text"), "[\n \t]"),
+                              lambda t: t != ""))
+        .alias("_i", "_t"))
+        .select("doc_id", "_i", F.lower("_t").alias("_t")))
+    wd = Window.partitionBy("doc_id").orderBy("_i")
+    grams = toks.select(
+        "doc_id", "_i",
+        F.concat_ws(" ", "_t",
+                    F.lead("_t", 1).over(wd),
+                    F.lead("_t", 2).over(wd)).alias("_g"),
+        F.lead("_t", 2).over(wd).alias("_ok"))
+    grams = (grams.where(F.col("_ok").isNotNull())
+             .withColumn("_gi", F.row_number().over(wd) - 1)
+             .withColumn("_h", F.md5("_g"))
+             .withColumn("_ng", F.count(F.lit(1)).over(
+                 Window.partitionBy("doc_id"))))
+    wf = (Window.partitionBy("doc_id").orderBy("_gi")
+          .rowsBetween(0, w - 1))
+    starts = (grams
+              .withColumn("_arr", F.collect_list(
+                  F.struct(F.col("_h").alias("h"),
+                           (-F.col("_gi")).alias("ni"),
+                           F.col("_gi").alias("gi"))).over(wf))
+              .where(F.col("_gi") <= F.col("_ng") - w)
+              .withColumn("_top", F.element_at(
+                  F.array_sort("_arr"), 1)))
+    sel = (starts.select("doc_id",
+                         F.col("_top.h").alias("fp"),
+                         F.col("_top.gi").alias("fp_pos"))
+           .dropDuplicates())
+    fps = sel.select("doc_id", "fp").dropDuplicates() \
+        .localCheckpoint()
+    nfp = fps.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("long").alias("_n"))
+    hot = (fps.groupBy("fp").agg(F.count(F.lit(1)).alias("_df"))
+           .where(F.col("_df") <= max_df).select("fp"))
+    cold = fps.join(hot, "fp")
+    a = cold.select(F.col("fp"), F.col("doc_id").alias("doc_a"))
+    b = cold.select(F.col("fp").alias("_fpb"),
+                    F.col("doc_id").alias("doc_b"))
+    pairs = (a.join(b, (a["fp"] == b["_fpb"])
+                    & (a["doc_a"] < b["doc_b"]))
+             .groupBy("doc_a", "doc_b")
+             .agg(F.count(F.lit(1)).cast("long").alias("n_shared")))
+    na = nfp.select(F.col("doc_id").alias("doc_a"),
+                    F.col("_n").alias("n_a"))
+    nb = nfp.select(F.col("doc_id").alias("doc_b"),
+                    F.col("_n").alias("n_b"))
+    return (pairs.join(na, "doc_a").join(nb, "doc_b")
+            .select("doc_a", "doc_b", "n_shared", "n_a", "n_b",
+                    F.expr("CAST(1000000 * n_shared"
+                           " DIV least(n_a, n_b) AS BIGINT)")
+                    .alias("overlap_micro6")))

@@ -11659,3 +11659,71 @@ SELECT a.source AS source_a, b.source AS source_b,
 FROM sd_prof a JOIN sd_prof b
   ON a.w = b.w AND a.source < b.source
 GROUP BY 1, 2"""
+
+
+# ---------------------------------------------------------------------------
+# Continuation batch 202: winnowing fingerprint near-dup candidates
+# (operators/dedup.winnow_dups) — Schleimer/Wilkerson/Aiken window
+# minima with the rightmost-tie rule.
+
+ORACLE["winnow_dups"] = """
+WITH wn_toks AS (
+  SELECT doc_id, lower(tok) AS t,
+         ROW_NUMBER() OVER (PARTITION BY doc_id
+             ORDER BY piece_idx) - 1 AS i
+  FROM (SELECT doc_id,
+               unnest(string_split_regex(text, '[\\n \\t]')) AS tok,
+               generate_subscripts(
+                   string_split_regex(text, '[\\n \\t]'), 1)
+                 AS piece_idx
+        FROM documents)
+  WHERE tok <> ''),
+wn_g0 AS (
+  SELECT doc_id, i,
+         t || ' ' || LEAD(t, 1) OVER w || ' '
+           || LEAD(t, 2) OVER w AS g,
+         LEAD(t, 2) OVER w AS ok
+  FROM wn_toks
+  WINDOW w AS (PARTITION BY doc_id ORDER BY i)),
+wn_grams AS MATERIALIZED (
+  SELECT doc_id,
+         ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY i) - 1
+           AS gi,
+         md5(g) AS h,
+         COUNT(*) OVER (PARTITION BY doc_id) AS ng
+  FROM wn_g0 WHERE ok IS NOT NULL),
+wn_mn AS MATERIALIZED (
+  SELECT * FROM (
+    SELECT doc_id, gi, ng,
+           MIN(h) OVER (PARTITION BY doc_id ORDER BY gi
+               ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS mn
+    FROM wn_grams)
+  WHERE gi <= ng - 4),
+wn_fp AS (
+  SELECT s.doc_id, s.mn AS fp, MAX(g.gi) AS fp_pos
+  FROM wn_mn s JOIN wn_grams g
+    ON g.doc_id = s.doc_id AND g.gi BETWEEN s.gi AND s.gi + 3
+       AND g.h = s.mn
+  GROUP BY s.doc_id, s.gi, s.mn),
+wn_sel AS MATERIALIZED (
+  SELECT DISTINCT doc_id, fp FROM wn_fp),
+wn_nfp AS (
+  SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n
+  FROM wn_sel GROUP BY 1),
+wn_cold AS MATERIALIZED (
+  SELECT * FROM wn_sel
+  WHERE fp IN (SELECT fp FROM wn_sel GROUP BY fp
+               HAVING COUNT(*) <= 50)),
+wn_pairs AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         CAST(COUNT(*) AS BIGINT) AS n_shared
+  FROM wn_cold a JOIN wn_cold b
+    ON a.fp = b.fp AND a.doc_id < b.doc_id
+  GROUP BY 1, 2)
+SELECT p.doc_a, p.doc_b, p.n_shared,
+       na.n AS n_a, nb.n AS n_b,
+       CAST(1000000 * p.n_shared // LEAST(na.n, nb.n) AS BIGINT)
+         AS overlap_micro6
+FROM wn_pairs p
+JOIN wn_nfp na ON na.doc_id = p.doc_a
+JOIN wn_nfp nb ON nb.doc_id = p.doc_b"""

@@ -590,6 +590,8 @@ EXPECTED_TAIL = [
     "soundex_blocks",
     # Continuation batch 201
     "stylometric_delta",
+    # Continuation batch 202
+    "winnow_dups",
 ]
 
 
