@@ -3194,6 +3194,13 @@ def q_winnow_dups(spark, sf_dir) -> DataFrame:
     return winnow_dups(_docs(spark, sf_dir))
 
 
+
+def q_anova_f(spark, sf_dir) -> DataFrame:
+    """One-way ANOVA F + eta-squared on doc length by language
+    (functions/textstats.anova_f)."""
+    return ts.anova_f(_docs(spark, sf_dir))
+
+
 def q_ta_depth_audit(spark, sf_dir) -> DataFrame:
     """Fagin TA stop-depth audit over (LM quality x doc length) per
     language (functions/textstats.ta_depth_audit)."""
@@ -3964,6 +3971,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # Continuation batch 202: winnowing fingerprints — appended
     # past position 50.
     "winnow_dups": q_winnow_dups,
+    # Continuation batch 203: one-way ANOVA F — appended past
+    # position 50.
+    "anova_f": q_anova_f,
 }
 
 

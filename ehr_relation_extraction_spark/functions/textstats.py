@@ -3924,3 +3924,70 @@ def stylometric_delta(docs: DataFrame, top_k: int = 30) -> DataFrame:
                  F.expr("CAST(SUM(ABS(_sa - _sb))"
                         " DIV COUNT(1) AS BIGINT)")
                  .alias("delta_micro6")))
+
+
+def anova_f(docs: DataFrame, group_col: str = "lang",
+            value_col: str = "n_chars") -> DataFrame:
+    """One-way ANOVA F statistic + eta-squared effect size across
+    group value distributions — the PARAMETRIC twin of
+    kruskal_wallis on the same decomposition the rank test blurs:
+    SST = SSB + SSW, with F = (SSB/(k-1)) / (SSW/(N-k)) and
+    eta2 = SSB/SST ("how much of the length variance does language
+    membership explain").  Running both and reading the gap is the
+    standard outlier diagnostic: ranks robust, means not.
+
+    Exactness: everything reduces to the integer sums S_g, n_g,
+    sum(x^2); the only non-integers are the S_g^2/n_g terms, which
+    are floored PER GROUP at micro6 scale (the harmonic_centrality
+    per-term-floor device, error <= k micro-units, identical in
+    both engines):
+
+        ssb_x1e6 = sum_g [1e6*S_g^2 div n_g] - [1e6*S^2 div N]
+        ssw_x1e6 = 1e6*sum(x^2) - sum_g [1e6*S_g^2 div n_g]
+
+    all in DECIMAL(38,0)/HUGEINT (1e6*sum(x^2) passes int64 around
+    3M docs).  f_milli3 = 1000 * ssb*(N-k) div (ssw*(k-1)),
+    eta2_micro6 = 1e6*ssb div (ssb+ssw).
+
+    Output: one row (k_groups, n_total, ssb_x1e6, ssw_x1e6,
+    f_milli3, eta2_micro6).
+
+    Scale shape: ONE corpus-sized (group) aggregate (map-side
+    combinable sums), then arithmetic over the bounded group table
+    — no windows, no joins but the 1-row composition.
+    """
+    per = (docs.groupBy(F.col(group_col).alias("_g"))
+           .agg(F.count(F.lit(1)).cast("long").alias("_n"),
+                F.sum(F.col(value_col)).cast("long").alias("_s"),
+                F.sum(F.col(value_col) * F.col(value_col))
+                .cast("long").alias("_s2")))
+    agg = per.agg(
+        F.count(F.lit(1)).cast("long").alias("k_groups"),
+        F.sum("_n").cast("long").alias("n_total"),
+        F.sum("_s").cast("long").alias("_st"),
+        F.sum("_s2").cast("long").alias("_s2t"),
+        F.sum(F.expr("(CAST(1000000 AS DECIMAL(38,0)) * _s * _s)"
+                     " div _n")).alias("_q"))
+    out = (agg
+           .withColumn("ssb_x1e6",
+                       F.expr("CAST(_q - (CAST(1000000 AS"
+                              " DECIMAL(38,0)) * _st * _st)"
+                              " div n_total AS DECIMAL(38,0))"))
+           .withColumn("ssw_x1e6",
+                       F.expr("CAST(CAST(1000000 AS DECIMAL(38,0))"
+                              " * _s2t - _q AS DECIMAL(38,0))")))
+    return out.select(
+        "k_groups", "n_total",
+        F.col("ssb_x1e6").cast("long").alias("ssb_x1e6"),
+        F.col("ssw_x1e6").cast("long").alias("ssw_x1e6"),
+        F.expr(
+            "CASE WHEN k_groups > 1 AND ssw_x1e6 > 0 THEN"
+            " CAST((CAST(1000 AS DECIMAL(38,0)) * ssb_x1e6"
+            " * (n_total - k_groups))"
+            " div (ssw_x1e6 * (k_groups - 1)) AS BIGINT)"
+            " ELSE CAST(0 AS BIGINT) END").alias("f_milli3"),
+        F.expr(
+            "CASE WHEN ssb_x1e6 + ssw_x1e6 > 0 THEN"
+            " CAST((CAST(1000000 AS DECIMAL(38,0)) * ssb_x1e6)"
+            " div (ssb_x1e6 + ssw_x1e6) AS BIGINT)"
+            " ELSE CAST(0 AS BIGINT) END").alias("eta2_micro6"))

@@ -11727,3 +11727,40 @@ SELECT p.doc_a, p.doc_b, p.n_shared,
 FROM wn_pairs p
 JOIN wn_nfp na ON na.doc_id = p.doc_a
 JOIN wn_nfp nb ON nb.doc_id = p.doc_b"""
+
+
+# ---------------------------------------------------------------------------
+# Continuation batch 203: one-way ANOVA F + eta-squared on doc
+# length by language (functions/textstats.anova_f).
+
+ORACLE["anova_f"] = """
+WITH af_per AS MATERIALIZED (
+  SELECT lang, CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(n_chars) AS BIGINT) AS s,
+         CAST(SUM(n_chars * n_chars) AS BIGINT) AS s2
+  FROM documents GROUP BY lang),
+af_a AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS k_groups,
+         CAST(SUM(n) AS BIGINT) AS n_total,
+         CAST(SUM(s) AS BIGINT) AS st,
+         CAST(SUM(s2) AS BIGINT) AS s2t,
+         SUM((CAST(1000000 AS HUGEINT) * s * s) // n) AS q
+  FROM af_per),
+af_b AS (
+  SELECT k_groups, n_total,
+         q - (CAST(1000000 AS HUGEINT) * st * st) // n_total
+           AS ssb,
+         CAST(1000000 AS HUGEINT) * s2t - q AS ssw
+  FROM af_a)
+SELECT k_groups, n_total,
+       CAST(ssb AS BIGINT) AS ssb_x1e6,
+       CAST(ssw AS BIGINT) AS ssw_x1e6,
+       CASE WHEN k_groups > 1 AND ssw > 0 THEN
+         CAST((CAST(1000 AS HUGEINT) * ssb * (n_total - k_groups))
+              // (ssw * (k_groups - 1)) AS BIGINT)
+       ELSE CAST(0 AS BIGINT) END AS f_milli3,
+       CASE WHEN ssb + ssw > 0 THEN
+         CAST((CAST(1000000 AS HUGEINT) * ssb) // (ssb + ssw)
+              AS BIGINT)
+       ELSE CAST(0 AS BIGINT) END AS eta2_micro6
+FROM af_b"""

@@ -592,6 +592,8 @@ EXPECTED_TAIL = [
     "stylometric_delta",
     # Continuation batch 202
     "winnow_dups",
+    # Continuation batch 203
+    "anova_f",
 ]
 
 
