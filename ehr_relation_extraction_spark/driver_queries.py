@@ -3201,6 +3201,13 @@ def q_anova_f(spark, sf_dir) -> DataFrame:
     return ts.anova_f(_docs(spark, sf_dir))
 
 
+
+def q_levene_test(spark, sf_dir) -> DataFrame:
+    """Brown-Forsythe variance-homogeneity test on doc length by
+    language (functions/textstats.levene_test)."""
+    return ts.levene_test(_docs(spark, sf_dir))
+
+
 def q_ta_depth_audit(spark, sf_dir) -> DataFrame:
     """Fagin TA stop-depth audit over (LM quality x doc length) per
     language (functions/textstats.ta_depth_audit)."""
@@ -3974,6 +3981,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # Continuation batch 203: one-way ANOVA F — appended past
     # position 50.
     "anova_f": q_anova_f,
+    # Continuation batch 204: Brown-Forsythe variance test —
+    # appended past position 50.
+    "levene_test": q_levene_test,
 }
 
 

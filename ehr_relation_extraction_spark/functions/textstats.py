@@ -3991,3 +3991,76 @@ def anova_f(docs: DataFrame, group_col: str = "lang",
             " CAST((CAST(1000000 AS DECIMAL(38,0)) * ssb_x1e6)"
             " div (ssb_x1e6 + ssw_x1e6) AS BIGINT)"
             " ELSE CAST(0 AS BIGINT) END").alias("eta2_micro6"))
+
+
+def levene_test(docs: DataFrame, group_col: str = "lang",
+                value_col: str = "n_chars") -> DataFrame:
+    """Brown-Forsythe test of variance homogeneity across groups —
+    the assumption check anova_f silently makes (equal within-group
+    spread) and kruskal_wallis sidesteps, and in its own right the
+    "is one language's length distribution WIDER" read the
+    location tests cannot see.  Brown-Forsythe = ANOVA-F computed
+    on z = |x - median_g| — the median-centered variant chosen
+    over classic Levene because the LOWER MEDIAN is integer-exact
+    and tie-deterministic (the host_outliers convention), while a
+    mean center would reintroduce rationals row-wise.
+
+    The z-deviations are integers, so the whole anova_f per-term-
+    floor machinery applies verbatim: w_milli3 = 1000 * SSB_z *
+    (N-k) div (SSW_z * (k-1)) in DECIMAL(38,0)/HUGEINT.
+
+    Output: one row (k_groups, n_total, ssb_z_x1e6, ssw_z_x1e6,
+    w_milli3).
+
+    Scale shape: one (group, value) histogram aggregate, the
+    median from a cumulative window over the bounded per-group
+    value domain, one value-keyed equi-join back, one group
+    aggregate — no corpus-sized window.
+    """
+    hist = (docs.groupBy(F.col(group_col).alias("_g"),
+                         F.col(value_col).alias("_v"))
+            .agg(F.count(F.lit(1)).cast("long").alias("_c")))
+    w = (Window.partitionBy("_g").orderBy("_v")
+         .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    h2 = (hist.withColumn("_cum", F.sum("_c").over(w))
+          .withColumn("_n", F.sum("_c").over(
+              Window.partitionBy("_g"))))
+    med = (h2.where(F.col("_cum") - F.col("_c")
+                    <= F.expr("(_n - 1) div 2"))
+           .where(F.col("_cum") > F.expr("(_n - 1) div 2"))
+           .select("_g", F.col("_v").alias("_med")))
+    z = (hist.join(med, "_g")
+         .select("_g",
+                 F.abs(F.col("_v") - F.col("_med")).alias("_z"),
+                 "_c"))
+    per = z.groupBy("_g").agg(
+        F.sum("_c").cast("long").alias("_n"),
+        F.sum(F.col("_z") * F.col("_c")).cast("long").alias("_s"),
+        F.sum(F.col("_z") * F.col("_z") * F.col("_c")).cast("long")
+        .alias("_s2"))
+    agg = per.agg(
+        F.count(F.lit(1)).cast("long").alias("k_groups"),
+        F.sum("_n").cast("long").alias("n_total"),
+        F.sum("_s").cast("long").alias("_st"),
+        F.sum("_s2").cast("long").alias("_s2t"),
+        F.sum(F.expr("(CAST(1000000 AS DECIMAL(38,0)) * _s * _s)"
+                     " div _n")).alias("_q"))
+    return (agg
+            .withColumn("ssb_z_x1e6",
+                        F.expr("CAST(_q - (CAST(1000000 AS"
+                               " DECIMAL(38,0)) * _st * _st)"
+                               " div n_total AS DECIMAL(38,0))"))
+            .withColumn("ssw_z_x1e6",
+                        F.expr("CAST(CAST(1000000 AS DECIMAL(38,0))"
+                               " * _s2t - _q AS DECIMAL(38,0))"))
+            .select(
+                "k_groups", "n_total",
+                F.col("ssb_z_x1e6").cast("long").alias("ssb_z_x1e6"),
+                F.col("ssw_z_x1e6").cast("long").alias("ssw_z_x1e6"),
+                F.expr(
+                    "CASE WHEN k_groups > 1 AND ssw_z_x1e6 > 0 THEN"
+                    " CAST((CAST(1000 AS DECIMAL(38,0))"
+                    " * ssb_z_x1e6 * (n_total - k_groups))"
+                    " div (ssw_z_x1e6 * (k_groups - 1)) AS BIGINT)"
+                    " ELSE CAST(0 AS BIGINT) END")
+                .alias("w_milli3")))

@@ -11764,3 +11764,53 @@ SELECT k_groups, n_total,
               AS BIGINT)
        ELSE CAST(0 AS BIGINT) END AS eta2_micro6
 FROM af_b"""
+
+
+# ---------------------------------------------------------------------------
+# Continuation batch 204: Brown-Forsythe variance-homogeneity test
+# (functions/textstats.levene_test).
+
+ORACLE["levene_test"] = """
+WITH lv_hist AS MATERIALIZED (
+  SELECT lang AS g, n_chars AS v, CAST(COUNT(*) AS BIGINT) AS c
+  FROM documents GROUP BY 1, 2),
+lv_c AS (
+  SELECT g, v, c,
+         SUM(c) OVER (PARTITION BY g ORDER BY v
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           AS cum,
+         SUM(c) OVER (PARTITION BY g) AS n
+  FROM lv_hist),
+lv_med AS (
+  SELECT g, v AS med FROM lv_c
+  WHERE cum - c <= (n - 1) // 2 AND cum > (n - 1) // 2),
+lv_z AS (
+  SELECT h.g, ABS(h.v - m.med) AS z, h.c
+  FROM lv_hist h JOIN lv_med m USING (g)),
+lv_per AS (
+  SELECT g, CAST(SUM(c) AS BIGINT) AS n,
+         CAST(SUM(z * c) AS BIGINT) AS s,
+         CAST(SUM(z * z * c) AS BIGINT) AS s2
+  FROM lv_z GROUP BY g),
+lv_a AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS k_groups,
+         CAST(SUM(n) AS BIGINT) AS n_total,
+         CAST(SUM(s) AS BIGINT) AS st,
+         CAST(SUM(s2) AS BIGINT) AS s2t,
+         SUM((CAST(1000000 AS HUGEINT) * s * s) // n) AS q
+  FROM lv_per),
+lv_b AS (
+  SELECT k_groups, n_total,
+         q - (CAST(1000000 AS HUGEINT) * st * st) // n_total
+           AS ssb,
+         CAST(1000000 AS HUGEINT) * s2t - q AS ssw
+  FROM lv_a)
+SELECT k_groups, n_total,
+       CAST(ssb AS BIGINT) AS ssb_z_x1e6,
+       CAST(ssw AS BIGINT) AS ssw_z_x1e6,
+       CASE WHEN k_groups > 1 AND ssw > 0 THEN
+         CAST((CAST(1000 AS HUGEINT) * ssb
+               * (n_total - k_groups))
+              // (ssw * (k_groups - 1)) AS BIGINT)
+       ELSE CAST(0 AS BIGINT) END AS w_milli3
+FROM lv_b"""

@@ -594,6 +594,8 @@ EXPECTED_TAIL = [
     "winnow_dups",
     # Continuation batch 203
     "anova_f",
+    # Continuation batch 204
+    "levene_test",
 ]
 
 
