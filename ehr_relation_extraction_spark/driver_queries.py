@@ -3208,6 +3208,14 @@ def q_levene_test(spark, sf_dir) -> DataFrame:
     return ts.levene_test(_docs(spark, sf_dir))
 
 
+
+def q_ols_trend(spark, sf_dir) -> DataFrame:
+    """Exact OLS daily-volume trend per event type
+    (operators/events.ols_trend)."""
+    from .operators.events import ols_trend
+    return ols_trend(spark.read.parquet(f"{sf_dir}/events.parquet"))
+
+
 def q_ta_depth_audit(spark, sf_dir) -> DataFrame:
     """Fagin TA stop-depth audit over (LM quality x doc length) per
     language (functions/textstats.ta_depth_audit)."""
@@ -3984,6 +3992,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # Continuation batch 204: Brown-Forsythe variance test —
     # appended past position 50.
     "levene_test": q_levene_test,
+    # Continuation batch 205: OLS daily trend — appended past
+    # position 50.
+    "ols_trend": q_ols_trend,
 }
 
 

@@ -1617,3 +1617,67 @@ def lead_lag(events: DataFrame, max_lag: int = 3) -> DataFrame:
                            (F.row_number().over(w) == 1).cast("int"))
             .select("type_a", "type_b", "lag", "n_days", "sx",
                     "sy", "sxy", "cov_num", "is_best"))
+
+
+def ols_trend(events: DataFrame) -> DataFrame:
+    """Exact OLS linear trend of each event type's daily volume —
+    the CLASSICAL companion to theil_sen_trend over the same
+    _day_grid: OLS is the textbook estimate every dashboard draws,
+    Theil-Sen is the robust one, and the GAP between the two slopes
+    is itself the outlier-day alarm (a single crawler-trap day drags
+    OLS, never the median-of-slopes).
+
+    Everything stays in exact integer rationals of the base sums
+    (n, Sx, Sy, Sxy, Sxx, Syy over day index x and volume y):
+
+        slope_micro6     = 1e6 * (n*Sxy - Sx*Sy) div (n*Sxx - Sx^2)
+        intercept_micro6 = 1e6 * (Sy*Sxx - Sx*Sxy) div (n*Sxx - Sx^2)
+        r2_micro6        = 1e6 * (n*Sxy - Sx*Sy)^2
+                           div ((n*Sxx - Sx^2) * (n*Syy - Sy^2))
+
+    in DECIMAL(38,0)/HUGEINT (the squared covariance numerator
+    overflows BIGINT past ~1e5-event days).  Degenerate cases
+    (single day, constant series) emit 0 with the guards visible.
+
+    Output per event type: (etype, n_days, sum_y, slope_micro6,
+    intercept_micro6, r2_micro6).
+
+    Scale shape: the shared bounded _day_grid, then ONE aggregate
+    per type — no joins, no additional windows.
+    """
+    grid = _day_grid(events)
+    w0 = Window.partitionBy("etype")
+    g = grid.withColumn("_x", (F.col("day_idx")
+                               - F.min("day_idx").over(w0))
+                        .cast("long"))
+    per = g.groupBy("etype").agg(
+        F.count(F.lit(1)).cast("long").alias("n_days"),
+        F.sum("_x").cast("long").alias("_sx"),
+        F.sum("r").cast("long").alias("sum_y"),
+        F.sum(F.col("_x") * F.col("r")).cast("long").alias("_sxy"),
+        F.sum(F.col("_x") * F.col("_x")).cast("long").alias("_sxx"),
+        F.sum(F.col("r") * F.col("r")).cast("long").alias("_syy"))
+    return per.select(
+        "etype", "n_days", "sum_y",
+        F.expr(
+            "CASE WHEN n_days * _sxx - _sx * _sx > 0 THEN"
+            " CAST((CAST(1000000 AS DECIMAL(38,0))"
+            " * (n_days * _sxy - _sx * sum_y))"
+            " div (n_days * _sxx - _sx * _sx) AS BIGINT)"
+            " ELSE CAST(0 AS BIGINT) END").alias("slope_micro6"),
+        F.expr(
+            "CASE WHEN n_days * _sxx - _sx * _sx > 0 THEN"
+            " CAST((CAST(1000000 AS DECIMAL(38,0))"
+            " * (sum_y * _sxx - _sx * _sxy))"
+            " div (n_days * _sxx - _sx * _sx) AS BIGINT)"
+            " ELSE CAST(0 AS BIGINT) END").alias("intercept_micro6"),
+        F.expr(
+            "CASE WHEN n_days * _sxx - _sx * _sx > 0 AND"
+            " n_days * _syy - sum_y * sum_y > 0 THEN"
+            " CAST((CAST(1000000 AS DECIMAL(38,0))"
+            " * (n_days * _sxy - _sx * sum_y)"
+            " * (n_days * _sxy - _sx * sum_y))"
+            " div (CAST(n_days * _sxx - _sx * _sx"
+            " AS DECIMAL(38,0))"
+            " * (n_days * _syy - sum_y * sum_y)) AS BIGINT)"
+            " ELSE CAST(0 AS BIGINT) END").alias("r2_micro6"))

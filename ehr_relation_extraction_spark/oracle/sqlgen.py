@@ -11814,3 +11814,58 @@ SELECT k_groups, n_total,
               // (ssw * (k_groups - 1)) AS BIGINT)
        ELSE CAST(0 AS BIGINT) END AS w_milli3
 FROM lv_b"""
+
+
+# ---------------------------------------------------------------------------
+# Continuation batch 205: exact OLS trend per event-type daily
+# series (operators/events.ols_trend) — the fano_factor dense grid.
+
+ORACLE["ols_trend"] = """
+WITH ot_day AS (
+  SELECT CAST(epoch_us(ts) // 86400000000 AS INT) AS day_idx,
+         event_type AS etype
+  FROM events),
+ot_spine AS (SELECT DISTINCT day_idx FROM ot_day),
+ot_types AS (SELECT DISTINCT etype FROM ot_day),
+ot_sparse AS (
+  SELECT etype, day_idx, CAST(COUNT(*) AS BIGINT) AS r
+  FROM ot_day GROUP BY 1, 2),
+ot_grid AS (
+  SELECT t.etype, s.day_idx, COALESCE(x.r, 0) AS r
+  FROM ot_types t CROSS JOIN ot_spine s
+  LEFT JOIN ot_sparse x USING (etype, day_idx)),
+ot_x AS (
+  SELECT etype,
+         CAST(day_idx - MIN(day_idx) OVER (PARTITION BY etype)
+              AS BIGINT) AS x,
+         r
+  FROM ot_grid),
+ot_per AS (
+  SELECT etype,
+         CAST(COUNT(*) AS BIGINT) AS n_days,
+         CAST(SUM(x) AS BIGINT) AS sx,
+         CAST(SUM(r) AS BIGINT) AS sum_y,
+         CAST(SUM(x * r) AS BIGINT) AS sxy,
+         CAST(SUM(x * x) AS BIGINT) AS sxx,
+         CAST(SUM(r * r) AS BIGINT) AS syy
+  FROM ot_x GROUP BY etype)
+SELECT etype, n_days, sum_y,
+       CASE WHEN n_days * sxx - sx * sx > 0 THEN
+         CAST((CAST(1000000 AS HUGEINT)
+               * (n_days * sxy - sx * sum_y))
+              // (n_days * sxx - sx * sx) AS BIGINT)
+       ELSE CAST(0 AS BIGINT) END AS slope_micro6,
+       CASE WHEN n_days * sxx - sx * sx > 0 THEN
+         CAST((CAST(1000000 AS HUGEINT)
+               * (sum_y * sxx - sx * sxy))
+              // (n_days * sxx - sx * sx) AS BIGINT)
+       ELSE CAST(0 AS BIGINT) END AS intercept_micro6,
+       CASE WHEN n_days * sxx - sx * sx > 0 AND
+                 n_days * syy - sum_y * sum_y > 0 THEN
+         CAST((CAST(1000000 AS HUGEINT)
+               * (n_days * sxy - sx * sum_y)
+               * (n_days * sxy - sx * sum_y))
+              // (CAST(n_days * sxx - sx * sx AS HUGEINT)
+                  * (n_days * syy - sum_y * sum_y)) AS BIGINT)
+       ELSE CAST(0 AS BIGINT) END AS r2_micro6
+FROM ot_per"""

@@ -188,6 +188,9 @@ ALLOWED = {
     # crossJoin, re-planned for both profile pair sides — the
     # doclen_drift two-sided grid class
     "stylometric_delta": (0, 2),
+    # _day_grid bounded crossJoin, read once (the fano_factor
+    # class)
+    "ols_trend": (0, 1),
 }
 
 

@@ -596,6 +596,8 @@ EXPECTED_TAIL = [
     "anova_f",
     # Continuation batch 204
     "levene_test",
+    # Continuation batch 205
+    "ols_trend",
 ]
 
 
