@@ -3216,6 +3216,13 @@ def q_ols_trend(spark, sf_dir) -> DataFrame:
     return ols_trend(spark.read.parquet(f"{sf_dir}/events.parquet"))
 
 
+
+def q_fleiss_kappa(spark, sf_dir) -> DataFrame:
+    """Fleiss' kappa agreement across the three curation gates
+    (functions/textstats.fleiss_kappa)."""
+    return ts.fleiss_kappa(_docs(spark, sf_dir))
+
+
 def q_ta_depth_audit(spark, sf_dir) -> DataFrame:
     """Fagin TA stop-depth audit over (LM quality x doc length) per
     language (functions/textstats.ta_depth_audit)."""
@@ -3995,6 +4002,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # Continuation batch 205: OLS daily trend — appended past
     # position 50.
     "ols_trend": q_ols_trend,
+    # Continuation batch 206: Fleiss' kappa gate agreement —
+    # appended past position 50.
+    "fleiss_kappa": q_fleiss_kappa,
 }
 
 

@@ -4064,3 +4064,65 @@ def levene_test(docs: DataFrame, group_col: str = "lang",
                     " div (ssw_z_x1e6 * (k_groups - 1)) AS BIGINT)"
                     " ELSE CAST(0 AS BIGINT) END")
                 .alias("w_milli3")))
+
+
+def fleiss_kappa(docs: DataFrame) -> DataFrame:
+    """Fleiss' kappa across the three cheap curation gates as
+    raters — the chance-corrected AGREEMENT number that completes
+    the gate-comparison family: mcnemar_gates tests whether two
+    gates pass at the same RATE, cochran_q whether k gates do,
+    fleiss_kappa asks the different question "do they agree on the
+    SAME documents beyond chance" (two gates can have identical
+    pass rates while disagreeing on every single doc).
+
+    With k = 3 binary raters, per-doc agreement P_i = [r(r-1) +
+    (3-r)(2-r)]/6 for r = per-doc pass count (a row expression),
+    and with N docs, S = sum r, E = S^2 + (3N-S)^2:
+
+        kappa_micro6 = 1e6 * (3N*sum_i[r(r-1)+(3-r)(2-r)] - 2E)
+                       div (2 * (9N^2 - E))
+
+    — the fully cross-multiplied exact rational (DECIMAL(38,0) /
+    HUGEINT); the degenerate Pe = 1 case (all verdicts identical
+    corpus-wide) emits 0 by the standard convention.
+
+    Output per language: (lang, n_docs, sum_r, agree_num,
+    kappa_micro6).
+
+    Scale shape: one narrow map (gates are row expressions) + one
+    bounded groupBy(lang) — no joins, no windows.
+    """
+    toks = _toks()
+    stop = F.array(*[F.lit(s) for s in STOPWORDS])
+    n_tokens = F.size(toks)
+    n_stop = F.size(F.filter(toks,
+                             lambda t: F.array_contains(stop,
+                                                        F.lower(t))))
+    n_dist = F.size(F.array_distinct(toks))
+    r = ((F.length("text") >= 200).cast("long")
+         + (F.lit(20) * n_stop >= n_tokens).cast("long")
+         + (F.lit(3) * n_dist >= n_tokens).cast("long"))
+    gated = docs.select("lang", r.alias("_r"))
+    agg = gated.groupBy("lang").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum("_r").cast("long").alias("sum_r"),
+        F.sum(F.col("_r") * (F.col("_r") - 1)
+              + (3 - F.col("_r")) * (2 - F.col("_r")))
+        .cast("long").alias("agree_num"))
+    return agg.select(
+        "lang", "n_docs", "sum_r", "agree_num",
+        F.expr(
+            "CASE WHEN 9 * CAST(n_docs AS DECIMAL(38,0)) * n_docs"
+            " - (CAST(sum_r AS DECIMAL(38,0)) * sum_r"
+            "    + CAST(3 * n_docs - sum_r AS DECIMAL(38,0))"
+            "      * (3 * n_docs - sum_r)) > 0 THEN"
+            " CAST((CAST(1000000 AS DECIMAL(38,0))"
+            " * (3 * CAST(n_docs AS DECIMAL(38,0)) * agree_num"
+            "    - 2 * (CAST(sum_r AS DECIMAL(38,0)) * sum_r"
+            "       + CAST(3 * n_docs - sum_r AS DECIMAL(38,0))"
+            "         * (3 * n_docs - sum_r))))"
+            " div (2 * (9 * CAST(n_docs AS DECIMAL(38,0)) * n_docs"
+            " - (CAST(sum_r AS DECIMAL(38,0)) * sum_r"
+            "    + CAST(3 * n_docs - sum_r AS DECIMAL(38,0))"
+            "      * (3 * n_docs - sum_r)))) AS BIGINT)"
+            " ELSE CAST(0 AS BIGINT) END").alias("kappa_micro6"))

@@ -11869,3 +11869,53 @@ SELECT etype, n_days, sum_y,
                   * (n_days * syy - sum_y * sum_y)) AS BIGINT)
        ELSE CAST(0 AS BIGINT) END AS r2_micro6
 FROM ot_per"""
+
+
+# ---------------------------------------------------------------------------
+# Continuation batch 206: Fleiss' kappa across the three curation
+# gates as raters (functions/textstats.fleiss_kappa).
+
+ORACLE["fleiss_kappa"] = f"""
+WITH fk_toks AS (
+  SELECT doc_id,
+         unnest(string_split_regex(text, '{SEP_CLASS}')) AS tok
+  FROM documents),
+fk_counts AS (
+  SELECT doc_id, COUNT(*) AS n_tokens,
+         SUM(CASE WHEN lower(tok) IN ({_STOP_IN}) THEN 1 ELSE 0 END)
+           AS n_stop,
+         COUNT(DISTINCT tok) AS n_dist
+  FROM fk_toks WHERE tok <> '' GROUP BY 1),
+fk_r AS MATERIALIZED (
+  SELECT d.lang,
+         CAST(CASE WHEN length(d.text) >= 200 THEN 1 ELSE 0 END
+              + CASE WHEN 20 * COALESCE(c.n_stop, 0)
+                          >= COALESCE(c.n_tokens, 0)
+                     THEN 1 ELSE 0 END
+              + CASE WHEN 3 * COALESCE(c.n_dist, 0)
+                          >= COALESCE(c.n_tokens, 0)
+                     THEN 1 ELSE 0 END AS BIGINT) AS r
+  FROM documents d LEFT JOIN fk_counts c ON c.doc_id = d.doc_id),
+fk_a AS (
+  SELECT lang,
+         CAST(COUNT(*) AS BIGINT) AS n_docs,
+         CAST(SUM(r) AS BIGINT) AS sum_r,
+         CAST(SUM(r * (r - 1) + (3 - r) * (2 - r)) AS BIGINT)
+           AS agree_num
+  FROM fk_r GROUP BY lang)
+SELECT lang, n_docs, sum_r, agree_num,
+       CASE WHEN 9 * CAST(n_docs AS HUGEINT) * n_docs
+                 - (CAST(sum_r AS HUGEINT) * sum_r
+                    + CAST(3 * n_docs - sum_r AS HUGEINT)
+                      * (3 * n_docs - sum_r)) > 0 THEN
+         CAST((CAST(1000000 AS HUGEINT)
+               * (3 * CAST(n_docs AS HUGEINT) * agree_num
+                  - 2 * (CAST(sum_r AS HUGEINT) * sum_r
+                     + CAST(3 * n_docs - sum_r AS HUGEINT)
+                       * (3 * n_docs - sum_r))))
+              // (2 * (9 * CAST(n_docs AS HUGEINT) * n_docs
+                  - (CAST(sum_r AS HUGEINT) * sum_r
+                     + CAST(3 * n_docs - sum_r AS HUGEINT)
+                       * (3 * n_docs - sum_r)))) AS BIGINT)
+       ELSE CAST(0 AS BIGINT) END AS kappa_micro6
+FROM fk_a"""

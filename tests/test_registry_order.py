@@ -598,6 +598,8 @@ EXPECTED_TAIL = [
     "levene_test",
     # Continuation batch 205
     "ols_trend",
+    # Continuation batch 206
+    "fleiss_kappa",
 ]
 
 
