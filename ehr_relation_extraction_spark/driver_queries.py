@@ -3223,6 +3223,13 @@ def q_fleiss_kappa(spark, sf_dir) -> DataFrame:
     return ts.fleiss_kappa(_docs(spark, sf_dir))
 
 
+
+def q_capture_recapture(spark, sf_dir) -> DataFrame:
+    """Lincoln-Petersen / Chapman crawl-coverage estimate per host
+    (functions/textstats.capture_recapture)."""
+    return ts.capture_recapture(_docs(spark, sf_dir))
+
+
 def q_ta_depth_audit(spark, sf_dir) -> DataFrame:
     """Fagin TA stop-depth audit over (LM quality x doc length) per
     language (functions/textstats.ta_depth_audit)."""
@@ -4005,6 +4012,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # Continuation batch 206: Fleiss' kappa gate agreement —
     # appended past position 50.
     "fleiss_kappa": q_fleiss_kappa,
+    # Continuation batch 207: capture-recapture coverage — appended
+    # past position 50.
+    "capture_recapture": q_capture_recapture,
 }
 
 

@@ -4126,3 +4126,52 @@ def fleiss_kappa(docs: DataFrame) -> DataFrame:
             "    + CAST(3 * n_docs - sum_r AS DECIMAL(38,0))"
             "      * (3 * n_docs - sum_r)))) AS BIGINT)"
             " ELSE CAST(0 AS BIGINT) END").alias("kappa_micro6"))
+
+
+def capture_recapture(docs: DataFrame) -> DataFrame:
+    """Lincoln-Petersen / Chapman capture-recapture estimate of the
+    per-host URL population from two independent crawl passes — the
+    mark-recapture answer to "how much of this host have we NOT
+    crawled yet", the ecology estimator that complements Chao1
+    exactly: Chao1 bounds the unseen VOCABULARY from singleton
+    counts, capture-recapture bounds the unseen PAGE population
+    from two-pass overlap (n1*n2/m), and a host whose estimate far
+    exceeds its observed union is under-crawled.
+
+    The two passes are synthesized deterministically (single-crawl
+    corpus, the triple_snapshots md5-presence device): pass g
+    captures doc d iff the first md5 nibble of "g|doc_id" >= 3
+    (~81% each) — so the TRUE population is known here and the
+    estimator's accuracy is itself part of the audit.  Chapman's
+    (n1+1)(n2+1)/(m+1) - 1 form rides along (bias-corrected, exact
+    integer floor, defined even at m = 0).
+
+    Output per host: (source, n_true, n_cap1, n_cap2, n_both,
+    lp_est, chapman_est) — lp_est = n1*n2 div m (0 when m = 0).
+
+    Scale shape: one narrow map (the capture flags are row
+    expressions of doc_id) + one bounded groupBy(source) — no
+    joins, no windows.
+    """
+    def nib(g: int):
+        return F.expr(
+            "instr('0123456789abcdef', substring(md5(concat("
+            f"'{g}', '|', CAST(doc_id AS STRING))), 1, 1)) - 1")
+
+    flagged = docs.select(
+        "source",
+        (nib(0) >= 3).cast("long").alias("_c1"),
+        (nib(1) >= 3).cast("long").alias("_c2"))
+    agg = flagged.groupBy("source").agg(
+        F.count(F.lit(1)).cast("long").alias("n_true"),
+        F.sum("_c1").cast("long").alias("n_cap1"),
+        F.sum("_c2").cast("long").alias("n_cap2"),
+        F.sum(F.col("_c1") * F.col("_c2")).cast("long")
+        .alias("n_both"))
+    return agg.select(
+        "source", "n_true", "n_cap1", "n_cap2", "n_both",
+        F.expr("CASE WHEN n_both > 0 THEN"
+               " CAST(n_cap1 * n_cap2 DIV n_both AS BIGINT)"
+               " ELSE CAST(0 AS BIGINT) END").alias("lp_est"),
+        F.expr("CAST((n_cap1 + 1) * (n_cap2 + 1) DIV (n_both + 1)"
+               " - 1 AS BIGINT)").alias("chapman_est"))

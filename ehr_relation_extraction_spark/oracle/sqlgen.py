@@ -11919,3 +11919,34 @@ SELECT lang, n_docs, sum_r, agree_num,
                        * (3 * n_docs - sum_r)))) AS BIGINT)
        ELSE CAST(0 AS BIGINT) END AS kappa_micro6
 FROM fk_a"""
+
+
+# ---------------------------------------------------------------------------
+# Continuation batch 207: Lincoln-Petersen / Chapman crawl-coverage
+# estimate (functions/textstats.capture_recapture) — the
+# triple_snapshots md5-presence device as two capture passes.
+
+ORACLE["capture_recapture"] = """
+WITH cr_f AS MATERIALIZED (
+  SELECT source,
+         CASE WHEN instr('0123456789abcdef', substr(md5(
+                  '0' || '|' || CAST(doc_id AS VARCHAR)), 1, 1))
+                  - 1 >= 3 THEN 1 ELSE 0 END AS c1,
+         CASE WHEN instr('0123456789abcdef', substr(md5(
+                  '1' || '|' || CAST(doc_id AS VARCHAR)), 1, 1))
+                  - 1 >= 3 THEN 1 ELSE 0 END AS c2
+  FROM documents),
+cr_a AS (
+  SELECT source,
+         CAST(COUNT(*) AS BIGINT) AS n_true,
+         CAST(SUM(c1) AS BIGINT) AS n_cap1,
+         CAST(SUM(c2) AS BIGINT) AS n_cap2,
+         CAST(SUM(c1 * c2) AS BIGINT) AS n_both
+  FROM cr_f GROUP BY source)
+SELECT source, n_true, n_cap1, n_cap2, n_both,
+       CASE WHEN n_both > 0
+         THEN CAST(n_cap1 * n_cap2 // n_both AS BIGINT)
+         ELSE CAST(0 AS BIGINT) END AS lp_est,
+       CAST((n_cap1 + 1) * (n_cap2 + 1) // (n_both + 1) - 1
+            AS BIGINT) AS chapman_est
+FROM cr_a"""

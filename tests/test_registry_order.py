@@ -600,6 +600,8 @@ EXPECTED_TAIL = [
     "ols_trend",
     # Continuation batch 206
     "fleiss_kappa",
+    # Continuation batch 207
+    "capture_recapture",
 ]
 
 
