@@ -3230,6 +3230,13 @@ def q_capture_recapture(spark, sf_dir) -> DataFrame:
     return ts.capture_recapture(_docs(spark, sf_dir))
 
 
+
+def q_stump_split(spark, sf_dir) -> DataFrame:
+    """Exact decision-stump split search over the three cheap
+    signals vs the English label (functions/textstats.stump_split)."""
+    return ts.stump_split(_docs(spark, sf_dir))
+
+
 def q_ta_depth_audit(spark, sf_dir) -> DataFrame:
     """Fagin TA stop-depth audit over (LM quality x doc length) per
     language (functions/textstats.ta_depth_audit)."""
@@ -4015,6 +4022,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # Continuation batch 207: capture-recapture coverage — appended
     # past position 50.
     "capture_recapture": q_capture_recapture,
+    # Continuation batch 208: decision-stump split search —
+    # appended past position 50.
+    "stump_split": q_stump_split,
 }
 
 

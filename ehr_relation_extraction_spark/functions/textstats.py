@@ -4175,3 +4175,94 @@ def capture_recapture(docs: DataFrame) -> DataFrame:
                " ELSE CAST(0 AS BIGINT) END").alias("lp_est"),
         F.expr("CAST((n_cap1 + 1) * (n_cap2 + 1) DIV (n_both + 1)"
                " - 1 AS BIGINT)").alias("chapman_est"))
+
+
+def stump_split(docs: DataFrame) -> DataFrame:
+    """Exact decision-stump split search — the CART building block,
+    run over the three cheap per-doc signals (char length,
+    distinct-token count, stopword count) against the English
+    label: for every candidate threshold t of each feature, the
+    weighted Gini impurity of the (x <= t | x > t) split, and the
+    argmin.  This is the supervised complement of the correlation
+    family (quality_auc ranks thresholds-free, this one picks THE
+    threshold a one-rule classifier would ship) and the exact
+    version of what every tree learner does greedily.
+
+    Integer exactness: with nL/pL cumulative counts from the
+    feature's value histogram, the weighted cost at micro6 scale is
+
+        cost(t) = 1e6*(nL^2 - pL^2 - (nL-pL)^2) div nL
+                + 1e6*(nR^2 - pR^2 - (nR-pR)^2) div nR
+
+    (per-side floors — the established device; n*gini(n,p) =
+    (n^2 - p^2 - (n-p)^2)/n); the argmin tie-breaks to the
+    smallest threshold.  The root impurity and the gain ride
+    along.
+
+    Output: one row per feature (feature, best_threshold, n_left,
+    pos_left, n_right, pos_right, cost_micro6, root_micro6,
+    gain_micro6).
+
+    Scale shape: per feature, ONE corpus-sized (value) histogram
+    aggregate; the cumulative window and the argmin run over the
+    bounded value domain (the doclen_percentiles discipline).
+    """
+    toks = _toks()
+    stop = F.array(*[F.lit(s) for s in STOPWORDS])
+    feats = [
+        ("n_chars", F.length("text").cast("long")),
+        ("n_distinct", F.size(F.array_distinct(toks)).cast("long")),
+        ("n_stop", F.size(F.filter(
+            toks, lambda t: F.array_contains(stop, F.lower(t))))
+         .cast("long")),
+    ]
+    y = (F.col("lang") == "en").cast("long")
+    outs = []
+    for name, expr in feats:
+        hist = (docs.select(expr.alias("_v"), y.alias("_y"))
+                .groupBy("_v")
+                .agg(F.count(F.lit(1)).cast("long").alias("_c"),
+                     F.sum("_y").cast("long").alias("_p")))
+        w = Window.orderBy("_v").rowsBetween(
+            Window.unboundedPreceding, Window.currentRow)
+        wt = Window.partitionBy(F.lit(1))
+        g = (hist
+             .withColumn("_nl", F.sum("_c").over(w).cast("long"))
+             .withColumn("_pl", F.sum("_p").over(w).cast("long"))
+             .withColumn("_n", F.sum("_c").over(wt).cast("long"))
+             .withColumn("_pt", F.sum("_p").over(wt).cast("long"))
+             .where(F.col("_nl") < F.col("_n"))
+             .withColumn("_nr", (F.col("_n") - F.col("_nl"))
+                         .cast("long"))
+             .withColumn("_pr", (F.col("_pt") - F.col("_pl"))
+                         .cast("long"))
+             .withColumn("cost_micro6", F.expr(
+                 "CAST((CAST(1000000 AS DECIMAL(38,0))"
+                 " * (_nl * _nl - _pl * _pl"
+                 "    - (_nl - _pl) * (_nl - _pl))) div _nl"
+                 " + (CAST(1000000 AS DECIMAL(38,0))"
+                 " * (_nr * _nr - _pr * _pr"
+                 "    - (_nr - _pr) * (_nr - _pr))) div _nr"
+                 " AS BIGINT)"))
+             .withColumn("root_micro6", F.expr(
+                 "CAST((CAST(1000000 AS DECIMAL(38,0))"
+                 " * (_n * _n - _pt * _pt"
+                 "    - (_n - _pt) * (_n - _pt))) div _n"
+                 " AS BIGINT)"))
+             .withColumn("_rk", F.row_number().over(
+                 Window.orderBy("cost_micro6", "_v")))
+             .where(F.col("_rk") == 1))
+        outs.append(g.select(
+            F.lit(name).alias("feature"),
+            F.col("_v").cast("long").alias("best_threshold"),
+            F.col("_nl").alias("n_left"),
+            F.col("_pl").alias("pos_left"),
+            F.col("_nr").alias("n_right"),
+            F.col("_pr").alias("pos_right"),
+            "cost_micro6", "root_micro6",
+            (F.col("root_micro6") - F.col("cost_micro6"))
+            .cast("long").alias("gain_micro6")))
+    out = outs[0]
+    for o in outs[1:]:
+        out = out.unionAll(o)
+    return out

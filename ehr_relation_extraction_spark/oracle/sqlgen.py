@@ -11950,3 +11950,80 @@ SELECT source, n_true, n_cap1, n_cap2, n_both,
        CAST((n_cap1 + 1) * (n_cap2 + 1) // (n_both + 1) - 1
             AS BIGINT) AS chapman_est
 FROM cr_a"""
+
+
+# ---------------------------------------------------------------------------
+# Continuation batch 208: exact decision-stump split search over the
+# three cheap signals (functions/textstats.stump_split).
+
+def _stump_block(name: str, vexpr: str) -> str:
+    return f"""
+sp_h_{name} AS (
+  SELECT v, CAST(COUNT(*) AS BIGINT) AS c,
+         CAST(SUM(y) AS BIGINT) AS p
+  FROM (SELECT {vexpr} AS v, y FROM sp_f) GROUP BY v),
+sp_g_{name} AS (
+  SELECT *, CAST(n - nl AS BIGINT) AS nr,
+         CAST(pt - pl AS BIGINT) AS pr
+  FROM (
+    SELECT v,
+           CAST(SUM(c) OVER (ORDER BY v ROWS BETWEEN UNBOUNDED
+               PRECEDING AND CURRENT ROW) AS BIGINT) AS nl,
+           CAST(SUM(p) OVER (ORDER BY v ROWS BETWEEN UNBOUNDED
+               PRECEDING AND CURRENT ROW) AS BIGINT) AS pl,
+           CAST(SUM(c) OVER () AS BIGINT) AS n,
+           CAST(SUM(p) OVER () AS BIGINT) AS pt
+    FROM sp_h_{name})
+  WHERE nl < n),
+sp_b_{name} AS (
+  SELECT '{name}' AS feature, v AS best_threshold,
+         nl AS n_left, pl AS pos_left, nr AS n_right,
+         pr AS pos_right, cost_micro6,
+         CAST((CAST(1000000 AS HUGEINT)
+               * (n * n - pt * pt - (n - pt) * (n - pt))) // n
+              AS BIGINT) AS root_micro6
+  FROM (
+    SELECT *,
+           CAST((CAST(1000000 AS HUGEINT)
+                 * (nl * nl - pl * pl - (nl - pl) * (nl - pl)))
+                // nl
+                + (CAST(1000000 AS HUGEINT)
+                   * (nr * nr - pr * pr - (nr - pr) * (nr - pr)))
+                // nr AS BIGINT) AS cost_micro6,
+           ROW_NUMBER() OVER (ORDER BY
+             CAST((CAST(1000000 AS HUGEINT)
+                 * (nl * nl - pl * pl - (nl - pl) * (nl - pl)))
+                // nl
+                + (CAST(1000000 AS HUGEINT)
+                   * (nr * nr - pr * pr - (nr - pr) * (nr - pr)))
+                // nr AS BIGINT), v) AS rk
+    FROM sp_g_{name})
+  WHERE rk = 1)"""
+
+
+ORACLE["stump_split"] = f"""
+WITH sp_toks AS (
+  SELECT doc_id,
+         unnest(string_split_regex(text, '{SEP_CLASS}')) AS tok
+  FROM documents),
+sp_counts AS (
+  SELECT doc_id,
+         COUNT(DISTINCT tok) AS n_dist,
+         SUM(CASE WHEN lower(tok) IN ({_STOP_IN}) THEN 1 ELSE 0 END)
+           AS n_stop
+  FROM sp_toks WHERE tok <> '' GROUP BY 1),
+sp_f AS MATERIALIZED (
+  SELECT CAST(length(d.text) AS BIGINT) AS n_chars,
+         CAST(COALESCE(c.n_dist, 0) AS BIGINT) AS n_distinct,
+         CAST(COALESCE(c.n_stop, 0) AS BIGINT) AS n_stop,
+         CASE WHEN d.lang = 'en' THEN 1 ELSE 0 END AS y
+  FROM documents d LEFT JOIN sp_counts c ON c.doc_id = d.doc_id),
+{_stump_block('n_chars', 'n_chars')},
+{_stump_block('n_distinct', 'n_distinct')},
+{_stump_block('n_stop', 'n_stop')}
+SELECT feature, best_threshold, n_left, pos_left, n_right,
+       pos_right, cost_micro6, root_micro6,
+       CAST(root_micro6 - cost_micro6 AS BIGINT) AS gain_micro6
+FROM (SELECT * FROM sp_b_n_chars
+      UNION ALL SELECT * FROM sp_b_n_distinct
+      UNION ALL SELECT * FROM sp_b_n_stop)"""

@@ -602,6 +602,8 @@ EXPECTED_TAIL = [
     "fleiss_kappa",
     # Continuation batch 207
     "capture_recapture",
+    # Continuation batch 208
+    "stump_split",
 ]
 
 
