@@ -3237,6 +3237,13 @@ def q_stump_split(spark, sf_dir) -> DataFrame:
     return ts.stump_split(_docs(spark, sf_dir))
 
 
+
+def q_bradley_terry(spark, sf_dir) -> DataFrame:
+    """Bradley-Terry host abilities from per-language median-length
+    tournaments (functions/textstats.bradley_terry)."""
+    return ts.bradley_terry(_docs(spark, sf_dir))
+
+
 def q_ta_depth_audit(spark, sf_dir) -> DataFrame:
     """Fagin TA stop-depth audit over (LM quality x doc length) per
     language (functions/textstats.ta_depth_audit)."""
@@ -4025,6 +4032,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # Continuation batch 208: decision-stump split search —
     # appended past position 50.
     "stump_split": q_stump_split,
+    # Continuation batch 209: Bradley-Terry pairwise ranking —
+    # appended past position 50.
+    "bradley_terry": q_bradley_terry,
 }
 
 

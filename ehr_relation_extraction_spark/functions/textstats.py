@@ -4266,3 +4266,98 @@ def stump_split(docs: DataFrame) -> DataFrame:
     for o in outs[1:]:
         out = out.unionAll(o)
     return out
+
+
+def bradley_terry(docs: DataFrame, n_iter: int = 5,
+                  scale: int = 10**6) -> DataFrame:
+    """Bradley-Terry ability scores for hosts from pairwise
+    comparisons, fit by Hunter's MM iteration in integer fixed
+    point — the pairwise-preference ranking family (the model
+    beneath Elo and every LLM preference leaderboard), absent from
+    the rank-statistics suite until now: where kendall_w asks "do
+    rankers agree", Bradley-Terry turns raw pairwise WINS into a
+    strength scale with transitive structure.
+
+    Comparisons are synthesized deterministically from the corpus
+    (no preference logs exist): within each language, host a beats
+    host b iff a's lower-median doc length exceeds b's (ties are
+    skipped) — so every language contributes one round-robin
+    tournament and n_ij <= n_languages.
+
+    MM update (Hunter 2004), quantized (the pagerank_fixed
+    discipline — per-pair floors, renormalized to max = scale each
+    round so the chain cannot drift):
+
+        denom_i = sum_j n_ij * scale^2 div (g_i + g_j)
+        g_i'    = wins_i * scale^2 div denom_i, then
+        g_i''   = g_i' * scale div max_j g_j'
+
+    Output per host: (source, wins, matches, gamma_u) — gamma_u in
+    units of 1/scale, winner pinned at scale.
+
+    Scale shape: one (lang, host) median from the bounded value
+    histogram; everything after runs over the bounded host-pair
+    table; the per-round max is a 1-row lazy broadcast crossJoin.
+    """
+    hist = (docs.groupBy("lang", F.col("source").alias("_h"),
+                         F.col("n_chars").alias("_v"))
+            .agg(F.count(F.lit(1)).cast("long").alias("_c")))
+    w = (Window.partitionBy("lang", "_h").orderBy("_v")
+         .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    h2 = (hist.withColumn("_cum", F.sum("_c").over(w))
+          .withColumn("_n", F.sum("_c").over(
+              Window.partitionBy("lang", "_h"))))
+    med = (h2.where((F.col("_cum") - F.col("_c")
+                     <= F.expr("(_n - 1) div 2"))
+                    & (F.col("_cum") > F.expr("(_n - 1) div 2")))
+           .select("lang", "_h", F.col("_v").alias("_med")))
+    a = med.select("lang", F.col("_h").alias("_a"),
+                   F.col("_med").alias("_ma"))
+    b = med.select("lang", F.col("_h").alias("_b"),
+                   F.col("_med").alias("_mb"))
+    games = (a.join(b, "lang")
+             .where(F.col("_a") != F.col("_b"))
+             .where(F.col("_ma") != F.col("_mb"))
+             .select("_a", "_b",
+                     (F.col("_ma") > F.col("_mb")).cast("long")
+                     .alias("_win")))
+    pair = (games.groupBy("_a", "_b")
+            .agg(F.count(F.lit(1)).cast("long").alias("_n_ij"),
+                 F.sum("_win").cast("long").alias("_w_ij"))
+            .localCheckpoint())
+    per = pair.groupBy("_a").agg(
+        F.sum("_w_ij").cast("long").alias("wins"),
+        F.sum("_n_ij").cast("long").alias("matches")) \
+        .localCheckpoint()
+    g = per.select(F.col("_a").alias("_h"),
+                   F.lit(scale).cast("long").alias("_g"))
+    for _ in range(n_iter):
+        gj = g.select(F.col("_h").alias("_b"),
+                      F.col("_g").alias("_gb"))
+        den = (pair.join(g.withColumnRenamed("_h", "_a"), "_a")
+               .join(gj, "_b")
+               .groupBy("_a")
+               .agg(F.sum(F.expr(
+                   f"(_n_ij * CAST({scale * scale} AS"
+                   " DECIMAL(38,0))) div (_g + _gb)"))
+                   .cast("long").alias("_den")))
+        raw = (per.join(den, "_a")
+               .select(F.col("_a").alias("_h"),
+                       F.expr(
+                           f"CASE WHEN _den > 0 THEN CAST((wins"
+                           f" * CAST({scale * scale} AS"
+                           " DECIMAL(38,0))) div _den AS BIGINT)"
+                           " ELSE CAST(0 AS BIGINT) END")
+                       .alias("_gr")))
+        mx = raw.agg(F.max("_gr").alias("_mx"))
+        g = (raw.crossJoin(F.broadcast(mx))  # 1-row scalar
+             .select("_h",
+                     F.expr(f"CASE WHEN _mx > 0 THEN"
+                            f" CAST((_gr * {scale}) div _mx"
+                            " AS BIGINT)"
+                            " ELSE CAST(0 AS BIGINT) END")
+                     .alias("_g"))
+             .localCheckpoint())
+    return (per.join(g.withColumnRenamed("_h", "_a"), "_a")
+            .select(F.col("_a").alias("source"), "wins", "matches",
+                    F.col("_g").cast("long").alias("gamma_u")))

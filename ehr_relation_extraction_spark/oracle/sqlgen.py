@@ -12027,3 +12027,74 @@ SELECT feature, best_threshold, n_left, pos_left, n_right,
 FROM (SELECT * FROM sp_b_n_chars
       UNION ALL SELECT * FROM sp_b_n_distinct
       UNION ALL SELECT * FROM sp_b_n_stop)"""
+
+
+# ---------------------------------------------------------------------------
+# Continuation batch 209: Bradley-Terry host abilities by quantized
+# MM iterations (functions/textstats.bradley_terry) — rounds
+# unrolled as chained CTEs, per-pair floors, max-renormalized.
+
+def _bradley_terry_sql(n_iter: int = 5, scale: int = 10**6) -> str:
+    rounds = []
+    prev = "bt_g0"
+    for k in range(1, n_iter + 1):
+        rounds.append(f"""
+bt_d{k} AS (
+  SELECT p.a,
+         CAST(SUM((p.n_ij * CAST({scale * scale} AS HUGEINT))
+                  // (ga.g + gb.g)) AS BIGINT) AS den
+  FROM bt_pair p
+  JOIN {prev} ga ON ga.h = p.a
+  JOIN {prev} gb ON gb.h = p.b
+  GROUP BY p.a),
+bt_r{k} AS MATERIALIZED (
+  SELECT w.a AS h,
+         CASE WHEN d.den > 0 THEN
+           CAST((w.wins * CAST({scale * scale} AS HUGEINT))
+                // d.den AS BIGINT)
+         ELSE CAST(0 AS BIGINT) END AS gr
+  FROM bt_per w JOIN bt_d{k} d ON d.a = w.a),
+bt_g{k} AS MATERIALIZED (
+  SELECT h,
+         CASE WHEN (SELECT MAX(gr) FROM bt_r{k}) > 0 THEN
+           CAST((gr * {scale})
+                // (SELECT MAX(gr) FROM bt_r{k}) AS BIGINT)
+         ELSE CAST(0 AS BIGINT) END AS g
+  FROM bt_r{k})""")
+        prev = f"bt_g{k}"
+    return f"""
+WITH bt_hist AS (
+  SELECT lang, source AS h, n_chars AS v,
+         CAST(COUNT(*) AS BIGINT) AS c
+  FROM documents GROUP BY 1, 2, 3),
+bt_c AS (
+  SELECT lang, h, v, c,
+         SUM(c) OVER (PARTITION BY lang, h ORDER BY v
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           AS cum,
+         SUM(c) OVER (PARTITION BY lang, h) AS n
+  FROM bt_hist),
+bt_med AS MATERIALIZED (
+  SELECT lang, h, v AS med FROM bt_c
+  WHERE cum - c <= (n - 1) // 2 AND cum > (n - 1) // 2),
+bt_games AS (
+  SELECT a.h AS a, b.h AS b,
+         CASE WHEN a.med > b.med THEN 1 ELSE 0 END AS win
+  FROM bt_med a JOIN bt_med b
+    ON a.lang = b.lang AND a.h <> b.h AND a.med <> b.med),
+bt_pair AS MATERIALIZED (
+  SELECT a, b, CAST(COUNT(*) AS BIGINT) AS n_ij,
+         CAST(SUM(win) AS BIGINT) AS w_ij
+  FROM bt_games GROUP BY a, b),
+bt_per AS MATERIALIZED (
+  SELECT a, CAST(SUM(w_ij) AS BIGINT) AS wins,
+         CAST(SUM(n_ij) AS BIGINT) AS matches
+  FROM bt_pair GROUP BY a),
+bt_g0 AS MATERIALIZED (
+  SELECT a AS h, CAST({scale} AS BIGINT) AS g FROM bt_per),{",".join(rounds)}
+SELECT p.a AS source, p.wins, p.matches,
+       CAST(g.g AS BIGINT) AS gamma_u
+FROM bt_per p JOIN bt_g{n_iter} g ON g.h = p.a"""
+
+
+ORACLE["bradley_terry"] = _bradley_terry_sql()

@@ -604,6 +604,8 @@ EXPECTED_TAIL = [
     "capture_recapture",
     # Continuation batch 208
     "stump_split",
+    # Continuation batch 209
+    "bradley_terry",
 ]
 
 
