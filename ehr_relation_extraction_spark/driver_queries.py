@@ -3244,6 +3244,13 @@ def q_bradley_terry(spark, sf_dir) -> DataFrame:
     return ts.bradley_terry(_docs(spark, sf_dir))
 
 
+
+def q_eb_shrinkage(spark, sf_dir) -> DataFrame:
+    """Empirical-Bayes shrinkage of per-host gate pass-rates
+    (functions/textstats.eb_shrinkage)."""
+    return ts.eb_shrinkage(_docs(spark, sf_dir))
+
+
 def q_ta_depth_audit(spark, sf_dir) -> DataFrame:
     """Fagin TA stop-depth audit over (LM quality x doc length) per
     language (functions/textstats.ta_depth_audit)."""
@@ -4035,6 +4042,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # Continuation batch 209: Bradley-Terry pairwise ranking —
     # appended past position 50.
     "bradley_terry": q_bradley_terry,
+    # Continuation batch 210: empirical-Bayes rate shrinkage —
+    # appended past position 50.
+    "eb_shrinkage": q_eb_shrinkage,
 }
 
 

@@ -4361,3 +4361,66 @@ def bradley_terry(docs: DataFrame, n_iter: int = 5,
     return (per.join(g.withColumnRenamed("_h", "_a"), "_a")
             .select(F.col("_a").alias("source"), "wins", "matches",
                     F.col("_g").cast("long").alias("gamma_u")))
+
+
+def eb_shrinkage(docs: DataFrame) -> DataFrame:
+    """Empirical-Bayes (beta-binomial, method-of-moments) shrinkage
+    of per-host gate pass-rates — the small-sample correction every
+    host-quality ranking needs: a 3-doc host with 3 length-gate
+    passes is NOT better than a 10,000-doc host at 92%, and the
+    standard fix is to shrink each host's rate toward the corpus
+    prior with a strength learned FROM the cross-host spread
+    (tau = m(1-m)/v - 1 pseudo-observations; v the between-host
+    variance of rates).
+
+    Integer exactness: host rates are micro6 integers r = 1e6*k
+    div n; the prior mean m_u = sum(r) div H and spread v_u =
+    (H*sum(r^2) - sum(r)^2) div (H*(H-1)) floor once each
+    (DECIMAL(38,0)/HUGEINT); tau = m_u*(1e6 - m_u) div v_u - 1
+    (capped to [0, 100000]; v_u = 0 means "hosts agree exactly" and
+    takes the cap); the pseudo-positives are pp = tau * m_u div
+    1e6, and shrunk_micro6 = 1e6*(k + pp) div (n + tau) — floors
+    compose identically in both engines.
+
+    Output per host: (source, n_docs, n_keep, rate_micro6, m_u,
+    tau, shrunk_micro6).
+
+    Scale shape: one corpus-sized (host) aggregate, one bounded
+    host-table aggregate, one 1-row lazy broadcast crossJoin back.
+    """
+    per = (docs.groupBy("source")
+           .agg(F.count(F.lit(1)).cast("long").alias("n_docs"),
+                F.sum((F.length("text") >= 200).cast("long"))
+                .cast("long").alias("n_keep"))
+           .withColumn("rate_micro6",
+                       F.expr("CAST(1000000 * n_keep DIV n_docs"
+                              " AS BIGINT)")))
+    pri = per.agg(
+        F.count(F.lit(1)).cast("long").alias("_h"),
+        F.sum("rate_micro6").cast("long").alias("_sr"),
+        F.sum(F.col("rate_micro6") * F.col("rate_micro6"))
+        .cast("long").alias("_sr2"))
+    pri = (pri
+           .withColumn("m_u", F.expr("CAST(_sr DIV _h AS BIGINT)"))
+           .withColumn("_v_u", F.expr(
+               "CASE WHEN _h > 1 THEN CAST((CAST(_h AS"
+               " DECIMAL(38,0)) * _sr2 - CAST(_sr AS"
+               " DECIMAL(38,0)) * _sr) div (CAST(_h AS"
+               " DECIMAL(38,0)) * (_h - 1)) AS BIGINT)"
+               " ELSE CAST(0 AS BIGINT) END"))
+           .withColumn("tau", F.expr(
+               "CASE WHEN _v_u > 0 THEN"
+               " LEAST(CAST(100000 AS BIGINT), GREATEST("
+               " CAST(0 AS BIGINT),"
+               " CAST((CAST(m_u AS DECIMAL(38,0))"
+               " * (1000000 - m_u)) div _v_u - 1 AS BIGINT)))"
+               " ELSE CAST(100000 AS BIGINT) END"))
+           .select("m_u", "tau"))
+    return (per.crossJoin(F.broadcast(pri))  # 1-row scalar
+            .select("source", "n_docs", "n_keep", "rate_micro6",
+                    "m_u", "tau",
+                    F.expr(
+                        "CAST((CAST(1000000 AS DECIMAL(38,0))"
+                        " * (n_keep + (tau * m_u) DIV 1000000))"
+                        " div (n_docs + tau) AS BIGINT)")
+                    .alias("shrunk_micro6")))

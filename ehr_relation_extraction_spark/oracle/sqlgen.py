@@ -12098,3 +12098,47 @@ FROM bt_per p JOIN bt_g{n_iter} g ON g.h = p.a"""
 
 
 ORACLE["bradley_terry"] = _bradley_terry_sql()
+
+
+# ---------------------------------------------------------------------------
+# Continuation batch 210: empirical-Bayes shrinkage of per-host gate
+# pass-rates (functions/textstats.eb_shrinkage).
+
+ORACLE["eb_shrinkage"] = """
+WITH eb_per AS MATERIALIZED (
+  SELECT source,
+         CAST(COUNT(*) AS BIGINT) AS n_docs,
+         CAST(SUM(CASE WHEN length(text) >= 200 THEN 1 ELSE 0 END)
+              AS BIGINT) AS n_keep
+  FROM documents GROUP BY source),
+eb_r AS MATERIALIZED (
+  SELECT *, CAST(1000000 * n_keep // n_docs AS BIGINT)
+           AS rate_micro6
+  FROM eb_per),
+eb_p0 AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS h,
+         CAST(SUM(rate_micro6) AS BIGINT) AS sr,
+         CAST(SUM(rate_micro6 * rate_micro6) AS BIGINT) AS sr2
+  FROM eb_r),
+eb_p1 AS (
+  SELECT CAST(sr // h AS BIGINT) AS m_u,
+         CASE WHEN h > 1 THEN
+           CAST((CAST(h AS HUGEINT) * sr2
+                 - CAST(sr AS HUGEINT) * sr)
+                // (CAST(h AS HUGEINT) * (h - 1)) AS BIGINT)
+         ELSE CAST(0 AS BIGINT) END AS v_u
+  FROM eb_p0),
+eb_p AS (
+  SELECT m_u,
+         CASE WHEN v_u > 0 THEN
+           LEAST(CAST(100000 AS BIGINT), GREATEST(
+             CAST(0 AS BIGINT),
+             CAST((CAST(m_u AS HUGEINT) * (1000000 - m_u)) // v_u
+                  - 1 AS BIGINT)))
+         ELSE CAST(100000 AS BIGINT) END AS tau
+  FROM eb_p1)
+SELECT r.source, r.n_docs, r.n_keep, r.rate_micro6, p.m_u, p.tau,
+       CAST((CAST(1000000 AS HUGEINT)
+             * (r.n_keep + (p.tau * p.m_u) // 1000000))
+            // (r.n_docs + p.tau) AS BIGINT) AS shrunk_micro6
+FROM eb_r r, eb_p p"""

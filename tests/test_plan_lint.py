@@ -191,6 +191,9 @@ ALLOWED = {
     # _day_grid bounded crossJoin, read once (the fano_factor
     # class)
     "ols_trend": (0, 1),
+    # the 1-row (prior mean, tau) frame crossJoined onto the
+    # bounded host table — the trending_entities 1-row scalar class
+    "eb_shrinkage": (0, 1),
 }
 
 

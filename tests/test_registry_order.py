@@ -606,6 +606,8 @@ EXPECTED_TAIL = [
     "stump_split",
     # Continuation batch 209
     "bradley_terry",
+    # Continuation batch 210
+    "eb_shrinkage",
 ]
 
 
