@@ -3251,6 +3251,14 @@ def q_eb_shrinkage(spark, sf_dir) -> DataFrame:
     return ts.eb_shrinkage(_docs(spark, sf_dir))
 
 
+
+def q_path_rollup(spark, sf_dir) -> DataFrame:
+    """Site-section path rollup per host
+    (functions/urls.path_rollup)."""
+    from .functions.urls import path_rollup
+    return path_rollup(_docs(spark, sf_dir))
+
+
 def q_ta_depth_audit(spark, sf_dir) -> DataFrame:
     """Fagin TA stop-depth audit over (LM quality x doc length) per
     language (functions/textstats.ta_depth_audit)."""
@@ -4045,6 +4053,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # Continuation batch 210: empirical-Bayes rate shrinkage —
     # appended past position 50.
     "eb_shrinkage": q_eb_shrinkage,
+    # Continuation batch 211: site-section path rollup — appended
+    # past position 50.
+    "path_rollup": q_path_rollup,
 }
 
 

@@ -251,3 +251,56 @@ def politeness_audit(pages: DataFrame, window_s: int = 10) -> DataFrame:
             .withColumn("max_rate_milli",
                         F.expr(f"(1000 * max_burst) div {window_s}")
                         .cast("long")))
+
+
+def path_rollup(docs: DataFrame) -> DataFrame:
+    """Site-section rollup: parse every URL's path and aggregate
+    doc count / volume / quality share per (host, first path
+    segment) — the crawl-economics table a frontier owner reads
+    before re-budgeting ("/news is 60% of the host's pages but 20%
+    of its text").  The parse is generic (strip scheme, split on
+    '/', take the first non-empty segment, '(root)' when the path
+    is bare); sections are synthesized deterministically here
+    (single-section corpus): sec = ['news','blog','shop','docs']
+    [md5-nibble(doc_id) % 4] (the md5-presence device — doc_id % 4
+    would alias with the round-robin host assignment), giving every
+    host a four-section layout with stable shares.
+
+    Output per (source, section): (source, section, n_docs,
+    total_chars, doc_share_micro6, char_share_micro6) — shares
+    within the host, floor-scaled.
+
+    Scale shape: one narrow map (url synthesis + parse are row
+    expressions), one (host, section) aggregate, one per-host
+    window over the bounded section table.
+    """
+    sec = F.element_at(
+        F.array(F.lit("news"), F.lit("blog"), F.lit("shop"),
+                F.lit("docs")),
+        (F.expr("pmod(instr('0123456789abcdef', substring("
+                "md5(CAST(doc_id AS STRING)), 1, 1)) - 1, 4)")
+         + 1).cast("int"))
+    url = F.concat(F.lit("https://"), F.col("source"),
+                   F.lit(".example.com/"), sec, F.lit("/p/"),
+                   F.expr("doc_id div 120").cast("string"))
+    parsed = docs.select(
+        "source", "n_chars",
+        F.coalesce(
+            F.nullif(F.element_at(
+                F.split(F.regexp_replace(url, "^https?://[^/]+", ""),
+                        "/"), 2), F.lit("")),
+            F.lit("(root)")).alias("section"))
+    per = (parsed.groupBy("source", "section")
+           .agg(F.count(F.lit(1)).cast("long").alias("n_docs"),
+                F.sum("n_chars").cast("long").alias("total_chars")))
+    w = Window.partitionBy("source")
+    return (per
+            .withColumn("_nd", F.sum("n_docs").over(w))
+            .withColumn("_nc", F.sum("total_chars").over(w))
+            .select("source", "section", "n_docs", "total_chars",
+                    F.expr("CAST(1000000 * n_docs DIV _nd"
+                           " AS BIGINT)").alias("doc_share_micro6"),
+                    F.expr("CAST(CASE WHEN _nc > 0 THEN"
+                           " 1000000 * total_chars DIV _nc"
+                           " ELSE 0 END AS BIGINT)")
+                    .alias("char_share_micro6")))

@@ -12142,3 +12142,38 @@ SELECT r.source, r.n_docs, r.n_keep, r.rate_micro6, p.m_u, p.tau,
              * (r.n_keep + (p.tau * p.m_u) // 1000000))
             // (r.n_docs + p.tau) AS BIGINT) AS shrunk_micro6
 FROM eb_r r, eb_p p"""
+
+
+# ---------------------------------------------------------------------------
+# Continuation batch 211: site-section path rollup
+# (functions/urls.path_rollup).
+
+ORACLE["path_rollup"] = """
+WITH pr_p AS MATERIALIZED (
+  SELECT source, n_chars,
+         COALESCE(NULLIF(
+           string_split(regexp_replace(
+             'https://' || source || '.example.com/'
+             || (['news','blog','shop','docs'])
+                [CAST((instr('0123456789abcdef', substr(
+                    md5(CAST(doc_id AS VARCHAR)), 1, 1)) - 1) % 4
+                  AS INT) + 1]
+             || '/p/' || CAST(doc_id // 120 AS VARCHAR),
+             '^https?://[^/]+', ''), '/')[2], ''),
+           '(root)') AS section
+  FROM documents),
+pr_a AS (
+  SELECT source, section,
+         CAST(COUNT(*) AS BIGINT) AS n_docs,
+         CAST(SUM(n_chars) AS BIGINT) AS total_chars
+  FROM pr_p GROUP BY 1, 2)
+SELECT source, section, n_docs, total_chars,
+       CAST(1000000 * n_docs
+            // SUM(n_docs) OVER (PARTITION BY source) AS BIGINT)
+         AS doc_share_micro6,
+       CAST(CASE WHEN SUM(total_chars) OVER (PARTITION BY source)
+                 > 0
+         THEN 1000000 * total_chars
+              // SUM(total_chars) OVER (PARTITION BY source)
+         ELSE 0 END AS BIGINT) AS char_share_micro6
+FROM pr_a"""

@@ -608,6 +608,8 @@ EXPECTED_TAIL = [
     "bradley_terry",
     # Continuation batch 210
     "eb_shrinkage",
+    # Continuation batch 211
+    "path_rollup",
 ]
 
 
