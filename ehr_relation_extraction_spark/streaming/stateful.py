@@ -1236,3 +1236,81 @@ def incremental_politeness(spark, pages_dir: str, out_dir: str,
             .option("checkpointLocation", checkpoint_dir)
             .trigger(**_trigger(ttl_ms))
             .start())
+
+
+# ---------------------------------------------------------------------------
+# Streaming winnowing dedup (final-session batch 212) — the
+# streaming twin of operators/dedup.winnow_dups.
+
+WINNOW_OUTPUT_DDL = "doc_id long, fp string, is_first int"
+
+
+def _winnow_first_seen(key: tuple, pdfs: Iterator[pd.DataFrame],
+                       state: GroupState) -> Iterator[pd.DataFrame]:
+    """Cross-batch fingerprint gate keyed on the winnow hash: the
+    first document carrying a fingerprint owns it; any later
+    occurrence (any doc, any micro-batch) marks a shared run —
+    winnowing's positional guarantee (any common run of w+k-1
+    tokens shares a selected fingerprint) now holds across
+    recrawl batches, which the batch operator only sees when both
+    docs sit in one snapshot.  Per-key state is one bit."""
+    seen = bool(state.get[0]) if state.exists else False
+    out = []
+    for pdf in pdfs:
+        for row in pdf.sort_values("doc_id").itertuples(index=False):
+            out.append((row.doc_id, key[0], 0 if seen else 1))
+            seen = True
+    state.update((["y"] if seen else [],))
+    if out:
+        yield pd.DataFrame(out, columns=["doc_id", "fp",
+                                         "is_first"])
+
+
+def incremental_winnow_dedup(spark, pages_dir: str, out_dir: str,
+                             checkpoint_dir: str, k: int = 3,
+                             w: int = 4,
+                             ttl_ms: "int | None" = None):
+    """Streaming form of operators/dedup.winnow_dups: the per-doc
+    fingerprint SET is computed with pure array expressions inside
+    the streaming DAG (no window functions — grams via indexed
+    transform, each length-w window's minimum via array_min over a
+    slice; the batch operator's rightmost-tie POSITION rule is
+    irrelevant to the emitted set, because ties share the VALUE —
+    pinned by the batch-equivalence test), then a stateful
+    first-seen gate keyed on the fingerprint suppresses shared
+    runs across micro-batches.
+
+    Sink rows: (doc_id, fp, is_first); is_first = 0 rows are
+    cross-crawl shared-run evidence.  State shuffles once per
+    micro-batch on the fingerprint key; per-key state is one bit,
+    ttl_ms bounds the key set.
+    """
+    from ..sources.pages import extract_text
+    from .stream import PAGES_DDL
+
+    stream = (spark.readStream.schema(PAGES_DDL)
+              .option("maxFilesPerTrigger", 2)
+              .parquet(pages_dir))
+    toks = ("transform(filter(split(text, '[\\n \\t]'),"
+            " t -> t != ''), t -> lower(t))")
+    grams = (f"transform(sequence(1, greatest(size({toks}) - {k - 1},"
+             f" 0)), i -> md5(concat_ws(' ',"
+             + ", ".join(f"element_at({toks}, i + {j})"
+                         for j in range(k))
+             + ")))")
+    fps = (f"array_distinct(transform(sequence(1,"
+           f" greatest(size({grams}) - {w - 1}, 0)),"
+           f" s -> array_min(slice({grams}, s, {w}))))")
+    exploded = (extract_text(stream).select("doc_id", "text")
+                .selectExpr("doc_id", f"explode({fps}) AS fp"))
+    flagged = (exploded.groupBy("fp")
+               .applyInPandasWithState(
+                   _with_ttl(_winnow_first_seen, ttl_ms),
+                   WINNOW_OUTPUT_DDL,
+                   PASSAGE_STATE_DDL, outputMode="append",
+                   timeoutConf=_timeout_conf(ttl_ms)))
+    return (flagged.writeStream.outputMode("append")
+            .option("checkpointLocation", checkpoint_dir)
+            .trigger(**_trigger(ttl_ms))
+            .format("parquet").option("path", out_dir)
+            .start())

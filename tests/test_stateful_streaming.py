@@ -451,3 +451,64 @@ def test_substring_cut_ttl_evicts_idle_hashes(spark, tmp_path):
         assert got[1] == (text1, 0)
     finally:
         q.stop()
+
+
+def test_incremental_winnow_dedup(spark, tmp_path):
+    """A token run syndicated in a later micro-batch shares a
+    winnow fingerprint flagged is_first=0; the per-doc streaming
+    fingerprint SET equals the batch operator's; restart on the
+    same checkpoint re-emits nothing."""
+    from ehr_relation_extraction_spark.sources.pages import (
+        HTML_PREFIX, HTML_SUFFIX)
+    from ehr_relation_extraction_spark.streaming.stateful import (
+        incremental_winnow_dedup)
+
+    shared = "alpha beta gamma delta epsilon zeta"
+    t0 = "one two three " + shared + " four five six seven"
+    t1 = "red green blue " + shared + " cyan magenta yellow pink"
+
+    def page(doc_id, text):
+        html = (HTML_PREFIX + text + HTML_SUFFIX).encode()
+        return (doc_id, f"https://h.example.com/{doc_id}", None,
+                html, "en")
+
+    schema = ("doc_id long, url string, warc_ts timestamp, "
+              "html binary, lang string")
+    src = str(tmp_path / "wn_src")
+    spark.createDataFrame([page(0, t0)], schema) \
+        .write.mode("append").parquet(src)
+    spark.createDataFrame([page(1, t1)], schema) \
+        .write.mode("append").parquet(src)
+
+    out, ck = str(tmp_path / "wn_out"), str(tmp_path / "wn_ck")
+    incremental_winnow_dedup(spark, src, out, ck).awaitTermination(300)
+
+    rows = spark.read.parquet(out).collect()
+    # streaming fingerprint set == batch operator's per doc
+    from ehr_relation_extraction_spark.operators.dedup import (
+        winnow_dups)
+    docs = spark.createDataFrame(
+        [(0, t0, "en", "s", 1), (1, t1, "en", "s", 1)],
+        "doc_id long, text string, lang string, source string, "
+        "n_chars long")
+    pair = winnow_dups(docs).collect()[0]
+    per_doc = {}
+    for r in rows:
+        per_doc.setdefault(r["doc_id"], set()).add(r["fp"])
+    assert len(per_doc[0]) == pair.n_a
+    assert len(per_doc[1]) == pair.n_b
+    shared_fps = per_doc[0] & per_doc[1]
+    assert len(shared_fps) == pair.n_shared >= 1
+    # each shared fingerprint: exactly one first, one dup
+    verdicts = {}
+    for r in rows:
+        verdicts.setdefault(r["fp"], []).append(r["is_first"])
+    for fp in shared_fps:
+        assert sorted(verdicts[fp]) == [0, 1]
+    # doc-unique fingerprints are all canonical
+    for fp in (per_doc[0] ^ per_doc[1]):
+        assert verdicts[fp] == [1]
+
+    n = spark.read.parquet(out).count()
+    incremental_winnow_dedup(spark, src, out, ck).awaitTermination(300)
+    assert spark.read.parquet(out).count() == n
