@@ -3259,6 +3259,13 @@ def q_path_rollup(spark, sf_dir) -> DataFrame:
     return path_rollup(_docs(spark, sf_dir))
 
 
+
+def q_quantile_normalize(spark, sf_dir) -> DataFrame:
+    """Quantile-normalization mapping table across host length
+    distributions (functions/textstats.quantile_normalize)."""
+    return ts.quantile_normalize(_docs(spark, sf_dir))
+
+
 def q_ta_depth_audit(spark, sf_dir) -> DataFrame:
     """Fagin TA stop-depth audit over (LM quality x doc length) per
     language (functions/textstats.ta_depth_audit)."""
@@ -4056,6 +4063,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # Continuation batch 211: site-section path rollup — appended
     # past position 50.
     "path_rollup": q_path_rollup,
+    # Continuation batch 213: quantile normalization — appended
+    # past position 50.
+    "quantile_normalize": q_quantile_normalize,
 }
 
 

@@ -4424,3 +4424,60 @@ def eb_shrinkage(docs: DataFrame) -> DataFrame:
                         " * (n_keep + (tau * m_u) DIV 1000000))"
                         " div (n_docs + tau) AS BIGINT)")
                     .alias("shrunk_micro6")))
+
+
+def quantile_normalize(docs: DataFrame,
+                       n_q: int = 10) -> DataFrame:
+    """Quantile-normalization mapping table across host length
+    distributions — the bioinformatics device (microarray quantile
+    normalization) applied to crawl hosts: map every host's
+    doc-length quantiles onto the POOLED quantile function, so
+    host-level length effects (boilerplate-heavy shells, truncating
+    CMSes) can be divided out before lengths feed a quality score.
+    The emitted table is the audit form: per (host, decile), the
+    host's own nearest-rank quantile next to the pooled target it
+    would be mapped to, and the shift.
+
+    Exact integers: nearest-rank quantiles at index
+    (n-1)*q div n_q (lower nearest rank, the source_stats
+    convention) from cumulative windows over the bounded value
+    histograms — no interpolation, no floats.
+
+    Output: (source, q, host_value, pooled_value, shift =
+    pooled - host) for q = 0..n_q (q = n_q is the max).
+
+    Scale shape: one (host, value) histogram + one pooled value
+    histogram; quantile selection via cumulative windows over the
+    bounded value domains; one bounded (host x quantile) join.
+    """
+    hist = (docs.groupBy(F.col("source").alias("_h"),
+                         F.col("n_chars").alias("_v"))
+            .agg(F.count(F.lit(1)).cast("long").alias("_c")))
+    qs = F.explode(F.array(*[F.lit(q) for q in range(n_q + 1)]))
+
+    def quantiles(h, part_cols):
+        w = (Window.partitionBy(*part_cols).orderBy("_v")
+             .rowsBetween(Window.unboundedPreceding,
+                          Window.currentRow))
+        wp = Window.partitionBy(*part_cols)
+        g = (h.withColumn("_cum", F.sum("_c").over(w))
+             .withColumn("_n", F.sum("_c").over(wp))
+             .withColumn("q", qs))
+        idx = F.expr(f"((_n - 1) * q) div {n_q}")
+        return (g.where((F.col("_cum") - F.col("_c") <= idx)
+                        & (F.col("_cum") > idx))
+                .select(*part_cols, "q",
+                        F.col("_v").alias("_qv")))
+
+    host_q = quantiles(hist, ["_h"])
+    pooled = (hist.groupBy("_v")
+              .agg(F.sum("_c").cast("long").alias("_c")))
+    pool_q = quantiles(pooled.withColumn("_one", F.lit(1)),
+                       ["_one"]).drop("_one")
+    return (host_q.join(pool_q.withColumnRenamed("_qv", "_pv"), "q")
+            .select(F.col("_h").alias("source"),
+                    F.col("q").cast("int").alias("q"),
+                    F.col("_qv").cast("long").alias("host_value"),
+                    F.col("_pv").cast("long").alias("pooled_value"),
+                    (F.col("_pv") - F.col("_qv")).cast("long")
+                    .alias("shift")))

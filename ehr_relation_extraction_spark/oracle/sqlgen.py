@@ -12177,3 +12177,44 @@ SELECT source, section, n_docs, total_chars,
               // SUM(total_chars) OVER (PARTITION BY source)
          ELSE 0 END AS BIGINT) AS char_share_micro6
 FROM pr_a"""
+
+
+# ---------------------------------------------------------------------------
+# Continuation batch 213: quantile-normalization mapping table
+# across host length distributions
+# (functions/textstats.quantile_normalize).
+
+ORACLE["quantile_normalize"] = """
+WITH qn_hist AS MATERIALIZED (
+  SELECT source AS h, n_chars AS v, CAST(COUNT(*) AS BIGINT) AS c
+  FROM documents GROUP BY 1, 2),
+qn_hc AS (
+  SELECT h, v, c,
+         SUM(c) OVER (PARTITION BY h ORDER BY v
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           AS cum,
+         SUM(c) OVER (PARTITION BY h) AS n
+  FROM qn_hist),
+qn_hq AS MATERIALIZED (
+  SELECT h, q, v AS qv
+  FROM qn_hc, unnest(generate_series(0, 10)) AS t(q)
+  WHERE cum - c <= ((n - 1) * q) // 10
+    AND cum > ((n - 1) * q) // 10),
+qn_pool AS (
+  SELECT v, CAST(SUM(c) AS BIGINT) AS c FROM qn_hist GROUP BY v),
+qn_pc AS (
+  SELECT v, c,
+         SUM(c) OVER (ORDER BY v ROWS BETWEEN UNBOUNDED PRECEDING
+             AND CURRENT ROW) AS cum,
+         SUM(c) OVER () AS n
+  FROM qn_pool),
+qn_pq AS MATERIALIZED (
+  SELECT q, v AS pv
+  FROM qn_pc, unnest(generate_series(0, 10)) AS t(q)
+  WHERE cum - c <= ((n - 1) * q) // 10
+    AND cum > ((n - 1) * q) // 10)
+SELECT h.h AS source, CAST(h.q AS INT) AS q,
+       CAST(h.qv AS BIGINT) AS host_value,
+       CAST(p.pv AS BIGINT) AS pooled_value,
+       CAST(p.pv - h.qv AS BIGINT) AS shift
+FROM qn_hq h JOIN qn_pq p USING (q)"""

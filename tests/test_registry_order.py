@@ -610,6 +610,8 @@ EXPECTED_TAIL = [
     "eb_shrinkage",
     # Continuation batch 211
     "path_rollup",
+    # Continuation batch 213
+    "quantile_normalize",
 ]
 
 
