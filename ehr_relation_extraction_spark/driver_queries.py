@@ -3266,6 +3266,17 @@ def q_quantile_normalize(spark, sf_dir) -> DataFrame:
     return ts.quantile_normalize(_docs(spark, sf_dir))
 
 
+
+def q_weighted_jaccard(spark, sf_dir) -> DataFrame:
+    """Exact weighted (bag) Jaccard verify over the LSH candidate
+    pairs (operators/dedup.weighted_jaccard)."""
+    docs = _docs(spark, sf_dir)
+    sh = dd.shingles(docs)
+    pairs = dd.lsh_candidate_pairs(dd.lsh_bands(
+        dd.minhash_signatures(sh)))
+    return dd.weighted_jaccard(pairs, docs)
+
+
 def q_ta_depth_audit(spark, sf_dir) -> DataFrame:
     """Fagin TA stop-depth audit over (LM quality x doc length) per
     language (functions/textstats.ta_depth_audit)."""
@@ -4066,6 +4077,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # Continuation batch 213: quantile normalization — appended
     # past position 50.
     "quantile_normalize": q_quantile_normalize,
+    # Continuation batch 214: weighted Jaccard verify — appended
+    # past position 50.
+    "weighted_jaccard": q_weighted_jaccard,
 }
 
 

@@ -12218,3 +12218,44 @@ SELECT h.h AS source, CAST(h.q AS INT) AS q,
        CAST(p.pv AS BIGINT) AS pooled_value,
        CAST(p.pv - h.qv AS BIGINT) AS shift
 FROM qn_hq h JOIN qn_pq p USING (q)"""
+
+
+# ---------------------------------------------------------------------------
+# Continuation batch 214: exact weighted (bag) Jaccard verify over
+# the LSH candidate pairs (operators/dedup.weighted_jaccard).
+# Reuses the near_duplicates oracle's candidate CTEs (everything up
+# to and including `cand`), then computes sum-min / sum-max over
+# token frequencies.
+
+_ND = ORACLE["near_duplicates"]
+_WJ_PREFIX = _ND[:_ND.index("sh_sizes AS (")]
+
+ORACLE["weighted_jaccard"] = _WJ_PREFIX + """
+wj_tf AS MATERIALIZED (
+  SELECT doc_id, lower(tok) AS w, CAST(COUNT(*) AS BIGINT) AS tf
+  FROM (SELECT doc_id,
+               unnest(string_split_regex(text, '[\n \t]')) AS tok
+        FROM documents)
+  WHERE tok <> '' GROUP BY 1, 2),
+wj_tot AS (
+  SELECT doc_id, CAST(SUM(tf) AS BIGINT) AS tot
+  FROM wj_tf GROUP BY 1),
+wj_inter AS (
+  SELECT c.doc_a, c.doc_b,
+         CAST(SUM(LEAST(a.tf, b.tf)) AS BIGINT) AS inter_w
+  FROM cand c
+  JOIN wj_tf a ON a.doc_id = c.doc_a
+  JOIN wj_tf b ON b.doc_id = c.doc_b AND b.w = a.w
+  GROUP BY 1, 2)
+SELECT c.doc_a, c.doc_b,
+       CAST(COALESCE(i.inter_w, 0) AS BIGINT) AS inter_w,
+       CAST(ta.tot + tb.tot - COALESCE(i.inter_w, 0) AS BIGINT)
+         AS union_w,
+       CAST(CASE WHEN ta.tot + tb.tot - COALESCE(i.inter_w, 0) > 0
+         THEN 1000000 * COALESCE(i.inter_w, 0)
+              // (ta.tot + tb.tot - COALESCE(i.inter_w, 0))
+         ELSE 0 END AS BIGINT) AS wjaccard_micro6
+FROM cand c
+JOIN wj_tot ta ON ta.doc_id = c.doc_a
+JOIN wj_tot tb ON tb.doc_id = c.doc_b
+LEFT JOIN wj_inter i ON i.doc_a = c.doc_a AND i.doc_b = c.doc_b"""

@@ -612,6 +612,8 @@ EXPECTED_TAIL = [
     "path_rollup",
     # Continuation batch 213
     "quantile_normalize",
+    # Continuation batch 214
+    "weighted_jaccard",
 ]
 
 
