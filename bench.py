@@ -683,6 +683,50 @@ def run_sketch(sf_dir: str, cpus: int) -> None:
     }))
 
 
+
+def run_stats(sf_dir: str, cpus: int) -> None:
+    """Statistical-inference suite bench (final-session batches
+    188-214): the omnibus tests, forecast/retrieval evals,
+    fixed-point fits and dedup verifies added at round-5 close —
+    every op is hash aggregates + bounded-domain windows (+ a few
+    bounded fixed-point rounds), so these timings are one-or-two
+    corpus scans each; none touch the fused triple path."""
+    import time as _t
+
+    from ehr_relation_extraction_spark import driver_queries as dq
+    from ehr_relation_extraction_spark.session import get_spark
+
+    trials = int(os.environ.get("SPARK_GRAFT_BENCH_TRIALS", "2"))
+    spark = get_spark(app_name="bench-stats", master=f"local[{cpus}]",
+                      shuffle_partitions=cpus)
+    keys = ["kruskal_wallis", "anova_f", "levene_test",
+            "wilcoxon_signed", "cochran_q", "fleiss_kappa",
+            "kendall_w", "brier_decomposition", "mrr_eval",
+            "markov_stationary", "embedding_pca",
+            "resource_allocation", "clustering_coeffs",
+            "bradley_terry", "stump_split", "eb_shrinkage",
+            "chao1_richness", "lead_lag", "ols_trend",
+            "capture_recapture", "stylometric_delta",
+            "soundex_blocks", "path_rollup", "quantile_normalize",
+            "winnow_dups", "weighted_jaccard"]
+    timings: dict[str, float] = {}
+    counts: dict[str, int] = {}
+    for _ in range(trials):
+        for name in keys:
+            t0 = _t.time()
+            counts[name] = dq.QUERIES[name](spark, sf_dir).count()
+            dt = round(_t.time() - t0, 3)
+            if name not in timings or dt < timings[name]:
+                timings[name] = dt
+    spark.stop()
+    print(json.dumps({
+        "metric": "stats_suite_sec",
+        "value": round(sum(timings.values()), 3), "unit": "sec",
+        "ops": timings, "counts": counts, "sf": sf_of(sf_dir),
+        "note": f"best of {trials} trials per op, local[{cpus}]",
+    }))
+
+
 def run_skew(sf_dir: str, cpus: int) -> None:
     """Skewed-host robustness bench (SURVEY §5.2 item 4): the fused
     triples job on a uniform corpus vs one where a single host owns
@@ -834,6 +878,10 @@ def main() -> None:
 
     if "--suffix-scale" in sys.argv:
         run_suffix_scale(sf_dir, cpus)
+        return
+
+    if "--stats" in sys.argv:
+        run_stats(sf_dir, cpus)
         return
 
     if "--graph" in sys.argv:
