@@ -3277,6 +3277,16 @@ def q_weighted_jaccard(spark, sf_dir) -> DataFrame:
     return dd.weighted_jaccard(pairs, docs)
 
 
+
+def q_eigen_centrality(spark, sf_dir) -> DataFrame:
+    """Eigenvector centrality + spectral-radius estimate over the
+    entity co-mention graph (graph_algos.eigen_centrality)."""
+    from .operators.graph_algos import eigen_centrality
+
+    edges, _ = _comention_graph(spark, sf_dir)
+    return eigen_centrality(edges)
+
+
 def q_ta_depth_audit(spark, sf_dir) -> DataFrame:
     """Fagin TA stop-depth audit over (LM quality x doc length) per
     language (functions/textstats.ta_depth_audit)."""
@@ -4080,6 +4090,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # Continuation batch 214: weighted Jaccard verify — appended
     # past position 50.
     "weighted_jaccard": q_weighted_jaccard,
+    # Continuation batch 215: eigenvector centrality — appended
+    # past position 50.
+    "eigen_centrality": q_eigen_centrality,
 }
 
 

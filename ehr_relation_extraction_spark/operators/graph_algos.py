@@ -3060,3 +3060,65 @@ def clustering_coeffs(edges: DataFrame) -> DataFrame:
     return (per.crossJoin(F.broadcast(tot))  # 1-row scalar
             .select("node", "degree", "n_triangles", "cc_micro6",
                     "n_nodes", "trans_micro6"))
+
+
+def eigen_centrality(edges: DataFrame, n_iter: int = 5,
+                     scale: int = 10**6) -> DataFrame:
+    """Eigenvector centrality by integer fixed-point power
+    iteration — the classic "important because connected to
+    important" score that completes the centrality family:
+    pagerank adds teleport damping, katz adds per-step attenuation,
+    THIS is the undamped spectral original (the dominant
+    eigenvector of the adjacency matrix), and the per-round
+    max-ratio doubles as a spectral-radius estimate.
+
+    Quantized (the pagerank_fixed / embedding_pca discipline):
+    start uniform at scale, each round v'(u) = sum over neighbors
+    of v(w) (integer), renormalize v'' = v' * scale div max(v')
+    (truncating division, identical cross-engine), emit the final
+    vector plus lambda_milli3 = 1000 * max(v') div scale from the
+    LAST round — on a converged vector that ratio IS the spectral
+    radius estimate.
+
+    Output per node: (node, degree, cent_u, lambda_milli3).
+
+    Scale shape: symmetrize once; each round is ONE neighbor
+    equi-join + one node aggregate, localCheckpoint per round; the
+    per-round max is a 1-row lazy broadcast crossJoin.
+    """
+    und = (edges.select(F.least("src", "dst").alias("a"),
+                        F.greatest("src", "dst").alias("b"))
+           .where(F.col("a") != F.col("b")).dropDuplicates()
+           .localCheckpoint())
+    sym = und.union(und.select(F.col("b").alias("a"),
+                               F.col("a").alias("b")))
+    deg = sym.groupBy(F.col("a").alias("node")).agg(
+        F.count(F.lit(1)).cast("long").alias("degree")) \
+        .localCheckpoint()
+    v = deg.select("node", F.lit(scale).cast("long").alias("_v"))
+    lam = None
+    for _ in range(n_iter):
+        nxt = (sym.join(v.withColumnRenamed("node", "b")
+                        .withColumnRenamed("_v", "_vb"), "b")
+               .groupBy(F.col("a").alias("node"))
+               .agg(F.sum("_vb").cast("long").alias("_raw")))
+        mx = nxt.agg(F.max("_raw").alias("_mx"))
+        lam = mx  # the last round's max raw value
+        v = (deg.select("node")
+             .join(nxt, "node", "left")
+             .crossJoin(F.broadcast(mx))  # 1-row scalar
+             .select("node",
+                     F.expr(f"CASE WHEN _mx > 0 THEN"
+                            f" CAST((coalesce(_raw, 0) * {scale})"
+                            " div _mx AS BIGINT)"
+                            " ELSE CAST(0 AS BIGINT) END")
+                     .alias("_v"))
+             .localCheckpoint())
+    lam_row = lam.select(
+        F.expr(f"CAST(1000 * _mx DIV {scale} AS BIGINT)")
+        .alias("lambda_milli3"))
+    return (deg.join(v, "node")
+            .crossJoin(F.broadcast(lam_row))  # 1-row scalar
+            .select("node", "degree",
+                    F.col("_v").cast("long").alias("cent_u"),
+                    "lambda_milli3"))

@@ -12259,3 +12259,47 @@ FROM cand c
 JOIN wj_tot ta ON ta.doc_id = c.doc_a
 JOIN wj_tot tb ON tb.doc_id = c.doc_b
 LEFT JOIN wj_inter i ON i.doc_a = c.doc_a AND i.doc_b = c.doc_b"""
+
+
+# ---------------------------------------------------------------------------
+# Continuation batch 215: eigenvector centrality by quantized power
+# iteration over the co-mention graph
+# (graph_algos.eigen_centrality) — rounds unrolled as chained CTEs.
+
+def _eigen_centrality_sql(n_iter: int = 5, scale: int = 10**6) -> str:
+    rounds = []
+    prev = "ec_v0"
+    for k in range(1, n_iter + 1):
+        rounds.append(f"""
+ec_n{k} AS MATERIALIZED (
+  SELECT s.src AS node, CAST(SUM(v.v) AS BIGINT) AS raw
+  FROM com_sym s JOIN {prev} v ON v.node = s.dst
+  GROUP BY 1),
+ec_m{k} AS (SELECT MAX(raw) AS mx FROM ec_n{k}),
+ec_v{k} AS MATERIALIZED (
+  SELECT d.node,
+         CASE WHEN (SELECT mx FROM ec_m{k}) > 0 THEN
+           CAST((COALESCE(n.raw, 0) * {scale})
+                // (SELECT mx FROM ec_m{k}) AS BIGINT)
+         ELSE CAST(0 AS BIGINT) END AS v
+  FROM ec_deg d LEFT JOIN ec_n{k} n USING (node))""")
+        prev = f"ec_v{k}"
+    return (
+        "SELECT d.node, d.degree, CAST(v.v AS BIGINT) AS cent_u,\n"
+        f"       CAST(1000 * (SELECT mx FROM ec_m{n_iter})"
+        f" // {scale} AS BIGINT) AS lambda_milli3\n"
+        f"FROM ec_deg d JOIN ec_v{n_iter} v USING (node)",
+        ",".join(rounds))
+
+
+_EC_SELECT, _EC_ROUNDS = _eigen_centrality_sql()
+
+ORACLE["eigen_centrality"] = _q(
+    _EC_SELECT,
+    LINK_CTES, COMENTION_CTES.strip(), """
+ec_deg AS MATERIALIZED (
+  SELECT src AS node, CAST(COUNT(*) AS BIGINT) AS degree
+  FROM com_sym GROUP BY src),
+ec_v0 AS MATERIALIZED (
+  SELECT node, CAST(1000000 AS BIGINT) AS v FROM ec_deg)""".strip()
+    + "," + _EC_ROUNDS)

@@ -194,6 +194,10 @@ ALLOWED = {
     # the 1-row (prior mean, tau) frame crossJoined onto the
     # bounded host table — the trending_entities 1-row scalar class
     "eb_shrinkage": (0, 1),
+    # the 1-row spectral-radius scalar crossJoined onto the final
+    # node table (the in-loop renormalization crossJoins sit behind
+    # localCheckpoint) — the markov_stationary class
+    "eigen_centrality": (0, 1),
 }
 
 

@@ -614,6 +614,8 @@ EXPECTED_TAIL = [
     "quantile_normalize",
     # Continuation batch 214
     "weighted_jaccard",
+    # Continuation batch 215
+    "eigen_centrality",
 ]
 
 
