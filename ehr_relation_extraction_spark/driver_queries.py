@@ -3287,6 +3287,13 @@ def q_eigen_centrality(spark, sf_dir) -> DataFrame:
     return eigen_centrality(edges)
 
 
+
+def q_lexical_topk(spark, sf_dir) -> DataFrame:
+    """Sparse tf-idf lexical top-k similarity join with rare-term
+    blocking (functions/textstats.lexical_topk)."""
+    return ts.lexical_topk(_docs(spark, sf_dir))
+
+
 def q_ta_depth_audit(spark, sf_dir) -> DataFrame:
     """Fagin TA stop-depth audit over (LM quality x doc length) per
     language (functions/textstats.ta_depth_audit)."""
@@ -4093,6 +4100,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # Continuation batch 215: eigenvector centrality — appended
     # past position 50.
     "eigen_centrality": q_eigen_centrality,
+    # Continuation batch 216: lexical tf-idf top-k — appended past
+    # position 50.
+    "lexical_topk": q_lexical_topk,
 }
 
 

@@ -4481,3 +4481,90 @@ def quantile_normalize(docs: DataFrame,
                     F.col("_pv").cast("long").alias("pooled_value"),
                     (F.col("_pv") - F.col("_qv")).cast("long")
                     .alias("shift")))
+
+
+def lexical_topk(docs: DataFrame, k: int = 5,
+                 max_df: int = 20) -> DataFrame:
+    """Sparse tf-idf document-similarity join with rare-term
+    blocking — the LEXICAL twin of the embedding ANN stack: same
+    candidates-then-verify shape (prefix_filter_pairs' discipline),
+    but over the tf-idf bag instead of dense vectors, which is the
+    classic first-stage retriever wherever embeddings don't exist
+    yet.  Scoring uses the Dice-weighted form sim = 2*dot /
+    (|a|^2 + |b|^2) — cosine's harmonic cousin that needs NO
+    square root, so the whole ranking stays exact-integer
+    (sim <= 1 with equality iff the vectors coincide).
+
+    Weights: tfidf = tf * idf_micro6 with the bm25 single-ln idf
+    device (floor(ln((2N+2)/(2df+1)) * 1e6) — the one float op in
+    the family, identical in both engines).  Candidates: pairs
+    sharing at least one term with 2 <= df <= max_df (rare-term
+    blocking — common terms pair everything and carry no signal);
+    the dot product then runs over ALL shared terms of the
+    candidate pairs.
+
+    Output: (doc_a, doc_b, sim_micro6, rank) — top-k per doc_a by
+    (sim desc, doc_b).
+
+    Scale shape: one (doc, term) tf aggregate (localCheckpoint so
+    df derives from it without a second scan); the pair join is
+    bounded by the df cap, never all-pairs; dot/norm accumulate in
+    DECIMAL(38,0)/HUGEINT.  N arrives via one bounded 1-row
+    collect (the bm25 T/N pattern).
+    """
+    toks = docs.select("doc_id",
+                       F.explode(_toks()).alias("_raw")).select(
+        "doc_id", F.lower(F.col("_raw")).alias("_w"))
+    tf = (toks.groupBy("doc_id", "_w")
+          .agg(F.count(F.lit(1)).cast("long").alias("_tf"))
+          .localCheckpoint())
+    dfh = tf.groupBy("_w").agg(
+        F.count(F.lit(1)).cast("long").alias("_df"))
+    n = docs.count()  # bounded: one scalar (the bm25 T/N pattern)
+    idf = dfh.withColumn(
+        "_idf",
+        F.floor(F.log(F.lit(float(2 * n + 2))
+                      / (2 * F.col("_df") + 1))
+                * 1000000).cast("long"))
+    tv = (tf.join(idf.select("_w", "_idf", "_df"), "_w")
+          .select("doc_id", "_w", "_df",
+                  (F.col("_tf") * F.col("_idf")).cast("long")
+                  .alias("_t"))
+          .localCheckpoint())
+    norm2 = tv.groupBy("doc_id").agg(
+        F.sum(F.expr("CAST(_t AS DECIMAL(38,0)) * _t"))
+        .alias("_n2"))
+    rare = tv.where((F.col("_df") >= 2) & (F.col("_df") <= max_df))
+    ra = rare.select(F.col("doc_id").alias("doc_a"), "_w")
+    rb = rare.select(F.col("doc_id").alias("_db"),
+                     F.col("_w").alias("_wb"))
+    cand = (ra.join(rb, (ra["_w"] == rb["_wb"])
+                    & (ra["doc_a"] < rb["_db"]))
+            .select("doc_a", F.col("_db").alias("doc_b"))
+            .dropDuplicates())
+    ta = tv.select(F.col("doc_id").alias("doc_a"), "_w",
+                   F.col("_t").alias("_ta"))
+    tb = tv.select(F.col("doc_id").alias("_db2"),
+                   F.col("_w").alias("_wb2"),
+                   F.col("_t").alias("_tb"))
+    dot = (cand.join(ta, "doc_a")
+           .join(tb, (F.col("_w") == F.col("_wb2"))
+                 & (F.col("doc_b") == F.col("_db2")))
+           .groupBy("doc_a", "doc_b")
+           .agg(F.sum(F.expr("CAST(_ta AS DECIMAL(38,0)) * _tb"))
+                .alias("_dot")))
+    na = norm2.select(F.col("doc_id").alias("doc_a"),
+                      F.col("_n2").alias("_na"))
+    nb = norm2.select(F.col("doc_id").alias("doc_b"),
+                      F.col("_n2").alias("_nb"))
+    scored = (dot.join(na, "doc_a").join(nb, "doc_b")
+              .select("doc_a", "doc_b",
+                      F.expr("CAST((CAST(2000000 AS DECIMAL(38,0))"
+                             " * _dot) div (_na + _nb) AS BIGINT)")
+                      .alias("sim_micro6")))
+    w = Window.partitionBy("doc_a").orderBy(
+        F.col("sim_micro6").desc(), F.col("doc_b"))
+    return (scored.withColumn("rank", F.row_number().over(w)
+                              .cast("int"))
+            .where(F.col("rank") <= k)
+            .select("doc_a", "doc_b", "sim_micro6", "rank"))

@@ -12303,3 +12303,56 @@ ec_deg AS MATERIALIZED (
 ec_v0 AS MATERIALIZED (
   SELECT node, CAST(1000000 AS BIGINT) AS v FROM ec_deg)""".strip()
     + "," + _EC_ROUNDS)
+
+
+# ---------------------------------------------------------------------------
+# Continuation batch 216: sparse tf-idf lexical top-k similarity
+# join with rare-term blocking (functions/textstats.lexical_topk).
+
+ORACLE["lexical_topk"] = """
+WITH lx_tf AS MATERIALIZED (
+  SELECT doc_id, lower(tok) AS w, CAST(COUNT(*) AS BIGINT) AS tf
+  FROM (SELECT doc_id,
+               unnest(string_split_regex(text, '[\\n \\t]')) AS tok
+        FROM documents)
+  WHERE tok <> '' GROUP BY 1, 2),
+lx_df AS (
+  SELECT w, CAST(COUNT(*) AS BIGINT) AS df FROM lx_tf GROUP BY w),
+lx_n AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM documents),
+lx_idf AS MATERIALIZED (
+  SELECT w, df,
+         CAST(FLOOR(ln(CAST(2 * (SELECT n FROM lx_n) + 2 AS DOUBLE)
+                       / (2 * df + 1)) * 1000000) AS BIGINT)
+           AS idf
+  FROM lx_df),
+lx_tv AS MATERIALIZED (
+  SELECT t.doc_id, t.w, i.df,
+         CAST(t.tf * i.idf AS BIGINT) AS tvv
+  FROM lx_tf t JOIN lx_idf i USING (w)),
+lx_norm AS MATERIALIZED (
+  SELECT doc_id, SUM(CAST(tvv AS HUGEINT) * tvv) AS n2
+  FROM lx_tv GROUP BY 1),
+lx_cand AS MATERIALIZED (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM lx_tv a JOIN lx_tv b
+    ON a.w = b.w AND a.doc_id < b.doc_id
+  WHERE a.df BETWEEN 2 AND 20),
+lx_dot AS (
+  SELECT c.doc_a, c.doc_b,
+         SUM(CAST(a.tvv AS HUGEINT) * b.tvv) AS dot
+  FROM lx_cand c
+  JOIN lx_tv a ON a.doc_id = c.doc_a
+  JOIN lx_tv b ON b.doc_id = c.doc_b AND b.w = a.w
+  GROUP BY 1, 2),
+lx_sc AS (
+  SELECT d.doc_a, d.doc_b,
+         CAST((CAST(2000000 AS HUGEINT) * d.dot)
+              // (na.n2 + nb.n2) AS BIGINT) AS sim_micro6
+  FROM lx_dot d
+  JOIN lx_norm na ON na.doc_id = d.doc_a
+  JOIN lx_norm nb ON nb.doc_id = d.doc_b)
+SELECT doc_a, doc_b, sim_micro6, CAST(rank AS INT) AS rank
+FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY doc_a
+          ORDER BY sim_micro6 DESC, doc_b) AS rank
+      FROM lx_sc)
+WHERE rank <= 5"""

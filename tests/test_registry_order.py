@@ -616,6 +616,8 @@ EXPECTED_TAIL = [
     "weighted_jaccard",
     # Continuation batch 215
     "eigen_centrality",
+    # Continuation batch 216
+    "lexical_topk",
 ]
 
 
