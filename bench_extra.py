@@ -34,6 +34,13 @@ def _spark():
 
 
 def write_plans(out_dir: str, suffix: str) -> None:
+    """Write both the INITIAL formatted plan (pre-execution; with a
+    cached-but-unmaterialized input its partitioning is unknown, so
+    EnsureRequirements inserts conservative exchanges) and the FINAL
+    executed plan (AQE re-plans per query stage once the cache is
+    materialized and elides exchanges the cache's partitioning already
+    satisfies) — the executed plan is the honest evidence for
+    partitioning-reuse claims."""
     from ehr_relation_extraction_spark import driver_queries as dq
 
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -45,7 +52,17 @@ def write_plans(out_dir: str, suffix: str) -> None:
             df._jdf.queryExecution(), "formatted")
         with open(os.path.join(out_dir, f"{name}_{suffix}.txt"), "w") as f:
             f.write(plan)
-        print(f"wrote {name}_{suffix}.txt")
+        df.count()  # first run: materializes any cached inputs
+        # capture from a SECOND execution — with the cache materialized
+        # AQE sees its real partitioning and can elide exchanges; the
+        # first run plans conservatively while the cache builds.
+        df2 = dq.QUERIES[name](spark, sf_dir)
+        df2.count()
+        final = df2._jdf.queryExecution().executedPlan().toString()
+        with open(os.path.join(out_dir,
+                               f"{name}_{suffix}_executed.txt"), "w") as f:
+            f.write(final)
+        print(f"wrote {name}_{suffix}(.txt|_executed.txt)")
     spark.stop()
 
 

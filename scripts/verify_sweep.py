@@ -1,8 +1,11 @@
 """Verify-skill core flow: entry() smoke + determinism probe + full
 registry oracle parity vs DuckDB at a given SF (driver-check replica).
 
-Usage: python scripts/verify_sweep.py [sf_dir] [master]
-Prints one line per query and a final PASS/FAIL summary.
+Usage: python scripts/verify_sweep.py [sf_dir] [master] [--json OUT]
+Prints one line per query and a final PASS/FAIL summary; with
+``--json OUT`` also writes a per-key record ``{key: {ok, sec, msg}}``
+plus a summary row — the committed, diffable full-registry artifact
+(``make sweep`` -> SWEEP_r06.json; r05 verdict item 2).
 """
 from __future__ import annotations
 
@@ -14,8 +17,14 @@ import time
 sys.path.insert(0, "/root/repo")
 sys.path.insert(0, "/root/repo/tests")
 
-SF = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
-MASTER = sys.argv[2] if len(sys.argv) > 2 else "local[8]"
+JSON_OUT = None
+_argv = list(sys.argv[1:])
+if "--json" in _argv:
+    i = _argv.index("--json")
+    JSON_OUT = _argv[i + 1]
+    del _argv[i:i + 2]
+SF = _argv[0] if len(_argv) > 0 else "/root/testdata/sf0.01"
+MASTER = _argv[1] if len(_argv) > 1 else "local[8]"
 
 
 def _hash_df(df) -> str:
@@ -58,6 +67,7 @@ def main() -> int:
         oracle = ORACLE
     n_pass = n_fail = 0
     t0 = time.time()
+    records: dict[str, dict] = {}
     for name, fn in dq.QUERIES.items():
         t = time.time()
         try:
@@ -66,10 +76,21 @@ def main() -> int:
             ok, msg = False, f"EXC {exc!r}"
         n_pass += ok
         n_fail += not ok
+        records[name] = {"ok": bool(ok), "sec": round(time.time() - t, 2),
+                         **({} if ok else {"msg": msg[:300]})}
         print(f"{name} {'PASS' if ok else 'FAIL ' + msg[:300]}"
               f" ({time.time() - t:.1f}s)", flush=True)
+    wall = round(time.time() - t0, 1)
     print(f"SUMMARY pass={n_pass} fail={n_fail} sf={SF}"
-          f" wall={time.time() - t0:.0f}s", flush=True)
+          f" wall={wall:.0f}s", flush=True)
+    if JSON_OUT:
+        import json
+
+        with open(JSON_OUT, "w") as f:
+            json.dump({"sf_dir": SF, "master": MASTER,
+                       "n_pass": n_pass, "n_fail": n_fail,
+                       "wall_s": wall, "keys": records}, f, indent=1)
+        print(f"wrote {JSON_OUT}", flush=True)
     return 1 if n_fail else 0
 
 
