@@ -14,6 +14,12 @@ bench:
 scaling:
 	$(PY) bench.py --scaling
 
+# Full-registry oracle sweep -> committed per-round artifact
+# (SWEEP_r06.json): per-key pass/fail + wall time at sf0.01.
+sweep:
+	$(PY) scripts/verify_sweep.py /root/testdata/sf0.01 "local[8]" \
+	  --json SWEEP_r06.json
+
 matrix:
 	$(PY) bench.py --matrix
 

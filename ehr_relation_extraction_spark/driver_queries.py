@@ -4105,6 +4105,37 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "lexical_topk": q_lexical_topk,
 }
 
+# Round-6 rotation (r05 verdict item 1): the driver snapshots
+# ``list(QUERIES)[:50]`` each round, so the prefix is rotated onto 50
+# keys that have NEVER had a driver-side CORRECTNESS row (r01-r05
+# union covers 99 of 357 keys).  These 50 are the oldest continuation
+# batches still unsnapshotted — the graph family (k-core, k-truss,
+# walks, link prediction, centralities, communities), the mergeable
+# sketches (HLL, count-min, Bloom) and the KG-analytics layer.  Every
+# key keeps its callable and oracle SQL unchanged; only dict insertion
+# order moves (order pinned by tests/test_registry_order.py, as in
+# rounds 3-5).
+_R06_SNAPSHOT = [
+    "kcore_nodes", "ktruss_edges", "entity_walks", "link_pred",
+    "pq_rerank", "ivfpq_codes", "textrank_tokens", "hll_shingles",
+    "cm_tokens", "cm_token_est", "alias_edit_links", "bloom_bits",
+    "bloom_decontam", "triple_snapshots", "bm25_entities",
+    "entity_salience", "pred_lift", "doclen_hist", "kg_neg_samples",
+    "pred_signatures", "pred_obj_linkage", "entity_assoc",
+    "walk_centrality", "degree_dist", "rrf_fusion", "clustering_coeff",
+    "pred_violations", "pred_drift", "ntriples_export",
+    "pred_cardinality", "object_rules", "entity_jaccard",
+    "hits_scores", "kg_asof", "interval_conflicts", "entity_types",
+    "star_query", "attr_merge_clusters", "wl_labels", "schema_graph",
+    "kg_churn", "hapax_objects", "trending_entities",
+    "graph_distances", "jaccard_best_match", "warc_roundtrip",
+    "pred_jaccard", "degree_assortativity", "community_stats",
+    "pred_ifp",
+]
+QUERIES = {k: QUERIES[k] for k in
+           _R06_SNAPSHOT + [k for k in QUERIES
+                            if k not in set(_R06_SNAPSHOT)]}
+
 
 def oracle_sql() -> dict[str, str]:
     return {k: ORACLE[k] for k in QUERIES if k in ORACLE}

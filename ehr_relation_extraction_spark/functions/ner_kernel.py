@@ -55,6 +55,25 @@ _GAZ_BY_N = gazetteer_by_ngram()
 _PATTERNS = [(re.compile(pat, re.IGNORECASE), ent_type)
              for pat, ent_type in PATTERN_RULES]
 
+# First-word prefilter sets for the n-gram alias paths, cached per
+# aliases dict (r06: this was rebuilt per DOCUMENT before — pure
+# overhead for a module-lifetime dictionary).  The cache value holds a
+# strong reference to the keyed dict so an id() can never be reused
+# while its entry is alive; bounded because only a handful of
+# gazetteers exist per process (default/perturbed/expanded).
+_FIRSTS_CACHE: dict[int, tuple[dict, set[str]]] = {}
+
+
+def _firsts_of(aliases: dict) -> set[str]:
+    hit = _FIRSTS_CACHE.get(id(aliases))
+    if hit is not None and hit[0] is aliases:
+        return hit[1]
+    firsts = {a.split(" ", 1)[0] for a in aliases}
+    if len(_FIRSTS_CACHE) > 16:
+        _FIRSTS_CACHE.clear()
+    _FIRSTS_CACHE[id(aliases)] = (aliases, firsts)
+    return firsts
+
 
 def _alternate(cands: list[tuple[int, int]]) -> list[tuple[int, int]]:
     """Greedy separator-consumption filter for one type.
@@ -110,29 +129,33 @@ def detect_mentions(text: str,
     n_text = len(text)
     by_type: dict[str, set[tuple[int, int]]] = {}
 
+    # one lowercase pass per document, shared by every n-gram level
+    # (r06: was one .lower() per token PER LEVEL)
+    toks_low = [t[0].lower() for t in offsets]
+
     # dictionary aliases via token n-gram alignment
     for n, aliases in (gaz_by_n or _GAZ_BY_N).items():
+        get = aliases.get
         if n == 1:
             # unigram fast path: the token IS the surface (offset
             # invariant text[start:end] == token), no slicing needed
-            for tok, start, end in offsets:
+            for (tok, start, end), low in zip(offsets, toks_low):
                 if start == 0 or end >= n_text:
                     continue  # reference requires a separator both sides
-                hit = aliases.get(tok.lower())
+                hit = get(low)
                 if hit is not None:
                     by_type.setdefault(hit[0], set()).add((start, end))
             continue
         # n-gram path: prefilter on the first word of each alias
-        firsts = {a.split(" ", 1)[0] for a in aliases}
+        firsts = _firsts_of(aliases)
         for i in range(len(offsets) - n + 1):
-            if offsets[i][0].lower() not in firsts:
+            if toks_low[i] not in firsts:
                 continue
             start = offsets[i][1]
             end = offsets[i + n - 1][2]
             if start == 0 or end >= n_text:
                 continue
-            surface = text[start:end].lower()
-            hit = aliases.get(surface)
+            hit = get(text[start:end].lower())
             if hit is not None:
                 by_type.setdefault(hit[0], set()).add((start, end))
 
@@ -144,7 +167,10 @@ def detect_mentions(text: str,
 
     found |= pattern_spans(text, fixed_bugs)
 
-    out = [(t, s, e, text[s:e]) for (t, s, e) in found
-           if ALNUM_RE.search(text[s:e])]
+    out = []
+    for (t, s, e) in found:
+        surf = text[s:e]
+        if ALNUM_RE.search(surf):
+            out.append((t, s, e, surf))
     out.sort(key=lambda r: (r[1], r[2], r[0]))
     return out

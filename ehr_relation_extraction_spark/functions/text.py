@@ -19,6 +19,11 @@ import re
 
 SEPARATOR_RE = re.compile(r"[\n \t]")
 SEPARATORS = ("\n", " ", "\t")
+# A maximal run of non-separator chars is exactly a split piece that
+# survives the empty-drop (provably the same token set; r06 measured
+# split+running-sum faster for list building, so TOKEN_RE is exported
+# only for callers that want match objects).
+TOKEN_RE = re.compile(r"[^\n \t]+")
 
 
 def tokenize_with_offsets(text: str) -> list[tuple[str, int, int]]:
@@ -32,8 +37,11 @@ def tokenize_with_offsets(text: str) -> list[tuple[str, int, int]]:
     pos = 0
     for piece in SEPARATOR_RE.split(text):
         if piece:
-            out.append((piece, pos, pos + len(piece)))
-        pos += len(piece) + 1
+            end = pos + len(piece)
+            out.append((piece, pos, end))
+            pos = end + 1
+        else:
+            pos += 1
     return out
 
 

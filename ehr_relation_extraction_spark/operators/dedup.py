@@ -245,14 +245,17 @@ def simhash_near_dups(docs: DataFrame, bits: int = SIMHASH_BITS,
                       F.col("simhash").alias("_sa"), "band", "band_bits")
     b = banded.select(F.col("doc_id").alias("doc_b"),
                       F.col("simhash").alias("_sb"), "band", "band_bits")
-    cand = (a.join(b, ["band", "band_bits"])
-            .where(F.col("doc_a") < F.col("doc_b"))
-            .select("doc_a", "doc_b", "_sa", "_sb").dropDuplicates(
-                ["doc_a", "doc_b"]))
+    # r06: verify the hamming ball BEFORE the pair dedup — rows of the
+    # same (doc_a, doc_b) carry identical simhashes, so the filter
+    # commutes with dropDuplicates, and failing candidates never enter
+    # the dedup exchange (guide §2.3 "shuffle fewer bytes").
     ham = F.bit_count(F.col("_sa").bitwiseXOR(F.col("_sb")))
-    return (cand.withColumn("hamming", ham.cast("int"))
+    return (a.join(b, ["band", "band_bits"])
+            .where(F.col("doc_a") < F.col("doc_b"))
+            .withColumn("hamming", ham.cast("int"))
             .where(F.col("hamming") <= max_hamming)
-            .select("doc_a", "doc_b", "hamming"))
+            .select("doc_a", "doc_b", "hamming")
+            .dropDuplicates(["doc_a", "doc_b"]))
 
 
 def prefix_filter_pairs(docs: DataFrame,
@@ -310,6 +313,15 @@ def prefix_filter_pairs(docs: DataFrame,
             .select(F.col("a.doc_id").alias("doc_a"),
                     F.col("b.doc_id").alias("doc_b"))
             .dropDuplicates())
+    # Verify shape note (r06, measured): an array_intersect verify
+    # (attach per-doc token arrays, one row per candidate) was tried
+    # and is ~2x SLOWER here — the array attach duplicates ~54-token
+    # arrays per candidate while the incidence join ships skinny
+    # (pair, tok) rows that partially aggregate map-side.  The
+    # incidence-join verify stands; this fixture (tiny template
+    # vocabulary, 24% of ALL pairs >= 0.8 Jaccard) is the documented
+    # worst case — on real corpora the prefix filter prunes the
+    # candidate set and the verify is linear in true matches.
     sizes = dt.groupBy("doc_id").agg(
         F.count(F.lit(1)).cast("long").alias("n_toks"))
     inter = (cand
@@ -675,12 +687,15 @@ def winnow_dups(docs: DataFrame, k: int = 3, w: int = 4,
         .alias("_i", "_t"))
         .select("doc_id", "_i", F.lower("_t").alias("_t")))
     wd = Window.partitionBy("doc_id").orderBy("_i")
+    # k-gram built from k (ADVICE r05: this was hardcoded to trigrams,
+    # silently ignoring k — the streaming twin honored it, so the two
+    # disagreed for non-default k)
+    parts = ["_t"] + [F.lead("_t", j).over(wd) for j in range(1, k)]
+    last = F.lead("_t", k - 1).over(wd) if k > 1 else F.col("_t")
     grams = toks.select(
         "doc_id", "_i",
-        F.concat_ws(" ", "_t",
-                    F.lead("_t", 1).over(wd),
-                    F.lead("_t", 2).over(wd)).alias("_g"),
-        F.lead("_t", 2).over(wd).alias("_ok"))
+        F.concat_ws(" ", *parts).alias("_g"),
+        last.alias("_ok"))
     grams = (grams.where(F.col("_ok").isNotNull())
              .withColumn("_gi", F.row_number().over(wd) - 1)
              .withColumn("_h", F.md5("_g"))

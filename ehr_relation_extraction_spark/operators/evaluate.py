@@ -264,15 +264,24 @@ def re_classification_metrics(labeled: DataFrame,
 def prf_triples(gold_triples: DataFrame, pred_triples: DataFrame) -> DataFrame:
     """Relation/triple-level eval on distinct (url, subj, pred, obj)
     sets (reference E2 relation match reduced to the triple identity
-    the long table emits)."""
+    the long table emits).
+
+    r06: one full-outer join + a single aggregate — the previous
+    version ran THREE driver-side ``.count()`` actions (three jobs,
+    three scans of the eval inputs); only scalars crossed the driver so
+    it was scale-safe, but at 100 TB it tripled the eval input scans.
+    ``F.count(col)`` counts non-nulls, so the side flags give all three
+    totals in one pass (and an empty input yields zeros, not nulls)."""
     key = ["url", "subj", "pred", "obj"]
-    g = gold_triples.select(*key).dropDuplicates()
-    p = pred_triples.select(*key).dropDuplicates()
-    tp = g.join(p, key, "left_semi").count()
-    spark = gold_triples.sparkSession
-    return _with_prf(spark.createDataFrame(
-        [(int(tp), int(g.count()), int(p.count()))],
-        "tp long, n_gold long, n_pred long"))
+    g = gold_triples.select(*key).dropDuplicates().withColumn("_g", F.lit(1))
+    p = pred_triples.select(*key).dropDuplicates().withColumn("_p", F.lit(1))
+    counts = (g.join(p, key, "full")
+              .agg(F.count(F.when(F.col("_g").isNotNull()
+                                  & F.col("_p").isNotNull(), 1))
+                   .cast("long").alias("tp"),
+                   F.count("_g").cast("long").alias("n_gold"),
+                   F.count("_p").cast("long").alias("n_pred")))
+    return _with_prf(counts)
 
 
 def bcubed_scores(pred: DataFrame, gold: DataFrame) -> DataFrame:

@@ -1532,6 +1532,14 @@ def markov_stationary(events: DataFrame, gap_minutes: int = 30,
            .agg(F.count(F.lit(1)).cast("long").alias("n_events"))
            .localCheckpoint())
     m = emp.count()  # bounded: the event-type domain
+    if m == 0:
+        # ADVICE r05: empty events raised ZeroDivisionError on the
+        # driver; return the empty schema-matching frame instead.
+        return emp.select(
+            "event_type", "n_events",
+            F.lit(0).cast("long").alias("emp_micro6"),
+            F.lit(0).cast("long").alias("mass_u"),
+            F.lit(0).cast("long").alias("stat_micro6"))
     types = emp.select(F.col("event_type").alias("_t"))
     v = types.withColumn("mass_u", F.lit(scale // m).cast("long"))
     for _ in range(n_iter):

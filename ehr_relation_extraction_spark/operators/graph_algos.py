@@ -33,11 +33,15 @@ def bfs_distances(edges: DataFrame, source: str,
     stays partitioned alike, so levels are single-shuffle.
     """
     spark = edges.sparkSession
+    # r06: partition the symmetrized edge list by src ONCE (guide
+    # §2.4) — every level joins the frontier against it on src, so
+    # only the (small) frontier side is exchanged per level instead of
+    # re-shuffling the whole edge list each round.
     sym = (edges.select("src", "dst")
            .union(edges.select(F.col("dst").alias("src"),
                                F.col("src").alias("dst")))
            .where(F.col("src") != F.col("dst"))
-           .dropDuplicates().localCheckpoint())
+           .repartition("src").dropDuplicates().localCheckpoint())
     dist = spark.createDataFrame([(source, 0)], "node string, dist int")
     frontier = dist
     for level in range(1, max_iter + 1):
@@ -78,12 +82,17 @@ def pagerank_fixed(edges: DataFrame, damping_pct: int = 85,
     truncation — ~1e-9 per rank at the default scale.
     """
     spark = edges.sparkSession
+    # r06 partitioning-reuse (guide §2.4): e and out_w clustered on
+    # src, nodes/ranks/contribs on the node id — the per-round joins
+    # and the out-weight aggregate then reuse these partitionings and
+    # each round pays exactly ONE exchange (the contribution groupBy).
     e = edges.select("src", "dst",
                      (F.col("weight") if "weight" in edges.columns
-                      else F.lit(1)).cast("long").alias("w"))
+                      else F.lit(1)).cast("long").alias("w")) \
+        .repartition("src").localCheckpoint()
     nodes = (e.select(F.col("src").alias("node"))
              .union(e.select(F.col("dst").alias("node")))
-             .dropDuplicates()).localCheckpoint()
+             .repartition("node").dropDuplicates()).localCheckpoint()
     n = nodes.count()
     if n == 0:
         return spark.createDataFrame([], "node string, rank_u long, rank_micro6 long")
@@ -138,12 +147,17 @@ def ppr_fixed(edges: DataFrame, source: str, damping_pct: int = 85,
     scalar stays a lazy 1-row crossJoin — no driver syncs.
     """
     spark = edges.sparkSession
+    # r06 partitioning-reuse (guide §2.4): e and out_w clustered on
+    # src, nodes/ranks/contribs on the node id — the per-round joins
+    # and the out-weight aggregate then reuse these partitionings and
+    # each round pays exactly ONE exchange (the contribution groupBy).
     e = edges.select("src", "dst",
                      (F.col("weight") if "weight" in edges.columns
-                      else F.lit(1)).cast("long").alias("w"))
+                      else F.lit(1)).cast("long").alias("w")) \
+        .repartition("src").localCheckpoint()
     nodes = (e.select(F.col("src").alias("node"))
              .union(e.select(F.col("dst").alias("node")))
-             .dropDuplicates()).localCheckpoint()
+             .repartition("node").dropDuplicates()).localCheckpoint()
     if nodes.isEmpty():
         return spark.createDataFrame([], "node string, rank_u long, rank_micro6 long")
 
@@ -324,31 +338,36 @@ def label_propagation(edges: DataFrame, nodes: DataFrame,
     winner; localCheckpoint per round cuts lineage like the other
     iterative operators.
     """
-    from pyspark.sql import Window
-
     # Canonicalize orientation BEFORE symmetrizing: the contract says
     # "(src, dst) undirected (either order)", so an edge supplied in
     # both orientations must count as ONE neighbor relation, exactly
     # like the oracle's SQL UNION (which dedups across orientations).
+    #
+    # r06: sym is partitioned by dst ONCE and checkpointed (it was
+    # recomputed from `edges` every round before), label frames stay
+    # partitioned on the node id, and the per-node winner is a
+    # min(struct) aggregate instead of a row_number window — same
+    # winner (max n, tie -> lexicographically smallest label), but
+    # with map-side partial aggregation and no per-round sort.
     und = (edges.select(F.least("src", "dst").alias("src"),
                         F.greatest("src", "dst").alias("dst"))
            .where(F.col("src") != F.col("dst")).dropDuplicates())
-    sym = und.union(und.select(F.col("dst").alias("src"),
-                               F.col("src").alias("dst")))
-    labels = nodes.select("node", F.col("node").alias("label")) \
-        .localCheckpoint()
-    w = (Window.partitionBy("node")
-         .orderBy(F.col("n").desc(), F.col("label").asc()))
+    sym = (und.union(und.select(F.col("dst").alias("src"),
+                                F.col("src").alias("dst")))
+           .repartition("dst").localCheckpoint())
+    base = nodes.select("node").repartition("node").localCheckpoint()
+    labels = base.withColumn("label", F.col("node"))
     for _ in range(n_rounds):
         nbr = (sym.join(labels.withColumnRenamed("node", "dst"), "dst")
                .select(F.col("src").alias("node"), "label"))
         freq = nbr.groupBy("node", "label").agg(
             F.count(F.lit(1)).alias("n"))
-        winner = (freq.withColumn("_rk", F.row_number().over(w))
-                  .where(F.col("_rk") == 1)
-                  .select("node", "label"))
-        labels = (nodes.select("node")
-                  .join(winner, "node", "left")
+        winner = (freq.groupBy("node")
+                  .agg(F.min(F.struct((-F.col("n")).alias("_nn"),
+                                      F.col("label").alias("label")))
+                       .alias("_w"))
+                  .select("node", F.col("_w.label").alias("label")))
+        labels = (base.join(winner, "node", "left")
                   .withColumn("label", F.coalesce("label", "node"))
                   .localCheckpoint())
     return labels.select("node", "label")
@@ -385,10 +404,14 @@ def k_core(edges: DataFrame, nodes: DataFrame, k: int = 2,
     und = (edges.select(F.least("src", "dst").alias("src"),
                         F.greatest("src", "dst").alias("dst"))
            .where(F.col("src") != F.col("dst")).dropDuplicates())
-    sym = und.union(und.select(F.col("dst").alias("src"),
-                               F.col("src").alias("dst"))) \
-        .localCheckpoint()
-    all_nodes = nodes.select("node").dropDuplicates().localCheckpoint()
+    # r06: cluster sym on dst once — the alive-filter join on dst then
+    # reuses it every peel round, leaving one exchange per round (the
+    # degree aggregate's re-cluster by src; guide §2.4).
+    sym = (und.union(und.select(F.col("dst").alias("src"),
+                                F.col("src").alias("dst")))
+           .repartition("dst").localCheckpoint())
+    all_nodes = nodes.select("node").repartition("node") \
+        .dropDuplicates().localCheckpoint()
     alive = all_nodes
     n_alive = None if n_rounds is not None else alive.count()
     rounds = n_rounds if n_rounds is not None else max_iter
@@ -488,14 +511,19 @@ def random_walks(edges: DataFrame, nodes: DataFrame,
     later-step rows are simply absent).  Output: (start, walk, step,
     node) with step 0 = the start node itself.
     """
-    from pyspark.sql import Window
-
+    # r06: sym is clustered on src once (each step joins the walk
+    # frontier on it — only the frontier is exchanged per step), and
+    # the per-(start, walk) argmin is a min(struct) AGGREGATE instead
+    # of a row_number window: identical winner (lexicographic min over
+    # (_h, dst)), but partial aggregation collapses the deg-fanout
+    # map-side, so the per-step exchange carries ~one row per active
+    # walk instead of one per (walk, neighbor) — and no sort.
     und = (edges.select(F.least("src", "dst").alias("src"),
                         F.greatest("src", "dst").alias("dst"))
            .where(F.col("src") != F.col("dst")).dropDuplicates())
-    sym = und.union(und.select(F.col("dst").alias("src"),
-                               F.col("src").alias("dst"))) \
-        .localCheckpoint()
+    sym = (und.union(und.select(F.col("dst").alias("src"),
+                                F.col("src").alias("dst")))
+           .repartition("src").localCheckpoint())
     cur = (nodes.select(F.col("node").alias("start"))
            .dropDuplicates()
            .select("start", F.explode(F.sequence(
@@ -511,11 +539,12 @@ def random_walks(edges: DataFrame, nodes: DataFrame,
                        F.md5(F.concat_ws(
                            ":", "start", "walk", F.lit(t), "dst"))
                        .alias("_h")))
-        w = Window.partitionBy("start", "walk").orderBy("_h", "dst")
-        cur = (hop.withColumn("_r", F.row_number().over(w))
-               .where(F.col("_r") == 1)
+        cur = (hop.groupBy("start", "walk")
+               .agg(F.min(F.struct(F.col("_h").alias("_h"),
+                                   F.col("dst").alias("dst")))
+                    .alias("_w"))
                .select("start", "walk", F.lit(t).alias("step"),
-                       F.col("dst").alias("node"))
+                       F.col("_w.dst").alias("node"))
                .localCheckpoint())
         out = out.unionByName(cur)
     return out.select("start", "walk",

@@ -279,8 +279,14 @@ def connected_components(edges: DataFrame, nodes: DataFrame,
          .dropDuplicates()).localCheckpoint()
 
     def sym(df: DataFrame) -> DataFrame:
-        return df.union(df.select(F.col("dst").alias("src"),
-                                  F.col("src").alias("dst"))).dropDuplicates()
+        # r06: establish HashPartitioning(src) once — the dedup here,
+        # the min-aggregate, the m-join and the star-output dedup all
+        # cluster on src-prefixed keys, so with subset co-partitioning
+        # (session.py) ONE exchange serves the whole star instead of
+        # four (guide §2.4).
+        return (df.union(df.select(F.col("dst").alias("src"),
+                                   F.col("src").alias("dst")))
+                .repartition("src").dropDuplicates())
 
     def star(df: DataFrame, large: bool) -> DataFrame:
         # m(u) = min over gamma+(u); attach neighbors to m(u)

@@ -500,7 +500,11 @@ from ..config import (JACCARD_THRESHOLD_PCT, LSH_BANDS, MINHASH_PERMS,
                       SHINGLE_K, SIMHASH_BITS, STOPWORDS, TOPK_NEIGHBORS,
                       ANN_SIGN_BITS)
 
-DEDUP_CTES = f"""
+# Candidate-generation half (through `cand`) named separately so the
+# weighted_jaccard oracle can compose it WITHOUT slicing the assembled
+# near_duplicates SQL at a magic CTE-name literal (ADVICE r05 item 4).
+# DEDUP_CTES is the byte-identical concatenation of the two halves.
+DEDUP_CAND_CTES = f"""
 sh AS (
   SELECT DISTINCT doc_id, token || ' ' || t1 || ' ' || t2 AS shingle
   FROM (SELECT doc_id, token,
@@ -526,7 +530,9 @@ cand AS (
   FROM bands a JOIN bands b
     ON a.band = b.band AND a.band_sig = b.band_sig AND a.doc_id < b.doc_id
 ),
-sh_sizes AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_sh FROM sh GROUP BY doc_id),
+"""
+
+DEDUP_VERIFY_CTES = """sh_sizes AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_sh FROM sh GROUP BY doc_id),
 inter AS (
   SELECT c.doc_a, c.doc_b, CAST(COUNT(*) AS BIGINT) AS n_inter
   FROM cand c
@@ -544,6 +550,8 @@ near_dups AS (
   JOIN sh_sizes sb ON sb.doc_id = c.doc_b
   LEFT JOIN inter i ON i.doc_a = c.doc_a AND i.doc_b = c.doc_b
 )"""
+
+DEDUP_CTES = DEDUP_CAND_CTES + DEDUP_VERIFY_CTES
 
 SIMHASH_CTES = f"""
 simt AS (SELECT doc_id, md5(token) AS h FROM toks),
@@ -12228,7 +12236,9 @@ FROM qn_hq h JOIN qn_pq p USING (q)"""
 # token frequencies.
 
 _ND = ORACLE["near_duplicates"]
-_WJ_PREFIX = _ND[:_ND.index("sh_sizes AS (")]
+# prefix = everything before the verify half — located via the named
+# constant itself, so a CTE rename inside either half moves with it
+_WJ_PREFIX = _ND[:_ND.index(DEDUP_VERIFY_CTES)]
 
 ORACLE["weighted_jaccard"] = _WJ_PREFIX + """
 wj_tf AS MATERIALIZED (

@@ -23,9 +23,10 @@ orderings the window-function path uses.
 
 from __future__ import annotations
 
+from bisect import bisect_right
 from collections.abc import Iterator
 
-import pandas as pd
+import pyarrow as pa
 
 from pyspark.sql import DataFrame, functions as F
 from pyspark.sql.types import (IntegerType, LongType, StringType,
@@ -54,6 +55,12 @@ RELATION_SCHEMA = StructType([
     StructField("gap", IntegerType()),
 ])
 
+_REL_PA_TYPES = [pa.int64(), pa.string(), pa.int32(), pa.string(),
+                 pa.string(), pa.string(), pa.string(), pa.int32(),
+                 pa.int32(), pa.string(), pa.string(), pa.string(),
+                 pa.int32(), pa.int32(), pa.int32()]
+_REL_NAMES = [f.name for f in RELATION_SCHEMA.fields]
+
 
 def candidate_pairs_for_doc(text: str,
                             max_len: int = MAX_LEN_TOKENS,
@@ -81,15 +88,30 @@ def candidate_pairs_for_doc(text: str,
     ments = [(f"T{i + 1}", t, s, e, surf)
              for i, (t, s, e, surf) in enumerate(mentions)]
 
+    # windows are consecutive [s0,s1),[s1,s2),...: a mention can satisfy
+    # (start >= ws AND end < we) for AT MOST the window containing its
+    # start (any earlier window's `end < we` fails because end >= start
+    # >= that window's we; any later window's `start >= ws` fails) — so
+    # the old per-window O(W x M) scan reduces to one bisect per
+    # mention (r06, same pair set).
+    win_starts = [w[0] for w in windows]
+    hubs_by_w: list[list] = [[] for _ in windows]
+    attrs_by_w: list[list] = [[] for _ in windows]
+    for m in ments:
+        wi = bisect_right(win_starts, m[2]) - 1
+        if wi >= 0 and m[3] < windows[wi][1]:
+            (hubs_by_w if m[1] == HUB_TYPE else attrs_by_w)[wi].append(m)
+
     pairs = []
-    for wid, (ws, we) in enumerate(windows):
-        in_win = [m for m in ments if m[2] >= ws and m[3] < we]
-        hubs = [m for m in in_win if m[1] == HUB_TYPE]
-        attrs = [m for m in in_win if m[1] != HUB_TYPE]
-        for h in hubs:
+    for wid in range(len(windows)):
+        attrs = attrs_by_w[wid]
+        if not attrs:
+            continue
+        for h in hubs_by_w[wid]:
+            hs, he = h[2], h[3]
             for a in attrs:
-                gap = max(max(h[2], a[2]) - min(h[3], a[3]), 0)
-                pairs.append((wid, h, a, gap))
+                gap = max(hs, a[2]) - min(he, a[3])
+                pairs.append((wid, h, a, gap if gap > 0 else 0))
     return pairs
 
 
@@ -106,9 +128,13 @@ def relations_for_doc(doc_id: int, url: str, text: str,
     kept = [p for p in candidate_pairs_for_doc(text, max_len, mentions)
             if p[3] <= max_gap]
 
-    # R-ids: same ordering as the window-function path
+    # R-ids: same ordering as the window-function path.  The last key
+    # is rel_type = f"{attr_type}-{HUB_TYPE}"; with a shared constant
+    # suffix and alnum-only type names, ordering by attr_type alone is
+    # identical ('-' < every alnum char covers the prefix case), so the
+    # per-pair f-string build is dropped (r06).
     kept.sort(key=lambda k: (k[0], k[1][2], k[1][3], k[2][2], k[2][3],
-                             f"{k[2][1]}-{HUB_TYPE}"))
+                             k[2][1]))
     out = []
     for i, (wid, h, a, gap) in enumerate(kept):
         out.append((doc_id, url, wid, f"R{i + 1}", f"{a[1]}-{HUB_TYPE}",
@@ -121,16 +147,29 @@ def fused_relations(pages: DataFrame,
                     max_len: int = MAX_LEN_TOKENS,
                     max_gap: int = MAX_PAIR_GAP_CHARS) -> DataFrame:
     src = pages.select("doc_id", "url", "text")
-    cols = [f.name for f in RELATION_SCHEMA.fields]
 
-    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        for pdf in batches:
+    def gen(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
+        for b in batches:
             rows = [r
-                    for d, u, t in zip(pdf["doc_id"], pdf["url"], pdf["text"])
+                    for d, u, t in zip(b.column("doc_id").to_pylist(),
+                                       b.column("url").to_pylist(),
+                                       b.column("text").to_pylist())
                     for r in relations_for_doc(d, u, t, max_len, max_gap)]
-            yield pd.DataFrame(rows, columns=cols)
+            # columnar transpose (guide §4.2): zip is C-speed and the
+            # typed pa.array construction skips the pandas object-dtype
+            # detour the old mapInPandas path paid per batch.
+            cols = (list(zip(*rows)) if rows
+                    else [[] for _ in _REL_PA_TYPES])
+            yield pa.RecordBatch.from_arrays(
+                [pa.array(c, type=t) for c, t in zip(cols, _REL_PA_TYPES)],
+                names=_REL_NAMES)
 
-    return src.mapInPandas(gen, RELATION_SCHEMA)
+    return src.mapInArrow(
+        gen, ("doc_id long, url string, shard_id int, rel_id string, "
+              "rel_type string, hub_id string, hub_text string, "
+              "hub_start int, hub_end int, attr_id string, "
+              "attr_type string, attr_text string, attr_start int, "
+              "attr_end int, gap int"))
 
 
 def fused_triples(pages: DataFrame,

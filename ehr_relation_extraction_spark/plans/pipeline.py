@@ -95,9 +95,19 @@ def _downstream(pages: DataFrame, shards: DataFrame, mentions: DataFrame,
         # extra corpus scans + NER passes — fatal at 100 TB).  Mention
         # rows are ~100x smaller than page text, so MEMORY_AND_DISK is
         # cheap insurance.
+        #
+        # r06: establish HashPartitioning(url) ONCE before the persist
+        # (guide §2.4).  Every downstream op clusters on url-prefixed
+        # keys — the (url, shard_id) pair self-join, the per-url R-id
+        # windows, triple dedup and the wide aggregate — so with
+        # subset co-partitioning enabled (session.py) none of them
+        # needs another exchange of the candidate stream.  url is the
+        # highest-cardinality key in the engine (1:1 with doc_id), so
+        # this loses no parallelism and no skew headroom at scale.
         from pyspark import StorageLevel
 
-        windowed = windowed.persist(StorageLevel.MEMORY_AND_DISK)
+        windowed = windowed.repartition("url") \
+                           .persist(StorageLevel.MEMORY_AND_DISK)
     candidates = pairs_op.candidate_pairs(windowed)
     classified = rel_op.classify_rule(candidates, max_gap=max_gap)
     relations = rel_op.keep_positive(classified)

@@ -32,6 +32,19 @@ def get_spark(app_name: str = "kg-construct",
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        # Subset-key co-partitioning (guide §2.4 "share one exchange"):
+        # the pipeline establishes HashPartitioning(url) once (the
+        # persisted pairing input) and every downstream op clusters on
+        # url-prefixed keys — (url, shard_id) pair join, per-url R-id
+        # windows, triple dedup/wide aggregates.  With the default
+        # (true) the planner re-exchanges BOTH pair-join sides because
+        # the partitioning keys are a strict subset of the join keys;
+        # allowing subset co-partitioning removes two full exchanges of
+        # the candidate stream at any scale (url is the highest-
+        # cardinality key in the engine, so subset partitioning loses
+        # no parallelism).  Measured sf1.0 local[32]: candidates 0.75
+        # -> 0.13 s, triples 0.91 -> 0.23 s.
+        .config("spark.sql.requireAllClusterKeysForCoPartition", "false")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "8192")
         .config("spark.python.worker.reuse", "true")

@@ -46,7 +46,12 @@ def pages_from_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     if docs.rdd.getNumPartitions() < slots:
         from ..operators.skew import salted_repartition
 
-        docs = salted_repartition(docs, "doc_id", num_partitions=slots * 2)
+        # one map task per slot (not 2x): every Python-boundary task
+        # pays a fixed worker-dispatch cost that is serialized through
+        # the daemon (~5-7 ms/task measured), so at equal balance fewer,
+        # larger Arrow tasks win; at real scale this branch is a no-op
+        # (the input has more splits than slots).
+        docs = salted_repartition(docs, "doc_id", num_partitions=slots)
     url = F.concat(F.lit("https://"), F.col("source"),
                    F.lit(".example.com/"), F.col("doc_id").cast("string"))
     warc_ts = F.timestamp_seconds(F.lit(1704067200) + F.col("doc_id"))

@@ -86,7 +86,10 @@ def test_fused_path_single_python_stage(spark):
 
     pages = extract_text(pages_df(spark, n_pages=10))
     plan = plan_of(fused_triples(pages))
-    assert plan.count("MapInPandas") == 1
+    # r06: the hop is a columnar mapInArrow kernel (MapInArrow node);
+    # the invariant is unchanged — exactly one Python boundary.
+    n_python = plan.count("MapInArrow") + plan.count("MapInPandas")
+    assert n_python == 1
 
 
 def test_fuzzy_alias_join_is_broadcast(spark):

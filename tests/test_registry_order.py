@@ -11,12 +11,35 @@ from __future__ import annotations
 
 from ehr_relation_extraction_spark.driver_queries import QUERIES, oracle_sql
 
-# Round-5 rotation: the 3 PQ queries (registered in-round) and the 4
-# round-5 staged queries lead; then the 42 keys that sat past round
-# 4's 50-key snapshot (driver-green in r01-r03); then quality_model
-# (value-oracle upgrade) closes the prefix.  Everything at position
-# 51+ has a green driver row in CORRECTNESS_r04.json.
+# Round-6 rotation: the 50-key driver snapshot moves onto 50 keys
+# that have never had a driver-side CORRECTNESS row (graph family,
+# sketches, KG-analytics — r05 verdict item 1).  The previous (r05)
+# order is kept below as _R05_PREFIX/_R05_TAIL and the new full order
+# is derived from it: the rotated 50 lead, everything else keeps its
+# relative order.
 EXPECTED_PREFIX = [
+    "kcore_nodes", "ktruss_edges", "entity_walks", "link_pred",
+    "pq_rerank", "ivfpq_codes", "textrank_tokens", "hll_shingles",
+    "cm_tokens", "cm_token_est", "alias_edit_links", "bloom_bits",
+    "bloom_decontam", "triple_snapshots", "bm25_entities",
+    "entity_salience", "pred_lift", "doclen_hist", "kg_neg_samples",
+    "pred_signatures", "pred_obj_linkage", "entity_assoc",
+    "walk_centrality", "degree_dist", "rrf_fusion", "clustering_coeff",
+    "pred_violations", "pred_drift", "ntriples_export",
+    "pred_cardinality", "object_rules", "entity_jaccard",
+    "hits_scores", "kg_asof", "interval_conflicts", "entity_types",
+    "star_query", "attr_merge_clusters", "wl_labels", "schema_graph",
+    "kg_churn", "hapax_objects", "trending_entities",
+    "graph_distances", "jaccard_best_match", "warc_roundtrip",
+    "pred_jaccard", "degree_assortativity", "community_stats",
+    "pred_ifp",
+]
+
+# Round-5 rotation (historical): the 3 PQ queries (registered
+# in-round) and the 4 round-5 staged queries lead; then the 42 keys
+# that sat past round 4's 50-key snapshot (driver-green in r01-r03);
+# then quality_model (value-oracle upgrade) closes the prefix.
+_R05_PREFIX = [
     "pq_codebook", "pq_codes", "pq_search",
     "substring_spans", "cut_substrings", "maximal_repeats",
     "lpa_communities",
@@ -36,7 +59,7 @@ EXPECTED_PREFIX = [
     "quality_model",
 ]
 
-EXPECTED_TAIL = [
+_R05_TAIL = [
     "triples_fused", "mentions", "extract_text",
     "duplicated_spans", "cut_spans", "url_redirects", "cc_update",
     "repetition_features", "corpus_export", "pack_sequences",
@@ -621,9 +644,31 @@ EXPECTED_TAIL = [
 ]
 
 
+# Full r06 order: the rotated 50 first, then every other key in its
+# r05 relative order.
+EXPECTED_TAIL = [k for k in _R05_PREFIX + _R05_TAIL
+                 if k not in set(EXPECTED_PREFIX)]
+
+
 def test_snapshot_prefix_pinned():
     assert len(EXPECTED_PREFIX) == 50
     assert list(QUERIES)[:50] == EXPECTED_PREFIX
+
+
+def test_rotated_keys_never_driver_checked():
+    """The r06 snapshot prefix consists entirely of keys absent from
+    every prior round's CORRECTNESS file (the rotation's purpose)."""
+    import json
+    import os
+
+    seen: set[str] = set()
+    for r in range(1, 6):
+        p = os.path.join(os.path.dirname(__file__), "..",
+                         f"CORRECTNESS_r0{r}.json")
+        with open(p) as f:
+            seen |= set(json.load(f))
+    overlap = [k for k in EXPECTED_PREFIX if k in seen]
+    assert overlap == [], overlap
 
 
 def test_full_registry_order_pinned():
